@@ -1,38 +1,888 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship tiling pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` expose the operator inventory from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text),
+each value-checked against DuckDB where ANSI-SQL can express it.
+
+Column names are aliased identically on both sides; floats that feed the
+value hash are rounded on both sides with the same expression.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.functions.geocode import (
+    GEOCODE_ARITH_LAT_SQL,
+    GEOCODE_ARITH_LON_SQL,
+    geocode_arith_lat,
+    geocode_arith_lon,
+)
+from tilekiln_spark.functions.tileids import (
+    envelope_cols,
+    merc_x,
+    merc_y,
+    tile_x,
+    tile_y,
+    tileid,
+    tileid_zxy,
+)
+from tilekiln_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    lang_id_sql,
+    quality_features,
+    token_count,
+)
+from tilekiln_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from tilekiln_spark.operators.mvt import mvt_layer_agg
+from tilekiln_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_sim,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from tilekiln_spark.operators.spatial_join import knn_assign, points_in_polygons
+from tilekiln_spark.operators.tiling import render_zoom
+from tilekiln_spark.tiles.core import HALF_WORLD
+
+HW = HALF_WORLD
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_LON_SQL = GEOCODE_ARITH_LON_SQL.format(id="doc_id")
+_LAT_SQL = GEOCODE_ARITH_LAT_SQL.format(id="doc_id")
+_MX_SQL = f"(({_LON_SQL}) / 180.0 * {HW})"
+_MY_SQL = f"(ln(tan(pi()/4 + radians({_LAT_SQL})/2)) / pi() * {HW})"
+
+
+def _mx_my(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    lon = geocode_arith_lon(F.col(id_col))
+    lat = geocode_arith_lat(F.col(id_col))
+    return df.withColumn("mx", merc_x(lon)).withColumn("my", merc_y(lat))
+
+
+def _tile_xy_sql(z: int, mx: str = "mx", my: str = "my") -> tuple[str, str]:
+    length = f"(2.0 * {HW} / power(2.0, {z}))"
+    tx = f"CAST(greatest(0, least(floor(({mx} + {HW}) / {length}), power(2.0, {z}) - 1)) AS INTEGER)"
+    ty = f"CAST(greatest(0, least(floor(({HW} - {my}) / {length}), power(2.0, {z}) - 1)) AS INTEGER)"
+    return tx, ty
+
+
+_GEO_CTE = (
+    f"WITH geo AS (SELECT doc_id, lang, source, n_chars, {_MX_SQL} AS mx, {_MY_SQL} AS my FROM documents)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# deterministic synthetic polygon grid, expressible in both engines:
+# 6x6 cells over [-HW, HW]^2, each shrunk by 10% margin; octagon ids cut corners
+_GRID_N = 6
+
+
+def _grid_polys(spark: SparkSession) -> DataFrame:
+    cell = 2.0 * HW / _GRID_N
+    df = spark.range(_GRID_N * _GRID_N).select(
+        F.col("id").alias("polygon_id"),
+        (F.lit(-HW) + (F.col("id") % _GRID_N) * cell + 0.1 * cell).alias("xmin"),
+        (F.lit(-HW) + F.floor(F.col("id") / _GRID_N) * cell + 0.1 * cell).alias("ymin"),
+    )
+    df = df.withColumn("xmax", F.col("xmin") + 0.8 * cell).withColumn(
+        "ymax", F.col("ymin") + 0.8 * cell
+    )
+    return df.withColumn(
+        "ring_xs",
+        F.array(F.col("xmin"), F.col("xmax"), F.col("xmax"), F.col("xmin")),
+    ).withColumn(
+        "ring_ys",
+        F.array(F.col("ymin"), F.col("ymin"), F.col("ymax"), F.col("ymax")),
+    )
+
+
+_GRID_SQL = f"""
+polys AS (
+  SELECT id AS polygon_id,
+         -{HW} + (id % {_GRID_N}) * (2.0*{HW}/{_GRID_N}) + 0.1 * (2.0*{HW}/{_GRID_N}) AS xmin,
+         -{HW} + floor(id / {_GRID_N}) * (2.0*{HW}/{_GRID_N}) + 0.1 * (2.0*{HW}/{_GRID_N}) AS ymin,
+         -{HW} + (id % {_GRID_N}) * (2.0*{HW}/{_GRID_N}) + 0.9 * (2.0*{HW}/{_GRID_N}) AS xmax,
+         -{HW} + floor(id / {_GRID_N}) * (2.0*{HW}/{_GRID_N}) + 0.9 * (2.0*{HW}/{_GRID_N}) AS ymax
+  FROM range({_GRID_N * _GRID_N}) t(id)
+)
+"""
+
+
+# near-dup corpus: documents plus a copy of docs (doc_id<60) with one word
+# appended -> very high shingle-Jaccard pairs, plus exact dups for doc_id<30
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") < 60)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    )
+    exact = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+_NEARDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+CFG_YAML = """
+metadata: {id: v1}
+vector_layers:
+  water:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, file: water.b}
+  admin:
+    fields: {admin_level: Admin level}
+    sql:
+    - {minzoom: 1, maxzoom: 3, file: ne.b}
+    - {minzoom: 4, maxzoom: 10, file: admin.b}
+  country_names:
+    fields: {name: Name, area: Area}
+    sql:
+    - {minzoom: 3, maxzoom: 14, file: country.b}
+"""
+TEMPLATES = {"water.b": "water", "ne.b": "ne_admin", "admin.b": "admin", "country.b": "country"}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents-as-pages -> geocode -> spatial join -> z6 MVT tiles."""
+    from tilekiln_spark.sources.pages import layer_polygons
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _mx_my(_docs(spark, sf_dir))
+    geo = docs.select(
+        F.concat(F.lit("https://doc"), F.col("doc_id")).alias("url"), "lang", "mx", "my"
+    )
+    cfg = Config(CFG_YAML, TEMPLATES)
+    sources = {"pages_geo": geo, "layer_polygons": layer_polygons(spark, 40)}
+    return render_zoom(cfg, 6, sources)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- tiling / geo core ----
+
+    def tile_assign_z6(spark, sf_dir):
+        """B1/B2: point->tile assignment at z6 (envelope math as equi-key)."""
+        z = F.lit(6)
+        d = _mx_my(_docs(spark, sf_dir))
+        return (
+            d.withColumn("x", tile_x(z, F.col("mx")))
+            .withColumn("y", tile_y(z, F.col("my")))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    q["tile_assign_z6"] = tile_assign_z6
+
+    def tile_assign_multizoom(spark, sf_dir):
+        """A4-adjacent: assignment across zooms {0,3,6,10}; per-zoom tile counts."""
+        d = _mx_my(_docs(spark, sf_dir))
+        out = None
+        for z in (0, 3, 6, 10):
+            part = (
+                d.withColumn("x", tile_x(F.lit(z), F.col("mx")))
+                .withColumn("y", tile_y(F.lit(z), F.col("my")))
+                .groupBy(F.lit(z).alias("zoom"), "x", "y")
+                .agg(F.count("*").alias("n_docs"))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    q["tile_assign_multizoom"] = tile_assign_multizoom
+
+    def tile_envelope_grid(spark, sf_dir):
+        """B1: envelope math for every tile z0-3 via the Hilbert tilerange
+        (spark.range over tileid space + vectorized codec)."""
+        r = spark.range(0, 85).select(F.col("id").alias("tid"))  # ids z0..z3
+        zxy = r.select(tileid_zxy(F.col("tid")).alias("t")).select(
+            F.col("t.zoom").alias("zoom"), F.col("t.x").alias("x"), F.col("t.y").alias("y")
+        )
+        xmin, ymin, xmax, ymax = envelope_cols(F.col("zoom"), F.col("x"), F.col("y"), 0.0)
+        return zxy.select(
+            "zoom", "x", "y",
+            (F.round(xmin, 3) + 0.0).alias("xmin"), (F.round(ymin, 3) + 0.0).alias("ymin"),
+            (F.round(xmax, 3) + 0.0).alias("xmax"), (F.round(ymax, 3) + 0.0).alias("ymax"),
+        )
+
+    q["tile_envelope_grid"] = tile_envelope_grid
+
+    def hilbert_tileid(spark, sf_dir):
+        """The Hilbert tileid codec itself, value-checked: all tiles z0-5."""
+        rows = []
+        for z in range(6):
+            rows.append(
+                spark.range(4**z).select(
+                    F.lit(z).cast("long").alias("zoom"),
+                    (F.col("id") % (2**z)).alias("x"),
+                    F.floor(F.col("id") / (2**z)).cast("long").alias("y"),
+                )
+            )
+        df = rows[0]
+        for r in rows[1:]:
+            df = df.unionByName(r)
+        return df.withColumn("tid", tileid("zoom", "x", "y"))
+
+    q["hilbert_tileid"] = hilbert_tileid
+
+    def worklist_parse(spark, sf_dir):
+        """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
+        e = _events(spark, sf_dir)
+        z = (F.col("event_id") % 4).cast("int")
+        line = F.concat(
+            z.cast("string"), F.lit("/"),
+            (F.col("event_id") % F.pow(F.lit(2.0), z).cast("long")).cast("string"),
+            F.lit("/"),
+            (F.col("user_id") % F.pow(F.lit(2.0), z).cast("long")).cast("string"),
+            F.lit(","), F.col("event_type"),
+        )
+        parsed = e.select(line.alias("line")).select(
+            F.split(F.split("line", ",")[0], "/").alias("t"),
+            F.split("line", ",")[1].alias("layer"),
+        )
+        return (
+            parsed.select(
+                F.col("t")[0].cast("int").alias("zoom"),
+                F.col("t")[1].cast("int").alias("x"),
+                F.col("t")[2].cast("int").alias("y"),
+                "layer",
+            )
+            .groupBy("zoom", "x", "y")
+            .agg(F.countDistinct("layer").alias("n_layers"))
+        )
+
+    q["worklist_parse"] = worklist_parse
+
+    def spatial_join_grid(spark, sf_dir):
+        """B2: distributed point-in-polygon join (grid equi-join + refine)."""
+        pts = _mx_my(_docs(spark, sf_dir))
+        polys = _grid_polys(spark)
+        return (
+            points_in_polygons(pts, polys, how="grid", grid_zoom=4)
+            .groupBy("polygon_id")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    q["spatial_join_grid"] = spatial_join_grid
+
+    def knn_centroids(spark, sf_dir):
+        """kNN point->centroid assignment (window ranking)."""
+        pts = _mx_my(_docs(spark, sf_dir))
+        n = 4
+        cell = 2.0 * HW / n
+        cents = spark.range(n * n).select(
+            F.col("id").alias("cid"),
+            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+        )
+        assigned = knn_assign(pts, cents, k=1, point_key="doc_id", search_zoom=2)
+        return assigned.groupBy("cid").agg(F.count("*").alias("n_docs"))
+
+    q["knn_centroids"] = knn_centroids
+
+    def union_literals(spark, sf_dir):
+        """B5/B6/B7: the water-template shape — two filtered projections with
+        literal/NULL padding, UNION ALL, grouped counts."""
+        d = _docs(spark, sf_dir)
+        a = d.filter(F.col("lang") == "en").select(
+            "doc_id", F.lit(None).cast("long").alias("osm_id"), F.lit("ocean").alias("water")
+        )
+        b = d.filter(F.col("source").isin("src1", "src2", "src3")).select(
+            "doc_id", F.col("doc_id").alias("osm_id"), F.col("lang").alias("water")
+        )
+        u = a.unionByName(b)
+        return u.groupBy("water").agg(
+            F.count("*").alias("n_rows"), F.count("osm_id").alias("n_osm")
+        )
+
+    q["union_literals"] = union_literals
+
+    def zoom_filter_dispatch(spark, sf_dir):
+        """B6/B8/B9: admin-template predicates — IN-lists varying by 'zoom',
+        OR-of-INs, numeric thresholds — evaluated per zoom band."""
+        d = _docs(spark, sf_dir)
+        lvl = (F.col("doc_id") % 8).cast("string")
+        d = d.withColumn("admin_level", lvl)
+        out = None
+        for z, levels in ((2, ["0", "1", "2"]), (8, ["0", "1", "2", "3", "4"]), (12, ["0", "1", "2", "3", "4", "5", "6"])):
+            part = (
+                d.filter(F.col("admin_level").isin(levels))
+                .filter((F.col("n_chars") > 100) | (F.col("lang").isin("en", "de")))
+                .groupBy(F.lit(z).alias("zoom"))
+                .agg(F.count("*").alias("n_rows"), F.sum(F.col("admin_level").cast("int")).alias("sum_lvl"))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    q["zoom_filter_dispatch"] = zoom_filter_dispatch
+
+    def merge_upsert_semantics(spark, sf_dir):
+        """A7/B15: the timestamp-preserving MERGE as a pure query — full outer
+        join + IS DISTINCT FROM + COALESCE (fixed 'now' for determinism)."""
+        e = _events(spark, sf_dir)
+        old = e.filter(F.col("event_id") % 3 != 0).select(
+            F.col("event_id").alias("key"),
+            F.md5(F.col("event_type")).alias("data"),
+            F.col("ts").alias("generated"),
+        )
+        new = e.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_id").alias("key"),
+            F.md5(F.when(F.col("event_id") % 4 == 0, F.col("event_type")).otherwise(F.col("props"))).alias("data"),
+        )
+        now = F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+        j = old.alias("o").join(new.alias("n"), "key", "full_outer")
+        incoming = F.col("n.data").isNotNull()
+        changed = ~F.col("o.data").eqNullSafe(F.col("n.data"))
+        return j.select(
+            "key",
+            F.when(incoming, F.col("n.data")).otherwise(F.col("o.data")).alias("data"),
+            F.when(
+                incoming, F.when(changed, now).otherwise(F.coalesce(F.col("o.generated"), now))
+            ).otherwise(F.col("o.generated")).alias("generated"),
+        )
+
+    q["merge_upsert_semantics"] = merge_upsert_semantics
+
+    def tile_stats_percentiles(spark, sf_dir):
+        """B12/B13: per-group count/sum + exact PERCENTILE_CONT values."""
+        d = _docs(spark, sf_dir)
+        pcts = [0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 1.0]
+        agg = d.groupBy("lang").agg(
+            F.count("*").alias("num_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.percentile(F.col("n_chars"), F.array([F.lit(p) for p in pcts])).alias("p"),
+        )
+        cols = [F.round(F.col("p")[i], 4).alias(f"p{str(p).replace('.', '_')}") for i, p in enumerate(pcts)]
+        return agg.select("lang", "num_docs", "total_chars", *cols)
+
+    q["tile_stats_percentiles"] = tile_stats_percentiles
+
+    def greatest_freshness(spark, sf_dir):
+        """A6/B11: GREATEST over per-layer timestamps with COALESCE floor."""
+        e = _events(spark, sf_dir)
+        floor_ts = F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+        g = e.groupBy("user_id").agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t2"),
+        )
+        return g.select(
+            "user_id",
+            F.greatest(F.coalesce(F.col("t1"), floor_ts), F.coalesce(F.col("t2"), floor_ts)).alias("freshest"),
+        )
+
+    q["greatest_freshness"] = greatest_freshness
+
+    def event_windows(spark, sf_dir):
+        """Streaming-shape batch query: tumbling 1h windows per event_type
+        (Structured-Streaming-compatible aggregation, run as batch)."""
+        e = _events(spark, sf_dir)
+        w = F.window(F.col("ts"), "1 hour")
+        return (
+            e.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+        )
+
+    q["event_windows"] = event_windows
+
+    # ---- training-data ops ----
+
+    def dedup_exact_q(spark, sf_dir):
+        """Exact dedup over a corpus with planted exact duplicates."""
+        c = _neardup_corpus(spark, sf_dir)
+        kept = exact_dedup(c, "text", "doc_id")
+        return kept.agg(
+            F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+        )
+
+    q["dedup_exact"] = dedup_exact_q
+
+    def dedup_minhash_q(spark, sf_dir):
+        """MinHash+LSH near-dup pairs, verified with exact Jaccard >= 0.8.
+        num_perm=64/bands=16 -> miss probability ~1e-15 for the planted
+        j~0.95 pairs, so the exact-Jaccard oracle matches."""
+        c = _neardup_corpus(spark, sf_dir)
+        return minhash_dedup_pairs(
+            c, "text", "doc_id", threshold=0.8, num_perm=64, bands=16, k=3
+        ).select("key_a", "key_b", F.round("jaccard", 4).alias("jaccard"))
+
+    q["dedup_minhash"] = dedup_minhash_q
+
+    def dedup_simhash_q(spark, sf_dir):
+        """SimHash exact-dedup pipeline: hamming-0 LSH candidates verified by
+        normalized-text equality (identical text -> identical simhash ->
+        collides in every band, so recall of true dups is exactly 1; the
+        verify step drops sign-coincidence collisions, which exist in any
+        64-bit sketch)."""
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        exact = d.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+        c = d.unionByName(exact)
+        cands = simhash_pairs(c, "text", "doc_id", max_hamming=0)
+        norm = F.md5(F.lower(F.trim(F.col("text"))))
+        t = c.select(F.col("doc_id"), norm.alias("h"))
+        return (
+            cands.join(t.withColumnRenamed("doc_id", "key_a").withColumnRenamed("h", "ha"), "key_a")
+            .join(t.withColumnRenamed("doc_id", "key_b").withColumnRenamed("h", "hb"), "key_b")
+            .filter(F.col("ha") == F.col("hb"))
+            .select("key_a", "key_b")
+        )
+
+    q["dedup_simhash"] = dedup_simhash_q
+
+    def ngram_jaccard_q(spark, sf_dir):
+        """Exact n-gram Jaccard on specific planted pairs (verify stage alone)."""
+        c = _neardup_corpus(spark, sf_dir)
+        a = c.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).select(
+            (F.col("doc_id") - 100000).alias("doc_id"), F.col("text").alias("tb")
+        )
+        base = c.filter(F.col("doc_id") < 60).select("doc_id", F.col("text").alias("ta"))
+        return base.join(a, "doc_id").select(
+            "doc_id", F.round(ngram_jaccard(F.col("ta"), F.col("tb"), 3), 4).alias("jaccard")
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard_q
+
+    def text_quality(spark, sf_dir):
+        """Quality features per doc, averaged per lang."""
+        d = _docs(spark, sf_dir)
+        n_chars, n_tokens, punct, stop, mean_tok = quality_features(F.col("text"))
+        per_doc = d.select(
+            "lang", n_tokens.alias("n_tokens"), punct.alias("punct"), stop.alias("stop")
+        )
+        return per_doc.groupBy("lang").agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("punct"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("stop"), 6).alias("avg_stop_ratio"),
+        )
+
+    q["text_quality"] = text_quality
+
+    def lang_id_q(spark, sf_dir):
+        """Marker-based language ID vs the stored lang tag."""
+        d = _docs(spark, sf_dir)
+        return d.select(lang_id(F.col("text")).alias("detected"), "lang").groupBy(
+            "detected", "lang"
+        ).agg(F.count("*").alias("n_docs"))
+
+    q["lang_id"] = lang_id_q
+
+    def token_counts(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.groupBy("source").agg(
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.max(token_count(F.col("text"))).alias("max_tokens"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def fingerprints(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+    q["fingerprints"] = fingerprints
+
+    def similarity_bruteforce(spark, sf_dir):
+        """Exact top-10 cosine neighbors for 5 probe vectors."""
+        emb = _embeddings(spark, sf_dir)
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        topk = brute_force_topk(corpus, probes, k=10)
+        return topk.select("probe_id", "vec_id", "rank")
+
+    q["similarity_bruteforce"] = similarity_bruteforce
+
+    # ---- rows-only (non-SQL-expressible; driver records weaker check) ----
+
+    def mvt_render_z4(spark, sf_dir):
+        """B3/B4: full MVT aggregate over document points at z4."""
+        d = _mx_my(_docs(spark, sf_dir))
+        z = F.lit(4)
+        feats = (
+            d.withColumn("zoom", z.cast("int"))
+            .withColumn("x", tile_x(z, F.col("mx")))
+            .withColumn("y", tile_y(z, F.col("my")))
+        )
+        from tilekiln_spark.operators.mvt import mvt_geom_cols
+
+        px, py, ok = mvt_geom_cols(F.col("zoom"), F.col("x"), F.col("y"), F.col("mx"), F.col("my"), 4096, 0)
+        feats = feats.withColumn("px", px).withColumn("py", py).filter(ok)
+        tiles = mvt_layer_agg(
+            feats.select("zoom", "x", "y", "px", "py", "lang"), "docs", 4096, ["lang"]
+        )
+        return tiles.select("zoom", "x", "y", "n_features", F.length("data").alias("mvt_bytes"))
+
+    q["mvt_render_z4"] = mvt_render_z4
+
+    def ann_lsh_topk(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return lsh_topk(corpus, probes, dim=64, k=10, nbits=16, bands=4)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def embedding_neardups(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        # plant near-identical vectors: copies with tiny perturbation
+        dup = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda v: v * 1.001).alias("embedding"),
+        )
+        corpus = emb.select("vec_id", "embedding").unionByName(dup)
+        return embedding_neardup_pairs(corpus, dim=64, threshold=0.999)
+
+    q["embedding_neardup"] = embedding_neardups
+
+    def media_decode(spark, sf_dir):
+        from tilekiln_spark.operators.multimodal import decode_image, synth_media
+
+        return decode_image(synth_media(spark, 200))
+
+    q["media_decode"] = media_decode
+
+    def media_frame_sample(spark, sf_dir):
+        from tilekiln_spark.operators.multimodal import frame_sample, synth_media
+
+        return frame_sample(synth_media(spark, 100, kind="video"), every_ms=1000)
+
+    q["media_frame_sample"] = media_frame_sample
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tx6, ty6 = _tile_xy_sql(6)
+    o: dict[str, str] = {}
+
+    o["tile_assign_z6"] = f"""
+        {_GEO_CTE}
+        SELECT {tx6} AS x, {ty6} AS y, CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo GROUP BY 1, 2
     """
-    return {}
+
+    parts = []
+    for z in (0, 3, 6, 10):
+        tx, ty = _tile_xy_sql(z)
+        parts.append(
+            f"SELECT {z} AS zoom, {tx} AS x, {ty} AS y, CAST(count(*) AS BIGINT) AS n_docs FROM geo GROUP BY 1,2,3"
+        )
+    o["tile_assign_multizoom"] = _GEO_CTE + " " + " UNION ALL ".join(parts)
+
+    env_parts = []
+    for z in range(4):
+        length = f"(2.0 * {HW} / power(2.0, {z}))"
+        env_parts.append(f"""
+            SELECT {z} AS zoom, CAST(x.r AS INT) AS x, CAST(y.r AS INT) AS y,
+                   round(-{HW} + x.r * {length}, 3) + 0.0 AS xmin,
+                   round({HW} - y.r * {length} - {length}, 3) + 0.0 AS ymin,
+                   round(-{HW} + x.r * {length} + {length}, 3) + 0.0 AS xmax,
+                   round({HW} - y.r * {length}, 3) + 0.0 AS ymax
+            FROM range({2**z}) x(r), range({2**z}) y(r)
+        """)
+    o["tile_envelope_grid"] = " UNION ALL ".join(env_parts)
+
+    # Hilbert codec as a recursive CTE: iterate bit planes high->low carrying
+    # (cx, cy, d); tileid = (4^z - 1)/3 + d
+    o["hilbert_tileid"] = f"""
+        WITH RECURSIVE tiles AS (
+            {' UNION ALL '.join(f"SELECT CAST({z} AS BIGINT) AS zoom, CAST(id % {2**z} AS BIGINT) AS x, CAST(floor(id / {2**z}) AS BIGINT) AS y FROM range({4**z}) t(id)" for z in range(6))}
+        ),
+        steps AS (
+            SELECT zoom, x, y, CAST(zoom - 1 AS INT) AS bit, x AS cx, y AS cy, CAST(0 AS BIGINT) AS d
+            FROM tiles
+            UNION ALL
+            SELECT zoom, x, y, bit - 1,
+                CASE WHEN ((cy >> bit) & 1) = 0
+                     THEN CASE WHEN ((cx >> bit) & 1) = 1 THEN (1 << bit) - 1 - cy ELSE cy END
+                     ELSE cx END AS cx,
+                CASE WHEN ((cy >> bit) & 1) = 0
+                     THEN CASE WHEN ((cx >> bit) & 1) = 1 THEN (1 << bit) - 1 - cx ELSE cx END
+                     ELSE cy END AS cy,
+                d + (CAST(1 AS BIGINT) << bit) * (CAST(1 AS BIGINT) << bit)
+                  * xor(3 * ((cx >> bit) & 1), (cy >> bit) & 1) AS d
+            FROM steps WHERE bit >= 0
+        )
+        SELECT zoom, x, y, CAST((power(4, zoom) - 1) / 3 AS BIGINT) + d AS tid
+        FROM steps WHERE bit = -1
+    """
+
+    o["worklist_parse"] = """
+        WITH lines AS (
+            SELECT CAST(event_id % 4 AS INT) AS z,
+                   CAST(event_id % CAST(power(2, event_id % 4) AS BIGINT) AS INT) AS x,
+                   CAST(user_id % CAST(power(2, event_id % 4) AS BIGINT) AS INT) AS y,
+                   event_type AS layer
+            FROM events
+        )
+        SELECT z AS zoom, x, y, CAST(count(DISTINCT layer) AS BIGINT) AS n_layers
+        FROM lines GROUP BY 1, 2, 3
+    """
+
+    o["spatial_join_grid"] = f"""
+        {_GEO_CTE}, {_GRID_SQL}
+        SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo JOIN polys
+          ON geo.mx >= polys.xmin AND geo.mx <= polys.xmax
+         AND geo.my >= polys.ymin AND geo.my <= polys.ymax
+        GROUP BY 1
+    """
+
+    cell = 2.0 * HW / 4
+    o["knn_centroids"] = f"""
+        {_GEO_CTE}, cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
+            FROM range(16) t(id)
+        ), ranked AS (
+            SELECT geo.doc_id, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY geo.doc_id
+                       ORDER BY (geo.mx - cents.cx)^2 + (geo.my - cents.cy)^2 ASC,
+                                cents.cx ASC, cents.cy ASC
+                   ) AS rn
+            FROM geo CROSS JOIN cents
+        )
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM ranked WHERE rn = 1 GROUP BY 1
+    """
+
+    o["union_literals"] = """
+        WITH u AS (
+            SELECT doc_id, CAST(NULL AS BIGINT) AS osm_id, 'ocean' AS water
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, doc_id AS osm_id, lang AS water
+            FROM documents WHERE source IN ('src1', 'src2', 'src3')
+        )
+        SELECT water, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(osm_id) AS BIGINT) AS n_osm
+        FROM u GROUP BY 1
+    """
+
+    zf_parts = []
+    for z, levels in ((2, "('0','1','2')"), (8, "('0','1','2','3','4')"), (12, "('0','1','2','3','4','5','6')")):
+        zf_parts.append(f"""
+            SELECT {z} AS zoom, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(admin_level AS INT)) AS BIGINT) AS sum_lvl
+            FROM (SELECT *, CAST(doc_id % 8 AS VARCHAR) AS admin_level FROM documents)
+            WHERE admin_level IN {levels}
+              AND (n_chars > 100 OR lang IN ('en', 'de'))
+        """)
+    o["zoom_filter_dispatch"] = " UNION ALL ".join(zf_parts)
+
+    o["merge_upsert_semantics"] = """
+        WITH old AS (
+            SELECT event_id AS key, md5(event_type) AS data, ts AS generated
+            FROM events WHERE event_id % 3 != 0
+        ), new AS (
+            SELECT event_id AS key,
+                   md5(CASE WHEN event_id % 4 = 0 THEN event_type ELSE props END) AS data
+            FROM events WHERE event_id % 2 = 0
+        )
+        SELECT coalesce(old.key, new.key) AS key,
+               CASE WHEN new.data IS NOT NULL THEN new.data ELSE old.data END AS data,
+               CASE WHEN new.data IS NOT NULL THEN
+                   CASE WHEN old.data IS DISTINCT FROM new.data THEN TIMESTAMP '2026-06-01 00:00:00'
+                        ELSE coalesce(old.generated, TIMESTAMP '2026-06-01 00:00:00') END
+               ELSE old.generated END AS generated
+        FROM old FULL OUTER JOIN new ON old.key = new.key
+    """
+
+    pcts = [0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 1.0]
+    pct_cols = ", ".join(
+        f"round(CAST(quantile_cont(n_chars, {p}) AS DOUBLE), 4) AS p{str(p).replace('.', '_')}"
+        for p in pcts
+    )
+    o["tile_stats_percentiles"] = f"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS num_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars, {pct_cols}
+        FROM documents GROUP BY lang
+    """
+
+    o["greatest_freshness"] = """
+        SELECT user_id,
+               greatest(
+                   coalesce(max(CASE WHEN event_type = 'click' THEN ts END), TIMESTAMP '2020-01-01 00:00:00'),
+                   coalesce(max(CASE WHEN event_type = 'view' THEN ts END), TIMESTAMP '2020-01-01 00:00:00')
+               ) AS freshest
+        FROM events GROUP BY user_id
+    """
+
+    o["event_windows"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """
+
+    o["dedup_exact"] = f"""
+        {_NEARDUP_SQL}
+        SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM corpus
+        ) WHERE rn = 1
+    """
+
+    # exact shingle-Jaccard over all pairs (oracle; engine side is LSH+verify)
+    _SHINGLES = """
+        shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM corpus)
+            WHERE len(toks) >= 3
+        )
+    """
+    o["dedup_minhash"] = f"""
+        {_NEARDUP_SQL}, {_SHINGLES}
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(a.sh || b.sh)) >= 0.8
+    """
+
+    o["dedup_simhash"] = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+        )
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        FROM corpus a JOIN corpus b
+          ON a.doc_id < b.doc_id AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+    """
+
+    o["ngram_jaccard"] = f"""
+        {_NEARDUP_SQL}, pairs AS (
+            SELECT base.doc_id, base.text AS ta, near.text AS tb
+            FROM corpus base JOIN corpus near ON near.doc_id = base.doc_id + 100000
+            WHERE base.doc_id < 60
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ta_toks) - 1),
+                       i -> ta_toks[i] || ' ' || ta_toks[i+1] || ' ' || ta_toks[i+2])) AS sa,
+                   list_distinct(list_transform(range(1, len(tb_toks) - 1),
+                       i -> tb_toks[i] || ' ' || tb_toks[i+1] || ' ' || tb_toks[i+2])) AS sb
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(ta)), '\\s+') AS ta_toks,
+                         regexp_split_to_array(lower(trim(tb)), '\\s+') AS tb_toks
+                  FROM pairs)
+        )
+        SELECT doc_id,
+               round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                     len(list_distinct(sa || sb)), 4) AS jaccard
+        FROM sh
+    """
+
+    o["text_quality"] = """
+        WITH per_doc AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN len(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / len(text)
+                        ELSE 0.0 END AS punct,
+                   CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                        THEN CAST(len(regexp_extract_all(text,
+                             '(?i)\\b(the|and|of|to|in|a|is|that|for|it)\\b')) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '\\s+'))
+                        ELSE 0.0 END AS stop
+            FROM documents
+        )
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(punct), 6) AS avg_punct_ratio,
+               round(avg(stop), 6) AS avg_stop_ratio
+        FROM per_doc GROUP BY lang
+    """
+
+    o["lang_id"] = f"""
+        SELECT {lang_id_sql('text')} AS detected, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """
+
+    o["token_counts"] = """
+        SELECT source,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+               CAST(max(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS max_tokens
+        FROM documents GROUP BY source
+    """
+
+    o["fingerprints"] = """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+
+    o["similarity_bruteforce"] = """
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+        ), scored AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY list_cosine_similarity(embedding, pvec) DESC, vec_id ASC
+                   ) AS rank
+            FROM corpus CROSS JOIN probes
+        )
+        SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 10
+    """
+
+    return o

@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the north-rule throughput numbers (tiles/sec for z0-8 MVT
+generation over the synthetic pages table, spatial-join rows/sec).  The
+two-parallelism scaling run (north_rule: efficiency >= 0.8 from N to 4N) is a
+separate driver — tools/scaling_run.py — because it needs two JVMs; its
+results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tilekiln_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tilekiln_spark.config.model import Config
+    from tilekiln_spark.operators.spatial_join import points_in_polygons
+    from tilekiln_spark.operators.tiling import pages_geo, render_zooms
+    from tilekiln_spark.sources.pages import layer_polygons, pages
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- flagship: multi-zoom MVT generation over synthetic pages ---
+    cfg = Config(entrymod.CFG_YAML, entrymod.TEMPLATES)
+    geo = pages_geo(pages(spark, pages_n)).persist()
+    polys = layer_polygons(spark, 120).persist()
+    sources = {"pages_geo": geo, "layer_polygons": polys}
+    timed("pages_geocode", lambda: geo.count())
+
+    n_tiles = 0
+
+    def gen_all():
+        nonlocal n_tiles
+        df = render_zooms(cfg, list(range(0, 9)), sources)
+        n_tiles = df.count()
+
+    timed("tiles_z0_8", gen_all)
+    extra["tiles_generated"] = n_tiles
+    extra["tiles_per_sec"] = round(n_tiles / timings["tiles_z0_8"], 2)
+
+    # --- spatial join throughput (input rows/sec through the grid join) ---
+    def join_rows():
+        return points_in_polygons(geo, polys, how="grid", grid_zoom=6).count()
+
+    jr = timed("spatial_join", join_rows)
+    extra["join_output_rows"] = jr
+    extra["join_rows_per_sec"] = round(pages_n / timings["spatial_join"], 2)
+
+    geo.unpersist()
+    polys.unpersist()
+
+    # --- driver-contract queries over the testdata tables ---
+    qs = entrymod.queries()
+    for name in (
+        "tile_assign_multizoom",
+        "spatial_join_grid",
+        "knn_centroids",
+        "mvt_render_z4",
+        "dedup_exact",
+        "dedup_minhash",
+        "similarity_bruteforce",
+        "text_quality",
+        "fingerprints",
+        "event_windows",
+    ):
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).count())
+
+    return {"timings": timings, "extra": extra}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages_n = int(os.environ.get("SPARK_GRAFT_PAGES_N", "200000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    res = run_bench(spark, sf_dir, pages_n)
+    total = round(time.time() - t0, 3)
+    out = {
+        "metric": "tiles/sec z0-8 MVT generation + spatial-join rows/sec",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "pages_n": pages_n,
+        **res["extra"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""MVT protobuf codec unit tests (SURVEY B3/B4; structural per FIXTURES.md §5)."""
+
+import numpy as np
+
+from tilekiln_spark.operators.mvt import (
+    decode_points,
+    decode_tile,
+    empty_layer,
+    encode_layer,
+    varint_bytes,
+    zigzag,
+)
+
+
+def test_varint_goldens():
+    # protobuf wire-format goldens
+    assert varint_bytes(np.array([0])) == b"\x00"
+    assert varint_bytes(np.array([1])) == b"\x01"
+    assert varint_bytes(np.array([127])) == b"\x7f"
+    assert varint_bytes(np.array([128])) == b"\x80\x01"
+    assert varint_bytes(np.array([300])) == b"\xac\x02"
+    assert varint_bytes(np.array([2**63])) == bytes([0x80] * 9 + [1])
+    assert varint_bytes(np.array([1, 300, 0])) == b"\x01\xac\x02\x00"
+    assert varint_bytes(np.array([], dtype=np.uint64)) == b""
+
+
+def test_zigzag_goldens():
+    assert list(zigzag(np.array([0, -1, 1, -2, 2, 2147483647]))) == [
+        0, 1, 2, 3, 4, 4294967294,
+    ]
+
+
+def test_layer_roundtrip():
+    px = np.array([0, 100, 4095, -8])
+    py = np.array([5, 200, 4095, 4104])
+    blob = encode_layer(
+        "water", 4096, px, py,
+        {"water": ["ocean", None, "river", "ocean"], "osm_id": [None, 7, -3, None]},
+    )
+    (layer,) = decode_tile(blob)
+    assert layer["name"] == "water"
+    assert layer["extent"] == 4096
+    assert layer["version"] == 2
+    assert len(layer["features"]) == 4
+    # geometry: single MoveTo per point, negative coords (buffer) survive zigzag
+    assert decode_points(layer) == [(0, 5), (100, 200), (4095, 4095), (-8, 4104)]
+    assert layer["keys"] == ["water", "osm_id"]
+    # value table dedup: 'ocean' stored once (spec: values unique per layer)
+    assert layer["values"].count("ocean") == 1
+    # tags reference the dedup table; nulls produce no tag
+    f0, f1 = layer["features"][0], layer["features"][1]
+    assert f0["tags"] == [0, layer["values"].index("ocean")]
+    assert f1["tags"] == [1, layer["values"].index(7)]
+    assert all(f["type"] == 1 for f in layer["features"])
+
+
+def test_empty_layer_contract():
+    # ST_AsMVT over zero rows still yields one valid layer (kiln.py:40-43)
+    (layer,) = decode_tile(empty_layer("admin", 2048))
+    assert layer["name"] == "admin"
+    assert layer["extent"] == 2048
+    assert layer["features"] == []
+
+
+def test_value_types():
+    blob = encode_layer(
+        "t", 4096, np.array([1]), np.array([1]),
+        {"s": ["x"], "i": [5], "neg": [-7], "f": [1.5], "b": [True]},
+    )
+    (layer,) = decode_tile(blob)
+    vals = layer["values"]
+    assert "x" in vals and 5 in vals and -7 in vals and 1.5 in vals and True in vals

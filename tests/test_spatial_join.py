@@ -1,0 +1,104 @@
+"""Spatial join correctness: grid equi-join == broadcast join == brute force."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from tilekiln_spark.operators.spatial_join import (
+    knn_assign,
+    pip_convex,
+    points_in_polygons,
+)
+from tilekiln_spark.operators.tiling import pages_geo
+from tilekiln_spark.sources.pages import layer_polygons, layer_polygons_pdf, pages
+
+
+def _brute_force_pairs(points, polys_pdf):
+    """Driver-side oracle: exact point-in-convex-polygon for every pair."""
+    pairs = set()
+    for url, mx, my in points:
+        for _, p in polys_pdf.iterrows():
+            if not (p.xmin <= mx <= p.xmax and p.ymin <= my <= p.ymax):
+                continue
+            xs, ys = p.ring_xs, p.ring_ys
+            n = len(xs)
+            cross = [
+                (xs[(i + 1) % n] - xs[i]) * (my - ys[i])
+                - (ys[(i + 1) % n] - ys[i]) * (mx - xs[i])
+                for i in range(n)
+            ]
+            if all(c >= 0 for c in cross) or all(c <= 0 for c in cross):
+                pairs.add((url, p.polygon_id))
+    return pairs
+
+
+def test_grid_and_broadcast_match_brute_force(spark):
+    pts = pages_geo(pages(spark, 800)).cache()
+    polys = layer_polygons(spark, 30)
+    polys_pdf = layer_polygons_pdf(30)
+    expected = _brute_force_pairs(
+        [(r.url, r.mx, r.my) for r in pts.collect()], polys_pdf
+    )
+    for how in ("grid", "broadcast"):
+        got = {
+            (r.url, r.polygon_id)
+            for r in points_in_polygons(pts, polys, how=how).select("url", "polygon_id").collect()
+        }
+        assert got == expected, f"{how}: {len(got)} vs {len(expected)}"
+    assert len(expected) > 0  # non-degenerate fixture
+
+
+def test_grid_join_distributed_right_side(spark):
+    # same answer when the polygon side is NOT broadcast (the 100TB-scale path)
+    pts = pages_geo(pages(spark, 400))
+    polys = layer_polygons(spark, 20)
+    a = {
+        (r.url, r.polygon_id)
+        for r in points_in_polygons(pts, polys, how="grid", broadcast_polys=False)
+        .select("url", "polygon_id").collect()
+    }
+    b = {
+        (r.url, r.polygon_id)
+        for r in points_in_polygons(pts, polys, how="broadcast").select("url", "polygon_id").collect()
+    }
+    assert a == b
+
+
+def test_pip_convex_boundary_and_outside(spark):
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, True),    # center
+            (1.0, 1.0, True),    # corner (boundary counts as inside)
+            (1.0, 0.0, True),    # edge
+            (1.1, 0.0, False),   # outside
+            (-2.0, 5.0, False),
+        ],
+        "mx double, my double, want boolean",
+    ).withColumn("ring_xs", F.expr("array(-1.0d, 1.0d, 1.0d, -1.0d)")).withColumn(
+        "ring_ys", F.expr("array(-1.0d, -1.0d, 1.0d, 1.0d)")
+    )
+    rows = df.withColumn(
+        "got", pip_convex(F.col("mx"), F.col("my"), F.col("ring_xs"), F.col("ring_ys"))
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.mx, r.my)
+
+
+def test_knn_assign(spark):
+    # 4 centroids; every point must pick the nearest one (k=1)
+    cents = spark.createDataFrame(
+        [(0, -1e7, -1e7), (1, 1e7, -1e7), (2, -1e7, 1e7), (3, 1e7, 1e7)],
+        "cid int, cx double, cy double",
+    )
+    pts = pages_geo(pages(spark, 300))
+    got = knn_assign(pts, cents, k=1, search_zoom=0).select("url", "cid", "mx", "my").collect()
+    assert len(got) == 300
+    for r in got:
+        dists = [
+            (r.mx - c.cx) ** 2 + (r.my - c.cy) ** 2 for c in cents.collect()
+        ]
+        assert dists[r.cid] == min(dists)
+
+    # k=2 returns two ranked rows per point
+    got2 = knn_assign(pts.limit(50), cents, k=2, search_zoom=0)
+    counts = got2.groupBy("url").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [2]

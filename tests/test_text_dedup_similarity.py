@@ -1,0 +1,217 @@
+"""Training-data operators: text analysis, dedup families, similarity search."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tilekiln_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from tilekiln_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from tilekiln_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_sim,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("  spaced   out  ",), ("",), ("   ",), ("one",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 2, 0, 0, 1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here", "en"),
+            ("der hund und die katze ist nicht da", "de"),
+            ("le chat est une merveille dans la maison", "fr"),
+            ("el perro es una maravilla que ladra", "es"),
+            ("xyzzy plugh qwerty", "und"),
+            ("", "und"),
+        ],
+        "text string, want string",
+    )
+    for r in df.select(lang_id("text").alias("got"), "want").collect():
+        assert r.got == r.want
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "the quick brown fox jumps over the lazy dog and it is a fine day for the race " * 8),
+            ("noisy", "@@!! ## $$ %% ^^ && ** (( )) !! ?? ;; ::"),
+            ("empty", ""),
+        ],
+        "name string, text string",
+    )
+    scores = {r.name: r.q for r in df.select("name", quality_score("text").alias("q")).collect()}
+    assert scores["good"] > scores["noisy"]
+    assert 0.0 <= scores["empty"] <= 0.5
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("hello worlds",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint_md5("text")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def _corpus(spark):
+    base = [(i, f"document number {i} with unique words w{i} x{i} y{i} z{i} padding tokens") for i in range(40)]
+    dups = [(100 + i, base[i][1]) for i in range(10)]  # exact dups of 0..9
+    near = [(200 + i, base[i][1] + " tail") for i in range(10)]  # near dups of 0..9
+    return spark.createDataFrame(base + dups + near, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    c = _corpus(spark)
+    kept = exact_dedup(c, "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert len(ids) == 50  # 40 base + 10 near (exact dups collapsed)
+    assert all(i < 100 or i >= 200 for i in ids)  # min-key winner kept
+
+
+def test_minhash_finds_planted_pairs(spark):
+    c = _corpus(spark)
+    pairs = minhash_dedup_pairs(c, "text", "doc_id", threshold=0.5, num_perm=64, bands=16)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    # exact dups (j=1.0) and near dups (high j) must be found
+    for i in range(10):
+        assert (i, 100 + i) in got, f"exact dup {i} missed"
+        assert (i, 200 + i) in got, f"near dup {i} missed"
+        # transitive pair (100+i, 200+i) also high-jaccard
+        assert (100 + i, 200 + i) in got
+    # no false positives among unrelated docs
+    for a, b in got:
+        assert (a % 100) == (b % 100) or (a % 100 >= 40 and b % 100 >= 40) or a % 100 == b % 100
+
+
+def test_minhash_jaccard_values(spark):
+    c = _corpus(spark)
+    pairs = minhash_dedup_pairs(c, "text", "doc_id", threshold=0.5, num_perm=64, bands=16)
+    for r in pairs.filter((F.col("key_a") < 40) & (F.col("key_b") >= 100) & (F.col("key_b") < 200)).collect():
+        assert r.jaccard == 1.0  # exact dup pairs
+
+
+def test_ngram_jaccard_column(spark):
+    df = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("a b c d e", "a b c d e f"), ("a b c", "x y z")],
+        "ta string, tb string",
+    )
+    got = [r[0] for r in df.select(ngram_jaccard(F.col("ta"), F.col("tb"), 3)).collect()]
+    assert got[0] == 1.0
+    assert got[1] == pytest.approx(3 / 4)  # 3 shared shingles, 4 in union
+    assert got[2] == 0.0
+
+
+def test_simhash_exact_dups(spark):
+    c = _corpus(spark)
+    pairs = simhash_pairs(c, "text", "doc_id", max_hamming=0)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, 100 + i) in got
+    assert all(r.hamming == 0 for r in pairs.collect())
+
+
+def test_simhash_near_dups_close(spark):
+    c = _corpus(spark)
+    pairs = simhash_pairs(c, "text", "doc_id", max_hamming=16, bands=8)
+    got = {(r.key_a, r.key_b): r.hamming for r in pairs.collect()}
+    found_near = sum(1 for i in range(10) if (i, 200 + i) in got)
+    assert found_near >= 8  # one-token edit keeps hamming small
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def _vectors(spark, n=80, dim=16):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(dim).astype(float).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_cosine_sim(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [-1.0, -1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_sim(F.col("a"), F.col("b"))).collect()]
+    assert got == pytest.approx([1.0, 0.0, -1.0])
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    df, rows = _vectors(spark)
+    probes = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 3)
+    got = brute_force_topk(corpus, probes, k=5).collect()
+    mat = np.array([r[1] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for pid in range(3):
+        cos = (mat[3:] @ mat[pid]) / (norms[3:] * norms[pid])
+        order = np.argsort(-cos)[:5] + 3
+        want = [int(i) for i in order]
+        have = [r.vec_id for r in sorted((g for g in got if g.probe_id == pid), key=lambda r: r.rank)]
+        assert have == want
+
+
+def test_lsh_topk_recall(spark):
+    df, _ = _vectors(spark, n=120, dim=16)
+    probes = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in brute_force_topk(corpus, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in lsh_topk(corpus, probes, dim=16, k=5, nbits=12, bands=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # banded LSH with 6 bands of 2 bits: generous recall
+
+
+def test_embedding_neardup(spark):
+    df, _ = _vectors(spark, n=60, dim=16)
+    dup = df.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda v: v * 1.0001).alias("embedding"),
+    )
+    corpus = df.unionByName(dup)
+    pairs = embedding_neardup_pairs(corpus, dim=16, threshold=0.9999)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    # scaled copies have cosine == 1 and identical sign signatures -> always found
+    for i in range(8):
+        assert (i, 1000 + i) in got

@@ -1,0 +1,162 @@
+"""Tile storage semantics (reference storage.py parity — FIXTURES.md §6)."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tilekiln_spark.config.errors import LayerNotDefined, ZoomNotDefined
+from tilekiln_spark.storage.tilestore import PERCENTILES, TileStore
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    s = TileStore(spark, str(tmp_path), "v1")
+    s.create(layers=["water", "admin"], minzoom=0, maxzoom=14, tilejson="{}")
+    return s
+
+
+def _tiles(spark, rows, layers=("water",)):
+    data_cols = ", ".join(f"{L}_data binary" for L in layers)
+    return spark.createDataFrame(rows, f"zoom int, x int, y int, {data_cols}")
+
+
+def test_save_and_fetch(store, spark):
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"W"), (2, 1, 1, b"X")]))
+    gen, data = store.get_tile(2, 1, 0)
+    assert data == {"water": b"W"}
+    assert gen is not None
+    assert store.get_tile(2, 0, 0) is None
+    with pytest.raises(ZoomNotDefined):
+        store.get_tile(15, 0, 0)
+
+
+def test_upsert_preserves_timestamp_on_same_bytes(store, spark):
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"W")]))
+    gen1, _ = store.get_tile(2, 1, 0)
+    time.sleep(1.1)
+    # same bytes -> generated preserved (storage.py:379-384 IS DISTINCT FROM)
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"W")]))
+    gen2, _ = store.get_tile(2, 1, 0)
+    assert gen2 == gen1
+    time.sleep(1.1)
+    # changed bytes -> generated bumped
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"CHANGED")]))
+    gen3, data = store.get_tile(2, 1, 0)
+    assert data["water"] == b"CHANGED"
+    assert gen3 > gen1
+
+
+def test_partial_layer_write_preserves_siblings(store, spark):
+    # write water+admin, then water only: admin untouched
+    # (reference storage.py:371-390, tests/test_storage.py:422-428)
+    store.save_tiles(
+        _tiles(spark, [(3, 1, 1, b"W1", b"A1")], layers=("water", "admin"))
+    )
+    gen_a1 = store.get_tile(3, 1, 1)
+    store.save_tiles(_tiles(spark, [(3, 1, 1, b"W2")]))
+    gen, data = store.get_tile(3, 1, 1)
+    assert data == {"water": b"W2", "admin": b"A1"}
+
+
+def test_upsert_inserts_new_and_keeps_old(store, spark):
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"A")]))
+    store.save_tiles(_tiles(spark, [(2, 2, 0, b"B"), (3, 0, 0, b"C")]))
+    assert store.get_tile(2, 1, 0)[1]["water"] == b"A"
+    assert store.get_tile(2, 2, 0)[1]["water"] == b"B"
+    assert store.get_tile(3, 0, 0)[1]["water"] == b"C"
+    assert store.read().count() == 3
+
+
+def test_check_constraints(store, spark):
+    # B16: x < 2^zoom enforced in the write path (storage.py:565-571)
+    with pytest.raises(ValueError):
+        store.save_tiles(_tiles(spark, [(2, 4, 0, b"W")]))
+    with pytest.raises(ZoomNotDefined):
+        store.save_tiles(_tiles(spark, [(15, 0, 0, b"W")]))
+
+
+def test_delete_zooms(store, spark):
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"A"), (3, 1, 0, b"B"), (4, 1, 0, b"C")]))
+    store.delete_zooms([2, 4])
+    assert store.get_tile(2, 1, 0) is None
+    assert store.get_tile(3, 1, 0) is not None
+    assert store.get_tile(4, 1, 0) is None
+    store.delete_zooms()  # default: all (storage.py:281-288)
+    assert store.read().count() == 0
+
+
+def test_delete_tiles_keyed(store, spark):
+    store.save_tiles(_tiles(spark, [(2, 1, 0, b"A"), (2, 2, 0, b"B")]))
+    store.delete_tiles(spark.createDataFrame([(2, 1, 0)], "zoom int, x int, y int"))
+    assert store.get_tile(2, 1, 0) is None
+    assert store.get_tile(2, 2, 0) is not None
+
+
+def test_delete_layers(store, spark):
+    store.save_tiles(
+        _tiles(spark, [(3, 1, 1, b"W", b"A"), (3, 2, 1, b"W2", b"A2")], layers=("water", "admin"))
+    )
+    wl = store.spark.createDataFrame([(3, 1, 1)], "zoom int, x int, y int")
+    store.delete_layers(wl, ["admin"])
+    _, d1 = store.get_tile(3, 1, 1)
+    _, d2 = store.get_tile(3, 2, 1)
+    assert d1 == {"water": b"W", "admin": None}
+    assert d2 == {"water": b"W2", "admin": b"A2"}
+    with pytest.raises(LayerNotDefined):
+        store.delete_layers(wl, ["nope"])
+
+
+def test_metadata_upsert_quirk(store):
+    # A8: updates minzoom/maxzoom/tilejson, NOT layers (storage.py:445-466)
+    store.set_metadata(minzoom=2, maxzoom=10, tilejson='{"x":1}')
+    m = store.metadata()
+    assert (m["minzoom"], m["maxzoom"]) == (2, 10)
+    assert m["layers"] == ["water", "admin"]  # unchanged
+
+
+def test_stats_exact_percentiles(store, spark):
+    # sizes 10,20,30,40 at z2 -> exact PERCENTILE_CONT values (B13)
+    rows = [(2, i, 0, b"x" * (10 * (i + 1))) for i in range(4)]
+    store.save_tiles(_tiles(spark, rows))
+    stats = {r.zoom: r for r in store.update_metrics().collect()}
+    s2 = stats[2]
+    assert s2.num_tiles == 4 and s2.size == 100
+    assert list(s2.percentile_points) == PERCENTILES
+    # numpy linear interpolation == PERCENTILE_CONT
+    import numpy as np
+
+    expect = np.percentile([10, 20, 30, 40], [p * 100 for p in PERCENTILES])
+    assert list(s2.percentile_values) == pytest.approx(list(expect))
+    # empty zooms -> zero rows with zero-filled percentiles (storage.py:506-517)
+    s5 = stats[5]
+    assert s5.num_tiles == 0 and s5.size == 0
+    assert list(s5.percentile_values) == [0.0] * len(PERCENTILES)
+    # full range present
+    assert set(stats.keys()) == set(range(0, 15))
+
+
+def test_snapshots_and_lineage(store, spark):
+    n1 = store.save_tiles(_tiles(spark, [(2, 1, 0, b"A")]))
+    n2 = store.save_tiles(_tiles(spark, [(2, 2, 0, b"B")]))
+    assert n2 == n1 + 1
+    # time travel: snapshot n1 doesn't contain the second tile
+    assert store.read(snapshot=n1).count() == 1
+    assert store.read().count() == 2
+    lin = store.lineage(n2)
+    assert lin["op"] == "save" and lin["layers"] == ["water"]
+    parts = {p["zoom"]: p for p in lin["partitions"]}
+    assert parts[2]["num_tiles"] == 2
+    assert parts[2]["x_min"] == 1 and parts[2]["x_max"] == 2
+
+
+def test_greatest_generated_across_layers(store, spark):
+    # A6/B11: fetch returns GREATEST over per-layer generated timestamps
+    store.save_tiles(_tiles(spark, [(3, 1, 1, b"W")], layers=("water",)))
+    time.sleep(1.1)
+    store.save_tiles(_tiles(spark, [(3, 1, 1, b"A")], layers=("admin",)))
+    gen, _ = store.get_tile(3, 1, 1)
+    df = store.read()
+    r = df.filter((F.col("zoom") == 3) & (F.col("x") == 1) & (F.col("y") == 1)).head()
+    assert gen == max(r.water_generated, r.admin_generated)
+    assert r.admin_generated > r.water_generated

@@ -1,0 +1,145 @@
+"""Text-analysis functions for web-scale training-data pipelines.
+
+All pure Column expressions (whole-stage codegen; no Python in the hot path):
+token counting, language-ID heuristic, quality scoring, fingerprinting.
+Each has an exact ANSI-SQL twin used by the DuckDB oracle in
+__spark_entry__.py, so these are value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank -> 0."""
+    t = F.trim(_c(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish sub-word proxy: count of word chunks + digit runs + non-space
+    punctuation, the common pre-tokenizer regex classes."""
+    t = _c(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+
+STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that", "for", "it"]
+
+
+def quality_features(text: Column | str):
+    """(n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len)."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    stop_pattern = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop_pattern), F.lit(0)))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    return n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok
+
+
+def quality_score(text: Column | str) -> Column:
+    """Scalar quality score in [0, 1]: rewards mid-length docs with prose-like
+    stopword density and low punctuation noise."""
+    n_chars, n_tokens, punct_ratio, stop_ratio, _ = quality_features(text)
+    len_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4.0)
+    return (len_score + stop_score + punct_penalty) / 3.0
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    t = _c(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"(?i)\b(" + "|".join(markers) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over marker-hit counts; ties broken alphabetically; no hits -> 'und'.
+
+    Implemented as sort_array over (-score, lang) structs so the whole argmax
+    stays a single codegen'd expression."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct((-c).alias("neg"), F.lit(lang).alias("lang"))
+            for lang, c in sorted(scores.items())
+        ]
+    )
+    best = F.sort_array(pairs)[0]  # min neg = max score; tie -> lang ascending
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """DuckDB twin of lang_id: same counts, same alphabetical tie-break."""
+    score = {
+        lang: f"len(regexp_extract_all({text_expr}, '(?i)\\b({'|'.join(m)})\\b'))"
+        for lang, m in sorted(LANG_MARKERS.items())
+    }
+    m = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = __m THEN '{lang}'" for lang in sorted(score)
+    )
+    return (
+        f"(SELECT CASE WHEN __m > 0 THEN (CASE {whens} END) ELSE 'und' END "
+        f"FROM (SELECT {m} AS __m))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized text.
+    (md5 is identical in Spark and DuckDB, so the oracle can value-check.)"""
+    return F.md5(F.encode(normalize_text(text), "utf-8"))
+
+
+def chunk_fingerprints(text: Column | str, chunk: int = 64) -> Column:
+    """Rolling-window fingerprints: md5 per fixed-size chunk of the normalized
+    text (content-defined-chunking stand-in; array<string>)."""
+    t = normalize_text(text)
+    n_chunks = F.ceil(F.length(t).cast("double") / chunk).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.md5(F.encode(F.substring(t, i * chunk + 1, chunk), "utf-8")),
+    )

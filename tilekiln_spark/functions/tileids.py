@@ -1,0 +1,115 @@
+"""Spark column functions for tile addressing.
+
+The Hilbert tileid codec is numpy-vectorized (tiles/core.py) and exposed as
+Arrow-batched pandas UDFs — the only place the codec needs Python. Everything
+else here (envelope math, point->tile assignment) is pure Column arithmetic so
+it stays inside whole-stage codegen and Catalyst can constant-fold / push it
+down (cf. the reference folding zoom/x/y/bbox into SQL literals at template
+render time, reference tilekiln/definition.py:57-69).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from tilekiln_spark.tiles.core import HALF_WORLD, tileid_to_zxy_np, zxy_to_tileid_np
+
+# --------------------------------------------------------------------------
+# tileid <-> z/x/y (pandas UDFs; vectorized numpy inside)
+# --------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def tileid(zoom: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """(zoom, x, y) -> PMTiles Hilbert tileid (reference tilekiln/tile.py:9)."""
+    return pd.Series(
+        zxy_to_tileid_np(zoom.to_numpy(), x.to_numpy(), y.to_numpy())
+    )
+
+
+_ZXY_SCHEMA = StructType(
+    [
+        StructField("zoom", LongType()),
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_ZXY_SCHEMA)
+def tileid_zxy(tid: pd.Series) -> pd.DataFrame:
+    """tileid -> struct(zoom, x, y) (reference tilekiln/tile.py:47-50)."""
+    z, x, y = tileid_to_zxy_np(tid.to_numpy())
+    return pd.DataFrame({"zoom": z, "x": x, "y": y})
+
+
+# --------------------------------------------------------------------------
+# Web-mercator column math (no UDF — whole-stage codegen)
+# --------------------------------------------------------------------------
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def merc_x(lon: Column | str) -> Column:
+    """Longitude (deg) -> web-mercator X. Pure arithmetic."""
+    return _c(lon) / F.lit(180.0) * F.lit(HALF_WORLD)
+
+
+def merc_y(lat: Column | str) -> Column:
+    """Latitude (deg) -> web-mercator Y (spherical mercator)."""
+    lat = _c(lat)
+    return (
+        F.log(F.tan(F.lit(3.141592653589793) / 4 + F.radians(lat) / 2))
+        / F.lit(3.141592653589793)
+        * F.lit(HALF_WORLD)
+    )
+
+
+def tile_length_col(zoom: Column) -> Column:
+    """Tile side length in mercator units (reference definition.py:80-83)."""
+    return F.lit(2.0 * HALF_WORLD) / F.pow(F.lit(2.0), zoom)
+
+
+def tile_x(zoom: Column, mx: Column) -> Column:
+    """Mercator X -> tile column at zoom, clamped to [0, 2^zoom)."""
+    n = F.pow(F.lit(2.0), zoom)
+    raw = F.floor((mx + F.lit(HALF_WORLD)) / tile_length_col(zoom))
+    return F.greatest(F.lit(0), F.least(raw, (n - 1).cast("long"))).cast("int")
+
+
+def tile_y(zoom: Column, my: Column) -> Column:
+    """Mercator Y -> tile row at zoom (row 0 at the north edge), clamped."""
+    n = F.pow(F.lit(2.0), zoom)
+    raw = F.floor((F.lit(HALF_WORLD) - my) / tile_length_col(zoom))
+    return F.greatest(F.lit(0), F.least(raw, (n - 1).cast("long"))).cast("int")
+
+
+def envelope_cols(zoom: Column, x: Column, y: Column, margin: Column | float = 0.0):
+    """(xmin, ymin, xmax, ymax) Columns for a tile, margin = fraction of tile
+    width — arithmetic ST_TileEnvelope (reference tile.py:52-54)."""
+    if not isinstance(margin, Column):
+        margin = F.lit(float(margin))
+    length = tile_length_col(zoom)
+    m = margin * length
+    xmin = F.lit(-HALF_WORLD) + x * length
+    ymax = F.lit(HALF_WORLD) - y * length
+    return (xmin - m, ymax - length - m, xmin + length + m, ymax + m)
+
+
+def cell_id(zoom: Column, mx: Column, my: Column) -> Column:
+    """Hierarchical spatial cell id: (zoom, tile_x, tile_y) packed into one
+    long — z-prefixed quadtree cell, our H3/S2 stand-in.  Pure arithmetic
+    (interleaving not required for equi-join correctness): id =
+    (zoom << 58) | (x << 29) | y, valid to z29."""
+    tx = tile_x(zoom, mx).cast("long")
+    ty = tile_y(zoom, my).cast("long")
+    return (
+        F.shiftleft(zoom.cast("long"), 58)
+        .bitwiseOR(F.shiftleft(tx, 29))
+        .bitwiseOR(ty)
+    )

@@ -1,0 +1,252 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all shuffle-conscious and UDF-free except simhash (one
+Arrow-vectorized pandas UDF over pre-hashed token arrays):
+
+- exact_dedup       — hash groupBy; keeps the deterministic min-key doc.
+- minhash signatures + LSH banding — shingle -> xxhash64 -> per-permutation
+  min, banding -> candidate pairs via band equi-join, exact Jaccard verify.
+  Entirely built-in expressions (split/transform/xxhash64/array_min/groupBy),
+  so the whole path is JVM-side and scales: the only shuffle is the band join,
+  keyed on (band_idx, band_hash) — naturally spread across 2^64 hash space.
+- simhash           — 64-bit sign-aggregated token-hash fingerprint + banded
+  Hamming candidate pairs.
+- ngram_jaccard_pairs — exact pairwise Jaccard on token n-grams within
+  LSH-candidate pairs (the verify stage; never all-pairs).
+- embedding near-dup — see similarity.py (cosine + random-hyperplane LSH).
+
+At 10^12 rows: exact dedup is one shuffle on a 16-byte hash; MinHash-LSH is
+a map-only signature pass + one shuffle per band (or one shuffle of the
+exploded bands, as implemented); candidate verification joins back to text
+only for candidate ids (semi-join pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Mersenne prime 2^61-1: permutation hash universe (classic MinHash choice)
+_P = (1 << 61) - 1
+
+
+def _tokens(text: Column) -> Column:
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as strings (empty array when fewer than k tokens)."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, num_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, _P, num_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signature(text: Column, num_perm: int = 32, k: int = 3, seed: int = 42) -> Column:
+    """array<long> MinHash signature.
+
+    Each shingle is hashed once (xxhash64 of the string); the num_perm
+    "permutations" re-hash that 8-byte value with a distinct salt
+    (xxhash64(salt, h)) — fixed-width rehash, no per-perm string hashing and
+    no int64 overflow (the classic a*h+b mod p affine trick overflows under
+    ANSI arithmetic).  Empty shingle set -> Long.MaxValue sentinel."""
+    sentinel = (1 << 63) - 1
+    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashes, lambda h: F.xxhash64(F.lit(seed + j), h))
+                ),
+                F.lit(sentinel),
+            )
+            for j in range(num_perm)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: md5 of text, keep the min-key row per hash.
+
+    Deterministic winner (min key) so results are stable under re-partitioning;
+    one shuffle on the 128-bit hash."""
+    h = F.md5(F.encode(F.col(text_col), "utf-8"))
+    w = Window.partitionBy("__h").orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (key_a < key_b) via MinHash + LSH banding.
+
+    rows_per_band = num_perm / bands; a pair is a candidate iff it collides in
+    >=1 band.  Returns distinct (key_a, key_b).  Scale: signatures are map-only;
+    the explode produces `bands` rows/doc keyed by (band, hash-of-row-slice) —
+    the join shuffle is uniform unless the corpus is pathologically duplicate-
+    heavy, in which case AQE skew-join splits the hot buckets."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, k, seed)
+    # repartition = materialization barrier: without it CollapseProject inlines
+    # the full num_perm-way signature expression into every band slice (bands *
+    # rows_per_band re-evaluations of the whole MinHash — observed 60x slowdown)
+    sigs = df.select(F.col(key_col).alias("k"), sig.alias("sig")).repartition("k")
+    banded = sigs.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.slice(F.col("sig"), bi * r + 1, r)[i].cast("string") for i in range(r)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("l.k") < F.col("r.k"))
+        .select(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
+    """Exact Jaccard similarity of k-token-shingle sets (verify stage)."""
+    sa = F.array_distinct(shingles(text_a, k))
+    sb = F.array_distinct(shingles(text_b, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= threshold.
+
+    Verification joins text back by key (semi-join pruning: only candidate
+    ids touch the wide text column again)."""
+    cands = minhash_lsh_pairs(df, text_col, key_col, num_perm, bands, k)
+    texts = df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
+    return (
+        cands.join(texts.withColumnRenamed("k", "key_a").withColumnRenamed("t", "ta"), "key_a")
+        .join(texts.withColumnRenamed("k", "key_b").withColumnRenamed("t", "tb"), "key_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("ta"), F.col("tb"), k))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """array<long> token hashes -> 64-bit simhash (vectorized bit counting)."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 per token per bit)
+        sim = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes)."""
+    toks = _tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(hashes)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into `bands` blocks (a pair
+    within Hamming distance < bands must collide in >=1 block — pigeonhole),
+    then verify exact Hamming distance <= max_hamming."""
+    sh = df.select(F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sh"))
+    width = 64 // bands
+    banded = sh.select(
+        "k", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("k", "sh", F.col("b.band").alias("band"), F.col("b.block").alias("block"))
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(r, ["band", "block"])
+        .filter(F.col("l.k") < F.col("r.k"))
+        .select(
+            F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct; the
+Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
+signatures) is real and tested, while the actual codec work is stubbed —
+the decode libs (PIL/ffmpeg) are not in this container.  Stubs are
+deterministic fakes (clearly marked) so downstream operators are testable;
+`decode_image(..., strict=True)` raises NotImplementedError instead.
+
+Pattern: mapInPandas over an iterator of record batches — the canonical
+shape for per-row binary work; batches keep peak memory ~ batch_size x
+payload, and `maxRecordsPerBatch` bounds it independently of partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
+)
+
+
+def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table: payload = seeded pseudo-bytes whose
+    length/shape metadata are consistent, standing in for real blobs."""
+    i = F.col("id")
+    w = (i % 8 * 64 + 64).cast("int")
+    h = (i % 5 * 64 + 64).cast("int")
+    payload = F.encode(
+        F.concat(F.lit(f"FAKE/{kind}/"), i.cast("string"), F.lit("/"),
+                 F.repeat(F.lit("x"), (i % 100 + 1).cast("int"))),
+        "utf-8",
+    )
+    return spark.range(n).select(
+        i.alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (i % 30000).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """STUB: deterministic fake decoder. Real impl: PIL.Image.open(BytesIO)."""
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed) % (2**63))
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
+    """payload -> per-image feature row (mean/std per channel + dims).
+
+    strict=True raises NotImplementedError where the real codec would run —
+    marking exactly the boundary a production image lib plugs into."""
+
+    out_schema = "media_id long, width int, height int, mean_r double, mean_g double, mean_b double, std double"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "plug PIL/torchvision here"
+                )
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _fake_pixels(bytes(payload), w, h)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (int(mid), w, h, float(means[0]), float(means[1]), float(means[2]), float(px.std()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b", "std"]
+            )
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video -> frame worklist (media_id, frame_idx, ts_ms): pure column math
+    over metadata — the explode that precedes any real frame decode."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
+    ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Resize bookkeeping (scale factors, letterbox padding) as column math;
+    the pixel resample itself belongs in decode_image's stub boundary."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(target) / w, F.lit(target) / h)
+    return df.select(
+        "media_id", "kind",
+        w.alias("width"), h.alias("height"),
+        scale.alias("scale"),
+        (F.lit(target) - F.round(w * scale)).cast("int").alias("pad_x"),
+        (F.lit(target) - F.round(h * scale)).cast("int").alias("pad_y"),
+    )

@@ -1,0 +1,353 @@
+"""Mapbox Vector Tile (MVT) encoding — the engine's custom aggregate.
+
+Re-implements the semantics of PostGIS ``ST_AsMVTGeom`` + ``ST_AsMVT`` that the
+reference delegates to (reference tilekiln/definition.py:72-77, sample/*.jinja2):
+
+- ``mvt_geom_cols``  — mercator -> tile-local integer coords [0, extent), y
+  flipped, clip filter to the buffered bbox.  Pure Column arithmetic (B3).
+- ``encode_layer``   — rows of one (tile, layer) group -> one protobuf layer
+  blob (B4).  Zero features still yields a valid header-only layer, matching
+  ST_AsMVT's always-one-row-out contract (reference kiln.py:40-43).
+- ``mvt_layer_agg``  — the distributed form: groupBy(zoom,x,y).applyInPandas.
+- ``decode_tile``    — structural decoder for tests (feature counts, layer
+  name, extent, properties); blob bytes are checked structurally, not golden,
+  since the reference's bytes come from PostGIS (FIXTURES.md §5).
+
+Wire format from the public vector-tile spec 2.1 (protobuf):
+Tile{ layers=3 }, Layer{ version=15(=2), name=1, features=2, keys=3,
+values=4, extent=5 }, Feature{ id=1, tags=2 packed, type=3, geometry=4
+packed }, Value{ string=1, float=2, double=3, int=4, uint=5, sint=6, bool=7 }.
+Geometry commands: (id | count<<3), MoveTo=1, LineTo=2, ClosePath=7;
+params zigzag-encoded.
+
+Heavy lifting (zigzag, varint, command streams) is vectorized numpy; only
+per-feature framing is a Python loop over already-reduced per-tile groups.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tilekiln_spark.functions.tileids import envelope_cols
+
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+
+# --------------------------------------------------------------------------
+# numpy varint / zigzag kernels
+# --------------------------------------------------------------------------
+
+def zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def varint_bytes(vals: np.ndarray) -> bytes:
+    """Concatenated varint encoding of a uint64 array (vectorized)."""
+    v = np.asarray(vals, dtype=np.uint64).copy()
+    n = len(v)
+    if n == 0:
+        return b""
+    out = np.zeros((n, 10), dtype=np.uint8)
+    lengths = np.ones(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for i in range(10):
+        byte = (v & np.uint64(0x7F)).astype(np.uint8)
+        v >>= np.uint64(7)
+        more = v > 0
+        out[alive, i] = byte[alive] | np.where(more[alive], 0x80, 0).astype(np.uint8)
+        lengths[alive & more] = i + 2
+        alive = alive & more
+        if not alive.any():
+            break
+    mask = np.arange(10)[None, :] < lengths[:, None]
+    return out[mask].tobytes()
+
+
+def _varint1(v: int) -> bytes:
+    return varint_bytes(np.array([v], dtype=np.uint64))
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint1((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint1(len(payload)) + payload
+
+
+# --------------------------------------------------------------------------
+# Value table encoding
+# --------------------------------------------------------------------------
+
+def _encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint1(1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        iv = int(v)
+        if iv >= 0:
+            return _tag(4, 0) + _varint1(iv)
+        return _tag(6, 0) + _varint1(int(zigzag(np.array([iv]))[0]))
+    if isinstance(v, (float, np.floating)):
+        return _tag(3, 1) + np.float64(v).tobytes()
+    if isinstance(v, bytes):
+        return _tag(1, 2) + _varint1(len(v)) + v
+    s = str(v).encode("utf-8")
+    return _tag(1, 2) + _varint1(len(s)) + s
+
+
+# --------------------------------------------------------------------------
+# Layer encoding
+# --------------------------------------------------------------------------
+
+def encode_layer(
+    name: str,
+    extent: int,
+    px: np.ndarray,
+    py: np.ndarray,
+    props: dict[str, Iterable] | None = None,
+    geom_type: int = GEOM_POINT,
+    feature_ids: np.ndarray | None = None,
+) -> bytes:
+    """Encode one layer of point features into MVT protobuf bytes.
+
+    px/py: tile-local integer coordinates (may lie in the buffer margin,
+    i.e. slightly outside [0, extent)).  props: column-name -> array of
+    per-feature property values (None entries skipped, matching ST_AsMVT
+    null handling)."""
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    n = len(px)
+    props = props or {}
+
+    keys = list(props.keys())
+    key_blobs = b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
+
+    # value dedup table (spec: values unique per layer)
+    val_index: dict = {}
+    val_blobs = bytearray()
+    tag_rows: list[list[int]] = [[] for _ in range(n)]
+    for ki, k in enumerate(keys):
+        col = list(props[k])
+        for fi in range(n):
+            v = col[fi]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, np.generic):
+                v = v.item()
+            sig = (type(v).__name__, v)
+            vi = val_index.get(sig)
+            if vi is None:
+                vi = len(val_index)
+                val_index[sig] = vi
+                val_blobs += _len_delim(4, _encode_value(v))
+            tag_rows[fi].extend((ki, vi))
+
+    # geometry: per point feature MoveTo(1) + zigzag deltas — vectorized
+    zx = zigzag(px)
+    zy = zigzag(py)
+    geom_triples = np.column_stack(
+        [np.full(n, 9, dtype=np.uint64), zx, zy]
+    )  # 9 = (MoveTo=1) | (count=1)<<3
+
+    feats = bytearray()
+    for fi in range(n):
+        body = bytearray()
+        if feature_ids is not None:
+            body += _tag(1, 0) + _varint1(int(feature_ids[fi]))
+        if tag_rows[fi]:
+            packed = varint_bytes(np.array(tag_rows[fi], dtype=np.uint64))
+            body += _tag(2, 2) + _varint1(len(packed)) + packed
+        body += _tag(3, 0) + _varint1(geom_type)
+        g = varint_bytes(geom_triples[fi])
+        body += _tag(4, 2) + _varint1(len(g)) + g
+        feats += _len_delim(2, bytes(body))
+
+    layer = bytearray()
+    layer += _tag(15, 0) + _varint1(2)  # version 2
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    layer += key_blobs
+    layer += val_blobs
+    layer += _tag(5, 0) + _varint1(extent)
+    return _len_delim(3, bytes(layer))  # framed as Tile.layers entry
+
+
+def empty_layer(name: str, extent: int) -> bytes:
+    """Header-only layer — the >=1-row-out contract of ST_AsMVT."""
+    return encode_layer(name, extent, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+
+
+# --------------------------------------------------------------------------
+# ST_AsMVTGeom equivalent — pure Column arithmetic (B3)
+# --------------------------------------------------------------------------
+
+def mvt_geom_cols(
+    zoom: Column, x: Column, y: Column, mx: Column, my: Column, extent: int, buffer: int
+) -> tuple[Column, Column, Column]:
+    """(px, py, in_clip) — tile-local integer coords + buffered-clip predicate.
+
+    px = round((mx - xmin) / tile_len * extent); py y-flipped from the top.
+    in_clip keeps features within [-buffer, extent + buffer] (ST_AsMVTGeom's
+    clip to the buffered bbox)."""
+    xmin, ymin, xmax, ymax = envelope_cols(zoom, x, y, 0.0)
+    length = xmax - xmin
+    px = F.round((mx - xmin) / length * extent).cast("long")
+    py = F.round((ymax - my) / length * extent).cast("long")
+    in_clip = (
+        (px >= -buffer) & (px <= extent + buffer) & (py >= -buffer) & (py <= extent + buffer)
+    )
+    return px, py, in_clip
+
+
+# --------------------------------------------------------------------------
+# Distributed aggregate: groupBy(zoom,x,y) -> one MVT layer blob per tile
+# --------------------------------------------------------------------------
+
+def mvt_layer_agg(
+    df: DataFrame,
+    layer_name: str,
+    extent: int,
+    prop_cols: list[str],
+    max_features_per_tile: int = 65536,
+) -> DataFrame:
+    """Aggregate point features into per-tile MVT layer blobs.
+
+    Input df columns: zoom, x, y, px, py, [prop_cols...].
+    Output: zoom, x, y, data(binary), n_features(long).
+
+    max_features_per_tile bounds executor memory on skewed tiles (SURVEY §4
+    "MVT UDAF memory bounds"); truncation is deterministic (sorted by px, py)."""
+
+    out_schema = "zoom int, x int, y int, data binary, n_features long"
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["px", "py"], kind="stable")
+        n_total = len(pdf)
+        if n_total > max_features_per_tile:
+            pdf = pdf.iloc[:max_features_per_tile]
+        props = {c: pdf[c].tolist() for c in prop_cols}
+        blob = encode_layer(
+            layer_name,
+            extent,
+            pdf["px"].to_numpy(),
+            pdf["py"].to_numpy(),
+            props,
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [int(pdf["zoom"].iloc[0])],
+                "x": [int(pdf["x"].iloc[0])],
+                "y": [int(pdf["y"].iloc[0])],
+                "data": [blob],
+                "n_features": [n_total],
+            }
+        )
+
+    return df.groupBy("zoom", "x", "y").applyInPandas(encode, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Structural decoder (tests only)
+# --------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: bytes):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"wire type {wire}")
+        yield field, wire, val
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """Decode a tile (concatenated framed layers) structurally."""
+    layers = []
+    for field, _, val in _fields(buf):
+        if field != 3:
+            continue
+        layer: dict = {"features": [], "keys": [], "values": []}
+        for f2, w2, v2 in _fields(val):
+            if f2 == 15:
+                layer["version"] = v2
+            elif f2 == 1:
+                layer["name"] = v2.decode("utf-8")
+            elif f2 == 5:
+                layer["extent"] = v2
+            elif f2 == 3:
+                layer["keys"].append(v2.decode("utf-8"))
+            elif f2 == 4:
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1:
+                        layer["values"].append(v3.decode("utf-8"))
+                    elif f3 == 3:
+                        layer["values"].append(np.frombuffer(v3, "<f8")[0])
+                    elif f3 == 4:
+                        layer["values"].append(v3)
+                    elif f3 == 6:
+                        layer["values"].append((v3 >> 1) ^ -(v3 & 1))
+                    elif f3 == 7:
+                        layer["values"].append(bool(v3))
+            elif f2 == 2:
+                feat: dict = {"tags": [], "geometry": []}
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1:
+                        feat["id"] = v3
+                    elif f3 == 3:
+                        feat["type"] = v3
+                    elif f3 == 2:
+                        pos = 0
+                        while pos < len(v3):
+                            t, pos = _read_varint(v3, pos)
+                            feat["tags"].append(t)
+                    elif f3 == 4:
+                        pos = 0
+                        while pos < len(v3):
+                            g, pos = _read_varint(v3, pos)
+                            feat["geometry"].append(g)
+                layer["features"].append(feat)
+        layers.append(layer)
+    return layers
+
+
+def decode_points(layer: dict) -> list[tuple[int, int]]:
+    """Extract (px, py) from decoded point features (undo zigzag)."""
+    pts = []
+    for feat in layer["features"]:
+        g = feat["geometry"]
+        assert g[0] == 9, "expected single MoveTo"
+        zx, zy = g[1], g[2]
+        pts.append(((zx >> 1) ^ -(zx & 1), (zy >> 1) ^ -(zy & 1)))
+    return pts

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_sim        — built-in expression (zip_with + aggregate): JVM-side.
+- brute_force_topk  — exact top-k per probe: broadcast probes x corpus,
+  ranked with a per-probe window. The O(N*P) baseline; correct at any scale
+  where P (probes) is small.
+- lsh_topk          — random-hyperplane LSH: sign-bit signature -> banded
+  candidate buckets -> exact rerank within candidates. The scale path: the
+  corpus signature pass is map-only; the probe join shuffles only candidate
+  buckets.
+- embedding_neardup_pairs — near-duplicate vectors (cosine >= threshold) via
+  the same LSH bucketing, self-joined.
+
+Hyperplanes are seeded & deterministic, embedded as literal arrays in the
+plan (they're tiny: nbits x dim doubles), so executors get them via the
+serialized plan exactly like a broadcast of a small dim table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    probe_key: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k: (probe_id, vec_id, cos) with rank 1..k per probe.
+
+    Probes are broadcast; ties broken by corpus key for determinism."""
+    p = probes.select(
+        F.col(probe_key), F.col(vec_col).alias("__pvec")
+    )
+    joined = corpus.join(F.broadcast(p))
+    cos = cosine_sim(F.col(vec_col), F.col("__pvec"))
+    w = Window.partitionBy(probe_key).orderBy(
+        F.col("cos").desc(), F.col(key_col).asc()
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature as a long (nbits <= 63)."""
+    bits = []
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in row])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, i))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def _banded(df: DataFrame, sig_col: str, bands: int, nbits: int) -> DataFrame:
+    width = nbits // bands
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col(sig_col), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(*df.columns, F.col("__b.band").alias("band"), F.col("__b.block").alias("block"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    probe_key: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing >=1 signature
+    band with the probe; exact cosine rerank within candidates."""
+    planes = _hyperplanes(dim, nbits, seed)
+    # repartition barrier: stops CollapseProject from inlining the nbits-way
+    # hyperplane-dot signature into every band slice (see dedup.py note)
+    c = _banded(
+        corpus.withColumn("__sig", lsh_signature(F.col(vec_col), planes)).repartition(key_col),
+        "__sig", bands, nbits,
+    )
+    p = _banded(
+        probes.withColumn("__sig", lsh_signature(F.col(vec_col), planes)),
+        "__sig", bands, nbits,
+    ).select(probe_key, F.col(vec_col).alias("__pvec"), "band", "block")
+    cands = (
+        c.join(F.broadcast(p), ["band", "block"])
+        .select(probe_key, key_col, vec_col, "__pvec")
+        .distinct()
+    )
+    cos = cosine_sim(F.col(vec_col), F.col("__pvec"))
+    w = Window.partitionBy(probe_key).orderBy(F.col("cos").desc(), F.col(key_col).asc())
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cos", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold), LSH-bucketed self-join."""
+    planes = _hyperplanes(dim, nbits, seed)
+    sig = _banded(
+        corpus.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+        .withColumn("__sig", lsh_signature(F.col("v"), planes))
+        .repartition("k"),  # barrier — see lsh_topk
+        "__sig", bands, nbits,
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = (
+        l.join(r, ["band", "block"])
+        .filter(F.col("l.k") < F.col("r.k"))
+        .select(
+            F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"),
+            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("key_a", "key_b", "cos")
+    )

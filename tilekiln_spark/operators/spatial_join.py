@@ -1,0 +1,154 @@
+"""Distributed spatial join: points x polygons, and kNN point->centroid.
+
+The reference's only join is the bbox-overlap predicate ``way && {{bbox}}``
+executed per-tile as a PostGIS GiST index scan (reference sample/*.jinja2,
+SURVEY B2).  Distributed re-design:
+
+- **grid equi-join** (default, the scale path): polygons explode to the set of
+  grid cells their bbox covers at ``grid_zoom``; points compute their single
+  cell; join is a plain hash equi-join on (gx, gy) that Catalyst can shuffle-
+  partition — followed by exact bbox + point-in-polygon refinement (the
+  filter+refine pattern).  A point lies in exactly one cell, so no dedup pass
+  is needed.  Skew from dense cells is handled by AQE skew-join plus an
+  optional salt on the point side.
+- **broadcast join**: polygons broadcast, range-predicate join
+  (BroadcastNestedLoopJoin) + PIP refine.  Right side must be small; this is
+  the R-tree-free equivalent of "broadcast R-tree then refine" — the bbox
+  prefilter plays the R-tree's role, expressed declaratively so it stays
+  JVM-side instead of inside a pandas UDF.
+
+PIP is a convex-polygon half-plane test over the ring arrays using built-in
+higher-order functions (F.forall) — whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tilekiln_spark.functions.tileids import tile_length_col, tile_x, tile_y
+from tilekiln_spark.tiles.core import HALF_WORLD
+
+
+def pip_convex(mx: Column, my: Column, ring_xs: Column, ring_ys: Column) -> Column:
+    """Point-in-convex-polygon: all edge cross products share a sign.
+
+    cross_i = (v_{i+1} - v_i) x (p - v_i); boundary counts as inside."""
+    n = F.size(ring_xs)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def cross(i: Column) -> Column:
+        j = F.pmod(i + 1, n)
+        x1 = F.element_at(ring_xs, i + 1)
+        y1 = F.element_at(ring_ys, i + 1)
+        x2 = F.element_at(ring_xs, j + 1)
+        y2 = F.element_at(ring_ys, j + 1)
+        return (x2 - x1) * (my - y1) - (y2 - y1) * (mx - x1)
+
+    return F.forall(idx, lambda i: cross(i) >= 0) | F.forall(idx, lambda i: cross(i) <= 0)
+
+
+def _bbox_overlap(mx: Column, my: Column) -> Column:
+    return (
+        (mx >= F.col("xmin")) & (mx <= F.col("xmax"))
+        & (my >= F.col("ymin")) & (my <= F.col("ymax"))
+    )
+
+
+def explode_poly_cells(polys: DataFrame, grid_zoom: int) -> DataFrame:
+    """Add (gx, gy) rows for every grid cell a polygon's bbox covers.
+
+    Column-expression explode — the polygon side is usually the small one, but
+    this also works distributed for large polygon sets."""
+    z = F.lit(grid_zoom)
+    gx0 = tile_x(z, F.col("xmin"))
+    gx1 = tile_x(z, F.col("xmax"))
+    gy0 = tile_y(z, F.col("ymax"))  # y grows downward in tile space
+    gy1 = tile_y(z, F.col("ymin"))
+    return (
+        polys.withColumn("gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("gy", F.explode(F.sequence(gy0, gy1)))
+    )
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    how: str = "grid",
+    grid_zoom: int = 6,
+    broadcast_polys: bool = True,
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Inner join: each point row x each polygon containing it.
+
+    points must carry web-mercator columns ``mx, my``; polys must carry
+    ``xmin, ymin, xmax, ymax, ring_xs, ring_ys`` (+ any property columns,
+    all preserved in the output)."""
+    pmx, pmy = F.col(mx), F.col(my)
+    if how == "broadcast":
+        right = F.broadcast(polys) if broadcast_polys else polys
+        joined = points.join(right, _bbox_overlap(pmx, pmy), "inner")
+    elif how == "grid":
+        cells = explode_poly_cells(polys, grid_zoom)
+        right = F.broadcast(cells) if broadcast_polys else cells
+        z = F.lit(grid_zoom)
+        left = points.withColumn("gx", tile_x(z, pmx)).withColumn("gy", tile_y(z, pmy))
+        joined = (
+            left.join(right, ["gx", "gy"], "inner")
+            .filter(_bbox_overlap(pmx, pmy))
+            .drop("gx", "gy")
+        )
+    else:
+        raise ValueError(f"unknown join strategy: {how}")
+    return joined.filter(pip_convex(pmx, pmy, F.col("ring_xs"), F.col("ring_ys")))
+
+
+def knn_assign(
+    points: DataFrame,
+    centroids: DataFrame,
+    k: int = 1,
+    point_key: str = "url",
+    search_zoom: int = 5,
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Assign each point to its k nearest centroids (SURVEY §2.C kNN).
+
+    centroids: DataFrame with (cx, cy) web-mercator columns + identity cols.
+    Cell-restricted: candidates limited to centroids within the point's 3x3
+    grid-cell neighborhood at ``search_zoom`` (centroids explode to their
+    neighborhood, points compute one cell — equi-join, then a row_number
+    window ranks by squared distance).  Centroids are broadcast (small side);
+    the window partitions by point key, so no global sort."""
+    z = F.lit(search_zoom)
+    n_minus1 = F.pow(F.lit(2.0), z).cast("long") - 1
+    cgx = tile_x(z, F.col("cx"))
+    cgy = tile_y(z, F.col("cy"))
+    cands = (
+        centroids.withColumn(
+            "gx", F.explode(F.sequence(F.greatest(cgx - 1, F.lit(0)), F.least(cgx + 1, n_minus1.cast("int"))))
+        ).withColumn(
+            "gy", F.explode(F.sequence(F.greatest(cgy - 1, F.lit(0)), F.least(cgy + 1, n_minus1.cast("int"))))
+        )
+    )
+    pmx, pmy = F.col(mx), F.col(my)
+    left = points.withColumn("gx", tile_x(z, pmx)).withColumn("gy", tile_y(z, pmy))
+    d2 = (pmx - F.col("cx")) ** 2 + (pmy - F.col("cy")) ** 2
+    w = Window.partitionBy(point_key).orderBy(F.col("knn_d2").asc(), F.col("cx").asc(), F.col("cy").asc())
+    return (
+        left.join(F.broadcast(cands), ["gx", "gy"], "inner")
+        .withColumn("knn_d2", d2)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("gx", "gy")
+    )
+
+
+def salt_points(points: DataFrame, buckets: int = 16, mx: str = "mx", my: str = "my") -> DataFrame:
+    """Add a deterministic salt column for repartitioning dense spatial
+    clusters: repartition(zoom, cell, salt) spreads a hot cell over
+    ``buckets`` reducers (north_rule: salted prefixes for dense web regions)."""
+    return points.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(mx), F.col(my)), F.lit(buckets)).cast("int")
+    )

@@ -1,0 +1,115 @@
+"""Two-parallelism scaling evidence for the north rule: run the identical
+tiling job at local[N] and local[4N] on the same input (no real cluster in
+this sandbox — BASELINE.md documents this stand-in), report throughput at
+both plus scaling efficiency, write BENCH/BASELINE.md.
+
+Each run is a fresh JVM (subprocess) so the two measurements don't share
+executor state, JIT warmup, or cached shuffle files.
+
+Usage: python tools/scaling_run.py [N] [pages_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+RUN_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from bench import build_session
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1])
+pages_n = int(sys.argv[2])
+spark = build_session(cpus)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.operators.spatial_join import points_in_polygons
+from tilekiln_spark.operators.tiling import pages_geo, render_zooms
+from tilekiln_spark.sources.pages import layer_polygons, pages
+
+cfg = Config(entrymod.CFG_YAML, entrymod.TEMPLATES)
+geo = pages_geo(pages(spark, pages_n, partitions=cpus * 4)).persist()
+geo.count()  # warm: materialize geocode outside the timed window
+polys = layer_polygons(spark, 120).persist(); polys.count()
+sources = {"pages_geo": geo, "layer_polygons": polys}
+
+t0 = time.time()
+n_tiles = render_zooms(cfg, list(range(0, 9)), sources).count()
+gen_sec = time.time() - t0
+
+t0 = time.time()
+join_rows = points_in_polygons(geo, polys, how="grid", grid_zoom=6).count()
+join_sec = time.time() - t0
+
+print("RESULT " + json.dumps({
+    "cpus": cpus, "pages_n": pages_n, "tiles": n_tiles,
+    "gen_sec": round(gen_sec, 3), "tiles_per_sec": round(n_tiles / gen_sec, 2),
+    "join_sec": round(join_sec, 3), "join_rows": join_rows,
+    "join_rows_per_sec": round(pages_n / join_sec, 2),
+}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages_n: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET, str(cpus), str(pages_n)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run at local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pages_n = int(sys.argv[2]) if len(sys.argv) > 2 else 400000
+    lo = run_at(n, pages_n)
+    hi = run_at(4 * n, pages_n)
+    eff_gen = (hi["tiles_per_sec"] / lo["tiles_per_sec"]) / 4.0
+    eff_join = (hi["join_rows_per_sec"] / lo["join_rows_per_sec"]) / 4.0
+    report = {
+        "north_rule": "throughput scaling efficiency >= 0.8 from N to 4N parallelism",
+        "note": "local[N] vs local[4N] stand-in for N vs 4N executors (no real cluster in sandbox)",
+        "low": lo, "high": hi,
+        "scaling_efficiency_tiles": round(eff_gen, 3),
+        "scaling_efficiency_join": round(eff_join, 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism scaling run\n\n"
+            "North rule: throughput scaling efficiency >= 0.8 from N to 4N parallelism.\n"
+            "Sandbox stand-in: same job, same input, `local[N]` vs `local[4N]`\n"
+            "(per BASELINE.md — no real multi-executor cluster available here).\n"
+            "Job: pages(n={pages_n}) -> geocode -> spatial join -> z0-8 MVT tiles;\n"
+            "plus the grid spatial join alone.\n\n"
+            "| parallelism | tiles | gen sec | tiles/sec | join sec | join rows/sec |\n"
+            "|---|---|---|---|---|---|\n"
+            "| local[{n}] | {lt} | {lg} | {ltps} | {lj} | {ljps} |\n"
+            "| local[{n4}] | {ht} | {hg} | {htps} | {hj} | {hjps} |\n\n"
+            "**Scaling efficiency (tiles/sec): {eg}**  \n"
+            "**Scaling efficiency (join rows/sec): {ej}**  \n"
+            "(target >= 0.8)\n".format(
+                pages_n=pages_n, n=n, n4=4 * n,
+                lt=lo["tiles"], lg=lo["gen_sec"], ltps=lo["tiles_per_sec"],
+                lj=lo["join_sec"], ljps=lo["join_rows_per_sec"],
+                ht=hi["tiles"], hg=hi["gen_sec"], htps=hi["tiles_per_sec"],
+                hj=hi["join_sec"], hjps=hi["join_rows_per_sec"],
+                eg=round(eff_gen, 3), ej=round(eff_join, 3),
+            )
+        )
+    print("wrote /root/repo/BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
