@@ -1,0 +1,134 @@
+"""Worklist sources (A2-A4), Tileset facade, incremental/streaming regen."""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tilekiln_spark.config.errors import ZoomNotDefined
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.operators.tiling import pages_geo
+from tilekiln_spark.sources.pages import layer_polygons, pages
+from tilekiln_spark.sources.worklist import (
+    tile_layers_from_lines,
+    tilerange_df,
+    tiles_from_lines,
+)
+from tilekiln_spark.storage.tileset import Tileset
+from tilekiln_spark.storage.tilestore import TileStore
+from tilekiln_spark.streaming.incremental import regenerate, stream_expiries
+
+CFG_YAML = """
+metadata: {id: v1}
+vector_layers:
+  water:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, file: water.b}
+"""
+TEMPLATES = {"water.b": "water"}
+
+
+def test_tiles_from_lines(spark):
+    lines = spark.createDataFrame(
+        [("0/0/0",), ("1/0/0",), ("0/0/0",), ("",), ("  ",)], "value string"
+    )
+    got = {(r.zoom, r.x, r.y) for r in tiles_from_lines(lines).collect()}
+    assert got == {(0, 0, 0), (1, 0, 0)}
+
+
+def test_tile_layers_from_lines(spark):
+    lines = spark.createDataFrame(
+        [("0/0/0,lyr1",), ("1/0/0,lyr2",), ("0/0/0,lyr2",), ("0/0/0,lyr1",)],
+        "value string",
+    )
+    got = {(r.zoom, r.x, r.y): list(r.layers) for r in tile_layers_from_lines(lines).collect()}
+    assert got == {(0, 0, 0): ["lyr1", "lyr2"], (1, 0, 0): ["lyr2"]}
+
+
+def test_tilerange_df(spark):
+    df = tilerange_df(spark, 0, 2)
+    rows = df.orderBy("tileid").collect()
+    assert len(rows) == 21  # 1 + 4 + 16
+    assert (rows[0].zoom, rows[0].x, rows[0].y) == (0, 0, 0)
+    # golden Hilbert order at z1 (reference tests/test_tilerange.py:19-24)
+    z1 = [(r.x, r.y) for r in rows[1:5]]
+    assert z1 == [(0, 0), (0, 1), (1, 1), (1, 0)]
+    # laziness: the z0-14 range plans without materializing (Range scan);
+    # its row count comes from the id interval, matching the kernel
+    from tilekiln_spark.tiles.core import Tilerange
+
+    big = tilerange_df(spark, 0, 14)
+    assert len(Tilerange(0, 14)) == 357913941
+    assert "Range (0, 357913941" in big._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture
+def cfg():
+    return Config(CFG_YAML, TEMPLATES)
+
+
+@pytest.fixture
+def sources(spark):
+    return {
+        "pages_geo": pages_geo(pages(spark, 400)).cache(),
+        "layer_polygons": layer_polygons(spark, 20).cache(),
+    }
+
+
+def test_tileset_facade(spark, tmp_path, cfg):
+    ts = Tileset.from_config(spark, str(tmp_path), cfg, url="http://x")
+    assert ts.id == "v1" and ts.layers == ["water"]
+    with pytest.raises(ZoomNotDefined):
+        ts.get_tile(9, 0, 0)
+    loaded = Tileset.from_id(spark, str(tmp_path), "v1")
+    assert loaded.minzoom == 0 and loaded.maxzoom == 8
+    assert loaded.tilejson == ts.tilejson
+
+
+def test_regenerate_worklist_only(spark, tmp_path, cfg, sources):
+    ts = Tileset.from_config(spark, str(tmp_path), cfg)
+    wl = spark.createDataFrame([(6, 44, 49), (6, 0, 0)], "zoom int, x int, y int")
+    snap = regenerate(cfg, sources, ts.store, wl)
+    assert snap == 1
+    stored = ts.store.read()
+    got = {(r.zoom, r.x, r.y) for r in stored.select("zoom", "x", "y").collect()}
+    assert got == {(6, 44, 49), (6, 0, 0)}  # only expired tiles touched
+    # an expired tile with no features still got a (header-only) blob
+    for r in stored.collect():
+        assert r.water_data is not None
+
+
+def test_regenerate_preserves_unchanged_timestamp(spark, tmp_path, cfg, sources):
+    ts = Tileset.from_config(spark, str(tmp_path), cfg)
+    wl = spark.createDataFrame([(4, 11, 12)], "zoom int, x int, y int")
+    regenerate(cfg, sources, ts.store, wl)
+    gen1, d1 = ts.get_tile(4, 11, 12)
+    time.sleep(1.1)
+    regenerate(cfg, sources, ts.store, wl)  # same input -> same bytes
+    gen2, d2 = ts.get_tile(4, 11, 12)
+    assert d1 == d2
+    assert gen1 == gen2  # timestamp preserved (storage.py:379-384 semantics)
+
+
+def test_stream_expiries_available_now(spark, tmp_path, cfg, sources):
+    ts = Tileset.from_config(spark, str(tmp_path / "store"), cfg)
+    expiry_dir = tmp_path / "expiries"
+    expiry_dir.mkdir()
+    (expiry_dir / "batch1.txt").write_text("6/44/49\n6/0/0\n")
+    q = stream_expiries(
+        spark, cfg, sources, ts.store,
+        str(expiry_dir), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    stored = {(r.zoom, r.x, r.y) for r in ts.store.read().select("zoom", "x", "y").collect()}
+    assert stored == {(6, 44, 49), (6, 0, 0)}
+    # second run with a new expiry file only processes the new file
+    (expiry_dir / "batch2.txt").write_text("5/20/20\n")
+    q2 = stream_expiries(
+        spark, cfg, sources, ts.store,
+        str(expiry_dir), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    stored2 = {(r.zoom, r.x, r.y) for r in ts.store.read().select("zoom", "x", "y").collect()}
+    assert stored2 == {(6, 44, 49), (6, 0, 0), (5, 20, 20)}

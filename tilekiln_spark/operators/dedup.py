@@ -115,28 +115,30 @@ def minhash_lsh_pairs(
     heavy, in which case AQE skew-join splits the hot buckets."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, k, seed)
-    # repartition = materialization barrier: without it CollapseProject inlines
-    # the full num_perm-way signature expression into every band slice (bands *
-    # rows_per_band re-evaluations of the whole MinHash — observed 60x slowdown)
-    sigs = df.select(F.col(key_col).alias("k"), sig.alias("sig")).repartition("k")
-    banded = sigs.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.slice(F.col("sig"), bi * r + 1, r)[i].cast("string") for i in range(r)]
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
+    sentinel = (1 << 63) - 1
+    # Stage 1: shingle hashes, materialized behind a repartition barrier.
+    # Higher-order functions are interpreted (no codegen CSE), so letting
+    # CollapseProject inline the shingle construction into all num_perm min
+    # expressions re-tokenizes the text num_perm times (observed 60x slowdown).
+    hv = F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    hashed = df.select(F.col(key_col).alias("k"), hv.alias("hv")).repartition("k")
+    # Stage 2: one projection computes all band hashes; each per-permutation
+    # min is used exactly once, so nothing gets duplicated by collapse.
+    def perm_min(j):
+        return F.coalesce(
+            F.array_min(F.transform(F.col("hv"), lambda h: F.xxhash64(F.lit(seed + j), h))),
+            F.lit(sentinel),
+        ).cast("string")
+
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[perm_min(bi * r + i) for i in range(r)])).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    banded = hashed.select(
+        "k", F.explode(F.array(*band_structs)).alias("b")
     ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     left = banded.alias("l")
     right = banded.alias("r")

@@ -1,0 +1,108 @@
+"""Incremental tile regeneration — the reference's "minutely updates" shape.
+
+The reference achieves updates by re-running generate over an expiry list
+piped to stdin (reference README.md:9, scripts/generate.py:63): an
+incremental-batch pattern, not true streaming.  This module keeps that shape
+and makes it runnable both ways:
+
+- ``regenerate(worklist)``   — one incremental batch: render ONLY the expired
+  tiles (worklist semi-join pushes the tile filter into the per-layer plans)
+  and MERGE the result into the TileStore (timestamp-preservation semantics:
+  unchanged tiles keep their `generated`).
+- ``stream_expiries(dir)``   — Structured Streaming over a directory of
+  expiry-list files ('z/x/y' lines); each micro-batch calls ``regenerate``
+  via foreachBatch.  Run with trigger=availableNow for the reference's
+  batch-catchup behavior, or continuously for minutely pipelines.
+
+Resumability: each regenerate commit is a TileStore snapshot with lineage
+rows; the streaming query adds its own checkpointLocation, so a restart
+replays only unprocessed expiry files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.operators.tiling import render_zooms
+from tilekiln_spark.sources.worklist import tiles_from_lines
+from tilekiln_spark.storage.tilestore import TileStore
+
+
+def regenerate(
+    config: Config,
+    sources: dict,
+    store: TileStore,
+    worklist: DataFrame,
+) -> int | None:
+    """Render the worklist's tiles and upsert. Returns the new snapshot id,
+    or None when the worklist was empty (no commit, like the reference's
+    zero-tile short-circuit)."""
+    zooms = [r.zoom for r in worklist.select("zoom").distinct().collect()]
+    if not zooms:
+        return None
+    tiles = render_zooms(config, sorted(zooms), sources, worklist=worklist)
+    if tiles is None:
+        return None
+    # worklist tiles with no features still need a row (the expiry says the
+    # old content is stale): outer-join the worklist and fill missing layers
+    # with header-only MVT blobs for the zooms where the layer is defined
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.mvt import empty_layer
+
+    wl = worklist.select("zoom", "x", "y")
+    merged = wl.join(tiles, ["zoom", "x", "y"], "left_outer")
+    fills = []
+    layer_names = {c[: -len("_data")] for c in tiles.columns if c.endswith("_data")}
+    for name in sorted(layer_names):
+        blanks = {
+            z: empty_layer(name, d.extent)
+            for z in sorted(zooms)
+            if (d := config.layers[name].definition_for(z)) is not None
+        }
+        blank_map = F.create_map(
+            *[x for z, b in blanks.items() for x in (F.lit(z), F.lit(b))]
+        )
+        defined = F.element_at(blank_map, F.col("zoom")).isNotNull()
+        fills.append(
+            F.when(defined, F.coalesce(F.col(f"{name}_generated"), F.current_timestamp()))
+            .alias(f"{name}_generated")
+        )
+        fills.append(
+            F.coalesce(F.col(f"{name}_data"), F.element_at(blank_map, F.col("zoom")))
+            .alias(f"{name}_data")
+        )
+        if f"{name}_nfeat" in tiles.columns:
+            fills.append(
+                F.when(defined, F.coalesce(F.col(f"{name}_nfeat"), F.lit(0)))
+                .alias(f"{name}_nfeat")
+            )
+    merged = merged.select("zoom", "x", "y", *fills)
+    return store.save_tiles(merged)
+
+
+def stream_expiries(
+    spark: SparkSession,
+    config: Config,
+    sources: dict,
+    store: TileStore,
+    expiry_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """readStream(text expiry lists) -> foreachBatch(regenerate).
+
+    Returns the started StreamingQuery; caller awaits termination."""
+    lines = spark.readStream.format("text").load(expiry_dir)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        wl = tiles_from_lines(batch_df)
+        regenerate(config, sources, store, wl)
+
+    writer = lines.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
