@@ -39,16 +39,20 @@ def _tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles as strings (empty array when fewer than k tokens)."""
+    """k-token shingles as strings (empty array when fewer than k tokens).
+
+    Built with arrays_zip over k shifted slices instead of per-index
+    element_at lambdas: a lambda that re-references the tokens expression
+    re-evaluates the full split() per element per reference in interpreted
+    HOF mode (measured ~750 tokenizations/row for k=3) — the zip form
+    evaluates it k+1 times total."""
     toks = _tokens(text)
     n = F.size(toks)
+    m = n - (k - 1)  # number of shingles
+    shifted = [F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
-        )
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)]))
     )
 
 
@@ -57,6 +61,39 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     a = rng.integers(1, _P, num_perm, dtype=np.int64).tolist()
     b = rng.integers(0, _P, num_perm, dtype=np.int64).tolist()
     return a, b
+
+
+def make_minhash_sig_udf(num_perm: int, seed: int = 42):
+    """Vectorized signature kernel: array<long> shingle hashes -> array<long>
+    signature, computed as numpy broadcast (S x num_perm multiply-add, min
+    over axis 0).  This is the legitimately-hot Arrow-UDF path: the
+    expression form (minhash_signature) evaluates num_perm interpreted
+    array transforms per row, ~50x slower."""
+    from pyspark.sql.types import ArrayType, LongType
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _P, num_perm, dtype=np.uint64)
+    sentinel = np.uint64((1 << 63) - 1)
+    p = np.uint64(_P)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                if hs is None or len(hs) == 0:
+                    out.append(np.full(num_perm, sentinel, dtype=np.uint64).astype(np.int64))
+                    continue
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                # wraparound multiply-add then mod p: a deterministic universal-
+                # ish hash family (exact mod-p arithmetic not required for LSH)
+                m = (h[:, None] * a[None, :] + b[None, :]) % p
+                out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_signature(text: Column, num_perm: int = 32, k: int = 3, seed: int = 42) -> Column:
@@ -115,29 +152,33 @@ def minhash_lsh_pairs(
     heavy, in which case AQE skew-join splits the hot buckets."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sentinel = (1 << 63) - 1
-    # Stage 1: shingle hashes, materialized behind a repartition barrier.
-    # Higher-order functions are interpreted (no codegen CSE), so letting
-    # CollapseProject inline the shingle construction into all num_perm min
-    # expressions re-tokenizes the text num_perm times (observed 60x slowdown).
-    hv = F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-    hashed = df.select(F.col(key_col).alias("k"), hv.alias("hv")).repartition("k")
-    # Stage 2: one projection computes all band hashes; each per-permutation
-    # min is used exactly once, so nothing gets duplicated by collapse.
-    def perm_min(j):
-        return F.coalesce(
-            F.array_min(F.transform(F.col("hv"), lambda h: F.xxhash64(F.lit(seed + j), h))),
-            F.lit(sentinel),
-        ).cast("string")
-
+    # Stage 1: shingle hashes (one interpreted pass over the text), spread
+    # across all cores with an explicit-width repartition — AQE would coalesce
+    # this CPU-bound stage to 1-2 tasks based on its tiny byte size.
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    hv = F.transform(shingles(F.col("t"), k), lambda s: F.xxhash64(s))
+    hashed = (
+        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
+        .repartition(n_parts, "k")  # BEFORE the shingle pass: tokenization runs on all cores
+        .select("k", hv.alias("hv"))
+    )
+    # Stage 2: vectorized numpy signature (Arrow batch), then band hashes from
+    # the materialized signature array (ArrowEvalPython is a collapse barrier).
+    sig_udf = make_minhash_sig_udf(num_perm, seed)
+    sigs = hashed.select("k", sig_udf(F.col("hv")).alias("sig"))
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[perm_min(bi * r + i) for i in range(r)])).alias("bh"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.element_at(F.col("sig"), bi * r + i + 1).cast("string") for i in range(r)]
+                )
+            ).alias("bh"),
         )
         for bi in range(bands)
     ]
-    banded = hashed.select(
+    banded = sigs.select(
         "k", F.explode(F.array(*band_structs)).alias("b")
     ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     left = banded.alias("l")
