@@ -62,6 +62,39 @@ def test_empty_layer_contract():
     assert layer["features"] == []
 
 
+def test_fast_encoder_structurally_equals_reference():
+    """encode_layer_fast (vectorized scatter assembly) must decode to the
+    same features/geometry/resolved properties as the reference encoder."""
+    from tilekiln_spark.operators.mvt import encode_layer_fast
+
+    rng = np.random.default_rng(7)
+
+    def resolve(layer):
+        out = []
+        for f in layer["features"]:
+            t = f["tags"]
+            out.append(
+                {layer["keys"][t[i]]: layer["values"][t[i + 1]] for i in range(0, len(t), 2)}
+            )
+        return out
+
+    for n in (0, 1, 5, 300):
+        px = rng.integers(-200, 5000, n)
+        py = rng.integers(-200, 5000, n)
+        props = {
+            "s": [None if rng.random() < 0.3 else str(rng.choice(["a", "b"])) for _ in range(n)],
+            "i": [None if rng.random() < 0.3 else int(rng.integers(-10, 10**11)) for _ in range(n)],
+            "f": [None if rng.random() < 0.5 else float(rng.random()) for _ in range(n)],
+            "b": [None if rng.random() < 0.5 else bool(rng.random() < 0.5) for _ in range(n)],
+        }
+        (slow,) = decode_tile(encode_layer("t", 2048, px, py, props))
+        (fast,) = decode_tile(encode_layer_fast("t", 2048, px, py, props))
+        assert slow["name"] == fast["name"] and slow["extent"] == fast["extent"]
+        assert len(fast["features"]) == n
+        assert decode_points(slow) == decode_points(fast)
+        assert resolve(slow) == resolve(fast)
+
+
 def test_value_types():
     blob = encode_layer(
         "t", 4096, np.array([1]), np.array([1]),

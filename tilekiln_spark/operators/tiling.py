@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from tilekiln_spark.config.model import Config
 from tilekiln_spark.functions.tileids import tile_x, tile_y
-from tilekiln_spark.operators.mvt import empty_layer, encode_layer, mvt_geom_cols
+from tilekiln_spark.operators.mvt import empty_layer, encode_layer_fast, mvt_geom_cols
 from tilekiln_spark.operators.spatial_join import points_in_polygons
 from tilekiln_spark.tiles.core import HALF_WORLD
 
@@ -234,11 +234,21 @@ def _layer_band_features(
 def mvt_layer_agg_multi(
     feats: DataFrame, layer: str, config: Config, prop_cols: list[str],
     max_features_per_tile: int = 65536,
+    pre_cap_salts: int = 16,
+    pre_cap_max_zoom: int = 8,
 ) -> DataFrame:
     """One shuffle + one applyInPandas for a layer across every zoom; the
     encode picks the zoom's extent from the config (SURVEY B4).
-    max_features_per_tile bounds executor memory on skewed tiles (SURVEY §4);
-    truncation is deterministic (stable sort by px, py)."""
+
+    Skew handling (north_rule "salted prefixes for dense regions"): tiles at
+    zoom <= pre_cap_max_zoom can receive millions of features (z0 receives
+    EVERY feature), which would serialize in one reducer and blow its memory.
+    Those rows take a salted pre-aggregation: groupBy(zoom, x, y, salt) caps
+    each salt bucket to max_features_per_tile (top-K by (px, py)), so the
+    final per-tile group sees at most salts*K rows and the hot keys are
+    spread over `pre_cap_salts` reducers.  Deeper zooms (plenty of groups,
+    bounded fan-in) skip the extra shuffle.  Truncation is deterministic
+    (stable sort by (px, py); the salt is a pure function of (px, py))."""
     import pandas as pd
 
     extents = {
@@ -246,6 +256,21 @@ def mvt_layer_agg_multi(
         for z in range(0, 31)
         if (d := config.layers[layer].definition_for(z)) is not None
     }
+    if pre_cap_salts and pre_cap_salts > 1:
+        low = feats.filter(F.col("zoom") <= pre_cap_max_zoom)
+        high = feats.filter(F.col("zoom") > pre_cap_max_zoom)
+        feat_schema = low.schema
+        salted = low.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("px"), F.col("py")), F.lit(pre_cap_salts)).cast("int")
+        )
+
+        def cap(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop(columns=["salt"]).sort_values(["px", "py"], kind="stable")
+            return pdf.iloc[:max_features_per_tile]
+
+        capped = salted.groupBy("zoom", "x", "y", "salt").applyInPandas(cap, feat_schema)
+        feats = capped.unionByName(high)
+
     out_schema = "zoom int, x int, y int, data binary, n_features long"
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -255,7 +280,7 @@ def mvt_layer_agg_multi(
             pdf = pdf.iloc[:max_features_per_tile]
         z = int(pdf["zoom"].iloc[0])
         props = {c: pdf[c].tolist() for c in prop_cols}
-        blob = encode_layer(
+        blob = encode_layer_fast(
             layer, extents[z], pdf["px"].to_numpy(), pdf["py"].to_numpy(), props
         )
         return pd.DataFrame(
