@@ -243,7 +243,8 @@ def encode_layer_fast(
     tag_mat = np.zeros((n, 2 * c), dtype=np.uint64)
     tag_valid = np.zeros((n, 2 * c), dtype=bool)
     for ki, k in enumerate(keys):
-        ser = pd.Series(list(props[k]), dtype=object)
+        v = props[k]
+        ser = v.reset_index(drop=True) if isinstance(v, pd.Series) else pd.Series(list(v), dtype=object)
         isnull = ser.isna().to_numpy()
         codes, uniques = pd.factorize(ser, use_na_sentinel=True)
         for u in uniques:

@@ -265,8 +265,8 @@ def mvt_layer_agg_multi(
         )
 
         def cap(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.drop(columns=["salt"]).sort_values(["px", "py"], kind="stable")
-            return pdf.iloc[:max_features_per_tile]
+            pdf = pdf.drop(columns=["salt"])
+            return _truncate_by_pxy(pdf, max_features_per_tile)
 
         capped = salted.groupBy("zoom", "x", "y", "salt").applyInPandas(cap, feat_schema)
         feats = capped.unionByName(high)
@@ -274,12 +274,10 @@ def mvt_layer_agg_multi(
     out_schema = "zoom int, x int, y int, data binary, n_features long"
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["px", "py"], kind="stable")
         n_total = len(pdf)
-        if n_total > max_features_per_tile:
-            pdf = pdf.iloc[:max_features_per_tile]
+        pdf = _truncate_by_pxy(pdf, max_features_per_tile)
         z = int(pdf["zoom"].iloc[0])
-        props = {c: pdf[c].tolist() for c in prop_cols}
+        props = {c: pdf[c] for c in prop_cols}
         blob = encode_layer_fast(
             layer, extents[z], pdf["px"].to_numpy(), pdf["py"].to_numpy(), props
         )
@@ -291,6 +289,23 @@ def mvt_layer_agg_multi(
         )
 
     return feats.groupBy("zoom", "x", "y").applyInPandas(encode, out_schema)
+
+
+def _truncate_by_pxy(pdf, k: int):
+    """Deterministic (px, py)-ordered truncation via a packed-int64 sortkey
+    numpy argsort — ~15x faster than the multi-column pandas sort_values the
+    whale low-zoom groups otherwise spend seconds in.  Output stays sorted by
+    (px, py) so blob bytes are deterministic, which the MERGE's
+    timestamp-preservation (same bytes -> keep generated) relies on."""
+    import numpy as np
+
+    key = (
+        (pdf["px"].to_numpy().astype(np.int64) + (1 << 21)) << np.int64(22)
+    ) | (pdf["py"].to_numpy().astype(np.int64) + (1 << 21))
+    order = np.argsort(key, kind="stable")
+    if len(order) > k:
+        order = order[:k]
+    return pdf.iloc[order]
 
 
 def _definition_bands(config: Config, layer: str, zooms: list[int]) -> list[list[int]]:
