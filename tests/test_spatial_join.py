@@ -102,3 +102,25 @@ def test_knn_assign(spark):
     got2 = knn_assign(pts.limit(50), cents, k=2, search_zoom=0)
     counts = got2.groupBy("url").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [2]
+
+
+def test_knn_assign_sparse_centroids_no_drop(spark):
+    # Sparse centroid set at a high search_zoom: many 3x3 neighborhoods hold
+    # zero centroids.  The brute-force fallback must keep every point and
+    # still pick the true nearest (the 'nearest never drops a point' contract).
+    cents = spark.createDataFrame(
+        [(0, -1.8e7, -1.8e7), (1, 1.9e7, 1.85e7)],
+        "cid int, cx double, cy double",
+    )
+    pts = pages_geo(pages(spark, 200)).cache()
+    got = knn_assign(pts, cents, k=1, search_zoom=6).select("url", "cid", "mx", "my").collect()
+    assert len(got) == 200  # nothing dropped
+    crows = cents.collect()
+    for r in got:
+        dists = [(r.mx - c.cx) ** 2 + (r.my - c.cy) ** 2 for c in crows]
+        assert dists[r.cid] == min(dists)
+    # k=2 with only 2 centroids: every point gets both, ranked
+    got2 = knn_assign(pts.limit(40), cents, k=2, search_zoom=6)
+    counts = got2.groupBy("url").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [2]
+    pts.unpersist()

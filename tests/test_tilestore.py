@@ -160,3 +160,16 @@ def test_greatest_generated_across_layers(store, spark):
     r = df.filter((F.col("zoom") == 3) & (F.col("x") == 1) & (F.col("y") == 1)).head()
     assert gen == max(r.water_generated, r.admin_generated)
     assert r.admin_generated > r.water_generated
+
+
+def test_delete_layers_suffix_names(spark, tmp_path):
+    # Layer names that themselves end in '_data'/'_generated' substrings must
+    # be matched by trailing-suffix strip only (naive .replace() would map
+    # column 'ocean_data_data' -> layer 'ocean' and never null it).
+    s = TileStore(spark, str(tmp_path), "suffixy")
+    s.create(layers=["ocean_data", "admin"], minzoom=0, maxzoom=14, tilejson="{}")
+    s.save_tiles(_tiles(spark, [(3, 1, 1, b"O", b"A")], layers=("ocean_data", "admin")))
+    wl = spark.createDataFrame([(3, 1, 1)], "zoom int, x int, y int")
+    s.delete_layers(wl, ["ocean_data"])
+    _, d = s.get_tile(3, 1, 1)
+    assert d == {"ocean_data": None, "admin": b"A"}

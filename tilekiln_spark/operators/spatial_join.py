@@ -120,7 +120,14 @@ def knn_assign(
     grid-cell neighborhood at ``search_zoom`` (centroids explode to their
     neighborhood, points compute one cell — equi-join, then a row_number
     window ranks by squared distance).  Centroids are broadcast (small side);
-    the window partitions by point key, so no global sort."""
+    the window partitions by point key, so no global sort.
+
+    No point is ever dropped: points whose neighborhood holds fewer than k
+    centroids fall back to a brute-force pass against the broadcast centroid
+    set (the 'nearest never drops a point' contract).  The cell restriction
+    is exact when centroid spacing <= one cell at search_zoom; the fallback
+    also restores exactness for sparse centroid sets, where the nearest
+    centroid can sit outside the 3x3 ring entirely."""
     z = F.lit(search_zoom)
     n_minus1 = F.pow(F.lit(2.0), z).cast("long") - 1
     cgx = tile_x(z, F.col("cx"))
@@ -133,15 +140,27 @@ def knn_assign(
         )
     )
     pmx, pmy = F.col(mx), F.col(my)
+    point_cols = points.columns
     left = points.withColumn("gx", tile_x(z, pmx)).withColumn("gy", tile_y(z, pmy))
+    joined = left.join(F.broadcast(cands), ["gx", "gy"], "left").drop("gx", "gy")
+    # per-point candidate count: points with < k neighborhood candidates take
+    # the brute-force fallback (typically a tiny minority — sparse regions)
+    ncand = F.count(F.col("cx")).over(Window.partitionBy(point_key))
+    joined = joined.withColumn("__ncand", ncand)
+    enough = joined.filter((F.col("__ncand") >= k) & F.col("cx").isNotNull()).drop("__ncand")
+    short = (
+        joined.filter(F.col("__ncand") < k)
+        .select(*point_cols)
+        .dropDuplicates([point_key])
+    )
+    fallback = short.join(F.broadcast(centroids))
+    both = enough.unionByName(fallback, allowMissingColumns=True)
     d2 = (pmx - F.col("cx")) ** 2 + (pmy - F.col("cy")) ** 2
     w = Window.partitionBy(point_key).orderBy(F.col("knn_d2").asc(), F.col("cx").asc(), F.col("cy").asc())
     return (
-        left.join(F.broadcast(cands), ["gx", "gy"], "inner")
-        .withColumn("knn_d2", d2)
+        both.withColumn("knn_d2", d2)
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .drop("gx", "gy")
     )
 
 

@@ -30,15 +30,23 @@ def generate_zooms(
     store_root: str,
     minzoom: int,
     maxzoom: int,
+    worklist: DataFrame | None = None,
 ) -> Tileset:
-    """Render all tiles with >=1 feature for zooms [minzoom, maxzoom] and
-    upsert into the tileset store.  (The reference renders every tile of the
-    range including empty ones via Tilerange — pass a tilerange_df worklist
-    for that behavior; the default materializes only non-empty tiles, which
-    is the only tractable form at z14's 3.6e8 tiles.)"""
+    """Render tiles for zooms [minzoom, maxzoom] and upsert into the store.
+
+    Default: materialize only tiles with >=1 feature — the only tractable
+    form at z14's 3.6e8 tiles.  Pass ``worklist`` (zoom, x, y rows, e.g. a
+    Tilerange DataFrame) to restore the reference's every-tile-of-the-range
+    behavior: worklist tiles are rendered AND blank-filled with header-only
+    MVT blobs when empty (reference Tilerange + kiln.py >=1-row contract)."""
+    from tilekiln_spark.streaming.incremental import blank_fill
+
     ts = Tileset.from_config(spark, store_root, config)
-    tiles = render_zooms(config, list(range(minzoom, maxzoom + 1)), sources)
+    zooms = list(range(minzoom, maxzoom + 1))
+    tiles = render_zooms(config, zooms, sources, worklist=worklist)
     if tiles is not None:
+        if worklist is not None:
+            tiles = blank_fill(config, tiles, worklist, zooms)
         ts.save_tiles(tiles)
     return ts
 
@@ -65,23 +73,29 @@ def generate_layers(
     tile_layers: DataFrame,
 ) -> list[int]:
     """Per-tile layer subsets (reference generate.py:157-220 + tile.py:57-74):
-    input (zoom, x, y, layers array<string>); each distinct layer set renders
-    only those layers for its tiles, so sibling layer columns are preserved
-    by the partial-layer MERGE."""
+    input (zoom, x, y, layers array<string>); renders ONE plan + ONE commit
+    per distinct *layer* (not per layer set — with L layers that is <= L
+    jobs, not 2^L), passing each layer the worklist of tiles that request it.
+    Sibling layer columns are preserved by the partial-layer MERGE; worklist
+    tiles whose layer renders empty are blank-filled with header-only MVT
+    blobs (same fill path as regenerate — a stale blob must be overwritten
+    even when the fresh render is empty)."""
+    from tilekiln_spark.streaming.incremental import blank_fill
+
     snaps = []
-    layer_sets = [
-        tuple(r.layers)
-        for r in tile_layers.select(F.col("layers")).distinct().collect()
-    ]
-    for layers in layer_sets:
-        wl = tile_layers.filter(
-            F.array_join(F.col("layers"), ",") == ",".join(layers)
-        ).select("zoom", "x", "y")
+    all_layers = sorted(
+        r.layer
+        for r in tile_layers.select(F.explode("layers").alias("layer")).distinct().collect()
+    )
+    for layer in all_layers:
+        wl = tile_layers.filter(F.array_contains(F.col("layers"), layer)).select(
+            "zoom", "x", "y"
+        )
         zooms = sorted(r.zoom for r in wl.select("zoom").distinct().collect())
         if not zooms:
             continue
-        tiles = render_zooms(config, zooms, sources, worklist=wl, layers=list(layers))
+        tiles = render_zooms(config, zooms, sources, worklist=wl, layers=[layer])
         if tiles is None:
             continue
-        snaps.append(tileset.save_tiles(tiles))
+        snaps.append(tileset.save_tiles(blank_fill(config, tiles, wl, zooms)))
     return snaps

@@ -326,8 +326,15 @@ class TileStore:
         hit = F.col("__hit").isNotNull()
         cols = []
         for c in existing.columns:
-            L = c.replace("_data", "").replace("_generated", "")
-            if (c.endswith("_data") or c.endswith("_generated")) and L in layers:
+            # strip ONLY the trailing suffix: a layer legally named 'ocean_data'
+            # yields column 'ocean_data_data' and must map back to 'ocean_data'
+            if c.endswith("_data"):
+                L = c[: -len("_data")]
+            elif c.endswith("_generated"):
+                L = c[: -len("_generated")]
+            else:
+                L = None
+            if L is not None and L in layers:
                 cols.append(F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))

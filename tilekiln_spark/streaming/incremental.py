@@ -29,24 +29,13 @@ from tilekiln_spark.sources.worklist import tiles_from_lines
 from tilekiln_spark.storage.tilestore import TileStore
 
 
-def regenerate(
-    config: Config,
-    sources: dict,
-    store: TileStore,
-    worklist: DataFrame,
-) -> int | None:
-    """Render the worklist's tiles and upsert. Returns the new snapshot id,
-    or None when the worklist was empty (no commit, like the reference's
-    zero-tile short-circuit)."""
-    zooms = [r.zoom for r in worklist.select("zoom").distinct().collect()]
-    if not zooms:
-        return None
-    tiles = render_zooms(config, sorted(zooms), sources, worklist=worklist)
-    if tiles is None:
-        return None
-    # worklist tiles with no features still need a row (the expiry says the
-    # old content is stale): outer-join the worklist and fill missing layers
-    # with header-only MVT blobs for the zooms where the layer is defined
+def blank_fill(
+    config: Config, tiles: DataFrame, worklist: DataFrame, zooms: list[int]
+) -> DataFrame:
+    """Outer-join rendered tiles onto the worklist and fill layers that
+    rendered zero features with header-only MVT blobs (ST_AsMVT's >=1-row
+    contract, reference kiln.py:40-43): a worklist tile whose layer now
+    renders empty must still overwrite the stale old blob."""
     from pyspark.sql import functions as F
 
     from tilekiln_spark.operators.mvt import empty_layer
@@ -78,8 +67,27 @@ def regenerate(
                 F.when(defined, F.coalesce(F.col(f"{name}_nfeat"), F.lit(0)))
                 .alias(f"{name}_nfeat")
             )
-    merged = merged.select("zoom", "x", "y", *fills)
-    return store.save_tiles(merged)
+    return merged.select("zoom", "x", "y", *fills)
+
+
+def regenerate(
+    config: Config,
+    sources: dict,
+    store: TileStore,
+    worklist: DataFrame,
+) -> int | None:
+    """Render the worklist's tiles and upsert. Returns the new snapshot id,
+    or None when the worklist was empty (no commit, like the reference's
+    zero-tile short-circuit)."""
+    zooms = [r.zoom for r in worklist.select("zoom").distinct().collect()]
+    if not zooms:
+        return None
+    tiles = render_zooms(config, sorted(zooms), sources, worklist=worklist)
+    if tiles is None:
+        return None
+    # worklist tiles with no features still need a row (the expiry says the
+    # old content is stale)
+    return store.save_tiles(blank_fill(config, tiles, worklist, sorted(zooms)))
 
 
 def stream_expiries(
