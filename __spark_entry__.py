@@ -170,17 +170,28 @@ vector_layers:
     fields: {water: Type of water}
     sql:
     - {minzoom: 0, maxzoom: 8, extent: 2048, file: water.b}
+  waterpoly:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: wpoly.b}
   admin:
     fields: {admin_level: Admin level}
     sql:
     - {minzoom: 1, maxzoom: 3, file: ne.b}
     - {minzoom: 4, maxzoom: 10, file: admin.b}
+  adminline:
+    fields: {admin_level: Admin level}
+    sql:
+    - {minzoom: 1, maxzoom: 10, extent: 4096, buffer: 8, file: aline.b}
   country_names:
     fields: {name: Name, area: Area}
     sql:
     - {minzoom: 3, maxzoom: 14, file: country.b}
 """
-TEMPLATES = {"water.b": "water", "ne.b": "ne_admin", "admin.b": "admin", "country.b": "country"}
+TEMPLATES = {
+    "water.b": "water", "wpoly.b": "water_poly", "ne.b": "ne_admin",
+    "admin.b": "admin", "aline.b": "admin_line", "country.b": "country",
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -540,10 +551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similarity_bruteforce"] = similarity_bruteforce
 
-    # ---- rows-only (non-SQL-expressible; driver records weaker check) ----
+    # ---- formerly rows-only; now value-checked end-to-end ----
 
     def mvt_render_z4(spark, sf_dir):
-        """B3/B4: full MVT aggregate over document points at z4."""
+        """B3/B4: full MVT aggregate over document points at z4, closed
+        end-to-end: the emitted protobuf blobs are DECODED back into per-tile
+        sums the DuckDB twin reproduces from raw coordinate math."""
         d = _mx_my(_docs(spark, sf_dir))
         z = F.lit(4)
         feats = (
@@ -551,36 +564,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("x", tile_x(z, F.col("mx")))
             .withColumn("y", tile_y(z, F.col("my")))
         )
-        from tilekiln_spark.operators.mvt import mvt_geom_cols
+        from tilekiln_spark.operators.mvt import decode_tile_stats, mvt_geom_cols
 
         px, py, ok = mvt_geom_cols(F.col("zoom"), F.col("x"), F.col("y"), F.col("mx"), F.col("my"), 4096, 0)
         feats = feats.withColumn("px", px).withColumn("py", py).filter(ok)
         tiles = mvt_layer_agg(
             feats.select("zoom", "x", "y", "px", "py", "lang"), "docs", 4096, ["lang"]
         )
-        return tiles.select("zoom", "x", "y", "n_features", F.length("data").alias("mvt_bytes"))
+        return decode_tile_stats(tiles)
 
     q["mvt_render_z4"] = mvt_render_z4
 
+    def mvt_poly_render(spark, sf_dir):
+        """B3/B4 for AREAL geometry: the deterministic 6x6 polygon grid
+        renders as a POLYGON layer at z3 (clip to buffered tile box + CW
+        command streams); blobs are decoded back to per-feature vertex
+        counts and pixel extrema that DuckDB re-derives from rectangle
+        intersection math."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+        from tilekiln_spark.operators.tiling import render_zoom
+
+        cfg = Config(
+            """
+metadata: {id: vpoly}
+vector_layers:
+  gridpoly:
+    fields: {water: Type}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: wp.b}
+""",
+            {"wp.b": "water_poly"},
+        )
+        polys = (
+            _grid_polys(spark)
+            .withColumn("layer", F.lit("water"))
+            .withColumn("name", F.concat(F.lit("poly"), F.col("polygon_id")))
+        )
+        geo = spark.createDataFrame([], "url string, lang string, mx double, my double")
+        tiles = render_zoom(cfg, 3, {"pages_geo": geo, "layer_polygons": polys})
+
+        out_schema = (
+            "zoom int, x int, y int, osm_id long, n_vertices int, "
+            "min_px long, max_px long, min_py long, max_py long"
+        )
+
+        def per_feature(batches):
+            for pdf in batches:
+                rows = []
+                for z, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["gridpoly_data"]):
+                    (layer,) = decode_tile(bytes(blob))
+                    ki = layer["keys"].index("osm_id")
+                    for f in layer["features"]:
+                        tags = f["tags"]
+                        vi = next(
+                            tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki
+                        )
+                        osm_id = int(layer["values"][vi])
+                        (ring,) = decode_geom(f)
+                        vs = ring[:-1]  # drop the closing repeat
+                        xs = [p[0] for p in vs]
+                        ys = [p[1] for p in vs]
+                        rows.append(
+                            (int(z), int(x), int(y), osm_id, len(vs),
+                             min(xs), max(xs), min(ys), max(ys))
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["zoom", "x", "y", "osm_id", "n_vertices",
+                             "min_px", "max_px", "min_py", "max_py"],
+                )
+
+        return tiles.mapInPandas(per_feature, out_schema)
+
+    q["mvt_poly_render"] = mvt_poly_render
+
     def ann_lsh_topk(spark, sf_dir):
-        emb = _embeddings(spark, sf_dir)
+        """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
+        deterministic signatures from the seeded plane literals, so bucketing
+        AND rerank are value-checked (double-cast vectors on both sides)."""
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
         probes = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
         corpus = emb.filter(F.col("vec_id") >= 5)
-        return lsh_topk(corpus, probes, dim=64, k=10, nbits=16, bands=4)
+        out = lsh_topk(corpus, probes, dim=64, k=10, nbits=16, bands=4)
+        return out.select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def embedding_neardups(spark, sf_dir):
-        emb = _embeddings(spark, sf_dir)
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
         # plant near-identical vectors: copies with tiny perturbation
         dup = emb.filter(F.col("vec_id") < 20).select(
             (F.col("vec_id") + 100000).alias("vec_id"),
             F.transform(F.col("embedding"), lambda v: v * 1.001).alias("embedding"),
         )
         corpus = emb.select("vec_id", "embedding").unionByName(dup)
-        return embedding_neardup_pairs(corpus, dim=64, threshold=0.999)
+        out = embedding_neardup_pairs(corpus, dim=64, threshold=0.999)
+        return out.select("key_a", "key_b", F.round("cos", 6).alias("cos"))
 
     q["embedding_neardup"] = embedding_neardups
 
@@ -867,6 +954,160 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprints"] = """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+    """
+
+    # ---- MVT render: decoded-blob stats vs raw coordinate math ----
+    tx4, ty4 = _tile_xy_sql(4)
+    len4 = f"(2.0 * {HW} / power(2.0, 4))"
+    o["mvt_render_z4"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT lang, mx, my, {tx4} AS x, {ty4} AS y FROM geo
+        ), p AS (
+            SELECT lang, x, y,
+                CAST(round((mx - (-{HW} + x * {len4})) / {len4} * 4096) AS BIGINT) AS px,
+                CAST(round((({HW} - y * {len4}) - my) / {len4} * 4096) AS BIGINT) AS py
+            FROM t
+        )
+        SELECT 4 AS zoom, x, y,
+               CAST(count(*) AS BIGINT) AS n_features,
+               CAST(count(*) AS BIGINT) AS n_decoded,
+               CAST(sum(px) AS BIGINT) AS sum_px,
+               CAST(sum(py) AS BIGINT) AS sum_py,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_vals
+        FROM p
+        WHERE px >= 0 AND px <= 4096 AND py >= 0 AND py <= 4096
+        GROUP BY x, y
+    """
+
+    # ---- polygon layer: clip of axis-aligned rects == rect intersection ----
+    len3 = f"(2.0 * {HW} / power(2.0, 3))"
+    o["mvt_poly_render"] = f"""
+        WITH {_GRID_SQL.strip().lstrip()},
+        tiles AS (SELECT CAST(x.r AS INT) AS x, CAST(y.r AS INT) AS y
+                  FROM range(8) x(r), range(8) y(r)),
+        pt AS (
+            SELECT p.polygon_id, t.x, t.y,
+                   (p.xmin - (-{HW} + t.x * {len3})) / {len3} * 2048 AS pxmin,
+                   (p.xmax - (-{HW} + t.x * {len3})) / {len3} * 2048 AS pxmax,
+                   (({HW} - t.y * {len3}) - p.ymax) / {len3} * 2048 AS pymin,
+                   (({HW} - t.y * {len3}) - p.ymin) / {len3} * 2048 AS pymax
+            FROM polys p, tiles t
+        )
+        SELECT 3 AS zoom, x, y, polygon_id AS osm_id, 4 AS n_vertices,
+               CAST(round(greatest(pxmin, -8)) AS BIGINT) AS min_px,
+               CAST(round(least(pxmax, 2056)) AS BIGINT) AS max_px,
+               CAST(round(greatest(pymin, -8)) AS BIGINT) AS min_py,
+               CAST(round(least(pymax, 2056)) AS BIGINT) AS max_py
+        FROM pt
+        WHERE greatest(pxmin, -8) < least(pxmax, 2056)
+          AND greatest(pymin, -8) < least(pymax, 2056)
+    """
+
+    # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can
+    # recompute the exact signatures (sign bits of plane dots) ----
+    def _lsh_sig_sql(vec_expr: str, nbits: int = 16, dim: int = 64, seed: int = 42) -> str:
+        from tilekiln_spark.operators.similarity import _hyperplanes
+
+        planes = _hyperplanes(dim, nbits, seed)
+        terms = []
+        for i, row in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec_expr}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    o["ann_lsh_topk"] = f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 5
+        ), csig AS (
+            SELECT vec_id, {_lsh_sig_sql('v')} AS sig FROM corpus
+        ), psig AS (
+            SELECT probe_id, {_lsh_sig_sql('v')} AS sig FROM probes
+        ), bands AS (SELECT unnest(range(4)) AS band),
+        cb AS (SELECT vec_id, band, (sig >> CAST(band * 4 AS INT)) & 15 AS block FROM csig, bands),
+        pb AS (SELECT probe_id, band, (sig >> CAST(band * 4 AS INT)) & 15 AS block FROM psig, bands),
+        cand AS (SELECT DISTINCT probe_id, vec_id FROM cb JOIN pb USING (band, block)),
+        scored AS (
+            SELECT cand.probe_id, cand.vec_id,
+                   list_cosine_similarity(corpus.v, probes.v) AS cos
+            FROM cand
+            JOIN corpus ON cand.vec_id = corpus.vec_id
+            JOIN probes ON cand.probe_id = probes.probe_id
+        ), ranked AS (
+            SELECT probe_id, vec_id, cos,
+                   row_number() OVER (
+                       PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+    o["embedding_neardup"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        corpus AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x * CAST(1.001 AS DOUBLE))
+            FROM base WHERE vec_id < 20
+        ), sigs AS (
+            SELECT vec_id AS k, v, {_lsh_sig_sql('v')} AS sig FROM corpus
+        ), bands AS (SELECT unnest(range(4)) AS band),
+        sb AS (SELECT k, band, (sig >> CAST(band * 4 AS INT)) & 15 AS block FROM sigs, bands),
+        pairs AS (
+            SELECT DISTINCT a.k AS key_a, b.k AS key_b
+            FROM sb a JOIN sb b USING (band, block)
+            WHERE a.k < b.k
+        ), scored AS (
+            SELECT key_a, key_b, list_cosine_similarity(ca.v, cb.v) AS cos
+            FROM pairs
+            JOIN sigs ca ON ca.k = key_a
+            JOIN sigs cb ON cb.k = key_b
+        )
+        SELECT key_a, key_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.999
+    """
+
+    # ---- media stubs: md5-derived fake stats, re-derived with hex math ----
+    def _hexpair(pos: int) -> str:
+        d = "0123456789abcdef"
+        return (
+            f"((strpos('{d}', substr(hx, {pos}, 1)) - 1) * 16"
+            f" + strpos('{d}', substr(hx, {pos + 1}, 1)) - 1)"
+        )
+
+    o["media_decode"] = f"""
+        WITH m AS (
+            SELECT id AS media_id,
+                   'FAKE/image/' || id || '/' || repeat('x', CAST(id % 100 + 1 AS INT)) AS payload,
+                   CAST(id % 8 * 64 + 64 AS INT) AS width,
+                   CAST(id % 5 * 64 + 64 AS INT) AS height
+            FROM range(200) t(id)
+        ), h AS (SELECT media_id, width, height, md5(payload) AS hx FROM m)
+        SELECT media_id, width, height,
+               CAST({_hexpair(1)} AS DOUBLE) AS mean_r,
+               CAST({_hexpair(3)} AS DOUBLE) AS mean_g,
+               CAST({_hexpair(5)} AS DOUBLE) AS mean_b,
+               CAST({_hexpair(7)} AS DOUBLE) / 4.0 AS std
+        FROM h
+    """
+
+    o["media_frame_sample"] = """
+        WITH v AS (
+            SELECT id AS media_id,
+                   unnest(generate_series(
+                       0, greatest(CAST(floor((id % 30000) / 1000) AS INT) - 1, 0)
+                   )) AS frame_idx
+            FROM range(100) t(id)
+        )
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * 1000 AS INT) AS ts_ms
+        FROM v
     """
 
     o["similarity_bruteforce"] = """

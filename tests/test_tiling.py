@@ -143,3 +143,88 @@ def test_render_zoom_partial_layers(cfg, sources):
     # z12: only country_names defined -> only its columns present
     tiles = render_zoom(cfg, 12, sources)
     assert set(c for c in tiles.columns if c.endswith("_data")) == {"country_names_data"}
+
+
+def test_cap_deterministic_and_true_counts(cfg, spark):
+    # Whale-tile cap: exact cap in the blob, TRUE pre-cap n_features, and
+    # byte-identical blobs regardless of input partitioning (the hash-sample
+    # + hash-order truncation must not depend on shuffle arrival order).
+    from tilekiln_spark.operators.tiling import mvt_layer_agg_multi
+
+    n, cap = 5000, 200
+    feats = spark.range(n).select(
+        F.lit(0).alias("zoom"), F.lit(0).alias("x"), F.lit(0).alias("y"),
+        (F.col("id") % 2048).alias("px"), F.floor(F.col("id") / 2048).alias("py"),
+        F.concat(F.lit("w"), (F.col("id") % 50).cast("string")).alias("water"),
+    )
+    out1 = mvt_layer_agg_multi(feats, "water", cfg, ["water"], max_features_per_tile=cap)
+    r1 = out1.collect()[0]
+    (layer,) = decode_tile(bytes(r1.data))
+    assert len(layer["features"]) == cap
+    assert r1.n_features == n  # TRUE pre-cap count
+    # same bytes under different partitioning of the same input
+    out2 = mvt_layer_agg_multi(
+        feats.repartition(13), "water", cfg, ["water"], max_features_per_tile=cap
+    )
+    r2 = out2.collect()[0]
+    assert bytes(r2.data) == bytes(r1.data)
+    assert r2.n_features == n
+    # blob order is (px, py, hash): decoded points non-decreasing in (px, py)
+    pts = decode_points(layer)
+    assert pts == sorted(pts)
+
+
+GEOM_CFG_YAML = """
+metadata: {id: vgeo}
+vector_layers:
+  waterpoly:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: wp.b}
+  adminline:
+    fields: {admin_level: Admin level}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 4096, buffer: 8, file: al.b}
+"""
+GEOM_TEMPLATES = {"wp.b": "water_poly", "al.b": "admin_line"}
+
+
+def test_geometry_layers_roundtrip(sources, spark):
+    from tilekiln_spark.operators.mvt import decode_geom
+    cfg = Config(GEOM_CFG_YAML, GEOM_TEMPLATES)
+    tiles = render_zoom(cfg, 3, sources).cache()
+    rows = tiles.collect()
+    assert len(rows) > 0
+    n_poly_feats = n_line_feats = 0
+    for r in rows:
+        (wl,) = decode_tile(bytes(r.waterpoly_data))
+        assert wl["name"] == "waterpoly" and wl["extent"] == 2048
+        assert len(wl["features"]) == r.waterpoly_nfeat
+        for f in wl["features"]:
+            assert f["type"] == 3  # POLYGON
+            parts = decode_geom(f)
+            assert len(parts) == 1
+            ring = parts[0]
+            assert ring[0] == ring[-1]  # closed
+            assert len(ring) >= 4
+            # exterior ring: positive surveyor area in tile coords
+            area2 = sum(
+                ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                for i in range(len(ring) - 1)
+            )
+            assert area2 > 0
+            for px, py in ring:
+                assert -8 <= px <= 2048 + 8 and -8 <= py <= 2048 + 8
+            n_poly_feats += 1
+        (al,) = decode_tile(bytes(r.adminline_data))
+        assert al["name"] == "adminline" and al["extent"] == 4096
+        assert len(al["features"]) == r.adminline_nfeat
+        for f in al["features"]:
+            assert f["type"] == 2  # LINESTRING
+            for part in decode_geom(f):
+                assert len(part) >= 2
+                for px, py in part:
+                    assert -8 <= px <= 4096 + 8 and -8 <= py <= 4096 + 8
+            n_line_feats += 1
+    assert n_poly_feats > 0 and n_line_feats > 0
+    tiles.unpersist()

@@ -58,6 +58,22 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
 
+def _fake_channel_stats(payload: bytes) -> tuple[float, float, float, float]:
+    """STUB channel statistics: md5-derived, so the same numbers are
+    reproducible from ANSI SQL (the driver's DuckDB oracle re-derives them
+    with md5 + hex arithmetic).  Real impl: per-channel mean/std over the
+    decoded pixel array (see _fake_pixels for that boundary)."""
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    return (
+        float(int(h[0:2], 16)),
+        float(int(h[2:4], 16)),
+        float(int(h[4:6], 16)),
+        float(int(h[6:8], 16)) / 4.0,
+    )
+
+
 def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
     """payload -> per-image feature row (mean/std per channel + dims).
 
@@ -76,11 +92,8 @@ def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                px = _fake_pixels(bytes(payload), w, h)
-                means = px.reshape(-1, 3).mean(axis=0)
-                rows.append(
-                    (int(mid), w, h, float(means[0]), float(means[1]), float(means[2]), float(px.std()))
-                )
+                mean_r, mean_g, mean_b, std = _fake_channel_stats(bytes(payload))
+                rows.append((int(mid), w, h, mean_r, mean_g, mean_b, std))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b", "std"]
             )

@@ -332,6 +332,178 @@ def empty_layer(name: str, extent: int) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# Line / polygon geometry: clipping + command-stream encoding
+# --------------------------------------------------------------------------
+
+def clip_ring(xs: np.ndarray, ys: np.ndarray, lo: float, hi: float) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman clip of one ring against the square [lo, hi]^2
+    (ST_AsMVTGeom clips to the buffered tile box).  Returns float vertex
+    arrays; empty when the ring lies fully outside."""
+    vx = np.asarray(xs, dtype=np.float64)
+    vy = np.asarray(ys, dtype=np.float64)
+    for axis, bound, keep_le in ((0, lo, False), (0, hi, True), (1, lo, False), (1, hi, True)):
+        if len(vx) == 0:
+            break
+        vals = vx if axis == 0 else vy
+        inside = (vals <= bound) if keep_le else (vals >= bound)
+        if inside.all():
+            continue
+        out_x: list[float] = []
+        out_y: list[float] = []
+        n = len(vx)
+        for i in range(n):
+            j = (i + 1) % n
+            ci, cj = inside[i], inside[j]
+            if ci:
+                out_x.append(vx[i]); out_y.append(vy[i])
+            if ci != cj:
+                vi = vals[i]; vj = vals[j]
+                t = (bound - vi) / (vj - vi)
+                out_x.append(vx[i] + t * (vx[j] - vx[i]))
+                out_y.append(vy[i] + t * (vy[j] - vy[i]))
+        vx = np.asarray(out_x); vy = np.asarray(out_y)
+    return vx, vy
+
+
+def clip_line(xs: np.ndarray, ys: np.ndarray, lo: float, hi: float) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Clip an open polyline to [lo, hi]^2 (Liang–Barsky per segment); a line
+    that exits and re-enters splits into multiple parts."""
+    vx = np.asarray(xs, dtype=np.float64)
+    vy = np.asarray(ys, dtype=np.float64)
+    parts: list[tuple[list[float], list[float]]] = []
+    cur_x: list[float] = []
+    cur_y: list[float] = []
+    for i in range(len(vx) - 1):
+        x0, y0, x1, y1 = vx[i], vy[i], vx[i + 1], vy[i + 1]
+        t0, t1 = 0.0, 1.0
+        dx, dy = x1 - x0, y1 - y0
+        ok = True
+        for p, q in ((-dx, x0 - lo), (dx, hi - x0), (-dy, y0 - lo), (dy, hi - y0)):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+                continue
+            r = q / p
+            if p < 0:
+                if r > t1:
+                    ok = False
+                    break
+                t0 = max(t0, r)
+            else:
+                if r < t0:
+                    ok = False
+                    break
+                t1 = min(t1, r)
+        if not ok:
+            if cur_x:
+                parts.append((cur_x, cur_y)); cur_x, cur_y = [], []
+            continue
+        sx, sy = x0 + t0 * dx, y0 + t0 * dy
+        ex, ey = x0 + t1 * dx, y0 + t1 * dy
+        if not cur_x or cur_x[-1] != sx or cur_y[-1] != sy:
+            if cur_x:
+                parts.append((cur_x, cur_y))
+            cur_x, cur_y = [sx], [sy]
+        cur_x.append(ex); cur_y.append(ey)
+        if t1 < 1.0:  # exited the window: close this part
+            parts.append((cur_x, cur_y)); cur_x, cur_y = [], []
+    if cur_x:
+        parts.append((cur_x, cur_y))
+    out = []
+    for px, py in parts:
+        ax, ay = np.asarray(px), np.asarray(py)
+        # drop degenerate parts (single-point grazes collapse to one vertex)
+        if len(ax) >= 2 and ((ax != ax[0]).any() or (ay != ay[0]).any()):
+            out.append((ax, ay))
+    return out
+
+
+def geom_commands(parts: list[tuple[np.ndarray, np.ndarray]], geom_type: int) -> np.ndarray:
+    """MVT command stream (uint64 varint values) for a multi-part line or
+    polygon: per part MoveTo(1) + LineTo(n-1) [+ ClosePath for rings], with
+    zigzag deltas carried across parts (spec 2.1 §4.3.5)."""
+    vals: list[int] = []
+    cx = cy = 0
+    for xs, ys in parts:
+        xi = np.asarray(xs)
+        yi = np.asarray(ys)
+        if geom_type == GEOM_POLYGON and len(xi) > 1 and xi[0] == xi[-1] and yi[0] == yi[-1]:
+            xi, yi = xi[:-1], yi[:-1]  # implicit close: drop repeated last pt
+        n = len(xi)
+        if n < (3 if geom_type == GEOM_POLYGON else 2):
+            continue
+        dx = np.diff(np.concatenate([[cx], xi])).astype(np.int64)
+        dy = np.diff(np.concatenate([[cy], yi])).astype(np.int64)
+        vals.append((1 << 3) | 1)  # MoveTo, count 1
+        vals += [int(zigzag(dx[:1])[0]), int(zigzag(dy[:1])[0])]
+        vals.append(((n - 1) << 3) | 2)  # LineTo, count n-1
+        inter = np.empty((n - 1) * 2, dtype=np.uint64)
+        inter[0::2] = zigzag(dx[1:])
+        inter[1::2] = zigzag(dy[1:])
+        vals += [int(v) for v in inter]
+        if geom_type == GEOM_POLYGON:
+            vals.append((1 << 3) | 7)  # ClosePath
+        cx, cy = int(xi[-1]), int(yi[-1])
+    return np.asarray(vals, dtype=np.uint64)
+
+
+def encode_geom_layer(
+    name: str,
+    extent: int,
+    geoms: list[np.ndarray],
+    props: dict[str, Iterable] | None = None,
+    geom_type: int = GEOM_LINESTRING,
+) -> bytes:
+    """Encode one layer of line/polygon features (pre-built command streams
+    from geom_commands).  Feature counts per tile are small for geometry
+    layers (one feature per source polygon x tile), so the per-feature frame
+    loop is not a hot path — points keep the vectorized encode_layer_fast."""
+    props = props or {}
+    keys = list(props.keys())
+    key_blobs = b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
+    val_index: dict = {}
+    val_blobs = bytearray()
+    n = len(geoms)
+    tag_rows: list[list[int]] = [[] for _ in range(n)]
+    for ki, k in enumerate(keys):
+        col = list(props[k])
+        for fi in range(n):
+            v = col[fi]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, np.generic):
+                v = v.item()
+            sig = (type(v).__name__, v)
+            vi = val_index.get(sig)
+            if vi is None:
+                vi = len(val_index)
+                val_index[sig] = vi
+                val_blobs += _len_delim(4, _encode_value(v))
+            tag_rows[fi].extend((ki, vi))
+
+    feats = bytearray()
+    for fi in range(n):
+        body = bytearray()
+        if tag_rows[fi]:
+            packed = varint_bytes(np.array(tag_rows[fi], dtype=np.uint64))
+            body += _tag(2, 2) + _varint1(len(packed)) + packed
+        body += _tag(3, 0) + _varint1(geom_type)
+        g = varint_bytes(geoms[fi])
+        body += _tag(4, 2) + _varint1(len(g)) + g
+        feats += _len_delim(2, bytes(body))
+
+    layer = bytearray()
+    layer += _tag(15, 0) + _varint1(2)
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    layer += key_blobs
+    layer += val_blobs
+    layer += _tag(5, 0) + _varint1(extent)
+    return _len_delim(3, bytes(layer))
+
+
+# --------------------------------------------------------------------------
 # ST_AsMVTGeom equivalent — pure Column arithmetic (B3)
 # --------------------------------------------------------------------------
 
@@ -375,7 +547,14 @@ def mvt_layer_agg(
     out_schema = "zoom int, x int, y int, data binary, n_features long"
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["px", "py"], kind="stable")
+        # deterministic order: (px, py, row-content hash) — quantized (px, py)
+        # ties are rampant on dense tiles, and bare (px, py) sorting would
+        # keep nondeterministic shuffle-arrival order at the cap boundary
+        h = pd.util.hash_pandas_object(
+            pdf[[c for c in pdf.columns if c not in ("zoom", "x", "y")]], index=False
+        ).to_numpy()
+        order = np.lexsort((h, pdf["py"].to_numpy(), pdf["px"].to_numpy()))
+        pdf = pdf.iloc[order]
         n_total = len(pdf)
         if n_total > max_features_per_tile:
             pdf = pdf.iloc[:max_features_per_tile]
@@ -398,6 +577,44 @@ def mvt_layer_agg(
         )
 
     return df.groupBy("zoom", "x", "y").applyInPandas(encode, out_schema)
+
+
+def decode_tile_stats(tiles: DataFrame) -> DataFrame:
+    """Decode per-tile layer blobs back into value-checkable statistics:
+    decoded feature count, sum of decoded (px, py), distinct property-value
+    count.  Closes the encode->decode loop so the whole MVT aggregate is
+    oracle-checkable against plain SQL over the raw coordinate math (the
+    driver's DuckDB twin recomputes the same sums without ever seeing
+    protobuf).  Input: zoom, x, y, data(binary), n_features."""
+    out_schema = (
+        "zoom int, x int, y int, n_features long, n_decoded long, "
+        "sum_px long, sum_py long, n_vals long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob, nf in zip(
+                pdf["zoom"], pdf["x"], pdf["y"], pdf["data"], pdf["n_features"]
+            ):
+                (layer,) = decode_tile(bytes(blob))
+                pts = decode_points(layer)
+                rows.append(
+                    (
+                        int(z), int(x), int(y), int(nf), len(pts),
+                        int(sum(p[0] for p in pts)), int(sum(p[1] for p in pts)),
+                        len(layer["values"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "zoom", "x", "y", "n_features", "n_decoded",
+                    "sum_px", "sum_py", "n_vals",
+                ],
+            )
+
+    return tiles.mapInPandas(stats, out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -486,6 +703,42 @@ def decode_tile(buf: bytes) -> list[dict]:
                 layer["features"].append(feat)
         layers.append(layer)
     return layers
+
+
+def decode_geom(feat: dict) -> list[list[tuple[int, int]]]:
+    """Decode one feature's command stream into parts of (x, y) vertices
+    (rings get their first point re-appended on ClosePath)."""
+    g = feat["geometry"]
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    x = y = 0
+    i = 0
+
+    def unzig(v: int) -> int:
+        return (v >> 1) ^ -(v & 1)
+
+    while i < len(g):
+        cmd, count = g[i] & 7, g[i] >> 3
+        i += 1
+        if cmd == 1:  # MoveTo
+            if cur:
+                parts.append(cur)
+            cur = []
+            for _ in range(count):
+                x += unzig(g[i]); y += unzig(g[i + 1]); i += 2
+                cur.append((x, y))
+        elif cmd == 2:  # LineTo
+            for _ in range(count):
+                x += unzig(g[i]); y += unzig(g[i + 1]); i += 2
+                cur.append((x, y))
+        elif cmd == 7:  # ClosePath
+            if cur:
+                cur.append(cur[0])
+        else:
+            raise ValueError(f"unknown command {cmd}")
+    if cur:
+        parts.append(cur)
+    return parts
 
 
 def decode_points(layer: dict) -> list[tuple[int, int]]:

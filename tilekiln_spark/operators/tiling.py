@@ -36,19 +36,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tilekiln_spark.config.model import Config
-from tilekiln_spark.functions.tileids import tile_x, tile_y
-from tilekiln_spark.operators.mvt import empty_layer, encode_layer_fast, mvt_geom_cols
+from tilekiln_spark.functions.tileids import envelope_cols, tile_x, tile_y
+from tilekiln_spark.operators.mvt import (
+    GEOM_LINESTRING,
+    GEOM_POINT,
+    GEOM_POLYGON,
+    clip_line,
+    clip_ring,
+    empty_layer,
+    encode_geom_layer,
+    encode_layer_fast,
+    geom_commands,
+    mvt_geom_cols,
+)
 from tilekiln_spark.operators.spatial_join import points_in_polygons
 from tilekiln_spark.tiles.core import HALF_WORLD
 
 BuilderFn = Callable[[dict, list, int, int], DataFrame]
 
 BUILDERS: dict[str, BuilderFn] = {}
+BUILDER_GEOM: dict[str, int] = {}
 
 
-def builder(name: str):
+def builder(name: str, geom_type: int = GEOM_POINT):
     def deco(fn: BuilderFn) -> BuilderFn:
         BUILDERS[name] = fn
+        BUILDER_GEOM[name] = geom_type
         return fn
 
     return deco
@@ -74,52 +87,53 @@ def _explode_zooms(df: DataFrame, zooms: list[int]) -> DataFrame:
     )
 
 
-def _polys(sources: dict, layer: str) -> DataFrame:
-    return sources["layer_polygons"].filter(F.col("layer") == layer)
+def _pages_polys(sources: dict) -> DataFrame:
+    """The ONE spatial join every builder shares: pages x ALL layer polygons.
+
+    Builders used to run their own points_in_polygons against per-branch
+    polygon subsets — 6 broadcast joins + 6 PIP passes over the full page
+    stream per render.  Since every branch's polygon set is a subset of
+    `layer_polygons`, one join followed by cheap column predicates produces
+    identical rows with ONE scan of the pages and ONE PIP evaluation — the
+    'one scan -> one broadcast join' shape that matters most at 10^12 rows.
+    The joined frame is lazily localCheckpoint'ed (flag `materialize`) so the
+    cap's count rollup and the probe side read one materialized copy."""
+    if "_pages_polys" not in sources:
+        j = points_in_polygons(sources["pages_geo"], sources["layer_polygons"])
+        if sources.get("materialize", True):
+            j = j.localCheckpoint(eager=False)
+        sources["_pages_polys"] = j
+    return sources["_pages_polys"]
+
+
+def _layer_rows(sources: dict, layer: str) -> DataFrame:
+    return _pages_polys(sources).filter(F.col("layer") == layer)
 
 
 @builder("water")
 def water_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
-    """reference sample/water.sql.jinja2."""
-    pts = sources["pages_geo"]
-    polys = _polys(sources, "water")
-    # stand-ins for the template's two tables: even ids = "simplified_water
-    # _polygons" (ocean), odd = "planet_osm_polygon" water rows
-    ocean = (
-        _explode_zooms(points_in_polygons(pts, polys.filter(F.col("polygon_id") % 2 == 0)), zooms)
-        .select(
-            "zoom", "mx", "my",
-            F.lit(None).cast("long").alias("osm_id"), F.lit("ocean").alias("water"),
-        )
-    )
+    """reference sample/water.sql.jinja2.  Stand-ins for the template's two
+    tables: even polygon ids = "simplified_water_polygons" (ocean), odd =
+    "planet_osm_polygon" water rows (way_area-generalized at z<=12)."""
+    j = _explode_zooms(_layer_rows(sources, "water"), zooms)
     z = F.col("zoom")
-    osm = (
-        _explode_zooms(points_in_polygons(pts, polys.filter(F.col("polygon_id") % 2 == 1)), zooms)
-        .filter((z > 12) | (F.col("way_area") > 400 * coordinate_area_col(z, extent)))
-        .select(
-            "zoom", "mx", "my",
-            F.col("polygon_id").alias("osm_id"), F.col("name").alias("water"),
-        )
+    ocean = F.col("polygon_id") % 2 == 0
+    j = j.filter(ocean | (z > 12) | (F.col("way_area") > 400 * coordinate_area_col(z, extent)))
+    return j.select(
+        "zoom", "mx", "my",
+        F.when(~ocean, F.col("polygon_id")).cast("long").alias("osm_id"),
+        F.when(ocean, F.lit("ocean")).otherwise(F.col("name")).alias("water"),
     )
-    return ocean.unionByName(osm)
 
 
 @builder("admin")
 def admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
-    """reference sample/admin.sql.jinja2: source swap at z<=10 (plan-level,
-    disjoint zoom subsets), IN-lists by zoom (row-level predicates)."""
-    pts = sources["pages_geo"]
-    polys = _polys(sources, "admin")
-    zlow = [z for z in zooms if z <= 10]
-    zhigh = [z for z in zooms if z > 10]
-    parts = []
-    if zlow:
-        src = polys.filter(F.col("polygon_id") % 3 == 0)  # "roads" generalized set
-        parts.append(_explode_zooms(points_in_polygons(pts, src), zlow))
-    if zhigh:
-        parts.append(_explode_zooms(points_in_polygons(pts, polys), zhigh))
-    joined = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    """reference sample/admin.sql.jinja2: source swap at z<=10 (the "roads"
+    generalized subset, polygon_id % 3 == 0) as a zoom-row predicate,
+    IN-lists varying by zoom (B6), cast to int (B7)."""
+    j = _explode_zooms(_layer_rows(sources, "admin"), zooms)
     z = F.col("zoom")
+    j = j.filter(((z <= 10) & (F.col("polygon_id") % 3 == 0)) | (z > 10))
     lvl = F.col("admin_level")
     in_list = (
         F.when(z <= 2, lvl.isin("0", "1", "2"))
@@ -127,7 +141,7 @@ def admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> 
         .when(z <= 12, lvl.isin("0", "1", "2", "3", "4", "5", "6"))
         .otherwise(F.lit(True))
     )
-    return joined.filter(in_list).select(
+    return j.filter(in_list).select(
         "zoom", "mx", "my", lvl.cast("int").alias("admin_level")
     )
 
@@ -135,9 +149,8 @@ def admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> 
 @builder("ne_admin")
 def ne_admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
     """reference sample/ne-admin.sql.jinja2: literal admin_level=2."""
-    pts = sources["pages_geo"]
-    src = _polys(sources, "admin").filter(F.col("admin_level") == "2")
-    return _explode_zooms(points_in_polygons(pts, src), zooms).select(
+    j = _layer_rows(sources, "admin").filter(F.col("admin_level") == "2")
+    return _explode_zooms(j, zooms).select(
         "zoom", "mx", "my", F.lit(2).alias("admin_level")
     )
 
@@ -146,11 +159,9 @@ def ne_admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) 
 def country_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
     """reference sample/country.sql.jinja2: one label point per (polygon,
     tile) — centroid of the page cluster inside polygon & tile."""
-    pts = sources["pages_geo"]
-    polys = _polys(sources, "country_names").filter(F.col("name").isNotNull())
     z = F.col("zoom")
     joined = (
-        _explode_zooms(points_in_polygons(pts, polys), zooms)
+        _explode_zooms(_layer_rows(sources, "country_names").filter(F.col("name").isNotNull()), zooms)
         .filter((z > 12) | (F.col("way_area") > tile_area_col(z) * 0.05**2))
     )
     return (
@@ -159,6 +170,77 @@ def country_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -
         .groupBy("zoom", "x", "y", "polygon_id", "name", "way_area")
         .agg(F.avg("mx").alias("mx"), F.avg("my").alias("my"))
         .select("zoom", "mx", "my", "name", F.col("way_area").alias("area"))
+    )
+
+
+def _poly_tile_rows(
+    polys: DataFrame,
+    zooms: list[int],
+    extent: int,
+    buffer: int,
+    props: dict[str, Column],
+    close: bool = False,
+) -> DataFrame:
+    """Geometry-layer rows: one (polygon, zoom, tile) row carrying the ring
+    in tile-local FLOAT coordinates (g_xs, g_ys) for clip+encode inside the
+    tile aggregate.  Tiles = every tile whose buffered envelope intersects
+    the polygon bbox (bbox explode, the ST_AsMVTGeom assignment for areal
+    geometry); `close=True` appends the first vertex again so the ring reads
+    as a closed outline LINESTRING."""
+    z = F.col("zoom")
+    length = tile_length_col(z)
+    margin = (buffer / extent) * length
+    pf = _explode_zooms(polys, zooms)
+    x0, x1 = tile_x(z, F.col("xmin") - margin), tile_x(z, F.col("xmax") + margin)
+    y0, y1 = tile_y(z, F.col("ymax") + margin), tile_y(z, F.col("ymin") - margin)
+    pf = pf.withColumn("x", F.explode(F.sequence(x0, x1))).withColumn(
+        "y", F.explode(F.sequence(y0, y1))
+    )
+    txmin, tymin, txmax, tymax = envelope_cols(z, F.col("x"), F.col("y"), 0.0)
+    tlen = txmax - txmin
+    rx, ry = F.col("ring_xs"), F.col("ring_ys")
+    if close:
+        rx = F.concat(rx, F.slice(rx, 1, 1))
+        ry = F.concat(ry, F.slice(ry, 1, 1))
+    gxs = F.transform(rx, lambda v: (v - txmin) / tlen * extent)
+    gys = F.transform(ry, lambda v: (tymax - v) / tlen * extent)
+    prop_cols = [c.alias(k) for k, c in props.items()]
+    fh = F.xxhash64(F.col("polygon_id"))
+    return pf.select(
+        "zoom", "x", "y",
+        F.round(F.element_at(gxs, 1)).cast("long").alias("px"),
+        F.round(F.element_at(gys, 1)).cast("long").alias("py"),
+        fh.alias("__fh"),
+        gxs.alias("g_xs"), gys.alias("g_ys"),
+        *prop_cols,
+    )
+
+
+@builder("water_poly", geom_type=GEOM_POLYGON)
+def water_poly_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
+    """Areal water geometry — the reference's water layer emits the polygons
+    themselves (sample/water.sql.jinja2 ST_AsMVTGeom over `way`), not points;
+    each (polygon, tile) feature is clipped to the buffered tile box and
+    encoded as a POLYGON command stream."""
+    polys = sources["layer_polygons"].filter(F.col("layer") == "water")
+    return _poly_tile_rows(
+        polys, zooms, extent, buffer,
+        props={
+            "osm_id": F.col("polygon_id"),
+            "water": F.coalesce(F.col("name"), F.lit("ocean")),
+        },
+    )
+
+
+@builder("admin_line", geom_type=GEOM_LINESTRING)
+def admin_line_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
+    """Admin boundary lines — the reference's admin layer emits boundary
+    LINESTRINGs (sample/admin.sql.jinja2 over planet_osm_roads/line); the
+    polygon outline (closed ring as a line) stands in, clipped per tile."""
+    polys = sources["layer_polygons"].filter(F.col("layer") == "admin")
+    return _poly_tile_rows(
+        polys, zooms, extent, buffer, close=True,
+        props={"admin_level": F.col("admin_level").cast("int")},
     )
 
 
@@ -216,6 +298,14 @@ def _layer_band_features(
     if d is None:
         return None
     feats = BUILDERS[d.builder](sources, zooms, d.extent, d.buffer)
+    if BUILDER_GEOM[d.builder] != GEOM_POINT:
+        # geometry builders assign tiles by bbox intersection and carry
+        # tile-local float rings; clipping happens inside the tile aggregate
+        if worklist is not None:
+            feats = feats.join(
+                F.broadcast(worklist.select("zoom", "x", "y")), ["zoom", "x", "y"], "left_semi"
+            )
+        return feats
     feats = assign_tiles_col(feats, d.extent, d.buffer)
     if worklist is not None:
         feats = feats.join(
@@ -225,30 +315,48 @@ def _layer_band_features(
         F.col("zoom"), F.col("x"), F.col("y"), F.col("mx"), F.col("my"), d.extent, d.buffer
     )
     prop_cols = [c for c in feats.columns if c not in ("mx", "my", "zoom", "x", "y")]
+    # deterministic per-feature hash: the whale-tile sampling key and the
+    # truncation/sort tiebreaker (ties on quantized (px, py) would otherwise
+    # keep shuffle-arrival order, making capped blob bytes run-dependent)
+    fh = F.xxhash64(F.col("mx"), F.col("my"), *[F.col(c) for c in prop_cols])
     return (
         feats.withColumn("px", px).withColumn("py", py).filter(in_clip)
-        .select("zoom", "x", "y", "px", "py", *prop_cols)
+        .select("zoom", "x", "y", "px", "py", fh.alias("__fh"), *prop_cols)
     )
 
 
 def mvt_layer_agg_multi(
     feats: DataFrame, layer: str, config: Config, prop_cols: list[str],
     max_features_per_tile: int = 65536,
-    pre_cap_salts: int = 16,
-    pre_cap_max_zoom: int = 8,
+    sample_margin: float = 1.15,
 ) -> DataFrame:
-    """One shuffle + one applyInPandas for a layer across every zoom; the
-    encode picks the zoom's extent from the config (SURVEY B4).
+    """One count rollup + one shuffle + one applyInPandas for a layer across
+    every zoom; the encode picks the zoom's extent from the config (B4).
 
-    Skew handling (north_rule "salted prefixes for dense regions"): tiles at
-    zoom <= pre_cap_max_zoom can receive millions of features (z0 receives
-    EVERY feature), which would serialize in one reducer and blow its memory.
-    Those rows take a salted pre-aggregation: groupBy(zoom, x, y, salt) caps
-    each salt bucket to max_features_per_tile (top-K by (px, py)), so the
-    final per-tile group sees at most salts*K rows and the hot keys are
-    spread over `pre_cap_salts` reducers.  Deeper zooms (plenty of groups,
-    bounded fan-in) skip the extra shuffle.  Truncation is deterministic
-    (stable sort by (px, py); the salt is a pure function of (px, py))."""
+    Skew handling (north_rule "salted prefixes / adaptive repartitioning for
+    dense web regions"): low-zoom tiles receive millions of features (z0
+    receives EVERY feature), which would funnel whole partitions through one
+    reducer.  Instead of a salted top-K pre-aggregation (round-1 design: a
+    second full shuffle + a 16-reducer funnel per whale tile), the cap is a
+    **deterministic hash-sampling filter**:
+
+      1. per-tile counts via groupBy(zoom,x,y).count() — map-side partial
+         aggregation, shuffles one row per non-empty tile;
+      2. tiles over the cap (at most total_rows/cap of them, so the frame is
+         small by construction) broadcast back onto the feature stream;
+      3. each feature of an over-cap tile survives iff
+         pmod(xxhash64(feature), n_true) < margin*cap — a pure per-row
+         filter, embarrassingly parallel, no extra shuffle;
+      4. the final per-tile group therefore holds <= ~margin*cap rows at ANY
+         zoom; exact truncation to the cap happens in-group, ordered by the
+         same feature hash (deterministic; uniform spatial subsample rather
+         than the west-corner bias of (px,py)-ordered truncation).
+
+    `n_features` always reports the TRUE pre-cap count (carried via the
+    broadcast count for whale tiles, len(group) otherwise).  Blob bytes are
+    deterministic: the sample predicate and both orderings depend only on
+    feature values, never on partitioning or arrival order."""
+    import numpy as np
     import pandas as pd
 
     extents = {
@@ -256,26 +364,38 @@ def mvt_layer_agg_multi(
         for z in range(0, 31)
         if (d := config.layers[layer].definition_for(z)) is not None
     }
-    if pre_cap_salts and pre_cap_salts > 1:
-        low = feats.filter(F.col("zoom") <= pre_cap_max_zoom)
-        high = feats.filter(F.col("zoom") > pre_cap_max_zoom)
-        feat_schema = low.schema
-        salted = low.withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("px"), F.col("py")), F.lit(pre_cap_salts)).cast("int")
+    cap = max_features_per_tile
+    if "__fh" not in feats.columns:
+        feats = feats.withColumn(
+            "__fh", F.xxhash64(F.col("px"), F.col("py"), *[F.col(c) for c in prop_cols])
         )
-
-        def cap(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.drop(columns=["salt"])
-            return _truncate_by_pxy(pdf, max_features_per_tile)
-
-        capped = salted.groupBy("zoom", "x", "y", "salt").applyInPandas(cap, feat_schema)
-        feats = capped.unionByName(high)
+    if cap:
+        counts = feats.groupBy("zoom", "x", "y").agg(F.count("*").alias("__ntrue"))
+        big = counts.filter(F.col("__ntrue") > cap)
+        # margin keeps P[sample < cap] negligible (binomial std ~ sqrt(cap))
+        m = F.lit(int(cap * sample_margin) + 64)
+        feats = feats.join(F.broadcast(big), ["zoom", "x", "y"], "left")
+        feats = feats.filter(
+            F.col("__ntrue").isNull() | (F.pmod(F.col("__fh"), F.col("__ntrue")) < m)
+        )
 
     out_schema = "zoom int, x int, y int, data binary, n_features long"
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        n_total = len(pdf)
-        pdf = _truncate_by_pxy(pdf, max_features_per_tile)
+        ntrue = pdf["__ntrue"].dropna() if "__ntrue" in pdf.columns else pd.Series([], dtype="float64")
+        n_total = int(ntrue.iloc[0]) if len(ntrue) else len(pdf)
+        fh = pdf["__fh"].to_numpy()
+        pxy = (
+            (pdf["px"].to_numpy().astype(np.int64) + (1 << 21)) << np.int64(22)
+        ) | (pdf["py"].to_numpy().astype(np.int64) + (1 << 21))
+        if len(pdf) > cap:
+            # exact cap: keep the cap smallest by (hash, pxy) — a uniform,
+            # deterministic subset of the (already hash-sampled) group
+            keep = np.lexsort((pxy, fh))[:cap]
+            pdf = pdf.iloc[keep]
+            fh, pxy = fh[keep], pxy[keep]
+        order = np.lexsort((fh, pxy))  # final blob order: (px, py, hash)
+        pdf = pdf.iloc[order]
         z = int(pdf["zoom"].iloc[0])
         props = {c: pdf[c] for c in prop_cols}
         blob = encode_layer_fast(
@@ -289,23 +409,6 @@ def mvt_layer_agg_multi(
         )
 
     return feats.groupBy("zoom", "x", "y").applyInPandas(encode, out_schema)
-
-
-def _truncate_by_pxy(pdf, k: int):
-    """Deterministic (px, py)-ordered truncation via a packed-int64 sortkey
-    numpy argsort — ~15x faster than the multi-column pandas sort_values the
-    whale low-zoom groups otherwise spend seconds in.  Output stays sorted by
-    (px, py) so blob bytes are deterministic, which the MERGE's
-    timestamp-preservation (same bytes -> keep generated) relies on."""
-    import numpy as np
-
-    key = (
-        (pdf["px"].to_numpy().astype(np.int64) + (1 << 21)) << np.int64(22)
-    ) | (pdf["py"].to_numpy().astype(np.int64) + (1 << 21))
-    order = np.argsort(key, kind="stable")
-    if len(order) > k:
-        order = order[:k]
-    return pdf.iloc[order]
 
 
 def _definition_bands(config: Config, layer: str, zooms: list[int]) -> list[list[int]]:
@@ -326,6 +429,9 @@ def render_zooms(
     sources: dict,
     worklist: DataFrame | None = None,
     layers: list[str] | None = None,
+    max_features_per_tile: int = 65536,
+    sample_margin: float = 1.15,
+    materialize_features: bool = True,
 ) -> DataFrame | None:
     """All layers across many zooms -> tile-table rows
     [zoom, x, y, {layer}_generated, {layer}_data, {layer}_nfeat].
@@ -333,53 +439,191 @@ def render_zooms(
     Tiles where a defined layer has zero features get that layer's
     header-only MVT bytes (ST_AsMVT's >=1-row contract, kiln.py:40-43);
     layers with no definition at a zoom stay NULL there (partial-layer
-    semantics, reference storage.py:371-390)."""
+    semantics, reference storage.py:371-390).
+
+    Fused plan (round 2): all layers' feature branches union into ONE frame
+    tagged with a __layer column, take ONE per-(layer,tile) count rollup +
+    whale-tile hash-sample (see mvt_layer_agg_multi for the cap math), ONE
+    shuffle on (zoom, x, y), and ONE applyInPandas that encodes every layer
+    of the tile in the same group.  vs the per-layer form this removes
+    L-1 shuffles, L-1 broadcast builds and the L-way full-outer join of the
+    layer outputs — at a 1000-executor scale those joins re-shuffle the
+    entire tile table L times for no information gain."""
+    import numpy as np
+    import pandas as pd
+
+    # per-call copy: _pages_polys caches the shared join inside this dict, so
+    # repeated render calls stay independent (no hidden cross-job state)
+    sources = {**sources, "materialize": materialize_features}
     layer_names = layers or config.layer_names()
-    rendered: dict[str, DataFrame] = {}
-    blanks: dict[str, dict[int, bytes]] = {}
+    branches: list[DataFrame] = []
+    layer_props: dict[str, list[str]] = {}
+    extents: dict[str, dict[int, int]] = {}
+    buffers: dict[str, dict[int, int]] = {}
+    geom_types: dict[str, int] = {}
+    _GEOM_COLS = ("g_xs", "g_ys")
     for name in layer_names:
         bands = _definition_bands(config, name, zooms)
-        branches = [
-            f for zs in bands
-            if (f := _layer_band_features(config, name, zs, sources, worklist)) is not None
-        ]
-        if not branches:
-            continue
-        feats = branches[0]
-        for b in branches[1:]:
-            feats = feats.unionByName(b, allowMissingColumns=True)
-        prop_cols = [c for c in feats.columns if c not in ("zoom", "x", "y", "px", "py")]
-        rendered[name] = mvt_layer_agg_multi(feats, name, config, prop_cols)
-        blanks[name] = {
-            z: empty_layer(name, config.layers[name].definition_for(z).extent)
-            for zs in bands for z in zs
-        }
-    if not rendered:
+        got = False
+        for zs in bands:
+            f = _layer_band_features(config, name, zs, sources, worklist)
+            if f is None:
+                continue
+            got = True
+            props = [
+                c for c in f.columns
+                if c not in ("zoom", "x", "y", "px", "py", "__fh") and c not in _GEOM_COLS
+            ]
+            layer_props.setdefault(name, [])
+            for p in props:
+                if p not in layer_props[name]:
+                    layer_props[name].append(p)
+            d = config.layers[name].definition_for(zs[0])
+            gt = BUILDER_GEOM[d.builder]
+            assert geom_types.setdefault(name, gt) == gt, (
+                f"layer {name}: definition bands mix geometry types"
+            )
+            branches.append(f.withColumn("__layer", F.lit(name)))
+        if got:
+            extents[name] = {
+                z: config.layers[name].definition_for(z).extent
+                for zs in bands for z in zs
+            }
+            buffers[name] = {
+                z: config.layers[name].definition_for(z).buffer
+                for zs in bands for z in zs
+            }
+    if not branches:
         return None
-    out: DataFrame | None = None
-    for name, df in rendered.items():
-        part = df.select(
-            "zoom", "x", "y", F.col("data").alias(f"{name}_data"),
-            F.col("n_features").alias(f"{name}_nfeat"),
+    feats = branches[0]
+    for b in branches[1:]:
+        feats = feats.unionByName(b, allowMissingColumns=True)
+
+    cap = max_features_per_tile
+    if cap:
+        # NB the count rollup is a broadcast subtree of the same job; both it
+        # and the probe side re-derive from the localCheckpoint'ed shared
+        # spatial join (_pages_polys), so the expensive join+PIP runs once.
+        # At 10^12-row scale pass materialize_features=False (recompute: two
+        # scans beat spilling the joined stream to executor disks).
+        counts = feats.groupBy("__layer", "zoom", "x", "y").agg(
+            F.count("*").alias("__ntrue")
         )
-        out = part if out is None else out.join(part, ["zoom", "x", "y"], "full_outer")
+        # over-cap tiles only: at most total_rows/cap of them, small by
+        # construction (falls back to a shuffle join automatically if a
+        # pathological cap/total ratio ever outgrows the broadcast threshold)
+        big = counts.filter(F.col("__ntrue") > cap)
+        m = F.lit(int(cap * sample_margin) + 64)
+        feats = feats.join(F.broadcast(big), ["__layer", "zoom", "x", "y"], "left")
+        feats = feats.filter(
+            F.col("__ntrue").isNull() | (F.pmod(F.col("__fh"), F.col("__ntrue")) < m)
+        )
+    else:
+        feats = feats.withColumn("__ntrue", F.lit(None).cast("long"))
+
+    rendered_layers = [n for n in layer_names if n in extents]
+    out_fields = ["zoom int", "x int", "y int"]
+    for name in rendered_layers:
+        out_fields += [f"{name}_data binary", f"{name}_nfeat long"]
+    out_schema = ", ".join(out_fields)
+    blanks = {
+        name: {z: empty_layer(name, ext) for z, ext in extents[name].items()}
+        for name in rendered_layers
+    }
+
+    def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["zoom"].iloc[0])
+        row: dict = {
+            "zoom": [z], "x": [int(pdf["x"].iloc[0])], "y": [int(pdf["y"].iloc[0])],
+        }
+        lay = pdf["__layer"]
+        for name in rendered_layers:
+            if z not in extents[name]:  # layer undefined at this zoom -> NULL
+                row[f"{name}_data"] = [None]
+                row[f"{name}_nfeat"] = [None]
+                continue
+            sub = pdf[lay == name]
+            if len(sub) == 0:
+                row[f"{name}_data"] = [blanks[name][z]]
+                row[f"{name}_nfeat"] = [0]
+                continue
+            ntrue = sub["__ntrue"].dropna()
+            n_total = int(ntrue.iloc[0]) if len(ntrue) else len(sub)
+            fh = sub["__fh"].to_numpy()
+            pxy = (
+                (sub["px"].to_numpy().astype(np.int64) + (1 << 21)) << np.int64(22)
+            ) | (sub["py"].to_numpy().astype(np.int64) + (1 << 21))
+            if cap and len(sub) > cap:
+                keep = np.lexsort((pxy, fh))[:cap]
+                sub = sub.iloc[keep]
+                fh, pxy = fh[keep], pxy[keep]
+            order = np.lexsort((fh, pxy))
+            sub = sub.iloc[order]
+            gt = geom_types[name]
+            ext = extents[name][z]
+            if gt == GEOM_POINT:
+                props = {c: sub[c] for c in layer_props[name]}
+                blob = encode_layer_fast(
+                    name, ext, sub["px"].to_numpy(), sub["py"].to_numpy(), props
+                )
+                row[f"{name}_data"] = [blob]
+                row[f"{name}_nfeat"] = [n_total]
+                continue
+            # line/polygon: clip each ring/outline to the buffered box, then
+            # build command streams (features clipped entirely away drop out,
+            # matching ST_AsMVTGeom's NULL-geometry removal)
+            lo, hi = float(-buffers[name][z]), float(ext + buffers[name][z])
+            geoms: list[np.ndarray] = []
+            kept_idx: list[int] = []
+            for i, (gxs, gys) in enumerate(zip(sub["g_xs"], sub["g_ys"])):
+                if gt == GEOM_POLYGON:
+                    cx, cy = clip_ring(np.asarray(gxs), np.asarray(gys), lo, hi)
+                    if len(cx) < 3:
+                        continue
+                    cx = np.round(cx).astype(np.int64)
+                    cy = np.round(cy).astype(np.int64)
+                    # MVT 2.1 §4.3.3.3: an exterior ring has POSITIVE
+                    # surveyor-formula area in tile coords (y down), i.e.
+                    # appears clockwise on screen
+                    area2 = np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy)
+                    if area2 < 0:
+                        cx, cy = cx[::-1], cy[::-1]
+                    parts = [(cx, cy)]
+                else:
+                    parts = clip_line(np.asarray(gxs), np.asarray(gys), lo, hi)
+                    parts = [
+                        (np.round(px_).astype(np.int64), np.round(py_).astype(np.int64))
+                        for px_, py_ in parts
+                    ]
+                if not parts:
+                    continue
+                cmds = geom_commands(parts, gt)
+                if len(cmds) == 0:
+                    continue
+                geoms.append(cmds)
+                kept_idx.append(i)
+            if not geoms:
+                row[f"{name}_data"] = [blanks[name][z]]
+                row[f"{name}_nfeat"] = [0]
+                continue
+            subk = sub.iloc[kept_idx]
+            props = {c: list(subk[c]) for c in layer_props[name]}
+            blob = encode_geom_layer(name, ext, geoms, props, gt)
+            row[f"{name}_data"] = [blob]
+            row[f"{name}_nfeat"] = [len(geoms)]
+        return pd.DataFrame(row)
+
+    tiles = feats.groupBy("zoom", "x", "y").applyInPandas(encode_tile, out_schema)
     ts = F.current_timestamp()
     cols = [F.col("zoom"), F.col("x"), F.col("y")]
-    for name in rendered:
-        blank_map = F.create_map(
-            *[x for z, b in blanks[name].items() for x in (F.lit(z), F.lit(b))]
-        )
-        defined = F.element_at(blank_map, F.col("zoom")).isNotNull()
-        cols.append(F.when(defined, ts).alias(f"{name}_generated"))
+    for name in rendered_layers:
+        defined_zooms = sorted(extents[name])
         cols.append(
-            F.coalesce(F.col(f"{name}_data"), F.element_at(blank_map, F.col("zoom")))
-            .alias(f"{name}_data")
+            F.when(F.col("zoom").isin(defined_zooms), ts).alias(f"{name}_generated")
         )
-        cols.append(
-            F.when(defined, F.coalesce(F.col(f"{name}_nfeat"), F.lit(0)))
-            .alias(f"{name}_nfeat")
-        )
-    return out.select(*cols)
+        cols.append(F.col(f"{name}_data"))
+        cols.append(F.col(f"{name}_nfeat"))
+    return tiles.select(*cols)
 
 
 def render_zoom(
@@ -406,8 +650,9 @@ def render_layer_zoom(
     short-circuit, kiln.py:36-38)."""
     if config.layers[layer].definition_for(zoom) is None:
         return None
+    sources = dict(sources)  # scope the shared-join cache to this call
     feats = _layer_band_features(config, layer, [zoom], sources, worklist)
-    prop_cols = [c for c in feats.columns if c not in ("zoom", "x", "y", "px", "py")]
+    prop_cols = [c for c in feats.columns if c not in ("zoom", "x", "y", "px", "py", "__fh")]
     return mvt_layer_agg_multi(feats, layer, config, prop_cols, max_features_per_tile)
 
 
