@@ -173,3 +173,51 @@ def test_delete_layers_suffix_names(spark, tmp_path):
     s.delete_layers(wl, ["ocean_data"])
     _, d = s.get_tile(3, 1, 1)
     assert d == {"ocean_data": None, "admin": b"A"}
+
+
+def test_partial_save_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import hashlib
+    import os
+
+    s = TileStore(spark, str(tmp_path), "scoped")
+    s.create(layers=["water"], minzoom=0, maxzoom=14, tilejson="{}")
+    n1 = s.save_tiles(_tiles(spark, [(2, 1, 0, b"A"), (5, 3, 3, b"B")]))
+    z2_files = sorted(glob.glob(f"{s.root}/snapshots/v{n1}/zoom=2/*.parquet"))
+    before = {p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in z2_files}
+    # incremental save touching ONLY zoom 5
+    n2 = s.save_tiles(_tiles(spark, [(5, 4, 4, b"C")]))
+    # zoom=2 files: same paths, byte-identical (carried forward by reference)
+    after = {p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in z2_files}
+    assert before == after
+    assert not os.path.exists(f"{s.root}/snapshots/v{n2}/zoom=2")
+    # manifest maps zoom 2 to the OLD snapshot dir, zoom 5 to the new one
+    man = s._manifest(n2)
+    assert man["zooms"]["2"] == f"v{n1}" and man["zooms"]["5"] == f"v{n2}"
+    # lineage rows only for the touched partition
+    lin = s.lineage(n2)
+    assert [p["zoom"] for p in lin["partitions"]] == [5]
+    # merged read still sees everything
+    got = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in s.read().collect()}
+    assert got == {(2, 1, 0): b"A", (5, 3, 3): b"B", (5, 4, 4): b"C"}
+    # metadata-only partition drop: no new data files at all
+    n3 = s.delete_zooms([2])
+    assert not os.path.exists(f"{s.root}/snapshots/v{n3}/zoom=5")
+    assert sorted(s._manifest(n3)["zooms"]) == ["5"]
+    assert s.read().count() == 2
+    # time travel unaffected
+    assert s.read(snapshot=n2).count() == 3
+
+
+def test_schema_evolution_across_partial_saves(spark, tmp_path):
+    # a new layer column appears in a later commit: carried-forward
+    # partitions read it as NULL
+    s = TileStore(spark, str(tmp_path), "evolve")
+    s.create(layers=["water", "admin"], minzoom=0, maxzoom=14, tilejson="{}")
+    s.save_tiles(_tiles(spark, [(2, 1, 0, b"W")], layers=("water",)))
+    s.save_tiles(_tiles(spark, [(6, 9, 9, b"A")], layers=("admin",)))
+    rows = {(r.zoom, r.x, r.y): r for r in s.read().collect()}
+    r2 = rows[(2, 1, 0)]
+    assert bytes(r2.water_data) == b"W" and r2.admin_data is None
+    r6 = rows[(6, 9, 9)]
+    assert bytes(r6.admin_data) == b"A" and r6.water_data is None

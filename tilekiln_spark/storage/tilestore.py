@@ -7,11 +7,15 @@ real cluster this maps 1:1 onto Iceberg (`CREATE TABLE ... PARTITIONED BY
 the same observable semantics plus snapshot ids for resumability:
 
     <root>/<tileset_id>/
-        snapshots/v<N>/            parquet, partitioned by zoom
+        snapshots/v<N>/zoom=<z>/   parquet files for partitions WRITTEN at N
+        snapshots/v<N>/_manifest.json  zoom -> owning snapshot dir + schema
+                                   (untouched partitions carried forward by
+                                   reference — commits are O(batch), the
+                                   Iceberg dynamic-partition-overwrite shape)
         CURRENT                    text file: current snapshot number
         metadata.json              tileset metadata row (A8)
         tile_stats.parquet         per-zoom stats (B12-B14)
-        lineage/v<N>.json          per-commit, per-partition lineage rows
+        lineage/v<N>.json          per-commit lineage rows, touched partitions only
 
 Semantics ported (each noted with its reference source):
 
@@ -109,28 +113,55 @@ class TileStore:
     def _snapshot_dir(self, n: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{n}")
 
+    def _manifest(self, n: int) -> dict:
+        with open(os.path.join(self._snapshot_dir(n), "_manifest.json")) as f:
+            return json.load(f)
+
     def read(self, snapshot: int | None = None) -> DataFrame | None:
-        """Current (or time-travel) tile table; None if no snapshot yet."""
+        """Current (or time-travel) tile table; None if no snapshot yet.
+
+        A snapshot is a MANIFEST mapping each zoom partition to the snapshot
+        directory that physically holds its files (Iceberg-style: partitions
+        untouched by a commit are carried forward by reference, never
+        rewritten).  Columns a carried-forward partition predates (a layer
+        added later) read as NULL — schema lives in the manifest."""
+        from pyspark.sql.types import StructType
+
         n = self.current_snapshot() if snapshot is None else snapshot
         if n == 0:
             return None
-        # explicit schema: survives empty snapshots (zero data files after a
-        # full delete) — Iceberg keeps schema in metadata; we do the same
-        schema_file = os.path.join(self._snapshot_dir(n), "_schema.json")
-        if os.path.exists(schema_file):
-            from pyspark.sql.types import StructType
+        man = self._manifest(n)
+        schema = StructType.fromJson(man["schema"])
+        other = [f for f in schema.fields if f.name != "zoom"]
+        parts = []
+        for z_str, vdir in sorted(man["zooms"].items(), key=lambda kv: int(kv[0])):
+            pdir = os.path.join(self.root, "snapshots", vdir, f"zoom={z_str}")
+            pdf = self.spark.read.parquet(pdir)
+            cols = [F.lit(int(z_str)).cast("int").alias("zoom")] + [
+                (F.col(f.name) if f.name in pdf.columns else F.lit(None))
+                .cast(f.dataType).alias(f.name)
+                for f in other
+            ]
+            parts.append(pdf.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-            with open(schema_file) as f:
-                schema = StructType.fromJson(json.load(f))
-            return self.spark.read.schema(schema).parquet(self._snapshot_dir(n))
-        return self.spark.read.option("mergeSchema", "true").parquet(self._snapshot_dir(n))
-
-    def _commit(self, df: DataFrame, lineage_extra: dict) -> int:
-        """Write a new snapshot (Iceberg-commit equivalent) + lineage rows:
-        per zoom-partition tile counts + byte sizes + tile-range extents
-        (generate_stats descendant, reference storage.py:478-486)."""
-        n = self.current_snapshot() + 1
+    def _commit(self, df: DataFrame, touched_zooms: list[int], lineage_extra: dict) -> int:
+        """Partition-scoped commit (Iceberg dynamic-partition-overwrite
+        semantics): `df` holds rows ONLY for `touched_zooms`; exactly those
+        partitions are written under the new snapshot dir, every other zoom
+        is carried forward by manifest reference — commit cost is O(batch +
+        touched partitions), never O(table).  Lineage rows (tile counts,
+        byte sizes, tile-range extents — reference storage.py:478-486) are
+        emitted only for touched partitions."""
+        cur = self.current_snapshot()
+        n = cur + 1
         out = self._snapshot_dir(n)
+        prev_zooms = self._manifest(cur)["zooms"] if cur else {}
         layer_cols = [c for c in df.columns if c.endswith("_data")]
         size_expr = sum(
             (F.coalesce(F.length(F.col(c)), F.lit(0)) for c in layer_cols), F.lit(0)
@@ -159,8 +190,23 @@ class TileStore:
             .parquet(out)
         )
         df.unpersist()
-        with open(os.path.join(out, "_schema.json"), "w") as f:
-            json.dump(df.drop("__size").schema.jsonValue(), f)
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(out)
+            if d.startswith("zoom=")
+        }
+        touched = {str(z) for z in touched_zooms}
+        zooms_map = {z: v for z, v in prev_zooms.items() if z not in touched}
+        for z in written:  # a touched zoom left with zero tiles simply drops
+            zooms_map[z] = f"v{n}"
+        self._write_snapshot(n, zooms_map, df.drop("__size").schema, lineage, lineage_extra)
+        return n
+
+    def _write_snapshot(self, n, zooms_map, schema, lineage, lineage_extra) -> None:
+        out = self._snapshot_dir(n)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "_manifest.json"), "w") as f:
+            json.dump({"zooms": zooms_map, "schema": schema.jsonValue()}, f)
         with open(os.path.join(self.root, "lineage", f"v{n}.json"), "w") as f:
             json.dump(
                 {
@@ -173,7 +219,6 @@ class TileStore:
             )
         with open(os.path.join(self.root, "CURRENT"), "w") as f:
             f.write(str(n))
-        return n
 
     def lineage(self, snapshot: int) -> dict:
         with open(os.path.join(self.root, "lineage", f"v{snapshot}.json")) as f:
@@ -223,7 +268,12 @@ class TileStore:
             if c not in ("zoom", "x", "y")
             and not c.endswith("_data") and not c.endswith("_generated")
         ]
+        # partition scope: only zoom partitions present in the batch are
+        # joined against and rewritten (commit cost O(batch), not O(table))
+        touched = sorted(r.zoom for r in new.select("zoom").distinct().collect())
         existing = self.read()
+        if existing is not None:
+            existing = existing.filter(F.col("zoom").isin(touched))
         now = F.current_timestamp()
         if existing is None:
             cols = [F.col("zoom"), F.col("x"), F.col("y")]
@@ -235,7 +285,7 @@ class TileStore:
                 )
                 cols += [gen.alias(f"{L}_generated"), F.col(f"{L}_data")]
             cols += [F.col(c) for c in extra_cols]
-            return self._commit(new.select(*cols), {"op": "save", "layers": in_layers})
+            return self._commit(new.select(*cols), touched, {"op": "save", "layers": in_layers})
 
         old_layers = sorted(
             {c[: -len("_data")] for c in existing.columns if c.endswith("_data")}
@@ -285,30 +335,42 @@ class TileStore:
             new_c = F.col(f"n_{c}") if c in extra_cols else F.lit(None)
             old_c = F.col(c) if c in old_extras else F.lit(None)
             cols.append(F.when(incoming & new_c.isNotNull(), new_c).otherwise(old_c).alias(c))
-        return self._commit(joined.select(*cols), {"op": "save", "layers": in_layers})
+        return self._commit(joined.select(*cols), touched, {"op": "save", "layers": in_layers})
 
     def delete_zooms(self, zooms: list[int] | None = None) -> int:
-        """Truncate (A10): per-zoom partition drop; None -> all zooms
-        (reference storage.py:281-288, 606-609)."""
-        existing = self.read()
-        if existing is None:
-            return self.current_snapshot()
+        """Truncate (A10): per-zoom partition drop — METADATA-ONLY commit
+        (the manifest simply stops referencing the partitions; no data files
+        are read or written, the Iceberg partition-drop equivalent); None ->
+        all zooms (reference storage.py:281-288, 606-609)."""
+        from pyspark.sql.types import StructType
+
+        cur = self.current_snapshot()
+        if cur == 0:
+            return 0
+        man = self._manifest(cur)
         if zooms is None:
-            kept = existing.filter(F.lit(False))
+            zooms_map: dict = {}
         else:
-            kept = existing.filter(~F.col("zoom").isin(zooms))
-        return self._commit(kept, {"op": "delete_zooms", "zooms": zooms})
+            drop = {str(z) for z in zooms}
+            zooms_map = {z: v for z, v in man["zooms"].items() if z not in drop}
+        self._write_snapshot(
+            cur + 1, zooms_map, StructType.fromJson(man["schema"]), [],
+            {"op": "delete_zooms", "zooms": zooms},
+        )
+        return cur + 1
 
     def delete_tiles(self, worklist: DataFrame) -> int:
-        """Keyed delete (A11): anti-join on (zoom, x, y)
-        (reference storage.py:262-267, 611-624)."""
+        """Keyed delete (A11): anti-join on (zoom, x, y), rewriting ONLY the
+        zoom partitions the worklist touches (reference storage.py:262-267,
+        611-624)."""
         existing = self.read()
         if existing is None:
             return self.current_snapshot()
-        kept = existing.join(
+        touched = sorted(r.zoom for r in worklist.select("zoom").distinct().collect())
+        kept = existing.filter(F.col("zoom").isin(touched)).join(
             F.broadcast(worklist.select("zoom", "x", "y")), ["zoom", "x", "y"], "left_anti"
         )
-        return self._commit(kept, {"op": "delete_tiles"})
+        return self._commit(kept, touched, {"op": "delete_tiles"})
 
     def delete_layers(self, worklist: DataFrame, layers: list[str]) -> int:
         """Layer-column delete (A12): SET {layer}_data/_generated = NULL for
@@ -321,6 +383,8 @@ class TileStore:
         existing = self.read()
         if existing is None:
             return self.current_snapshot()
+        touched = sorted(r.zoom for r in worklist.select("zoom").distinct().collect())
+        existing = existing.filter(F.col("zoom").isin(touched))
         w = F.broadcast(worklist.select("zoom", "x", "y").withColumn("__hit", F.lit(True)))
         joined = existing.join(w, ["zoom", "x", "y"], "left_outer")
         hit = F.col("__hit").isNotNull()
@@ -338,7 +402,7 @@ class TileStore:
                 cols.append(F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))
-        return self._commit(joined.select(*cols), {"op": "delete_layers", "layers": layers})
+        return self._commit(joined.select(*cols), touched, {"op": "delete_layers", "layers": layers})
 
     # -- reads ----------------------------------------------------------------
 
