@@ -134,6 +134,30 @@ polys AS (
 """
 
 
+# concave ring fixtures for the ray-cast join (mercator metres): an L-shape
+# in the NE quadrant and a left-pointing arrowhead in the SW quadrant
+_CONCAVE_RINGS = [
+    (0, "L", [0.0, 1.6e7, 1.6e7, 8.0e6, 8.0e6, 0.0],
+             [0.0, 0.0, 8.0e6, 8.0e6, 1.6e7, 1.6e7]),
+    (1, "arrow", [-1.8e7, -2.0e6, -1.0e7, -2.0e6],
+                 [-1.0e7, -1.8e7, -1.0e7, -2.0e6]),
+]
+
+
+def _raycast_sql(xs: list, ys: list) -> str:
+    n = len(xs)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        xi, yi, xj, yj = repr(xs[i]), repr(ys[i]), repr(xs[j]), repr(ys[j])
+        terms.append(
+            f"(CASE WHEN ((({yi}) > my) != (({yj}) > my)) THEN "
+            f"CASE WHEN mx < ({xi}) + (my - ({yi})) * (({xj}) - ({xi})) / (({yj}) - ({yi})) "
+            f"THEN 1 ELSE 0 END ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 # near-dup corpus: documents plus a copy of docs (doc_id<60) with one word
 # appended -> very high shingle-Jaccard pairs, plus exact dups for doc_id<30
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +344,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["spatial_join_grid"] = spatial_join_grid
+
+    def spatial_join_concave(spark, sf_dir):
+        """B2 for CONCAVE rings: even-odd ray-cast refine (pip_raycast)
+        through the full grid join; DuckDB re-runs the identical crossing
+        test unrolled over the ring constants."""
+        import pandas as pd
+
+        from tilekiln_spark.sources.pages import POLYGON_SCHEMA
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        polys = spark.createDataFrame(
+            pd.DataFrame([
+                {
+                    "polygon_id": p, "layer": "water", "admin_level": "0",
+                    "name": n, "way_area": 0.0,
+                    "xmin": min(xs), "ymin": min(ys),
+                    "xmax": max(xs), "ymax": max(ys),
+                    "ring_xs": xs, "ring_ys": ys,
+                }
+                for p, n, xs, ys in _CONCAVE_RINGS
+            ]),
+            schema=POLYGON_SCHEMA,
+        )
+        j = points_in_polygons(pts, polys, how="grid", grid_zoom=3, refine="raycast")
+        return j.groupBy("polygon_id").agg(F.count("*").alias("n_docs"))
+
+    q["spatial_join_concave"] = spatial_join_concave
 
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
@@ -766,6 +817,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     cell = 2.0 * HW / 4
+    concave_parts = []
+    for p, _n, xs, ys in _CONCAVE_RINGS:
+        concave_parts.append(
+            f"SELECT {p} AS polygon_id, CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM geo WHERE {_raycast_sql(xs, ys)}"
+        )
+    o["spatial_join_concave"] = _GEO_CTE + " " + " UNION ALL ".join(concave_parts)
+
     o["knn_centroids"] = f"""
         {_GEO_CTE}, cents AS (
             SELECT id AS cid,

@@ -124,3 +124,72 @@ def test_knn_assign_sparse_centroids_no_drop(spark):
     counts = got2.groupBy("url").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [2]
     pts.unpersist()
+
+
+def _py_raycast(x, y, xs, ys):
+    inside = False
+    n = len(xs)
+    for i in range(n):
+        j = (i + 1) % n
+        if (ys[i] > y) != (ys[j] > y):
+            if x < xs[i] + (y - ys[i]) * (xs[j] - xs[i]) / (ys[j] - ys[i]):
+                inside = not inside
+    return inside
+
+
+def test_pip_raycast_concave(spark):
+    from tilekiln_spark.operators.spatial_join import pip_raycast
+
+    # L-shape (concave) and arrowhead (concave) rings
+    L_xs = [0.0, 4.0, 4.0, 2.0, 2.0, 0.0]
+    L_ys = [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+    A_xs = [0.0, 4.0, 2.0, 4.0, 0.0]  # arrowhead pointing left
+    A_ys = [0.0, -2.0, 0.0, 2.0, 0.0]
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = [(float(x), float(y)) for x, y in rng.uniform(-1, 5, (300, 2))]
+    for xs, ys in ((L_xs, L_ys), (A_xs, A_ys)):
+        df = spark.createDataFrame(pts, "mx double, my double")
+        got = {
+            (r.mx, r.my): r.inside
+            for r in df.withColumn(
+                "inside",
+                pip_raycast(
+                    F.col("mx"), F.col("my"),
+                    F.array(*[F.lit(v) for v in xs]),
+                    F.array(*[F.lit(v) for v in ys]),
+                ),
+            ).collect()
+        }
+        for (x, y), inside in got.items():
+            assert inside == _py_raycast(x, y, xs, ys), (x, y, xs)
+    # sanity: the concave notch of the L is OUTSIDE
+    assert not _py_raycast(3.0, 3.0, L_xs, L_ys)
+
+
+def test_points_in_polygons_raycast_concave_join(spark):
+    # a concave polygon through the full join path (grid + refine)
+    import pandas as pd
+
+    L = {
+        "polygon_id": 0, "layer": "water", "admin_level": "2", "name": "L",
+        "way_area": 12.0,
+        "xmin": 0.0, "ymin": 0.0, "xmax": 4.0e6, "ymax": 4.0e6,
+        "ring_xs": [0.0, 4.0e6, 4.0e6, 2.0e6, 2.0e6, 0.0],
+        "ring_ys": [0.0, 0.0, 2.0e6, 2.0e6, 4.0e6, 4.0e6],
+    }
+    from tilekiln_spark.sources.pages import POLYGON_SCHEMA
+
+    polys = spark.createDataFrame(pd.DataFrame([L]), schema=POLYGON_SCHEMA)
+    pts = pages_geo(pages(spark, 2000))
+    got = {
+        r.url
+        for r in points_in_polygons(pts, polys, refine="raycast").select("url").collect()
+    }
+    expected = {
+        r.url
+        for r in pts.collect()
+        if _py_raycast(r.mx, r.my, L["ring_xs"], L["ring_ys"])
+    }
+    assert got == expected and len(expected) > 0

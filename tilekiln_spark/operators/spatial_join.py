@@ -48,6 +48,33 @@ def pip_convex(mx: Column, my: Column, ring_xs: Column, ring_ys: Column) -> Colu
     return F.forall(idx, lambda i: cross(i) >= 0) | F.forall(idx, lambda i: cross(i) <= 0)
 
 
+def pip_raycast(mx: Column, my: Column, ring_xs: Column, ring_ys: Column) -> Column:
+    """Point-in-polygon for ARBITRARY (concave included) simple rings:
+    even-odd ray cast, still a built-in higher-order fold (no UDF).
+
+    Crossing i flips parity when edge (i, i+1) straddles the horizontal ray
+    (yi > y) != (yj > y) and the intersection lies right of the point.  The
+    division is guarded by the straddle condition (CaseWhen short-circuit),
+    so ANSI mode never sees a divide-by-zero.  Real planet_osm_polygon
+    geometries are overwhelmingly concave — this is the default refine."""
+    n = F.size(ring_xs)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def flip(acc: Column, i: Column) -> Column:
+        j = F.pmod(i + 1, n)
+        xi = F.element_at(ring_xs, i + 1)
+        yi = F.element_at(ring_ys, i + 1)
+        xj = F.element_at(ring_xs, j + 1)
+        yj = F.element_at(ring_ys, j + 1)
+        straddles = (yi > my) != (yj > my)
+        crossing = F.when(
+            straddles, mx < xi + (my - yi) * (xj - xi) / (yj - yi)
+        ).otherwise(F.lit(False))
+        return F.when(crossing, ~acc).otherwise(acc)
+
+    return F.aggregate(idx, F.lit(False), flip)
+
+
 def _bbox_overlap(mx: Column, my: Column) -> Column:
     return (
         (mx >= F.col("xmin")) & (mx <= F.col("xmax"))
@@ -79,12 +106,15 @@ def points_in_polygons(
     broadcast_polys: bool = True,
     mx: str = "mx",
     my: str = "my",
+    refine: str = "convex",
 ) -> DataFrame:
     """Inner join: each point row x each polygon containing it.
 
     points must carry web-mercator columns ``mx, my``; polys must carry
     ``xmin, ymin, xmax, ymax, ring_xs, ring_ys`` (+ any property columns,
-    all preserved in the output)."""
+    all preserved in the output).  refine="convex" (half-plane test,
+    boundary-inclusive — exact for the convex fixture set) or "raycast"
+    (even-odd, handles concave rings)."""
     pmx, pmy = F.col(mx), F.col(my)
     if how == "broadcast":
         right = F.broadcast(polys) if broadcast_polys else polys
@@ -101,7 +131,8 @@ def points_in_polygons(
         )
     else:
         raise ValueError(f"unknown join strategy: {how}")
-    return joined.filter(pip_convex(pmx, pmy, F.col("ring_xs"), F.col("ring_ys")))
+    pip = pip_convex if refine == "convex" else pip_raycast
+    return joined.filter(pip(pmx, pmy, F.col("ring_xs"), F.col("ring_ys")))
 
 
 def knn_assign(
