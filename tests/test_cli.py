@@ -1,0 +1,83 @@
+"""CLI parity (reference main.py + scripts/{config,generate,storage}.py)."""
+
+import io
+import sys
+
+import pytest
+
+from tilekiln_spark.cli import main
+
+CFG = """
+metadata: {id: clits}
+vector_layers:
+  water:
+    fields: {water: T}
+    sql:
+    - {minzoom: 0, maxzoom: 6, extent: 2048, file: water.b}
+"""
+
+
+@pytest.fixture
+def cfg_path(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(CFG)
+    (tmp_path / "water.b").write_text("water\n")  # template -> builder name
+    return str(p)
+
+
+def test_config_test(cfg_path, capsys):
+    assert main(["config", "test", "--config", cfg_path]) == 0
+    assert "config ok" in capsys.readouterr().out
+
+
+def test_generate_zooms_and_storage_roundtrip(spark, cfg_path, tmp_path, capsys, monkeypatch):
+    store = str(tmp_path / "store")
+    assert main([
+        "generate", "zooms", "--config", cfg_path, "--store", store,
+        "--min-zoom", "0", "--max-zoom", "2", "--synth-pages", "500",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "tileset clits snapshot" in out
+
+    # storage inspect on the z0 tile
+    assert main([
+        "storage", "inspect", "--store", store, "--id", "clits",
+        "-z", "0", "-x", "0", "-y", "0",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "water:" in out and "bytes" in out
+
+    # generate tiles from stdin (expiry-list shape)
+    monkeypatch.setattr(sys, "stdin", io.StringIO("1/0/0\n1/1/1\n"))
+    assert main([
+        "generate", "tiles", "--config", cfg_path, "--store", store,
+        "--synth-pages", "500",
+    ]) == 0
+
+    # keyed delete from stdin
+    monkeypatch.setattr(sys, "stdin", io.StringIO("0/0/0\n"))
+    assert main([
+        "storage", "tiledelete", "--store", store, "--id", "clits",
+    ]) == 0
+    assert main([
+        "storage", "inspect", "--store", store, "--id", "clits",
+        "-z", "0", "-x", "0", "-y", "0",
+    ]) == 1  # gone
+
+    # truncate + destroy
+    assert main(["storage", "delete", "--store", store, "--id", "clits"]) == 0
+    assert main(["storage", "destroy", "--store", store, "--id", "clits"]) == 0
+    from tilekiln_spark.config.errors import TilesetMissing
+
+    with pytest.raises(TilesetMissing):
+        main(["storage", "inspect", "--store", store, "--id", "clits",
+              "-z", "0", "-x", "0", "-y", "0"])
+
+
+def test_config_plan_prints_formatted(spark, cfg_path, capsys):
+    assert main([
+        "config", "plan", "--config", cfg_path, "--layer", "water",
+        "--zoom", "3", "--synth-pages", "100",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out or "Physical Plan" in out

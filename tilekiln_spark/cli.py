@@ -1,0 +1,287 @@
+"""CLI entry points — parity with the reference's click commands
+(reference tilekiln/main.py:25-32, scripts/{config,generate,storage}.py),
+argparse-based so no extra dependency:
+
+    python -m tilekiln_spark.cli config test --config cfg.yaml
+    python -m tilekiln_spark.cli config plan --config cfg.yaml --layer water --zoom 4
+    python -m tilekiln_spark.cli generate zooms --config cfg.yaml --store DIR \
+        --min-zoom 0 --max-zoom 6 --synth-pages 10000
+    python -m tilekiln_spark.cli generate tiles --config cfg.yaml --store DIR < tiles.txt
+    python -m tilekiln_spark.cli generate layers --config cfg.yaml --store DIR < tl.txt
+    python -m tilekiln_spark.cli storage init|destroy|inspect|delete|tiledelete|layerdelete ...
+
+`generate tiles` reads 'z/x/y' lines on stdin and `generate layers` reads
+'z/x/y,layer' lines, exactly like the reference's expiry-list piping
+(reference scripts/generate.py:42-86, 157-220).  The HTTP server is out of
+scope (storage/serving.py holds the column-level serving semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("tilekiln_spark_cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _load_config(path: str):
+    import os
+
+    import yaml
+
+    from tilekiln_spark.config.model import Config
+
+    with open(path) as f:
+        raw = f.read()
+    # resolve template files relative to the config, like the reference's
+    # filesystem loader (reference config.py load_config)
+    d = os.path.dirname(os.path.abspath(path))
+    doc = yaml.safe_load(raw)
+    templates = {}
+    for layer in (doc.get("vector_layers") or {}).values():
+        for defn in layer.get("sql", []):
+            fname = defn.get("file")
+            if fname and fname not in templates:
+                p = os.path.join(d, fname)
+                templates[fname] = open(p).read().strip() if os.path.exists(p) else fname
+    return Config(raw, templates)
+
+
+def _sources(spark, args):
+    from tilekiln_spark.operators.tiling import pages_geo
+    from tilekiln_spark.sources.pages import layer_polygons, pages
+
+    if getattr(args, "pages_parquet", None):
+        pg = spark.read.parquet(args.pages_parquet)
+    else:
+        pg = pages(spark, args.synth_pages)
+    if getattr(args, "polygons_parquet", None):
+        polys = spark.read.parquet(args.polygons_parquet)
+    else:
+        polys = layer_polygons(spark, args.synth_polygons)
+    return {"pages_geo": pages_geo(pg), "layer_polygons": polys}
+
+
+def _add_source_opts(p):
+    p.add_argument("--pages-parquet")
+    p.add_argument("--synth-pages", type=int, default=10000)
+    p.add_argument("--polygons-parquet")
+    p.add_argument("--synth-polygons", type=int, default=40)
+
+
+def cmd_config_test(args) -> int:
+    """reference scripts/config.py test: parse + validate, exit code only."""
+    _load_config(args.config)
+    print("config ok")
+    return 0
+
+
+def cmd_config_plan(args) -> int:
+    """reference scripts/config.py sql: the reference prints rendered SQL;
+    the Spark-native equivalent prints the optimized plan of the layer's
+    feature build at the requested zoom."""
+    spark = _spark()
+    cfg = _load_config(args.config)
+    from tilekiln_spark.operators.tiling import _layer_band_features
+
+    feats = _layer_band_features(cfg, args.layer, [args.zoom], _sources(spark, args), None)
+    if feats is None:
+        print(f"layer {args.layer} has no definition at zoom {args.zoom}")
+        return 1
+    print(feats._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ))
+    return 0
+
+
+def cmd_generate_zooms(args) -> int:
+    from tilekiln_spark.plans.generate import generate_zooms
+
+    spark = _spark()
+    cfg = _load_config(args.config)
+    ts = generate_zooms(
+        spark, cfg, _sources(spark, args), args.store, args.min_zoom, args.max_zoom
+    )
+    print(f"tileset {ts.id} snapshot {ts.store.current_snapshot()}")
+    return 0
+
+
+def _stdin_lines(spark):
+    lines = [ln.strip() for ln in sys.stdin if ln.strip()]
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def cmd_generate_tiles(args) -> int:
+    from tilekiln_spark.plans.generate import generate_tiles
+    from tilekiln_spark.sources.worklist import tiles_from_lines
+    from tilekiln_spark.storage.tileset import Tileset
+
+    spark = _spark()
+    cfg = _load_config(args.config)
+    ts = Tileset.from_config(spark, args.store, cfg)
+    snap = generate_tiles(
+        spark, cfg, _sources(spark, args), ts, tiles_from_lines(_stdin_lines(spark))
+    )
+    print(f"snapshot {snap}")
+    return 0
+
+
+def cmd_generate_layers(args) -> int:
+    from tilekiln_spark.plans.generate import generate_layers
+    from tilekiln_spark.sources.worklist import tile_layers_from_lines
+    from tilekiln_spark.storage.tileset import Tileset
+
+    spark = _spark()
+    cfg = _load_config(args.config)
+    ts = Tileset.from_config(spark, args.store, cfg)
+    snaps = generate_layers(
+        spark, cfg, _sources(spark, args), ts, tile_layers_from_lines(_stdin_lines(spark))
+    )
+    print(f"snapshots {snaps}")
+    return 0
+
+
+def cmd_storage_init(args) -> int:
+    from tilekiln_spark.storage.catalog import Catalog
+
+    c = Catalog(_spark(), args.store)
+    ts = c.create_tileset(_load_config(args.config))
+    print(f"initialized {ts.id}")
+    return 0
+
+
+def cmd_storage_destroy(args) -> int:
+    from tilekiln_spark.storage.catalog import Catalog
+
+    Catalog(_spark(), args.store).remove_tileset(args.id)
+    print(f"destroyed {args.id}")
+    return 0
+
+
+def cmd_storage_inspect(args) -> int:
+    """reference storage.py inspect: tile + per-layer byte sizes/timestamps."""
+    from tilekiln_spark.storage.catalog import Catalog
+
+    ts = Catalog(_spark(), args.store).get_tileset(args.id)
+    got = ts.get_tile(args.zoom, args.x, args.y)
+    if got is None:
+        print("tile not found")
+        return 1
+    generated, layers = got
+    print(f"generated: {generated}")
+    for name, data in layers.items():
+        info = "missing" if data is None else f"{len(data)} bytes"
+        print(f"  {name}: {info}")
+    return 0
+
+
+def cmd_storage_delete(args) -> int:
+    """reference storage.py delete: truncate zooms (all when none given)."""
+    from tilekiln_spark.storage.catalog import Catalog
+
+    ts = Catalog(_spark(), args.store).get_tileset(args.id)
+    snap = ts.store.delete_zooms(args.zoom if args.zoom else None)
+    print(f"snapshot {snap}")
+    return 0
+
+
+def cmd_storage_tiledelete(args) -> int:
+    from tilekiln_spark.sources.worklist import tiles_from_lines
+    from tilekiln_spark.storage.catalog import Catalog
+
+    spark = _spark()
+    ts = Catalog(spark, args.store).get_tileset(args.id)
+    snap = ts.store.delete_tiles(tiles_from_lines(_stdin_lines(spark)))
+    print(f"snapshot {snap}")
+    return 0
+
+
+def cmd_storage_layerdelete(args) -> int:
+    from tilekiln_spark.sources.worklist import tiles_from_lines
+    from tilekiln_spark.storage.catalog import Catalog
+
+    spark = _spark()
+    ts = Catalog(spark, args.store).get_tileset(args.id)
+    snap = ts.store.delete_layers(tiles_from_lines(_stdin_lines(spark)), [args.layer])
+    print(f"snapshot {snap}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tilekiln_spark")
+    sub = p.add_subparsers(dest="group", required=True)
+
+    cfg = sub.add_parser("config").add_subparsers(dest="cmd", required=True)
+    t = cfg.add_parser("test")
+    t.add_argument("--config", required=True)
+    t.set_defaults(fn=cmd_config_test)
+    s = cfg.add_parser("plan")
+    s.add_argument("--config", required=True)
+    s.add_argument("--layer", required=True)
+    s.add_argument("--zoom", type=int, required=True)
+    _add_source_opts(s)
+    s.set_defaults(fn=cmd_config_plan)
+
+    gen = sub.add_parser("generate").add_subparsers(dest="cmd", required=True)
+    z = gen.add_parser("zooms")
+    z.add_argument("--config", required=True)
+    z.add_argument("--store", required=True)
+    z.add_argument("--min-zoom", type=int, required=True)
+    z.add_argument("--max-zoom", type=int, required=True)
+    _add_source_opts(z)
+    z.set_defaults(fn=cmd_generate_zooms)
+    for name, fn in (("tiles", cmd_generate_tiles), ("layers", cmd_generate_layers)):
+        g = gen.add_parser(name)
+        g.add_argument("--config", required=True)
+        g.add_argument("--store", required=True)
+        _add_source_opts(g)
+        g.set_defaults(fn=fn)
+
+    st = sub.add_parser("storage").add_subparsers(dest="cmd", required=True)
+    i = st.add_parser("init")
+    i.add_argument("--config", required=True)
+    i.add_argument("--store", required=True)
+    i.set_defaults(fn=cmd_storage_init)
+    d = st.add_parser("destroy")
+    d.add_argument("--store", required=True)
+    d.add_argument("--id", required=True)
+    d.set_defaults(fn=cmd_storage_destroy)
+    ins = st.add_parser("inspect")
+    ins.add_argument("--store", required=True)
+    ins.add_argument("--id", required=True)
+    ins.add_argument("-z", "--zoom", type=int, required=True)
+    ins.add_argument("-x", type=int, required=True)
+    ins.add_argument("-y", type=int, required=True)
+    ins.set_defaults(fn=cmd_storage_inspect)
+    de = st.add_parser("delete")
+    de.add_argument("--store", required=True)
+    de.add_argument("--id", required=True)
+    de.add_argument("--zoom", type=int, action="append")
+    de.set_defaults(fn=cmd_storage_delete)
+    td = st.add_parser("tiledelete")
+    td.add_argument("--store", required=True)
+    td.add_argument("--id", required=True)
+    td.set_defaults(fn=cmd_storage_tiledelete)
+    ld = st.add_parser("layerdelete")
+    ld.add_argument("--store", required=True)
+    ld.add_argument("--id", required=True)
+    ld.add_argument("--layer", required=True)
+    ld.set_defaults(fn=cmd_storage_layerdelete)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -530,90 +530,172 @@ def render_zooms(
         name: {z: empty_layer(name, ext) for z, ext in extents[name].items()}
         for name in rendered_layers
     }
+    # integral prop columns arrive as float64+NaN through Arrow when other
+    # layers' rows hold NULLs — coerce back so MVT values stay ints
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    def encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        z = int(pdf["zoom"].iloc[0])
-        row: dict = {
-            "zoom": [z], "x": [int(pdf["x"].iloc[0])], "y": [int(pdf["y"].iloc[0])],
-        }
-        lay = pdf["__layer"]
+    int_props = {
+        f.name for f in feats.schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
+    }
+
+    def _encode_layer_slice(name, z, arrs, lo_i, hi_i):
+        """One (tile, layer) run of rows [lo_i, hi_i) -> (blob, n_features)."""
+        n_rows = hi_i - lo_i
+        nt = arrs["__ntrue"][lo_i:hi_i]
+        if nt.dtype.kind == "f":
+            valid = nt[~np.isnan(nt)]
+        elif nt.dtype.kind == "O":
+            valid = np.array([v for v in nt if v is not None])
+        else:
+            valid = nt
+        n_total = int(valid[0]) if len(valid) else n_rows
+        fh = arrs["__fh"][lo_i:hi_i]
+        px = arrs["px"][lo_i:hi_i]
+        py = arrs["py"][lo_i:hi_i]
+        pxy = ((px + (1 << 21)) << np.int64(22)) | (py + (1 << 21))
+        base = np.arange(lo_i, hi_i)
+        if cap and n_rows > cap:
+            # exact cap: keep the cap smallest by (hash, pxy) — a uniform,
+            # deterministic subset of the (already hash-sampled) run
+            sel = np.lexsort((pxy, fh))[:cap]
+            fh, pxy, base = fh[sel], pxy[sel], base[sel]
+        idx = base[np.lexsort((fh, pxy))]  # final blob order: (px, py, hash)
+        gt = geom_types[name]
+        ext = extents[name][z]
+        if gt == GEOM_POINT:
+            props = {}
+            for c in layer_props[name]:
+                ser = pd.Series(arrs[c][idx])
+                if c in int_props and ser.dtype.kind == "f":
+                    ser = ser.astype("Int64")
+                props[c] = ser
+            return (
+                encode_layer_fast(name, ext, arrs["px"][idx], arrs["py"][idx], props),
+                n_total,
+            )
+        # line/polygon: clip each ring/outline to the buffered box, then
+        # build command streams (features clipped entirely away drop out,
+        # matching ST_AsMVTGeom's NULL-geometry removal)
+        lo, hi = float(-buffers[name][z]), float(ext + buffers[name][z])
+        geoms: list[np.ndarray] = []
+        kept: list[int] = []
+        for i in idx:
+            gxs, gys = arrs["g_xs"][i], arrs["g_ys"][i]
+            if gt == GEOM_POLYGON:
+                cx, cy = clip_ring(np.asarray(gxs), np.asarray(gys), lo, hi)
+                if len(cx) < 3:
+                    continue
+                cx = np.round(cx).astype(np.int64)
+                cy = np.round(cy).astype(np.int64)
+                # MVT 2.1 §4.3.3.3: an exterior ring has POSITIVE surveyor-
+                # formula area in tile coords (y down) — clockwise on screen
+                area2 = np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy)
+                if area2 < 0:
+                    cx, cy = cx[::-1], cy[::-1]
+                parts = [(cx, cy)]
+            else:
+                parts = clip_line(np.asarray(gxs), np.asarray(gys), lo, hi)
+                parts = [
+                    (np.round(px_).astype(np.int64), np.round(py_).astype(np.int64))
+                    for px_, py_ in parts
+                ]
+            if not parts:
+                continue
+            cmds = geom_commands(parts, gt)
+            if len(cmds) == 0:
+                continue
+            geoms.append(cmds)
+            kept.append(i)
+        if not geoms:
+            return blanks[name][z], 0
+        props = {c: [arrs[c][i] for i in kept] for c in layer_props[name]}
+        return encode_geom_layer(name, ext, geoms, props, gt), len(geoms)
+
+    lcode = {name: i for i, name in enumerate(rendered_layers)}
+    code_expr = F.array_position(
+        F.array(*[F.lit(n) for n in rendered_layers]), F.col("__layer")
+    ).cast("int")
+    feats = feats.withColumn("__lc", code_expr)
+    needed_cols = set(
+        ["zoom", "x", "y", "px", "py", "__fh", "__ntrue", "__lc"]
+        + [c for n in rendered_layers for c in layer_props[n]]
+        + (["g_xs", "g_ys"] if any(geom_types[n] != GEOM_POINT for n in rendered_layers) else [])
+    )
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = {}
+        for c in needed_cols & set(pdf.columns):
+            a = pdf[c].to_numpy()
+            if c in ("zoom", "x", "y", "px", "py", "__fh"):
+                a = a.astype(np.int64)
+            arrs[c] = a
+        key = (arrs["zoom"] << np.int64(58)) | (arrs["x"] << np.int64(29)) | arrs["y"]
+        lc = arrs["__lc"].astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        ends = np.concatenate([starts[1:], [len(key)]])
+        out: dict = {"zoom": [], "x": [], "y": []}
         for name in rendered_layers:
-            if z not in extents[name]:  # layer undefined at this zoom -> NULL
-                row[f"{name}_data"] = [None]
-                row[f"{name}_nfeat"] = [None]
-                continue
-            sub = pdf[lay == name]
-            if len(sub) == 0:
-                row[f"{name}_data"] = [blanks[name][z]]
-                row[f"{name}_nfeat"] = [0]
-                continue
-            ntrue = sub["__ntrue"].dropna()
-            n_total = int(ntrue.iloc[0]) if len(ntrue) else len(sub)
-            fh = sub["__fh"].to_numpy()
-            pxy = (
-                (sub["px"].to_numpy().astype(np.int64) + (1 << 21)) << np.int64(22)
-            ) | (sub["py"].to_numpy().astype(np.int64) + (1 << 21))
-            if cap and len(sub) > cap:
-                keep = np.lexsort((pxy, fh))[:cap]
-                sub = sub.iloc[keep]
-                fh, pxy = fh[keep], pxy[keep]
-            order = np.lexsort((fh, pxy))
-            sub = sub.iloc[order]
-            gt = geom_types[name]
-            ext = extents[name][z]
-            if gt == GEOM_POINT:
-                props = {c: sub[c] for c in layer_props[name]}
-                blob = encode_layer_fast(
-                    name, ext, sub["px"].to_numpy(), sub["py"].to_numpy(), props
-                )
-                row[f"{name}_data"] = [blob]
-                row[f"{name}_nfeat"] = [n_total]
-                continue
-            # line/polygon: clip each ring/outline to the buffered box, then
-            # build command streams (features clipped entirely away drop out,
-            # matching ST_AsMVTGeom's NULL-geometry removal)
-            lo, hi = float(-buffers[name][z]), float(ext + buffers[name][z])
-            geoms: list[np.ndarray] = []
-            kept_idx: list[int] = []
-            for i, (gxs, gys) in enumerate(zip(sub["g_xs"], sub["g_ys"])):
-                if gt == GEOM_POLYGON:
-                    cx, cy = clip_ring(np.asarray(gxs), np.asarray(gys), lo, hi)
-                    if len(cx) < 3:
-                        continue
-                    cx = np.round(cx).astype(np.int64)
-                    cy = np.round(cy).astype(np.int64)
-                    # MVT 2.1 §4.3.3.3: an exterior ring has POSITIVE
-                    # surveyor-formula area in tile coords (y down), i.e.
-                    # appears clockwise on screen
-                    area2 = np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy)
-                    if area2 < 0:
-                        cx, cy = cx[::-1], cy[::-1]
-                    parts = [(cx, cy)]
-                else:
-                    parts = clip_line(np.asarray(gxs), np.asarray(gys), lo, hi)
-                    parts = [
-                        (np.round(px_).astype(np.int64), np.round(py_).astype(np.int64))
-                        for px_, py_ in parts
-                    ]
-                if not parts:
+            out[f"{name}_data"] = []
+            out[f"{name}_nfeat"] = []
+        for s, e in zip(starts, ends):
+            z = int(arrs["zoom"][s])
+            out["zoom"].append(z)
+            out["x"].append(int(arrs["x"][s]))
+            out["y"].append(int(arrs["y"][s]))
+            seg = lc[s:e]
+            for name in rendered_layers:
+                if z not in extents[name]:  # undefined at this zoom -> NULL
+                    out[f"{name}_data"].append(None)
+                    out[f"{name}_nfeat"].append(None)
                     continue
-                cmds = geom_commands(parts, gt)
-                if len(cmds) == 0:
+                code = lcode[name] + 1  # array_position is 1-based
+                ls = s + int(np.searchsorted(seg, code, side="left"))
+                le = s + int(np.searchsorted(seg, code, side="right"))
+                if ls == le:
+                    out[f"{name}_data"].append(blanks[name][z])
+                    out[f"{name}_nfeat"].append(0)
                     continue
-                geoms.append(cmds)
-                kept_idx.append(i)
-            if not geoms:
-                row[f"{name}_data"] = [blanks[name][z]]
-                row[f"{name}_nfeat"] = [0]
-                continue
-            subk = sub.iloc[kept_idx]
-            props = {c: list(subk[c]) for c in layer_props[name]}
-            blob = encode_geom_layer(name, ext, geoms, props, gt)
-            row[f"{name}_data"] = [blob]
-            row[f"{name}_nfeat"] = [len(geoms)]
-        return pd.DataFrame(row)
+                blob, nf = _encode_layer_slice(name, z, arrs, ls, le)
+                out[f"{name}_data"].append(blob)
+                out[f"{name}_nfeat"].append(nf)
+        return pd.DataFrame(out)
 
-    tiles = feats.groupBy("zoom", "x", "y").applyInPandas(encode_tile, out_schema)
+    def encode_stream(batches):
+        """Sorted-stream tile encoder: rows arrive clustered by (zoom, x, y,
+        __lc) within each partition; groups are numpy slices of whole Arrow
+        batches, so per-tile cost is an np.searchsorted + encode call — no
+        per-group pandas DataFrame, which is what makes the z14-shaped
+        'millions of tiny tiles' case scale (applyInPandas pays ~ms per
+        group; this path pays ~µs)."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            key = (
+                (pdf["zoom"].to_numpy().astype(np.int64) << np.int64(58))
+                | (pdf["x"].to_numpy().astype(np.int64) << np.int64(29))
+                | pdf["y"].to_numpy().astype(np.int64)
+            )
+            body_end = np.flatnonzero(key != key[-1])
+            if len(body_end) == 0:
+                carry = pdf  # whole batch is one tile: keep accumulating
+                continue
+            cut = int(body_end[-1]) + 1
+            carry = pdf.iloc[cut:]
+            yield _emit(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    n_parts = feats.sparkSession.sparkContext.defaultParallelism * 4
+    tiles = (
+        feats.repartition(n_parts, "zoom", "x", "y")
+        .sortWithinPartitions("zoom", "x", "y", "__lc")
+        .mapInPandas(encode_stream, out_schema)
+    )
     ts = F.current_timestamp()
     cols = [F.col("zoom"), F.col("x"), F.col("y")]
     for name in rendered_layers:

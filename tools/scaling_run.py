@@ -18,8 +18,8 @@ import os
 import subprocess
 import sys
 
-MEASURED_REPS = 1
-ROUNDS = 2  # interleaved rounds; min per cell across rounds
+MEASURED_REPS = int(os.environ.get("SCALING_REPS", "1"))
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))  # interleaved rounds; min per cell across rounds
 
 RUN_SNIPPET = r"""
 import json, sys, time
