@@ -88,11 +88,14 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
     for name in (
         "tile_assign_multizoom",
         "spatial_join_grid",
+        "spatial_join_concave",
         "knn_centroids",
         "mvt_render_z4",
+        "mvt_poly_render",
         "dedup_exact",
         "dedup_minhash",
         "similarity_bruteforce",
+        "ann_lsh_topk",
         "text_quality",
         "fingerprints",
         "event_windows",
