@@ -707,6 +707,24 @@ vector_layers:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf_dir):
+        """IVF coarse-quantizer ANN: deterministic centroids (8 smallest
+        corpus keys), matmul bucket assignment, nprobe=2 bucket search,
+        exact rerank — DuckDB re-derives identical buckets and ranks."""
+        from tilekiln_spark.operators.similarity import ivf_topk
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        out = ivf_topk(corpus, probes, k=10, n_centroids=8, nprobe=2)
+        return out.select("probe_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def embedding_neardups(spark, sf_dir):
         emb = _embeddings(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1092,6 +1110,51 @@ def oracle_sql() -> dict[str, str]:
         pb AS (SELECT probe_id, band, (sig >> CAST(band * 4 AS INT)) & 15 AS block FROM psig, bands),
         cand AS (SELECT DISTINCT probe_id, vec_id FROM cb JOIN pb USING (band, block)),
         scored AS (
+            SELECT cand.probe_id, cand.vec_id,
+                   list_cosine_similarity(corpus.v, probes.v) AS cos
+            FROM cand
+            JOIN corpus ON cand.vec_id = corpus.vec_id
+            JOIN probes ON cand.probe_id = probes.probe_id
+        ), ranked AS (
+            SELECT probe_id, vec_id, cos,
+                   row_number() OVER (
+                       PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT probe_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+    o["ann_ivf_topk"] = """
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 5
+        ), cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+        ), cassign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid ASC
+                   ) AS rn
+            FROM corpus, cents
+        ), passign AS (
+            SELECT probe_id, cid,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid ASC
+                   ) AS rn
+            FROM probes, cents
+        ), cand AS (
+            SELECT pa.probe_id, ca.vec_id
+            FROM (SELECT probe_id, cid FROM passign WHERE rn <= 2) pa
+            JOIN (SELECT vec_id, cid FROM cassign WHERE rn = 1) ca USING (cid)
+        ), scored AS (
             SELECT cand.probe_id, cand.vec_id,
                    list_cosine_similarity(corpus.v, probes.v) AS cos
             FROM cand

@@ -132,3 +132,33 @@ def test_stream_expiries_available_now(spark, tmp_path, cfg, sources):
     q2.awaitTermination(120)
     stored2 = {(r.zoom, r.x, r.y) for r in ts.store.read().select("zoom", "x", "y").collect()}
     assert stored2 == {(6, 44, 49), (6, 0, 0), (5, 20, 20)}
+
+
+def test_stateful_expiry_counts_resume(spark, tmp_path):
+    """applyInPandasWithState: running per-tile totals survive a query
+    restart via checkpointed GroupState (SURVEY C-streaming, stateful)."""
+    from tilekiln_spark.streaming.stateful import latest_expiry_counts, run_expiry_counts
+
+    exp = tmp_path / "expiries"
+    exp.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "counts")
+    (exp / "b1.txt").write_text("3/1/2\n3/1/2\n4/5/5\n")
+    q = run_expiry_counts(spark, str(exp), ckpt, out)
+    q.awaitTermination()
+    got = {
+        (r.zoom, r.x, r.y): r.n_expiries
+        for r in latest_expiry_counts(spark, out).collect()
+    }
+    assert got == {(3, 1, 2): 2, (4, 5, 5): 1}
+    # second batch of expiries; new query, SAME checkpoint -> state resumes
+    (exp / "b2.txt").write_text("3/1/2\n4/0/0\n")
+    q2 = run_expiry_counts(spark, str(exp), ckpt, out)
+    q2.awaitTermination()
+    got2 = {
+        (r.zoom, r.x, r.y): r.n_expiries
+        for r in latest_expiry_counts(spark, out).collect()
+    }
+    assert got2[(3, 1, 2)] == 3  # 2 from before + 1 new, via checkpointed state
+    assert got2[(4, 0, 0)] == 1
+    assert got2[(4, 5, 5)] == 1  # untouched tile keeps its total

@@ -177,6 +177,74 @@ def lsh_topk(
     )
 
 
+def make_ivf_assign_udf(centroids: np.ndarray, top: int):
+    """Cluster assignment for IVF: one (batch x dim) @ (dim x K) matmul per
+    Arrow batch over L2-normalized vectors; returns the `top` nearest
+    centroid indices (cosine order, first-index tie-break) as array<int>."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs.to_numpy()])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        cos = Mn @ Cn.T  # (batch, K)
+        # stable top-`top`: sort by (-cos, index)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :top].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    probe_key: str = "probe_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path next to LSH: corpus vectors partition into centroid buckets via one
+    matmul Arrow UDF (map-only, no shuffle), probes search their `nprobe`
+    nearest buckets, exact cosine rerank inside.
+
+    Centroids are the n_centroids corpus vectors with the smallest keys —
+    deterministic (so the DuckDB oracle can re-derive the exact buckets);
+    a production run would swap in k-means centroids, which only changes
+    the centroid matrix handed to the same UDF.  At 10^12 rows the bucket
+    column doubles as the Iceberg partition key, making probe-side reads
+    partition-pruned scans."""
+    cent_rows = (
+        corpus.select(key_col, vec_col).orderBy(key_col).limit(n_centroids).collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    a1 = make_ivf_assign_udf(C, 1)
+    ap = make_ivf_assign_udf(C, nprobe)
+    c = corpus.withColumn("cluster", a1(F.col(vec_col))[0])
+    p = (
+        probes.withColumn("cluster", F.explode(ap(F.col(vec_col))))
+        .select(probe_key, F.col(vec_col).alias("__pvec"), "cluster")
+    )
+    cands = c.join(F.broadcast(p), "cluster").select(
+        probe_key, key_col, vec_col, "__pvec"
+    )
+    cos = cosine_sim(F.col(vec_col), F.col("__pvec"))
+    w = Window.partitionBy(probe_key).orderBy(F.col("cos").desc(), F.col(key_col).asc())
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "cos", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,
