@@ -387,6 +387,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_centroids"] = knn_centroids
 
+    def raster_vectorize(spark, sf_dir):
+        """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
+        count grids at z2, then vectorize cells with n >= 2 back into
+        mercator cell polygons; the oracle re-derives both steps in SQL."""
+        from tilekiln_spark.operators.raster import rasterize, vectorize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        rr = rasterize(d, zoom=2, res=16)
+        v = vectorize(rr, res=16, threshold=2)
+        return v.select(
+            "zoom", "x", "y", "bin_x", "bin_y", "n",
+            (F.round("xmin", 3) + 0.0).alias("xmin"), (F.round("ymin", 3) + 0.0).alias("ymin"),
+            (F.round("xmax", 3) + 0.0).alias("xmax"), (F.round("ymax", 3) + 0.0).alias("ymax"),
+        )
+
+    q["raster_vectorize"] = raster_vectorize
+
     def union_literals(spark, sf_dir):
         """B5/B6/B7: the water-template shape — two filtered projections with
         literal/NULL padding, UNION ALL, grouped counts."""
@@ -835,6 +852,28 @@ def oracle_sql() -> dict[str, str]:
     """
 
     cell = 2.0 * HW / 4
+    len2 = f"(2.0 * {HW} / power(2.0, 2))"
+    tx2, ty2 = _tile_xy_sql(2)
+    o["raster_vectorize"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS BIGINT) AS n
+            FROM binned GROUP BY 1, 2, 3, 4
+        )
+        SELECT 2 AS zoom, x, y, bin_x, bin_y, n,
+               round((-{HW} + x * {len2}) + bin_x * ({len2} / 16), 3) + 0.0 AS xmin,
+               round(({HW} - y * {len2}) - (bin_y + 1) * ({len2} / 16), 3) + 0.0 AS ymin,
+               round((-{HW} + x * {len2}) + (bin_x + 1) * ({len2} / 16), 3) + 0.0 AS xmax,
+               round(({HW} - y * {len2}) - bin_y * ({len2} / 16), 3) + 0.0 AS ymax
+        FROM counts WHERE n >= 2
+    """
+
     concave_parts = []
     for p, _n, xs, ys in _CONCAVE_RINGS:
         concave_parts.append(

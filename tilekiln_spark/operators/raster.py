@@ -1,0 +1,128 @@
+"""Raster <-> vector operators (north_rule: "raster<->vector" alongside the
+spatial join / kNN / tiling family).
+
+Spark-first framing: a raster is just an aggregation grid —
+
+- ``rasterize``     — points -> per-tile res x res cell counts as ROWS
+  (zoom, x, y, bin_x, bin_y, n): one groupBy, fully distributed, no UDF.
+- ``raster_grids``  — the storage form: rows -> one uint32 little-endian
+  grid blob per tile (res*res*4 bytes), via the same sorted-stream
+  mapInPandas shape as the MVT encoder.
+- ``vectorize``     — raster rows -> vector cells: bins with n >= threshold
+  become axis-aligned polygons (mercator bbox + ring arrays), directly
+  consumable by points_in_polygons / the polygon tile builders — closing
+  the raster->vector->join loop.
+
+All three are column math + one aggregation; the DuckDB oracle re-derives
+rasterize+vectorize end-to-end (driver query ``raster_vectorize``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilekiln_spark.functions.tileids import envelope_cols, tile_x, tile_y
+
+
+def rasterize(
+    points: DataFrame, zoom: int, res: int = 256, mx: str = "mx", my: str = "my"
+) -> DataFrame:
+    """Per-tile res x res histogram: (zoom, x, y, bin_x, bin_y, n)."""
+    z = F.lit(zoom)
+    pmx, pmy = F.col(mx), F.col(my)
+    d = points.withColumn("x", tile_x(z, pmx)).withColumn("y", tile_y(z, pmy))
+    xmin, ymin, xmax, ymax = envelope_cols(z.cast("int"), F.col("x"), F.col("y"), 0.0)
+    length = xmax - xmin
+    bx = F.least(F.floor((pmx - xmin) / length * res), F.lit(res - 1)).cast("int")
+    by = F.least(F.floor((ymax - pmy) / length * res), F.lit(res - 1)).cast("int")
+    return (
+        d.withColumn("zoom", z.cast("int"))
+        .withColumn("bin_x", F.greatest(bx, F.lit(0)))
+        .withColumn("bin_y", F.greatest(by, F.lit(0)))
+        .groupBy("zoom", "x", "y", "bin_x", "bin_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def raster_grids(raster_rows: DataFrame, res: int = 256) -> DataFrame:
+    """Rows -> one uint32-LE grid blob per tile (row-major, y down):
+    (zoom, x, y, grid binary, n_points long)."""
+    out_schema = "zoom int, x int, y int, grid binary, n_points long"
+
+    def assemble(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            key = (
+                (pdf["zoom"].to_numpy().astype(np.int64) << np.int64(58))
+                | (pdf["x"].to_numpy().astype(np.int64) << np.int64(29))
+                | pdf["y"].to_numpy().astype(np.int64)
+            )
+            body_end = np.flatnonzero(key != key[-1])
+            if len(body_end) == 0:
+                carry = pdf
+                continue
+            cut = int(body_end[-1]) + 1
+            carry = pdf.iloc[cut:]
+            yield _emit_grids(pdf.iloc[:cut], res)
+        if carry is not None and len(carry):
+            yield _emit_grids(carry, res)
+
+    return (
+        raster_rows.repartition("zoom", "x", "y")
+        .sortWithinPartitions("zoom", "x", "y")
+        .mapInPandas(assemble, out_schema)
+    )
+
+
+def _emit_grids(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    z = pdf["zoom"].to_numpy().astype(np.int64)
+    x = pdf["x"].to_numpy().astype(np.int64)
+    y = pdf["y"].to_numpy().astype(np.int64)
+    bx = pdf["bin_x"].to_numpy().astype(np.int64)
+    by = pdf["bin_y"].to_numpy().astype(np.int64)
+    n = pdf["n"].to_numpy().astype(np.int64)
+    key = (z << np.int64(58)) | (x << np.int64(29)) | y
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    ends = np.concatenate([starts[1:], [len(key)]])
+    out = {"zoom": [], "x": [], "y": [], "grid": [], "n_points": []}
+    for s, e in zip(starts, ends):
+        grid = np.zeros(res * res, dtype=np.uint32)
+        grid[by[s:e] * res + bx[s:e]] = n[s:e]
+        out["zoom"].append(int(z[s]))
+        out["x"].append(int(x[s]))
+        out["y"].append(int(y[s]))
+        out["grid"].append(grid.tobytes())
+        out["n_points"].append(int(n[s:e].sum()))
+    return pd.DataFrame(out)
+
+
+def vectorize(
+    raster_rows: DataFrame, res: int = 256, threshold: int = 1
+) -> DataFrame:
+    """Raster cells with n >= threshold -> axis-aligned vector polygons in
+    mercator (bbox + ring arrays) — feedable straight into
+    points_in_polygons (polys side) or the polygon tile builders."""
+    kept = raster_rows.filter(F.col("n") >= threshold)
+    txmin, tymin, txmax, tymax = envelope_cols(
+        F.col("zoom"), F.col("x"), F.col("y"), 0.0
+    )
+    cell = (txmax - txmin) / res
+    cxmin = txmin + F.col("bin_x") * cell
+    cxmax = cxmin + cell
+    cymax = tymax - F.col("bin_y") * cell
+    cymin = cymax - cell
+    return kept.select(
+        "zoom", "x", "y", "bin_x", "bin_y", "n",
+        cxmin.alias("xmin"), cymin.alias("ymin"),
+        cxmax.alias("xmax"), cymax.alias("ymax"),
+        F.array(cxmin, cxmax, cxmax, cxmin).alias("ring_xs"),
+        F.array(cymin, cymin, cymax, cymax).alias("ring_ys"),
+    )
