@@ -11,9 +11,14 @@
 - embedding_neardup_pairs — near-duplicate vectors (cosine >= threshold) via
   the same LSH bucketing, self-joined.
 
-Hyperplanes are seeded & deterministic, embedded as literal arrays in the
-plan (they're tiny: nbits x dim doubles), so executors get them via the
-serialized plan exactly like a broadcast of a small dim table.
+- ivf_topk          — IVF coarse quantizer: matmul bucket assignment
+  (map-only), nprobe bucket search, exact rerank.  The bucket column is the
+  natural Iceberg partition key at 10^12 rows.
+
+Hyperplanes/centroids are seeded & deterministic and ride to executors in
+the Arrow UDF closure (tiny: nbits x dim doubles) — like a broadcast of a
+small dim table, and the DuckDB oracles re-derive the exact same signatures
+from the same constants.
 """
 
 from __future__ import annotations

@@ -1,0 +1,49 @@
+"""Scaling-cell harvester: run single fresh-JVM cells in a loop, appending
+one JSON line per observation to an output file.  This host's interference
+is sustained-bursty (32-thread cells get hit for tens of minutes while
+8-thread cells run clean), so the only honest capability number is the
+per-cell MINIMUM over observations spread across hours — this harvester
+spreads them.  Cells cover two parallelism pairs (8/32 and 4/16) so the
+N->4N comparison can use whichever pair dodges the co-tenant.
+
+Usage: python tools/cell_harvest.py OUT.jsonl [cycles]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from tools.scaling_run import run_at  # noqa: E402
+
+GEN_PAGES = 1_600_000
+JOIN_PAGES = 25_600_000
+
+CELLS = [
+    (8, "gen", GEN_PAGES), (32, "gen", GEN_PAGES),
+    (8, "join", JOIN_PAGES), (32, "join", JOIN_PAGES),
+    (4, "gen", GEN_PAGES), (16, "gen", GEN_PAGES),
+    (4, "join", JOIN_PAGES), (16, "join", JOIN_PAGES),
+]
+
+
+def main():
+    out = sys.argv[1]
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    for cyc in range(cycles):
+        for cpus, metric, pn in CELLS:
+            try:
+                res = run_at(cpus, pn, metric)
+            except Exception as e:  # noqa: BLE001 - log and keep harvesting
+                res = {"cpus": cpus, "metric": metric, "error": str(e)[:200]}
+            res["cycle"] = cyc
+            res["ts"] = time.time()
+            with open(out, "a") as f:
+                f.write(json.dumps(res) + "\n")
+            print(f"cycle {cyc}: local[{cpus}] {metric} -> {res.get('times')}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
