@@ -78,3 +78,27 @@ def test_metrics_union(catalog, spark):
     m = catalog.metrics()
     ids = {r.id for r in m.select("id").distinct().collect()}
     assert ids == {"tsa", "tsb"}
+
+
+def test_prometheus_exposition(catalog):
+    from tilekiln_spark.storage.catalog import prometheus_exposition
+
+    ts = catalog.get_tileset("tsa")
+    ts.store.update_metrics()
+    text = prometheus_exposition(catalog.metrics())
+    lines = text.strip().splitlines()
+    # family order + TYPE/HELP headers match the reference collector's yields
+    assert lines[0] == "# HELP tilekiln_stored_count Tiles in tilekiln storage"
+    assert lines[1] == "# TYPE tilekiln_stored_count gauge"
+    assert "# TYPE tilekiln_stored_bytes_sum gauge" in lines
+    assert "# TYPE tilekiln_stored_bytes gauge" in lines
+    # tsa has stats -> count gauge rows for each zoom in its range
+    counts = [ln for ln in lines if ln.startswith("tilekiln_stored_count{")]
+    assert counts and all('tileset="tsa"' in ln for ln in counts)
+    # quantile labels use the exact percentile points
+    assert any('quantile="0.5"' in ln for ln in lines)
+    assert any('quantile="0.999"' in ln for ln in lines)
+    # empty metrics frame -> headers only, no samples
+    empty = prometheus_exposition(None)
+    assert "tilekiln_stored_count{" not in empty
+    assert empty.startswith("# HELP tilekiln_stored_count")

@@ -96,3 +96,45 @@ class Catalog:
             df = self.spark.read.parquet(p)
             out = df if out is None else out.unionByName(df)
         return out
+
+
+def prometheus_exposition(metrics: DataFrame | None) -> str:
+    """Render a stats frame (Catalog.metrics / TileStore.update_metrics) in
+    the Prometheus text exposition format, emitting exactly the gauge
+    families the reference's collector yields — ``tilekiln_stored_count``,
+    ``tilekiln_stored_bytes_sum`` and per-quantile ``tilekiln_stored_bytes``
+    with (tileset, zoom[, quantile]) labels, in the reference's yield order
+    (reference tilekiln/prometheus.py:27-57).  The frame is tileset x zoom
+    sized (tiny), so the collect is a metadata read, not a data scan; a
+    scrape endpoint would serve this string as-is every poll interval."""
+    rows = [] if metrics is None else sorted(
+        metrics.collect(), key=lambda r: (r.id, r.zoom)
+    )
+
+    def fam(name: str, help_: str) -> list[str]:
+        return [f"# HELP {name} {help_}", f"# TYPE {name} gauge"]
+
+    def fmt(v: float) -> str:
+        f = float(v)
+        return str(int(f)) if f == int(f) else repr(f)
+
+    out = fam("tilekiln_stored_count", "Tiles in tilekiln storage")
+    for r in rows:
+        out.append(
+            f'tilekiln_stored_count{{tileset="{r.id}",zoom="{r.zoom}"}} '
+            f"{fmt(r.num_tiles)}"
+        )
+    out += fam("tilekiln_stored_bytes_sum", "Total size of tiles")
+    for r in rows:
+        out.append(
+            f'tilekiln_stored_bytes_sum{{tileset="{r.id}",zoom="{r.zoom}"}} '
+            f"{fmt(r.size)}"
+        )
+    out += fam("tilekiln_stored_bytes", "Tile percentiles")
+    for r in rows:
+        for q, v in zip(r.percentile_points, r.percentile_values):
+            out.append(
+                f'tilekiln_stored_bytes{{tileset="{r.id}",zoom="{r.zoom}",'
+                f'quantile="{fmt(q)}"}} {fmt(v)}'
+            )
+    return "\n".join(out) + "\n"
