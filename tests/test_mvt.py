@@ -103,3 +103,76 @@ def test_value_types():
     (layer,) = decode_tile(blob)
     vals = layer["values"]
     assert "x" in vals and 5 in vals and -7 in vals and 1.5 in vals and True in vals
+
+
+def test_point_segments_kernel_matches_per_tile_encoder():
+    """encode_point_layer_segments (whole-batch kernel) must decode to the
+    same features as encode_layer_fast applied per segment with the same
+    cap + (px, py, hash) ordering, and its bytes must not depend on which
+    other segments share the batch."""
+    import numpy as np
+    import pandas as pd
+
+    from tilekiln_spark.operators.mvt import (
+        decode_tile,
+        encode_layer_fast,
+        encode_point_layer_segments,
+    )
+
+    def resolved(d):
+        lay = d[0]
+        feats = []
+        for f in lay["features"]:
+            props = {
+                lay["keys"][f["tags"][i]]: lay["values"][f["tags"][i + 1]]
+                for i in range(0, len(f["tags"]), 2)
+            }
+            feats.append(
+                (f["type"], tuple(f["geometry"]),
+                 tuple(sorted((k, str(v)) for k, v in props.items())))
+            )
+        return feats, lay["name"], lay["extent"]
+
+    rng = np.random.default_rng(7)
+    sizes = list(rng.integers(1, 30, 20)) + [150]  # incl. one over-cap segment
+    cap = 64
+    seg_starts, seg_ends, pos = [], [], 0
+    for sz in sizes:
+        seg_starts.append(pos)
+        seg_ends.append(pos + sz)
+        pos += sz
+    n = pos
+    px = rng.integers(0, 4096, n)
+    py = rng.integers(0, 4096, n)
+    fh = rng.integers(-2**62, 2**62, n)
+    osm = rng.integers(0, 10, n).astype(np.int64)
+    nm = np.array(
+        [None if v == 0 else f"nm{v}" for v in rng.integers(0, 4, n)], dtype=object
+    )
+    nt = np.full(n, np.nan)
+    blobs, n_tot = encode_point_layer_segments(
+        "water", np.full(len(sizes), 4096, dtype=np.int64),
+        np.array(seg_starts), np.array(seg_ends),
+        px, py, fh, {"osm_id": osm, "water": nm}, nt, cap,
+    )
+    assert list(n_tot) == sizes  # reported n_features = true pre-cap count
+    for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
+        spx, spy, sfh = px[s:e], py[s:e], fh[s:e]
+        pxy = ((spx + (1 << 21)) << np.int64(22)) | (spy + (1 << 21))
+        base = np.arange(e - s)
+        if e - s > cap:
+            sel = np.lexsort((pxy, sfh))[:cap]
+            sfh, pxy, base = sfh[sel], pxy[sel], base[sel]
+        idx = base[np.lexsort((sfh, pxy))]
+        ref = encode_layer_fast(
+            "water", 4096, spx[idx], spy[idx],
+            {"osm_id": pd.Series(osm[s:e][idx]), "water": pd.Series(nm[s:e][idx])},
+        )
+        assert resolved(decode_tile(blobs[si])) == resolved(decode_tile(ref))
+        # batch invariance: encoding the segment alone gives identical bytes
+        alone, _ = encode_point_layer_segments(
+            "water", np.array([4096]), np.array([0]), np.array([e - s]),
+            px[s:e], py[s:e], fh[s:e],
+            {"osm_id": osm[s:e], "water": nm[s:e]}, nt[s:e], cap,
+        )
+        assert alone[0] == blobs[si]

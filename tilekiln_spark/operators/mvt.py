@@ -331,6 +331,257 @@ def empty_layer(name: str, extent: int) -> bytes:
     return encode_layer(name, extent, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
 
 
+def _encode_uniques(uniques) -> list[bytes]:
+    """Encoded Value message per distinct property value, vectorized for the
+    int/float bulk (osm_id-like columns make every value distinct, so this is
+    on the per-row path); strings/bools loop — they dedup to a handful."""
+    u = np.asarray(uniques)
+    if u.dtype.kind in "iu":
+        iv = u.astype(np.int64)
+        neg = iv < 0
+        enc, lens = _varint_matrix(np.where(neg, zigzag(iv), iv.astype(np.uint64)))
+        hdr = np.where(neg, 0x30, 0x20).astype(np.uint8)  # sint=6 / int=4 tags
+        body_len = 1 + lens
+        frame, flens = _varint_matrix(body_len.astype(np.uint64))
+        out = []
+        for i in range(len(u)):
+            out.append(
+                b"\x22" + frame[i, : flens[i]].tobytes()
+                + bytes([hdr[i]]) + enc[i, : lens[i]].tobytes()
+            )
+        return out
+    if u.dtype.kind == "f":
+        return [b"\x22\x09\x19" + np.float64(v).tobytes() for v in u]
+    return [_len_delim(4, _encode_value(v.item() if isinstance(v, np.generic) else v)) for v in u]
+
+
+def encode_point_layer_segments(
+    name: str,
+    extent_per_seg: np.ndarray,
+    seg_starts: np.ndarray,
+    seg_ends: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    fh: np.ndarray,
+    props: dict[str, np.ndarray],
+    ntrue: np.ndarray,
+    cap: int | None,
+) -> tuple[list[bytes], np.ndarray]:
+    """Batch encoder: MANY (tile, layer) point segments in one numpy pass.
+
+    encode_layer_fast vectorizes WITHIN a tile, but real tile groups average
+    ~10 features — at z5-z8 the per-call overhead (factorize, array setup)
+    costs ~200µs/feature and made the encoder stage the render's straggler
+    (one 43s task in a 47s stage at 32 cores).  This kernel hoists every
+    per-feature and per-value step to whole-batch numpy: one lexsort orders
+    all segments, one factorize per property column covers every tile, tag
+    and geometry varints scatter once, and per-segment byte ranges fall out
+    of reduceat.  Only the per-segment layer wrapper (a few bytes concats)
+    stays a Python loop.
+
+    Determinism: each segment's value table is ordered by VALUE (argsort of
+    the column's uniques), never by batch first-appearance, so blob bytes
+    depend only on the tile's own features — stable under any partitioning,
+    preserving the byte-identical MERGE contract (reference storage.py
+    IS DISTINCT FROM upsert).
+
+    Inputs are per-ROW arrays for one layer, rows contiguous per segment in
+    (seg_starts, seg_ends) order; ntrue carries the broadcast pre-cap count
+    (NaN under cap).  Returns (layer blob per segment, reported n_features
+    per segment = true pre-cap count, matching ST_AsMVT's row count)."""
+    n = len(px)
+    S = len(seg_starts)
+    blobs: list[bytes] = [b""] * S
+    if n == 0:
+        return blobs, np.zeros(0, dtype=np.int64)
+    seg_len0 = seg_ends - seg_starts
+    seg_of_row = np.repeat(np.arange(S, dtype=np.int64), seg_len0)
+
+    # reported n_features: broadcast __ntrue when present, else segment size
+    ntv = pd.to_numeric(pd.Series(ntrue), errors="coerce").to_numpy(dtype=np.float64)
+    ntv = np.nan_to_num(ntv, nan=-1.0)
+    seg_max = np.maximum.reduceat(ntv, seg_starts)
+    n_total = np.where(seg_max >= 0, seg_max, seg_len0).astype(np.int64)
+
+    pxy = ((px + (1 << 21)) << np.int64(22)) | (py + (1 << 21))
+
+    keep = np.ones(n, dtype=bool)
+    if cap and (seg_len0 > cap).any():
+        # exact cap: keep the cap smallest rows by (hash, pxy) per segment —
+        # same subset _encode_layer_slice selects, computed batch-wide
+        order_cap = np.lexsort((pxy, fh, seg_of_row))
+        pos = np.arange(n) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg_len0)[:-1]]), seg_len0
+        )
+        keep[order_cap] = pos < cap
+    if not keep.all():
+        px, py, fh, pxy = px[keep], py[keep], fh[keep], pxy[keep]
+        seg_of_row = seg_of_row[keep]
+        props = {k: v[keep] for k, v in props.items()}
+        n = len(px)
+        seg_len = np.bincount(seg_of_row, minlength=S).astype(np.int64)
+    else:
+        seg_len = seg_len0
+
+    # final feature order: (px, py, hash) within each segment
+    order = np.lexsort((fh, pxy, seg_of_row))
+    px, py, pxy = px[order], py[order], pxy[order]
+    seg_of_row = seg_of_row[order]
+    props = {k: v[order] for k, v in props.items()}
+
+    # -- per-column value tables, localized per segment ---------------------
+    keys = list(props.keys())
+    C = len(keys)
+    tag_mat = np.zeros((n, 2 * C), dtype=np.uint64)
+    tag_valid = np.zeros((n, 2 * C), dtype=bool)
+    col_count_per_seg = np.zeros(S, dtype=np.int64)  # running value-table size
+    ent_seg: list[np.ndarray] = []   # one entry per (segment, column, value)
+    ent_col: list[np.ndarray] = []
+    ent_rank: list[np.ndarray] = []
+    ent_bytes: list[list[bytes]] = []
+    for ki, k in enumerate(keys):
+        codes, uniques = pd.factorize(pd.Series(props[k]), use_na_sentinel=True)
+        uniques = np.asarray(uniques)
+        U = len(uniques)
+        valid = codes >= 0
+        if U == 0 or not valid.any():
+            continue
+        # deterministic per-segment ordering: rank uniques by value
+        order_u = np.argsort(uniques, kind="stable")
+        rank = np.empty(U, dtype=np.int64)
+        rank[order_u] = np.arange(U)
+        rcode = np.where(valid, rank[np.clip(codes, 0, None)], -1)
+        key_sv = seg_of_row * np.int64(U) + rcode
+        sku, inv = np.unique(key_sv[valid], return_inverse=True)
+        seg_of_u = (sku // U).astype(np.int64)
+        firsts = np.flatnonzero(
+            np.concatenate([[True], seg_of_u[1:] != seg_of_u[:-1]])
+        )
+        grp = np.cumsum(
+            np.concatenate([[0], (seg_of_u[1:] != seg_of_u[:-1]).astype(np.int64)])
+        )
+        local_u = np.arange(len(sku)) - firsts[grp]
+        # row tag pair: (key index, segment-local value index + column offset)
+        vidx = np.zeros(n, dtype=np.int64)
+        vidx[valid] = local_u[inv] + col_count_per_seg[seg_of_row[valid]]
+        tag_mat[:, 2 * ki] = ki
+        tag_mat[:, 2 * ki + 1] = vidx.astype(np.uint64)
+        tag_valid[:, 2 * ki] = valid
+        tag_valid[:, 2 * ki + 1] = valid
+        # value-table entries for this column, encoded once per distinct value
+        enc_by_rank_src = _encode_uniques(uniques[order_u])
+        rk = (sku % U).astype(np.int64)
+        ent_seg.append(seg_of_u)
+        ent_col.append(np.full(len(sku), ki, dtype=np.int64))
+        ent_rank.append(rk)
+        ent_bytes.append(enc_by_rank_src)
+        col_count_per_seg += np.bincount(seg_of_u, minlength=S)
+
+    # flat value-table buffer ordered by (segment, column, value rank) — the
+    # layer layout the tag indexes above assume; per-segment byte ranges by
+    # bincount, assembled with ONE join instead of per-entry list appends
+    if ent_seg:
+        a_seg = np.concatenate(ent_seg)
+        a_col = np.concatenate(ent_col)
+        a_rank = np.concatenate(ent_rank)
+        order_e = np.lexsort((a_rank, a_col, a_seg))
+        all_bytes: list[bytes] = []
+        for ci, eb in enumerate(ent_bytes):
+            all_bytes.extend(eb[r] for r in ent_rank[ci])
+        ordered_bytes = [all_bytes[i] for i in order_e]
+        lens = np.fromiter((len(b) for b in ordered_bytes), dtype=np.int64,
+                           count=len(ordered_bytes))
+        val_buf = b"".join(ordered_bytes)
+        seg_val_bytes = np.bincount(a_seg[order_e], weights=lens, minlength=S).astype(np.int64)
+        val_offs = np.concatenate([[0], np.cumsum(seg_val_bytes)])
+    else:
+        val_buf = b""
+        val_offs = np.zeros(S + 1, dtype=np.int64)
+
+    # -- packed tag varints + geometry varints, whole batch -----------------
+    flat_tags = tag_mat[tag_valid]
+    tag_enc, tag_lens = _varint_matrix(flat_tags)
+    tag_bytes_all = tag_enc[np.arange(10)[None, :] < tag_lens[:, None]]
+    n_tags_per_feat = tag_valid.sum(axis=1)
+    cum_lens = np.concatenate([[0], np.cumsum(tag_lens)])
+    seg_end_t = np.cumsum(n_tags_per_feat)
+    tag_packed_len = cum_lens[seg_end_t] - cum_lens[seg_end_t - n_tags_per_feat]
+
+    geom_vals = np.column_stack(
+        [np.full(n, 9, dtype=np.uint64), zigzag(px), zigzag(py)]
+    ).ravel()
+    geom_enc, geom_lens = _varint_matrix(geom_vals)
+    geom_bytes_all = geom_enc[np.arange(10)[None, :] < geom_lens[:, None]]
+    g_len = geom_lens.reshape(n, 3).sum(axis=1)
+
+    has_tags = n_tags_per_feat > 0
+    lt = _varint_len_np(tag_packed_len)
+    tags_sec = np.where(has_tags, 1 + lt + tag_packed_len, 0)
+    geom_hdr = 1 + _varint_len_np(g_len)
+    body_len = tags_sec + 2 + geom_hdr + g_len
+    hdr_len = 1 + _varint_len_np(body_len)
+    feat_len = hdr_len + body_len
+    starts = np.concatenate([[0], np.cumsum(feat_len)[:-1]]).astype(np.int64)
+    out = np.zeros(int(feat_len.sum()), dtype=np.uint8)
+
+    def scatter_varints(vals, dest):
+        enc, lens = _varint_matrix(vals)
+        mask = np.arange(10)[None, :] < lens[:, None]
+        idx = (np.asarray(dest, dtype=np.int64)[:, None] + np.arange(10)[None, :])[mask]
+        out[idx] = enc[mask]
+
+    def scatter_payload(src_bytes, dest_starts, seg_lens):
+        total = int(seg_lens.sum())
+        if total == 0:
+            return
+        src_starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+        shift = np.repeat(dest_starts - src_starts, seg_lens)
+        out[np.arange(total) + shift] = src_bytes
+
+    out[starts] = 0x12
+    scatter_varints(body_len, starts + 1)
+    pos = starts + hdr_len
+    it = np.where(has_tags)[0]
+    if it.size:
+        out[pos[it]] = 0x12
+        scatter_varints(tag_packed_len[it], pos[it] + 1)
+        scatter_payload(tag_bytes_all, (pos + 1 + lt)[it], tag_packed_len[it])
+    tpos = pos + tags_sec
+    out[tpos] = 0x18
+    out[tpos + 1] = GEOM_POINT
+    gpos = tpos + 2
+    out[gpos] = 0x22
+    scatter_varints(g_len, gpos + 1)
+    scatter_payload(geom_bytes_all, gpos + geom_hdr, g_len)
+    out_bytes = out.tobytes()
+
+    # -- per-segment layer wrapper (constant parts hoisted, framing varints
+    # computed as one matrix — the loop is only byte-slice concats) ----------
+    feat_seg_starts = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+    byte_starts = np.concatenate([[0], np.cumsum(feat_len)]).astype(np.int64)
+    key_blob = b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
+    head = _tag(15, 0) + _varint1(2) + _len_delim(1, name.encode("utf-8"))
+    ext_blob = {e: _tag(5, 0) + _varint1(int(e)) for e in np.unique(extent_per_seg)}
+    ext_len = np.array([len(ext_blob[e]) for e in extent_per_seg], dtype=np.int64)
+    fs_b = byte_starts[feat_seg_starts]
+    fe_b = byte_starts[feat_seg_starts + seg_len]
+    layer_len = (
+        len(head) + (fe_b - fs_b) + len(key_blob)
+        + (val_offs[1:] - val_offs[:-1]) + ext_len
+    )
+    frame, flens = _varint_matrix(layer_len.astype(np.uint64))
+    for s in range(S):
+        blobs[s] = (
+            b"\x1a" + frame[s, : flens[s]].tobytes()
+            + head
+            + out_bytes[fs_b[s]:fe_b[s]]
+            + key_blob
+            + val_buf[val_offs[s]:val_offs[s + 1]]
+            + ext_blob[extent_per_seg[s]]
+        )
+    return blobs, n_total
+
+
 # --------------------------------------------------------------------------
 # Line / polygon geometry: clipping + command-stream encoding
 # --------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from tilekiln_spark.operators.mvt import (
     empty_layer,
     encode_geom_layer,
     encode_layer_fast,
+    encode_point_layer_segments,
     geom_commands,
     mvt_geom_cols,
 )
@@ -624,6 +625,13 @@ def render_zooms(
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One sorted chunk of whole tiles -> one output row per tile.
+
+        Point layers take the whole-batch kernel (encode_point_layer_segments)
+        — all of a layer's segments across every tile in the chunk encode in
+        one numpy pass, so per-tile cost is O(rows), not O(tiles x call
+        overhead).  Line/polygon layers (few rows: one per polygon x tile)
+        keep the per-segment clip+encode loop."""
         arrs = {}
         for c in needed_cols & set(pdf.columns):
             a = pdf[c].to_numpy()
@@ -632,33 +640,75 @@ def render_zooms(
             arrs[c] = a
         key = (arrs["zoom"] << np.int64(58)) | (arrs["x"] << np.int64(29)) | arrs["y"]
         lc = arrs["__lc"].astype(np.int64)
-        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
-        ends = np.concatenate([starts[1:], [len(key)]])
-        out: dict = {"zoom": [], "x": [], "y": []}
+        new_tile = np.concatenate([[True], key[1:] != key[:-1]])
+        starts = np.flatnonzero(new_tile)
+        n_tiles = len(starts)
+        tile_of_row = np.cumsum(new_tile.astype(np.int64)) - 1
+        zoom_t = arrs["zoom"][starts]
+        out: dict = {
+            "zoom": zoom_t.tolist(),
+            "x": arrs["x"][starts].tolist(),
+            "y": arrs["y"][starts].tolist(),
+        }
         for name in rendered_layers:
-            out[f"{name}_data"] = []
-            out[f"{name}_nfeat"] = []
-        for s, e in zip(starts, ends):
-            z = int(arrs["zoom"][s])
-            out["zoom"].append(z)
-            out["x"].append(int(arrs["x"][s]))
-            out["y"].append(int(arrs["y"][s]))
-            seg = lc[s:e]
-            for name in rendered_layers:
-                if z not in extents[name]:  # undefined at this zoom -> NULL
-                    out[f"{name}_data"].append(None)
-                    out[f"{name}_nfeat"].append(None)
-                    continue
-                code = lcode[name] + 1  # array_position is 1-based
-                ls = s + int(np.searchsorted(seg, code, side="left"))
-                le = s + int(np.searchsorted(seg, code, side="right"))
-                if ls == le:
-                    out[f"{name}_data"].append(blanks[name][z])
-                    out[f"{name}_nfeat"].append(0)
-                    continue
-                blob, nf = _encode_layer_slice(name, z, arrs, ls, le)
-                out[f"{name}_data"].append(blob)
-                out[f"{name}_nfeat"].append(nf)
+            code = lcode[name] + 1  # array_position is 1-based
+            gt = geom_types[name]
+            rows = np.flatnonzero(lc == code)
+            data_arr: list = [None] * n_tiles
+            nf_arr = np.zeros(n_tiles, dtype=np.int64)
+            if rows.size:
+                t_of = tile_of_row[rows]
+                seg_b = np.flatnonzero(
+                    np.concatenate([[True], t_of[1:] != t_of[:-1]])
+                )
+                seg_tile = t_of[seg_b]
+                if gt == GEOM_POINT:
+                    extent_seg = np.array(
+                        [extents[name][int(z)] for z in zoom_t[seg_tile]],
+                        dtype=np.int64,
+                    )
+                    props = {}
+                    for c in layer_props[name]:
+                        col = arrs[c][rows]
+                        if c in int_props and col.dtype.kind == "f":
+                            col = pd.array(col, dtype="Int64")
+                        props[c] = col
+                    rel_ends = np.concatenate([seg_b[1:], [len(rows)]])
+                    blobs, n_tot = encode_point_layer_segments(
+                        name, extent_seg, seg_b, rel_ends,
+                        arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
+                        props, arrs["__ntrue"][rows], cap,
+                    )
+                    for i, t in enumerate(seg_tile):
+                        data_arr[t] = blobs[i]
+                    nf_arr[seg_tile] = n_tot
+                else:
+                    seg_rs = rows[seg_b]
+                    seg_re = np.concatenate(
+                        [rows[seg_b[1:] - 1] + 1, [rows[-1] + 1]]
+                    )
+                    for i, t in enumerate(seg_tile):
+                        blob, nf = _encode_layer_slice(
+                            name, int(zoom_t[t]), arrs, int(seg_rs[i]), int(seg_re[i])
+                        )
+                        data_arr[t] = blob
+                        nf_arr[t] = nf
+            dz = extents[name]
+            data_out: list = []
+            nf_out: list = []
+            for t in range(n_tiles):
+                z = int(zoom_t[t])
+                if z not in dz:  # undefined at this zoom -> NULL
+                    data_out.append(None)
+                    nf_out.append(None)
+                elif data_arr[t] is None:
+                    data_out.append(blanks[name][z])
+                    nf_out.append(0)
+                else:
+                    data_out.append(data_arr[t])
+                    nf_out.append(int(nf_arr[t]))
+            out[f"{name}_data"] = data_out
+            out[f"{name}_nfeat"] = nf_out
         return pd.DataFrame(out)
 
     def encode_stream(batches):
