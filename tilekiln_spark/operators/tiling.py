@@ -101,6 +101,12 @@ def _pages_polys(sources: dict) -> DataFrame:
     cap's count rollup and the probe side read one materialized copy."""
     if "_pages_polys" not in sources:
         j = points_in_polygons(sources["pages_geo"], sources["layer_polygons"])
+        # the refine already consumed the ring/bbox machinery columns — no
+        # builder reads them from the joined frame (geometry layers take
+        # rings straight from layer_polygons), and carrying ~0.5 KB of ring
+        # doubles per matched row through the checkpoint + every downstream
+        # scan was the bulk of the materialization cost
+        j = j.drop("ring_xs", "ring_ys", "xmin", "ymin", "xmax", "ymax")
         if sources.get("materialize", True):
             j = j.localCheckpoint(eager=False)
         sources["_pages_polys"] = j
