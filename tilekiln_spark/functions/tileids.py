@@ -70,23 +70,28 @@ def merc_y(lat: Column | str) -> Column:
     )
 
 
+def _n_tiles(zoom: Column) -> Column:
+    """2^zoom as a long — shiftleft, not pow: with zoom as a COLUMN (the
+    zoom-as-data render plan) StrictMath.pow runs per row and showed up in
+    executor thread dumps; a bitshift is exact for the full zoom range."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), zoom.cast("int"))
+
+
 def tile_length_col(zoom: Column) -> Column:
     """Tile side length in mercator units (reference definition.py:80-83)."""
-    return F.lit(2.0 * HALF_WORLD) / F.pow(F.lit(2.0), zoom)
+    return F.lit(2.0 * HALF_WORLD) / _n_tiles(zoom)
 
 
 def tile_x(zoom: Column, mx: Column) -> Column:
     """Mercator X -> tile column at zoom, clamped to [0, 2^zoom)."""
-    n = F.pow(F.lit(2.0), zoom)
     raw = F.floor((mx + F.lit(HALF_WORLD)) / tile_length_col(zoom))
-    return F.greatest(F.lit(0), F.least(raw, (n - 1).cast("long"))).cast("int")
+    return F.greatest(F.lit(0), F.least(raw, _n_tiles(zoom) - 1)).cast("int")
 
 
 def tile_y(zoom: Column, my: Column) -> Column:
     """Mercator Y -> tile row at zoom (row 0 at the north edge), clamped."""
-    n = F.pow(F.lit(2.0), zoom)
     raw = F.floor((F.lit(HALF_WORLD) - my) / tile_length_col(zoom))
-    return F.greatest(F.lit(0), F.least(raw, (n - 1).cast("long"))).cast("int")
+    return F.greatest(F.lit(0), F.least(raw, _n_tiles(zoom) - 1)).cast("int")
 
 
 def envelope_cols(zoom: Column, x: Column, y: Column, margin: Column | float = 0.0):

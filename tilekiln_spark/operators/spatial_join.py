@@ -160,7 +160,7 @@ def knn_assign(
     also restores exactness for sparse centroid sets, where the nearest
     centroid can sit outside the 3x3 ring entirely."""
     z = F.lit(search_zoom)
-    n_minus1 = F.pow(F.lit(2.0), z).cast("long") - 1
+    n_minus1 = F.call_function("shiftleft", F.lit(1).cast("long"), z.cast("int")) - 1
     cgx = tile_x(z, F.col("cx"))
     cgy = tile_y(z, F.col("cy"))
     cands = (

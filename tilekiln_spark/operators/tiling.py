@@ -71,7 +71,9 @@ def builder(name: str, geom_type: int = GEOM_POINT):
 # -- zoom-column template parameters (reference definition.py:57-69) ---------
 
 def tile_length_col(zoom: Column) -> Column:
-    return F.lit(2.0 * HALF_WORLD) / F.pow(F.lit(2.0), zoom)
+    # shiftleft, not pow: zoom is a column in this plan, and per-row
+    # StrictMath.pow is measurable (see functions/tileids.py::_n_tiles)
+    return F.lit(2.0 * HALF_WORLD) / F.call_function("shiftleft", F.lit(1).cast("long"), zoom.cast("int"))
 
 
 def tile_area_col(zoom: Column) -> Column:
