@@ -80,3 +80,34 @@ def test_generate_layers_partial(spark, tmp_path, cfg, sources):
     # water rewritten (same bytes -> preserved semantics hold), sibling intact
     assert bytes(after.water_data) == before[target][0]
     assert (after.country_names_data is not None) == before[target][1]
+
+
+def test_resume_skips_committed_tiles(spark, tmp_path, cfg, sources):
+    """Checkpoint restart: re-running an interrupted worklist with
+    resume_since renders only the tiles the first attempt didn't commit."""
+    import datetime as dt
+
+    from tilekiln_spark.plans.generate import resume_worklist
+
+    ts = generate_zooms(spark, cfg, sources, str(tmp_path), 0, 2)
+    job_start = dt.datetime.now() - dt.timedelta(seconds=1)
+    full = spark.createDataFrame(
+        [(4, 4, 4), (4, 5, 4), (4, 6, 4), (4, 7, 4)], "zoom int, x int, y int"
+    )
+    # "interrupted" first attempt: only the first two tiles got committed
+    first_half = full.filter(F.col("x") < 6)
+    generate_tiles(spark, cfg, sources, ts, first_half)
+    # restart with the SAME worklist + resume filter
+    remaining = resume_worklist(ts.store, full, job_start)
+    got = {(r.zoom, r.x, r.y) for r in remaining.collect()}
+    assert got == {(4, 6, 4), (4, 7, 4)}
+    snap = generate_tiles(spark, cfg, sources, ts, full, resume_since=job_start)
+    assert snap == ts.store.current_snapshot()
+    z4 = {
+        (r.zoom, r.x, r.y)
+        for r in ts.store.read().filter(F.col("zoom") == 4).select("zoom", "x", "y").collect()
+    }
+    assert z4 == {(4, 4, 4), (4, 5, 4), (4, 6, 4), (4, 7, 4)}
+    # tiles committed before job_start are NOT skipped (a fresh job renders them)
+    old = resume_worklist(ts.store, full, dt.datetime.now() + dt.timedelta(days=1))
+    assert old.count() == 4

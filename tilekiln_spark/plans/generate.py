@@ -51,17 +51,49 @@ def generate_zooms(
     return ts
 
 
+def resume_worklist(store, worklist: DataFrame, since) -> DataFrame:
+    """Checkpoint-restart filter: drop worklist tiles already (re)generated
+    since ``since`` (the original job's start time).
+
+    A crashed/interrupted generate job re-runs with the SAME worklist and
+    this filter — tiles its earlier attempt committed (any layer's
+    ``*_generated`` stamp >= since, which save_tiles refreshes on every
+    content change) are skipped; everything else renders again.  Commits are
+    snapshot-atomic (manifest written last), so a half-written batch never
+    counts as done.  Implemented as a left-anti join against the committed
+    snapshot — at 10^12 rows this prunes via the zoom partition manifest and
+    never touches blob columns (ReadSchema: zoom, x, y, generated stamps)."""
+    from tilekiln_spark.storage.serving import tile_generated
+
+    cur = store.read()
+    if cur is None:
+        return worklist
+    layers = sorted(
+        c[: -len("_generated")] for c in cur.columns if c.endswith("_generated")
+    )
+    done = cur.filter(tile_generated(layers) >= F.lit(since)).select(
+        "zoom", "x", "y"
+    )
+    return worklist.join(done, ["zoom", "x", "y"], "left_anti")
+
+
 def generate_tiles(
     spark: SparkSession,
     config: Config,
     sources: dict,
     tileset: Tileset,
     worklist: DataFrame,
+    resume_since=None,
 ) -> int | None:
     """Render an explicit (zoom, x, y) worklist and upsert — the 'expired
-    tiles on stdin' path (reference generate.py:56-85).  Returns snapshot id."""
+    tiles on stdin' path (reference generate.py:56-85).  Returns snapshot id.
+
+    ``resume_since``: restart timestamp — skip worklist tiles already
+    committed since then (see resume_worklist)."""
     from tilekiln_spark.streaming.incremental import regenerate
 
+    if resume_since is not None:
+        worklist = resume_worklist(tileset.store, worklist, resume_since)
     return regenerate(config, sources, tileset.store, worklist)
 
 

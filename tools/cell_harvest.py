@@ -40,6 +40,7 @@ def main():
                 res = run_at(cpus, pn, metric)
             except Exception as e:  # noqa: BLE001 - log and keep harvesting
                 res = {"cpus": cpus, "metric": metric, "error": str(e)[:200]}
+            res["pages_n"] = pn
             res["cycle"] = cyc
             res["ts"] = time.time()
             with open(out, "a") as f:
