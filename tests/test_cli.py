@@ -1,6 +1,7 @@
 """CLI parity (reference main.py + scripts/{config,generate,storage}.py)."""
 
 import io
+import os
 import sys
 
 import pytest
@@ -81,3 +82,37 @@ def test_config_plan_prints_formatted(spark, cfg_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "BroadcastHashJoin" in out or "Physical Plan" in out
+
+
+def test_spark_submit_pyfiles_deployment(cfg_path, tmp_path):
+    """North-rule deployment shape: spark-submit --py-files tilekiln_spark.zip
+    spark_job.py generate zooms ...  Runs from a cwd where the package is NOT
+    importable, so both driver and (local-mode) executors resolve
+    tilekiln_spark from the zip alone."""
+    import shutil
+    import subprocess
+
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "tilekiln_spark.zip"))
+    job = tmp_path / "spark_job.py"
+    shutil.copy("/root/repo/spark_job.py", job)
+    store = str(tmp_path / "store")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            str(job), "generate", "zooms",
+            "--config", cfg_path, "--store", store,
+            "--min-zoom", "0", "--max-zoom", "2", "--synth-pages", "300",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert os.path.exists(os.path.join(store, "clits", "metadata.json"))
+    # the job actually wrote tiles (snapshot 1 exists with zoom partitions)
+    assert os.path.isdir(os.path.join(store, "clits", "lineage"))
