@@ -531,10 +531,7 @@ def render_zooms(
         feats = feats.withColumn("__ntrue", F.lit(None).cast("long"))
 
     rendered_layers = [n for n in layer_names if n in extents]
-    out_fields = ["zoom int", "x int", "y int"]
-    for name in rendered_layers:
-        out_fields += [f"{name}_data binary", f"{name}_nfeat long"]
-    out_schema = ", ".join(out_fields)
+    out_schema = "zoom int, x int, y int, __lc int, data binary, nfeat long"
     blanks = {
         name: {z: empty_layer(name, ext) for z, ext in extents[name].items()}
         for name in rendered_layers
@@ -633,13 +630,15 @@ def render_zooms(
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One sorted chunk of whole tiles -> one output row per tile.
+        """One sorted chunk of whole (tile, layer) groups -> one output row
+        per group [zoom, x, y, __lc, data, nfeat].
 
         Point layers take the whole-batch kernel (encode_point_layer_segments)
         — all of a layer's segments across every tile in the chunk encode in
         one numpy pass, so per-tile cost is O(rows), not O(tiles x call
         overhead).  Line/polygon layers (few rows: one per polygon x tile)
-        keep the per-segment clip+encode loop."""
+        keep the per-segment clip+encode loop.  Blank fill / undefined-zoom
+        NULLs happen in the pivot select after the encoder."""
         arrs = {}
         for c in needed_cols & set(pdf.columns):
             a = pdf[c].to_numpy()
@@ -649,81 +648,81 @@ def render_zooms(
         key = (arrs["zoom"] << np.int64(58)) | (arrs["x"] << np.int64(29)) | arrs["y"]
         lc = arrs["__lc"].astype(np.int64)
         new_tile = np.concatenate([[True], key[1:] != key[:-1]])
-        starts = np.flatnonzero(new_tile)
-        n_tiles = len(starts)
         tile_of_row = np.cumsum(new_tile.astype(np.int64)) - 1
+        starts = np.flatnonzero(new_tile)
         zoom_t = arrs["zoom"][starts]
-        out: dict = {
-            "zoom": zoom_t.tolist(),
-            "x": arrs["x"][starts].tolist(),
-            "y": arrs["y"][starts].tolist(),
-        }
+        x_t = arrs["x"][starts]
+        y_t = arrs["y"][starts]
+        out_z: list = []
+        out_x: list = []
+        out_y: list = []
+        out_lc: list = []
+        out_data: list = []
+        out_nf: list = []
         for name in rendered_layers:
             code = lcode[name] + 1  # array_position is 1-based
             gt = geom_types[name]
             rows = np.flatnonzero(lc == code)
-            data_arr: list = [None] * n_tiles
-            nf_arr = np.zeros(n_tiles, dtype=np.int64)
-            if rows.size:
-                t_of = tile_of_row[rows]
-                seg_b = np.flatnonzero(
-                    np.concatenate([[True], t_of[1:] != t_of[:-1]])
+            if not rows.size:
+                continue
+            t_of = tile_of_row[rows]
+            seg_b = np.flatnonzero(
+                np.concatenate([[True], t_of[1:] != t_of[:-1]])
+            )
+            seg_tile = t_of[seg_b]
+            if gt == GEOM_POINT:
+                extent_seg = np.array(
+                    [extents[name][int(z)] for z in zoom_t[seg_tile]],
+                    dtype=np.int64,
                 )
-                seg_tile = t_of[seg_b]
-                if gt == GEOM_POINT:
-                    extent_seg = np.array(
-                        [extents[name][int(z)] for z in zoom_t[seg_tile]],
-                        dtype=np.int64,
+                props = {}
+                for c in layer_props[name]:
+                    col = arrs[c][rows]
+                    if c in int_props and col.dtype.kind == "f":
+                        col = pd.array(col, dtype="Int64")
+                    props[c] = col
+                rel_ends = np.concatenate([seg_b[1:], [len(rows)]])
+                blobs, n_tot = encode_point_layer_segments(
+                    name, extent_seg, seg_b, rel_ends,
+                    arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
+                    props, arrs["__ntrue"][rows], cap,
+                )
+                nfs = n_tot.tolist()
+            else:
+                seg_rs = rows[seg_b]
+                seg_re = np.concatenate(
+                    [rows[seg_b[1:] - 1] + 1, [rows[-1] + 1]]
+                )
+                blobs = []
+                nfs = []
+                for i, t in enumerate(seg_tile):
+                    blob, nf = _encode_layer_slice(
+                        name, int(zoom_t[t]), arrs, int(seg_rs[i]), int(seg_re[i])
                     )
-                    props = {}
-                    for c in layer_props[name]:
-                        col = arrs[c][rows]
-                        if c in int_props and col.dtype.kind == "f":
-                            col = pd.array(col, dtype="Int64")
-                        props[c] = col
-                    rel_ends = np.concatenate([seg_b[1:], [len(rows)]])
-                    blobs, n_tot = encode_point_layer_segments(
-                        name, extent_seg, seg_b, rel_ends,
-                        arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
-                        props, arrs["__ntrue"][rows], cap,
-                    )
-                    for i, t in enumerate(seg_tile):
-                        data_arr[t] = blobs[i]
-                    nf_arr[seg_tile] = n_tot
-                else:
-                    seg_rs = rows[seg_b]
-                    seg_re = np.concatenate(
-                        [rows[seg_b[1:] - 1] + 1, [rows[-1] + 1]]
-                    )
-                    for i, t in enumerate(seg_tile):
-                        blob, nf = _encode_layer_slice(
-                            name, int(zoom_t[t]), arrs, int(seg_rs[i]), int(seg_re[i])
-                        )
-                        data_arr[t] = blob
-                        nf_arr[t] = nf
-            dz = extents[name]
-            data_out: list = []
-            nf_out: list = []
-            for t in range(n_tiles):
-                z = int(zoom_t[t])
-                if z not in dz:  # undefined at this zoom -> NULL
-                    data_out.append(None)
-                    nf_out.append(None)
-                elif data_arr[t] is None:
-                    data_out.append(blanks[name][z])
-                    nf_out.append(0)
-                else:
-                    data_out.append(data_arr[t])
-                    nf_out.append(int(nf_arr[t]))
-            out[f"{name}_data"] = data_out
-            out[f"{name}_nfeat"] = nf_out
-        return pd.DataFrame(out)
+                    blobs.append(blob)
+                    nfs.append(int(nf))
+            out_z.extend(zoom_t[seg_tile].tolist())
+            out_x.extend(x_t[seg_tile].tolist())
+            out_y.extend(y_t[seg_tile].tolist())
+            out_lc.extend([code] * len(seg_tile))
+            out_data.extend(blobs)
+            out_nf.extend(nfs)
+        return pd.DataFrame(
+            {
+                "zoom": pd.Series(out_z, dtype="int32"),
+                "x": pd.Series(out_x, dtype="int32"),
+                "y": pd.Series(out_y, dtype="int32"),
+                "__lc": pd.Series(out_lc, dtype="int32"),
+                "data": pd.Series(out_data, dtype=object),
+                "nfeat": pd.Series(out_nf, dtype="int64"),
+            }
+        )
 
     def encode_stream(batches):
-        """Sorted-stream tile encoder: rows arrive clustered by (zoom, x, y,
-        __lc) within each partition; groups are numpy slices of whole Arrow
-        batches, so per-tile cost is an np.searchsorted + encode call — no
-        per-group pandas DataFrame, which is what makes the z14-shaped
+        """Sorted-stream encoder: rows arrive clustered by (zoom, x, y, __lc)
+        within each partition; groups are numpy slices of whole Arrow
+        batches, so per-group cost is an np.searchsorted + batch-kernel call
+        — no per-group pandas DataFrame, which is what makes the z14-shaped
         'millions of tiny tiles' case scale (applyInPandas pays ~ms per
         group; this path pays ~µs)."""
         carry: pd.DataFrame | None = None
@@ -738,9 +737,10 @@ def render_zooms(
                 | (pdf["x"].to_numpy().astype(np.int64) << np.int64(29))
                 | pdf["y"].to_numpy().astype(np.int64)
             )
-            body_end = np.flatnonzero(key != key[-1])
+            lc_a = pdf["__lc"].to_numpy()
+            body_end = np.flatnonzero((key != key[-1]) | (lc_a != lc_a[-1]))
             if len(body_end) == 0:
-                carry = pdf  # whole batch is one tile: keep accumulating
+                carry = pdf  # whole batch is one (tile, layer): accumulate
                 continue
             cut = int(body_end[-1]) + 1
             carry = pdf.iloc[cut:]
@@ -748,21 +748,44 @@ def render_zooms(
         if carry is not None and len(carry):
             yield _emit(carry)
 
+    # partition by (tile, LAYER): each layer blob is an independent unit of
+    # work, so a capped low-zoom whale tile costs max cap*margin rows per
+    # task instead of L layers x cap in one task — at full planet scale every
+    # z<=6 tile is capped, making the per-tile grouping a built-in straggler.
+    # The pivot below reassembles tiles from the (small) encoded rows.
     n_parts = feats.sparkSession.sparkContext.defaultParallelism * 4
-    tiles = (
-        feats.repartition(n_parts, "zoom", "x", "y")
+    enc = (
+        feats.repartition(n_parts, "zoom", "x", "y", "__lc")
         .sortWithinPartitions("zoom", "x", "y", "__lc")
         .mapInPandas(encode_stream, out_schema)
     )
+    aggs = []
+    for name in rendered_layers:
+        code = lcode[name] + 1
+        is_l = F.col("__lc") == code
+        aggs.append(
+            F.first(F.when(is_l, F.col("data")), ignorenulls=True).alias(f"{name}_data")
+        )
+        aggs.append(
+            F.first(F.when(is_l, F.col("nfeat")), ignorenulls=True).alias(f"{name}_nfeat")
+        )
+    tiles = enc.groupBy("zoom", "x", "y").agg(*aggs)
     ts = F.current_timestamp()
     cols = [F.col("zoom"), F.col("x"), F.col("y")]
     for name in rendered_layers:
         defined_zooms = sorted(extents[name])
+        defined = F.col("zoom").isin(defined_zooms)
+        expr = None  # CASE zoom WHEN z THEN <header-only blank bytes>
+        for z in defined_zooms:
+            cond = F.col("zoom") == z
+            expr = F.when(cond, F.lit(blanks[name][z])) if expr is None else expr.when(cond, F.lit(blanks[name][z]))
+        cols.append(F.when(defined, ts).alias(f"{name}_generated"))
         cols.append(
-            F.when(F.col("zoom").isin(defined_zooms), ts).alias(f"{name}_generated")
+            F.when(defined, F.coalesce(F.col(f"{name}_data"), expr)).alias(f"{name}_data")
         )
-        cols.append(F.col(f"{name}_data"))
-        cols.append(F.col(f"{name}_nfeat"))
+        cols.append(
+            F.when(defined, F.coalesce(F.col(f"{name}_nfeat"), F.lit(0))).alias(f"{name}_nfeat")
+        )
     return tiles.select(*cols)
 
 
