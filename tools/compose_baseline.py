@@ -1,0 +1,100 @@
+"""Compose BENCH/BASELINE.md from harvested scaling cells.
+
+Reads one-or-more cells_*.jsonl files produced by tools/cell_harvest.py,
+takes the per-(cpus, metric, pages_n) MINIMUM over all observations (the
+capability number on this interference-prone host — see BENCH/BASELINE.md
+preamble), and reports throughput at each parallelism pair plus N->4N
+scaling efficiency.
+
+Usage: python tools/compose_baseline.py BENCH/cells_r02.jsonl [more.jsonl ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+
+
+def load(paths: list[str]) -> dict:
+    cells: dict = {}
+    nobs: dict = defaultdict(int)
+    for p in paths:
+        for line in open(p):
+            r = json.loads(line)
+            if "error" in r:
+                continue
+            key = (r["cpus"], r["metric"], r.get("pages_n"))
+            nobs[key] += len(r.get("times", [1]))
+            if key not in cells or r["sec"] < cells[key]["sec"]:
+                cells[key] = r
+    for k, v in cells.items():
+        v["n_obs"] = nobs[k]
+    return cells
+
+
+def main():
+    paths = sys.argv[1:] or ["/root/repo/BENCH/cells_r02.jsonl"]
+    cells = load(paths)
+
+    lines = [
+        "# BENCH/BASELINE — two-parallelism scaling run",
+        "",
+        "North rule: throughput scaling efficiency >= 0.8 from N to 4N parallelism.",
+        "Sandbox stand-in: same job, same input, `local[N]` vs `local[4N]` (per",
+        "BASELINE.md — no real multi-executor cluster available here).  Fresh JVM",
+        "per cell; each cell's number is the MINIMUM over observations spread",
+        "across hours (tools/cell_harvest.py) because this host shows 3-25x",
+        "sustained-bursty co-tenant wall-clock noise — minima are the only",
+        "honest capability measurement.",
+        "",
+        "Jobs: **gen** = pages(n) -> geocode -> spatial join -> z0-8 MVT tiles",
+        "(72,126 tiles); **join** = grid-cell spatial join alone.",
+        "The LARGE gen input is the honest 100 TB shape: per-core work dominates",
+        "the fixed stage/broadcast overhead, as it would on a real cluster where",
+        "each executor holds far more than 50k pages.",
+        "",
+        "| job | input | pair | t_low | t_high | thru_low | thru_high | speedup | efficiency |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    effs = {}
+    for metric in ("gen", "join"):
+        pn_values = sorted({k[2] for k in cells if k[1] == metric})
+        for pn in pn_values:
+            for lo, hi in ((8, 32), (4, 16)):
+                a = cells.get((lo, metric, pn))
+                b = cells.get((hi, metric, pn))
+                if not a or not b:
+                    continue
+                out_a = a["n_out"] if metric == "gen" else pn
+                out_b = b["n_out"] if metric == "gen" else pn
+                th_a = out_a / a["sec"]
+                th_b = out_b / b["sec"]
+                sp = th_b / th_a
+                eff = sp / (hi / lo)
+                unit = "tiles/s" if metric == "gen" else "rows/s"
+                lines.append(
+                    f"| {metric} | {pn:,} pages | local[{lo}]->local[{hi}] "
+                    f"| {a['sec']}s | {b['sec']}s "
+                    f"| {th_a:,.0f} {unit} | {th_b:,.0f} {unit} "
+                    f"| {sp:.2f}x | **{eff:.3f}** |"
+                )
+                effs[(metric, pn, lo, hi)] = eff
+    lines += [
+        "",
+        "Observations per cell (min over): "
+        + ", ".join(
+            f"local[{k[0]}] {k[1]}@{k[2]:,}: {v['n_obs']}"
+            for k, v in sorted(cells.items(), key=lambda kv: (kv[0][1], kv[0][2] or 0, kv[0][0]))
+        ),
+        "",
+        "Source cells: " + ", ".join(paths),
+    ]
+    report = "\n".join(lines) + "\n"
+    print(report)
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(report)
+
+
+if __name__ == "__main__":
+    main()
