@@ -109,14 +109,25 @@ def _pages_polys(sources: dict) -> DataFrame:
         # doubles per matched row through the checkpoint + every downstream
         # scan was the bulk of the materialization cost
         j = j.drop("ring_xs", "ring_ys", "xmin", "ymin", "xmax", "ymax")
-        if sources.get("materialize", True):
-            j = j.localCheckpoint(eager=False)
         sources["_pages_polys"] = j
     return sources["_pages_polys"]
 
 
 def _layer_rows(sources: dict, layer: str) -> DataFrame:
-    return _pages_polys(sources).filter(F.col("layer") == layer)
+    """One LAYER's joined rows, materialized per layer (not one fat
+    checkpoint): every builder branch appears in both the count-rollup and
+    the probe subtree, so a single all-layers checkpoint gets scanned
+    ~2x#branches times per render — at 6.4M pages that block traffic is the
+    memory-bandwidth ceiling of the 32-thread cell.  Splitting the
+    materialization by layer means each scan touches only its own layer's
+    blocks (total stored rows unchanged)."""
+    key = "_layer_rows:" + layer
+    if key not in sources:
+        lr = _pages_polys(sources).filter(F.col("layer") == layer)
+        if sources.get("materialize", True):
+            lr = lr.localCheckpoint(eager=False)
+        sources[key] = lr
+    return sources[key]
 
 
 @builder("water")
@@ -510,8 +521,9 @@ def render_zooms(
             }
     if not branches:
         return None
-    if "_pages_polys" in sources:
-        caller_sources.setdefault("_pages_polys", sources["_pages_polys"])
+    for k, v in sources.items():
+        if isinstance(k, str) and k.startswith("_"):
+            caller_sources.setdefault(k, v)
     feats = branches[0]
     for b in branches[1:]:
         feats = feats.unionByName(b, allowMissingColumns=True)
