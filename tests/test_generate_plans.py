@@ -111,3 +111,9 @@ def test_resume_skips_committed_tiles(spark, tmp_path, cfg, sources):
     # tiles committed before job_start are NOT skipped (a fresh job renders them)
     old = resume_worklist(ts.store, full, dt.datetime.now() + dt.timedelta(days=1))
     assert old.count() == 4
+    # layer scoping: stamps on OTHER layers (e.g. a concurrent partial-layer
+    # commit) must not mark a tile done for the layers THIS job renders
+    scoped = resume_worklist(ts.store, full, job_start, layers=["no_such_layer"])
+    assert scoped.count() == 4
+    scoped2 = resume_worklist(ts.store, full, job_start, layers=cfg.layer_names())
+    assert {(r.zoom, r.x, r.y) for r in scoped2.collect()} == set()

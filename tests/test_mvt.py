@@ -169,6 +169,10 @@ def test_point_segments_kernel_matches_per_tile_encoder():
             {"osm_id": pd.Series(osm[s:e][idx]), "water": pd.Series(nm[s:e][idx])},
         )
         assert resolved(decode_tile(blobs[si])) == resolved(decode_tile(ref))
+        # BYTE-identical across paths (value tables sorted by value in both):
+        # mixing render paths on one store must never trip the byte-equality
+        # 'unchanged' check of the timestamp-preserving MERGE
+        assert blobs[si] == ref
         # batch invariance: encoding the segment alone gives identical bytes
         alone, _ = encode_point_layer_segments(
             "water", np.array([4096]), np.array([0]), np.array([e - s]),

@@ -247,10 +247,17 @@ def encode_layer_fast(
         ser = v.reset_index(drop=True) if isinstance(v, pd.Series) else pd.Series(list(v), dtype=object)
         isnull = ser.isna().to_numpy()
         codes, uniques = pd.factorize(ser, use_na_sentinel=True)
-        for u in uniques:
-            if isinstance(u, np.generic):
-                u = u.item()
-            val_blobs += _len_delim(4, _encode_value(u))
+        # value table ordered by VALUE, not first appearance — identical
+        # bytes to the batch kernel (encode_point_layer_segments), so one
+        # tile's blob is path-independent and the byte-equality MERGE
+        # 'unchanged' check never trips on a re-render through the other path
+        uniques = np.asarray(uniques)
+        if len(uniques):
+            order_u = np.argsort(uniques, kind="stable")
+            rank = np.empty(len(uniques), dtype=np.int64)
+            rank[order_u] = np.arange(len(uniques))
+            codes = np.where(codes >= 0, rank[np.clip(codes, 0, None)], -1)
+            val_blobs += b"".join(_encode_uniques(uniques[order_u]))
         m = ~isnull & (codes >= 0)
         tag_mat[:, 2 * ki] = ki
         tag_mat[:, 2 * ki + 1] = np.where(m, n_vals + codes, 0).astype(np.uint64)

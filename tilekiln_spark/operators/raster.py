@@ -24,7 +24,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tilekiln_spark.functions.tileids import envelope_cols, tile_x, tile_y
+from tilekiln_spark.functions.tileids import (
+    HALF_WORLD,
+    tile_length_col,
+    tile_x,
+    tile_y,
+)
 
 
 def rasterize(
@@ -34,8 +39,12 @@ def rasterize(
     z = F.lit(zoom)
     pmx, pmy = F.col(mx), F.col(my)
     d = points.withColumn("x", tile_x(z, pmx)).withColumn("y", tile_y(z, pmy))
-    xmin, ymin, xmax, ymax = envelope_cols(z.cast("int"), F.col("x"), F.col("y"), 0.0)
-    length = xmax - xmin
+    # Use tile_length_col directly, not (xmax - xmin): the add-then-subtract
+    # round-trip through envelope_cols differs in the last ulp from the
+    # oracle's direct 2*HW/2^z, and floor() at a cell boundary amplifies it.
+    length = tile_length_col(z.cast("int"))
+    xmin = F.lit(-HALF_WORLD) + F.col("x") * length
+    ymax = F.lit(HALF_WORLD) - F.col("y") * length
     bx = F.least(F.floor((pmx - xmin) / length * res), F.lit(res - 1)).cast("int")
     by = F.least(F.floor((ymax - pmy) / length * res), F.lit(res - 1)).cast("int")
     return (
@@ -111,14 +120,19 @@ def vectorize(
     mercator (bbox + ring arrays) — feedable straight into
     points_in_polygons (polys side) or the polygon tile builders."""
     kept = raster_rows.filter(F.col("n") >= threshold)
-    txmin, tymin, txmax, tymax = envelope_cols(
-        F.col("zoom"), F.col("x"), F.col("y"), 0.0
-    )
-    cell = (txmax - txmin) / res
+    # cell = tile_length/res directly (NOT (txmax-txmin)/res): envelope_cols'
+    # xmin+length round-trip is off by one ulp from 2*HW/2^z, and round(x, 3)
+    # at a .0005 boundary amplifies that into a visible value mismatch vs the
+    # DuckDB oracle.  Each bound is derived from txmin/tymax with the exact
+    # arithmetic order the oracle uses: base + (bin[+1]) * cell.
+    length = tile_length_col(F.col("zoom"))
+    txmin = F.lit(-HALF_WORLD) + F.col("x") * length
+    tymax = F.lit(HALF_WORLD) - F.col("y") * length
+    cell = length / res
     cxmin = txmin + F.col("bin_x") * cell
-    cxmax = cxmin + cell
+    cxmax = txmin + (F.col("bin_x") + 1) * cell
     cymax = tymax - F.col("bin_y") * cell
-    cymin = cymax - cell
+    cymin = tymax - (F.col("bin_y") + 1) * cell
     return kept.select(
         "zoom", "x", "y", "bin_x", "bin_y", "n",
         cxmin.alias("xmin"), cymin.alias("ymin"),

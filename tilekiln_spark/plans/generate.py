@@ -51,27 +51,43 @@ def generate_zooms(
     return ts
 
 
-def resume_worklist(store, worklist: DataFrame, since) -> DataFrame:
+def resume_worklist(store, worklist: DataFrame, since, layers=None) -> DataFrame:
     """Checkpoint-restart filter: drop worklist tiles already (re)generated
     since ``since`` (the original job's start time).
 
     A crashed/interrupted generate job re-runs with the SAME worklist and
-    this filter — tiles its earlier attempt committed (any layer's
-    ``*_generated`` stamp >= since, which save_tiles refreshes on every
-    content change) are skipped; everything else renders again.  Commits are
-    snapshot-atomic (manifest written last), so a half-written batch never
-    counts as done.  Implemented as a left-anti join against the committed
-    snapshot — at 10^12 rows this prunes via the zoom partition manifest and
-    never touches blob columns (ReadSchema: zoom, x, y, generated stamps)."""
+    this filter — tiles its earlier attempt committed are skipped;
+    everything else renders again.  Commits are snapshot-atomic (manifest
+    written last), so a half-written batch never counts as done.
+
+    ``layers`` scopes the done-check to the layers THIS job renders
+    (default: every *_generated column in the store).  Without the scope, a
+    concurrent partial-layer commit by another job after ``since`` would
+    mark the tile done and silently skip the layers this job still owes;
+    with it, only a stamp on one of the job's own layers counts.  Within the
+    job's layers 'any stamp >= since' is correct because regenerate commits
+    all of a tile's layers in one atomic snapshot.  Known conservative
+    behavior (documented): save_tiles preserves stamps when every owed
+    layer's bytes are unchanged, so a tile whose re-render is byte-identical
+    is re-rendered again on each resume — a wasted render, never a wrong
+    tile.
+
+    Implemented as a left-anti join against the committed snapshot — at
+    10^12 rows this prunes via the zoom partition manifest and never touches
+    blob columns (ReadSchema: zoom, x, y, generated stamps)."""
     from tilekiln_spark.storage.serving import tile_generated
 
     cur = store.read()
     if cur is None:
         return worklist
-    layers = sorted(
+    store_layers = sorted(
         c[: -len("_generated")] for c in cur.columns if c.endswith("_generated")
     )
-    done = cur.filter(tile_generated(layers) >= F.lit(since)).select(
+    if layers is not None:
+        store_layers = [L for L in store_layers if L in set(layers)]
+        if not store_layers:
+            return worklist
+    done = cur.filter(tile_generated(store_layers) >= F.lit(since)).select(
         "zoom", "x", "y"
     )
     return worklist.join(done, ["zoom", "x", "y"], "left_anti")
@@ -93,7 +109,9 @@ def generate_tiles(
     from tilekiln_spark.streaming.incremental import regenerate
 
     if resume_since is not None:
-        worklist = resume_worklist(tileset.store, worklist, resume_since)
+        worklist = resume_worklist(
+            tileset.store, worklist, resume_since, layers=config.layer_names()
+        )
     return regenerate(config, sources, tileset.store, worklist)
 
 

@@ -133,8 +133,13 @@ def prometheus_exposition(metrics: DataFrame | None) -> str:
     out += fam("tilekiln_stored_bytes", "Tile percentiles")
     for r in rows:
         for q, v in zip(r.percentile_points, r.percentile_values):
+            # quantile label is str(float): the reference collector labels
+            # with str(point) on float points, so the boundary percentiles
+            # render "0.0"/"1.0" — Prometheus label matching is string-exact,
+            # so fmt()'s integral-collapse ("0"/"1") would break dashboards
+            # written against the reference exposition
             out.append(
                 f'tilekiln_stored_bytes{{tileset="{r.id}",zoom="{r.zoom}",'
-                f'quantile="{fmt(q)}"}} {fmt(v)}'
+                f'quantile="{str(float(q))}"}} {fmt(v)}'
             )
     return "\n".join(out) + "\n"

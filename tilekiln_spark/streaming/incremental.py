@@ -106,7 +106,19 @@ def stream_expiries(
 
     def process(batch_df: DataFrame, batch_id: int):
         wl = tiles_from_lines(batch_df)
-        regenerate(config, sources, store, wl)
+        # Per-batch COPY with the '_'-prefixed cache keys stripped:
+        # render_zooms caches its localCheckpoint'ed shared join back into
+        # the dict it is handed, and an expiry stream exists precisely
+        # because the underlying sources changed — reusing the first batch's
+        # frozen checkpoint would re-render expired tiles from stale data.
+        # The dropped checkpoints' blocks are reclaimed by Spark's
+        # ContextCleaner once the previous batch's frames are unreachable.
+        batch_sources = {
+            k: v
+            for k, v in sources.items()
+            if not (isinstance(k, str) and k.startswith("_"))
+        }
+        regenerate(config, batch_sources, store, wl)
 
     writer = lines.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
