@@ -80,18 +80,27 @@ def make_minhash_sig_udf(num_perm: int, seed: int = 42):
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for hs in hashes:
-                if hs is None or len(hs) == 0:
-                    out.append(np.full(num_perm, sentinel, dtype=np.uint64).astype(np.int64))
-                    continue
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                # wraparound multiply-add then mod p: a deterministic universal-
-                # ish hash family (exact mod-p arithmetic not required for LSH)
-                m = (h[:, None] * a[None, :] + b[None, :]) % p
-                out.append(m.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        # whole-batch flatten + min.reduceat (same kernel shape as the
+        # SimHash batch path): ONE (total_shingles x num_perm) multiply-add
+        # for the whole Arrow batch, no per-row numpy dispatch
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=n
+        )
+        out_mat = np.full((n, num_perm), sentinel, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
+            ).view(np.uint64)
+            with np.errstate(over="ignore"):
+                # wraparound multiply-add then mod p: a deterministic
+                # universal-ish hash family (exact mod-p arithmetic not
+                # required for LSH)
+                m = (flat[:, None] * a[None, :] + b[None, :]) % p
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            out_mat[nz] = np.minimum.reduceat(m, starts, axis=0)
+        return pd.Series(list(out_mat.astype(np.int64)))
 
     return sig
 
