@@ -621,10 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- formerly rows-only; now value-checked end-to-end ----
 
-    def mvt_render_z4(spark, sf_dir):
-        """B3/B4: full MVT aggregate over document points at z4, closed
-        end-to-end: the emitted protobuf blobs are DECODED back into per-tile
-        sums the DuckDB twin reproduces from raw coordinate math."""
+    def mvt_encode_z4(spark, sf_dir):
+        """ENGINE half of mvt_render_z4: the MVT aggregate producing the
+        blobs, without the pure-Python verifier decode — bench.py times this
+        separately so encoder-perf deltas aren't drowned by verifier cost."""
         d = _mx_my(_docs(spark, sf_dir))
         z = F.lit(4)
         feats = (
@@ -632,26 +632,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("x", tile_x(z, F.col("mx")))
             .withColumn("y", tile_y(z, F.col("my")))
         )
-        from tilekiln_spark.operators.mvt import decode_tile_stats, mvt_geom_cols
+        from tilekiln_spark.operators.mvt import mvt_geom_cols
 
         px, py, ok = mvt_geom_cols(F.col("zoom"), F.col("x"), F.col("y"), F.col("mx"), F.col("my"), 4096, 0)
         feats = feats.withColumn("px", px).withColumn("py", py).filter(ok)
-        tiles = mvt_layer_agg(
+        return mvt_layer_agg(
             feats.select("zoom", "x", "y", "px", "py", "lang"), "docs", 4096, ["lang"]
         )
-        return decode_tile_stats(tiles)
+
+    def mvt_render_z4(spark, sf_dir):
+        """B3/B4: full MVT aggregate over document points at z4, closed
+        end-to-end: the emitted protobuf blobs are DECODED back into per-tile
+        sums the DuckDB twin reproduces from raw coordinate math."""
+        from tilekiln_spark.operators.mvt import decode_tile_stats
+
+        return decode_tile_stats(mvt_encode_z4(spark, sf_dir))
 
     q["mvt_render_z4"] = mvt_render_z4
+    q["mvt_render_z4"].encode_only = mvt_encode_z4
 
-    def mvt_poly_render(spark, sf_dir):
-        """B3/B4 for AREAL geometry: the deterministic 6x6 polygon grid
-        renders as a POLYGON layer at z3 (clip to buffered tile box + CW
-        command streams); blobs are decoded back to per-feature vertex
-        counts and pixel extrema that DuckDB re-derives from rectangle
-        intersection math."""
-        import pandas as pd
-
-        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+    def mvt_poly_encode(spark, sf_dir):
+        """ENGINE half of mvt_poly_render: clip + command-stream encode of
+        the 6x6 polygon grid at z3, without the per-feature verifier decode."""
         from tilekiln_spark.operators.tiling import render_zoom
 
         cfg = Config(
@@ -671,7 +673,19 @@ vector_layers:
             .withColumn("name", F.concat(F.lit("poly"), F.col("polygon_id")))
         )
         geo = spark.createDataFrame([], "url string, lang string, mx double, my double")
-        tiles = render_zoom(cfg, 3, {"pages_geo": geo, "layer_polygons": polys})
+        return render_zoom(cfg, 3, {"pages_geo": geo, "layer_polygons": polys})
+
+    def mvt_poly_render(spark, sf_dir):
+        """B3/B4 for AREAL geometry: the deterministic 6x6 polygon grid
+        renders as a POLYGON layer at z3 (clip to buffered tile box + CW
+        command streams); blobs are decoded back to per-feature vertex
+        counts and pixel extrema that DuckDB re-derives from rectangle
+        intersection math."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+
+        tiles = mvt_poly_encode(spark, sf_dir)
 
         out_schema = (
             "zoom int, x int, y int, osm_id long, n_vertices int, "
@@ -707,6 +721,7 @@ vector_layers:
         return tiles.mapInPandas(per_feature, out_schema)
 
     q["mvt_poly_render"] = mvt_poly_render
+    q["mvt_poly_render"].encode_only = mvt_poly_encode
 
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same

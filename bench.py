@@ -101,6 +101,12 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "event_windows",
     ):
         fn = qs[name]
+        # queries whose value-check decodes blobs through a pure-Python
+        # verifier get an extra ENGINE-ONLY cell (encode, no decode) so
+        # round-over-round encoder deltas aren't drowned by verifier cost
+        enc = getattr(fn, "encode_only", None)
+        if enc is not None:
+            timed(name.replace("render", "encode"), lambda f=enc: f(spark, sf_dir).count())
         timed(name, lambda f=fn: f(spark, sf_dir).count())
 
     return {"timings": timings, "extra": extra}

@@ -31,10 +31,38 @@ def test_decode_image_features(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
-def test_decode_image_strict_is_stub(spark):
-    with pytest.raises(Exception) as ei:
-        decode_image(synth_media(spark, 5), strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+def test_decode_image_strict(spark):
+    """strict=True runs the REAL codec when PIL is importable, else raises
+    at the codec boundary (this container has no image libs)."""
+    from tilekiln_spark.operators.multimodal import _have_pil
+
+    if not _have_pil():
+        with pytest.raises(Exception) as ei:
+            decode_image(synth_media(spark, 5), strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+        return
+    # real path: encode known solid-color PNGs, expect exact channel means
+    import io
+
+    from PIL import Image
+
+    from pyspark.sql import functions as F
+
+    def png(rgb, w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), rgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (0, "image", png((255, 0, 0), 8, 4), (8, 4, 16000, 0, "png")),
+        (1, "image", png((0, 128, 64), 5, 7), (5, 7, 16000, 0, "png")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>")
+    out = {r.media_id: r for r in decode_image(df, strict=True).collect()}
+    assert (out[0].width, out[0].height) == (8, 4)
+    assert (out[0].mean_r, out[0].mean_g, out[0].mean_b) == (255.0, 0.0, 0.0)
+    assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (0.0, 128.0, 64.0)
 
 
 def test_frame_sample(spark):

@@ -74,25 +74,56 @@ def _fake_channel_stats(payload: bytes) -> tuple[float, float, float, float]:
     )
 
 
+def _have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, float]:
+    """REAL codec path: decode the payload with PIL, return (width, height,
+    mean_r, mean_g, mean_b, std-over-all-channels).  Only reachable when PIL
+    is importable (gated by _have_pil in decode_image)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64)
+    means = arr.reshape(-1, 3).mean(axis=0)
+    return (
+        int(img.width), int(img.height),
+        float(means[0]), float(means[1]), float(means[2]),
+        float(arr.std()),
+    )
+
+
 def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
     """payload -> per-image feature row (mean/std per channel + dims).
 
-    strict=True raises NotImplementedError where the real codec would run —
-    marking exactly the boundary a production image lib plugs into."""
+    strict=False: deterministic stub stats (md5-derived — reproducible from
+    the DuckDB oracle; the container has no image libs).
+    strict=True: REQUIRE the real codec — decode via PIL when the lib is
+    importable on the executor, else raise NotImplementedError at exactly
+    the boundary a production image lib plugs into."""
 
     out_schema = "media_id long, width int, height int, mean_r double, mean_g double, mean_b double, std double"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = strict and _have_pil()
         for pdf in batches:
-            if strict:
+            if strict and not use_real:
                 raise NotImplementedError(
                     "image codec not available in this environment; "
                     "plug PIL/torchvision here"
                 )
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w, h = int(meta["width"]), int(meta["height"])
-                mean_r, mean_g, mean_b, std = _fake_channel_stats(bytes(payload))
+                if use_real:
+                    w, h, mean_r, mean_g, mean_b, std = _pil_channel_stats(bytes(payload))
+                else:
+                    w, h = int(meta["width"]), int(meta["height"])
+                    mean_r, mean_g, mean_b, std = _fake_channel_stats(bytes(payload))
                 rows.append((int(mid), w, h, mean_r, mean_g, mean_b, std))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b", "std"]
