@@ -122,6 +122,33 @@ def _grid_polys(spark: SparkSession) -> DataFrame:
     )
 
 
+_HOLE_N = 4
+
+
+def _hole_polys(spark: SparkSession) -> DataFrame:
+    """4x4 deterministic polygons-with-holes: each spans [0.1, 1.3] of its
+    cell (so it overlaps the neighbor tile at z2) with a centered square
+    hole at [0.5, 0.7] — offsets chosen so no pixel coordinate lands on an
+    exact .5 (np.round is banker's, SQL round is half-away)."""
+    cell = 2.0 * HW / _HOLE_N
+    i = F.col("id")
+    ox = F.lit(-HW) + (i % _HOLE_N) * cell
+    oy = F.lit(-HW) + F.floor(i / _HOLE_N) * cell
+    xmin, xmax = ox + 0.1 * cell, ox + 1.3 * cell
+    ymin, ymax = oy + 0.1 * cell, oy + 1.3 * cell
+    hx0, hx1 = ox + 0.5 * cell, ox + 0.7 * cell
+    hy0, hy1 = oy + 0.5 * cell, oy + 0.7 * cell
+    return spark.range(_HOLE_N * _HOLE_N).select(
+        i.alias("polygon_id"),
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        xmax.alias("xmax"), ymax.alias("ymax"),
+        F.array(xmin, xmax, xmax, xmin).alias("ring_xs"),
+        F.array(ymin, ymin, ymax, ymax).alias("ring_ys"),
+        F.array(F.array(hx0, hx1, hx1, hx0)).alias("holes_xs"),
+        F.array(F.array(hy0, hy0, hy1, hy1)).alias("holes_ys"),
+    )
+
+
 _GRID_SQL = f"""
 polys AS (
   SELECT id AS polygon_id,
@@ -723,6 +750,84 @@ vector_layers:
     q["mvt_poly_render"] = mvt_poly_render
     q["mvt_poly_render"].encode_only = mvt_poly_encode
 
+    def mvt_holes_render(spark, sf_dir):
+        """Interior rings (MVT 2.1 §4.3.3.3): a 4x4 grid of polygons each
+        spanning 1.2 tiles with a centered square hole renders at z2; blobs
+        decode back to per-(tile, feature) ring counts, exterior pixel
+        extrema and the hole's (negative, CCW-in-screen-coords) surveyor
+        area — all re-derivable from rectangle-intersection math in SQL.
+        Holes clipped out of a tile drop; holes whose exterior leaves the
+        tile entirely drop with it."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+        from tilekiln_spark.operators.tiling import render_zoom
+
+        cfg = Config(
+            """
+metadata: {id: vholes}
+vector_layers:
+  holepoly:
+    fields: {water: Type}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: wp.b}
+""",
+            {"wp.b": "water_poly"},
+        )
+        polys = (
+            _hole_polys(spark)
+            .withColumn("layer", F.lit("water"))
+            .withColumn("name", F.concat(F.lit("hp"), F.col("polygon_id")))
+        )
+        geo = spark.createDataFrame([], "url string, lang string, mx double, my double")
+        tiles = render_zoom(cfg, 2, {"pages_geo": geo, "layer_polygons": polys})
+
+        out_schema = (
+            "zoom int, x int, y int, osm_id long, n_rings int, "
+            "min_px long, max_px long, min_py long, max_py long, hole_area2 long"
+        )
+
+        def per_feature(batches):
+            for pdf in batches:
+                rows = []
+                for z, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["holepoly_data"]):
+                    (layer,) = decode_tile(bytes(blob))
+                    if not layer["features"]:
+                        continue
+                    ki = layer["keys"].index("osm_id")
+                    for f in layer["features"]:
+                        tags = f["tags"]
+                        vi = next(
+                            tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki
+                        )
+                        osm_id = int(layer["values"][vi])
+                        rings = decode_geom(f)
+                        ext = rings[0][:-1]
+                        xs = [p[0] for p in ext]
+                        ys = [p[1] for p in ext]
+                        hole_a2 = 0
+                        for ring in rings[1:]:
+                            vs = ring[:-1]
+                            a2 = sum(
+                                vs[i][0] * vs[(i + 1) % len(vs)][1]
+                                - vs[(i + 1) % len(vs)][0] * vs[i][1]
+                                for i in range(len(vs))
+                            )
+                            hole_a2 += a2
+                        rows.append(
+                            (int(z), int(x), int(y), osm_id, len(rings),
+                             min(xs), max(xs), min(ys), max(ys), hole_a2)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["zoom", "x", "y", "osm_id", "n_rings",
+                             "min_px", "max_px", "min_py", "max_py", "hole_area2"],
+                )
+
+        return tiles.mapInPandas(per_feature, out_schema)
+
+    q["mvt_holes_render"] = mvt_holes_render
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1132,6 +1237,48 @@ def oracle_sql() -> dict[str, str]:
         FROM pt
         WHERE greatest(pxmin, -8) < least(pxmax, 2056)
           AND greatest(pymin, -8) < least(pymax, 2056)
+    """
+
+    # ---- interior rings: rect - rect hole == two rectangle clips ----
+    lenh = f"(2.0 * {HW} / power(2.0, 2))"
+    o["mvt_holes_render"] = f"""
+        WITH polys AS (
+          SELECT id AS polygon_id,
+                 -{HW} + (id % {_HOLE_N}) * {lenh} AS ox,
+                 -{HW} + floor(id / {_HOLE_N}) * {lenh} AS oy
+          FROM range({_HOLE_N * _HOLE_N}) t(id)
+        ), tiles AS (SELECT CAST(x.r AS INT) AS x, CAST(y.r AS INT) AS y
+                     FROM range({_HOLE_N}) x(r), range({_HOLE_N}) y(r)),
+        pt AS (
+          SELECT p.polygon_id, t.x, t.y,
+            ((p.ox + 0.1 * {lenh}) - (-{HW} + t.x * {lenh})) / {lenh} * 2048 AS pxmin,
+            ((p.ox + 1.3 * {lenh}) - (-{HW} + t.x * {lenh})) / {lenh} * 2048 AS pxmax,
+            (({HW} - t.y * {lenh}) - (p.oy + 1.3 * {lenh})) / {lenh} * 2048 AS pymin,
+            (({HW} - t.y * {lenh}) - (p.oy + 0.1 * {lenh})) / {lenh} * 2048 AS pymax,
+            ((p.ox + 0.5 * {lenh}) - (-{HW} + t.x * {lenh})) / {lenh} * 2048 AS hxmin,
+            ((p.ox + 0.7 * {lenh}) - (-{HW} + t.x * {lenh})) / {lenh} * 2048 AS hxmax,
+            (({HW} - t.y * {lenh}) - (p.oy + 0.7 * {lenh})) / {lenh} * 2048 AS hymin,
+            (({HW} - t.y * {lenh}) - (p.oy + 0.5 * {lenh})) / {lenh} * 2048 AS hymax
+          FROM polys p, tiles t
+        ), cl AS (
+          SELECT polygon_id, x, y,
+                 greatest(pxmin, -8) AS cxmin, least(pxmax, 2056) AS cxmax,
+                 greatest(pymin, -8) AS cymin, least(pymax, 2056) AS cymax,
+                 greatest(hxmin, -8) AS kxmin, least(hxmax, 2056) AS kxmax,
+                 greatest(hymin, -8) AS kymin, least(hymax, 2056) AS kymax
+          FROM pt
+        )
+        SELECT 2 AS zoom, x, y, polygon_id AS osm_id,
+               CASE WHEN kxmin < kxmax AND kymin < kymax THEN 2 ELSE 1 END AS n_rings,
+               CAST(round(cxmin) AS BIGINT) AS min_px,
+               CAST(round(cxmax) AS BIGINT) AS max_px,
+               CAST(round(cymin) AS BIGINT) AS min_py,
+               CAST(round(cymax) AS BIGINT) AS max_py,
+               CAST(CASE WHEN kxmin < kxmax AND kymin < kymax
+                    THEN -2 * (round(kxmax) - round(kxmin)) * (round(kymax) - round(kymin))
+                    ELSE 0 END AS BIGINT) AS hole_area2
+        FROM cl
+        WHERE cxmin < cxmax AND cymin < cymax
     """
 
     # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can

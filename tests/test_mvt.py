@@ -180,3 +180,145 @@ def test_point_segments_kernel_matches_per_tile_encoder():
             {"osm_id": osm[s:e], "water": nm[s:e]}, nt[s:e], cap,
         )
         assert alone[0] == blobs[si]
+
+
+def test_clip_batch_kernels_match_scalar():
+    """clip_rings_batch / clip_lines_batch must be bit-identical per
+    ring/line to the scalar clip_ring / clip_line reference paths."""
+    import numpy as np
+
+    from tilekiln_spark.operators.mvt import (
+        clip_line,
+        clip_lines_batch,
+        clip_ring,
+        clip_rings_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rings = []
+    for _ in range(200):
+        n = int(rng.integers(3, 40))
+        # mix of fully-inside, fully-outside and straddling rings
+        c = rng.uniform(-3000, 7000, 2)
+        r = 10 ** rng.uniform(0.5, 3.5)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rings.append((c[0] + r * np.cos(ang), c[1] + r * np.sin(ang)))
+    lo, hi = -64.0, 4160.0
+    flat_x = np.concatenate([r[0] for r in rings])
+    flat_y = np.concatenate([r[1] for r in rings])
+    lens = np.array([len(r[0]) for r in rings], dtype=np.int64)
+    bx, by, blens = clip_rings_batch(flat_x, flat_y, lens, lo, hi)
+    starts = np.concatenate([[0], np.cumsum(blens)[:-1]])
+    for i, (xs, ys) in enumerate(rings):
+        sx, sy = clip_ring(xs, ys, lo, hi)
+        s, e = starts[i], starts[i] + blens[i]
+        assert len(sx) == blens[i]
+        assert np.array_equal(sx, bx[s:e]) and np.array_equal(sy, by[s:e])
+
+    px, py, plens, pline = clip_lines_batch(flat_x, flat_y, lens, lo, hi)
+    pstarts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+    cursor = 0
+    for i, (xs, ys) in enumerate(rings):
+        parts = clip_line(xs, ys, lo, hi)
+        mine = np.flatnonzero(pline == i)
+        assert len(parts) == len(mine)
+        for k, (sx, sy) in zip(mine, parts):
+            s, e = pstarts[k], pstarts[k] + plens[k]
+            assert np.array_equal(sx, px[s:e]) and np.array_equal(sy, py[s:e])
+        cursor += len(parts)
+
+
+def test_geom_commands_batch_matches_scalar():
+    import numpy as np
+
+    from tilekiln_spark.operators.mvt import (
+        GEOM_LINESTRING,
+        GEOM_POLYGON,
+        geom_commands,
+        geom_commands_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    # features with 1-3 parts each, already clipped/rounded/deduped
+    feats = []
+    for _ in range(50):
+        parts = []
+        for _ in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(3, 12))
+            parts.append((rng.integers(0, 4096, n), rng.integers(0, 4096, n)))
+        feats.append(parts)
+    for gt in (GEOM_POLYGON, GEOM_LINESTRING):
+        flat_x = np.concatenate([p[0] for f in feats for p in f]).astype(np.int64)
+        flat_y = np.concatenate([p[1] for f in feats for p in f]).astype(np.int64)
+        part_lens = np.array([len(p[0]) for f in feats for p in f], dtype=np.int64)
+        part_feat = np.array(
+            [fi for fi, f in enumerate(feats) for _ in f], dtype=np.int64
+        )
+        vals, flens, fids = geom_commands_batch(flat_x, flat_y, part_lens, part_feat, gt)
+        split = np.split(vals, np.cumsum(flens)[:-1])
+        assert list(fids) == list(range(len(feats)))
+        for fi, parts in enumerate(feats):
+            ref = geom_commands(
+                [(p[0].astype(np.int64), p[1].astype(np.int64)) for p in parts], gt
+            )
+            assert np.array_equal(ref, split[fi]), f"feature {fi} gt {gt}"
+
+
+def test_polygon_holes_and_multipolygon_roundtrip():
+    """Interior rings encode CCW after their CW exterior (MVT 2.1
+    §4.3.3.3); multipolygons carry multiple exterior parts in one feature;
+    holes of a clipped-away exterior drop with it."""
+    import numpy as np
+
+    from tilekiln_spark.operators.mvt import (
+        GEOM_POLYGON,
+        decode_geom,
+        decode_tile,
+        encode_geom_layer_segments,
+    )
+
+    def ring(x0, y0, x1, y1, ccw=False):
+        xs = np.array([x0, x1, x1, x0], dtype=np.float64)
+        ys = np.array([y0, y0, y1, y1], dtype=np.float64)
+        return (xs[::-1], ys[::-1]) if ccw else (xs, ys)
+
+    def area2(r):
+        x = np.array([p[0] for p in r[:-1]]); y = np.array([p[1] for p in r[:-1]])
+        return np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+
+    # feature 0: square with a hole; feature 1: multipolygon (2 parts, one
+    # with a hole); feature 2: exterior fully outside the clip box, its
+    # hole must vanish with it
+    f0 = ([ring(100, 100, 900, 900), ring(300, 300, 500, 500)], [False, True])
+    f1 = (
+        [ring(1000, 1000, 1500, 1500), ring(2000, 2000, 2500, 2500),
+         ring(2100, 2100, 2300, 2300)],
+        [False, False, True],
+    )
+    f2 = ([ring(9000, 9000, 9500, 9500), ring(9100, 9100, 9200, 9200)], [False, True])
+    rows = [f0, f1, f2]
+    rx = np.array([[r[0] for r in f[0]] for f in rows], dtype=object)
+    ry = np.array([[r[1] for r in f[0]] for f in rows], dtype=object)
+    rh = np.array([f[1] for f in rows], dtype=object)
+    blobs, nfeat = encode_geom_layer_segments(
+        "poly", np.array([4096]), np.array([-64.0]), np.array([4160.0]),
+        np.array([0]), np.array([3]),
+        px=np.array([100, 1000, 9000], dtype=np.int64),
+        py=np.array([100, 1000, 9000], dtype=np.int64),
+        fh=np.array([1, 2, 3], dtype=np.int64),
+        rings_xs=rx, rings_ys=ry, rings_hole=rh,
+        props={"pid": np.array([10, 11, 12], dtype=np.int64)},
+        cap=None, geom_type=GEOM_POLYGON,
+    )
+    assert nfeat[0] == 2  # feature 2 clipped away entirely
+    (layer,) = decode_tile(blobs[0])
+    assert len(layer["features"]) == 2
+    ringsets = [decode_geom(f) for f in layer["features"]]
+    # feature 0: exterior CW (positive area in y-down coords) + hole CCW
+    r0 = ringsets[0]
+    assert len(r0) == 2
+    assert area2(r0[0]) > 0 and area2(r0[1]) < 0
+    # feature 1 (multipolygon): two exteriors + one hole, in order
+    r1 = ringsets[1]
+    assert len(r1) == 3
+    assert area2(r1[0]) > 0 and area2(r1[1]) > 0 and area2(r1[2]) < 0

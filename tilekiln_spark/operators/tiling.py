@@ -41,13 +41,10 @@ from tilekiln_spark.operators.mvt import (
     GEOM_LINESTRING,
     GEOM_POINT,
     GEOM_POLYGON,
-    clip_line,
-    clip_ring,
     empty_layer,
-    encode_geom_layer,
+    encode_geom_layer_segments,
     encode_layer_fast,
     encode_point_layer_segments,
-    geom_commands,
     mvt_geom_cols,
 )
 from tilekiln_spark.operators.spatial_join import points_in_polygons
@@ -201,12 +198,21 @@ def _poly_tile_rows(
     props: dict[str, Column],
     close: bool = False,
 ) -> DataFrame:
-    """Geometry-layer rows: one (polygon, zoom, tile) row carrying the ring
-    in tile-local FLOAT coordinates (g_xs, g_ys) for clip+encode inside the
-    tile aggregate.  Tiles = every tile whose buffered envelope intersects
-    the polygon bbox (bbox explode, the ST_AsMVTGeom assignment for areal
-    geometry); `close=True` appends the first vertex again so the ring reads
-    as a closed outline LINESTRING."""
+    """Geometry-layer rows: one (polygon, zoom, tile) row carrying the
+    feature's RINGS in tile-local FLOAT coordinates as nested arrays
+    (g_xs/g_ys: array<array<double>>, g_hole: array<boolean>) for batch
+    clip+encode inside the tile aggregate.  Ring sources, most general
+    first (all optional except the flat exterior):
+
+    - ``rings_xs/rings_ys/rings_hole`` — full (multi)polygon: rings ordered
+      [exterior, its holes..., exterior2, ...] (MVT 2.1 §4.3.3.3)
+    - ``holes_xs/holes_ys`` — exterior ``ring_xs`` + interior rings
+    - ``ring_xs/ring_ys`` — single exterior ring (round-1 form)
+
+    Tiles = every tile whose buffered envelope intersects the feature bbox
+    (bbox explode, the ST_AsMVTGeom assignment for areal geometry);
+    `close=True` appends each ring's first vertex again so rings read as
+    closed outline LINESTRINGs."""
     z = F.col("zoom")
     length = tile_length_col(z)
     margin = (buffer / extent) * length
@@ -218,20 +224,32 @@ def _poly_tile_rows(
     )
     txmin, tymin, txmax, tymax = envelope_cols(z, F.col("x"), F.col("y"), 0.0)
     tlen = txmax - txmin
-    rx, ry = F.col("ring_xs"), F.col("ring_ys")
+    cols = set(polys.columns)
+    if "rings_xs" in cols:
+        rxs, rys = F.col("rings_xs"), F.col("rings_ys")
+        hole = F.col("rings_hole")
+    elif "holes_xs" in cols:
+        hx = F.coalesce(F.col("holes_xs"), F.array())
+        hy = F.coalesce(F.col("holes_ys"), F.array())
+        rxs = F.concat(F.array(F.col("ring_xs")), hx)
+        rys = F.concat(F.array(F.col("ring_ys")), hy)
+        hole = F.concat(F.array(F.lit(False)), F.transform(hx, lambda _: F.lit(True)))
+    else:
+        rxs, rys = F.array(F.col("ring_xs")), F.array(F.col("ring_ys"))
+        hole = F.array(F.lit(False))
     if close:
-        rx = F.concat(rx, F.slice(rx, 1, 1))
-        ry = F.concat(ry, F.slice(ry, 1, 1))
-    gxs = F.transform(rx, lambda v: (v - txmin) / tlen * extent)
-    gys = F.transform(ry, lambda v: (tymax - v) / tlen * extent)
+        rxs = F.transform(rxs, lambda r: F.concat(r, F.slice(r, 1, 1)))
+        rys = F.transform(rys, lambda r: F.concat(r, F.slice(r, 1, 1)))
+    gxs = F.transform(rxs, lambda r: F.transform(r, lambda v: (v - txmin) / tlen * extent))
+    gys = F.transform(rys, lambda r: F.transform(r, lambda v: (tymax - v) / tlen * extent))
     prop_cols = [c.alias(k) for k, c in props.items()]
     fh = F.xxhash64(F.col("polygon_id"))
     return pf.select(
         "zoom", "x", "y",
-        F.round(F.element_at(gxs, 1)).cast("long").alias("px"),
-        F.round(F.element_at(gys, 1)).cast("long").alias("py"),
+        F.round(F.element_at(F.element_at(gxs, 1), 1)).cast("long").alias("px"),
+        F.round(F.element_at(F.element_at(gys, 1), 1)).cast("long").alias("py"),
         fh.alias("__fh"),
-        gxs.alias("g_xs"), gys.alias("g_ys"),
+        gxs.alias("g_xs"), gys.alias("g_ys"), hole.alias("g_hole"),
         *prop_cols,
     )
 
@@ -487,7 +505,7 @@ def render_zooms(
     extents: dict[str, dict[int, int]] = {}
     buffers: dict[str, dict[int, int]] = {}
     geom_types: dict[str, int] = {}
-    _GEOM_COLS = ("g_xs", "g_ys")
+    _GEOM_COLS = ("g_xs", "g_ys", "g_hole")
     for name in layer_names:
         bands = _definition_bands(config, name, zooms)
         got = False
@@ -565,79 +583,6 @@ def render_zooms(
         if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
     }
 
-    def _encode_layer_slice(name, z, arrs, lo_i, hi_i):
-        """One (tile, layer) run of rows [lo_i, hi_i) -> (blob, n_features)."""
-        n_rows = hi_i - lo_i
-        nt = arrs["__ntrue"][lo_i:hi_i]
-        if nt.dtype.kind == "f":
-            valid = nt[~np.isnan(nt)]
-        elif nt.dtype.kind == "O":
-            valid = np.array([v for v in nt if v is not None])
-        else:
-            valid = nt
-        n_total = int(valid[0]) if len(valid) else n_rows
-        fh = arrs["__fh"][lo_i:hi_i]
-        px = arrs["px"][lo_i:hi_i]
-        py = arrs["py"][lo_i:hi_i]
-        pxy = ((px + (1 << 21)) << np.int64(22)) | (py + (1 << 21))
-        base = np.arange(lo_i, hi_i)
-        if cap and n_rows > cap:
-            # exact cap: keep the cap smallest by (hash, pxy) — a uniform,
-            # deterministic subset of the (already hash-sampled) run
-            sel = np.lexsort((pxy, fh))[:cap]
-            fh, pxy, base = fh[sel], pxy[sel], base[sel]
-        idx = base[np.lexsort((fh, pxy))]  # final blob order: (px, py, hash)
-        gt = geom_types[name]
-        ext = extents[name][z]
-        if gt == GEOM_POINT:
-            props = {}
-            for c in layer_props[name]:
-                ser = pd.Series(arrs[c][idx])
-                if c in int_props and ser.dtype.kind == "f":
-                    ser = ser.astype("Int64")
-                props[c] = ser
-            return (
-                encode_layer_fast(name, ext, arrs["px"][idx], arrs["py"][idx], props),
-                n_total,
-            )
-        # line/polygon: clip each ring/outline to the buffered box, then
-        # build command streams (features clipped entirely away drop out,
-        # matching ST_AsMVTGeom's NULL-geometry removal)
-        lo, hi = float(-buffers[name][z]), float(ext + buffers[name][z])
-        geoms: list[np.ndarray] = []
-        kept: list[int] = []
-        for i in idx:
-            gxs, gys = arrs["g_xs"][i], arrs["g_ys"][i]
-            if gt == GEOM_POLYGON:
-                cx, cy = clip_ring(np.asarray(gxs), np.asarray(gys), lo, hi)
-                if len(cx) < 3:
-                    continue
-                cx = np.round(cx).astype(np.int64)
-                cy = np.round(cy).astype(np.int64)
-                # MVT 2.1 §4.3.3.3: an exterior ring has POSITIVE surveyor-
-                # formula area in tile coords (y down) — clockwise on screen
-                area2 = np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy)
-                if area2 < 0:
-                    cx, cy = cx[::-1], cy[::-1]
-                parts = [(cx, cy)]
-            else:
-                parts = clip_line(np.asarray(gxs), np.asarray(gys), lo, hi)
-                parts = [
-                    (np.round(px_).astype(np.int64), np.round(py_).astype(np.int64))
-                    for px_, py_ in parts
-                ]
-            if not parts:
-                continue
-            cmds = geom_commands(parts, gt)
-            if len(cmds) == 0:
-                continue
-            geoms.append(cmds)
-            kept.append(i)
-        if not geoms:
-            return blanks[name][z], 0
-        props = {c: [arrs[c][i] for i in kept] for c in layer_props[name]}
-        return encode_geom_layer(name, ext, geoms, props, gt), len(geoms)
-
     lcode = {name: i for i, name in enumerate(rendered_layers)}
     code_expr = F.array_position(
         F.array(*[F.lit(n) for n in rendered_layers]), F.col("__layer")
@@ -646,19 +591,22 @@ def render_zooms(
     needed_cols = set(
         ["zoom", "x", "y", "px", "py", "__fh", "__ntrue", "__lc"]
         + [c for n in rendered_layers for c in layer_props[n]]
-        + (["g_xs", "g_ys"] if any(geom_types[n] != GEOM_POINT for n in rendered_layers) else [])
+        + (["g_xs", "g_ys", "g_hole"] if any(geom_types[n] != GEOM_POINT for n in rendered_layers) else [])
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         """One sorted chunk of whole (tile, layer) groups -> one output row
         per group [zoom, x, y, __lc, data, nfeat].
 
-        Point layers take the whole-batch kernel (encode_point_layer_segments)
-        — all of a layer's segments across every tile in the chunk encode in
-        one numpy pass, so per-tile cost is O(rows), not O(tiles x call
-        overhead).  Line/polygon layers (few rows: one per polygon x tile)
-        keep the per-segment clip+encode loop.  Blank fill / undefined-zoom
-        NULLs happen in the pivot select after the encoder."""
+        Point layers take the whole-batch point kernel
+        (encode_point_layer_segments) and line/polygon layers the whole-batch
+        geometry kernel (encode_geom_layer_segments): all of a layer's
+        segments across every tile in the chunk clip + encode in one numpy
+        pass, so per-tile cost is O(rows + vertices), not O(features x call
+        overhead) — at planet z12-14 the (polygon x tile) row count is
+        millions per task and a per-feature Python clip loop was the
+        encoder-stage straggler.  Blank fill / undefined-zoom NULLs happen in
+        the pivot select after the encoder."""
         arrs = {}
         for c in needed_cols & set(pdf.columns):
             a = pdf[c].to_numpy()
@@ -709,18 +657,33 @@ def render_zooms(
                 )
                 nfs = n_tot.tolist()
             else:
-                seg_rs = rows[seg_b]
-                seg_re = np.concatenate(
-                    [rows[seg_b[1:] - 1] + 1, [rows[-1] + 1]]
+                # line/polygon: whole-batch clip + command-stream kernel
+                # (encode_geom_layer_segments) — features clipped entirely
+                # away drop out, matching ST_AsMVTGeom's NULL-geometry
+                # removal; empty segments get the layer's blank bytes
+                zs = zoom_t[seg_tile]
+                extent_seg = np.array(
+                    [extents[name][int(z)] for z in zs], dtype=np.int64
                 )
-                blobs = []
-                nfs = []
-                for i, t in enumerate(seg_tile):
-                    blob, nf = _encode_layer_slice(
-                        name, int(zoom_t[t]), arrs, int(seg_rs[i]), int(seg_re[i])
-                    )
-                    blobs.append(blob)
-                    nfs.append(int(nf))
+                lo_seg = np.array([float(-buffers[name][int(z)]) for z in zs])
+                hi_seg = np.array(
+                    [float(extents[name][int(z)] + buffers[name][int(z)]) for z in zs]
+                )
+                rel_ends = np.concatenate([seg_b[1:], [len(rows)]])
+                props = {c: arrs[c][rows] for c in layer_props[name]}
+                hole_col = arrs.get("g_hole")
+                blobs, n_tot = encode_geom_layer_segments(
+                    name, extent_seg, lo_seg, hi_seg, seg_b, rel_ends,
+                    arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
+                    arrs["g_xs"][rows], arrs["g_ys"][rows],
+                    hole_col[rows] if hole_col is not None else None,
+                    props, cap, gt,
+                )
+                blobs = [
+                    b if b else blanks[name][int(zs[i])]
+                    for i, b in enumerate(blobs)
+                ]
+                nfs = n_tot.tolist()
             out_z.extend(zoom_t[seg_tile].tolist())
             out_x.extend(x_t[seg_tile].tolist())
             out_y.extend(y_t[seg_tile].tolist())
