@@ -1,0 +1,176 @@
+"""SQL-template compiler (config/sqlt.py): the reference executes arbitrary
+Jinja SQL templates (reference tilekiln/definition.py:42-77); this engine
+COMPILES the restricted subset those templates use into DataFrame plans.
+
+Parity contract: a config shipping the actual .sql.jinja2 template files
+(sample/*.sql.jinja2) must render BYTE-IDENTICALLY to the same config wired
+to the hand-registered builders, plus a novel template (never hand-mapped)
+must compile and render correctly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.config.errors import DefinitionError
+from tilekiln_spark.operators.tiling import render_zooms, sample_tables
+
+CFG_YAML = """
+metadata: {id: tc}
+vector_layers:
+  water:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, file: water.t}
+  waterpoly:
+    fields: {water: Type of water}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: wpoly.t}
+  admin:
+    fields: {admin_level: Admin level}
+    sql:
+    - {minzoom: 1, maxzoom: 3, file: ne.t}
+    - {minzoom: 4, maxzoom: 10, file: admin.t}
+  adminline:
+    fields: {admin_level: Admin level}
+    sql:
+    - {minzoom: 1, maxzoom: 10, extent: 4096, buffer: 8, file: aline.t}
+  country_names:
+    fields: {name: Name, area: Area}
+    sql:
+    - {minzoom: 3, maxzoom: 14, file: country.t}
+"""
+
+BUILDER_TEMPLATES = {
+    "water.t": "water", "wpoly.t": "water_poly", "ne.t": "ne_admin",
+    "admin.t": "admin", "aline.t": "admin_line", "country.t": "country",
+}
+
+_FILES = {
+    "water.t": "sample/water.sql.jinja2",
+    "wpoly.t": "sample/water-poly.sql.jinja2",
+    "ne.t": "sample/ne-admin.sql.jinja2",
+    "admin.t": "sample/admin.sql.jinja2",
+    "aline.t": "sample/admin-line.sql.jinja2",
+    "country.t": "sample/country.sql.jinja2",
+}
+
+
+def _sql_templates():
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    return {k: (root / v).read_text() for k, v in _FILES.items()}
+
+
+def _sources(spark):
+    from tilekiln_spark.sources.pages import layer_polygons, pages
+    from tilekiln_spark.operators.tiling import pages_geo
+
+    return {
+        "pages_geo": pages_geo(pages(spark, 4000)),
+        "layer_polygons": layer_polygons(spark, 30),
+        "tables": sample_tables(),
+        "materialize": False,
+    }
+
+
+def _tile_rows(df):
+    drop = [c for c in df.columns if c.endswith("_generated")]
+    out = {}
+    for r in df.drop(*drop).collect():
+        key = (r["zoom"], r["x"], r["y"])
+        out[key] = tuple(
+            bytes(v) if isinstance(v, (bytes, bytearray)) else v
+            for c, v in sorted(r.asDict().items()) if c not in ("zoom", "x", "y")
+        )
+    return out
+
+
+def test_sample_templates_render_identically_to_builders(spark):
+    """The four reference-sample layers (+ the areal/line variants) ingested
+    from their actual .sql.jinja2 FILES produce byte-identical tiles to the
+    hand-registered builders."""
+    sources = _sources(spark)
+    zooms = [0, 2, 5, 8]
+    hand = render_zooms(Config(CFG_YAML, BUILDER_TEMPLATES), zooms, dict(sources))
+    sql = render_zooms(Config(CFG_YAML, _sql_templates()), zooms, dict(sources))
+    h, s = _tile_rows(hand), _tile_rows(sql)
+    assert set(h) == set(s)
+    diff = [k for k in h if h[k] != s[k]]
+    assert not diff, f"{len(diff)} tiles differ, e.g. {diff[:3]}"
+    assert len(h) > 50  # sanity: the render actually produced tiles
+
+
+def test_novel_template_compiles_without_python(spark):
+    """A template never hand-mapped: new filters, arithmetic, IS NULL, a
+    coalesce, over the registered osm schema — runs from SQL alone."""
+    cfg = Config(
+        """
+metadata: {id: novel}
+vector_layers:
+  big_water:
+    fields: {label: Name}
+    sql:
+    - {minzoom: 2, maxzoom: 6, extent: 1024, file: novel.t}
+""",
+        {
+            "novel.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       COALESCE(water, 'unnamed') AS label,
+       osm_id
+FROM planet_osm_polygon
+WHERE way && {{bbox}}
+  AND "natural" IN ('water')
+  AND osm_id > 0
+{% if zoom <= 4 %}
+  AND way_area > 100 * {{coordinate_area}}
+{% endif %}
+"""
+        },
+    )
+    sources = _sources(spark)
+    tiles = render_zooms(cfg, [3, 6], dict(sources))
+    rows = tiles.collect()
+    assert len(rows) > 0
+    assert {"big_water_data", "big_water_nfeat"} <= set(tiles.columns)
+    # decode one populated tile: the label property resolved the coalesce
+    from tilekiln_spark.operators.mvt import decode_tile
+
+    populated = [r for r in rows if r.big_water_nfeat and r.big_water_nfeat > 0]
+    assert populated
+    (layer,) = decode_tile(bytes(populated[0].big_water_data))
+    assert layer["name"] == "big_water"
+    assert layer["extent"] == 1024
+    assert "label" in layer["keys"] and "osm_id" in layer["keys"]
+
+
+def test_compiler_rejects_out_of_subset_sql(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    dummy = spark.createDataFrame([(1.0, 2.0, 3)], "mx double, my double, x long")
+    bad = [
+        "SELECT way FROM t",                            # no ST_AsMVTGeom
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM a JOIN b ON a.x = b.x",
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, f(x) FROM t",
+    ]
+    for body in bad:
+        with pytest.raises(DefinitionError):
+            CompiledTemplate(body).build(
+                {"tables": {"t": {"frame": dummy, "kind": "point"}}}, [3], 4096, 0
+            )
+
+
+def test_zoom_groups_share_plans():
+    """Identical rendered text across zooms collapses to one plan branch."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    body = (
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM t WHERE way && {{bbox}}"
+        "{% if zoom <= 4 %} AND way_area > {{tile_area}}*0.05^2{% endif %}"
+    )
+    ct = CompiledTemplate(body)
+    groups = ct._zoom_groups(list(range(0, 9)), 4096, 0)
+    assert sorted(tuple(zs) for zs, _ in groups) == [
+        (0, 1, 2, 3, 4), (5, 6, 7, 8),
+    ]

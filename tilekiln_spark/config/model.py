@@ -57,11 +57,20 @@ class Definition:
         filename = definition_yaml["file"]
         if filename not in templates:
             raise DefinitionError(f"Layer {id} is missing file {filename}")
-        # The "template" body names the DataFrame builder (first non-empty
-        # line, or the filename stem); builder params are the YAML remainder.
+        # The "template" body is either a restricted .sql.jinja2 template
+        # (compiled to a Spark plan — tilekiln_spark.config.sqlt; the
+        # reference path, definition.py:42-77) or the NAME of a registered
+        # DataFrame builder (first non-empty line / filename stem).
+        from tilekiln_spark.config.sqlt import CompiledTemplate, looks_like_sql
+
         self.source = templates[filename]
         body = self.source.strip()
-        self.builder = body.splitlines()[0].strip() if body else _stem(filename)
+        if looks_like_sql(body):
+            self.builder = "__sql__"
+            self.compiled: CompiledTemplate | None = CompiledTemplate(self.source)
+        else:
+            self.builder = body.splitlines()[0].strip() if body else _stem(filename)
+            self.compiled = None
 
     def render_params(self, tile: Tile) -> dict:
         """The substitution set the reference feeds its template

@@ -172,6 +172,23 @@ def ne_admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) 
     )
 
 
+def _cluster_label_points(df: DataFrame, extent: int, props: dict[str, Column]) -> DataFrame:
+    """ST_PointOnSurface stand-in (documented deviation): one label point
+    per (feature, tile) = centroid of the joined page cluster inside
+    polygon & tile.  `df` must be zoom-exploded with mx/my/polygon_id."""
+    z = F.col("zoom")
+    named = df.select(
+        "zoom", "mx", "my", "polygon_id", *[c.alias(k) for k, c in props.items()]
+    )
+    return (
+        named.withColumn("x", tile_x(z, F.col("mx")))
+        .withColumn("y", tile_y(z, F.col("my")))
+        .groupBy("zoom", "x", "y", "polygon_id", *props.keys())
+        .agg(F.avg("mx").alias("mx"), F.avg("my").alias("my"))
+        .select("zoom", "mx", "my", *props.keys())
+    )
+
+
 @builder("country")
 def country_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
     """reference sample/country.sql.jinja2: one label point per (polygon,
@@ -181,12 +198,8 @@ def country_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -
         _explode_zooms(_layer_rows(sources, "country_names").filter(F.col("name").isNotNull()), zooms)
         .filter((z > 12) | (F.col("way_area") > tile_area_col(z) * 0.05**2))
     )
-    return (
-        joined.withColumn("x", tile_x(z, F.col("mx")))
-        .withColumn("y", tile_y(z, F.col("my")))
-        .groupBy("zoom", "x", "y", "polygon_id", "name", "way_area")
-        .agg(F.avg("mx").alias("mx"), F.avg("my").alias("my"))
-        .select("zoom", "mx", "my", "name", F.col("way_area").alias("area"))
+    return _cluster_label_points(
+        joined, extent, {"name": F.col("name"), "area": F.col("way_area")}
     )
 
 
@@ -197,6 +210,7 @@ def _poly_tile_rows(
     buffer: int,
     props: dict[str, Column],
     close: bool = False,
+    pre_exploded: bool = False,
 ) -> DataFrame:
     """Geometry-layer rows: one (polygon, zoom, tile) row carrying the
     feature's RINGS in tile-local FLOAT coordinates as nested arrays
@@ -216,7 +230,7 @@ def _poly_tile_rows(
     z = F.col("zoom")
     length = tile_length_col(z)
     margin = (buffer / extent) * length
-    pf = _explode_zooms(polys, zooms)
+    pf = polys if pre_exploded else _explode_zooms(polys, zooms)
     x0, x1 = tile_x(z, F.col("xmin") - margin), tile_x(z, F.col("xmax") + margin)
     y0, y1 = tile_y(z, F.col("ymax") + margin), tile_y(z, F.col("ymin") - margin)
     pf = pf.withColumn("x", F.explode(F.sequence(x0, x1))).withColumn(
@@ -252,6 +266,83 @@ def _poly_tile_rows(
         gxs.alias("g_xs"), gys.alias("g_ys"), hole.alias("g_hole"),
         *prop_cols,
     )
+
+
+def sample_tables() -> dict:
+    """SQL-resolvable stand-in tables (``sources["tables"]``) exposing the
+    osm2pgsql-style schema the reference's sample templates query, mapped
+    onto the synthetic fixture EXACTLY as the hand-written builders map it
+    (water even ids = ocean shapefile rows, odd = osm water; admin
+    polygon_id % 3 == 0 = the generalized "roads" subset; negative osm_id =
+    relation-backed rows).  With this registry, a config shipping the actual
+    .sql.jinja2 templates (sample/*.sql.jinja2 in this repo) renders
+    byte-identically to the registered-builder config — tested in
+    tests/test_template_compiler.py."""
+    S = "string"
+
+    def _water_odd(s):
+        return _layer_rows(s, "water").filter(F.col("polygon_id") % 2 != 0)
+
+    def simplified_water_polygons(s):
+        return _layer_rows(s, "water").filter(F.col("polygon_id") % 2 == 0)
+
+    def planet_osm_polygon(s):
+        water = _water_odd(s).select(
+            "mx", "my", "polygon_id", "way_area", "name",
+            F.col("polygon_id").cast("long").alias("osm_id"),
+            F.col("name").alias("water"),
+            F.lit(None).cast(S).alias("waterway"),
+            F.lit(None).cast(S).alias("landuse"),
+            F.lit("water").alias("natural"),
+            F.lit(None).cast(S).alias("boundary"),
+            F.lit(None).cast(S).alias("admin_level"),
+        )
+        country = _layer_rows(s, "country_names").select(
+            "mx", "my", "polygon_id", "way_area", "name",
+            (-F.col("polygon_id") - 1).cast("long").alias("osm_id"),
+            F.lit(None).cast(S).alias("water"),
+            F.lit(None).cast(S).alias("waterway"),
+            F.lit(None).cast(S).alias("landuse"),
+            F.lit(None).cast(S).alias("natural"),
+            F.lit("administrative").alias("boundary"),
+            F.lit("2").alias("admin_level"),
+        )
+        return water.unionByName(country)
+
+    def _admin(s):
+        return _layer_rows(s, "admin").select(
+            "mx", "my", "polygon_id", "way_area", "name", "admin_level",
+            (-F.col("polygon_id") - 1).cast("long").alias("osm_id"),
+            F.lit("administrative").alias("boundary"),
+        )
+
+    def planet_osm_roads(s):
+        return _admin(s).filter(F.col("polygon_id") % 3 == 0)
+
+    def ne_110m_admin_0_boundary_lines_land(s):
+        return _admin(s).filter(F.col("admin_level") == "2")
+
+    def water_polygons(s):
+        return s["layer_polygons"].filter(F.col("layer") == "water").select(
+            "*",
+            F.col("polygon_id").alias("osm_id"),
+            F.col("name").alias("water"),
+        )
+
+    def admin_boundary_lines(s):
+        return s["layer_polygons"].filter(F.col("layer") == "admin")
+
+    return {
+        "simplified_water_polygons": {"frame": simplified_water_polygons, "kind": "point"},
+        "planet_osm_polygon": {"frame": planet_osm_polygon, "kind": "point"},
+        "planet_osm_roads": {"frame": planet_osm_roads, "kind": "point"},
+        "planet_osm_line": {"frame": _admin, "kind": "point"},
+        "ne_110m_admin_0_boundary_lines_land": {
+            "frame": ne_110m_admin_0_boundary_lines_land, "kind": "point",
+        },
+        "water_polygons": {"frame": water_polygons, "kind": "polygon"},
+        "admin_boundary_lines": {"frame": admin_boundary_lines, "kind": "line"},
+    }
 
 
 @builder("water_poly", geom_type=GEOM_POLYGON)
@@ -319,6 +410,22 @@ def assign_tiles(
 # --------------------------------------------------------------------------
 
 
+
+def _definition_geom_type(d, sources: dict, zooms: list[int]) -> int:
+    """Geometry type of a definition band: registered builders carry it in
+    BUILDER_GEOM; compiled SQL templates derive it from the source table's
+    kind (point/polygon/line) or the ST_PointOnSurface label form."""
+    if d.builder == "__sql__":
+        return d.compiled.geom_type(sources, zooms, d.extent, d.buffer)
+    return BUILDER_GEOM[d.builder]
+
+
+def _run_builder(d, sources: dict, zooms: list[int]) -> DataFrame:
+    if d.builder == "__sql__":
+        return d.compiled.build(sources, zooms, d.extent, d.buffer)
+    return BUILDERS[d.builder](sources, zooms, d.extent, d.buffer)
+
+
 def _layer_band_features(
     config: Config,
     layer: str,
@@ -335,8 +442,8 @@ def _layer_band_features(
         break
     if d is None:
         return None
-    feats = BUILDERS[d.builder](sources, zooms, d.extent, d.buffer)
-    if BUILDER_GEOM[d.builder] != GEOM_POINT:
+    feats = _run_builder(d, sources, zooms)
+    if _definition_geom_type(d, sources, zooms) != GEOM_POINT:
         # geometry builders assign tiles by bbox intersection and carry
         # tile-local float rings; clipping happens inside the tile aggregate
         if worklist is not None:
@@ -523,7 +630,7 @@ def render_zooms(
                 if p not in layer_props[name]:
                     layer_props[name].append(p)
             d = config.layers[name].definition_for(zs[0])
-            gt = BUILDER_GEOM[d.builder]
+            gt = _definition_geom_type(d, sources, zs)
             assert geom_types.setdefault(name, gt) == gt, (
                 f"layer {name}: definition bands mix geometry types"
             )
