@@ -193,3 +193,42 @@ def test_points_in_polygons_raycast_concave_join(spark):
         if _py_raycast(r.mx, r.my, L["ring_xs"], L["ring_ys"])
     }
     assert got == expected and len(expected) > 0
+
+
+def test_raycast_udf_matches_expression(spark):
+    """The Arrow ray-cast kernel must agree with the interpreted-HOF
+    pip_raycast on every (point, concave-ring) pair."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.spatial_join import make_pip_raycast_udf, pip_raycast
+
+    rng = np.random.default_rng(3)
+    polys = []
+    for pid in range(6):
+        n = int(rng.integers(5, 41))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.3, 1.0, n)  # star-shaped => concave
+        cx, cy = rng.uniform(-3, 3, 2)
+        polys.append((pid, (cx + r * np.cos(ang)).tolist(), (cy + r * np.sin(ang)).tolist()))
+    pts = [(float(x), float(y)) for x, y in rng.uniform(-4, 4, (500, 2))]
+    pdf = spark.createDataFrame(pts, "mx double, my double")
+    qdf = spark.createDataFrame(polys, "polygon_id long, ring_xs array<double>, ring_ys array<double>")
+    j = pdf.crossJoin(qdf)
+    expr = j.withColumn("hit", pip_raycast(F.col("mx"), F.col("my"), F.col("ring_xs"), F.col("ring_ys")))
+    udf = j.withColumn(
+        "hit",
+        make_pip_raycast_udf()(F.col("polygon_id"), F.col("mx"), F.col("my"), F.col("ring_xs"), F.col("ring_ys")),
+    )
+    rings = {pid: (xs, ys) for pid, xs, ys in polys}
+    from tilekiln_spark.operators.spatial_join import make_pip_raycast_closure_udf
+
+    bc = j.withColumn(
+        "hit",
+        make_pip_raycast_closure_udf(rings)(F.col("polygon_id"), F.col("mx"), F.col("my")),
+    )
+    a = {(r.mx, r.my, r.polygon_id): r.hit for r in expr.collect()}
+    b = {(r.mx, r.my, r.polygon_id): r.hit for r in udf.collect()}
+    c = {(r.mx, r.my, r.polygon_id): r.hit for r in bc.collect()}
+    assert a == b == c
+    assert sum(a.values()) > 0  # some points actually inside
