@@ -116,3 +116,28 @@ def test_spark_submit_pyfiles_deployment(cfg_path, tmp_path):
     assert os.path.exists(os.path.join(store, "clits", "metadata.json"))
     # the job actually wrote tiles (snapshot 1 exists with zoom partitions)
     assert os.path.isdir(os.path.join(store, "clits", "lineage"))
+
+
+def test_generate_zooms_from_sql_template_config(spark, tmp_path, capsys):
+    """End-to-end CLI run of the shipped SQL-template config (sample/):
+    templates compile — no registered builder names anywhere."""
+    import pathlib
+    import shutil
+
+    sample = pathlib.Path(__file__).resolve().parent.parent / "sample"
+    cfgdir = tmp_path / "samplecfg"
+    shutil.copytree(sample, cfgdir)
+    store = str(tmp_path / "store")
+    assert main([
+        "generate", "zooms", "--config", str(cfgdir / "config.yaml"),
+        "--store", store, "--min-zoom", "0", "--max-zoom", "2",
+        "--synth-pages", "500",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "tileset sample snapshot" in out
+    assert main([
+        "storage", "inspect", "--store", store, "--id", "sample",
+        "-z", "0", "-x", "0", "-y", "0",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "water:" in out and "adminline:" in out

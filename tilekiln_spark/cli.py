@@ -67,7 +67,15 @@ def _sources(spark, args):
         polys = spark.read.parquet(args.polygons_parquet)
     else:
         polys = layer_polygons(spark, args.synth_polygons)
-    return {"pages_geo": pages_geo(pg), "layer_polygons": polys}
+    from tilekiln_spark.operators.tiling import sample_tables
+
+    # SQL-template configs resolve their FROM tables here; the default
+    # registry exposes the osm2pgsql-style schema over these sources
+    return {
+        "pages_geo": pages_geo(pg),
+        "layer_polygons": polys,
+        "tables": sample_tables(),
+    }
 
 
 def _add_source_opts(p):

@@ -843,7 +843,14 @@ def render_zooms(
     # task instead of L layers x cap in one task — at full planet scale every
     # z<=6 tile is capped, making the per-tile grouping a built-in straggler.
     # The pivot below reassembles tiles from the (small) encoded rows.
-    n_parts = feats.sparkSession.sparkContext.defaultParallelism * 4
+    # partitions per core for the encoder stage: tunable because slot
+    # occupancy of the Python-boundary stage is the gen-scaling lever
+    # (BENCH/BASELINE.md); more, smaller partitions overlap Arrow transfer
+    # with encode at the cost of per-partition fixed overhead
+    factor = int(
+        feats.sparkSession.conf.get("spark.tilekiln.encoder.partsFactor", "4")
+    )
+    n_parts = feats.sparkSession.sparkContext.defaultParallelism * factor
     enc = (
         feats.repartition(n_parts, "zoom", "x", "y", "__lc")
         .sortWithinPartitions("zoom", "x", "y", "__lc")
