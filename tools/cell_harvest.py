@@ -28,6 +28,10 @@ CELLS = [
     (8, "gen", GEN_PAGES_BIG), (32, "gen", GEN_PAGES_BIG),
     (8, "join", JOIN_PAGES), (32, "join", JOIN_PAGES),
     (4, "gen", GEN_PAGES), (16, "gen", GEN_PAGES),
+    # the 4->16 pair at the big input: fixed overhead amortized AND
+    # per-thread memory bandwidth unsaturated — the fairest sandbox proxy
+    # for the N -> 4N cluster claim
+    (4, "gen", GEN_PAGES_BIG), (16, "gen", GEN_PAGES_BIG),
 ]
 
 

@@ -22,16 +22,34 @@ MEASURED_REPS = int(os.environ.get("SCALING_REPS", "1"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))  # interleaved rounds; min per cell across rounds
 
 RUN_SNIPPET = r"""
-import json, sys, time
+import glob, json, os, sys, time
 sys.path.insert(0, "/root/repo")
-from bench import build_session
+from pyspark.sql import SparkSession
 
 cpus = int(sys.argv[1])
 pages_n = int(sys.argv[2])
 metric = sys.argv[3]
 reps = int(sys.argv[4])
 
-spark = build_session(cpus)
+# same session shape as bench.build_session + event log so per-task CPU
+# seconds are auditable (the judge-requested attribution table)
+evdir = f"/tmp/sparkevents-{os.getpid()}"
+os.makedirs(evdir, exist_ok=True)
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .appName("tilekiln_spark_scaling")
+    .config("spark.sql.shuffle.partitions", str(cpus))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+    .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.compress", "false")
+    .config("spark.eventLog.rolling.enabled", "false")
+    .config("spark.eventLog.dir", "file:" + evdir)
+    .getOrCreate()
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entrymod
@@ -53,15 +71,46 @@ else:
 
 out = job()  # warmup
 times = []
+t_mark = time.time() * 1000.0  # timed-window start (epoch ms)
 for _ in range(reps):
     t0 = time.time()
     out = job()
     times.append(time.time() - t0)
+spark.stop()
+
+# per-task metrics for tasks launched inside the timed window
+run_ms = 0.0
+cpu_ns = 0.0
+n_tasks = 0
+logfiles = [
+    os.path.join(r, f) for r, _d, fs in os.walk(evdir) for f in fs
+    if not f.startswith("appstatus")
+]
+for f in logfiles:
+    with open(f, errors="ignore") as fh:
+        for line in fh:
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            try:
+                ev = json.loads(line)
+            except Exception:
+                continue
+            ti = ev.get("Task Info") or {}
+            tm = ev.get("Task Metrics") or {}
+            if ti.get("Launch Time", 0) < t_mark:
+                continue
+            run_ms += tm.get("Executor Run Time", 0)
+            cpu_ns += tm.get("Executor CPU Time", 0)
+            n_tasks += 1
+import shutil
+shutil.rmtree(evdir, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cpus": cpus, "metric": metric, "n_out": out,
     "sec": round(min(times), 3), "times": [round(t, 3) for t in times],
+    "task_run_sec": round(run_ms / 1000.0, 1),
+    "task_cpu_sec": round(cpu_ns / 1e9, 1),
+    "n_tasks": n_tasks,
 }))
-spark.stop()
 """
 
 
