@@ -828,6 +828,34 @@ vector_layers:
 
     q["mvt_holes_render"] = mvt_holes_render
 
+    def template_compile_union(spark, sf_dir):
+        """SQL-template compiler end-to-end (config/sqlt.py): a two-branch
+        UNION ALL template with IN-lists, literals, NULL padding, a numeric
+        filter and a zoom conditional compiles over a registered table of
+        documents and aggregates per (zoom, lang, flag); the DuckDB twin
+        re-derives the branches in plain SQL."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang, NULL AS flag
+FROM docs_geo
+WHERE way && {{bbox}} AND lang IN ('en', 'de') AND n_chars > 100
+{% if zoom <= 3 %} AND doc_id < 5000 {% endif %}
+UNION ALL
+SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang, 'x' AS flag
+FROM docs_geo
+WHERE way && {{bbox}} AND lang = 'fr'
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2, 4], 4096, 0)
+        return feats.groupBy("zoom", "lang", "flag").agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("mx") / 1e6, 3) + 0.0).alias("sum_mx_mm"),
+        )
+
+    q["template_compile_union"] = template_compile_union
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1279,6 +1307,22 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0 END AS BIGINT) AS hole_area2
         FROM cl
         WHERE cxmin < cxmax AND cymin < cymax
+    """
+
+    o["template_compile_union"] = f"""
+        {_GEO_CTE}, z AS (SELECT UNNEST([2, 4]) AS zoom),
+        b1 AS (
+            SELECT z.zoom, geo.lang, CAST(NULL AS VARCHAR) AS flag, geo.mx
+            FROM geo, z
+            WHERE geo.lang IN ('en', 'de') AND geo.n_chars > 100
+              AND (z.zoom > 3 OR geo.doc_id < 5000)
+        ), b2 AS (
+            SELECT z.zoom, geo.lang, 'x' AS flag, geo.mx
+            FROM geo, z WHERE geo.lang = 'fr'
+        ), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        SELECT zoom, lang, flag, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
+        FROM u GROUP BY 1, 2, 3
     """
 
     # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can
