@@ -174,3 +174,62 @@ def test_zoom_groups_share_plans():
     assert sorted(tuple(zs) for zs, _ in groups) == [
         (0, 1, 2, 3, 4), (5, 6, 7, 8),
     ]
+
+
+def test_polygon_label_points_interior(spark):
+    """Exact ST_PointOnSurface: the label point is INSIDE the ring even when
+    the centroid falls outside (L-shape / horseshoe)."""
+    from tilekiln_spark.operators.tiling import polygon_label_points
+
+    # C-shape (open to the right): outer [0,10]^2 with the notch
+    # [2,10]x[2,8] removed — the vertex centroid lands in the notch
+    xs = [0.0, 10.0, 10.0, 2.0, 2.0, 10.0, 10.0, 0.0]
+    ys = [0.0, 0.0, 2.0, 2.0, 8.0, 8.0, 10.0, 10.0]
+    rows = [
+        (0, xs, ys),
+        (1, [20.0, 24.0, 24.0, 20.0], [0.0, 0.0, 4.0, 4.0]),  # rectangle
+    ]
+    df = spark.createDataFrame(rows, "polygon_id long, ring_xs array<double>, ring_ys array<double>")
+    out = {r.pid: (r.mx, r.my) for r in polygon_label_points(
+        df, {"pid": F.col("polygon_id")}
+    ).collect()}
+
+    def inside(px, py, rxs, rys):
+        n = len(rxs)
+        hit = False
+        for i in range(n):
+            j = (i + 1) % n
+            if (rys[i] > py) != (rys[j] > py):
+                if px < rxs[i] + (py - rys[i]) * (rxs[j] - rxs[i]) / (rys[j] - rys[i]):
+                    hit = not hit
+        return hit
+
+    ux, uy = out[0]
+    assert inside(ux, uy, xs, ys), f"label point ({ux},{uy}) outside the U"
+    assert uy == 5.0 and 0.0 < ux < 2.0  # widest interior interval at cy=5 is the left arm
+    assert out[1] == (22.0, 2.0)  # rectangle: bbox center
+
+
+def test_compiled_label_over_polygon_table(spark):
+    """ST_PointOnSurface over a polygon-kind table compiles to the exact
+    interior point path (not the page-cluster centroid)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (7, "lake", 0.0, 0.0, 4.0, 4.0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+    ]
+    tbl = spark.createDataFrame(
+        rows,
+        "polygon_id long, name string, xmin double, ymin double, xmax double, "
+        "ymax double, ring_xs array<double>, ring_ys array<double>",
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(ST_PointOnSurface(way), {{bbox}}, {{extent}}) AS way, "
+        "name FROM lakes WHERE way && {{bbox}}"
+    )
+    out = CompiledTemplate(body).build(
+        {"tables": {"lakes": {"frame": tbl, "kind": "polygon"}}}, [3], 4096, 0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.zoom, r.mx, r.my, r.name) == (3, 2.0, 2.0, "lake")

@@ -596,10 +596,21 @@ class CompiledTemplate:
                 if s.where is not None:
                     df = df.filter(_to_col(s.where, extent))
                 if mode == "label":
-                    branch = _cluster_label_points(
-                        df, extent,
-                        {_item_alias(it): _to_col(it.expr, extent) for it in items},
-                    )
+                    props_cols = {
+                        _item_alias(it): _to_col(it.expr, extent) for it in items
+                    }
+                    if kind == "point":
+                        # page-cluster centroid (documented ST_PointOnSurface
+                        # deviation for point-backed tables)
+                        branch = _cluster_label_points(df, extent, props_cols)
+                    else:
+                        # EXACT ST_PointOnSurface over the polygon rows:
+                        # interior-interval midpoint, guaranteed inside
+                        from tilekiln_spark.operators.tiling import (
+                            polygon_label_points,
+                        )
+
+                        branch = polygon_label_points(df, props_cols)
                 elif kind == "point":
                     branch = df.select(
                         "zoom", "mx", "my",

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -169,6 +170,56 @@ def ne_admin_builder(sources: dict, zooms: list[int], extent: int, buffer: int) 
     j = _layer_rows(sources, "admin").filter(F.col("admin_level") == "2")
     return _explode_zooms(j, zooms).select(
         "zoom", "mx", "my", F.lit(2).alias("admin_level")
+    )
+
+
+def polygon_label_points(polys: DataFrame, props: dict[str, Column]) -> DataFrame:
+    """Exact ST_PointOnSurface for polygon rows: a point GUARANTEED interior
+    to the ring (PostGIS semantics — the centroid of a concave polygon can
+    fall outside it).  Algorithm (the standard interior-point scan): cast a
+    horizontal line through the bbox-center y, collect the ring's crossings,
+    take the midpoint of the WIDEST interior interval.  Evaluated by an
+    Arrow-batched kernel over the polygon frame (the small broadcast dim —
+    one row per feature, not per joined pair).
+
+    Output: [mx, my, <props...>] — zoom-agnostic; callers explode zooms."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def pos(ring_xs: pd.Series, ring_ys: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 - executor-side import
+
+        out = []
+        for xs, ys in zip(ring_xs, ring_ys):
+            x = np.asarray(xs, dtype=np.float64)
+            y = np.asarray(ys, dtype=np.float64)
+            cy = (y.min() + y.max()) / 2.0
+            xj = np.roll(x, -1)
+            yj = np.roll(y, -1)
+            straddle = (y > cy) != (yj > cy)
+            if not straddle.any():
+                # degenerate (flat ring): fall back to the bbox center
+                out.append([float((x.min() + x.max()) / 2.0), float(cy)])
+                continue
+            xi = x[straddle] + (cy - y[straddle]) * (xj[straddle] - x[straddle]) / (
+                yj[straddle] - y[straddle]
+            )
+            xi.sort()
+            # even-odd: intervals [xi[0],xi[1]], [xi[2],xi[3]], ... are interior
+            k = (len(xi) // 2) * 2
+            widths = xi[1:k:2] - xi[0:k:2]
+            w = int(np.argmax(widths))
+            out.append([float((xi[2 * w] + xi[2 * w + 1]) / 2.0), float(cy)])
+        return pd.Series(out)
+
+    p = pos(F.col("ring_xs"), F.col("ring_ys"))
+    named = polys.withColumn("__pos", p)
+    keep = [c for c in ("zoom",) if c in polys.columns]
+    return named.select(
+        *keep,
+        F.col("__pos")[0].alias("mx"),
+        F.col("__pos")[1].alias("my"),
+        *[c.alias(k) for k, c in props.items()],
     )
 
 
