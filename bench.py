@@ -92,6 +92,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_centroids",
         "mvt_render_z4",
         "mvt_poly_render",
+        "mvt_holes_render",
+        "template_compile_union",
         "dedup_exact",
         "dedup_minhash",
         "similarity_bruteforce",
