@@ -162,3 +162,54 @@ def test_stateful_expiry_counts_resume(spark, tmp_path):
     assert got2[(3, 1, 2)] == 3  # 2 from before + 1 new, via checkpointed state
     assert got2[(4, 0, 0)] == 1
     assert got2[(4, 5, 5)] == 1  # untouched tile keeps its total
+
+
+def test_stream_expiries_sees_fresh_source_data(spark, tmp_path, cfg):
+    """Regression (ADVICE r2): render_zooms caches its localCheckpoint'ed
+    shared join back into the sources dict it is handed; an expiry stream
+    exists precisely because sources CHANGED, so each micro-batch must
+    regenerate from a fresh read of the underlying data, never a prior
+    batch's frozen checkpoint."""
+    import pandas as pd
+
+    pages_path = str(tmp_path / "pages.parquet")
+    polys = layer_polygons(spark, 20).cache()
+
+    def write_pages(n):
+        # the "update" changes the PAGE SET (n differs), so the expired
+        # tile's feature points — and with them the blob bytes — change
+        from tilekiln_spark.sources.pages import pages as mkpages
+
+        mkpages(spark, n).write.mode("overwrite").parquet(pages_path)
+
+    write_pages(400)
+    sources = {
+        # FACTORY, resolved per micro-batch: a plain DataFrame pins its
+        # file listing at creation, so mutating sources ride as callables
+        "pages_geo": lambda s: pages_geo(s.read.format("parquet").load(pages_path)),
+        "layer_polygons": polys,
+    }
+    ts = Tileset.from_config(spark, str(tmp_path / "store"), cfg)
+    expiry_dir = tmp_path / "expiries"
+    expiry_dir.mkdir()
+    (expiry_dir / "b1.txt").write_text("0/0/0\n")
+    q = stream_expiries(
+        spark, cfg, sources, ts.store,
+        str(expiry_dir), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    _, d1 = ts.get_tile(0, 0, 0)
+
+    # the source table changes, then the SAME tile expires again
+    write_pages(900)
+    (expiry_dir / "b2.txt").write_text("0/0/0\n")
+    q2 = stream_expiries(
+        spark, cfg, sources, ts.store,
+        str(expiry_dir), str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    _, d2 = ts.get_tile(0, 0, 0)
+    # the re-render must reflect the fresh source rows (different property
+    # values -> different blob bytes), not the first batch's checkpoint
+    assert d1 and d2
+    assert bytes(d1["water"]) != bytes(d2["water"])

@@ -113,8 +113,14 @@ def stream_expiries(
         # frozen checkpoint would re-render expired tiles from stale data.
         # The dropped checkpoints' blocks are reclaimed by Spark's
         # ContextCleaner once the previous batch's frames are unreachable.
+        #
+        # Callable source values are FACTORIES resolved fresh per batch:
+        # a plain file-source DataFrame pins its file listing at creation,
+        # so a mutating table must be passed as `lambda spark: spark.read...`
+        # (an Iceberg/catalog table read resolves a new snapshot the same
+        # way).  Non-callable values pass through for immutable sources.
         batch_sources = {
-            k: v
+            k: (v(spark) if callable(v) else v)
             for k, v in sources.items()
             if not (isinstance(k, str) and k.startswith("_"))
         }
