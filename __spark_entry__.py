@@ -185,6 +185,66 @@ def _raycast_sql(xs: list, ys: list) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+# true-polyline fixture for the LINESTRING render oracle: zigzag vertex
+# chains in z2 tile units (all coordinates multiples of 1/64 so pixel math
+# stays on exact binary fractions — never an ambiguous .5 round).  Line 0
+# EXITS tile (1,1) and RE-ENTERS it (two MoveTo parts in that tile).
+_LINES_UV = [
+    (0, [(1.25, 1.25), (2.25, 1.4375), (1.25, 1.625)]),
+    (1, [(0.25, 0.25), (2.75, 2.875)]),
+    (2, [(3.125, 0.3125), (3.875, 0.9375), (3.203125, 1.796875), (3.8125, 3.25)]),
+    (3, [(0.5, 2.5), (1.5, 3.5), (0.75, 3.75), (1.25, 2.75)]),
+]
+_LINE_TL = 2.0 * HW / 4  # z2 tile side length in mercator units
+
+
+def _line_merc(uv):
+    return [(-HW + u * _LINE_TL, HW - v * _LINE_TL) for u, v in uv]
+
+
+def _line_fixture(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    rows = []
+    for lid, uv in _LINES_UV:
+        pts = _line_merc(uv)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rows.append(
+            {
+                "polygon_id": lid,
+                "xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys),
+                "ring_xs": xs, "ring_ys": ys,
+            }
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+
+
+def _line_segs_sql() -> str:
+    """VALUES rows (osm_id, seg, mx1, my1, mx2, my2) — one per polyline
+    segment, mercator doubles emitted verbatim (repr) so DuckDB computes on
+    the identical float64 constants the Spark fixture carries."""
+    vals = []
+    for lid, uv in _LINES_UV:
+        pts = _line_merc(uv)
+        for s in range(len(pts) - 1):
+            (x1, y1), (x2, y2) = pts[s], pts[s + 1]
+            # explicit DOUBLE casts: DuckDB parses bare decimal literals as
+            # DECIMAL and would do exact decimal arithmetic where the engine
+            # does IEEE float64 — the ulp-level merge/disc semantics depend
+            # on float64 throughout
+            vals.append(
+                f"({lid}, {s}, CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE), "
+                f"CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+            )
+    return ", ".join(vals)
+
+
 # near-dup corpus: documents plus a copy of docs (doc_id<60) with one word
 # appended -> very high shingle-Jaccard pairs, plus exact dups for doc_id<30
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,6 +888,73 @@ vector_layers:
 
     q["mvt_holes_render"] = mvt_holes_render
 
+    def mvt_line_render(spark, sf_dir):
+        """TRUE open polylines (B3 LINESTRING path): deterministic zigzag
+        lines — including one that EXITS and RE-ENTERS a tile — render at z2
+        through the polyline builder (Liang–Barsky part splits,
+        mvt.py clip_lines_batch); blobs decode back to per-(tile, feature)
+        part counts, vertex counts and pixel extrema that DuckDB re-derives
+        by running the same Liang–Barsky parametric clip per segment in SQL
+        (merge rule: consecutive segments fuse iff the shared joint vertex
+        lies strictly inside the tile box, i.e. t1 = 1 and next t0 = 0)."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+        from tilekiln_spark.operators.tiling import render_zoom
+
+        cfg = Config(
+            """
+metadata: {id: vlines}
+vector_layers:
+  roadline:
+    fields: {osm_id: Id}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, file: rl.b}
+""",
+            {"rl.b": "polyline"},
+        )
+        geo = spark.createDataFrame([], "url string, lang string, mx double, my double")
+        tiles = render_zoom(cfg, 2, {"pages_geo": geo, "layer_lines": _line_fixture(spark)})
+
+        out_schema = (
+            "zoom int, x int, y int, osm_id long, n_parts int, n_vertices int, "
+            "min_px long, max_px long, min_py long, max_py long"
+        )
+
+        def per_feature(batches):
+            for pdf in batches:
+                rows = []
+                for z, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["roadline_data"]):
+                    if blob is None or len(blob) == 0:
+                        continue
+                    (layer,) = decode_tile(bytes(blob))
+                    if not layer["features"]:
+                        continue
+                    ki = layer["keys"].index("osm_id")
+                    for f in layer["features"]:
+                        tags = f["tags"]
+                        vi = next(
+                            tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki
+                        )
+                        osm_id = int(layer["values"][vi])
+                        parts = decode_geom(f)
+                        xs = [p[0] for part in parts for p in part]
+                        ys = [p[1] for part in parts for p in part]
+                        rows.append(
+                            (int(z), int(x), int(y), osm_id, len(parts),
+                             sum(len(p) for p in parts),
+                             min(xs), max(xs), min(ys), max(ys))
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["zoom", "x", "y", "osm_id", "n_parts", "n_vertices",
+                             "min_px", "max_px", "min_py", "max_py"],
+                )
+
+        return tiles.mapInPandas(per_feature, out_schema)
+
+    q["mvt_line_render"] = mvt_line_render
+
     def template_compile_union(spark, sf_dir):
         """SQL-template compiler end-to-end (config/sqlt.py): a two-branch
         UNION ALL template with IN-lists, literals, NULL padding, a numeric
@@ -855,6 +982,35 @@ WHERE way && {{bbox}} AND lang = 'fr'
         )
 
     q["template_compile_union"] = template_compile_union
+
+    def template_compile_case(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): searched CASE, LIKE /
+        ILIKE / NOT LIKE, BETWEEN / NOT BETWEEN and the round/concat/nullif
+        whitelist compile over a registered point table; the DuckDB twin
+        re-runs the identical CASE/LIKE logic in plain SQL."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       CASE WHEN lang LIKE 'e%' THEN concat('e:', lang)
+            WHEN lang IN ('fr', 'de', 'es') THEN 'eu'
+            ELSE nullif(lang, 'zz') END AS fam,
+       CASE WHEN n_chars BETWEEN 100 AND 299 THEN 'mid'
+            WHEN n_chars >= 300 THEN 'long'
+            ELSE 'short' END AS sizecls
+FROM docs_geo
+WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
+{% if zoom <= 3 %} AND doc_id BETWEEN 0 AND 300 {% endif %}
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2, 4], 4096, 0)
+        return feats.groupBy("zoom", "fam", "sizecls").agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("mx") / 1e6, 3) + 0.0).alias("sum_mx_mm"),
+        )
+
+    q["template_compile_case"] = template_compile_case
 
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
@@ -1309,6 +1465,84 @@ def oracle_sql() -> dict[str, str]:
         WHERE cxmin < cxmax AND cymin < cymax
     """
 
+    # Liang–Barsky in SQL, pixel space per (segment, tile): t0/t1 from the
+    # per-axis parametric bounds (exact IEEE twins of clip_lines_batch's
+    # r = q/p maxima/minima), clipped endpoints px1 + t*dx; consecutive
+    # segments merge into one part iff t1 = 1 AND next t0 = 0 (joint vertex
+    # strictly inside the box) AND the clipped endpoints are BITWISE equal
+    # (clip_lines_batch's `disc` split compares floats exactly; px1 + 1.0*dx
+    # can differ from the joint's own transform by an ulp), so
+    # parts = accepted - merges and vertices = 2*accepted - merges.
+    o["mvt_line_render"] = f"""
+        WITH segs(osm_id, seg, mx1, my1, mx2, my2) AS (VALUES {_line_segs_sql()}),
+        tiles AS (SELECT CAST(xr.r AS INT) AS x, CAST(yr.r AS INT) AS y
+                  FROM range(4) xr(r), range(4) yr(r)),
+        tb AS (
+          -- envelope exactly as envelope_cols + _poly_tile_rows build it:
+          -- xmin = -HW + x*L, xmax = xmin + L, tlen = xmax - xmin (an ulp
+          -- off from L itself — the pixel math must reuse THESE doubles)
+          SELECT x, y,
+                 (-hw + x * tl) AS xmin_t,
+                 (((-hw + x * tl) + tl) - (-hw + x * tl)) AS tlen,
+                 (hw - y * tl) AS ymax_t
+          FROM tiles, (SELECT CAST({HW!r} AS DOUBLE) AS hw,
+                              CAST({_LINE_TL!r} AS DOUBLE) AS tl) c
+        ),
+        px AS (
+          SELECT s.osm_id, s.seg, tb.x, tb.y,
+                 (s.mx1 - tb.xmin_t) / tb.tlen * 2048 AS px1,
+                 (tb.ymax_t - s.my1) / tb.tlen * 2048 AS py1,
+                 (s.mx2 - tb.xmin_t) / tb.tlen * 2048 AS px2,
+                 (tb.ymax_t - s.my2) / tb.tlen * 2048 AS py2
+          FROM segs s, tb
+        ),
+        d AS (SELECT *, px2 - px1 AS dx, py2 - py1 AS dy FROM px),
+        tt AS (
+          SELECT *,
+            greatest(
+              CASE WHEN dx > 0 THEN (0 - px1) / dx WHEN dx < 0 THEN (2048 - px1) / dx ELSE 0 END,
+              CASE WHEN dy > 0 THEN (0 - py1) / dy WHEN dy < 0 THEN (2048 - py1) / dy ELSE 0 END,
+              0.0) AS t0,
+            least(
+              CASE WHEN dx > 0 THEN (2048 - px1) / dx WHEN dx < 0 THEN (0 - px1) / dx ELSE 1 END,
+              CASE WHEN dy > 0 THEN (2048 - py1) / dy WHEN dy < 0 THEN (0 - py1) / dy ELSE 1 END,
+              1.0) AS t1
+          FROM d
+        ),
+        ends AS (
+          SELECT osm_id, seg, x, y, t0, t1,
+                 px1 + t0 * dx AS sx, py1 + t0 * dy AS sy,
+                 px1 + t1 * dx AS ex, py1 + t1 * dy AS ey
+          FROM tt
+          WHERE t0 <= t1
+            AND NOT (dx = 0 AND (px1 < 0 OR px1 > 2048))
+            AND NOT (dy = 0 AND (py1 < 0 OR py1 > 2048))
+        ),
+        merges AS (
+          SELECT a.osm_id, a.x, a.y, count(*) AS m
+          FROM ends a JOIN ends b
+            ON a.osm_id = b.osm_id AND a.x = b.x AND a.y = b.y
+           AND b.seg = a.seg + 1 AND a.t1 = 1.0 AND b.t0 = 0.0
+           AND a.ex = b.sx AND a.ey = b.sy
+          GROUP BY 1, 2, 3
+        ),
+        agg AS (
+          SELECT osm_id, x, y, count(*) AS v,
+                 least(min(round(sx)), min(round(ex))) AS minpx,
+                 greatest(max(round(sx)), max(round(ex))) AS maxpx,
+                 least(min(round(sy)), min(round(ey))) AS minpy,
+                 greatest(max(round(sy)), max(round(ey))) AS maxpy
+          FROM ends GROUP BY 1, 2, 3
+        )
+        SELECT 2 AS zoom, a.x, a.y, CAST(a.osm_id AS BIGINT) AS osm_id,
+               CAST(a.v - COALESCE(m.m, 0) AS INT) AS n_parts,
+               CAST(2 * a.v - COALESCE(m.m, 0) AS INT) AS n_vertices,
+               CAST(a.minpx AS BIGINT) AS min_px, CAST(a.maxpx AS BIGINT) AS max_px,
+               CAST(a.minpy AS BIGINT) AS min_py, CAST(a.maxpy AS BIGINT) AS max_py
+        FROM agg a LEFT JOIN merges m
+          ON a.osm_id = m.osm_id AND a.x = m.x AND a.y = m.y
+    """
+
     o["template_compile_union"] = f"""
         {_GEO_CTE}, z AS (SELECT UNNEST([2, 4]) AS zoom),
         b1 AS (
@@ -1323,6 +1557,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, lang, flag, CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
         FROM u GROUP BY 1, 2, 3
+    """
+
+    o["template_compile_case"] = f"""
+        {_GEO_CTE}, z AS (SELECT UNNEST([2, 4]) AS zoom),
+        rows_ AS (
+            SELECT z.zoom,
+                   CASE WHEN geo.lang LIKE 'e%' THEN concat('e:', geo.lang)
+                        WHEN geo.lang IN ('fr', 'de', 'es') THEN 'eu'
+                        ELSE nullif(geo.lang, 'zz') END AS fam,
+                   CASE WHEN geo.n_chars BETWEEN 100 AND 299 THEN 'mid'
+                        WHEN geo.n_chars >= 300 THEN 'long'
+                        ELSE 'short' END AS sizecls,
+                   geo.mx
+            FROM geo, z
+            WHERE geo.source NOT LIKE 'src1%' AND NOT (geo.lang ILIKE 'ZH')
+              AND (z.zoom > 3 OR geo.doc_id BETWEEN 0 AND 300)
+        )
+        SELECT zoom, fam, sizecls, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
+        FROM rows_ GROUP BY 1, 2, 3
     """
 
     # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can

@@ -13,7 +13,9 @@ from tilekiln_spark.sources.pages import layer_polygons, layer_polygons_pdf, pag
 
 
 def _brute_force_pairs(points, polys_pdf):
-    """Driver-side oracle: exact point-in-convex-polygon for every pair."""
+    """Driver-side oracle: exact even-odd ray-cast PIP for every pair —
+    concave-safe, matching the raycast/raycast_bcast refine semantics
+    (the fixture now mixes convex and concave rings)."""
     pairs = set()
     for url, mx, my in points:
         for _, p in polys_pdf.iterrows():
@@ -21,12 +23,14 @@ def _brute_force_pairs(points, polys_pdf):
                 continue
             xs, ys = p.ring_xs, p.ring_ys
             n = len(xs)
-            cross = [
-                (xs[(i + 1) % n] - xs[i]) * (my - ys[i])
-                - (ys[(i + 1) % n] - ys[i]) * (mx - xs[i])
-                for i in range(n)
-            ]
-            if all(c >= 0 for c in cross) or all(c <= 0 for c in cross):
+            inside = False
+            for i in range(n):
+                j = (i + 1) % n
+                if (ys[i] > my) != (ys[j] > my):
+                    xint = xs[i] + (my - ys[i]) * (xs[j] - xs[i]) / (ys[j] - ys[i])
+                    if mx < xint:
+                        inside = not inside
+            if inside:
                 pairs.add((url, p.polygon_id))
     return pairs
 
@@ -232,3 +236,57 @@ def test_raycast_udf_matches_expression(spark):
     c = {(r.mx, r.my, r.polygon_id): r.hit for r in bc.collect()}
     assert a == b == c
     assert sum(a.values()) > 0  # some points actually inside
+
+
+def _star_polys_df(spark, n_polys=4, n_verts=300, seed=9):
+    """Star-shaped (concave) rings with >=256 vertices around spread centers."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for pid in range(n_polys):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+        r = rng.uniform(2.0e6, 5.0e6, n_verts)
+        cx = -1.2e7 + pid * 8.0e6
+        cy = rng.uniform(-5.0e6, 5.0e6)
+        xs = (cx + r * np.cos(ang)).tolist()
+        ys = (cy + r * np.sin(ang)).tolist()
+        rows.append((pid, min(xs), min(ys), max(xs), max(ys), xs, ys))
+    return spark.createDataFrame(
+        rows,
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+
+
+def test_raycast_auto_selects_by_ring_size_and_budget(spark):
+    """raycast_auto: closure kernel (output drops ring cols) at >=256-vertex
+    rings within budget; expression form (ring cols kept) below 256; Arrow
+    ring-join fallback when the payload exceeds the budget — identical rows
+    in all cases (VERDICT r3 #1/#2 lock-in)."""
+    pts = pages_geo(pages(spark, 600)).cache()
+    big = _star_polys_df(spark, n_polys=4, n_verts=300).cache()
+
+    # >=256 verts, payload ~4*300*16B well under 64MB -> raycast_bcast
+    auto = points_in_polygons(pts, big, how="grid", grid_zoom=3, refine="raycast_auto")
+    assert "ring_xs" not in auto.columns  # bcast path drops ring cols
+    rows_auto = {(r.url, r.polygon_id) for r in auto.select("url", "polygon_id").collect()}
+
+    # same input, budget too small for the driver collect -> raycast_udf
+    guarded = points_in_polygons(
+        pts, big, how="grid", grid_zoom=3, refine="raycast_auto", bcast_budget_bytes=1024
+    )
+    assert "ring_xs" in guarded.columns  # rings joined in, no driver collect
+    rows_guarded = {(r.url, r.polygon_id) for r in guarded.select("url", "polygon_id").collect()}
+    assert rows_guarded == rows_auto and len(rows_auto) > 0
+
+    # explicit raycast_bcast over budget takes the same bounded-memory fallback
+    explicit = points_in_polygons(
+        pts, big, how="grid", grid_zoom=3, refine="raycast_bcast", bcast_budget_bytes=1024
+    )
+    assert "ring_xs" in explicit.columns
+    rows_explicit = {(r.url, r.polygon_id) for r in explicit.select("url", "polygon_id").collect()}
+    assert rows_explicit == rows_auto
+
+    # small rings (<256 verts): expression form, ring cols kept
+    small = layer_polygons(spark, 10)
+    small_join = points_in_polygons(pts, small, how="grid", refine="raycast_auto")
+    assert "ring_xs" in small_join.columns

@@ -233,3 +233,110 @@ def test_compiled_label_over_polygon_table(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.zoom, r.mx, r.my, r.name) == (3, 2.0, 2.0, "lake")
+
+
+def test_case_like_between_constructs(spark):
+    """Round-4 compiler tier: searched CASE, LIKE/ILIKE/NOT LIKE, BETWEEN,
+    negative IN literals, round/concat/nullif — value-checked row by row."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (0, 1.0, 1.0, "water park", 500.0, -1),
+        (1, 2.0, 2.0, "Waterloo", 2.0e7, 2),
+        (2, 3.0, 3.0, "xx-skip", 1.0, 3),
+        (3, 4.0, 4.0, "plain", 1.0e13, -3),
+    ]
+    tbl = spark.createDataFrame(
+        rows, "pid long, mx double, my double, name string, way_area double, code int"
+    )
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       CASE WHEN name ILIKE 'WATER%' THEN concat('w:', name)
+            WHEN name LIKE '%lain' THEN 'pl'
+            ELSE nullif(name, '') END AS label,
+       CASE WHEN way_area BETWEEN 0 AND 1000 THEN 'small'
+            WHEN way_area > 1000000000000 THEN 'huge'
+            ELSE 'mid' END AS sizeclass,
+       round(way_area / 1000, 1) AS kd
+FROM t
+WHERE way && {{bbox}} AND NOT (name LIKE 'xx%') AND code IN (-1, 2, -3)
+"""
+    out = {
+        r.label: (r.sizeclass, r.kd)
+        for r in CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    }
+    assert out == {
+        "w:water park": ("small", 0.5),
+        "w:Waterloo": ("mid", 20000.0),
+        "pl": ("huge", 10000000000.0),
+    }
+
+
+def test_not_between_and_in_negative_literals(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(0, 1.0, 1.0, 5), (1, 2.0, 2.0, 50), (2, 3.0, 3.0, -1)],
+        "pid long, mx double, my double, v int",
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid "
+        "FROM t WHERE way && {{bbox}} AND v NOT BETWEEN 0 AND 10"
+    )
+    got = {
+        r.pid
+        for r in CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    }
+    assert got == {1, 2}
+
+
+def test_empty_zoom_branch_skipped_and_all_empty_named(spark):
+    """A template wholly inside a zoom conditional emits no rows at the
+    excluded zooms; if EVERY requested zoom renders empty the error names
+    the zooms instead of a bare parser failure (ADVICE r3)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame([(0, 1.0, 1.0)], "pid long, mx double, my double")
+    body = (
+        "{% if zoom > 4 %}SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid "
+        "FROM t WHERE way && {{bbox}}{% endif %}"
+    )
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    ct = CompiledTemplate(body)
+    # mixed: zoom 3 renders empty (skipped), zoom 6 contributes rows
+    out = ct.build(src, [3, 6], 4096, 0).collect()
+    assert {r.zoom for r in out} == {6}
+    with pytest.raises(DefinitionError, match=r"zoom.*\[2, 3\]|\[2, 3\].*zoom"):
+        CompiledTemplate(body).build(src, [2, 3], 4096, 0)
+
+
+def test_sample_placeclass_template_compiles(spark):
+    """The shipped CASE+LIKE sample template (sample/place-class.sql.jinja2)
+    compiles over the registered osm schema and renders features."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    cfg = Config(
+        """
+metadata: {id: pc}
+vector_layers:
+  placeclass:
+    fields: {label: Label, sizeclass: Size class, area_km2: Area km2}
+    sql:
+    - {minzoom: 0, maxzoom: 10, file: pc.t}
+""",
+        {"pc.t": (root / "sample/place-class.sql.jinja2").read_text()},
+    )
+    sources = _sources(spark)
+    tiles = render_zooms(cfg, [3, 6], dict(sources))
+    rows = tiles.collect()
+    populated = [r for r in rows if r.placeclass_nfeat and r.placeclass_nfeat > 0]
+    assert populated
+    from tilekiln_spark.operators.mvt import decode_tile
+
+    (layer,) = decode_tile(bytes(populated[0].placeclass_data))
+    assert {"label", "sizeclass", "area_km2"} <= set(layer["keys"])

@@ -215,3 +215,25 @@ def test_embedding_neardup(spark):
     # scaled copies have cosine == 1 and identical sign signatures -> always found
     for i in range(8):
         assert (i, 1000 + i) in got
+
+
+def test_pair_cosine_udf_null_propagates(spark):
+    """make_pair_cosine_udf: null / ragged / empty vectors null-propagate per
+    pair (like the zip_with HOF) instead of failing the whole Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.similarity import make_pair_cosine_udf
+
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),
+        (1, None, [1.0, 0.0]),
+        (2, [1.0, 2.0, 3.0], [1.0, 2.0]),   # ragged
+        (3, [], []),
+        (4, [0.0, 3.0], [0.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, "pid long, a array<double>, b array<double>")
+    pc = make_pair_cosine_udf()
+    got = {r.pid: r.c for r in df.select("pid", pc("a", "b").alias("c")).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == pytest.approx(1.0)

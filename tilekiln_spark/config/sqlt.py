@@ -99,6 +99,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "select", "from", "where", "and", "or", "not", "in", "is",
     "null", "as", "union", "all", "true", "false",
+    "case", "when", "then", "else", "end", "between", "like", "ilike",
 }
 
 
@@ -168,6 +169,28 @@ class InList:
 class IsNull:
     expr: object
     negated: bool = False
+
+
+@dataclass
+class Between:
+    expr: object
+    lo: object
+    hi: object
+    negated: bool = False
+
+
+@dataclass
+class Like:
+    expr: object
+    pattern: object
+    negated: bool = False
+    ci: bool = False  # True for ILIKE
+
+
+@dataclass
+class Case:
+    whens: list  # [(cond_ast, result_ast), ...]
+    default: object | None = None
 
 
 @dataclass
@@ -273,11 +296,23 @@ class _Parser:
         if k == "kw" and v == "not":
             save = self.i
             self.next()
-            if self.peek() == ("kw", "in"):
+            nk, nv = self.peek()
+            if nk == "kw" and nv in ("in", "like", "ilike", "between"):
                 neg = True
             else:
                 self.i = save
                 return e
+        if self.accept("kw", "between"):
+            # BETWEEN binds its AND tighter than the boolean AND: bounds are
+            # additive expressions, the separating AND is consumed here
+            lo = self.additive()
+            self.expect("kw", "and")
+            hi = self.additive()
+            return Between(e, lo, hi, neg)
+        k, v = self.peek()
+        if k == "kw" and v in ("like", "ilike"):
+            self.next()
+            return Like(e, self.additive(), neg, ci=(v == "ilike"))
         if self.accept("kw", "in"):
             self.expect("op", "(")
             vals = [self.additive()]
@@ -329,6 +364,18 @@ class _Parser:
             return Lit(None)
         if k == "kw" and v in ("true", "false"):
             return Lit(v == "true")
+        if k == "kw" and v == "case":
+            # searched CASE only (CASE WHEN cond THEN expr ... [ELSE expr] END)
+            whens = []
+            while self.accept("kw", "when"):
+                cond = self.or_expr()
+                self.expect("kw", "then")
+                whens.append((cond, self.or_expr()))
+            if not whens:
+                raise DefinitionError("template SQL: CASE needs at least one WHEN")
+            default = self.or_expr() if self.accept("kw", "else") else None
+            self.expect("kw", "end")
+            return Case(whens, default)
         if k == "op" and v == "(":
             e = self.or_expr()
             self.expect("op", ")")
@@ -397,6 +444,24 @@ def _to_col(ast, extent: int) -> Column:
     if isinstance(ast, IsNull):
         c = _to_col(ast.expr, extent)
         return c.isNotNull() if ast.negated else c.isNull()
+    if isinstance(ast, Between):
+        c = _to_col(ast.expr, extent)
+        e = (c >= _to_col(ast.lo, extent)) & (c <= _to_col(ast.hi, extent))
+        return ~e if ast.negated else e
+    if isinstance(ast, Like):
+        if not isinstance(ast.pattern, Lit) or not isinstance(ast.pattern.value, str):
+            raise DefinitionError("template SQL: LIKE pattern must be a string literal")
+        c = _to_col(ast.expr, extent)
+        e = c.ilike(ast.pattern.value) if ast.ci else c.like(ast.pattern.value)
+        return ~e if ast.negated else e
+    if isinstance(ast, Case):
+        col = None
+        for cond, res in ast.whens:
+            cc, rc = _to_col(cond, extent), _to_col(res, extent)
+            col = F.when(cc, rc) if col is None else col.when(cc, rc)
+        if ast.default is not None:
+            col = col.otherwise(_to_col(ast.default, extent))
+        return col
     if isinstance(ast, InList):
         c = _to_col(ast.expr, extent)
         vals = []
@@ -443,6 +508,25 @@ def _to_col(ast, extent: int) -> Column:
             return F.upper(*args)
         if fn in ("length", "char_length"):
             return F.length(*args)
+        if fn == "round":
+            # PostGIS/ANSI round(x[, scale]); Spark's F.round takes (col, int)
+            if len(ast.args) == 2:
+                if not isinstance(ast.args[1], Lit):
+                    raise DefinitionError("template SQL: round() scale must be a literal")
+                return F.round(args[0], int(ast.args[1].value))
+            return F.round(args[0])
+        if fn == "floor":
+            return F.floor(*args)
+        if fn in ("ceil", "ceiling"):
+            return F.ceil(*args)
+        if fn == "concat":
+            return F.concat(*args)
+        if fn == "nullif":
+            return F.nullif(*args)
+        if fn == "greatest":
+            return F.greatest(*args)
+        if fn == "least":
+            return F.least(*args)
         raise DefinitionError(
             f"template SQL: unsupported function {ast.name} "
             "(geometry functions only valid in the ST_AsMVTGeom item)"
@@ -470,8 +554,26 @@ def _fold_pow_literals(ast):
         ast.arg = _fold_pow_literals(ast.arg)
         if ast.op == "-" and isinstance(ast.arg, Lit) and ast.arg.value is not None:
             return Lit(-ast.arg.value)
-    elif isinstance(ast, (InList, IsNull)):
+    elif isinstance(ast, InList):
         ast.expr = _fold_pow_literals(ast.expr)
+        # fold Un('-', Lit) inside IN lists so `x IN (-1, 2)` compiles
+        ast.values = [_fold_pow_literals(v) for v in ast.values]
+    elif isinstance(ast, IsNull):
+        ast.expr = _fold_pow_literals(ast.expr)
+    elif isinstance(ast, Between):
+        ast.expr = _fold_pow_literals(ast.expr)
+        ast.lo = _fold_pow_literals(ast.lo)
+        ast.hi = _fold_pow_literals(ast.hi)
+    elif isinstance(ast, Like):
+        ast.expr = _fold_pow_literals(ast.expr)
+    elif isinstance(ast, Case):
+        ast.whens = [
+            (_fold_pow_literals(c), _fold_pow_literals(r)) for c, r in ast.whens
+        ]
+        if ast.default is not None:
+            ast.default = _fold_pow_literals(ast.default)
+    elif isinstance(ast, Func):
+        ast.args = [_fold_pow_literals(a) for a in ast.args]
     return ast
 
 
@@ -542,9 +644,20 @@ class CompiledTemplate:
         self, zooms: list[int], extent: int, buffer: int
     ) -> list[tuple[list[int], list[Select]]]:
         by_text: dict[str, list[int]] = {}
+        empty_zooms: list[int] = []
         for z in sorted(zooms):
             text = render_for_zoom(self.body, z, extent, buffer)
+            if not text.strip():
+                # whole body behind a zoom conditional: no rows at this zoom
+                empty_zooms.append(z)
+                continue
             by_text.setdefault(text, []).append(z)
+        if not by_text:
+            raise DefinitionError(
+                f"template SQL: template rendered empty at every requested zoom "
+                f"{empty_zooms} — the body is entirely inside a zoom conditional "
+                f"that excludes these zooms"
+            )
         groups = []
         for text, zs in by_text.items():
             if text not in self._parse_cache:
@@ -574,7 +687,8 @@ class CompiledTemplate:
                 return {
                     "point": GEOM_POINT,
                     "polygon": GEOM_POLYGON,
-                    "line": GEOM_LINESTRING,
+                    "line": GEOM_LINESTRING,      # closed ring outlines
+                    "polyline": GEOM_LINESTRING,  # true open vertex chains
                 }[kind]
         return GEOM_POINT
 
@@ -617,6 +731,7 @@ class CompiledTemplate:
                         *[_to_col(it.expr, extent).alias(_item_alias(it)) for it in items],
                     )
                 else:
+                    # "line" = closed ring outlines; "polyline" = open chains
                     branch = _poly_tile_rows(
                         df, zs, extent, buffer,
                         props={_item_alias(it): _to_col(it.expr, extent) for it in items},

@@ -98,29 +98,49 @@ def _pil_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, f
     )
 
 
+def _numpy_png_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, float]:
+    """REAL codec path #2: the engine's pure-numpy PNG decoder
+    (functions/png.py — public PNG spec; zlib is stdlib), so the real
+    branch executes even in containers without PIL."""
+    from tilekiln_spark.functions.png import decode_png
+
+    arr = decode_png(payload).astype(np.float64)
+    means = arr.reshape(-1, 3).mean(axis=0)
+    h, w = arr.shape[0], arr.shape[1]
+    return (int(w), int(h), float(means[0]), float(means[1]), float(means[2]), float(arr.std()))
+
+
 def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
     """payload -> per-image feature row (mean/std per channel + dims).
 
     strict=False: deterministic stub stats (md5-derived — reproducible from
-    the DuckDB oracle; the container has no image libs).
-    strict=True: REQUIRE the real codec — decode via PIL when the lib is
-    importable on the executor, else raise NotImplementedError at exactly
-    the boundary a production image lib plugs into."""
+    the DuckDB oracle; synthetic payloads are not real images).
+    strict=True: REQUIRE a real codec — PIL when importable on the
+    executor; else the engine's pure-numpy PNG decoder for PNG payloads
+    (functions/png.py); else raise NotImplementedError at exactly the
+    boundary a production image lib plugs into."""
 
     out_schema = "media_id long, width int, height int, mean_r double, mean_g double, mean_b double, std double"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_real = strict and _have_pil()
+        use_pil = strict and _have_pil()
+        from tilekiln_spark.functions.png import is_png
+
         for pdf in batches:
-            if strict and not use_real:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "plug PIL/torchvision here"
-                )
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                if use_real:
-                    w, h, mean_r, mean_g, mean_b, std = _pil_channel_stats(bytes(payload))
+                if strict:
+                    pb = bytes(payload)
+                    if use_pil:
+                        w, h, mean_r, mean_g, mean_b, std = _pil_channel_stats(pb)
+                    elif is_png(pb):
+                        w, h, mean_r, mean_g, mean_b, std = _numpy_png_channel_stats(pb)
+                    else:
+                        raise NotImplementedError(
+                            "image codec not available for this payload format; "
+                            "plug PIL/torchvision here (built-in real codec "
+                            "covers PNG only)"
+                        )
                 else:
                     w, h = int(meta["width"]), int(meta["height"])
                     mean_r, mean_g, mean_b, std = _fake_channel_stats(bytes(payload))

@@ -1023,11 +1023,23 @@ def encode_geom_layer_segments(
     min_len = 3 if geom_type == GEOM_POLYGON else 2
     if geom_type == GEOM_POLYGON:
         cx, cy, clens = clip_rings_batch(vx, vy, lens, r_lo, r_hi)
-        # pre-round drop of degenerate rings (scalar path: len(cx) < 3)
+        # exterior-group index on the UNFILTERED ring set (each hole belongs
+        # to the nearest preceding exterior); computing it before any drop
+        # means a hole can never regroup under another feature's exterior
+        # when its own exterior is filtered away (invalid/degenerate input)
+        is_ext0 = ~ring_hole
+        gpart0 = np.cumsum(is_ext0) - 1
+        ngrp = max(int(gpart0.max()) + 1, 1) if len(gpart0) else 1
+        # pre-round drop of degenerate rings (scalar path: len(cx) < 3);
+        # holes whose own exterior fails this filter drop with it
         keep = clens >= min_len
+        ext_keep0 = np.zeros(ngrp, dtype=bool)
+        ext_keep0[gpart0[is_ext0]] = keep[is_ext0]
+        keep = keep & (is_ext0 | ((gpart0 >= 0) & ext_keep0[np.clip(gpart0, 0, None)]))
         vkeep = np.repeat(keep, clens)
         cx, cy, clens = cx[vkeep], cy[vkeep], clens[keep]
         ring_feat_k, ring_hole_k = ring_feat[keep], ring_hole[keep]
+        gpart_k = gpart0[keep]
         gx = np.round(cx).astype(np.int64)
         gy = np.round(cy).astype(np.int64)
         gx, gy = orient_rings_batch(gx, gy, clens, ring_hole_k)
@@ -1043,12 +1055,13 @@ def encode_geom_layer_segments(
                 gx, gy = gx[vmask], gy[vmask]
                 clens = clens - dup.astype(np.int64)
             keep2 = clens >= min_len
-            # holes whose exterior ring was clipped away drop with it
+            # holes whose exterior ring was clipped away drop with it;
+            # group ids come from the unfiltered set (gpart_k), so a hole
+            # only ever follows ITS OWN exterior's fate
             is_ext = ~ring_hole_k
-            gpart = np.cumsum(is_ext) - 1
-            ext_kept = np.zeros(max(int(gpart.max()) + 1, 1), dtype=bool)
-            ext_kept[gpart[is_ext]] = keep2[is_ext]
-            keep2 = keep2 & (is_ext | ((gpart >= 0) & ext_kept[np.clip(gpart, 0, None)]))
+            ext_kept = np.zeros(ngrp, dtype=bool)
+            ext_kept[gpart_k[is_ext]] = keep2[is_ext]
+            keep2 = keep2 & (is_ext | ((gpart_k >= 0) & ext_kept[np.clip(gpart_k, 0, None)]))
             vkeep2 = np.repeat(keep2, clens)
             gx, gy = gx[vkeep2], gy[vkeep2]
             clens = clens[keep2]

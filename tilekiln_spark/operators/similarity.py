@@ -67,21 +67,35 @@ def make_pair_cosine_udf():
         n = len(a)
         if n == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(v) for v in a.to_numpy()])
-        B = np.stack([np.asarray(v) for v in b.to_numpy()])
-        prod_t = (A * B).T
-        sqa_t = (A * A).T
-        sqb_t = (B * B).T
-        acc = np.zeros(n, dtype=np.float64)
-        na = np.zeros(n, dtype=np.float64)
-        nb = np.zeros(n, dtype=np.float64)
-        for d in range(prod_t.shape[0]):
-            acc += prod_t[d]
-            na += sqa_t[d]
-            nb += sqb_t[d]
-        den = np.sqrt(na) * np.sqrt(nb)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, acc / den, 0.0)
+        av, bv = a.to_numpy(), b.to_numpy()
+        # null / ragged-length pairs null-propagate (like the HOF zip_with
+        # form) instead of failing np.stack for the whole Arrow batch
+        pairs = []
+        for i in range(n):
+            x, y = av[i], bv[i]
+            if x is None or y is None or len(x) != len(y) or len(x) == 0:
+                pairs.append(None)
+            else:
+                pairs.append(len(x))
+        out = np.full(n, np.nan, dtype=np.float64)  # NaN -> SQL NULL
+        for dim in {d for d in pairs if d is not None}:
+            rows = np.array([i for i in range(n) if pairs[i] == dim])
+            A = np.stack([np.asarray(av[i]) for i in rows])
+            B = np.stack([np.asarray(bv[i]) for i in rows])
+            prod_t = (A * B).T
+            sqa_t = (A * A).T
+            sqb_t = (B * B).T
+            m = len(rows)
+            acc = np.zeros(m, dtype=np.float64)
+            na = np.zeros(m, dtype=np.float64)
+            nb = np.zeros(m, dtype=np.float64)
+            for d in range(prod_t.shape[0]):
+                acc += prod_t[d]
+                na += sqa_t[d]
+                nb += sqb_t[d]
+            den = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[rows] = np.where(den > 0, acc / den, 0.0)
         return pd.Series(out)
 
     return pcos

@@ -58,7 +58,9 @@ def pip_raycast(mx: Column, my: Column, ring_xs: Column, ring_ys: Column) -> Col
     (yi > y) != (yj > y) and the intersection lies right of the point.  The
     division is guarded by the straddle condition (CaseWhen short-circuit),
     so ANSI mode never sees a divide-by-zero.  Real planet_osm_polygon
-    geometries are overwhelmingly concave — this is the default refine."""
+    geometries are overwhelmingly concave — ``refine="raycast_auto"`` (the
+    ``points_in_polygons`` default) selects this expression form for
+    low-vertex rings and the closure kernel above ~256 vertices."""
     n = F.size(ring_xs)
     idx = F.sequence(F.lit(0), n - 1)
 
@@ -200,7 +202,8 @@ def points_in_polygons(
     broadcast_polys: bool = True,
     mx: str = "mx",
     my: str = "my",
-    refine: str = "convex",
+    refine: str = "raycast_auto",
+    bcast_budget_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Inner join: each point row x each polygon containing it.
 
@@ -208,8 +211,17 @@ def points_in_polygons(
     ``xmin, ymin, xmax, ymax, ring_xs, ring_ys`` (+ any property columns,
     all preserved in the output).  refine options:
 
-    - "convex"        half-plane HOF test, boundary-inclusive — exact for
-                      the convex fixture set
+    - "raycast_auto"  THE DEFAULT — concave-safe on every path.  One tiny
+                      agg over the broadcast dim picks the physical form:
+                      raycast_bcast when max ring size >= 256 AND the
+                      total ring payload fits ``bcast_budget_bytes``
+                      (default 64 MB — the driver-collect + task-closure
+                      budget); raycast_udf when rings are big but the
+                      payload is over budget (rings join in, still
+                      Arrow-batched, no driver materialization); else the
+                      raycast expression form (no Arrow round-trip).
+    - "convex"        half-plane HOF test, boundary-inclusive — exact ONLY
+                      for convex rings; opt-in fast path
     - "raycast"       even-odd HOF fold, concave-safe; right choice for
                       LOW vertex counts (no Arrow round-trip)
     - "raycast_bcast" even-odd Arrow kernel with rings in the UDF closure;
@@ -217,22 +229,37 @@ def points_in_polygons(
                       (2k-vertex rings x 500k points, local[16]: 4.2 s vs
                       17.0 s HOF vs 24.8 s ring-carrying UDF — identical
                       rows; the join carries only the polygon key).
-                      Output rows omit ring_xs/ring_ys.
+                      Output rows omit ring_xs/ring_ys.  Budget-guarded:
+                      if the ring payload exceeds ``bcast_budget_bytes``
+                      it falls back to raycast_udf (a million-polygon
+                      layer must not OOM the driver or bloat closures).
     - "raycast_udf"   Arrow kernel with ring columns joined in — kept as
                       the measured counter-example; slower than the HOF
                       because every candidate row materializes the ring
-    - "raycast_auto"  picks raycast_bcast when max ring size >= 256
-                      (one tiny agg over the broadcast dim), else raycast
     """
     pmx, pmy = F.col(mx), F.col(my)
-    if refine == "raycast_auto":
-        max_verts = polys.agg(F.max(F.size("ring_xs"))).collect()[0][0] or 0
-        refine = "raycast_bcast" if max_verts >= 256 else "raycast"
+    if refine in ("raycast_auto", "raycast_bcast"):
+        # ONE tiny agg over the broadcast dim sizes the ring payload:
+        # 16 bytes/vertex (two float64 arrays) + ~64 B/row dict overhead
+        mx_verts, sum_verts, n_polys = polys.agg(
+            F.max(F.size("ring_xs")), F.sum(F.size("ring_xs")), F.count(F.lit(1))
+        ).collect()[0]
+        payload = 16 * (sum_verts or 0) + 64 * (n_polys or 0)
+        fits = payload <= bcast_budget_bytes
+        if refine == "raycast_auto":
+            if (mx_verts or 0) < 256:
+                refine = "raycast"
+            else:
+                refine = "raycast_bcast" if fits else "raycast_udf"
+        elif not fits:
+            # explicit raycast_bcast over budget: same rows, bounded memory
+            refine = "raycast_udf"
     if refine == "raycast_bcast":
         # high-complexity rings: join WITHOUT the ring columns (see
         # make_pip_raycast_closure_udf — copying 10^3+-vertex arrays into
         # every candidate row dominates the refine), rings ride in the UDF
-        # closure.  Output rows omit ring_xs/ring_ys.
+        # closure.  Output rows omit ring_xs/ring_ys.  The collect is
+        # budget-guarded above (<= bcast_budget_bytes of ring payload).
         rings = {
             r["polygon_id"]: (r["ring_xs"], r["ring_ys"])
             for r in polys.select("polygon_id", "ring_xs", "ring_ys").collect()

@@ -100,7 +100,13 @@ def _pages_polys(sources: dict) -> DataFrame:
     The joined frame is lazily localCheckpoint'ed (flag `materialize`) so the
     cap's count rollup and the probe side read one materialized copy."""
     if "_pages_polys" not in sources:
-        j = points_in_polygons(sources["pages_geo"], sources["layer_polygons"])
+        # refine defaults to the concave-safe raycast_auto; callers override
+        # with sources["refine"] (e.g. "convex" for a known-convex layer set)
+        j = points_in_polygons(
+            sources["pages_geo"],
+            sources["layer_polygons"],
+            refine=sources.get("refine", "raycast_auto"),
+        )
         # the refine already consumed the ring/bbox machinery columns — no
         # builder reads them from the joined frame (geometry layers take
         # rings straight from layer_polygons), and carrying ~0.5 KB of ring
@@ -409,6 +415,21 @@ def water_poly_builder(sources: dict, zooms: list[int], extent: int, buffer: int
             "osm_id": F.col("polygon_id"),
             "water": F.coalesce(F.col("name"), F.lit("ocean")),
         },
+    )
+
+
+@builder("polyline", geom_type=GEOM_LINESTRING)
+def polyline_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -> DataFrame:
+    """True OPEN polylines (reference planet_osm_line semantics —
+    sample/admin.sql.jinja2:6 feeds real LINESTRING geometries, not ring
+    outlines): rows of ``sources["layer_lines"]`` carry the vertex chain in
+    ring_xs/ring_ys; each (line, tile) pair is clipped with the
+    Liang–Barsky part splits (a line that exits and re-enters a tile emits
+    multiple MoveTo parts — mvt.py clip_lines_batch)."""
+    lines = sources["layer_lines"]
+    return _poly_tile_rows(
+        lines, zooms, extent, buffer, close=False,
+        props={"osm_id": F.col("polygon_id")},
     )
 
 

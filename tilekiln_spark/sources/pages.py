@@ -94,8 +94,12 @@ def extract_text(html_col) -> F.Column:
 def layer_polygons_pdf(n_per_layer: int = 120, seed: int = 42) -> pd.DataFrame:
     """Seeded polygon set as pandas (driver-side; this is the broadcast dim).
 
-    Convex polygons (rectangles + clipped octagons) in web-mercator, spread so
-    low-zoom tiles intersect a handful each.  Columns per FIXTURES.md §2."""
+    Mixed CONVEX (rectangles + clipped octagons) and CONCAVE (L-shapes)
+    polygons in web-mercator, spread so low-zoom tiles intersect a handful
+    each.  Real basemap polygons are overwhelmingly concave — roughly a
+    third of the fixture is concave so every flagship render/oracle/bench
+    path exercises the even-odd ray-cast refine (VERDICT r3 #1).  Columns
+    per FIXTURES.md §2."""
     rng = np.random.default_rng(seed)
     rows = []
     pid = 0
@@ -105,17 +109,21 @@ def layer_polygons_pdf(n_per_layer: int = 120, seed: int = 42) -> pd.DataFrame:
         cx = rng.uniform(-HALF_WORLD * 0.95, HALF_WORLD * 0.95, n_per_layer)
         cy = rng.uniform(-HALF_WORLD * 0.85, HALF_WORLD * 0.85, n_per_layer)
         half = 10 ** rng.uniform(4.0, 6.8, n_per_layer)  # 10 km .. ~6000 km half-width
-        octagon = rng.random(n_per_layer) < 0.5
+        shape = rng.random(n_per_layer)  # <1/3 octagon, <2/3 rect, else L
         for k in range(n_per_layer):
             h = float(half[k])
             px, py = float(cx[k]), float(cy[k])
-            if octagon[k]:
+            if shape[k] < 1 / 3:
                 c = 0.4142 * h  # corner cut -> regular-ish octagon, convex
                 xs = [px - h, px - c, px + c, px + h, px + h, px + c, px - c, px - h]
                 ys = [py - c, py - h, py - h, py - c, py + c, py + h, py + h, py + c]
-            else:
+            elif shape[k] < 2 / 3:
                 xs = [px - h, px + h, px + h, px - h]
                 ys = [py - h, py - h, py + h, py + h]
+            else:
+                # CONCAVE L: the square minus its NE quadrant; reflex at center
+                xs = [px - h, px + h, px + h, px, px, px - h]
+                ys = [py - h, py - h, py, py, py + h, py + h]
             area = _poly_area(xs, ys)
             rows.append(
                 {
