@@ -195,28 +195,53 @@ def polygon_label_points(polys: DataFrame, props: dict[str, Column]) -> DataFram
     def pos(ring_xs: pd.Series, ring_ys: pd.Series) -> pd.Series:
         import numpy as np  # noqa: PLC0415 - executor-side import
 
-        out = []
-        for xs, ys in zip(ring_xs, ring_ys):
-            x = np.asarray(xs, dtype=np.float64)
-            y = np.asarray(ys, dtype=np.float64)
-            cy = (y.min() + y.max()) / 2.0
-            xj = np.roll(x, -1)
-            yj = np.roll(y, -1)
-            straddle = (y > cy) != (yj > cy)
-            if not straddle.any():
-                # degenerate (flat ring): fall back to the bbox center
-                out.append([float((x.min() + x.max()) / 2.0), float(cy)])
-                continue
-            xi = x[straddle] + (cy - y[straddle]) * (xj[straddle] - x[straddle]) / (
-                yj[straddle] - y[straddle]
-            )
-            xi.sort()
-            # even-odd: intervals [xi[0],xi[1]], [xi[2],xi[3]], ... are interior
-            k = (len(xi) // 2) * 2
-            widths = xi[1:k:2] - xi[0:k:2]
-            w = int(np.argmax(widths))
-            out.append([float((xi[2 * w] + xi[2 * w + 1]) / 2.0), float(cy)])
-        return pd.Series(out)
+        n = len(ring_xs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # whole-batch flattened-offsets kernel (same pattern as the MinHash /
+        # SimHash / clip kernels): ALL rings concatenate into one vertex
+        # array; per-ring reductions ride np.minimum/maximum.reduceat and
+        # the interval scan is one lexsort over every crossing in the batch
+        lens = np.fromiter((len(v) for v in ring_xs), dtype=np.int64, count=n)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        x = np.concatenate([np.asarray(v, dtype=np.float64) for v in ring_xs])
+        y = np.concatenate([np.asarray(v, dtype=np.float64) for v in ring_ys])
+        rid = np.repeat(np.arange(n), lens)
+        ymin = np.minimum.reduceat(y, starts)
+        ymax = np.maximum.reduceat(y, starts)
+        xmin = np.minimum.reduceat(x, starts)
+        xmax = np.maximum.reduceat(x, starts)
+        cy = (ymin + ymax) / 2.0
+        cyv = cy[rid]
+        # next-vertex index wraps WITHIN each ring
+        nxt = np.arange(len(x)) + 1
+        nxt[starts + lens - 1] = starts
+        xj, yj = x[nxt], y[nxt]
+        straddle = (y > cyv) != (yj > cyv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi_all = x + (cyv - y) * (xj - x) / (yj - y)
+        srid = rid[straddle]
+        xi = xi_all[straddle]
+        # sort crossings by (ring, x); even-odd pairs them into intervals
+        order = np.lexsort((xi, srid))
+        srid, xi = srid[order], xi[order]
+        counts = np.bincount(srid, minlength=n)
+        goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(len(xi)) - goff[srid]
+        # interval [xi[2k], xi[2k+1]]; a trailing odd crossing never pairs
+        lo = (within % 2 == 0) & (within + 1 < counts[srid])
+        pi = np.nonzero(lo)[0]
+        widths = xi[pi + 1] - xi[pi]
+        mids = (xi[pi] + xi[pi + 1]) / 2.0
+        prid = srid[pi]
+        # widest interval per ring: order pairs by (ring, -width), keep first
+        porder = np.lexsort((-widths, prid))
+        prid_s, mids_s = prid[porder], mids[porder]
+        first = np.concatenate([[True], prid_s[1:] != prid_s[:-1]])
+        # degenerate (flat ring / no interval): fall back to the bbox center
+        mx = (xmin + xmax) / 2.0
+        mx[prid_s[first]] = mids_s[first]
+        return pd.Series([[float(a), float(b)] for a, b in zip(mx, cy)])
 
     p = pos(F.col("ring_xs"), F.col("ring_ys"))
     named = polys.withColumn("__pos", p)
