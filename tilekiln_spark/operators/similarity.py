@@ -237,6 +237,75 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    sample_n: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Sampled spherical k-means centroids for the IVF coarse quantizer
+    (VERDICT r3 #8) — the recall-quality upgrade over the min-key seed,
+    behind the same deterministic-seed contract.
+
+    Scale shape: the training set is a DETERMINISTIC pseudo-random sample —
+    orderBy(md5(key)) + limit = one TakeOrdered, so the driver holds at most
+    ``sample_n`` vectors no matter the corpus size (no full collect at
+    10^12 rows).  Lloyd's iterations then run driver-side in numpy over
+    that sample (sample_n x dim — trivial), with k-means++ seeding from
+    ``np.random.default_rng(seed)`` and empty clusters reseeded to the
+    farthest sample point.  Assignment/update use cosine on L2-normalized
+    vectors (spherical k-means), matching ``make_ivf_assign_udf``'s
+    assignment metric exactly."""
+    rows = (
+        corpus.select(key_col, vec_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    m = len(Xn)
+    k = min(n_centroids, m)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - cos over unit vectors)
+    first = int(rng.integers(m))
+    chosen = [first]
+    d2 = 1.0 - Xn @ Xn[first]
+    for _ in range(1, k):
+        d2c = np.maximum(d2, 0.0)
+        tot = d2c.sum()
+        if tot <= 0:
+            nxt = int(rng.integers(m))
+        else:
+            nxt = int(rng.choice(m, p=d2c / tot))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, 1.0 - Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, Xn)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # reseed each empty cluster to the point farthest from its
+            # current assignment (largest cosine distance)
+            far = np.argsort(-(1.0 - (Xn * Cn[assign]).sum(axis=1)))
+            for ci, pi in zip(np.nonzero(empty)[0], far):
+                newC[ci] = Xn[pi]
+                counts[ci] = 1
+        C = newC / counts[:, None]
+        if np.allclose(
+            C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12), Cn
+        ):
+            break
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
 def make_ivf_assign_udf(centroids: np.ndarray, top: int):
     """Cluster assignment for IVF: one (batch x dim) @ (dim x K) matmul per
     Arrow batch over L2-normalized vectors; returns the `top` nearest
@@ -269,22 +338,38 @@ def ivf_topk(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     probe_key: str = "probe_id",
+    centroids: str | np.ndarray = "minkey",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path next to LSH: corpus vectors partition into centroid buckets via one
     matmul Arrow UDF (map-only, no shuffle), probes search their `nprobe`
     nearest buckets, exact cosine rerank inside.
 
-    Centroids are the n_centroids corpus vectors with the smallest keys —
-    deterministic (so the DuckDB oracle can re-derive the exact buckets);
-    a production run would swap in k-means centroids, which only changes
-    the centroid matrix handed to the same UDF.  At 10^12 rows the bucket
-    column doubles as the Iceberg partition key, making probe-side reads
-    partition-pruned scans."""
-    cent_rows = (
-        corpus.select(key_col, vec_col).orderBy(key_col).limit(n_centroids).collect()
-    )
-    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    centroids:
+    - "minkey" (default): the n_centroids corpus vectors with the smallest
+      keys — deterministic, so the DuckDB oracle can re-derive the exact
+      buckets.  A recall heuristic, not a quality choice.
+    - "kmeans": sampled spherical k-means (``kmeans_centroids`` — seeded,
+      deterministic, bounded driver footprint).  Better-balanced buckets
+      and recall; the oracle twin keeps "minkey" because DuckDB cannot
+      re-run Lloyd's.
+    - an ndarray: precomputed (K x dim) centroid matrix, handed verbatim
+      to the same assign UDF.
+
+    At 10^12 rows the bucket column doubles as the Iceberg partition key,
+    making probe-side reads partition-pruned scans."""
+    if isinstance(centroids, np.ndarray):
+        C = np.asarray(centroids, dtype=np.float64)
+    elif centroids == "kmeans":
+        C = kmeans_centroids(
+            corpus, n_centroids, vec_col=vec_col, key_col=key_col, seed=seed
+        )
+    else:
+        cent_rows = (
+            corpus.select(key_col, vec_col).orderBy(key_col).limit(n_centroids).collect()
+        )
+        C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
     a1 = make_ivf_assign_udf(C, 1)
     ap = make_ivf_assign_udf(C, nprobe)
     c = corpus.withColumn("cluster", a1(F.col(vec_col))[0])
