@@ -208,49 +208,36 @@ def encode_layer(
     return _len_delim(3, bytes(layer))  # framed as Tile.layers entry
 
 
-def encode_layer_fast(
-    name: str,
-    extent: int,
-    px: np.ndarray,
-    py: np.ndarray,
-    props: dict[str, Iterable] | None = None,
-    geom_type: int = GEOM_POINT,
-) -> bytes:
-    """Fully-vectorized point-layer encoder (numpy scatter assembly).
+def _tags_and_values(props: dict, n: int) -> tuple[bytearray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared tag/value-table builder for the vectorized layer encoders
+    (encode_layer_fast + encode_geom_layer): per-column ``pd.factorize``
+    value table ordered by VALUE, not first appearance — identical bytes
+    whichever encoder (or batch composition) produced the tile, so the
+    byte-equality MERGE 'unchanged' check never trips on a re-render
+    through another path.
 
-    Structurally equivalent to encode_layer (same features, tags, resolved
-    property values, geometry); byte layout differs only in value-table
-    dedup granularity (per-column pd.factorize vs global dict — the MVT spec
-    only requires values be usable by index).  ~50x faster on large tiles:
-    the per-feature framing loop becomes whole-array varint matrices plus
-    index-scatter fills, so a 65k-feature tile encodes in ~50 ms instead of
-    seconds — this is what bounds the dense low-zoom tiles of the MVT
-    aggregate (SURVEY §4 "MVT UDAF memory bounds")."""
+    Returns (value-table blob, flattened tag varint bytes, per-feature
+    packed-tag byte length, per-feature tag count)."""
     import pandas as pd
 
-    px = np.asarray(px, dtype=np.int64)
-    py = np.asarray(py, dtype=np.int64)
-    n = len(px)
-    if n == 0:
-        return encode_layer(name, extent, px, py, props, geom_type)
-    props = props or {}
     keys = list(props.keys())
     c = len(keys)
-
-    # -- value table (per-column factorize) + per-feature tag matrix --------
     val_blobs = bytearray()
     n_vals = 0
     tag_mat = np.zeros((n, 2 * c), dtype=np.uint64)
     tag_valid = np.zeros((n, 2 * c), dtype=bool)
     for ki, k in enumerate(keys):
         v = props[k]
-        ser = v.reset_index(drop=True) if isinstance(v, pd.Series) else pd.Series(list(v), dtype=object)
+        if isinstance(v, pd.Series):
+            ser = v.reset_index(drop=True)
+        else:
+            # let pandas INFER the dtype: a list of ints must become int64 so
+            # _encode_uniques takes its vectorized numeric branch, not the
+            # per-unique object loop (the profiled hot spot on geometry
+            # layers, whose props arrive as python lists per segment)
+            ser = pd.Series(list(v))
         isnull = ser.isna().to_numpy()
         codes, uniques = pd.factorize(ser, use_na_sentinel=True)
-        # value table ordered by VALUE, not first appearance — identical
-        # bytes to the batch kernel (encode_point_layer_segments), so one
-        # tile's blob is path-independent and the byte-equality MERGE
-        # 'unchanged' check never trips on a re-render through the other path
         uniques = np.asarray(uniques)
         if len(uniques):
             order_u = np.argsort(uniques, kind="stable")
@@ -274,6 +261,38 @@ def encode_layer_fast(
     seg_end = np.cumsum(n_tags_per_feat)
     seg_start = seg_end - n_tags_per_feat
     tag_packed_len = cum_lens[seg_end] - cum_lens[seg_start]
+    return val_blobs, tag_bytes_all, tag_packed_len, n_tags_per_feat
+
+
+def encode_layer_fast(
+    name: str,
+    extent: int,
+    px: np.ndarray,
+    py: np.ndarray,
+    props: dict[str, Iterable] | None = None,
+    geom_type: int = GEOM_POINT,
+) -> bytes:
+    """Fully-vectorized point-layer encoder (numpy scatter assembly).
+
+    Structurally equivalent to encode_layer (same features, tags, resolved
+    property values, geometry); byte layout differs only in value-table
+    dedup granularity (per-column pd.factorize vs global dict — the MVT spec
+    only requires values be usable by index).  ~50x faster on large tiles:
+    the per-feature framing loop becomes whole-array varint matrices plus
+    index-scatter fills, so a 65k-feature tile encodes in ~50 ms instead of
+    seconds — this is what bounds the dense low-zoom tiles of the MVT
+    aggregate (SURVEY §4 "MVT UDAF memory bounds")."""
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    n = len(px)
+    if n == 0:
+        return encode_layer(name, extent, px, py, props, geom_type)
+    props = props or {}
+    keys = list(props.keys())
+
+    val_blobs, tag_bytes_all, tag_packed_len, n_tags_per_feat = _tags_and_values(
+        props, n
+    )
 
     # geometry varints: [MoveTo(9), zz(px), zz(py)] per feature
     geom_vals = np.column_stack([np.full(n, 9, dtype=np.uint64), zigzag(px), zigzag(py)]).ravel()
@@ -359,6 +378,21 @@ def _encode_uniques(uniques) -> list[bytes]:
         return out
     if u.dtype.kind == "f":
         return [b"\x22\x09\x19" + np.float64(v).tobytes() for v in u]
+    if len(u) and all(isinstance(v, str) for v in u):
+        # vectorized string frames: one varint matrix for the two length
+        # headers, tiny constant-work concat per unique (the geometry-layer
+        # value tables are string-heavy; the old path paid ~6 varint_bytes
+        # calls per unique)
+        bs = [v.encode("utf-8") for v in u]
+        blens = np.array([len(b) for b in bs], dtype=np.uint64)
+        ihdr, ihl = _varint_matrix(blens)           # varint(len(bytes))
+        body_len = 1 + ihl + blens.astype(np.int64)  # 0x0A tag + len + bytes
+        frame, fl = _varint_matrix(body_len.astype(np.uint64))
+        return [
+            b"\x22" + frame[i, : fl[i]].tobytes()
+            + b"\x0a" + ihdr[i, : ihl[i]].tobytes() + bs[i]
+            for i in range(len(u))
+        ]
     return [_len_delim(4, _encode_value(v.item() if isinstance(v, np.generic) else v)) for v in u]
 
 
@@ -1138,48 +1172,80 @@ def encode_geom_layer(
     geom_type: int = GEOM_LINESTRING,
 ) -> bytes:
     """Encode one layer of line/polygon features (pre-built command streams
-    from geom_commands).  Feature counts per tile are small for geometry
-    layers (one feature per source polygon x tile), so the per-feature frame
-    loop is not a hot path — points keep the vectorized encode_layer_fast."""
+    from geom_commands) with the same numpy scatter assembly as
+    encode_layer_fast (VERDICT r3 #7 — the per-feature frame loop was the
+    profiled hot spot on polygon-dense tiles: ~90% of encode time in
+    per-feature varint calls).  The only structural difference from the
+    point path is the variable-length geometry stream: ALL features'
+    command values encode through one varint matrix, per-feature byte
+    spans come from segment sums."""
     props = props or {}
     keys = list(props.keys())
-    key_blobs = b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
-    val_index: dict = {}
-    val_blobs = bytearray()
     n = len(geoms)
-    tag_rows: list[list[int]] = [[] for _ in range(n)]
-    for ki, k in enumerate(keys):
-        col = list(props[k])
-        for fi in range(n):
-            v = col[fi]
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue
-            if isinstance(v, np.generic):
-                v = v.item()
-            sig = (type(v).__name__, v)
-            vi = val_index.get(sig)
-            if vi is None:
-                vi = len(val_index)
-                val_index[sig] = vi
-                val_blobs += _len_delim(4, _encode_value(v))
-            tag_rows[fi].extend((ki, vi))
 
-    feats = bytearray()
-    for fi in range(n):
-        body = bytearray()
-        if tag_rows[fi]:
-            packed = varint_bytes(np.array(tag_rows[fi], dtype=np.uint64))
-            body += _tag(2, 2) + _varint1(len(packed)) + packed
-        body += _tag(3, 0) + _varint1(geom_type)
-        g = varint_bytes(geoms[fi])
-        body += _tag(4, 2) + _varint1(len(g)) + g
-        feats += _len_delim(2, bytes(body))
+    val_blobs, tag_bytes_all, tag_packed_len, n_tags_per_feat = _tags_and_values(
+        props, n
+    )
+
+    # geometry varints: one matrix over every feature's command stream
+    g_counts = np.array([len(g) for g in geoms], dtype=np.int64)
+    all_vals = (
+        np.concatenate(geoms) if n else np.array([], dtype=np.uint64)
+    )
+    geom_enc, geom_lens = _varint_matrix(all_vals)
+    geom_bytes_all = geom_enc[np.arange(10)[None, :] < geom_lens[:, None]]
+    cum_g = np.concatenate([[0], np.cumsum(geom_lens)])
+    g_end = np.cumsum(g_counts)
+    g_len = cum_g[g_end] - cum_g[g_end - g_counts]
+
+    # -- per-feature section/offset arithmetic (mirrors encode_layer_fast) --
+    has_tags = n_tags_per_feat > 0
+    lt = _varint_len_np(tag_packed_len)
+    tags_sec = np.where(has_tags, 1 + lt + tag_packed_len, 0)
+    type_sec = 2  # 0x18 + geom_type (< 128)
+    geom_hdr = 1 + _varint_len_np(g_len)
+    body_len = tags_sec + type_sec + geom_hdr + g_len
+    hdr_len = 1 + _varint_len_np(body_len)
+    feat_len = hdr_len + body_len
+    starts = np.concatenate([[0], np.cumsum(feat_len)[:-1]]).astype(np.int64)
+    out = np.zeros(int(feat_len.sum()), dtype=np.uint8)
+
+    def scatter_varints(vals, dest):
+        enc, lens = _varint_matrix(vals)
+        mask = np.arange(10)[None, :] < lens[:, None]
+        idx = (np.asarray(dest, dtype=np.int64)[:, None] + np.arange(10)[None, :])[mask]
+        out[idx] = enc[mask]
+
+    def scatter_payload(src_bytes, dest_starts, seg_lens):
+        total = int(seg_lens.sum())
+        if total == 0:
+            return
+        src_starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+        shift = np.repeat(dest_starts - src_starts, seg_lens)
+        out[np.arange(total) + shift] = src_bytes
+
+    if n:
+        out[starts] = 0x12  # Layer.features framing (field 2, wire 2)
+        scatter_varints(body_len, starts + 1)
+        pos = starts + hdr_len  # body begins
+        it = np.where(has_tags)[0]
+        if it.size:
+            out[pos[it]] = 0x12  # Feature.tags (field 2, wire 2)
+            scatter_varints(tag_packed_len[it], pos[it] + 1)
+            scatter_payload(tag_bytes_all, (pos + 1 + lt)[it], tag_packed_len[it])
+        tpos = pos + tags_sec
+        out[tpos] = 0x18  # Feature.type (field 3, wire 0)
+        out[tpos + 1] = geom_type
+        gpos = tpos + 2
+        out[gpos] = 0x22  # Feature.geometry (field 4, wire 2)
+        scatter_varints(g_len, gpos + 1)
+        scatter_payload(geom_bytes_all, gpos + geom_hdr, g_len)
 
     layer = bytearray()
     layer += _tag(15, 0) + _varint1(2)
     layer += _len_delim(1, name.encode("utf-8"))
-    layer += feats
-    layer += key_blobs
+    layer += out.tobytes()
+    layer += b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
     layer += val_blobs
     layer += _tag(5, 0) + _varint1(extent)
     return _len_delim(3, bytes(layer))
