@@ -1068,6 +1068,23 @@ WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
 
     q["media_decode"] = media_decode
 
+    def media_decode_real(spark, sf_dir):
+        """REAL codec path, hash-checked (closes the r3 Train-media
+        partial): executor-built solid-color PNGs (multimodal.synth_png_media
+        — every pixel a closed-form function of media_id) decode through
+        decode_image(strict=True) = the pure-numpy PNG codec
+        (functions/png.py); DuckDB re-derives width/height/channel means and
+        the cross-channel std from the same media_id formulas."""
+        from tilekiln_spark.operators.multimodal import decode_image, synth_png_media
+
+        out = decode_image(synth_png_media(spark, 200), strict=True)
+        return out.select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            F.round("std", 4).alias("std4"),
+        )
+
+    q["media_decode_real"] = media_decode_real
+
     def media_frame_sample(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import frame_sample, synth_media
 
@@ -1716,6 +1733,27 @@ def oracle_sql() -> dict[str, str]:
                CAST({_hexpair(5)} AS DOUBLE) AS mean_b,
                CAST({_hexpair(7)} AS DOUBLE) / 4.0 AS std
         FROM h
+    """
+
+    # real-codec twin: a solid-color image's per-channel means ARE the
+    # channel bytes, and arr.std() over (h, w, 3) identical triples is the
+    # population std of {r, g, b} — closed form in media_id.  Rounded to
+    # 4 dp on both sides (the two engines order the float64 accumulation
+    # differently; agreement is ~1e-12, far inside the rounding).
+    o["media_decode_real"] = """
+        WITH m AS (
+            SELECT id AS media_id,
+                   CAST(37 * id % 256 AS DOUBLE) AS r,
+                   CAST(59 * id % 256 AS DOUBLE) AS g,
+                   CAST(83 * id % 256 AS DOUBLE) AS b
+            FROM range(200) t(id)
+        ), mu AS (SELECT *, (r + g + b) / 3.0 AS m3 FROM m)
+        SELECT media_id,
+               CAST(media_id % 8 * 4 + 4 AS INT) AS width,
+               CAST(media_id % 5 * 4 + 4 AS INT) AS height,
+               r AS mean_r, g AS mean_g, b AS mean_b,
+               round(sqrt((pow(r - m3, 2) + pow(g - m3, 2) + pow(b - m3, 2)) / 3.0), 4) AS std4
+        FROM mu
     """
 
     o["media_frame_sample"] = """

@@ -51,6 +51,42 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
     )
 
 
+def synth_png_media(spark, n: int) -> DataFrame:
+    """REAL media table: deterministic solid-color PNG payloads built
+    EXECUTOR-side (mapInPandas + functions/png.encode_png — the engine's
+    pure-numpy codec) from media_id alone:
+
+        w = id % 8 * 4 + 4,  h = id % 5 * 4 + 4,
+        (r, g, b) = (37*id, 59*id, 83*id) % 256
+
+    Every statistic of the decoded image is therefore a closed-form
+    function of media_id, which is what lets the driver's DuckDB twin
+    hash-check the REAL strict-mode codec path end-to-end (the fake-payload
+    tables can only oracle the stub)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tilekiln_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = mid % 8 * 4 + 4
+                h = mid % 5 * 4 + 4
+                rgb = np.array(
+                    [37 * mid % 256, 59 * mid % 256, 83 * mid % 256], dtype=np.uint8
+                )
+                rows.append(
+                    (
+                        mid, "image", encode_png(np.tile(rgb, (h, w, 1))),
+                        {"width": w, "height": h, "sample_rate": 16000,
+                         "duration_ms": 0, "codec": "png"},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """STUB: deterministic fake decoder. Real impl: PIL.Image.open(BytesIO)."""
     seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
