@@ -1012,6 +1012,33 @@ WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
 
     q["template_compile_case"] = template_compile_case
 
+    def template_compile_subquery(spark, sf_dir):
+        """Round-4 compiler tier #2 (config/sqlt.py): FROM (SELECT ...)
+        derived tables — inner projection/filter with computed aliases,
+        `way` geometry passthrough, outer predicates over inner aliases;
+        DuckDB runs the identical nested query."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       upper(tag) AS label, nc2
+FROM (
+    SELECT way, concat(lang, ':', source) AS tag, n_chars * 2 AS nc2
+    FROM docs_geo
+    WHERE lang <> 'zz' AND way && {{bbox}} AND doc_id NOT BETWEEN 900 AND 100000
+) sub
+WHERE way && {{bbox}} AND nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.groupBy("zoom", "label").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc2").cast("long").alias("sum_nc2"),
+        )
+
+    q["template_compile_subquery"] = template_compile_subquery
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1733,6 +1760,21 @@ def oracle_sql() -> dict[str, str]:
                CAST({_hexpair(5)} AS DOUBLE) AS mean_b,
                CAST({_hexpair(7)} AS DOUBLE) / 4.0 AS std
         FROM h
+    """
+
+    o["template_compile_subquery"] = f"""
+        {_GEO_CTE},
+        sub AS (
+            SELECT geo.lang || ':' || geo.source AS tag, geo.n_chars * 2 AS nc2
+            FROM geo
+            WHERE geo.lang <> 'zz' AND geo.doc_id NOT BETWEEN 900 AND 100000
+        )
+        SELECT 3 AS zoom, upper(tag) AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nc2) AS BIGINT) AS sum_nc2
+        FROM sub
+        WHERE nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
+        GROUP BY 1, 2
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

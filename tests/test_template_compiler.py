@@ -340,3 +340,76 @@ vector_layers:
 
     (layer,) = decode_tile(bytes(populated[0].placeclass_data))
     assert {"label", "sizeclass", "area_km2"} <= set(layer["keys"])
+
+
+def test_derived_table_point_kind(spark):
+    """FROM (SELECT ...) subqueries: inner projection/filter resolve over
+    the registered table, `way` passes the geometry through, outer items
+    reference inner aliases (reference runs arbitrary PostGIS SQL —
+    tilekiln/definition.py:42-77; this closes the derived-table tier)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (0, 1.0, 1.0, "aa", 10),
+        (1, 2.0, 2.0, "bb", 50),
+        (2, 3.0, 3.0, "zz", 400),
+        (3, 4.0, 4.0, "cc", 900),
+    ]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double, lang string, n int")
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       upper(tag) AS label, n2
+FROM (
+    SELECT way, concat(lang, '-x') AS tag, n * 2 AS n2
+    FROM t WHERE lang <> 'zz' AND way && {{bbox}}
+) sub
+WHERE way && {{bbox}} AND n2 BETWEEN 20 AND 1000
+"""
+    out = {
+        r.label: r.n2
+        for r in CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    }
+    # n2=1800 (pid 3) falls outside BETWEEN 20 AND 1000; zz filtered inner
+    assert out == {"AA-X": 20, "BB-X": 100}
+
+
+def test_derived_table_polygon_kind_and_errors(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (7, 0.0, 0.0, 2.0e6, 2.0e6,
+         [0.0, 2.0e6, 2.0e6, 0.0], [0.0, 0.0, 2.0e6, 2.0e6], "lake", 4.0e12),
+        (8, -3.0e6, -3.0e6, -1.0e6, -1.0e6,
+         [-3.0e6, -1.0e6, -1.0e6, -3.0e6], [-3.0e6, -3.0e6, -1.0e6, -1.0e6], "pond", 4.0e12),
+    ]
+    tbl = spark.createDataFrame(
+        rows,
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>, name string, way_area double",
+    )
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, nm
+FROM (SELECT way, upper(name) AS nm FROM t WHERE name LIKE 'la%') d
+WHERE way && {{bbox}}
+"""
+    out = CompiledTemplate(body).build(
+        {"tables": {"t": {"frame": tbl, "kind": "polygon"}}}, [2], 4096, 0
+    ).collect()
+    assert out and all(r.nm == "LAKE" for r in out)
+
+    # derived table without `way` names the problem
+    with pytest.raises(DefinitionError, match="derived table must select `way`"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, nm "
+            "FROM (SELECT upper(name) AS nm FROM t) d WHERE way && {{bbox}}"
+        ).build({"tables": {"t": {"frame": tbl, "kind": "polygon"}}}, [2], 4096, 0)
+
+    # zoom-dependent pseudo-columns inside the derived table are named too
+    with pytest.raises(DefinitionError, match="not supported inside a derived table"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, nm "
+            "FROM (SELECT way, name AS nm FROM t WHERE way_area > {{tile_area}}) d "
+            "WHERE way && {{bbox}}"
+        ).build({"tables": {"t": {"frame": tbl, "kind": "polygon"}}}, [2], 4096, 0)

@@ -202,7 +202,7 @@ class Item:
 @dataclass
 class Select:
     items: list[Item]
-    table: str
+    table: object  # str (registered table) | Select (derived table)
     where: object | None
 
 
@@ -249,7 +249,18 @@ class _Parser:
         while self.accept("op", ","):
             items.append(self.item())
         self.expect("kw", "from")
-        table = self.expect("id")
+        if self.accept("op", "("):
+            # derived table: FROM (SELECT ...) [AS] alias — the inner select
+            # runs over a registered table (or a deeper derived table) and
+            # must pass `way` through for the outer ST_AsMVTGeom
+            table: str | Select = self.select()
+            self.expect("op", ")")
+            if self.accept("kw", "as"):
+                self.expect("id")
+            elif self.peek()[0] == "id":
+                self.next()
+        else:
+            table = self.expect("id")
         where = None
         if self.accept("kw", "where"):
             where = self.or_expr()
@@ -607,7 +618,77 @@ def _geom_item(items: list[Item]):
     return mode, rest
 
 
-def _resolve_table(sources: dict, name: str):
+# columns a derived table's `way` item must carry through so the outer
+# ST_AsMVTGeom / _poly_tile_rows machinery still finds its geometry inputs
+_GEOM_PASSTHROUGH = {
+    "point": ["mx", "my"],
+    "polygon": ["polygon_id", "xmin", "ymin", "xmax", "ymax", "ring_xs", "ring_ys"],
+    "line": ["polygon_id", "xmin", "ymin", "xmax", "ymax", "ring_xs", "ring_ys"],
+    "polyline": ["polygon_id", "xmin", "ymin", "xmax", "ymax", "ring_xs", "ring_ys"],
+}
+
+_PSEUDO_IDENTS = {"__TILE_AREA__", "__COORD_AREA__", "__TILE_LENGTH__", "__COORD_LENGTH__"}
+
+
+def _no_pseudo(ast) -> None:
+    """Derived tables are resolved BEFORE the zoom explode, so the
+    zoom-dependent pseudo-columns ({{tile_area}} etc.) have nothing to bind
+    to inside them — name the problem instead of leaking an unresolved
+    `zoom` AnalysisException."""
+    if isinstance(ast, Ident) and ast.name in _PSEUDO_IDENTS:
+        raise DefinitionError(
+            "template SQL: zoom-dependent template variables (tile_area, "
+            "coordinate_area, ...) are not supported inside a derived table "
+            "— move the predicate to the outer SELECT"
+        )
+    if isinstance(ast, Bin):
+        _no_pseudo(ast.left); _no_pseudo(ast.right)
+    elif isinstance(ast, Un):
+        _no_pseudo(ast.arg)
+    elif isinstance(ast, InList):
+        _no_pseudo(ast.expr)
+        for v in ast.values:
+            _no_pseudo(v)
+    elif isinstance(ast, (IsNull, Like)):
+        _no_pseudo(ast.expr)
+    elif isinstance(ast, Between):
+        _no_pseudo(ast.expr); _no_pseudo(ast.lo); _no_pseudo(ast.hi)
+    elif isinstance(ast, Case):
+        for c, r in ast.whens:
+            _no_pseudo(c); _no_pseudo(r)
+        if ast.default is not None:
+            _no_pseudo(ast.default)
+    elif isinstance(ast, Func):
+        for a in ast.args:
+            _no_pseudo(a)
+
+
+def _resolve_table(sources: dict, name):
+    if isinstance(name, Select):
+        # derived table: resolve the base (possibly another derived table),
+        # apply the inner WHERE, project the inner items; `way` passes the
+        # kind's geometry columns through.  extent never appears inside a
+        # derived table (no ST_AsMVTGeom there), so _to_col gets a dummy.
+        inner = name
+        frame, kind = _resolve_table(sources, inner.table)
+        if inner.where is not None:
+            _no_pseudo(inner.where)
+            frame = frame.filter(_to_col(inner.where, 0))
+        cols, has_way = [], False
+        for it in inner.items:
+            e = it.expr
+            if isinstance(e, Ident) and e.name == "way" and not e.cast:
+                has_way = True
+                cols.extend(F.col(c) for c in _GEOM_PASSTHROUGH[kind])
+            else:
+                _no_pseudo(e)
+                cols.append(_to_col(e, 0).alias(_item_alias(it)))
+        if not has_way:
+            raise DefinitionError(
+                "template SQL: a derived table must select `way` so the "
+                "outer ST_AsMVTGeom has a geometry column to consume"
+            )
+        return frame.select(*cols), kind
     tables = sources.get("tables") or {}
     if name not in tables:
         raise DefinitionError(
@@ -662,11 +743,17 @@ class CompiledTemplate:
         for text, zs in by_text.items():
             if text not in self._parse_cache:
                 selects = _Parser(_tokenize(text)).union()
-                for s in selects:
+
+                def fold(s: Select) -> None:
                     if s.where is not None:
                         s.where = _fold_pow_literals(s.where)
                     for it in s.items:
                         it.expr = _fold_pow_literals(it.expr)
+                    if isinstance(s.table, Select):
+                        fold(s.table)
+
+                for s in selects:
+                    fold(s)
                 self._parse_cache[text] = selects
             groups.append((zs, self._parse_cache[text]))
         return groups
