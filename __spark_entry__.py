@@ -1039,6 +1039,36 @@ WHERE way && {{bbox}} AND nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
 
     q["template_compile_subquery"] = template_compile_subquery
 
+    def template_compile_join(spark, sf_dir):
+        """Round-4 compiler tier #3 (config/sqlt.py): INNER/LEFT JOIN with
+        table aliases and qualified refs — the geometry table joins a small
+        language dim (a name-colliding column included, reached via the
+        alias); DuckDB runs the identical join over a VALUES dim."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        dim = spark.createDataFrame(
+            [("en", "germanic", 1.0), ("de", "germanic", 2.0),
+             ("fr", "romance", 3.0), ("es", "romance", 4.0)],
+            "lang string, family string, source double",  # `source` collides
+        )
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       d.family AS fam, d.source AS weight, g.source AS src
+FROM docs_geo g
+LEFT JOIN langdim d ON g.lang = d.lang
+WHERE way && {{bbox}} AND coalesce(d.family, 'other') <> 'romance'
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"},
+                              "langdim": {"frame": dim, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
+        return feats.groupBy("zoom", "fam", "src").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("weight"), 3).alias("sum_w"),
+        )
+
+    q["template_compile_join"] = template_compile_join
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1775,6 +1805,23 @@ def oracle_sql() -> dict[str, str]:
         FROM sub
         WHERE nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
         GROUP BY 1, 2
+    """
+
+    o["template_compile_join"] = f"""
+        {_GEO_CTE},
+        dim(lang, family, w) AS (VALUES
+            ('en', 'germanic', 1.0), ('de', 'germanic', 2.0),
+            ('fr', 'romance', 3.0), ('es', 'romance', 4.0)
+        ),
+        j AS (
+            SELECT geo.source AS src, dim.family AS fam, dim.w AS weight
+            FROM geo LEFT JOIN dim ON geo.lang = dim.lang
+            WHERE coalesce(dim.family, 'other') <> 'romance'
+        )
+        SELECT 2 AS zoom, fam, src,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(weight), 3) AS sum_w
+        FROM j GROUP BY 1, 2, 3
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

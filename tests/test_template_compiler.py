@@ -151,7 +151,7 @@ def test_compiler_rejects_out_of_subset_sql(spark):
     dummy = spark.createDataFrame([(1.0, 2.0, 3)], "mx double, my double, x long")
     bad = [
         "SELECT way FROM t",                            # no ST_AsMVTGeom
-        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM a JOIN b ON a.x = b.x",
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM t GROUP BY way",  # no aggregation tier
         "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, f(x) FROM t",
     ]
     for body in bad:
@@ -413,3 +413,97 @@ WHERE way && {{bbox}}
             "FROM (SELECT way, name AS nm FROM t WHERE way_area > {{tile_area}}) d "
             "WHERE way && {{bbox}}"
         ).build({"tables": {"t": {"frame": tbl, "kind": "polygon"}}}, [2], 4096, 0)
+
+
+def test_join_registered_dim_table(spark):
+    """INNER/LEFT JOIN: the left table carries the geometry, the right is an
+    attribute dim; ambiguous columns rename behind the join alias and
+    resolve via qualified refs (`b.col`)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0, 10, "a"), (1, 2.0, 2.0, 20, "b"),
+         (2, 3.0, 3.0, 30, "c"), (3, 4.0, 4.0, 40, "d")],
+        "pid long, mx double, my double, cls long, name string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "water", 1.5), (20, "admin", 2.5), (30, "place", 3.5)],
+        "cls long, label string, name double",  # `name` collides with left
+    )
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       a.name AS nm, d.label AS lbl, d.name AS weight
+FROM t a
+JOIN dim d ON a.cls = d.cls
+WHERE way && {{bbox}} AND d.label <> 'place'
+"""
+    out = {
+        r.nm: (r.lbl, r.weight)
+        for r in CompiledTemplate(body)
+        .build(
+            {"tables": {"t": {"frame": pts, "kind": "point"},
+                        "dim": {"frame": dim, "kind": "point"}}},
+            [3], 4096, 0,
+        )
+        .collect()
+    }
+    # pid 2 filtered by label, pid 3 dropped by INNER join (no dim row)
+    assert out == {"a": ("water", 1.5), "b": ("admin", 2.5)}
+
+
+def test_left_join_and_join_inside_derived(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0, 10), (1, 2.0, 2.0, 99)],
+        "pid long, mx double, my double, cls long",
+    )
+    dim = spark.createDataFrame([(10, "water")], "cls long, label string")
+    srcs = {"tables": {"t": {"frame": pts, "kind": "point"},
+                       "dim": {"frame": dim, "kind": "point"}}}
+
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid,
+       coalesce(d.label, 'none') AS lbl
+FROM t a LEFT JOIN dim d ON a.cls = d.cls
+WHERE way && {{bbox}}
+"""
+    got = {
+        r.pid: r.lbl
+        for r in CompiledTemplate(body).build(srcs, [3], 4096, 0).collect()
+    }
+    assert got == {0: "water", 1: "none"}
+
+    # a JOIN inside a derived table; outer sees only the projected columns
+    body2 = """
+SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, tagged
+FROM (
+    SELECT way, concat(d.label, ':', a.pid) AS tagged
+    FROM t a JOIN dim d ON a.cls = d.cls
+) s
+WHERE way && {{bbox}}
+"""
+    got2 = [r.tagged for r in CompiledTemplate(body2).build(srcs, [3], 4096, 0).collect()]
+    assert got2 == ["water:0"]
+
+
+def test_join_alias_required_on_collision(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame([(0, 1.0, 1.0)], "pid long, mx double, my double")
+    srcs = {"tables": {"t": {"frame": pts, "kind": "point"}}}
+    body = (
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid "
+        "FROM t JOIN t ON pid = pid WHERE way && {{bbox}}"
+    )
+    with pytest.raises(DefinitionError, match="duplicate table alias"):
+        CompiledTemplate(body).build(srcs, [3], 4096, 0)
+
+    # a derived right side with colliding columns and NO alias is named too
+    body2 = (
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid "
+        "FROM t a JOIN (SELECT way, pid FROM t) ON pid = pid "
+        "WHERE way && {{bbox}}"
+    )
+    with pytest.raises(DefinitionError, match="needs an alias"):
+        CompiledTemplate(body2).build(srcs, [3], 4096, 0)

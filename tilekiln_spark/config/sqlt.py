@@ -91,7 +91,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"[^"]+")
   | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|!=|::|&&|[(),=<>+\-*/^])
+  | (?P<op><=|>=|<>|!=|::|&&|[(),=<>+\-*/^.])
 """,
     re.X,
 )
@@ -100,6 +100,7 @@ _KEYWORDS = {
     "select", "from", "where", "and", "or", "not", "in", "is",
     "null", "as", "union", "all", "true", "false",
     "case", "when", "then", "else", "end", "between", "like", "ilike",
+    "join", "on", "inner", "left", "outer",
 }
 
 
@@ -200,10 +201,25 @@ class Item:
 
 
 @dataclass
+class TableRef:
+    source: object  # str (registered table) | Select (derived table)
+    alias: str | None
+
+
+@dataclass
+class JoinClause:
+    right: TableRef
+    on: object
+    how: str  # "inner" | "left"
+
+
+@dataclass
 class Select:
     items: list[Item]
     table: object  # str (registered table) | Select (derived table)
     where: object | None
+    alias: str | None = None           # FROM-clause alias of the base table
+    joins: list = field(default_factory=list)  # [JoinClause, ...]
 
 
 class _Parser:
@@ -243,28 +259,52 @@ class _Parser:
         self.expect("eof")
         return outs
 
+    def _table_source(self):
+        """A FROM/JOIN operand: registered table name or (SELECT ...)
+        derived table (the inner select must pass `way` through for the
+        outer ST_AsMVTGeom)."""
+        if self.accept("op", "("):
+            t = self.select()
+            self.expect("op", ")")
+            return t
+        return self.expect("id")
+
+    def _table_alias(self) -> str | None:
+        if self.accept("kw", "as"):
+            return self.expect("id")
+        if self.peek()[0] == "id":
+            return self.next()[1]
+        return None
+
     def select(self) -> Select:
         self.expect("kw", "select")
         items = [self.item()]
         while self.accept("op", ","):
             items.append(self.item())
         self.expect("kw", "from")
-        if self.accept("op", "("):
-            # derived table: FROM (SELECT ...) [AS] alias — the inner select
-            # runs over a registered table (or a deeper derived table) and
-            # must pass `way` through for the outer ST_AsMVTGeom
-            table: str | Select = self.select()
-            self.expect("op", ")")
-            if self.accept("kw", "as"):
-                self.expect("id")
-            elif self.peek()[0] == "id":
-                self.next()
-        else:
-            table = self.expect("id")
+        table = self._table_source()
+        alias = self._table_alias()
+        joins = []
+        while True:
+            if self.accept("kw", "left"):
+                self.accept("kw", "outer")
+                self.expect("kw", "join")
+                how = "left"
+            elif self.accept("kw", "inner"):
+                self.expect("kw", "join")
+                how = "inner"
+            elif self.accept("kw", "join"):
+                how = "inner"
+            else:
+                break
+            rsrc = self._table_source()
+            ralias = self._table_alias()
+            self.expect("kw", "on")
+            joins.append(JoinClause(TableRef(rsrc, ralias), self.or_expr(), how))
         where = None
         if self.accept("kw", "where"):
             where = self.or_expr()
-        return Select(items, table, where)
+        return Select(items, table, where, alias, joins)
 
     def item(self) -> Item:
         e = self.or_expr()
@@ -401,6 +441,10 @@ class _Parser:
                         args.append(self.or_expr())
                     self.expect("op", ")")
                 return Func(v, args)
+            if self.accept("op", "."):
+                # qualified column ref `alias.col` — resolved against the
+                # FROM/JOIN alias map at build time (_resolve_from)
+                v = f"{v}.{self.expect('id')}"
             cast = None
             if self.accept("op", "::"):
                 cast = self.expect("id").lower()
@@ -445,6 +489,12 @@ def _to_col(ast, extent: int) -> Column:
             c = tile_length_col(F.col("zoom")) / extent
         elif n == "__BBOX__":
             raise DefinitionError("template SQL: {{bbox}} only valid in `way && {{bbox}}`")
+        elif "." in n:
+            # every legal qualified ref was resolved by _resolve_from
+            raise DefinitionError(
+                f"template SQL: unresolved qualified column {n!r} — the "
+                f"alias is not defined in this SELECT's FROM/JOIN clause"
+            )
         else:
             c = F.col(n)
         return c.cast(_CASTS[ast.cast]) if ast.cast else c
@@ -670,12 +720,12 @@ def _resolve_table(sources: dict, name):
         # kind's geometry columns through.  extent never appears inside a
         # derived table (no ST_AsMVTGeom there), so _to_col gets a dummy.
         inner = name
-        frame, kind = _resolve_table(sources, inner.table)
-        if inner.where is not None:
-            _no_pseudo(inner.where)
-            frame = frame.filter(_to_col(inner.where, 0))
+        frame, kind, iwhere, iitems = _resolve_from(sources, inner)
+        if iwhere is not None:
+            _no_pseudo(iwhere)
+            frame = frame.filter(_to_col(iwhere, 0))
         cols, has_way = [], False
-        for it in inner.items:
+        for it in iitems:
             e = it.expr
             if isinstance(e, Ident) and e.name == "way" and not e.cast:
                 has_way = True
@@ -700,6 +750,122 @@ def _resolve_table(sources: dict, name):
     if callable(frame):
         frame = frame(sources)
     return frame, spec.get("kind", "point")
+
+
+def _rewrite_idents(ast, fn):
+    """Copy-rewrite every identifier leaf through fn(Ident) -> Ident.
+    Copies (never mutates) because parsed ASTs are cached per template text
+    and the rewrite is specific to one build's alias map."""
+    if isinstance(ast, Ident):
+        return fn(ast)
+    if isinstance(ast, Bin):
+        return Bin(ast.op, _rewrite_idents(ast.left, fn), _rewrite_idents(ast.right, fn))
+    if isinstance(ast, Un):
+        return Un(ast.op, _rewrite_idents(ast.arg, fn))
+    if isinstance(ast, InList):
+        return InList(
+            _rewrite_idents(ast.expr, fn),
+            [_rewrite_idents(v, fn) for v in ast.values],
+            ast.negated,
+        )
+    if isinstance(ast, IsNull):
+        return IsNull(_rewrite_idents(ast.expr, fn), ast.negated)
+    if isinstance(ast, Between):
+        return Between(
+            _rewrite_idents(ast.expr, fn), _rewrite_idents(ast.lo, fn),
+            _rewrite_idents(ast.hi, fn), ast.negated,
+        )
+    if isinstance(ast, Like):
+        return Like(
+            _rewrite_idents(ast.expr, fn), _rewrite_idents(ast.pattern, fn),
+            ast.negated, ast.ci,
+        )
+    if isinstance(ast, Case):
+        return Case(
+            [(_rewrite_idents(c, fn), _rewrite_idents(r, fn)) for c, r in ast.whens],
+            None if ast.default is None else _rewrite_idents(ast.default, fn),
+        )
+    if isinstance(ast, Func):
+        return Func(ast.name, [_rewrite_idents(a, fn) for a in ast.args])
+    return ast  # Lit
+
+
+def _make_qual_resolver(aliases: dict[str, dict[str, str]]):
+    """aliases: FROM/JOIN alias -> {template column -> actual frame column}.
+    Unqualified identifiers pass through untouched (they bind left-first —
+    ambiguous right-side columns were renamed away at join time)."""
+    def fn(idf: Ident) -> Ident:
+        if "." not in idf.name or idf.name in _PSEUDO_IDENTS:
+            return idf
+        al, col = idf.name.split(".", 1)
+        amap = aliases.get(al)
+        if amap is None:
+            raise DefinitionError(
+                f"template SQL: unknown table alias {al!r} (known: {sorted(aliases)})"
+            )
+        actual = amap.get(col)
+        if actual is None:
+            raise DefinitionError(
+                f"template SQL: column {col!r} not found in table alias {al!r}"
+            )
+        return Ident(actual, idf.cast)
+    return fn
+
+
+def _resolve_from(sources: dict, s: Select):
+    """Resolve the full FROM clause (base table + JOIN chain) and rewrite
+    qualified references.  Returns (frame, kind, where_ast, items).
+
+    Join semantics: the LEFT-most table provides the geometry; right-side
+    columns that collide with an already-known name are renamed to
+    `<alias>__<col>` (so the join never shadows the geometry machinery) and
+    reachable via `alias.col`.  The physical join strategy is left to
+    Catalyst/AQE — a small dim table broadcasts, a big one shuffles on the
+    key, exactly as if the user had written df.join()."""
+    frame, kind = _resolve_table(sources, s.table)
+    base_alias = s.alias or (s.table if isinstance(s.table, str) else None)
+    if not s.joins and not base_alias:
+        return frame, kind, s.where, s.items
+    aliases: dict[str, dict[str, str]] = {}
+    if base_alias:
+        amap = {c: c for c in frame.columns}
+        amap["way"] = "way"  # virtual geometry column
+        aliases[base_alias] = amap
+    known = set(frame.columns)
+    for jc in s.joins:
+        rframe, _rkind = _resolve_table(sources, jc.right.source)
+        ralias = jc.right.alias or (
+            jc.right.source if isinstance(jc.right.source, str) else None
+        )
+        if ralias and ralias in aliases:
+            raise DefinitionError(
+                f"template SQL: duplicate table alias {ralias!r} — alias "
+                f"each joined occurrence distinctly (e.g. FROM t a JOIN t b)"
+            )
+        amb = known & set(rframe.columns)
+        if amb and not ralias:
+            raise DefinitionError(
+                f"template SQL: joined table needs an alias — columns "
+                f"{sorted(amb)} also exist on the left side"
+            )
+        rmap = {}
+        for c in rframe.columns:
+            if c in amb:
+                nc = f"{ralias}__{c}"
+                rframe = rframe.withColumnRenamed(c, nc)
+                rmap[c] = nc
+            else:
+                rmap[c] = c
+        if ralias:
+            aliases[ralias] = rmap
+        _no_pseudo(jc.on)
+        cond = _to_col(_rewrite_idents(jc.on, _make_qual_resolver(aliases)), 0)
+        frame = frame.join(rframe, cond, jc.how)
+        known |= set(rmap.values())
+    fn = _make_qual_resolver(aliases)
+    where = None if s.where is None else _rewrite_idents(s.where, fn)
+    items = [Item(_rewrite_idents(it.expr, fn), it.alias) for it in s.items]
+    return frame, kind, where, items
 
 
 def _item_alias(it: Item) -> str:
@@ -751,6 +917,10 @@ class CompiledTemplate:
                         it.expr = _fold_pow_literals(it.expr)
                     if isinstance(s.table, Select):
                         fold(s.table)
+                    for jc in s.joins:
+                        jc.on = _fold_pow_literals(jc.on)
+                        if isinstance(jc.right.source, Select):
+                            fold(jc.right.source)
 
                 for s in selects:
                     fold(s)
@@ -791,11 +961,11 @@ class CompiledTemplate:
         out: DataFrame | None = None
         for zs, selects in self._zoom_groups(zooms, extent, buffer):
             for s in selects:
-                mode, items = _geom_item(s.items)
-                frame, kind = _resolve_table(sources, s.table)
+                frame, kind, where, items_all = _resolve_from(sources, s)
+                mode, items = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)
-                if s.where is not None:
-                    df = df.filter(_to_col(s.where, extent))
+                if where is not None:
+                    df = df.filter(_to_col(where, extent))
                 if mode == "label":
                     props_cols = {
                         _item_alias(it): _to_col(it.expr, extent) for it in items
