@@ -1810,8 +1810,10 @@ def oracle_sql() -> dict[str, str]:
     o["template_compile_join"] = f"""
         {_GEO_CTE},
         dim(lang, family, w) AS (VALUES
-            ('en', 'germanic', 1.0), ('de', 'germanic', 2.0),
-            ('fr', 'romance', 3.0), ('es', 'romance', 4.0)
+            ('en', 'germanic', CAST(1.0 AS DOUBLE)),
+            ('de', 'germanic', CAST(2.0 AS DOUBLE)),
+            ('fr', 'romance', CAST(3.0 AS DOUBLE)),
+            ('es', 'romance', CAST(4.0 AS DOUBLE))
         ),
         j AS (
             SELECT geo.source AS src, dim.family AS fam, dim.w AS weight
