@@ -1060,7 +1060,8 @@ LEFT JOIN langdim d ON g.lang = d.lang
 WHERE way && {{bbox}} AND coalesce(d.family, 'other') <> 'romance'
 """
         sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"},
-                              "langdim": {"frame": dim, "kind": "point"}}}
+                              "langdim": {"frame": dim, "kind": "point",
+                                          "broadcast": True}}}
         feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
         return feats.groupBy("zoom", "fam", "src").agg(
             F.count("*").alias("n_docs"),

@@ -749,6 +749,13 @@ def _resolve_table(sources: dict, name):
     frame = spec["frame"]
     if callable(frame):
         frame = frame(sources)
+    if spec.get("broadcast"):
+        # explicit dim-table hint for frames with no size statistics
+        # (createDataFrame local relations); parquet-backed tables under
+        # autoBroadcastJoinThreshold broadcast on their own stats, and AQE
+        # converts at runtime either way — the hint makes the STATIC plan
+        # right too (no shuffle of the big side on the join key)
+        frame = F.broadcast(frame)
     return frame, spec.get("kind", "point")
 
 
