@@ -1070,6 +1070,45 @@ WHERE way && {{bbox}} AND coalesce(d.family, 'other') <> 'romance'
 
     q["template_compile_join"] = template_compile_join
 
+    def template_compile_hstore(spark, sf_dir):
+        """Round-4 compiler tier #4 (config/sqlt.py): hstore-style operators
+        over a map<string,string> column (osm2pgsql's `tags` shape) —
+        `tags->'key'` (NULL when absent), `tags ? 'key'`, and the
+        `(expr)::integer` postfix cast.  The tags map is derived
+        deterministically from documents columns, so the DuckDB twin
+        re-derives the same values from the base columns with CASE."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        base = F.create_map(F.lit("lang"), F.col("lang"))
+        with_pop = F.map_concat(
+            base, F.create_map(F.lit("pop"), F.col("n_chars").cast("string"))
+        )
+        d = d.withColumn(
+            "tags",
+            F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("map<string,string>"))
+            .when(F.col("doc_id") % 3 != 0, with_pop)
+            .otherwise(base),
+        )
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       tags->'lang' AS tl,
+       (tags->'pop')::integer AS pop,
+       tags ? 'pop' AS has_pop
+FROM docs_geo
+WHERE way && {{bbox}} AND tags ? 'lang'
+  AND (coalesce((tags->'pop')::integer, 0) BETWEEN 50 AND 100000
+       OR NOT (tags ? 'pop'))
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.groupBy("zoom", "tl", "has_pop").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pop").cast("long").alias("sum_pop"),
+        )
+
+    q["template_compile_hstore"] = template_compile_hstore
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1825,6 +1864,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(weight), 3) AS sum_w
         FROM j GROUP BY 1, 2, 3
+    """
+
+    o["template_compile_hstore"] = f"""
+        {_GEO_CTE},
+        rows_ AS (
+            SELECT 3 AS zoom, geo.lang AS tl,
+                   CASE WHEN geo.doc_id % 3 <> 0 THEN geo.n_chars END AS pop,
+                   (geo.doc_id % 3 <> 0) AS has_pop
+            FROM geo
+            WHERE geo.doc_id % 13 <> 0
+              AND (coalesce(CASE WHEN geo.doc_id % 3 <> 0 THEN geo.n_chars END, 0)
+                     BETWEEN 50 AND 100000
+                   OR NOT (geo.doc_id % 3 <> 0))
+        )
+        SELECT zoom, tl, has_pop, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pop) AS BIGINT) AS sum_pop
+        FROM rows_ GROUP BY 1, 2, 3
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

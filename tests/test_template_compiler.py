@@ -507,3 +507,67 @@ def test_join_alias_required_on_collision(spark):
     )
     with pytest.raises(DefinitionError, match="needs an alias"):
         CompiledTemplate(body2).build(srcs, [3], 4096, 0)
+
+
+def test_hstore_map_access_exists_and_cast(spark):
+    """Round-4 compiler tier: hstore-style operators over a
+    map<string,string> column (the osm2pgsql `tags` shape) — `tags->'key'`
+    is NULL for a missing key or NULL map (try_element_at, even under ANSI),
+    `tags ? 'key'` is key-exists, and `(tags->'k')::integer` postfix-casts
+    a non-identifier expression."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = []
+    for i in range(12):
+        tags = {"name": f"n{i}"}
+        if i % 3 != 0:
+            tags["population"] = str(i * 1000)
+        if i % 4 == 0:
+            tags["wikidata"] = f"Q{i}"
+        rows.append((i, float(i), float(i), None if i == 11 else tags))
+    tbl = spark.createDataFrame(
+        rows, "pid long, mx double, my double, tags map<string,string>"
+    )
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, pid,
+       tags->'name' AS name,
+       (tags->'population')::integer AS pop,
+       tags ? 'wikidata' AS has_wd
+FROM t
+WHERE way && {{bbox}} AND tags ? 'population'
+  AND (tags->'population')::integer > 3000
+"""
+    out = (
+        CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .select("pid", "name", "pop", "has_wd")
+        .collect()
+    )
+    got = {r.pid: (r.name, r.pop, r.has_wd) for r in out}
+    # pop key exists (i%3!=0), map non-null (i!=11), value > 3000
+    assert got == {
+        4: ("n4", 4000, True),
+        5: ("n5", 5000, False),
+        7: ("n7", 7000, False),
+        8: ("n8", 8000, True),
+        10: ("n10", 10000, False),
+    }
+
+    # missing key -> NULL through ->, not an ANSI error; NULL map rows too
+    all_rows = (
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, pid, "
+            "tags->'population' AS p FROM t WHERE way && {{bbox}}"
+        )
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    )
+    nulls = {r.pid for r in all_rows if r.p is None}
+    assert nulls == {0, 3, 6, 9, 11}
+
+    # unsupported cast type is a DefinitionError, not a Spark crash
+    with pytest.raises(DefinitionError, match="unsupported cast"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
+            "(tags->'x')::hstore AS h FROM t WHERE way && {{bbox}}"
+        ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)

@@ -31,6 +31,11 @@ Pipeline per definition band:
      coordinate_area_col over the zoom column
    - scalar expressions / IN-lists / IS NULL / OR-of-INs / ``::type`` casts
      -> Column expressions (all codegen; no UDF anywhere in this path)
+   - hstore-style operators over map<string,string> columns (osm2pgsql's
+     ``tags`` column): ``tags -> 'key'`` -> try_element_at (NULL when the
+     key is absent, as hstore), ``tags ? 'key'`` -> map_contains_key, and
+     ``(expr)::type`` postfix casts so ``(tags->'population')::integer``
+     compiles
 
 Tables resolve through ``sources["tables"]``: a dict mapping SQL table
 names to ``{"frame": DataFrame | (sources -> DataFrame), "kind":
@@ -91,7 +96,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"[^"]+")
   | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|!=|::|&&|[(),=<>+\-*/^.])
+  | (?P<op><=|>=|<>|!=|::|&&|->|[(),=<>+\-*/^.?])
 """,
     re.X,
 )
@@ -138,6 +143,14 @@ class Lit:
 class Ident:
     name: str
     cast: str | None = None
+
+
+@dataclass
+class Cast:
+    """Postfix ``(expr)::type`` on a non-identifier expression (identifier
+    casts ride Ident.cast); hstore reads need it: ``(tags->'pop')::integer``."""
+    expr: object
+    type: str
 
 
 @dataclass
@@ -335,7 +348,7 @@ class _Parser:
     def cmp(self):
         e = self.additive()
         k, v = self.peek()
-        if k == "op" and v in ("=", "<", ">", "<=", ">=", "<>", "!=", "&&"):
+        if k == "op" and v in ("=", "<", ">", "<=", ">=", "<>", "!=", "&&", "?"):
             self.next()
             return Bin(v, e, self.additive())
         if k == "kw" and v == "is":
@@ -403,7 +416,26 @@ class _Parser:
     def unary(self):
         if self.accept("op", "-"):
             return Un("-", self.unary())
-        return self.primary()
+        return self.postfix(self.primary())
+
+    def postfix(self, e):
+        """Postfix chain on a primary: hstore-style map access (`tags ->
+        'key'`, NULL when the key is absent or the map is NULL — Postgres
+        hstore semantics) and `(expr)::type` casts."""
+        while True:
+            if self.accept("op", "->"):
+                e = Bin("->", e, self.primary())
+            elif self.accept("op", "::"):
+                e = Cast(e, self._cast_type())
+            else:
+                return e
+
+    def _cast_type(self) -> str:
+        cast = self.expect("id").lower()
+        # 'double precision' two-word type
+        if cast == "double" and self.peek() == ("id", "precision"):
+            self.next()
+        return cast
 
     def primary(self):
         k, v = self.next()
@@ -447,10 +479,7 @@ class _Parser:
                 v = f"{v}.{self.expect('id')}"
             cast = None
             if self.accept("op", "::"):
-                cast = self.expect("id").lower()
-                # 'double precision' two-word type
-                if cast == "double" and self.peek() == ("id", "precision"):
-                    self.next()
+                cast = self._cast_type()
             return Ident(v, cast)
         raise DefinitionError(f"template SQL: unexpected token {v!r}")
 
@@ -498,6 +527,10 @@ def _to_col(ast, extent: int) -> Column:
         else:
             c = F.col(n)
         return c.cast(_CASTS[ast.cast]) if ast.cast else c
+    if isinstance(ast, Cast):
+        if ast.type not in _CASTS:
+            raise DefinitionError(f"template SQL: unsupported cast ::{ast.type}")
+        return _to_col(ast.expr, extent).cast(_CASTS[ast.type])
     if isinstance(ast, Un):
         if ast.op == "not":
             return ~_to_col(ast.arg, extent)
@@ -540,6 +573,15 @@ def _to_col(ast, extent: int) -> Column:
                 return F.lit(True)
             raise DefinitionError("template SQL: && only supported as `way && {{bbox}}`")
         l, r = _to_col(ast.left, extent), _to_col(ast.right, extent)
+        if ast.op == "->":
+            # hstore value access over a map<string,string> column:
+            # NULL when the key is absent or the map is NULL (try_element_at
+            # keeps those semantics under ANSI mode, where plain element_at /
+            # map[key] would raise on a missing key)
+            return F.try_element_at(l, r)
+        if ast.op == "?":
+            # hstore key-exists; NULL map -> NULL, like Postgres `? `
+            return F.map_contains_key(l, r)
         return {
             "and": lambda: l & r,
             "or": lambda: l | r,
@@ -621,6 +663,8 @@ def _fold_pow_literals(ast):
         ast.values = [_fold_pow_literals(v) for v in ast.values]
     elif isinstance(ast, IsNull):
         ast.expr = _fold_pow_literals(ast.expr)
+    elif isinstance(ast, Cast):
+        ast.expr = _fold_pow_literals(ast.expr)
     elif isinstance(ast, Between):
         ast.expr = _fold_pow_literals(ast.expr)
         ast.lo = _fold_pow_literals(ast.lo)
@@ -699,7 +743,7 @@ def _no_pseudo(ast) -> None:
         _no_pseudo(ast.expr)
         for v in ast.values:
             _no_pseudo(v)
-    elif isinstance(ast, (IsNull, Like)):
+    elif isinstance(ast, (IsNull, Like, Cast)):
         _no_pseudo(ast.expr)
     elif isinstance(ast, Between):
         _no_pseudo(ast.expr); _no_pseudo(ast.lo); _no_pseudo(ast.hi)
@@ -777,6 +821,8 @@ def _rewrite_idents(ast, fn):
         )
     if isinstance(ast, IsNull):
         return IsNull(_rewrite_idents(ast.expr, fn), ast.negated)
+    if isinstance(ast, Cast):
+        return Cast(_rewrite_idents(ast.expr, fn), ast.type)
     if isinstance(ast, Between):
         return Between(
             _rewrite_idents(ast.expr, fn), _rewrite_idents(ast.lo, fn),
