@@ -1109,6 +1109,49 @@ WHERE way && {{bbox}} AND tags ? 'lang'
 
     q["template_compile_hstore"] = template_compile_hstore
 
+    def template_compile_topn(spark, sf_dir):
+        """Round-4 compiler tier #5 (config/sqlt.py + operators/tiling.py):
+        trailing ORDER BY ... LIMIT n.  The reference runs the template SQL
+        once per tile (reference definition.py:42-77), so LIMIT caps EACH
+        tile; the engine compiles it to a per-(zoom,x,y) row_number window
+        (literal limit -> Catalyst WindowGroupLimit partial top-n before the
+        shuffle).  ORDER BY ends on the unique doc_id so the top-n set is
+        tie-free and the DuckDB twin (same window in plain SQL) is exact."""
+        from tilekiln_spark.operators.tiling import _layer_band_features
+
+        d = _mx_my(_docs(spark, sf_dir))
+        cfg = Config(
+            """
+metadata: {id: topn}
+vector_layers:
+  docs:
+    fields: {n_chars: Document length}
+    sql:
+    - {minzoom: 6, maxzoom: 6, extent: 4096, buffer: 0, file: topn.t}
+""",
+            {
+                "topn.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, doc_id, n_chars
+FROM docs_geo
+WHERE way && {{bbox}} AND lang IN ('en', 'fr')
+ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+"""
+            },
+        )
+        feats = _layer_band_features(
+            cfg, "docs", [6],
+            {"tables": {"docs_geo": {"frame": d, "kind": "point"}},
+             "materialize": False},
+            None,
+        )
+        return feats.select(
+            "zoom", "x", "y",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    q["template_compile_topn"] = template_compile_topn
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1881,6 +1924,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, tl, has_pop, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(pop) AS BIGINT) AS sum_pop
         FROM rows_ GROUP BY 1, 2, 3
+    """
+
+    # per-tile top-n twin: the engine compiles the template's trailing
+    # ORDER BY n_chars DESC, doc_id LIMIT 5 to a per-(zoom,x,y) row_number
+    # window (the reference runs the SQL once per tile, so LIMIT caps each
+    # tile); the twin is the same window in plain SQL.  doc_id is unique,
+    # so the top-5 set is tie-free and exact.
+    o["template_compile_topn"] = f"""
+        {_GEO_CTE},
+        f AS (
+            SELECT 6 AS zoom, {tx6} AS x, {ty6} AS y, geo.doc_id, geo.n_chars
+            FROM geo WHERE geo.lang IN ('en', 'fr')
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY zoom, x, y
+                ORDER BY n_chars DESC, doc_id ASC
+            ) AS rn FROM f
+        )
+        SELECT zoom, x, y, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 5
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

@@ -571,3 +571,150 @@ WHERE way && {{bbox}} AND tags ? 'population'
             "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
             "(tags->'x')::hstore AS h FROM t WHERE way && {{bbox}}"
         ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+
+
+def test_string_function_whitelist(spark):
+    """Round-4 compiler tier: Postgres string functions common in OSM layer
+    SQL — substr (2- and 3-arg), trim/ltrim/rtrim, replace, split_part
+    (1-based), left/right, starts_with."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(0, 1.0, 1.0, "  Main Street  ", "A;B;C"),
+         (1, 2.0, 2.0, "Elm Road", "X;Y")],
+        "pid long, mx double, my double, name string, refs string",
+    )
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, pid,
+       substr(trim(name), 1, 4) AS head,
+       substr(name, 3) AS tail3,
+       replace(trim(name), ' ', '_') AS snake,
+       split_part(refs, ';', 2) AS ref2,
+       left(refs, 1) AS l1, right(refs, 1) AS r1,
+       starts_with(refs, 'A') AS is_a
+FROM t
+WHERE way && {{bbox}}
+"""
+    out = {
+        r.pid: (r.head, r.tail3, r.snake, r.ref2, r.l1, r.r1, r.is_a)
+        for r in CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    }
+    assert out == {
+        0: ("Main", "Main Street  ", "Main_Street", "B", "A", "C", True),
+        1: ("Elm ", "m Road", "Elm_Road", "Y", "X", "Y", False),
+    }
+
+
+def test_order_by_limit_per_tile(spark):
+    """Trailing ORDER BY <key> [DESC] LIMIT n compiles to a per-(zoom,x,y)
+    top-n window (the reference runs the SQL once per tile, so LIMIT caps
+    EACH tile's features — reference definition.py:42-77).  Two tiles at z1,
+    unequal pool sizes, DESC key: each tile keeps its own top-2 by score."""
+    from tilekiln_spark.operators.mvt import decode_tile
+
+    HW = 20037508.342789244
+    q = HW / 2  # tile centers at z1
+    rows = [
+        # four points in z1 tile (0,0): scores 1..4 -> keep {4.0, 3.0}
+        (0, -q, q, 1.0), (1, -q + 9, q, 2.0), (2, -q, q - 9, 3.0), (3, -q + 9, q - 9, 4.0),
+        # two points in z1 tile (1,1): scores 5, 6 -> keep both (pool < n)
+        (4, q, -q, 5.0), (5, q + 9, -q, 6.0),
+    ]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double, score double")
+    cfg = Config(
+        """
+metadata: {id: topn}
+vector_layers:
+  pts:
+    fields: {score: Rank score}
+    sql:
+    - {minzoom: 1, maxzoom: 1, extent: 4096, file: topn.t}
+""",
+        {
+            "topn.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, score
+FROM t WHERE way && {{bbox}}
+ORDER BY score DESC LIMIT 2
+"""
+        },
+    )
+    tiles = render_zooms(
+        cfg, [1], {"tables": {"t": {"frame": tbl, "kind": "point"}}, "materialize": False}
+    )
+    got = {}
+    for r in tiles.collect():
+        if r["pts_data"] is None:
+            continue
+        (layer,) = decode_tile(bytes(r["pts_data"]))
+        scores = sorted(
+            layer["values"][f["tags"][2 * i + 1]]
+            for f in layer["features"]
+            for i in range(len(f["tags"]) // 2)
+            if layer["keys"][f["tags"][2 * i]] == "score"
+        )
+        got[(r["x"], r["y"])] = (r["pts_nfeat"], tuple(scores))
+    assert got == {(0, 0): (2, (3.0, 4.0)), (1, 1): (2, (5.0, 6.0))}
+
+
+def test_order_by_zoom_conditional_limits(spark):
+    """Zoom conditionals may vary the LIMIT value (same ORDER BY key): each
+    zoom applies its own per-tile cap; a zoom with no LIMIT branch is
+    uncapped."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.operators.tiling import _layer_band_features
+
+    HW = 20037508.342789244
+    q = HW / 2
+    tbl = spark.createDataFrame(
+        [(i, -q, q, float(i)) for i in range(6)],
+        "pid long, mx double, my double, score double",
+    )
+    cfg = Config(
+        """
+metadata: {id: topnz}
+vector_layers:
+  pts:
+    fields: {score: Rank score}
+    sql:
+    - {minzoom: 1, maxzoom: 3, extent: 4096, file: topnz.t}
+""",
+        {
+            "topnz.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, score
+FROM t WHERE way && {{bbox}}
+{% if zoom == 1 %}ORDER BY score ASC LIMIT 1{% elif zoom == 2 %}ORDER BY score ASC LIMIT 4{% endif %}
+"""
+        },
+    )
+    feats = _layer_band_features(
+        cfg, "pts", [1, 2, 3],
+        {"tables": {"t": {"frame": tbl, "kind": "point"}}, "materialize": False},
+        None,
+    )
+    by_zoom = {}
+    for r in feats.collect():
+        by_zoom.setdefault(r["zoom"], []).append(r["score"])
+    assert sorted(by_zoom[1]) == [0.0]
+    assert sorted(by_zoom[2]) == [0.0, 1.0, 2.0, 3.0]
+    assert len(by_zoom[3]) == 6  # no LIMIT branch at z3 -> uncapped
+
+    # conflicting ORDER BY keys across zoom groups is a definition error
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, score FROM t "
+            "WHERE way && {{bbox}} "
+            "{% if zoom == 1 %}ORDER BY score LIMIT 1"
+            "{% else %}ORDER BY pid LIMIT 1{% endif %}"
+        ).order_limit_for([1, 2], 4096, 0)
+
+
+def test_order_by_unknown_column_rejected(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, score FROM t "
+            "WHERE way && {{bbox}} ORDER BY nope LIMIT 2"
+        ).order_limit_for([1], 4096, 0)

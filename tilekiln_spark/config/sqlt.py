@@ -106,6 +106,7 @@ _KEYWORDS = {
     "null", "as", "union", "all", "true", "false",
     "case", "when", "then", "else", "end", "between", "like", "ilike",
     "join", "on", "inner", "left", "outer",
+    "order", "by", "asc", "desc", "limit",
 }
 
 
@@ -235,6 +236,20 @@ class Select:
     joins: list = field(default_factory=list)  # [JoinClause, ...]
 
 
+@dataclass
+class Query:
+    """A full template query: UNION ALL branches plus the trailing
+    ORDER BY / LIMIT.  The reference runs the SQL once PER TILE, so LIMIT n
+    means "top n features per tile by the ORDER BY key" — the engine applies
+    it as a per-(zoom,x,y) window after tile assignment.  Bare ORDER BY
+    (no LIMIT) is accepted and DROPPED: blob feature order in this engine is
+    value-deterministic (documented draw-order deviation, like the
+    ST_PointOnSurface deviation)."""
+    selects: list[Select]
+    order: list = field(default_factory=list)  # [(output column name, desc)]
+    limit: int | None = None
+
+
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
@@ -264,13 +279,38 @@ class _Parser:
         return v
 
     # ---- grammar ----
-    def union(self) -> list[Select]:
+    def union(self) -> Query:
         outs = [self.select()]
         while self.accept("kw", "union"):
             self.expect("kw", "all")
             outs.append(self.select())
+        order: list = []
+        limit = None
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.additive()
+                if not isinstance(e, Ident) or e.cast or "." in e.name:
+                    raise DefinitionError(
+                        "template SQL: ORDER BY must reference selected "
+                        "output columns by name (select the expression with "
+                        "an alias, then order by the alias)"
+                    )
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                else:
+                    self.accept("kw", "asc")
+                order.append((e.name, desc))
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "limit"):
+            k, v = self.next()
+            if k != "num" or "." in v:
+                raise DefinitionError("template SQL: LIMIT must be an integer literal")
+            limit = int(v)
         self.expect("eof")
-        return outs
+        return Query(outs, order, limit)
 
     def _table_source(self):
         """A FROM/JOIN operand: registered table name or (SELECT ...)
@@ -463,6 +503,10 @@ class _Parser:
             e = self.or_expr()
             self.expect("op", ")")
             return e
+        if k == "kw" and v == "left" and self.peek() == ("op", "("):
+            # `left(s, n)` the string function — LEFT is otherwise the
+            # join keyword, so it only reads as a function before `(`
+            k = "id"
         if k == "id":
             if self.peek() == ("op", "("):
                 self.next()
@@ -630,6 +674,28 @@ def _to_col(ast, extent: int) -> Column:
             return F.greatest(*args)
         if fn == "least":
             return F.least(*args)
+        if fn in ("substr", "substring"):
+            # Postgres substr(s, pos[, len]); 2-arg form = rest of string
+            if len(args) == 2:
+                return F.substring(args[0], args[1], F.lit(2147483647))
+            return F.substring(*args)
+        if fn == "trim":
+            return F.trim(*args)
+        if fn == "ltrim":
+            return F.ltrim(*args)
+        if fn == "rtrim":
+            return F.rtrim(*args)
+        if fn == "replace":
+            return F.replace(*args)
+        if fn == "split_part":
+            # 1-based field index, like Postgres
+            return F.split_part(*args)
+        if fn == "left":
+            return F.left(*args)
+        if fn == "right":
+            return F.right(*args)
+        if fn == "starts_with":
+            return args[0].startswith(args[1])
         raise DefinitionError(
             f"template SQL: unsupported function {ast.name} "
             "(geometry functions only valid in the ST_AsMVTGeom item)"
@@ -938,7 +1004,7 @@ class CompiledTemplate:
 
     def __init__(self, body: str):
         self.body = body
-        self._parse_cache: dict[str, list[Select]] = {}
+        self._parse_cache: dict[str, Query] = {}
 
     def _zoom_groups(
         self, zooms: list[int], extent: int, buffer: int
@@ -961,7 +1027,7 @@ class CompiledTemplate:
         groups = []
         for text, zs in by_text.items():
             if text not in self._parse_cache:
-                selects = _Parser(_tokenize(text)).union()
+                query = _Parser(_tokenize(text)).union()
 
                 def fold(s: Select) -> None:
                     if s.where is not None:
@@ -975,11 +1041,56 @@ class CompiledTemplate:
                         if isinstance(jc.right.source, Select):
                             fold(jc.right.source)
 
-                for s in selects:
+                for s in query.selects:
                     fold(s)
-                self._parse_cache[text] = selects
+                if query.order:
+                    # ORDER BY may only name output columns of the SELECT
+                    # (every branch carries the same names — unionByName)
+                    names = {
+                        _item_alias(it)
+                        for it in query.selects[0].items
+                        if not (
+                            isinstance(it.expr, Func)
+                            and it.expr.name.lower() == "st_asmvtgeom"
+                        )
+                    }
+                    for n, _desc in query.order:
+                        if n not in names:
+                            raise DefinitionError(
+                                f"template SQL: ORDER BY column {n!r} is not "
+                                f"a selected output column (have: {sorted(names)})"
+                            )
+                self._parse_cache[text] = query
             groups.append((zs, self._parse_cache[text]))
         return groups
+
+    def order_limit_for(
+        self, zooms: list[int], extent: int, buffer: int
+    ) -> tuple[list, dict] | None:
+        """Per-tile top-n spec from the template's trailing ORDER BY/LIMIT:
+        (order keys [(name, desc)], {zoom: limit}).  Returns None when no
+        zoom group carries a LIMIT.  The reference runs the SQL once per
+        tile, so LIMIT is a per-(zoom,x,y) cap — the engine applies it as a
+        skew-safe window after tile assignment (operators/tiling.py).
+        Bare ORDER BY without LIMIT has no selection effect and blob order
+        stays value-deterministic (documented draw-order deviation)."""
+        order: list | None = None
+        limits: dict = {}
+        for zs, query in self._zoom_groups(zooms, extent, buffer):
+            if query.limit is None:
+                continue
+            if order is not None and query.order != order:
+                raise DefinitionError(
+                    "template SQL: ORDER BY keys must be identical across "
+                    "zoom conditionals when LIMIT is used (the limit value "
+                    "itself may vary by zoom)"
+                )
+            order = query.order
+            for z in zs:
+                limits[z] = query.limit
+        if not limits:
+            return None
+        return (order or [], limits)
 
     def geom_type(self, sources: dict, zooms: list[int], extent: int, buffer: int) -> int:
         from tilekiln_spark.operators.mvt import (
@@ -988,8 +1099,8 @@ class CompiledTemplate:
             GEOM_POLYGON,
         )
 
-        for zs, selects in self._zoom_groups(zooms, extent, buffer):
-            for s in selects:
+        for zs, query in self._zoom_groups(zooms, extent, buffer):
+            for s in query.selects:
                 mode, _ = _geom_item(s.items)
                 if mode == "label":
                     return GEOM_POINT
@@ -1012,8 +1123,8 @@ class CompiledTemplate:
         )
 
         out: DataFrame | None = None
-        for zs, selects in self._zoom_groups(zooms, extent, buffer):
-            for s in selects:
+        for zs, query in self._zoom_groups(zooms, extent, buffer):
+            for s in query.selects:
                 frame, kind, where, items_all = _resolve_from(sources, s)
                 mode, items = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)

@@ -523,6 +523,57 @@ def _run_builder(d, sources: dict, zooms: list[int]) -> DataFrame:
     return BUILDERS[d.builder](sources, zooms, d.extent, d.buffer)
 
 
+def _apply_tile_limit(
+    feats: DataFrame, ol: tuple[list, dict] | None, zooms: list[int]
+) -> DataFrame:
+    """Per-tile ORDER BY/LIMIT from a compiled template (sqlt.order_limit_for).
+
+    The reference runs the template SQL once per tile, so ``LIMIT n`` means
+    "top n features of THIS tile by the ORDER BY key" (reference
+    definition.py:42-77 — the SQL executes against a per-tile bbox).  Here
+    zoom is data, so the cap is a per-(zoom, x, y) window: rank by the ORDER
+    BY key (Postgres null ordering: ASC = NULLS LAST, DESC = NULLS FIRST)
+    with the deterministic feature hash ``__fh`` as the tiebreaker, keep
+    row_number <= n.
+
+    Scale: the rank filter uses a LITERAL limit per branch so Catalyst's
+    WindowGroupLimit rewrite inserts a partial per-partition top-n BEFORE the
+    (zoom,x,y) shuffle — a z0 whale tile ships n rows per map partition, not
+    its full feature set.  Zoom conditionals may carry different limits; each
+    distinct limit becomes its own literal branch (one branch in the common
+    uniform-limit case)."""
+    if ol is None:
+        return feats
+    from pyspark.sql.window import Window
+
+    order_keys, limits = ol
+    sort_cols = [
+        (F.col(n).desc_nulls_first() if desc else F.col(n).asc_nulls_last())
+        for n, desc in order_keys
+    ] + [F.col("__fh").asc()]
+    w = Window.partitionBy("zoom", "x", "y").orderBy(*sort_cols)
+    by_n: dict[int, list[int]] = {}
+    for z, n in limits.items():
+        by_n.setdefault(n, []).append(z)
+    all_capped = set(zooms) <= set(limits)
+    parts = []
+    for n, zs in sorted(by_n.items()):
+        capped = feats if (all_capped and len(by_n) == 1) else feats.filter(
+            F.col("zoom").isin(zs)
+        )
+        parts.append(
+            capped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.lit(n))
+            .drop("__rn")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if not all_capped:
+        out = out.unionByName(feats.filter(~F.col("zoom").isin(list(limits.keys()))))
+    return out
+
+
 def _layer_band_features(
     config: Config,
     layer: str,
@@ -540,6 +591,11 @@ def _layer_band_features(
     if d is None:
         return None
     feats = _run_builder(d, sources, zooms)
+    ol = (
+        d.compiled.order_limit_for(zooms, d.extent, d.buffer)
+        if d.builder == "__sql__"
+        else None
+    )
     if _definition_geom_type(d, sources, zooms) != GEOM_POINT:
         # geometry builders assign tiles by bbox intersection and carry
         # tile-local float rings; clipping happens inside the tile aggregate
@@ -547,7 +603,7 @@ def _layer_band_features(
             feats = feats.join(
                 F.broadcast(worklist.select("zoom", "x", "y")), ["zoom", "x", "y"], "left_semi"
             )
-        return feats
+        return _apply_tile_limit(feats, ol, zooms)
     feats = assign_tiles_col(feats, d.extent, d.buffer)
     if worklist is not None:
         feats = feats.join(
@@ -561,9 +617,11 @@ def _layer_band_features(
     # truncation/sort tiebreaker (ties on quantized (px, py) would otherwise
     # keep shuffle-arrival order, making capped blob bytes run-dependent)
     fh = F.xxhash64(F.col("mx"), F.col("my"), *[F.col(c) for c in prop_cols])
-    return (
+    return _apply_tile_limit(
         feats.withColumn("px", px).withColumn("py", py).filter(in_clip)
-        .select("zoom", "x", "y", "px", "py", fh.alias("__fh"), *prop_cols)
+        .select("zoom", "x", "y", "px", "py", fh.alias("__fh"), *prop_cols),
+        ol,
+        zooms,
     )
 
 
