@@ -141,3 +141,28 @@ def test_generate_zooms_from_sql_template_config(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "water:" in out and "adminline:" in out
+
+
+def test_serve_parser_wiring():
+    """serve static/live/dev + prometheus subcommands parse with the
+    reference's defaults (scripts/serve.py, main.py:35-50)."""
+    from tilekiln_spark.cli import (
+        build_parser,
+        cmd_prometheus,
+        cmd_serve_dev,
+        cmd_serve_live,
+        cmd_serve_static,
+    )
+
+    p = build_parser()
+    a = p.parse_args(["serve", "static", "--store", "/tmp/s"])
+    assert (a.fn, a.bind_host, a.bind_port) == (cmd_serve_static, "127.0.0.1", 8000)
+    a = p.parse_args(
+        ["serve", "live", "--config", "c.yaml", "--store", "/tmp/s",
+         "--bind-port", "9001", "--base-url", "http://example"]
+    )
+    assert (a.fn, a.bind_port, a.base_url) == (cmd_serve_live, 9001, "http://example")
+    a = p.parse_args(["serve", "dev", "--config", "c.yaml", "--synth-pages", "99"])
+    assert (a.fn, a.synth_pages) == (cmd_serve_dev, 99)
+    a = p.parse_args(["prometheus", "--store", "/tmp/s"])
+    assert (a.fn, a.bind_host, a.bind_port) == (cmd_prometheus, "0.0.0.0", 10013)

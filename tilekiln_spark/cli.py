@@ -12,8 +12,14 @@ argparse-based so no extra dependency:
 
 `generate tiles` reads 'z/x/y' lines on stdin and `generate layers` reads
 'z/x/y,layer' lines, exactly like the reference's expiry-list piping
-(reference scripts/generate.py:42-86, 157-220).  The HTTP server is out of
-scope (storage/serving.py holds the column-level serving semantics).
+(reference scripts/generate.py:42-86, 157-220).  The serve group hosts the
+stdlib HTTP tile server (storage/server.py — reference scripts/serve.py's
+static/live/dev commands plus main.py:35-83's prometheus exporter):
+
+    python -m tilekiln_spark.cli serve static --store DIR [--bind-port 8000]
+    python -m tilekiln_spark.cli serve live --config cfg.yaml --store DIR ...
+    python -m tilekiln_spark.cli serve dev --config cfg.yaml ...
+    python -m tilekiln_spark.cli prometheus --store DIR [--bind-port 10013]
 """
 
 from __future__ import annotations
@@ -223,6 +229,64 @@ def cmd_storage_layerdelete(args) -> int:
     return 0
 
 
+def _serve(srv) -> int:
+    print(f"serving on {srv.base_url}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+def cmd_serve_static(args) -> int:
+    """reference scripts/serve.py static: stored tiles only."""
+    from tilekiln_spark.storage.catalog import Catalog
+    from tilekiln_spark.storage.server import TileServer
+
+    return _serve(TileServer(
+        "static", catalog=Catalog(_spark(), args.store),
+        host=args.bind_host, port=args.bind_port, base_url=args.base_url,
+    ))
+
+
+def cmd_serve_live(args) -> int:
+    """reference scripts/serve.py live: read-through fill on storage miss."""
+    from tilekiln_spark.storage.catalog import Catalog
+    from tilekiln_spark.storage.server import TileServer
+
+    spark = _spark()
+    cfg = _load_config(args.config)
+    return _serve(TileServer(
+        "live", catalog=Catalog(spark, args.store), config=cfg,
+        sources=_sources(spark, args),
+        host=args.bind_host, port=args.bind_port, base_url=args.base_url,
+    ))
+
+
+def cmd_serve_dev(args) -> int:
+    """reference scripts/serve.py dev: render every request, no storage."""
+    from tilekiln_spark.storage.server import TileServer
+
+    spark = _spark()
+    cfg = _load_config(args.config)
+    return _serve(TileServer(
+        "dev", config=cfg, sources=_sources(spark, args),
+        host=args.bind_host, port=args.bind_port, base_url=args.base_url,
+    ))
+
+
+def cmd_prometheus(args) -> int:
+    """reference main.py:35-83: metrics exporter (here the same listener,
+    serving only /metrics matters to a scraper)."""
+    from tilekiln_spark.storage.catalog import Catalog
+    from tilekiln_spark.storage.server import TileServer
+
+    return _serve(TileServer(
+        "static", catalog=Catalog(_spark(), args.store),
+        host=args.bind_host, port=args.bind_port,
+    ))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tilekiln_spark")
     sub = p.add_subparsers(dest="group", required=True)
@@ -283,6 +347,33 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument("--id", required=True)
     ld.add_argument("--layer", required=True)
     ld.set_defaults(fn=cmd_storage_layerdelete)
+
+    def _add_bind_opts(sp, default_port):
+        sp.add_argument("--bind-host", default="127.0.0.1")
+        sp.add_argument("--bind-port", type=int, default=default_port)
+        sp.add_argument("--base-url")
+
+    sv = sub.add_parser("serve").add_subparsers(dest="cmd", required=True)
+    ss = sv.add_parser("static")
+    ss.add_argument("--store", required=True)
+    _add_bind_opts(ss, 8000)
+    ss.set_defaults(fn=cmd_serve_static)
+    sl = sv.add_parser("live")
+    sl.add_argument("--config", required=True)
+    sl.add_argument("--store", required=True)
+    _add_bind_opts(sl, 8000)
+    _add_source_opts(sl)
+    sl.set_defaults(fn=cmd_serve_live)
+    sd = sv.add_parser("dev")
+    sd.add_argument("--config", required=True)
+    _add_bind_opts(sd, 8000)
+    _add_source_opts(sd)
+    sd.set_defaults(fn=cmd_serve_dev)
+    pm = sub.add_parser("prometheus")
+    pm.add_argument("--store", required=True)
+    pm.add_argument("--bind-host", default="0.0.0.0")
+    pm.add_argument("--bind-port", type=int, default=10013)
+    pm.set_defaults(fn=cmd_prometheus)
     return p
 
 
