@@ -1152,6 +1152,56 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 5
 
     q["template_compile_topn"] = template_compile_topn
 
+    def template_compile_groupby(spark, sf_dir):
+        """Round-4 compiler tier #6 (config/sqlt.py _cluster_branch):
+        GROUP BY / HAVING with the aggregate geometry
+        ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...).  The reference runs
+        the template once per tile (reference definition.py:42-77), so GROUP
+        BY aggregates WITHIN each tile — compiled to ONE partial-aggregated
+        groupBy on (zoom, x, y, keys); the centroid = (avg mx, avg my) stays
+        inside the owning tile, so re-assignment is exact.  The DuckDB twin
+        is the same floor-assignment + GROUP BY in plain SQL."""
+        from tilekiln_spark.operators.tiling import _layer_band_features
+
+        d = _mx_my(_docs(spark, sf_dir))
+        cfg = Config(
+            """
+metadata: {id: gby}
+vector_layers:
+  docs:
+    fields: {n_docs: Cluster size}
+    sql:
+    - {minzoom: 4, maxzoom: 4, extent: 4096, buffer: 0, file: gby.t}
+""",
+            {
+                "gby.t": """
+SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}, {{extent}}) AS way,
+       lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 1) AS avg_chars,
+       round(avg(mx) / 1000000.0, 3) AS cx_mm
+FROM docs_geo
+WHERE way && {{bbox}} AND lang IN ('en', 'fr', 'de')
+GROUP BY lang
+HAVING count(*) >= 2
+"""
+            },
+        )
+        feats = _layer_band_features(
+            cfg, "docs", [4],
+            {"tables": {"docs_geo": {"frame": d, "kind": "point"}},
+             "materialize": False},
+            None,
+        )
+        return feats.select(
+            "zoom", "x", "y", "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            (F.col("avg_chars") + F.lit(0.0)).alias("avg_chars"),
+            (F.col("cx_mm") + F.lit(0.0)).alias("cx_mm"),
+        )
+
+    q["template_compile_groupby"] = template_compile_groupby
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -1946,6 +1996,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, x, y, CAST(doc_id AS BIGINT) AS doc_id,
                CAST(n_chars AS BIGINT) AS n_chars
         FROM r WHERE rn <= 5
+    """
+
+    # per-tile GROUP BY twin: the engine compiles GROUP BY lang + HAVING to
+    # one partial-aggregated groupBy on (zoom, x, y, lang); the twin is the
+    # same floor tile assignment + GROUP BY in plain SQL.  Integer sums are
+    # exact in both engines; avg(mx) is order-sensitive only below the
+    # 3-dp/1e6 rounding.
+    tx4, ty4 = _tile_xy_sql(4)
+    o["template_compile_groupby"] = f"""
+        {_GEO_CTE},
+        f AS (
+            SELECT 4 AS zoom, {tx4} AS x, {ty4} AS y, geo.lang, geo.n_chars, geo.mx
+            FROM geo WHERE geo.lang IN ('en', 'fr', 'de')
+        )
+        SELECT zoom, x, y, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 1) + 0.0 AS avg_chars,
+               round(avg(mx) / 1000000.0, 3) + 0.0 AS cx_mm
+        FROM f GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

@@ -718,3 +718,118 @@ def test_order_by_unknown_column_rejected(spark):
             "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, score FROM t "
             "WHERE way && {{bbox}} ORDER BY nope LIMIT 2"
         ).order_limit_for([1], 4096, 0)
+
+
+def test_group_by_cluster_per_tile(spark):
+    """GROUP BY compiles to a per-(zoom,x,y,keys) aggregation with the
+    ST_Centroid(ST_Collect(way)) geometry = group centroid (the reference
+    runs the SQL once per tile, so GROUP BY aggregates within the tile);
+    HAVING filters groups; expressions over aggregates compile."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    HW = 20037508.342789244
+    q = HW / 2
+    rows = [
+        # z1 tile (0,0): 2 en + 1 fr; z1 tile (1,1): 2 fr
+        (0, -q, q, "en", 10), (1, -q + 8, q - 8, "en", 30), (2, -q, q - 9, "fr", 100),
+        (3, q, -q, "fr", 50), (4, q + 8, -q - 8, "fr", 70),
+    ]
+    tbl = spark.createDataFrame(
+        rows, "pid long, mx double, my double, lang string, n_chars long"
+    )
+    out = CompiledTemplate(
+        """
+SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}, {{extent}}) AS way,
+       lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 1) AS avg_chars
+FROM t WHERE way && {{bbox}}
+GROUP BY lang
+HAVING sum(n_chars) > 20
+"""
+    ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)
+    got = {
+        (r.lang, round(r.mx), round(r.my)): (r.n_docs, r.total_chars, r.avg_chars)
+        for r in out.collect()
+    }
+    # en group in tile (0,0): centroid of the two en points, sums over both;
+    # the (0,0) fr group (sum 100) and (1,1) fr group (sum 120) both survive
+    # HAVING; nothing merges across tiles
+    assert got == {
+        ("en", round(-q + 4), round(q - 4)): (2, 40, 20.0),
+        ("fr", round(-q), round(q - 9)): (1, 100, 100.0),
+        ("fr", round(q + 4), round(-q - 4)): (2, 120, 60.0),
+    }
+    # centroid stays inside the owning tile -> re-assignment agrees
+    from tilekiln_spark.operators.tiling import tile_x, tile_y
+    import pyspark.sql.functions as F
+
+    xy = out.select(
+        tile_x(F.col("zoom"), F.col("mx")).alias("x"),
+        tile_y(F.col("zoom"), F.col("my")).alias("y"),
+    ).collect()
+    assert sorted((r.x, r.y) for r in xy) == [(0, 0), (0, 0), (1, 1)]
+
+
+def test_group_by_whole_tile_aggregate(spark):
+    """No GROUP BY keys at all: one aggregate feature per tile (heatmap
+    shape)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    HW = 20037508.342789244
+    q = HW / 2
+    tbl = spark.createDataFrame(
+        [(0, -q, q, 5), (1, -q + 9, q, 7), (2, q, -q, 11)],
+        "pid long, mx double, my double, w long",
+    )
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}, {{extent}}) AS way, "
+        "count(*) AS n, sum(w) AS sw FROM t WHERE way && {{bbox}}"
+    ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)
+    assert sorted((r.n, r.sw) for r in out.collect()) == [(1, 11), (2, 12)]
+
+
+def test_group_by_errors(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(0, 1.0, 1.0, "a", 1)], "pid long, mx double, my double, lang string, n long"
+    )
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+
+    # GROUP BY without the aggregate geometry form
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang, count(*) AS n_ "
+            "FROM t WHERE way && {{bbox}} GROUP BY lang"
+        ).build(src, [1], 4096, 0)
+    # non-aggregate, non-key output column
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "lang, n FROM t WHERE way && {{bbox}} GROUP BY lang"
+        ).build(src, [1], 4096, 0)
+    # GROUP BY names a non-selected column
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "count(*) AS n_ FROM t WHERE way && {{bbox}} GROUP BY lang"
+        ).build(src, [1], 4096, 0)
+    # nested aggregates
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "sum(count(*)) AS n_ FROM t WHERE way && {{bbox}}"
+        ).build(src, [1], 4096, 0)
+    # GROUP BY inside a derived table
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, n_ FROM "
+            "(SELECT way, count(*) AS n_ FROM t GROUP BY lang) d "
+            "WHERE way && {{bbox}}"
+        ).build(src, [1], 4096, 0)
+    # count(*) only valid for count
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "sum(*) AS s_ FROM t WHERE way && {{bbox}}"
+        ).build(src, [1], 4096, 0)

@@ -107,6 +107,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "between", "like", "ilike",
     "join", "on", "inner", "left", "outer",
     "order", "by", "asc", "desc", "limit",
+    "group", "having",
 }
 
 
@@ -158,6 +159,11 @@ class Cast:
 class Func:
     name: str
     args: list = field(default_factory=list)
+
+
+@dataclass
+class Star:
+    """``*`` as a function argument — only ``count(*)``."""
 
 
 @dataclass
@@ -234,6 +240,11 @@ class Select:
     where: object | None
     alias: str | None = None           # FROM-clause alias of the base table
     joins: list = field(default_factory=list)  # [JoinClause, ...]
+    # GROUP BY output-column names + HAVING ast.  The reference runs the SQL
+    # once per tile, so GROUP BY aggregates WITHIN each tile — the engine
+    # compiles it to a per-(zoom, x, y, keys...) groupBy (cluster mode).
+    group: list = field(default_factory=list)
+    having: object | None = None
 
 
 @dataclass
@@ -357,7 +368,24 @@ class _Parser:
         where = None
         if self.accept("kw", "where"):
             where = self.or_expr()
-        return Select(items, table, where, alias, joins)
+        group: list = []
+        having = None
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            while True:
+                e = self.additive()
+                if not isinstance(e, Ident) or e.cast or "." in e.name:
+                    raise DefinitionError(
+                        "template SQL: GROUP BY must reference selected "
+                        "output columns by name (select the expression with "
+                        "an alias, then group by the alias)"
+                    )
+                group.append(e.name)
+                if not self.accept("op", ","):
+                    break
+            if self.accept("kw", "having"):
+                having = self.or_expr()
+        return Select(items, table, where, alias, joins, group, having)
 
     def item(self) -> Item:
         e = self.or_expr()
@@ -511,6 +539,10 @@ class _Parser:
             if self.peek() == ("op", "("):
                 self.next()
                 args = []
+                if self.peek() == ("op", "*") and v.lower() == "count":
+                    self.next()
+                    self.expect("op", ")")
+                    return Func(v, [Star()])
                 if not self.accept("op", ")"):
                     args.append(self.or_expr())
                     while self.accept("op", ","):
@@ -753,7 +785,11 @@ def _fold_pow_literals(ast):
 # ---------------------------------------------------------------------------
 
 def _geom_item(items: list[Item]):
-    """Find the ST_AsMVTGeom item; returns ('plain'|'label', remaining items)."""
+    """Find the ST_AsMVTGeom item; returns ('plain'|'label'|'cluster',
+    remaining items).  'cluster' is the aggregate-geometry form
+    ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)`` used with GROUP BY —
+    the per-tile SQL run aggregates its rows, so the feature geometry is the
+    group's centroid."""
     mode = None
     rest = []
     for it in items:
@@ -766,16 +802,166 @@ def _geom_item(items: list[Item]):
                 mode = "plain"
             elif isinstance(inner, Func) and inner.name.lower() == "st_pointonsurface":
                 mode = "label"
+            elif (
+                isinstance(inner, Func)
+                and inner.name.lower() == "st_centroid"
+                and len(inner.args) == 1
+                and isinstance(inner.args[0], Func)
+                and inner.args[0].name.lower() == "st_collect"
+            ):
+                mode = "cluster"
             else:
                 raise DefinitionError(
                     "template SQL: ST_AsMVTGeom argument must be a geometry "
-                    "column or ST_PointOnSurface(geometry)"
+                    "column, ST_PointOnSurface(geometry), or "
+                    "ST_Centroid(ST_Collect(geometry))"
                 )
         else:
             rest.append(it)
     if mode is None:
         raise DefinitionError("template SQL: SELECT must include ST_AsMVTGeom(...)")
     return mode, rest
+
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+def _extract_aggs(ast, aggs: list):
+    """Copy-rewrite ``ast`` replacing each top-level aggregate Func with an
+    Ident placeholder ``__aggN`` and recording (placeholder, agg_ast) in
+    ``aggs``.  The aggregates are computed in the groupBy's .agg(); the
+    rewritten expression then runs over the aggregated frame (so
+    ``round(avg(x), 2)`` or ``sum(a) / count(*)`` compile naturally)."""
+    if isinstance(ast, Func) and ast.name.lower() in _AGG_FNS:
+        for a in ast.args:
+            _no_aggs(a)
+        ph = f"__agg{len(aggs)}"
+        aggs.append((ph, ast))
+        return Ident(ph)
+    if isinstance(ast, Bin):
+        return Bin(ast.op, _extract_aggs(ast.left, aggs), _extract_aggs(ast.right, aggs))
+    if isinstance(ast, Un):
+        return Un(ast.op, _extract_aggs(ast.arg, aggs))
+    if isinstance(ast, Cast):
+        return Cast(_extract_aggs(ast.expr, aggs), ast.type)
+    if isinstance(ast, InList):
+        return InList(_extract_aggs(ast.expr, aggs),
+                      [_extract_aggs(v, aggs) for v in ast.values], ast.negated)
+    if isinstance(ast, IsNull):
+        return IsNull(_extract_aggs(ast.expr, aggs), ast.negated)
+    if isinstance(ast, Between):
+        return Between(_extract_aggs(ast.expr, aggs), _extract_aggs(ast.lo, aggs),
+                       _extract_aggs(ast.hi, aggs), ast.negated)
+    if isinstance(ast, Like):
+        return Like(_extract_aggs(ast.expr, aggs), _extract_aggs(ast.pattern, aggs),
+                    ast.negated, ast.ci)
+    if isinstance(ast, Case):
+        return Case(
+            [(_extract_aggs(c, aggs), _extract_aggs(r, aggs)) for c, r in ast.whens],
+            None if ast.default is None else _extract_aggs(ast.default, aggs),
+        )
+    if isinstance(ast, Func):
+        return Func(ast.name, [_extract_aggs(a, aggs) for a in ast.args])
+    return ast
+
+
+def _no_aggs(ast) -> None:
+    if isinstance(ast, Func) and ast.name.lower() in _AGG_FNS:
+        raise DefinitionError("template SQL: nested aggregate functions")
+    for child in getattr(ast, "__dict__", {}).values():
+        if isinstance(child, list):
+            for c in child:
+                if isinstance(c, tuple):
+                    for cc in c:
+                        _no_aggs(cc)
+                elif not isinstance(c, str):
+                    _no_aggs(c)
+        elif child is not None and not isinstance(child, (str, bool, int, float)):
+            _no_aggs(child)
+
+
+def _agg_to_col(ast: Func, extent: int) -> Column:
+    """One aggregate call -> Spark aggregate Column (Postgres result types:
+    count -> bigint == Spark long; sum(int) -> bigint == Spark long;
+    avg -> double == Spark double)."""
+    fn = ast.name.lower()
+    if fn == "count":
+        if len(ast.args) == 1 and isinstance(ast.args[0], Star):
+            return F.count(F.lit(1))
+        return F.count(_to_col(ast.args[0], extent))
+    arg = _to_col(ast.args[0], extent)
+    if fn == "sum":
+        return F.sum(arg)
+    if fn == "min":
+        return F.min(arg)
+    if fn == "max":
+        return F.max(arg)
+    return F.avg(arg)
+
+
+def _cluster_branch(
+    df: DataFrame, group: list, having, items: list[Item], extent: int
+) -> DataFrame:
+    """GROUP BY over a per-tile SQL run -> per-(zoom, x, y, keys...) groupBy.
+
+    The reference executes the template once per tile (reference
+    definition.py:42-77), so ``GROUP BY lang`` aggregates the rows INSIDE
+    each tile's bbox; the feature geometry ``ST_Centroid(ST_Collect(way))``
+    is the group's point centroid = (avg(mx), avg(my)), always inside the
+    owning tile.  HAVING filters after aggregation and may use aggregates
+    and group keys.  Grouping uses the point's OWNING tile (buffer plays no
+    part in group membership; with buffer > 0 the owning tile's feature is
+    replicated into neighbours' buffers as-is — documented deviation, same
+    family as the cluster-label ST_PointOnSurface deviation).
+
+    Scale: ONE partial-aggregated shuffle on (zoom, x, y, keys) — map-side
+    combine collapses each input partition to its distinct tile-groups
+    before the exchange, the Spark shape that survives 100 TB."""
+    from tilekiln_spark.operators.tiling import tile_x, tile_y
+
+    gset = set(group)
+    keys = [it for it in items if _item_alias(it) in gset]
+    outs = [it for it in items if _item_alias(it) not in gset]
+    missing = gset - {_item_alias(it) for it in keys}
+    if missing:
+        raise DefinitionError(
+            f"template SQL: GROUP BY column(s) {sorted(missing)} are not "
+            "selected output columns"
+        )
+    for it in keys:
+        _no_aggs(it.expr)
+    aggs: list = []
+    rewritten = []
+    for it in outs:
+        n0 = len(aggs)
+        rewritten.append((_item_alias(it), _extract_aggs(it.expr, aggs)))
+        if len(aggs) == n0:
+            raise DefinitionError(
+                f"template SQL: column {_item_alias(it)!r} must be an "
+                "aggregate or appear in GROUP BY"
+            )
+    having_rw = None
+    if having is not None:
+        having_rw = _extract_aggs(having, aggs)
+    z = F.col("zoom")
+    keyed = df.withColumn("__tx", tile_x(z, F.col("mx"))).withColumn(
+        "__ty", tile_y(z, F.col("my"))
+    )
+    agged = keyed.groupBy(
+        z, F.col("__tx"), F.col("__ty"),
+        *[_to_col(it.expr, extent).alias(_item_alias(it)) for it in keys],
+    ).agg(
+        F.avg("mx").alias("mx"),
+        F.avg("my").alias("my"),
+        *[_agg_to_col(a, extent).alias(ph) for ph, a in aggs],
+    )
+    if having_rw is not None:
+        agged = agged.filter(_to_col(having_rw, extent))
+    return agged.select(
+        "zoom", "mx", "my",
+        *[F.col(_item_alias(it)) for it in keys],
+        *[_to_col(r, extent).alias(al) for al, r in rewritten],
+    )
 
 
 # columns a derived table's `way` item must carry through so the outer
@@ -830,7 +1016,12 @@ def _resolve_table(sources: dict, name):
         # kind's geometry columns through.  extent never appears inside a
         # derived table (no ST_AsMVTGeom there), so _to_col gets a dummy.
         inner = name
-        frame, kind, iwhere, iitems = _resolve_from(sources, inner)
+        if inner.group or inner.having is not None:
+            raise DefinitionError(
+                "template SQL: GROUP BY is not supported inside a derived "
+                "table — aggregate in the outer SELECT"
+            )
+        frame, kind, iwhere, iitems, _ = _resolve_from(sources, inner)
         if iwhere is not None:
             _no_pseudo(iwhere)
             frame = frame.filter(_to_col(iwhere, 0))
@@ -984,7 +1175,8 @@ def _resolve_from(sources: dict, s: Select):
     fn = _make_qual_resolver(aliases)
     where = None if s.where is None else _rewrite_idents(s.where, fn)
     items = [Item(_rewrite_idents(it.expr, fn), it.alias) for it in s.items]
-    return frame, kind, where, items
+    having = None if s.having is None else _rewrite_idents(s.having, fn)
+    return frame, kind, where, items, having
 
 
 def _item_alias(it: Item) -> str:
@@ -1032,6 +1224,8 @@ class CompiledTemplate:
                 def fold(s: Select) -> None:
                     if s.where is not None:
                         s.where = _fold_pow_literals(s.where)
+                    if s.having is not None:
+                        s.having = _fold_pow_literals(s.having)
                     for it in s.items:
                         it.expr = _fold_pow_literals(it.expr)
                     if isinstance(s.table, Select):
@@ -1102,7 +1296,7 @@ class CompiledTemplate:
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
                 mode, _ = _geom_item(s.items)
-                if mode == "label":
+                if mode in ("label", "cluster"):
                     return GEOM_POINT
                 _, kind = _resolve_table(sources, s.table)
                 return {
@@ -1125,12 +1319,24 @@ class CompiledTemplate:
         out: DataFrame | None = None
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
-                frame, kind, where, items_all = _resolve_from(sources, s)
+                frame, kind, where, items_all, having = _resolve_from(sources, s)
                 mode, items = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)
                 if where is not None:
                     df = df.filter(_to_col(where, extent))
-                if mode == "label":
+                if s.group and mode != "cluster":
+                    raise DefinitionError(
+                        "template SQL: GROUP BY requires the aggregate "
+                        "geometry ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)"
+                    )
+                if mode == "cluster":
+                    if kind != "point":
+                        raise DefinitionError(
+                            "template SQL: ST_Centroid(ST_Collect(...)) "
+                            "clustering is only supported over point tables"
+                        )
+                    branch = _cluster_branch(df, s.group, having, items, extent)
+                elif mode == "label":
                     props_cols = {
                         _item_alias(it): _to_col(it.expr, extent) for it in items
                     }
