@@ -45,7 +45,10 @@ CELLS = [
 def main():
     out = sys.argv[1]
     cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    for cyc in range(cycles):
+    # cycle ids identify same-window pairs in compose_baseline; offset them
+    # when appending to a file that already holds earlier harvest runs
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    for cyc in range(start, start + cycles):
         for cpus, metric, pn in CELLS:
             try:
                 res = run_at(cpus, pn, metric)
