@@ -1202,6 +1202,47 @@ HAVING count(*) >= 2
 
     q["template_compile_groupby"] = template_compile_groupby
 
+    def template_compile_distinct(spark, sf_dir):
+        """Round-4 compiler tier #7 (config/sqlt.py + tiling._apply_tile_distinct):
+        SELECT DISTINCT dedups the per-tile SQL result AFTER ST_AsMVTGeom
+        quantization (pixel coords, not raw geometry).  A coarse extent (16
+        px at z3 = ~313 km/pixel) makes the collapse real at sf scale; the
+        DuckDB twin replicates the round((mx - xmin)/len * extent)
+        quantization and SELECT DISTINCTs the same key."""
+        from tilekiln_spark.operators.tiling import _layer_band_features
+
+        d = _mx_my(_docs(spark, sf_dir))
+        cfg = Config(
+            """
+metadata: {id: dst}
+vector_layers:
+  docs:
+    fields: {lang: Language}
+    sql:
+    - {minzoom: 3, maxzoom: 3, extent: 16, buffer: 0, file: dst.t}
+""",
+            {
+                "dst.t": """
+SELECT DISTINCT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang
+FROM docs_geo WHERE way && {{bbox}}
+"""
+            },
+        )
+        feats = _layer_band_features(
+            cfg, "docs", [3],
+            {"tables": {"docs_geo": {"frame": d, "kind": "point"}},
+             "materialize": False},
+            None,
+        )
+        return feats.select(
+            "zoom", "x", "y",
+            F.col("px").cast("long").alias("px"),
+            F.col("py").cast("long").alias("py"),
+            "lang",
+        )
+
+    q["template_compile_distinct"] = template_compile_distinct
+
     def ann_lsh_topk(spark, sf_dir):
         """Hyperplane-LSH ANN top-k; the DuckDB twin recomputes the same
         deterministic signatures from the seeded plane literals, so bucketing
@@ -2017,6 +2058,28 @@ def oracle_sql() -> dict[str, str]:
                round(avg(mx) / 1000000.0, 3) + 0.0 AS cx_mm
         FROM f GROUP BY 1, 2, 3, 4
         HAVING count(*) >= 2
+    """
+
+    # quantized-DISTINCT twin: replicate tile assignment AND the
+    # round((coord - tile_min) / tile_len * extent) pixel quantization
+    # (extent 16 at z3), then SELECT DISTINCT the quantized row — exactly
+    # what the engine dedups (_apply_tile_distinct).  round() ties-away ==
+    # Spark HALF_UP for these positive operands.
+    tx3, ty3 = _tile_xy_sql(3)
+    _len3 = f"(2.0 * {HW} / 8.0)"
+    o["template_compile_distinct"] = f"""
+        {_GEO_CTE},
+        f AS (
+            SELECT 3 AS zoom, {tx3} AS x, {ty3} AS y, geo.lang, geo.mx, geo.my
+            FROM geo
+        ),
+        p AS (
+            SELECT zoom, x, y, lang,
+                   CAST(round((mx - (-{HW} + x * {_len3})) / {_len3} * 16) AS BIGINT) AS px,
+                   CAST(round((({HW} - y * {_len3}) - my) / {_len3} * 16) AS BIGINT) AS py
+            FROM f
+        )
+        SELECT DISTINCT zoom, x, y, px, py, lang FROM p
     """
 
     # real-codec twin: a solid-color image's per-channel means ARE the

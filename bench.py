@@ -94,6 +94,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "mvt_poly_render",
         "mvt_holes_render",
         "template_compile_union",
+        "template_compile_topn",
+        "template_compile_groupby",
         "dedup_exact",
         "dedup_minhash",
         "similarity_bruteforce",

@@ -833,3 +833,78 @@ def test_group_by_errors(spark):
             "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
             "sum(*) AS s_ FROM t WHERE way && {{bbox}}"
         ).build(src, [1], 4096, 0)
+
+
+def test_select_distinct_quantized(spark):
+    """SELECT DISTINCT dedups the QUANTIZED per-tile row: two raw points on
+    the same output pixel with equal props are one feature; a differing
+    prop or pixel survives.  A zoom-conditional branch without DISTINCT
+    stays undeduplicated."""
+    from tilekiln_spark.operators.tiling import _layer_band_features
+
+    HW = 20037508.342789244
+    q = HW / 2
+    eps = 0.001  # ~1mm: far below one z1-pixel (4891m), same quantized px
+    rows = [
+        (0, -q, q, "a"), (1, -q + eps, q - eps, "a"),  # same pixel+prop -> 1
+        (2, -q, q, "b"),                                # same pixel, new prop
+        (3, -q + 9000, q, "a"),                         # ~2 pixels away
+    ]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double, tag string")
+    cfg = Config(
+        """
+metadata: {id: dst}
+vector_layers:
+  pts:
+    fields: {tag: T}
+    sql:
+    - {minzoom: 1, maxzoom: 2, extent: 4096, file: dst.t}
+""",
+        {
+            "dst.t": """
+SELECT {% if zoom == 1 %}DISTINCT{% endif %} ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, tag
+FROM t WHERE way && {{bbox}}
+"""
+        },
+    )
+    feats = _layer_band_features(
+        cfg, "pts", [1, 2],
+        {"tables": {"t": {"frame": tbl, "kind": "point"}}, "materialize": False},
+        None,
+    )
+    by_zoom = {}
+    for r in feats.collect():
+        by_zoom.setdefault(r["zoom"], []).append((r["px"], r["py"], r["tag"]))
+    assert len(by_zoom[1]) == 3  # deduped: pixel-dup pair collapsed
+    assert len(by_zoom[2]) == 4  # no DISTINCT at z2
+    assert len(set(by_zoom[1])) == 3
+
+
+def test_select_distinct_errors(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    # DISTINCT + UNION ALL
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT DISTINCT ST_AsMVTGeom(way, {{bbox}}) AS way, tag FROM t "
+            "WHERE way && {{bbox}} UNION ALL "
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, tag FROM t "
+            "WHERE way && {{bbox}}"
+        )._zoom_groups([1], 4096, 0)
+    # DISTINCT + GROUP BY
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT DISTINCT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "tag, count(*) AS n_ FROM t WHERE way && {{bbox}} GROUP BY tag"
+        )._zoom_groups([1], 4096, 0)
+    # DISTINCT on a polygon table
+    poly = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0, 1.0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], "a")],
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>, tag string",
+    )
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT DISTINCT ST_AsMVTGeom(way, {{bbox}}) AS way, tag FROM p "
+            "WHERE way && {{bbox}}"
+        ).build({"tables": {"p": {"frame": poly, "kind": "polygon"}}}, [1], 4096, 0)

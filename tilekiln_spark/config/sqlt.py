@@ -107,7 +107,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "between", "like", "ilike",
     "join", "on", "inner", "left", "outer",
     "order", "by", "asc", "desc", "limit",
-    "group", "having",
+    "group", "having", "distinct",
 }
 
 
@@ -245,6 +245,10 @@ class Select:
     # compiles it to a per-(zoom, x, y, keys...) groupBy (cluster mode).
     group: list = field(default_factory=list)
     having: object | None = None
+    # SELECT DISTINCT: per-tile dedup on the QUANTIZED feature row — the
+    # reference dedups ST_AsMVTGeom's output, i.e. pixel coords, not raw
+    # geometry.  Applied after tile assignment (operators/tiling.py).
+    distinct: bool = False
 
 
 @dataclass
@@ -295,6 +299,14 @@ class _Parser:
         while self.accept("kw", "union"):
             self.expect("kw", "all")
             outs.append(self.select())
+        if len(outs) > 1 and any(s.distinct for s in outs):
+            # per-branch DISTINCT dedups within one branch only; the engine's
+            # dedup runs after the union, which would merge cross-branch
+            # duplicates — reject rather than silently change semantics
+            raise DefinitionError(
+                "template SQL: SELECT DISTINCT is not supported with "
+                "UNION ALL branches"
+            )
         order: list = []
         limit = None
         if self.accept("kw", "order"):
@@ -342,6 +354,7 @@ class _Parser:
 
     def select(self) -> Select:
         self.expect("kw", "select")
+        distinct = bool(self.accept("kw", "distinct"))
         items = [self.item()]
         while self.accept("op", ","):
             items.append(self.item())
@@ -385,7 +398,12 @@ class _Parser:
                     break
             if self.accept("kw", "having"):
                 having = self.or_expr()
-        return Select(items, table, where, alias, joins, group, having)
+        if distinct and group:
+            raise DefinitionError(
+                "template SQL: SELECT DISTINCT with GROUP BY is redundant "
+                "(groups are already distinct) — drop DISTINCT"
+            )
+        return Select(items, table, where, alias, joins, group, having, distinct)
 
     def item(self) -> Item:
         e = self.or_expr()
@@ -1286,6 +1304,17 @@ class CompiledTemplate:
             return None
         return (order or [], limits)
 
+    def distinct_zooms(self, zooms: list[int], extent: int, buffer: int) -> set:
+        """Zooms whose rendered text is SELECT DISTINCT.  The reference
+        dedups the per-tile SQL result AFTER ST_AsMVTGeom quantization, so
+        the engine applies the dedup post tile-assignment on the quantized
+        (px, py) + props row (operators/tiling.py _apply_tile_distinct)."""
+        out: set = set()
+        for zs, query in self._zoom_groups(zooms, extent, buffer):
+            if query.selects[0].distinct:
+                out.update(zs)
+        return out
+
     def geom_type(self, sources: dict, zooms: list[int], extent: int, buffer: int) -> int:
         from tilekiln_spark.operators.mvt import (
             GEOM_LINESTRING,
@@ -1328,6 +1357,11 @@ class CompiledTemplate:
                     raise DefinitionError(
                         "template SQL: GROUP BY requires the aggregate "
                         "geometry ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)"
+                    )
+                if s.distinct and (mode == "cluster" or kind != "point"):
+                    raise DefinitionError(
+                        "template SQL: SELECT DISTINCT is only supported for "
+                        "point features (plain or label geometry)"
                     )
                 if mode == "cluster":
                     if kind != "point":

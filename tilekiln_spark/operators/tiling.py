@@ -574,6 +574,31 @@ def _apply_tile_limit(
     return out
 
 
+def _apply_tile_distinct(
+    feats: DataFrame, dzooms: set, zooms: list[int], prop_cols: list[str]
+) -> DataFrame:
+    """SELECT DISTINCT from a compiled template: per-tile dedup on the
+    QUANTIZED feature row (zoom, x, y, px, py, props) — ST_AsMVTGeom's
+    output is what the reference's per-tile SQL dedups, so two raw points
+    that land on the same pixel ARE duplicates.  min(__fh) keeps the
+    deterministic representative for downstream whale-tile sampling and
+    sort tiebreaks.
+
+    Scale: one partial-aggregated shuffle on the dedup key — map-side
+    combine collapses each partition's duplicates before the exchange."""
+    if not dzooms:
+        return feats
+    key = ["zoom", "x", "y", "px", "py", *prop_cols]
+    if set(zooms) <= dzooms:
+        return feats.groupBy(*key).agg(F.min("__fh").alias("__fh"))
+    deduped = (
+        feats.filter(F.col("zoom").isin(list(dzooms)))
+        .groupBy(*key).agg(F.min("__fh").alias("__fh"))
+    )
+    rest = feats.filter(~F.col("zoom").isin(list(dzooms)))
+    return deduped.unionByName(rest)
+
+
 def _layer_band_features(
     config: Config,
     layer: str,
@@ -596,6 +621,11 @@ def _layer_band_features(
         if d.builder == "__sql__"
         else None
     )
+    dz = (
+        d.compiled.distinct_zooms(zooms, d.extent, d.buffer)
+        if d.builder == "__sql__"
+        else set()
+    )
     if _definition_geom_type(d, sources, zooms) != GEOM_POINT:
         # geometry builders assign tiles by bbox intersection and carry
         # tile-local float rings; clipping happens inside the tile aggregate
@@ -617,12 +647,13 @@ def _layer_band_features(
     # truncation/sort tiebreaker (ties on quantized (px, py) would otherwise
     # keep shuffle-arrival order, making capped blob bytes run-dependent)
     fh = F.xxhash64(F.col("mx"), F.col("my"), *[F.col(c) for c in prop_cols])
-    return _apply_tile_limit(
+    out = (
         feats.withColumn("px", px).withColumn("py", py).filter(in_clip)
-        .select("zoom", "x", "y", "px", "py", fh.alias("__fh"), *prop_cols),
-        ol,
-        zooms,
+        .select("zoom", "x", "y", "px", "py", fh.alias("__fh"), *prop_cols)
     )
+    # SQL order: DISTINCT dedups first, then ORDER BY/LIMIT ranks the
+    # deduplicated per-tile rows
+    return _apply_tile_limit(_apply_tile_distinct(out, dz, zooms, prop_cols), ol, zooms)
 
 
 def mvt_layer_agg_multi(
