@@ -166,3 +166,28 @@ def test_serve_parser_wiring():
     assert (a.fn, a.synth_pages) == (cmd_serve_dev, 99)
     a = p.parse_args(["prometheus", "--store", "/tmp/s"])
     assert (a.fn, a.bind_host, a.bind_port) == (cmd_prometheus, "0.0.0.0", 10013)
+
+
+def test_config_sql_prints_reference_sql(capsys):
+    """config sql prints the PostGIS SQL the reference would issue
+    (reference scripts/config.py:32-60, definition.py:48-77)."""
+    import pathlib
+
+    from tilekiln_spark.cli import main
+
+    cfg = str(pathlib.Path(__file__).resolve().parent.parent / "sample" / "config.yaml")
+    assert main(["config", "sql", "--config", cfg, "--layer", "water",
+                 "-z", "4", "-x", "8", "-y", "8"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("WITH mvtgeom AS -- water/4/8/8")
+    assert "ST_TileEnvelope(4, 8, 8, margin=>0.0)" in out
+    assert out.rstrip().endswith("SELECT ST_AsMVT(mvtgeom.*, 'water', 2048)\nFROM mvtgeom;")
+    # whole tile: one statement per defined layer
+    assert main(["config", "sql", "--config", cfg, "-z", "4", "-x", "8", "-y", "8"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("WITH mvtgeom AS") >= 4
+    # unknown layer / out-of-band zoom are errors, like the reference
+    assert main(["config", "sql", "--config", cfg, "--layer", "nope",
+                 "-z", "4", "-x", "0", "-y", "0"]) == 1
+    assert main(["config", "sql", "--config", cfg, "--layer", "country_names",
+                 "-z", "1", "-x", "0", "-y", "0"]) == 1

@@ -98,6 +98,33 @@ def cmd_config_test(args) -> int:
     return 0
 
 
+def cmd_config_sql(args) -> int:
+    """reference scripts/config.py sql: print the PostGIS SQL the reference
+    would issue for a tile (one layer, or every defined layer)."""
+    from tilekiln_spark.tiles.core import Tile
+
+    cfg = _load_config(args.config)
+    tile = Tile(args.zoom, args.x, args.y)
+    if args.layer is None:
+        for sql in cfg.layer_queries(tile).values():
+            if sql is not None:
+                print(sql)
+        return 0
+    try:
+        sql = cfg.layer_query(args.layer, tile)
+    except KeyError:
+        print(f"Layer '{args.layer}' not found in configuration", file=sys.stderr)
+        return 1
+    if sql is None:
+        print(
+            f"Zoom {args.zoom} not between min zoom and max zoom for layer {args.layer}.",
+            file=sys.stderr,
+        )
+        return 1
+    print(sql)
+    return 0
+
+
 def cmd_config_plan(args) -> int:
     """reference scripts/config.py sql: the reference prints rendered SQL;
     the Spark-native equivalent prints the optimized plan of the layer's
@@ -301,6 +328,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--zoom", type=int, required=True)
     _add_source_opts(s)
     s.set_defaults(fn=cmd_config_plan)
+    sq = cfg.add_parser("sql")
+    sq.add_argument("--config", required=True)
+    sq.add_argument("--layer")
+    sq.add_argument("-z", "--zoom", type=int, required=True)
+    sq.add_argument("-x", type=int, required=True)
+    sq.add_argument("-y", type=int, required=True)
+    sq.set_defaults(fn=cmd_config_sql)
 
     gen = sub.add_parser("generate").add_subparsers(dest="cmd", required=True)
     z = gen.add_parser("zooms")

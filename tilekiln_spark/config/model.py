@@ -94,6 +94,37 @@ class Definition:
         }
 
 
+    def render_sql(self, tile: Tile) -> str:
+        """The exact PostGIS SQL string the reference would issue for this
+        tile (reference definition.py:48-77): template rendered with the
+        concrete tile's variables (bbox as ST_TileEnvelope with the
+        buffer/extent margin), wrapped in the WITH mvtgeom .. ST_AsMVT
+        envelope.  Debugging/migration surface only — the engine executes
+        the compiled Spark plan, never this string."""
+        import jinja2
+
+        params = self.render_params(tile)
+        margin = self.buffer / self.extent
+        params["bbox"] = (
+            f"ST_TileEnvelope({tile.zoom}, {tile.x}, {tile.y}, margin=>{margin})"
+        )
+        params["unbuffered_bbox"] = (
+            f"ST_TileEnvelope({tile.zoom}, {tile.x}, {tile.y}, margin=>0)"
+        )
+        inner = (
+            jinja2.Environment(undefined=jinja2.StrictUndefined)
+            .from_string(self.source)
+            .render(**params)
+            .strip()
+        )
+        return (
+            f"WITH mvtgeom AS -- {self.id}/{tile.zoom}/{tile.x}/{tile.y}\n(\n"
+            + inner
+            + f"\n)\nSELECT ST_AsMVT(mvtgeom.*, '{self.id}', {self.extent})\n"
+            + "FROM mvtgeom;"
+        )
+
+
 def _stem(filename: str) -> str:
     base = filename.split("/")[-1]
     for suffix in (".sql.jinja2", ".jinja2", ".sql", ".yaml", ".yml"):
@@ -175,6 +206,16 @@ class Config:
         else:
             self.minzoom = None
             self.maxzoom = None
+
+    def layer_query(self, layer: str, tile: Tile) -> str | None:
+        """reference config.py:102-103: rendered SQL for one layer at a tile
+        (KeyError for unknown layers, None outside the layer's zooms)."""
+        d = self._layers[layer].definition_for(tile.zoom)
+        return None if d is None else d.render_sql(tile)
+
+    def layer_queries(self, tile: Tile) -> dict:
+        """reference config.py:105-110: {layer: SQL | None} for a tile."""
+        return {name: self.layer_query(name, tile) for name in self._layers}
 
     def tilejson(self, url: str) -> str:
         """TileJSON 3.0.0 string, golden-compatible with reference config.py:65-97."""
