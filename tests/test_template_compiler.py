@@ -908,3 +908,54 @@ def test_select_distinct_errors(spark):
             "SELECT DISTINCT ST_AsMVTGeom(way, {{bbox}}) AS way, tag FROM p "
             "WHERE way && {{bbox}}"
         ).build({"tables": {"p": {"frame": poly, "kind": "polygon"}}}, [1], 4096, 0)
+
+
+def test_order_by_limit_polygon_kind(spark):
+    """LIMIT on a geometry-kind template caps per tile on the bbox-assigned
+    rows (the reference's WHERE way && bbox ... LIMIT does the same: LIMIT
+    applies to intersecting rows before ST_AsMVTGeom clips)."""
+    from tilekiln_spark.operators.tiling import _layer_band_features
+
+    HW = 20037508.342789244
+    # three nested squares around the origin spanning all four z1 tiles,
+    # areas descending with polygon_id
+    rows = []
+    for i, half in enumerate((3e6, 2e6, 1e6)):
+        rows.append(
+            (i, -half, -half, half, half,
+             [-half, half, half, -half], [-half, -half, half, half],
+             float(half))
+        )
+    tbl = spark.createDataFrame(
+        rows,
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>, halfw double",
+    )
+    cfg = Config(
+        """
+metadata: {id: pl}
+vector_layers:
+  polys:
+    fields: {halfw: Half width}
+    sql:
+    - {minzoom: 1, maxzoom: 1, extent: 4096, buffer: 0, file: pl.t}
+""",
+        {
+            "pl.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, halfw
+FROM p WHERE way && {{bbox}}
+ORDER BY halfw DESC LIMIT 2
+"""
+        },
+    )
+    feats = _layer_band_features(
+        cfg, "polys", [1],
+        {"tables": {"p": {"frame": tbl, "kind": "polygon"}}, "materialize": False},
+        None,
+    )
+    by_tile = {}
+    for r in feats.collect():
+        by_tile.setdefault((r["x"], r["y"]), []).append(r["halfw"])
+    # every z1 tile intersects all three bboxes; LIMIT keeps the 2 largest
+    assert set(by_tile) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(sorted(v) == [2e6, 3e6] for v in by_tile.values())
