@@ -1176,7 +1176,8 @@ vector_layers:
             {
                 "gby.t": """
 SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}, {{extent}}) AS way,
-       lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       lang, count(*) AS n_docs, count(DISTINCT source) AS n_src,
+       sum(n_chars) AS total_chars,
        round(avg(n_chars), 1) AS avg_chars,
        round(avg(mx) / 1000000.0, 3) AS cx_mm
 FROM docs_geo
@@ -1195,6 +1196,7 @@ HAVING count(*) >= 2
         return feats.select(
             "zoom", "x", "y", "lang",
             F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_src").cast("long").alias("n_src"),
             F.col("total_chars").cast("long").alias("total_chars"),
             (F.col("avg_chars") + F.lit(0.0)).alias("avg_chars"),
             (F.col("cx_mm") + F.lit(0.0)).alias("cx_mm"),
@@ -2048,11 +2050,12 @@ def oracle_sql() -> dict[str, str]:
     o["template_compile_groupby"] = f"""
         {_GEO_CTE},
         f AS (
-            SELECT 4 AS zoom, {tx4} AS x, {ty4} AS y, geo.lang, geo.n_chars, geo.mx
+            SELECT 4 AS zoom, {tx4} AS x, {ty4} AS y, geo.lang, geo.source, geo.n_chars, geo.mx
             FROM geo WHERE geo.lang IN ('en', 'fr', 'de')
         )
         SELECT zoom, x, y, lang,
                CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_src,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg(n_chars), 1) + 0.0 AS avg_chars,
                round(avg(mx) / 1000000.0, 3) + 0.0 AS cx_mm

@@ -959,3 +959,32 @@ ORDER BY halfw DESC LIMIT 2
     # every z1 tile intersects all three bboxes; LIMIT keeps the 2 largest
     assert set(by_tile) == {(0, 0), (0, 1), (1, 0), (1, 1)}
     assert all(sorted(v) == [2e6, 3e6] for v in by_tile.values())
+
+
+def test_count_sum_distinct_aggregates(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    HW = 20037508.342789244
+    q = HW / 2
+    rows = [(0, -q, q, "en", 10), (1, -q + 9, q, "en", 10), (2, -q, q - 9, "fr", 30)]
+    tbl = spark.createDataFrame(
+        rows, "pid long, mx double, my double, lang string, n long"
+    )
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+        "count(DISTINCT lang) AS n_langs, sum(DISTINCT n) AS sd, sum(n) AS s_ "
+        "FROM t WHERE way && {{bbox}}"
+    ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)
+    (r,) = out.collect()
+    assert (r.n_langs, r.sd, r.s_) == (2, 40, 50)
+    # DISTINCT on a scalar function / unsupported aggregate is an error
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
+            "round(DISTINCT n) AS r_ FROM t WHERE way && {{bbox}}"
+        ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
+            "avg(DISTINCT n) AS a_ FROM t WHERE way && {{bbox}}"
+        ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)

@@ -159,6 +159,9 @@ class Cast:
 class Func:
     name: str
     args: list = field(default_factory=list)
+    # aggregate DISTINCT qualifier: count(DISTINCT x) / sum(DISTINCT x);
+    # rejected at translation time on any non-aggregate function
+    distinct: bool = False
 
 
 @dataclass
@@ -561,12 +564,17 @@ class _Parser:
                     self.next()
                     self.expect("op", ")")
                     return Func(v, [Star()])
+                dflag = bool(self.accept("kw", "distinct"))
                 if not self.accept("op", ")"):
                     args.append(self.or_expr())
                     while self.accept("op", ","):
                         args.append(self.or_expr())
                     self.expect("op", ")")
-                return Func(v, args)
+                elif dflag:
+                    raise DefinitionError(
+                        "template SQL: DISTINCT qualifier needs an argument"
+                    )
+                return Func(v, args, dflag)
             if self.accept("op", "."):
                 # qualified column ref `alias.col` — resolved against the
                 # FROM/JOIN alias map at build time (_resolve_from)
@@ -694,6 +702,11 @@ def _to_col(ast, extent: int) -> Column:
         }[ast.op]()
     if isinstance(ast, Func):
         fn = ast.name.lower()
+        if ast.distinct:
+            raise DefinitionError(
+                f"template SQL: DISTINCT qualifier is only valid in "
+                f"aggregate functions, not {ast.name}"
+            )
         args = [_to_col(a, extent) for a in ast.args]
         if fn == "coalesce":
             return F.coalesce(*args)
@@ -879,7 +892,7 @@ def _extract_aggs(ast, aggs: list):
             None if ast.default is None else _extract_aggs(ast.default, aggs),
         )
     if isinstance(ast, Func):
-        return Func(ast.name, [_extract_aggs(a, aggs) for a in ast.args])
+        return Func(ast.name, [_extract_aggs(a, aggs) for a in ast.args], ast.distinct)
     return ast
 
 
@@ -903,13 +916,20 @@ def _agg_to_col(ast: Func, extent: int) -> Column:
     count -> bigint == Spark long; sum(int) -> bigint == Spark long;
     avg -> double == Spark double)."""
     fn = ast.name.lower()
+    if ast.distinct and fn not in ("count", "sum"):
+        # min/max(DISTINCT) equal min/max; avg(DISTINCT) has no built-in
+        raise DefinitionError(
+            f"template SQL: DISTINCT qualifier is only supported for "
+            f"count/sum aggregates, not {ast.name}"
+        )
     if fn == "count":
         if len(ast.args) == 1 and isinstance(ast.args[0], Star):
             return F.count(F.lit(1))
-        return F.count(_to_col(ast.args[0], extent))
+        arg = _to_col(ast.args[0], extent)
+        return F.count_distinct(arg) if ast.distinct else F.count(arg)
     arg = _to_col(ast.args[0], extent)
     if fn == "sum":
-        return F.sum(arg)
+        return F.sum_distinct(arg) if ast.distinct else F.sum(arg)
     if fn == "min":
         return F.min(arg)
     if fn == "max":
@@ -1114,7 +1134,7 @@ def _rewrite_idents(ast, fn):
             None if ast.default is None else _rewrite_idents(ast.default, fn),
         )
     if isinstance(ast, Func):
-        return Func(ast.name, [_rewrite_idents(a, fn) for a in ast.args])
+        return Func(ast.name, [_rewrite_idents(a, fn) for a in ast.args], ast.distinct)
     return ast  # Lit
 
 
