@@ -36,6 +36,20 @@ Pipeline per definition band:
      key is absent, as hstore), ``tags ? 'key'`` -> map_contains_key, and
      ``(expr)::type`` postfix casts so ``(tags->'population')::integer``
      compiles
+   - ``ORDER BY ... LIMIT n``         -> per-(zoom,x,y) top-n window with
+     literal limits (Catalyst WindowGroupLimit caps BEFORE the tile
+     shuffle) — the reference runs the SQL once per tile, so LIMIT caps
+     EACH tile's features
+   - ``GROUP BY keys [HAVING ...]`` with
+     ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)`` -> ONE
+     partial-aggregated groupBy on (zoom, x, y, keys); aggregates
+     (count(*) / count / sum / min / max / avg, count/sum DISTINCT) may be
+     wrapped in scalar expressions, and the group centroid provably stays
+     inside the owning tile
+   - ``SELECT DISTINCT``              -> per-tile dedup on the QUANTIZED
+     (px, py, props) row (what the reference's per-tile DISTINCT sees)
+   - ``CASE WHEN`` / ``LIKE`` / ``ILIKE`` / ``BETWEEN`` / derived tables /
+     ``INNER``/``LEFT JOIN`` with aliases — the tier-2 surface (round 4)
 
 Tables resolve through ``sources["tables"]``: a dict mapping SQL table
 names to ``{"frame": DataFrame | (sources -> DataFrame), "kind":
