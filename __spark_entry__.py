@@ -40,6 +40,7 @@ from tilekiln_spark.functions.text import (
     token_count,
 )
 from tilekiln_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard,
@@ -618,6 +619,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("key_a", "key_b", F.round("jaccard", 4).alias("jaccard"))
 
     q["dedup_minhash"] = dedup_minhash_q
+
+    def dedup_clusters_q(spark, sf_dir):
+        """Pairs -> connected components -> per-doc cluster assignment with
+        the canonical (min-id) survivor flagged.  Components run the
+        alternating large-star/small-star contraction (dedup.py
+        connected_components); same verified pair set as dedup_minhash, so
+        the DuckDB twin recomputes exact pairs and resolves components with
+        a recursive min-reachability CTE."""
+        c = _neardup_corpus(spark, sf_dir)
+        return dedup_clusters(
+            c, "text", "doc_id", threshold=0.8, num_perm=64, bands=16, k=3
+        )
+
+    q["dedup_clusters"] = dedup_clusters_q
 
     def dedup_simhash_q(spark, sf_dir):
         """SimHash exact-dedup pipeline: hamming-0 LSH candidates verified by
@@ -1550,6 +1565,31 @@ def oracle_sql() -> dict[str, str]:
         FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               len(list_distinct(a.sh || b.sh)) >= 0.8
+    """
+
+    o["dedup_clusters"] = f"""
+        {_NEARDUP_SQL.replace("WITH corpus", "WITH RECURSIVE corpus", 1)}, {_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS ka, b.doc_id AS kb
+            FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(a.sh || b.sh)) >= 0.8
+        ),
+        edges AS (
+            SELECT ka AS a, kb AS b FROM pairs
+            UNION ALL SELECT kb, ka FROM pairs
+        ),
+        walk(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS node, MIN(dst) AS component FROM walk GROUP BY src)
+        SELECT c.doc_id,
+               COALESCE(p.component, c.doc_id) AS cluster_id,
+               CAST(CASE WHEN COALESCE(p.component, c.doc_id) = c.doc_id
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
     """
 
     o["dedup_simhash"] = """

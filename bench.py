@@ -98,6 +98,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_groupby",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_clusters",
         "similarity_bruteforce",
         "ann_lsh_topk",
         "text_quality",

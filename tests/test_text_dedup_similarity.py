@@ -10,6 +10,8 @@ from tilekiln_spark.functions.text import (
     token_count,
 )
 from tilekiln_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_lsh_pairs,
@@ -296,3 +298,46 @@ def test_ivf_kmeans_centroids_recall(spark):
     c1 = kmeans_centroids(corpus, 8, seed=42)
     c2 = kmeans_centroids(corpus, 8, seed=42)
     assert np.array_equal(c1, c2)
+
+def test_connected_components_graph_shapes(spark):
+    # chain (diameter 4), triangle, isolated pair, 8-node chain: the
+    # star-contraction must resolve all of them to their min-id label
+    pairs = [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21)] + [(n, n + 1) for n in range(30, 37)]
+    df = spark.createDataFrame(pairs, "key_a long, key_b long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    exp = ({(n, 1) for n in (1, 2, 3, 4, 5)}
+           | {(n, 10) for n in (10, 11, 12)}
+           | {(n, 20) for n in (20, 21)}
+           | {(n, 30) for n in range(30, 38)})
+    assert got == exp
+
+
+def test_connected_components_empty_and_self_loop(spark):
+    empty = spark.createDataFrame([], "key_a long, key_b long")
+    assert connected_components(empty).count() == 0
+    selfy = spark.createDataFrame([(7, 7)], "key_a long, key_b long")
+    assert connected_components(selfy).count() == 0  # self loops dropped
+
+
+def test_dedup_clusters_pipeline(spark):
+    c = _corpus(spark)
+    out = dedup_clusters(c, "text", "doc_id", threshold=0.8,
+                         num_perm=64, bands=16, k=3).collect()
+    assert len(out) == c.count()  # one row per corpus doc, singletons included
+    by_doc = {r.doc_id: r for r in out}
+    # exact dups 100..109 of docs 0..9 collapse onto the base doc's cluster
+    for base in range(10):
+        assert by_doc[100 + base].cluster_id == by_doc[base].cluster_id == base
+        assert by_doc[base].is_canonical == 1
+        assert by_doc[100 + base].is_canonical == 0
+    # canonical iff doc_id == cluster_id
+    for r in out:
+        assert r.is_canonical == (1 if r.doc_id == r.cluster_id else 0)
+    # cluster id is the min member id
+    import collections
+    members = collections.defaultdict(list)
+    for r in out:
+        members[r.cluster_id].append(r.doc_id)
+    for cid, ms in members.items():
+        assert cid == min(ms)

@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale training-data pipelines.
 
-Five families, all shuffle-conscious and UDF-free except simhash (one
+Six families, all shuffle-conscious and UDF-free except simhash (one
 Arrow-vectorized pandas UDF over pre-hashed token arrays):
 
 - exact_dedup       — hash groupBy; keeps the deterministic min-key doc.
@@ -14,6 +14,9 @@ Arrow-vectorized pandas UDF over pre-hashed token arrays):
 - ngram_jaccard_pairs — exact pairwise Jaccard on token n-grams within
   LSH-candidate pairs (the verify stage; never all-pairs).
 - embedding near-dup — see similarity.py (cosine + random-hyperplane LSH).
+- connected_components / dedup_clusters — verified pairs -> duplicate
+  clusters via alternating large-star/small-star contraction (O(log^2 n)
+  rounds, diameter-independent), then per-doc canonical-survivor labels.
 
 At 10^12 rows: exact dedup is one shuffle on a 16-byte hash; MinHash-LSH is
 a map-only signature pass + one shuffle per band (or one shuffle of the
@@ -311,4 +314,141 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: connected components over verified near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = _symmetrize(edges)
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low, connect every low neighbor (and u itself) to
+    min(N-(u) + {u})."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = (
+        o.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    j = o.join(mins, "src")
+    return (
+        j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(j.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph given as a pair list;
+    component = MIN node id in the component (deterministic canonical label).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log^2 n) rounds regardless of component diameter, unlike naive
+    min-label propagation whose round count is the graph diameter — the
+    scale-safe choice when a duplicate cluster chains (doc A ~ B ~ C ... with
+    A !~ C, common for boilerplate families at web scale).  Each round is two
+    groupBy+join shuffles keyed on node id; `localCheckpoint` truncates the
+    lineage so the plan does not grow with the iteration count (an iterative
+    driver loop, but every data operation is distributed — nothing beyond a
+    2-value convergence aggregate ever reaches the driver).
+
+    Fixpoint detection: (count, xor of row hashes) fingerprint of the edge
+    set — one tiny aggregate per round; `max_iter` bounds the loop against
+    the (2^-64-probability) fingerprint-collision false positive.
+
+    Nodes that appear in `pairs` only: singletons never enter the edge list,
+    so join the result back to the corpus with a coalesce-to-self (see
+    dedup_clusters).
+    """
+    edges = pairs.select(
+        F.col(key_a).cast("long").alias("src"), F.col(key_b).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    edges = edges.localCheckpoint(eager=True)
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        row = (
+            _symmetrize(e)
+            .select(F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("src", "dst")).alias("h"))
+            .collect()[0]
+        )
+        return (row["n"], row["h"])
+
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Converged: a star forest, every edge points node -> component min.
+    members = edges.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
+    )
+    roots = members.select(F.col("component").alias("node"), "component").distinct()
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Full near-dup clustering: LSH candidates -> exact-Jaccard verify ->
+    connected components -> one row per corpus doc with its cluster id and
+    whether it is the cluster's canonical (min-id) survivor.
+
+    This is the missing last stage of a production dedup pipeline (pairs are
+    not actionable; keep/drop decisions are): filter `is_canonical` to
+    materialize the deduplicated corpus.  Singleton docs are their own
+    canonical cluster.  Scale: components run over the VERIFIED pair list
+    (orders of magnitude smaller than the corpus); the final assignment is
+    one broadcast-or-shuffle join of that small label table back to corpus
+    keys only."""
+    pairs = minhash_dedup_pairs(df, text_col, key_col, threshold, num_perm, bands, k)
+    labels = connected_components(pairs)
+    keys = df.select(F.col(key_col).cast("long").alias("node"))
+    out = keys.join(labels, "node", "left").select(
+        F.col("node").alias(key_col),
+        F.coalesce("component", "node").alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(key_col) == F.col("cluster_id")).cast("int")
     )
