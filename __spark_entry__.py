@@ -47,6 +47,12 @@ from tilekiln_spark.operators.dedup import (
     simhash_pairs,
 )
 from tilekiln_spark.operators.mvt import mvt_layer_agg
+from tilekiln_spark.operators.sampling import (
+    _threshold_hex,
+    sample_by,
+    sample_fraction,
+    stratified_quota_sample,
+)
 from tilekiln_spark.operators.similarity import (
     brute_force_topk,
     cosine_sim,
@@ -633,6 +639,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_clusters"] = dedup_clusters_q
+
+    def sample_mix_q(spark, sf_dir):
+        """Deterministic corpus mixing (operators/sampling.py): an exact
+        per-source quota slice, a per-source fraction mix, and a global
+        holdout — every keep decision is md5(seed:key)-derived, so the
+        DuckDB twin selects the byte-identical row sets.  The two fraction
+        parts are map-only (no shuffle); the quota part is a literal
+        row_number filter Catalyst executes as WindowGroupLimit (partial
+        per-partition top-n before the stratum exchange)."""
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        parts = [
+            stratified_quota_sample(d, "source", 4, "doc_id", seed=11)
+            .withColumn("part", F.lit("quota")),
+            sample_by(d, "source", {"src13": 1.0, "src8": 0.5}, "doc_id",
+                      default=0.08, seed=11).withColumn("part", F.lit("mix")),
+            sample_fraction(d, 0.25, "doc_id", seed=11)
+            .withColumn("part", F.lit("holdout")),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("part", "doc_id", "source")
+
+    q["sample_mix"] = sample_mix_q
 
     def dedup_simhash_q(spark, sf_dir):
         """SimHash exact-dedup pipeline: hamming-0 LSH candidates verified by
@@ -1590,6 +1620,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN COALESCE(p.component, c.doc_id) = c.doc_id
                     THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
         FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    """
+
+    _mix_hash = "substr(md5('s11:' || CAST(doc_id AS VARCHAR)), 1, 16)"
+    o["sample_mix"] = f"""
+        WITH d AS (SELECT doc_id, source FROM documents)
+        SELECT 'quota' AS part, doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY {_mix_hash}, doc_id) AS rn
+            FROM d) WHERE rn <= 4
+        UNION ALL
+        SELECT 'mix', doc_id, source FROM d
+        WHERE {_mix_hash} < CASE source
+            WHEN 'src13' THEN '{_threshold_hex(1.0)}'
+            WHEN 'src8' THEN '{_threshold_hex(0.5)}'
+            ELSE '{_threshold_hex(0.08)}' END
+        UNION ALL
+        SELECT 'holdout', doc_id, source FROM d
+        WHERE {_mix_hash} < '{_threshold_hex(0.25)}'
     """
 
     o["dedup_simhash"] = """

@@ -99,6 +99,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
+        "sample_mix",
         "similarity_bruteforce",
         "ann_lsh_topk",
         "text_quality",

@@ -1,0 +1,70 @@
+"""Deterministic sampling / data-mixing operators (operators/sampling.py)."""
+
+import pyspark.sql.functions as F
+
+from tilekiln_spark.operators.sampling import (
+    _threshold_hex,
+    sample_by,
+    sample_fraction,
+    stratified_quota_sample,
+)
+
+
+def _corpus(spark):
+    rows = [(i, f"s{i % 5}") for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_threshold_hex_edges():
+    assert _threshold_hex(0.0) == "0" * 16
+    assert _threshold_hex(0.5) == "8000000000000000"
+    assert _threshold_hex(1.0) == "g"  # sorts after every hex string
+    assert _threshold_hex(2.0) == "g"
+    assert _threshold_hex(-1.0) == "0" * 16
+
+
+def test_sample_fraction_rate_and_stability(spark):
+    d = _corpus(spark)
+    kept = sample_fraction(d, 0.3, "doc_id", seed=7)
+    n = kept.count()
+    assert 240 <= n <= 360  # ~binomial(1000, .3), wide tolerance
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in sample_fraction(d.repartition(13), 0.3, "doc_id", seed=7).collect()}
+    assert a == b  # partition-layout independent
+    c = {r.doc_id for r in sample_fraction(d, 0.3, "doc_id", seed=8).collect()}
+    assert a != c  # seed actually matters
+    assert sample_fraction(d, 1.0, "doc_id").count() == 1000
+    assert sample_fraction(d, 0.0, "doc_id").count() == 0
+
+
+def test_sample_by_per_stratum(spark):
+    d = _corpus(spark)
+    kept = sample_by(d, "source", {"s0": 1.0, "s1": 0.5}, "doc_id", default=0.0, seed=7)
+    by = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert by["s0"] == 200  # fraction 1.0 keeps the whole stratum
+    assert 60 <= by.get("s1", 0) <= 140
+    assert set(by) == {"s0", "s1"}  # default 0.0 drops the rest
+
+
+def test_quota_sample_exact_and_capped(spark):
+    d = _corpus(spark)
+    q = stratified_quota_sample(d, "source", 7, "doc_id", seed=3)
+    counts = [r["count"] for r in q.groupBy("source").count().collect()]
+    assert counts == [7] * 5
+    # quota above the stratum size keeps the whole stratum
+    small = d.filter(F.col("doc_id") < 8)  # strata of size 1-2
+    q2 = stratified_quota_sample(small, "source", 10, "doc_id")
+    assert q2.count() == 8
+    # deterministic membership
+    a = {r.doc_id for r in q.collect()}
+    b = {r.doc_id for r in stratified_quota_sample(d.repartition(11), "source", 7, "doc_id", seed=3).collect()}
+    assert a == b
+
+
+def test_quota_sample_plan_uses_window_group_limit(spark):
+    d = _corpus(spark)
+    plan = (
+        stratified_quota_sample(d, "source", 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # partial top-n before the exchange

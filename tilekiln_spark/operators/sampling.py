@@ -1,0 +1,102 @@
+"""Deterministic sampling / data-mixing operators for training pipelines.
+
+Corpus mixing ("30% of source A, 5 docs per minority language, 10% global
+holdout") must be REPRODUCIBLE — rerunning the pipeline on the same corpus
+has to pick the same rows regardless of partitioning, cluster size, or
+engine, or downstream training sets silently drift.  Spark's native
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG, so results
+change with the partition layout; these operators instead derive every
+decision from ``md5(seed : key)``:
+
+- the hash is a pure projection — the fraction samplers are MAP-ONLY
+  (no shuffle, no RNG state, trivially pushed past scans);
+- md5 is identical in every engine, so a DuckDB/Postgres twin of the
+  pipeline selects the byte-identical row set (the driver oracle checks
+  exactly that);
+- comparisons happen on the lowercase HEX STRING: for fixed-width strings
+  lexicographic order == numeric order, so no engine-specific
+  hex-to-integer conversion is ever needed.
+
+Scale notes: ``sample_fraction``/``sample_by`` are narrow (filter only).
+``stratified_quota_sample`` ranks within strata — expressed as a literal
+``row_number() <= n`` filter so Catalyst's WindowGroupLimit prunes each map
+partition to its local top-n BEFORE the stratum shuffle: a whale stratum
+ships n rows per input partition, not its full membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 64-bit decision space: 16 hex chars of the md5.
+_WIDTH = 16
+
+
+def sample_hash(key: Column, seed: int = 42) -> Column:
+    """Deterministic per-row draw: first 16 hex chars of md5("s<seed>:<key>").
+
+    Lowercase hex; fixed width, so string order is uniform-draw order."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(f"s{seed}"), key.cast("string"))), 1, _WIDTH
+    )
+
+
+def _threshold_hex(fraction: float) -> str:
+    f = min(max(float(fraction), 0.0), 1.0)
+    if f >= 1.0:
+        return "g"  # 'g' sorts after every lowercase hex string: keep all
+    return format(int(f * (1 << 64)), "016x")
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, decided per-key by hash — map-only, no shuffle,
+    stable under repartitioning, and reproducible across engines."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(_threshold_hex(fraction)))
+
+
+def sample_by(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum fraction mixing (deterministic sampleBy).
+
+    ``fractions`` maps stratum value -> keep fraction; unlisted strata keep
+    ``default``.  One CASE expression over the stratum column — still
+    map-only."""
+    thresh = F.lit(_threshold_hex(default))
+    for val, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == F.lit(val), F.lit(_threshold_hex(frac))).otherwise(
+            thresh
+        )
+    return df.filter(sample_hash(F.col(key_col), seed) < thresh)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(quota, |stratum|) rows per stratum, picked by hash order
+    (ties broken by key, so the choice is total and deterministic).
+
+    The literal ``row_number() <= quota`` lets Catalyst's WindowGroupLimit
+    do a per-partition partial top-n before the stratum exchange."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(quota)))
+        .drop("__rn")
+    )
