@@ -329,15 +329,16 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    min-over-neighborhood is a whole-partition window aggregate (NO
+    groupBy+join: one exchange on src computes the min AND carries the rows
+    it annotates), then the emit is a projection and the dedup one more
+    exchange — 2 shuffles per star, both over the edge list only."""
     sym = _symmetrize(edges)
-    mins = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
-    )
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return (
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
@@ -346,19 +347,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges high->low, connect every low neighbor (and u itself) to
-    min(N-(u) + {u})."""
+    min(N-(u) + {u}).  Both emitted rows per input row come out of one
+    explode so the windowed frame is computed once (same 2-shuffle shape as
+    _large_star)."""
     o = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    mins = (
-        o.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
+    both = F.array(
+        F.struct(F.col("dst").alias("s"), F.col("m").alias("d")),
+        F.struct(F.col("src").alias("s"), F.col("m").alias("d")),
     )
-    j = o.join(mins, "src")
     return (
-        j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .union(j.select("src", F.col("m").alias("dst")))
+        o.withColumn("m", m)
+        .select(F.explode(both).alias("e"))
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -378,8 +381,11 @@ def connected_components(
     O(log^2 n) rounds regardless of component diameter, unlike naive
     min-label propagation whose round count is the graph diameter — the
     scale-safe choice when a duplicate cluster chains (doc A ~ B ~ C ... with
-    A !~ C, common for boilerplate families at web scale).  Each round is two
-    groupBy+join shuffles keyed on node id; `localCheckpoint` truncates the
+    A !~ C, common for boilerplate families at web scale).  Each round is 4
+    node-keyed shuffles over the edge list only (per star: one window-min
+    exchange that both computes min-over-neighborhood AND carries the rows
+    it annotates — no groupBy+join — plus one dedup exchange; audited in
+    PLANS.md); `localCheckpoint` truncates the
     lineage so the plan does not grow with the iteration count (an iterative
     driver loop, but every data operation is distributed — nothing beyond a
     2-value convergence aggregate ever reaches the driver).
