@@ -213,3 +213,55 @@ def test_stream_expiries_sees_fresh_source_data(spark, tmp_path, cfg):
     # values -> different blob bytes), not the first batch's checkpoint
     assert d1 and d2
     assert bytes(d1["water"]) != bytes(d2["water"])
+
+
+def test_stream_dedup_across_batches_and_restart(spark, tmp_path):
+    """stream_dedup emits each content hash once — within a batch, across
+    micro-batches, and across a checkpoint restart."""
+    import json
+
+    from tilekiln_spark.streaming.incremental import stream_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "ingest_ts": ts}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream_dedup(stream, "text", "ingest_ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.jsonl", [
+        (1, "alpha text", "2026-01-01T10:00:00"),
+        (2, "beta text", "2026-01-01T10:00:01"),
+        (3, "alpha text", "2026-01-01T10:00:02"),  # in-batch dup of 1
+    ])
+    run()
+    ids = {r.doc_id for r in spark.read.schema(schema).parquet(str(out)).collect()}
+    assert len(ids & {1, 3}) == 1  # exactly one copy of the dup content
+    assert 2 in ids
+
+    # restart with a new file: cross-batch dup suppressed by checkpointed state
+    write_batch("b2.jsonl", [
+        (4, "beta text", "2026-01-01T10:10:00"),   # dup of 2, inside watermark
+        (5, "gamma text", "2026-01-01T10:10:01"),
+    ])
+    run()
+    ids2 = {r.doc_id for r in spark.read.schema(schema).parquet(str(out)).collect()}
+    assert 5 in ids2 and 4 not in ids2
+    assert len(ids2) == 3  # one per distinct content

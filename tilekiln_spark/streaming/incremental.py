@@ -22,6 +22,7 @@ replays only unprocessed expiry files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tilekiln_spark.config.model import Config
 from tilekiln_spark.operators.tiling import render_zooms
@@ -132,3 +133,32 @@ def stream_expiries(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen-only streaming exact dedup on the content hash.
+
+    Incremental corpus ingestion (the streaming face of exact_dedup): each
+    micro-batch emits only documents whose md5(text) has not been seen
+    before, across batches and restarts — the dedup state lives in the
+    checkpoint.  ``dropDuplicatesWithinWatermark`` bounds that state: a
+    hash is remembered until the watermark passes its event time + the
+    delay, so state grows with the distinct-hash arrival rate inside the
+    watermark horizon, not with the full corpus history (the scale-honest
+    choice; an unbounded ``dropDuplicates`` would OOM a year-long ingest).
+    Late duplicates beyond the horizon are a documented recall trade-off —
+    the batch `dedup_clusters` pass downstream catches them.
+
+    State is partitioned by the 16-byte hash — uniform key space, no skew."""
+    h = F.md5(F.encode(F.col(text_col), "utf-8"))
+    return (
+        docs.withColumn("__h", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
