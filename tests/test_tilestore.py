@@ -148,6 +148,8 @@ def test_snapshots_and_lineage(store, spark):
     parts = {p["zoom"]: p for p in lin["partitions"]}
     assert parts[2]["num_tiles"] == 2
     assert parts[2]["x_min"] == 1 and parts[2]["x_max"] == 2
+    # coarse-cell histogram: zoom 2 < _HIST_ZOOM so cells == tiles
+    assert parts[2]["cell_hist"] == {"1/0": 1, "2/0": 1}
 
 
 def test_greatest_generated_across_layers(store, spark):
@@ -197,6 +199,8 @@ def test_partial_save_rewrites_only_touched_partitions(spark, tmp_path):
     # lineage rows only for the touched partition
     lin = s.lineage(n2)
     assert [p["zoom"] for p in lin["partitions"]] == [5]
+    # zoom 5 rolls up to z4 ancestor cells (x>>1, y>>1)
+    assert lin["partitions"][0]["cell_hist"] == {"1/1": 1, "2/2": 1}
     # merged read still sees everything
     got = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in s.read().collect()}
     assert got == {(2, 1, 0): b"A", (5, 3, 3): b"B", (5, 4, 4): b"C"}

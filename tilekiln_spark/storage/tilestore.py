@@ -54,6 +54,10 @@ from tilekiln_spark.config.errors import LayerNotDefined, ZoomNotDefined
 
 PERCENTILES = [0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 1.0]  # storage.py:25
 
+# Lineage cell-histogram granularity: tile counts roll up to the zoom<=4
+# ancestor cell, bounding each zoom's histogram at 2^4 * 2^4 = 256 buckets.
+_HIST_ZOOM = 4
+
 
 class TileStore:
     def __init__(self, spark: SparkSession, root: str, tileset_id: str):
@@ -181,6 +185,27 @@ class TileStore:
             )
             .collect()
         ]
+        # Coarse-cell histogram per touched zoom (north-star lineage shape:
+        # "tile range, row counts, cell histograms"): tile counts rolled up
+        # to the zoom<=4 ancestor cell, so each zoom contributes <=256
+        # buckets regardless of batch size — density skew is visible in the
+        # snapshot metadata (which coarse web regions dominated the commit)
+        # without any unbounded driver collect.
+        shift = f"greatest(zoom - {_HIST_ZOOM}, 0)"
+        hist_rows = (
+            df.groupBy(
+                "zoom",
+                F.expr(f"shiftright(x, {shift})").alias("cx"),
+                F.expr(f"shiftright(y, {shift})").alias("cy"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        cell_hist: dict[int, dict[str, int]] = {}
+        for r in hist_rows:
+            cell_hist.setdefault(r["zoom"], {})[f"{r['cx']}/{r['cy']}"] = r["n"]
+        for row in lineage:
+            row["cell_hist"] = cell_hist.get(row["zoom"], {})
         (
             df.drop("__size")
             .repartition("zoom")
