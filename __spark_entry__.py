@@ -1324,6 +1324,23 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_quantized_topk(spark, sf_dir):
+        """Brute-force top-k over int8-quantized embeddings
+        (operators/similarity.py quantize_embeddings / quantized_topk):
+        symmetric per-vector quantization, exact integer dot/norm
+        accumulation, one double ratio — the DuckDB twin reproduces the
+        raw qcos doubles bit-for-bit (no rounding in the compare)."""
+        from tilekiln_spark.operators.similarity import quantized_topk
+
+        emb = _embeddings(spark, sf_dir)
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return quantized_topk(corpus, probes, k=10)
+
+    q["ann_quantized_topk"] = ann_quantized_topk
+
     def embedding_neardups(spark, sf_dir):
         emb = _embeddings(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1962,6 +1979,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT probe_id, vec_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10
+    """
+
+    o["ann_quantized_topk"] = """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+                   embedding
+            FROM embeddings
+        ), qq AS (
+            SELECT vec_id,
+                   CASE WHEN s > 0 THEN list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE)/s + 0.5) AS INTEGER))
+                        ELSE list_transform(embedding, x -> 0) END AS q8
+            FROM q
+        ), probes AS (SELECT vec_id AS probe_id, q8 AS pq8 FROM qq WHERE vec_id < 5),
+        corpus AS (SELECT * FROM qq WHERE vec_id >= 5),
+        pairs AS (
+            SELECT p.probe_id, c.vec_id,
+                CAST(list_sum(list_transform(range(1, len(c.q8)+1),
+                    i -> CAST(c.q8[i] AS BIGINT) * p.pq8[i])) AS DOUBLE) /
+                (sqrt(CAST(list_sum(list_transform(c.q8,
+                    v -> CAST(v AS BIGINT)*v)) AS DOUBLE)) *
+                 sqrt(CAST(list_sum(list_transform(p.pq8,
+                    v -> CAST(v AS BIGINT)*v)) AS DOUBLE))) AS qcos
+            FROM corpus c CROSS JOIN probes p
+        )
+        SELECT probe_id, vec_id, qcos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY qcos DESC, vec_id) AS rank FROM pairs
+        ) WHERE rank <= 10
     """
 
     o["ann_ivf_topk"] = """

@@ -102,6 +102,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "sample_mix",
         "similarity_bruteforce",
         "ann_lsh_topk",
+        "ann_quantized_topk",
         "text_quality",
         "fingerprints",
         "event_windows",

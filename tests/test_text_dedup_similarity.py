@@ -341,3 +341,42 @@ def test_dedup_clusters_pipeline(spark):
         members[r.cluster_id].append(r.doc_id)
     for cid, ms in members.items():
         assert cid == min(ms)
+
+
+def test_quantize_embeddings_roundtrip_and_zero(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embeddings,
+    )
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    got = {r.vec_id: r for r in q.withColumn(
+        "deq", dequantize_embedding(F.col("q8"), F.col("q8_scale"))).collect()}
+    # q in [-127, 127]; max-abs element hits exactly +-127
+    assert got[1].q8 == [64, -127, 32, 0]
+    # reconstruction error bounded by scale/2
+    err = np.abs(np.array(got[1].deq) - np.array(rows[0][1])).max()
+    assert err <= got[1].q8_scale / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, cosine guard path
+    assert got[2].q8 == [0, 0, 0, 0] and got[2].q8_scale == 0.0
+
+
+def test_quantized_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    truth = {(r.probe_id, r.vec_id)
+             for r in brute_force_topk(corpus, probes, k=10).collect()}
+    got = {(r.probe_id, r.vec_id)
+           for r in quantized_topk(corpus, probes, k=10).collect()}
+    assert len(got & truth) / len(truth) >= 0.9  # int8 barely moves top-10

@@ -427,3 +427,86 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("key_a", "key_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (4x storage/shuffle reduction at corpus scale)
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(v / scale) with
+    scale = max|v| / 127, so q in [-127, 127].
+
+    At 10^12-doc scale the embedding column dominates storage and shuffle
+    width; int8 cuts both 4x while cosine ranking is untouched in
+    EXPECTATION and — because symmetric quantization is a pure per-vector
+    rescale — cosine computed ON the int arrays equals cosine of the
+    dequantized vectors exactly (the scales cancel in the normalized
+    ratio).  Pure codegen expressions (no UDF): rounding is
+    floor(x/scale + 0.5), which every engine evaluates identically on
+    IEEE doubles — the driver oracle exploits that for byte-identical
+    cross-engine parity.  Zero vectors quantize to all-zero with scale 0."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("q8_scale")
+    q = F.when(
+        F.col("q8_scale") > 0,
+        F.transform(v, lambda x: F.floor(x / F.col("q8_scale") + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn("q8_scale", scale).withColumn("q8", q)
+
+
+def dequantize_embedding(q_col: Column, scale_col: Column) -> Column:
+    """array<double> reconstruction: q * scale (max abs error scale/2)."""
+    return F.transform(q_col, lambda x: x.cast("double") * scale_col)
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8 arrays with EXACT integer dot/norm accumulation
+    (long sums; products <= 127^2 * dim stay far inside 2^63), finalized as
+    one double ratio — bit-identical across engines for identical ints."""
+    d = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    na = F.aggregate(
+        F.transform(qa, lambda a: (a * a).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    ).cast("double")
+    nb = F.aggregate(
+        F.transform(qb, lambda b: (b * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    ).cast("double")
+    return F.when(
+        (na > 0) & (nb > 0), d / (F.sqrt(na) * F.sqrt(nb))
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    probe_key: str = "probe_id",
+) -> DataFrame:
+    """brute_force_topk over int8-quantized vectors: the memory-bandwidth
+    baseline for ANN at scale (same broadcast-probes plan, quarter-width
+    corpus column).  Returns (probe_id, vec_id, qcos, rank)."""
+    qc = quantize_embeddings(corpus, vec_col).select(key_col, "q8")
+    qp = quantize_embeddings(probes, vec_col).select(
+        F.col(probe_key), F.col("q8").alias("__pq8")
+    )
+    joined = qc.join(F.broadcast(qp))
+    w = Window.partitionBy(probe_key).orderBy(
+        F.col("qcos").desc(), F.col(key_col).asc()
+    )
+    return (
+        joined.withColumn("qcos", quantized_cosine(F.col("q8"), F.col("__pq8")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_key, key_col, "qcos", "rank")
+    )
