@@ -603,6 +603,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_windows"] = event_windows
 
+    def event_sessions(spark, sf_dir):
+        """Web-log sessionization (operators/events.py): per-user sessions
+        split at >30-minute gaps via native session_window (the identical
+        aggregate runs as a streaming query with a watermark).  DuckDB twin
+        is the classic gaps-and-islands rewrite — lag + cumulative
+        new-session flags."""
+        from tilekiln_spark.operators.events import sessionize
+
+        return sessionize(_events(spark, sf_dir), gap="30 minutes")
+
+    q["event_sessions"] = event_sessions
+
     # ---- training-data ops ----
 
     def dedup_exact_q(spark, sf_dir):
@@ -1583,6 +1595,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                round(avg(value), 4) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+
+    o["event_sessions"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM islands GROUP BY user_id, sid
     """
 
     o["dedup_exact"] = f"""

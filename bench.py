@@ -106,6 +106,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "text_quality",
         "fingerprints",
         "event_windows",
+        "event_sessions",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python
