@@ -68,3 +68,14 @@ def test_quota_sample_plan_uses_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan  # partial top-n before the exchange
+
+
+def test_sample_by_broadcast_path_matches_case_path(spark):
+    d = _corpus(spark)
+    fr = {"s0": 1.0, "s1": 0.5}
+    big = dict(fr, **{f"zz{i}": 0.0 for i in range(70)})  # force the join path
+    a = {r.doc_id for r in sample_by(d, "source", fr, "doc_id", default=0.2, seed=7).collect()}
+    b = {r.doc_id for r in sample_by(d, "source", big, "doc_id", default=0.2, seed=7).collect()}
+    assert a == b  # identical decisions, different physical plan
+    plan = sample_by(d, "source", big, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

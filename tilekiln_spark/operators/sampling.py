@@ -70,8 +70,25 @@ def sample_by(
     """Per-stratum fraction mixing (deterministic sampleBy).
 
     ``fractions`` maps stratum value -> keep fraction; unlisted strata keep
-    ``default``.  One CASE expression over the stratum column — still
-    map-only."""
+    ``default``.  Small dicts compile to one CASE expression (map-only);
+    past 64 strata the thresholds become a broadcast dim joined on the
+    stratum column instead — a 10k-source mixing config would otherwise
+    produce a 10k-branch CASE that bloats codegen, while the broadcast
+    hash join stays narrow and shuffle-free."""
+    if len(fractions) > 64:
+        spark = df.sparkSession
+        dim = spark.createDataFrame(
+            [(val, _threshold_hex(frac)) for val, frac in sorted(fractions.items())],
+            f"{strata_col} string, __thresh string",
+        )
+        return (
+            df.join(F.broadcast(dim), strata_col, "left")
+            .filter(
+                sample_hash(F.col(key_col), seed)
+                < F.coalesce(F.col("__thresh"), F.lit(_threshold_hex(default)))
+            )
+            .drop("__thresh")
+        )
     thresh = F.lit(_threshold_hex(default))
     for val, frac in sorted(fractions.items()):
         thresh = F.when(F.col(strata_col) == F.lit(val), F.lit(_threshold_hex(frac))).otherwise(
