@@ -95,26 +95,39 @@ def main():
             if "error" in r:
                 continue
             by_cycle[(r["metric"], r.get("pages_n"), r.get("cycle"), p)][r["cpus"]] = r
-    paired: dict = {}
+    # CLEAN-window filter: a same-cycle pair is only admissible when BOTH
+    # cells ran near their own harvested minimum (<= 1.25x) — otherwise a
+    # co-tenant burst on the low-thread cell manufactures a flattering
+    # (even super-linear) ratio that measures the neighbor, not the plan.
+    CLEAN = 1.25
+    paired: dict = defaultdict(list)
     for (metric, pn, cyc, _p), by_cpu in by_cycle.items():
         for lo, hi in ((8, 32), (4, 16)):
             if lo in by_cpu and hi in by_cpu:
+                mlo = cells.get((lo, metric, pn), {}).get("sec")
+                mhi = cells.get((hi, metric, pn), {}).get("sec")
+                if not mlo or not mhi:
+                    continue
+                if by_cpu[lo]["sec"] > mlo * CLEAN or by_cpu[hi]["sec"] > mhi * CLEAN:
+                    continue
                 eff = (by_cpu[lo]["sec"] / by_cpu[hi]["sec"]) / (hi / lo)
-                k = (metric, pn, lo, hi)
-                if k not in paired or eff > paired[k][0]:
-                    paired[k] = (eff, cyc, by_cpu[lo]["sec"], by_cpu[hi]["sec"])
+                paired[(metric, pn, lo, hi)].append(
+                    (eff, cyc, by_cpu[lo]["sec"], by_cpu[hi]["sec"])
+                )
     lines += [
         "",
-        "## Best same-window pair (both cells in one harvest cycle)",
+        "## Clean same-window pairs (both cells in one harvest cycle,",
+        "## each within 1.25x of its harvested minimum; top 3 per pair)",
         "",
         "| job | input | pair | t_low | t_high | efficiency | cycle |",
         "|---|---|---|---|---|---|---|",
     ]
-    for (metric, pn, lo, hi), (eff, cyc, tl, th) in sorted(paired.items()):
-        lines.append(
-            f"| {metric} | {pn:,} pages | local[{lo}]->local[{hi}] "
-            f"| {tl}s | {th}s | **{eff:.3f}** | {cyc} |"
-        )
+    for (metric, pn, lo, hi), prs in sorted(paired.items()):
+        for eff, cyc, tl, th in sorted(prs, reverse=True)[:3]:
+            lines.append(
+                f"| {metric} | {pn:,} pages | local[{lo}]->local[{hi}] "
+                f"| {tl}s | {th}s | **{eff:.3f}** | {cyc} |"
+            )
     # CPU-seconds attribution (judge-requested): executor task metrics from
     # the event log of each cell's MIN-wall observation.  If the per-core
     # CPU-seconds of the SAME job inflate with thread count (GC flat), the
