@@ -1127,6 +1127,36 @@ WHERE way && {{bbox}} AND coalesce(d.family, 'other') <> 'romance'
 
     q["template_compile_join"] = template_compile_join
 
+    def template_compile_semijoin(spark, sf_dir):
+        """Round-4 compiler tier: `IN (SELECT col FROM tbl WHERE ...)`
+        membership subqueries compiled to a LEFT-SEMI join on a distinct
+        one-column build side (config/sqlt.py _apply_in_subquery), plus the
+        `%` modulo operator.  DuckDB runs the identical IN-subquery."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        dim = spark.createDataFrame(
+            [("en", 1), ("de", 0), ("fr", 1), ("es", 0)],
+            "lang string, keep integer",
+        )
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       doc_id, lang
+FROM docs_geo
+WHERE way && {{bbox}}
+  AND lang IN (SELECT lang FROM langkeep WHERE keep = 1)
+  AND doc_id % 3 = 0
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"},
+                              "langkeep": {"frame": dim, "kind": "point",
+                                           "broadcast": True}}}
+        feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
+        return feats.groupBy("zoom", "lang").agg(
+            F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+        )
+
+    q["template_compile_semijoin"] = template_compile_semijoin
+
     def template_compile_hstore(spark, sf_dir):
         """Round-4 compiler tier #4 (config/sqlt.py): hstore-style operators
         over a map<string,string> column (osm2pgsql's `tags` shape) —
@@ -2167,6 +2197,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(weight), 3) AS sum_w
         FROM j GROUP BY 1, 2, 3
+    """
+
+    o["template_compile_semijoin"] = f"""
+        {_GEO_CTE},
+        dim(lang, keep) AS (VALUES ('en', 1), ('de', 0), ('fr', 1), ('es', 0))
+        SELECT 2 AS zoom, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM geo
+        WHERE lang IN (SELECT lang FROM dim WHERE keep = 1)
+          AND doc_id % 3 = 0
+        GROUP BY 1, 2
     """
 
     o["template_compile_hstore"] = f"""

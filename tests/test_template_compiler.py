@@ -988,3 +988,42 @@ def test_count_sum_distinct_aggregates(spark):
             "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}) AS way, "
             "avg(DISTINCT n) AS a_ FROM t WHERE way && {{bbox}}"
         ).build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [1], 4096, 0)
+
+
+def test_compile_modulo_and_in_subquery(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.0, 2.0, 3, "city"), (1.5, 2.5, 4, "town"), (1.6, 2.6, 6, "city")],
+        "mx double, my double, osm_id long, place string")
+    allowed = spark.createDataFrame([("city",), (None,)], "place string")
+    tables = {"t": {"frame": pts, "kind": "point"},
+              "allowed": {"frame": allowed, "kind": "point", "broadcast": True}}
+    body = ("select osm_id, ST_AsMVTGeom(way, {{bbox}}, {{extent}}) as way "
+            "from t where osm_id % 2 = 0")
+    got = CompiledTemplate(body).build({"tables": tables}, [3], 4096, 0)
+    assert sorted(r.osm_id for r in got.select("osm_id").collect()) == [4, 6]
+    body = ("select osm_id, ST_AsMVTGeom(way, {{bbox}}, {{extent}}) as way "
+            "from t where place in (select place from allowed where place is not null)")
+    df = CompiledTemplate(body).build({"tables": tables}, [3], 4096, 0)
+    assert sorted(r.osm_id for r in df.select("osm_id").collect()) == [3, 6]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_in_subquery_named_rejections(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame([(1.0, 2.0, 3, "city")],
+                                "mx double, my double, osm_id long, place string")
+    allowed = spark.createDataFrame([("city",)], "place string")
+    tables = {"t": {"frame": pts, "kind": "point"},
+              "allowed": {"frame": allowed, "kind": "point"}}
+    sel = "select osm_id, ST_AsMVTGeom(way, {{bbox}}, {{extent}}) as way from t where "
+    with pytest.raises(DefinitionError, match="NOT IN .SELECT"):
+        CompiledTemplate(sel + "place not in (select place from allowed)").build(
+            {"tables": tables}, [3], 4096, 0)
+    with pytest.raises(DefinitionError, match="top-level AND conjunct"):
+        CompiledTemplate(
+            sel + "osm_id = 1 or place in (select place from allowed)").build(
+            {"tables": tables}, [3], 4096, 0)

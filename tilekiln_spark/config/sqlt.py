@@ -50,6 +50,10 @@ Pipeline per definition band:
      (px, py, props) row (what the reference's per-tile DISTINCT sees)
    - ``CASE WHEN`` / ``LIKE`` / ``ILIKE`` / ``BETWEEN`` / derived tables /
      ``INNER``/``LEFT JOIN`` with aliases — the tier-2 surface (round 4)
+   - ``expr IN (SELECT col FROM tbl [WHERE ...])`` -> LEFT-SEMI join on a
+     distinct one-column build side (top-level AND conjuncts only; NOT IN
+     subqueries rejected with a named error citing their null semantics);
+     ``%`` modulo (remainder sign matches Postgres)
 
 Tables resolve through ``sources["tables"]``: a dict mapping SQL table
 names to ``{"frame": DataFrame | (sources -> DataFrame), "kind":
@@ -110,7 +114,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"[^"]+")
   | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|!=|::|&&|->|[(),=<>+\-*/^.?])
+  | (?P<op><=|>=|<>|!=|::|&&|->|[(),=<>+\-*/^.?%])
 """,
     re.X,
 )
@@ -201,6 +205,16 @@ class InList:
     expr: object
     values: list
     negated: bool = False
+
+
+@dataclass
+class InSubquery:
+    """`expr IN (SELECT col FROM table [WHERE ...])` — uncorrelated
+    membership subquery, compiled to a left-semi join (see build)."""
+    expr: object
+    column: object
+    table: str
+    where: object | None
 
 
 @dataclass
@@ -482,6 +496,27 @@ class _Parser:
             return Like(e, self.additive(), neg, ci=(v == "ilike"))
         if self.accept("kw", "in"):
             self.expect("op", "(")
+            if self.peek() == ("kw", "select"):
+                if neg:
+                    raise DefinitionError(
+                        "template SQL: NOT IN (SELECT ...) is not supported — "
+                        "its SQL null semantics (any NULL in the subquery "
+                        "empties the result) silently differ from an "
+                        "anti-join; filter nulls and use a LEFT JOIN ... "
+                        "IS NULL instead"
+                    )
+                self.next()
+                col = self.additive()
+                self.expect("kw", "from")
+                tk, tv = self.next()
+                if tk != "id":
+                    raise DefinitionError(
+                        "template SQL: IN (SELECT ...) subquery must read "
+                        "one plain source table"
+                    )
+                sub_where = self.or_expr() if self.accept("kw", "where") else None
+                self.expect("op", ")")
+                return InSubquery(e, col, tv, sub_where)
             vals = [self.additive()]
             while self.accept("op", ","):
                 vals.append(self.additive())
@@ -503,7 +538,7 @@ class _Parser:
         e = self.power()
         while True:
             k, v = self.peek()
-            if k == "op" and v in ("*", "/"):
+            if k == "op" and v in ("*", "/", "%"):
                 self.next()
                 e = Bin(v, e, self.power())
             else:
@@ -672,6 +707,12 @@ def _to_col(ast, extent: int) -> Column:
         if ast.default is not None:
             col = col.otherwise(_to_col(ast.default, extent))
         return col
+    if isinstance(ast, InSubquery):
+        raise DefinitionError(
+            "template SQL: IN (SELECT ...) is only supported as a top-level "
+            "AND conjunct of WHERE (it compiles to a semi-join, which cannot "
+            "sit under OR / NOT / expressions)"
+        )
     if isinstance(ast, InList):
         c = _to_col(ast.expr, extent)
         vals = []
@@ -712,6 +753,8 @@ def _to_col(ast, extent: int) -> Column:
             "-": lambda: l - r,
             "*": lambda: l * r,
             "/": lambda: l / r,
+            "%": lambda: l % r,  # remainder takes the dividend's sign in
+            # both Postgres and Spark, so `osm_id % 8 = 0` ports verbatim
             "^": lambda: l ** r,
         }[ast.op]()
     if isinstance(ast, Func):
@@ -804,6 +847,10 @@ def _fold_pow_literals(ast):
         ast.expr = _fold_pow_literals(ast.expr)
         # fold Un('-', Lit) inside IN lists so `x IN (-1, 2)` compiles
         ast.values = [_fold_pow_literals(v) for v in ast.values]
+    elif isinstance(ast, InSubquery):
+        ast.expr = _fold_pow_literals(ast.expr)
+        if ast.where is not None:
+            ast.where = _fold_pow_literals(ast.where)
     elif isinstance(ast, IsNull):
         ast.expr = _fold_pow_literals(ast.expr)
     elif isinstance(ast, Cast):
@@ -892,6 +939,11 @@ def _extract_aggs(ast, aggs: list):
     if isinstance(ast, InList):
         return InList(_extract_aggs(ast.expr, aggs),
                       [_extract_aggs(v, aggs) for v in ast.values], ast.negated)
+    if isinstance(ast, InSubquery):
+        raise DefinitionError(
+            "template SQL: IN (SELECT ...) is not supported inside "
+            "aggregate or HAVING expressions"
+        )
     if isinstance(ast, IsNull):
         return IsNull(_extract_aggs(ast.expr, aggs), ast.negated)
     if isinstance(ast, Between):
@@ -1047,6 +1099,8 @@ def _no_pseudo(ast) -> None:
         _no_pseudo(ast.expr)
         for v in ast.values:
             _no_pseudo(v)
+    elif isinstance(ast, InSubquery):
+        _no_pseudo(ast.expr)
     elif isinstance(ast, (IsNull, Like, Cast)):
         _no_pseudo(ast.expr)
     elif isinstance(ast, Between):
@@ -1128,6 +1182,10 @@ def _rewrite_idents(ast, fn):
             [_rewrite_idents(v, fn) for v in ast.values],
             ast.negated,
         )
+    if isinstance(ast, InSubquery):
+        return InSubquery(
+            _rewrite_idents(ast.expr, fn), ast.column, ast.table, ast.where
+        )
     if isinstance(ast, IsNull):
         return IsNull(_rewrite_idents(ast.expr, fn), ast.negated)
     if isinstance(ast, Cast):
@@ -1172,6 +1230,49 @@ def _make_qual_resolver(aliases: dict[str, dict[str, str]]):
             )
         return Ident(actual, idf.cast)
     return fn
+
+
+def _split_semijoins(where):
+    """Split a WHERE tree into (residual_predicate, [InSubquery, ...]).
+
+    Only top-level AND conjuncts may be subqueries (each becomes one
+    left-semi join); anything deeper is rejected later by _to_col with a
+    named error."""
+    if where is None:
+        return None, []
+    if isinstance(where, InSubquery):
+        return None, [where]
+    if isinstance(where, Bin) and where.op == "and":
+        lw, ls = _split_semijoins(where.left)
+        rw, rs = _split_semijoins(where.right)
+        if not ls and not rs:
+            return where, []
+        if lw is None:
+            return rw, ls + rs
+        if rw is None:
+            return lw, ls + rs
+        return Bin("and", lw, rw), ls + rs
+    return where, []
+
+
+def _apply_in_subquery(df: DataFrame, sub: InSubquery, sources: dict, extent: int) -> DataFrame:
+    """`expr IN (SELECT col FROM tbl [WHERE ...])` as a LEFT-SEMI join.
+
+    The subquery side projects one distinct key column, so the join carries
+    the narrowest possible build side; a `broadcast: True` table spec (or
+    Catalyst's own size estimate / AQE) picks the broadcast strategy, and
+    the semi join never duplicates outer rows — exactly SQL IN semantics
+    for non-null keys."""
+    inner, _kind = _resolve_table(sources, sub.table)
+    if sub.where is not None:
+        _no_pseudo(sub.where)
+        inner = inner.filter(_to_col(sub.where, extent))
+    key = _to_col(sub.column, extent).alias("__in_k")
+    keys = inner.select(key).distinct()
+    spec = (sources.get("tables") or {}).get(sub.table) or {}
+    if spec.get("broadcast"):
+        keys = F.broadcast(keys)
+    return df.join(keys, on=_to_col(sub.expr, extent) == F.col("__in_k"), how="left_semi")
 
 
 def _resolve_from(sources: dict, s: Select):
@@ -1373,6 +1474,8 @@ class CompiledTemplate:
     def build(
         self, sources: dict, zooms: list[int], extent: int, buffer: int
     ) -> DataFrame:
+        """Compile every zoom group's SELECT branches onto the sources and
+        union them (see module header for the construct -> plan mapping)."""
         from tilekiln_spark.operators.tiling import (
             _cluster_label_points,
             _explode_zooms,
@@ -1385,8 +1488,11 @@ class CompiledTemplate:
                 frame, kind, where, items_all, having = _resolve_from(sources, s)
                 mode, items = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)
+                where, semis = _split_semijoins(where)
                 if where is not None:
                     df = df.filter(_to_col(where, extent))
+                for sub in semis:
+                    df = _apply_in_subquery(df, sub, sources, extent)
                 if s.group and mode != "cluster":
                     raise DefinitionError(
                         "template SQL: GROUP BY requires the aggregate "
