@@ -125,7 +125,7 @@ _KEYWORDS = {
     "case", "when", "then", "else", "end", "between", "like", "ilike",
     "join", "on", "inner", "left", "outer",
     "order", "by", "asc", "desc", "limit",
-    "group", "having", "distinct",
+    "group", "having", "distinct", "exists",
 }
 
 
@@ -460,6 +460,12 @@ class _Parser:
     def not_expr(self):
         if self.accept("kw", "not"):
             return Un("not", self.not_expr())
+        if self.peek() == ("kw", "exists"):
+            raise DefinitionError(
+                "template SQL: EXISTS subqueries are not supported — rewrite "
+                "an uncorrelated membership test as "
+                "`col IN (SELECT col FROM tbl [WHERE ...])`"
+            )
         return self.cmp()
 
     def cmp(self):
