@@ -727,6 +727,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = text_quality
 
+    def text_pii_repetition(spark, sf_dir):
+        """MassiveText/Gopher-style repetition signals + PII scrubbing
+        (functions/text.py): duplicate-line / duplicate-2-gram / bullet /
+        ellipsis fractions, per-category PII counts, and md5 of the
+        REDACTED text (so redaction is byte-checked cross-engine).  The
+        corpus plants PII + repeated lines deterministically from doc_id;
+        the DuckDB twin builds the identical planted rows."""
+        from tilekiln_spark.functions.text import (
+            bullet_line_fraction,
+            dup_line_fraction,
+            dup_ngram_fraction,
+            ellipsis_line_fraction,
+            pii_counts,
+            redact_pii,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        nl = F.lit("\n")
+        planted = d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.lit("contact u"), F.col("doc_id").cast("string"),
+                F.lit("@ex.com for info"), nl,
+                F.lit("same line"), nl, F.lit("same line"), nl,
+                F.lit("- bullet item"), nl,
+                F.lit("ip 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+                F.lit(" call 555-123-4567 soon..."),
+            ).alias("text"),
+        )
+        c = d.unionByName(planted)
+        cnts = pii_counts(F.col("text"))
+        return c.select(
+            "doc_id",
+            F.round(dup_line_fraction("text"), 4).alias("dup_line_frac"),
+            F.round(dup_ngram_fraction("text", 2), 4).alias("dup_2gram_frac"),
+            F.round(bullet_line_fraction("text"), 4).alias("bullet_frac"),
+            F.round(ellipsis_line_fraction("text"), 4).alias("ellipsis_frac"),
+            cnts["email"].alias("n_email"),
+            cnts["ipv4"].alias("n_ipv4"),
+            cnts["phone"].alias("n_phone"),
+            F.md5(F.encode(redact_pii("text"), "utf-8")).alias("redacted_md5"),
+        )
+
+    q["text_pii_repetition"] = text_pii_repetition
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -1749,6 +1794,57 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
                      len(list_distinct(sa || sb)), 4) AS jaccard
         FROM sh
+    """
+
+    o["text_pii_repetition"] = r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 300000,
+                   'contact u' || CAST(doc_id AS VARCHAR) || '@ex.com for info'
+                   || chr(10) || 'same line' || chr(10) || 'same line'
+                   || chr(10) || '- bullet item' || chr(10)
+                   || 'ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                   || ' call 555-123-4567 soon...'
+            FROM documents WHERE doc_id < 40
+        ), l AS (
+            SELECT doc_id, text,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '\n'), x -> trim(x)),
+                       x -> x != '') AS ls,
+                   CASE WHEN len(toks) >= 2 THEN list_transform(
+                       range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [] END AS gs
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                  FROM corpus)
+        )
+        SELECT doc_id,
+            round(CASE WHEN len(ls) > 1
+                THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls)
+                ELSE 0.0 END, 4) AS dup_line_frac,
+            round(CASE WHEN len(gs) > 1
+                THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)/len(gs)
+                ELSE 0.0 END, 4) AS dup_2gram_frac,
+            round(CASE WHEN len(ls) > 0
+                THEN CAST(len(list_filter(ls,
+                    x -> regexp_matches(x, '^(-|\*|\d+\.)\s'))) AS DOUBLE)/len(ls)
+                ELSE 0.0 END, 4) AS bullet_frac,
+            round(CASE WHEN len(ls) > 0
+                THEN CAST(len(list_filter(ls,
+                    x -> regexp_matches(x, '\.\.\.$'))) AS DOUBLE)/len(ls)
+                ELSE 0.0 END, 4) AS ellipsis_frac,
+            CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+            CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+            CAST(len(regexp_extract_all(text,
+                '\+\d{7,15}\b|\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                '\+\d{7,15}\b|\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        FROM l
     """
 
     o["text_quality"] = """

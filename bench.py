@@ -104,6 +104,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "ann_lsh_topk",
         "ann_quantized_topk",
         "text_quality",
+        "text_pii_repetition",
         "fingerprints",
         "event_windows",
         "event_sessions",

@@ -380,3 +380,33 @@ def test_quantized_topk_recall(spark):
     got = {(r.probe_id, r.vec_id)
            for r in quantized_topk(corpus, probes, k=10).collect()}
     assert len(got & truth) / len(truth) >= 0.9  # int8 barely moves top-10
+
+
+def test_repetition_signals_and_pii(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.text import (
+        bullet_line_fraction,
+        dup_line_fraction,
+        dup_ngram_fraction,
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [(1, "a\nb\na\n- x item\ny..."),
+            (2, "mail me at a.b+c@d-e.org or 10.1.2.3 / +4915112345678 / 555-123-4567"),
+            (3, ""), (4, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cnts = pii_counts(F.col("text"))
+    got = {r.doc_id: r for r in df.select(
+        "doc_id",
+        F.round(dup_line_fraction("text"), 4).alias("dlf"),
+        F.round(dup_ngram_fraction("text", 2), 4).alias("dnf"),
+        F.round(bullet_line_fraction("text"), 4).alias("blf"),
+        cnts["email"].alias("ne"), cnts["ipv4"].alias("ni"), cnts["phone"].alias("np"),
+        redact_pii("text").alias("red")).collect()}
+    assert got[1].dlf == 0.2 and got[1].blf == 0.2  # 1 dup of 5, 1 bullet of 5
+    assert (got[2].ne, got[2].ni, got[2].np) == (1, 1, 2)
+    assert got[2].red == "mail me at <EMAIL> or <IPV4> / <PHONE> / <PHONE>"
+    # degenerate docs: all-zero signals, no crash
+    assert got[3].dlf == 0.0 and got[4].dnf == 0.0

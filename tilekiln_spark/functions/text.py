@@ -143,3 +143,85 @@ def chunk_fingerprints(text: Column | str, chunk: int = 64) -> Column:
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
         lambda i: F.md5(F.encode(F.substring(t, i * chunk + 1, chunk), "utf-8")),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (MassiveText/Gopher-style quality filters)
+# --------------------------------------------------------------------------
+
+def _lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(_c(text), r"\n"), F.trim), lambda x: x != ""
+    )
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line (0 when the
+    document has <2 lines).  High values flag boilerplate/navigation pages."""
+    ls = _lines(text)
+    n = F.size(ls)
+    return F.when(
+        n > 1, 1.0 - F.size(F.array_distinct(ls)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Fraction of duplicate token n-grams (MassiveText's duplicate-n-gram
+    family).  Shares the tokenizer with the dedup shingles."""
+    from tilekiln_spark.operators.dedup import shingles
+
+    sh = shingles(_c(text), n)
+    cnt = F.size(sh)
+    return F.when(
+        cnt > 1, 1.0 - F.size(F.array_distinct(sh)).cast("double") / cnt
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, or digit.)."""
+    ls = _lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda x: x.rlike(r"^(-|\*|\d+\.)\s")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: Column | str) -> Column:
+    """Fraction of lines ending in an ellipsis (truncated snippets)."""
+    ls = _lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda x: x.rlike(r"\.\.\.$")))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+# Conservative patterns written to the COMMON subset of Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences — the same pattern
+# string produces byte-identical matches in both engines, which the driver
+# oracle exploits by md5-comparing the redacted text.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b|\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match count per PII category (map over regexp_extract_all)."""
+    t = _c(text)
+    return {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII category with a <CATEGORY> placeholder.  Order is
+    fixed (email, ipv4, phone) so redaction is deterministic; scrubbing is
+    a map-only projection suitable for the corpus-materialization pass."""
+    t = _c(text)
+    for k in ("email", "ipv4", "phone"):
+        t = F.regexp_replace(t, PII_PATTERNS[k], f"<{k.upper()}>")
+    return t
