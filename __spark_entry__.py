@@ -772,6 +772,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pii_repetition"] = text_pii_repetition
 
+    def decontaminate_overlap(spark, sf_dir):
+        """Benchmark decontamination (operators/decontam.py): docs sharing
+        an 8-token n-gram with the benchmark set (every 7th doc's text
+        plays the eval set) are flagged with their distinct-hit count.
+        Broadcast semi-join on the small benchmark shingle-hash set; the
+        DuckDB twin joins the identical shingle STRINGS."""
+        from tilekiln_spark.operators.decontam import contamination_hits
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 7 == 0).select("text")
+        return contamination_hits(d, bench, n=8)
+
+    q["decontaminate_overlap"] = decontaminate_overlap
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -1845,6 +1859,28 @@ def oracle_sql() -> dict[str, str]:
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
                 '\+\d{7,15}\b|\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
         FROM l
+    """
+
+    o["decontaminate_overlap"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])) AS gs
+            FROM toks WHERE len(t) >= 8
+        ), bg AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0)
+        ), dg AS (
+            SELECT doc_id, unnest(gs) AS g FROM grams
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM dg JOIN bg USING (g)
+        GROUP BY doc_id
     """
 
     o["text_quality"] = """

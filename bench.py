@@ -105,6 +105,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "ann_quantized_topk",
         "text_quality",
         "text_pii_repetition",
+        "decontaminate_overlap",
         "fingerprints",
         "event_windows",
         "event_sessions",

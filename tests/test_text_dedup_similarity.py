@@ -410,3 +410,23 @@ def test_repetition_signals_and_pii(spark):
     assert got[2].red == "mail me at <EMAIL> or <IPV4> / <PHONE> / <PHONE>"
     # degenerate docs: all-zero signals, no crash
     assert got[3].dlf == 0.0 and got[4].dnf == 0.0
+
+
+def test_decontaminate(spark):
+    from tilekiln_spark.operators.decontam import contamination_hits, decontaminate
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "completely unrelated text about weather patterns in distant mountain valleys today"),
+        (3, "prefix words then the quick brown fox jumps over the lazy dog trailing"),
+    ]
+    bench = [(0, "quiz: the quick brown fox jumps over the lazy dog ?")]
+    c = spark.createDataFrame(docs, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(c, b, n=8).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits  # shared 8-gram flagged
+    clean = {r.doc_id for r in decontaminate(c, b, n=8).collect()}
+    assert clean == {2}
+    # plan: benchmark side broadcasts, corpus rows never shuffle in removal
+    plan = decontaminate(c, b, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

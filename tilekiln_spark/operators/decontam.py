@@ -1,0 +1,72 @@
+"""Benchmark decontamination: flag training docs that share n-grams with an
+evaluation set.
+
+The standard pre-training hygiene pass: any document carrying a long-enough
+token n-gram that also appears in a benchmark (eval question/answer) is
+flagged so it can be dropped or audited — otherwise the model trains on its
+own test set.  Shape at scale: the BENCHMARK side is tiny relative to the
+corpus, so its distinct shingle hashes broadcast; the corpus side is one
+map-only shingle pass + explode, the broadcast semi-join marks hits
+in-place, and the only shuffle is the per-doc hit count over the (rare)
+matching rows.  Nothing here grows with corpus size except the scan.
+
+Shares the tokenizer/shingle pipeline with the MinHash dedup operators, so
+"n-gram" means the same thing across dedup, repetition signals, and
+decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilekiln_spark.operators.dedup import shingles
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits) for corpus docs sharing >=1 token n-gram with the
+    benchmark; n_hits counts the doc's DISTINCT contaminated n-grams."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(bench_text_col), n))).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    ).select(key_col, F.xxhash64("g").alias("gh"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Corpus with contaminated docs (>= min_hits shared n-grams) removed.
+
+    The removal is an anti-join against the small flagged-id set — corpus
+    rows never shuffle."""
+    flagged = contamination_hits(
+        corpus, benchmark, n, text_col, key_col, bench_text_col
+    ).filter(F.col("n_hits") >= min_hits)
+    return corpus.join(
+        F.broadcast(flagged.select(key_col)), key_col, "left_anti"
+    )
