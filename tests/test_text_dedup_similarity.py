@@ -430,3 +430,22 @@ def test_decontaminate(spark):
     # plan: benchmark side broadcasts, corpus rows never shuffle in removal
     plan = decontaminate(c, b, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_quantize_nan_and_null_vectors_null_propagate(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.similarity import quantize_embeddings, quantized_topk
+
+    rows = [(1, [1.0, -2.0]), (2, [float("nan"), 1.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert got[1].q8 == [64, -127]
+    assert got[2].q8 is None and got[2].q8_scale is None  # NaN -> null, no ANSI crash
+    assert got[3].q8 is None
+    # topk over the dirty corpus still runs; dirty rows rank last (cos 0.0)
+    probes = spark.createDataFrame([(9, [1.0, -2.0])], "probe_id long, embedding array<double>")
+    out = quantized_topk(df, probes, k=3)
+    ranked = {r.vec_id: (r.rank, r.qcos) for r in out.collect()}
+    assert ranked[1][0] == 1 and abs(ranked[1][1] - 1.0) < 1e-12
+    assert ranked[2][1] == 0.0 and ranked[3][1] == 0.0

@@ -450,11 +450,16 @@ def quantize_embeddings(
     IEEE doubles — the driver oracle exploits that for byte-identical
     cross-engine parity.  Zero vectors quantize to all-zero with scale 0."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("q8_scale")
+    raw = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    # NaN guard: Spark orders NaN above every double, so a NaN element would
+    # take the quantize branch and crash the ANSI int cast — null-propagate
+    # instead (null/NaN vectors rank last in quantized_cosine, they don't
+    # fail the job; same contract as the pair-cosine kernel's null mask)
+    scale = F.when(F.isnan(raw), F.lit(None).cast("double")).otherwise(raw)
     q = F.when(
         F.col("q8_scale") > 0,
         F.transform(v, lambda x: F.floor(x / F.col("q8_scale") + F.lit(0.5)).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    ).when(F.col("q8_scale") == 0, F.transform(v, lambda x: F.lit(0)))
     return df.withColumn("q8_scale", scale).withColumn("q8", q)
 
 
