@@ -36,7 +36,10 @@ _WIDTH = 16
 def sample_hash(key: Column, seed: int = 42) -> Column:
     """Deterministic per-row draw: first 16 hex chars of md5("s<seed>:<key>").
 
-    Lowercase hex; fixed width, so string order is uniform-draw order."""
+    Lowercase hex; fixed width, so string order is uniform-draw order.
+    NULL keys all share one draw (concat_ws skips nulls): they are kept or
+    dropped TOGETHER per (seed, fraction) — key your rows before sampling
+    if null-key rows should draw independently."""
     return F.substring(
         F.md5(F.concat_ws(":", F.lit(f"s{seed}"), key.cast("string"))), 1, _WIDTH
     )
