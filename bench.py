@@ -96,6 +96,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_union",
         "template_compile_topn",
         "template_compile_groupby",
+        "template_compile_semijoin",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
