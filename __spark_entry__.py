@@ -786,6 +786,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_overlap"] = decontaminate_overlap
 
+    def pack_sequences_q(spark, sf_dir):
+        """GPT-style concat-and-chunk sequence packing (operators/packing.py):
+        global prefix sum of doc lengths in key order via the two-pass
+        range-partition + per-partition-cumsum + broadcast-offsets pattern
+        (never a single-reducer global window); each doc gets the sequence
+        ids it spans at seq_len=4096.  DuckDB twin is the plain windowed
+        cumulative sum."""
+        from tilekiln_spark.operators.packing import pack_sequences
+
+        d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        return pack_sequences(d, 4096, "n_chars", "doc_id")
+
+    q["pack_sequences"] = pack_sequences_q
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -1881,6 +1895,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM dg JOIN bg USING (g)
         GROUP BY doc_id
+    """
+
+    o["pack_sequences"] = """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_chars AS start
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(floor(CAST(start AS DOUBLE)/4096) AS INT) AS first_seq,
+               CAST(floor(CAST(start + greatest(n_chars, 1) - 1 AS DOUBLE)
+                   / 4096) AS INT) AS last_seq,
+               CAST(start % 4096 AS INT) AS seq_offset
+        FROM c
     """
 
     o["text_quality"] = """

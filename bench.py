@@ -107,6 +107,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "text_quality",
         "text_pii_repetition",
         "decontaminate_overlap",
+        "pack_sequences",
         "fingerprints",
         "event_windows",
         "event_sessions",
