@@ -800,6 +800,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
+    def vocab_topk_q(spark, sf_dir):
+        """Vocabulary counting (functions/text.py vocab_topk): the counting
+        pass of tokenizer training.  One partial-aggregated groupBy on the
+        token, then orderBy().limit() = TakeOrderedAndProject (per-partition
+        local top-k, k*P rows merged on the driver — plan-asserted in
+        tests, never a global single-reducer sort)."""
+        from tilekiln_spark.functions.text import vocab_topk
+
+        return vocab_topk(_docs(spark, sf_dir), k=100)
+
+    q["vocab_topk"] = vocab_topk_q
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -1910,6 +1922,16 @@ def oracle_sql() -> dict[str, str]:
                    / 4096) AS INT) AS last_seq,
                CAST(start % 4096 AS INT) AS seq_offset
         FROM c
+    """
+
+    o["vocab_topk"] = r"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE trim(text) != ''
+        ), c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+        SELECT token, CAST(n AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+        FROM c ORDER BY n DESC, token LIMIT 100
     """
 
     o["text_quality"] = """

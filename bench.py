@@ -108,6 +108,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "text_pii_repetition",
         "decontaminate_overlap",
         "pack_sequences",
+        "vocab_topk",
         "fingerprints",
         "event_windows",
         "event_sessions",

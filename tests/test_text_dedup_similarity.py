@@ -449,3 +449,14 @@ def test_quantize_nan_and_null_vectors_null_propagate(spark):
     ranked = {r.vec_id: (r.rank, r.qcos) for r in out.collect()}
     assert ranked[1][0] == 1 and abs(ranked[1][1] - 1.0) < 1e-12
     assert ranked[2][1] == 0.0 and ranked[3][1] == 0.0
+
+
+def test_vocab_topk(spark):
+    from tilekiln_spark.functions.text import vocab_topk
+
+    rows = [(1, "a b a c"), (2, "b a"), (3, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.n, r.rank) for r in vocab_topk(d, 2).collect()]
+    assert got == [("a", 3, 1), ("b", 2, 2)]
+    plan = vocab_topk(d, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no single-reducer global sort

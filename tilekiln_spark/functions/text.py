@@ -225,3 +225,31 @@ def redact_pii(text: Column | str) -> Column:
     for k in ("email", "ipv4", "phone"):
         t = F.regexp_replace(t, PII_PATTERNS[k], f"<{k.upper()}>")
     return t
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer-training primitive)
+# --------------------------------------------------------------------------
+
+def vocab_topk(df, k: int = 1000, text_col: str = "text"):
+    """Top-k corpus tokens by frequency (ties broken by token string, so
+    the cut is total and deterministic).
+
+    The canonical map-reduce: explode tokens -> ONE partial-aggregated
+    groupBy on the token (map-side combine collapses each scan partition's
+    counts before the exchange, so shuffle volume is the distinct-token
+    count per partition, not token occurrences) -> orderBy().limit(k),
+    which Catalyst executes as TakeOrderedAndProject: each partition keeps
+    its local top-k and the driver merges k*P candidate rows — NEVER a
+    single-reducer global sort.  The rank column is windowed over the
+    k-row result only."""
+    from pyspark.sql import Window
+
+    from tilekiln_spark.operators.dedup import _tokens
+
+    t = F.explode(_tokens(F.col(text_col))).alias("token")
+    counts = df.select(t).groupBy("token").agg(F.count("*").alias("n"))
+    order = [F.col("n").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
