@@ -812,6 +812,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_topk"] = vocab_topk_q
 
+    def corpus_pipeline(spark, sf_dir):
+        """The composed pretraining-data pipeline (operators/pipeline.py):
+        exact dedup -> near-dup clusters (keep canonical) -> benchmark
+        decontamination -> deterministic 50% sample -> sequence packing,
+        reported as one corpus-funnel stats row.  Every stage is an
+        individually oracle-checked operator; this query checks their
+        COMPOSITION against a DuckDB twin that chains the same CTEs."""
+        from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+        c = _neardup_corpus(spark, sf_dir)
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select("text")
+        return training_corpus_pipeline(c, bench)
+
+    q["corpus_pipeline"] = corpus_pipeline
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -1922,6 +1937,85 @@ def oracle_sql() -> dict[str, str]:
                    / 4096) AS INT) AS last_seq,
                CAST(start % 4096 AS INT) AS seq_offset
         FROM c
+    """
+
+    o["corpus_pipeline"] = r"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id < 60
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+        ), exact AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                           ORDER BY doc_id) AS rn
+                FROM corpus) WHERE rn = 1
+        ), shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                  FROM exact)
+            WHERE len(toks) >= 3
+        ), pairs AS (
+            SELECT a.doc_id AS ka, b.doc_id AS kb
+            FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(a.sh || b.sh)) >= 0.8
+        ), edges AS (
+            SELECT ka AS a, kb AS b FROM pairs
+            UNION ALL SELECT kb, ka FROM pairs
+        ), walk(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.dst
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component FROM walk GROUP BY src
+        ), canonical AS (
+            SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp p ON p.node = e.doc_id
+            WHERE COALESCE(p.component, e.doc_id) = e.doc_id
+        ), cg AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])) AS gs
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                  FROM canonical) WHERE len(t) >= 8
+        ), bg AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                         t[i+6] || ' ' || t[i+7]))) AS g
+                FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                      FROM documents WHERE doc_id % 97 = 0) WHERE len(t) >= 8)
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(gs) AS g FROM cg) d
+            JOIN bg USING (g)
+        ), clean AS (
+            SELECT c.doc_id, c.text FROM canonical c
+            LEFT JOIN contaminated x USING (doc_id) WHERE x.doc_id IS NULL
+        ), sampled AS (
+            SELECT doc_id, length(text) AS len FROM clean
+            WHERE substr(md5('s17:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                  < '8000000000000000'
+        ), packd AS (
+            SELECT len,
+                   sum(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len AS start
+            FROM sampled
+        )
+        SELECT (SELECT count(*) FROM corpus) AS n_raw,
+               (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM canonical) AS n_canonical,
+               (SELECT count(*) FROM clean) AS n_clean,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(len) AS BIGINT) AS total_chars,
+               CAST(max(CAST(floor(CAST(start + greatest(len, 1) - 1 AS DOUBLE)
+                   / 4096) AS INT)) + 1 AS INT) AS n_sequences
+        FROM packd
     """
 
     o["vocab_topk"] = r"""

@@ -460,3 +460,21 @@ def test_vocab_topk(spark):
     assert got == [("a", 3, 1), ("b", 2, 2)]
     plan = vocab_topk(d, 2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no single-reducer global sort
+
+
+def test_training_corpus_pipeline_funnel(spark):
+    from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+    base = [(i, f"document number {i} body w{i} x{i} y{i} z{i} filler words here")
+            for i in range(30)]
+    exact_dups = [(100 + i, base[i][1]) for i in range(10)]
+    docs = spark.createDataFrame(base + exact_dups, "doc_id long, text string")
+    bench = spark.createDataFrame([(base[0][1],)], "text string")  # doc 0 contaminated
+    row = training_corpus_pipeline(docs, bench, fraction=1.0).collect()[0]
+    assert row.n_raw == 40
+    assert row.n_exact == 30            # exact dups collapse
+    assert row.n_canonical <= row.n_exact
+    assert row.n_clean == row.n_canonical - 1  # exactly doc 0 decontaminated
+    assert row.n_sampled == row.n_clean  # fraction 1.0 keeps all
+    assert row.n_sequences >= 1
+    assert row.total_chars > 0

@@ -1,0 +1,76 @@
+"""The composed training-corpus pipeline: raw web docs -> training sequences.
+
+One call chains the engine's corpus operators in their production order —
+
+    exact dedup -> near-dup clustering (keep canonical) ->
+    benchmark decontamination -> deterministic sampling ->
+    sequence packing
+
+— and returns the corpus funnel as a single stats row, so a user can run
+the whole pretraining-data pass with one function and diff the stage
+counts across runs.  Every stage is one of the individually oracle-checked
+operators; composing them adds NO new shuffles beyond each stage's own
+(the stages communicate by doc id: narrow frames all the way down).
+
+Scale shape: exact dedup is one hash shuffle; clustering runs over the
+verified pair list only; decontamination and sampling are broadcast/map
+passes over the survivors; packing range-partitions once.  The funnel
+counts come from the same frames the stages already materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilekiln_spark.operators.decontam import decontaminate
+from tilekiln_spark.operators.dedup import dedup_clusters, exact_dedup
+from tilekiln_spark.operators.packing import pack_sequences
+from tilekiln_spark.operators.sampling import sample_fraction
+
+
+def training_corpus_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 8,
+    fraction: float = 0.5,
+    seq_len: int = 4096,
+    seed: int = 17,
+) -> DataFrame:
+    """One stats row: n_raw, n_exact, n_canonical, n_clean, n_sampled,
+    total_chars, n_sequences (see module docstring)."""
+    n_raw = docs.count()
+    exact = exact_dedup(docs, text_col, key_col)
+    n_exact = exact.count()
+
+    labels = dedup_clusters(exact, text_col, key_col, threshold, num_perm, bands)
+    canon_ids = labels.filter(F.col("is_canonical") == 1).select(key_col)
+    canonical = exact.join(F.broadcast(canon_ids), key_col, "left_semi")
+    n_canonical = canonical.count()
+
+    clean = decontaminate(canonical, benchmark, n=ngram, text_col=text_col,
+                          key_col=key_col)
+    n_clean = clean.count()
+
+    sampled = sample_fraction(clean, fraction, key_col, seed).withColumn(
+        "__chars", F.length(F.col(text_col)).cast("long")
+    )
+    packed = pack_sequences(sampled, seq_len, "__chars", key_col)
+    agg = packed.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("__chars").alias("total_chars"),
+        (F.max("last_seq") + 1).alias("n_sequences"),
+    ).collect()[0]
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(n_raw, n_exact, n_canonical, n_clean,
+          agg["n_sampled"], agg["total_chars"], agg["n_sequences"])],
+        "n_raw long, n_exact long, n_canonical long, n_clean long, "
+        "n_sampled long, total_chars long, n_sequences int",
+    )
