@@ -191,3 +191,35 @@ def test_config_sql_prints_reference_sql(capsys):
                  "-z", "4", "-x", "0", "-y", "0"]) == 1
     assert main(["config", "sql", "--config", cfg, "--layer", "country_names",
                  "-z", "1", "-x", "0", "-y", "0"]) == 1
+
+
+def test_corpus_cli_group(spark, tmp_path, capsys):
+    """corpus dedup/sample/pipeline run the training-data operators over
+    parquet with no user Python."""
+    import json
+
+    from tilekiln_spark.cli import main
+
+    rows = [(i, f"doc {i} unique words w{i} x{i} filler tokens") for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(rows[0][1],)], "text string").write.parquet(bench)
+
+    out = str(tmp_path / "dd.parquet")
+    assert main(["corpus", "dedup", "--input", src, "--output", out]) == 0
+    assert spark.read.parquet(out).count() == 20
+
+    out2 = str(tmp_path / "s.parquet")
+    assert main(["corpus", "sample", "--input", out, "--output", out2,
+                 "--fraction", "0.5", "--seed", "7"]) == 0
+    n = spark.read.parquet(out2).count()
+    assert 3 <= n <= 17
+    capsys.readouterr()
+
+    assert main(["corpus", "pipeline", "--input", src,
+                 "--benchmark", bench, "--fraction", "1.0"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_raw"] == 25 and stats["n_exact"] == 20
+    assert stats["n_clean"] == stats["n_canonical"] - 1  # bench doc removed

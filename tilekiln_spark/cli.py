@@ -20,6 +20,16 @@ static/live/dev commands plus main.py:35-83's prometheus exporter):
     python -m tilekiln_spark.cli serve live --config cfg.yaml --store DIR ...
     python -m tilekiln_spark.cli serve dev --config cfg.yaml ...
     python -m tilekiln_spark.cli prometheus --store DIR [--bind-port 10013]
+
+Beyond the reference: the corpus group runs the training-data operators
+over parquet without writing any Python:
+
+    python -m tilekiln_spark.cli corpus dedup --input in.parquet \
+        --output out.parquet [--mode exact|near]
+    python -m tilekiln_spark.cli corpus sample --input in.parquet \
+        --output out.parquet --fraction 0.3
+    python -m tilekiln_spark.cli corpus pipeline --input in.parquet \
+        --benchmark bench.parquet   # funnel stats as one JSON line
 """
 
 from __future__ import annotations
@@ -302,6 +312,58 @@ def cmd_serve_dev(args) -> int:
     ))
 
 
+def cmd_corpus_dedup(args) -> int:
+    """corpus dedup: parquet in -> deduplicated parquet out (exact or near)."""
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if args.mode == "exact":
+        from tilekiln_spark.operators.dedup import exact_dedup
+
+        kept = exact_dedup(df, args.text_col, args.key_col)
+    else:
+        from pyspark.sql import functions as F
+
+        from tilekiln_spark.operators.dedup import dedup_clusters
+
+        labels = dedup_clusters(
+            df, args.text_col, args.key_col, threshold=args.threshold
+        )
+        ids = labels.filter(F.col("is_canonical") == 1).select(args.key_col)
+        kept = df.join(F.broadcast(ids), args.key_col, "left_semi")
+    kept.write.mode("overwrite").parquet(args.output)
+    print(f"kept {kept.count()} docs -> {args.output}")
+    return 0
+
+
+def cmd_corpus_sample(args) -> int:
+    """corpus sample: deterministic md5-keyed fraction sample."""
+    from tilekiln_spark.operators.sampling import sample_fraction
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    out = sample_fraction(df, args.fraction, args.key_col, args.seed)
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"kept {out.count()} rows -> {args.output}")
+    return 0
+
+
+def cmd_corpus_pipeline(args) -> int:
+    """corpus pipeline: full funnel, stats as one JSON line on stdout."""
+    import json
+
+    from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark).select(args.text_col)
+    row = training_corpus_pipeline(
+        docs, bench, text_col=args.text_col, key_col=args.key_col,
+        fraction=args.fraction, seq_len=args.seq_len,
+    ).collect()[0]
+    print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -403,6 +465,31 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bind_opts(sd, 8000)
     _add_source_opts(sd)
     sd.set_defaults(fn=cmd_serve_dev)
+    co = sub.add_parser("corpus").add_subparsers(dest="cmd", required=True)
+
+    def _corpus_io(sp):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--text-col", default="text")
+        sp.add_argument("--key-col", default="doc_id")
+
+    cd = co.add_parser("dedup")
+    _corpus_io(cd)
+    cd.add_argument("--output", required=True)
+    cd.add_argument("--mode", choices=["exact", "near"], default="exact")
+    cd.add_argument("--threshold", type=float, default=0.8)
+    cd.set_defaults(fn=cmd_corpus_dedup)
+    cs = co.add_parser("sample")
+    _corpus_io(cs)
+    cs.add_argument("--output", required=True)
+    cs.add_argument("--fraction", type=float, required=True)
+    cs.add_argument("--seed", type=int, default=42)
+    cs.set_defaults(fn=cmd_corpus_sample)
+    cp = co.add_parser("pipeline")
+    _corpus_io(cp)
+    cp.add_argument("--benchmark", required=True)
+    cp.add_argument("--fraction", type=float, default=0.5)
+    cp.add_argument("--seq-len", type=int, default=4096)
+    cp.set_defaults(fn=cmd_corpus_pipeline)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
