@@ -44,18 +44,25 @@ def training_corpus_pipeline(
 ) -> DataFrame:
     """One stats row: n_raw, n_exact, n_canonical, n_clean, n_sampled,
     total_chars, n_sequences (see module docstring)."""
+    # Each stage frame feeds BOTH its funnel count and the next stage —
+    # persist them (memory-and-disk) so the count action doesn't recompute
+    # the upstream chain: at corpus scale, re-running exact dedup three
+    # times to print three numbers is the difference between one pass and
+    # four.  Frames are unpersisted once their consumer materialized.
     n_raw = docs.count()
-    exact = exact_dedup(docs, text_col, key_col)
+    exact = exact_dedup(docs, text_col, key_col).persist()
     n_exact = exact.count()
 
     labels = dedup_clusters(exact, text_col, key_col, threshold, num_perm, bands)
     canon_ids = labels.filter(F.col("is_canonical") == 1).select(key_col)
-    canonical = exact.join(F.broadcast(canon_ids), key_col, "left_semi")
+    canonical = exact.join(F.broadcast(canon_ids), key_col, "left_semi").persist()
     n_canonical = canonical.count()
+    exact.unpersist()
 
     clean = decontaminate(canonical, benchmark, n=ngram, text_col=text_col,
-                          key_col=key_col)
+                          key_col=key_col).persist()
     n_clean = clean.count()
+    canonical.unpersist()
 
     sampled = sample_fraction(clean, fraction, key_col, seed).withColumn(
         "__chars", F.length(F.col(text_col)).cast("long")
@@ -66,6 +73,7 @@ def training_corpus_pipeline(
         F.sum("__chars").alias("total_chars"),
         (F.max("last_seq") + 1).alias("n_sequences"),
     ).collect()[0]
+    clean.unpersist()
 
     spark = docs.sparkSession
     return spark.createDataFrame(
