@@ -44,6 +44,7 @@ from tilekiln_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard,
+    paragraph_dedup,
     simhash_pairs,
 )
 from tilekiln_spark.operators.mvt import mvt_layer_agg
@@ -651,6 +652,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_clusters"] = dedup_clusters_q
+
+    def paragraph_dedup_q(spark, sf_dir):
+        """CCNet-style paragraph dedup (dedup.py paragraph_dedup): composite
+        docs are built by pairing each document's text with its successor's
+        (newline-joined), so every underlying paragraph appears in exactly
+        two composites (plus whatever exact duplicates the corpus already
+        carries); the operator must keep each repeated paragraph only in its
+        min-key composite and reassemble survivors in original order."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = docs.select("doc_id", "text").filter(F.col("doc_id") < 60)
+        b = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+        )
+        comp = a.join(b, "doc_id").select(
+            "doc_id", F.concat("text", F.lit("\n"), "text_b").alias("text")
+        )
+        return paragraph_dedup(comp, "text", "doc_id").select(
+            "doc_id",
+            "text_clean",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+
+    q["paragraph_dedup"] = paragraph_dedup_q
 
     def sample_mix_q(spark, sf_dir):
         """Deterministic corpus mixing (operators/sampling.py): an exact
@@ -1772,6 +1797,35 @@ def oracle_sql() -> dict[str, str]:
         FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               len(list_distinct(a.sh || b.sh)) >= 0.8
+    """
+
+    o["paragraph_dedup"] = """
+        WITH comp AS (
+            SELECT a.doc_id, a.text || chr(10) || b.text AS text
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 60
+        ),
+        paras AS (
+            SELECT doc_id, unnest(ps) AS para, unnest(range(len(ps))) AS pos
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM comp)
+        ),
+        stats AS (
+            SELECT md5(para) AS h, min(doc_id) AS canon
+            FROM paras WHERE length(trim(para)) > 0
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        ),
+        flagged AS (
+            SELECT p.doc_id, p.pos, p.para,
+                   (length(trim(p.para)) = 0 OR s.canon IS NULL
+                    OR s.canon = p.doc_id) AS keep
+            FROM paras p LEFT JOIN stats s ON md5(p.para) = s.h
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN para END,
+                                   chr(10) ORDER BY pos), '') AS text_clean,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM flagged GROUP BY doc_id
     """
 
     o["dedup_clusters"] = f"""

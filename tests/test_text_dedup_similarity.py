@@ -16,6 +16,7 @@ from tilekiln_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard,
+    paragraph_dedup,
     simhash_pairs,
 )
 from tilekiln_spark.operators.similarity import (
@@ -341,6 +342,43 @@ def test_dedup_clusters_pipeline(spark):
         members[r.cluster_id].append(r.doc_id)
     for cid, ms in members.items():
         assert cid == min(ms)
+
+
+def test_paragraph_dedup_boilerplate(spark):
+    # Shared footer in docs 1..3; doc 1 (min key) keeps it, 2 and 3 drop it.
+    footer = "(c) 2026 example.com - all rights reserved"
+    rows = [
+        (1, "unique one\n" + footer),
+        (2, "unique two\n\n" + footer),
+        (3, footer + "\nunique three"),
+        (4, "standalone page"),
+    ]
+    out = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id int, text string"), "text", "doc_id"
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[1].text_clean == "unique one\n" + footer
+    assert by[1].n_dropped == 0
+    # empty separator line is formatting, always kept
+    assert by[2].text_clean == "unique two\n"
+    assert by[2].n_dropped == 1
+    assert by[3].text_clean == "unique three"
+    assert by[3].n_dropped == 1
+    assert by[4].text_clean == "standalone page"
+    # order preserved when duplicates interleave
+    assert by[3].n_kept == 1 and by[2].n_kept == 2  # "unique two" + blank line
+
+
+def test_paragraph_dedup_all_dropped_and_min_docs(spark):
+    rows = [(1, "same"), (2, "same"), (3, "same")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    assert out[1].text_clean == "same"
+    assert out[2].text_clean == "" and out[2].n_kept == 0 and out[2].n_dropped == 1
+    assert out[3].text_clean == ""
+    # min_docs=4 -> nothing repeats enough to drop
+    kept = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id", min_docs=4).collect()}
+    assert all(kept[d].text_clean == "same" for d in (1, 2, 3))
 
 
 def test_quantize_embeddings_roundtrip_and_zero(spark):

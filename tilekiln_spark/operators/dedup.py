@@ -458,3 +458,74 @@ def dedup_clusters(
     return out.withColumn(
         "is_canonical", (F.col(key_col) == F.col("cluster_id")).cast("int")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop paragraphs that repeat across
+    the corpus, keeping each repeated paragraph only in its canonical
+    (min-key) document, then reassemble the surviving paragraphs in their
+    original order.
+
+    This is the web-text sibling of ``exact_dedup`` (reference scope: the
+    tilekiln source rows are whole features; a Common-Crawl corpus needs
+    SUB-document dedup because boilerplate — nav bars, cookie banners,
+    footers — repeats across most pages of a host).  Rules:
+
+    - a paragraph participates only if it is non-empty after trim;
+      whitespace-only separator lines are always kept (formatting survives);
+    - a participating paragraph is dropped when its exact content (md5 of
+      the utf-8 bytes) appears in >= ``min_docs`` distinct documents and
+      this document is not the minimum-key holder;
+    - output is ONE row per input document: ``(key, text_clean, n_kept,
+      n_dropped)``, text_clean possibly empty.
+
+    Scale shape (10^12 docs): paragraphs explode map-side; the hash stats
+    are one partial-agg shuffle on the 16-byte md5; only hashes seen in
+    >= min_docs docs survive into the join (the duplicated subset — AQE
+    broadcasts it when small, sort-merge otherwise); reassembly is one
+    shuffle keyed on the doc key.  No driver materialization anywhere.
+    """
+    key = F.col(key_col)
+    paras = df.select(
+        key.alias("__key"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+    )
+    participates = F.length(F.trim(F.col("__para"))) > 0
+    hashed = paras.withColumn("__h", F.md5(F.encode(F.col("__para"), "utf-8")))
+    stats = (
+        hashed.filter(participates)
+        .groupBy("__h")
+        .agg(
+            F.count_distinct("__key").alias("__n_docs"),
+            F.min("__key").alias("__canon"),
+        )
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("__h", "__canon")
+    )
+    keep = (~participates) | F.col("__canon").isNull() | (F.col("__canon") == F.col("__key"))
+    return (
+        hashed.join(stats, "__h", "left")
+        .withColumn("__keep", keep)
+        .groupBy(F.col("__key").alias(key_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("__keep")).cast("int")).alias("n_dropped"),
+        )
+    )
