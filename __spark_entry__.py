@@ -106,6 +106,112 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture over the documents table, expressible
+    identically in DuckDB (see _MESSY_URLS_SQL): mixed-case scheme/host,
+    userinfo, default + non-default ports, trailing slashes, deep paths,
+    badword paths, tracking params, fragments."""
+    i = F.col("doc_id")
+    s = i.cast("string")
+    scheme = (
+        F.when(i % 17 == 0, "ftp://").when(i % 3 == 0, "HTTP://").otherwise("https://")
+    )
+    userinfo = F.when(i % 11 == 0, "bot:pw@").otherwise("")
+    host = F.concat(
+        F.lit("Host"), (i % 7).cast("string"),
+        F.when(i % 5 == 0, ".News").otherwise(""), F.lit(".Example.com"),
+    )
+    port = (
+        F.when(i % 13 == 0, ":8080").when(i % 3 == 0, ":80").when(i % 4 == 1, ":443").otherwise("")
+    )
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/p"), s,
+        F.when(i % 6 == 0, "/").otherwise(""),
+        F.when(i % 9 == 0, "/x/y/z").when(i % 10 == 7, "/cart").otherwise(""),
+    )
+    tail = (
+        F.when(i % 4 == 0, F.concat(F.lit("?utm_source=feed&ref=x&q="), F.col("source")))
+        .when(i % 4 == 1, F.concat(F.lit("?q="), F.col("source"), F.lit("&utm_medium=email&id="), s))
+        .when(i % 4 == 2, F.concat(F.lit("#sec-"), s))
+        .otherwise("")
+    )
+    return docs.select(
+        "doc_id", "lang", "text",
+        F.concat(scheme, userinfo, host, port, path, tail).alias("url"),
+    )
+
+
+_MESSY_URLS_SQL = """
+    u AS (
+        SELECT doc_id, lang, text,
+            (CASE WHEN doc_id % 17 = 0 THEN 'ftp://'
+                  WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END)
+            || (CASE WHEN doc_id % 11 = 0 THEN 'bot:pw@' ELSE '' END)
+            || 'Host' || CAST(doc_id % 7 AS VARCHAR)
+            || (CASE WHEN doc_id % 5 = 0 THEN '.News' ELSE '' END) || '.Example.com'
+            || (CASE WHEN doc_id % 13 = 0 THEN ':8080'
+                     WHEN doc_id % 3 = 0 THEN ':80'
+                     WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+            || '/' || lang || '/p' || CAST(doc_id AS VARCHAR)
+            || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 9 = 0 THEN '/x/y/z'
+                     WHEN doc_id % 10 = 7 THEN '/cart' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=x&q=' || source
+                     WHEN doc_id % 4 = 1 THEN '?q=' || source || '&utm_medium=email&id=' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 4 = 2 THEN '#sec-' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END) AS url
+        FROM documents
+    )
+"""
+
+# DuckDB twin of functions/web.py url parsing: one CTE computing the
+# normalization prefix/rest split so the three web oracles share it.
+_URL_PARTS_SQL = """
+    parts AS (
+        SELECT doc_id, lang, text, url,
+               regexp_replace(url, '#.*$', '') AS u1
+        FROM u
+    ),
+    pre0 AS (
+        SELECT *, regexp_replace(
+                   lower(regexp_extract(u1, '^([^:/?#]+://[^/?#]*)', 1)),
+                   '://[^/@]*@', '://') AS p0
+        FROM parts
+    ),
+    norm AS (
+        SELECT doc_id, lang, text, url, u1,
+               CASE WHEN p0 LIKE 'http://%' THEN regexp_replace(p0, ':80$', '')
+                    WHEN p0 LIKE 'https://%' THEN regexp_replace(p0, ':443$', '')
+                    ELSE p0 END AS pre,
+               regexp_extract(u1, '^[^:/?#]+://[^/?#]*([/?].*)?$', 1) AS rest
+        FROM pre0
+    ),
+    web AS (
+        SELECT doc_id, lang, text, url,
+               lower(regexp_extract(u1, '^([^:/?#]+)://', 1)) AS scheme,
+               regexp_extract(pre, '://([^:/]*)', 1) AS host,
+               regexp_extract(regexp_extract(pre, '://([^:/]*)', 1),
+                              '([^.]+\\.[^.]+)$', 1) AS domain,
+               split_part(rest, '?', 1) AS path,
+               len(list_filter(string_split(split_part(rest, '?', 1), '/'),
+                               s -> s <> '')) AS depth,
+               pre || split_part(rest, '?', 1) ||
+               (CASE WHEN array_to_string(list_filter(
+                         string_split(CASE WHEN contains(rest, '?')
+                                      THEN substr(rest, strpos(rest, '?') + 1)
+                                      ELSE '' END, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(=|$)')), '&') <> ''
+                     THEN '?' || array_to_string(list_filter(
+                         string_split(substr(rest, strpos(rest, '?') + 1), '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(=|$)')), '&')
+                     ELSE '' END) AS url_norm
+        FROM norm
+    )
+"""
+
+
 # deterministic synthetic polygon grid, expressible in both engines:
 # 6x6 cells over [-HW, HW]^2, each shrunk by 10% margin; octagon ids cut corners
 _GRID_N = 6
@@ -676,6 +782,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["paragraph_dedup"] = paragraph_dedup_q
+
+    def url_normalize_q(spark, sf_dir):
+        """URL canonicalization (functions/web.py): lowercase scheme+host,
+        strip userinfo / default ports / fragments / tracking params; parse
+        host, registrable domain, path depth.  Pure codegen expressions —
+        the map-only stage-1 of a crawl ingest."""
+        from tilekiln_spark.functions.web import (
+            registrable_domain, url_depth, url_host, url_normalize, url_scheme,
+        )
+        urls = _messy_urls(_docs(spark, sf_dir))
+        return urls.select(
+            "doc_id",
+            url_normalize("url").alias("url_norm"),
+            url_scheme("url").alias("scheme"),
+            url_host("url").alias("host"),
+            registrable_domain("url").alias("domain"),
+            url_depth("url").cast("long").alias("depth"),
+        )
+
+    q["url_normalize"] = url_normalize_q
+
+    def url_filter_funnel_q(spark, sf_dir):
+        """C4-style URL admission gates (operators/webstats.py): scheme /
+        host blocklist / path badwords / depth, first-match reason, funnel
+        counts per gate."""
+        from tilekiln_spark.operators.webstats import url_filter_flags
+
+        urls = _messy_urls(_docs(spark, sf_dir))
+        flagged = url_filter_flags(
+            urls, host_blocklist=("host3.example.com",), max_depth=4
+        )
+        return (
+            flagged.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("gate"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["url_filter_funnel"] = url_filter_funnel_q
+
+    def host_profile_q(spark, sf_dir):
+        """Host-level rollup (operators/webstats.py host_profile): page
+        count, language spread, text-duplication rate, mean length — the
+        CCNet host-quality gate, one partial-agg shuffle on host."""
+        from tilekiln_spark.operators.webstats import host_profile
+
+        urls = _messy_urls(_docs(spark, sf_dir))
+        return host_profile(urls, "url", "text", "lang").select(
+            "host",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+            "dup_rate",
+            "avg_chars",
+        )
+
+    q["host_profile"] = host_profile_q
+
+    def latest_capture_q(spark, sf_dir):
+        """Snapshot selection (operators/webstats.py latest_capture): three
+        raw-URL variants per page (tracking param / fragment / clean) must
+        collapse under normalization, and the newest capture per normalized
+        URL wins.  The oracle derives the winner INDEPENDENTLY (max doc_id
+        per page group), not by mirroring the implementation."""
+        from tilekiln_spark.operators.webstats import latest_capture
+
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://WWW.Example.com/page"), (i % 50).cast("string"),
+            F.when(i % 3 == 0, "?utm_source=feed").when(i % 3 == 1, "#frag").otherwise(""),
+        )
+        caps = _docs(spark, sf_dir).select(
+            "doc_id",
+            url.alias("url"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=i * 13)).alias("warc_ts"),
+        )
+        return latest_capture(caps, "url", "warc_ts", tiebreak="doc_id").select(
+            "url_norm", "doc_id", "warc_ts"
+        )
+
+    q["latest_capture"] = latest_capture_q
 
     def sample_mix_q(spark, sf_dir):
         """Deterministic corpus mixing (operators/sampling.py): an exact
@@ -1826,6 +2011,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         FROM flagged GROUP BY doc_id
+    """
+
+    o["url_normalize"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL}
+        SELECT doc_id, url_norm, scheme, host, domain, CAST(depth AS BIGINT) AS depth
+        FROM web
+    """
+
+    o["url_filter_funnel"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        gated AS (
+            SELECT CASE
+                WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+                WHEN host = 'host3.example.com' THEN 'host_blocked'
+                WHEN regexp_matches(lower(url),
+                     '/[^?#]*(login|signup|cart|admin|tracker)') THEN 'path_badword'
+                WHEN depth > 4 THEN 'too_deep'
+                ELSE 'kept' END AS gate
+            FROM web
+        )
+        SELECT gate, CAST(count(*) AS BIGINT) AS n FROM gated GROUP BY 1
+    """
+
+    o["host_profile"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL}
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+               1.0 - count(DISTINCT md5(text)) * 1.0 / count(*) AS dup_rate,
+               avg(length(text)) AS avg_chars
+        FROM web GROUP BY 1
+    """
+
+    o["latest_capture"] = """
+        SELECT url_norm, doc_id, warc_ts FROM (
+            SELECT 'https://www.example.com/page' || CAST(doc_id % 50 AS VARCHAR) AS url_norm,
+                   doc_id,
+                   TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id * 13) SECOND AS warc_ts,
+                   row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id DESC) AS rn
+            FROM documents
+        ) WHERE rn = 1
     """
 
     o["dedup_clusters"] = f"""

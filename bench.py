@@ -100,6 +100,9 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
+        "paragraph_dedup",
+        "url_normalize",
+        "host_profile",
         "sample_mix",
         "similarity_bruteforce",
         "ann_lsh_topk",

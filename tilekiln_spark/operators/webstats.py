@@ -1,0 +1,133 @@
+"""Host-level corpus statistics and URL admission filtering.
+
+Stage-1 operators of a web-corpus pipeline (C4 / RefinedWeb shape): decide
+which pages even enter text processing, and profile hosts so host-level
+quality gates (spam farms, mirror hosts, boilerplate-heavy hosts) can run
+before the expensive per-document passes.
+
+Scale shape (10^12 pages): ``url_filter_flags`` is map-only codegen — the
+blocklists are literal predicates (swap in a broadcast dim for large lists;
+the join stays broadcast because blocklists are small by construction).
+``host_profile`` is ONE partial-agg shuffle keyed on host; every aggregate
+is algebraic except the distinct-text count, which shuffles 16-byte md5s,
+not text.  No driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from tilekiln_spark.functions.web import url_depth, url_host, url_normalize, url_scheme
+
+# C4-style path badwords: a URL whose path mentions one of these is dropped
+# before fetch-side processing.  Kept deliberately short — the point is the
+# plumbing; real deployments broadcast a curated list.
+DEFAULT_PATH_BADWORDS = ("login", "signup", "cart", "admin", "tracker")
+
+
+def url_filter_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    host_blocklist: tuple[str, ...] = (),
+    path_badwords: tuple[str, ...] = DEFAULT_PATH_BADWORDS,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Annotate each row with ``keep`` + first-match ``drop_reason``
+    (scheme / host_blocked / path_badword / too_deep / NULL when kept).
+
+    Reasons are evaluated in a fixed order so the column is deterministic;
+    callers filter with ``.filter("keep")`` — the flags stay available for
+    funnel accounting (how many pages each gate removed), which a 100 TB
+    ingest reports per partition in its lineage rows.
+    """
+    scheme = url_scheme(url_col)
+    host = url_host(url_col)
+    path = F.lower(F.col(url_col))
+    bad_path: Column = F.lit(False)
+    for w in path_badwords:
+        bad_path = bad_path | path.rlike(f"/[^?#]*{w}")
+    blocked: Column = F.lit(False)
+    for h in host_blocklist:
+        blocked = blocked | (host == h.lower())
+    reason = (
+        F.when(~scheme.isin("http", "https"), F.lit("scheme"))
+        .when(blocked, F.lit("host_blocked"))
+        .when(bad_path, F.lit("path_badword"))
+        .when(url_depth(url_col) > max_depth, F.lit("too_deep"))
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", reason.isNull()
+    )
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Snapshot selection: keep the NEWEST capture per normalized URL.
+
+    A crawl archive holds many captures of the same page whose raw URLs
+    differ only by case / tracking params / fragments; training corpora keep
+    one (the freshest).  Normalization runs first so those variants collapse
+    into one group.  Adds ``url_norm``; returns the winning full row per
+    group.  ``tiebreak`` (e.g. a capture id) makes the winner deterministic
+    when two captures share a timestamp.
+
+    Scale shape: ONE shuffle on url_norm; per-key state is the window's
+    current top row, and captures-per-URL is bounded (crawl frequency), so
+    no skew salting is needed.  If a corpus ever had a whale URL, swap the
+    window for groupBy(url_norm).agg(max_by(struct(*), (ts, tiebreak))) —
+    same result with partial aggregation.
+    """
+    order = [F.col(ts_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy("url_norm").orderBy(*order)
+    return (
+        df.withColumn("url_norm", url_normalize(url_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def host_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host rollup: page count, language spread, text-duplication rate,
+    mean document length.  The dup rate is the host-quality signal CCNet
+    gates on (mirror/boilerplate hosts duplicate most of their text).
+
+    Output: (host, n_pages, n_langs, n_distinct_texts, dup_rate, avg_chars).
+    dup_rate = 1 - distinct/total, 0.0 for a host of unique pages.
+    """
+    text = F.col(text_col)
+    return (
+        df.select(
+            url_host(url_col).alias("host"),
+            F.md5(F.encode(text, "utf-8")).alias("__th"),
+            F.length(text).alias("__len"),
+            F.col(lang_col).alias("__lang"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("__lang").alias("n_langs"),
+            F.count_distinct("__th").alias("n_distinct_texts"),
+            F.avg("__len").alias("avg_chars"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            "n_langs",
+            "n_distinct_texts",
+            (F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_pages")).alias("dup_rate"),
+            "avg_chars",
+        )
+    )
