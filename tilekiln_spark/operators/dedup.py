@@ -486,10 +486,13 @@ def paragraph_dedup(
       n_dropped)``, text_clean possibly empty.
 
     Scale shape (10^12 docs): paragraphs explode map-side; the hash stats
-    are one partial-agg shuffle on the 16-byte md5; only hashes seen in
-    >= min_docs docs survive into the join (the duplicated subset — AQE
-    broadcasts it when small, sort-merge otherwise); reassembly is one
-    shuffle keyed on the doc key.  No driver materialization anywhere.
+    shuffle only (md5, doc_key) pairs — two-phase because count_distinct
+    plans as a (h, key) pre-aggregation (map-side combine dedups within a
+    partition) followed by the per-h rollup; paragraph TEXT never enters
+    either exchange.  Only hashes seen in >= min_docs docs survive into the
+    join (the duplicated subset — AQE broadcasts it when small, sort-merge
+    otherwise); reassembly is one shuffle keyed on the doc key.  No driver
+    materialization anywhere.
     """
     key = F.col(key_col)
     paras = df.select(
