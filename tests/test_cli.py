@@ -223,3 +223,47 @@ def test_corpus_cli_group(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_raw"] == 25 and stats["n_exact"] == 20
     assert stats["n_clean"] == stats["n_canonical"] - 1  # bench doc removed
+
+
+def test_corpus_cli_web(spark, tmp_path, capsys):
+    """corpus urlfilter (gates + newest-capture) and hostprofile over parquet."""
+    import datetime as dt
+    import json
+
+    from tilekiln_spark.cli import main
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "https://good.example.com/a", t0, "alpha", "en"),
+        # same page, newer capture with tracking param -> one survivor (id 2)
+        (2, "https://good.example.com/a?utm_source=x", t0 + dt.timedelta(days=1), "alpha", "en"),
+        (3, "https://spam.example.com/b", t0, "beta", "en"),
+        (4, "ftp://good.example.com/c", t0, "gamma", "en"),
+        (5, "https://good.example.com/users/login", t0, "delta", "en"),
+    ]
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "kept.parquet")
+    assert main([
+        "corpus", "urlfilter", "--input", src, "--output", out,
+        "--ts-col", "warc_ts", "--block-host", "spam.example.com",
+    ]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel == {
+        "kept": 2, "host_blocked": 1, "scheme": 1, "path_badword": 1, "written": 1,
+    }
+    kept = spark.read.parquet(out).collect()
+    assert len(kept) == 1 and kept[0].doc_id == 2
+
+    prof_out = str(tmp_path / "prof.parquet")
+    assert main([
+        "corpus", "hostprofile", "--input", src, "--output", prof_out, "--top", "2",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2  # two hosts, ftp host parses too
+    prof = {r.host: r for r in spark.read.parquet(prof_out).collect()}
+    assert prof["good.example.com"].n_pages == 4
+    assert prof["spam.example.com"].n_pages == 1

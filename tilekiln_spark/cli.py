@@ -364,6 +364,54 @@ def cmd_corpus_pipeline(args) -> int:
     return 0
 
 
+def cmd_corpus_urlfilter(args) -> int:
+    """corpus urlfilter: admission gates + snapshot selection; funnel on
+    stdout, surviving rows (newest capture per normalized URL) to parquet."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.webstats import latest_capture, url_filter_flags
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    flagged = url_filter_flags(
+        df, args.url_col,
+        host_blocklist=tuple(args.block_host or ()),
+        max_depth=args.max_depth,
+    )
+    funnel = {
+        r["gate"]: r["n"]
+        for r in flagged.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("gate")
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    kept = flagged.filter("keep").drop("keep", "drop_reason")
+    if args.ts_col:
+        kept = latest_capture(kept, args.url_col, args.ts_col)
+    kept.write.mode("overwrite").parquet(args.output)
+    funnel["written"] = kept.count()
+    print(json.dumps(funnel))
+    return 0
+
+
+def cmd_corpus_hostprofile(args) -> int:
+    """corpus hostprofile: per-host quality rollup to parquet, worst
+    (highest dup-rate) hosts on stdout."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.webstats import host_profile
+
+    spark = _spark()
+    prof = host_profile(
+        spark.read.parquet(args.input), args.url_col, args.text_col, args.lang_col
+    )
+    prof.write.mode("overwrite").parquet(args.output)
+    for r in prof.orderBy(F.desc("dup_rate"), "host").limit(args.top).collect():
+        print(f"{r.host}\t{r.n_pages}\t{r.dup_rate:.3f}")
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -490,6 +538,23 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--fraction", type=float, default=0.5)
     cp.add_argument("--seq-len", type=int, default=4096)
     cp.set_defaults(fn=cmd_corpus_pipeline)
+    cu = co.add_parser("urlfilter")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--url-col", default="url")
+    cu.add_argument("--ts-col", default=None,
+                    help="capture timestamp column; keeps newest per normalized URL")
+    cu.add_argument("--block-host", action="append", default=[])
+    cu.add_argument("--max-depth", type=int, default=8)
+    cu.set_defaults(fn=cmd_corpus_urlfilter)
+    ch = co.add_parser("hostprofile")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--url-col", default="url")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--lang-col", default="lang")
+    ch.add_argument("--top", type=int, default=20)
+    ch.set_defaults(fn=cmd_corpus_hostprofile)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
