@@ -1022,6 +1022,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_topk"] = vocab_topk_q
 
+    def lm_score_q(spark, sf_dir):
+        """Pruned bigram LM + stupid-backoff document scoring (functions/
+        lm.py — Brants et al. 2007, the CCNet-style quality filter's LM).
+        Training is two partial-aggregated groupBys ending in
+        TakeOrderedAndProject (top-30 unigrams / top-120 bigrams, ties
+        broken by token so the cut is total); the pruned tables are
+        broadcast into the scoring join, so the token stream never
+        shuffles — the only exchange is the per-doc rollup, collapsed
+        map-side to one row per document."""
+        from tilekiln_spark.functions.lm import lm_doc_scores, train_bigram_lm
+
+        d = _docs(spark, sf_dir)
+        lm = train_bigram_lm(d, k_vocab=30, m_bigrams=120)
+        return lm_doc_scores(d, lm)
+
+    q["lm_score"] = lm_score_q
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2307,6 +2324,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(n AS BIGINT) AS n,
                CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
         FROM c ORDER BY n DESC, token LIMIT 100
+    """
+
+    o["lm_score"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM documents WHERE trim(text) != ''
+        ), tok AS (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+            FROM toks
+        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        uni AS (
+            SELECT w, count(*) AS c FROM tok GROUP BY w
+            ORDER BY c DESC, w LIMIT 30
+        ), bg AS (
+            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ORDER BY c DESC, w1, w2 LIMIT 120
+        ), sc AS (
+            SELECT g.doc_id,
+                   CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+                        THEN ln(CAST(b.c AS DOUBLE) / u1.c)
+                        WHEN u2.c IS NOT NULL THEN ln(0.4 * u2.c / t)
+                        ELSE ln(0.4 * 0.5 / t) END AS lp
+            FROM bg g
+            LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+            LEFT JOIN uni u1 ON g.w1 = u1.w
+            LEFT JOIN uni u2 ON g.w2 = u2.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logprob
+        FROM sc GROUP BY doc_id
     """
 
     o["text_quality"] = """

@@ -112,6 +112,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "decontaminate_overlap",
         "pack_sequences",
         "vocab_topk",
+        "lm_score",
         "corpus_pipeline",
         "fingerprints",
         "event_windows",

@@ -1,0 +1,103 @@
+"""Pruned bigram LM with stupid backoff (functions/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilekiln_spark.functions.lm import (
+    BACKOFF,
+    UNSEEN_COUNT,
+    lm_doc_scores,
+    train_bigram_lm,
+)
+
+CORPUS = [
+    (1, "a b a b c"),
+    (2, "a a a a"),
+    (3, "x y"),
+    (4, "z"),  # single token: no bigrams, absent from scores
+    (5, ""),  # empty: no tokens at all
+]
+# token counts: a=6 b=2 c=1 x=1 y=1 z=1; T=12
+# bigram counts: (a,b)=2 (b,a)=1 (b,c)=1 (a,a)=3 (x,y)=1
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_train_counts_and_pruning(docs):
+    lm = train_bigram_lm(docs, k_vocab=2, m_bigrams=2)
+    assert lm.total_tokens == 12
+    uni = {r.token: r.c for r in lm.uni.collect()}
+    assert uni == {"a": 6, "b": 2}  # tie at c=1 never reaches the cut
+    bi = {(r.w1, r.w2): r.c for r in lm.bi.collect()}
+    assert bi == {("a", "a"): 3, ("a", "b"): 2}  # ties broken by (w1, w2)
+
+
+def test_pruning_tie_break_is_total(docs):
+    # c=1 four-way unigram tie (c, x, y, z): the cut keeps the
+    # lexicographically smallest, deterministically
+    lm = train_bigram_lm(docs, k_vocab=4, m_bigrams=10)
+    uni = {r.token: r.c for r in lm.uni.collect()}
+    assert uni == {"a": 6, "b": 2, "c": 1, "x": 1}
+
+
+def test_scores_exact_all_three_branches(docs):
+    """Hand-computed stupid-backoff scores exercise every CASE branch."""
+    lm = train_bigram_lm(docs, k_vocab=2, m_bigrams=2)
+    out = {r.doc_id: r for r in lm_doc_scores(docs, lm).collect()}
+    T = 12.0
+
+    def uni_backoff(c2):
+        return math.log(BACKOFF * c2 / T)
+
+    floor = math.log(BACKOFF * UNSEEN_COUNT / T)
+    # doc 1 "a b a b c": (a,b) kept -> ln(2/6); (b,a) pruned, a in vocab ->
+    # backoff ln(.4*6/12); (a,b) again; (b,c) pruned, c OOV -> floor
+    lp1 = [math.log(2 / 6), uni_backoff(6), math.log(2 / 6), floor]
+    assert out[1].n_bigrams == 4
+    assert out[1].avg_logprob == pytest.approx(sum(lp1) / 4, abs=1e-6)
+    # doc 2 "a a a a": (a,a) kept 3x -> ln(3/6)
+    assert out[2].n_bigrams == 3
+    assert out[2].avg_logprob == pytest.approx(math.log(3 / 6), abs=1e-6)
+    # doc 3 "x y": bigram pruned AND y OOV -> floor
+    assert out[3].n_bigrams == 1
+    assert out[3].avg_logprob == pytest.approx(floor, abs=1e-6)
+    # docs 4 (one token) and 5 (empty) have no bigrams -> no row
+    assert set(out) == {1, 2, 3}
+
+
+def test_repetitive_text_scores_higher_than_rare(spark):
+    """The quality-filter property: text made of corpus-frequent patterns
+    scores a higher avg_logprob than text of corpus-rare tokens."""
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows += [(100, "the cat sat on the mat"), (101, "zq wv kx jy qq vz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # prune to top-5: the singleton tokens/bigrams of doc 101 fall out (an
+    # UNPRUNED stupid backoff scores a one-off deterministic continuation
+    # ln(1/1)=0 — pruning is what makes rare text surprising)
+    lm = train_bigram_lm(docs, k_vocab=5, m_bigrams=5)
+    out = {r.doc_id: r.avg_logprob for r in lm_doc_scores(docs, lm).collect()}
+    assert out[100] > out[101]
+
+
+def test_scoring_joins_are_broadcast(docs):
+    """The LM is bounded by construction; all three lookups must be
+    broadcast hash joins (no token-stream shuffle in the plan)."""
+    lm = train_bigram_lm(docs, k_vocab=2, m_bigrams=2)
+    plan = lm_doc_scores(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_score_new_documents_with_trained_lm(docs, spark):
+    """Train/score split: the LM scores documents it never saw."""
+    lm = train_bigram_lm(docs, k_vocab=2, m_bigrams=2)
+    new = spark.createDataFrame([(9, "a b q")], "doc_id long, text string")
+    r = lm_doc_scores(new, lm).collect()[0]
+    # (a,b) kept -> ln(2/6); (b,q) q unseen -> floor
+    exp = (math.log(2 / 6) + math.log(BACKOFF * UNSEEN_COUNT / 12.0)) / 2
+    assert r.n_bigrams == 2 and r.avg_logprob == pytest.approx(exp, abs=1e-6)
