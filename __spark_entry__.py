@@ -1039,6 +1039,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_score"] = lm_score_q
 
+    def bpe_train_q(spark, sf_dir):
+        """BPE merge training (functions/bpe.py — Sennrich et al. 2016,
+        word-frequency formulation).  The word table is one TakeOrdered
+        counting pass; each of the 8 merge rounds is a map + a partial-
+        aggregated pair groupBy + a 1-ROW TakeOrdered — the only driver
+        data is one (x, y) pair per round.  The DuckDB twin replays the
+        identical rounds as chained materialized CTEs; left-to-right
+        non-overlapping replace semantics (the BPE greedy rule) agree
+        between Java String.replace and DuckDB replace by construction."""
+        from tilekiln_spark.functions.bpe import bpe_train
+
+        merges = bpe_train(_docs(spark, sf_dir), num_merges=8, v_words=500)
+        return spark.createDataFrame(
+            [(r, x, y, n) for r, x, y, n in merges],
+            "step int, x string, y string, n long",
+        )
+
+    q["bpe_train"] = bpe_train_q
+
+    def bpe_encode_q(spark, sf_dir):
+        """Encode every document with the learned merge list: a chain of 8
+        static replaces on the spaced-symbol doc string — pure codegen
+        expressions, no UDF, no shuffle beyond the training rounds."""
+        from tilekiln_spark.functions.bpe import bpe_token_count, bpe_train
+
+        d = _docs(spark, sf_dir)
+        merges = bpe_train(d, num_merges=8, v_words=500)
+        return d.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), merges).cast("int").alias("n_bpe"),
+        )
+
+    q["bpe_encode"] = bpe_encode_q
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -1759,6 +1793,44 @@ FROM docs_geo WHERE way && {{bbox}}
     return q
 
 
+def _bpe_rounds_sql(j: int, v_words: int) -> str:
+    """DuckDB replay of functions/bpe.bpe_train: j merge rounds as chained
+    MATERIALIZED CTEs.  Each round extracts adjacent symbol pairs
+    (unnest + generate_subscripts self-join), takes the best pair with the
+    same (n DESC, x, y) tie-break, and applies it with replace() — whose
+    left-to-right non-overlapping scan matches Java String.replace, i.e.
+    the BPE greedy-merge rule both engines share."""
+    parts = [
+        rf"""WITH words AS MATERIALIZED (
+            SELECT w, count(*) AS c FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE trim(text) != ''
+            ) GROUP BY w ORDER BY c DESC, w LIMIT {v_words}
+        ), r0 AS MATERIALIZED (
+            SELECT w, c,
+                   ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s
+            FROM words
+        )"""
+    ]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", e{i} AS MATERIALIZED (
+            SELECT w, c, unnest(a) AS sym, generate_subscripts(a, 1) AS pos
+            FROM (SELECT w, c, regexp_split_to_array(trim(s), ' ') AS a FROM r{i - 1})
+        ), b{i} AS MATERIALIZED (
+            SELECT e1.sym AS x, e2.sym AS y, sum(e1.c) AS n
+            FROM e{i} e1 JOIN e{i} e2 ON e1.w = e2.w AND e2.pos = e1.pos + 1
+            GROUP BY 1, 2 ORDER BY n DESC, x, y LIMIT 1
+        ), r{i} AS MATERIALIZED (
+            SELECT w, c, replace(s,
+                ' ' || (SELECT x FROM b{i}) || ' ' || (SELECT y FROM b{i}) || ' ',
+                ' ' || (SELECT x FROM b{i}) || (SELECT y FROM b{i}) || ' ') AS s
+            FROM r{i - 1}
+        )"""
+        )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     tx6, ty6 = _tile_xy_sql(6)
     o: dict[str, str] = {}
@@ -2360,6 +2432,44 @@ def oracle_sql() -> dict[str, str]:
                round(avg(lp), 6) AS avg_logprob
         FROM sc GROUP BY doc_id
     """
+
+    _bpe_prefix = _bpe_rounds_sql(8, 500)
+    o["bpe_train"] = _bpe_prefix + "".join(
+        f"""{' UNION ALL ' if i > 1 else ' '}
+        SELECT CAST({i} AS INT) AS step, x, y, CAST(n AS BIGINT) AS n FROM b{i}"""
+        for i in range(1, 9)
+    )
+
+    _enc_chain = [
+        r""", d0 AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' OR text IS NULL THEN ' '
+                        ELSE list_aggregate(list_transform(
+                                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> ' ' || regexp_replace(t, '(.)', '\1 ', 'g') || '</w>'),
+                             'string_agg', '') || ' ' END AS s
+            FROM documents
+        )"""
+    ]
+    for i in range(1, 9):
+        _enc_chain.append(
+            f""", d{i} AS MATERIALIZED (
+            SELECT doc_id, replace(s,
+                ' ' || (SELECT x FROM b{i}) || ' ' || (SELECT y FROM b{i}) || ' ',
+                ' ' || (SELECT x FROM b{i}) || (SELECT y FROM b{i}) || ' ') AS s
+            FROM d{i - 1}
+        )"""
+        )
+    o["bpe_encode"] = (
+        _bpe_prefix
+        + "".join(_enc_chain)
+        + """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(s) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(s), ' ')) END AS INT) AS n_bpe
+        FROM d8
+    """
+    )
 
     o["text_quality"] = """
         WITH per_doc AS (

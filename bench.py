@@ -113,6 +113,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "pack_sequences",
         "vocab_topk",
         "lm_score",
+        "bpe_train",
         "corpus_pipeline",
         "fingerprints",
         "event_windows",
