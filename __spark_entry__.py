@@ -1073,6 +1073,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode"] = bpe_encode_q
 
+    def quality_filter_funnel(spark, sf_dir):
+        """Gopher-style doc admission gates (operators/quality.py — Rae et
+        al. 2021 Appendix A): one map-only pass annotates keep +
+        first-match drop_reason (all pure codegen expressions over the
+        shared tokenizer — no UDF, no shuffle before the funnel rollup).
+        Thresholds here are tuned so several gates fire on the fixture
+        corpus; the DuckDB twin replays the identical CASE chain."""
+        from tilekiln_spark.operators.quality import doc_quality_flags
+
+        flagged = doc_quality_flags(
+            _docs(spark, sf_dir),
+            min_words=20,
+            max_words=80,
+            min_mean_word_len=4.0,
+            max_dup_ngram_frac=0.08,
+        )
+        return flagged.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("gate")
+        ).agg(F.count("*").alias("n_docs"))
+
+    q["quality_filter_funnel"] = quality_filter_funnel
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2470,6 +2492,61 @@ def oracle_sql() -> dict[str, str]:
         FROM d8
     """
     )
+
+    o["quality_filter_funnel"] = r"""
+        WITH base AS (
+            SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   END AS a, text
+            FROM documents
+        ), feat AS (
+            SELECT
+                len(a) AS n,
+                CASE WHEN len(a) > 0
+                     THEN list_aggregate(list_transform(a, x -> len(x)),
+                          'sum')::DOUBLE / len(a)
+                     ELSE 0.0 END AS mean_len,
+                list_filter(list_transform(string_split(text, chr(10)),
+                            x -> trim(x)), x -> x != '') AS ls,
+                CASE WHEN len(a) - 1 > 1 THEN
+                     1.0 - len(list_distinct(list_transform(
+                         generate_series(1, len(a) - 1),
+                         i -> a[i] || ' ' || a[i + 1])))::DOUBLE / (len(a) - 1)
+                     ELSE 0.0 END AS dupng,
+                CASE WHEN len(a) > 0
+                     THEN len(list_filter(a, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                          / len(a)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(a),
+                    ['the','and','of','to','in','a','is','that','for','it'])) AS nstop
+            FROM base
+        ), lf AS (
+            SELECT n, mean_len, dupng, alpha, nstop,
+                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+                     x -> regexp_matches(x, '^(-|\*|\d+\.)\s')))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+                     x -> regexp_matches(x, '\.\.\.$')))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ls) > 1
+                     THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS dupl
+            FROM feat
+        )
+        SELECT CASE
+                 WHEN n < 20 THEN 'too_few_words'
+                 WHEN n > 80 THEN 'too_many_words'
+                 WHEN mean_len < 4.0 OR mean_len > 10.0 THEN 'word_length'
+                 WHEN bullet > 0.9 THEN 'bullet_lines'
+                 WHEN ell > 0.3 THEN 'ellipsis_lines'
+                 WHEN dupl > 0.3 THEN 'dup_lines'
+                 WHEN dupng > 0.08 THEN 'dup_ngrams'
+                 WHEN alpha < 0.8 THEN 'low_alpha_words'
+                 WHEN nstop < 2 THEN 'few_stopwords'
+                 ELSE 'kept' END AS gate,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM lf GROUP BY gate
+    """
 
     o["text_quality"] = """
         WITH per_doc AS (

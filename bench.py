@@ -114,6 +114,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "vocab_topk",
         "lm_score",
         "bpe_train",
+        "quality_filter_funnel",
         "corpus_pipeline",
         "fingerprints",
         "event_windows",

@@ -267,3 +267,44 @@ def test_corpus_cli_web(spark, tmp_path, capsys):
     prof = {r.host: r for r in spark.read.parquet(prof_out).collect()}
     assert prof["good.example.com"].n_pages == 4
     assert prof["spam.example.com"].n_pages == 1
+
+
+def test_corpus_cli_quality_lm_bpe(spark, tmp_path, capsys):
+    """corpus qualityfilter / lmscore / bpetrain over parquet."""
+    import json
+
+    from tilekiln_spark.cli import main
+
+    rows = [
+        (1, "the cat and dog walked to the market for a fresh fish that day"),
+        (2, "tiny doc"),
+        (3, "the cat and dog walked to the market for a fresh loaf that day"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "kept.parquet")
+    assert main([
+        "corpus", "qualityfilter", "--input", src, "--output", out,
+        "--min-words", "5",
+    ]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel == {"kept": 2, "too_few_words": 1}
+    assert spark.read.parquet(out).count() == 2
+
+    lm_out = str(tmp_path / "lm.parquet")
+    assert main([
+        "corpus", "lmscore", "--input", src, "--output", lm_out, "--top", "1",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1  # most surprising doc only
+    assert spark.read.parquet(lm_out).count() == 3
+
+    bpe_out = str(tmp_path / "merges.parquet")
+    assert main([
+        "corpus", "bpetrain", "--input", src, "--output", bpe_out,
+        "--merges", "4",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 4
+    assert spark.read.parquet(bpe_out).count() == 4

@@ -1,0 +1,91 @@
+"""Gopher-style document admission gates (operators/quality.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilekiln_spark.operators.quality import doc_quality_flags
+
+GOOD = "the cat and dog walked to the market for a fresh fish that morning"
+
+DOCS = [
+    (1, GOOD),  # kept
+    (2, "tiny doc"),  # too_few_words
+    (3, " ".join(["word"] * 200)),  # too_many_words (max=100 below)
+    (4, "a a a a a b b b b b c c c c c"),  # word_length (mean len 1)
+    (5, "- the first item\n- the second item\n- the third item"),  # bullet_lines
+    (6, "the start of it...\nthe middle of it...\nthe end of it..."),  # ellipsis
+    (7, "the same line here\nthe same line here\nthe same line here"),  # dup_lines
+    # dup_ngrams: a repeated phrase, mean word length kept >= 3
+    (8, "the quick brown fox jumps the quick brown fox jumps the quick brown fox jumps again yes"),
+    # low_alpha_words: digit runs long enough to keep mean word length >= 3
+    (9, "the 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000 things that happen"),
+    (10, "purple monkey dishwasher quantum banana elephant xylophone guitar"),
+    # ^ few_stopwords (0 distinct stopwords)
+]
+
+
+@pytest.fixture(scope="module")
+def flagged(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return doc_quality_flags(
+        df,
+        min_words=5,
+        max_words=100,
+        max_dup_line_frac=0.5,
+        max_dup_ngram_frac=0.5,
+    ).collect()
+
+
+def test_each_gate_fires(flagged):
+    by_id = {r.doc_id: r.drop_reason for r in flagged}
+    assert by_id == {
+        1: None,
+        2: "too_few_words",
+        3: "too_many_words",
+        4: "word_length",
+        5: "bullet_lines",
+        6: "ellipsis_lines",
+        7: "dup_lines",
+        8: "dup_ngrams",
+        9: "low_alpha_words",
+        10: "few_stopwords",
+    }
+
+
+def test_keep_matches_reason(flagged):
+    for r in flagged:
+        assert r.keep == (r.drop_reason is None)
+
+
+def test_first_match_precedence(spark):
+    # doc is BOTH too short and stopword-free: the earlier gate names it
+    df = spark.createDataFrame([(1, "zz qq")], "doc_id long, text string")
+    r = doc_quality_flags(df, min_words=5).collect()[0]
+    assert r.drop_reason == "too_few_words"
+
+
+def test_defaults_keep_prose(spark):
+    # ~60 tokens of VARIED prose (repeating one sentence would rightly trip
+    # the duplicate-ngram gate)
+    text = (
+        "the quiet morning sun rose over a small town and people walked to "
+        "the market for fresh bread that day while children played in the "
+        "park and a gentle wind moved through the trees as shopkeepers "
+        "opened their doors to greet the first customers of the day with "
+        "warm smiles and good cheer for everyone around them all morning"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = doc_quality_flags(df).collect()[0]
+    assert r.keep and r.drop_reason is None
+
+
+def test_map_only_plan(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        doc_quality_flags(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # one map pass: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

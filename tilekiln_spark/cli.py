@@ -412,6 +412,75 @@ def cmd_corpus_hostprofile(args) -> int:
     return 0
 
 
+def cmd_corpus_qualityfilter(args) -> int:
+    """corpus qualityfilter: Gopher-style doc admission gates; funnel on
+    stdout, kept rows to parquet."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.quality import doc_quality_flags
+
+    spark = _spark()
+    flagged = doc_quality_flags(
+        spark.read.parquet(args.input),
+        text_col=args.text_col,
+        min_words=args.min_words,
+        max_words=args.max_words,
+    )
+    funnel = {
+        r["gate"]: r["n"]
+        for r in flagged.groupBy(
+            F.coalesce("drop_reason", F.lit("kept")).alias("gate")
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    kept = flagged.filter("keep").drop("keep", "drop_reason")
+    kept.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(funnel))
+    return 0
+
+
+def cmd_corpus_lmscore(args) -> int:
+    """corpus lmscore: train the pruned bigram LM on the corpus and write
+    per-doc stupid-backoff scores; the N most surprising docs on stdout."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.lm import lm_doc_scores, train_bigram_lm
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    lm = train_bigram_lm(
+        df, args.text_col, k_vocab=args.k_vocab, m_bigrams=args.m_bigrams
+    )
+    scores = lm_doc_scores(df, lm, args.text_col, args.id_col)
+    scores.write.mode("overwrite").parquet(args.output)
+    for r in scores.orderBy(F.asc("avg_logprob")).limit(args.top).collect():
+        print(f"{r[args.id_col]}\t{r.n_bigrams}\t{r.avg_logprob:.6f}")
+    lm.unpersist()
+    return 0
+
+
+def cmd_corpus_bpetrain(args) -> int:
+    """corpus bpetrain: learn BPE merges from the corpus; one merge per
+    line on stdout (training order), merge table to parquet."""
+    from tilekiln_spark.functions.bpe import bpe_train
+
+    spark = _spark()
+    merges = bpe_train(
+        spark.read.parquet(args.input),
+        num_merges=args.merges,
+        text_col=args.text_col,
+        v_words=args.v_words,
+    )
+    out = spark.createDataFrame(
+        merges, "step int, x string, y string, n long"
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    for step, x, y, n in merges:
+        print(f"{step}\t{x}\t{y}\t{n}")
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -555,6 +624,29 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--lang-col", default="lang")
     ch.add_argument("--top", type=int, default=20)
     ch.set_defaults(fn=cmd_corpus_hostprofile)
+    cq = co.add_parser("qualityfilter")
+    cq.add_argument("--input", required=True)
+    cq.add_argument("--output", required=True)
+    cq.add_argument("--text-col", default="text")
+    cq.add_argument("--min-words", type=int, default=50)
+    cq.add_argument("--max-words", type=int, default=100_000)
+    cq.set_defaults(fn=cmd_corpus_qualityfilter)
+    cl = co.add_parser("lmscore")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--k-vocab", type=int, default=50_000)
+    cl.add_argument("--m-bigrams", type=int, default=200_000)
+    cl.add_argument("--top", type=int, default=20)
+    cl.set_defaults(fn=cmd_corpus_lmscore)
+    cb = co.add_parser("bpetrain")
+    cb.add_argument("--input", required=True)
+    cb.add_argument("--output", required=True)
+    cb.add_argument("--text-col", default="text")
+    cb.add_argument("--merges", type=int, default=32)
+    cb.add_argument("--v-words", type=int, default=100_000)
+    cb.set_defaults(fn=cmd_corpus_bpetrain)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
