@@ -1095,6 +1095,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter_funnel"] = quality_filter_funnel
 
+    def corpus_pipeline_quality(spark, sf_dir):
+        """The composed pipeline with the Gopher gates as stage 0 (the
+        production order: quality is map-only, so gating before the dedup
+        shuffle shrinks every downstream stage).  Same funnel row as
+        corpus_pipeline plus n_admitted; the DuckDB twin inserts the gate
+        CTE between corpus and exact-dedup in the same chained SQL."""
+        from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+        c = _neardup_corpus(spark, sf_dir)
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select("text")
+        return training_corpus_pipeline(
+            c, bench,
+            quality={"min_words": 20, "max_words": 80,
+                     "min_mean_word_len": 4.0, "max_dup_ngram_frac": 0.08},
+        )
+
+    q["corpus_pipeline_quality"] = corpus_pipeline_quality
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -1815,6 +1833,77 @@ FROM docs_geo WHERE way && {{bbox}}
     return q
 
 
+def _quality_gate_sql(
+    src: str,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean: float = 4.0,
+    max_mean: float = 10.0,
+    max_bullet: float = 0.9,
+    max_ell: float = 0.3,
+    max_dupl: float = 0.3,
+    max_dupng: float = 0.08,
+    min_alpha: float = 0.8,
+    min_stop: int = 2,
+) -> str:
+    """DuckDB replay of operators/quality.doc_quality_flags over table
+    `src` (must expose doc_id, text): rows carry the first-match gate name
+    (NULL when kept).  Shared by the quality_filter_funnel oracle and the
+    corpus_pipeline_quality oracle, so the two stay one implementation."""
+    return rf"""
+        SELECT doc_id, text, CASE
+                 WHEN n < {min_words} THEN 'too_few_words'
+                 WHEN n > {max_words} THEN 'too_many_words'
+                 WHEN mean_len < {min_mean} OR mean_len > {max_mean}
+                      THEN 'word_length'
+                 WHEN bullet > {max_bullet} THEN 'bullet_lines'
+                 WHEN ell > {max_ell} THEN 'ellipsis_lines'
+                 WHEN dupl > {max_dupl} THEN 'dup_lines'
+                 WHEN dupng > {max_dupng} THEN 'dup_ngrams'
+                 WHEN alpha < {min_alpha} THEN 'low_alpha_words'
+                 WHEN nstop < {min_stop} THEN 'few_stopwords'
+                 ELSE NULL END AS gate
+        FROM (
+            SELECT doc_id, text, n, mean_len, dupng, alpha, nstop,
+                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+                     x -> regexp_matches(x, '^(-|\*|\d+\.)\s')))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
+                     x -> regexp_matches(x, '\.\.\.$')))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ls) > 1
+                     THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                     ELSE 0.0 END AS dupl
+            FROM (
+                SELECT doc_id, text,
+                    len(a) AS n,
+                    CASE WHEN len(a) > 0
+                         THEN list_aggregate(list_transform(a, x -> len(x)),
+                              'sum')::DOUBLE / len(a)
+                         ELSE 0.0 END AS mean_len,
+                    list_filter(list_transform(string_split(text, chr(10)),
+                                x -> trim(x)), x -> x != '') AS ls,
+                    CASE WHEN len(a) - 1 > 1 THEN
+                         1.0 - len(list_distinct(list_transform(
+                             generate_series(1, len(a) - 1),
+                             i -> a[i] || ' ' || a[i + 1])))::DOUBLE / (len(a) - 1)
+                         ELSE 0.0 END AS dupng,
+                    CASE WHEN len(a) > 0
+                         THEN len(list_filter(a,
+                              x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(a)
+                         ELSE 0.0 END AS alpha,
+                    len(list_intersect(list_distinct(a),
+                        ['the','and','of','to','in','a','is','that','for','it'])) AS nstop
+                FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                           END AS a
+                    FROM {src})
+            )
+        )"""
+
+
 def _bpe_rounds_sql(j: int, v_words: int) -> str:
     """DuckDB replay of functions/bpe.bpe_train: j merge rounds as chained
     MATERIALIZED CTEs.  Each round extracts adjacent symbol pairs
@@ -2410,6 +2499,24 @@ def oracle_sql() -> dict[str, str]:
         FROM packd
     """
 
+    # corpus_pipeline with the quality gates as stage 0: same chained SQL
+    # with a gated CTE spliced between corpus and exact (one implementation
+    # of the gate logic — _quality_gate_sql — shared with the funnel oracle)
+    _gated_cte = (
+        "), gated AS (\n            SELECT doc_id, text FROM ("
+        + _quality_gate_sql("corpus")
+        + ") WHERE gate IS NULL\n        ), exact AS ("
+    )
+    _opq = o["corpus_pipeline"].replace("), exact AS (", _gated_cte, 1)
+    _opq = _opq.replace("FROM corpus) WHERE rn = 1", "FROM gated) WHERE rn = 1", 1)
+    _opq = _opq.replace(
+        "(SELECT count(*) FROM corpus) AS n_raw,",
+        "(SELECT count(*) FROM corpus) AS n_raw,\n"
+        "               (SELECT count(*) FROM gated) AS n_admitted,",
+        1,
+    )
+    o["corpus_pipeline_quality"] = _opq
+
     o["vocab_topk"] = r"""
         WITH toks AS (
             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -2493,60 +2600,11 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    o["quality_filter_funnel"] = r"""
-        WITH base AS (
-            SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
-                   END AS a, text
-            FROM documents
-        ), feat AS (
-            SELECT
-                len(a) AS n,
-                CASE WHEN len(a) > 0
-                     THEN list_aggregate(list_transform(a, x -> len(x)),
-                          'sum')::DOUBLE / len(a)
-                     ELSE 0.0 END AS mean_len,
-                list_filter(list_transform(string_split(text, chr(10)),
-                            x -> trim(x)), x -> x != '') AS ls,
-                CASE WHEN len(a) - 1 > 1 THEN
-                     1.0 - len(list_distinct(list_transform(
-                         generate_series(1, len(a) - 1),
-                         i -> a[i] || ' ' || a[i + 1])))::DOUBLE / (len(a) - 1)
-                     ELSE 0.0 END AS dupng,
-                CASE WHEN len(a) > 0
-                     THEN len(list_filter(a, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-                          / len(a)
-                     ELSE 0.0 END AS alpha,
-                len(list_intersect(list_distinct(a),
-                    ['the','and','of','to','in','a','is','that','for','it'])) AS nstop
-            FROM base
-        ), lf AS (
-            SELECT n, mean_len, dupng, alpha, nstop,
-                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
-                     x -> regexp_matches(x, '^(-|\*|\d+\.)\s')))::DOUBLE / len(ls)
-                     ELSE 0.0 END AS bullet,
-                CASE WHEN len(ls) > 0 THEN len(list_filter(ls,
-                     x -> regexp_matches(x, '\.\.\.$')))::DOUBLE / len(ls)
-                     ELSE 0.0 END AS ell,
-                CASE WHEN len(ls) > 1
-                     THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
-                     ELSE 0.0 END AS dupl
-            FROM feat
-        )
-        SELECT CASE
-                 WHEN n < 20 THEN 'too_few_words'
-                 WHEN n > 80 THEN 'too_many_words'
-                 WHEN mean_len < 4.0 OR mean_len > 10.0 THEN 'word_length'
-                 WHEN bullet > 0.9 THEN 'bullet_lines'
-                 WHEN ell > 0.3 THEN 'ellipsis_lines'
-                 WHEN dupl > 0.3 THEN 'dup_lines'
-                 WHEN dupng > 0.08 THEN 'dup_ngrams'
-                 WHEN alpha < 0.8 THEN 'low_alpha_words'
-                 WHEN nstop < 2 THEN 'few_stopwords'
-                 ELSE 'kept' END AS gate,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM lf GROUP BY gate
-    """
+    o["quality_filter_funnel"] = (
+        "WITH g AS (" + _quality_gate_sql("documents") + ") "
+        "SELECT coalesce(gate, 'kept') AS gate, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY 1"
+    )
 
     o["text_quality"] = """
         WITH per_doc AS (

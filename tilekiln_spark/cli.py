@@ -356,9 +356,12 @@ def cmd_corpus_pipeline(args) -> int:
     spark = _spark()
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark).select(args.text_col)
+    quality = None
+    if args.quality:
+        quality = {"min_words": args.min_words, "max_words": args.max_words}
     row = training_corpus_pipeline(
         docs, bench, text_col=args.text_col, key_col=args.key_col,
-        fraction=args.fraction, seq_len=args.seq_len,
+        fraction=args.fraction, seq_len=args.seq_len, quality=quality,
     ).collect()[0]
     print(json.dumps(row.asDict()))
     return 0
@@ -606,6 +609,10 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--benchmark", required=True)
     cp.add_argument("--fraction", type=float, default=0.5)
     cp.add_argument("--seq-len", type=int, default=4096)
+    cp.add_argument("--quality", action="store_true",
+                    help="run the Gopher admission gates as stage 0")
+    cp.add_argument("--min-words", type=int, default=50)
+    cp.add_argument("--max-words", type=int, default=100_000)
     cp.set_defaults(fn=cmd_corpus_pipeline)
     cu = co.add_parser("urlfilter")
     cu.add_argument("--input", required=True)

@@ -2,8 +2,8 @@
 
 One call chains the engine's corpus operators in their production order —
 
-    exact dedup -> near-dup clustering (keep canonical) ->
-    benchmark decontamination -> deterministic sampling ->
+    [quality gates ->] exact dedup -> near-dup clustering (keep canonical)
+    -> benchmark decontamination -> deterministic sampling ->
     sequence packing
 
 — and returns the corpus funnel as a single stats row, so a user can run
@@ -41,17 +41,38 @@ def training_corpus_pipeline(
     fraction: float = 0.5,
     seq_len: int = 4096,
     seed: int = 17,
+    quality: dict | None = None,
 ) -> DataFrame:
-    """One stats row: n_raw, n_exact, n_canonical, n_clean, n_sampled,
-    total_chars, n_sequences (see module docstring)."""
+    """One stats row: n_raw, [n_admitted,] n_exact, n_canonical, n_clean,
+    n_sampled, total_chars, n_sequences (see module docstring).
+
+    ``quality`` (optional): kwargs for operators/quality.doc_quality_flags;
+    when given, the Gopher admission gates run FIRST (the production order:
+    quality is a map-only pass, so gating before the dedup shuffle shrinks
+    every downstream stage) and the row gains n_admitted after n_raw."""
     # Each stage frame feeds BOTH its funnel count and the next stage —
     # persist them (memory-and-disk) so the count action doesn't recompute
     # the upstream chain: at corpus scale, re-running exact dedup three
     # times to print three numbers is the difference between one pass and
     # four.  Frames are unpersisted once their consumer materialized.
     n_raw = docs.count()
+    n_admitted: int | None = None
+    gated: DataFrame | None = None
+    if quality is not None:
+        from tilekiln_spark.operators.quality import doc_quality_flags
+
+        gated = (
+            doc_quality_flags(docs, text_col=text_col, **quality)
+            .filter("keep")
+            .drop("keep", "drop_reason")
+            .persist()
+        )
+        n_admitted = gated.count()
+        docs = gated
     exact = exact_dedup(docs, text_col, key_col).persist()
     n_exact = exact.count()
+    if gated is not None:
+        gated.unpersist()
 
     labels = dedup_clusters(exact, text_col, key_col, threshold, num_perm, bands)
     canon_ids = labels.filter(F.col("is_canonical") == 1).select(key_col)
@@ -76,9 +97,11 @@ def training_corpus_pipeline(
     clean.unpersist()
 
     spark = docs.sparkSession
-    return spark.createDataFrame(
-        [(n_raw, n_exact, n_canonical, n_clean,
-          agg["n_sampled"], agg["total_chars"], agg["n_sequences"])],
-        "n_raw long, n_exact long, n_canonical long, n_clean long, "
-        "n_sampled long, total_chars long, n_sequences int",
-    )
+    vals = [n_raw, n_exact, n_canonical, n_clean,
+            agg["n_sampled"], agg["total_chars"], agg["n_sequences"]]
+    schema = ("n_raw long, n_exact long, n_canonical long, n_clean long, "
+              "n_sampled long, total_chars long, n_sequences int")
+    if n_admitted is not None:
+        vals.insert(1, n_admitted)
+        schema = schema.replace("n_raw long,", "n_raw long, n_admitted long,")
+    return spark.createDataFrame([tuple(vals)], schema)
