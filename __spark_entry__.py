@@ -1113,6 +1113,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pipeline_quality"] = corpus_pipeline_quality
 
+    def shard_rollup(spark, sf_dir):
+        """Deterministic output sharding (operators/sampling.shard_assign):
+        the md5 draw assigns each doc a shard (engine/layout-independent)
+        and a within-shard global-shuffle sort key; the rollup checks the
+        split + order cross-engine.  Map-only assignment; one exchange on
+        the shard key in the intended writer."""
+        from tilekiln_spark.operators.sampling import shard_assign
+
+        d = shard_assign(_docs(spark, sf_dir), 16)
+        return d.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("sort_key").alias("first_key"),
+        )
+
+    q["shard_rollup"] = shard_rollup
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2516,6 +2533,20 @@ def oracle_sql() -> dict[str, str]:
         1,
     )
     o["corpus_pipeline_quality"] = _opq
+
+    o["shard_rollup"] = """
+        WITH s AS (
+            SELECT n_chars,
+                   CAST(CAST('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 16 AS INT) AS shard,
+                   substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 16) AS sort_key
+            FROM documents
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(sort_key) AS first_key
+        FROM s GROUP BY shard
+    """
 
     o["vocab_topk"] = r"""
         WITH toks AS (

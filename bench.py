@@ -115,6 +115,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "lm_score",
         "bpe_train",
         "quality_filter_funnel",
+        "shard_rollup",
         "corpus_pipeline",
         "fingerprints",
         "event_windows",

@@ -79,3 +79,32 @@ def test_sample_by_broadcast_path_matches_case_path(spark):
     assert a == b  # identical decisions, different physical plan
     plan = sample_by(d, "source", big, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_shard_assign_deterministic_and_complete(spark):
+    from tilekiln_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = shard_assign(df, 16).collect()
+    b = shard_assign(df.repartition(7), 16).collect()  # layout-independent
+    assert {r.doc_id: (r.shard, r.sort_key) for r in a} == {
+        r.doc_id: (r.shard, r.sort_key) for r in b
+    }
+    shards = {r.shard for r in a}
+    assert shards == set(range(16))  # every shard populated at n=1000
+    assert len(a) == 1000  # assignment, not a filter
+    # python twin of the md5 draw reproduces the split exactly
+    import hashlib
+
+    for r in a[:50]:
+        h = hashlib.md5(f"s42:{r.doc_id}".encode()).hexdigest()
+        assert r.sort_key == h[:16]
+        assert r.shard == int(h[:8], 16) % 16
+
+
+def test_shard_assign_is_map_only(spark):
+    from tilekiln_spark.operators.sampling import shard_assign
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = shard_assign(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -120,3 +120,34 @@ def stratified_quota_sample(
         .filter(F.col("__rn") <= F.lit(int(quota)))
         .drop("__rn")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-output sharding: add ``shard`` (int in
+    [0, n_shards)) and ``sort_key`` (the row's 16-hex md5 draw) columns.
+
+    The assignment is the same engine-portable md5 draw the samplers use
+    (first 8 hex chars parsed as an integer, mod n_shards), so shard
+    membership is independent of partition layout, cluster size, and
+    engine — a re-run of the pipeline lands every document in the same
+    shard, and a DuckDB/Postgres twin reproduces the split exactly.
+    ``sort_key`` gives the within-shard global shuffle order GPT-style
+    loaders want (hash order = a deterministic permutation of the corpus).
+
+    Scale shape: both columns are map-only expressions.  The intended
+    writer is ``.repartition("shard").write.partitionBy("shard")`` —
+    ONE exchange keyed by shard, each output file internally sortable by
+    ``sortWithinPartitions("sort_key")`` at no extra shuffle.  Expected
+    imbalance is binomial: ~sqrt(N/n_shards) docs at one-sigma, negligible
+    at corpus scale.
+    """
+    h = sample_hash(F.col(key_col), seed)
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(n_shards))
+    ).cast("int")
+    return df.withColumn("shard", shard).withColumn("sort_key", h)
