@@ -265,3 +265,38 @@ def test_stream_dedup_across_batches_and_restart(spark, tmp_path):
     ids2 = {r.doc_id for r in spark.read.schema(schema).parquet(str(out)).collect()}
     assert 5 in ids2 and 4 not in ids2
     assert len(ids2) == 3  # one per distinct content
+
+
+def test_stream_corpus_ingest_gates_then_dedups(spark, tmp_path):
+    """stream_corpus_ingest drops gated docs statelessly and dedups the
+    survivors; rejected docs never enter the dedup state."""
+    import json
+
+    from tilekiln_spark.streaming.incremental import stream_corpus_ingest
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = tmp_path / "out"
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    prose = "the cat and dog walked to the market for a fresh fish that day"
+    with open(src / "b1.jsonl", "w") as f:
+        for doc_id, text, ts in [
+            (1, prose, "2026-01-01T10:00:00"),
+            (2, "tiny doc", "2026-01-01T10:00:01"),      # gated: too_few_words
+            (3, prose, "2026-01-01T10:00:02"),            # dup of 1
+        ]:
+            f.write(json.dumps(
+                {"doc_id": doc_id, "text": text, "ingest_ts": ts}) + "\n")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        stream_corpus_ingest(stream, quality={"min_words": 5})
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r.doc_id for r in spark.read.schema(schema).parquet(str(out)).collect()}
+    assert 2 not in ids            # gate fired
+    assert len(ids & {1, 3}) == 1  # dedup kept one copy of the prose

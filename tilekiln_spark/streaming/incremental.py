@@ -162,3 +162,34 @@ def stream_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def stream_corpus_ingest(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    quality: dict | None = None,
+) -> DataFrame:
+    """Streaming corpus admission: Gopher quality gates -> first-seen exact
+    dedup, the incremental face of training_corpus_pipeline's first stages.
+
+    The gates are stateless codegen expressions (same operator the batch
+    pipeline uses — operators/quality.doc_quality_flags), so they add ZERO
+    streaming state; gating BEFORE the dedup keeps rejected documents out
+    of the watermark-bounded hash state entirely, the same
+    shrink-before-the-stateful-op ordering the batch pipeline uses.
+    Near-dup clustering and decontamination stay batch passes downstream
+    (they need corpus-wide joins); this stream feeds their input
+    incrementally.
+    """
+    out = docs
+    if quality is not None:
+        from tilekiln_spark.operators.quality import doc_quality_flags
+
+        out = (
+            doc_quality_flags(out, text_col=text_col, **quality)
+            .filter("keep")
+            .drop("keep", "drop_reason")
+        )
+    return stream_dedup(out, text_col, ts_col, watermark)
