@@ -1130,6 +1130,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_rollup"] = shard_rollup
 
+    def corpus_pipeline_ccnet(spark, sf_dir):
+        """The full CCNet-shaped funnel: Gopher gates -> pruned-bigram-LM
+        perplexity filter (fixed logprob threshold, trained on the admitted
+        docs themselves) -> exact dedup -> clusters -> decontamination ->
+        sample -> pack.  The DuckDB twin splices the shared gate SQL AND
+        the shared LM SQL into the same chained pipeline oracle."""
+        from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+        c = _neardup_corpus(spark, sf_dir)
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select("text")
+        return training_corpus_pipeline(
+            c, bench,
+            quality={"min_words": 20, "max_words": 80,
+                     "min_mean_word_len": 4.0, "max_dup_ngram_frac": 0.08},
+            lm_min_logprob=-4.15, lm_k_vocab=30, lm_m_bigrams=120,
+        )
+
+    q["corpus_pipeline_ccnet"] = corpus_pipeline_ccnet
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -1921,6 +1940,47 @@ def _quality_gate_sql(
         )"""
 
 
+def _lm_scores_sql(src: str, k_vocab: int, m_bigrams: int) -> str:
+    """DuckDB replay of functions/lm train+score over table `src` (doc_id,
+    text): a self-contained subquery yielding (doc_id, n_bigrams,
+    avg_logprob).  Shared by the lm_score oracle and the CCNet-pipeline
+    oracle so the prune/backoff chain has one implementation."""
+    return rf"""(
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM {src} WHERE trim(text) != ''
+        ), tok AS (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+            FROM toks
+        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        uni AS (
+            SELECT w, count(*) AS c FROM tok GROUP BY w
+            ORDER BY c DESC, w LIMIT {k_vocab}
+        ), bg AS (
+            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ORDER BY c DESC, w1, w2 LIMIT {m_bigrams}
+        ), sc AS (
+            SELECT g.doc_id,
+                   CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+                        THEN ln(CAST(b.c AS DOUBLE) / u1.c)
+                        WHEN u2.c IS NOT NULL THEN ln(0.4 * u2.c / t)
+                        ELSE ln(0.4 * 0.5 / t) END AS lp
+            FROM bg g
+            LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+            LEFT JOIN uni u1 ON g.w1 = u1.w
+            LEFT JOIN uni u2 ON g.w2 = u2.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logprob
+        FROM sc GROUP BY doc_id
+    )"""
+
+
 def _bpe_rounds_sql(j: int, v_words: int) -> str:
     """DuckDB replay of functions/bpe.bpe_train: j merge rounds as chained
     MATERIALIZED CTEs.  Each round extracts adjacent symbol pairs
@@ -2534,6 +2594,26 @@ def oracle_sql() -> dict[str, str]:
     )
     o["corpus_pipeline_quality"] = _opq
 
+    # ... and the CCNet variant adds the LM stage between gated and exact,
+    # reusing the one _lm_scores_sql builder the lm_score oracle uses
+    _lm_cte = (
+        "), lmsc AS (\n            SELECT * FROM "
+        + _lm_scores_sql("gated", 30, 120)
+        + "\n        ), lmkept AS (\n"
+        "            SELECT g.doc_id, g.text FROM gated g\n"
+        "            LEFT JOIN lmsc s USING (doc_id)\n"
+        "            WHERE coalesce(s.avg_logprob >= -4.15, true)\n"
+        "        ), exact AS ("
+    )
+    _occ = _opq.replace("), exact AS (", _lm_cte, 1)
+    _occ = _occ.replace("FROM gated) WHERE rn = 1", "FROM lmkept) WHERE rn = 1", 1)
+    _occ = _occ.replace(
+        "AS n_admitted,",
+        "AS n_admitted,\n               (SELECT count(*) FROM lmkept) AS n_lm,",
+        1,
+    )
+    o["corpus_pipeline_ccnet"] = _occ
+
     o["shard_rollup"] = """
         WITH s AS (
             SELECT n_chars,
@@ -2558,40 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         FROM c ORDER BY n DESC, token LIMIT 100
     """
 
-    o["lm_score"] = r"""
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
-            FROM documents WHERE trim(text) != ''
-        ), tok AS (
-            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
-            FROM toks
-        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
-        uni AS (
-            SELECT w, count(*) AS c FROM tok GROUP BY w
-            ORDER BY c DESC, w LIMIT 30
-        ), bg AS (
-            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
-            FROM tok t1 JOIN tok t2
-              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-        ), bi AS (
-            SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
-            ORDER BY c DESC, w1, w2 LIMIT 120
-        ), sc AS (
-            SELECT g.doc_id,
-                   CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
-                        THEN ln(CAST(b.c AS DOUBLE) / u1.c)
-                        WHEN u2.c IS NOT NULL THEN ln(0.4 * u2.c / t)
-                        ELSE ln(0.4 * 0.5 / t) END AS lp
-            FROM bg g
-            LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
-            LEFT JOIN uni u1 ON g.w1 = u1.w
-            LEFT JOIN uni u2 ON g.w2 = u2.w
-            CROSS JOIN tot
-        )
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(lp), 6) AS avg_logprob
-        FROM sc GROUP BY doc_id
-    """
+    o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)
 
     _bpe_prefix = _bpe_rounds_sql(8, 500)
     o["bpe_train"] = _bpe_prefix + "".join(

@@ -117,6 +117,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "quality_filter_funnel",
         "shard_rollup",
         "corpus_pipeline",
+        "corpus_pipeline_ccnet",
         "fingerprints",
         "event_windows",
         "event_sessions",

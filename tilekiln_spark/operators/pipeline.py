@@ -42,14 +42,25 @@ def training_corpus_pipeline(
     seq_len: int = 4096,
     seed: int = 17,
     quality: dict | None = None,
+    lm_min_logprob: float | None = None,
+    lm_k_vocab: int = 50_000,
+    lm_m_bigrams: int = 200_000,
 ) -> DataFrame:
-    """One stats row: n_raw, [n_admitted,] n_exact, n_canonical, n_clean,
-    n_sampled, total_chars, n_sequences (see module docstring).
+    """One stats row: n_raw, [n_admitted,] [n_lm,] n_exact, n_canonical,
+    n_clean, n_sampled, total_chars, n_sequences (see module docstring).
 
     ``quality`` (optional): kwargs for operators/quality.doc_quality_flags;
     when given, the Gopher admission gates run FIRST (the production order:
     quality is a map-only pass, so gating before the dedup shuffle shrinks
-    every downstream stage) and the row gains n_admitted after n_raw."""
+    every downstream stage) and the row gains n_admitted after n_raw.
+
+    ``lm_min_logprob`` (optional): the CCNet-style perplexity filter — a
+    pruned bigram LM (functions/lm.py) trains on the admitted docs and
+    documents whose avg stupid-backoff logprob falls BELOW the threshold
+    (most surprising = most gibberish-like under the corpus's own
+    statistics) are dropped; docs too short to have bigrams pass (no
+    evidence).  Fixed threshold, not a percentile, so the stage is
+    deterministic and cross-engine checkable.  Adds n_lm to the row."""
     # Each stage frame feeds BOTH its funnel count and the next stage —
     # persist them (memory-and-disk) so the count action doesn't recompute
     # the upstream chain: at corpus scale, re-running exact dedup three
@@ -69,10 +80,31 @@ def training_corpus_pipeline(
         )
         n_admitted = gated.count()
         docs = gated
+    n_lm: int | None = None
+    lmkept: DataFrame | None = None
+    if lm_min_logprob is not None:
+        from tilekiln_spark.functions.lm import lm_doc_scores, train_bigram_lm
+
+        lm = train_bigram_lm(docs, text_col, lm_k_vocab, lm_m_bigrams)
+        scores = lm_doc_scores(docs, lm, text_col, key_col).select(
+            key_col, "avg_logprob"
+        )
+        # scores is one narrow (key, double) row per doc — corpus-sized, so
+        # NO broadcast hint: the doc-keyed join is AQE's call (shuffle join
+        # at scale, auto-broadcast at test sizes).  Docs with no bigrams
+        # carry no evidence and pass.
+        lmkept = docs.join(scores, key_col, "left").filter(
+            F.coalesce(F.col("avg_logprob") >= F.lit(lm_min_logprob), F.lit(True))
+        ).drop("avg_logprob").persist()
+        n_lm = lmkept.count()
+        lm.unpersist()
+        docs = lmkept
     exact = exact_dedup(docs, text_col, key_col).persist()
     n_exact = exact.count()
     if gated is not None:
         gated.unpersist()
+    if lmkept is not None:
+        lmkept.unpersist()
 
     labels = dedup_clusters(exact, text_col, key_col, threshold, num_perm, bands)
     canon_ids = labels.filter(F.col("is_canonical") == 1).select(key_col)
@@ -101,6 +133,9 @@ def training_corpus_pipeline(
             agg["n_sampled"], agg["total_chars"], agg["n_sequences"]]
     schema = ("n_raw long, n_exact long, n_canonical long, n_clean long, "
               "n_sampled long, total_chars long, n_sequences int")
+    if n_lm is not None:
+        vals.insert(1, n_lm)
+        schema = schema.replace("n_raw long,", "n_raw long, n_lm long,")
     if n_admitted is not None:
         vals.insert(1, n_admitted)
         schema = schema.replace("n_raw long,", "n_raw long, n_admitted long,")
