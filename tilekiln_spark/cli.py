@@ -362,6 +362,7 @@ def cmd_corpus_pipeline(args) -> int:
     row = training_corpus_pipeline(
         docs, bench, text_col=args.text_col, key_col=args.key_col,
         fraction=args.fraction, seq_len=args.seq_len, quality=quality,
+        lm_min_logprob=args.lm_min_logprob,
     ).collect()[0]
     print(json.dumps(row.asDict()))
     return 0
@@ -613,6 +614,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the Gopher admission gates as stage 0")
     cp.add_argument("--min-words", type=int, default=50)
     cp.add_argument("--max-words", type=int, default=100_000)
+    cp.add_argument("--lm-min-logprob", type=float, default=None,
+                    help="CCNet-style filter: drop docs whose avg "
+                         "stupid-backoff logprob is below this")
     cp.set_defaults(fn=cmd_corpus_pipeline)
     cu = co.add_parser("urlfilter")
     cu.add_argument("--input", required=True)
