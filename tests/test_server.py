@@ -20,7 +20,7 @@ from tilekiln_spark.storage.tilestore import TileStore
 def _get(url, method="GET"):
     req = urllib.request.Request(url, method=method)
     try:
-        with urllib.request.urlopen(req, timeout=30) as r:
+        with urllib.request.urlopen(req, timeout=120) as r:
             return r.status, dict(r.headers), r.read()
     except urllib.error.HTTPError as e:
         return e.code, dict(e.headers), e.read()
@@ -175,7 +175,7 @@ def test_dev_renders_without_storage(spark, live_setup):
                 return response
 
         opener = urllib.request.build_opener(NoRedirect)
-        with opener.open(req, timeout=30) as r:
+        with opener.open(req, timeout=120) as r:
             assert r.status == 307
             assert r.headers["Location"] == "/live1/tilejson.json"
         status, headers, content = _get(f"{base}/live1/tilejson.json")
