@@ -1149,6 +1149,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pipeline_ccnet"] = corpus_pipeline_ccnet
 
+    def lm3_score_q(spark, sf_dir):
+        """Trigram chained stupid backoff (functions/lm.py TrigramLM): one
+        more pruned counting pass on top of the bigram LM, five broadcast
+        lookups at score time, same docs-not-tokens shuffle."""
+        from tilekiln_spark.functions.lm import lm3_doc_scores, train_trigram_lm
+
+        d = _docs(spark, sf_dir)
+        lm = train_trigram_lm(d, k_vocab=30, m_bigrams=120, p_trigrams=200)
+        return lm3_doc_scores(d, lm)
+
+    q["lm3_score"] = lm3_score_q
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -1981,6 +1993,60 @@ def _lm_scores_sql(src: str, k_vocab: int, m_bigrams: int) -> str:
     )"""
 
 
+def _lm3_scores_sql(src: str, k_vocab: int, m_bigrams: int, p_trigrams: int) -> str:
+    """DuckDB replay of functions/lm train_trigram_lm + lm3_doc_scores over
+    `src`: chained stupid backoff tri -> bi -> uni -> floor, one more
+    pruned count table on top of the bigram builder."""
+    return rf"""(
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM {src} WHERE trim(text) != ''
+        ), tok AS (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+            FROM toks
+        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        uni AS (
+            SELECT w, count(*) AS c FROM tok GROUP BY w
+            ORDER BY c DESC, w LIMIT {k_vocab}
+        ), bg AS (
+            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+            ORDER BY c DESC, w1, w2 LIMIT {m_bigrams}
+        ), tg AS (
+            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2, t3.w AS w3
+            FROM tok t1
+            JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+        ), tri AS (
+            SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3
+            ORDER BY c DESC, w1, w2, w3 LIMIT {p_trigrams}
+        ), sc AS (
+            SELECT g.doc_id,
+                   CASE WHEN t3c.c IS NOT NULL AND b12.c IS NOT NULL
+                        THEN ln(CAST(t3c.c AS DOUBLE) / b12.c)
+                        ELSE ln(0.4 * CASE
+                            WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                                THEN CAST(b23.c AS DOUBLE) / u2.c
+                            WHEN u3.c IS NOT NULL THEN 0.4 * u3.c / t
+                            ELSE 0.4 * 0.5 / t END)
+                   END AS lp
+            FROM tg g
+            LEFT JOIN tri t3c ON g.w1 = t3c.w1 AND g.w2 = t3c.w2 AND g.w3 = t3c.w3
+            LEFT JOIN bi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+            LEFT JOIN bi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+            LEFT JOIN uni u2 ON g.w2 = u2.w
+            LEFT JOIN uni u3 ON g.w3 = u3.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               round(avg(lp), 6) AS avg_logprob
+        FROM sc GROUP BY doc_id
+    )"""
+
+
 def _bpe_rounds_sql(j: int, v_words: int) -> str:
     """DuckDB replay of functions/bpe.bpe_train: j merge rounds as chained
     MATERIALIZED CTEs.  Each round extracts adjacent symbol pairs
@@ -2639,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)
+    o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
 
     _bpe_prefix = _bpe_rounds_sql(8, 500)
     o["bpe_train"] = _bpe_prefix + "".join(

@@ -113,6 +113,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "pack_sequences",
         "vocab_topk",
         "lm_score",
+        "lm3_score",
         "bpe_train",
         "quality_filter_funnel",
         "shard_rollup",

@@ -101,3 +101,57 @@ def test_score_new_documents_with_trained_lm(docs, spark):
     # (a,b) kept -> ln(2/6); (b,q) q unseen -> floor
     exp = (math.log(2 / 6) + math.log(BACKOFF * UNSEEN_COUNT / 12.0)) / 2
     assert r.n_bigrams == 2 and r.avg_logprob == pytest.approx(exp, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# trigram chained backoff
+# ---------------------------------------------------------------------------
+
+TRI_CORPUS = [
+    (1, "a b c a b c"),
+    (2, "a b d"),
+    (3, "x y"),  # no trigram: absent from scores
+]
+# uni: a=3 b=3 c=2 d=1 x=1 y=1; T=11
+# bi: (a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1 (x,y)=1
+# tri: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+
+
+def test_trigram_chained_backoff_exact(spark):
+    from tilekiln_spark.functions.lm import lm3_doc_scores, train_trigram_lm
+
+    docs = spark.createDataFrame(TRI_CORPUS, "doc_id long, text string")
+    # prune to: uni {a,b,c}, bi {(a,b),(b,c)}, tri {(a,b,c)}
+    lm = train_trigram_lm(docs, k_vocab=3, m_bigrams=2, p_trigrams=1)
+    assert lm.base.total_tokens == 11
+    assert {(r.w1, r.w2, r.w3): r.c for r in lm.tri.collect()} == {("a", "b", "c"): 2}
+    out = {r.doc_id: r for r in lm3_doc_scores(docs, lm).collect()}
+    T = 11.0
+    # doc 1: (a,b,c) kept twice -> ln(2/3); (b,c,a): tri pruned, (c,a) bi
+    # pruned, uni(a)=3 -> ln(.4 * .4*3/T); (c,a,b): tri pruned, (a,b) kept
+    # with uni(a)=3 -> ln(.4 * 3/3)
+    lp1 = [
+        math.log(2 / 3), math.log(2 / 3),
+        math.log(0.4 * 0.4 * 3 / T),
+        math.log(0.4 * 1.0),
+    ]
+    assert out[1].n_trigrams == 4
+    assert out[1].avg_logprob == pytest.approx(sum(lp1) / 4, abs=1e-6)
+    # doc 2: (a,b,d): everything pruned down to the floor
+    assert out[2].n_trigrams == 1
+    assert out[2].avg_logprob == pytest.approx(
+        math.log(0.4 * 0.4 * 0.5 / T), abs=1e-6
+    )
+    assert set(out) == {1, 2}
+    lm.unpersist()
+
+
+def test_trigram_scoring_is_broadcast_only(spark):
+    from tilekiln_spark.functions.lm import lm3_doc_scores, train_trigram_lm
+
+    docs = spark.createDataFrame(TRI_CORPUS, "doc_id long, text string")
+    lm = train_trigram_lm(docs, k_vocab=3, m_bigrams=2, p_trigrams=1)
+    plan = lm3_doc_scores(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    lm.unpersist()

@@ -175,3 +175,135 @@ def lm_doc_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram extension: chained stupid backoff (the web-scale n-gram shape)
+# ---------------------------------------------------------------------------
+
+def _trigram_triples(text: Column) -> Column:
+    """array<struct<w1,w2,w3>> of adjacent token triples (empty below 3)."""
+    from tilekiln_spark.operators.dedup import _tokens
+
+    toks = _tokens(text)
+    m = F.size(toks) - 2
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, m).alias("w1"),
+        F.slice(toks, 2, m).alias("w2"),
+        F.slice(toks, 3, m).alias("w3"),
+    )
+    return F.when(
+        m < 1, F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    ).otherwise(zipped)
+
+
+@dataclass(frozen=True)
+class TrigramLM:
+    """BigramLM plus a pruned trigram table — the chained-backoff model:
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)        both counts kept
+                      = 0.4 * S(w3 | w2)           else (bigram level)
+        S(w3 | w2)    = c(w2w3) / c(w2)            both counts kept
+                      = 0.4 * c(w3) / T            else (unigram level)
+                      = 0.4 * 0.5 / T              w3 unseen
+
+    (Brants et al. 2007 — each backoff level multiplies the fixed 0.4.)"""
+
+    base: BigramLM
+    tri: DataFrame  # w1, w2, w3, c
+
+    def unpersist(self) -> None:
+        self.base.unpersist()
+        self.tri.unpersist()
+
+
+def train_trigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    k_vocab: int = 50_000,
+    m_bigrams: int = 200_000,
+    p_trigrams: int = 400_000,
+) -> TrigramLM:
+    """One more counting scan on top of train_bigram_lm: the pruned
+    trigram table (TakeOrdered, ties broken by the triple) — three corpus
+    scans total, model bounded at K+M+P rows."""
+    base = train_bigram_lm(df, text_col, k_vocab, m_bigrams)
+    tg = df.select(F.explode(_trigram_triples(F.col(text_col))).alias("t")).select(
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    tri = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("c").desc(),
+            F.col("w1").asc(), F.col("w2").asc(), F.col("w3").asc(),
+        )
+        .limit(p_trigrams)
+        .persist()
+    )
+    tri.count()
+    return TrigramLM(base=base, tri=tri)
+
+
+def lm3_doc_scores(
+    df: DataFrame,
+    lm: TrigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document chained stupid-backoff score over adjacent triples:
+    (id, n_trigrams, avg_logprob).  Five broadcast lookups — tri(1,2,3),
+    bi(1,2), bi(2,3), uni(2), uni(3) — then the one per-doc rollup, same
+    shuffle shape as the bigram scorer.  Docs with < 3 tokens are absent
+    (no trigram evidence) on both engines."""
+    T = float(lm.base.total_tokens)
+    triples = df.select(
+        F.col(id_col), F.explode(_trigram_triples(F.col(text_col))).alias("t")
+    ).select(
+        id_col,
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    tri = F.broadcast(lm.tri.select("w1", "w2", "w3", F.col("c").alias("c123")))
+    b12 = F.broadcast(
+        lm.base.bi.select(
+            F.col("w1"), F.col("w2"), F.col("c").alias("c12")
+        )
+    )
+    b23 = F.broadcast(
+        lm.base.bi.select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c").alias("c23")
+        )
+    )
+    u2 = F.broadcast(lm.base.uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")))
+    u3 = F.broadcast(lm.base.uni.select(F.col("token").alias("w3"), F.col("c").alias("c3")))
+    # the bigram-level score S(w3|w2), shared by both backoff paths
+    s23 = (
+        F.when(
+            F.col("c23").isNotNull() & F.col("c2").isNotNull(),
+            F.col("c23").cast("double") / F.col("c2"),
+        )
+        .when(F.col("c3").isNotNull(), F.lit(BACKOFF) * F.col("c3") / F.lit(T))
+        .otherwise(F.lit(BACKOFF * UNSEEN_COUNT) / F.lit(T))
+    )
+    scored = (
+        triples.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, ["w2"], "left")
+        .join(u3, ["w3"], "left")
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("c123").isNotNull() & F.col("c12").isNotNull(),
+                F.log(F.col("c123").cast("double") / F.col("c12")),
+            ).otherwise(F.log(F.lit(BACKOFF) * s23)),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
