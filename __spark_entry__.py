@@ -1161,6 +1161,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm3_score"] = lm3_score_q
 
+    def pagerank_links(spark, sf_dir):
+        """Damped PageRank with dangling-mass redistribution (operators/
+        graph.py) over a deterministic synthetic link graph: doc d links
+        to (7d + {1,2,3}) mod N unless d % 5 == 0 (those are dangling);
+        self-loops dropped.  8 fixed power iterations; per iteration ONE
+        src-keyed join + partial-aggregated groupBy(dst) + a 1-row
+        broadcast dangling aggregate — the canonical distributed shape.
+        Output is the N-scaled rank rounded to 6 (absorbs cross-engine
+        float-sum order)."""
+        from tilekiln_spark.operators.graph import pagerank
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        ranks = pagerank(d.select(F.col("doc_id").alias("node")), e, iterations=8)
+        return ranks.select(
+            F.col("node").alias("doc_id"),
+            F.round(F.col("rank") * float(n), 6).alias("norm_rank"),
+        )
+
+    q["pagerank_links"] = pagerank_links
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2047,6 +2077,56 @@ def _lm3_scores_sql(src: str, k_vocab: int, m_bigrams: int, p_trigrams: int) -> 
     )"""
 
 
+def _pagerank_sql(j: int = 8, damping: float = 0.85) -> str:
+    """DuckDB replay of operators/graph.pagerank over the deterministic
+    synthetic link graph (doc d -> (7d + {1,2,3}) mod N for d % 5 != 0,
+    self-loops dropped; every 5th doc dangling): j power iterations as
+    chained MATERIALIZED CTEs, same pattern as the BPE oracle."""
+    parts = [
+        """WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + j) % (SELECT count(*) FROM documents) AS dst
+                FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+                WHERE doc_id % 5 != 0)
+            WHERE src != dst
+        ), deg AS MATERIALIZED (
+            SELECT src, count(*) AS d FROM edges GROUP BY src
+        ), r0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    ]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), g{i} AS MATERIALIZED (
+            SELECT coalesce(sum(r.rank), 0.0) AS dm
+            FROM r{i - 1} r LEFT JOIN deg ON deg.src = r.node
+            WHERE deg.src IS NULL
+        ), r{i} AS MATERIALIZED (
+            SELECT nd.node,
+                   (1 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * (coalesce(c.contrib, 0.0)
+                                  + (SELECT dm FROM g{i}) / (SELECT n FROM nn)) AS rank
+            FROM nodes nd LEFT JOIN c{i} c USING (node)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS doc_id,
+               round(rank * (SELECT n FROM nn), 6) AS norm_rank
+        FROM r{j}"""
+    )
+    return "".join(parts)
+
+
 def _bpe_rounds_sql(j: int, v_words: int) -> str:
     """DuckDB replay of functions/bpe.bpe_train: j merge rounds as chained
     MATERIALIZED CTEs.  Each round extracts adjacent symbol pairs
@@ -2706,6 +2786,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
+    o["pagerank_links"] = _pagerank_sql(8, 0.85)
 
     _bpe_prefix = _bpe_rounds_sql(8, 500)
     o["bpe_train"] = _bpe_prefix + "".join(

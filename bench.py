@@ -117,6 +117,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "bpe_train",
         "quality_filter_funnel",
         "shard_rollup",
+        "pagerank_links",
         "corpus_pipeline",
         "corpus_pipeline_ccnet",
         "fingerprints",
