@@ -1191,6 +1191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_links"] = pagerank_links
 
+    def bm25_search(spark, sf_dir):
+        """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
+        form): the per-doc token array is filtered to the query terms
+        BEFORE the explode (map-side, docs sharing no term emit zero
+        rows), one (doc, term) partial agg, broadcast df join, and a
+        TakeOrdered cut on the ROUNDED score with id tie-break so the
+        k-boundary is engine-independent."""
+        from tilekiln_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir), ["table", "window", "spark"], k=25
+        )
+
+    q["bm25_search"] = bm25_search
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2787,6 +2802,38 @@ def oracle_sql() -> dict[str, str]:
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
+
+    o["bm25_search"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   END AS a
+            FROM documents
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(a)) AS avgdl FROM base
+        ), hits AS (
+            SELECT doc_id, len(a) AS dl,
+                   unnest(list_filter(a,
+                       x -> list_contains(['table','window','spark'], x))) AS term
+            FROM base
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+            FROM hits GROUP BY doc_id, term
+        ), dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), sc AS (
+            SELECT doc_id,
+                   round(sum(
+                       ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25
+    """
 
     _bpe_prefix = _bpe_rounds_sql(8, 500)
     o["bpe_train"] = _bpe_prefix + "".join(

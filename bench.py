@@ -118,6 +118,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "quality_filter_funnel",
         "shard_rollup",
         "pagerank_links",
+        "bm25_search",
         "corpus_pipeline",
         "corpus_pipeline_ccnet",
         "fingerprints",

@@ -1,0 +1,70 @@
+"""BM25 top-k (operators/retrieval.py) vs a pure-Python reference."""
+
+import math
+
+import pytest
+
+from tilekiln_spark.operators.retrieval import bm25_topk
+
+CORPUS = [
+    (1, "spark window table spark spark"),
+    (2, "table table table table window"),
+    (3, "the cat sat on the mat"),
+    (4, "window"),
+    (5, "spark table"),
+]
+
+
+def ref_bm25(rows, terms, k1=1.2, b=0.75):
+    docs = {i: t.lower().split() for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    out = {}
+    for i, v in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[i] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_scores_match_reference(docs):
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["spark", "window"]).collect()}
+    exp = ref_bm25(CORPUS, ["spark", "window"])
+    assert set(got) == set(exp)  # doc 3 shares no term: zero rows, absent
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], abs=2e-6), i
+
+
+def test_bm25_topk_cut_is_deterministic(docs):
+    top2 = [r.doc_id for r in bm25_topk(docs, ["spark", "window"], k=2).collect()]
+    exp = sorted(
+        ref_bm25(CORPUS, ["spark", "window"]).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:2]
+    assert top2 == [i for i, _s in exp]
+
+
+def test_bm25_query_casefolds(docs):
+    a = {r.doc_id: r.score for r in bm25_topk(docs, ["SPARK"]).collect()}
+    c = {r.doc_id: r.score for r in bm25_topk(docs, ["spark"]).collect()}
+    assert a == c and 1 in a
+
+
+def test_bm25_plan_take_ordered_and_filtered_explode(docs):
+    plan = (
+        bm25_topk(docs, ["spark"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # df join is broadcast

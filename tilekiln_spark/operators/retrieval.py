@@ -1,0 +1,79 @@
+"""Lexical retrieval: BM25 top-k over the corpus.
+
+The keyword-search complement to the vector side (operators/similarity.py
+brute-force / LSH / IVF ANN): rank documents for a term query with Okapi
+BM25 using Lucene's IDF form,
+
+    score(D, Q) = sum_t idf(t) * tf * (k1 + 1)
+                              / (tf + k1 * (1 - b + b * |D| / avgdl))
+    idf(t)      = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Scale shape — one corpus pass, everything else bounded:
+
+- The per-document token array is FILTERED to the query terms inside the
+  row (``F.filter`` + isin, codegen) BEFORE the explode, so the explode
+  emits at most |Q| terms per doc, not the document's tokens — documents
+  sharing no term with the query contribute zero rows.
+- One partial-aggregated groupBy (doc, term) produces term frequencies
+  (doc length rides along as first(); it's constant per doc).
+- df(t) reduces from the same tf frame — |Q| rows — and joins back
+  broadcast.  N and avgdl are two scalars from one tiny aggregate.
+- The final top-k is orderBy().limit() = TakeOrderedAndProject, ranked on
+  the ROUNDED score (6 places, house float convention) with doc id as
+  tie-break, so the k-boundary is deterministic and engine-independent.
+
+Tokenization shares operators/dedup._tokens with the rest of the text
+stack; query terms are matched post-lowercasing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) of the k best BM25 matches for `query_terms`."""
+    from tilekiln_spark.operators.dedup import _tokens
+
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(F.col(text_col))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size(toks)).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    qlit = F.array(*[F.lit(t) for t in terms])
+    hits = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(F.filter(toks, lambda t: F.array_contains(qlit, t))).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
