@@ -1206,6 +1206,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def hybrid_search(spark, sf_dir):
+        """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+        of the BM25 top-50 and the cosine top-50 around a probe embedding
+        (vec_id 0, the corpus's own vector — vec_id aligns with doc_id).
+        Both inputs are bounded ranked lists, so the fusion runs on ~100
+        rows; ranks are integers and each doc appears at most once per
+        list, so the fused score is engine-exact."""
+        from pyspark.sql import Window
+
+        from tilekiln_spark.operators.retrieval import bm25_topk, rrf_fuse
+        from tilekiln_spark.operators.similarity import brute_force_topk
+
+        lex = bm25_topk(_docs(spark, sf_dir), ["table", "window", "spark"], k=50)
+        lexr = lex.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        ).select("doc_id", "rank")
+        emb = _embeddings(spark, sf_dir)
+        probe = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(0).alias("probe_id"), "embedding"
+        )
+        vec = brute_force_topk(
+            emb.filter(F.col("vec_id") >= 1), probe, k=50
+        ).select(F.col("vec_id").alias("doc_id"), "rank")
+        fused = rrf_fuse([lexr, vec])
+        return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(15)
+
+    q["hybrid_search"] = hybrid_search
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2834,6 +2865,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25
     """
+
+    # hybrid = the same BM25 chain (top-50) RRF-fused with the cosine
+    # top-50 around probe vec_id 0 (list_cosine_similarity = the proven
+    # cross-engine cosine from the similarity oracles)
+    _bm25_chain = o["bm25_search"][: o["bm25_search"].rindex("SELECT doc_id, score")]
+    o["hybrid_search"] = (
+        _bm25_chain
+        + r""", lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50)
+        ), vecr AS (
+            SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                       vec_id ASC) AS INT) AS rank
+            FROM embeddings WHERE vec_id >= 1
+            QUALIFY rank <= 50
+        ), u AS (
+            SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS w FROM lex
+            UNION ALL
+            SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) FROM vecr
+        )
+        SELECT doc_id, round(sum(w), 9) AS rrf FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 15
+    """
+    )
 
     _bpe_prefix = _bpe_rounds_sql(8, 500)
     o["bpe_train"] = _bpe_prefix + "".join(

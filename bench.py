@@ -119,6 +119,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "shard_rollup",
         "pagerank_links",
         "bm25_search",
+        "hybrid_search",
         "corpus_pipeline",
         "corpus_pipeline_ccnet",
         "fingerprints",

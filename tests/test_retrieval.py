@@ -68,3 +68,17 @@ def test_bm25_plan_take_ordered_and_filtered_explode(docs):
     )
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # df join is broadcast
+
+
+def test_rrf_fuse_exact(spark):
+    from tilekiln_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r.rrf for r in rrf_fuse([lex, vec]).collect()}
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)  # in both lists
+    assert got[1] == pytest.approx(1 / 61, abs=1e-9)
+    assert got[4] == pytest.approx(1 / 62, abs=1e-9)
+    assert set(got) == {1, 2, 3, 4}
+    # doc in both lists outranks the top of either single list
+    assert got[2] > got[1] and got[2] > got[4]

@@ -77,3 +77,30 @@ def bm25_topk(
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse ranked
+    lists by sum of 1/(c + rank) — the standard hybrid-search combiner for
+    a lexical and a vector ranking, rank-based so the two scores need no
+    calibration.
+
+    Cross-engine exactness: ranks are integers, each document appears at
+    most once per list, and a sum of <=len(rankings) identical doubles is
+    order-free — so the fused score is bit-identical across engines with
+    no rounding crutch (rounded to 9 only as belt-and-braces).  Each input
+    is a bounded top-k list, so the union + groupBy runs on k*len(rankings)
+    rows, never the corpus."""
+    parts = [
+        r.select(F.col(id_col), (1.0 / (F.lit(c) + F.col(rank_col))).alias("w"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(F.round(F.sum("w"), 9).alias("rrf"))
