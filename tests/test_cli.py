@@ -308,3 +308,28 @@ def test_corpus_cli_quality_lm_bpe(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 4
     assert spark.read.parquet(bpe_out).count() == 4
+
+
+def test_corpus_cli_search_pagerank(spark, tmp_path, capsys):
+    """corpus search (BM25) and corpus pagerank over parquet."""
+    from tilekiln_spark.cli import main
+
+    docs = [(1, "spark window table spark"), (2, "the cat sat"), (3, "spark table")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    assert main(["corpus", "search", "--input", src, "--terms", "spark", "--top", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split("\t")[0] == "1"  # doc 1 has spark twice
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    epath = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(epath)
+    out = str(tmp_path / "ranks.parquet")
+    assert main(["corpus", "pagerank", "--edges", epath, "--output", out,
+                 "--iterations", "4", "--top", "3"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

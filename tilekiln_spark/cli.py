@@ -485,6 +485,47 @@ def cmd_corpus_bpetrain(args) -> int:
     return 0
 
 
+def cmd_corpus_search(args) -> int:
+    """corpus search: BM25 top-k over parquet; one tab-separated line per
+    hit (doc id, score)."""
+    from tilekiln_spark.operators.retrieval import bm25_topk
+
+    spark = _spark()
+    hits = bm25_topk(
+        spark.read.parquet(args.input), args.terms,
+        k=args.top, text_col=args.text_col, id_col=args.id_col,
+    )
+    for r in hits.collect():
+        print(f"{r[args.id_col]}\t{r.score:.6f}")
+    return 0
+
+
+def cmd_corpus_pagerank(args) -> int:
+    """corpus pagerank: damped PageRank over a (src, dst) edge parquet;
+    full ranks to parquet, top nodes on stdout."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.graph import pagerank
+
+    spark = _spark()
+    edges = spark.read.parquet(args.edges)
+    if args.nodes:
+        nodes = spark.read.parquet(args.nodes).select(
+            F.col(spark.read.parquet(args.nodes).columns[0]).alias("node")
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    ranks = pagerank(nodes, edges, iterations=args.iterations, damping=args.damping)
+    ranks.write.mode("overwrite").parquet(args.output)
+    for r in ranks.orderBy(F.desc("rank"), "node").limit(args.top).collect():
+        print(f"{r.node}\t{r.rank:.8f}")
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -658,6 +699,24 @@ def build_parser() -> argparse.ArgumentParser:
     cb.add_argument("--merges", type=int, default=32)
     cb.add_argument("--v-words", type=int, default=100_000)
     cb.set_defaults(fn=cmd_corpus_bpetrain)
+    cs = co.add_parser("search")
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--terms", nargs="+", required=True)
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--top", type=int, default=10)
+    cs.set_defaults(fn=cmd_corpus_search)
+    cg = co.add_parser("pagerank")
+    cg.add_argument("--edges", required=True,
+                    help="parquet of (src, dst) directed edges")
+    cg.add_argument("--nodes", default=None,
+                    help="parquet with a node column; defaults to the "
+                         "distinct endpoints of --edges")
+    cg.add_argument("--output", required=True)
+    cg.add_argument("--iterations", type=int, default=8)
+    cg.add_argument("--damping", type=float, default=0.85)
+    cg.add_argument("--top", type=int, default=20)
+    cg.set_defaults(fn=cmd_corpus_pagerank)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
