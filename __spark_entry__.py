@@ -1237,6 +1237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_search"] = hybrid_search
 
+    def tfidf_keywords_q(spark, sf_dir):
+        """Per-doc characteristic terms by smoothed tf-idf (operators/
+        retrieval.tfidf_keywords): one explode + (doc, term) partial agg,
+        term-keyed df join (NO broadcast hint — the df table is the full
+        vocabulary, corpus-sized at web scale), WindowGroupLimit top-3 cut
+        on the rounded score with term tie-break."""
+        from tilekiln_spark.operators.retrieval import tfidf_keywords
+
+        return tfidf_keywords(_docs(spark, sf_dir), n_keywords=3)
+
+    q["tfidf_keywords"] = tfidf_keywords_q
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2864,6 +2876,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         )
         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25
+    """
+
+    o["tfidf_keywords"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+            FROM documents WHERE trim(text) != ''
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        sc AS (
+            SELECT doc_id, term,
+                   round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN nn
+        )
+        SELECT doc_id, term, score, CAST(pos AS INT) AS pos FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS pos
+            FROM sc) WHERE pos <= 3
     """
 
     # hybrid = the same BM25 chain (top-50) RRF-fused with the cosine

@@ -120,6 +120,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "pagerank_links",
         "bm25_search",
         "hybrid_search",
+        "tfidf_keywords",
         "corpus_pipeline",
         "corpus_pipeline_ccnet",
         "fingerprints",

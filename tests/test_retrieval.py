@@ -82,3 +82,45 @@ def test_rrf_fuse_exact(spark):
     assert set(got) == {1, 2, 3, 4}
     # doc in both lists outranks the top of either single list
     assert got[2] > got[1] and got[2] > got[4]
+
+
+def test_tfidf_keywords_reference_and_cut(spark):
+    import math as m
+
+    from tilekiln_spark.operators.retrieval import tfidf_keywords
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana banana banana date"),
+        (3, "apple date date cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): (r.term, r.score)
+        for r in tfidf_keywords(docs, n_keywords=2).collect()
+    }
+
+    def idf(df):
+        return m.log((3 + 1) / (df + 1)) + 1
+
+    # doc 1: apple tf=2 df=2 -> 2*idf(2); banana/cherry tf=1 (df 2 each):
+    # tie on score -> 'banana' wins lexicographically
+    assert got[(1, 1)][0] == "apple"
+    assert got[(1, 1)][1] == pytest.approx(round(2 * idf(2), 6), abs=1e-6)
+    assert got[(1, 2)][0] == "banana"
+    # doc 2: banana tf=3 dominates; date second
+    assert got[(2, 1)][0] == "banana"
+    assert got[(2, 2)][0] == "date"
+    # doc 3: date tf=2
+    assert got[(3, 1)][0] == "date"
+    assert len(got) == 6  # exactly n per doc
+
+
+def test_tfidf_plan_uses_window_group_limit(spark):
+    from tilekiln_spark.operators.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

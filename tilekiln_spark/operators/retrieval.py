@@ -104,3 +104,47 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     return u.groupBy(id_col).agg(F.round(F.sum("w"), 9).alias("rrf"))
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    n_keywords: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n characteristic terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing), ranked on the
+    ROUNDED score with term tie-break so the cut is deterministic.
+
+    Plan shape: one corpus explode -> partial-aggregated groupBy
+    (doc, term) (rows of one doc sit in one partition, so map-side combine
+    collapses them before the exchange) -> df(t) reduced from the tf frame
+    and joined back WITHOUT a broadcast hint (unlike the BM25 df join,
+    this table is the full distinct vocabulary — corpus-sized at web
+    scale; AQE broadcasts it at test sizes and shuffle-joins on the term
+    key beyond that) -> per-doc row_number window with a LITERAL limit,
+    which Catalyst caps via WindowGroupLimit BEFORE the doc exchange.
+    """
+    from pyspark.sql import Window
+
+    from tilekiln_spark.operators.dedup import _tokens
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(df_t, "term").withColumn(
+        "score", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.lit(int(n_keywords)))
+        .select(id_col, "term", "score", F.col("pos").cast("int").alias("pos"))
+    )
