@@ -104,3 +104,15 @@ def test_pruned_vocab_bounds_training(docs):
     # v_words=1 keeps only 'newest' (c=6): merges learned from it alone
     got = bpe_train(docs, num_merges=2, v_words=1)
     assert got == ref_train({"newest": 6}, 2)
+
+
+def test_bpe_handles_regex_special_tokens(spark):
+    """Merges apply literally: tokens with regex metacharacters ('.', '*',
+    parens) train and encode without pattern interpretation."""
+    rows = [(1, "a.b a.b a.b (x* (x*")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train(d, num_merges=4)
+    assert got == ref_train(_wc(rows), 4)
+    merges = got
+    out = d.select(bpe_token_count(F.col("text"), merges).alias("n")).collect()[0].n
+    assert out == ref_encode_count(rows[0][1], merges)
