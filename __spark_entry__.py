@@ -1249,6 +1249,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_keywords"] = tfidf_keywords_q
 
+    def temperature_mix_q(spark, sf_dir):
+        """Temperature source mixing (sampling.temperature_mix, the
+        multilingual alpha-sampling rule at alpha=0.5): per-source keep
+        fractions derived from sqrt-weighted counts (IEEE sqrt is
+        correctly rounded, so the DuckDB twin reproduces them exactly),
+        membership by the shared md5 draw.  Output = per-source kept
+        counts."""
+        from tilekiln_spark.operators.sampling import temperature_mix
+
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        out = temperature_mix(d, "source", alpha=0.5, target_fraction=0.5)
+        return out.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+    q["temperature_mix"] = temperature_mix_q
+
     def corpus_pipeline(spark, sf_dir):
         """The composed pretraining-data pipeline (operators/pipeline.py):
         exact dedup -> near-dup clusters (keep canonical) -> benchmark
@@ -2876,6 +2891,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         )
         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25
+    """
+
+    o["temperature_mix"] = """
+        WITH c AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS total,
+                   sum(sqrt(CAST(n AS DOUBLE))) AS wsum
+            FROM c
+        ), f AS (
+            SELECT source, n,
+                   round(least(CAST(1.0 AS DOUBLE),
+                       (0.5 * total) * (sqrt(CAST(n AS DOUBLE)) / wsum) / n), 9)
+                       AS frac
+            FROM c CROSS JOIN t
+        ), kept AS (
+            SELECT d.source FROM documents d JOIN f USING (source)
+            WHERE substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 16) <
+                  CASE WHEN frac >= 1.0 THEN 'g'
+                       ELSE lpad(lower(to_hex(CAST(floor(
+                            CAST(frac AS DOUBLE)
+                            * CAST(18446744073709551616 AS DOUBLE))
+                            AS UBIGINT))), 16, '0')
+                  END
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY source
     """
 
     o["tfidf_keywords"] = r"""

@@ -104,6 +104,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "url_normalize",
         "host_profile",
         "sample_mix",
+        "temperature_mix",
         "similarity_bruteforce",
         "ann_lsh_topk",
         "ann_quantized_topk",

@@ -108,3 +108,35 @@ def test_shard_assign_is_map_only(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     plan = shard_assign(df, 8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_mix_upsamples_rare_sources(spark):
+    import math
+
+    from tilekiln_spark.operators.sampling import sample_hash, temperature_mix
+
+    rows = [(i, "big" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", alpha=0.5, target_fraction=0.5)
+    kept = out.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in kept}
+    # expected fractions from the formula (python twin)
+    c = {"big": 900, "rare": 100}
+    w = {s: math.sqrt(n) for s, n in c.items()}
+    wsum = sum(w[s] for s in sorted(w))
+    frac = {s: round(min(1.0, 500 * (w[s] / wsum) / c[s]), 9) for s in c}
+    # rare source keeps a ~3.4x larger fraction than raw 0.5 mixing would
+    assert frac["rare"] > 1.0 - 1e-9 or frac["rare"] > frac["big"]
+    # exact membership check against the documented md5 rule
+    import hashlib
+
+    for s, n in c.items():
+        exp = 0
+        thr = format(int(frac[s] * (1 << 64)), "016x") if frac[s] < 1.0 else "g"
+        for i in range(1000):
+            if rows[i][1] != s:
+                continue
+            h = hashlib.md5(f"s42:{i}".encode()).hexdigest()[:16]
+            if h < thr:
+                exp += 1
+        assert got.get(s, 0) == exp, s

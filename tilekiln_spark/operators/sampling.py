@@ -151,3 +151,51 @@ def shard_assign(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(n_shards))
     ).cast("int")
     return df.withColumn("shard", shard).withColumn("sort_key", h)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/GPT-3 alpha-
+    sampling rule): stratum s is sampled with probability proportional to
+    c_s**alpha, so alpha < 1 UPsamples rare sources relative to their raw
+    share while the total stays ~target_fraction of the corpus.  Per-
+    stratum keep fraction:
+
+        frac_s = min(1, round(target * p_s / c_s, 9)),
+        p_s    = c_s**alpha / sum_t c_t**alpha,  target = target_fraction * N
+
+    and membership is the same engine-portable md5 draw as sample_by.
+
+    Determinism notes: the per-stratum counts are ONE tiny aggregate
+    collected to the driver (#sources rows — bounded like the LM's pruned
+    tables); alpha == 0.5 uses math.sqrt, which IEEE requires to be
+    correctly rounded, so a DuckDB/Postgres twin reproduces p_s exactly
+    (other alphas go through libm pow — last-ulp portability is not
+    guaranteed, hence the round(9) on the fraction).  The row filter
+    itself is map-only; only the count aggregate shuffles.
+    """
+    import math
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df
+    total = sum(counts.values())
+    target = target_fraction * total
+    w = {
+        s: (math.sqrt(c) if alpha == 0.5 else float(c) ** alpha)
+        for s, c in counts.items()
+    }
+    wsum = sum(w[s] for s in sorted(w, key=str))  # fixed summation order
+    fracs = {
+        s: round(min(1.0, target * (w[s] / wsum) / counts[s]), 9) for s in counts
+    }
+    return sample_by(df, strata_col, fracs, default=0.0, key_col=key_col, seed=seed)
