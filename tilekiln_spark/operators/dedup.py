@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     seed: int = 42,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (key_a < key_b) via MinHash + LSH banding.
 
@@ -161,7 +162,15 @@ def minhash_lsh_pairs(
     >=1 band.  Returns distinct (key_a, key_b).  Scale: signatures are map-only;
     the explode produces `bands` rows/doc keyed by (band, hash-of-row-slice) —
     the join shuffle is uniform unless the corpus is pathologically duplicate-
-    heavy, in which case AQE skew-join splits the hot buckets."""
+    heavy.  AQE skew-join splits a hot PARTITION, but it cannot bound the
+    OUTPUT: a band bucket of B near-identical docs emits B^2 candidate rows
+    (a 10M-page boilerplate bucket = 10^14 pairs — job death at web scale),
+    so buckets larger than ``max_bucket`` are dropped from pairing before
+    the self-join (the bucket-size rollup shares the self-join's key, so AQE
+    reuses the exchange).  Members of an over-cap bucket can still pair via
+    their other, more selective bands; byte-identical boilerplate is the
+    upstream exact_dedup / paragraph-dedup's job, not LSH's.  Pass
+    ``max_bucket=None`` for the uncapped join."""
     assert num_perm % bands == 0
     r = num_perm // bands
     # Stage 1: shingle hashes (one interpreted pass over the text), spread
@@ -193,6 +202,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "k", F.explode(F.array(*band_structs)).alias("b")
     ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__bn"))
+        banded = (
+            banded.join(sizes, ["band", "bh"])
+            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -281,10 +297,18 @@ def simhash_pairs(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into `bands` blocks (a pair
     within Hamming distance < bands must collide in >=1 block — pigeonhole),
-    then verify exact Hamming distance <= max_hamming."""
+    then verify exact Hamming distance <= max_hamming.
+
+    Same quadratic-output guard as ``minhash_lsh_pairs``: byte-identical
+    boilerplate shares ONE simhash, so it collides in EVERY block — a
+    B-doc family emits B^2 rows from the self-join.  Blocks larger than
+    ``max_bucket`` are dropped from pairing (their members can still pair
+    via other bands when they differ anywhere; identical text is
+    ``exact_dedup``'s job).  ``max_bucket=None`` uncaps."""
     sh = df.select(F.col(key_col).alias("k"), simhash(F.col(text_col)).alias("sh"))
     width = 64 // bands
     banded = sh.select(
@@ -303,6 +327,13 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("k", "sh", F.col("b.band").alias("band"), F.col("b.block").alias("block"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "block").agg(F.count("*").alias("__bn"))
+        banded = (
+            banded.join(sizes, ["band", "block"])
+            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
+            .drop("__bn")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
     return (
