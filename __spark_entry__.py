@@ -41,6 +41,7 @@ from tilekiln_spark.functions.text import (
 )
 from tilekiln_spark.operators.dedup import (
     dedup_clusters,
+    duplicate_spans,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard,
@@ -759,6 +760,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters_q
 
+    def cluster_split_q(spark, sf_dir):
+        """Leakage-free train/holdout split (sampling.cluster_safe_split):
+        the md5 draw hashes the duplicate-cluster id from dedup_clusters,
+        so near-duplicate documents can never straddle the split."""
+        from tilekiln_spark.operators.sampling import cluster_safe_split
+
+        c = _neardup_corpus(spark, sf_dir)
+        labeled = dedup_clusters(
+            c, "text", "doc_id", threshold=0.8, num_perm=64, bands=16, k=3
+        )
+        return cluster_safe_split(labeled, holdout_fraction=0.25, seed=11)
+
+    q["cluster_split"] = cluster_split_q
+
     def paragraph_dedup_q(spark, sf_dir):
         """CCNet-style paragraph dedup (dedup.py paragraph_dedup): composite
         docs are built by pairing each document's text with its successor's
@@ -782,6 +797,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["paragraph_dedup"] = paragraph_dedup_q
+
+    def duplicate_spans_q(spark, sf_dir):
+        """Duplicated-span profile (dedup.py duplicate_spans): per-doc count
+        of 8-token sliding windows whose exact content repeats in >=2
+        distinct documents — the shuffle-friendly form of Lee et al. 2022
+        exact substring dedup (hash windows, never a suffix array)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicate_spans(docs, "text", "doc_id", window=8, min_docs=2)
+
+    q["duplicate_spans"] = duplicate_spans_q
+
+    def dsir_weights_q(spark, sf_dir):
+        """DSIR importance weights (selection.dsir_weights, Xie et al. 2023):
+        hashed unigram+bigram bag models, target = the corpus's English
+        slice, raw = the whole corpus; per-doc log importance weight."""
+        from tilekiln_spark.operators.selection import dsir_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.filter(F.col("lang") == "en")
+        return dsir_weights(docs, target, "text", "doc_id", buckets=8192)
+
+    q["dsir_weights"] = dsir_weights_q
+
+    def c4_line_filter_q(spark, sf_dir):
+        """C4 line-level cleaning (quality.c4_line_filter, Raffel et al.
+        2020 §2.2): per-line terminal-punctuation / min-words / banned-word
+        gates, then the lorem-ipsum / brace / min-kept-lines page gate.
+        The corpus fixture is single-line word soup, so the query first
+        rebuilds each doc as 6-token lines — even lines period-terminated
+        (pass), odd lines unterminated (fail), every 7th line prefixed with
+        the banned word — exercising all three line gates and the page
+        gate with real variation."""
+        from tilekiln_spark.operators.quality import c4_line_filter
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        nlines = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+        line = lambda i: F.concat(
+            F.when(i % 7 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+            F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        )
+        lined = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), nlines - 1), line), "\n"
+            ).alias("text"),
+        )
+        return c4_line_filter(lined, "text", "doc_id")
+
+    q["c4_line_filter"] = c4_line_filter_q
 
     def url_normalize_q(spark, sf_dir):
         """URL canonicalization (functions/web.py): lowercase scheme+host,
@@ -2480,6 +2546,104 @@ def oracle_sql() -> dict[str, str]:
               len(list_distinct(a.sh || b.sh)) >= 0.8
     """
 
+    o["duplicate_spans"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   END AS toks
+            FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 8
+                        THEN list_transform(range(1, len(toks) - 6),
+                             i -> md5(array_to_string(toks[i:i+7], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END AS ws
+            FROM base
+        ), win_rows AS (
+            SELECT doc_id, unnest(ws) AS h FROM wins
+        ), dup AS (
+            SELECT h FROM win_rows GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ), counted AS (
+            SELECT r.doc_id, count(*) AS nw,
+                   sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS nd
+            FROM win_rows r LEFT JOIN dup d USING (h) GROUP BY r.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(coalesce(c.nw, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dup_windows,
+               CASE WHEN coalesce(c.nw, 0) > 0
+                    THEN round(CAST(c.nd AS DOUBLE) / c.nw, 6)
+                    ELSE 0.0 END AS dup_ratio
+        FROM base b LEFT JOIN counted c USING (doc_id)
+    """
+
+    o["c4_line_filter"] = r"""
+        WITH lined AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(0, CAST(ceil(len(a) / 6.0) AS INT)),
+                       i -> (CASE WHEN i % 7 = 0 THEN 'javascript ' ELSE '' END)
+                            || array_to_string(a[i*6+1 : i*6+6], ' ')
+                            || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)),
+                       chr(10)) AS text
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                  FROM documents)
+        ),
+        kept AS (
+            SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                   list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS ks
+            FROM lined
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(ks, chr(10)), '') AS text_clean,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ks) AS BIGINT) AS n_kept_lines,
+               (len(ks) >= 3 AND NOT (contains(lower(text), 'lorem ipsum')
+                                      OR contains(lower(text), '{'))) AS page_keep
+        FROM kept
+    """
+
+    o["dsir_weights"] = r"""
+        WITH toks AS (
+            SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM documents WHERE trim(text) != ''
+        ), grams AS (
+            SELECT doc_id, lang, unnest(a) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(a)),
+                          i -> a[i] || ' ' || a[i+1])) AS g
+            FROM toks WHERE len(a) >= 2
+        ), feats AS (
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 8192 AS INT) AS b
+            FROM grams
+        ), ct AS (
+            SELECT b, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY b
+        ), cr AS (
+            SELECT b, count(*) AS c FROM feats GROUP BY b
+        ), nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats WHERE lang = 'en'),
+        nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+        ratio AS (
+            SELECT cr.b,
+                   ln((coalesce(ct.c, 0) + 1) / (nt.n + 8192))
+                 - ln((cr.c + 1) / (nr.n + 8192)) AS lr
+            FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN nt CROSS JOIN nr
+        ), scored AS (
+            SELECT f.doc_id, count(*) AS n_grams,
+                   round(sum(r.lr), 6) AS dsir_logweight
+            FROM feats f JOIN ratio r USING (b) GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+               coalesce(s.dsir_logweight, 0.0) AS dsir_logweight
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
     o["paragraph_dedup"] = """
         WITH comp AS (
             SELECT a.doc_id, a.text || chr(10) || b.text AS text
@@ -2574,6 +2738,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN COALESCE(p.component, c.doc_id) = c.doc_id
                     THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
         FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    """
+
+    o["cluster_split"] = f"""
+        {_NEARDUP_SQL.replace("WITH corpus", "WITH RECURSIVE corpus", 1)}, {_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS ka, b.doc_id AS kb
+            FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(a.sh || b.sh)) >= 0.8
+        ),
+        edges AS (
+            SELECT ka AS a, kb AS b FROM pairs
+            UNION ALL SELECT kb, ka FROM pairs
+        ),
+        walk(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS node, MIN(dst) AS component FROM walk GROUP BY src),
+        labeled AS (
+            SELECT c.doc_id,
+                   COALESCE(p.component, c.doc_id) AS cluster_id,
+                   CAST(CASE WHEN COALESCE(p.component, c.doc_id) = c.doc_id
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+            FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+        )
+        SELECT doc_id, cluster_id, is_canonical,
+               CASE WHEN substr(md5('s11:' || CAST(cluster_id AS VARCHAR)), 1, 16)
+                         < '{_threshold_hex(0.25)}'
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM labeled
     """
 
     _mix_hash = "substr(md5('s11:' || CAST(doc_id AS VARCHAR)), 1, 16)"

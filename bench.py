@@ -100,11 +100,14 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
+        "cluster_split",
         "paragraph_dedup",
+        "duplicate_spans",
         "url_normalize",
         "host_profile",
         "sample_mix",
         "temperature_mix",
+        "dsir_weights",
         "similarity_bruteforce",
         "ann_lsh_topk",
         "ann_quantized_topk",
@@ -117,6 +120,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "lm3_score",
         "bpe_train",
         "quality_filter_funnel",
+        "c4_line_filter",
         "shard_rollup",
         "pagerank_links",
         "bm25_search",

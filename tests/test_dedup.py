@@ -35,3 +35,46 @@ def test_simhash_bucket_cap_drops_megabuckets(spark):
     assert got == {(100, 101)}
     full = simhash_pairs(df, max_bucket=None).collect()
     assert len(full) == 16
+
+
+def test_duplicate_spans_counts_cross_doc_windows(spark):
+    """A window counts as duplicated only when its exact 3-token content
+    occurs in >= min_docs DISTINCT docs; within-doc repeats alone don't
+    qualify, but every position of a cross-doc span counts."""
+    from tilekiln_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta"),        # windows: abc, bcd — both shared with doc 2
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zz yy zz yy zz yy"),             # repeats within doc only
+        (4, "one two"),                        # too short for window=3
+        (5, ""),                               # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, window=3).collect()}
+    assert (out[1].n_windows, out[1].n_dup_windows) == (2, 2)
+    assert out[1].dup_ratio == 1.0
+    assert (out[2].n_windows, out[2].n_dup_windows) == (3, 2)
+    assert (out[3].n_windows, out[3].n_dup_windows) == (4, 0)
+    assert (out[4].n_windows, out[4].n_dup_windows) == (0, 0)
+    assert out[4].dup_ratio == 0.0
+    assert (out[5].n_windows, out[5].n_dup_windows) == (0, 0)
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Every member of a cluster gets the same split label; the draw is a
+    pure function of (seed, cluster_id)."""
+    from tilekiln_spark.operators.sampling import cluster_safe_split
+
+    rows = [(i, i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = cluster_safe_split(df, holdout_fraction=0.5, seed=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    labels = {s for ss in by_cluster.values() for s in ss}
+    assert labels == {"train", "holdout"}  # 0.5 over 7 clusters hits both
+    # determinism: rerun is identical
+    again = cluster_safe_split(df, holdout_fraction=0.5, seed=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -89,3 +89,42 @@ def test_map_only_plan(spark):
     )
     assert "Exchange" not in plan  # one map pass: no shuffle anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_line_filter_gates(spark):
+    """Each line gate fires independently; the page gate needs 3 kept lines
+    and no banned page substring."""
+    from tilekiln_spark.operators.quality import c4_line_filter
+
+    good = "this line has plenty of words and ends well."
+    docs = [
+        # 3 good lines + one per failing gate -> page kept, 3/6 lines kept
+        (1, "\n".join([good, good, good,
+                       "short line here.",                # < 5 words
+                       "no terminal punctuation on this line at all",
+                       "a javascript mention sinks this entire line."])),
+        # only 2 good lines -> page dropped
+        (2, "\n".join([good, good])),
+        # lorem ipsum anywhere kills the page even with 3 good lines
+        (3, "\n".join([good, good, good, "lorem ipsum filler text right here."])),
+        # curly brace (code heuristic) kills the page
+        (4, "\n".join([good, good, good, "var x = { a: 1 };"])),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert (out[1].n_lines, out[1].n_kept_lines, out[1].page_keep) == (6, 3, True)
+    assert out[1].text_clean == "\n".join([good, good, good])
+    assert (out[2].n_kept_lines, out[2].page_keep) == (2, False)
+    assert out[3].n_kept_lines == 4 and not out[3].page_keep
+    assert not out[4].page_keep
+    assert (out[5].n_kept_lines, out[5].page_keep) == (0, False)
+
+
+def test_c4_line_filter_map_only(spark):
+    from tilekiln_spark.operators.quality import c4_line_filter
+
+    df = spark.createDataFrame([(1, "a b c d e f.")], "doc_id long, text string")
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -491,6 +491,63 @@ def dedup_clusters(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span profile: the distributable form of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — their suffix-array pass is inherently
+    single-machine; the shuffle-friendly equivalent hashes every
+    ``window``-token sliding window and counts cross-document repeats).
+
+    A window "repeats" when its exact token content occurs in >=
+    ``min_docs`` distinct documents.  Returns one row per input document:
+    ``(key, n_windows, n_dup_windows, dup_ratio)`` — the standard filter
+    signal (drop or trim docs whose dup_ratio exceeds a budget; the
+    paragraph-level REMOVAL transform is ``paragraph_dedup``).
+
+    Scale shape (10^12 docs): windows materialize map-side via the same
+    shifted-slice zip as ``shingles`` (no per-element re-tokenization) and
+    enter the exchange as 32-char md5 hex + key — window TEXT never
+    shuffles.  The repeat rollup is a two-phase count_distinct (map-side
+    (h, key) combine); the flag join is hash-keyed and AQE-broadcast when
+    the duplicated subset is small.  A production variant would swap md5
+    for xxhash64 over token ids (half the CPU, same plan); md5 keeps the
+    DuckDB oracle twin byte-identical."""
+    wins = shingles(F.col(text_col), k=window)
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        F.transform(wins, lambda s: F.md5(F.encode(s, "utf-8"))).alias("__ws"),
+    )
+    rows = base.select("__key", F.explode_outer("__ws").alias("__h"))
+    dup = (
+        rows.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct("__key").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    counted = (
+        rows.join(dup, "__h", "left")
+        .groupBy(F.col("__key").alias(key_col))
+        .agg(
+            F.count("__h").alias("n_windows"),
+            F.coalesce(F.sum("__dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return counted.withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -90,3 +90,57 @@ def doc_quality_flags(
         .when(_distinct_stopwords(toks) < min_stopwords, F.lit("few_stopwords"))
     )
     return df.withColumn("drop_reason", reason).withColumn("keep", reason.isNull())
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    banned_line_word: str = "javascript",
+    banned_page_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's LINE-level cleaning pass (Raffel et al. 2020, §2.2) — the
+    sub-document sibling of the Gopher doc gates: Gopher DROPS documents,
+    C4 first REWRITES them line by line, then drops pages left too short.
+
+    A line survives when it (a) ends in terminal punctuation (. ! ? "),
+    (b) carries >= ``min_words_per_line`` whitespace words, and (c) does
+    not mention ``banned_line_word`` (case-insensitive).  The page is then
+    kept only if >= ``min_kept_lines`` lines survived and the original
+    text contains none of ``banned_page_substrings`` (C4's "lorem ipsum" /
+    curly-brace code heuristics).
+
+    Returns one row per doc: ``(key, text_clean, n_lines, n_kept_lines,
+    page_keep)`` — filter ``page_keep`` and write ``text_clean``.
+
+    Scale: pure codegen expressions over split lines — map-only, no
+    shuffle, no UDF; the whole pass fuses into the scan's codegen stage
+    and composes with ``doc_quality_flags`` in the same stage."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+
+    def line_ok(l: Column) -> Column:
+        trimmed = F.trim(l)
+        return (
+            trimmed.rlike('[.!?"]$')
+            & (F.size(F.split(trimmed, r"\s+")) >= min_words_per_line)
+            & ~F.lower(l).contains(banned_line_word)
+        )
+
+    kept = F.filter(lines, line_ok)
+    page_banned = None
+    for s in banned_page_substrings:
+        hit = F.contains(F.lower(t), F.lit(s.lower()))
+        page_banned = hit if page_banned is None else (page_banned | hit)
+    page_keep = (F.size(kept) >= min_kept_lines) & ~F.coalesce(
+        page_banned, F.lit(False)
+    )
+    return df.select(
+        F.col(key_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        page_keep.alias("page_keep"),
+    )

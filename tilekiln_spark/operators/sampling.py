@@ -122,6 +122,36 @@ def stratified_quota_sample(
     )
 
 
+def cluster_safe_split(
+    clusters: DataFrame,
+    holdout_fraction: float = 0.1,
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-free train/holdout split: the draw hashes the CLUSTER id,
+    so every member of a near-duplicate family lands on the same side.
+
+    Random per-row splits on web corpora put a document in train while its
+    near-duplicate sits in eval — the dedup literature's "test-set
+    contamination by duplication" failure.  Feeding ``dedup_clusters``
+    output (or any frame carrying a cluster label) through this instead
+    guarantees the split respects duplicate families.  Adds a ``split``
+    column ('train' | 'holdout'); the decision is the same engine-portable
+    ``md5(seed:cluster)`` hex draw the samplers use, so the expected
+    holdout share is ``holdout_fraction`` OF CLUSTERS (by design — a
+    100-member boilerplate family is one draw, not 100).
+
+    Scale: map-only projection; no shuffle beyond whatever produced the
+    cluster labels."""
+    draw = sample_hash(F.col(cluster_col), seed)
+    return clusters.withColumn(
+        "split",
+        F.when(
+            draw < F.lit(_threshold_hex(holdout_fraction)), F.lit("holdout")
+        ).otherwise(F.lit("train")),
+    )
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int,
