@@ -2016,6 +2016,31 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["embedding_neardup"] = embedding_neardups
 
+    def semantic_dedup_q(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023) over the embeddings table with two
+        generations of planted semantic duplicates (scaled copies — cosine
+        ~1.0, well over the 0.9 threshold; max natural pairwise cosine in
+        the fixture is 0.513): coarse min-key-centroid assignment (the
+        ann_ivf_topk kernel), within-cluster exact cosine pairs, connected
+        components, one keep/drop row per vector."""
+        from tilekiln_spark.operators.similarity import semantic_dedup
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        dup1 = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda v: v * 1.001).alias("embedding"),
+        )
+        dup2 = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda v: v * 0.998).alias("embedding"),
+        )
+        corpus = emb.unionByName(dup1).unionByName(dup2)
+        return semantic_dedup(corpus, threshold=0.9, n_centroids=8)
+
+    q["semantic_dedup"] = semantic_dedup_q
+
     def media_decode(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import decode_image, synth_media
 
@@ -3598,6 +3623,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sigs cb ON cb.k = key_b
         )
         SELECT key_a, key_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.999
+    """
+
+    o["semantic_dedup"] = """
+        WITH RECURSIVE base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), corpus AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x * CAST(1.001 AS DOUBLE))
+            FROM base WHERE vec_id < 20
+            UNION ALL
+            SELECT vec_id + 200000, list_transform(v, x -> x * CAST(0.998 AS DOUBLE))
+            FROM base WHERE vec_id < 10
+        ), cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+        ), cassign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid ASC
+                   ) AS rn
+            FROM corpus, cents
+        ), assigned AS (
+            SELECT vec_id, cid FROM cassign WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS ka, b.vec_id AS kb
+            FROM assigned a
+            JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN corpus ca ON ca.vec_id = a.vec_id
+            JOIN corpus cb ON cb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ca.v, cb.v) >= 0.9
+        ), edges AS (
+            SELECT ka AS a, kb AS b FROM pairs
+            UNION ALL SELECT kb, ka FROM pairs
+        ), walk(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.dst
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component FROM walk GROUP BY src
+        )
+        SELECT c.vec_id,
+               CAST(asg.cid AS INT) AS cluster,
+               COALESCE(p.component, c.vec_id) AS sem_cluster_id,
+               CAST(CASE WHEN COALESCE(p.component, c.vec_id) = c.vec_id
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        FROM corpus c
+        JOIN assigned asg ON asg.vec_id = c.vec_id
+        LEFT JOIN comp p ON p.node = c.vec_id
     """
 
     # ---- media stubs: md5-derived fake stats, re-derived with hex math ----

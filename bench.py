@@ -111,6 +111,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "similarity_bruteforce",
         "ann_lsh_topk",
         "ann_quantized_topk",
+        "semantic_dedup",
         "text_quality",
         "text_pii_repetition",
         "decontaminate_overlap",

@@ -516,3 +516,84 @@ def test_training_corpus_pipeline_funnel(spark):
     assert row.n_sampled == row.n_clean  # fraction 1.0 keeps all
     assert row.n_sequences >= 1
     assert row.total_chars > 0
+
+
+def _semdedup_reference(rows, threshold, n_centroids):
+    """Pure-python SemDeDup twin: minkey centroids -> argmax-cosine assign ->
+    within-cluster pairs >= threshold -> union-find -> min-id labels."""
+    import numpy as np
+
+    keys = sorted(k for k, _ in rows)
+    vec = {k: np.asarray(v, dtype=np.float64) for k, v in rows}
+    cents = [vec[k] / max(np.linalg.norm(vec[k]), 1e-12) for k in keys[:n_centroids]]
+    assign = {}
+    for k in keys:
+        vn = vec[k] / max(np.linalg.norm(vec[k]), 1e-12)
+        cos = [float(vn @ c) for c in cents]
+        assign[k] = int(np.argmax(cos))
+    parent = {k: k for k in keys}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            c = float(vec[a] @ vec[b] / (np.linalg.norm(vec[a]) * np.linalg.norm(vec[b])))
+            if c >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {k: (assign[k], find(k)) for k in keys}
+
+
+def test_semantic_dedup_differential(spark):
+    """semantic_dedup vs an independent pure-python pipeline on a corpus with
+    planted semantic duplicates (scaled + epsilon-perturbed copies)."""
+    from tilekiln_spark.operators.similarity import semantic_dedup
+
+    df, rows = _vectors(spark, n=50, dim=16)
+    # two generations of copies of vectors 0..5: A~B and A~C (cos == 1.0-ish)
+    all_rows = list(rows)
+    for gen, (off, eps) in enumerate([(1000, 1.001), (2000, 0.998)]):
+        all_rows += [
+            (k + off, [x * eps for x in v]) for k, v in rows if k < 6
+        ]
+    corpus = spark.createDataFrame(all_rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster, r.sem_cluster_id, r.is_canonical)
+        for r in semantic_dedup(corpus, threshold=0.9, n_centroids=4).collect()
+    }
+    want = _semdedup_reference(all_rows, 0.9, 4)
+    assert len(got) == len(all_rows)
+    for k, (cl, comp) in want.items():
+        assert got[k] == (cl, comp, int(comp == k)), k
+    # the planted triples collapsed: base id is canonical, copies are not
+    for k in range(6):
+        assert got[k][2] == 1
+        assert got[k + 1000] == (got[k][0], k, 0)
+        assert got[k + 2000] == (got[k][0], k, 0)
+    # exactly one canonical per semantic cluster
+    by_comp = {}
+    for k, (cl, comp, can) in got.items():
+        by_comp.setdefault(comp, []).append(can)
+    assert all(sum(v) == 1 for v in by_comp.values())
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    """Over-cap coarse clusters are skipped from pairing: every member stays
+    its own singleton (un-deduped), mirroring the LSH band-cap contract."""
+    from tilekiln_spark.operators.similarity import semantic_dedup
+
+    df, rows = _vectors(spark, n=12, dim=16)
+    dup = [(k + 500, [x * 1.001 for x in v]) for k, v in rows]
+    corpus = spark.createDataFrame(
+        list(rows) + dup, "vec_id long, embedding array<double>"
+    )
+    capped = semantic_dedup(corpus, threshold=0.9, n_centroids=1, max_cluster=3)
+    got = capped.collect()
+    assert all(r.is_canonical == 1 and r.sem_cluster_id == r.vec_id for r in got)

@@ -306,6 +306,32 @@ def kmeans_centroids(
     return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
 
+def _centroid_matrix(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    key_col: str,
+    centroids: str | np.ndarray,
+    seed: int,
+) -> np.ndarray:
+    """Resolve the (K x dim) coarse-quantizer centroid matrix shared by
+    ivf_topk and semantic_dedup: "minkey" = the n_centroids corpus vectors
+    with the smallest keys (deterministic — DuckDB oracles re-derive the
+    exact buckets; a recall heuristic, not a quality choice), "kmeans" =
+    sampled spherical k-means (seeded, bounded driver footprint), or a
+    precomputed ndarray handed through verbatim."""
+    if isinstance(centroids, np.ndarray):
+        return np.asarray(centroids, dtype=np.float64)
+    if centroids == "kmeans":
+        return kmeans_centroids(
+            corpus, n_centroids, vec_col=vec_col, key_col=key_col, seed=seed
+        )
+    cent_rows = (
+        corpus.select(key_col, vec_col).orderBy(key_col).limit(n_centroids).collect()
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+
+
 def make_ivf_assign_udf(centroids: np.ndarray, top: int):
     """Cluster assignment for IVF: one (batch x dim) @ (dim x K) matmul per
     Arrow batch over L2-normalized vectors; returns the `top` nearest
@@ -359,17 +385,7 @@ def ivf_topk(
 
     At 10^12 rows the bucket column doubles as the Iceberg partition key,
     making probe-side reads partition-pruned scans."""
-    if isinstance(centroids, np.ndarray):
-        C = np.asarray(centroids, dtype=np.float64)
-    elif centroids == "kmeans":
-        C = kmeans_centroids(
-            corpus, n_centroids, vec_col=vec_col, key_col=key_col, seed=seed
-        )
-    else:
-        cent_rows = (
-            corpus.select(key_col, vec_col).orderBy(key_col).limit(n_centroids).collect()
-        )
-        C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    C = _centroid_matrix(corpus, n_centroids, vec_col, key_col, centroids, seed)
     a1 = make_ivf_assign_udf(C, 1)
     ap = make_ivf_assign_udf(C, nprobe)
     c = corpus.withColumn("cluster", a1(F.col(vec_col))[0])
@@ -514,4 +530,102 @@ def quantized_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(probe_key, key_col, "qcos", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate removal over embedding space
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    centroids: str | np.ndarray = "minkey",
+    seed: int = 42,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): remove
+    documents that are SEMANTIC duplicates — same meaning, different
+    surface text — which MinHash/SimHash (lexical) and embedding_neardup
+    (pairwise epsilon ~ 1e-3) both miss.  The paper's recipe: coarse
+    k-means clustering of the embeddings, exact pairwise cosine WITHIN
+    each cluster only, and collapse every epsilon-ball (cos >= threshold)
+    to one kept exemplar.
+
+    Pipeline (every stage an existing audited shape):
+      1. coarse assignment — one (batch x dim) @ (dim x K) matmul Arrow
+         UDF per batch (map-only, no shuffle; make_ivf_assign_udf, the
+         same kernel ann_ivf_topk hash-verifies cross-engine);
+      2. within-cluster candidate pairs — a self-join on the cluster id
+         carrying ONLY (cluster, key): 16 bytes per pair through the
+         exchange, vectors rejoin by key afterwards (the
+         embedding_neardup_pairs slim-pair discipline);
+      3. exact cosine >= threshold filter via the null-safe batched pair
+         kernel;
+      4. connected components (large-star/small-star) over the verified
+         pair list -> one row per corpus vector with its semantic cluster
+         id and a deterministic canonical-survivor flag.  Filter
+         ``is_canonical = 1`` to materialize the deduplicated corpus.
+
+    Returns (key_col, cluster, sem_cluster_id, is_canonical): ``cluster``
+    is the coarse quantizer bucket (int), ``sem_cluster_id`` the min key
+    reachable through the epsilon-ball graph (vectors with no >= threshold
+    neighbour are their own singleton cluster).
+
+    Scale shape (10^12 docs): a coarse cluster of B members emits
+    B(B-1)/2 pairs, so K must grow with the corpus (the paper uses
+    K ~ N / 10^4; clusters of ~10k -> ~5e7 comparisons each, embarrassingly
+    parallel since stage 2 shuffles keys only).  ``max_cluster`` (default
+    100k) drops over-cap clusters from pairing entirely — identical
+    rationale to the LSH/SimHash band caps, except here skipped members
+    simply stay un-deduped (raise K instead of the cap at production
+    scale; the cap is job-death insurance, not a tuning knob).
+
+    Deviation from the paper, documented: the paper keeps the exemplar
+    with the LOWEST cosine to its centroid (favouring in-ball outliers);
+    this implementation keeps the MIN-KEY member — deterministic,
+    engine-portable, and consistent with dedup_clusters' canonical rule.
+    """
+    from tilekiln_spark.operators.dedup import connected_components
+
+    C = _centroid_matrix(corpus, n_centroids, vec_col, key_col, centroids, seed)
+    a1 = make_ivf_assign_udf(C, 1)
+    base = corpus.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    assigned = base.withColumn("cluster", a1(F.col("v"))[0])
+    slim = assigned.select("cluster", "k")
+    sizes = slim.groupBy("cluster").agg(F.count("*").alias("__csz"))
+    paired = slim.join(
+        sizes.filter(F.col("__csz") <= max_cluster).select("cluster"), "cluster"
+    )
+    l, r = paired.alias("l"), paired.alias("r")
+    pair_keys = (
+        l.join(r, "cluster")
+        .filter(F.col("l.k") < F.col("r.k"))
+        .select(F.col("l.k").alias("key_a"), F.col("r.k").alias("key_b"))
+    )
+    pairs = (
+        pair_keys.join(
+            base.select(F.col("k").alias("key_a"), F.col("v").alias("va")), "key_a"
+        )
+        .join(base.select(F.col("k").alias("key_b"), F.col("v").alias("vb")), "key_b")
+        .withColumn("cos", make_pair_cosine_udf()(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("key_a", "key_b")
+    )
+    labels = connected_components(pairs)
+    out = assigned.select(F.col("k").alias("node"), "cluster").join(
+        labels, "node", "left"
+    )
+    return out.select(
+        F.col("node").alias(key_col),
+        "cluster",
+        F.coalesce("component", "node").alias("sem_cluster_id"),
+        (F.col("node") == F.coalesce("component", "node"))
+        .cast("int")
+        .alias("is_canonical"),
     )
