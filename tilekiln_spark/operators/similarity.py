@@ -590,6 +590,13 @@ def semantic_dedup(
     with the LOWEST cosine to its centroid (favouring in-ball outliers);
     this implementation keeps the MIN-KEY member — deterministic,
     engine-portable, and consistent with dedup_clusters' canonical rule.
+
+    Production note: Catalyst rebuilds the corpus lineage for the two
+    vector-rejoin branches and the final label join, re-running the scan
+    + assign matmul (cheap, map-only).  At 100 TB persist/checkpoint the
+    assigned frame before calling this, or write the cluster column as
+    the table's partition key (it doubles as the IVF bucket) so every
+    branch is a pruned scan.
     """
     from tilekiln_spark.operators.dedup import connected_components
 
