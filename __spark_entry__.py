@@ -2041,6 +2041,32 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["semantic_dedup"] = semantic_dedup_q
 
+    def linear_probe(spark, sf_dir):
+        """FineWeb-Edu-style learned quality filter: logistic linear probe
+        over the embedding column (operators/classifier.py), trained
+        DISTRIBUTED (3 full-batch GD iterations, one 65-key partial-agg
+        exchange each) on y = (label == 0), then scored map-only over the
+        corpus.  The DuckDB twin replays every training iteration as
+        chained CTEs under the module's explicit rounding contract, so the
+        FIT is cross-engine-verified, not just the scores."""
+        from tilekiln_spark.operators.classifier import (
+            linear_probe_scores,
+            train_linear_probe,
+        )
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            (F.col("label") == 0).cast("double").alias("y"),
+        )
+        w = train_linear_probe(emb, dim=64, iters=3, lr=1.0)
+        out = linear_probe_scores(emb, w, label_col="y")
+        return out.select(
+            "vec_id", F.col("y").cast("int").alias("y"), "prob", "pred"
+        )
+
+    q["linear_probe"] = linear_probe
+
     def media_decode(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import decode_image, synth_media
 
@@ -2239,6 +2265,55 @@ def _lm3_scores_sql(src: str, k_vocab: int, m_bigrams: int, p_trigrams: int) -> 
                round(avg(lp), 6) AS avg_logprob
         FROM sc GROUP BY doc_id
     )"""
+
+
+def _probe_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
+    """DuckDB replay of operators/classifier.train_linear_probe +
+    linear_probe_scores on y = (label == 0): every GD iteration as chained
+    CTEs under the module's rounding contract (round-9 on z and sigmoid,
+    round-6 on gradients and weights — both engines see identical decimal
+    literals at every weight handoff, so the fit itself is verified)."""
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                   CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM embeddings
+        ), n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM e),
+        dims AS MATERIALIZED (SELECT CAST(unnest(range({dim + 1})) AS INT) AS j),
+        w0 AS MATERIALIZED (SELECT j, 0.0 AS w FROM dims)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+            SELECT vec_id, round(1.0 / (1.0 + exp(-z9)), 9) AS s FROM (
+                SELECT e.vec_id,
+                       round(sum(w.w * CASE WHEN w.j < {dim}
+                                 THEN e.x[w.j + 1] ELSE 1.0 END), 9) AS z9
+                FROM e, w{i - 1} w GROUP BY e.vec_id)
+        ), g{i} AS MATERIALIZED (
+            SELECT d.j,
+                   round(sum((s.s - e.y) * CASE WHEN d.j < {dim}
+                             THEN e.x[d.j + 1] ELSE 1.0 END)
+                         / (SELECT cnt FROM n), 6) AS g
+            FROM s{i} s JOIN e USING (vec_id), dims d GROUP BY d.j
+        ), w{i} AS MATERIALIZED (
+            SELECT w.j, round(w.w - {lr} * g.g, 6) AS w
+            FROM w{i - 1} w JOIN g{i} g USING (j)
+        )"""
+        )
+    parts.append(
+        f""", zf AS (
+            SELECT e.vec_id, e.y,
+                   round(sum(w.w * CASE WHEN w.j < {dim}
+                             THEN e.x[w.j + 1] ELSE 1.0 END), 9) AS z9
+            FROM e, w{iters} w GROUP BY e.vec_id, e.y
+        )
+        SELECT vec_id, CAST(y AS INT) AS y,
+               round(1.0 / (1.0 + exp(-z9)), 6) AS prob,
+               CAST(round(1.0 / (1.0 + exp(-z9)), 6) >= 0.5 AS INT) AS pred
+        FROM zf"""
+    )
+    return "".join(parts)
 
 
 def _pagerank_sql(j: int = 8, damping: float = 0.85) -> str:
@@ -3674,6 +3749,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN assigned asg ON asg.vec_id = c.vec_id
         LEFT JOIN comp p ON p.node = c.vec_id
     """
+
+    o["linear_probe"] = _probe_sql(3, 1.0, 64)
 
     # ---- media stubs: md5-derived fake stats, re-derived with hex math ----
     def _hexpair(pos: int) -> str:

@@ -112,6 +112,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "ann_lsh_topk",
         "ann_quantized_topk",
         "semantic_dedup",
+        "linear_probe",
         "text_quality",
         "text_pii_repetition",
         "decontaminate_overlap",
