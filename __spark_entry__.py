@@ -2067,6 +2067,35 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["linear_probe"] = linear_probe
 
+    def dedup_incremental(spark, sf_dir):
+        """Incremental crawl dedup (operators/dedup.dedup_against): a NEW
+        increment — 40 exact copies of corpus docs + 20 deterministic
+        gibberish docs (8 md5-hex tokens, zero shingle overlap with
+        English) — is checked against the documents table as the existing
+        index; one keep/drop row per new doc.  Copies match at jaccard 1.0
+        (found in every band — no LSH-recall flakiness in the oracle
+        compare); gibberish admits clean."""
+        from tilekiln_spark.operators.dedup import dedup_against
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        copies = docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+        gib_text = F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{c}")))
+                for c in "abcdefgh"
+            ],
+        )
+        gibberish = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), gib_text.alias("text")
+        )
+        new = copies.unionByName(gibberish)
+        return dedup_against(new, docs, threshold=0.8)
+
+    q["dedup_incremental"] = dedup_incremental
+
     def media_decode(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import decode_image, synth_media
 
@@ -3751,6 +3780,56 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["linear_probe"] = _probe_sql(3, 1.0, 64)
+
+    o["dedup_incremental"] = """
+        WITH idx AS (SELECT doc_id, text FROM documents),
+        newdocs AS (
+            SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id + 300000 AS doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':a') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':b') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':c') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':d') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':e') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':f') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':g') || ' ' ||
+                   md5(CAST(doc_id AS VARCHAR) || ':h') AS text
+            FROM documents WHERE doc_id < 20
+        ),
+        sn AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM newdocs)
+            WHERE len(toks) >= 3
+        ),
+        si AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM idx)
+            WHERE len(toks) >= 3
+        ),
+        matches AS (
+            SELECT n.doc_id AS key_new, i.doc_id AS key_index
+            FROM sn n JOIN si i
+              ON CAST(len(list_intersect(n.sh, i.sh)) AS DOUBLE) /
+                 len(list_distinct(n.sh || i.sh)) >= 0.8
+        ),
+        agg AS (
+            SELECT key_new, MIN(key_index) AS dup_of,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM matches GROUP BY key_new
+        )
+        SELECT nd.doc_id,
+               CAST(CASE WHEN a.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+               a.dup_of,
+               COALESCE(a.n_dups, 0) AS n_dups
+        FROM newdocs nd LEFT JOIN agg a ON a.key_new = nd.doc_id
+    """
 
     # ---- media stubs: md5-derived fake stats, re-derived with hex math ----
     def _hexpair(pos: int) -> str:

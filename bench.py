@@ -100,6 +100,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
+        "dedup_incremental",
         "cluster_split",
         "paragraph_dedup",
         "duplicate_spans",

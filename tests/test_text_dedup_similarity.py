@@ -597,3 +597,41 @@ def test_semantic_dedup_max_cluster_cap(spark):
     capped = semantic_dedup(corpus, threshold=0.9, n_centroids=1, max_cluster=3)
     got = capped.collect()
     assert all(r.is_canonical == 1 and r.sem_cluster_id == r.vec_id for r in got)
+
+
+def test_dedup_against_index(spark):
+    """Incremental dedup: new docs flagged iff they near-match the INDEX
+    corpus; new-vs-new duplicates are NOT flagged (next self-dedup's job)."""
+    from tilekiln_spark.operators.dedup import dedup_against
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    index_rows = [
+        (i, " ".join(words[j % 10] + str((i * 7 + j) % 13) for j in range(12)))
+        for i in range(40)
+    ]
+    new_rows = (
+        [(100 + i, index_rows[i][1]) for i in range(10)]  # exact copies
+        + [(200 + i, f"zzz{i} yyy{i} xxx{i} www{i} vvv{i} uuu{i}") for i in range(5)]
+        + [(300, "same new text here repeated tokens"), (301, "same new text here repeated tokens")]
+    )
+    idx = spark.createDataFrame(index_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r.doc_id: (r.is_dup, r.dup_of, r.n_dups) for r in dedup_against(new, idx).collect()}
+    assert len(got) == len(new_rows)
+    for i in range(10):
+        assert got[100 + i][0] == 1
+        assert got[100 + i][1] == i  # min matching index key = the source doc
+    for i in range(5):
+        assert got[200 + i] == (0, None, 0)
+    assert got[300] == (0, None, 0) and got[301] == (0, None, 0)
+
+
+def test_minhash_pairs_between_jaccard_values(spark):
+    """Cross-corpus verify stage computes the exact shingle Jaccard."""
+    from tilekiln_spark.operators.dedup import minhash_pairs_between, ngram_jaccard
+
+    t = "one two three four five six seven eight"
+    idx = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    new = spark.createDataFrame([(2, t)], "doc_id long, text string")
+    rows = minhash_pairs_between(new, idx, threshold=0.5).collect()
+    assert [(r.key_new, r.key_index, r.jaccard) for r in rows] == [(2, 1, 1.0)]

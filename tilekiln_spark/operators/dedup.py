@@ -146,6 +146,61 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
+def _banded_minhash(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    seed: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(k, band, bh) band-bucket rows for a corpus — the shared front half of
+    minhash_lsh_pairs (self-join) and minhash_pairs_between (index join).
+
+    Stage 1: shingle hashes (one interpreted pass over the text), spread
+    across all cores with an explicit-width repartition — AQE would coalesce
+    this CPU-bound stage to 1-2 tasks based on its tiny byte size.
+    Stage 2: vectorized numpy signature (Arrow batch), then band hashes from
+    the materialized signature array (ArrowEvalPython is a collapse barrier).
+    Buckets larger than ``max_bucket`` are dropped (see minhash_lsh_pairs)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    hv = F.transform(shingles(F.col("t"), k), lambda s: F.xxhash64(s))
+    hashed = (
+        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
+        .repartition(n_parts, "k")  # BEFORE the shingle pass: tokenization runs on all cores
+        .select("k", hv.alias("hv"))
+    )
+    sig_udf = make_minhash_sig_udf(num_perm, seed)
+    sigs = hashed.select("k", sig_udf(F.col("hv")).alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.element_at(F.col("sig"), bi * r + i + 1).cast("string") for i in range(r)]
+                )
+            ).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        "k", F.explode(F.array(*band_structs)).alias("b")
+    ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__bn"))
+        banded = (
+            banded.join(sizes, ["band", "bh"])
+            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
+            .drop("__bn")
+        )
+    return banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,44 +226,7 @@ def minhash_lsh_pairs(
     their other, more selective bands; byte-identical boilerplate is the
     upstream exact_dedup / paragraph-dedup's job, not LSH's.  Pass
     ``max_bucket=None`` for the uncapped join."""
-    assert num_perm % bands == 0
-    r = num_perm // bands
-    # Stage 1: shingle hashes (one interpreted pass over the text), spread
-    # across all cores with an explicit-width repartition — AQE would coalesce
-    # this CPU-bound stage to 1-2 tasks based on its tiny byte size.
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    hv = F.transform(shingles(F.col("t"), k), lambda s: F.xxhash64(s))
-    hashed = (
-        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("t"))
-        .repartition(n_parts, "k")  # BEFORE the shingle pass: tokenization runs on all cores
-        .select("k", hv.alias("hv"))
-    )
-    # Stage 2: vectorized numpy signature (Arrow batch), then band hashes from
-    # the materialized signature array (ArrowEvalPython is a collapse barrier).
-    sig_udf = make_minhash_sig_udf(num_perm, seed)
-    sigs = hashed.select("k", sig_udf(F.col("hv")).alias("sig"))
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.element_at(F.col("sig"), bi * r + i + 1).cast("string") for i in range(r)]
-                )
-            ).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sigs.select(
-        "k", F.explode(F.array(*band_structs)).alias("b")
-    ).select("k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    if max_bucket is not None:
-        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__bn"))
-        banded = (
-            banded.join(sizes, ["band", "bh"])
-            .filter(F.col("__bn") <= F.lit(int(max_bucket)))
-            .drop("__bn")
-        )
+    banded = _banded_minhash(df, text_col, key_col, num_perm, bands, k, seed, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -249,6 +267,98 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", ngram_jaccard(F.col("ta"), F.col("tb"), k))
         .filter(F.col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
+    )
+
+
+def minhash_pairs_between(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Verified near-dup pairs BETWEEN two corpora: (new_key, index_key,
+    jaccard) for every new doc whose exact k-shingle Jaccard against an
+    index doc reaches ``threshold``.
+
+    The incremental-ingestion face of MinHash dedup: a crawl increment is
+    checked against the already-deduplicated corpus WITHOUT re-pairing the
+    corpus against itself (the self-join over N+M docs costs (N+M)^2
+    bucket work; this join costs N_bucket x M_bucket only).  Both sides
+    band with the SAME seed/permutations, so identical texts collide in
+    every band; at production scale the index side's (key, band, bh) table
+    is persisted once and re-read per increment — re-banding the corpus
+    here stands in for that read.
+
+    Scale: candidates carry keys only (16 bytes/pair) through the distinct;
+    text rejoins by key for the exact-Jaccard verify, touching only
+    candidate ids.  Over-cap buckets drop per side (same rationale as
+    minhash_lsh_pairs; an over-cap INDEX bucket usually means the index
+    itself was not deduplicated)."""
+    nb = _banded_minhash(
+        new_docs, text_col, key_col, num_perm, bands, k, seed, max_bucket
+    )
+    ib = _banded_minhash(
+        index_docs, text_col, key_col, num_perm, bands, k, seed, max_bucket
+    )
+    cands = (
+        nb.alias("n")
+        .join(ib.alias("i"), ["band", "bh"])
+        .select(F.col("n.k").alias("key_new"), F.col("i.k").alias("key_index"))
+        .distinct()
+    )
+    nt = new_docs.select(
+        F.col(key_col).alias("key_new"), F.col(text_col).alias("__tn")
+    )
+    it = index_docs.select(
+        F.col(key_col).alias("key_index"), F.col(text_col).alias("__ti")
+    )
+    return (
+        cands.join(nt, "key_new")
+        .join(it, "key_index")
+        .withColumn("jaccard", ngram_jaccard(F.col("__tn"), F.col("__ti"), k))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_new", "key_index", "jaccard")
+    )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Keep/drop verdict for every NEW doc against the existing corpus:
+    one row per new doc — (key, is_dup, dup_of, n_dups).  ``dup_of`` is
+    the MIN matching index key (deterministic), null when clean; filter
+    ``is_dup = 0`` to admit the increment.  New-vs-new duplicates are the
+    next batch self-dedup's job (dedup_clusters) — this pass answers only
+    "is it already in the corpus", so increments stay order-independent."""
+    pairs = minhash_pairs_between(
+        new_docs, index_docs, text_col, key_col, threshold,
+        num_perm, bands, k, seed, max_bucket,
+    )
+    agg = pairs.groupBy("key_new").agg(
+        F.min("key_index").alias("dup_of"),
+        F.count("*").alias("n_dups"),
+    )
+    keys = new_docs.select(F.col(key_col).alias("key_new"))
+    return keys.join(agg, "key_new", "left").select(
+        F.col("key_new").alias(key_col),
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+        "dup_of",
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
     )
 
 
