@@ -2096,6 +2096,41 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["dedup_incremental"] = dedup_incremental
 
+    def decontaminate_semantic(spark, sf_dir):
+        """Embedding-space benchmark decontamination (operators/decontam.
+        semantic_contamination): the benchmark = scaled copies of 15 corpus
+        embeddings (cosine ~1.0 — paraphrase-leak stand-ins) + 5 gibberish
+        directions derived only from the bench id (never match); broadcast
+        nested-loop cosine vs every corpus vector, per-doc hit rollup."""
+        from tilekiln_spark.operators.decontam import semantic_contamination
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        leak = emb.filter(F.col("vec_id") < 15).select(
+            (F.col("vec_id") + 900).alias("bench_id"),
+            F.transform(F.col("embedding"), lambda v: v * 1.001).alias("embedding"),
+        )
+        # deterministic never-matching directions: one-hot-ish ramps keyed
+        # on the bench id (orthogonal-ish to the random fixture vectors)
+        clean = (
+            emb.filter(F.col("vec_id") < 5)
+            .select((F.col("vec_id") + 950).alias("bench_id"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: F.when(
+                        i == (F.col("bench_id") % 64) + 1, F.lit(1.0)
+                    ).otherwise(F.lit(0.0)),
+                ),
+            )
+        )
+        bench = leak.unionByName(clean)
+        return semantic_contamination(emb, bench, threshold=0.95)
+
+    q["decontaminate_semantic"] = decontaminate_semantic
+
     def media_decode(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import decode_image, synth_media
 
@@ -3829,6 +3864,36 @@ def oracle_sql() -> dict[str, str]:
                a.dup_of,
                COALESCE(a.n_dups, 0) AS n_dups
         FROM newdocs nd LEFT JOIN agg a ON a.key_new = nd.doc_id
+    """
+
+    o["decontaminate_semantic"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        leak AS (
+            SELECT vec_id + 900 AS bench_id,
+                   list_transform(v, x -> x * CAST(1.001 AS DOUBLE)) AS bv
+            FROM e WHERE vec_id < 15
+        ),
+        clean AS (
+            SELECT vec_id + 950 AS bench_id,
+                   list_transform(range(1, 65),
+                       i -> CASE WHEN i = (vec_id + 950) % 64 + 1
+                            THEN 1.0 ELSE 0.0 END) AS bv
+            FROM e WHERE vec_id < 5
+        ),
+        bench AS (SELECT * FROM leak UNION ALL SELECT * FROM clean),
+        hits AS (
+            SELECT c.vec_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   MIN(b.bench_id) AS hit_of,
+                   round(MAX(list_cosine_similarity(c.v, b.bv)), 6) AS best_cos
+            FROM e c JOIN bench b ON list_cosine_similarity(c.v, b.bv) >= 0.95
+            GROUP BY c.vec_id
+        )
+        SELECT e.vec_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               h.hit_of,
+               COALESCE(h.best_cos, 0.0) AS best_cos
+        FROM e LEFT JOIN hits h USING (vec_id)
     """
 
     # ---- media stubs: md5-derived fake stats, re-derived with hex math ----

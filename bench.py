@@ -117,6 +117,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "text_quality",
         "text_pii_repetition",
         "decontaminate_overlap",
+        "decontaminate_semantic",
         "pack_sequences",
         "vocab_topk",
         "lm_score",

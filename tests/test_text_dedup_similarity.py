@@ -635,3 +635,27 @@ def test_minhash_pairs_between_jaccard_values(spark):
     new = spark.createDataFrame([(2, t)], "doc_id long, text string")
     rows = minhash_pairs_between(new, idx, threshold=0.5).collect()
     assert [(r.key_new, r.key_index, r.jaccard) for r in rows] == [(2, 1, 1.0)]
+
+
+def test_semantic_contamination(spark):
+    """Corpus rows whose embedding ~matches a benchmark item are flagged with
+    the min matching bench id; clean rows report zero hits."""
+    from tilekiln_spark.operators.decontam import semantic_contamination
+
+    df, rows = _vectors(spark, n=30, dim=16)
+    bench = spark.createDataFrame(
+        [(100 + i, [x * 0.999 for x in rows[i][1]]) for i in range(3)]
+        + [(103, [x * 1.002 for x in rows[1][1]])],  # second hit for doc 1
+        "bench_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.n_hits, r.hit_of, r.best_cos)
+        for r in semantic_contamination(df, bench, threshold=0.95).collect()
+    }
+    assert len(got) == 30
+    assert got[0][:2] == (1, 100)
+    assert got[1][:2] == (2, 101)
+    assert got[2][:2] == (1, 102)
+    assert got[0][2] == pytest.approx(1.0, abs=1e-6)
+    for k in range(3, 30):
+        assert got[k] == (0, None, 0.0)

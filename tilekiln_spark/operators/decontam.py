@@ -70,3 +70,54 @@ def decontaminate(
     return corpus.join(
         F.broadcast(flagged.select(key_col)), key_col, "left_anti"
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    bench_key: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space contamination: (key, n_hits, hit_of, best_cos) for
+    corpus docs whose embedding reaches ``threshold`` cosine against ANY
+    benchmark item — catches paraphrased/translated eval leakage the exact
+    n-gram pass cannot see (the FineWeb/GPT-3 appendix-style semantic
+    check next to contamination_hits' lexical one).
+
+    ``hit_of`` is the MIN matching benchmark id (deterministic audit
+    pointer), ``best_cos`` the max cosine over matches rounded to 6.
+
+    Scale shape: eval sets are tiny vs the corpus, so the benchmark
+    embeddings ride a broadcast nested-loop against a map-only corpus
+    scan (the brute_force_topk plan without the window): per corpus row
+    it is |bench| fused-codegen cosine folds, no shuffle of corpus rows;
+    the only exchange is the per-doc rollup over the (rare) >=threshold
+    matches.  For benchmark sides too big to broadcast, bucket both
+    sides with the IVF assign kernel first (semantic_dedup's plan) —
+    same verdict columns."""
+    from tilekiln_spark.operators.similarity import cosine_sim
+
+    b = benchmark.select(
+        F.col(bench_key).alias("__bid"), F.col(vec_col).alias("__bvec")
+    )
+    hits = (
+        corpus.select(key_col, vec_col)
+        .join(F.broadcast(b))
+        .withColumn("__cos", cosine_sim(F.col(vec_col), F.col("__bvec")))
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("__bid").alias("hit_of"),
+            F.round(F.max("__cos"), 6).alias("best_cos"),
+        )
+    )
+    keys = corpus.select(key_col)
+    return keys.join(hits, key_col, "left").select(
+        F.col(key_col),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        "hit_of",
+        F.coalesce("best_cos", F.lit(0.0)).alias("best_cos"),
+    )
