@@ -333,3 +333,79 @@ def test_corpus_cli_search_pagerank(spark, tmp_path, capsys):
     ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
     assert set(ranks) == {1, 2, 3}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_corpus_cli_semantic_and_probe(spark, tmp_path, capsys):
+    """corpus semdedup / probe / dedupagainst / decontam drive the round-4
+    embedding + incremental operators end-to-end over parquet."""
+    import numpy as np
+
+    from tilekiln_spark.cli import main
+
+    rng = np.random.default_rng(3)
+    base = [(i, rng.standard_normal(8).tolist(), int(i % 2)) for i in range(30)]
+    dups = [(100 + i, [x * 1.001 for x in base[i][1]], base[i][2]) for i in range(6)]
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        base + dups, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(emb)
+
+    out = str(tmp_path / "sd.parquet")
+    assert main([
+        "corpus", "semdedup", "--input", emb, "--output", out,
+        "--n-centroids", "2", "--centroids", "minkey",
+    ]) == 0
+    assert spark.read.parquet(out).count() == 30  # 6 copies dropped
+    assert "6 semantic dups" in capsys.readouterr().out
+
+    scores = str(tmp_path / "probe.parquet")
+    assert main([
+        "corpus", "probe", "--train", emb, "--input", emb, "--output", scores,
+        "--dim", "8", "--iters", "2",
+    ]) == 0
+    sc = spark.read.parquet(scores)
+    assert sc.count() == 36 and set(sc.columns) == {"vec_id", "prob", "pred"}
+
+    # incremental dedup: new = 3 copies of indexed docs + 2 fresh docs
+    docs = [(i, f"indexed document number {i} with shared tokens a{i} b{i} c{i}")
+            for i in range(10)]
+    idx = str(tmp_path / "idx.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(idx)
+    new_rows = [(200 + i, docs[i][1]) for i in range(3)] + [
+        (300, "wholly novel text qqq www eee rrr ttt yyy"),
+        (301, "another novel doc uuu iii ooo ppp aaa sss"),
+    ]
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(new)
+    adm = str(tmp_path / "admitted.parquet")
+    capsys.readouterr()
+    assert main([
+        "corpus", "dedupagainst", "--input", new, "--index", idx,
+        "--output", adm,
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(adm).collect()}
+    assert got == {300, 301}
+    assert "admitted 2/5" in capsys.readouterr().out
+
+    # decontam with the semantic pass: bench shares doc 0's text AND an
+    # embedding near doc 5's
+    corpus_rows = [
+        (i, docs[i][1], base[i][1]) for i in range(10)
+    ]
+    cor = str(tmp_path / "cor.parquet")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, embedding array<double>"
+    ).write.parquet(cor)
+    bench_rows = [(docs[0][1], [x * 0.999 for x in base[5][1]])]
+    ben = str(tmp_path / "ben.parquet")
+    spark.createDataFrame(
+        bench_rows, "text string, embedding array<double>"
+    ).write.parquet(ben)
+    cln = str(tmp_path / "clean.parquet")
+    assert main([
+        "corpus", "decontam", "--input", cor, "--benchmark", ben,
+        "--output", cln, "--vec-col", "embedding",
+    ]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(cln).collect()}
+    assert 0 not in kept and 5 not in kept and len(kept) == 8
+    assert "1 lexical, 1 semantic" in capsys.readouterr().out

@@ -526,6 +526,120 @@ def cmd_corpus_pagerank(args) -> int:
     return 0
 
 
+def cmd_corpus_semdedup(args) -> int:
+    """corpus semdedup: SemDeDup over an embedding parquet — writes the
+    kept (canonical) rows; drop counts on stdout."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.similarity import semantic_dedup
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    labels = semantic_dedup(
+        df,
+        threshold=args.threshold,
+        n_centroids=args.n_centroids,
+        vec_col=args.vec_col,
+        key_col=args.key_col,
+        centroids=args.centroids,
+    )
+    ids = labels.filter(F.col("is_canonical") == 1).select(args.key_col)
+    kept = df.join(F.broadcast(ids), args.key_col, "left_semi")
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = df.count(), kept.count()
+    print(f"kept {n_out}/{n_in} docs ({n_in - n_out} semantic dups) -> {args.output}")
+    return 0
+
+
+def cmd_corpus_probe(args) -> int:
+    """corpus probe: train the logistic linear probe on a labelled
+    embedding parquet, score another, write (key, prob, pred)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.classifier import (
+        linear_probe_scores,
+        train_linear_probe,
+    )
+
+    spark = _spark()
+    train = spark.read.parquet(args.train).select(
+        args.vec_col, F.col(args.label_col).cast("double").alias("__y")
+    )
+    w = train_linear_probe(
+        train, vec_col=args.vec_col, label_col="__y",
+        dim=args.dim, iters=args.iters, lr=args.lr,
+    )
+    corpus = spark.read.parquet(args.input)
+    scores = linear_probe_scores(
+        corpus, w, vec_col=args.vec_col, key_col=args.key_col,
+        threshold=args.cut,
+    )
+    scores.write.mode("overwrite").parquet(args.output)
+    n_keep = scores.filter(F.col("pred") == 1).count()
+    print(f"scored {scores.count()} docs, {n_keep} over the {args.cut} cut -> {args.output}")
+    return 0
+
+
+def cmd_corpus_dedupagainst(args) -> int:
+    """corpus dedupagainst: admit only the new docs NOT already in the
+    index corpus (incremental crawl ingestion)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.dedup import dedup_against
+
+    spark = _spark()
+    new = spark.read.parquet(args.input)
+    index = spark.read.parquet(args.index)
+    verdicts = dedup_against(
+        new, index, args.text_col, args.key_col, threshold=args.threshold
+    )
+    clean = verdicts.filter(F.col("is_dup") == 0).select(args.key_col)
+    admitted = new.join(F.broadcast(clean), args.key_col, "left_semi")
+    admitted.write.mode("overwrite").parquet(args.output)
+    n_new, n_ok = new.count(), admitted.count()
+    print(f"admitted {n_ok}/{n_new} new docs ({n_new - n_ok} already indexed) -> {args.output}")
+    return 0
+
+
+def cmd_corpus_decontam(args) -> int:
+    """corpus decontam: drop docs leaking the benchmark — lexically
+    (shared n-grams) and, when both sides carry embeddings, semantically."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.decontam import (
+        decontaminate,
+        semantic_contamination,
+    )
+
+    spark = _spark()
+    corpus = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    kept = decontaminate(
+        corpus, bench, n=args.ngram, text_col=args.text_col,
+        key_col=args.key_col,
+    )
+    n_lex = kept.count()
+    if args.vec_col and args.vec_col in corpus.columns and args.vec_col in bench.columns:
+        hits = semantic_contamination(
+            kept,
+            bench.select(
+                F.monotonically_increasing_id().alias("bench_id"), args.vec_col
+            ),
+            threshold=args.cos_threshold,
+            vec_col=args.vec_col,
+            key_col=args.key_col,
+        )
+        clean = hits.filter(F.col("n_hits") == 0).select(args.key_col)
+        kept = kept.join(F.broadcast(clean), args.key_col, "left_semi")
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = corpus.count(), kept.count()
+    print(
+        f"kept {n_out}/{n_in} docs ({n_in - n_lex} lexical, "
+        f"{n_lex - n_out} semantic leaks) -> {args.output}"
+    )
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -717,6 +831,45 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--damping", type=float, default=0.85)
     cg.add_argument("--top", type=int, default=20)
     cg.set_defaults(fn=cmd_corpus_pagerank)
+    cm = co.add_parser("semdedup")
+    cm.add_argument("--input", required=True)
+    cm.add_argument("--output", required=True)
+    cm.add_argument("--vec-col", default="embedding")
+    cm.add_argument("--key-col", default="vec_id")
+    cm.add_argument("--threshold", type=float, default=0.9)
+    cm.add_argument("--n-centroids", type=int, default=8)
+    cm.add_argument("--centroids", choices=["minkey", "kmeans"], default="kmeans")
+    cm.set_defaults(fn=cmd_corpus_semdedup)
+    cb = co.add_parser("probe")
+    cb.add_argument("--train", required=True,
+                    help="labelled embedding parquet to fit the probe on")
+    cb.add_argument("--input", required=True)
+    cb.add_argument("--output", required=True)
+    cb.add_argument("--vec-col", default="embedding")
+    cb.add_argument("--key-col", default="vec_id")
+    cb.add_argument("--label-col", default="label")
+    cb.add_argument("--dim", type=int, default=64)
+    cb.add_argument("--iters", type=int, default=3)
+    cb.add_argument("--lr", type=float, default=1.0)
+    cb.add_argument("--cut", type=float, default=0.5)
+    cb.set_defaults(fn=cmd_corpus_probe)
+    ca = co.add_parser("dedupagainst")
+    _corpus_io(ca)
+    ca.add_argument("--index", required=True,
+                    help="parquet of the already-deduplicated corpus")
+    ca.add_argument("--output", required=True)
+    ca.add_argument("--threshold", type=float, default=0.8)
+    ca.set_defaults(fn=cmd_corpus_dedupagainst)
+    cdx = co.add_parser("decontam")
+    _corpus_io(cdx)
+    cdx.add_argument("--benchmark", required=True)
+    cdx.add_argument("--output", required=True)
+    cdx.add_argument("--ngram", type=int, default=8)
+    cdx.add_argument("--vec-col", default=None,
+                     help="embedding column present on BOTH sides enables "
+                          "the semantic pass")
+    cdx.add_argument("--cos-threshold", type=float, default=0.95)
+    cdx.set_defaults(fn=cmd_corpus_decontam)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
