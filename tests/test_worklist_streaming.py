@@ -300,3 +300,56 @@ def test_stream_corpus_ingest_gates_then_dedups(spark, tmp_path):
     ids = {r.doc_id for r in spark.read.schema(schema).parquet(str(out)).collect()}
     assert 2 not in ids            # gate fired
     assert len(ids & {1, 3}) == 1  # dedup kept one copy of the prose
+
+
+def test_stream_ingest_against_index(spark, tmp_path):
+    """stream_ingest_against admits only docs not already in the static
+    index, per micro-batch, across a checkpointed availableNow restart."""
+    import json
+
+    from tilekiln_spark.streaming.incremental import stream_ingest_against
+
+    idx_rows = [(i, f"indexed doc {i} stable tokens a{i} b{i} c{i} d{i}")
+                for i in range(12)]
+    index = spark.createDataFrame(idx_rows, "doc_id long, text string")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = tmp_path / "admitted"
+    out.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def sink(df, batch_id):
+        if df.count():
+            df.write.mode("append").parquet(str(out / "data"))
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream_ingest_against(stream, index, sink, checkpoint=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_batch("b1.jsonl", [
+        (100, idx_rows[0][1]),                       # already indexed -> dropped
+        (101, "fresh novel doc qq ww ee rr tt yy"),   # admitted
+    ])
+    run()
+    got = {r.doc_id for r in spark.read.parquet(str(out / "data")).collect()}
+    assert got == {101}
+
+    write_batch("b2.jsonl", [
+        (102, idx_rows[5][1]),                       # indexed -> dropped
+        (103, "another novel doc uu ii oo pp aa ss"),  # admitted
+    ])
+    run()
+    got2 = {r.doc_id for r in spark.read.parquet(str(out / "data")).collect()}
+    assert got2 == {101, 103}

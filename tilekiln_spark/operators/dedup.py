@@ -281,6 +281,7 @@ def minhash_pairs_between(
     k: int = 3,
     seed: int = 42,
     max_bucket: int | None = 100_000,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs BETWEEN two corpora: (new_key, index_key,
     jaccard) for every new doc whose exact k-shingle Jaccard against an
@@ -299,12 +300,22 @@ def minhash_pairs_between(
     text rejoins by key for the exact-Jaccard verify, touching only
     candidate ids.  Over-cap buckets drop per side (same rationale as
     minhash_lsh_pairs; an over-cap INDEX bucket usually means the index
-    itself was not deduplicated)."""
+    itself was not deduplicated).
+
+    ``index_banded``: a pre-computed (k, band, bh) frame for the index
+    side (from ``_banded_minhash`` with the SAME num_perm/bands/k/seed) —
+    pass a persisted one when checking many increments against one index
+    so the corpus-sized banding pass runs once, not per increment (the
+    streaming face relies on this)."""
     nb = _banded_minhash(
         new_docs, text_col, key_col, num_perm, bands, k, seed, max_bucket
     )
-    ib = _banded_minhash(
-        index_docs, text_col, key_col, num_perm, bands, k, seed, max_bucket
+    ib = (
+        index_banded
+        if index_banded is not None
+        else _banded_minhash(
+            index_docs, text_col, key_col, num_perm, bands, k, seed, max_bucket
+        )
     )
     cands = (
         nb.alias("n")
@@ -338,6 +349,7 @@ def dedup_against(
     k: int = 3,
     seed: int = 42,
     max_bucket: int | None = 100_000,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Keep/drop verdict for every NEW doc against the existing corpus:
     one row per new doc — (key, is_dup, dup_of, n_dups).  ``dup_of`` is
@@ -347,7 +359,7 @@ def dedup_against(
     "is it already in the corpus", so increments stay order-independent."""
     pairs = minhash_pairs_between(
         new_docs, index_docs, text_col, key_col, threshold,
-        num_perm, bands, k, seed, max_bucket,
+        num_perm, bands, k, seed, max_bucket, index_banded,
     )
     agg = pairs.groupBy("key_new").agg(
         F.min("key_index").alias("dup_of"),

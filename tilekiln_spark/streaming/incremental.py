@@ -193,3 +193,63 @@ def stream_corpus_ingest(
             .drop("keep", "drop_reason")
         )
     return stream_dedup(out, text_col, ts_col, watermark)
+
+
+def stream_ingest_against(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    sink,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.8,
+    quality: dict | None = None,
+    checkpoint: str | None = None,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+):
+    """Streaming incremental ingestion against an EXISTING corpus index:
+    per micro-batch, (optional) Gopher gates -> dedup_against(batch, index)
+    -> only the admitted (not-already-indexed) docs reach ``sink(df,
+    batch_id)``.  Returns the DataStreamWriter; start with
+    ``.trigger(availableNow=True).start()`` for catch-up runs.
+
+    Spark shape: dedup_against needs per-batch joins/aggregations that
+    append-mode streaming cannot express declaratively, so the batch
+    operator runs inside foreachBatch (the house pattern —
+    stream_expiries does the same for tile regeneration).  The INDEX
+    side's corpus-sized banding pass runs ONCE here and persists; every
+    micro-batch pays only its own (tiny) banding plus the bucket join
+    against the cached band table.  New-vs-new dups across batches are
+    NOT suppressed (dedup_against's contract — increments stay
+    order-independent); compose upstream with stream_dedup for
+    first-seen exact suppression.
+    """
+    from tilekiln_spark.operators.dedup import _banded_minhash, dedup_against
+
+    index_banded = _banded_minhash(
+        index_docs, text_col, key_col, num_perm, bands, k, 42, 100_000
+    ).persist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if quality is not None:
+            from tilekiln_spark.operators.quality import doc_quality_flags
+
+            out = (
+                doc_quality_flags(out, text_col=text_col, **quality)
+                .filter("keep")
+                .drop("keep", "drop_reason")
+            )
+        verdicts = dedup_against(
+            out, index_docs, text_col, key_col, threshold,
+            num_perm, bands, k, index_banded=index_banded,
+        )
+        clean = verdicts.filter(F.col("is_dup") == 0).select(key_col)
+        admitted = out.join(F.broadcast(clean), key_col, "left_semi")
+        sink(admitted, batch_id)
+
+    writer = docs.writeStream.foreachBatch(process)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
