@@ -1345,6 +1345,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pipeline"] = corpus_pipeline
 
+    def corpus_pipeline_probe(spark, sf_dir):
+        """The composed pipeline with the LEARNED quality filter spliced in
+        (probe={...}): after decontamination, the logistic linear probe —
+        trained on the embeddings table, y = (label == 0), the exact
+        contract the standalone linear_probe oracle verifies — scores every
+        doc by id and those below min_prob drop; docs without an embedding
+        row (the planted dup ids) pass.  The DuckDB twin splices the SAME
+        probe-training CTE chain (_probe_cte_sql) into the pipeline chain,
+        so the full gates->dedup->clusters->decontam->PROBE->sample->pack
+        funnel is one cross-engine-checked composition."""
+        from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+        c = _neardup_corpus(spark, sf_dir)
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select("text")
+        emb = _embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            (F.col("label") == 0).cast("double").alias("y"),
+        )
+        return training_corpus_pipeline(
+            c, bench,
+            probe={"embeddings": emb, "label_col": "y", "min_prob": 0.282},
+        )
+
+    q["corpus_pipeline_probe"] = corpus_pipeline_probe
+
     def lang_id_q(spark, sf_dir):
         """Marker-based language ID vs the stored lang tag."""
         d = _docs(spark, sf_dir)
@@ -2331,14 +2357,12 @@ def _lm3_scores_sql(src: str, k_vocab: int, m_bigrams: int, p_trigrams: int) -> 
     )"""
 
 
-def _probe_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
-    """DuckDB replay of operators/classifier.train_linear_probe +
-    linear_probe_scores on y = (label == 0): every GD iteration as chained
-    CTEs under the module's rounding contract (round-9 on z and sigmoid,
-    round-6 on gradients and weights — both engines see identical decimal
-    literals at every weight handoff, so the fit itself is verified)."""
+def _probe_cte_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
+    """The probe-training CTE chain ``e AS (...) ... w{iters} AS (...)``
+    (no WITH prefix) — shared by the standalone linear_probe oracle and
+    the corpus_pipeline_probe splice."""
     parts = [
-        f"""WITH e AS MATERIALIZED (
+        f"""e AS MATERIALIZED (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
                    CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
             FROM embeddings
@@ -2365,8 +2389,16 @@ def _probe_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
             FROM w{i - 1} w JOIN g{i} g USING (j)
         )"""
         )
-    parts.append(
-        f""", zf AS (
+    return "".join(parts)
+
+
+def _probe_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
+    """DuckDB replay of operators/classifier.train_linear_probe +
+    linear_probe_scores on y = (label == 0): every GD iteration as chained
+    CTEs under the module's rounding contract (round-9 on z and sigmoid,
+    round-6 on gradients and weights — both engines see identical decimal
+    literals at every weight handoff, so the fit itself is verified)."""
+    return f"""WITH {_probe_cte_sql(iters, lr, dim)}, zf AS (
             SELECT e.vec_id, e.y,
                    round(sum(w.w * CASE WHEN w.j < {dim}
                              THEN e.x[w.j + 1] ELSE 1.0 END), 9) AS z9
@@ -2376,8 +2408,6 @@ def _probe_sql(iters: int = 3, lr: float = 1.0, dim: int = 64) -> str:
                round(1.0 / (1.0 + exp(-z9)), 6) AS prob,
                CAST(round(1.0 / (1.0 + exp(-z9)), 6) >= 0.5 AS INT) AS pred
         FROM zf"""
-    )
-    return "".join(parts)
 
 
 def _pagerank_sql(j: int = 8, damping: float = 0.85) -> str:
@@ -3192,6 +3222,38 @@ def oracle_sql() -> dict[str, str]:
         1,
     )
     o["corpus_pipeline_ccnet"] = _occ
+
+    # ... and the probe variant splices the learned-filter stage between
+    # clean and sampled, reusing the one _probe_cte_sql training chain the
+    # linear_probe oracle uses (same data, same weights)
+    _probe_block = (
+        "), " + _probe_cte_sql(3, 1.0, 64) + """, zfp AS (
+            SELECT e.vec_id, round(sum(w.w * CASE WHEN w.j < 64
+                       THEN e.x[w.j + 1] ELSE 1.0 END), 9) AS z9
+            FROM e, w3 w GROUP BY e.vec_id
+        ), probs AS (
+            SELECT vec_id AS doc_id,
+                   round(1.0 / (1.0 + exp(-z9)), 6) AS prob
+            FROM zfp
+        ), probed AS (
+            SELECT c.doc_id, c.text FROM clean c
+            LEFT JOIN probs p USING (doc_id)
+            WHERE COALESCE(p.prob >= 0.282, TRUE)
+        ), sampled AS ("""
+    )
+    _opp = o["corpus_pipeline"].replace("), sampled AS (", _probe_block, 1)
+    _opp = _opp.replace(
+        "SELECT doc_id, length(text) AS len FROM clean",
+        "SELECT doc_id, length(text) AS len FROM probed",
+        1,
+    )
+    _opp = _opp.replace(
+        "CAST(count(*) AS BIGINT) AS n_sampled,",
+        "(SELECT count(*) FROM probed) AS n_probe,\n"
+        "               CAST(count(*) AS BIGINT) AS n_sampled,",
+        1,
+    )
+    o["corpus_pipeline_probe"] = _opp
 
     o["shard_rollup"] = """
         WITH s AS (

@@ -518,6 +518,42 @@ def test_training_corpus_pipeline_funnel(spark):
     assert row.total_chars > 0
 
 
+def test_training_corpus_pipeline_probe_stage(spark):
+    """probe={...}: docs scored below min_prob drop after decontamination;
+    docs with NO embedding row pass (no evidence)."""
+    import numpy as np
+
+    from tilekiln_spark.operators.classifier import (
+        linear_probe_scores,
+        train_linear_probe,
+    )
+    from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+    base = [(i, f"document number {i} body w{i} x{i} y{i} z{i} filler words here")
+            for i in range(30)]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    bench = spark.createDataFrame([("nothing matches this",)], "text string")
+    rng = np.random.default_rng(9)
+    # embeddings for docs 0..19 only; docs 20..29 have no row -> must pass
+    emb_rows = [(i, rng.standard_normal(8).tolist(), float(i % 2)) for i in range(20)]
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<double>, y double")
+
+    w = train_linear_probe(emb, vec_col="embedding", label_col="y", dim=8, iters=3)
+    probs = {
+        r.doc_id: r.prob
+        for r in linear_probe_scores(emb, w, key_col="doc_id").collect()
+    }
+    cut = sorted(probs.values())[10]  # drops the 10 lowest-scoring embedded docs
+    row = training_corpus_pipeline(
+        docs, bench, fraction=1.0,
+        probe={"embeddings": emb, "label_col": "y", "min_prob": cut, "dim": 8},
+    ).collect()[0]
+    n_over = sum(1 for p in probs.values() if p >= cut)
+    assert row.n_clean == 30
+    assert row.n_probe == 10 + n_over  # 10 un-embedded pass + survivors
+    assert row.n_sampled == row.n_probe
+
+
 def _semdedup_reference(rows, threshold, n_centroids):
     """Pure-python SemDeDup twin: minkey centroids -> argmax-cosine assign ->
     within-cluster pairs >= threshold -> union-find -> min-id labels."""

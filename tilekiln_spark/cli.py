@@ -359,10 +359,18 @@ def cmd_corpus_pipeline(args) -> int:
     quality = None
     if args.quality:
         quality = {"min_words": args.min_words, "max_words": args.max_words}
+    probe = None
+    if args.embeddings:
+        probe = {
+            "embeddings": spark.read.parquet(args.embeddings),
+            "label_col": args.probe_label_col,
+            "min_prob": args.probe_min_prob,
+            "dim": args.probe_dim,
+        }
     row = training_corpus_pipeline(
         docs, bench, text_col=args.text_col, key_col=args.key_col,
         fraction=args.fraction, seq_len=args.seq_len, quality=quality,
-        lm_min_logprob=args.lm_min_logprob,
+        lm_min_logprob=args.lm_min_logprob, probe=probe,
     ).collect()[0]
     print(json.dumps(row.asDict()))
     return 0
@@ -772,6 +780,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--lm-min-logprob", type=float, default=None,
                     help="CCNet-style filter: drop docs whose avg "
                          "stupid-backoff logprob is below this")
+    cp.add_argument("--embeddings", default=None,
+                    help="labelled embedding parquet (keyed by --key-col); "
+                         "enables the learned-probe filter stage")
+    cp.add_argument("--probe-label-col", default="label")
+    cp.add_argument("--probe-min-prob", type=float, default=0.5)
+    cp.add_argument("--probe-dim", type=int, default=64)
     cp.set_defaults(fn=cmd_corpus_pipeline)
     cu = co.add_parser("urlfilter")
     cu.add_argument("--input", required=True)

@@ -45,9 +45,11 @@ def training_corpus_pipeline(
     lm_min_logprob: float | None = None,
     lm_k_vocab: int = 50_000,
     lm_m_bigrams: int = 200_000,
+    probe: dict | None = None,
 ) -> DataFrame:
     """One stats row: n_raw, [n_admitted,] [n_lm,] n_exact, n_canonical,
-    n_clean, n_sampled, total_chars, n_sequences (see module docstring).
+    n_clean, [n_probe,] n_sampled, total_chars, n_sequences (see module
+    docstring).
 
     ``quality`` (optional): kwargs for operators/quality.doc_quality_flags;
     when given, the Gopher admission gates run FIRST (the production order:
@@ -60,7 +62,19 @@ def training_corpus_pipeline(
     (most surprising = most gibberish-like under the corpus's own
     statistics) are dropped; docs too short to have bigrams pass (no
     evidence).  Fixed threshold, not a percentile, so the stage is
-    deterministic and cross-engine checkable.  Adds n_lm to the row."""
+    deterministic and cross-engine checkable.  Adds n_lm to the row.
+
+    ``probe`` (optional): the FineWeb-Edu-style learned quality filter —
+    {"embeddings": frame keyed by key_col with a vec_col column,
+    "label_col": 0/1 training label on that frame, "min_prob": cut,
+    "weights": pre-trained list (skips training), "vec_col"/"iters"/"lr"/
+    "dim" passthroughs}.  The logistic probe (operators/classifier.py)
+    trains on the embeddings frame, scores map-only, and docs whose prob
+    falls below min_prob drop AFTER decontamination (the production
+    order: the learned filter runs last so its training never sees
+    benchmark leakage downstream stages would remove).  Docs with no
+    embedding row pass (no evidence — same contract as the LM stage).
+    Adds n_probe to the row."""
     # Each stage frame feeds BOTH its funnel count and the next stage —
     # persist them (memory-and-disk) so the count action doesn't recompute
     # the upstream chain: at corpus scale, re-running exact dedup three
@@ -117,6 +131,41 @@ def training_corpus_pipeline(
     n_clean = clean.count()
     canonical.unpersist()
 
+    n_probe: int | None = None
+    if probe is not None:
+        from tilekiln_spark.operators.classifier import (
+            linear_probe_scores,
+            train_linear_probe,
+        )
+
+        emb = probe["embeddings"]
+        vec_col = probe.get("vec_col", "embedding")
+        w = probe.get("weights")
+        if w is None:
+            train = emb.select(
+                vec_col,
+                F.col(probe["label_col"]).cast("double").alias("__y"),
+            )
+            w = train_linear_probe(
+                train, vec_col=vec_col, label_col="__y",
+                dim=probe.get("dim", 64), iters=probe.get("iters", 3),
+                lr=probe.get("lr", 1.0),
+            )
+        scores = linear_probe_scores(emb, w, vec_col=vec_col, key_col=key_col)
+        kept = (
+            clean.join(scores.select(key_col, "prob"), key_col, "left")
+            .filter(
+                F.coalesce(
+                    F.col("prob") >= F.lit(float(probe["min_prob"])), F.lit(True)
+                )
+            )
+            .drop("prob")
+            .persist()
+        )
+        n_probe = kept.count()
+        clean.unpersist()
+        clean = kept
+
     sampled = sample_fraction(clean, fraction, key_col, seed).withColumn(
         "__chars", F.length(F.col(text_col)).cast("long")
     )
@@ -133,6 +182,9 @@ def training_corpus_pipeline(
             agg["n_sampled"], agg["total_chars"], agg["n_sequences"]]
     schema = ("n_raw long, n_exact long, n_canonical long, n_clean long, "
               "n_sampled long, total_chars long, n_sequences int")
+    if n_probe is not None:
+        vals.insert(4, n_probe)
+        schema = schema.replace("n_sampled long,", "n_probe long, n_sampled long,")
     if n_lm is not None:
         vals.insert(1, n_lm)
         schema = schema.replace("n_raw long,", "n_raw long, n_lm long,")
