@@ -1139,6 +1139,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode"] = bpe_encode_q
 
+    def pack_token_ids(spark, sf_dir):
+        """text -> token ids -> MATERIALIZED training sequences, the full
+        tokenizer-apply + packing output path: BPE merges train on the
+        corpus, every doc encodes to vocabulary ids (functions/bpe.
+        bpe_token_ids — data-derived sorted vocab, literal-map lookup,
+        map-only), and pack_token_sequences emits each 256-id sequence
+        assembled from per-doc slices (one seq-keyed exchange of doc-span
+        rows; never a per-token explode).  The DuckDB twin replays merge
+        training, the encode chain, the vocab ranking, the prefix sum and
+        the chunking — the complete artifact is cross-engine checked."""
+        from tilekiln_spark.functions.bpe import bpe_token_ids, bpe_train
+        from tilekiln_spark.operators.packing import pack_token_sequences
+
+        d = _docs(spark, sf_dir)
+        merges = bpe_train(d, num_merges=8, v_words=500)
+        ids = bpe_token_ids(d, merges)
+        return pack_token_sequences(ids, 256)
+
+    q["pack_token_ids"] = pack_token_ids
+
     def quality_filter_funnel(spark, sf_dir):
         """Gopher-style doc admission gates (operators/quality.py — Rae et
         al. 2021 Appendix A): one map-only pass annotates keep +
@@ -3427,6 +3447,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN trim(s) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(s), ' ')) END AS INT) AS n_bpe
         FROM d8
+    """
+    )
+
+    o["pack_token_ids"] = (
+        _bpe_prefix
+        + "".join(_enc_chain)
+        + r"""
+        , syms AS (
+            SELECT doc_id,
+                   CASE WHEN trim(s) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(s), ' ') END AS a
+            FROM d8
+        ), vocab AS (
+            SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS tid
+            FROM (SELECT DISTINCT unnest(a) AS sym FROM syms)
+        ), starts AS (
+            SELECT doc_id,
+                   sum(len(a)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - len(a) AS st
+            FROM syms
+        ), ex AS (
+            SELECT doc_id, unnest(a) AS sym, generate_subscripts(a, 1) AS pos
+            FROM syms
+        ), tok AS (
+            SELECT v.tid, st.st + e.pos - 1 AS gpos
+            FROM ex e JOIN vocab v USING (sym)
+            JOIN starts st ON st.doc_id = e.doc_id
+        )
+        SELECT CAST(floor(CAST(gpos AS DOUBLE) / 256) AS INT) AS seq,
+               list(tid ORDER BY gpos) AS token_ids,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1
     """
     )
 

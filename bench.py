@@ -119,6 +119,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "decontaminate_overlap",
         "decontaminate_semantic",
         "pack_sequences",
+        "pack_token_ids",
         "vocab_topk",
         "lm_score",
         "lm3_score",

@@ -46,3 +46,59 @@ def test_pack_no_global_single_reducer(spark):
         .queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_pack_token_sequences_materializes_exact_chunks(spark):
+    """The materialized sequences equal a pure-python concat-and-chunk of
+    the same id arrays in key order — boundary-spanning docs included."""
+    from tilekiln_spark.operators.packing import pack_token_sequences
+
+    rows = [
+        (0, list(range(0, 7))),        # 7 ids
+        (1, []),                        # zero-length: no membership
+        (2, list(range(100, 109))),     # 9 ids -> spans the 8-boundary
+        (3, list(range(200, 220))),     # 20 ids -> spans three sequences
+        (4, [999]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    got = {
+        r.seq: (r.token_ids, r.n_tokens)
+        for r in pack_token_sequences(df, 8).collect()
+    }
+    stream = [t for _k, ids in sorted(rows) for t in ids]
+    want = {
+        s: stream[s * 8:(s + 1) * 8]
+        for s in range((len(stream) + 7) // 8)
+    }
+    assert set(got) == set(want)
+    for s, ids in want.items():
+        assert got[s] == (ids, len(ids)), s
+    full = [s for s in want if len(want[s]) == 8]
+    assert all(got[s][1] == 8 for s in full)
+
+
+def test_bpe_token_ids_roundtrip(spark):
+    """bpe_token_ids: ids decode back to the encoded symbol stream via the
+    sorted vocabulary; empty docs give empty arrays."""
+    from tilekiln_spark.functions.bpe import (
+        bpe_encode_expr,
+        bpe_token_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(0, "low lower lowest low low"), (1, "new newer newest"), (2, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=4, v_words=100)
+    ids = {r.doc_id: (r.token_ids, r.n_tokens) for r in bpe_token_ids(df, merges).collect()}
+    assert ids[2] == ([], 0)
+    # independent decode: vocab from the same encoded frame
+    s = F.trim(bpe_encode_expr(F.col("text"), merges))
+    syms_col = F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, " "))
+    enc = df.select("doc_id", syms_col.alias("syms"))
+    vocab = bpe_vocab(enc)
+    enc_rows = {r.doc_id: r.syms for r in enc.collect()}
+    for k in (0, 1):
+        assert [vocab[i] for i in ids[k][0]] == enc_rows[k]
+        assert ids[k][1] == len(enc_rows[k]) > 0

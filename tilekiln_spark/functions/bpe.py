@@ -135,3 +135,49 @@ def bpe_token_count(text: Column, merges: list[tuple[int, str, str, int]]) -> Co
     """Number of BPE symbols a document encodes to under the merge list."""
     s = F.trim(bpe_encode_expr(text, merges))
     return F.when(s == "", 0).otherwise(F.size(F.split(s, " ")))
+
+
+def bpe_vocab(enc: DataFrame, syms_col: str = "syms") -> list[str]:
+    """Deterministic symbol vocabulary of an encoded corpus: the distinct
+    symbols sorted lexicographically; id = list index.  Bounded by
+    |distinct characters| + num_merges + 1 (the END marker), so the
+    collect is a dimension-table read, not a data collect."""
+    rows = (
+        enc.select(F.explode(syms_col).alias("sym")).distinct().orderBy("sym").collect()
+    )
+    return [r["sym"] for r in rows]
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, token_ids array<int>, n_tokens): the document as ids under the
+    learned merge list — the tokenizer's APPLY side, feeding
+    pack_token_sequences.
+
+    Encoding is the bpe_encode_expr replace chain (codegen, map-only); the
+    vocabulary is data-derived (bpe_vocab — distinct symbols, sorted) and
+    rides back as a literal map, so the lookup is one JVM map probe per
+    symbol: no join, no shuffle anywhere in this pass.  Empty/whitespace
+    docs encode to an empty id array (n_tokens 0)."""
+    s = F.trim(bpe_encode_expr(F.col(text_col), merges))
+    syms = F.when(s == "", F.array().cast("array<string>")).otherwise(
+        F.split(s, " ")
+    )
+    enc = df.select(F.col(key_col), syms.alias("syms")).persist()
+    vocab = bpe_vocab(enc)
+    pairs: list[Column] = []
+    for i, sym in enumerate(vocab):
+        pairs += [F.lit(sym), F.lit(i)]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    out = enc.select(
+        F.col(key_col),
+        F.transform(F.col("syms"), lambda x: F.element_at(m, x).cast("int")).alias(
+            "token_ids"
+        ),
+        F.size("syms").cast("long").alias("n_tokens"),
+    )
+    return out

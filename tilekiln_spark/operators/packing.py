@@ -76,3 +76,71 @@ def pack_sequences(
             (start % seq_len).cast("int").alias("seq_offset"),
         )
     )
+
+
+def pack_token_sequences(
+    ids_df: DataFrame,
+    seq_len: int,
+    ids_col: str = "token_ids",
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences: (seq, token_ids,
+    n_tokens) — the actual GPT-style concat-and-chunk output artifact,
+    every sequence exactly ``seq_len`` ids except the final remainder.
+
+    Spark shape: pack_sequences' two-pass prefix sum assigns each doc its
+    global start; the doc's id array is then SLICED per spanned sequence
+    map-side (explode over the doc's first_seq..last_seq span — a handful
+    of rows per doc, NOT per token), and ONE exchange keyed on the
+    sequence id assembles each sequence from its slices
+    (array_sort(collect_list(struct(start, slice))) -> flatten: the
+    struct's leading start field makes the sort deterministic).  Rows
+    shuffled = doc-sequence spans (~n_docs + n_seqs); the only per-token
+    cost is the slice copy, which IS the output.  Never a per-token
+    explode, never a single-reducer global window.
+
+    Zero-length docs contribute no slices and no sequence membership."""
+    assigned = pack_sequences(
+        ids_df.select(
+            key_col, F.size(ids_col).cast("long").alias("__nt")
+        ),
+        seq_len,
+        "__nt",
+        key_col,
+        num_partitions,
+    )
+    docs = ids_df.select(key_col, ids_col).join(assigned, key_col)
+    start = F.col("first_seq").cast("long") * seq_len + F.col("seq_offset")
+    spans = docs.filter(F.col("__nt") > 0).select(
+        key_col,
+        ids_col,
+        start.alias("__start"),
+        F.col("__nt"),
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq"),
+    )
+    lo = F.greatest(F.col("seq").cast("long") * seq_len, F.col("__start"))
+    hi = F.least(
+        (F.col("seq").cast("long") + 1) * seq_len,
+        F.col("__start") + F.col("__nt"),
+    )
+    slices = spans.select(
+        "seq",
+        F.struct(
+            F.col("__start").alias("o"),
+            F.slice(
+                F.col(ids_col),
+                (lo - F.col("__start") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ).alias("part"),
+        ).alias("__piece"),
+    )
+    return (
+        slices.groupBy("seq")
+        .agg(F.array_sort(F.collect_list("__piece")).alias("__pieces"))
+        .select(
+            "seq",
+            F.flatten(F.transform("__pieces", lambda p: p["part"])).alias(ids_col),
+        )
+        .withColumn("n_tokens", F.size(ids_col).cast("long"))
+    )
