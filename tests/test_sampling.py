@@ -140,3 +140,47 @@ def test_temperature_mix_upsamples_rare_sources(spark):
             if h < thr:
                 exp += 1
         assert got.get(s, 0) == exp, s
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """write_training_shards: partitionBy(shard) directories, every row in
+    its md5-assigned shard, rows within each file in sort_key order, and a
+    manifest matching the directory contents."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.sampling import sample_hash, write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    manifest = {r.shard: r.n_docs for r in
+                write_training_shards(docs, path, n_shards=4).collect()}
+    assert sum(manifest.values()) == 200 and set(manifest) <= set(range(4))
+    dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in manifest}
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # membership: recompute the draw independently
+    want = {
+        r.doc_id: (r.shard, r.h)
+        for r in docs.select(
+            "doc_id",
+            (F.conv(F.substring(sample_hash(F.col("doc_id"), 42), 1, 8), 16, 10)
+             .cast("long") % 4).cast("int").alias("shard"),
+            sample_hash(F.col("doc_id"), 42).alias("h"),
+        ).collect()
+    }
+    got = back.select("doc_id", "shard", "sort_key").collect()
+    for r in got:
+        assert (r.shard, r.sort_key) == want[r.doc_id]
+    # within-file physical order = sort_key order
+    import glob
+
+    for s in manifest:
+        for f in glob.glob(f"{path}/shard={s}/*.parquet"):
+            keys = [r.sort_key for r in spark.read.parquet(f).collect()]
+            assert keys == sorted(keys)

@@ -648,6 +648,21 @@ def cmd_corpus_decontam(args) -> int:
     return 0
 
 
+def cmd_corpus_shard(args) -> int:
+    """corpus shard: write the sharded training corpus (partitionBy(shard),
+    md5-shuffle order inside each shard); manifest on stdout."""
+    from tilekiln_spark.operators.sampling import write_training_shards
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    manifest = write_training_shards(
+        docs, args.output, args.n_shards, args.key_col, args.seed
+    )
+    for r in manifest.collect():
+        print(f"shard={r.shard}\t{r.n_docs}")
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -884,6 +899,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "the semantic pass")
     cdx.add_argument("--cos-threshold", type=float, default=0.95)
     cdx.set_defaults(fn=cmd_corpus_decontam)
+    csh = co.add_parser("shard")
+    csh.add_argument("--input", required=True)
+    csh.add_argument("--output", required=True)
+    csh.add_argument("--n-shards", type=int, required=True)
+    csh.add_argument("--key-col", default="doc_id")
+    csh.add_argument("--seed", type=int, default=42)
+    csh.set_defaults(fn=cmd_corpus_shard)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")

@@ -229,3 +229,46 @@ def temperature_mix(
         s: round(min(1.0, target * (w[s] / wsum) / counts[s]), 9) for s in counts
     }
     return sample_by(df, strata_col, fracs, default=0.0, key_col=key_col, seed=seed)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the sharded training corpus: shard_assign + the writer
+    its contract describes — ONE exchange keyed by shard
+    (``repartition("shard")``), rows inside each shard physically ordered
+    by the md5 draw (``sortWithinPartitions("sort_key")`` — a sort within
+    the already-shuffled partition, no extra exchange), written
+    ``partitionBy("shard")`` so a loader reads shard k as one pruned
+    directory scan in global-shuffle order.
+
+    Returns the per-shard manifest (shard, n_docs) — the frame a loader
+    checks against the directory listing.  Determinism: membership AND
+    within-shard order derive only from md5(seed:key), so a re-run (any
+    cluster size, any engine) reproduces byte-identical shard contents."""
+    assigned = shard_assign(df, n_shards, key_col, seed)
+    (
+        # sort by (shard, sort_key): the partitionBy writer re-sorts any
+        # task whose rows are not already ordered by the partition columns
+        # — and that re-sort is by shard ALONE, which would discard the
+        # sort_key order.  Leading with shard makes the incoming order a
+        # refinement the writer keeps.
+        assigned.repartition("shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard")
+    )
+    return manifest
