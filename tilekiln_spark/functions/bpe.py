@@ -167,7 +167,11 @@ def bpe_token_ids(
     syms = F.when(s == "", F.array().cast("array<string>")).otherwise(
         F.split(s, " ")
     )
-    enc = df.select(F.col(key_col), syms.alias("syms")).persist()
+    enc = df.select(F.col(key_col), syms.alias("syms"))
+    # the vocab collect runs the encode chain once and the output pass runs
+    # it again — deliberately NOT persisted: the chain is fused map-only
+    # codegen (re-running it costs one scan; pinning the symbol arrays in
+    # executor memory at corpus scale costs far more)
     vocab = bpe_vocab(enc)
     pairs: list[Column] = []
     for i, sym in enumerate(vocab):
