@@ -551,10 +551,14 @@ def cmd_corpus_semdedup(args) -> int:
         key_col=args.key_col,
         centroids=args.centroids,
     )
-    ids = labels.filter(F.col("is_canonical") == 1).select(args.key_col)
-    kept = df.join(F.broadcast(ids), args.key_col, "left_semi")
+    # broadcast the DROPPED side: canonical docs are the large majority, so
+    # a broadcast semi-join on kept ids would blow the broadcast limit at
+    # exactly the corpus sizes this operator exists for
+    dropped = labels.filter(F.col("is_canonical") == 0).select(args.key_col)
+    kept = df.join(F.broadcast(dropped), args.key_col, "left_anti")
     kept.write.mode("overwrite").parquet(args.output)
-    n_in, n_out = df.count(), kept.count()
+    n_in = df.count()
+    n_out = spark.read.parquet(args.output).count()  # count the artifact, not the DAG
     print(f"kept {n_out}/{n_in} docs ({n_in - n_out} semantic dups) -> {args.output}")
     return 0
 
@@ -583,8 +587,10 @@ def cmd_corpus_probe(args) -> int:
         threshold=args.cut,
     )
     scores.write.mode("overwrite").parquet(args.output)
-    n_keep = scores.filter(F.col("pred") == 1).count()
-    print(f"scored {scores.count()} docs, {n_keep} over the {args.cut} cut -> {args.output}")
+    written = spark.read.parquet(args.output)
+    n_all = written.count()
+    n_keep = written.filter(F.col("pred") == 1).count()
+    print(f"scored {n_all} docs, {n_keep} over the {args.cut} cut -> {args.output}")
     return 0
 
 
@@ -601,10 +607,13 @@ def cmd_corpus_dedupagainst(args) -> int:
     verdicts = dedup_against(
         new, index, args.text_col, args.key_col, threshold=args.threshold
     )
-    clean = verdicts.filter(F.col("is_dup") == 0).select(args.key_col)
-    admitted = new.join(F.broadcast(clean), args.key_col, "left_semi")
+    # broadcast the DUP side (the minority in a healthy increment) and
+    # anti-join — the admitted majority never fits a broadcast
+    dups = verdicts.filter(F.col("is_dup") == 1).select(args.key_col)
+    admitted = new.join(F.broadcast(dups), args.key_col, "left_anti")
     admitted.write.mode("overwrite").parquet(args.output)
-    n_new, n_ok = new.count(), admitted.count()
+    n_new = new.count()
+    n_ok = spark.read.parquet(args.output).count()
     print(f"admitted {n_ok}/{n_new} new docs ({n_new - n_ok} already indexed) -> {args.output}")
     return 0
 
@@ -622,25 +631,44 @@ def cmd_corpus_decontam(args) -> int:
     spark = _spark()
     corpus = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark)
-    kept = decontaminate(
+    lexkept = decontaminate(
         corpus, bench, n=args.ngram, text_col=args.text_col,
         key_col=args.key_col,
-    )
-    n_lex = kept.count()
-    if args.vec_col and args.vec_col in corpus.columns and args.vec_col in bench.columns:
+    ).persist()
+    n_lex = lexkept.count()
+    kept = lexkept
+    if args.vec_col:
+        missing = [
+            side
+            for side, frame in (("--input", corpus), ("--benchmark", bench))
+            if args.vec_col not in frame.columns
+        ]
+        if missing:
+            # an explicitly requested semantic pass must not silently
+            # downgrade to lexical-only
+            print(
+                f"error: --vec-col {args.vec_col} missing from "
+                f"{' and '.join(missing)}", file=sys.stderr,
+            )
+            return 2
         hits = semantic_contamination(
-            kept,
+            lexkept,
+            # deterministic bench ids (md5 of the embedding bytes): the
+            # hit_of audit pointer must survive re-runs at any layout
             bench.select(
-                F.monotonically_increasing_id().alias("bench_id"), args.vec_col
+                F.md5(F.to_json(F.col(args.vec_col))).alias("bench_id"),
+                args.vec_col,
             ),
             threshold=args.cos_threshold,
             vec_col=args.vec_col,
             key_col=args.key_col,
         )
-        clean = hits.filter(F.col("n_hits") == 0).select(args.key_col)
-        kept = kept.join(F.broadcast(clean), args.key_col, "left_semi")
+        flagged = hits.filter(F.col("n_hits") > 0).select(args.key_col)
+        kept = lexkept.join(F.broadcast(flagged), args.key_col, "left_anti")
     kept.write.mode("overwrite").parquet(args.output)
-    n_in, n_out = corpus.count(), kept.count()
+    lexkept.unpersist()
+    n_in = corpus.count()
+    n_out = spark.read.parquet(args.output).count()
     print(
         f"kept {n_out}/{n_in} docs ({n_in - n_lex} lexical, "
         f"{n_lex - n_out} semantic leaks) -> {args.output}"

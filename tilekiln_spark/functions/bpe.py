@@ -164,7 +164,10 @@ def bpe_token_ids(
     symbol: no join, no shuffle anywhere in this pass.  Empty/whitespace
     docs encode to an empty id array (n_tokens 0)."""
     s = F.trim(bpe_encode_expr(F.col(text_col), merges))
-    syms = F.when(s == "", F.array().cast("array<string>")).otherwise(
+    # null text -> null s: fold into the empty-doc branch so token_ids is
+    # [] / n_tokens 0 (never a null array, whose F.size is -1 and would
+    # poison pack_token_sequences' prefix sum)
+    syms = F.when(s.isNull() | (s == ""), F.array().cast("array<string>")).otherwise(
         F.split(s, " ")
     )
     enc = df.select(F.col(key_col), syms.alias("syms"))

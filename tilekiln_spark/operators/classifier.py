@@ -77,10 +77,22 @@ def train_linear_probe(
     (data, dim, iters, lr) and independent of partition layout: every
     cross-engine-visible intermediate is rounded per the module contract.
     """
-    n_row = df.select(F.count("*").alias("n")).collect()[0]
-    n = float(n_row["n"])
+    first = df.select(
+        F.count("*").alias("n"),
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+    ).collect()[0]
+    n = float(first["n"])
     if n == 0:
         raise ValueError("train_linear_probe: empty training frame")
+    if first["lo"] != dim or first["hi"] != dim:
+        # fail BEFORE burning iterations: a dim mismatch otherwise surfaces
+        # as null gradients (data narrower than dim pads the fold with
+        # nulls) or missing positions (wider), both opaque
+        raise ValueError(
+            f"train_linear_probe: dim={dim} but {vec_col} widths span "
+            f"[{first['lo']}, {first['hi']}]"
+        )
     w = [0.0] * (dim + 1)
     for _ in range(iters):
         s = _sigmoid9(_fold_dot(F.col(vec_col).cast("array<double>"), w))

@@ -101,10 +101,12 @@ def pack_token_sequences(
     explode, never a single-reducer global window.
 
     Zero-length docs contribute no slices and no sequence membership."""
+    # null id arrays count as zero-length (F.size of null is -1 under the
+    # legacy default — a negative length would silently corrupt the global
+    # prefix sum and overfill sequences)
+    nt = F.when(F.col(ids_col).isNull(), F.lit(0)).otherwise(F.size(ids_col))
     assigned = pack_sequences(
-        ids_df.select(
-            key_col, F.size(ids_col).cast("long").alias("__nt")
-        ),
+        ids_df.select(key_col, nt.cast("long").alias("__nt")),
         seq_len,
         "__nt",
         key_col,

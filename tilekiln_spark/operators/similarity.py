@@ -597,12 +597,21 @@ def semantic_dedup(
     assigned frame before calling this, or write the cluster column as
     the table's partition key (it doubles as the IVF bucket) so every
     branch is a pruned scan.
+
+    ``key_col`` must be castable to long (the connected-components label
+    domain — same contract as dedup_clusters); string doc ids need a
+    numeric surrogate first.
     """
     from tilekiln_spark.operators.dedup import connected_components
 
     C = _centroid_matrix(corpus, n_centroids, vec_col, key_col, centroids, seed)
     a1 = make_ivf_assign_udf(C, 1)
-    base = corpus.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    # keys cast to long up front (the connected-components contract, same
+    # guard as dedup_clusters): a non-castable key would otherwise null out
+    # inside the CC edge list and silently dedup nothing
+    base = corpus.select(
+        F.col(key_col).cast("long").alias("k"), F.col(vec_col).alias("v")
+    )
     assigned = base.withColumn("cluster", a1(F.col("v"))[0])
     slim = assigned.select("cluster", "k")
     sizes = slim.groupBy("cluster").agg(F.count("*").alias("__csz"))

@@ -220,7 +220,11 @@ def stream_ingest_against(
     stream_expiries does the same for tile regeneration).  The INDEX
     side's corpus-sized banding pass runs ONCE here and persists; every
     micro-batch pays only its own (tiny) banding plus the bucket join
-    against the cached band table.  New-vs-new dups across batches are
+    against the cached band table.  That cache is deliberately tied to
+    the SparkSession, not the stream (a restarted query reuses it):
+    REUSE one writer across drains rather than re-calling this per drain,
+    and `spark.catalog.clearCache()` (or restarting the session) releases
+    it when the ingest loop is done.  New-vs-new dups across batches are
     NOT suppressed (dedup_against's contract — increments stay
     order-independent); compose upstream with stream_dedup for
     first-seen exact suppression.
