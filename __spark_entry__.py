@@ -808,6 +808,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["duplicate_spans"] = duplicate_spans_q
 
+    def duplicate_span_removal(spark, sf_dir):
+        """The REMOVAL transform over the same window profile
+        (dedup.remove_duplicate_spans): every token covered by a
+        cross-document duplicated 8-gram is dropped and the doc is
+        re-joined with single spaces — the Lee et al. exact-substring
+        rewrite the dup_ratio signal feeds.  Flagged window starts come
+        back as one int array per doc; the rewrite is a pure indexed-
+        lambda array expression in BOTH engines."""
+        from tilekiln_spark.operators.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(
+            _docs(spark, sf_dir).select("doc_id", "text"), window=8, min_docs=2
+        )
+
+    q["duplicate_span_removal"] = duplicate_span_removal
+
     def dsir_weights_q(spark, sf_dir):
         """DSIR importance weights (selection.dsir_weights, Xie et al. 2023):
         hashed unigram+bigram bag models, target = the corpus's English
@@ -2790,6 +2806,45 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(CAST(c.nd AS DOUBLE) / c.nw, 6)
                     ELSE 0.0 END AS dup_ratio
         FROM base b LEFT JOIN counted c USING (doc_id)
+    """
+
+    o["duplicate_span_removal"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   END AS toks
+            FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 8
+                        THEN list_transform(range(1, len(toks) - 6),
+                             i -> md5(array_to_string(toks[i:i+7], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END AS ws
+            FROM base
+        ), win_rows AS (
+            SELECT doc_id, unnest(ws) AS h, generate_subscripts(ws, 1) AS pos
+            FROM wins
+        ), dup AS (
+            SELECT h FROM win_rows GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ), flagged AS (
+            SELECT r.doc_id, list(r.pos) AS ps
+            FROM win_rows r JOIN dup USING (h) GROUP BY r.doc_id
+        ), joined AS (
+            SELECT b.doc_id, b.toks,
+                   coalesce(f.ps, CAST([] AS BIGINT[])) AS ps
+            FROM base b LEFT JOIN flagged f USING (doc_id)
+        ), kept AS (
+            SELECT doc_id, toks,
+                   list_filter(toks, (x, j) ->
+                       len(list_filter(ps, p -> p <= j AND j < p + 8)) = 0) AS kt
+            FROM joined
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kt, ' '), '') AS text_clean,
+               CAST(len(kt) AS BIGINT) AS n_kept,
+               CAST(len(toks) - len(kt) AS BIGINT) AS n_removed
+        FROM kept
     """
 
     o["c4_line_filter"] = r"""

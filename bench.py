@@ -104,6 +104,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "cluster_split",
         "paragraph_dedup",
         "duplicate_spans",
+        "duplicate_span_removal",
         "url_normalize",
         "host_profile",
         "sample_mix",

@@ -695,3 +695,31 @@ def test_semantic_contamination(spark):
     assert got[0][2] == pytest.approx(1.0, abs=1e-6)
     for k in range(3, 30):
         assert got[k] == (0, None, 0.0)
+
+
+def test_remove_duplicate_spans(spark):
+    """Tokens covered by cross-document duplicated windows are removed;
+    unique docs pass unchanged; all-boilerplate docs rewrite to ''."""
+    from tilekiln_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "subscribe to our newsletter for daily updates and offers"  # 9 toks
+    rows = [
+        (0, f"unique lead-in text one {boiler}"),
+        (1, f"{boiler} unique trailing text two"),
+        (2, "wholly original document with no shared windows at all present"),
+        (3, boiler),
+        (4, boiler),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_kept, r.n_removed)
+           for r in remove_duplicate_spans(df, window=8, min_docs=2).collect()}
+    # the 9-token boilerplate yields 2 duplicated 8-windows covering all 9
+    # tokens in docs 0,1,3,4
+    assert got[3] == ("", 0, 9)
+    assert got[4] == ("", 0, 9)
+    assert got[0] == ("unique lead-in text one", 4, 9)
+    assert got[1] == ("unique trailing text two", 4, 9)
+    assert got[2][1] == 10 and got[2][2] == 0
+    assert got[2][0] == rows[2][1]
+    assert got[5] == ("tiny doc", 2, 0)  # < window tokens: unchanged

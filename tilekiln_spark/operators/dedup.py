@@ -742,3 +742,64 @@ def paragraph_dedup(
             F.sum((~F.col("__keep")).cast("int")).alias("n_dropped"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL transform next to duplicate_spans' signal: rewrite each
+    document dropping every token covered by a cross-document duplicated
+    ``window``-gram (Lee et al. 2022's exact substring dedup, the
+    shuffle-friendly windowed form — their suffix array is single-machine).
+
+    Returns one row per doc: (key, text_clean, n_kept, n_removed) —
+    ``text_clean`` is the surviving tokens re-joined with single spaces
+    (whitespace is normalized by construction, like paragraph_dedup's
+    separator contract).  A doc that is entirely boilerplate rewrites to
+    the empty string; docs shorter than ``window`` tokens pass unchanged.
+
+    Scale shape: windows enter the repeat rollup as md5 + key only (the
+    duplicate_spans exchange); flagged WINDOW START positions come back as
+    one int array per affected doc (bounded by the doc's own window
+    count), and the rewrite is a pure array expression — the exists() scan
+    over flagged starts runs per token inside codegen, no UDF.  Docs with
+    no flagged window skip the rewrite entirely via the left join's null
+    arm."""
+    toks = _tokens(F.col(text_col))
+    wins = shingles(F.col(text_col), k=window)
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        F.col(text_col).alias("__text"),
+        F.transform(wins, lambda s: F.md5(F.encode(s, "utf-8"))).alias("__ws"),
+    )
+    rows = base.select("__key", F.posexplode_outer("__ws").alias("__pos", "__h"))
+    dup = (
+        rows.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct("__key").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    flagged = (
+        rows.join(dup, "__h", "left_semi")
+        .groupBy("__key")
+        .agg(F.collect_list("__pos").alias("__ps"))
+    )
+    w = F.lit(int(window))
+    t = _tokens(F.col("__text"))
+    ps = F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        t,
+        lambda _x, j: ~F.exists(ps, lambda p: (p <= j) & (j < p + w)),
+    )
+    out = base.select("__key", "__text").join(flagged, "__key", "left")
+    return out.select(
+        F.col("__key").alias(key_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+    )
