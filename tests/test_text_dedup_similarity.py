@@ -723,3 +723,36 @@ def test_remove_duplicate_spans(spark):
     assert got[2][1] == 10 and got[2][2] == 0
     assert got[2][0] == rows[2][1]
     assert got[5] == ("tiny doc", 2, 0)  # < window tokens: unchanged
+
+
+def test_semantic_dedup_centroid_far_exemplar(spark):
+    """canonical='centroid_far' keeps the paper's exemplar — the in-ball
+    member FARTHEST from its coarse centroid — instead of the min key."""
+    import math
+
+    from tilekiln_spark.operators.similarity import semantic_dedup
+
+    def rot(theta):  # unit vector in the e1/e2 plane
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, rot(0.0)),    # min-key vector = the single coarse centroid
+        (1, rot(0.20)),   # cos to centroid 0.980
+        (2, rot(0.35)),   # cos to centroid 0.939  <- farthest in the ball
+        (10, [0.0, 0.0, 1.0, 0.0]),  # orthogonal singleton
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        r.vec_id: (r.sem_cluster_id, r.is_canonical)
+        for r in semantic_dedup(corpus, threshold=0.9, n_centroids=1).collect()
+    }
+    far = {
+        r.vec_id: (r.sem_cluster_id, r.is_canonical)
+        for r in semantic_dedup(
+            corpus, threshold=0.9, n_centroids=1, canonical="centroid_far"
+        ).collect()
+    }
+    # 0,1,2 chain into one ball (pairwise cos >= cos(0.35) > 0.9); 10 alone
+    assert base[0] == (0, 1) and base[1] == (0, 0) and base[2] == (0, 0)
+    assert far[0] == (0, 0) and far[1] == (0, 0) and far[2] == (0, 1)
+    assert base[10] == (10, 1) and far[10] == (10, 1)

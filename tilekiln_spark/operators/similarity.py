@@ -547,6 +547,7 @@ def semantic_dedup(
     centroids: str | np.ndarray = "minkey",
     seed: int = 42,
     max_cluster: int = 100_000,
+    canonical: str = "minkey",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540): remove
@@ -586,10 +587,17 @@ def semantic_dedup(
     simply stay un-deduped (raise K instead of the cap at production
     scale; the cap is job-death insurance, not a tuning knob).
 
-    Deviation from the paper, documented: the paper keeps the exemplar
-    with the LOWEST cosine to its centroid (favouring in-ball outliers);
-    this implementation keeps the MIN-KEY member — deterministic,
-    engine-portable, and consistent with dedup_clusters' canonical rule.
+    ``canonical`` picks the survivor rule:
+    - "minkey" (default): the MIN-KEY member — deterministic,
+      engine-portable, consistent with dedup_clusters' canonical rule,
+      and what the driver oracle replays.
+    - "centroid_far": the paper's rule — keep the member with the LOWEST
+      cosine to its coarse centroid (favouring in-ball outliers;
+      Abbas et al. §3), ties broken by min key.  The cosine is a pure
+      expression against the centroid literal array (no extra UDF); the
+      selection is one row_number window over the semantic cluster.
+    Either way ``sem_cluster_id`` stays the min reachable key — only the
+    is_canonical flag moves.
 
     Production note: Catalyst rebuilds the corpus lineage for the two
     vector-rejoin branches and the final label join, re-running the scan
@@ -634,14 +642,37 @@ def semantic_dedup(
         .select("key_a", "key_b")
     )
     labels = connected_components(pairs)
-    out = assigned.select(F.col("k").alias("node"), "cluster").join(
+    out = assigned.select(F.col("k").alias("node"), "v", "cluster").join(
         labels, "node", "left"
     )
-    return out.select(
+    labeled = out.select(
         F.col("node").alias(key_col),
+        "v",
         "cluster",
         F.coalesce("component", "node").alias("sem_cluster_id"),
-        (F.col("node") == F.coalesce("component", "node"))
-        .cast("int")
-        .alias("is_canonical"),
+    )
+    if canonical == "centroid_far":
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cmat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in Cn]
+        )
+        ccos = cosine_sim(F.col("v"), F.element_at(cmat, F.col("cluster") + 1))
+        w = Window.partitionBy("sem_cluster_id").orderBy(
+            F.col("__ccos").asc(), F.col(key_col).asc()
+        )
+        return (
+            labeled.withColumn("__ccos", ccos)
+            .withColumn("__rn", F.row_number().over(w))
+            .select(
+                key_col,
+                "cluster",
+                "sem_cluster_id",
+                (F.col("__rn") == 1).cast("int").alias("is_canonical"),
+            )
+        )
+    return labeled.select(
+        key_col,
+        "cluster",
+        "sem_cluster_id",
+        (F.col(key_col) == F.col("sem_cluster_id")).cast("int").alias("is_canonical"),
     )
