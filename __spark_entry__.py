@@ -2103,6 +2103,28 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["semantic_dedup"] = semantic_dedup_q
 
+    def semantic_dedup_outlier(spark, sf_dir):
+        """SemDeDup with the PAPER's exemplar rule (canonical=
+        'centroid_far'): the kept member of each epsilon-ball is the one
+        with the lowest round-6 cosine to its coarse centroid (ties by
+        key) — the DuckDB twin ranks the identical rounded cosine from
+        the same centroid rows."""
+        from tilekiln_spark.operators.similarity import semantic_dedup
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        dup = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda v: v * 1.001).alias("embedding"),
+        )
+        corpus = emb.unionByName(dup)
+        return semantic_dedup(
+            corpus, threshold=0.9, n_centroids=8, canonical="centroid_far"
+        )
+
+    q["semantic_dedup_outlier"] = semantic_dedup_outlier
+
     def linear_probe(spark, sf_dir):
         """FineWeb-Edu-style learned quality filter: logistic linear probe
         over the embedding column (operators/classifier.py), trained
@@ -4033,6 +4055,61 @@ def oracle_sql() -> dict[str, str]:
                a.dup_of,
                COALESCE(a.n_dups, 0) AS n_dups
         FROM newdocs nd LEFT JOIN agg a ON a.key_new = nd.doc_id
+    """
+
+    o["semantic_dedup_outlier"] = """
+        WITH RECURSIVE base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), corpus AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x * CAST(1.001 AS DOUBLE))
+            FROM base WHERE vec_id < 20
+        ), cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+        ), cassign AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid ASC
+                   ) AS rn
+            FROM corpus, cents
+        ), assigned AS (
+            SELECT vec_id, cid FROM cassign WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS ka, b.vec_id AS kb
+            FROM assigned a
+            JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN corpus ca ON ca.vec_id = a.vec_id
+            JOIN corpus cb ON cb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ca.v, cb.v) >= 0.9
+        ), edges AS (
+            SELECT ka AS a, kb AS b FROM pairs
+            UNION ALL SELECT kb, ka FROM pairs
+        ), walk(src, dst) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.dst
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component FROM walk GROUP BY src
+        ), lab AS (
+            SELECT c.vec_id, asg.cid,
+                   COALESCE(p.component, c.vec_id) AS sem_cluster_id,
+                   round(list_cosine_similarity(c.v, ct.cv), 6) AS ccos
+            FROM corpus c
+            JOIN assigned asg ON asg.vec_id = c.vec_id
+            JOIN cents ct ON ct.cid = asg.cid
+            LEFT JOIN comp p ON p.node = c.vec_id
+        )
+        SELECT vec_id,
+               CAST(cid AS INT) AS cluster,
+               sem_cluster_id,
+               CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY sem_cluster_id
+                        ORDER BY ccos ASC, vec_id ASC) = 1
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        FROM lab
     """
 
     o["decontaminate_semantic"] = """

@@ -656,7 +656,12 @@ def semantic_dedup(
         cmat = F.array(
             *[F.array(*[F.lit(float(x)) for x in row]) for row in Cn]
         )
-        ccos = cosine_sim(F.col("v"), F.element_at(cmat, F.col("cluster") + 1))
+        # round-6 before ranking: scaled near-copies have centroid cosines
+        # equal in exact math but an ulp apart per engine — the rounded
+        # tie falls to the key, keeping the exemplar engine-portable
+        ccos = F.round(
+            cosine_sim(F.col("v"), F.element_at(cmat, F.col("cluster") + 1)), 6
+        )
         w = Window.partitionBy("sem_cluster_id").orderBy(
             F.col("__ccos").asc(), F.col(key_col).asc()
         )
