@@ -29,7 +29,18 @@ over parquet without writing any Python:
     python -m tilekiln_spark.cli corpus sample --input in.parquet \
         --output out.parquet --fraction 0.3
     python -m tilekiln_spark.cli corpus pipeline --input in.parquet \
-        --benchmark bench.parquet   # funnel stats as one JSON line
+        --benchmark bench.parquet [--embeddings emb.parquet]  # funnel JSON
+    python -m tilekiln_spark.cli corpus semdedup --input emb.parquet \
+        --output kept.parquet        # SemDeDup over the embedding column
+    python -m tilekiln_spark.cli corpus probe --train labeled.parquet \
+        --input emb.parquet --output scores.parquet   # learned quality filter
+    python -m tilekiln_spark.cli corpus dedupagainst --input new.parquet \
+        --index corpus.parquet --output admitted.parquet  # incremental ingest
+    python -m tilekiln_spark.cli corpus decontam --input in.parquet \
+        --benchmark bench.parquet --output clean.parquet [--vec-col embedding]
+    python -m tilekiln_spark.cli corpus shard --input in.parquet \
+        --output shards/ --n-shards 64   # partitioned, shuffle-ordered output
+    (also: urlfilter hostprofile qualityfilter lmscore bpetrain search pagerank)
 """
 
 from __future__ import annotations
@@ -550,6 +561,7 @@ def cmd_corpus_semdedup(args) -> int:
         vec_col=args.vec_col,
         key_col=args.key_col,
         centroids=args.centroids,
+        canonical=args.canonical,
     )
     # broadcast the DROPPED side: canonical docs are the large majority, so
     # a broadcast semi-join on kept ids would blow the broadcast limit at
@@ -896,6 +908,10 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("--threshold", type=float, default=0.9)
     cm.add_argument("--n-centroids", type=int, default=8)
     cm.add_argument("--centroids", choices=["minkey", "kmeans"], default="kmeans")
+    cm.add_argument("--canonical", choices=["minkey", "centroid_far"],
+                    default="centroid_far",
+                    help="exemplar rule: paper's farthest-from-centroid "
+                         "(default) or the min key")
     cm.set_defaults(fn=cmd_corpus_semdedup)
     cb = co.add_parser("probe")
     cb.add_argument("--train", required=True,
