@@ -1776,6 +1776,36 @@ WHERE way && {{bbox}} AND nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
 
     q["template_compile_subquery"] = template_compile_subquery
 
+    def template_compile_cte(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): non-recursive WITH CTEs
+        — each CTE inlines as a named derived table (a later CTE references
+        an earlier one), so the whole derived-table machinery applies;
+        DuckDB runs the identical WITH query."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+WITH filtered AS (
+    SELECT way, lang, source, n_chars FROM docs_geo
+    WHERE lang <> 'zz' AND way && {{bbox}}
+), tagged AS (
+    SELECT way, concat(lang, ':', source) AS tag, n_chars * 2 AS nc2
+    FROM filtered f
+)
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       upper(tag) AS label, nc2
+FROM tagged
+WHERE way && {{bbox}} AND nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.groupBy("zoom", "label").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc2").cast("long").alias("sum_nc2"),
+        )
+
+    q["template_compile_cte"] = template_compile_cte
+
     def template_compile_join(spark, sf_dir):
         """Round-4 compiler tier #3 (config/sqlt.py): INNER/LEFT JOIN with
         table aliases and qualified refs — the geometry table joins a small
@@ -4177,6 +4207,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(nc2) AS BIGINT) AS sum_nc2
         FROM sub
+        WHERE nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
+        GROUP BY 1, 2
+    """
+
+    o["template_compile_cte"] = f"""
+        {_GEO_CTE},
+        filtered AS (
+            SELECT lang, source, n_chars FROM geo WHERE lang <> 'zz'
+        ),
+        tagged AS (
+            SELECT lang || ':' || source AS tag, n_chars * 2 AS nc2
+            FROM filtered
+        )
+        SELECT 3 AS zoom, upper(tag) AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nc2) AS BIGINT) AS sum_nc2
+        FROM tagged
         WHERE nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
         GROUP BY 1, 2
     """

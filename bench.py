@@ -97,6 +97,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_topn",
         "template_compile_groupby",
         "template_compile_semijoin",
+        "template_compile_cte",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",

@@ -1027,3 +1027,62 @@ def test_in_subquery_named_rejections(spark):
         CompiledTemplate(
             sel + "osm_id = 1 or place in (select place from allowed)").build(
             {"tables": tables}, [3], 4096, 0)
+
+
+def test_cte_compiles_as_named_derived_table(spark):
+    """WITH CTEs: a CTE is a named derived table — usable in FROM and JOIN,
+    and a later CTE may reference an earlier one."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (0, 1.0, 1.0, "aa", 10),
+        (1, 2.0, 2.0, "bb", 50),
+        (2, 3.0, 3.0, "zz", 400),
+        (3, 4.0, 4.0, "cc", 900),
+    ]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double, lang string, n int")
+    body = """
+WITH filtered AS (
+    SELECT way, lang, n FROM t WHERE lang <> 'zz' AND way && {{bbox}}
+), doubled AS (
+    SELECT way, concat(lang, '-x') AS tag, n * 2 AS n2 FROM filtered f
+)
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       upper(tag) AS label, n2
+FROM doubled
+WHERE way && {{bbox}} AND n2 BETWEEN 20 AND 1000
+"""
+    out = {
+        r.label: r.n2
+        for r in CompiledTemplate(body)
+        .build({"tables": {"t": {"frame": tbl, "kind": "point"}}}, [3], 4096, 0)
+        .collect()
+    }
+    assert out == {"AA-X": 20, "BB-X": 100}
+
+
+def test_cte_errors(spark):
+    """WITH RECURSIVE, duplicate CTE names, and CTEs inside IN-subqueries
+    are named errors."""
+    import pytest as _pytest
+
+    from tilekiln_spark.config.errors import DefinitionError
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl_src = {"tables": {"t": {"frame": None, "kind": "point"}}}
+    with _pytest.raises(DefinitionError, match="RECURSIVE"):
+        CompiledTemplate(
+            "WITH RECURSIVE r AS (SELECT way FROM t) "
+            "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM r"
+        ).build(tbl_src, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="duplicate CTE"):
+        CompiledTemplate(
+            "WITH a AS (SELECT way FROM t), a AS (SELECT way FROM t) "
+            "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM a"
+        ).build(tbl_src, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="references\\s+a CTE"):
+        CompiledTemplate(
+            "WITH a AS (SELECT way, lang FROM t) "
+            "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM t "
+            "WHERE lang IN (SELECT lang FROM a)"
+        ).build(tbl_src, [3], 4096, 0)

@@ -126,6 +126,7 @@ _KEYWORDS = {
     "join", "on", "inner", "left", "outer",
     "order", "by", "asc", "desc", "limit",
     "group", "having", "distinct", "exists",
+    "with", "recursive",
 }
 
 
@@ -282,6 +283,44 @@ class Select:
     distinct: bool = False
 
 
+def _inline_cte_sources(s: Select, ctes: dict) -> None:
+    """Replace table-name sources matching a CTE with a deep copy of its
+    body (CTE = named derived table).  IN-subqueries address registered
+    tables only — referencing a CTE there is a named error rather than a
+    silent miss."""
+    import copy
+
+    def walk_where(ast) -> None:
+        if isinstance(ast, InSubquery) and ast.table in ctes:
+            raise DefinitionError(
+                f"template SQL: IN (SELECT ... FROM {ast.table}) references "
+                f"a CTE — IN-subqueries support registered tables only; "
+                f"JOIN the CTE instead"
+            )
+        for f in getattr(ast, "__dataclass_fields__", {}):
+            v = getattr(ast, f)
+            if isinstance(v, list):
+                for x in v:
+                    walk_where(x)
+            else:
+                walk_where(v)
+
+    if isinstance(s.table, Select):
+        _inline_cte_sources(s.table, ctes)
+    elif isinstance(s.table, str) and s.table in ctes:
+        s.table = copy.deepcopy(ctes[s.table])
+    for jc in s.joins:
+        src = jc.right.source
+        if isinstance(src, Select):
+            _inline_cte_sources(src, ctes)
+        elif isinstance(src, str) and src in ctes:
+            jc.right.source = copy.deepcopy(ctes[src])
+    if s.where is not None:
+        walk_where(s.where)
+    if s.having is not None:
+        walk_where(s.having)
+
+
 @dataclass
 class Query:
     """A full template query: UNION ALL branches plus the trailing
@@ -325,6 +364,45 @@ class _Parser:
         return v
 
     # ---- grammar ----
+    def query(self) -> Query:
+        """[WITH name AS (SELECT ...) [, ...]] <union>.
+
+        Non-recursive CTEs only: each CTE is a NAMED derived table, so the
+        compiler INLINES it (deep copy per reference site) and the whole
+        existing derived-table machinery — `way` passthrough checks, alias
+        maps, broadcast hints — applies unchanged.  A CTE may reference
+        CTEs defined before it (the SQL scoping rule); WITH RECURSIVE is a
+        named error (the reference's per-tile SQL could use it, but a
+        recursive plan needs the iterative-operator tier, not a template).
+        Multi-reference CTEs duplicate the subtree — each copy is a scan
+        branch Catalyst may reuse via exchange reuse; per-tile volumes make
+        this immaterial."""
+        ctes: dict[str, Select] = {}
+        if self.accept("kw", "with"):
+            if self.accept("kw", "recursive"):
+                raise DefinitionError(
+                    "template SQL: WITH RECURSIVE is not supported"
+                )
+            while True:
+                name = self.expect("id")
+                self.expect("kw", "as")
+                self.expect("op", "(")
+                body = self.select()
+                self.expect("op", ")")
+                if name in ctes:
+                    raise DefinitionError(
+                        f"template SQL: duplicate CTE name {name!r}"
+                    )
+                _inline_cte_sources(body, ctes)  # earlier CTEs visible here
+                ctes[name] = body
+                if not self.accept("op", ","):
+                    break
+        q = self.union()
+        if ctes:
+            for s in q.selects:
+                _inline_cte_sources(s, ctes)
+        return q
+
     def union(self) -> Query:
         outs = [self.select()]
         while self.accept("kw", "union"):
@@ -1294,7 +1372,7 @@ def _resolve_from(sources: dict, s: Select):
     frame, kind = _resolve_table(sources, s.table)
     base_alias = s.alias or (s.table if isinstance(s.table, str) else None)
     if not s.joins and not base_alias:
-        return frame, kind, s.where, s.items
+        return frame, kind, s.where, s.items, s.having
     aliases: dict[str, dict[str, str]] = {}
     if base_alias:
         amap = {c: c for c in frame.columns}
@@ -1378,7 +1456,7 @@ class CompiledTemplate:
         groups = []
         for text, zs in by_text.items():
             if text not in self._parse_cache:
-                query = _Parser(_tokenize(text)).union()
+                query = _Parser(_tokenize(text)).query()
 
                 def fold(s: Select) -> None:
                     if s.where is not None:
