@@ -409,3 +409,33 @@ def test_corpus_cli_semantic_and_probe(spark, tmp_path, capsys):
     kept = {r.doc_id for r in spark.read.parquet(cln).collect()}
     assert 0 not in kept and 5 not in kept and len(kept) == 8
     assert "1 lexical, 1 semantic" in capsys.readouterr().out
+
+
+def test_corpus_cli_tokenize_and_pack(spark, tmp_path, capsys):
+    """corpus bpetrain -> tokenize [--seq-len]: ids parquet + packed
+    sequences, end-to-end from the command line."""
+    from tilekiln_spark.cli import main
+
+    rows = [(i, "low lower lowest low low new newer newest " * 3) for i in range(12)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    merges = str(tmp_path / "merges.parquet")
+    assert main(["corpus", "bpetrain", "--input", src, "--output", merges,
+                 "--merges", "4"]) == 0
+    capsys.readouterr()
+
+    ids = str(tmp_path / "ids.parquet")
+    seqs = str(tmp_path / "seqs.parquet")
+    # --seq-len without --sequences is a usage error
+    assert main(["corpus", "tokenize", "--input", src, "--merges", merges,
+                 "--output", ids, "--seq-len", "64"]) == 2
+    assert main(["corpus", "tokenize", "--input", src, "--merges", merges,
+                 "--output", ids, "--seq-len", "64", "--sequences", seqs]) == 0
+    out = capsys.readouterr().out
+    assert "tokenized 12 docs" in out and "packed" in out
+    idf = spark.read.parquet(ids)
+    assert idf.count() == 12
+    total = sum(r.n_tokens for r in idf.collect())
+    sq = spark.read.parquet(seqs).collect()
+    assert sum(r.n_tokens for r in sq) == total
+    assert all(r.n_tokens == 64 for r in sq if r.seq < len(sq) - 1)

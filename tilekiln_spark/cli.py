@@ -40,7 +40,8 @@ over parquet without writing any Python:
         --benchmark bench.parquet --output clean.parquet [--vec-col embedding]
     python -m tilekiln_spark.cli corpus shard --input in.parquet \
         --output shards/ --n-shards 64   # partitioned, shuffle-ordered output
-    (also: urlfilter hostprofile qualityfilter lmscore bpetrain search pagerank)
+    (also: urlfilter hostprofile qualityfilter lmscore bpetrain tokenize
+     search pagerank)
 """
 
 from __future__ import annotations
@@ -504,6 +505,37 @@ def cmd_corpus_bpetrain(args) -> int:
     return 0
 
 
+def cmd_corpus_tokenize(args) -> int:
+    """corpus tokenize: encode every doc to BPE token ids under a trained
+    merge table (corpus bpetrain's parquet); with --seq-len, also write the
+    materialized packed training sequences."""
+    from tilekiln_spark.functions.bpe import bpe_token_ids
+
+    if args.seq_len and not args.sequences:
+        print("error: --seq-len requires --sequences OUT_PATH", file=sys.stderr)
+        return 2
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    mrows = spark.read.parquet(args.merges).orderBy("step").collect()
+    merges = [(r.step, r.x, r.y, r.n) for r in mrows]
+    ids = bpe_token_ids(docs, merges, args.text_col, args.key_col)
+    ids.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n_docs = written.count()
+    from pyspark.sql import functions as F
+
+    n_tok = written.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    print(f"tokenized {n_docs} docs, {n_tok} tokens -> {args.output}")
+    if args.seq_len:
+        from tilekiln_spark.operators.packing import pack_token_sequences
+
+        seqs = pack_token_sequences(written, args.seq_len, key_col=args.key_col)
+        seqs.write.mode("overwrite").parquet(args.sequences)
+        n_seq = spark.read.parquet(args.sequences).count()
+        print(f"packed {n_seq} sequences of {args.seq_len} -> {args.sequences}")
+    return 0
+
+
 def cmd_corpus_search(args) -> int:
     """corpus search: BM25 top-k over parquet; one tab-separated line per
     hit (doc id, score)."""
@@ -950,6 +982,17 @@ def build_parser() -> argparse.ArgumentParser:
     csh.add_argument("--key-col", default="doc_id")
     csh.add_argument("--seed", type=int, default=42)
     csh.set_defaults(fn=cmd_corpus_shard)
+    ctk = co.add_parser("tokenize")
+    _corpus_io(ctk)
+    ctk.add_argument("--merges", required=True,
+                     help="merge-table parquet from `corpus bpetrain`")
+    ctk.add_argument("--output", required=True,
+                     help="per-doc (key, token_ids, n_tokens) parquet")
+    ctk.add_argument("--seq-len", type=int, default=None,
+                     help="also materialize packed training sequences")
+    ctk.add_argument("--sequences", default=None,
+                     help="output path for the packed sequences")
+    ctk.set_defaults(fn=cmd_corpus_tokenize)
     pm = sub.add_parser("prometheus")
     pm.add_argument("--store", required=True)
     pm.add_argument("--bind-host", default="0.0.0.0")
