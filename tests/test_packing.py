@@ -102,3 +102,14 @@ def test_bpe_token_ids_roundtrip(spark):
     for k in (0, 1):
         assert [vocab[i] for i in ids[k][0]] == enc_rows[k]
         assert ids[k][1] == len(enc_rows[k]) > 0
+
+
+def test_pack_token_sequences_null_ids_are_zero_length(spark):
+    """A null token_ids array must behave as length 0 (F.size of null is -1
+    under the legacy default — it would otherwise corrupt the prefix sum)."""
+    from tilekiln_spark.operators.packing import pack_token_sequences
+
+    rows = [(0, list(range(5))), (1, None), (2, list(range(100, 105)))]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    got = {r.seq: r.token_ids for r in pack_token_sequences(df, 8).collect()}
+    assert got == {0: list(range(5)) + [100, 101, 102], 1: [103, 104]}
