@@ -1806,6 +1806,42 @@ WHERE way && {{bbox}} AND nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
 
     q["template_compile_cte"] = template_compile_cte
 
+    def template_compile_exists(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): correlated [NOT] EXISTS
+        — each polarity compiles to a semi/anti join on the correlation
+        equality (inner-alias-qualified refs are inner, unqualified refs
+        outer); DuckDB runs the identical EXISTS over a VALUES dim."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        dim = spark.createDataFrame(
+            [("en", 1), ("de", 0), ("fr", 1), ("es", 1)],
+            "dlang string, keep int",
+        )
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, 'kept' AS part, lang
+FROM docs_geo
+WHERE way && {{bbox}} AND EXISTS (
+    SELECT 1 FROM langdim d WHERE d.dlang = lang AND d.keep = 1
+)
+UNION ALL
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, 'dropped' AS part, lang
+FROM docs_geo
+WHERE way && {{bbox}} AND NOT EXISTS (
+    SELECT 1 FROM langdim d WHERE d.dlang = lang AND d.keep = 1
+)
+"""
+        sources = {"tables": {
+            "docs_geo": {"frame": d, "kind": "point"},
+            "langdim": {"frame": dim, "kind": "point", "broadcast": True},
+        }}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.groupBy("zoom", "part", "lang").agg(
+            F.count("*").alias("n_docs")
+        )
+
+    q["template_compile_exists"] = template_compile_exists
+
     def template_compile_join(spark, sf_dir):
         """Round-4 compiler tier #3 (config/sqlt.py): INNER/LEFT JOIN with
         table aliases and qualified refs — the geometry table joins a small
@@ -4226,6 +4262,25 @@ def oracle_sql() -> dict[str, str]:
         FROM tagged
         WHERE nc2 BETWEEN 100 AND 1200 AND tag NOT LIKE 'xx%'
         GROUP BY 1, 2
+    """
+
+    o["template_compile_exists"] = f"""
+        {_GEO_CTE},
+        langdim(dlang, keep) AS (VALUES
+            ('en', 1), ('de', 0), ('fr', 1), ('es', 1))
+        SELECT 3 AS zoom, 'kept' AS part, lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo
+        WHERE EXISTS (SELECT 1 FROM langdim d
+                      WHERE d.dlang = geo.lang AND d.keep = 1)
+        GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 3 AS zoom, 'dropped' AS part, lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo
+        WHERE NOT EXISTS (SELECT 1 FROM langdim d
+                          WHERE d.dlang = geo.lang AND d.keep = 1)
+        GROUP BY 1, 2, 3
     """
 
     o["template_compile_join"] = f"""

@@ -98,6 +98,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_groupby",
         "template_compile_semijoin",
         "template_compile_cte",
+        "template_compile_exists",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",

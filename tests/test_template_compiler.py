@@ -1086,3 +1086,68 @@ def test_cte_errors(spark):
             "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM t "
             "WHERE lang IN (SELECT lang FROM a)"
         ).build(tbl_src, [3], 4096, 0)
+
+
+def test_exists_semi_and_anti(spark):
+    """[NOT] EXISTS compiles to a correlated semi/anti join: inner-alias-
+    qualified refs are inner, unqualified refs are outer columns."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (0, 1.0, 1.0, "en", 10),
+        (1, 2.0, 2.0, "de", 50),
+        (2, 3.0, 3.0, "fr", 400),
+        (3, 4.0, 4.0, "xx", 900),
+    ]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double, lang string, n int")
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 0), ("fr", 1)], "dlang string, keep int"
+    )
+    srcs = {"tables": {
+        "t": {"frame": tbl, "kind": "point"},
+        "dim": {"frame": dim, "kind": "point", "broadcast": True},
+    }}
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang, n
+FROM t
+WHERE way && {{bbox}} AND EXISTS (
+    SELECT 1 FROM dim d WHERE d.dlang = lang AND d.keep = 1
+)
+"""
+    got = {r.lang for r in CompiledTemplate(body).build(srcs, [3], 4096, 0).collect()}
+    assert got == {"en", "fr"}
+    body_anti = body.replace("AND EXISTS", "AND NOT EXISTS")
+    got2 = {r.lang for r in CompiledTemplate(body_anti).build(srcs, [3], 4096, 0).collect()}
+    assert got2 == {"de", "xx"}  # de: dim row exists but keep=0 filters it out
+
+
+def test_exists_errors(spark):
+    import pytest as _pytest
+
+    from tilekiln_spark.config.errors import DefinitionError
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(0, 1.0, 1.0, "en")], "pid long, mx double, my double, lang string"
+    )
+    dim = spark.createDataFrame([("en", 1)], "dlang string, keep int")
+    srcs = {"tables": {"t": {"frame": tbl, "kind": "point"},
+                       "dim": {"frame": dim, "kind": "point"}}}
+    base = "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM t WHERE "
+    with _pytest.raises(DefinitionError, match="no correlation equality"):
+        CompiledTemplate(
+            base + "EXISTS (SELECT 1 FROM dim d WHERE d.keep > 0)"
+        ).build(srcs, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="top-level AND"):
+        CompiledTemplate(
+            base + "(EXISTS (SELECT 1 FROM dim d WHERE d.dlang = lang) OR lang = 'en')"
+        ).build(srcs, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="SELECT 1 or SELECT"):
+        CompiledTemplate(
+            base + "EXISTS (SELECT dlang FROM dim d WHERE d.dlang = lang)"
+        ).build(srcs, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="references\\s+a CTE"):
+        CompiledTemplate(
+            "WITH c AS (SELECT way, lang FROM t) " + base.replace("FROM t", "FROM t") +
+            "EXISTS (SELECT 1 FROM c x WHERE x.lang = lang)"
+        ).build(srcs, [3], 4096, 0)

@@ -219,6 +219,25 @@ class InSubquery:
 
 
 @dataclass
+class ExistsSub:
+    """`[NOT] EXISTS (SELECT 1 FROM tbl [alias] WHERE ...)` — CORRELATED
+    subquery, compiled to a left-semi (anti when negated) join on the
+    correlation equalities.  Unlike NOT IN, NOT EXISTS has clean SQL null
+    semantics that match an anti-join exactly, so both polarities compile.
+
+    Scoping contract (documented, enforced): inside the subquery's WHERE,
+    identifiers qualified by the subquery table's alias are INNER columns;
+    everything else (unqualified or outer-alias-qualified) is OUTER.  Each
+    top-level AND conjunct must be either a correlation equality
+    (inner.col = <outer expr>) or an inner-only filter (every identifier
+    inner-qualified)."""
+    table: str
+    alias: str
+    where: object | None
+    negated: bool = False
+
+
+@dataclass
 class IsNull:
     expr: object
     negated: bool = False
@@ -291,11 +310,11 @@ def _inline_cte_sources(s: Select, ctes: dict) -> None:
     import copy
 
     def walk_where(ast) -> None:
-        if isinstance(ast, InSubquery) and ast.table in ctes:
+        if isinstance(ast, (InSubquery, ExistsSub)) and ast.table in ctes:
             raise DefinitionError(
-                f"template SQL: IN (SELECT ... FROM {ast.table}) references "
-                f"a CTE — IN-subqueries support registered tables only; "
-                f"JOIN the CTE instead"
+                f"template SQL: subquery FROM {ast.table} references "
+                f"a CTE — IN/EXISTS subqueries support registered tables "
+                f"only; JOIN the CTE instead"
             )
         for f in getattr(ast, "__dataclass_fields__", {}):
             v = getattr(ast, f)
@@ -537,14 +556,38 @@ class _Parser:
 
     def not_expr(self):
         if self.accept("kw", "not"):
+            if self.accept("kw", "exists"):
+                return self._exists(True)
             return Un("not", self.not_expr())
-        if self.peek() == ("kw", "exists"):
-            raise DefinitionError(
-                "template SQL: EXISTS subqueries are not supported — rewrite "
-                "an uncorrelated membership test as "
-                "`col IN (SELECT col FROM tbl [WHERE ...])`"
-            )
+        if self.accept("kw", "exists"):
+            return self._exists(False)
         return self.cmp()
+
+    def _exists(self, negated: bool) -> ExistsSub:
+        self.expect("op", "(")
+        self.expect("kw", "select")
+        k, v = self.next()
+        if (k, v) not in (("num", "1"), ("op", "*")):
+            raise DefinitionError(
+                "template SQL: EXISTS subquery must be SELECT 1 or SELECT * "
+                "(its output is never read)"
+            )
+        self.expect("kw", "from")
+        tk, tv = self.next()
+        if tk != "id":
+            raise DefinitionError(
+                "template SQL: EXISTS subquery must read one plain source table"
+            )
+        alias = self._table_alias() or tv
+        sub_where = self.or_expr() if self.accept("kw", "where") else None
+        self.expect("op", ")")
+        if sub_where is None:
+            raise DefinitionError(
+                "template SQL: EXISTS subquery needs a WHERE with at least "
+                "one correlation equality (uncorrelated EXISTS is a "
+                "constant — filter the table instead)"
+            )
+        return ExistsSub(tv, alias, sub_where, negated)
 
     def cmp(self):
         e = self.additive()
@@ -791,11 +834,11 @@ def _to_col(ast, extent: int) -> Column:
         if ast.default is not None:
             col = col.otherwise(_to_col(ast.default, extent))
         return col
-    if isinstance(ast, InSubquery):
+    if isinstance(ast, (InSubquery, ExistsSub)):
         raise DefinitionError(
-            "template SQL: IN (SELECT ...) is only supported as a top-level "
-            "AND conjunct of WHERE (it compiles to a semi-join, which cannot "
-            "sit under OR / NOT / expressions)"
+            "template SQL: IN (SELECT ...) / EXISTS are only supported as "
+            "top-level AND conjuncts of WHERE (they compile to semi/anti "
+            "joins, which cannot sit under OR / NOT / expressions)"
         )
     if isinstance(ast, InList):
         c = _to_col(ast.expr, extent)
@@ -935,6 +978,9 @@ def _fold_pow_literals(ast):
         ast.expr = _fold_pow_literals(ast.expr)
         if ast.where is not None:
             ast.where = _fold_pow_literals(ast.where)
+    elif isinstance(ast, ExistsSub):
+        if ast.where is not None:
+            ast.where = _fold_pow_literals(ast.where)
     elif isinstance(ast, IsNull):
         ast.expr = _fold_pow_literals(ast.expr)
     elif isinstance(ast, Cast):
@@ -1023,10 +1069,10 @@ def _extract_aggs(ast, aggs: list):
     if isinstance(ast, InList):
         return InList(_extract_aggs(ast.expr, aggs),
                       [_extract_aggs(v, aggs) for v in ast.values], ast.negated)
-    if isinstance(ast, InSubquery):
+    if isinstance(ast, (InSubquery, ExistsSub)):
         raise DefinitionError(
-            "template SQL: IN (SELECT ...) is not supported inside "
-            "aggregate or HAVING expressions"
+            "template SQL: IN (SELECT ...) / EXISTS are not supported "
+            "inside aggregate or HAVING expressions"
         )
     if isinstance(ast, IsNull):
         return IsNull(_extract_aggs(ast.expr, aggs), ast.negated)
@@ -1185,6 +1231,8 @@ def _no_pseudo(ast) -> None:
             _no_pseudo(v)
     elif isinstance(ast, InSubquery):
         _no_pseudo(ast.expr)
+    elif isinstance(ast, ExistsSub):
+        pass  # inner where is pseudo-checked at apply time (_apply_exists)
     elif isinstance(ast, (IsNull, Like, Cast)):
         _no_pseudo(ast.expr)
     elif isinstance(ast, Between):
@@ -1270,6 +1318,22 @@ def _rewrite_idents(ast, fn):
         return InSubquery(
             _rewrite_idents(ast.expr, fn), ast.column, ast.table, ast.where
         )
+    if isinstance(ast, ExistsSub):
+        # OUTER references inside the correlated where go through the outer
+        # alias map; identifiers qualified by the subquery's own alias are
+        # INNER and pass through untouched (resolved in _apply_exists)
+        prefix = ast.alias + "."
+
+        def inner_safe(idf: Ident) -> Ident:
+            if idf.name.startswith(prefix):
+                return idf
+            return fn(idf)
+
+        return ExistsSub(
+            ast.table, ast.alias,
+            None if ast.where is None else _rewrite_idents(ast.where, inner_safe),
+            ast.negated,
+        )
     if isinstance(ast, IsNull):
         return IsNull(_rewrite_idents(ast.expr, fn), ast.negated)
     if isinstance(ast, Cast):
@@ -1324,7 +1388,7 @@ def _split_semijoins(where):
     named error."""
     if where is None:
         return None, []
-    if isinstance(where, InSubquery):
+    if isinstance(where, (InSubquery, ExistsSub)):
         return None, [where]
     if isinstance(where, Bin) and where.op == "and":
         lw, ls = _split_semijoins(where.left)
@@ -1357,6 +1421,100 @@ def _apply_in_subquery(df: DataFrame, sub: InSubquery, sources: dict, extent: in
     if spec.get("broadcast"):
         keys = F.broadcast(keys)
     return df.join(keys, on=_to_col(sub.expr, extent) == F.col("__in_k"), how="left_semi")
+
+
+def _and_conjuncts(ast) -> list:
+    if isinstance(ast, Bin) and ast.op == "and":
+        return _and_conjuncts(ast.left) + _and_conjuncts(ast.right)
+    return [ast]
+
+
+def _ident_names(ast, acc: set) -> None:
+    if isinstance(ast, Ident):
+        acc.add(ast.name)
+        return
+    for f in getattr(ast, "__dataclass_fields__", {}):
+        v = getattr(ast, f)
+        if isinstance(v, list):
+            for x in v:
+                _ident_names(x, acc)
+        elif isinstance(v, tuple):
+            for x in v:
+                _ident_names(x, acc)
+        else:
+            _ident_names(v, acc)
+
+
+def _apply_exists(df: DataFrame, sub: ExistsSub, sources: dict, extent: int) -> DataFrame:
+    """`[NOT] EXISTS (SELECT 1 FROM tbl a WHERE a.k = outer_expr ...)` as a
+    LEFT-SEMI (LEFT-ANTI when negated) join.
+
+    The inner side filters by its inner-only conjuncts, then projects the
+    DISTINCT correlation key columns — the narrowest possible build side,
+    exactly like the IN-subquery path; broadcast follows the table spec /
+    AQE.  Null outer keys: the equality join condition is null -> no match,
+    which IS SQL's EXISTS (drop) and NOT EXISTS (keep) behaviour."""
+    prefix = sub.alias + "."
+
+    def all_inner(names: set) -> bool:
+        return bool(names) and all(n.startswith(prefix) for n in names)
+
+    corr: list[tuple[str, object]] = []  # (inner col, outer expr ast)
+    inner_filters: list = []
+    for c in _and_conjuncts(sub.where):
+        if isinstance(c, Bin) and c.op == "=":
+            sides = [c.left, c.right]
+            inn = [
+                isinstance(x, Ident) and x.name.startswith(prefix) and x.cast is None
+                for x in sides
+            ]
+            if inn[0] != inn[1]:
+                inner_ident = sides[0] if inn[0] else sides[1]
+                outer_ast = sides[1] if inn[0] else sides[0]
+                names: set = set()
+                _ident_names(outer_ast, names)
+                if not any(n.startswith(prefix) for n in names):
+                    corr.append((inner_ident.name[len(prefix):], outer_ast))
+                    continue
+        names = set()
+        _ident_names(c, names)
+        if all_inner(names):
+            inner_filters.append(c)
+            continue
+        raise DefinitionError(
+            "template SQL: each EXISTS conjunct must be a correlation "
+            f"equality ({sub.alias}.col = <outer expr>) or an inner-only "
+            f"filter (every identifier qualified by {sub.alias!r}); "
+            "unqualified identifiers are OUTER columns"
+        )
+    if not corr:
+        raise DefinitionError(
+            "template SQL: EXISTS subquery has no correlation equality "
+            f"({sub.alias}.col = <outer expr>) — uncorrelated EXISTS is a "
+            "constant; filter the table instead"
+        )
+    inner, _kind = _resolve_table(sources, sub.table)
+
+    def strip(idf: Ident) -> Ident:
+        return Ident(idf.name[len(prefix):], idf.cast) if idf.name.startswith(prefix) else idf
+
+    for c in inner_filters:
+        _no_pseudo(c)
+        inner = inner.filter(_to_col(_rewrite_idents(c, strip), extent))
+    keycols = []
+    for i, (icol, _o) in enumerate(corr):
+        keycols.append(F.col(icol).alias(f"__ex_{i}"))
+    keys = inner.select(*keycols).distinct()
+    spec = (sources.get("tables") or {}).get(sub.table) or {}
+    if spec.get("broadcast"):
+        keys = F.broadcast(keys)
+    cond = None
+    for i, (_icol, outer_ast) in enumerate(corr):
+        _no_pseudo(outer_ast)
+        eq = _to_col(outer_ast, extent) == F.col(f"__ex_{i}")
+        cond = eq if cond is None else (cond & eq)
+    how = "left_anti" if sub.negated else "left_semi"
+    return df.join(keys, on=cond, how=how)
 
 
 def _resolve_from(sources: dict, s: Select):
@@ -1576,7 +1734,10 @@ class CompiledTemplate:
                 if where is not None:
                     df = df.filter(_to_col(where, extent))
                 for sub in semis:
-                    df = _apply_in_subquery(df, sub, sources, extent)
+                    if isinstance(sub, ExistsSub):
+                        df = _apply_exists(df, sub, sources, extent)
+                    else:
+                        df = _apply_in_subquery(df, sub, sources, extent)
                 if s.group and mode != "cluster":
                     raise DefinitionError(
                         "template SQL: GROUP BY requires the aggregate "
