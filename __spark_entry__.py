@@ -1842,6 +1842,30 @@ WHERE way && {{bbox}} AND NOT EXISTS (
 
     q["template_compile_exists"] = template_compile_exists
 
+    def template_compile_scalar(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): uncorrelated scalar
+        subqueries — (SELECT agg(col) FROM tbl [WHERE ...]) resolves to a
+        build-time literal (one 1-row aggregate job; tile-independent, so
+        one global value IS the reference's per-tile semantics).  Used in
+        both WHERE and a SELECT item; DuckDB runs the identical scalar."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang,
+       (SELECT max(n_chars) FROM docs_geo) AS cap
+FROM docs_geo
+WHERE way && {{bbox}}
+  AND n_chars > (SELECT avg(n_chars) FROM docs_geo WHERE lang <> 'zz')
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.groupBy("zoom", "lang", "cap").agg(
+            F.count("*").alias("n_docs")
+        )
+
+    q["template_compile_scalar"] = template_compile_scalar
+
     def template_compile_join(spark, sf_dir):
         """Round-4 compiler tier #3 (config/sqlt.py): INNER/LEFT JOIN with
         table aliases and qualified refs — the geometry table joins a small
@@ -4280,6 +4304,16 @@ def oracle_sql() -> dict[str, str]:
         FROM geo
         WHERE NOT EXISTS (SELECT 1 FROM langdim d
                           WHERE d.dlang = geo.lang AND d.keep = 1)
+        GROUP BY 1, 2, 3
+    """
+
+    o["template_compile_scalar"] = f"""
+        {_GEO_CTE}
+        SELECT 3 AS zoom, lang,
+               (SELECT max(n_chars) FROM geo) AS cap,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo
+        WHERE n_chars > (SELECT avg(n_chars) FROM geo WHERE lang <> 'zz')
         GROUP BY 1, 2, 3
     """
 

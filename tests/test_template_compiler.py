@@ -1151,3 +1151,56 @@ def test_exists_errors(spark):
             "WITH c AS (SELECT way, lang FROM t) " + base.replace("FROM t", "FROM t") +
             "EXISTS (SELECT 1 FROM c x WHERE x.lang = lang)"
         ).build(srcs, [3], 4096, 0)
+
+
+def test_scalar_subquery(spark):
+    """(SELECT agg(col) FROM tbl [WHERE ...]) resolves to a build-time
+    literal — usable in WHERE and SELECT items; re-building against
+    different sources recomputes it (the parse cache is not mutated)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    def mk(ns):
+        return spark.createDataFrame(
+            [(i, float(i), float(i), f"l{i}", n) for i, n in enumerate(ns)],
+            "pid long, mx double, my double, lang string, n int",
+        )
+
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang, n,
+       (SELECT max(n) FROM t) AS cap
+FROM t
+WHERE way && {{bbox}} AND n > (SELECT avg(n) FROM t WHERE n < 100)
+"""
+    ct = CompiledTemplate(body)
+    t1 = mk([10, 20, 90, 400])   # avg(n<100) = 40 -> keeps 90, 400; cap 400
+    got1 = {(r.lang, r.cap) for r in ct.build(
+        {"tables": {"t": {"frame": t1, "kind": "point"}}}, [3], 4096, 0
+    ).collect()}
+    assert got1 == {("l2", 400), ("l3", 400)}
+    t2 = mk([1, 2, 3])           # avg = 2 -> keeps 3; cap 3
+    got2 = {(r.lang, r.cap) for r in ct.build(
+        {"tables": {"t": {"frame": t2, "kind": "point"}}}, [3], 4096, 0
+    ).collect()}
+    assert got2 == {("l2", 3)}
+
+
+def test_scalar_subquery_count_and_errors(spark):
+    import pytest as _pytest
+
+    from tilekiln_spark.config.errors import DefinitionError
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(0, 1.0, 1.0, "en", 5)], "pid long, mx double, my double, lang string, n int"
+    )
+    srcs = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,"
+        " (SELECT count(*) FROM t) AS total FROM t WHERE way && {{bbox}}"
+    ).build(srcs, [3], 4096, 0).collect()
+    assert [r.total for r in out] == [1]
+    with _pytest.raises(DefinitionError, match="single aggregate"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM t "
+            "WHERE n > (SELECT n FROM t)"
+        ).build(srcs, [3], 4096, 0)

@@ -219,6 +219,18 @@ class InSubquery:
 
 
 @dataclass
+class ScalarSub:
+    """`(SELECT agg(col) FROM tbl [WHERE ...])` — uncorrelated scalar
+    aggregate, resolved to a literal at plan-build time (one 1-row
+    aggregate job; the inner WHERE binds inner columns only — correlation
+    is not supported)."""
+    func: str
+    arg: object  # expression or Star (count(*))
+    table: str
+    where: object | None
+
+
+@dataclass
 class ExistsSub:
     """`[NOT] EXISTS (SELECT 1 FROM tbl [alias] WHERE ...)` — CORRELATED
     subquery, compiled to a left-semi (anti when negated) join on the
@@ -310,7 +322,7 @@ def _inline_cte_sources(s: Select, ctes: dict) -> None:
     import copy
 
     def walk_where(ast) -> None:
-        if isinstance(ast, (InSubquery, ExistsSub)) and ast.table in ctes:
+        if isinstance(ast, (InSubquery, ExistsSub, ScalarSub)) and ast.table in ctes:
             raise DefinitionError(
                 f"template SQL: subquery FROM {ast.table} references "
                 f"a CTE — IN/EXISTS subqueries support registered tables "
@@ -563,6 +575,35 @@ class _Parser:
             return self._exists(False)
         return self.cmp()
 
+    def _scalar_sub(self) -> "ScalarSub":
+        """`(SELECT agg(col) FROM tbl [WHERE ...])` — an UNCORRELATED
+        scalar aggregate (the reference's per-tile SQL computes the same
+        table-wide value for every tile, so one global scalar IS the
+        per-tile semantics).  Resolved to a literal at build time with a
+        1-row aggregate job (see _resolve_scalars)."""
+        self.expect("kw", "select")
+        fk, fv = self.next()
+        if fk != "id" or fv.lower() not in ("min", "max", "count", "sum", "avg"):
+            raise DefinitionError(
+                "template SQL: a scalar subquery must be a single aggregate "
+                "— (SELECT min|max|count|sum|avg(col) FROM tbl [WHERE ...])"
+            )
+        self.expect("op", "(")
+        if fv.lower() == "count" and self.accept("op", "*"):
+            arg = Star()
+        else:
+            arg = self.additive()
+        self.expect("op", ")")
+        self.expect("kw", "from")
+        tk, tv = self.next()
+        if tk != "id":
+            raise DefinitionError(
+                "template SQL: scalar subquery must read one plain source table"
+            )
+        sub_where = self.or_expr() if self.accept("kw", "where") else None
+        self.expect("op", ")")
+        return ScalarSub(fv.lower(), arg, tv, sub_where)
+
     def _exists(self, negated: bool) -> ExistsSub:
         self.expect("op", "(")
         self.expect("kw", "select")
@@ -725,6 +766,8 @@ class _Parser:
             self.expect("kw", "end")
             return Case(whens, default)
         if k == "op" and v == "(":
+            if self.peek() == ("kw", "select"):
+                return self._scalar_sub()
             e = self.or_expr()
             self.expect("op", ")")
             return e
@@ -839,6 +882,11 @@ def _to_col(ast, extent: int) -> Column:
             "template SQL: IN (SELECT ...) / EXISTS are only supported as "
             "top-level AND conjuncts of WHERE (they compile to semi/anti "
             "joins, which cannot sit under OR / NOT / expressions)"
+        )
+    if isinstance(ast, ScalarSub):
+        raise DefinitionError(
+            "template SQL: scalar subqueries are supported in WHERE, SELECT "
+            "items and HAVING only (not in JOIN ON conditions)"
         )
     if isinstance(ast, InList):
         c = _to_col(ast.expr, extent)
@@ -979,6 +1027,10 @@ def _fold_pow_literals(ast):
         if ast.where is not None:
             ast.where = _fold_pow_literals(ast.where)
     elif isinstance(ast, ExistsSub):
+        if ast.where is not None:
+            ast.where = _fold_pow_literals(ast.where)
+    elif isinstance(ast, ScalarSub):
+        ast.arg = _fold_pow_literals(ast.arg)
         if ast.where is not None:
             ast.where = _fold_pow_literals(ast.where)
     elif isinstance(ast, IsNull):
@@ -1318,6 +1370,8 @@ def _rewrite_idents(ast, fn):
         return InSubquery(
             _rewrite_idents(ast.expr, fn), ast.column, ast.table, ast.where
         )
+    if isinstance(ast, ScalarSub):
+        return ast  # uncorrelated: inner refs only, nothing to rewrite
     if isinstance(ast, ExistsSub):
         # OUTER references inside the correlated where go through the outer
         # alias map; identifiers qualified by the subquery's own alias are
@@ -1443,6 +1497,74 @@ def _ident_names(ast, acc: set) -> None:
                 _ident_names(x, acc)
         else:
             _ident_names(v, acc)
+
+
+def _eval_scalar(sub: ScalarSub, sources: dict, extent: int):
+    """Compute an uncorrelated scalar subquery: one 1-row aggregate job at
+    plan-build time (the scalar is tile-independent, so per-tile SQL
+    semantics = one global value).  Empty input -> SQL NULL (count -> 0)."""
+    inner, _kind = _resolve_table(sources, sub.table)
+    if sub.where is not None:
+        _no_pseudo(sub.where)
+        inner = inner.filter(_to_col(sub.where, extent))
+    if isinstance(sub.arg, Star):
+        col = F.count(F.lit(1))
+    else:
+        _no_pseudo(sub.arg)
+        col = getattr(F, sub.func)(_to_col(sub.arg, extent))
+    return inner.agg(col.alias("__s")).collect()[0]["__s"]
+
+
+def _resolve_scalars(ast, sources: dict, extent: int):
+    """Replace every ScalarSub in an expression tree with its computed
+    literal.  NON-mutating on the input (the parsed query is cached per
+    template and may be re-built against different sources): a deep copy
+    is substituted in place only when a scalar subquery is present."""
+    import copy
+
+    if ast is None:
+        return None
+
+    def has_scalar(a) -> bool:
+        if isinstance(a, ScalarSub):
+            return True
+        for f in getattr(a, "__dataclass_fields__", {}):
+            v = getattr(a, f)
+            if isinstance(v, (list, tuple)):
+                if any(has_scalar(x) for x in v):
+                    return True
+            elif has_scalar(v):
+                return True
+        return False
+
+    if not has_scalar(ast):
+        return ast
+    if isinstance(ast, ScalarSub):
+        return Lit(_eval_scalar(ast, sources, extent))
+    ast = copy.deepcopy(ast)
+
+    def sub_in(x):
+        if isinstance(x, ScalarSub):
+            return Lit(_eval_scalar(x, sources, extent))
+        repl(x)
+        return x
+
+    def repl(a) -> None:
+        for f in getattr(a, "__dataclass_fields__", {}):
+            v = getattr(a, f)
+            if isinstance(v, ScalarSub):
+                setattr(a, f, Lit(_eval_scalar(v, sources, extent)))
+            elif isinstance(v, list):
+                setattr(
+                    a, f,
+                    [tuple(sub_in(y) for y in x) if isinstance(x, tuple)
+                     else sub_in(x) for x in v],
+                )
+            else:
+                repl(v)
+
+    repl(ast)
+    return ast
 
 
 def _apply_exists(df: DataFrame, sub: ExistsSub, sources: dict, extent: int) -> DataFrame:
@@ -1728,6 +1850,12 @@ class CompiledTemplate:
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
                 frame, kind, where, items_all, having = _resolve_from(sources, s)
+                where = _resolve_scalars(where, sources, extent)
+                items_all = [
+                    Item(_resolve_scalars(it.expr, sources, extent), it.alias)
+                    for it in items_all
+                ]
+                having = _resolve_scalars(having, sources, extent)
                 mode, items = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)
