@@ -104,6 +104,122 @@ def test_score_new_documents_with_trained_lm(docs, spark):
 
 
 # ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing
+# ---------------------------------------------------------------------------
+
+BUCKET_CORPUS = [
+    # en: 6 scoreable docs built from one shared phrase pool so the pruned
+    # LM ranks them deterministically (more corpus-frequent bigrams ->
+    # higher avg_logprob)
+    (1, "the cat sat", "en"),
+    (2, "the cat sat the cat", "en"),
+    (3, "the cat", "en"),
+    (4, "qq zz xx", "en"),
+    (5, "the cat sat qq", "en"),
+    (6, "zz the", "en"),
+    # de: a single scoreable doc (rank rule must put n=1 in head)
+    (7, "der hund lief", "de"),
+    # one-token doc: no bigrams, absent from the output
+    (8, "einzeln", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def bucket_docs(spark):
+    return spark.createDataFrame(
+        BUCKET_CORPUS, "doc_id long, text string, lang string"
+    )
+
+
+def test_ccnet_buckets_exact_thirds(bucket_docs):
+    from tilekiln_spark.functions.lm import ccnet_buckets
+
+    lm = train_bigram_lm(bucket_docs, k_vocab=6, m_bigrams=6)
+    out = {r.doc_id: r for r in
+           ccnet_buckets(bucket_docs, lm, lang_col="lang").collect()}
+    # doc 8 has no bigrams -> absent
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # en: n=6 -> ceil(6/3)=2 head, ceil(12/3)=4 -> ranks 3-4 middle, 5-6 tail
+    en = sorted(
+        (r for r in out.values() if r.lang == "en"),
+        key=lambda r: (-r.avg_logprob, r.doc_id),
+    )
+    assert [r.bucket for r in en] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    # the ordering itself must be by score: head docs outscore tail docs
+    assert en[0].avg_logprob >= en[-1].avg_logprob
+    # de: n=1 -> rank 1, 3*1 <= 1+2 -> head
+    assert out[7].bucket == "head"
+    lm.unpersist()
+
+
+def test_ccnet_buckets_derives_lang_when_missing(bucket_docs):
+    from tilekiln_spark.functions.lm import ccnet_buckets
+
+    lm = train_bigram_lm(bucket_docs, k_vocab=6, m_bigrams=6)
+    out = ccnet_buckets(bucket_docs.drop("lang"), lm).collect()
+    # lang_id marks "the ..." docs en; the marker-free ones fall to 'und'
+    langs = {r.doc_id: r.lang for r in out}
+    assert langs[1] == "en" and langs[4] == "und"
+    lm.unpersist()
+
+
+def test_ccnet_buckets_cutoff_mode_is_map_only(bucket_docs):
+    from tilekiln_spark.functions.lm import ccnet_buckets
+
+    lm = train_bigram_lm(bucket_docs, k_vocab=6, m_bigrams=6)
+    exact = {r.doc_id: r for r in
+             ccnet_buckets(bucket_docs, lm, lang_col="lang").collect()}
+    # thresholds straddling the exact en ranking: head_min between the
+    # 2nd and 3rd score, middle_min between the 4th and 5th -> cutoff
+    # mode reproduces the exact thirds on this fixture
+    en_scores = sorted(
+        (r.avg_logprob for r in exact.values() if r.lang == "en"), reverse=True
+    )
+    cuts = {
+        "en": (
+            (en_scores[1] + en_scores[2]) / 2,
+            (en_scores[3] + en_scores[4]) / 2,
+        ),
+        "de": (exact[7].avg_logprob, exact[7].avg_logprob),
+    }
+    bucketed = ccnet_buckets(bucket_docs, lm, lang_col="lang", cutoffs=cuts)
+    got = {r.doc_id: r.bucket for r in bucketed.collect()}
+    assert got == {k: v.bucket for k, v in exact.items()}
+    # the scale contract: no window/per-language sort anywhere in the plan
+    # (the doc_id-keyed scores<->lang join may be SMJ — AQE's call); the
+    # #languages-row cuts table must come in broadcast
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    lm.unpersist()
+
+
+def test_ccnet_cutoffs_estimates_per_language(bucket_docs):
+    from tilekiln_spark.functions.lm import ccnet_buckets, ccnet_cutoffs
+
+    lm = train_bigram_lm(bucket_docs, k_vocab=6, m_bigrams=6)
+    cuts = ccnet_cutoffs(bucket_docs, lm, lang_col="lang")
+    assert set(cuts) == {"en", "de"}
+    for head_min, middle_min in cuts.values():
+        assert head_min >= middle_min
+    out = ccnet_buckets(bucket_docs, lm, lang_col="lang", cutoffs=cuts)
+    rows = out.collect()
+    # estimated thresholds still give a monotone split: every head score
+    # >= every middle score >= every tail score, within each language
+    for lang in ("en", "de"):
+        by_bucket = {"head": [], "middle": [], "tail": []}
+        for r in rows:
+            if r.lang == lang:
+                by_bucket[r.bucket].append(r.avg_logprob)
+        for hi, lo in (("head", "middle"), ("middle", "tail")):
+            if by_bucket[hi] and by_bucket[lo]:
+                assert min(by_bucket[hi]) >= max(by_bucket[lo])
+    lm.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # trigram chained backoff
 # ---------------------------------------------------------------------------
 

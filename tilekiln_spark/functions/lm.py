@@ -178,6 +178,135 @@ def lm_doc_scores(
 
 
 # ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing (Wenzek et al., LREC 2020)
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    cutoffs: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """CCNet-style corpus split: per-language head / middle / tail thirds by
+    LM score ("CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", Wenzek et al. 2020 — their perplexity terciles, expressed
+    over the stupid-backoff avg_logprob this engine's LM produces; higher
+    avg_logprob = lower perplexity = head).
+
+    Returns (id_col, lang, n_bigrams, avg_logprob, bucket).  Documents with
+    fewer than 2 tokens carry no LM evidence and are absent (the
+    lm_doc_scores contract).  ``lang_col`` names an existing language
+    column; when None, functions/text.lang_id derives one.
+
+    Two modes, one schema:
+
+    - **Exact rank mode** (default, ``cutoffs=None``): within each language,
+      rank docs by (avg_logprob DESC, id ASC) and split at ceil(n/3) /
+      ceil(2n/3).  The rule is evaluated as pure INTEGER arithmetic
+      (rn <= ceil(n/3)  <=>  3*rn <= n + 2), so there is no float-boundary
+      ambiguity for the DuckDB oracle to disagree with.  Physical shape:
+      one hash exchange on lang + an in-partition sort — fine until a
+      single language outgrows one task (each language is one window
+      partition), which a 100 TB monolingual corpus WILL do.
+    - **Broadcast-cutoff mode** (``cutoffs={lang: (head_min, middle_min)}``):
+      the production CCNet shape — thresholds are estimated once (on a
+      sample or with approx_percentile, see :func:`ccnet_cutoffs`), then
+      bucket assignment is a MAP-ONLY pass (one broadcast join against a
+      #languages-row table, no sort, no per-language task).  bucket =
+      head when avg_logprob >= head_min, middle when >= middle_min, else
+      tail.  This is the mode that survives 100 TB; the exact mode is the
+      oracle-checkable small-scale twin.
+    """
+    scores = lm_doc_scores(df, lm, text_col, id_col)
+    if lang_col is None:
+        from tilekiln_spark.functions.text import lang_id
+
+        langs = df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang"))
+    else:
+        langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    # both sides are corpus-sized narrow frames keyed by id: AQE's call
+    # (shuffle join at scale, auto-broadcast at test sizes)
+    scored = scores.join(langs, id_col)
+
+    if cutoffs is not None:
+        spark = df.sparkSession
+        cut_rows = [(k, float(v[0]), float(v[1])) for k, v in sorted(cutoffs.items())]
+        cuts = spark.createDataFrame(
+            cut_rows, "lang string, head_min double, middle_min double"
+        )
+        return scored.join(F.broadcast(cuts), "lang", "left").select(
+            id_col,
+            "lang",
+            "n_bigrams",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("head_min"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("middle_min"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("lang")
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    return scored.select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        F.when(3 * rn <= n + 2, F.lit("head"))
+        .when(3 * rn <= 2 * n + 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_cutoffs(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    accuracy: int = 10_000,
+) -> dict[str, tuple[float, float]]:
+    """Per-language (head_min, middle_min) score thresholds for
+    :func:`ccnet_buckets`'s broadcast-cutoff mode, via approx_percentile —
+    a map-side-combinable quantile sketch, so the whole estimate is ONE
+    partial-aggregated groupBy(lang) whose reduce side holds a bounded
+    sketch per language, never the score list.  head_min = the 2/3
+    quantile of avg_logprob (top third scores above it), middle_min = 1/3.
+
+    The collect is #languages rows of two doubles — driver-safe by
+    construction.  Estimated thresholds bucket borderline docs differently
+    than the exact rank rule (documented recall, not correctness, drift —
+    the same contract as ann IVF's seeded centroids)."""
+    scores = lm_doc_scores(df, lm, text_col, id_col)
+    if lang_col is None:
+        from tilekiln_spark.functions.text import lang_id
+
+        langs = df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang"))
+    else:
+        langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    rows = (
+        scores.join(langs, id_col)
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "avg_logprob", [2.0 / 3.0, 1.0 / 3.0], accuracy
+            ).alias("qs")
+        )
+        .collect()
+    )
+    return {r["lang"]: (float(r["qs"][0]), float(r["qs"][1])) for r in rows}
+
+
+# ---------------------------------------------------------------------------
 # Trigram extension: chained stupid backoff (the web-scale n-gram shape)
 # ---------------------------------------------------------------------------
 
