@@ -1121,6 +1121,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_score"] = lm_score_q
 
+    def ccnet_buckets_q(spark, sf_dir):
+        """CCNet per-language head/middle/tail corpus split (functions/
+        lm.py ccnet_buckets — Wenzek et al. 2020's perplexity terciles over
+        this engine's stupid-backoff avg_logprob).  Exact rank mode: the
+        tercile rule is pure integer arithmetic (3*rn <= n+2), so both
+        engines agree at every boundary; ties inside a language break by
+        doc_id.  Physical shape: the LM score is the broadcast-model join
+        from lm_score, then ONE hash exchange on lang feeds the window.
+        The broadcast-cutoff mode (map-only at 100 TB, approx_percentile
+        thresholds) is pytest-covered; recall-not-correctness drift keeps
+        it out of the hash oracle, same contract as ann_ivf."""
+        from tilekiln_spark.functions.lm import ccnet_buckets, train_bigram_lm
+
+        d = _docs(spark, sf_dir)
+        lm = train_bigram_lm(d, k_vocab=30, m_bigrams=120)
+        return ccnet_buckets(d, lm, lang_col="lang")
+
+    q["ccnet_buckets"] = ccnet_buckets_q
+
     def bpe_train_q(spark, sf_dir):
         """BPE merge training (functions/bpe.py — Sennrich et al. 2016,
         word-frequency formulation).  The word table is one TakeOrdered
@@ -3467,6 +3486,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)
+    o["ccnet_buckets"] = f"""
+        WITH s AS (SELECT * FROM {_lm_scores_sql("documents", 30, 120)}),
+        j AS (
+            SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+            FROM s JOIN documents d ON s.doc_id = d.doc_id
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY avg_logprob DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM j
+        )
+        SELECT doc_id, lang, n_bigrams, avg_logprob,
+               CASE WHEN 3 * rn <= n + 2 THEN 'head'
+                    WHEN 3 * rn <= 2 * n + 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
 

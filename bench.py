@@ -127,6 +127,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "vocab_topk",
         "lm_score",
         "lm3_score",
+        "ccnet_buckets",
         "bpe_train",
         "quality_filter_funnel",
         "c4_line_filter",
