@@ -723,6 +723,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_sessions"] = event_sessions
 
+    def asof_join_views(spark, sf_dir):
+        """Backward as-of join (operators/events.py asof_join — pandas
+        merge_asof / kdb aj semantics): every click gains the most recent
+        same-user view at-or-before its timestamp; equal-ts ties break by
+        the largest view event_id.  Physical shape is ONE window pass over
+        a tagged union (single hash exchange on user_id, no join node, no
+        point-in-interval blowup); the DuckDB twin replays the identical
+        union+last_value(IGNORE NULLS) construction with null ordering
+        pinned to Spark's asc-nulls-first default."""
+        from tilekiln_spark.operators.events import asof_join
+
+        e = _events(spark, sf_dir)
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = e.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return asof_join(
+            clicks, views, ["user_id"], "ts",
+            value_cols=["value"], tiebreak_col="event_id",
+        )
+
+    q["asof_join_views"] = asof_join_views
+
+    def interval_join_errors(spark, sf_dir):
+        """Bucketed range join (operators/events.py interval_join): count
+        same-user clicks inside each error's [ts, ts+4h) window.  The
+        engine quantizes time into 4-hour buckets, explodes each
+        interval to its ~2 covered buckets, equi-joins on (user, bucket)
+        and applies the exact residual — a shuffle/broadcast hash join
+        Catalyst plans freely, where a raw BETWEEN predicate would emit a
+        BroadcastNestedLoopJoin (O(points x intervals) at 100 TB).  A
+        point owns one bucket, so matches are never duplicated.  The
+        DuckDB twin is the plain BETWEEN join."""
+        from tilekiln_spark.operators.events import interval_join
+
+        e = _events(spark, sf_dir)
+        clicks = e.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        errors = e.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("iv_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 4 hours")).alias("end"),
+        )
+        j = interval_join(
+            clicks, errors, ts_col="ts", key_cols=["user_id"], bucket="4 hours"
+        )
+        return j.groupBy("iv_id").agg(
+            F.count("*").alias("n_clicks"),
+            F.round(F.sum("value"), 4).alias("click_value"),
+        )
+
+    q["interval_join_errors"] = interval_join_errors
+
     # ---- training-data ops ----
 
     def dedup_exact_q(spark, sf_dir):
@@ -2876,6 +2933,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                round(sum(value), 4) AS sum_value
         FROM islands GROUP BY user_id, sid
+    """
+
+    o["asof_join_views"] = """
+        WITH u AS (
+            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS DOUBLE) AS _rtb,
+                   event_id, ts, value,
+                   CAST(NULL AS TIMESTAMP) AS m_ts, CAST(NULL AS DOUBLE) AS m_value
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, 0, CAST(event_id AS DOUBLE),
+                   NULL, NULL, NULL, ts, value
+            FROM events WHERE event_type = 'view'
+        ), f AS (
+            SELECT event_id, user_id, ts, value, _side,
+                   last_value(m_ts IGNORE NULLS) OVER w AS ts_asof,
+                   last_value(m_value IGNORE NULLS) OVER w AS value_asof
+            FROM u
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY _ts, _side, _rtb NULLS FIRST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts, value, ts_asof, value_asof
+        FROM f WHERE _side = 1
+    """
+
+    o["interval_join_errors"] = """
+        SELECT e.event_id AS iv_id,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               round(sum(c.value), 4) AS click_value
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 4 HOUR
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+        GROUP BY e.event_id
     """
 
     o["dedup_exact"] = f"""

@@ -128,6 +128,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "lm_score",
         "lm3_score",
         "ccnet_buckets",
+        "asof_join_views",
+        "interval_join_errors",
         "bpe_train",
         "quality_filter_funnel",
         "c4_line_filter",

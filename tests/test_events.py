@@ -54,3 +54,116 @@ def test_sessionize_streaming_compatible(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.n_events, r.sum_value) for r in spark.sql("SELECT * FROM sess_out").collect())
     assert got == [(1, 4.0), (2, 3.0)]
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_backward_basic(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    clicks = _ev(spark, [
+        (10, "2026-01-01T10:05:00", 1, "click", 1.0, ""),
+        (11, "2026-01-01T10:20:00", 1, "click", 2.0, ""),
+        (12, "2026-01-01T09:00:00", 1, "click", 3.0, ""),   # before any view
+        (13, "2026-01-01T10:05:00", 2, "click", 4.0, ""),   # other user
+    ])
+    views = _ev(spark, [
+        (1, "2026-01-01T10:00:00", 1, "view", 7.0, ""),
+        (2, "2026-01-01T10:10:00", 1, "view", 8.0, ""),
+        (3, "2026-01-01T10:05:00", 2, "view", 9.0, ""),     # equal-ts match
+    ])
+    got = {r.event_id: r for r in asof_join(
+        clicks, views, ["user_id"], "ts",
+        value_cols=["value"], tiebreak_col="event_id").collect()}
+    assert got[10].value_asof == 7.0          # latest view <= 10:05
+    assert got[11].value_asof == 8.0
+    assert got[12].value_asof is None and got[12].ts_asof is None
+    assert got[13].value_asof == 9.0          # exact-ts match included
+    # left columns unchanged
+    assert got[10].value == 1.0 and len(got) == 4
+
+
+def test_asof_join_tiebreak_and_tolerance(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    left = _ev(spark, [(10, "2026-01-01T12:00:00", 1, "click", 0.0, "")])
+    right = _ev(spark, [
+        (1, "2026-01-01T11:00:00", 1, "view", 5.0, ""),
+        (2, "2026-01-01T11:00:00", 1, "view", 6.0, ""),   # same ts, larger id wins
+    ])
+    r = asof_join(left, right, ["user_id"], "ts",
+                  value_cols=["value"], tiebreak_col="event_id").collect()[0]
+    assert r.value_asof == 6.0
+    # tolerance 30 minutes: the 11:00 match is older than 11:30 -> nulled
+    r2 = asof_join(left, right, ["user_id"], "ts", value_cols=["value"],
+                   tiebreak_col="event_id", tolerance="30 minutes").collect()[0]
+    assert r2.value_asof is None and r2.ts_asof is None
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    clicks = _ev(spark, [(10, "2026-01-01T10:05:00", 1, "click", 1.0, "")])
+    views = _ev(spark, [(1, "2026-01-01T10:00:00", 1, "view", 7.0, "")])
+    out = asof_join(clicks, views, ["user_id"], "ts",
+                    value_cols=["value"], tiebreak_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole join is one window pass: no join node at all
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one per union branch, same key
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_half_open_and_buckets(spark):
+    from tilekiln_spark.operators.events import interval_join
+
+    pts = _ev(spark, [
+        (1, "2026-01-01T10:00:00", 1, "click", 1.0, ""),   # == start: in
+        (2, "2026-01-01T10:09:59", 1, "click", 2.0, ""),   # inside
+        (3, "2026-01-01T10:10:00", 1, "click", 3.0, ""),   # == end: out
+        (4, "2026-01-01T10:05:00", 2, "click", 4.0, ""),   # wrong user
+        (5, "2026-01-01T10:25:00", 1, "click", 5.0, ""),   # crosses bucket
+    ])
+    iv = spark.createDataFrame(
+        [(100, 1, "2026-01-01T10:00:00", "2026-01-01T10:10:00"),
+         (101, 1, "2026-01-01T10:19:00", "2026-01-01T10:29:00")],
+        "iv_id long, iv_user long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+
+    got = interval_join(
+        pts, iv.withColumnRenamed("iv_user", "user_id"),
+        key_cols=["user_id"], bucket="10 minutes",
+    ).select("event_id", "iv_id").collect()
+    assert sorted((r.event_id, r.iv_id) for r in got) == [(1, 100), (2, 100), (5, 101)]
+
+
+def test_interval_join_no_duplicate_matches(spark):
+    from tilekiln_spark.operators.events import interval_join
+
+    # one long interval spanning many buckets; each point matches ONCE
+    pts = _ev(spark, [(i, f"2026-01-01T10:{m:02d}:00", 1, "c", 0.0, "")
+                      for i, m in enumerate([0, 13, 26, 39, 52])])
+    iv = spark.createDataFrame(
+        [(1, 1, "2026-01-01T09:55:00", "2026-01-01T11:00:00")],
+        "iv_id long, user_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+    got = interval_join(pts, iv, key_cols=["user_id"], bucket="5 minutes").collect()
+    assert len(got) == 5
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    from tilekiln_spark.operators.events import interval_join
+
+    pts = _ev(spark, [(1, "2026-01-01T10:00:00", 1, "c", 0.0, "")])
+    iv = spark.createDataFrame(
+        [(1, 1, "2026-01-01T09:55:00", "2026-01-01T10:05:00")],
+        "iv_id long, user_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+    plan = interval_join(pts, iv, key_cols=["user_id"])._jdf.queryExecution().executedPlan().toString()
+    # hash-partitionable equi-join on (user_id, bucket); NOT a nested-loop
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -1,4 +1,5 @@
-"""Event-stream operators: sessionization over web-log-shaped tables.
+"""Event-stream operators: sessionization, as-of join, and interval join
+over web-log-shaped tables.
 
 Session assignment (split a user's event stream wherever the gap between
 consecutive events exceeds a timeout) is the standard first step of web-log
@@ -15,11 +16,17 @@ The session END reported here is ``max(ts)`` (last event), not Spark's
 internal window end (last event + gap): the gap-extension is an
 implementation detail of window merging, while last-activity is the value
 downstream features want and the one every engine agrees on.
+
+``asof_join`` and ``interval_join`` are the two temporal-join shapes the
+DataFrame API lacks as primitives (pandas ``merge_asof`` / kdb ``aj`` and
+``wj`` are the public models).  Both are expressed as compositions of
+built-in operators — one keyed shuffle each, no per-key Python loop, no
+cross join — so Catalyst/AQE still own the physical plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,3 +53,140 @@ def sessionize(
         )
         .select(key_col, "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row gains the ``value_cols`` of the
+    most recent right row with the same keys and ``right.ts <= left.ts``
+    (pandas ``merge_asof(direction='backward', allow_exact_matches=True)``
+    semantics; kdb+ ``aj``).  Unmatched left rows keep nulls.
+
+    Matched columns come back as ``<col><suffix>`` plus ``ts<suffix>`` (the
+    matched right timestamp).  When several right rows share the matching
+    timestamp, the one with the LARGEST ``tiebreak_col`` wins (required —
+    an as-of join without a total order on the right side is
+    nondeterministic).  ``tolerance`` (an INTERVAL string, e.g.
+    ``'10 minutes'``) nulls out matches older than ``left.ts - tolerance``,
+    like pandas' ``tolerance=``.
+
+    Physical shape — the point of doing it this way instead of a range
+    join: tag the two inputs, ``unionByName`` them, and run ONE window pass
+    per key ordered by (ts, side, tiebreak) taking
+    ``last(value, ignorenulls=True)`` over the preceding frame.  That is a
+    single hash exchange on the keys plus an in-partition sort — the same
+    cost as the sort-merge join Spark would run anyway — with no
+    point-in-interval blowup and no driver participation.  Right rows sort
+    BEFORE left rows at equal ts, so exact-timestamp matches are included.
+    Skewed keys are ordinary shuffle skew (AQE's problem, not ours)."""
+    value_cols = list(value_cols or [])
+    if tiebreak_col is None:
+        raise ValueError("asof_join requires tiebreak_col for determinism")
+    matched = [f"{c}{suffix}" for c in value_cols]
+    mts = f"{ts_col}{suffix}"
+
+    rsel = right.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak_col).cast("double").alias("_rtb"),
+        F.col(ts_col).alias(mts),
+        *[F.col(c).alias(m) for c, m in zip(value_cols, matched)],
+    )
+    lsel = left.select(
+        *left.columns, F.col(ts_col).alias("_ts"), F.lit(1).alias("_side")
+    )
+    u = lsel.unionByName(rsel, allowMissingColumns=True)
+
+    # nulls-first on _rtb is Spark's ASC default; the DuckDB twin must pin
+    # NULLS FIRST explicitly (its ASC default is nulls-last)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rtb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f{c}") for c in [mts] + matched]
+    )
+    out = filled.where(F.col("_side") == 1)
+    keep_ts = F.lit(True)
+    if tolerance is not None:
+        keep_ts = F.col(f"_f{mts}") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+    return out.select(
+        *left.columns,
+        *[
+            F.when(keep_ts, F.col(f"_f{c}")).alias(c)
+            for c in [mts] + matched
+        ],
+    )
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'10 minutes' -> 600.  Resolved driver-side (Spark can't extract
+    epoch seconds from an ANSI interval literal)."""
+    n, unit = spec.strip().split()
+    secs = int(n) * _UNIT_SECONDS[unit.lower()]
+    if secs <= 0:
+        raise ValueError(f"bucket must be a positive interval: {spec!r}")
+    return secs
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    key_cols: list[str] | None = None,
+    bucket: str = "10 minutes",
+) -> DataFrame:
+    """Inner range join: every (point, interval) pair with equal keys and
+    ``start <= point.ts < end`` (half-open, the web-log convention).  The
+    result carries all point columns plus all interval columns (callers
+    disambiguate names upfront).
+
+    Physical shape — the cartesian-free pattern for range predicates on a
+    distributed engine: quantize time into fixed ``bucket``s, EXPLODE each
+    interval to the buckets it covers (``sequence`` — built-in, no UDF),
+    equi-join on (keys, bucket), then apply the exact range residual.  A
+    point owns exactly ONE bucket, so no match is duplicated and no dedup
+    pass is needed.  Join fan-out is |intervals| x ceil(len/bucket) — pick
+    ``bucket`` near the typical interval length so each interval explodes
+    to ~2 rows.  The equi-join is an ordinary shuffle join Catalyst/AQE
+    plan freely (broadcast when the exploded intervals are small), versus
+    the O(|points| x |intervals|) BroadcastNestedLoopJoin Spark emits for a
+    raw BETWEEN predicate.  Truncation to whole seconds is monotone, so
+    bucket coverage never misses a microsecond-precision match (the exact
+    residual keeps only true pairs)."""
+    key_cols = list(key_cols or [])
+    width = _interval_seconds(bucket)
+    p = points.withColumn(
+        "_bk", F.expr(f"unix_timestamp({ts_col}) div {width}")
+    )
+    i = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.expr(
+                f"sequence(unix_timestamp({start_col}) div {width},"
+                f" unix_timestamp({end_col}) div {width})"
+            )
+        ),
+    )
+    joined = p.join(i, key_cols + ["_bk"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bk")
