@@ -893,6 +893,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = dsir_weights_q
 
+    def dsir_resample_q(spark, sf_dir):
+        """DSIR's resampling half (selection.dsir_resample): Gumbel-max
+        top-100 draw proportional to importance weight — deterministic
+        md5-seeded Gumbel perturbation on each doc's log-weight, then
+        TakeOrderedAndProject (per-partition heaps, no global sort).  The
+        DuckDB twin wraps the shared dsir_weights SQL and replays the
+        identical md5 -> uniform -> -ln(-ln u) -> round-6 key."""
+        from tilekiln_spark.operators.selection import dsir_resample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.filter(F.col("lang") == "en")
+        return dsir_resample(docs, target, k=100, buckets=8192)
+
+    q["dsir_resample"] = dsir_resample_q
+
     def c4_line_filter_q(spark, sf_dir):
         """C4 line-level cleaning (quality.c4_line_filter, Raffel et al.
         2020 §2.2): per-line terminal-punctuation / min-words / banned-word
@@ -3098,7 +3113,7 @@ def oracle_sql() -> dict[str, str]:
         FROM kept
     """
 
-    o["dsir_weights"] = r"""
+    _dsir_w = r"""
         WITH toks AS (
             SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS a
             FROM documents WHERE trim(text) != ''
@@ -3133,6 +3148,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
                coalesce(s.dsir_logweight, 0.0) AS dsir_logweight
         FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+    o["dsir_weights"] = _dsir_w
+    o["dsir_resample"] = f"""
+        WITH w AS ({_dsir_w})
+        SELECT doc_id, n_grams, dsir_logweight,
+               round(dsir_logweight
+                     - ln(-ln((CAST('0x' || substr(md5('g42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                                    AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+        FROM w
+        ORDER BY gumbel_key DESC, doc_id ASC
+        LIMIT 100
     """
 
     o["paragraph_dedup"] = """

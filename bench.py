@@ -130,6 +130,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "ccnet_buckets",
         "asof_join_views",
         "interval_join_errors",
+        "dsir_resample",
         "bpe_train",
         "quality_filter_funnel",
         "c4_line_filter",

@@ -131,3 +131,47 @@ def dsir_weights(
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    buckets: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """The RESAMPLING half of DSIR: draw ``k`` documents from ``df``
+    proportional to their importance weight, via the Gumbel-max trick —
+    ``argmax_k (log w(x) + Gumbel(0,1))`` is an exact sample-without-
+    replacement from the softmax over log-weights, and it is embarrassingly
+    parallel: one perturbed key per doc, then a global top-k.
+
+    The Gumbel noise is DETERMINISTIC — ``u = (md5('g{seed}:' || key)[:8]
+    as uint32 + 0.5) / 2^32`` (strictly inside (0,1), so the double logs
+    never hit infinity), ``g = -ln(-ln(u))`` — the same engine-portable
+    md5 draw as sampling.shard_assign, so any engine reproduces the exact
+    selection.  The perturbed key is rounded to 6 places BEFORE the order
+    (house convention: cross-engine libm ulp drift), ties break by key.
+
+    Scale: weights are the broadcast-model scoring pass of
+    :func:`dsir_weights`; the top-k compiles to TakeOrderedAndProject —
+    per-partition heaps of k rows each, no global sort, no shuffle of the
+    corpus.  Returns (key, n_grams, dsir_logweight, gumbel_key), the k
+    selected docs."""
+    w = dsir_weights(df, target, text_col, key_col, buckets)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"g{seed}:"), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    gk = F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 6)
+    return (
+        w.select(key_col, "n_grams", "dsir_logweight", gk.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
