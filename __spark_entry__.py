@@ -748,6 +748,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_views"] = asof_join_views
 
+    def asof_join_nearest(spark, sf_dir):
+        """direction='nearest' variant of asof_join_views: each click takes
+        whichever same-user view is closer in time (ties go backward,
+        pandas' merge_asof rule).  Both direction passes share ONE hash
+        partitioning — one exchange, two in-partition sorts.  The DuckDB
+        twin replays both window passes and the same pick rule via
+        interval comparison."""
+        from tilekiln_spark.operators.events import asof_join
+
+        e = _events(spark, sf_dir)
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = e.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return asof_join(
+            clicks, views, ["user_id"], "ts",
+            value_cols=["value"], tiebreak_col="event_id",
+            direction="nearest",
+        )
+
+    q["asof_join_nearest"] = asof_join_nearest
+
     def interval_join_errors(spark, sf_dir):
         """Bucketed range join (operators/events.py interval_join): count
         same-user clicks inside each error's [ts, ts+4h) window.  The
@@ -2970,6 +2994,40 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, user_id, ts, value, ts_asof, value_asof
+        FROM f WHERE _side = 1
+    """
+
+    o["asof_join_nearest"] = """
+        WITH u AS (
+            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS DOUBLE) AS _rtb,
+                   event_id, ts, value,
+                   CAST(NULL AS TIMESTAMP) AS m_ts, CAST(NULL AS DOUBLE) AS m_value
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, 0, CAST(event_id AS DOUBLE),
+                   NULL, NULL, NULL, ts, value
+            FROM events WHERE event_type = 'view'
+        ), f AS (
+            SELECT event_id, user_id, ts, value, _side,
+                   last_value(m_ts IGNORE NULLS) OVER wb AS b_ts,
+                   last_value(m_value IGNORE NULLS) OVER wb AS b_value,
+                   last_value(m_ts IGNORE NULLS) OVER wf AS f_ts,
+                   last_value(m_value IGNORE NULLS) OVER wf AS f_value
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id
+                          ORDER BY _ts ASC, _side, _rtb NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id
+                          ORDER BY _ts DESC, _side, _rtb NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN b_ts IS NOT NULL
+                         AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
+                    THEN b_ts ELSE f_ts END AS ts_asof,
+               CASE WHEN b_ts IS NOT NULL
+                         AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
+                    THEN b_value ELSE f_value END AS value_asof
         FROM f WHERE _side = 1
     """
 

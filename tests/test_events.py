@@ -167,3 +167,60 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = interval_join(pts, iv, key_cols=["user_id"])._jdf.queryExecution().executedPlan().toString()
     # hash-partitionable equi-join on (user_id, bucket); NOT a nested-loop
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    left = _ev(spark, [
+        (10, "2026-01-01T10:00:00", 1, "click", 0.0, ""),   # nearest: forward (1 vs 2 min)
+        (11, "2026-01-01T11:00:00", 1, "click", 0.0, ""),   # forward: none after
+        (12, "2026-01-01T09:30:00", 1, "click", 0.0, ""),   # backward: none before
+    ])
+    right = _ev(spark, [
+        (1, "2026-01-01T09:58:00", 1, "view", 5.0, ""),
+        (2, "2026-01-01T10:01:00", 1, "view", 6.0, ""),
+    ])
+    fwd = {r.event_id: r for r in asof_join(
+        left, right, ["user_id"], "ts", value_cols=["value"],
+        tiebreak_col="event_id", direction="forward").collect()}
+    assert fwd[10].value_asof == 6.0          # earliest at-or-after 10:00
+    assert fwd[11].value_asof is None
+    assert fwd[12].value_asof == 5.0
+    near = {r.event_id: r for r in asof_join(
+        left, right, ["user_id"], "ts", value_cols=["value"],
+        tiebreak_col="event_id", direction="nearest").collect()}
+    assert near[10].value_asof == 6.0         # 1 min forward beats 2 min back
+    assert near[11].value_asof == 6.0         # only backward exists
+    assert near[12].value_asof == 5.0         # only forward exists
+
+
+def test_asof_join_nearest_tie_goes_backward(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    left = _ev(spark, [(10, "2026-01-01T10:00:00", 1, "click", 0.0, "")])
+    right = _ev(spark, [
+        (1, "2026-01-01T09:59:00", 1, "view", 5.0, ""),
+        (2, "2026-01-01T10:01:00", 1, "view", 6.0, ""),
+    ])
+    r = asof_join(left, right, ["user_id"], "ts", value_cols=["value"],
+                  tiebreak_col="event_id", direction="nearest").collect()[0]
+    assert r.value_asof == 5.0                # pandas tie rule: backward wins
+    # forward-side tolerance nulls the forward candidate; backward survives
+    r2 = asof_join(left, right, ["user_id"], "ts", value_cols=["value"],
+                   tiebreak_col="event_id", direction="nearest",
+                   tolerance="30 seconds").collect()[0]
+    assert r2.value_asof is None              # both outside 30 s
+
+
+def test_asof_join_nearest_single_exchange(spark):
+    from tilekiln_spark.operators.events import asof_join
+
+    left = _ev(spark, [(10, "2026-01-01T10:00:00", 1, "click", 0.0, "")])
+    right = _ev(spark, [(1, "2026-01-01T09:59:00", 1, "view", 5.0, "")])
+    plan = asof_join(left, right, ["user_id"], "ts", value_cols=["value"],
+                     tiebreak_col="event_id", direction="nearest",
+                     )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # both direction passes reuse ONE hash partitioning on the keys
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -64,19 +64,24 @@ def asof_join(
     tiebreak_col: str | None = None,
     suffix: str = "_asof",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row gains the ``value_cols`` of the
-    most recent right row with the same keys and ``right.ts <= left.ts``
-    (pandas ``merge_asof(direction='backward', allow_exact_matches=True)``
-    semantics; kdb+ ``aj``).  Unmatched left rows keep nulls.
+    """As-of join: every left row gains the ``value_cols`` of the right row
+    with the same keys that is, per ``direction`` (pandas ``merge_asof``
+    semantics, ``allow_exact_matches=True``; kdb+ ``aj``):
 
-    Matched columns come back as ``<col><suffix>`` plus ``ts<suffix>`` (the
-    matched right timestamp).  When several right rows share the matching
-    timestamp, the one with the LARGEST ``tiebreak_col`` wins (required —
-    an as-of join without a total order on the right side is
-    nondeterministic).  ``tolerance`` (an INTERVAL string, e.g.
-    ``'10 minutes'``) nulls out matches older than ``left.ts - tolerance``,
-    like pandas' ``tolerance=``.
+    - ``'backward'`` — the most recent right row with ``right.ts <= left.ts``;
+    - ``'forward'`` — the earliest right row with ``right.ts >= left.ts``;
+    - ``'nearest'`` — whichever of those two is closer in time (ties go
+      backward, pandas' rule).
+
+    Unmatched left rows keep nulls.  Matched columns come back as
+    ``<col><suffix>`` plus ``ts<suffix>`` (the matched right timestamp).
+    When several right rows share the matching timestamp, the one with the
+    LARGEST ``tiebreak_col`` wins (required — an as-of join without a total
+    order on the right side is nondeterministic).  ``tolerance`` (an
+    INTERVAL string, e.g. ``'10 minutes'``) nulls out matches farther than
+    that from ``left.ts``, like pandas' ``tolerance=``.
 
     Physical shape — the point of doing it this way instead of a range
     join: tag the two inputs, ``unionByName`` them, and run ONE window pass
@@ -86,10 +91,15 @@ def asof_join(
     cost as the sort-merge join Spark would run anyway — with no
     point-in-interval blowup and no driver participation.  Right rows sort
     BEFORE left rows at equal ts, so exact-timestamp matches are included.
-    Skewed keys are ordinary shuffle skew (AQE's problem, not ours)."""
+    ``'forward'`` is the mirror image (ts descending); ``'nearest'``
+    evaluates both passes over the SAME hash partitioning (one exchange,
+    two in-partition sorts) and picks per row.  Skewed keys are ordinary
+    shuffle skew (AQE's problem, not ours)."""
     value_cols = list(value_cols or [])
     if tiebreak_col is None:
         raise ValueError("asof_join requires tiebreak_col for determinism")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     matched = [f"{c}{suffix}" for c in value_cols]
     mts = f"{ts_col}{suffix}"
 
@@ -108,22 +118,57 @@ def asof_join(
 
     # nulls-first on _rtb is Spark's ASC default; the DuckDB twin must pin
     # NULLS FIRST explicitly (its ASC default is nulls-last)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rtb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f{c}") for c in [mts] + matched]
-    )
+    def _fills(prefix: str, descending: bool) -> list:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(
+                F.col("_ts").desc() if descending else F.col("_ts").asc(),
+                F.col("_side").asc(),
+                F.col("_rtb").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return [
+            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in [mts] + matched
+        ]
+
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+
+    if direction in ("backward", "forward"):
+        fwd = direction == "forward"
+        filled = u.select("*", *_fills("_f", fwd))
+        out = filled.where(F.col("_side") == 1)
+        keep = F.lit(True)
+        if tol is not None:
+            keep = (
+                F.col(f"_f{mts}") <= F.col("_ts") + tol
+                if fwd
+                else F.col(f"_f{mts}") >= F.col("_ts") - tol
+            )
+        return out.select(
+            *left.columns,
+            *[F.when(keep, F.col(f"_f{c}")).alias(c) for c in [mts] + matched],
+        )
+
+    # nearest: both passes share the hash partitioning; pick per row
+    filled = u.select("*", *_fills("_b", False), *_fills("_ff", True))
     out = filled.where(F.col("_side") == 1)
-    keep_ts = F.lit(True)
-    if tolerance is not None:
-        keep_ts = F.col(f"_f{mts}") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+    bvalid = F.col(f"_b{mts}").isNotNull()
+    fvalid = F.col(f"_ff{mts}").isNotNull()
+    if tol is not None:
+        bvalid = bvalid & (F.col(f"_b{mts}") >= F.col("_ts") - tol)
+        fvalid = fvalid & (F.col(f"_ff{mts}") <= F.col("_ts") + tol)
+    pick_b = bvalid & (
+        ~fvalid
+        | ((F.col("_ts") - F.col(f"_b{mts}")) <= (F.col(f"_ff{mts}") - F.col("_ts")))
+    )
     return out.select(
         *left.columns,
         *[
-            F.when(keep_ts, F.col(f"_f{c}")).alias(c)
+            F.when(pick_b, F.col(f"_b{c}"))
+            .when(fvalid, F.col(f"_ff{c}"))
+            .alias(c)
             for c in [mts] + matched
         ],
     )
