@@ -1366,6 +1366,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pipeline_ccnet"] = corpus_pipeline_ccnet
 
+    def corpus_pipeline_buckets(spark, sf_dir):
+        """The paper-faithful CCNet funnel: Gopher gates -> per-language
+        head/middle/tail perplexity terciles with TAIL DROPPED (CCNet's own
+        selection, vs the fixed-threshold variant above; language derived
+        by lang_id on the gated docs) -> exact dedup -> clusters ->
+        decontamination -> sample -> pack.  The DuckDB twin splices the
+        shared LM SQL + lang_id SQL + the integer tercile rule into the
+        same chained pipeline oracle."""
+        from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+        c = _neardup_corpus(spark, sf_dir)
+        bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0).select("text")
+        return training_corpus_pipeline(
+            c, bench,
+            quality={"min_words": 20, "max_words": 80,
+                     "min_mean_word_len": 4.0, "max_dup_ngram_frac": 0.08},
+            lm_buckets=("head", "middle"), lm_k_vocab=30, lm_m_bigrams=120,
+        )
+
+    q["corpus_pipeline_buckets"] = corpus_pipeline_buckets
+
     def lm3_score_q(spark, sf_dir):
         """Trigram chained stupid backoff (functions/lm.py TrigramLM): one
         more pruned counting pass on top of the bigram LM, five broadcast
@@ -3603,6 +3624,44 @@ def oracle_sql() -> dict[str, str]:
         1,
     )
     o["corpus_pipeline_ccnet"] = _occ
+
+    # ... and the bucket variant replaces the fixed threshold with the
+    # per-language tercile rule (shared lang_id SQL + the same integer
+    # arithmetic the ccnet_buckets oracle uses)
+    from tilekiln_spark.functions.text import lang_id_sql as _lang_id_sql
+
+    _bk_cte = (
+        "), lmsc AS (\n            SELECT * FROM "
+        + _lm_scores_sql("gated", 30, 120)
+        + "\n        ), lmlang AS (\n"
+        "            SELECT s.doc_id, s.avg_logprob, "
+        + _lang_id_sql("g.text")
+        + " AS lng\n"
+        "            FROM lmsc s JOIN gated g USING (doc_id)\n"
+        "        ), lmbk AS (\n"
+        "            SELECT doc_id,\n"
+        "                   CASE WHEN 3 * rn <= n + 2 THEN 'head'\n"
+        "                        WHEN 3 * rn <= 2 * n + 2 THEN 'middle'\n"
+        "                        ELSE 'tail' END AS bucket\n"
+        "            FROM (SELECT doc_id,\n"
+        "                         row_number() OVER (PARTITION BY lng\n"
+        "                             ORDER BY avg_logprob DESC, doc_id) AS rn,\n"
+        "                         count(*) OVER (PARTITION BY lng) AS n\n"
+        "                  FROM lmlang)\n"
+        "        ), lmkept AS (\n"
+        "            SELECT g.doc_id, g.text FROM gated g\n"
+        "            LEFT JOIN lmbk b USING (doc_id)\n"
+        "            WHERE coalesce(b.bucket IN ('head', 'middle'), true)\n"
+        "        ), exact AS ("
+    )
+    _ocb = _opq.replace("), exact AS (", _bk_cte, 1)
+    _ocb = _ocb.replace("FROM gated) WHERE rn = 1", "FROM lmkept) WHERE rn = 1", 1)
+    _ocb = _ocb.replace(
+        "AS n_admitted,",
+        "AS n_admitted,\n               (SELECT count(*) FROM lmkept) AS n_lm,",
+        1,
+    )
+    o["corpus_pipeline_buckets"] = _ocb
 
     # ... and the probe variant splices the learned-filter stage between
     # clean and sampled, reusing the one _probe_cte_sql training chain the

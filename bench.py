@@ -141,6 +141,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "tfidf_keywords",
         "corpus_pipeline",
         "corpus_pipeline_ccnet",
+        "corpus_pipeline_buckets",
         "corpus_pipeline_probe",
         "fingerprints",
         "event_windows",

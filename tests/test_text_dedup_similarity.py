@@ -756,3 +756,29 @@ def test_semantic_dedup_centroid_far_exemplar(spark):
     assert base[0] == (0, 1) and base[1] == (0, 0) and base[2] == (0, 0)
     assert far[0] == (0, 0) and far[1] == (0, 0) and far[2] == (0, 1)
     assert base[10] == (10, 1) and far[10] == (10, 1)
+
+
+def test_training_corpus_pipeline_bucket_stage(spark):
+    """lm_buckets drops exactly the tail tercile; exclusive with the
+    fixed-threshold knob; no-bigram docs pass (no evidence)."""
+    import pytest
+
+    from tilekiln_spark.operators.pipeline import training_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and then the cat sat again " + ("qq " * (i % 3)))
+         for i in range(12)] + [(99, "solo")],   # one-token doc: no bigrams
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("nothing matches this",)], "text string")
+    row = training_corpus_pipeline(
+        docs, bench, fraction=1.0,
+        lm_buckets=("head", "middle"), lm_k_vocab=16, lm_m_bigrams=32,
+    ).collect()[0]
+    assert row.n_raw == 13
+    # 12 scoreable docs -> 4 tail dropped; the no-bigram doc passes
+    assert row.n_lm == 13 - 4
+    with pytest.raises(ValueError, match="not both"):
+        training_corpus_pipeline(
+            docs, bench, lm_min_logprob=-4.0, lm_buckets=("head",),
+        )

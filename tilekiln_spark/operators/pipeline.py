@@ -43,6 +43,7 @@ def training_corpus_pipeline(
     seed: int = 17,
     quality: dict | None = None,
     lm_min_logprob: float | None = None,
+    lm_buckets: tuple[str, ...] | None = None,
     lm_k_vocab: int = 50_000,
     lm_m_bigrams: int = 200_000,
     probe: dict | None = None,
@@ -63,6 +64,13 @@ def training_corpus_pipeline(
     statistics) are dropped; docs too short to have bigrams pass (no
     evidence).  Fixed threshold, not a percentile, so the stage is
     deterministic and cross-engine checkable.  Adds n_lm to the row.
+
+    ``lm_buckets`` (optional, exclusive with ``lm_min_logprob``): the
+    paper-faithful CCNet selection instead of a fixed threshold — bucket
+    the admitted docs into per-language head/middle/tail perplexity
+    terciles (functions/lm.ccnet_buckets, language derived by lang_id) and
+    keep only the named buckets, e.g. ``("head", "middle")`` (CCNet's own
+    choice).  Same n_lm slot in the funnel row.
 
     ``probe`` (optional): the FineWeb-Edu-style learned quality filter —
     {"embeddings": frame keyed by key_col with a vec_col column,
@@ -96,20 +104,44 @@ def training_corpus_pipeline(
         docs = gated
     n_lm: int | None = None
     lmkept: DataFrame | None = None
-    if lm_min_logprob is not None:
-        from tilekiln_spark.functions.lm import lm_doc_scores, train_bigram_lm
+    if lm_min_logprob is not None and lm_buckets is not None:
+        raise ValueError("pass lm_min_logprob OR lm_buckets, not both")
+    if lm_min_logprob is not None or lm_buckets is not None:
+        from tilekiln_spark.functions.lm import (
+            ccnet_buckets,
+            lm_doc_scores,
+            train_bigram_lm,
+        )
 
         lm = train_bigram_lm(docs, text_col, lm_k_vocab, lm_m_bigrams)
-        scores = lm_doc_scores(docs, lm, text_col, key_col).select(
-            key_col, "avg_logprob"
-        )
-        # scores is one narrow (key, double) row per doc — corpus-sized, so
-        # NO broadcast hint: the doc-keyed join is AQE's call (shuffle join
-        # at scale, auto-broadcast at test sizes).  Docs with no bigrams
-        # carry no evidence and pass.
-        lmkept = docs.join(scores, key_col, "left").filter(
-            F.coalesce(F.col("avg_logprob") >= F.lit(lm_min_logprob), F.lit(True))
-        ).drop("avg_logprob").persist()
+        if lm_buckets is not None:
+            # the paper's own selection rule: per-language perplexity
+            # terciles (language derived by functions/text.lang_id), keep
+            # the configured buckets — CCNet keeps head+middle.  Exact rank
+            # mode here (cross-engine-checkable); swap in cutoffs= for the
+            # map-only form at 100 TB.
+            b = ccnet_buckets(docs, lm, text_col, key_col).select(
+                key_col, "bucket"
+            )
+            keep = F.coalesce(
+                F.col("bucket").isin(*lm_buckets), F.lit(True)
+            )
+            drop_cols = ["bucket"]
+            joined = docs.join(b, key_col, "left")
+        else:
+            scores = lm_doc_scores(docs, lm, text_col, key_col).select(
+                key_col, "avg_logprob"
+            )
+            keep = F.coalesce(
+                F.col("avg_logprob") >= F.lit(lm_min_logprob), F.lit(True)
+            )
+            drop_cols = ["avg_logprob"]
+            joined = docs.join(scores, key_col, "left")
+        # the score/bucket frame is one narrow row per doc — corpus-sized,
+        # so NO broadcast hint: the doc-keyed join is AQE's call (shuffle
+        # join at scale, auto-broadcast at test sizes).  Docs with no
+        # bigrams carry no evidence and pass.
+        lmkept = joined.filter(keep).drop(*drop_cols).persist()
         n_lm = lmkept.count()
         lm.unpersist()
         docs = lmkept
