@@ -457,6 +457,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_assign_z6"] = tile_assign_z6
 
+    def tile_pyramid(spark, sf_dir):
+        """Pyramid statistics rollup (functions/tileids.tile_pyramid_rollup):
+        z6 doc-count tiles aggregated into every ancestor down to z0 via
+        the slippy-map parent rule (x >> (z-p)).  One bounded explode
+        (7 rows per tile) + ONE partial-aggregated groupBy — the map-side
+        combine collapses the 4^k-descendant fan-in before the shuffle.
+        This is the per-zoom overview/stats pass a tile store runs after
+        generation (the reference's tilekiln-storage stats, rolled up the
+        pyramid in one job)."""
+        from tilekiln_spark.functions.tileids import tile_pyramid_rollup
+
+        z = F.lit(6)
+        d = _mx_my(_docs(spark, sf_dir))
+        t6 = (
+            d.withColumn("x", tile_x(z, F.col("mx")))
+            .withColumn("y", tile_y(z, F.col("my")))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.lit(6).alias("zoom"), F.col("x").cast("long"),
+                    F.col("y").cast("long"), "n_docs")
+        )
+        return tile_pyramid_rollup(
+            t6, {"n_tiles": F.count("*"), "n_docs": F.sum("n_docs")}
+        ).select(
+            "zoom", "x", "y", "n_tiles",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+
+    q["tile_pyramid"] = tile_pyramid
+
     def tile_assign_multizoom(spark, sf_dir):
         """A4-adjacent: assignment across zooms {0,3,6,10}; per-zoom tile counts."""
         d = _mx_my(_docs(spark, sf_dir))
@@ -2790,6 +2820,23 @@ def oracle_sql() -> dict[str, str]:
         {_GEO_CTE}
         SELECT {tx6} AS x, {ty6} AS y, CAST(count(*) AS BIGINT) AS n_docs
         FROM geo GROUP BY 1, 2
+    """
+
+    o["tile_pyramid"] = f"""
+        {_GEO_CTE}, t6 AS (
+            SELECT CAST({tx6} AS BIGINT) AS x, CAST({ty6} AS BIGINT) AS y,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM geo GROUP BY 1, 2
+        ), anc AS (
+            SELECT CAST(p AS INT) AS zoom,
+                   x >> (6 - CAST(p AS INT)) AS x,
+                   y >> (6 - CAST(p AS INT)) AS y,
+                   n_docs
+            FROM t6, unnest(generate_series(0, 6)) AS s(p)
+        )
+        SELECT zoom, x, y, CAST(count(*) AS BIGINT) AS n_tiles,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs
+        FROM anc GROUP BY 1, 2, 3
     """
 
     parts = []

@@ -87,6 +87,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
     qs = entrymod.queries()
     for name in (
         "tile_assign_multizoom",
+        "tile_pyramid",
         "spatial_join_grid",
         "spatial_join_concave",
         "knn_centroids",

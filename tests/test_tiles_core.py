@@ -145,3 +145,47 @@ class TestEnvelopeMath:
         assert e == pytest.approx((-HALF_WORLD, 0.0, 0.0, HALF_WORLD))
         e = Tile(1, 1, 1).envelope(0)
         assert e == pytest.approx((0.0, -HALF_WORLD, HALF_WORLD, 0.0))
+
+
+def test_tile_pyramid_rollup(spark):
+    """Ancestor aggregation: every tile feeds each ancestor up to z0; the
+    x>>k / y>>k key math matches the slippy-map parent rule."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.tileids import tile_pyramid_rollup
+
+    tiles = spark.createDataFrame(
+        [(3, 0, 0, 10), (3, 1, 1, 20), (3, 7, 7, 40)],
+        "zoom int, x long, y long, n_bytes long",
+    )
+    out = tile_pyramid_rollup(
+        tiles,
+        {"n_tiles": F.count("*"), "total_bytes": F.sum("n_bytes")},
+    )
+    got = {(r.zoom, r.x, r.y): (r.n_tiles, r.total_bytes) for r in out.collect()}
+    assert got[(0, 0, 0)] == (3, 70)
+    assert got[(1, 0, 0)] == (2, 30) and got[(1, 1, 1)] == (1, 40)
+    assert got[(2, 0, 0)] == (2, 30) and got[(2, 3, 3)] == (1, 40)
+    assert got[(3, 7, 7)] == (1, 40)
+    # 3 input tiles at z3, 2 distinct ancestors at z2, 2 at z1, 1 at z0
+    assert len(got) == 3 + 2 + 2 + 1
+
+
+def test_tile_pyramid_rollup_min_zoom_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.tileids import tile_pyramid_rollup
+
+    tiles = spark.createDataFrame(
+        [(4, 5, 9, 1)], "zoom int, x long, y long, n_bytes long"
+    )
+    out = tile_pyramid_rollup(
+        tiles, {"n_tiles": F.count("*")}, min_zoom=2
+    )
+    got = sorted((r.zoom, r.x, r.y) for r in out.collect())
+    assert got == [(2, 1, 2), (3, 2, 4), (4, 5, 9)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    # one exchange (the rollup groupBy), partial agg before it
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in final

@@ -11,7 +11,7 @@ render time, reference tilekiln/definition.py:57-69).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -117,4 +117,47 @@ def cell_id(zoom: Column, mx: Column, my: Column) -> Column:
         F.shiftleft(zoom.cast("long"), 58)
         .bitwiseOR(F.shiftleft(tx, 29))
         .bitwiseOR(ty)
+    )
+
+
+def tile_pyramid_rollup(
+    tiles: DataFrame,
+    aggs: dict[str, Column],
+    zoom_col: str = "zoom",
+    x_col: str = "x",
+    y_col: str = "y",
+    min_zoom: int = 0,
+) -> DataFrame:
+    """Ancestor rollup over the tile pyramid: aggregate each input tile
+    into EVERY ancestor tile from its own zoom up to ``min_zoom`` (the
+    zoom-p ancestor of (z,x,y) is (p, x >> (z-p), y >> (z-p)) — slippy-map
+    key math, same convention as the reference's zoom/x/y addressing,
+    /root/reference/tilekiln/tile.py).  ``aggs`` maps output column names
+    to aggregate Columns over the input rows (e.g. ``{"n_tiles":
+    F.count("*"), "total_bytes": F.sum("n_bytes")}``).  This is the
+    overview/statistics pass a tile store runs after generation: bytes and
+    tile counts per ancestor at every zoom, in one job.
+
+    Physical shape: one generated-column explode (<= z - min_zoom + 1 rows
+    per tile — bounded by the zoom depth, never by data) and ONE
+    partial-aggregated groupBy on (zoom, x, y).  The map-side combine
+    collapses the 4^k-descendant fan-in inside each scan partition before
+    the exchange, so the shuffle carries at most one row per (ancestor,
+    partition) — the same hierarchical-aggregation shape as a rollup cube,
+    without materializing intermediate levels."""
+    z = F.col(zoom_col).cast("int")
+    e = tiles.withColumn(
+        "_pz", F.explode(F.sequence(F.lit(int(min_zoom)), z))
+    )
+    px = F.expr(f"{x_col} div shiftleft(1L, {zoom_col} - _pz)")
+    py = F.expr(f"{y_col} div shiftleft(1L, {zoom_col} - _pz)")
+    return (
+        e.select(
+            F.col("_pz").alias(zoom_col),
+            px.alias(x_col),
+            py.alias(y_col),
+            *[c for c in e.columns if c not in (zoom_col, x_col, y_col, "_pz")],
+        )
+        .groupBy(zoom_col, x_col, y_col)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
