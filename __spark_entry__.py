@@ -3044,43 +3044,41 @@ def oracle_sql() -> dict[str, str]:
 
     o["asof_join_views"] = """
         WITH u AS (
-            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS DOUBLE) AS _rtb,
+            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS BIGINT) AS _rtb,
                    event_id, ts, value,
-                   CAST(NULL AS TIMESTAMP) AS m_ts, CAST(NULL AS DOUBLE) AS m_value
+                   CAST(NULL AS STRUCT(mts TIMESTAMP, v DOUBLE)) AS m
             FROM events WHERE event_type = 'click'
             UNION ALL
-            SELECT user_id, ts, 0, CAST(event_id AS DOUBLE),
-                   NULL, NULL, NULL, ts, value
+            SELECT user_id, ts, 0, event_id,
+                   NULL, NULL, NULL, struct_pack(mts := ts, v := value)
             FROM events WHERE event_type = 'view'
         ), f AS (
             SELECT event_id, user_id, ts, value, _side,
-                   last_value(m_ts IGNORE NULLS) OVER w AS ts_asof,
-                   last_value(m_value IGNORE NULLS) OVER w AS value_asof
+                   last_value(m IGNORE NULLS) OVER w AS fm
             FROM u
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY _ts, _side, _rtb NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
-        SELECT event_id, user_id, ts, value, ts_asof, value_asof
+        SELECT event_id, user_id, ts, value,
+               fm.mts AS ts_asof, fm.v AS value_asof
         FROM f WHERE _side = 1
     """
 
     o["asof_join_nearest"] = """
         WITH u AS (
-            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS DOUBLE) AS _rtb,
+            SELECT user_id, ts AS _ts, 1 AS _side, CAST(NULL AS BIGINT) AS _rtb,
                    event_id, ts, value,
-                   CAST(NULL AS TIMESTAMP) AS m_ts, CAST(NULL AS DOUBLE) AS m_value
+                   CAST(NULL AS STRUCT(mts TIMESTAMP, v DOUBLE)) AS m
             FROM events WHERE event_type = 'click'
             UNION ALL
-            SELECT user_id, ts, 0, CAST(event_id AS DOUBLE),
-                   NULL, NULL, NULL, ts, value
+            SELECT user_id, ts, 0, event_id,
+                   NULL, NULL, NULL, struct_pack(mts := ts, v := value)
             FROM events WHERE event_type = 'view'
         ), f AS (
             SELECT event_id, user_id, ts, value, _side,
-                   last_value(m_ts IGNORE NULLS) OVER wb AS b_ts,
-                   last_value(m_value IGNORE NULLS) OVER wb AS b_value,
-                   last_value(m_ts IGNORE NULLS) OVER wf AS f_ts,
-                   last_value(m_value IGNORE NULLS) OVER wf AS f_value
+                   last_value(m IGNORE NULLS) OVER wb AS bm,
+                   last_value(m IGNORE NULLS) OVER wf AS fm
             FROM u
             WINDOW wb AS (PARTITION BY user_id
                           ORDER BY _ts ASC, _side, _rtb NULLS FIRST
@@ -3090,12 +3088,12 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, user_id, ts, value,
-               CASE WHEN b_ts IS NOT NULL
-                         AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
-                    THEN b_ts ELSE f_ts END AS ts_asof,
-               CASE WHEN b_ts IS NOT NULL
-                         AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
-                    THEN b_value ELSE f_value END AS value_asof
+               CASE WHEN bm.mts IS NOT NULL
+                         AND (fm.mts IS NULL OR (ts - bm.mts) <= (fm.mts - ts))
+                    THEN bm.mts ELSE fm.mts END AS ts_asof,
+               CASE WHEN bm.mts IS NOT NULL
+                         AND (fm.mts IS NULL OR (ts - bm.mts) <= (fm.mts - ts))
+                    THEN bm.v ELSE fm.v END AS value_asof
         FROM f WHERE _side = 1
     """
 

@@ -224,3 +224,37 @@ def test_asof_join_nearest_single_exchange(spark):
     assert "Join" not in plan
     # both direction passes reuse ONE hash partitioning on the keys
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_join_matched_row_is_atomic(spark):
+    """A matched right row with a NULL value field keeps that null — the
+    fill never splices a value from an older right row (review fix)."""
+    from tilekiln_spark.operators.events import asof_join
+
+    left = _ev(spark, [(10, "2026-01-01T10:06:00", 1, "click", 0.0, "")])
+    right = _ev(spark, [
+        (1, "2026-01-01T10:00:00", 1, "view", 7.0, ""),
+        (2, "2026-01-01T10:05:00", 1, "view", None, ""),
+    ])
+    r = asof_join(left, right, ["user_id"], "ts", value_cols=["value"],
+                  tiebreak_col="event_id").collect()[0]
+    assert r.ts_asof.isoformat() == "2026-01-01T10:05:00"
+    assert r.value_asof is None      # NOT 7.0 from the older row
+
+
+def test_asof_join_chaining_guard_and_suffix(spark):
+    import pytest
+
+    from tilekiln_spark.operators.events import asof_join
+
+    clicks = _ev(spark, [(10, "2026-01-01T10:05:00", 1, "click", 1.0, "")])
+    views = _ev(spark, [(1, "2026-01-01T10:00:00", 1, "view", 7.0, "")])
+    once = asof_join(clicks, views, ["user_id"], "ts",
+                     value_cols=["value"], tiebreak_col="event_id")
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(once, views, ["user_id"], "ts",
+                  value_cols=["value"], tiebreak_col="event_id")
+    twice = asof_join(once, views, ["user_id"], "ts",
+                      value_cols=["value"], tiebreak_col="event_id",
+                      suffix="_v2").collect()[0]
+    assert twice.value_asof == 7.0 and twice.value_v2 == 7.0

@@ -271,3 +271,17 @@ def test_trigram_scoring_is_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
     lm.unpersist()
+
+
+def test_ccnet_buckets_missing_language_gets_null_bucket(bucket_docs):
+    """A language absent from the cutoffs table classifies as NULL, never
+    a silent 'tail' (review fix)."""
+    from tilekiln_spark.functions.lm import ccnet_buckets
+
+    lm = train_bigram_lm(bucket_docs, k_vocab=6, m_bigrams=6)
+    cuts = {"en": (-1.0, -2.0)}        # no 'de' entry
+    out = {r.doc_id: r for r in
+           ccnet_buckets(bucket_docs, lm, lang_col="lang", cutoffs=cuts).collect()}
+    assert out[7].bucket is None       # de doc: unclassified, not 'tail'
+    assert all(r.bucket in ("head", "middle", "tail")
+               for r in out.values() if r.lang == "en")

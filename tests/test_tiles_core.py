@@ -189,3 +189,18 @@ def test_tile_pyramid_rollup_min_zoom_and_plan(spark):
     # one exchange (the rollup groupBy), partial agg before it
     assert final.count("Exchange hashpartitioning") == 1
     assert "partial_count" in final
+
+
+def test_tile_pyramid_rollup_excludes_shallower_tiles(spark):
+    """Tiles above min_zoom have no ancestors in range — excluded, not
+    wrapped into fake rows (review fix)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.tileids import tile_pyramid_rollup
+
+    tiles = spark.createDataFrame(
+        [(1, 1, 1, 5), (3, 4, 4, 7)], "zoom int, x long, y long, n_bytes long"
+    )
+    out = tile_pyramid_rollup(tiles, {"total": F.sum("n_bytes")}, min_zoom=2)
+    got = {(r.zoom, r.x, r.y): r.total for r in out.collect()}
+    assert got == {(2, 2, 2): 7, (3, 4, 4): 7}   # the z1 tile contributes nothing

@@ -216,8 +216,11 @@ def ccnet_buckets(
       bucket assignment is a MAP-ONLY pass (one broadcast join against a
       #languages-row table, no sort, no per-language task).  bucket =
       head when avg_logprob >= head_min, middle when >= middle_min, else
-      tail.  This is the mode that survives 100 TB; the exact mode is the
-      oracle-checkable small-scale twin.
+      tail; a language with no entry in ``cutoffs`` gets a NULL bucket
+      (no thresholds = no classification — the caller decides, rather
+      than a silent whole-language 'tail').  This is the mode that
+      survives 100 TB; the exact mode is the oracle-checkable
+      small-scale twin.
     """
     scores = lm_doc_scores(df, lm, text_col, id_col)
     if lang_col is None:
@@ -236,6 +239,10 @@ def ccnet_buckets(
         cuts = spark.createDataFrame(
             cut_rows, "lang string, head_min double, middle_min double"
         )
+        # a language absent from cutoffs carries NO thresholds: its docs
+        # get a NULL bucket (the caller decides), never a silent 'tail'
+        # (under CCNet's head+middle keep rule that would drop the whole
+        # language without a trace)
         return scored.join(F.broadcast(cuts), "lang", "left").select(
             id_col,
             "lang",
@@ -243,7 +250,7 @@ def ccnet_buckets(
             "avg_logprob",
             F.when(F.col("avg_logprob") >= F.col("head_min"), F.lit("head"))
             .when(F.col("avg_logprob") >= F.col("middle_min"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
+            .when(F.col("middle_min").isNotNull(), F.lit("tail"))
             .alias("bucket"),
         )
 

@@ -145,8 +145,11 @@ def tile_pyramid_rollup(
     the exchange, so the shuffle carries at most one row per (ancestor,
     partition) — the same hierarchical-aggregation shape as a rollup cube,
     without materializing intermediate levels."""
+    # tiles shallower than min_zoom have no ancestors in range: exclude
+    # them (F.sequence(lo, hi) with lo > hi counts DOWN and the negative
+    # shift would wrap, manufacturing fake ancestor rows)
     z = F.col(zoom_col).cast("int")
-    e = tiles.withColumn(
+    e = tiles.where(z >= F.lit(int(min_zoom))).withColumn(
         "_pz", F.explode(F.sequence(F.lit(int(min_zoom)), z))
     )
     px = F.expr(f"{x_col} div shiftleft(1L, {zoom_col} - _pz)")

@@ -76,7 +76,11 @@ def asof_join(
       backward, pandas' rule).
 
     Unmatched left rows keep nulls.  Matched columns come back as
-    ``<col><suffix>`` plus ``ts<suffix>`` (the matched right timestamp).
+    ``<col><suffix>`` plus ``ts<suffix>`` (the matched right timestamp),
+    and ALL of them come from the same right row — a null value field on
+    the matched row stays null, it is never spliced from an older row.
+    Chaining calls requires a distinct ``suffix`` per call (a collision
+    with an existing left column raises).
     When several right rows share the matching timestamp, the one with the
     LARGEST ``tiebreak_col`` wins (required — an as-of join without a total
     order on the right side is nondeterministic).  ``tolerance`` (an
@@ -102,14 +106,28 @@ def asof_join(
         raise ValueError(f"unknown direction: {direction!r}")
     matched = [f"{c}{suffix}" for c in value_cols]
     mts = f"{ts_col}{suffix}"
+    # chaining guard: output/internal names landing on existing left
+    # columns would be silently merged by unionByName
+    clash = ({mts, *matched, "_ts", "_side", "_rtb", "_m"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output/internal columns already on left: {sorted(clash)}"
+            " — pass a different suffix="
+        )
 
+    # the match travels as ONE struct so every output field comes from the
+    # SAME right row (per-column ignorenulls fills would splice a null
+    # value field from an older right row); tiebreak keeps its native type
+    # (casting to double would collapse >2^53 ids and null out strings)
     rsel = right.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(tiebreak_col).cast("double").alias("_rtb"),
-        F.col(ts_col).alias(mts),
-        *[F.col(c).alias(m) for c, m in zip(value_cols, matched)],
+        F.col(tiebreak_col).alias("_rtb"),
+        F.struct(
+            F.col(ts_col).alias("mts"),
+            *[F.col(c).alias(f"v{i}") for i, c in enumerate(value_cols)],
+        ).alias("_m"),
     )
     lsel = left.select(
         *left.columns, F.col(ts_col).alias("_ts"), F.lit(1).alias("_side")
@@ -118,7 +136,7 @@ def asof_join(
 
     # nulls-first on _rtb is Spark's ASC default; the DuckDB twin must pin
     # NULLS FIRST explicitly (its ASC default is nulls-last)
-    def _fills(prefix: str, descending: bool) -> list:
+    def _fill(descending: bool):
         w = (
             Window.partitionBy(*key_cols)
             .orderBy(
@@ -128,48 +146,60 @@ def asof_join(
             )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        return F.last("_m", ignorenulls=True).over(w)
+
+    def _emit(m, keep):
+        fields = [F.col(ts_col + "___m").getField("mts")] + [
+            F.col(ts_col + "___m").getField(f"v{i}") for i in range(len(value_cols))
+        ]
         return [
-            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in [mts] + matched
+            F.when(keep, fld).alias(name)
+            for fld, name in zip(fields, [mts] + matched)
         ]
 
     tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
     if direction in ("backward", "forward"):
         fwd = direction == "forward"
-        filled = u.select("*", *_fills("_f", fwd))
+        filled = u.select("*", _fill(fwd).alias(ts_col + "___m"))
         out = filled.where(F.col("_side") == 1)
-        keep = F.lit(True)
+        m = F.col(ts_col + "___m")
+        keep = m.isNotNull()
         if tol is not None:
-            keep = (
-                F.col(f"_f{mts}") <= F.col("_ts") + tol
+            keep = keep & (
+                m.getField("mts") <= F.col("_ts") + tol
                 if fwd
-                else F.col(f"_f{mts}") >= F.col("_ts") - tol
+                else m.getField("mts") >= F.col("_ts") - tol
             )
-        return out.select(
-            *left.columns,
-            *[F.when(keep, F.col(f"_f{c}")).alias(c) for c in [mts] + matched],
-        )
+        return out.select(*left.columns, *_emit(m, keep))
 
     # nearest: both passes share the hash partitioning; pick per row
-    filled = u.select("*", *_fills("_b", False), *_fills("_ff", True))
+    filled = u.select(
+        "*", _fill(False).alias("_bm"), _fill(True).alias("_fm")
+    )
     out = filled.where(F.col("_side") == 1)
-    bvalid = F.col(f"_b{mts}").isNotNull()
-    fvalid = F.col(f"_ff{mts}").isNotNull()
+    bm, fm = F.col("_bm"), F.col("_fm")
+    bvalid = bm.isNotNull()
+    fvalid = fm.isNotNull()
     if tol is not None:
-        bvalid = bvalid & (F.col(f"_b{mts}") >= F.col("_ts") - tol)
-        fvalid = fvalid & (F.col(f"_ff{mts}") <= F.col("_ts") + tol)
+        bvalid = bvalid & (bm.getField("mts") >= F.col("_ts") - tol)
+        fvalid = fvalid & (fm.getField("mts") <= F.col("_ts") + tol)
     pick_b = bvalid & (
         ~fvalid
-        | ((F.col("_ts") - F.col(f"_b{mts}")) <= (F.col(f"_ff{mts}") - F.col("_ts")))
+        | (
+            (F.col("_ts") - bm.getField("mts"))
+            <= (fm.getField("mts") - F.col("_ts"))
+        )
     )
+    names = [mts] + matched
+    fields = ["mts"] + [f"v{i}" for i in range(len(value_cols))]
     return out.select(
         *left.columns,
         *[
-            F.when(pick_b, F.col(f"_b{c}"))
-            .when(fvalid, F.col(f"_ff{c}"))
-            .alias(c)
-            for c in [mts] + matched
+            F.when(pick_b, bm.getField(f))
+            .when(fvalid, fm.getField(f))
+            .alias(n)
+            for f, n in zip(fields, names)
         ],
     )
 
@@ -183,8 +213,14 @@ _UNIT_SECONDS = {
 def _interval_seconds(spec: str) -> int:
     """'10 minutes' -> 600.  Resolved driver-side (Spark can't extract
     epoch seconds from an ANSI interval literal)."""
-    n, unit = spec.strip().split()
-    secs = int(n) * _UNIT_SECONDS[unit.lower()]
+    try:
+        n, unit = spec.strip().split()
+        secs = int(n) * _UNIT_SECONDS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bucket must be '<n> <unit>' with unit one of "
+            f"{sorted(set(_UNIT_SECONDS))}: {spec!r}"
+        ) from None
     if secs <= 0:
         raise ValueError(f"bucket must be a positive interval: {spec!r}")
     return secs

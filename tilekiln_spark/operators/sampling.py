@@ -45,6 +45,16 @@ def sample_hash(key: Column, seed: int = 42) -> Column:
     )
 
 
+def md5_u32(key: Column) -> Column:
+    """First 8 md5 hex chars of ``key`` as a uint32-valued long — THE
+    engine-portable integer draw (DuckDB twin:
+    ``CAST('0x' || substr(md5(k), 1, 8) AS BIGINT)``).  Callers compose
+    their own prefix/seed into ``key`` and their own transform on top
+    (mod-buckets, /2^32 uniform, ...); the hex-to-int step lives here so
+    the cross-engine contract has ONE implementation."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
 def _threshold_hex(fraction: float) -> str:
     f = min(max(float(fraction), 0.0), 1.0)
     if f >= 1.0:

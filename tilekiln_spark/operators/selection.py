@@ -59,14 +59,11 @@ def hashed_gram_buckets(text: Column, buckets: int = 8192) -> Column:
         )
     )
     grams = F.concat(toks, bi)
+    from tilekiln_spark.operators.sampling import md5_u32
+
     return F.transform(
         grams,
-        lambda g: (
-            F.conv(F.substring(F.md5(F.encode(g, "utf-8")), 1, 8), 16, 10).cast(
-                "long"
-            )
-            % F.lit(int(buckets))
-        ).cast("int"),
+        lambda g: (md5_u32(F.encode(g, "utf-8")) % F.lit(int(buckets))).cast("int"),
     )
 
 
@@ -160,13 +157,11 @@ def dsir_resample(
     per-partition heaps of k rows each, no global sort, no shuffle of the
     corpus.  Returns (key, n_grams, dsir_logweight, gumbel_key), the k
     selected docs."""
+    from tilekiln_spark.operators.sampling import md5_u32
+
     w = dsir_weights(df, target, text_col, key_col, buckets)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"g{seed}:"), F.col(key_col).cast("string"))),
-            1, 8,
-        ),
-        16, 10,
+    h = md5_u32(
+        F.concat(F.lit(f"g{seed}:"), F.col(key_col).cast("string"))
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
     gk = F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 6)
