@@ -439,3 +439,37 @@ def test_corpus_cli_tokenize_and_pack(spark, tmp_path, capsys):
     sq = spark.read.parquet(seqs).collect()
     assert sum(r.n_tokens for r in sq) == total
     assert all(r.n_tokens == 64 for r in sq if r.seq < len(sq) - 1)
+
+
+def test_corpus_cli_buckets_and_resample(spark, tmp_path, capsys):
+    """corpus buckets (exact + --estimate) and corpus resample end-to-end."""
+    from tilekiln_spark.cli import main
+
+    rows = [(i, ("the cat sat on the mat " * 4) + ("zz " * (i % 4)), "en")
+            for i in range(12)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+
+    bk = str(tmp_path / "buckets.parquet")
+    assert main(["corpus", "buckets", "--input", src, "--output", bk,
+                 "--lang-col", "lang", "--k-vocab", "8", "--m-bigrams", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "head" in out and "tail" in out
+    got = spark.read.parquet(bk)
+    assert got.count() == 12 and "bucket" in got.columns
+
+    assert main(["corpus", "buckets", "--input", src, "--output", bk,
+                 "--lang-col", "lang", "--k-vocab", "8", "--m-bigrams", "16",
+                 "--estimate"]) == 0
+    capsys.readouterr()
+
+    rs = str(tmp_path / "picked.parquet")
+    # exactly one of --target / --target-where
+    assert main(["corpus", "resample", "--input", src, "--output", rs,
+                 "--k", "5"]) == 2
+    assert main(["corpus", "resample", "--input", src, "--output", rs,
+                 "--k", "5", "--target-where", "doc_id % 4 = 0",
+                 "--buckets", "256"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 5
+    assert spark.read.parquet(rs).count() == 5

@@ -484,6 +484,69 @@ def cmd_corpus_lmscore(args) -> int:
     return 0
 
 
+def cmd_corpus_buckets(args) -> int:
+    """corpus buckets: CCNet head/middle/tail perplexity terciles per
+    language (exact rank rule, or the map-only broadcast-cutoff mode with
+    --estimate).  Bucketed table to parquet; per-(lang, bucket) counts on
+    stdout."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.lm import (
+        ccnet_buckets,
+        ccnet_cutoffs,
+        train_bigram_lm,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    lm = train_bigram_lm(
+        df, args.text_col, k_vocab=args.k_vocab, m_bigrams=args.m_bigrams
+    )
+    cuts = None
+    if args.estimate:
+        cuts = ccnet_cutoffs(df, lm, args.text_col, args.id_col, args.lang_col)
+    out = ccnet_buckets(
+        df, lm, args.text_col, args.id_col, args.lang_col, cutoffs=cuts
+    ).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    counts = (
+        out.groupBy("lang", "bucket").count().orderBy("lang", "bucket").collect()
+    )
+    for r in counts:
+        print(f"{r.lang}\t{r.bucket}\t{r['count']}")
+    out.unpersist()
+    lm.unpersist()
+    return 0
+
+
+def cmd_corpus_resample(args) -> int:
+    """corpus resample: DSIR importance resampling — Gumbel-max top-k draw
+    of input docs proportional to their importance weight against the
+    target corpus (--target parquet, or --target-where filter on the
+    input).  Selected docs to parquet; top rows on stdout."""
+    from tilekiln_spark.operators.selection import dsir_resample
+
+    if (args.target is None) == (args.target_where is None):
+        print("pass exactly one of --target / --target-where", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    target = (
+        spark.read.parquet(args.target)
+        if args.target
+        else df.filter(args.target_where)
+    )
+    out = dsir_resample(
+        df, target, k=args.k, text_col=args.text_col,
+        key_col=args.id_col, buckets=args.buckets, seed=args.seed,
+    ).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    for r in out.limit(args.top).collect():
+        print(f"{r[args.id_col]}\t{r.dsir_logweight:.6f}\t{r.gumbel_key:.6f}")
+    out.unpersist()
+    return 0
+
+
 def cmd_corpus_bpetrain(args) -> int:
     """corpus bpetrain: learn BPE merges from the corpus; one merge per
     line on stdout (training order), merge table to parquet."""
@@ -907,6 +970,29 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--m-bigrams", type=int, default=200_000)
     cl.add_argument("--top", type=int, default=20)
     cl.set_defaults(fn=cmd_corpus_lmscore)
+    cbk = co.add_parser("buckets")
+    cbk.add_argument("--input", required=True)
+    cbk.add_argument("--output", required=True)
+    cbk.add_argument("--text-col", default="text")
+    cbk.add_argument("--id-col", default="doc_id")
+    cbk.add_argument("--lang-col", default=None)
+    cbk.add_argument("--k-vocab", type=int, default=50_000)
+    cbk.add_argument("--m-bigrams", type=int, default=200_000)
+    cbk.add_argument("--estimate", action="store_true",
+                     help="approx_percentile cutoffs + map-only assignment")
+    cbk.set_defaults(fn=cmd_corpus_buckets)
+    crs = co.add_parser("resample")
+    crs.add_argument("--input", required=True)
+    crs.add_argument("--output", required=True)
+    crs.add_argument("--target", default=None)
+    crs.add_argument("--target-where", default=None)
+    crs.add_argument("--k", type=int, required=True)
+    crs.add_argument("--text-col", default="text")
+    crs.add_argument("--id-col", default="doc_id")
+    crs.add_argument("--buckets", type=int, default=8192)
+    crs.add_argument("--seed", type=int, default=42)
+    crs.add_argument("--top", type=int, default=20)
+    crs.set_defaults(fn=cmd_corpus_resample)
     cb = co.add_parser("bpetrain")
     cb.add_argument("--input", required=True)
     cb.add_argument("--output", required=True)
