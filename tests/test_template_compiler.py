@@ -1204,3 +1204,71 @@ def test_scalar_subquery_count_and_errors(spark):
             "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM t "
             "WHERE n > (SELECT n FROM t)"
         ).build(srcs, [3], 4096, 0)
+
+
+def test_compiled_st_simplify(spark):
+    """ST_Simplify(way, tol) inside ST_AsMVTGeom compiles to the
+    pre-encode thinning kernel: same tiles, payloads never larger, and a
+    meaningful tolerance strictly shrinks at least one polygon tile."""
+    def cfg(geom):
+        return Config(
+            f"""
+metadata: {{id: simp}}
+vector_layers:
+  water:
+    fields: {{}}
+    sql:
+    - {{minzoom: 2, maxzoom: 4, extent: 4096, file: simp.t}}
+""",
+            {
+                "simp.t": f"""
+SELECT ST_AsMVTGeom({geom}, {{{{bbox}}}}, {{{{extent}}}}) AS way, osm_id
+FROM water_polygons
+WHERE way && {{{{bbox}}}}
+"""
+            },
+        )
+
+    sources = _sources(spark)
+    plain = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+             render_zooms(cfg("way"), [2, 3], dict(sources)).collect()}
+    simp = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+            render_zooms(cfg("ST_Simplify(way, 200000)"), [2, 3],
+                         dict(sources)).collect()}
+    assert set(plain) == set(simp)
+    assert all(len(simp[k]) <= len(plain[k]) for k in plain)
+    assert any(len(simp[k]) < len(plain[k]) for k in plain)
+
+
+def test_compiled_st_simplify_rejections(spark):
+    from tilekiln_spark.config.errors import DefinitionError
+
+    def one(geom, table):
+        return Config(
+            """
+metadata: {id: bad}
+vector_layers:
+  l:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: b.t}
+""",
+            {"b.t": f"""
+SELECT ST_AsMVTGeom({geom}, {{{{bbox}}}}, {{{{extent}}}}) AS way, osm_id
+FROM {table} WHERE way && {{{{bbox}}}}
+"""},
+        )
+
+    sources = _sources(spark)
+    with pytest.raises(DefinitionError, match="polygon/line"):
+        # planet_osm_polygon maps onto the point-kind fixture rows
+        render_zooms(one("ST_Simplify(way, 100)", "planet_osm_polygon"),
+                     [2], dict(sources))
+    with pytest.raises(DefinitionError, match="positive numeric"):
+        render_zooms(one("ST_Simplify(way, 0)", "water_polygons"),
+                     [2], dict(sources))
+    with pytest.raises(DefinitionError, match="geometry column"):
+        # ST_Simplify composes only with a plain geometry column
+        render_zooms(
+            one("ST_Simplify(ST_PointOnSurface(way), 100)", "water_polygons"),
+            [2], dict(sources))

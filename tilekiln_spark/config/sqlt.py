@@ -1060,18 +1060,38 @@ def _fold_pow_literals(ast):
 
 def _geom_item(items: list[Item]):
     """Find the ST_AsMVTGeom item; returns ('plain'|'label'|'cluster',
-    remaining items).  'cluster' is the aggregate-geometry form
-    ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)`` used with GROUP BY —
-    the per-tile SQL run aggregates its rows, so the feature geometry is the
-    group's centroid."""
+    remaining items, simplify_tolerance).  'cluster' is the
+    aggregate-geometry form ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)),
+    ...)`` used with GROUP BY — the per-tile SQL run aggregates its rows,
+    so the feature geometry is the group's centroid.
+    ``ST_Simplify(way, tol)`` compiles to the pre-encode vertex-thinning
+    kernel (operators/simplify.py — distance-parameterized VW, the
+    documented ST_Simplify deviation) and is only meaningful on
+    polygon/line tables."""
     mode = None
     rest = []
+    simplify_tol = 0.0
     for it in items:
         e = it.expr
         if isinstance(e, Func) and e.name.lower() == "st_asmvtgeom":
             if mode is not None:
                 raise DefinitionError("template SQL: more than one ST_AsMVTGeom item")
             inner = e.args[0] if e.args else None
+            if isinstance(inner, Func) and inner.name.lower() == "st_simplify":
+                if (
+                    len(inner.args) != 2
+                    or not isinstance(inner.args[0], Ident)
+                    or not isinstance(inner.args[1], Lit)
+                    or not isinstance(inner.args[1].value, (int, float))
+                    or isinstance(inner.args[1].value, bool)
+                    or float(inner.args[1].value) <= 0
+                ):
+                    raise DefinitionError(
+                        "template SQL: ST_Simplify takes (geometry column, "
+                        "positive numeric tolerance)"
+                    )
+                simplify_tol = float(inner.args[1].value)
+                inner = inner.args[0]
             if isinstance(inner, Ident):
                 mode = "plain"
             elif isinstance(inner, Func) and inner.name.lower() == "st_pointonsurface":
@@ -1087,14 +1107,15 @@ def _geom_item(items: list[Item]):
             else:
                 raise DefinitionError(
                     "template SQL: ST_AsMVTGeom argument must be a geometry "
-                    "column, ST_PointOnSurface(geometry), or "
+                    "column, ST_Simplify(geometry, tol), "
+                    "ST_PointOnSurface(geometry), or "
                     "ST_Centroid(ST_Collect(geometry))"
                 )
         else:
             rest.append(it)
     if mode is None:
         raise DefinitionError("template SQL: SELECT must include ST_AsMVTGeom(...)")
-    return mode, rest
+    return mode, rest, simplify_tol
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
@@ -1823,7 +1844,7 @@ class CompiledTemplate:
 
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
-                mode, _ = _geom_item(s.items)
+                mode, _, _ = _geom_item(s.items)
                 if mode in ("label", "cluster"):
                     return GEOM_POINT
                 _, kind = _resolve_table(sources, s.table)
@@ -1856,7 +1877,7 @@ class CompiledTemplate:
                     for it in items_all
                 ]
                 having = _resolve_scalars(having, sources, extent)
-                mode, items = _geom_item(items_all)
+                mode, items, simplify_tol = _geom_item(items_all)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)
                 if where is not None:
@@ -1900,6 +1921,11 @@ class CompiledTemplate:
 
                         branch = polygon_label_points(df, props_cols)
                 elif kind == "point":
+                    if simplify_tol:
+                        raise DefinitionError(
+                            "template SQL: ST_Simplify is only valid over "
+                            "polygon/line tables"
+                        )
                     branch = df.select(
                         "zoom", "mx", "my",
                         *[_to_col(it.expr, extent).alias(_item_alias(it)) for it in items],
@@ -1911,6 +1937,7 @@ class CompiledTemplate:
                         props={_item_alias(it): _to_col(it.expr, extent) for it in items},
                         close=(kind == "line"),
                         pre_exploded=True,
+                        simplify_tolerance=simplify_tol,
                     )
                 out = branch if out is None else out.unionByName(branch)
         if out is None:

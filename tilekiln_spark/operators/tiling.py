@@ -293,6 +293,7 @@ def _poly_tile_rows(
     props: dict[str, Column],
     close: bool = False,
     pre_exploded: bool = False,
+    simplify_tolerance: float = 0.0,
 ) -> DataFrame:
     """Geometry-layer rows: one (polygon, zoom, tile) row carrying the
     feature's RINGS in tile-local FLOAT coordinates as nested arrays
@@ -308,7 +309,16 @@ def _poly_tile_rows(
     Tiles = every tile whose buffered envelope intersects the feature bbox
     (bbox explode, the ST_AsMVTGeom assignment for areal geometry);
     `close=True` appends each ring's first vertex again so rings read as
-    closed outline LINESTRINGs."""
+    closed outline LINESTRINGs.  ``simplify_tolerance > 0`` thins the
+    rings FIRST (operators/simplify.py, the compiled ST_Simplify form) —
+    before the tile explode, so each feature simplifies once per source
+    row, not once per intersecting tile; the bbox columns keep the
+    unsimplified extent (a superset — spurious tiles clip to empty and
+    drop)."""
+    if simplify_tolerance > 0:
+        from tilekiln_spark.operators.simplify import simplify_ring_cols
+
+        polys = simplify_ring_cols(polys, simplify_tolerance)
     z = F.col("zoom")
     length = tile_length_col(z)
     margin = (buffer / extent) * length
