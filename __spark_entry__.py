@@ -1711,6 +1711,106 @@ vector_layers:
         return tiles.mapInPandas(per_feature, out_schema)
 
     q["mvt_poly_render"] = mvt_poly_render
+
+    def mvt_simplify_render(spark, sf_dir):
+        """The compiled ST_Simplify path, hash-checked EXACTLY: the same
+        6x6 polygon grid as mvt_poly_render, but every rectangle edge
+        (bottom/right/top) densified with 3 exactly-collinear midpoints
+        (horizontal/vertical edges: collinearity is exact in doubles), and
+        the layer rendered through a compiled template whose geometry is
+        ST_AsMVTGeom(ST_Simplify(way, 1.0), ...).  The thinning kernel
+        (operators/simplify.py) must remove every midpoint — ring
+        endpoints are pinned but both are true corners by construction —
+        so the decoded per-feature stats equal mvt_poly_render's: the
+        oracle is that query's twin VERBATIM.  Without the kernel the
+        collinear midpoints survive the clip and the vertex counts (hence
+        the hash) diverge."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.mvt import decode_geom, decode_tile
+        from tilekiln_spark.operators.tiling import render_zoom
+
+        g = _grid_polys(spark)
+        mx = (F.col("xmin") + F.col("xmax")) / 2
+        my = (F.col("ymin") + F.col("ymax")) / 2
+        qx1 = F.col("xmin") + (F.col("xmax") - F.col("xmin")) / 4
+        qx3 = F.col("xmin") + 3 * (F.col("xmax") - F.col("xmin")) / 4
+        qy1 = F.col("ymin") + (F.col("ymax") - F.col("ymin")) / 4
+        qy3 = F.col("ymin") + 3 * (F.col("ymax") - F.col("ymin")) / 4
+        dense = g.select(
+            "polygon_id", "xmin", "ymin", "xmax", "ymax",
+            F.col("polygon_id").cast("long").alias("osm_id"),
+            # c0, 3 bottom mids, c1, 3 right mids, c2, 3 top mids, c3
+            F.array(
+                F.col("xmin"), qx1, mx, qx3,
+                F.col("xmax"), F.col("xmax"), F.col("xmax"), F.col("xmax"),
+                F.col("xmax"), qx3, mx, qx1,
+                F.col("xmin"),
+            ).alias("ring_xs"),
+            F.array(
+                F.col("ymin"), F.col("ymin"), F.col("ymin"), F.col("ymin"),
+                F.col("ymin"), qy1, my, qy3,
+                F.col("ymax"), F.col("ymax"), F.col("ymax"), F.col("ymax"),
+                F.col("ymax"),
+            ).alias("ring_ys"),
+        )
+        cfg = Config(
+            """
+metadata: {id: vsimp}
+vector_layers:
+  gridpoly:
+    fields: {}
+    sql:
+    - {minzoom: 0, maxzoom: 8, extent: 2048, buffer: 8, file: sp.t}
+""",
+            {"sp.t": """
+SELECT ST_AsMVTGeom(ST_Simplify(way, 1.0), {{bbox}}, {{extent}}) AS way,
+       osm_id
+FROM dense_polys
+WHERE way && {{bbox}}
+"""},
+        )
+        geo = spark.createDataFrame([], "url string, lang string, mx double, my double")
+        tiles = render_zoom(cfg, 3, {
+            "pages_geo": geo,
+            "layer_polygons": dense.limit(0),
+            "tables": {"dense_polys": {"frame": lambda s: dense, "kind": "polygon"}},
+        })
+
+        out_schema = (
+            "zoom int, x int, y int, osm_id long, n_vertices int, "
+            "min_px long, max_px long, min_py long, max_py long"
+        )
+
+        def per_feature(batches):
+            for pdf in batches:
+                rows = []
+                for z, x, y, blob in zip(pdf["zoom"], pdf["x"], pdf["y"], pdf["gridpoly_data"]):
+                    (layer,) = decode_tile(bytes(blob))
+                    ki = layer["keys"].index("osm_id")
+                    for f in layer["features"]:
+                        tags = f["tags"]
+                        vi = next(
+                            tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki
+                        )
+                        osm_id = int(layer["values"][vi])
+                        (ring,) = decode_geom(f)
+                        vs = ring[:-1]
+                        xs = [p[0] for p in vs]
+                        ys = [p[1] for p in vs]
+                        rows.append(
+                            (int(z), int(x), int(y), osm_id, len(vs),
+                             min(xs), max(xs), min(ys), max(ys))
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["zoom", "x", "y", "osm_id", "n_vertices",
+                             "min_px", "max_px", "min_py", "max_py"],
+                )
+
+        return tiles.mapInPandas(per_feature, out_schema)
+
+    q["mvt_simplify_render"] = mvt_simplify_render
     q["mvt_poly_render"].encode_only = mvt_poly_encode
 
     def mvt_holes_render(spark, sf_dir):
@@ -4059,6 +4159,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE greatest(pxmin, -8) < least(pxmax, 2056)
           AND greatest(pymin, -8) < least(pymax, 2056)
     """
+
+    # the simplify render must land on EXACTLY the undensified grid's
+    # stats — the oracle is mvt_poly_render's twin verbatim
+    o["mvt_simplify_render"] = o["mvt_poly_render"]
 
     # ---- interior rings: rect - rect hole == two rectangle clips ----
     lenh = f"(2.0 * {HW} / power(2.0, 2))"

@@ -94,6 +94,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "mvt_render_z4",
         "mvt_poly_render",
         "mvt_holes_render",
+        "mvt_simplify_render",
         "template_compile_union",
         "template_compile_topn",
         "template_compile_groupby",
