@@ -258,3 +258,36 @@ def test_asof_join_chaining_guard_and_suffix(spark):
                       value_cols=["value"], tiebreak_col="event_id",
                       suffix="_v2").collect()[0]
     assert twice.value_asof == 7.0 and twice.value_v2 == 7.0
+
+
+def test_interval_join_stream_static(spark, tmp_path):
+    """interval_join composes with Structured Streaming unchanged: a
+    streaming points side against static intervals is a stream-static
+    equi-join (append mode, no state, no watermark needed)."""
+    import json
+
+    from tilekiln_spark.operators.events import interval_join
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for r in [(1, "2026-01-01T10:05:00", 1, "click", 1.0, ""),
+                  (2, "2026-01-01T10:25:00", 1, "click", 2.0, ""),
+                  (3, "2026-01-01T10:05:00", 2, "click", 3.0, "")]:
+            f.write(json.dumps(dict(zip(
+                ["event_id", "ts", "user_id", "event_type", "value", "props"], r))) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    iv = spark.createDataFrame(
+        [(100, 1, "2026-01-01T10:00:00", "2026-01-01T10:10:00")],
+        "iv_id long, user_id long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+    q = (
+        interval_join(stream, iv, key_cols=["user_id"], bucket="10 minutes")
+        .select("event_id", "iv_id")
+        .writeStream.format("memory").queryName("ivj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.iv_id) for r in spark.sql("SELECT * FROM ivj_out").collect())
+    assert got == [(1, 100)]

@@ -1272,3 +1272,32 @@ FROM {table} WHERE way && {{{{bbox}}}}
         render_zooms(
             one("ST_Simplify(ST_PointOnSurface(way), 100)", "water_polygons"),
             [2], dict(sources))
+
+
+def test_compiled_st_simplify_preserve_topology_alias(spark):
+    """ST_SimplifyPreserveTopology (the common osm-template spelling)
+    compiles to the same kernel: byte-identical to ST_Simplify."""
+    def cfg(fn):
+        return Config(
+            """
+metadata: {id: spt}
+vector_layers:
+  water:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 2048, file: spt.t}
+""",
+            {"spt.t": f"""
+SELECT ST_AsMVTGeom({fn}(way, 200000), {{{{bbox}}}}, {{{{extent}}}}) AS way,
+       osm_id
+FROM water_polygons WHERE way && {{{{bbox}}}}
+"""},
+        )
+
+    sources = _sources(spark)
+    a = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+         render_zooms(cfg("ST_Simplify"), [2], dict(sources)).collect()}
+    b = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+         render_zooms(cfg("ST_SimplifyPreserveTopology"), [2],
+                      dict(sources)).collect()}
+    assert a == b and len(a) > 0

@@ -1077,7 +1077,13 @@ def _geom_item(items: list[Item]):
             if mode is not None:
                 raise DefinitionError("template SQL: more than one ST_AsMVTGeom item")
             inner = e.args[0] if e.args else None
-            if isinstance(inner, Func) and inner.name.lower() == "st_simplify":
+            if isinstance(inner, Func) and inner.name.lower() in (
+                "st_simplify",
+                # the kernel's validity floor (rings never thin below 3
+                # vertices) is the property templates reach for with the
+                # topology-preserving variant; same compiled form
+                "st_simplifypreservetopology",
+            ):
                 if (
                     len(inner.args) != 2
                     or not isinstance(inner.args[0], Ident)
