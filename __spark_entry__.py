@@ -487,6 +487,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_pyramid"] = tile_pyramid
 
+    def tileset_diff_z6(spark, sf_dir):
+        """Incremental publish set (storage/tilestore.tileset_diff): diff
+        the z6 doc-count tile table built from docs with doc_id % 5 != 0
+        (the 'yesterday' render) against the full corpus ('today').  Each
+        side reduces to (keys, md5 fingerprint) BEFORE the full outer
+        join — the shuffle never carries payloads.  Output = only the
+        tiles an incremental release must touch."""
+        from tilekiln_spark.storage.tilestore import tileset_diff
+
+        z = F.lit(6)
+        d = _mx_my(_docs(spark, sf_dir))
+        def t6(df):
+            return (
+                df.withColumn("x", tile_x(z, F.col("mx")))
+                .withColumn("y", tile_y(z, F.col("my")))
+                .groupBy("x", "y")
+                .agg(F.count("*").alias("n_docs"))
+            )
+        old = t6(d.where(F.col("doc_id") % 5 != 0))
+        new = t6(d)
+        return tileset_diff(old, new, key_cols=("x", "y"), value_cols=("n_docs",))
+
+    q["tileset_diff_z6"] = tileset_diff_z6
+
     def tile_assign_multizoom(spark, sf_dir):
         """A4-adjacent: assignment across zooms {0,3,6,10}; per-zoom tile counts."""
         d = _mx_my(_docs(spark, sf_dir))
@@ -4163,6 +4187,22 @@ def oracle_sql() -> dict[str, str]:
     # the simplify render must land on EXACTLY the undensified grid's
     # stats — the oracle is mvt_poly_render's twin verbatim
     o["mvt_simplify_render"] = o["mvt_poly_render"]
+
+    o["tileset_diff_z6"] = f"""
+        {_GEO_CTE}, o AS (
+            SELECT {tx6} AS x, {ty6} AS y, count(*) AS n
+            FROM geo WHERE doc_id % 5 != 0 GROUP BY 1, 2
+        ), nn AS (
+            SELECT {tx6} AS x, {ty6} AS y, count(*) AS n
+            FROM geo GROUP BY 1, 2
+        )
+        SELECT coalesce(o.x, nn.x) AS x, coalesce(o.y, nn.y) AS y,
+               CASE WHEN o.n IS NULL THEN 'added'
+                    WHEN nn.n IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM o FULL JOIN nn ON o.x = nn.x AND o.y = nn.y
+        WHERE o.n IS NULL OR nn.n IS NULL OR o.n != nn.n
+    """
 
     # ---- interior rings: rect - rect hole == two rectangle clips ----
     lenh = f"(2.0 * {HW} / power(2.0, 2))"

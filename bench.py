@@ -88,6 +88,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
     for name in (
         "tile_assign_multizoom",
         "tile_pyramid",
+        "tileset_diff_z6",
         "spatial_join_grid",
         "spatial_join_concave",
         "knn_centroids",

@@ -225,3 +225,41 @@ def test_schema_evolution_across_partial_saves(spark, tmp_path):
     assert bytes(r2.water_data) == b"W" and r2.admin_data is None
     r6 = rows[(6, 9, 9)]
     assert bytes(r6.admin_data) == b"A" and r6.water_data is None
+
+
+def test_tileset_diff(spark):
+    """added / removed / changed classification; identical tiles absent;
+    null payload distinct from empty string."""
+    from tilekiln_spark.storage.tilestore import tileset_diff
+
+    old = spark.createDataFrame(
+        [(1, 0, 0, b"a"), (1, 0, 1, b"b"), (1, 1, 0, b"c"), (1, 1, 1, None)],
+        "zoom int, x int, y int, d binary",
+    )
+    new = spark.createDataFrame(
+        [(1, 0, 0, b"a"), (1, 0, 1, b"B"), (1, 2, 0, b"n"), (1, 1, 1, b"")],
+        "zoom int, x int, y int, d binary",
+    )
+    got = {(r.zoom, r.x, r.y): r.status for r in
+           tileset_diff(old, new, value_cols=("d",)).collect()}
+    assert got == {
+        (1, 0, 1): "changed",
+        (1, 1, 0): "removed",
+        (1, 2, 0): "added",
+        (1, 1, 1): "changed",   # null -> '' IS a change
+    }
+
+
+def test_tileset_diff_shuffles_fingerprints_not_blobs(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.storage.tilestore import tileset_diff
+
+    old = spark.createDataFrame([(1, 0, 0, b"x" * 100)], "zoom int, x int, y int, d binary")
+    new = spark.createDataFrame([(1, 0, 0, b"y" * 100)], "zoom int, x int, y int, d binary")
+    plan = tileset_diff(old, new, value_cols=("d",))._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the payload column is projected away before any exchange
+    import re
+    for exch in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "d#" not in exch

@@ -508,3 +508,46 @@ class TileStore:
         out = os.path.join(self.root, "tile_stats.parquet")
         stats.write.mode("overwrite").parquet(out)
         return spark.read.parquet(out)
+
+
+def tileset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple = ("zoom", "x", "y"),
+    value_cols: tuple = (),
+) -> DataFrame:
+    """The publish set between two tile tables: one row per key present in
+    either side whose payload differs — status 'added' (new only),
+    'removed' (old only), or 'changed' (both, different values).
+    Identical tiles are absent (the common case at 100 TB: a daily diff
+    touches a tiny fraction of the pyramid, and this frame IS the upsert
+    worklist for :meth:`TileStore.upsert_tiles` / an HTTP cache purge).
+
+    Payload comparison is an md5 over the value columns with a \\x01
+    sentinel for nulls (null and '' stay distinct).  Physical shape: each
+    side reduces to (keys, 16-byte fingerprint) BEFORE the full outer
+    join, so the shuffle never carries tile blobs — at scale the join is
+    two hash exchanges of ~40-byte rows, and bucketed/partitioned tile
+    tables co-locate it for free."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+
+    def fp(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x00",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in vals],
+            )
+        )
+        return df.select(*keys, h.alias(f"h_{tag}"))
+
+    j = fp(old, "old").join(fp(new, "new"), keys, "full")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
