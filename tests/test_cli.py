@@ -473,3 +473,23 @@ def test_corpus_cli_buckets_and_resample(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert len(out.strip().splitlines()) == 5
     assert spark.read.parquet(rs).count() == 5
+
+
+def test_storage_cli_diff(spark, tmp_path, capsys):
+    from tilekiln_spark.cli import main
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, 0, 0, "a"), (1, 0, 1, "b")], "zoom int, x int, y int, d string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, 0, 0, "a"), (1, 0, 1, "B"), (1, 1, 1, "n")],
+        "zoom int, x int, y int, d string",
+    ).write.parquet(new)
+    outp = str(tmp_path / "diff.parquet")
+    assert main(["storage", "diff", "--old", old, "--new", new,
+                 "--output", outp]) == 0
+    out = capsys.readouterr().out
+    assert "added\t1" in out and "changed\t1" in out
+    assert spark.read.parquet(outp).count() == 2

@@ -798,6 +798,30 @@ def cmd_corpus_shard(args) -> int:
     return 0
 
 
+def cmd_storage_diff(args) -> int:
+    """storage diff: the incremental publish set between two tile-table
+    parquet paths — per-status counts on stdout, full worklist to
+    --output when given."""
+    from tilekiln_spark.storage.tilestore import tileset_diff
+
+    spark = _spark()
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = tuple(args.keys.split(","))
+    vals = tuple(
+        c for c in new.columns if c not in keys
+    ) if args.values is None else tuple(args.values.split(","))
+    out = tileset_diff(old, new, key_cols=keys, value_cols=vals).persist()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    for r in out.groupBy("status").count().orderBy("status").collect():
+        print(f"{r.status}\t{r['count']}")
+    out.unpersist()
+    return 0
+
+
 def cmd_prometheus(args) -> int:
     """reference main.py:35-83: metrics exporter (here the same listener,
     serving only /metrics matters to a scraper)."""
@@ -863,6 +887,14 @@ def build_parser() -> argparse.ArgumentParser:
     ins.add_argument("-x", type=int, required=True)
     ins.add_argument("-y", type=int, required=True)
     ins.set_defaults(fn=cmd_storage_inspect)
+    dfp = st.add_parser("diff")
+    dfp.add_argument("--old", required=True)
+    dfp.add_argument("--new", required=True)
+    dfp.add_argument("--keys", default="zoom,x,y")
+    dfp.add_argument("--values", default=None,
+                     help="comma list; default = every non-key column of --new")
+    dfp.add_argument("--output", default=None)
+    dfp.set_defaults(fn=cmd_storage_diff)
     de = st.add_parser("delete")
     de.add_argument("--store", required=True)
     de.add_argument("--id", required=True)
