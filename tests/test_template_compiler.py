@@ -1301,3 +1301,35 @@ FROM water_polygons WHERE way && {{{{bbox}}}}
          render_zooms(cfg("ST_SimplifyPreserveTopology"), [2],
                       dict(sources)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_compiled_st_simplify_runs_before_zoom_explode(spark):
+    """The thinning kernel applies once per source FEATURE: in the
+    compiled plan every Generate (zoom/tile explode) sits ABOVE the
+    ArrowEvalPython node (parents print first), so the UDF's input is the
+    un-exploded source frame (review fix)."""
+    cfg = Config(
+        """
+metadata: {id: pe}
+vector_layers:
+  water:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 6, extent: 2048, file: pe.t}
+""",
+        {"pe.t": """
+SELECT ST_AsMVTGeom(ST_Simplify(way, 200000), {{bbox}}, {{extent}}) AS way,
+       osm_id
+FROM water_polygons WHERE way && {{bbox}}
+"""},
+    )
+    sources = _sources(spark)
+    df = render_zooms(cfg, [2, 3, 4, 5, 6], dict(sources))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    (i,) = [k for k, l in enumerate(lines) if "ArrowEvalPython" in l]
+    # the UDF's child subtree is the raw source (Project/Filter/Scan) —
+    # no zoom column, no Generate: thinning happens before any explode
+    child = "\n".join(lines[i + 1 : i + 4])
+    assert "zoom#" not in child and "Generate" not in child
+    assert "Scan" in child or "Project" in child

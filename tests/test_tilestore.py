@@ -251,15 +251,36 @@ def test_tileset_diff(spark):
 
 
 def test_tileset_diff_shuffles_fingerprints_not_blobs(spark):
-    from pyspark.sql import functions as F
-
     from tilekiln_spark.storage.tilestore import tileset_diff
 
     old = spark.createDataFrame([(1, 0, 0, b"x" * 100)], "zoom int, x int, y int, d binary")
     new = spark.createDataFrame([(1, 0, 0, b"y" * 100)], "zoom int, x int, y int, d binary")
     plan = tileset_diff(old, new, value_cols=("d",))._jdf.queryExecution() \
         .executedPlan().toString()
-    # the payload column is projected away before any exchange
-    import re
-    for exch in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
-        assert "d#" not in exch
+    final = plan.split("== Initial Plan ==")[0]
+    # the md5 fingerprint project sits BELOW the exchange (parents print
+    # first): fingerprints shuffle, blobs don't
+    assert "md5" in final and "Exchange hashpartitioning" in final
+    assert final.index("Exchange hashpartitioning") < final.index("md5")
+
+
+def test_tileset_diff_no_separator_or_null_collisions(spark):
+    """Per-column hashing: byte sequences crossing column boundaries and
+    null-vs-sentinel payloads never collide (review fix)."""
+    import pytest as _pytest
+
+    from tilekiln_spark.storage.tilestore import tileset_diff
+
+    old = spark.createDataFrame(
+        [(1, 0, 0, b"a\x00", b"b"), (1, 0, 1, None, b"q")],
+        "zoom int, x int, y int, d1 binary, d2 binary",
+    )
+    new = spark.createDataFrame(
+        [(1, 0, 0, b"a", b"\x00b"), (1, 0, 1, b"\x01", b"q")],
+        "zoom int, x int, y int, d1 binary, d2 binary",
+    )
+    got = {(r.x, r.y): r.status for r in
+           tileset_diff(old, new, value_cols=("d1", "d2")).collect()}
+    assert got == {(0, 0): "changed", (0, 1): "changed"}
+    with _pytest.raises(ValueError, match="value_cols"):
+        tileset_diff(old, new)

@@ -489,11 +489,10 @@ def cmd_corpus_buckets(args) -> int:
     language (exact rank rule, or the map-only broadcast-cutoff mode with
     --estimate).  Bucketed table to parquet; per-(lang, bucket) counts on
     stdout."""
-    from pyspark.sql import functions as F
-
     from tilekiln_spark.functions.lm import (
         ccnet_buckets,
         ccnet_cutoffs,
+        lm_doc_scores,
         train_bigram_lm,
     )
 
@@ -502,11 +501,17 @@ def cmd_corpus_buckets(args) -> int:
     lm = train_bigram_lm(
         df, args.text_col, k_vocab=args.k_vocab, m_bigrams=args.m_bigrams
     )
+    # one persisted scoring pass feeds BOTH the cutoff estimate and the
+    # assignment (the scan is the expensive half at corpus scale)
+    scores = lm_doc_scores(df, lm, args.text_col, args.id_col).persist()
     cuts = None
     if args.estimate:
-        cuts = ccnet_cutoffs(df, lm, args.text_col, args.id_col, args.lang_col)
+        cuts = ccnet_cutoffs(
+            df, lm, args.text_col, args.id_col, args.lang_col, scores=scores
+        )
     out = ccnet_buckets(
-        df, lm, args.text_col, args.id_col, args.lang_col, cutoffs=cuts
+        df, lm, args.text_col, args.id_col, args.lang_col,
+        cutoffs=cuts, scores=scores,
     ).persist()
     out.write.mode("overwrite").parquet(args.output)
     counts = (
@@ -515,6 +520,7 @@ def cmd_corpus_buckets(args) -> int:
     for r in counts:
         print(f"{r.lang}\t{r.bucket}\t{r['count']}")
     out.unpersist()
+    scores.unpersist()
     lm.unpersist()
     return 0
 
@@ -807,15 +813,13 @@ def cmd_storage_diff(args) -> int:
     spark = _spark()
     old = spark.read.parquet(args.old)
     new = spark.read.parquet(args.new)
-    keys = tuple(args.keys.split(","))
+    keys = tuple(s.strip() for s in args.keys.split(","))
     vals = tuple(
         c for c in new.columns if c not in keys
-    ) if args.values is None else tuple(args.values.split(","))
+    ) if args.values is None else tuple(s.strip() for s in args.values.split(","))
     out = tileset_diff(old, new, key_cols=keys, value_cols=vals).persist()
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-    from pyspark.sql import functions as F
-
     for r in out.groupBy("status").count().orderBy("status").collect():
         print(f"{r.status}\t{r['count']}")
     out.unpersist()

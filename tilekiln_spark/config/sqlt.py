@@ -1884,6 +1884,14 @@ class CompiledTemplate:
                 ]
                 having = _resolve_scalars(having, sources, extent)
                 mode, items, simplify_tol = _geom_item(items_all)
+                if simplify_tol and kind not in ("point",):
+                    # thin BEFORE the zoom explode: one kernel pass per
+                    # source feature, not one per (feature, zoom)
+                    from tilekiln_spark.operators.simplify import (
+                        simplify_ring_cols,
+                    )
+
+                    frame = simplify_ring_cols(frame, simplify_tol)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)
                 if where is not None:
@@ -1938,12 +1946,12 @@ class CompiledTemplate:
                     )
                 else:
                     # "line" = closed ring outlines; "polyline" = open chains
+                    # simplify_tol already applied pre-explode above
                     branch = _poly_tile_rows(
                         df, zs, extent, buffer,
                         props={_item_alias(it): _to_col(it.expr, extent) for it in items},
                         close=(kind == "line"),
                         pre_exploded=True,
-                        simplify_tolerance=simplify_tol,
                     )
                 out = branch if out is None else out.unionByName(branch)
         if out is None:

@@ -188,6 +188,7 @@ def ccnet_buckets(
     id_col: str = "doc_id",
     lang_col: str | None = None,
     cutoffs: dict[str, tuple[float, float]] | None = None,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style corpus split: per-language head / middle / tail thirds by
     LM score ("CCNet: Extracting High Quality Monolingual Datasets from Web
@@ -222,7 +223,8 @@ def ccnet_buckets(
       survives 100 TB; the exact mode is the oracle-checkable
       small-scale twin.
     """
-    scores = lm_doc_scores(df, lm, text_col, id_col)
+    if scores is None:
+        scores = lm_doc_scores(df, lm, text_col, id_col)
     if lang_col is None:
         from tilekiln_spark.functions.text import lang_id
 
@@ -281,6 +283,7 @@ def ccnet_cutoffs(
     id_col: str = "doc_id",
     lang_col: str | None = None,
     accuracy: int = 10_000,
+    scores: DataFrame | None = None,
 ) -> dict[str, tuple[float, float]]:
     """Per-language (head_min, middle_min) score thresholds for
     :func:`ccnet_buckets`'s broadcast-cutoff mode, via approx_percentile —
@@ -292,8 +295,12 @@ def ccnet_cutoffs(
     The collect is #languages rows of two doubles — driver-safe by
     construction.  Estimated thresholds bucket borderline docs differently
     than the exact rank rule (documented recall, not correctness, drift —
-    the same contract as ann IVF's seeded centroids)."""
-    scores = lm_doc_scores(df, lm, text_col, id_col)
+    the same contract as ann IVF's seeded centroids).  ``scores``: a
+    precomputed (persisted) lm_doc_scores frame — pass the SAME frame to
+    :func:`ccnet_buckets` so estimate + assignment pay the scoring scan
+    once, not twice."""
+    if scores is None:
+        scores = lm_doc_scores(df, lm, text_col, id_col)
     if lang_col is None:
         from tilekiln_spark.functions.text import lang_id
 

@@ -116,19 +116,9 @@ def simplify_ring_cols(df: DataFrame, tolerance: float) -> DataFrame:
     whole batch thins together — per-vertex work is vectorized numpy, the
     only Python loop is the per-row nested-list rebuild (same contract as
     the clip kernels).  Map-only: no shuffle, no driver participation."""
-    cols = set(df.columns)
-    if "rings_xs" in cols:
-        rxs, rys, rh = F.col("rings_xs"), F.col("rings_ys"), F.col("rings_hole")
-    elif "holes_xs" in cols:
-        hx = F.coalesce(F.col("holes_xs"), F.array())
-        hy = F.coalesce(F.col("holes_ys"), F.array())
-        rxs = F.concat(F.array(F.col("ring_xs")), hx)
-        rys = F.concat(F.array(F.col("ring_ys")), hy)
-        rh = F.concat(F.array(F.lit(False)), F.transform(hx, lambda _: F.lit(True)))
-    else:
-        rxs, rys = F.array(F.col("ring_xs")), F.array(F.col("ring_ys"))
-        rh = F.array(F.lit(False))
+    from tilekiln_spark.operators.tiling import ring_col_exprs
 
+    rxs, rys, rh = ring_col_exprs(set(df.columns))
     tol = float(tolerance)
 
     @F.pandas_udf(_RINGS_SCHEMA)
@@ -137,13 +127,21 @@ def simplify_ring_cols(df: DataFrame, tolerance: float) -> DataFrame:
         flat_x: list = []
         flat_y: list = []
         lens: list = []
+        null_ring: list = []  # null elements pass through untouched
         for rings_x, rings_y in zip(xs, ys):
             if rings_x is None:
                 continue
             for rx, ry in zip(rings_x, rings_y):
+                if rx is None or ry is None:
+                    flat_x.append(np.zeros(0))
+                    flat_y.append(np.zeros(0))
+                    lens.append(0)
+                    null_ring.append(True)
+                    continue
                 flat_x.append(np.asarray(rx, dtype=np.float64))
                 flat_y.append(np.asarray(ry, dtype=np.float64))
                 lens.append(len(rx))
+                null_ring.append(False)
         if lens:
             vx = np.concatenate(flat_x)
             vy = np.concatenate(flat_y)
@@ -165,8 +163,12 @@ def simplify_ring_cols(df: DataFrame, tolerance: float) -> DataFrame:
             row_xs, row_ys = [], []
             for _ in range(nrings):
                 s, e = starts[ring_i], ends[ring_i]
-                row_xs.append(vx[s:e])
-                row_ys.append(vy[s:e])
+                if null_ring[ring_i]:
+                    row_xs.append(None)
+                    row_ys.append(None)
+                else:
+                    row_xs.append(vx[s:e])
+                    row_ys.append(vy[s:e])
                 ring_i += 1
             out_xs.append(row_xs)
             out_ys.append(row_ys)

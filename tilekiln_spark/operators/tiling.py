@@ -285,6 +285,27 @@ def country_builder(sources: dict, zooms: list[int], extent: int, buffer: int) -
     )
 
 
+def ring_col_exprs(cols: set) -> tuple:
+    """Normalize the three ring-column layouts to nested-array expressions
+    (rings_xs, rings_ys, rings_hole) — ONE implementation shared by the
+    tile-row builder and the simplification kernel (layouts documented on
+    :func:`_poly_tile_rows`)."""
+    if "rings_xs" in cols:
+        return F.col("rings_xs"), F.col("rings_ys"), F.col("rings_hole")
+    if "holes_xs" in cols:
+        hx = F.coalesce(F.col("holes_xs"), F.array())
+        hy = F.coalesce(F.col("holes_ys"), F.array())
+        rxs = F.concat(F.array(F.col("ring_xs")), hx)
+        rys = F.concat(F.array(F.col("ring_ys")), hy)
+        hole = F.concat(F.array(F.lit(False)), F.transform(hx, lambda _: F.lit(True)))
+        return rxs, rys, hole
+    return (
+        F.array(F.col("ring_xs")),
+        F.array(F.col("ring_ys")),
+        F.array(F.lit(False)),
+    )
+
+
 def _poly_tile_rows(
     polys: DataFrame,
     zooms: list[int],
@@ -310,9 +331,10 @@ def _poly_tile_rows(
     (bbox explode, the ST_AsMVTGeom assignment for areal geometry);
     `close=True` appends each ring's first vertex again so rings read as
     closed outline LINESTRINGs.  ``simplify_tolerance > 0`` thins the
-    rings FIRST (operators/simplify.py, the compiled ST_Simplify form) —
-    before the tile explode, so each feature simplifies once per source
-    row, not once per intersecting tile; the bbox columns keep the
+    rings FIRST (operators/simplify.py) — once per INPUT ROW, before this
+    function's own explodes, so pass an un-exploded frame when using it
+    (the compiled ST_Simplify path pre-applies the kernel before its zoom
+    explode and passes no tolerance here); the bbox columns keep the
     unsimplified extent (a superset — spurious tiles clip to empty and
     drop)."""
     if simplify_tolerance > 0:
@@ -330,19 +352,7 @@ def _poly_tile_rows(
     )
     txmin, tymin, txmax, tymax = envelope_cols(z, F.col("x"), F.col("y"), 0.0)
     tlen = txmax - txmin
-    cols = set(polys.columns)
-    if "rings_xs" in cols:
-        rxs, rys = F.col("rings_xs"), F.col("rings_ys")
-        hole = F.col("rings_hole")
-    elif "holes_xs" in cols:
-        hx = F.coalesce(F.col("holes_xs"), F.array())
-        hy = F.coalesce(F.col("holes_ys"), F.array())
-        rxs = F.concat(F.array(F.col("ring_xs")), hx)
-        rys = F.concat(F.array(F.col("ring_ys")), hy)
-        hole = F.concat(F.array(F.lit(False)), F.transform(hx, lambda _: F.lit(True)))
-    else:
-        rxs, rys = F.array(F.col("ring_xs")), F.array(F.col("ring_ys"))
-        hole = F.array(F.lit(False))
+    rxs, rys, hole = ring_col_exprs(set(polys.columns))
     if close:
         rxs = F.transform(rxs, lambda r: F.concat(r, F.slice(r, 1, 1)))
         rys = F.transform(rys, lambda r: F.concat(r, F.slice(r, 1, 1)))

@@ -523,22 +523,34 @@ def tileset_diff(
     touches a tiny fraction of the pyramid, and this frame IS the upsert
     worklist for :meth:`TileStore.upsert_tiles` / an HTTP cache purge).
 
-    Payload comparison is an md5 over the value columns with a \\x01
-    sentinel for nulls (null and '' stay distinct).  Physical shape: each
-    side reduces to (keys, 16-byte fingerprint) BEFORE the full outer
-    join, so the shuffle never carries tile blobs — at scale the join is
-    two hash exchanges of ~40-byte rows, and bucketed/partitioned tile
-    tables co-locate it for free."""
+    Payload comparison is an md5 of PER-COLUMN md5s joined with '|' and a
+    'null' sentinel — both outside the hex alphabet, so no payload byte
+    sequence can collide across column boundaries or with a null (hashing
+    the raw concat would let ('a\\x00', 'b') == ('a', '\\x00b')).
+    Physical shape: each side reduces to (keys, 16-byte fingerprint)
+    BEFORE the full outer join, so the shuffle never carries tile blobs —
+    at scale the join is two hash exchanges of ~40-byte rows, and
+    bucketed/partitioned tile tables co-locate it for free."""
     keys = list(key_cols)
     vals = list(value_cols)
+    if not vals:
+        raise ValueError(
+            "tileset_diff requires value_cols — with none, every common-key "
+            "tile would compare equal and 'changed' detection is silently off"
+        )
 
     def fp(df: DataFrame, tag: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x00",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in vals],
+        types = dict(df.dtypes)
+        per_col = [
+            F.coalesce(
+                F.md5(
+                    F.col(c) if types.get(c) == "binary" else F.col(c).cast("string")
+                ),
+                F.lit("null"),
             )
-        )
+            for c in vals
+        ]
+        h = F.md5(F.concat_ws("|", *per_col))
         return df.select(*keys, h.alias(f"h_{tag}"))
 
     j = fp(old, "old").join(fp(new, "new"), keys, "full")
