@@ -643,6 +643,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_centroids"] = knn_centroids
 
+    def dwithin_join_q(spark, sf_dir):
+        """Distance-band join (PostGIS ST_DWithin parity): every doc within
+        1,500 km (mercator meters) of one of the 16 grid seeds, via the
+        bounded 3x3 cell-neighborhood equi-join + exact squared-distance
+        residual (operators/spatial_join.py dwithin_join — no cross join);
+        the oracle runs the brute-force cross join with the identical
+        multiply/add boundary test."""
+        from tilekiln_spark.operators.spatial_join import dwithin_join
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        n = 4
+        cell = 2.0 * HW / n
+        seeds = spark.range(n * n).select(
+            F.col("id").alias("cid"),
+            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+        )
+        j = dwithin_join(pts, seeds, radius=1_500_000.0)
+        return j.select(
+            "cid", "doc_id", (F.round("dist", 6) + 0.0).alias("dist_m")
+        )
+
+    q["dwithin_join"] = dwithin_join_q
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3077,6 +3101,21 @@ def oracle_sql() -> dict[str, str]:
             FROM geo CROSS JOIN cents
         )
         SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM ranked WHERE rn = 1 GROUP BY 1
+    """
+
+    o["dwithin_join"] = f"""
+        {_GEO_CTE}, cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
+            FROM range(16) t(id)
+        )
+        SELECT cid, doc_id,
+               round(sqrt((geo.mx - cents.cx) * (geo.mx - cents.cx)
+                        + (geo.my - cents.cy) * (geo.my - cents.cy)), 6) + 0.0 AS dist_m
+        FROM geo CROSS JOIN cents
+        WHERE (geo.mx - cents.cx) * (geo.mx - cents.cx)
+            + (geo.my - cents.cy) * (geo.my - cents.cy) <= {1_500_000.0 * 1_500_000.0!r}
     """
 
     o["union_literals"] = """

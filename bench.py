@@ -92,6 +92,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_grid",
         "spatial_join_concave",
         "knn_centroids",
+        "dwithin_join",
         "mvt_render_z4",
         "mvt_poly_render",
         "mvt_holes_render",

@@ -290,3 +290,59 @@ def test_raycast_auto_selects_by_ring_size_and_budget(spark):
     small = layer_polygons(spark, 10)
     small_join = points_in_polygons(pts, small, how="grid", refine="raycast_auto")
     assert "ring_xs" in small_join.columns
+
+
+def test_dwithin_join_matches_brute_force(spark):
+    """dwithin_join (bounded 3x3 cell candidates) == brute-force cross join,
+    on both the broadcast and shuffle paths, with an explicit and a derived
+    grid zoom."""
+    from tilekiln_spark.operators.spatial_join import dwithin_join
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    pts = pages_geo(pages(spark, 600)).cache()
+    n = 4
+    cell = 2.0 * HALF_WORLD / n
+    seeds = spark.range(n * n).select(
+        F.col("id").alias("cid"),
+        (F.lit(-HALF_WORLD) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+        (F.lit(-HALF_WORLD) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+    )
+    radius = 2_000_000.0
+    expected = set(
+        (r.url, r.cid)
+        for r in pts.crossJoin(seeds)
+        .where(
+            (F.col("mx") - F.col("cx")) * (F.col("mx") - F.col("cx"))
+            + (F.col("my") - F.col("cy")) * (F.col("my") - F.col("cy"))
+            <= radius * radius
+        )
+        .select("url", "cid")
+        .collect()
+    )
+    assert expected, "fixture must produce at least one in-radius pair"
+    for kwargs in (
+        {},  # derived grid_zoom, broadcast seeds
+        {"broadcast_seeds": False},  # shuffle equi-join path
+        {"grid_zoom": 3},  # explicit coarser grid (cell still >= radius)
+    ):
+        got_rows = dwithin_join(pts, seeds, radius=radius, **kwargs).collect()
+        got = set((r.url, r.cid) for r in got_rows)
+        assert got == expected, kwargs
+        # dist is the exact Euclidean distance and never exceeds the radius
+        assert all(r.dist <= radius for r in got_rows)
+
+
+def test_dwithin_join_derived_zoom_covers_radius(spark):
+    """The derived grid zoom always keeps one cell side >= radius, so the
+    3x3 neighborhood candidate set is exact."""
+    import math
+
+    import numpy as np
+
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    world = 2.0 * HALF_WORLD
+    for radius in (1.0, 1000.0, 1_500_000.0, world / 2, world * 2):
+        z = max(0, min(15, int(np.floor(np.log2(world / radius)))))
+        assert world / (2**z) >= min(radius, world), (radius, z)
+        assert 0 <= z <= 15

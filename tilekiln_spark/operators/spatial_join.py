@@ -362,3 +362,67 @@ def salt_points(points: DataFrame, buckets: int = 16, mx: str = "mx", my: str = 
     return points.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(mx), F.col(my)), F.lit(buckets)).cast("int")
     )
+
+
+def dwithin_join(
+    points: DataFrame,
+    seeds: DataFrame,
+    radius: float,
+    mx: str = "mx",
+    my: str = "my",
+    seed_mx: str = "cx",
+    seed_my: str = "cy",
+    grid_zoom: int | None = None,
+    broadcast_seeds: bool = True,
+) -> DataFrame:
+    """Distance-band join: every (point, seed) pair with planar Euclidean
+    distance <= ``radius`` mercator meters — PostGIS ``ST_DWithin(way, seed,
+    radius)`` semantics on a projected SRS (the reference's templates run
+    arbitrary PostGIS predicates, reference tilekiln/definition.py:42-77;
+    proximity layers are the canonical non-bbox one).
+
+    Distributed shape (same filter+refine discipline as the PIP join):
+
+    - ``grid_zoom`` is derived so one grid cell side >= radius; then any
+      point within ``radius`` of a seed lies in the seed's 3x3 cell
+      neighborhood — the explode is BOUNDED at 9 cells per seed, and the
+      candidate join is a plain hash/broadcast equi-join on (gx, gy).
+      No cross join at any scale.
+    - the exact residual compares SQUARED distance against radius^2 —
+      multiply/add only (IEEE exactly-rounded, so the boundary decision is
+      bit-identical across engines and no sqrt runs before the filter).
+    - seeds broadcast by default (the dimension side); pass
+      ``broadcast_seeds=False`` for large seed sets — the equi-join then
+      shuffles on the cell key and AQE handles dense-cell skew.
+
+    Returns all point columns + the seed's identity columns + ``dist``
+    (exact Euclidean distance, un-rounded; callers round for display).
+    """
+    if grid_zoom is None:
+        # largest zoom whose cell side still covers the radius
+        world = 2.0 * HALF_WORLD
+        grid_zoom = max(0, min(15, int(np.floor(np.log2(world / radius)))))
+    z = F.lit(grid_zoom)
+    n_minus1 = F.call_function("shiftleft", F.lit(1).cast("long"), z.cast("int")) - 1
+    sgx = tile_x(z, F.col(seed_mx))
+    sgy = tile_y(z, F.col(seed_my))
+    cands = (
+        seeds.withColumn(
+            "gx",
+            F.explode(F.sequence(F.greatest(sgx - 1, F.lit(0)), F.least(sgx + 1, n_minus1.cast("int")))),
+        ).withColumn(
+            "gy",
+            F.explode(F.sequence(F.greatest(sgy - 1, F.lit(0)), F.least(sgy + 1, n_minus1.cast("int")))),
+        )
+    )
+    if broadcast_seeds:
+        cands = F.broadcast(cands)
+    pmx, pmy = F.col(mx), F.col(my)
+    left = points.withColumn("gx", tile_x(z, pmx)).withColumn("gy", tile_y(z, pmy))
+    d2 = (pmx - F.col(seed_mx)) * (pmx - F.col(seed_mx)) + (pmy - F.col(seed_my)) * (pmy - F.col(seed_my))
+    return (
+        left.join(cands, ["gx", "gy"], "inner")
+        .where(d2 <= F.lit(float(radius) * float(radius)))
+        .withColumn("dist", F.sqrt(d2))
+        .drop("gx", "gy")
+    )
