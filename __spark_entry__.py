@@ -667,6 +667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dwithin_join"] = dwithin_join_q
 
+    def zonal_stats_q(spark, sf_dir):
+        """Zonal statistics (PostGIS ST_SummaryStats(ST_Clip(...)) parity):
+        rasterize docs at z2 into 16x16 per-tile count cells, then aggregate
+        the cells whose CENTERS fall in each grid polygon (the GDAL
+        cell-center rule) — the zone join is the audited grid PIP equi-join
+        over the PRE-AGGREGATED raster, so the 100 TB cost is a point
+        groupBy + a bounded-cell join, never a raw-point cross join."""
+        from tilekiln_spark.operators.raster import rasterize, zonal_stats
+
+        d = _mx_my(_docs(spark, sf_dir))
+        rr = rasterize(d, zoom=2, res=16)
+        return zonal_stats(rr, _grid_polys(spark), res=16, grid_zoom=4)
+
+    q["zonal_stats"] = zonal_stats_q
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3116,6 +3131,35 @@ def oracle_sql() -> dict[str, str]:
         FROM geo CROSS JOIN cents
         WHERE (geo.mx - cents.cx) * (geo.mx - cents.cx)
             + (geo.my - cents.cy) * (geo.my - cents.cy) <= {1_500_000.0 * 1_500_000.0!r}
+    """
+
+    o["zonal_stats"] = f"""
+        {_GEO_CTE}, {_GRID_SQL}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS BIGINT) AS n
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), centers AS (
+            SELECT n,
+                   (-{HW} + x * {len2}) + (bin_x + 0.5) * ({len2} / 16) AS cmx,
+                   ({HW} - y * {len2}) - (bin_y + 0.5) * ({len2} / 16) AS cmy
+            FROM counts
+        )
+        SELECT polygon_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS total,
+               round(avg(n), 6) + 0.0 AS mean_val,
+               CAST(min(n) AS BIGINT) AS min_val,
+               CAST(max(n) AS BIGINT) AS max_val
+        FROM centers JOIN polys
+          ON cmx >= polys.xmin AND cmx <= polys.xmax
+         AND cmy >= polys.ymin AND cmy <= polys.ymax
+        GROUP BY 1
     """
 
     o["union_literals"] = """

@@ -93,6 +93,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_concave",
         "knn_centroids",
         "dwithin_join",
+        "zonal_stats",
         "mvt_render_z4",
         "mvt_poly_render",
         "mvt_holes_render",

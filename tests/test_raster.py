@@ -47,3 +47,49 @@ def test_vectorize_feeds_spatial_join(spark):
     expected = {r.polygon_id: r.n for r in cells.collect()}
     assert per_cell == expected
     pts.unpersist()
+
+
+def test_zonal_stats_matches_brute_force(spark):
+    """zonal_stats == driver-side recompute: rasterize, take cell centers,
+    point-in-rectangle by hand, aggregate with numpy."""
+    from tilekiln_spark.operators.raster import cell_centers, zonal_stats
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    pts = pages_geo(pages(spark, 700)).cache()
+    rr = rasterize(pts, zoom=1, res=8).cache()
+    n = 4
+    cell = 2.0 * HALF_WORLD / n
+    polys = spark.range(n * n).select(
+        F.col("id").alias("polygon_id"),
+        (F.lit(-HALF_WORLD) + (F.col("id") % n) * cell + 0.05 * cell).alias("xmin"),
+        (F.lit(-HALF_WORLD) + F.floor(F.col("id") / n) * cell + 0.05 * cell).alias("ymin"),
+    )
+    polys = (
+        polys.withColumn("xmax", F.col("xmin") + 0.9 * cell)
+        .withColumn("ymax", F.col("ymin") + 0.9 * cell)
+        .withColumn("ring_xs", F.array("xmin", "xmax", "xmax", "xmin"))
+        .withColumn("ring_ys", F.array("ymin", "ymin", "ymax", "ymax"))
+    )
+    got = {
+        r.polygon_id: (r.n_cells, r.total, r.mean_val, r.min_val, r.max_val)
+        for r in zonal_stats(rr, polys, res=8, grid_zoom=3).collect()
+    }
+    centers = cell_centers(rr, res=8).collect()
+    pdf = polys.collect()
+    expected = {}
+    for p in pdf:
+        ns = [
+            c.n
+            for c in centers
+            if p.xmin <= c.mx <= p.xmax and p.ymin <= c.my <= p.ymax
+        ]
+        if ns:
+            a = np.array(ns, dtype=np.int64)
+            expected[p.polygon_id] = (
+                len(ns), int(a.sum()), round(float(a.mean()), 6),
+                int(a.min()), int(a.max()),
+            )
+    assert got == expected
+    assert expected, "fixture must cover at least one zone"
+    rr.unpersist()
+    pts.unpersist()

@@ -140,3 +140,61 @@ def vectorize(
         F.array(cxmin, cxmax, cxmax, cxmin).alias("ring_xs"),
         F.array(cymin, cymin, cymax, cymax).alias("ring_ys"),
     )
+
+
+def cell_centers(raster_rows: DataFrame, res: int = 256) -> DataFrame:
+    """Raster cells -> their center POINTS (mx, my): the dual of
+    ``vectorize`` — instead of a cell polygon, the representative point the
+    zonal rule tests (GDAL's default cell-center containment).  Exact
+    arithmetic order matches ``vectorize``'s bound derivation: base +
+    (bin + 0.5) * (tile_length / res)."""
+    length = tile_length_col(F.col("zoom"))
+    txmin = F.lit(-HALF_WORLD) + F.col("x") * length
+    tymax = F.lit(HALF_WORLD) - F.col("y") * length
+    cell = length / res
+    return raster_rows.select(
+        "zoom", "x", "y", "bin_x", "bin_y", "n",
+        (txmin + (F.col("bin_x") + 0.5) * cell).alias("mx"),
+        (tymax - (F.col("bin_y") + 0.5) * cell).alias("my"),
+    )
+
+
+def zonal_stats(
+    raster_rows: DataFrame,
+    polys: DataFrame,
+    res: int = 256,
+    grid_zoom: int = 4,
+    value: str = "n",
+    refine: str | None = None,
+) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of the raster cells whose
+    CENTERS fall inside the zone (the standard GDAL/rasterstats rule).
+    PostGIS ``ST_SummaryStats(ST_Clip(rast, geom))``'s distributed
+    re-expression.
+
+    Shape: cell centers are just points, so the zone join IS the audited
+    grid PIP equi-join (`points_in_polygons` — bounded bbox-cell explode on
+    the polygon side, one cell per raster bin, concave-safe refine), and the
+    stats are ONE map-side-combinable groupBy over the join output.  The
+    raster side arrives pre-aggregated (``rasterize``'s groupBy already
+    collapsed raw points to <= res*res rows per tile), so at 100 TB the
+    join input is the COMPRESSED raster, not the raw point set — zonal
+    stats over a trillion points costs a point-table groupBy plus a join
+    over bounded-cardinality cells.
+
+    Returns one row per polygon: n_cells, total, mean_val (rounded 6),
+    min_val, max_val.
+    """
+    from tilekiln_spark.operators.spatial_join import points_in_polygons
+
+    centers = cell_centers(raster_rows, res)
+    kwargs = {} if refine is None else {"refine": refine}
+    j = points_in_polygons(centers, polys, how="grid", grid_zoom=grid_zoom, **kwargs)
+    v = F.col(value)
+    return j.groupBy("polygon_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(v).alias("total"),
+        (F.round(F.avg(v), 6) + 0.0).alias("mean_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
