@@ -2078,6 +2078,31 @@ WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
 
     q["template_compile_case"] = template_compile_case
 
+    def template_compile_dwithin(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): PostGIS ST_DWithin
+        proximity predicates — ST_SetSRID/ST_MakePoint/ST_Point forms, plain
+        and negated, zoom-conditional — compile to the exact squared-distance
+        residual over the point table's mercator columns; the DuckDB twin
+        runs the identical multiply/add boundary test."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang
+FROM docs_geo
+WHERE way && {{bbox}}
+  AND ST_DWithin(way, ST_SetSRID(ST_MakePoint(2000000.0, 1000000.0), 3857), 5000000.0)
+{% if zoom <= 3 %} AND NOT ST_DWithin(way, ST_Point(-8000000.0, -4000000.0), 2500000.0) {% endif %}
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2, 4], 4096, 0)
+        return feats.groupBy("zoom", "lang").agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("mx") / 1e6, 3) + 0.0).alias("sum_mx_mm"),
+        )
+
+    q["template_compile_dwithin"] = template_compile_dwithin
+
     def template_compile_subquery(spark, sf_dir):
         """Round-4 compiler tier #2 (config/sqlt.py): FROM (SELECT ...)
         derived tables — inner projection/filter with computed aliases,
@@ -4441,6 +4466,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, fam, sizecls, CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
         FROM rows_ GROUP BY 1, 2, 3
+    """
+
+    o["template_compile_dwithin"] = f"""
+        {_GEO_CTE}, z AS (SELECT UNNEST([2, 4]) AS zoom),
+        rows_ AS (
+            SELECT z.zoom, geo.lang, geo.mx
+            FROM geo, z
+            WHERE (geo.mx - 2000000.0) * (geo.mx - 2000000.0)
+                + (geo.my - 1000000.0) * (geo.my - 1000000.0)
+                 <= 5000000.0 * 5000000.0
+              AND (z.zoom > 3 OR NOT (
+                    (geo.mx - (-8000000.0)) * (geo.mx - (-8000000.0))
+                  + (geo.my - (-4000000.0)) * (geo.my - (-4000000.0))
+                   <= 2500000.0 * 2500000.0))
+        )
+        SELECT zoom, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
+        FROM rows_ GROUP BY 1, 2
     """
 
     # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can

@@ -1333,3 +1333,60 @@ FROM water_polygons WHERE way && {{bbox}}
     child = "\n".join(lines[i + 1 : i + 4])
     assert "zoom#" not in child and "Generate" not in child
     assert "Scan" in child or "Project" in child
+
+
+def test_compiled_st_dwithin(spark):
+    """ST_DWithin over a point source compiles to the exact squared-distance
+    residual: the compiled feature set == hand-filtered pages_geo, for the
+    ST_SetSRID(ST_MakePoint) and bare ST_Point forms, plain and negated."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.operators.tiling import pages_geo
+    from tilekiln_spark.sources.pages import pages
+
+    pts = pages_geo(pages(spark, 1500)).cache()
+    px, py, r = 2000000.0, 1000000.0, 6000000.0
+    body = f"""
+SELECT ST_AsMVTGeom(way, {{{{bbox}}}}, {{{{extent}}}}) AS way, url
+FROM pts
+WHERE way && {{{{bbox}}}}
+  AND ST_DWithin(way, ST_SetSRID(ST_MakePoint({px}, {py}), 3857), {r})
+  AND NOT ST_DWithin(ST_Point({px}, {py}), way, {r} / 4)
+"""
+    sources = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+    feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+    got = sorted(u.url for u in feats.select("url").collect())
+    d2 = (F.col("mx") - px) * (F.col("mx") - px) + (F.col("my") - py) * (F.col("my") - py)
+    expected = sorted(
+        u.url
+        for u in pts.where((d2 <= r * r) & ~(d2 <= (r / 4) * (r / 4))).select("url").collect()
+    )
+    assert got == expected and expected
+    pts.unpersist()
+
+
+def test_compiled_st_dwithin_rejections(spark):
+    """Malformed ST_DWithin forms and ring-table usage raise DefinitionError
+    at build time with actionable messages."""
+    from tilekiln_spark.config.errors import DefinitionError
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.operators.tiling import pages_geo
+    from tilekiln_spark.sources.pages import pages
+
+    pts = pages_geo(pages(spark, 50))
+    src = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+
+    def build(body, sources=src):
+        return CompiledTemplate(body).build(sources, [3], 4096, 0)
+
+    with pytest.raises(DefinitionError, match="ST_DWithin takes"):
+        build("""SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM pts
+WHERE way && {{bbox}} AND ST_DWithin(way, 5.0)""")
+    with pytest.raises(DefinitionError, match="ST_MakePoint"):
+        build("""SELECT ST_AsMVTGeom(way, {{bbox}}) AS way FROM pts
+WHERE way && {{bbox}} AND ST_DWithin(way, way, 5.0)""")
+    with pytest.raises(DefinitionError, match="point-geometry"):
+        build(
+            """SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, osm_id FROM water_polygons
+WHERE way && {{bbox}} AND ST_DWithin(way, ST_MakePoint(0.0, 0.0), 5.0)""",
+            _sources(spark),
+        )

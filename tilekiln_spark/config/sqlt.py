@@ -63,7 +63,7 @@ names to ``{"frame": DataFrame | (sources -> DataFrame), "kind":
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields, is_dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -939,6 +939,56 @@ def _to_col(ast, extent: int) -> Column:
                 f"template SQL: DISTINCT qualifier is only valid in "
                 f"aggregate functions, not {ast.name}"
             )
+        if fn == "st_dwithin":
+            # PostGIS ST_DWithin(way, [ST_SetSRID(]ST_MakePoint(x, y)[, srid)],
+            # r) — the proximity-layer predicate.  Compiles to the exact
+            # squared-distance residual over the point table's mercator
+            # columns: (mx - x)^2 + (my - y)^2 <= r^2 (multiply/add only, so
+            # the boundary decision is IEEE-exact; no sqrt in the filter).
+            # One side must be the feature geometry ref, the other a point
+            # constructor; x/y/r may be any scalar expressions.  Point-
+            # geometry sources only — build() rejects ring tables (distance
+            # to a polygon boundary is not the center residual).
+            if len(ast.args) != 3:
+                raise DefinitionError(
+                    "template SQL: ST_DWithin takes (geometry, geometry, radius)"
+                )
+            g1, g2, rad = ast.args
+
+            def _unwrap_point(a):
+                if (
+                    isinstance(a, Func)
+                    and a.name.lower() == "st_setsrid"
+                    and len(a.args) == 2
+                ):
+                    a = a.args[0]
+                if (
+                    isinstance(a, Func)
+                    and a.name.lower() in ("st_makepoint", "st_point")
+                    and len(a.args) == 2
+                ):
+                    return a.args
+                return None
+
+            def _is_geom_ref(a):
+                return isinstance(a, Ident) and a.cast is None and "." not in a.name
+
+            if _is_geom_ref(g1) and _unwrap_point(g2) is not None:
+                pt = _unwrap_point(g2)
+            elif _is_geom_ref(g2) and _unwrap_point(g1) is not None:
+                pt = _unwrap_point(g1)
+            else:
+                raise DefinitionError(
+                    "template SQL: ST_DWithin needs the geometry column on one "
+                    "side and ST_MakePoint(x, y) / ST_Point(x, y) (optionally "
+                    "ST_SetSRID-wrapped) on the other"
+                )
+            px = _to_col(pt[0], extent)
+            py = _to_col(pt[1], extent)
+            r = _to_col(rad, extent)
+            dx = F.col("mx") - px
+            dy = F.col("my") - py
+            return (dx * dx + dy * dy) <= (r * r)
         args = [_to_col(a, extent) for a in ast.args]
         if fn == "coalesce":
             return F.coalesce(*args)
@@ -1461,6 +1511,21 @@ def _make_qual_resolver(aliases: dict[str, dict[str, str]]):
     return fn
 
 
+def _contains_func(ast, name: str) -> bool:
+    """True if any Func node named ``name`` (case-insensitive) appears in the
+    expression tree — generic dataclass recursion."""
+    if isinstance(ast, Func) and ast.name.lower() == name:
+        return True
+    if is_dataclass(ast):
+        for f in fields(ast):
+            if _contains_func(getattr(ast, f.name), name):
+                return True
+        return False
+    if isinstance(ast, (list, tuple)):
+        return any(_contains_func(a, name) for a in ast)
+    return False
+
+
 def _split_semijoins(where):
     """Split a WHERE tree into (residual_predicate, [InSubquery, ...]).
 
@@ -1884,6 +1949,13 @@ class CompiledTemplate:
                 ]
                 having = _resolve_scalars(having, sources, extent)
                 mode, items, simplify_tol = _geom_item(items_all)
+                if kind != "point" and _contains_func(where, "st_dwithin"):
+                    raise DefinitionError(
+                        "template SQL: ST_DWithin is only supported over "
+                        "point-geometry sources (the residual runs on the "
+                        "mx/my columns; distance to a ring boundary is not "
+                        "the center residual)"
+                    )
                 if simplify_tol and kind not in ("point",):
                     # thin BEFORE the zoom explode: one kernel pass per
                     # source feature, not one per (feature, zoom)
