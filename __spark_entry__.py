@@ -682,6 +682,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_stats"] = zonal_stats_q
 
+    def cell_codes(spark, sf_dir):
+        """Geohash + Bing-quadkey cell codecs (PostGIS ST_GeoHash parity,
+        functions/geocodes.py): per-doc geohash at precision 7 and the z6
+        tile quadkey — both UNROLLED pure-codegen bit interleaves; the
+        DuckDB twin is GENERATED from the same bit-layout loop
+        (geohash_encode_sql / quadkey_encode_sql), so the engines share one
+        arithmetic definition."""
+        from tilekiln_spark.functions.geocodes import geohash_encode, quadkey_encode
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            geocode_arith_lon(F.col("doc_id")).alias("lon"),
+            geocode_arith_lat(F.col("doc_id")).alias("lat"),
+        )
+        d = d.withColumn("mx", merc_x(F.col("lon"))).withColumn("my", merc_y(F.col("lat")))
+        z = F.lit(6)
+        return d.select(
+            "doc_id",
+            geohash_encode(F.col("lat"), F.col("lon"), 7).alias("gh7"),
+            quadkey_encode(6, tile_x(z, F.col("mx")), tile_y(z, F.col("my"))).alias("qk6"),
+        )
+
+    q["cell_codes"] = cell_codes
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3185,6 +3209,24 @@ def oracle_sql() -> dict[str, str]:
           ON cmx >= polys.xmin AND cmx <= polys.xmax
          AND cmy >= polys.ymin AND cmy <= polys.ymax
         GROUP BY 1
+    """
+
+    from tilekiln_spark.functions.geocodes import (
+        geohash_encode_sql,
+        quadkey_encode_sql,
+    )
+
+    tx6, ty6 = _tile_xy_sql(6)
+    o["cell_codes"] = f"""
+        WITH g2 AS (
+            SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat,
+                   {_MX_SQL} AS mx, {_MY_SQL} AS my
+            FROM documents
+        )
+        SELECT doc_id,
+               {geohash_encode_sql("lat", "lon", 7)} AS gh7,
+               {quadkey_encode_sql(6, tx6, ty6)} AS qk6
+        FROM g2
     """
 
     o["union_literals"] = """

@@ -94,6 +94,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_centroids",
         "dwithin_join",
         "zonal_stats",
+        "cell_codes",
         "mvt_render_z4",
         "mvt_poly_render",
         "mvt_holes_render",
