@@ -360,6 +360,47 @@ def _line_segs_sql() -> str:
     return ", ".join(vals)
 
 
+def _measure_fixture_rows() -> list:
+    """(gid, kind, xs, ys) rows for the planar-measure oracle: the concave
+    oracle rings, a convex rect + right triangle, the zigzag polylines, and
+    the degenerate/null guard rows — one Python constant drives both the
+    Spark fixture and the DuckDB VALUES literals."""
+    rows = [
+        (gid, "ring", [float(v) for v in xs], [float(v) for v in ys])
+        for gid, _n, xs, ys in _CONCAVE_RINGS
+    ]
+    rows += [
+        (10, "ring", [0.0, 4.0e6, 4.0e6, 0.0], [0.0, 0.0, 3.0e6, 3.0e6]),
+        (11, "ring", [0.0, 6.0e6, 0.0], [0.0, 0.0, 8.0e6]),
+    ]
+    for lid, uv in _LINES_UV:
+        pts = _line_merc(uv)
+        rows.append(
+            (20 + lid, "chain", [p[0] for p in pts], [p[1] for p in pts])
+        )
+    rows += [
+        (30, "ring", [1.0, 2.0], [1.0, 1.0]),   # <3 vertices: area 0
+        (31, "chain", [5.0], [5.0]),            # <2 vertices: length 0
+        (32, "chain", [], []),                  # empty arrays
+        (33, "ring", None, None),               # null arrays null-propagate
+    ]
+    return rows
+
+
+def _measure_values_sql() -> str:
+    """DuckDB VALUES literals for :func:`_measure_fixture_rows`."""
+    parts = []
+    for gid, kind, xs, ys in _measure_fixture_rows():
+
+        def arr(a):
+            if a is None:
+                return "CAST(NULL AS DOUBLE[])"
+            return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+
+        parts.append(f"({gid}, '{kind}', {arr(xs)}, {arr(ys)})")
+    return ", ".join(parts)
+
+
 # near-dup corpus: documents plus a copy of docs (doc_id<60) with one word
 # appended -> very high shingle-Jaccard pairs, plus exact dups for doc_id<30
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,12 +725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def cell_codes(spark, sf_dir):
         """Geohash + Bing-quadkey cell codecs (PostGIS ST_GeoHash parity,
-        functions/geocodes.py): per-doc geohash at precision 7 and the z6
+        functions/cellcodes.py): per-doc geohash at precision 7 and the z6
         tile quadkey — both UNROLLED pure-codegen bit interleaves; the
         DuckDB twin is GENERATED from the same bit-layout loop
         (geohash_encode_sql / quadkey_encode_sql), so the engines share one
         arithmetic definition."""
-        from tilekiln_spark.functions.geocodes import geohash_encode, quadkey_encode
+        from tilekiln_spark.functions.cellcodes import geohash_encode, quadkey_encode
 
         d = _docs(spark, sf_dir).select(
             "doc_id",
@@ -2045,6 +2086,43 @@ vector_layers:
 
     q["mvt_line_render"] = mvt_line_render
 
+    def geometry_measures(spark, sf_dir):
+        """PostGIS planar measures ST_Area / ST_Perimeter / ST_Length
+        (functions/geometry.py; the reference's templates read osm2pgsql's
+        precomputed way_area and call PostGIS measures freely —
+        tilekiln/definition.py:42-77).  Each measure is ONE F.aggregate fold
+        over the coordinate arrays (built-in HOF, whole-stage codegen, no
+        UDF, map-only); the DuckDB twin is GENERATED by the same *_sql
+        builders so both engines execute one arithmetic definition,
+        degenerate and null guard rows included."""
+        from tilekiln_spark.functions.geometry import line_length, ring_area
+
+        df = spark.createDataFrame(
+            _measure_fixture_rows(),
+            "gid int, kind string, xs array<double>, ys array<double>",
+        )
+        ring = F.col("kind") == "ring"
+        xs, ys = F.col("xs"), F.col("ys")
+        return df.select(
+            "gid",
+            "kind",
+            F.size(xs).alias("n_vertices"),
+            F.round(
+                F.when(ring, ring_area(xs, ys)).otherwise(
+                    F.when(xs.isNotNull(), F.lit(0.0))
+                ),
+                6,
+            ).alias("area"),
+            F.round(
+                F.when(ring, line_length(xs, ys, closed=True)).otherwise(
+                    line_length(xs, ys, closed=False)
+                ),
+                6,
+            ).alias("boundary_len"),
+        )
+
+    q["geometry_measures"] = geometry_measures
+
     def template_compile_union(spark, sf_dir):
         """SQL-template compiler end-to-end (config/sqlt.py): a two-branch
         UNION ALL template with IN-lists, literals, NULL padding, a numeric
@@ -3211,7 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
-    from tilekiln_spark.functions.geocodes import (
+    from tilekiln_spark.functions.cellcodes import (
         geohash_encode_sql,
         quadkey_encode_sql,
     )
@@ -4472,6 +4550,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.minpy AS BIGINT) AS min_py, CAST(a.maxpy AS BIGINT) AS max_py
         FROM agg a LEFT JOIN merges m
           ON a.osm_id = m.osm_id AND a.x = m.x AND a.y = m.y
+    """
+
+    from tilekiln_spark.functions.geometry import (
+        line_length_sql,
+        ring_area_sql,
+        ring_perimeter_sql,
+    )
+
+    o["geometry_measures"] = f"""
+        WITH g(gid, kind, xs, ys) AS (VALUES {_measure_values_sql()})
+        SELECT gid, kind,
+               CAST(len(xs) AS INT) AS n_vertices,
+               round(CASE WHEN kind = 'ring' THEN {ring_area_sql('xs', 'ys')}
+                          WHEN xs IS NOT NULL THEN 0.0 END, 6) + 0.0 AS area,
+               round(CASE WHEN kind = 'ring' THEN {ring_perimeter_sql('xs', 'ys')}
+                          ELSE {line_length_sql('xs', 'ys')} END, 6) + 0.0
+                   AS boundary_len
+        FROM g
     """
 
     o["template_compile_union"] = f"""

@@ -3,7 +3,7 @@ cross-check + prefix-hierarchy property."""
 
 import pyspark.sql.functions as F
 
-from tilekiln_spark.functions.geocodes import (
+from tilekiln_spark.functions.cellcodes import (
     BASE32,
     geohash_encode,
     quadkey_encode,

@@ -1,0 +1,300 @@
+"""Planar geometry measures (ST_Area / ST_Length / ST_Perimeter parity):
+known values, degenerate/null guards, exact DuckDB-twin equivalence, the
+way_area golden identity, and the compiled-template wiring.
+
+Reference parity: tilekiln templates call PostGIS measures freely and read
+osm2pgsql's precomputed way_area (reference tilekiln/definition.py:42-77,
+sample/building.sql.jinja2); here each measure is one F.aggregate fold —
+built-in HOF, whole-stage codegen, no UDF (functions/geometry.py).
+"""
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from tilekiln_spark.config.errors import DefinitionError
+from tilekiln_spark.config.model import Config
+from tilekiln_spark.functions.geometry import (
+    line_length,
+    line_length_sql,
+    ring_area,
+    ring_area_sql,
+    ring_perimeter,
+    ring_perimeter_sql,
+)
+from tilekiln_spark.operators.tiling import pages_geo, render_zooms, sample_tables
+from tilekiln_spark.sources.pages import layer_polygons, pages
+
+# rect, right triangle, concave L, 2-vertex, 1-vertex, empty, null
+_FIXTURE = [
+    (0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0]),
+    (1, [0.0, 6.0, 0.0], [0.0, 0.0, 8.0]),
+    (2, [0.0, 1.6e7, 1.6e7, 8.0e6, 8.0e6, 0.0],
+        [0.0, 0.0, 8.0e6, 8.0e6, 1.6e7, 1.6e7]),
+    (3, [1.0, 2.0], [1.0, 1.0]),
+    (4, [5.0], [5.0]),
+    (5, [], []),
+    (6, None, None),
+]
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(
+        _FIXTURE, "gid int, xs array<double>, ys array<double>"
+    )
+
+
+def _measures(spark):
+    return (
+        _fixture_df(spark)
+        .select(
+            "gid",
+            ring_area(F.col("xs"), F.col("ys")).alias("area"),
+            ring_perimeter(F.col("xs"), F.col("ys")).alias("perim"),
+            line_length(F.col("xs"), F.col("ys")).alias("len_open"),
+        )
+        .orderBy("gid")
+        .collect()
+    )
+
+
+def test_measures_known_values(spark):
+    rows = {r.gid: r for r in _measures(spark)}
+    assert rows[0].area == 12.0 and rows[0].perim == 14.0 and rows[0].len_open == 11.0
+    assert rows[1].area == 24.0  # right triangle 6x8
+    assert rows[1].perim == 24.0  # 6 + 8 + 10
+    assert rows[2].area == 1.92e14  # concave L: 16e6^2 - 8e6^2
+    # degenerate guards: <3 vertices area 0, <2 vertices length 0
+    assert rows[3].area == 0.0 and rows[3].len_open == 1.0 and rows[3].perim == 2.0
+    assert rows[4].area == 0.0 and rows[4].len_open == 0.0 and rows[4].perim == 0.0
+    assert rows[5].area == 0.0 and rows[5].len_open == 0.0
+    # null arrays null-propagate (never coerced to 0)
+    assert rows[6].area is None and rows[6].perim is None and rows[6].len_open is None
+
+
+def test_measures_duckdb_twins(spark):
+    """The *_sql builders generate the IDENTICAL arithmetic as DuckDB list
+    lambdas — bit-equal results on every fixture row, degenerates and null
+    included (both folds accumulate left-to-right in float64)."""
+    got = [
+        (r.gid, r.area, r.perim, r.len_open) for r in _measures(spark)
+    ]
+    vals = ",".join(
+        f"({g}, " + ("NULL, NULL" if xs is None else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]")
+        + ")"
+        for g, xs, ys in _FIXTURE
+    )
+    want = duckdb.connect().execute(
+        f"""
+        WITH t(gid, xs, ys) AS (VALUES {vals})
+        SELECT gid, {ring_area_sql('xs', 'ys')} AS area,
+               {ring_perimeter_sql('xs', 'ys')} AS perim,
+               {line_length_sql('xs', 'ys')} AS len_open
+        FROM t ORDER BY gid
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_st_area_matches_way_area(spark):
+    """Golden identity: the fixture's way_area column IS the Python shoelace
+    of the same ring accumulated in the same order — ring_area must
+    reproduce it bit-for-bit on all 360 polygons (convex AND concave)."""
+    polys = layer_polygons(spark, 120)
+    bad = polys.filter(
+        ring_area(F.col("ring_xs"), F.col("ring_ys")) != F.col("way_area")
+    ).count()
+    assert bad == 0
+
+
+def _template_sources(spark):
+    return {
+        "pages_geo": pages_geo(pages(spark, 2000)),
+        "layer_polygons": layer_polygons(spark, 30),
+        "tables": sample_tables(),
+        "materialize": False,
+    }
+
+
+def _poly_cfg(where: str, extra_item: str = ""):
+    return Config(
+        f"""
+metadata: {{id: meas}}
+vector_layers:
+  water:
+    fields: {{}}
+    sql:
+    - {{minzoom: 2, maxzoom: 4, extent: 4096, file: m.t}}
+""",
+        {
+            "m.t": f"""
+SELECT ST_AsMVTGeom(way, {{{{bbox}}}}, {{{{extent}}}}) AS way, osm_id{extra_item}
+FROM water_polygons
+WHERE way && {{{{bbox}}}} AND {where}
+"""
+        },
+    )
+
+
+def test_compiled_st_area_filter(spark):
+    """`WHERE ST_Area(way) > X` compiles to the fold and renders
+    byte-identically to the precomputed-column filter `way_area > X`
+    (they are the same number, see test_st_area_matches_way_area)."""
+    sources = _template_sources(spark)
+    thr = 1.0e12
+    by_fn = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+             render_zooms(_poly_cfg(f"ST_Area(way) > {thr}"), [2, 3],
+                          dict(sources)).collect()}
+    by_col = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+              render_zooms(_poly_cfg(f"way_area > {thr}"), [2, 3],
+                           dict(sources)).collect()}
+    assert by_fn == by_col
+    # the threshold actually bites: strictly smaller than the unfiltered set
+    all_t = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+             render_zooms(_poly_cfg("1 = 1"), [2, 3], dict(sources)).collect()}
+    assert set(by_fn) <= set(all_t)
+    assert by_fn != all_t
+    assert len(by_fn) > 0
+
+
+def test_compiled_st_perimeter_property(spark):
+    """ST_Perimeter(way) as a SELECT item lands in the tile properties;
+    perimeter >= 4*sqrt(area) for every rectangle (isoperimetric check on
+    decoded values is overkill — assert the render succeeds and differs
+    from the area-item render, i.e. the item is not ignored)."""
+    sources = _template_sources(spark)
+    a = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+         render_zooms(_poly_cfg("1 = 1", ", ST_Area(way) AS m"), [2],
+                      dict(sources)).collect()}
+    p = {(r.zoom, r.x, r.y): bytes(r.water_data) for r in
+         render_zooms(_poly_cfg("1 = 1", ", ST_Perimeter(way) AS m"), [2],
+                      dict(sources)).collect()}
+    assert set(a) == set(p) and len(a) > 0
+    assert any(a[k] != p[k] for k in a)
+
+
+def test_compiled_st_length_polyline(spark):
+    """ST_Length over a true open-chain (polyline-kind) table compiles and
+    filters: a length threshold between the two fixture chains keeps
+    exactly the longer one."""
+    import pandas as pd
+
+    chains = [
+        (0, [0.0, 3.0e6], [0.0, 4.0e6]),            # length 5e6
+        (1, [0.0, 6.0e6, 6.0e6], [0.0, 0.0, 8.0e6]),  # length 14e6
+    ]
+    pdf = pd.DataFrame(
+        [
+            {
+                "polygon_id": gid, "osm_id": gid,
+                "xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys),
+                "ring_xs": xs, "ring_ys": ys,
+            }
+            for gid, xs, ys in chains
+        ]
+    )
+    lines = spark.createDataFrame(
+        pdf,
+        "polygon_id long, osm_id long, xmin double, ymin double, "
+        "xmax double, ymax double, ring_xs array<double>, ring_ys array<double>",
+    )
+    tables = sample_tables()
+    tables["waterways"] = {"frame": lambda s: lines, "kind": "polyline"}
+    cfg = Config(
+        """
+metadata: {id: wlen}
+vector_layers:
+  waterway:
+    fields: {}
+    sql:
+    - {minzoom: 1, maxzoom: 3, extent: 2048, file: w.t}
+""",
+        {"w.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, osm_id
+FROM waterways
+WHERE way && {{bbox}} AND ST_Length(way) > 10000000
+"""},
+    )
+    sources = {
+        "pages_geo": spark.createDataFrame(
+            [], "url string, lang string, mx double, my double"
+        ),
+        "layer_polygons": layer_polygons(spark, 5),
+        "tables": tables,
+        "materialize": False,
+    }
+    from tilekiln_spark.operators.mvt import decode_tile
+
+    tiles = render_zooms(cfg, [1], dict(sources)).collect()
+    assert len(tiles) > 0
+    ids = set()
+    for r in tiles:
+        for layer in decode_tile(bytes(r.waterway_data)):
+            ki = layer["keys"].index("osm_id")
+            for f in layer["features"]:
+                tags = f["tags"]
+                vi = next(
+                    tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki
+                )
+                ids.add(int(layer["values"][vi]))
+    assert ids == {1}
+
+
+def test_compiled_measure_kind_rejections(spark):
+    sources = _template_sources(spark)
+    with pytest.raises(DefinitionError, match="ST_AREA is only valid"):
+        render_zooms(
+            Config(
+                """
+metadata: {id: bad}
+vector_layers:
+  l:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: b.t}
+""",
+                {"b.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, osm_id
+FROM planet_osm_polygon WHERE way && {{bbox}} AND ST_Area(way) > 10
+"""},
+            ),
+            [2], dict(sources),
+        )
+    with pytest.raises(DefinitionError, match="ST_LENGTH is only valid"):
+        render_zooms(
+            Config(
+                """
+metadata: {id: bad2}
+vector_layers:
+  l:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: b.t}
+""",
+                {"b.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, osm_id,
+       ST_Length(way) AS boundary
+FROM water_polygons WHERE way && {{bbox}}
+"""},
+            ),
+            [2], dict(sources),
+        )
+    with pytest.raises(DefinitionError, match="geometry column"):
+        render_zooms(
+            Config(
+                """
+metadata: {id: bad3}
+vector_layers:
+  l:
+    fields: {}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: b.t}
+""",
+                {"b.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, osm_id
+FROM water_polygons WHERE way && {{bbox}} AND ST_Area(1 + 2) > 10
+"""},
+            ),
+            [2], dict(sources),
+        )

@@ -989,6 +989,29 @@ def _to_col(ast, extent: int) -> Column:
             dx = F.col("mx") - px
             dy = F.col("my") - py
             return (dx * dx + dy * dy) <= (r * r)
+        if fn in ("st_area", "st_perimeter", "st_length"):
+            # PostGIS planar measures over the source's coordinate arrays
+            # (mercator units — the same convention as osm2pgsql's
+            # precomputed way_area, reference sample/building.sql.jinja2).
+            # Each compiles to ONE F.aggregate fold over ring_xs/ring_ys
+            # (functions/geometry.py) — built-in HOF, codegen, no UDF.
+            # build() rejects kind mismatches (ST_Area/ST_Perimeter need a
+            # ring table; ST_Length an open polyline table).
+            from tilekiln_spark.functions.geometry import line_length, ring_area
+
+            if (
+                len(ast.args) != 1
+                or not isinstance(ast.args[0], Ident)
+                or ast.args[0].cast is not None
+                or "." in ast.args[0].name
+            ):
+                raise DefinitionError(
+                    f"template SQL: {ast.name} takes the geometry column"
+                )
+            xs, ys = F.col("ring_xs"), F.col("ring_ys")
+            if fn == "st_area":
+                return ring_area(xs, ys)
+            return line_length(xs, ys, closed=(fn == "st_perimeter"))
         args = [_to_col(a, extent) for a in ast.args]
         if fn == "coalesce":
             return F.coalesce(*args)
@@ -1337,6 +1360,15 @@ _GEOM_PASSTHROUGH = {
 }
 
 _PSEUDO_IDENTS = {"__TILE_AREA__", "__COORD_AREA__", "__TILE_LENGTH__", "__COORD_LENGTH__"}
+
+# source kinds each PostGIS planar measure is defined over (rings are stored
+# WITHOUT the repeated closing vertex, so ST_Length over a ring table would
+# silently drop the closing edge — build() rejects the mismatch instead)
+_MEASURE_KINDS = {
+    "st_area": ("polygon", "line"),
+    "st_perimeter": ("polygon", "line"),
+    "st_length": ("polyline",),
+}
 
 
 def _no_pseudo(ast) -> None:
@@ -1956,6 +1988,20 @@ class CompiledTemplate:
                         "mx/my columns; distance to a ring boundary is not "
                         "the center residual)"
                     )
+                for fname, fkinds in _MEASURE_KINDS.items():
+                    if kind in fkinds:
+                        continue
+                    if (
+                        _contains_func(where, fname)
+                        or _contains_func(having, fname)
+                        or any(_contains_func(it.expr, fname) for it in items_all)
+                    ):
+                        raise DefinitionError(
+                            f"template SQL: {fname.upper()} is only valid over "
+                            f"{' / '.join(fkinds)} sources (rings are stored "
+                            "unclosed, so a ring's boundary length is "
+                            "ST_Perimeter, not ST_Length)"
+                        )
                 if simplify_tol and kind not in ("point",):
                     # thin BEFORE the zoom explode: one kernel pass per
                     # source feature, not one per (feature, zoom)

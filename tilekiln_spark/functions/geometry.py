@@ -1,0 +1,106 @@
+"""Geometry measures over ring/line coordinate arrays: ST_Area, ST_Length,
+ST_Perimeter (PostGIS parity — the reference's templates read osm2pgsql's
+precomputed ``way_area`` and call PostGIS measures freely,
+reference tilekiln/definition.py:42-77).
+
+Spark-first shape: geometries live as flat coordinate arrays
+(``ring_xs``/``ring_ys`` — the same layout every spatial operator here
+uses), so each measure is ONE ``F.aggregate`` fold over an index sequence —
+a built-in higher-order function, whole-stage codegen, no UDF, no shuffle.
+Each measure has a ``*_sql`` twin generating the identical arithmetic as
+DuckDB list-lambda SQL (one definition drives both engines' oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ring_area(ring_xs: Column, ring_ys: Column) -> Column:
+    """Unsigned shoelace area of a closed ring given WITHOUT the repeated
+    closing vertex (the fixture/operator layout).  Null-propagates on null
+    arrays; a degenerate ring (< 3 vertices) has area 0."""
+    n = F.size(ring_xs)
+
+    def term(i: Column) -> Column:
+        j = F.pmod(i, n) + 1  # wrap: edge (i, i+1), 1-based element_at
+        return (
+            F.element_at(ring_xs, i) * F.element_at(ring_ys, j)
+            - F.element_at(ring_xs, j) * F.element_at(ring_ys, i)
+        )
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + term(i),
+    )
+    # guard BEFORE the fold: F.sequence(1, 0) steps DOWN to [1, 0] and
+    # element_at(_, 0) raises under ANSI — degenerate rings are plain 0.0
+    return F.when(n >= 3, F.abs(s) / F.lit(2.0)).otherwise(
+        F.when(ring_xs.isNotNull() & ring_ys.isNotNull(), F.lit(0.0))
+    )
+
+
+def ring_area_sql(xs: str, ys: str) -> str:
+    """DuckDB twin of :func:`ring_area` (1-based list indexing)."""
+    shoelace = (
+        f"(abs(list_sum(list_transform(range(1, len({xs}) + 1), i -> "
+        f"{xs}[i] * {ys}[(i % len({xs})) + 1] "
+        f"- {xs}[(i % len({xs})) + 1] * {ys}[i]))) / 2.0)"
+    )
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+        f"WHEN len({xs}) >= 3 THEN {shoelace} ELSE 0.0 END)"
+    )
+
+
+def line_length(xs: Column, ys: Column, closed: bool = False) -> Column:
+    """Sum of Euclidean edge lengths of an OPEN polyline; ``closed=True``
+    adds the wrap-around edge (ring perimeter).  Null-propagates on null
+    arrays; a chain with fewer than 2 vertices has length 0."""
+    n = F.size(xs)
+    last = n if closed else n - 1
+
+    def edge(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        dx = F.element_at(xs, j) - F.element_at(xs, i)
+        dy = F.element_at(ys, j) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), last),
+        F.lit(0.0),
+        lambda acc, i: acc + edge(i),
+    )
+    # guard BEFORE the fold: F.sequence(1, 0) steps DOWN through index 0 and
+    # element_at(_, 0) raises — a <2-vertex chain is plain 0.0 (CASE WHEN
+    # branches evaluate lazily per row, so the fold never runs there)
+    return F.when(n >= 2, s).otherwise(
+        F.when(xs.isNotNull() & ys.isNotNull(), F.lit(0.0))
+    )
+
+
+def line_length_sql(xs: str, ys: str, closed: bool = False) -> str:
+    """DuckDB twin of :func:`line_length` (range() is end-exclusive and
+    empty when start >= stop; list_sum([]) is NULL, hence the coalesce)."""
+    last = f"len({xs}) + 1" if closed else f"len({xs})"
+    j = f"(i % len({xs})) + 1"
+    body = (
+        f"coalesce(list_sum(list_transform(range(1, {last}), i -> "
+        f"sqrt(({xs}[{j}] - {xs}[i]) * ({xs}[{j}] - {xs}[i]) "
+        f"+ ({ys}[{j}] - {ys}[i]) * ({ys}[{j}] - {ys}[i])))), 0.0)"
+    )
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+        f"ELSE {body} END)"
+    )
+
+
+def ring_perimeter(ring_xs: Column, ring_ys: Column) -> Column:
+    """Closed-ring perimeter (ST_Perimeter for a single exterior ring)."""
+    return line_length(ring_xs, ring_ys, closed=True)
+
+
+def ring_perimeter_sql(xs: str, ys: str) -> str:
+    return line_length_sql(xs, ys, closed=True)
