@@ -747,6 +747,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_codes"] = cell_codes
 
+    def cell_decode(spark, sf_dir):
+        """Geohash / quadkey DECODE (PostGIS ST_PointFromGeoHash + Bing
+        tile-system parity, functions/cellcodes.py): decode the per-doc
+        codes back to cell-center lat/lon and tile x/y — the inverse
+        unrolled bit walks, pure codegen — and prove the roundtrip
+        (center re-encodes to the identical code) as value columns.  The
+        DuckDB twin is GENERATED from the same bit-layout loops."""
+        from tilekiln_spark.functions.cellcodes import (
+            geohash_decode,
+            geohash_encode,
+            quadkey_decode,
+            quadkey_encode,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            geocode_arith_lon(F.col("doc_id")).alias("lon"),
+            geocode_arith_lat(F.col("doc_id")).alias("lat"),
+        )
+        d = d.withColumn("mx", merc_x(F.col("lon"))).withColumn("my", merc_y(F.col("lat")))
+        z = F.lit(6)
+        enc = d.select(
+            "doc_id",
+            geohash_encode(F.col("lat"), F.col("lon"), 7).alias("gh7"),
+            quadkey_encode(6, tile_x(z, F.col("mx")), tile_y(z, F.col("my"))).alias("qk6"),
+        )
+        dlat, dlon = geohash_decode(F.col("gh7"), 7)
+        qx, qy = quadkey_decode(F.col("qk6"), 6)
+        return enc.select(
+            "doc_id",
+            "gh7",
+            F.round(dlat, 6).alias("cell_lat"),
+            F.round(dlon, 6).alias("cell_lon"),
+            qx.cast("int").alias("tile_x"),
+            qy.cast("int").alias("tile_y"),
+            (geohash_encode(dlat, dlon, 7) == F.col("gh7")).alias("gh_roundtrip"),
+            (quadkey_encode(6, qx, qy) == F.col("qk6")).alias("qk_roundtrip"),
+        )
+
+    q["cell_decode"] = cell_decode
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3305,6 +3346,39 @@ def oracle_sql() -> dict[str, str]:
                {geohash_encode_sql("lat", "lon", 7)} AS gh7,
                {quadkey_encode_sql(6, tx6, ty6)} AS qk6
         FROM g2
+    """
+
+    from tilekiln_spark.functions.cellcodes import (
+        geohash_decode_sql,
+        quadkey_decode_sql,
+    )
+
+    _dec_lat, _dec_lon = geohash_decode_sql("gh7", 7)
+    _dec_x, _dec_y = quadkey_decode_sql("qk6", 6)
+    o["cell_decode"] = f"""
+        WITH g2 AS (
+            SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat,
+                   {_MX_SQL} AS mx, {_MY_SQL} AS my
+            FROM documents
+        ), enc AS (
+            SELECT doc_id,
+                   {geohash_encode_sql("lat", "lon", 7)} AS gh7,
+                   {quadkey_encode_sql(6, tx6, ty6)} AS qk6
+            FROM g2
+        ), dec AS (
+            SELECT doc_id, gh7, qk6,
+                   {_dec_lat} AS clat, {_dec_lon} AS clon,
+                   {_dec_x} AS dx, {_dec_y} AS dy
+            FROM enc
+        )
+        SELECT doc_id, gh7,
+               round(clat, 6) + 0.0 AS cell_lat,
+               round(clon, 6) + 0.0 AS cell_lon,
+               CAST(dx AS INT) AS tile_x,
+               CAST(dy AS INT) AS tile_y,
+               ({geohash_encode_sql("clat", "clon", 7)} = gh7) AS gh_roundtrip,
+               ({quadkey_encode_sql(6, "dx", "dy")} = qk6) AS qk_roundtrip
+        FROM dec
     """
 
     o["union_literals"] = """

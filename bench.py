@@ -95,6 +95,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dwithin_join",
         "zonal_stats",
         "cell_codes",
+        "cell_decode",
         "mvt_render_z4",
         "mvt_poly_render",
         "mvt_holes_render",

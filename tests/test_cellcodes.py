@@ -1,11 +1,16 @@
 """Geohash / quadkey codecs: public known vectors + reference-implementation
 cross-check + prefix-hierarchy property."""
 
+import duckdb
 import pyspark.sql.functions as F
 
 from tilekiln_spark.functions.cellcodes import (
     BASE32,
+    geohash_decode,
+    geohash_decode_sql,
     geohash_encode,
+    quadkey_decode,
+    quadkey_decode_sql,
     quadkey_encode,
 )
 
@@ -111,3 +116,81 @@ def test_quadkey_known_vector_and_reference(spark):
         quadkey_encode(15, F.floor(F.col("x") / 2).cast("int"), F.floor(F.col("y") / 2).cast("int"))
     ).collect()]
     assert all(full.startswith(parent) for full, parent in zip(got16, got15))
+
+
+def test_geohash_decode_roundtrip_and_center(spark):
+    """decode returns the CELL CENTER (ST_PointFromGeoHash parity): the
+    center re-encodes to the same code, and the original point sits within
+    half a cell of the center on each axis."""
+    pts = [((i * 7919 % 1800) / 10.0 - 89.95, (i * 104729 % 3600) / 10.0 - 179.95)
+           for i in range(60)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for precision in (3, 7):
+        enc = df.select(
+            "lat", "lon",
+            geohash_encode(F.col("lat"), F.col("lon"), precision).alias("gh"),
+        )
+        dlat, dlon = geohash_decode(F.col("gh"), precision)
+        rows = enc.select(
+            "lat", "lon", "gh",
+            dlat.alias("clat"), dlon.alias("clon"),
+            geohash_encode(dlat, dlon, precision).alias("gh2"),
+        ).collect()
+        nbits = 5 * precision
+        cell_lon = 360.0 / (1 << ((nbits + 1) // 2))
+        cell_lat = 180.0 / (1 << (nbits // 2))
+        for r in rows:
+            assert r.gh2 == r.gh  # center re-encodes to the same cell
+            assert abs(r.clat - r.lat) <= cell_lat / 2 + 1e-9
+            assert abs(r.clon - r.lon) <= cell_lon / 2 + 1e-9
+
+
+def test_quadkey_decode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(3, 5), (0, 0), (7, 0), (35210, 21493)], "x int, y int"
+    )
+    for zoom in (3, 16):
+        mask = (1 << zoom) - 1
+        enc = df.select(
+            (F.col("x").bitwiseAND(F.lit(mask))).alias("x"),
+            (F.col("y").bitwiseAND(F.lit(mask))).alias("y"),
+        ).select(
+            "x", "y", quadkey_encode(zoom, F.col("x"), F.col("y")).alias("qk")
+        )
+        dx, dy = quadkey_decode(F.col("qk"), zoom)
+        rows = enc.select("x", "y", dx.alias("dx"), dy.alias("dy")).collect()
+        for r in rows:
+            assert (r.dx, r.dy) == (r.x, r.y)
+
+
+def test_decode_sql_twins_match(spark):
+    """The generated DuckDB decode SQL produces bit-identical centers and
+    tile coords to the Spark expressions on shared codes."""
+    pts = [((i * 31 % 170) - 84.5, (i * 97 % 350) - 174.5) for i in range(40)]
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], "lat double, lon double")
+    enc = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 6).alias("gh"),
+    )
+    dlat, dlon = geohash_decode(F.col("gh"), 6)
+    got = [(r.gh, r.clat, r.clon) for r in
+           enc.select("gh", dlat.alias("clat"), dlon.alias("clon")).collect()]
+    lat_sql, lon_sql = geohash_decode_sql("gh", 6)
+    vals = ",".join(f"('{g}')" for g, _, _ in got)
+    want = duckdb.connect().execute(
+        f"WITH t(gh) AS (VALUES {vals}) "
+        f"SELECT gh, {lat_sql} AS clat, {lon_sql} AS clon FROM t"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+    qdf = spark.createDataFrame([(i * 37 % 64, i * 53 % 64) for i in range(30)], "x int, y int")
+    qenc = qdf.select(quadkey_encode(6, F.col("x"), F.col("y")).alias("qk"))
+    qx, qy = quadkey_decode(F.col("qk"), 6)
+    qgot = [(r.qk, r.dx, r.dy) for r in
+            qenc.select("qk", qx.alias("dx"), qy.alias("dy")).collect()]
+    x_sql, y_sql = quadkey_decode_sql("qk", 6)
+    qvals = ",".join(f"('{k}')" for k, _, _ in qgot)
+    qwant = duckdb.connect().execute(
+        f"WITH t(qk) AS (VALUES {qvals}) "
+        f"SELECT qk, CAST({x_sql} AS BIGINT) AS dx, CAST({y_sql} AS BIGINT) AS dy FROM t"
+    ).fetchall()
+    assert qgot == [tuple(r) for r in qwant]

@@ -119,3 +119,92 @@ def quadkey_encode_sql(zoom: int, x_sql: str, y_sql: str) -> str:
         )
         chars.append(f"substr('0123', CAST(({d}) + 1 AS INT), 1)")
     return "(" + " || ".join(chars) + ")"
+
+
+def _gh_bit_terms(precision: int):
+    """Shared bit layout for the geohash DECODE direction: yields
+    (char_index, bit_in_char (0 = MSB of the 5), axis, weight) — the same
+    alternating lon/lat walk :func:`geohash_encode` unrolls, inverted."""
+    n_lon, n_lat = _gh_layout(precision)
+    for pos in range(5 * precision):
+        c, b = pos // 5, pos % 5
+        if pos % 2 == 0:
+            yield c, b, "lon", 1 << (n_lon - 1 - pos // 2)
+        else:
+            yield c, b, "lat", 1 << (n_lat - 1 - pos // 2)
+
+
+def geohash_decode(gh: Column, precision: int) -> tuple[Column, Column]:
+    """geohash string of exactly ``precision`` chars -> (lat, lon) of the
+    CELL CENTER (PostGIS ST_PointFromGeoHash parity — PostGIS returns the
+    cell-center point).  Inverse bit walk of :func:`geohash_encode`, same
+    unrolled pure-expression shape: instr into the base32 alphabet, then
+    shift/mask/multiply-add; the center strictly re-encodes to the same
+    code, so encode(decode(g)) == g for every valid code."""
+    n_lon, n_lat = _gh_layout(precision)
+    vals = [
+        (F.instr(F.lit(BASE32), F.substring(gh, c + 1, 1)).cast("long") - F.lit(1).cast("long"))
+        for c in range(precision)
+    ]
+    ilon: Column = F.lit(0).cast("long")
+    ilat: Column = F.lit(0).cast("long")
+    for c, b, axis, weight in _gh_bit_terms(precision):
+        bit = F.shiftright(vals[c], 4 - b).bitwiseAND(F.lit(1).cast("long"))
+        term = bit * F.lit(weight).cast("long")
+        if axis == "lon":
+            ilon = ilon + term
+        else:
+            ilat = ilat + term
+    lat = F.lit(-90.0) + (ilat.cast("double") + F.lit(0.5)) * F.lit(180.0 / (1 << n_lat))
+    lon = F.lit(-180.0) + (ilon.cast("double") + F.lit(0.5)) * F.lit(360.0 / (1 << n_lon))
+    return lat, lon
+
+
+def geohash_decode_sql(gh_sql: str, precision: int) -> tuple[str, str]:
+    """The DuckDB/ANSI twin of :func:`geohash_decode` — same bit walk,
+    returns (lat_sql, lon_sql)."""
+    n_lon, n_lat = _gh_layout(precision)
+
+    def val(c: int) -> str:
+        return f"(instr('{BASE32}', substr({gh_sql}, {c + 1}, 1)) - 1)"
+
+    sums = {"lon": [], "lat": []}
+    for c, b, axis, weight in _gh_bit_terms(precision):
+        sums[axis].append(f"((({val(c)}) >> {4 - b}) & 1) * {weight}")
+    ilon = " + ".join(sums["lon"])
+    ilat = " + ".join(sums["lat"])
+    # CAST the scale literal: bare decimal literals parse as DECIMAL in
+    # DuckDB and the whole expression would drift into decimal arithmetic
+    lat = f"(-90.0 + (({ilat}) + 0.5) * CAST({180.0 / (1 << n_lat)!r} AS DOUBLE))"
+    lon = f"(-180.0 + (({ilon}) + 0.5) * CAST({360.0 / (1 << n_lon)!r} AS DOUBLE))"
+    return lat, lon
+
+
+def quadkey_decode(qk: Column, zoom: int) -> tuple[Column, Column]:
+    """quadkey string of exactly ``zoom`` chars -> (x, y) tile coordinates
+    (Bing Maps tile-system parity; inverse of :func:`quadkey_encode`).
+    One ascii-and-mask term per level, pure codegen."""
+    if not 1 <= zoom <= 30:
+        raise ValueError("quadkey zoom must be in [1, 30]")
+    x: Column = F.lit(0).cast("long")
+    y: Column = F.lit(0).cast("long")
+    for level in range(1, zoom + 1):
+        shift = zoom - level
+        d = (F.ascii(F.substring(qk, level, 1)) - F.lit(48)).cast("long")
+        x = x + d.bitwiseAND(F.lit(1).cast("long")) * F.lit(1 << shift).cast("long")
+        y = y + F.shiftright(d, 1).bitwiseAND(F.lit(1).cast("long")) * F.lit(1 << shift).cast("long")
+    return x, y
+
+
+def quadkey_decode_sql(qk_sql: str, zoom: int) -> tuple[str, str]:
+    """The DuckDB/ANSI twin of :func:`quadkey_decode` — returns
+    (x_sql, y_sql)."""
+    if not 1 <= zoom <= 30:
+        raise ValueError("quadkey zoom must be in [1, 30]")
+    xs, ys = [], []
+    for level in range(1, zoom + 1):
+        shift = zoom - level
+        d = f"(ascii(substr({qk_sql}, {level}, 1)) - 48)"
+        xs.append(f"(({d}) & 1) * {1 << shift}")
+        ys.append(f"((({d}) >> 1) & 1) * {1 << shift}")
+    return "(" + " + ".join(xs) + ")", "(" + " + ".join(ys) + ")"
