@@ -788,6 +788,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_decode"] = cell_decode
 
+    def dwithin_geography(spark, sf_dir):
+        """Geography ST_DWithin (great-circle meters on the PostGIS mean
+        sphere, operators/spatial_join.py dwithin_geography_join): every
+        (probe, doc) pair within 2,200 km.  Scale shape: bounded lat/lon
+        cell-neighborhood equi-join (rows +-1; lon window from the exact
+        haversine inversion; polar caps route to a sentinel bucket) + the
+        exact haversine residual — no cross join.  The DuckDB twin is the
+        same haversine formula text (functions/geodesic.py
+        haversine_m_sql); distances round to cm because the engines' libm
+        may differ in the last ulp."""
+        from tilekiln_spark.operators.spatial_join import dwithin_geography_join
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            geocode_arith_lon(F.col("doc_id")).alias("lon"),
+            geocode_arith_lat(F.col("doc_id")).alias("lat"),
+        )
+        probes = spark.range(16).select(
+            F.col("id").cast("int").alias("cid"),
+            (F.lit(-60.0) + (F.col("id") % 4).cast("double") * F.lit(40.0)).alias("slat"),
+            (F.lit(-135.0) + F.floor(F.col("id") / 4).cast("double") * F.lit(90.0)).alias("slon"),
+        )
+        out = dwithin_geography_join(d, probes, 2_200_000.0)
+        return out.select(
+            "cid", "doc_id", F.round(F.col("dist_m"), 2).alias("dist_m")
+        )
+
+    q["dwithin_geography"] = dwithin_geography
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3379,6 +3408,24 @@ def oracle_sql() -> dict[str, str]:
                ({geohash_encode_sql("clat", "clon", 7)} = gh7) AS gh_roundtrip,
                ({quadkey_encode_sql(6, "dx", "dy")} = qk6) AS qk_roundtrip
         FROM dec
+    """
+
+    from tilekiln_spark.functions.geodesic import haversine_m_sql
+
+    o["dwithin_geography"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM documents
+        ), probes AS (
+            SELECT CAST(id AS INT) AS cid,
+                   -60.0 + CAST(id % 4 AS DOUBLE) * 40.0 AS slat,
+                   -135.0 + CAST(floor(id / 4) AS DOUBLE) * 90.0 AS slon
+            FROM range(16) t(id)
+        )
+        SELECT cid, doc_id,
+               round({haversine_m_sql('lat', 'lon', 'slat', 'slon')}, 2) + 0.0
+                   AS dist_m
+        FROM d CROSS JOIN probes
+        WHERE {haversine_m_sql('lat', 'lon', 'slat', 'slon')} <= 2200000.0
     """
 
     o["union_literals"] = """

@@ -93,6 +93,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_concave",
         "knn_centroids",
         "dwithin_join",
+        "dwithin_geography",
         "zonal_stats",
         "cell_codes",
         "cell_decode",

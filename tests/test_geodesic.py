@@ -1,0 +1,136 @@
+"""Great-circle distance + geography DWithin join: known values, DuckDB-twin
+agreement, and the bounded lat/lon-grid join vs a brute-force cross join
+(seam, polar, and full-wrap cases included)."""
+
+import math
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from tilekiln_spark.functions.geodesic import (
+    EARTH_RADIUS_M,
+    haversine_m,
+    haversine_m_sql,
+)
+from tilekiln_spark.operators.spatial_join import dwithin_geography_join
+
+
+def _ref_haversine(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = math.radians(lat2 - lat1) / 2
+    dlam = math.radians(lon2 - lon1) / 2
+    a = math.sin(dphi) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlam) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0)))
+
+
+_PAIRS = [
+    (0.0, 0.0, 0.0, 90.0),          # quarter circumference along equator
+    (0.0, 0.0, 90.0, 0.0),          # pole
+    (52.52, 13.405, 48.8566, 2.3522),   # Berlin - Paris
+    (0.0, 179.9, 0.0, -179.9),      # antimeridian seam
+    (10.0, 20.0, -10.0, -160.0),    # antipodal-ish (clamp branch)
+    (33.0, 44.0, 33.0, 44.0),       # zero
+]
+
+
+def test_haversine_known_values(spark):
+    df = spark.createDataFrame(_PAIRS, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = [
+        r[0]
+        for r in df.select(
+            haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+        ).collect()
+    ]
+    quarter = math.pi / 2 * EARTH_RADIUS_M
+    assert got[0] == pytest.approx(quarter, rel=1e-12)
+    assert got[1] == pytest.approx(quarter, rel=1e-12)
+    assert got[2] == pytest.approx(877463, rel=1e-2)  # ~877.5 km
+    assert got[3] == pytest.approx(0.2 * math.pi / 180 * EARTH_RADIUS_M, rel=1e-9)
+    assert got[5] == 0.0
+    for g, p in zip(got, _PAIRS):
+        assert g == pytest.approx(_ref_haversine(*p), rel=1e-12)
+
+
+def test_haversine_duckdb_twin(spark):
+    df = spark.createDataFrame(_PAIRS, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = [
+        r[0]
+        for r in df.select(
+            haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+        ).collect()
+    ]
+    vals = ",".join(f"({a!r},{b!r},{c!r},{d!r})" for a, b, c, d in _PAIRS)
+    want = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"WITH t(lat1, lon1, lat2, lon2) AS (VALUES {vals}) "
+            f"SELECT {haversine_m_sql('lat1', 'lon1', 'lat2', 'lon2')} FROM t"
+        ).fetchall()
+    ]
+    # same formula text, but the engines' libm may differ in the last ulp —
+    # allclose, not equality (oracles round for display for the same reason)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-6)
+
+
+def _pts(spark, n=240):
+    """Deterministic scatter incl. high-lat and near-seam points."""
+    rows = []
+    for i in range(n):
+        lat = ((i * 7919) % 1780) / 10.0 - 89.0
+        lon = ((i * 104729) % 3600) / 10.0 - 180.0
+        rows.append((i, lat, lon))
+    rows += [(n, 89.6, 10.0), (n + 1, 89.9, -170.0), (n + 2, -89.7, 5.0),
+             (n + 3, 0.0, 179.95), (n + 4, 0.0, -179.95)]
+    return spark.createDataFrame(rows, "pid int, lat double, lon double")
+
+
+_SEEDS = [
+    (0, 0.0, 179.8),     # antimeridian seam
+    (1, 89.5, 0.0),      # polar cap
+    (2, -89.5, 100.0),   # south polar cap
+    (3, 45.0, -120.0),
+    (4, -30.0, 60.0),
+    (5, 86.0, 90.0),     # high-lat, below polar threshold
+    (6, 0.0, 0.0),
+]
+
+
+@pytest.mark.parametrize("radius_m", [300_000.0, 1_500_000.0, 6_000_000.0])
+def test_dwithin_geography_matches_bruteforce(spark, radius_m):
+    pts = _pts(spark)
+    seeds = spark.createDataFrame(_SEEDS, "sid int, slat double, slon double")
+    got = {
+        (r.pid, r.sid)
+        for r in dwithin_geography_join(pts, seeds, radius_m).collect()
+    }
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon"))
+    want = {
+        (r.pid, r.sid)
+        for r in pts.crossJoin(seeds).where(d <= F.lit(radius_m)).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_dwithin_geography_no_duplicate_pairs(spark):
+    pts = _pts(spark)
+    seeds = spark.createDataFrame(_SEEDS, "sid int, slat double, slon double")
+    out = dwithin_geography_join(pts, seeds, 2_000_000.0).select("pid", "sid")
+    assert out.count() == out.distinct().count()
+
+
+def test_dwithin_geography_seam_and_polar_pairs_present(spark):
+    """The pairs the naive flat grid would miss: across the +-180 seam and
+    inside the polar cap."""
+    pts = _pts(spark)
+    seeds = spark.createDataFrame(_SEEDS, "sid int, slat double, slon double")
+    got = {
+        (r.pid, r.sid)
+        for r in dwithin_geography_join(pts, seeds, 300_000.0).collect()
+    }
+    n = 245 - 5
+    assert (n + 3, 0) in got and (n + 4, 0) in got  # seam, both sides
+    assert (n, 1) in got                            # polar cap north
+    assert (n + 2, 2) in got                        # polar cap south

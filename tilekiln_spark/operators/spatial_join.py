@@ -426,3 +426,116 @@ def dwithin_join(
         .withColumn("dist", F.sqrt(d2))
         .drop("gx", "gy")
     )
+
+
+def dwithin_geography_join(
+    points: DataFrame,
+    seeds: DataFrame,
+    radius_m: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    seed_lat: str = "slat",
+    seed_lon: str = "slon",
+    polar_lat: float = 88.0,
+    broadcast_seeds: bool = True,
+) -> DataFrame:
+    """Geography distance-band join: every (point, seed) pair whose
+    GREAT-CIRCLE distance is <= ``radius_m`` meters — PostGIS
+    ``ST_DWithin(geography, geography, r)`` semantics on the mean sphere
+    (functions/geodesic.py; the reference's templates run arbitrary PostGIS
+    SQL, reference tilekiln/definition.py:42-77).
+
+    Distributed shape (filter + refine, like the planar ``dwithin_join``,
+    but the grid lives in lat/lon degrees because mercator distances
+    inflate by sec(lat) and a single mercator radius would be wrong):
+
+    - square degree grid with cell side = radius in LATITUDE degrees; a
+      matching point is always within one lat row of the seed, so the seed
+      explodes rows r-1..r+1.
+    - longitude shrinks by cos(lat), so the seed widens its column window
+      to ``k = ceil(sec(band_max_lat))`` cells per side — BOUNDED because
+      bands touching ``polar_lat`` route to a single polar-cap bucket
+      instead (sentinel column -1 on both sides; sec() never exceeds
+      sec(polar_lat) ~ 29).  Columns wrap modulo the column count, so the
+      +-180 seam joins correctly.
+    - exact residual: haversine(point, seed) <= radius_m.  Trig, not
+      multiply-add, so the boundary is NOT bit-stable across engines —
+      callers pick radii off any pair distance (the same discipline as
+      cosine ranking cuts).
+
+    Seeds broadcast by default (dimension side).  Returns all point
+    columns + seed identity columns + ``dist_m``."""
+    from tilekiln_spark.functions.geodesic import METERS_PER_DEG, haversine_m
+
+    r_deg = float(radius_m) / METERS_PER_DEG
+    cell = r_deg
+    ncols = max(int(np.ceil(360.0 / cell)), 1)
+    nrows = max(int(np.ceil(180.0 / cell)), 1)
+
+    def row_of(latc: Column) -> Column:
+        return F.least(
+            F.greatest(F.floor((latc + F.lit(90.0)) / F.lit(cell)).cast("int"), F.lit(0)),
+            F.lit(nrows - 1),
+        )
+
+    def col_of(lonc: Column) -> Column:
+        return F.pmod(F.floor((lonc + F.lit(180.0)) / F.lit(cell)).cast("int"), F.lit(ncols))
+
+    plat, plon = F.col(lat), F.col(lon)
+    p_polar = F.abs(plat) >= F.lit(polar_lat)
+    left = points.withColumn("grow", row_of(plat)).withColumn(
+        "gcol", F.when(p_polar, F.lit(-1)).otherwise(col_of(plon))
+    )
+
+    slat_c, slon_c = F.col(seed_lat), F.col(seed_lon)
+    srow = row_of(slat_c)
+    # lat span of the 3-row neighborhood; its max |lat| bounds sec(lat) for
+    # every candidate point (clamped at polar_lat — beyond that the polar
+    # bucket takes over)
+    lat_lo = (srow - 1).cast("double") * F.lit(cell) - F.lit(90.0)
+    lat_hi = (srow + 2).cast("double") * F.lit(cell) - F.lit(90.0)
+    maxabs = F.least(F.greatest(F.abs(lat_lo), F.abs(lat_hi)), F.lit(polar_lat))
+    # exact lon-window inversion of the haversine lower bound
+    #   d >= 2R asin( sqrt(cos(lat1) cos(lat2)) * sin(|dlon|/2) ):
+    # within the bands cos(lat) >= cos(maxabs), so d <= r implies
+    #   |dlon| <= 2 asin( min(1, sin(r/2R) / cos(maxabs)) ).
+    # (A flat-earth sec(lat) window under-covers near the poles — the asin
+    # inflation is unbounded as its argument approaches 1.)
+    from tilekiln_spark.functions.geodesic import EARTH_RADIUS_M
+
+    sin_half = float(np.sin(radius_m / (2.0 * EARTH_RADIUS_M)))
+    ratio = F.least(F.lit(sin_half) / F.cos(F.radians(maxabs)), F.lit(1.0))
+    w_deg = F.degrees(F.lit(2.0) * F.asin(ratio))
+    k = (F.ceil(w_deg / F.lit(cell)) + 1).cast("int")
+    scol = col_of(slon_c)
+    rows_exp = F.explode(
+        F.sequence(F.greatest(srow - 1, F.lit(0)), F.least(srow + 1, F.lit(nrows - 1)))
+    )
+    # a window wider than the circle degrades to ALL columns (sequence 0..
+    # ncols-1 stays duplicate-free after pmod, where a folded scol+-k window
+    # would emit duplicate candidate rows and double join pairs)
+    kcap = (ncols - 1) // 2
+    col_seq = F.when(
+        k > F.lit(kcap), F.sequence(F.lit(0), F.lit(ncols - 1))
+    ).otherwise(F.sequence(scol - k, scol + k))
+    cands = (
+        seeds.withColumn("grow", rows_exp)
+        .withColumn("gcol", F.explode(col_seq))
+        .withColumn("gcol", F.pmod(F.col("gcol"), F.lit(ncols)))
+    )
+    s_polar = (F.abs(slat_c) + F.lit(r_deg)) >= F.lit(polar_lat)
+    polar_cands = (
+        seeds.where(s_polar)
+        .withColumn("grow", rows_exp)
+        .withColumn("gcol", F.lit(-1))
+    )
+    cands = cands.unionByName(polar_cands)
+    if broadcast_seeds:
+        cands = F.broadcast(cands)
+    d = haversine_m(plat, plon, slat_c, slon_c)
+    return (
+        left.join(cands, ["grow", "gcol"], "inner")
+        .where(d <= F.lit(float(radius_m)))
+        .withColumn("dist_m", d)
+        .drop("grow", "gcol")
+    )
