@@ -387,6 +387,41 @@ def _measure_fixture_rows() -> list:
     return rows
 
 
+def _intersect_fixture() -> tuple[list, list]:
+    """(side A, side B) ring sets for the polygon-intersect oracle: A = the
+    concave rings + rect + triangle; B = squares/bars engineered to hit
+    every decision branch (partial overlap, containment both ways, a
+    plus-sign edge-cross with no contained vertex, an exact shared-edge
+    touch, bbox-overlap-without-hit in the L's notch, and a disjoint)."""
+    a = [
+        (gid, [float(v) for v in xs], [float(v) for v in ys])
+        for gid, _n, xs, ys in _CONCAVE_RINGS
+    ]
+    a += [
+        (10, [0.0, 4.0e6, 4.0e6, 0.0], [0.0, 0.0, 3.0e6, 3.0e6]),
+        (11, [0.0, 6.0e6, 0.0], [0.0, 0.0, 8.0e6]),
+    ]
+    b = [
+        (0, [-2.0e6, 2.0e6, 2.0e6, -2.0e6], [-2.0e6, -2.0e6, 2.0e6, 2.0e6]),
+        (1, [-2.0e6, 1.0e7, 1.0e7, -2.0e6], [1.0e7, 1.0e7, 1.1e7, 1.1e7]),
+        (2, [4.0e6, 6.0e6, 6.0e6, 4.0e6], [2.0e6, 2.0e6, 4.0e6, 4.0e6]),
+        (3, [-1.0e6, 7.0e6, 7.0e6, -1.0e6], [-1.0e6, -1.0e6, 9.0e6, 9.0e6]),
+        (4, [-1.5e7, -1.3e7, -1.3e7, -1.5e7], [5.0e6, 5.0e6, 7.0e6, 7.0e6]),
+        (5, [9.0e6, 1.5e7, 1.5e7, 9.0e6], [9.0e6, 9.0e6, 1.5e7, 1.5e7]),
+        (6, [-1.1e7, -0.9e7, -0.9e7, -1.1e7], [-1.1e7, -1.1e7, -0.9e7, -0.9e7]),
+    ]
+    return a, b
+
+
+def _intersect_values_sql(rings: list) -> str:
+    parts = []
+    for gid, xs, ys in rings:
+        xs_s = "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[])"
+        ys_s = "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[])"
+        parts.append(f"({gid}, {xs_s}, {ys_s})")
+    return ", ".join(parts)
+
+
 def _measure_values_sql() -> str:
     """DuckDB VALUES literals for :func:`_measure_fixture_rows`."""
     parts = []
@@ -816,6 +851,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dwithin_geography"] = dwithin_geography
+
+    def poly_intersect_join(spark, sf_dir):
+        """Polygon x polygon ST_Intersects join (operators/spatial_join.py
+        polygons_intersect_join — PBSM grid shape: both bboxes explode to
+        grid cells, hash equi-join, reporting-cell dedup, exact Arrow
+        ring-pair refine).  The DuckDB twin runs the SAME decision
+        arithmetic (functions/geometry.py rings_intersect_sql) over a
+        cross join of the literal fixture — bit-identical booleans, so
+        the pair set matches exactly."""
+        from tilekiln_spark.operators.spatial_join import polygons_intersect_join
+
+        schema = (
+            "polygon_id int, xmin double, ymin double, xmax double, "
+            "ymax double, ring_xs array<double>, ring_ys array<double>"
+        )
+        a_rings, b_rings = _intersect_fixture()
+
+        def df(rings):
+            return spark.createDataFrame(
+                [
+                    (gid, min(xs), min(ys), max(xs), max(ys), xs, ys)
+                    for gid, xs, ys in rings
+                ],
+                schema,
+            )
+
+        out = polygons_intersect_join(df(a_rings), df(b_rings), grid_zoom=3)
+        return out.select(
+            F.col("polygon_id").alias("a_id"),
+            F.col("b_polygon_id").alias("b_id"),
+        )
+
+    q["poly_intersect_join"] = poly_intersect_join
 
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
@@ -3426,6 +3494,17 @@ def oracle_sql() -> dict[str, str]:
                    AS dist_m
         FROM d CROSS JOIN probes
         WHERE {haversine_m_sql('lat', 'lon', 'slat', 'slon')} <= 2200000.0
+    """
+
+    from tilekiln_spark.functions.geometry import rings_intersect_sql
+
+    _ia, _ib = _intersect_fixture()
+    o["poly_intersect_join"] = f"""
+        WITH a(a_id, axs, ays) AS (VALUES {_intersect_values_sql(_ia)}),
+             b(b_id, bxs, bys) AS (VALUES {_intersect_values_sql(_ib)})
+        SELECT a_id, b_id
+        FROM a CROSS JOIN b
+        WHERE {rings_intersect_sql('axs', 'ays', 'bxs', 'bys')}
     """
 
     o["union_literals"] = """

@@ -104,3 +104,72 @@ def ring_perimeter(ring_xs: Column, ring_ys: Column) -> Column:
 
 def ring_perimeter_sql(xs: str, ys: str) -> str:
     return line_length_sql(xs, ys, closed=True)
+
+
+def rings_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
+    """DuckDB twin of the ring-pair ST_Intersects kernel
+    (operators/spatial_join.py _rings_intersect_np): any vertex of one ring
+    inside the other (even-odd raycast) OR any edge pair crossing/touching.
+    Same multiply/subtract/compare order as the numpy kernel, so the
+    decision is bit-identical; the raycast division sits behind the
+    straddle CASE (never zero there)."""
+
+    def vertex_in(pxs: str, pys: str, rxs: str, rys: str) -> str:
+        j = f"(j % len({rxs})) + 1"
+        cross = (
+            f"CASE WHEN (({rys}[j] > {pys}[i]) != ({rys}[{j}] > {pys}[i])) "
+            f"THEN CASE WHEN {pxs}[i] < {rxs}[j] + ({pys}[i] - {rys}[j]) "
+            f"* ({rxs}[{j}] - {rxs}[j]) / ({rys}[{j}] - {rys}[j]) "
+            f"THEN 1 ELSE 0 END ELSE 0 END"
+        )
+        inside = (
+            f"(list_sum(list_transform(range(1, len({rxs}) + 1), j -> {cross})) % 2) = 1"
+        )
+        return (
+            f"coalesce(list_max(list_transform(range(1, len({pxs}) + 1), i -> "
+            f"CASE WHEN {inside} THEN 1 ELSE 0 END)), 0) = 1"
+        )
+
+    # edge pair (i of A, j of B): endpoints p1 p2 q1 q2
+    ia = f"(i % len({axs})) + 1"
+    jb = f"(j % len({bxs})) + 1"
+    p1x, p1y = f"{axs}[i]", f"{ays}[i]"
+    p2x, p2y = f"{axs}[{ia}]", f"{ays}[{ia}]"
+    q1x, q1y = f"{bxs}[j]", f"{bys}[j]"
+    q2x, q2y = f"{bxs}[{jb}]", f"{bys}[{jb}]"
+
+    def orient(ox, oy, dx, dy, px, py) -> str:
+        return f"(({dx} - {ox}) * ({py} - {oy}) - ({dy} - {oy}) * ({px} - {ox}))"
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (
+        f"((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0)) "
+        f"AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))"
+    )
+
+    def onseg(ox, oy, dx, dy, px, py, o) -> str:
+        return (
+            f"(({o}) = 0 AND {px} >= least({ox}, {dx}) AND {px} <= greatest({ox}, {dx}) "
+            f"AND {py} >= least({oy}, {dy}) AND {py} <= greatest({oy}, {dy}))"
+        )
+
+    touch = " OR ".join(
+        [
+            onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1),
+            onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2),
+            onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3),
+            onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4),
+        ]
+    )
+    edges = (
+        f"coalesce(list_max(flatten(list_transform(range(1, len({axs}) + 1), i -> "
+        f"list_transform(range(1, len({bxs}) + 1), j -> "
+        f"CASE WHEN ({proper}) OR ({touch}) THEN 1 ELSE 0 END)))), 0) = 1"
+    )
+    return (
+        f"({vertex_in(axs, ays, bxs, bys)} OR {vertex_in(bxs, bys, axs, ays)} "
+        f"OR {edges})"
+    )
