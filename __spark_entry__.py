@@ -885,6 +885,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_intersect_join"] = poly_intersect_join
 
+    def host_cap_q(spark, sf_dir):
+        """Domain capping (operators/webstats.py host_cap — RefinedWeb's
+        anti-spam stage): at most N docs per registrable domain, winners a
+        deterministic unbiased md5-order sample, keep flags retained for
+        funnel accounting.  ONE shuffle keyed on domain."""
+        from tilekiln_spark.operators.webstats import host_cap
+
+        urls = _messy_urls(_docs(spark, sf_dir))
+        return host_cap(urls, per_domain=40).select(
+            "doc_id", "domain", F.col("host_rank").cast("long").alias("host_rank"), "keep"
+        )
+
+    q["host_cap"] = host_cap_q
+
+    def knn_geography(spark, sf_dir):
+        """Geography kNN (operators/spatial_join.py knn_geography_assign):
+        2 nearest probes per doc by great-circle meters, broadcast seed dim,
+        one window keyed on the point.  Ranking orders by round-6 distance
+        + seed tiebreak so cross-engine libm ulp cannot flip ranks."""
+        from tilekiln_spark.operators.spatial_join import knn_geography_assign
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            geocode_arith_lon(F.col("doc_id")).alias("lon"),
+            geocode_arith_lat(F.col("doc_id")).alias("lat"),
+        )
+        probes = spark.range(16).select(
+            F.col("id").cast("int").alias("cid"),
+            (F.lit(-60.0) + (F.col("id") % 4).cast("double") * F.lit(40.0)).alias("slat"),
+            (F.lit(-135.0) + F.floor(F.col("id") / 4).cast("double") * F.lit(90.0)).alias("slon"),
+        )
+        out = knn_geography_assign(d, probes, k=2)
+        return out.select(
+            "doc_id",
+            "cid",
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            F.round(F.col("dist_m"), 2).alias("dist_m"),
+        )
+
+    q["knn_geography"] = knn_geography
+
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
         count grids at z2, then vectorize cells with n >= 2 back into
@@ -3496,6 +3537,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE {haversine_m_sql('lat', 'lon', 'slat', 'slon')} <= 2200000.0
     """
 
+    o["knn_geography"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM documents
+        ), probes AS (
+            SELECT CAST(id AS INT) AS cid,
+                   -60.0 + CAST(id % 4 AS DOUBLE) * 40.0 AS slat,
+                   -135.0 + CAST(floor(id / 4) AS DOUBLE) * 90.0 AS slon
+            FROM range(16) t(id)
+        ), ranked AS (
+            SELECT doc_id, cid,
+                   {haversine_m_sql('lat', 'lon', 'slat', 'slon')} AS dist_m,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round({haversine_m_sql('lat', 'lon', 'slat', 'slon')}, 6) ASC,
+                                slat ASC, slon ASC
+                   ) AS knn_rank
+            FROM d CROSS JOIN probes
+        )
+        SELECT doc_id, cid, CAST(knn_rank AS BIGINT) AS knn_rank,
+               round(dist_m, 2) + 0.0 AS dist_m
+        FROM ranked WHERE knn_rank <= 2
+    """
+
     from tilekiln_spark.functions.geometry import rings_intersect_sql
 
     _ia, _ib = _intersect_fixture()
@@ -3885,6 +3949,21 @@ def oracle_sql() -> dict[str, str]:
             FROM web
         )
         SELECT gate, CAST(count(*) AS BIGINT) AS n FROM gated GROUP BY 1
+    """
+
+    o["host_cap"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        ranked AS (
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS host_rank
+            FROM web
+        )
+        SELECT doc_id, domain, CAST(host_rank AS BIGINT) AS host_rank,
+               host_rank <= 40 AS keep
+        FROM ranked
     """
 
     o["host_profile"] = f"""

@@ -94,6 +94,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",
+        "knn_geography",
+        "host_cap",
         "zonal_stats",
         "cell_codes",
         "cell_decode",
@@ -224,6 +226,37 @@ vector_layers:
     extra["ivf_recall_minkey"] = ivf_recall("minkey", "ann_ivf_minkey")
     extra["ivf_recall_kmeans"] = ivf_recall("kmeans", "ann_ivf_kmeans")
     icorpus.unpersist()
+
+    # --- polygon x polygon intersect at density: thousands of scattered
+    # star rings per side price the PBSM candidate join + reporting-cell
+    # dedup + the Arrow ring-pair kernel ---
+    import numpy as np
+
+    from tilekiln_spark.operators.spatial_join import polygons_intersect_join
+
+    def poly_rings(n, mult, scale):
+        rows = []
+        for i in range(n):
+            cx = ((i * 7919 * mult) % 200 - 100) / 10.0 * scale
+            cy = ((i * 104729 * mult) % 200 - 100) / 10.0 * scale
+            m = 5 + (i * mult) % 8
+            xs = [cx + (0.4 + ((i * 31 + v * 17 * mult) % 100) / 100.0) * scale
+                  * float(np.cos(2 * np.pi * v / m)) for v in range(m)]
+            ys = [cy + (0.4 + ((i * 31 + v * 17 * mult) % 100) / 100.0) * scale
+                  * float(np.sin(2 * np.pi * v / m)) for v in range(m)]
+            rows.append((i, min(xs), min(ys), max(xs), max(ys), xs, ys))
+        return spark.createDataFrame(
+            rows,
+            "polygon_id int, xmin double, ymin double, xmax double, "
+            "ymax double, ring_xs array<double>, ring_ys array<double>",
+        )
+
+    pa = poly_rings(3000, 1, 4e5)
+    pb = poly_rings(2000, 3, 4e5)
+    extra["poly_intersect_pairs"] = timed(
+        "poly_intersect_dense",
+        lambda: polygons_intersect_join(pa, pb, grid_zoom=6).count(),
+    )
 
     return {"timings": timings, "extra": extra}
 

@@ -134,3 +134,25 @@ def test_dwithin_geography_seam_and_polar_pairs_present(spark):
     assert (n + 3, 0) in got and (n + 4, 0) in got  # seam, both sides
     assert (n, 1) in got                            # polar cap north
     assert (n + 2, 2) in got                        # polar cap south
+
+
+def test_knn_geography_matches_bruteforce(spark):
+    from tilekiln_spark.operators.spatial_join import knn_geography_assign
+
+    pts = _pts(spark, 120)
+    seeds = spark.createDataFrame(_SEEDS, "sid int, slat double, slon double")
+    out = knn_geography_assign(pts, seeds, k=2, point_key="pid").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.pid, []).append((r.knn_rank, r.sid, r.dist_m))
+    import math
+
+    for r in pts.collect():
+        dists = sorted(
+            (round(_ref_haversine(r.lat, r.lon, s[1], s[2]), 6), s[1], s[2], s[0])
+            for s in _SEEDS
+        )
+        want = [s[3] for s in dists[:2]]
+        mine = [sid for _, sid, _ in sorted(got[r.pid])]
+        assert mine == want, (r.pid, mine, want)
+        assert len(got[r.pid]) == 2

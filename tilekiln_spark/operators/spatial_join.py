@@ -668,3 +668,42 @@ def polygons_intersect_join(
         F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
     )
     return pairs.filter(hit).drop("gx", "gy")
+
+
+def knn_geography_assign(
+    points: DataFrame,
+    seeds: DataFrame,
+    k: int = 1,
+    point_key: str = "doc_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    seed_lat: str = "slat",
+    seed_lon: str = "slon",
+) -> DataFrame:
+    """k nearest seeds per point by GREAT-CIRCLE distance (geography kNN —
+    PostGIS `ORDER BY way::geography <-> seed LIMIT k` semantics).
+
+    Broadcast-dim shape: seeds are the small side by contract (facility /
+    centroid sets); candidates = the full broadcast set, ranked per point by
+    a row_number window — no global sort, one shuffle on the point key.
+    For seed sets too large to broadcast, prune with
+    ``dwithin_geography_join`` at a radius bound first and fall back per
+    unmatched point (the planar ``knn_assign`` pattern).
+
+    The window orders by haversine ROUNDED to 1e-6 m with a deterministic
+    seed tiebreak — cross-engine libm can disagree in the last ulp, and
+    ranking must not hinge on it (house convention: round before ORDER BY).
+    Returns point columns + seed columns + ``dist_m`` (un-rounded) +
+    ``knn_rank``."""
+    from tilekiln_spark.functions.geodesic import haversine_m
+
+    d = haversine_m(F.col(lat), F.col(lon), F.col(seed_lat), F.col(seed_lon))
+    w = Window.partitionBy(point_key).orderBy(
+        F.round(F.col("dist_m"), 6).asc(), F.col(seed_lat).asc(), F.col(seed_lon).asc()
+    )
+    return (
+        points.join(F.broadcast(seeds))
+        .withColumn("dist_m", d)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )

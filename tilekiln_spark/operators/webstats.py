@@ -131,3 +131,39 @@ def host_profile(
             "avg_chars",
         )
     )
+
+
+def host_cap(
+    df: DataFrame,
+    per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain capping: keep at most ``per_domain`` documents per
+    REGISTRABLE DOMAIN (the RefinedWeb/C4 anti-spam stage — without it a
+    handful of template-farm domains dominate the corpus mix).
+
+    The winners are a deterministic UNBIASED sample: rank within domain by
+    ``md5(id)`` (a pseudo-random but reproducible order), not by crawl or
+    id order — a prefix cut would bias toward whatever the upstream sort
+    favored.  Adds ``domain``, ``host_rank`` (1-based) and ``keep``; callers
+    filter on ``keep`` and keep the flags for funnel accounting, like
+    ``url_filter_flags``.
+
+    Scale shape: ONE shuffle keyed on domain; per-key state is a counter.
+    Whale domains concentrate on one partition during the rank — if a
+    domain ever holds a double-digit share of a 10^12-page corpus, pre-thin
+    it with a cheap map-side filter on md5-prefix buckets before the exact
+    window (the cap makes any such domain's survivors tiny, so the residual
+    window is small); AQE skew handling covers everything short of that.
+    """
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    from tilekiln_spark.functions.web import registrable_domain
+
+    return (
+        df.withColumn("domain", registrable_domain(url_col))
+        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn("keep", F.col("host_rank") <= F.lit(per_domain))
+    )
