@@ -120,3 +120,35 @@ def test_join_no_duplicate_pairs(spark):
     out = polygons_intersect_join(A, B, grid_zoom=5).select("polygon_id", "b_polygon_id")
     assert out.count() == out.distinct().count()
     assert out.count() > 0
+
+
+def test_join_whale_overflow_path(spark):
+    """Continent-scale polygons (bbox over the cell budget) take the
+    broadcast bbox path, never the explode — same pairs as brute force."""
+    small_a = _rand_rings(20, 1, scale=1e6)
+    small_b = _rand_rings(12, 3, scale=1e6)
+    # whales: near-world-spanning rings on each side
+    whale_a = [(100, [-1.9e7, 1.9e7, 1.9e7, -1.9e7], [-1.9e7, -1.9e7, 1.9e7, 1.9e7])]
+    whale_b = [(200, [-1.8e7, 1.8e7, 0.0], [-1.8e7, -1.8e7, 1.8e7])]
+    A = _poly_df(spark, small_a + whale_a)
+    B = _poly_df(spark, small_b + whale_b)
+    got = {
+        (r.polygon_id, r.b_polygon_id)
+        for r in polygons_intersect_join(A, B, grid_zoom=7, max_cells_per_poly=64).collect()
+    }
+    bref = B
+    for c in B.columns:
+        bref = bref.withColumnRenamed(c, f"b_{c}")
+    hit = make_rings_intersect_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    want = {
+        (r.polygon_id, r.b_polygon_id)
+        for r in A.crossJoin(bref).filter(hit).collect()
+    }
+    assert got == want
+    # whales actually matched things (the paths are live)
+    assert any(a == 100 for a, _ in got) and any(b == 200 for _, b in got)
+    # and each pair appears exactly once (paths partition the pair space)
+    out = polygons_intersect_join(A, B, grid_zoom=7, max_cells_per_poly=64)
+    assert out.count() == out.select("polygon_id", "b_polygon_id").distinct().count()

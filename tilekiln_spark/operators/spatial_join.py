@@ -622,6 +622,7 @@ def polygons_intersect_join(
     polys_b: DataFrame,
     grid_zoom: int = 4,
     broadcast_b: bool = True,
+    max_cells_per_poly: int = 64,
 ) -> DataFrame:
     """Polygon x polygon ST_Intersects join (PostGIS ``ST_Intersects(a.way,
     b.way)`` — the reference's templates run arbitrary PostGIS joins,
@@ -638,14 +639,33 @@ def polygons_intersect_join(
       REPORTING-CELL rule, computed per joined row with no extra shuffle:
       a pair counts only in the cell containing the top-left corner of the
       two bboxes' intersection.
+    - WHALE polygons (bbox covering more than ``max_cells_per_poly`` cells
+      — continents, oceans) never enter the explode: they route to
+      broadcast bbox-overlap side joins (whales are FEW by nature; a
+      continent exploding to 10^5 cells is the classic PBSM blowup).  The
+      three paths — small x small on the grid, whale-A x all-B, small-A x
+      whale-B — partition the pair space, so no cross-path dedup is needed.
     - exact refine: the Arrow-batched ring-pair kernel (vertex containment
       either way + edge crossing/touching)."""
     b = polys_b
     for c in b.columns:
         b = b.withColumnRenamed(c, f"b_{c}")
-    a_cells = explode_poly_cells(polys_a, grid_zoom)
+
+    def ncells(pre: str) -> Column:
+        z = F.lit(grid_zoom)
+        return (
+            (tile_x(z, F.col(f"{pre}xmax")) - tile_x(z, F.col(f"{pre}xmin")) + 1).cast("long")
+            * (tile_y(z, F.col(f"{pre}ymin")) - tile_y(z, F.col(f"{pre}ymax")) + 1).cast("long")
+        )
+
+    a_small = polys_a.filter(ncells("") <= max_cells_per_poly)
+    a_whale = polys_a.filter(ncells("") > max_cells_per_poly)
+    b_small = b.filter(ncells("b_") <= max_cells_per_poly)
+    b_whale = b.filter(ncells("b_") > max_cells_per_poly)
+
+    a_cells = explode_poly_cells(a_small, grid_zoom)
     b_cells = explode_poly_cells(
-        b.withColumnRenamed("b_xmin", "xmin")
+        b_small.withColumnRenamed("b_xmin", "xmin")
         .withColumnRenamed("b_xmax", "xmax")
         .withColumnRenamed("b_ymin", "ymin")
         .withColumnRenamed("b_ymax", "ymax"),
@@ -663,11 +683,19 @@ def polygons_intersect_join(
     report = (F.col("gx") == tile_x(z, F.greatest("xmin", "b_xmin"))) & (
         F.col("gy") == tile_y(z, F.least("ymax", "b_ymax"))
     )
-    pairs = a_cells.join(b_cells, ["gx", "gy"], "inner").filter(overlap & report)
+    pairs = (
+        a_cells.join(b_cells, ["gx", "gy"], "inner")
+        .filter(overlap & report)
+        .drop("gx", "gy")
+    )
+    # whale paths: bbox-overlap joins with the FEW whale rows broadcast as
+    # the build side (the other side streams at full scale)
+    pairs = pairs.unionByName(b.join(F.broadcast(a_whale), overlap, "inner"))
+    pairs = pairs.unionByName(a_small.join(F.broadcast(b_whale), overlap, "inner"))
     hit = make_rings_intersect_udf()(
         F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
     )
-    return pairs.filter(hit).drop("gx", "gy")
+    return pairs.filter(hit)
 
 
 def knn_geography_assign(
