@@ -422,6 +422,42 @@ def _intersect_values_sql(rings: list) -> str:
     return ", ".join(parts)
 
 
+def _validity_fixture() -> list:
+    """Rings for the ST_IsSimple oracle: the valid fixture shapes plus the
+    canonical invalids (bowtie cross, repeated interior vertex, collinear
+    spike, zigzag crossing) and degenerate/null guards."""
+    rows = [
+        (gid, [float(v) for v in xs], [float(v) for v in ys])
+        for gid, _n, xs, ys in _CONCAVE_RINGS
+    ]
+    rows += [
+        (10, [0.0, 4.0e6, 4.0e6, 0.0], [0.0, 0.0, 3.0e6, 3.0e6]),
+        (11, [0.0, 6.0e6, 0.0], [0.0, 0.0, 8.0e6]),
+        (20, [0.0, 2.0e6, 2.0e6, 0.0], [0.0, 2.0e6, 0.0, 2.0e6]),   # bowtie
+        (21, [0.0, 2.0e6, 1.0e6, 2.0e6, 0.0, 1.0e6],
+             [0.0, 0.0, 1.0e6, 2.0e6, 2.0e6, 1.0e6]),               # self-touch
+        (22, [0.0, 4.0e6, 2.0e6, 2.0e6], [0.0, 0.0, 0.0, 2.0e6]),   # spike
+        (23, [0.0, 4.0e6, 4.0e6, 0.0, 2.0e6],
+             [0.0, 0.0, 2.0e6, 2.0e6, -1.0e6]),                     # zigzag cross
+        (30, [1.0, 2.0], [1.0, 1.0]),                               # degenerate
+        (31, None, None),                                           # null
+    ]
+    return rows
+
+
+def _validity_values_sql() -> str:
+    parts = []
+    for gid, xs, ys in _validity_fixture():
+
+        def arr(a):
+            if a is None:
+                return "CAST(NULL AS DOUBLE[])"
+            return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+
+        parts.append(f"({gid}, {arr(xs)}, {arr(ys)})")
+    return ", ".join(parts)
+
+
 def _measure_values_sql() -> str:
     """DuckDB VALUES literals for :func:`_measure_fixture_rows`."""
     parts = []
@@ -925,6 +961,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_geography"] = knn_geography
+
+    def ring_validity(spark, sf_dir):
+        """ST_IsSimple over ring geometries (operators/spatial_join.py
+        make_ring_is_simple_udf — Arrow kernel: non-adjacent edge pairs must
+        not cross or touch, adjacent pairs must not double back into a
+        collinear spike).  The DuckDB twin (functions/geometry.py
+        ring_is_simple_sql) generates the same decision arithmetic —
+        bit-identical booleans on every fixture ring, degenerates and the
+        bowtie/spike/self-touch invalids included."""
+        from tilekiln_spark.operators.spatial_join import make_ring_is_simple_udf
+
+        df = spark.createDataFrame(
+            _validity_fixture(), "gid int, xs array<double>, ys array<double>"
+        )
+        return df.select(
+            "gid",
+            F.size("xs").alias("n_vertices"),
+            make_ring_is_simple_udf()(F.col("xs"), F.col("ys")).alias("is_simple"),
+        )
+
+    q["ring_validity"] = ring_validity
 
     def raster_vectorize(spark, sf_dir):
         """Raster<->vector (north_rule): rasterize docs into per-tile 16x16
@@ -3535,6 +3592,16 @@ def oracle_sql() -> dict[str, str]:
                    AS dist_m
         FROM d CROSS JOIN probes
         WHERE {haversine_m_sql('lat', 'lon', 'slat', 'slon')} <= 2200000.0
+    """
+
+    from tilekiln_spark.functions.geometry import ring_is_simple_sql
+
+    o["ring_validity"] = f"""
+        WITH g(gid, xs, ys) AS (VALUES {_validity_values_sql()})
+        SELECT gid,
+               CAST(len(xs) AS INT) AS n_vertices,
+               coalesce({ring_is_simple_sql('xs', 'ys')}, FALSE) AS is_simple
+        FROM g
     """
 
     o["knn_geography"] = f"""

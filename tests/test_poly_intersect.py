@@ -152,3 +152,30 @@ def test_join_whale_overflow_path(spark):
     # and each pair appears exactly once (paths partition the pair space)
     out = polygons_intersect_join(A, B, grid_zoom=7, max_cells_per_poly=64)
     assert out.count() == out.select("polygon_id", "b_polygon_id").distinct().count()
+
+
+def test_ring_is_simple_kernel_and_twin():
+    """ST_IsSimple: valid shapes pass, bowtie/self-touch/spike/degenerate
+    fail; the DuckDB twin decides bit-identically on randomized rings."""
+    from tilekiln_spark.functions.geometry import ring_is_simple_sql
+    from tilekiln_spark.operators.spatial_join import _ring_is_simple_np
+
+    cases = [
+        ([0, 4, 4, 0], [0, 0, 3, 3], True),
+        ([0, 2, 2, 0], [0, 2, 0, 2], False),                 # bowtie
+        ([0, 2, 1, 2, 0, 1], [0, 0, 1, 2, 2, 1], False),     # self-touch
+        ([0, 4, 2, 2], [0, 0, 0, 2], False),                 # spike
+        ([0, 16e6, 16e6, 8e6, 8e6, 0], [0, 0, 8e6, 8e6, 16e6, 16e6], True),
+        ([1, 2], [1, 1], False),                             # degenerate
+    ]
+    sql = ring_is_simple_sql("xs", "ys")
+    con = duckdb.connect()
+    for xs, ys, want in cases:
+        assert _ring_is_simple_np(_f(xs), _f(ys)) == want, (xs, want)
+    for _, xs, ys in _rand_rings(40, 7):
+        got = _ring_is_simple_np(_f(xs), _f(ys))
+        twin = con.execute(
+            f"SELECT {sql} FROM (SELECT CAST(? AS DOUBLE[]) xs, CAST(? AS DOUBLE[]) ys)",
+            [xs, ys],
+        ).fetchone()[0]
+        assert got == twin

@@ -173,3 +173,63 @@ def rings_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
         f"({vertex_in(axs, ays, bxs, bys)} OR {vertex_in(bxs, bys, axs, ays)} "
         f"OR {edges})"
     )
+
+
+def ring_is_simple_sql(xs: str, ys: str) -> str:
+    """DuckDB twin of the ST_IsSimple kernel
+    (operators/spatial_join.py _ring_is_simple_np): no non-adjacent edge
+    pair crosses or touches, no adjacent pair doubles back (collinear
+    spike); rings under 3 vertices are not simple.  Same arithmetic order
+    as the kernel — bit-identical decisions."""
+    n = f"len({xs})"
+    ib = f"(i % {n}) + 1"
+    jb = f"(j % {n}) + 1"
+    p1x, p1y = f"{xs}[i]", f"{ys}[i]"
+    p2x, p2y = f"{xs}[{ib}]", f"{ys}[{ib}]"
+    q1x, q1y = f"{xs}[j]", f"{ys}[j]"
+    q2x, q2y = f"{xs}[{jb}]", f"{ys}[{jb}]"
+
+    def orient(ox, oy, dx, dy, px, py) -> str:
+        return f"(({dx} - {ox}) * ({py} - {oy}) - ({dy} - {oy}) * ({px} - {ox}))"
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (
+        f"((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0)) "
+        f"AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))"
+    )
+
+    def onseg(ox, oy, dx, dy, px, py, o) -> str:
+        return (
+            f"(({o}) = 0 AND {px} >= least({ox}, {dx}) AND {px} <= greatest({ox}, {dx}) "
+            f"AND {py} >= least({oy}, {dy}) AND {py} <= greatest({oy}, {dy}))"
+        )
+
+    touch = " OR ".join(
+        [
+            onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1),
+            onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2),
+            onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3),
+            onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4),
+        ]
+    )
+    nonadj = f"(j > i + 1 AND NOT (i = 1 AND j = {n}))"
+    bad_pair = (
+        f"coalesce(list_max(flatten(list_transform(range(1, {n} + 1), i -> "
+        f"list_transform(range(1, {n} + 1), j -> "
+        f"CASE WHEN {nonadj} AND (({proper}) OR ({touch})) THEN 1 ELSE 0 END)))), 0) = 1"
+    )
+    # spike at vertex b = i%n+1: previous vertex a = i, next c = (i+1)%n+1
+    cb = f"((i + 1) % {n}) + 1"
+    ax_, ay_ = f"{xs}[i]", f"{ys}[i]"
+    bx_, by_ = f"{xs}[{ib}]", f"{ys}[{ib}]"
+    cx_, cy_ = f"{xs}[{cb}]", f"{ys}[{cb}]"
+    turn = f"(({bx_} - {ax_}) * ({cy_} - {ay_}) - ({by_} - {ay_}) * ({cx_} - {ax_}))"
+    dot = f"(({ax_} - {bx_}) * ({cx_} - {bx_}) + ({ay_} - {by_}) * ({cy_} - {by_}))"
+    spike = (
+        f"coalesce(list_max(list_transform(range(1, {n} + 1), i -> "
+        f"CASE WHEN ({turn}) = 0 AND ({dot}) > 0 THEN 1 ELSE 0 END)), 0) = 1"
+    )
+    return f"({n} >= 3 AND NOT ({bad_pair}) AND NOT ({spike}))"

@@ -735,3 +735,78 @@ def knn_geography_assign(
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def _ring_is_simple_np(xs, ys) -> bool:
+    """ST_IsSimple for a closed ring stored without the repeated closing
+    vertex: no two NON-ADJACENT edges may cross or touch, and no adjacent
+    edge pair may double back on itself (a collinear spike).  Same
+    orientation/on-segment arithmetic as _rings_intersect_np, so the
+    generated SQL twin (functions/geometry.py ring_is_simple_sql) decides
+    bit-identically."""
+    n = len(xs)
+    if n < 3:
+        return False
+    p1x, p1y = xs[:, None], ys[:, None]
+    p2x, p2y = np.roll(xs, -1)[:, None], np.roll(ys, -1)[:, None]
+    q1x, q1y = xs[None, :], ys[None, :]
+    q2x, q2y = np.roll(xs, -1)[None, :], np.roll(ys, -1)[None, :]
+
+    def orient(ox, oy, dx_, dy_, px_, py_):
+        return (dx_ - ox) * (py_ - oy) - (dy_ - oy) * (px_ - ox)
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+
+    def onseg(ox, oy, dx_, dy_, px_, py_, o):
+        return (
+            (o == 0)
+            & (px_ >= np.minimum(ox, dx_))
+            & (px_ <= np.maximum(ox, dx_))
+            & (py_ >= np.minimum(oy, dy_))
+            & (py_ <= np.maximum(oy, dy_))
+        )
+
+    touch = (
+        onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1)
+        | onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2)
+        | onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3)
+        | onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4)
+    )
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    nonadj = (j > i + 1) & ~((i == 0) & (j == n - 1))
+    if bool(((proper | touch) & nonadj).any()):
+        return False
+    # adjacent spike: edge i+1 doubles back along edge i (collinear AND the
+    # next vertex heads back toward the previous one past the shared point)
+    ax, ay = xs, ys
+    bx, by = np.roll(xs, -1), np.roll(ys, -1)
+    cx, cy = np.roll(xs, -2), np.roll(ys, -2)
+    turn = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    dot = (ax - bx) * (cx - bx) + (ay - by) * (cy - by)
+    return not bool(((turn == 0) & (dot > 0)).any())
+
+
+def make_ring_is_simple_udf():
+    """Arrow-batched ST_IsSimple over ring array columns."""
+
+    @F.pandas_udf("boolean")
+    def simple(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.zeros(len(xs), dtype=bool)
+        for i in range(len(xs)):
+            if xs.iloc[i] is None or ys.iloc[i] is None:
+                out[i] = False
+                continue
+            out[i] = _ring_is_simple_np(
+                np.asarray(xs.iloc[i], dtype=np.float64),
+                np.asarray(ys.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return simple
