@@ -2441,6 +2441,29 @@ WHERE way && {{bbox}}
 
     q["template_compile_dwithin"] = template_compile_dwithin
 
+    def template_compile_geohash(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): PostGIS
+        ST_GeoHash(ST_Transform(way, 4326), p) over a point source compiles
+        to the unrolled codegen bit interleave (functions/cellcodes.py) on
+        the inverse-mercator lat/lon of the point table; the DuckDB twin
+        runs the identical inverse-mercator arithmetic + generated hash."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       ST_GeoHash(ST_Transform(way, 4326), 4) AS gh
+FROM docs_geo WHERE way && {{bbox}}
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2, 4], 4096, 0)
+        return feats.groupBy("zoom", "gh").agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("mx") / 1e6, 3) + 0.0).alias("sum_mx_mm"),
+        )
+
+    q["template_compile_geohash"] = template_compile_geohash
+
     def template_compile_subquery(spark, sf_dir):
         """Round-4 compiler tier #2 (config/sqlt.py): FROM (SELECT ...)
         derived tables — inner projection/filter with computed aliases,
@@ -4966,6 +4989,25 @@ def oracle_sql() -> dict[str, str]:
                    <= 2500000.0 * 2500000.0))
         )
         SELECT zoom, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
+        FROM rows_ GROUP BY 1, 2
+    """
+
+    from tilekiln_spark.functions.cellcodes import geohash_encode_sql as _gh_sql
+
+    o["template_compile_geohash"] = f"""
+        {_GEO_CTE}, z AS (SELECT UNNEST([2, 4]) AS zoom),
+        g2 AS (
+            SELECT doc_id, mx,
+                   degrees(2.0 * atan(exp(my / {HW} * pi())) - pi() / 2) AS lat2,
+                   mx / {HW} * 180.0 AS lon2
+            FROM geo
+        ),
+        rows_ AS (
+            SELECT z.zoom, {_gh_sql("lat2", "lon2", 4)} AS gh, g2.mx
+            FROM g2, z
+        )
+        SELECT zoom, gh, CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
         FROM rows_ GROUP BY 1, 2
     """

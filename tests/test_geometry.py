@@ -298,3 +298,64 @@ FROM water_polygons WHERE way && {{bbox}} AND ST_Area(1 + 2) > 10
             ),
             [2], dict(sources),
         )
+
+
+def test_compiled_st_geohash(spark):
+    """ST_GeoHash(ST_Transform(way, 4326), p) over a point source compiles
+    to the unrolled bit interleave on the inverse-mercator lat/lon; the
+    rendered property values equal the directly-computed hashes."""
+    from tilekiln_spark.functions.cellcodes import geohash_encode
+    from tilekiln_spark.functions.tileids import inv_merc_x, inv_merc_y
+    from tilekiln_spark.operators.mvt import decode_tile
+
+    sources = _template_sources(spark)
+    cfg = Config(
+        """
+metadata: {id: gh}
+vector_layers:
+  pts:
+    fields: {gh: Geohash}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: g.t}
+""",
+        {"g.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       ST_GeoHash(ST_Transform(way, 4326), 5) AS gh
+FROM planet_osm_polygon WHERE way && {{bbox}}
+"""},
+    )
+    tiles = render_zooms(cfg, [2], dict(sources)).collect()
+    assert tiles
+    got = set()
+    for r in tiles:
+        for layer in decode_tile(bytes(r.pts_data)):
+            ki = layer["keys"].index("gh")
+            for f in layer["features"]:
+                tags = f["tags"]
+                vi = next(tags[i + 1] for i in range(0, len(tags), 2) if tags[i] == ki)
+                got.add(layer["values"][vi])
+    want = {
+        r[0]
+        for r in sources["pages_geo"].select(
+            geohash_encode(inv_merc_y(F.col("my")), inv_merc_x(F.col("mx")), 5)
+        ).collect()
+    }
+    assert got and got <= want
+    # polygon sources are rejected (a ring has no single hash cell)
+    bad = Config(
+        """
+metadata: {id: ghbad}
+vector_layers:
+  l:
+    fields: {gh: Geohash}
+    sql:
+    - {minzoom: 2, maxzoom: 3, extent: 1024, file: b.t}
+""",
+        {"b.t": """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       ST_GeoHash(way, 5) AS gh
+FROM water_polygons WHERE way && {{bbox}}
+"""},
+    )
+    with pytest.raises(DefinitionError, match="ST_GEOHASH is only valid"):
+        render_zooms(bad, [2], dict(sources))

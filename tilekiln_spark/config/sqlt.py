@@ -939,6 +939,35 @@ def _to_col(ast, extent: int) -> Column:
                 f"template SQL: DISTINCT qualifier is only valid in "
                 f"aggregate functions, not {ast.name}"
             )
+        if fn == "st_geohash":
+            # PostGIS ST_GeoHash(geom, precision) — templates spell it
+            # ST_GeoHash(ST_Transform(way, 4326), p) because way is 3857;
+            # both forms compile to the UNROLLED codegen bit interleave
+            # (functions/cellcodes.py) over the inverse-mercator lat/lon of
+            # the point table's mx/my.  Point sources only (build() rejects
+            # ring tables — a ring has no single hash cell).
+            from tilekiln_spark.functions.cellcodes import geohash_encode
+            from tilekiln_spark.functions.tileids import inv_merc_x, inv_merc_y
+
+            if len(ast.args) != 2 or not isinstance(ast.args[1], Lit):
+                raise DefinitionError(
+                    "template SQL: ST_GeoHash takes (geometry, literal precision)"
+                )
+            g = ast.args[0]
+            if (
+                isinstance(g, Func)
+                and g.name.lower() == "st_transform"
+                and len(g.args) == 2
+            ):
+                g = g.args[0]
+            if not isinstance(g, Ident) or g.cast is not None or "." in g.name:
+                raise DefinitionError(
+                    "template SQL: ST_GeoHash takes the geometry column"
+                )
+            precision = int(ast.args[1].value)
+            return geohash_encode(
+                inv_merc_y(F.col("my")), inv_merc_x(F.col("mx")), precision
+            )
         if fn == "st_dwithin":
             # PostGIS ST_DWithin(way, [ST_SetSRID(]ST_MakePoint(x, y)[, srid)],
             # r) — the proximity-layer predicate.  Compiles to the exact
@@ -1368,6 +1397,7 @@ _MEASURE_KINDS = {
     "st_area": ("polygon", "line"),
     "st_perimeter": ("polygon", "line"),
     "st_length": ("polyline",),
+    "st_geohash": ("point",),
 }
 
 
@@ -1996,11 +2026,15 @@ class CompiledTemplate:
                         or _contains_func(having, fname)
                         or any(_contains_func(it.expr, fname) for it in items_all)
                     ):
+                        why = (
+                            "a ring has no single hash cell"
+                            if fname == "st_geohash"
+                            else "rings are stored unclosed, so a ring's "
+                            "boundary length is ST_Perimeter, not ST_Length"
+                        )
                         raise DefinitionError(
                             f"template SQL: {fname.upper()} is only valid over "
-                            f"{' / '.join(fkinds)} sources (rings are stored "
-                            "unclosed, so a ring's boundary length is "
-                            "ST_Perimeter, not ST_Length)"
+                            f"{' / '.join(fkinds)} sources ({why})"
                         )
                 if simplify_tol and kind not in ("point",):
                     # thin BEFORE the zoom explode: one kernel pass per

@@ -70,6 +70,20 @@ def merc_y(lat: Column | str) -> Column:
     )
 
 
+def inv_merc_x(mx: Column | str) -> Column:
+    """Web-mercator X -> longitude (deg). Exact inverse of merc_x."""
+    return _c(mx) / F.lit(HALF_WORLD) * F.lit(180.0)
+
+
+def inv_merc_y(my: Column | str) -> Column:
+    """Web-mercator Y -> latitude (deg): 2 atan(exp(y/R_pi)) - pi/2."""
+    my = _c(my)
+    pi = 3.141592653589793
+    return F.degrees(
+        F.lit(2.0) * F.atan(F.exp(my / F.lit(HALF_WORLD) * F.lit(pi))) - F.lit(pi / 2)
+    )
+
+
 def _n_tiles(zoom: Column) -> Column:
     """2^zoom as a long — shiftleft, not pow: with zoom as a COLUMN (the
     zoom-as-data render plan) StrictMath.pow runs per row and showed up in
