@@ -2464,6 +2464,30 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["template_compile_geohash"] = template_compile_geohash
 
+    def template_compile_stxy(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): PostGIS ST_X/ST_Y point
+        coordinate accessors — plain (stored web-mercator) and inside
+        ST_Transform(way, 4326) (inverse-mercator lon/lat) — compile to the
+        point table's mx/my columns / their inverse-mercator arithmetic;
+        the DuckDB twin runs the identical expressions.  Rounded to absorb
+        cross-engine libm ulp drift (house convention)."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way,
+       round(ST_X(ST_Transform(way, 4326)), 4) + 0.0 AS lon4,
+       round(ST_Y(ST_Transform(way, 4326)), 4) + 0.0 AS lat4,
+       round(ST_X(way) / 1000.0, 3) + 0.0 AS mx_km,
+       round(ST_Y(way) / 1000.0, 3) + 0.0 AS my_km
+FROM docs_geo WHERE way && {{bbox}}
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+        return feats.select("zoom", "lon4", "lat4", "mx_km", "my_km")
+
+    q["template_compile_stxy"] = template_compile_stxy
+
     def template_compile_subquery(spark, sf_dir):
         """Round-4 compiler tier #2 (config/sqlt.py): FROM (SELECT ...)
         derived tables — inner projection/filter with computed aliases,
@@ -5010,6 +5034,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, gh, CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
         FROM rows_ GROUP BY 1, 2
+    """
+
+    o["template_compile_stxy"] = f"""
+        {_GEO_CTE}
+        SELECT CAST(3 AS INTEGER) AS zoom,
+               round(mx / {HW} * 180.0, 4) + 0.0 AS lon4,
+               round(degrees(2.0 * atan(exp(my / {HW} * pi())) - pi() / 2), 4)
+                   + 0.0 AS lat4,
+               round(mx / 1000.0, 3) + 0.0 AS mx_km,
+               round(my / 1000.0, 3) + 0.0 AS my_km
+        FROM geo
     """
 
     # ---- LSH: the seeded hyperplanes are plan constants, so DuckDB can

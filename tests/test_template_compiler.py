@@ -1390,3 +1390,67 @@ WHERE way && {{bbox}} AND ST_DWithin(way, way, 5.0)""")
 WHERE way && {{bbox}} AND ST_DWithin(way, ST_MakePoint(0.0, 0.0), 5.0)""",
             _sources(spark),
         )
+
+
+def test_compiled_st_xy(spark):
+    """ST_X/ST_Y over a point source compile to the stored mercator columns;
+    inside ST_Transform(way, 4326) they compile to the inverse-mercator
+    lon/lat (exact inverse of the geocode forward transform)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.operators.tiling import pages_geo
+    from tilekiln_spark.sources.pages import pages
+
+    pts = pages_geo(pages(spark, 400)).cache()
+    body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, url,
+       ST_X(way) AS mx_out, ST_Y(way) AS my_out,
+       round(ST_X(ST_Transform(way, 4326)), 6) AS lon6,
+       round(ST_Y(ST_Transform(way, 4326)), 6) AS lat6
+FROM pts WHERE way && {{bbox}}
+"""
+    sources = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+    feats = CompiledTemplate(body).build(sources, [3], 4096, 0)
+    got = {r.url: r for r in feats.collect()}
+    from tilekiln_spark.functions.tileids import inv_merc_x, inv_merc_y
+
+    want = {
+        r.url: r
+        for r in pts.select(
+            "url", "mx", "my",
+            F.round(inv_merc_x("mx"), 6).alias("lon6"),
+            F.round(inv_merc_y("my"), 6).alias("lat6"),
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for u, g in got.items():
+        w = want[u]
+        assert g.mx_out == w.mx and g.my_out == w.my
+        assert g.lon6 == w.lon6 and g.lat6 == w.lat6
+    pts.unpersist()
+
+
+def test_compiled_st_xy_rejections(spark):
+    """Malformed ST_X/ST_Y forms and ring-table usage raise DefinitionError."""
+    from tilekiln_spark.config.errors import DefinitionError
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.operators.tiling import pages_geo
+    from tilekiln_spark.sources.pages import pages
+
+    pts = pages_geo(pages(spark, 50))
+    src = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+
+    def build(body, sources=src):
+        return CompiledTemplate(body).build(sources, [3], 4096, 0)
+
+    with pytest.raises(DefinitionError, match="ST_X takes"):
+        build("""SELECT ST_AsMVTGeom(way, {{bbox}}) AS way,
+ST_X(way, 1) AS x FROM pts WHERE way && {{bbox}}""")
+    with pytest.raises(DefinitionError, match="geometry column"):
+        build("""SELECT ST_AsMVTGeom(way, {{bbox}}) AS way,
+ST_Y(1.5) AS y FROM pts WHERE way && {{bbox}}""")
+    with pytest.raises(DefinitionError, match="ST_X is only valid"):
+        build(
+            """SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, osm_id,
+ST_X(way) AS x FROM water_polygons WHERE way && {{bbox}}""",
+            _sources(spark),
+        )

@@ -968,6 +968,34 @@ def _to_col(ast, extent: int) -> Column:
             return geohash_encode(
                 inv_merc_y(F.col("my")), inv_merc_x(F.col("mx")), precision
             )
+        if fn in ("st_x", "st_y"):
+            # PostGIS ST_X/ST_Y(geom) — point coordinate accessors.
+            # ST_X(way) yields the stored web-mercator coordinate;
+            # ST_X(ST_Transform(way, 4326)) the inverse-mercator lon/lat.
+            # Point sources only (build() rejects ring tables — a ring has
+            # no single coordinate).
+            from tilekiln_spark.functions.tileids import inv_merc_x, inv_merc_y
+
+            if len(ast.args) != 1:
+                raise DefinitionError(
+                    f"template SQL: {ast.name} takes (geometry)"
+                )
+            g = ast.args[0]
+            transformed = (
+                isinstance(g, Func)
+                and g.name.lower() == "st_transform"
+                and len(g.args) == 2
+            )
+            if transformed:
+                g = g.args[0]
+            if not isinstance(g, Ident) or g.cast is not None or "." in g.name:
+                raise DefinitionError(
+                    f"template SQL: {ast.name} takes the geometry column"
+                )
+            col = F.col("mx") if fn == "st_x" else F.col("my")
+            if not transformed:
+                return col
+            return inv_merc_x(col) if fn == "st_x" else inv_merc_y(col)
         if fn == "st_dwithin":
             # PostGIS ST_DWithin(way, [ST_SetSRID(]ST_MakePoint(x, y)[, srid)],
             # r) — the proximity-layer predicate.  Compiles to the exact
@@ -1398,6 +1426,8 @@ _MEASURE_KINDS = {
     "st_perimeter": ("polygon", "line"),
     "st_length": ("polyline",),
     "st_geohash": ("point",),
+    "st_x": ("point",),
+    "st_y": ("point",),
 }
 
 
@@ -2026,11 +2056,14 @@ class CompiledTemplate:
                         or _contains_func(having, fname)
                         or any(_contains_func(it.expr, fname) for it in items_all)
                     ):
-                        why = (
-                            "a ring has no single hash cell"
-                            if fname == "st_geohash"
-                            else "rings are stored unclosed, so a ring's "
-                            "boundary length is ST_Perimeter, not ST_Length"
+                        why = {
+                            "st_geohash": "a ring has no single hash cell",
+                            "st_x": "a ring has no single coordinate",
+                            "st_y": "a ring has no single coordinate",
+                        }.get(
+                            fname,
+                            "rings are stored unclosed, so a ring's "
+                            "boundary length is ST_Perimeter, not ST_Length",
                         )
                         raise DefinitionError(
                             f"template SQL: {fname.upper()} is only valid over "
