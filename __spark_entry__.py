@@ -713,16 +713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_join_grid"] = spatial_join_grid
 
-    def spatial_join_concave(spark, sf_dir):
-        """B2 for CONCAVE rings: even-odd ray-cast refine (pip_raycast)
-        through the full grid join; DuckDB re-runs the identical crossing
-        test unrolled over the ring constants."""
+    def _concave_polys(spark):
         import pandas as pd
 
         from tilekiln_spark.sources.pages import POLYGON_SCHEMA
 
-        pts = _mx_my(_docs(spark, sf_dir))
-        polys = spark.createDataFrame(
+        return spark.createDataFrame(
             pd.DataFrame([
                 {
                     "polygon_id": p, "layer": "water", "admin_level": "0",
@@ -735,10 +731,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]),
             schema=POLYGON_SCHEMA,
         )
-        j = points_in_polygons(pts, polys, how="grid", grid_zoom=3, refine="raycast")
+
+    def spatial_join_concave(spark, sf_dir):
+        """B2 for CONCAVE rings: even-odd ray-cast refine (pip_raycast)
+        through the full grid join; DuckDB re-runs the identical crossing
+        test unrolled over the ring constants."""
+        pts = _mx_my(_docs(spark, sf_dir))
+        j = points_in_polygons(
+            pts, _concave_polys(spark), how="grid", grid_zoom=3, refine="raycast"
+        )
         return j.groupBy("polygon_id").agg(F.count("*").alias("n_docs"))
 
     q["spatial_join_concave"] = spatial_join_concave
+
+    def spatial_join_subdivided(spark, sf_dir):
+        """ST_Subdivide composed contract: split the concave whale rings into
+        bounded-vertex parts (operators/subdivide.py), run the SAME grid PIP
+        join against the parts, dedupe per parent — the result must equal
+        raw-ring containment, which DuckDB computes directly by unrolling
+        the even-odd crossing test over the ORIGINAL rings (subdivision is
+        a pure Spark-side execution strategy, invisible in the answer)."""
+        from tilekiln_spark.operators.subdivide import subdivide_polygons
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        parts = subdivide_polygons(_concave_polys(spark), max_vertices=5)
+        j = points_in_polygons(pts, parts, how="grid", grid_zoom=3, refine="raycast")
+        return (
+            j.select("doc_id", "parent_id")
+            .dropDuplicates()
+            .groupBy(F.col("parent_id").alias("polygon_id"))
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    q["spatial_join_subdivided"] = spatial_join_subdivided
 
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
@@ -3509,6 +3534,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM geo WHERE {_raycast_sql(xs, ys)}"
         )
     o["spatial_join_concave"] = _GEO_CTE + " " + " UNION ALL ".join(concave_parts)
+    # subdivision is an execution strategy, not a semantics change: the twin
+    # is raw-ring containment over the same fixtures
+    o["spatial_join_subdivided"] = o["spatial_join_concave"]
 
     o["knn_centroids"] = f"""
         {_GEO_CTE}, cents AS (

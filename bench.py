@@ -91,6 +91,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "tileset_diff_z6",
         "spatial_join_grid",
         "spatial_join_concave",
+        "spatial_join_subdivided",
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",
