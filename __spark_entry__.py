@@ -765,6 +765,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_join_subdivided"] = spatial_join_subdivided
 
+    def distance_to_rings(spark, sf_dir):
+        """PostGIS ST_Distance(point, polygon) parity: 0 inside (even-odd
+        containment, the same crossing test as the join refine), else the
+        min point-to-segment distance to the ring boundary — ONE
+        F.aggregate fold per (doc, ring) pair (functions/geometry.py
+        point_ring_distance; codegen, no UDF).  Shape: broadcast the tiny
+        ring dim, map-side distance, partial-agg min-struct per doc (the
+        distributed nearest-feature pattern).  DuckDB re-runs the identical
+        arithmetic via the generated *_sql twin over the ring constants."""
+        from tilekiln_spark.functions.geometry import point_ring_distance
+        from tilekiln_spark.operators.spatial_join import pip_raycast
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        rings = _concave_polys(spark).select("polygon_id", "ring_xs", "ring_ys")
+        mx, my = F.col("mx"), F.col("my")
+        rxs, rys = F.col("ring_xs"), F.col("ring_ys")
+        dist = F.when(pip_raycast(mx, my, rxs, rys), F.lit(0.0)).otherwise(
+            point_ring_distance(mx, my, rxs, rys)
+        )
+        cand = pts.crossJoin(F.broadcast(rings)).select(
+            "doc_id", "polygon_id", F.round(dist, 6).alias("dist_r")
+        )
+        best = cand.groupBy("doc_id").agg(
+            F.min(F.struct("dist_r", "polygon_id")).alias("b")
+        )
+        return best.select(
+            "doc_id",
+            F.col("b.polygon_id").alias("nearest_polygon"),
+            (F.col("b.dist_r") + F.lit(0.0)).alias("dist_m"),
+        )
+
+    q["distance_to_rings"] = distance_to_rings
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3537,6 +3570,27 @@ def oracle_sql() -> dict[str, str]:
     # subdivision is an execution strategy, not a semantics change: the twin
     # is raw-ring containment over the same fixtures
     o["spatial_join_subdivided"] = o["spatial_join_concave"]
+
+    from tilekiln_spark.functions.geometry import point_ring_distance_sql
+
+    dist_parts = []
+    for p, _n, rxs, rys in _CONCAVE_RINGS:
+        xs_lit = "[" + ", ".join(repr(v) for v in rxs) + "]"
+        ys_lit = "[" + ", ".join(repr(v) for v in rys) + "]"
+        d = point_ring_distance_sql("mx", "my", xs_lit, ys_lit)
+        dist_parts.append(
+            f"SELECT doc_id, {p} AS polygon_id, "
+            f"round(CASE WHEN {_raycast_sql(rxs, rys)} THEN 0.0 ELSE {d} END, 6) "
+            f"AS dist_r FROM geo"
+        )
+    o["distance_to_rings"] = (
+        _GEO_CTE
+        + ", cand AS (" + " UNION ALL ".join(dist_parts) + "), best AS ("
+        + "SELECT doc_id, polygon_id, dist_r, row_number() OVER ("
+        + "PARTITION BY doc_id ORDER BY dist_r ASC, polygon_id ASC) AS rn FROM cand)"
+        + " SELECT doc_id, polygon_id AS nearest_polygon, dist_r + 0.0 AS dist_m"
+        + " FROM best WHERE rn = 1"
+    )
 
     o["knn_centroids"] = f"""
         {_GEO_CTE}, cents AS (

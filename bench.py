@@ -92,6 +92,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_grid",
         "spatial_join_concave",
         "spatial_join_subdivided",
+        "distance_to_rings",
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",

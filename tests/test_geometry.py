@@ -96,6 +96,80 @@ def test_measures_duckdb_twins(spark):
     assert got == [tuple(r) for r in want]
 
 
+_DIST_FIXTURE = [
+    # square (0,0)-(4,0)-(4,3)-(0,3); probe above, beyond corner, inside,
+    # plus a duplicate-vertex ring (degenerate edge, guarded division),
+    # a single-vertex ring (point-to-vertex) and the null guard
+    (0, 2.0, 5.0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0]),
+    (1, 8.0, 6.0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0]),
+    (2, 2.0, 1.0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0]),
+    (3, 7.0, 3.0, [0.0, 0.0, 4.0, 4.0], [0.0, 0.0, 0.0, 3.0]),
+    (4, 8.0, 9.0, [5.0], [5.0]),
+    (5, 1.0, 1.0, None, None),
+]
+
+
+def test_point_ring_distance_known_values(spark):
+    from tilekiln_spark.functions.geometry import point_ring_distance
+
+    df = spark.createDataFrame(
+        _DIST_FIXTURE, "gid int, px double, py double, xs array<double>, ys array<double>"
+    )
+    rows = (
+        df.select(
+            "gid",
+            point_ring_distance(
+                F.col("px"), F.col("py"), F.col("xs"), F.col("ys")
+            ).alias("d"),
+        )
+        .orderBy("gid")
+        .collect()
+    )
+    got = {r.gid: r.d for r in rows}
+    assert got[0] == 2.0          # straight up to the top edge
+    assert got[1] == 5.0          # 3-4-5 to corner (4,3)
+    assert got[2] == 1.0          # inside: BOUNDARY distance (composition zeroes it)
+    assert got[3] == 3.0          # duplicate vertex: degenerate edge guarded
+    assert got[4] == 5.0          # single vertex: point-to-vertex
+    assert got[5] is None
+
+
+def test_point_ring_distance_duckdb_twin(spark):
+    from tilekiln_spark.functions.geometry import (
+        point_ring_distance,
+        point_ring_distance_sql,
+    )
+
+    df = spark.createDataFrame(
+        _DIST_FIXTURE, "gid int, px double, py double, xs array<double>, ys array<double>"
+    )
+    got = [
+        (r.gid, r.d)
+        for r in df.select(
+            "gid",
+            point_ring_distance(
+                F.col("px"), F.col("py"), F.col("xs"), F.col("ys")
+            ).alias("d"),
+        )
+        .orderBy("gid")
+        .collect()
+    ]
+    vals = ",".join(
+        f"({g}, {px!r}, {py!r}, "
+        + ("NULL, NULL" if xs is None else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]")
+        + ")"
+        for g, px, py, xs, ys in _DIST_FIXTURE
+    )
+    want = duckdb.connect().execute(
+        f"""
+        WITH t(gid, px, py, xs, ys) AS (VALUES {vals})
+        SELECT gid, {point_ring_distance_sql('px', 'py', 'xs', 'ys')} AS d
+        FROM t ORDER BY gid
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 def test_st_area_matches_way_area(spark):
     """Golden identity: the fixture's way_area column IS the Python shoelace
     of the same ring accumulated in the same order — ring_area must

@@ -175,6 +175,71 @@ def rings_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def point_ring_distance(
+    px: Column, py: Column, ring_xs: Column, ring_ys: Column
+) -> Column:
+    """Euclidean distance from a point to a ring's BOUNDARY (min over edges
+    of the point-to-segment distance) — the planar half of PostGIS
+    ``ST_Distance(point, polygon)``; compose with the even-odd containment
+    test for the full contract (0 inside).  One ``F.aggregate`` fold over
+    the edge index — codegen expression, no UDF.  The degenerate-edge
+    division sits behind a lazily-evaluated CASE (never zero there).
+    Null-propagates on null arrays; a single-vertex ring degenerates to
+    point-to-vertex distance."""
+    n = F.size(ring_xs)
+
+    def edge_dist(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        x1, y1 = F.element_at(ring_xs, i), F.element_at(ring_ys, i)
+        x2, y2 = F.element_at(ring_xs, j), F.element_at(ring_ys, j)
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        t_raw = F.when(l2 > 0, ((px - x1) * dx + (py - y1) * dy) / l2).otherwise(
+            F.lit(0.0)
+        )
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        cx = x1 + t * dx
+        cy = y1 + t * dy
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    d = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(float("inf")),
+        lambda acc, i: F.least(acc, edge_dist(i)),
+    )
+    return F.when(n >= 1, d).otherwise(
+        F.when(ring_xs.isNotNull() & ring_ys.isNotNull(), F.lit(float("inf")))
+    )
+
+
+def point_ring_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
+    """DuckDB twin of :func:`point_ring_distance` — identical per-edge
+    arithmetic order, so each edge distance is bit-identical; min is
+    order-independent exactly (list_min vs the Spark least-fold)."""
+    j = f"(i % len({xs})) + 1"
+    x1, y1 = f"{xs}[i]", f"{ys}[i]"
+    x2, y2 = f"{xs}[{j}]", f"{ys}[{j}]"
+    dx = f"({x2} - {x1})"
+    dy = f"({y2} - {y1})"
+    l2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (
+        f"least(greatest(CASE WHEN {l2} > 0 THEN "
+        f"((({px}) - {x1}) * {dx} + (({py}) - {y1}) * {dy}) / {l2} "
+        f"ELSE 0.0 END, 0.0), 1.0)"
+    )
+    cx = f"({x1} + {t} * {dx})"
+    cy = f"({y1} + {t} * {dy})"
+    d = (
+        f"sqrt((({px}) - {cx}) * (({px}) - {cx}) "
+        f"+ (({py}) - {cy}) * (({py}) - {cy}))"
+    )
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL ELSE "
+        f"coalesce(list_min(list_transform(range(1, len({xs}) + 1), i -> {d})), "
+        f"'infinity'::DOUBLE) END)"
+    )
+
+
 def ring_is_simple_sql(xs: str, ys: str) -> str:
     """DuckDB twin of the ST_IsSimple kernel
     (operators/spatial_join.py _ring_is_simple_np): no non-adjacent edge
