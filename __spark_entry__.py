@@ -798,6 +798,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distance_to_rings"] = distance_to_rings
 
+    def hexbin_density(spark, sf_dir):
+        """Hex-density aggregation (ST_HexagonGrid-style dashboards): bin
+        every doc's mercator point into a pointy-top hex cell (exact cube
+        rounding, functions/geometry.py hexbin_qr — codegen expressions),
+        count per cell, emit the cell centers.  ONE partial-aggregated
+        groupBy on (q, r) — the same map-side-combine shape as the tile
+        rollups; DuckDB re-runs the identical floor/compare arithmetic."""
+        from tilekiln_spark.functions.geometry import hex_center, hexbin_qr
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        size = 1_500_000.0
+        qc, rc = hexbin_qr(F.col("mx"), F.col("my"), size)
+        binned = pts.select(qc.alias("q"), rc.alias("r"))
+        agg = binned.groupBy("q", "r").agg(F.count("*").alias("n_docs"))
+        cx, cy = hex_center(F.col("q"), F.col("r"), size)
+        return agg.select(
+            "q", "r", "n_docs",
+            F.round(cx, 6).alias("center_x"),
+            F.round(cy, 6).alias("center_y"),
+        )
+
+    q["hexbin_density"] = hexbin_density
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3591,6 +3614,22 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT doc_id, polygon_id AS nearest_polygon, dist_r + 0.0 AS dist_m"
         + " FROM best WHERE rn = 1"
     )
+
+    from tilekiln_spark.functions.geometry import hex_center_sql, hexbin_qr_sql
+
+    hx_q, hx_r = hexbin_qr_sql("mx", "my", 1_500_000.0)
+    hx_cx, hx_cy = hex_center_sql("q", "r", 1_500_000.0)
+    o["hexbin_density"] = f"""
+        {_GEO_CTE}, binned AS (
+            SELECT {hx_q} AS q, {hx_r} AS r FROM geo
+        ), agg AS (
+            SELECT q, r, CAST(count(*) AS BIGINT) AS n_docs FROM binned GROUP BY 1, 2
+        )
+        SELECT q, r, n_docs,
+               round({hx_cx}, 6) + 0.0 AS center_x,
+               round({hx_cy}, 6) + 0.0 AS center_y
+        FROM agg
+    """
 
     o["knn_centroids"] = f"""
         {_GEO_CTE}, cents AS (

@@ -170,6 +170,58 @@ def test_point_ring_distance_duckdb_twin(spark):
     assert got == [tuple(r) for r in want]
 
 
+def test_hexbin_nearest_center_property(spark):
+    """The defining hexbin invariant: every point lands in the hex whose
+    center is nearest (strictly, among the point's own cell and all its
+    neighbors), and the twin SQL reproduces the assignment bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from tilekiln_spark.functions.geometry import (
+        hex_center,
+        hex_center_sql,
+        hexbin_qr,
+        hexbin_qr_sql,
+    )
+
+    size = 10.0
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(x), float(y))
+           for i, (x, y) in enumerate(rng.uniform(-100, 100, (400, 2)))]
+    df = spark.createDataFrame(pts, "pid int, x double, y double")
+    qc, rc = hexbin_qr(F.col("x"), F.col("y"), size)
+    rows = df.select("pid", "x", "y", qc.alias("q"), rc.alias("r")).collect()
+
+    def center(q, r):
+        return (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
+
+    for row in rows:
+        cx, cy = center(row.q, row.r)
+        d_own = (row.x - cx) ** 2 + (row.y - cy) ** 2
+        for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+            nx, ny = center(row.q + dq, row.r + dr)
+            assert d_own <= (row.x - nx) ** 2 + (row.y - ny) ** 2 + 1e-9
+
+    # DuckDB twin: identical (q, r) and centers for every point
+    q_sql, r_sql = hexbin_qr_sql("x", "y", size)
+    cx_sql, cy_sql = hex_center_sql(q_sql, r_sql, size)
+    vals = ",".join(f"({p}, {x!r}, {y!r})" for p, x, y in pts)
+    want = duckdb.connect().execute(
+        f"WITH t(pid, x, y) AS (VALUES {vals}) "
+        f"SELECT pid, {q_sql} AS q, {r_sql} AS r, {cx_sql}, {cy_sql} "
+        f"FROM t ORDER BY pid"
+    ).fetchall()
+    cxc, cyc = hex_center(F.col("q"), F.col("r"), size)
+    got = (
+        df.select("pid", qc.alias("q"), rc.alias("r"))
+        .select("pid", "q", "r", cxc.alias("cx"), cyc.alias("cy"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_st_area_matches_way_area(spark):
     """Golden identity: the fixture's way_area column IS the Python shoelace
     of the same ring accumulated in the same order — ring_area must

@@ -240,6 +240,73 @@ def point_ring_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
     )
 
 
+def hexbin_qr(x: Column, y: Column, size: float) -> tuple[Column, Column]:
+    """Pointy-top hexagonal binning: planar (x, y) -> axial hex cell
+    (q, r) for circumradius ``size`` — the hex-density aggregation tile
+    dashboards build over point themes (PostGIS ``ST_HexagonGrid``
+    parity in spirit; the reference runs arbitrary template SQL over such
+    grids, reference tilekiln/definition.py:42-77).
+
+    Fractional axial coords then exact cube rounding (round each of
+    x/y/z, re-derive the component with the largest rounding error so
+    x+y+z == 0 holds).  Rounding is ``floor(v + 0.5)`` in BOTH engines —
+    no dependence on round-half conventions.  Pure codegen expressions;
+    the groupBy over (q, r) is the only shuffle and partial-aggregates
+    map-side."""
+    s = F.lit(float(size))
+    qf = (F.sqrt(F.lit(3.0)) / F.lit(3.0) * x - y / F.lit(3.0)) / s
+    rf = (F.lit(2.0) / F.lit(3.0) * y) / s
+    yf = -qf - rf
+    rx = F.floor(qf + F.lit(0.5)).cast("double")
+    ry = F.floor(yf + F.lit(0.5)).cast("double")
+    rz = F.floor(rf + F.lit(0.5)).cast("double")
+    dx = F.abs(rx - qf)
+    dy = F.abs(ry - yf)
+    dz = F.abs(rz - rf)
+    q = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    r = F.when(~((dx > dy) & (dx > dz)) & ~(dy > dz), -rx - ry).otherwise(rz)
+    return q.cast("long"), r.cast("long")
+
+
+def hexbin_qr_sql(x: str, y: str, size: float) -> str:
+    """DuckDB twin of :func:`hexbin_qr` — identical arithmetic order.
+    Returns the (q_sql, r_sql) expression strings to splice into a
+    SELECT."""
+    s = repr(float(size))
+    qf = f"((sqrt(3.0) / 3.0 * ({x}) - ({y}) / 3.0) / {s})"
+    rf = f"((2.0 / 3.0 * ({y})) / {s})"
+    yf = f"(-{qf} - {rf})"
+    rx = f"floor({qf} + 0.5)"
+    ry = f"floor({yf} + 0.5)"
+    rz = f"floor({rf} + 0.5)"
+    dx = f"abs({rx} - {qf})"
+    dy = f"abs({ry} - {yf})"
+    dz = f"abs({rz} - {rf})"
+    big_x = f"({dx} > {dy} AND {dx} > {dz})"
+    q = f"CAST(CASE WHEN {big_x} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    r = (
+        f"CAST(CASE WHEN NOT {big_x} AND NOT ({dy} > {dz}) "
+        f"THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)"
+    )
+    return q, r
+
+
+def hex_center(q: Column, r: Column, size: float) -> tuple[Column, Column]:
+    """Planar center of pointy-top axial hex (q, r) at circumradius
+    ``size`` (inverse of :func:`hexbin_qr`'s fractional transform)."""
+    s = F.lit(float(size))
+    cx = s * F.sqrt(F.lit(3.0)) * (q.cast("double") + r.cast("double") / F.lit(2.0))
+    cy = s * F.lit(1.5) * r.cast("double")
+    return cx, cy
+
+
+def hex_center_sql(q: str, r: str, size: float) -> tuple[str, str]:
+    s = repr(float(size))
+    cx = f"({s} * sqrt(3.0) * (CAST({q} AS DOUBLE) + CAST({r} AS DOUBLE) / 2.0))"
+    cy = f"({s} * 1.5 * CAST({r} AS DOUBLE))"
+    return cx, cy
+
+
 def ring_is_simple_sql(xs: str, ys: str) -> str:
     """DuckDB twin of the ST_IsSimple kernel
     (operators/spatial_join.py _ring_is_simple_np): no non-adjacent edge
