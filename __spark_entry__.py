@@ -821,6 +821,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hexbin_density"] = hexbin_density
 
+    def convex_hull_quadrants(spark, sf_dir):
+        """ST_ConvexHull per group (operators/hull.py): hull of a
+        deterministic doc sample per mercator quadrant, two-level plan
+        (map-side partial hull = the hull analogue of a map-side combine,
+        then one exact per-group pass).  The DuckDB twin decides hull
+        membership a completely different way — a vertex is on the hull
+        iff NO triangle of other sample points strictly contains it — so
+        agreement pins the geometry, not the algorithm."""
+        from tilekiln_spark.operators.hull import convex_hull
+
+        pts = (
+            _mx_my(_docs(spark, sf_dir))
+            .where(F.col("doc_id") % 3 == 0)
+            .select(
+                (
+                    F.when(F.col("mx") >= 0, F.lit(2)).otherwise(F.lit(0))
+                    + F.when(F.col("my") >= 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("gid"),
+                "mx",
+                "my",
+            )
+        )
+        h = convex_hull(pts, "gid", "mx", "my")
+        return h.select(
+            "gid",
+            F.round(F.col("mx"), 6).alias("hx"),
+            F.round(F.col("my"), 6).alias("hy"),
+        )
+
+    q["convex_hull_quadrants"] = convex_hull_quadrants
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3629,6 +3660,32 @@ def oracle_sql() -> dict[str, str]:
                round({hx_cx}, 6) + 0.0 AS center_x,
                round({hx_cy}, 6) + 0.0 AS center_y
         FROM agg
+    """
+
+    # hull membership decided the set-theoretic way (no chain algorithm):
+    # p is a hull vertex iff no triangle of other sample points strictly
+    # contains it (general position: testdata coords are md5-derived
+    # doubles, so exactly-collinear triples don't occur)
+    _tri = (
+        "((o1 > 0 AND o2 > 0 AND o3 > 0) OR (o1 < 0 AND o2 < 0 AND o3 < 0))"
+    )
+    o["convex_hull_quadrants"] = f"""
+        {_GEO_CTE}, pts AS (
+            SELECT DISTINCT
+                   (CASE WHEN mx >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN my >= 0 THEN 1 ELSE 0 END) AS gid, mx, my
+            FROM geo WHERE doc_id % 3 = 0
+        )
+        SELECT p.gid, round(p.mx, 6) + 0.0 AS hx, round(p.my, 6) + 0.0 AS hy
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1
+            FROM pts a, pts b, pts c
+            WHERE a.gid = p.gid AND b.gid = p.gid AND c.gid = p.gid
+              AND {_tri.replace("o1", "((b.mx - a.mx) * (p.my - a.my) - (b.my - a.my) * (p.mx - a.mx))")
+                       .replace("o2", "((c.mx - b.mx) * (p.my - b.my) - (c.my - b.my) * (p.mx - b.mx))")
+                       .replace("o3", "((a.mx - c.mx) * (p.my - c.my) - (a.my - c.my) * (p.mx - c.mx))")}
+        )
     """
 
     o["knn_centroids"] = f"""

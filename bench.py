@@ -94,6 +94,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_subdivided",
         "distance_to_rings",
         "hexbin_density",
+        "convex_hull_quadrants",
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",

@@ -1,0 +1,69 @@
+"""ST_ConvexHull (operators/hull.py): monotone-chain kernel goldens, the
+partial-hull associativity invariant (partition-layout independence), and
+containment of every input point.
+
+Parity target: PostGIS ST_ConvexHull over grouped point sets (the
+reference executes arbitrary template SQL,
+/root/reference/tilekiln/definition.py:42-77)."""
+
+import numpy as np
+
+from tilekiln_spark.operators.hull import convex_hull, hull_np
+
+
+def test_hull_np_square_golden():
+    xs = np.array([0.0, 4.0, 4.0, 0.0, 2.0, 1.0, 3.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 2.0, 1.0, 3.0])
+    hx, hy = hull_np(xs, ys)
+    # CCW from lexicographically smallest point
+    assert list(zip(hx, hy)) == [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+
+
+def test_hull_np_degenerates():
+    hx, hy = hull_np(np.array([1.0]), np.array([2.0]))
+    assert list(zip(hx, hy)) == [(1.0, 2.0)]
+    # duplicates collapse; two distinct points stay two
+    hx, hy = hull_np(np.array([1.0, 1.0, 3.0]), np.array([2.0, 2.0, 5.0]))
+    assert list(zip(hx, hy)) == [(1.0, 2.0), (3.0, 5.0)]
+
+
+def _inside_or_on(px, py, hx, hy):
+    """All cross products of hull edges vs the point are >= 0 (CCW hull)."""
+    n = len(hx)
+    for i in range(n):
+        j = (i + 1) % n
+        cr = (hx[j] - hx[i]) * (py - hy[i]) - (hy[j] - hy[i]) * (px - hx[i])
+        if cr < -1e-9 * max(abs(px), abs(py), 1.0):
+            return False
+    return True
+
+
+def test_hull_contains_all_and_partition_invariant(spark):
+    rng = np.random.default_rng(5)
+    pts = [
+        (int(i % 3), float(x), float(y))
+        for i, (x, y) in enumerate(rng.normal(0, 100, (900, 2)))
+    ]
+    df = spark.createDataFrame(pts, "gid int, x double, y double")
+    got = convex_hull(df, "gid", "x", "y").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.gid, []).append((r.x, r.y))
+    assert set(by_g) == {0, 1, 2}
+    for g, hull in by_g.items():
+        hull_sorted = hull  # rows arrive in kernel order per group
+        hx = [p[0] for p in hull_sorted]
+        hy = [p[1] for p in hull_sorted]
+        members = [(x, y) for gg, x, y in pts if gg == g]
+        # hull vertices are input points; every input point is inside/on
+        assert set(hull) <= set(members)
+        for px, py in members:
+            assert _inside_or_on(px, py, hx, hy)
+        # associativity: exact same vertex SET under a different layout
+        # and under the driver-side single-shot kernel
+        kx, ky = hull_np(
+            np.array([p[0] for p in members]), np.array([p[1] for p in members])
+        )
+        assert set(hull) == set(zip(kx, ky))
+    re = convex_hull(df.repartition(13), "gid", "x", "y").collect()
+    assert {(r.gid, r.x, r.y) for r in re} == {(r.gid, r.x, r.y) for r in got}
