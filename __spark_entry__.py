@@ -286,6 +286,29 @@ _CONCAVE_RINGS = [
 ]
 
 
+def _geog_ring_rows() -> list:
+    """(gid, lats, lons) fixture for the geography-area oracle: the concave
+    mercator rings inverse-projected ONCE in Python (identical degree
+    literals reach both engines), two lat/lon rectangles spanning low and
+    high latitudes, and the degenerate/null guards."""
+    import math
+
+    def inv(mx: float, my: float) -> tuple:
+        lon = mx / HW * 180.0
+        lat = math.degrees(2.0 * math.atan(math.exp(my / HW * math.pi)) - math.pi / 2.0)
+        return lat, lon
+
+    rows = []
+    for p, _n, xs, ys in _CONCAVE_RINGS:
+        pts = [inv(x, y) for x, y in zip(xs, ys)]
+        rows.append((p, [la for la, _ in pts], [lo for _, lo in pts]))
+    rows.append((2, [10.0, 10.0, 20.0, 20.0], [30.0, 45.0, 45.0, 30.0]))
+    rows.append((3, [60.0, 60.0, 75.0, 75.0], [-130.0, -100.0, -100.0, -130.0]))
+    rows.append((4, [5.0, 6.0], [5.0, 6.0]))
+    rows.append((5, None, None))
+    return rows
+
+
 def _raycast_sql(xs: list, ys: list) -> str:
     n = len(xs)
     terms = []
@@ -851,6 +874,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["convex_hull_quadrants"] = convex_hull_quadrants
+
+    def geography_area(spark, sf_dir):
+        """Geography ST_Area class: spherical ring area (sine-trapezoid
+        rule, functions/geodesic.py geography_ring_area — one F.aggregate
+        trig fold, codegen, no UDF) over the fixture rings converted to
+        lat/lon ONCE in Python (both engines see identical degree
+        literals, so libm drift is confined to the fold's sin calls and
+        absorbed by the km² rounding)."""
+        from tilekiln_spark.functions.geodesic import geography_ring_area
+
+        df = spark.createDataFrame(
+            _geog_ring_rows(), "gid int, lats array<double>, lons array<double>"
+        )
+        return df.select(
+            "gid",
+            F.round(
+                geography_ring_area(F.col("lats"), F.col("lons")) / F.lit(1.0e6), 3
+            ).alias("area_km2"),
+        )
+
+    q["geography_area"] = geography_area
 
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
@@ -3660,6 +3704,26 @@ def oracle_sql() -> dict[str, str]:
                round({hx_cx}, 6) + 0.0 AS center_x,
                round({hx_cy}, 6) + 0.0 AS center_y
         FROM agg
+    """
+
+    from tilekiln_spark.functions.geodesic import geography_ring_area_sql
+
+    geog_vals = ",".join(
+        f"({g}, "
+        + (
+            "NULL, NULL"
+            if lats is None
+            else f"{lats!r}::DOUBLE[], {lons!r}::DOUBLE[]"
+        )
+        + ")"
+        for g, lats, lons in _geog_ring_rows()
+    )
+    o["geography_area"] = f"""
+        WITH t(gid, lats, lons) AS (VALUES {geog_vals})
+        SELECT gid,
+               round({geography_ring_area_sql('lats', 'lons')} / 1000000.0, 3) + 0.0
+                   AS area_km2
+        FROM t
     """
 
     # hull membership decided the set-theoretic way (no chain algorithm):

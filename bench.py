@@ -95,6 +95,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "distance_to_rings",
         "hexbin_density",
         "convex_hull_quadrants",
+        "geography_area",
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",

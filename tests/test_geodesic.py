@@ -34,6 +34,73 @@ _PAIRS = [
 ]
 
 
+def test_geography_ring_area_known_values(spark):
+    """Exact closed forms: a lat/lon 'rectangle' has spherical area
+    R²·Δλ·(sin φ₂ − sin φ₁); degenerate and null rows guard."""
+    from tilekiln_spark.functions.geodesic import geography_ring_area
+
+    fixture = [
+        (0, [10.0, 10.0, 20.0, 20.0], [30.0, 45.0, 45.0, 30.0]),
+        (1, [-5.0, -5.0, 5.0, 5.0], [0.0, 10.0, 10.0, 0.0]),
+        (2, [5.0, 6.0], [5.0, 6.0]),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(fixture, "gid int, lats array<double>, lons array<double>")
+    got = {
+        r.gid: r.a
+        for r in df.select(
+            "gid",
+            geography_ring_area(F.col("lats"), F.col("lons")).alias("a"),
+        ).collect()
+    }
+
+    def rect_area(lat1, lat2, lon1, lon2):
+        return (
+            EARTH_RADIUS_M ** 2
+            * math.radians(lon2 - lon1)
+            * (math.sin(math.radians(lat2)) - math.sin(math.radians(lat1)))
+        )
+
+    assert got[0] == pytest.approx(rect_area(10.0, 20.0, 30.0, 45.0), rel=1e-12)
+    assert got[1] == pytest.approx(rect_area(-5.0, 5.0, 0.0, 10.0), rel=1e-12)
+    assert got[2] == 0.0
+    assert got[3] is None
+
+
+def test_geography_ring_area_duckdb_twin(spark):
+    from tilekiln_spark.functions.geodesic import (
+        geography_ring_area,
+        geography_ring_area_sql,
+    )
+
+    fixture = [
+        (0, [10.0, 10.0, 20.0, 20.0], [30.0, 45.0, 45.0, 30.0]),
+        (1, [0.0, 0.0, 43.7, 26.4, 55.1], [0.0, 143.7, 143.7, 71.8, 0.0]),
+        (2, [5.0, 6.0], [5.0, 6.0]),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(fixture, "gid int, lats array<double>, lons array<double>")
+    got = [
+        (r.gid, None if r.a is None else round(r.a, 3))
+        for r in df.select(
+            "gid",
+            geography_ring_area(F.col("lats"), F.col("lons")).alias("a"),
+        ).orderBy("gid").collect()
+    ]
+    vals = ",".join(
+        f"({g}, "
+        + ("NULL, NULL" if la is None else f"{la!r}::DOUBLE[], {lo!r}::DOUBLE[]")
+        + ")"
+        for g, la, lo in fixture
+    )
+    want = duckdb.connect().execute(
+        f"WITH t(gid, lats, lons) AS (VALUES {vals}) "
+        f"SELECT gid, round({geography_ring_area_sql('lats', 'lons')}, 3) "
+        f"FROM t ORDER BY gid"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 def test_haversine_known_values(spark):
     df = spark.createDataFrame(_PAIRS, "lat1 double, lon1 double, lat2 double, lon2 double")
     got = [

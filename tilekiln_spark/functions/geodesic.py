@@ -39,6 +39,56 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
+def geography_ring_area(lats: Column, lons: Column) -> Column:
+    """Spherical ring area in m² on the mean sphere (geography ``ST_Area``
+    class): the sine-trapezoid rule
+
+        A = (R²/2) · |Σᵢ Δλᵢ · (sin φᵢ + sin φᵢ₊₁)|
+
+    over the UNCLOSED (lat, lon) degree arrays — exact for edges along
+    meridians/parallels, and the standard spherical-shoelace limit for
+    short edges (PostGIS evaluates great-ellipse edges on the spheroid;
+    same measure class, documented deviation).  Rings must not cross the
+    antimeridian.  One ``F.aggregate`` fold — codegen trig, no UDF.
+    Null-propagates; < 3 vertices has area 0."""
+    n = F.size(lats)
+
+    def term(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        dlam = F.radians(F.element_at(lons, j) - F.element_at(lons, i))
+        return dlam * (
+            F.sin(F.radians(F.element_at(lats, i)))
+            + F.sin(F.radians(F.element_at(lats, j)))
+        )
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0.0), lambda acc, i: acc + term(i)
+    )
+    # guard BEFORE the fold (sequence(1, 0) would step through index 0)
+    return F.when(n >= 3, F.abs(s) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)).otherwise(
+        F.when(lats.isNotNull() & lons.isNotNull(), F.lit(0.0))
+    )
+
+
+def geography_ring_area_sql(lats: str, lons: str) -> str:
+    """DuckDB twin of :func:`geography_ring_area` — same formula text (the
+    engines' libm sin may differ in the last ulp, so oracle outputs round
+    at a granularity far above the accumulated drift)."""
+    j = f"(i % len({lats})) + 1"
+    term = (
+        f"radians({lons}[{j}] - {lons}[i]) * "
+        f"(sin(radians({lats}[i])) + sin(radians({lats}[{j}])))"
+    )
+    body = (
+        f"(abs(list_sum(list_transform(range(1, len({lats}) + 1), i -> {term}))) "
+        f"* {EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0!r})"
+    )
+    return (
+        f"(CASE WHEN {lats} IS NULL OR {lons} IS NULL THEN NULL "
+        f"WHEN len({lats}) >= 3 THEN {body} ELSE 0.0 END)"
+    )
+
+
 def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """The DuckDB/ANSI twin of :func:`haversine_m` — same formula text."""
     dphi = f"(radians(({lat2}) - ({lat1})) / 2.0)"
