@@ -896,6 +896,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geography_area"] = geography_area
 
+    def polygon_centroids(spark, sf_dir):
+        """PostGIS ST_Centroid for polygon rings: exact area-weighted
+        centroid as F.aggregate folds sharing the signed-area fold
+        (functions/geometry.py ring_centroid — codegen, no UDF), vertex
+        mean on degenerate rings.  Twin SQL generated from the same
+        arithmetic over the shared measure fixture."""
+        from tilekiln_spark.functions.geometry import ring_centroid
+
+        df = spark.createDataFrame(
+            _measure_fixture_rows(),
+            "gid int, kind string, xs array<double>, ys array<double>",
+        )
+        cx, cy = ring_centroid(F.col("xs"), F.col("ys"))
+        return df.select(
+            "gid",
+            "kind",
+            F.round(cx, 6).alias("cx"),
+            F.round(cy, 6).alias("cy"),
+        )
+
+    q["polygon_centroids"] = polygon_centroids
+
+    def line_interpolate(spark, sf_dir):
+        """PostGIS ST_LineInterpolatePoint at three fractions along the
+        zigzag polyline fixtures — cumulative-length prefix transform +
+        first-reaching-segment pick + in-segment lerp, ALL higher-order
+        expressions (functions/geometry.py line_interpolate_point)."""
+        from tilekiln_spark.functions.geometry import line_interpolate_point
+
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        df = spark.createDataFrame(
+            rows, "line_id int, xs array<double>, ys array<double>"
+        )
+        outs = []
+        for fr in (0.25, 0.5, 0.75):
+            px, py = line_interpolate_point(F.col("xs"), F.col("ys"), fr)
+            outs.append(
+                df.select(
+                    "line_id",
+                    F.lit(float(fr)).alias("frac"),
+                    F.round(px, 6).alias("px"),
+                    F.round(py, 6).alias("py"),
+                )
+            )
+        return outs[0].unionAll(outs[1]).unionAll(outs[2])
+
+    q["line_interpolate"] = line_interpolate
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3725,6 +3776,38 @@ def oracle_sql() -> dict[str, str]:
                    AS area_km2
         FROM t
     """
+
+    from tilekiln_spark.functions.geometry import (
+        line_interpolate_point_sql,
+        ring_centroid_sql,
+    )
+
+    csx, csy = ring_centroid_sql("xs", "ys")
+    o["polygon_centroids"] = f"""
+        WITH g(gid, kind, xs, ys) AS (VALUES {_measure_values_sql()})
+        SELECT gid, kind, round({csx}, 6) + 0.0 AS cx, round({csy}, 6) + 0.0 AS cy
+        FROM g
+    """
+
+    li_rows = []
+    for lid, uv in _LINES_UV:
+        pts = _line_merc(uv)
+        xs_l = "CAST([" + ", ".join(repr(p[0]) for p in pts) + "] AS DOUBLE[])"
+        ys_l = "CAST([" + ", ".join(repr(p[1]) for p in pts) + "] AS DOUBLE[])"
+        li_rows.append(f"({lid}, {xs_l}, {ys_l})")
+    li_parts = []
+    for fr in (0.25, 0.5, 0.75):
+        ipx, ipy = line_interpolate_point_sql("xs", "ys", fr)
+        li_parts.append(
+            f"SELECT line_id, CAST({fr!r} AS DOUBLE) AS frac, "
+            f"round({ipx}, 6) + 0.0 AS px, round({ipy}, 6) + 0.0 AS py FROM lines"
+        )
+    o["line_interpolate"] = (
+        "WITH lines(line_id, xs, ys) AS (VALUES "
+        + ", ".join(li_rows)
+        + ") "
+        + " UNION ALL ".join(li_parts)
+    )
 
     # hull membership decided the set-theoretic way (no chain algorithm):
     # p is a hull vertex iff no triangle of other sample points strictly

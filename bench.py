@@ -96,6 +96,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "hexbin_density",
         "convex_hull_quadrants",
         "geography_area",
+        "polygon_centroids",
+        "line_interpolate",
         "knn_centroids",
         "dwithin_join",
         "dwithin_geography",

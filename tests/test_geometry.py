@@ -170,6 +170,111 @@ def test_point_ring_distance_duckdb_twin(spark):
     assert got == [tuple(r) for r in want]
 
 
+_CENTROID_FIXTURE = [
+    (0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0]),     # square -> (2, 1.5)
+    (1, [0.0, 6.0, 0.0], [0.0, 0.0, 9.0]),                # triangle -> (2, 3)
+    (2, [0.0, 0.0, 4.0, 4.0], [3.0, 0.0, 0.0, 3.0]),      # CW square, same centroid
+    (3, [0.0, 1.0, 2.0], [0.0, 1.0, 2.0]),                # collinear -> vertex mean
+    (4, [1.0, 5.0], [2.0, 4.0]),                          # 2 points -> mean
+    (5, None, None),
+]
+
+
+def test_ring_centroid_known_values(spark):
+    from tilekiln_spark.functions.geometry import ring_centroid
+
+    df = spark.createDataFrame(
+        _CENTROID_FIXTURE, "gid int, xs array<double>, ys array<double>"
+    )
+    cx, cy = ring_centroid(F.col("xs"), F.col("ys"))
+    got = {
+        r.gid: (r.cx, r.cy)
+        for r in df.select("gid", cx.alias("cx"), cy.alias("cy")).collect()
+    }
+    assert got[0] == (2.0, 1.5)
+    assert got[1] == (2.0, 3.0)
+    assert got[2] == (2.0, 1.5)
+    assert got[3] == (1.0, 1.0)
+    assert got[4] == (3.0, 3.0)
+    assert got[5] == (None, None)
+
+
+def test_ring_centroid_duckdb_twin(spark):
+    from tilekiln_spark.functions.geometry import ring_centroid, ring_centroid_sql
+
+    df = spark.createDataFrame(
+        _CENTROID_FIXTURE, "gid int, xs array<double>, ys array<double>"
+    )
+    cx, cy = ring_centroid(F.col("xs"), F.col("ys"))
+    got = [
+        tuple(r)
+        for r in df.select("gid", cx.alias("cx"), cy.alias("cy"))
+        .orderBy("gid")
+        .collect()
+    ]
+    cx_sql, cy_sql = ring_centroid_sql("xs", "ys")
+    vals = ",".join(
+        f"({g}, "
+        + ("NULL, NULL" if xs is None else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]")
+        + ")"
+        for g, xs, ys in _CENTROID_FIXTURE
+    )
+    want = duckdb.connect().execute(
+        f"WITH t(gid, xs, ys) AS (VALUES {vals}) "
+        f"SELECT gid, {cx_sql} AS cx, {cy_sql} AS cy FROM t ORDER BY gid"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+_INTERP_FIXTURE = [
+    (0, 0.5, [0.0, 4.0, 4.0], [0.0, 0.0, 3.0]),   # mid of total 7 -> (3.5, 0)
+    (1, 6.0 / 7.0, [0.0, 4.0, 4.0], [0.0, 0.0, 3.0]),  # -> (4, 2)
+    (2, 0.0, [0.0, 4.0, 4.0], [0.0, 0.0, 3.0]),   # start
+    (3, 1.0, [0.0, 4.0, 4.0], [0.0, 0.0, 3.0]),   # end
+    (4, 0.5, [1.0, 1.0, 2.0], [1.0, 1.0, 1.0]),   # zero-length first edge
+    (5, 0.25, [7.0], [9.0]),                      # single vertex -> itself
+    (6, 0.5, None, None),
+]
+
+
+def test_line_interpolate_point(spark):
+    from tilekiln_spark.functions.geometry import (
+        line_interpolate_point,
+        line_interpolate_point_sql,
+    )
+
+    rows = []
+    for g, fr, xs, ys in _INTERP_FIXTURE:
+        df = spark.createDataFrame(
+            [(g, xs, ys)], "gid int, xs array<double>, ys array<double>"
+        )
+        px, py = line_interpolate_point(F.col("xs"), F.col("ys"), fr)
+        rows.append(tuple(df.select("gid", px.alias("px"), py.alias("py")).collect()[0]))
+    got = {g: (px, py) for g, px, py in rows}
+    assert got[0] == (3.5, 0.0)
+    assert got[1] == (4.0, 2.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (4.0, 3.0)
+    assert got[4] == (1.5, 1.0)
+    assert got[5] == (7.0, 9.0)
+    assert got[6] == (None, None)
+
+    # DuckDB twin, bit-identical per fixture row
+    con = duckdb.connect()
+    for g, fr, xs, ys in _INTERP_FIXTURE:
+        px_sql, py_sql = line_interpolate_point_sql("xs", "ys", fr)
+        lit = (
+            "NULL::DOUBLE[], NULL::DOUBLE[]"
+            if xs is None
+            else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]"
+        )
+        want = con.execute(
+            f"WITH t(xs, ys) AS (VALUES ({lit})) "
+            f"SELECT {px_sql}, {py_sql} FROM t"
+        ).fetchone()
+        assert got[g] == tuple(want), g
+
+
 def test_hexbin_nearest_center_property(spark):
     """The defining hexbin invariant: every point lands in the hex whose
     center is nearest (strictly, among the point's own cell and all its

@@ -240,6 +240,181 @@ def point_ring_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
     )
 
 
+def ring_centroid(ring_xs: Column, ring_ys: Column) -> tuple[Column, Column]:
+    """Exact area-weighted polygon centroid (PostGIS ``ST_Centroid`` for a
+    single-ring polygon): Cx = Σ(xᵢ+xⱼ)(xᵢyⱼ−xⱼyᵢ) / 6A_signed, same for
+    Cy — two ``F.aggregate`` folds sharing the signed-area fold.  Rings
+    with zero signed area (degenerate/collinear) and sub-3-vertex inputs
+    fall back to the vertex mean; null arrays null-propagate."""
+    n = F.size(ring_xs)
+
+    def w(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        return (
+            F.element_at(ring_xs, i) * F.element_at(ring_ys, j)
+            - F.element_at(ring_xs, j) * F.element_at(ring_ys, i)
+        )
+
+    def fold(term) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0.0), lambda acc, i: acc + term(i)
+        )
+
+    a2 = fold(w)  # twice the signed area
+
+    def cx_term(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        return (F.element_at(ring_xs, i) + F.element_at(ring_xs, j)) * w(i)
+
+    def cy_term(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        return (F.element_at(ring_ys, i) + F.element_at(ring_ys, j)) * w(i)
+
+    def mean(arr: Column) -> Column:
+        return (
+            F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(arr, i),
+            )
+            / n.cast("double")
+        )
+
+    def guarded(shoelace: Column, arr: Column) -> Column:
+        return F.when((n >= 3) & (a2 != 0.0), shoelace).otherwise(
+            F.when(n >= 1, mean(arr))
+        )
+
+    cx = guarded(fold(cx_term) / (F.lit(3.0) * a2), ring_xs)
+    cy = guarded(fold(cy_term) / (F.lit(3.0) * a2), ring_ys)
+    return cx, cy
+
+
+def ring_centroid_sql(xs: str, ys: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`ring_centroid` — identical arithmetic order
+    (left-to-right float64 sums both engines).  Returns (cx_sql, cy_sql)."""
+    nn = f"len({xs})"
+    j = f"(i % {nn}) + 1"
+    w = f"({xs}[i] * {ys}[{j}] - {xs}[{j}] * {ys}[i])"
+    a2 = f"list_sum(list_transform(range(1, {nn} + 1), i -> {w}))"
+
+    def out(arr: str) -> str:
+        term = f"({arr}[i] + {arr}[{j}]) * {w}"
+        shoe = (
+            f"(list_sum(list_transform(range(1, {nn} + 1), i -> {term})) "
+            f"/ (3.0 * ({a2})))"
+        )
+        mean = f"(list_sum({arr}) / CAST({nn} AS DOUBLE))"
+        return (
+            f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+            f"WHEN {nn} >= 3 AND ({a2}) != 0.0 THEN {shoe} "
+            f"WHEN {nn} >= 1 THEN {mean} END)"
+        )
+
+    return out(xs), out(ys)
+
+
+def line_interpolate_point(
+    xs: Column, ys: Column, frac: float
+) -> tuple[Column, Column]:
+    """PostGIS ``ST_LineInterpolatePoint``: the point at fraction ``frac``
+    (0..1) of the total length along an OPEN polyline — pure higher-order
+    expressions (no UDF):
+
+    1. per-prefix cumulative edge lengths (transform-of-aggregate, O(n²)
+       adds per row — vertex counts here are tile-scale small, and every
+       add is codegen),
+    2. the owning segment = the FIRST index whose cumulative length
+       reaches ``frac·total`` (filter + array_min — cums are
+       nondecreasing),
+    3. linear interpolation within that segment (zero-length edges
+       guarded).
+
+    Degenerate inputs: a single vertex returns itself; empty arrays return
+    null; null arrays null-propagate."""
+    n = F.size(xs)
+
+    def elen(i: Column) -> Column:
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    cums = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), i), F.lit(0.0), lambda acc, k: acc + elen(k)
+        ),
+    )
+    target = F.lit(float(frac)) * F.element_at(cums, -1)
+    idx = F.coalesce(
+        F.array_min(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.element_at(cums, i) >= target,
+            )
+        ),
+        n - 1,
+    )
+    prev = F.when(idx == 1, F.lit(0.0)).otherwise(F.element_at(cums, idx - 1))
+    e = elen(idx)
+    segt = F.when(e > 0, (target - prev) / e).otherwise(F.lit(0.0))
+    segt = F.least(F.greatest(segt, F.lit(0.0)), F.lit(1.0))
+
+    def interp(arr: Column) -> Column:
+        a = F.element_at(arr, idx)
+        return a + segt * (F.element_at(arr, idx + 1) - a)
+
+    def guarded(val: Column, arr: Column) -> Column:
+        return F.when(n >= 2, val).otherwise(
+            F.when(n == 1, F.element_at(arr, F.lit(1)))
+        )
+
+    return guarded(interp(xs), xs), guarded(interp(ys), ys)
+
+
+def line_interpolate_point_sql(xs: str, ys: str, frac: float) -> tuple[str, str]:
+    """DuckDB twin of :func:`line_interpolate_point` — identical arithmetic
+    and the same first-reaching-segment rule (list_min over a filtered
+    index list; cums are nondecreasing).  Returns (px_sql, py_sql)."""
+    nn = f"len({xs})"
+    dx = f"({xs}[k + 1] - {xs}[k])"
+    dy = f"({ys}[k + 1] - {ys}[k])"
+    ek = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    cums = (
+        f"list_transform(range(1, {nn}), i -> "
+        f"list_sum(list_transform(range(1, i + 1), k -> {ek})))"
+    )
+    target = f"({frac!r} * ({cums})[{nn} - 1])"
+    idx = (
+        f"coalesce(list_min(list_filter(range(1, {nn}), i -> "
+        f"({cums})[i] >= {target})), {nn} - 1)"
+    )
+    prev = f"(CASE WHEN ({idx}) = 1 THEN 0.0 ELSE ({cums})[({idx}) - 1] END)"
+    # the owning-edge length, with the lambda index replaced by idx
+    exi, eyi = f"{xs}[({idx})]", f"{ys}[({idx})]"
+    exj, eyj = f"{xs}[({idx}) + 1]", f"{ys}[({idx}) + 1]"
+    ei = (
+        f"sqrt(({exj} - {exi}) * ({exj} - {exi}) "
+        f"+ ({eyj} - {eyi}) * ({eyj} - {eyi}))"
+    )
+    segt = (
+        f"least(greatest(CASE WHEN ({ei}) > 0 THEN (({target}) - {prev}) / ({ei}) "
+        f"ELSE 0.0 END, 0.0), 1.0)"
+    )
+
+    def out(arr: str) -> str:
+        a = f"{arr}[({idx})]"
+        b = f"{arr}[({idx}) + 1]"
+        val = f"({a} + {segt} * ({b} - {a}))"
+        return (
+            f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+            f"WHEN {nn} >= 2 THEN {val} "
+            f"WHEN {nn} = 1 THEN {arr}[1] END)"
+        )
+
+    return out(xs), out(ys)
+
+
 def hexbin_qr(x: Column, y: Column, size: float) -> tuple[Column, Column]:
     """Pointy-top hexagonal binning: planar (x, y) -> axial hex cell
     (q, r) for circumradius ``size`` — the hex-density aggregation tile
