@@ -947,6 +947,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_interpolate"] = line_interpolate
 
+    def template_compile_centroid(spark, sf_dir):
+        """Compiler tier: non-aggregate ST_Centroid(way) over a POLYGON
+        source (config/sqlt.py mode 'centroid' -> operators/tiling.py
+        polygon_centroid_points, pure ring_centroid folds).  The DuckDB
+        twin recomputes the centroid from the same ring literals via the
+        generated *_sql arithmetic."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        rings = [
+            (g, xs, ys)
+            for g, kind, xs, ys in _measure_fixture_rows()
+            if kind == "ring" and xs
+        ]
+        tbl = spark.createDataFrame(
+            [
+                (g, f"ring{g}", min(xs), min(ys), max(xs), max(ys), xs, ys)
+                for g, xs, ys in rings
+            ],
+            "polygon_id long, name string, xmin double, ymin double, "
+            "xmax double, ymax double, ring_xs array<double>, ring_ys array<double>",
+        )
+        body = (
+            "SELECT ST_AsMVTGeom(ST_Centroid(way), {{bbox}}, {{extent}}) AS way, "
+            "name FROM polys WHERE way && {{bbox}}"
+        )
+        feats = CompiledTemplate(body).build(
+            {"tables": {"polys": {"frame": tbl, "kind": "polygon"}}},
+            [1, 2],
+            4096,
+            0,
+        )
+        return feats.select(
+            "zoom",
+            "name",
+            F.round(F.col("mx"), 6).alias("cx"),
+            F.round(F.col("my"), 6).alias("cy"),
+        )
+
+    q["template_compile_centroid"] = template_compile_centroid
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3787,6 +3827,22 @@ def oracle_sql() -> dict[str, str]:
         WITH g(gid, kind, xs, ys) AS (VALUES {_measure_values_sql()})
         SELECT gid, kind, round({csx}, 6) + 0.0 AS cx, round({csy}, 6) + 0.0 AS cy
         FROM g
+    """
+
+    ring_vals = ", ".join(
+        f"({g}, 'ring{g}', "
+        + "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[]), "
+        + "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[]))"
+        for g, kind, xs, ys in _measure_fixture_rows()
+        if kind == "ring" and xs
+    )
+    o["template_compile_centroid"] = f"""
+        WITH r(polygon_id, name, xs, ys) AS (VALUES {ring_vals}),
+        z(zoom) AS (VALUES (1), (2))
+        SELECT zoom, name,
+               round({csx}, 6) + 0.0 AS cx,
+               round({csy}, 6) + 0.0 AS cy
+        FROM r CROSS JOIN z
     """
 
     li_rows = []

@@ -118,6 +118,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_exists",
         "template_compile_scalar",
         "template_compile_dwithin",
+        "template_compile_centroid",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",

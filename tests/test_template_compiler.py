@@ -235,6 +235,48 @@ def test_compiled_label_over_polygon_table(spark):
     assert (r.zoom, r.mx, r.my, r.name) == (3, 2.0, 2.0, "lake")
 
 
+def test_compiled_st_centroid_polygon(spark):
+    """Non-aggregate ST_Centroid(way) over a polygon table: exact
+    area-weighted centroid (matches functions/geometry.py ring_centroid),
+    NOT the bbox center — pinned on a concave L where the two differ."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (7, "elbow", 0.0, 0.0, 3.0, 3.0,
+         [0.0, 3.0, 3.0, 1.0, 1.0, 0.0],
+         [0.0, 0.0, 1.0, 1.0, 3.0, 3.0]),
+    ]
+    tbl = spark.createDataFrame(
+        rows,
+        "polygon_id long, name string, xmin double, ymin double, xmax double, "
+        "ymax double, ring_xs array<double>, ring_ys array<double>",
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(ST_Centroid(way), {{bbox}}, {{extent}}) AS way, "
+        "name FROM lakes WHERE way && {{bbox}}"
+    )
+    out = CompiledTemplate(body).build(
+        {"tables": {"lakes": {"frame": tbl, "kind": "polygon"}}}, [3], 4096, 0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # area 5: 3x1 bottom rect (c=(1.5,0.5)) + 1x2 left column (c=(0.5,2.0))
+    assert r.zoom == 3 and r.name == "elbow"
+    assert r.mx == pytest.approx(1.1, abs=1e-12)
+    assert r.my == pytest.approx(1.1, abs=1e-12)
+    assert (r.mx, r.my) != (1.5, 1.5)  # not the bbox center
+
+    # point-table identity: ST_Centroid of a point is the point
+    pt = spark.createDataFrame(
+        [(1, 5.0, 7.0, "p")], "doc_id long, mx double, my double, name string"
+    )
+    out2 = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(ST_Centroid(way), {{bbox}}) AS way, name FROM t "
+        "WHERE way && {{bbox}}"
+    ).build({"tables": {"t": {"frame": pt, "kind": "point"}}}, [2], 4096, 0).collect()
+    assert [(r.zoom, r.mx, r.my, r.name) for r in out2] == [(2, 5.0, 7.0, "p")]
+
+
 def test_case_like_between_constructs(spark):
     """Round-4 compiler tier: searched CASE, LIKE/ILIKE/NOT LIKE, BETWEEN,
     negative IN literals, round/concat/nullif — value-checked row by row."""

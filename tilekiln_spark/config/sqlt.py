@@ -1240,11 +1240,20 @@ def _geom_item(items: list[Item]):
                 and inner.args[0].name.lower() == "st_collect"
             ):
                 mode = "cluster"
+            elif (
+                isinstance(inner, Func)
+                and inner.name.lower() == "st_centroid"
+                and len(inner.args) == 1
+                and isinstance(inner.args[0], Ident)
+            ):
+                # non-aggregate ST_Centroid(way): exact area-weighted
+                # centroid per feature (ring tables); identity on points
+                mode = "centroid"
             else:
                 raise DefinitionError(
                     "template SQL: ST_AsMVTGeom argument must be a geometry "
                     "column, ST_Simplify(geometry, tol), "
-                    "ST_PointOnSurface(geometry), or "
+                    "ST_PointOnSurface(geometry), ST_Centroid(geometry), or "
                     "ST_Centroid(ST_Collect(geometry))"
                 )
         else:
@@ -2008,7 +2017,7 @@ class CompiledTemplate:
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
                 mode, _, _ = _geom_item(s.items)
-                if mode in ("label", "cluster"):
+                if mode in ("label", "cluster", "centroid"):
                     return GEOM_POINT
                 _, kind = _resolve_table(sources, s.table)
                 return {
@@ -2103,6 +2112,22 @@ class CompiledTemplate:
                             "clustering is only supported over point tables"
                         )
                     branch = _cluster_branch(df, s.group, having, items, extent)
+                elif mode == "centroid":
+                    props_cols = {
+                        _item_alias(it): _to_col(it.expr, extent) for it in items
+                    }
+                    if kind == "point":
+                        # ST_Centroid of a point IS the point
+                        branch = df.select(
+                            "zoom", "mx", "my",
+                            *[c.alias(k) for k, c in props_cols.items()],
+                        )
+                    else:
+                        from tilekiln_spark.operators.tiling import (
+                            polygon_centroid_points,
+                        )
+
+                        branch = polygon_centroid_points(df, props_cols)
                 elif mode == "label":
                     props_cols = {
                         _item_alias(it): _to_col(it.expr, extent) for it in items

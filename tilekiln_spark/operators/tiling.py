@@ -254,6 +254,28 @@ def polygon_label_points(polys: DataFrame, props: dict[str, Column]) -> DataFram
     )
 
 
+def polygon_centroid_points(polys: DataFrame, props: dict[str, Column]) -> DataFrame:
+    """Exact area-weighted ST_Centroid for polygon/ring rows (PostGIS
+    non-aggregate ST_Centroid(way) — the reference's templates may call it
+    on any feature table, reference tilekiln/definition.py:42-77).  Unlike
+    ST_PointOnSurface the centroid may fall OUTSIDE a concave ring — that
+    is the PostGIS contract, not a bug.  Pure ``F.aggregate`` folds
+    (functions/geometry.py ring_centroid): codegen, no UDF, map-only.
+
+    Output: [zoom?, mx, my, <props...>] — same shape as
+    :func:`polygon_label_points`."""
+    from tilekiln_spark.functions.geometry import ring_centroid
+
+    cx, cy = ring_centroid(F.col("ring_xs"), F.col("ring_ys"))
+    keep = [c for c in ("zoom",) if c in polys.columns]
+    return polys.select(
+        *keep,
+        cx.alias("mx"),
+        cy.alias("my"),
+        *[c.alias(k) for k, c in props.items()],
+    )
+
+
 def _cluster_label_points(df: DataFrame, extent: int, props: dict[str, Column]) -> DataFrame:
     """ST_PointOnSurface stand-in (documented deviation): one label point
     per (feature, tile) = centroid of the joined page cluster inside
