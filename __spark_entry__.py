@@ -987,6 +987,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["template_compile_centroid"] = template_compile_centroid
 
+    def readability(spark, sf_dir):
+        """Flesch reading-ease quality signal per language (functions/
+        text.py readability_features — regex-class extractions + arithmetic
+        shared verbatim with the twin; map-only, one partial-agg groupBy).
+        Docs also bucket into the classic easy/standard/hard bands."""
+        from tilekiln_spark.functions.text import readability_features
+
+        d = _docs(spark, sf_dir)
+        w, s, v, flesch = readability_features(F.col("text"))
+        per_doc = d.select(
+            "lang",
+            w.alias("w"),
+            s.alias("s"),
+            v.alias("v"),
+            flesch.alias("flesch"),
+        )
+        band = (
+            F.when(F.col("flesch") >= 60.0, F.lit("easy"))
+            .when(F.col("flesch") >= 30.0, F.lit("standard"))
+            .otherwise(F.lit("hard"))
+        )
+        return (
+            per_doc.select("lang", "w", "s", "v", "flesch", band.alias("band"))
+            .groupBy("lang", "band")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("w").alias("total_words"),
+                F.sum("v").alias("total_vowel_groups"),
+                F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            )
+        )
+
+    q["readability"] = readability
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3827,6 +3861,27 @@ def oracle_sql() -> dict[str, str]:
         WITH g(gid, kind, xs, ys) AS (VALUES {_measure_values_sql()})
         SELECT gid, kind, round({csx}, 6) + 0.0 AS cx, round({csy}, 6) + 0.0 AS cy
         FROM g
+    """
+
+    from tilekiln_spark.functions.text import readability_sql
+
+    rw, rs, rv, rflesch = readability_sql("text")
+    o["readability"] = f"""
+        WITH per_doc AS (
+            SELECT lang, {rw} AS w, {rs} AS s, {rv} AS v, {rflesch} AS flesch
+            FROM documents
+        ), banded AS (
+            SELECT lang, w, s, v, flesch,
+                   CASE WHEN flesch >= 60.0 THEN 'easy'
+                        WHEN flesch >= 30.0 THEN 'standard'
+                        ELSE 'hard' END AS band
+            FROM per_doc
+        )
+        SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS total_words,
+               CAST(sum(v) AS BIGINT) AS total_vowel_groups,
+               round(avg(flesch), 6) + 0.0 AS avg_flesch
+        FROM banded GROUP BY 1, 2
     """
 
     ring_vals = ", ".join(

@@ -138,6 +138,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "semantic_dedup",
         "linear_probe",
         "text_quality",
+        "readability",
         "text_pii_repetition",
         "decontaminate_overlap",
         "decontaminate_semantic",

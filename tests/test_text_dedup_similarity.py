@@ -70,6 +70,36 @@ def test_quality_score_ordering(spark):
     assert all(0.0 <= v <= 1.0 for v in scores.values())
 
 
+def test_readability_known_values(spark):
+    """Flesch hand-check + DuckDB-twin bit-equality (shared regex classes
+    and arithmetic, functions/text.py readability_features)."""
+    import duckdb
+
+    from tilekiln_spark.functions.text import readability_features, readability_sql
+
+    rows = [("a", "The cat sat. It ran!"), ("b", ""), ("c", "zzz zzz")]
+    df = spark.createDataFrame(rows, "name string, text string")
+    w, s, v, flesch = readability_features(F.col("text"))
+    got = {
+        r.name: (r.w, r.s, r.v, r.f)
+        for r in df.select(
+            "name", w.alias("w"), s.alias("s"), v.alias("v"), flesch.alias("f")
+        ).collect()
+    }
+    # 5 words, 2 sentences, 5 vowel groups (e,a,a,i,a)
+    assert got["a"][:3] == (5, 2, 5)
+    assert got["a"][3] == 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert got["b"] == (0, 0, 0, 206.835)          # guards clamp to 1
+    assert got["c"][:3] == (2, 0, 0)
+    ws, ss, vs, fs = readability_sql("text")
+    vals = ",".join(f"({n!r}, {t!r})" for n, t in rows)
+    want = duckdb.connect().execute(
+        f"WITH t(name, text) AS (VALUES {vals}) "
+        f"SELECT name, {ws}, {ss}, {vs}, {fs} FROM t"
+    ).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in want} == got
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("  hello world ",), ("hello worlds",)], "text string"

@@ -35,6 +35,44 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
+def readability_features(text: Column | str):
+    """Flesch reading-ease heuristic (words / sentences / vowel-group
+    syllable proxy — the classic readability quality signal corpus filters
+    bucket on).  Counts are regex-class extractions shared verbatim with
+    the DuckDB twin (:func:`readability_sql`); all-expression, map-only.
+
+    Returns (n_words, n_sentences, n_vowel_groups, flesch):
+        flesch = 206.835 − 1.015·(W/max(S,1)) − 84.6·(V/max(W,1))
+    """
+    t = _c(text)
+    w = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), F.lit(0)))
+    s = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0)))
+    v = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0)))
+    wd, sd, vd = (c.cast("double") for c in (w, s, v))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / F.greatest(sd, F.lit(1.0)))
+        - F.lit(84.6) * (vd / F.greatest(wd, F.lit(1.0)))
+    )
+    return w, s, v, flesch
+
+
+def readability_sql(text_expr: str) -> tuple[str, str, str, str]:
+    """DuckDB twin of :func:`readability_features` — identical regex
+    classes and arithmetic order.  Returns (w_sql, s_sql, v_sql,
+    flesch_sql)."""
+    w = f"len(regexp_extract_all({text_expr}, '[A-Za-z]+'))"
+    s = f"len(regexp_extract_all({text_expr}, '[.!?]+'))"
+    v = f"len(regexp_extract_all(lower({text_expr}), '[aeiouy]+'))"
+    # explicit DOUBLE casts: DuckDB parses bare decimal literals as DECIMAL
+    flesch = (
+        f"(CAST(206.835 AS DOUBLE) "
+        f"- CAST(1.015 AS DOUBLE) * (CAST({w} AS DOUBLE) / greatest(CAST({s} AS DOUBLE), 1.0)) "
+        f"- CAST(84.6 AS DOUBLE) * (CAST({v} AS DOUBLE) / greatest(CAST({w} AS DOUBLE), 1.0)))"
+    )
+    return w, s, v, flesch
+
+
 # --------------------------------------------------------------------------
 # Quality scoring (length / punctuation / stopword ratios)
 # --------------------------------------------------------------------------
