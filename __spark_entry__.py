@@ -1021,6 +1021,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["readability"] = readability
 
+    def ring_pair_distance(spark, sf_dir):
+        """ST_Distance(polygon, polygon) for disjoint rings: min over both
+        vertex->other-boundary directions, nested F.aggregate folds
+        (functions/geometry.py ring_ring_distance — codegen, no UDF).
+        All ring pairs of the shared measure fixture; twin SQL generated
+        from the same arithmetic."""
+        from tilekiln_spark.functions.geometry import ring_ring_distance
+
+        rings = [
+            (g, xs, ys)
+            for g, kind, xs, ys in _measure_fixture_rows()
+            if kind == "ring" and xs
+        ]
+        df = spark.createDataFrame(
+            rings, "gid int, xs array<double>, ys array<double>"
+        )
+        a = df.select(
+            F.col("gid").alias("a_id"),
+            F.col("xs").alias("axs"),
+            F.col("ys").alias("ays"),
+        )
+        b = df.select(
+            F.col("gid").alias("b_id"),
+            F.col("xs").alias("bxs"),
+            F.col("ys").alias("bys"),
+        )
+        pairs = a.crossJoin(F.broadcast(b)).where(F.col("a_id") < F.col("b_id"))
+        d = ring_ring_distance(
+            F.col("axs"), F.col("ays"), F.col("bxs"), F.col("bys")
+        )
+        return pairs.select("a_id", "b_id", F.round(d, 6).alias("dist"))
+
+    q["ring_pair_distance"] = ring_pair_distance
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3882,6 +3916,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS total_vowel_groups,
                round(avg(flesch), 6) + 0.0 AS avg_flesch
         FROM banded GROUP BY 1, 2
+    """
+
+    from tilekiln_spark.functions.geometry import ring_ring_distance_sql
+
+    rr_vals = ", ".join(
+        f"({g}, "
+        + "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[]), "
+        + "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[]))"
+        for g, kind, xs, ys in _measure_fixture_rows()
+        if kind == "ring" and xs
+    )
+    o["ring_pair_distance"] = f"""
+        WITH r(gid, xs, ys) AS (VALUES {rr_vals})
+        SELECT a.gid AS a_id, b.gid AS b_id,
+               round({ring_ring_distance_sql('a.xs', 'a.ys', 'b.xs', 'b.ys')}, 6)
+                   + 0.0 AS dist
+        FROM r a CROSS JOIN r b WHERE a.gid < b.gid
     """
 
     ring_vals = ", ".join(

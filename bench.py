@@ -93,6 +93,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "spatial_join_concave",
         "spatial_join_subdivided",
         "distance_to_rings",
+        "ring_pair_distance",
         "hexbin_density",
         "convex_hull_quadrants",
         "geography_area",

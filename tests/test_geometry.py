@@ -275,6 +275,56 @@ def test_line_interpolate_point(spark):
         assert got[g] == tuple(want), g
 
 
+def test_ring_ring_distance(spark):
+    """Known gaps between disjoint rings + twin bit-equality.  Two unit
+    squares 3 apart -> 3; diagonal offset -> corner-to-corner sqrt(2);
+    vertex-to-EDGE-interior case (not vertex-to-vertex) -> 0.5."""
+    from tilekiln_spark.functions.geometry import (
+        ring_ring_distance,
+        ring_ring_distance_sql,
+    )
+
+    sq = ([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+
+    def shift(r, dx, dy):
+        return [v + dx for v in r[0]], [v + dy for v in r[1]]
+
+    fixture = [
+        (0, *sq, *shift(sq, 4.0, 0.0)),                       # gap 3
+        (1, *sq, *shift(sq, 2.0, 2.0)),                       # diag sqrt(2)
+        (2, *sq, [0.5, 2.5, 2.5], [1.5, 1.5, 3.0]),           # vertex->edge 0.5
+        (3, *sq, None, None),                                  # null guard
+    ]
+    df = spark.createDataFrame(
+        fixture,
+        "gid int, axs array<double>, ays array<double>, "
+        "bxs array<double>, bys array<double>",
+    )
+    d = ring_ring_distance(F.col("axs"), F.col("ays"), F.col("bxs"), F.col("bys"))
+    got = {r.gid: r.d for r in df.select("gid", d.alias("d")).collect()}
+    assert got[0] == 3.0
+    assert got[1] == pytest.approx(2.0 ** 0.5, rel=1e-15)
+    assert got[2] == 0.5
+    assert got[3] is None
+
+    vals = ",".join(
+        f"({g}, {axs!r}::DOUBLE[], {ays!r}::DOUBLE[], "
+        + (
+            "NULL::DOUBLE[], NULL::DOUBLE[]"
+            if bxs is None
+            else f"{bxs!r}::DOUBLE[], {bys!r}::DOUBLE[]"
+        )
+        + ")"
+        for g, axs, ays, bxs, bys in fixture
+    )
+    want = duckdb.connect().execute(
+        f"WITH t(gid, axs, ays, bxs, bys) AS (VALUES {vals}) "
+        f"SELECT gid, {ring_ring_distance_sql('axs', 'ays', 'bxs', 'bys')} "
+        f"FROM t ORDER BY gid"
+    ).fetchall()
+    assert [(g, got[g]) for g, *_ in fixture] == [tuple(r) for r in want]
+
+
 def test_hexbin_nearest_center_property(spark):
     """The defining hexbin invariant: every point lands in the hex whose
     center is nearest (strictly, among the point's own cell and all its

@@ -415,6 +415,56 @@ def line_interpolate_point_sql(xs: str, ys: str, frac: float) -> tuple[str, str]
     return out(xs), out(ys)
 
 
+def ring_ring_distance(
+    axs: Column, ays: Column, bxs: Column, bys: Column
+) -> Column:
+    """Boundary-to-boundary Euclidean distance between two rings — the
+    planar ``ST_Distance(polygon, polygon)`` for DISJOINT polygons (the
+    minimum over non-crossing boundaries is always attained at a vertex of
+    one against a segment of the other, so min over both vertex→ring
+    directions is exact).  Crossing/contained rings need the intersects /
+    containment predicates composed in front (same contract note as
+    :func:`point_ring_distance`).  Nested ``F.aggregate`` folds: O(n·m)
+    adds per pair, all codegen, no UDF."""
+    def side(pxs: Column, pys: Column, rxs: Column, rys: Column) -> Column:
+        n = F.size(pxs)
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(float("inf")),
+            lambda acc, i: F.least(
+                acc,
+                point_ring_distance(
+                    F.element_at(pxs, i), F.element_at(pys, i), rxs, rys
+                ),
+            ),
+        )
+
+    d = F.least(side(axs, ays, bxs, bys), side(bxs, bys, axs, ays))
+    ok = axs.isNotNull() & ays.isNotNull() & bxs.isNotNull() & bys.isNotNull()
+    return F.when(
+        ok & (F.size(axs) >= 1) & (F.size(bxs) >= 1), d
+    ).otherwise(F.when(ok, F.lit(float("inf"))))
+
+
+def ring_ring_distance_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
+    """DuckDB twin of :func:`ring_ring_distance`.  The OUTER lambda
+    variable is ``a`` so it cannot shadow the ``i``/``k`` used inside the
+    generated point-segment expression."""
+    def side(pxs: str, pys: str, rxs: str, rys: str) -> str:
+        inner = point_ring_distance_sql(f"{pxs}[a]", f"{pys}[a]", rxs, rys)
+        return (
+            f"list_min(list_transform(range(1, len({pxs}) + 1), a -> {inner}))"
+        )
+
+    d = f"least({side(axs, ays, bxs, bys)}, {side(bxs, bys, axs, ays)})"
+    return (
+        f"(CASE WHEN {axs} IS NULL OR {ays} IS NULL OR {bxs} IS NULL "
+        f"OR {bys} IS NULL THEN NULL "
+        f"WHEN len({axs}) >= 1 AND len({bxs}) >= 1 THEN {d} "
+        f"ELSE 'infinity'::DOUBLE END)"
+    )
+
+
 def hexbin_qr(x: Column, y: Column, size: float) -> tuple[Column, Column]:
     """Pointy-top hexagonal binning: planar (x, y) -> axial hex cell
     (q, r) for circumradius ``size`` — the hex-density aggregation tile
