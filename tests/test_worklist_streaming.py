@@ -353,3 +353,84 @@ def test_stream_ingest_against_index(spark, tmp_path):
     run()
     got2 = {r.doc_id for r in spark.read.parquet(str(out / "data")).collect()}
     assert got2 == {101, 103}
+
+
+def test_stream_hexbin_windows_and_late_drop(spark, tmp_path):
+    """stream_hexbin: append-mode windowed hex counts equal the batch
+    hexbin over the on-time events; a late event behind the watermark is
+    dropped; windows finalize only once the watermark passes them."""
+    import json
+
+    from tilekiln_spark.functions.geometry import hexbin_qr
+    from tilekiln_spark.streaming.geo import stream_hexbin
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = tmp_path / "hexout"
+    ckpt = str(tmp_path / "hexckpt")
+    schema = "event_id long, ts timestamp, mx double, my double"
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts, mx, my in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "ts": ts, "mx": mx, "my": my}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream_hexbin(stream, 10.0, window_dur="1 hour",
+                          watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # hour-1 events in two hex cells
+    b1 = [
+        (1, "2026-01-01T10:05:00", 1.0, 1.0),
+        (2, "2026-01-01T10:15:00", 1.5, 1.2),
+        (3, "2026-01-01T10:25:00", 40.0, 40.0),
+    ]
+    write_batch("b1.jsonl", b1)
+    run()
+    # watermark hasn't passed the 10:00 window end yet -> nothing finalized
+    got = spark.read.schema(
+        "win_start timestamp, q long, r long, n_events long"
+    ).parquet(str(out))
+    assert got.count() == 0
+
+    # batch 2 advances event time far past 11:00 + watermark: the hour-1
+    # window finalizes and emits exactly the on-time counts
+    write_batch("b2.jsonl", [(4, "2026-01-01T13:00:00", 1.0, 1.0)])
+    run()
+
+    def finalized():
+        rows = spark.read.schema(
+            "win_start timestamp, q long, r long, n_events long"
+        ).parquet(str(out)).collect()
+        return {(str(r.win_start), r.q, r.r): r.n_events for r in rows}
+
+    bdf = spark.createDataFrame(
+        [(e, t, x, y) for e, t, x, y in b1],
+        "event_id long, ts string, mx double, my double",
+    )
+    qc, rc = hexbin_qr(F.col("mx"), F.col("my"), 10.0)
+    want = {
+        ("2026-01-01 10:00:00", r.q, r.r): r.n
+        for r in bdf.select(qc.alias("q"), rc.alias("r"))
+        .groupBy("q", "r").agg(F.count("*").alias("n")).collect()
+    }
+    assert finalized() == want and sum(want.values()) == 3
+
+    # batch 3: an hour-1 event arriving BEHIND the watermark (now ~12:30)
+    # is dropped — the finalized window is never re-emitted or changed
+    write_batch("b3.jsonl", [
+        (5, "2026-01-01T10:06:00", 1.0, 1.0),   # late -> dropped
+        (6, "2026-01-01T13:05:00", 40.0, 40.0),  # on-time, window still open
+    ])
+    run()
+    assert finalized() == want
