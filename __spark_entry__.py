@@ -1055,6 +1055,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ring_pair_distance"] = ring_pair_distance
 
+    def cluster_dbscan(spark, sf_dir):
+        """ST_ClusterDBSCAN (operators/dbscan.py): eps-grid self-join ->
+        degree rollup -> core-core connected components (the large/small-
+        star contraction) -> deterministic min-id border attach.  The
+        DuckDB twin recomputes the SAME eps-graph by brute cross join and
+        resolves components with a recursive min-reachability CTE — two
+        different algorithms, one answer."""
+        from tilekiln_spark.operators.dbscan import dbscan
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        return dbscan(pts, eps=2.5e6, min_pts=4, key_col="doc_id")
+
+    q["cluster_dbscan"] = cluster_dbscan
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3916,6 +3930,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS total_vowel_groups,
                round(avg(flesch), 6) + 0.0 AS avg_flesch
         FROM banded GROUP BY 1, 2
+    """
+
+    _db_eps2 = repr(2.5e6 * 2.5e6)
+    o["cluster_dbscan"] = f"""
+        {_GEO_CTE.replace("WITH geo", "WITH RECURSIVE geo", 1)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM geo a JOIN geo b ON a.doc_id != b.doc_id
+             AND (a.mx - b.mx) * (a.mx - b.mx)
+               + (a.my - b.my) * (a.my - b.my) <= CAST({_db_eps2} AS DOUBLE)
+        ),
+        deg AS (SELECT a_id, count(*) AS n FROM pairs GROUP BY 1),
+        lbl AS (
+            SELECT g.doc_id, COALESCE(d.n, 0) + 1 >= 4 AS is_core
+            FROM geo g LEFT JOIN deg d ON d.a_id = g.doc_id
+        ),
+        cedges AS (
+            SELECT p.a_id AS a, p.b_id AS b FROM pairs p
+            JOIN lbl la ON la.doc_id = p.a_id AND la.is_core
+            JOIN lbl lb ON lb.doc_id = p.b_id AND lb.is_core
+        ),
+        walk(src, dst) AS (
+            SELECT doc_id, doc_id FROM lbl WHERE is_core
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN cedges e ON e.a = w.dst
+        ),
+        core_lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM walk GROUP BY 1),
+        border AS (
+            SELECT p.a_id AS doc_id, MIN(c.cluster_id) AS cluster_id
+            FROM pairs p
+            JOIN lbl la ON la.doc_id = p.a_id AND NOT la.is_core
+            JOIN core_lbl c ON c.doc_id = p.b_id
+            GROUP BY 1
+        )
+        SELECT l.doc_id, l.is_core,
+               COALESCE(cl.cluster_id, bl.cluster_id) AS cluster_id
+        FROM lbl l
+        LEFT JOIN core_lbl cl ON cl.doc_id = l.doc_id
+        LEFT JOIN border bl ON bl.doc_id = l.doc_id
     """
 
     from tilekiln_spark.functions.geometry import ring_ring_distance_sql

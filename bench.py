@@ -100,6 +100,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "polygon_centroids",
         "line_interpolate",
         "knn_centroids",
+        "cluster_dbscan",
         "dwithin_join",
         "dwithin_geography",
         "knn_geography",
