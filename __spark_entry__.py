@@ -1069,6 +1069,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_dbscan"] = cluster_dbscan
 
+    def knn_bearings(spark, sf_dir):
+        """ST_Azimuth composed with the kNN assignment: bearing (degrees,
+        north-based clockwise) from each doc to its nearest grid centroid
+        (functions/geometry.py azimuth — pure atan2 expression; the libm
+        last-ulp is absorbed by round(6))."""
+        from tilekiln_spark.functions.geometry import azimuth
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        n = 4
+        cell = 2.0 * HW / n
+        cents = spark.range(n * n).select(
+            F.col("id").alias("cid"),
+            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+        )
+        a = knn_assign(pts, cents, k=1, point_key="doc_id", search_zoom=2)
+        az = F.degrees(
+            azimuth(F.col("mx"), F.col("my"), F.col("cx"), F.col("cy"))
+        )
+        return a.select("doc_id", "cid", F.round(az, 6).alias("bearing_deg"))
+
+    q["knn_bearings"] = knn_bearings
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3930,6 +3953,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS total_vowel_groups,
                round(avg(flesch), 6) + 0.0 AS avg_flesch
         FROM banded GROUP BY 1, 2
+    """
+
+    from tilekiln_spark.functions.geometry import azimuth_sql
+
+    o["knn_bearings"] = f"""
+        {_GEO_CTE}, cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
+            FROM range(16) t(id)
+        ), ranked AS (
+            SELECT geo.doc_id, cents.cid, geo.mx, geo.my, cents.cx, cents.cy,
+                   row_number() OVER (
+                       PARTITION BY geo.doc_id
+                       ORDER BY (geo.mx - cents.cx)^2 + (geo.my - cents.cy)^2 ASC,
+                                cents.cx ASC, cents.cy ASC
+                   ) AS rn
+            FROM geo CROSS JOIN cents
+        )
+        SELECT doc_id, cid,
+               round(degrees({azimuth_sql('mx', 'my', 'cx', 'cy')}), 6) + 0.0
+                   AS bearing_deg
+        FROM ranked WHERE rn = 1
     """
 
     _db_eps2 = repr(2.5e6 * 2.5e6)

@@ -101,6 +101,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "line_interpolate",
         "knn_centroids",
         "cluster_dbscan",
+        "knn_bearings",
         "dwithin_join",
         "dwithin_geography",
         "knn_geography",

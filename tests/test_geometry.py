@@ -325,6 +325,30 @@ def test_ring_ring_distance(spark):
     assert [(g, got[g]) for g, *_ in fixture] == [tuple(r) for r in want]
 
 
+def test_azimuth_compass_points(spark):
+    """ST_Azimuth: north-based clockwise — N=0, E=90, S=180, W=270; the
+    coincident-point deviation returns 0."""
+    from tilekiln_spark.functions.geometry import azimuth, azimuth_sql
+
+    fixture = [
+        (0, 0.0, 1.0), (1, 1.0, 0.0), (2, 0.0, -1.0), (3, -1.0, 0.0),
+        (4, 1.0, 1.0), (5, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(fixture, "gid int, tx double, ty double")
+    az = F.degrees(azimuth(F.lit(0.0), F.lit(0.0), F.col("tx"), F.col("ty")))
+    got = {r.gid: r.a for r in df.select("gid", F.round(az, 9).alias("a")).collect()}
+    assert got[0] == 0.0 and got[1] == 90.0
+    assert got[2] == 180.0 and got[3] == 270.0
+    assert got[4] == 45.0 and got[5] == 0.0
+    vals = ",".join(f"({g}, {x!r}, {y!r})" for g, x, y in fixture)
+    want = duckdb.connect().execute(
+        f"WITH t(gid, tx, ty) AS (VALUES {vals}) "
+        f"SELECT gid, round(degrees({azimuth_sql('0.0', '0.0', 'tx', 'ty')}), 9) "
+        f"FROM t ORDER BY gid"
+    ).fetchall()
+    assert [(g, got[g]) for g, _, _ in fixture] == [tuple(r) for r in want]
+
+
 def test_hexbin_nearest_center_property(spark):
     """The defining hexbin invariant: every point lands in the hex whose
     center is nearest (strictly, among the point's own cell and all its

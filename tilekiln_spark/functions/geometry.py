@@ -465,6 +465,21 @@ def ring_ring_distance_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """PostGIS ``ST_Azimuth`` in a projected CRS: north-based clockwise
+    angle in radians, [0, 2π).  Coincident points return 0 (PostGIS raises;
+    a null-safe 0 composes better in joins — documented deviation)."""
+    a = F.atan2(x2 - x1, y2 - y1)
+    return F.when(a < 0, a + F.lit(2.0) * F.lit(3.141592653589793)).otherwise(a)
+
+
+def azimuth_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """DuckDB twin of :func:`azimuth` (same atan2 argument order; libm
+    atan2 may differ in the last ulp — round displayed angles)."""
+    a = f"atan2(({x2}) - ({x1}), ({y2}) - ({y1}))"
+    return f"(CASE WHEN {a} < 0 THEN {a} + 2.0 * pi() ELSE {a} END)"
+
+
 def hexbin_qr(x: Column, y: Column, size: float) -> tuple[Column, Column]:
     """Pointy-top hexagonal binning: planar (x, y) -> axial hex cell
     (q, r) for circumradius ``size`` — the hex-density aggregation tile
