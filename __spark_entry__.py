@@ -1092,6 +1092,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_bearings"] = knn_bearings
 
+    def line_segmentize(spark, sf_dir):
+        """PostGIS ST_Segmentize over the zigzag polyline fixtures (nested
+        transform+flatten HOFs, functions/geometry.py segmentize); every
+        densified vertex value-checked row-by-row via posexplode."""
+        from tilekiln_spark.functions.geometry import segmentize
+
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        df = spark.createDataFrame(
+            rows, "line_id int, xs array<double>, ys array<double>"
+        )
+        sx, sy = segmentize(F.col("xs"), F.col("ys"), 1.5e6)
+        return (
+            df.select("line_id", F.posexplode(F.arrays_zip(sx.alias("x"), sy.alias("y"))))
+            .select(
+                "line_id",
+                F.col("pos").cast("int").alias("seq"),
+                F.round(F.col("col.x"), 6).alias("px"),
+                F.round(F.col("col.y"), 6).alias("py"),
+            )
+        )
+
+    q["line_segmentize"] = line_segmentize
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -4068,6 +4094,18 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(li_rows)
         + ") "
         + " UNION ALL ".join(li_parts)
+    )
+
+    from tilekiln_spark.functions.geometry import segmentize_sql
+
+    seg_x, seg_y = segmentize_sql("xs", "ys", 1.5e6)
+    o["line_segmentize"] = (
+        "WITH lines(line_id, xs, ys) AS (VALUES "
+        + ", ".join(li_rows)
+        + f"), segd AS (SELECT line_id, {seg_x} AS sx, {seg_y} AS sy FROM lines) "
+        + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
+        + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
+        + "FROM segd CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
     )
 
     # hull membership decided the set-theoretic way (no chain algorithm):

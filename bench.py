@@ -102,6 +102,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_centroids",
         "cluster_dbscan",
         "knn_bearings",
+        "line_segmentize",
         "dwithin_join",
         "dwithin_geography",
         "knn_geography",

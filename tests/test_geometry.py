@@ -325,6 +325,60 @@ def test_ring_ring_distance(spark):
     assert [(g, got[g]) for g, *_ in fixture] == [tuple(r) for r in want]
 
 
+_SEG_FIXTURE = [
+    (0, [0.0, 3.0], [0.0, 0.0]),        # 3 sub-edges at max_len 1
+    (1, [0.0, 1.0], [0.0, 0.0]),        # exactly max_len: unchanged
+    (2, [0.0, 3.0], [0.0, 4.0]),        # len 5 -> k=3 (max_len 2 case below)
+    (3, [1.0, 1.0, 2.0], [5.0, 5.0, 5.0]),  # zero-length first edge
+    (4, [7.0], [9.0]),                  # single vertex passthrough
+    (5, None, None),
+]
+
+
+def test_segmentize(spark):
+    from tilekiln_spark.functions.geometry import segmentize, segmentize_sql
+
+    df = spark.createDataFrame(
+        _SEG_FIXTURE, "gid int, xs array<double>, ys array<double>"
+    )
+    sx1, sy1 = segmentize(F.col("xs"), F.col("ys"), 1.0)
+    got = {
+        r.gid: (r.sx, r.sy)
+        for r in df.select("gid", sx1.alias("sx"), sy1.alias("sy")).collect()
+    }
+    assert got[0] == ([0.0, 1.0, 2.0, 3.0], [0.0, 0.0, 0.0, 0.0])
+    assert got[1] == ([0.0, 1.0], [0.0, 0.0])
+    assert got[3] == ([1.0, 1.0, 2.0], [5.0, 5.0, 5.0])
+    assert got[4] == ([7.0], [9.0])
+    assert got[5] == (None, None)
+    sx2, sy2 = segmentize(F.col("xs"), F.col("ys"), 2.0)
+    g2 = df.where("gid = 2").select(sx2.alias("sx"), sy2.alias("sy")).collect()[0]
+    assert g2.sx == [0.0, 1.0, 2.0, 3.0]
+    assert g2.sy == [0.0, 4.0 / 3.0, 8.0 / 3.0, 4.0]
+
+    # twin: bit-identical arrays on every fixture row, both tolerances
+    for ml in (1.0, 2.0):
+        xs_sql, ys_sql = segmentize_sql("xs", "ys", ml)
+        vals = ",".join(
+            f"({g}, "
+            + ("NULL::DOUBLE[], NULL::DOUBLE[]" if xs is None
+               else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]")
+            + ")"
+            for g, xs, ys in _SEG_FIXTURE
+        )
+        want = duckdb.connect().execute(
+            f"WITH t(gid, xs, ys) AS (VALUES {vals}) "
+            f"SELECT gid, {xs_sql}, {ys_sql} FROM t ORDER BY gid"
+        ).fetchall()
+        sxc, syc = segmentize(F.col("xs"), F.col("ys"), ml)
+        gotc = [
+            tuple(r)
+            for r in df.select("gid", sxc.alias("sx"), syc.alias("sy"))
+            .orderBy("gid").collect()
+        ]
+        assert gotc == [tuple(r) for r in want]
+
+
 def test_azimuth_compass_points(spark):
     """ST_Azimuth: north-based clockwise — N=0, E=90, S=180, W=270; the
     coincident-point deviation returns 0."""

@@ -465,6 +465,77 @@ def ring_ring_distance_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def segmentize(
+    xs: Column, ys: Column, max_len: float
+) -> tuple[Column, Column]:
+    """PostGIS ``ST_Segmentize`` over an OPEN vertex chain: every edge
+    longer than ``max_len`` splits into ceil(len/max_len) equal sub-edges
+    (rings: close before calling).  Nested transform + flatten — pure
+    higher-order expressions, no UDF; vertex counts are per-feature small
+    so the O(output) expression work rides the scan.  Zero-length edges
+    emit their start vertex once; single-vertex/empty inputs pass through;
+    null arrays null-propagate."""
+    n = F.size(xs)
+    m = F.lit(float(max_len))
+
+    def elen(i: Column) -> Column:
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    def k(i: Column) -> Column:
+        return F.greatest(F.ceil(elen(i) / m), F.lit(1).cast("long"))
+
+    def seg(arr: Column) -> Column:
+        head = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0).cast("long"), k(i) - 1),
+                    lambda j: F.element_at(arr, i.cast("int"))
+                    + (j.cast("double") / k(i).cast("double"))
+                    * (
+                        F.element_at(arr, i.cast("int") + 1)
+                        - F.element_at(arr, i.cast("int"))
+                    ),
+                ),
+            )
+        )
+        out = F.concat(head, F.slice(arr, -1, 1))
+        return F.when(n >= 2, out).otherwise(
+            F.when(xs.isNotNull() & ys.isNotNull(), arr)
+        )
+
+    return seg(xs), seg(ys)
+
+
+def segmentize_sql(xs: str, ys: str, max_len: float) -> tuple[str, str]:
+    """DuckDB twin of :func:`segmentize` — identical edge-length, ceil and
+    interpolation arithmetic.  Returns (xs_sql, ys_sql)."""
+    m = repr(float(max_len))
+    dx = f"({xs}[i + 1] - {xs}[i])"
+    dy = f"({ys}[i + 1] - {ys}[i])"
+    elen = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    k = f"greatest(CAST(ceil({elen} / {m}) AS BIGINT), 1)"
+
+    def seg(arr: str) -> str:
+        step = (
+            f"{arr}[i] + (CAST(j AS DOUBLE) / CAST({k} AS DOUBLE)) "
+            f"* ({arr}[i + 1] - {arr}[i])"
+        )
+        head = (
+            f"flatten(list_transform(range(1, len({xs})), i -> "
+            f"list_transform(range(0, {k}), j -> {step})))"
+        )
+        return (
+            f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+            f"WHEN len({xs}) >= 2 THEN {head} || [{arr}[len({arr})]] "
+            f"ELSE {arr} END)"
+        )
+
+    return seg(xs), seg(ys)
+
+
 def azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """PostGIS ``ST_Azimuth`` in a projected CRS: north-based clockwise
     angle in radians, [0, 2π).  Coincident points return 0 (PostGIS raises;
