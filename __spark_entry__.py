@@ -1118,6 +1118,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_segmentize"] = line_segmentize
 
+    def line_locate(spark, sf_dir):
+        """PostGIS ST_LineLocatePoint (inverse linear referencing): the
+        fraction along zigzag line 2 of each doc's closest point — the
+        line constants fold into the expression (broadcast-free map-only
+        pass over the doc scan)."""
+        from tilekiln_spark.functions.geometry import line_locate_point
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        uv = dict(_LINES_UV)[2]
+        merc = _line_merc(uv)
+        lx = F.array(*[F.lit(p[0]) for p in merc])
+        ly = F.array(*[F.lit(p[1]) for p in merc])
+        fr = line_locate_point(lx, ly, F.col("mx"), F.col("my"))
+        return pts.select("doc_id", F.round(fr, 6).alias("frac"))
+
+    q["line_locate"] = line_locate
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3979,6 +3996,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS total_vowel_groups,
                round(avg(flesch), 6) + 0.0 AS avg_flesch
         FROM banded GROUP BY 1, 2
+    """
+
+    from tilekiln_spark.functions.geometry import line_locate_point_sql
+
+    _ll_merc = _line_merc(dict(_LINES_UV)[2])
+    _ll_xs = "CAST([" + ", ".join(repr(p[0]) for p in _ll_merc) + "] AS DOUBLE[])"
+    _ll_ys = "CAST([" + ", ".join(repr(p[1]) for p in _ll_merc) + "] AS DOUBLE[])"
+    o["line_locate"] = f"""
+        {_GEO_CTE}
+        SELECT doc_id,
+               round({line_locate_point_sql(_ll_xs, _ll_ys, 'mx', 'my')}, 6) + 0.0
+                   AS frac
+        FROM geo
     """
 
     from tilekiln_spark.functions.geometry import azimuth_sql

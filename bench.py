@@ -103,6 +103,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "cluster_dbscan",
         "knn_bearings",
         "line_segmentize",
+        "line_locate",
         "dwithin_join",
         "dwithin_geography",
         "knn_geography",

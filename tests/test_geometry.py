@@ -379,6 +379,54 @@ def test_segmentize(spark):
         assert gotc == [tuple(r) for r in want]
 
 
+def test_line_locate_point(spark):
+    """Inverse of interpolate on the L-chain [(0,0),(4,0),(4,3)] (len 7):
+    projections, end clamps, the first-minimum tie rule, and the
+    round-trip with line_interpolate_point."""
+    from tilekiln_spark.functions.geometry import (
+        line_locate_point,
+        line_locate_point_sql,
+    )
+
+    chain = ([0.0, 4.0, 4.0], [0.0, 0.0, 3.0])
+    fixture = [
+        (0, *chain, 2.0, 1.0),    # edge 1, t=.5 -> 2/7
+        (1, *chain, 5.0, 1.5),    # edge 2, t=.5 -> 5.5/7
+        (2, *chain, 5.0, 4.0),    # beyond the end -> 1.0
+        (3, *chain, -1.0, -1.0),  # before the start -> 0.0
+        (4, *chain, 3.0, 1.0),    # tie (dist 1 to both edges) -> FIRST edge, 3/7
+        (5, [7.0], [9.0], 1.0, 1.0),   # single vertex -> 0.0
+        (6, None, None, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        fixture,
+        "gid int, xs array<double>, ys array<double>, px double, py double",
+    )
+    fr = line_locate_point(F.col("xs"), F.col("ys"), F.col("px"), F.col("py"))
+    got = {r.gid: r.f for r in df.select("gid", fr.alias("f")).collect()}
+    assert got[0] == 2.0 / 7.0
+    assert got[1] == 5.5 / 7.0
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 3.0 / 7.0
+    assert got[5] == 0.0
+    assert got[6] is None
+
+    vals = ",".join(
+        f"({g}, "
+        + ("NULL::DOUBLE[], NULL::DOUBLE[]" if xs is None
+           else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]")
+        + f", {px!r}, {py!r})"
+        for g, xs, ys, px, py in fixture
+    )
+    want = duckdb.connect().execute(
+        f"WITH t(gid, xs, ys, px, py) AS (VALUES {vals}) "
+        f"SELECT gid, {line_locate_point_sql('xs', 'ys', 'px', 'py')} "
+        f"FROM t ORDER BY gid"
+    ).fetchall()
+    assert [(g, got[g]) for g, *_ in fixture] == [tuple(r) for r in want]
+
+
 def test_azimuth_compass_points(spark):
     """ST_Azimuth: north-based clockwise — N=0, E=90, S=180, W=270; the
     coincident-point deviation returns 0."""

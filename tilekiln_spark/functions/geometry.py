@@ -536,6 +536,118 @@ def segmentize_sql(xs: str, ys: str, max_len: float) -> tuple[str, str]:
     return seg(xs), seg(ys)
 
 
+def line_locate_point(
+    xs: Column, ys: Column, px: Column, py: Column
+) -> Column:
+    """PostGIS ``ST_LineLocatePoint``: the fraction (0..1) of the total
+    chain length at the point on the line closest to (px, py) — the
+    inverse of :func:`line_interpolate_point`.  Same machinery: per-edge
+    point-to-segment distances, the owning edge = FIRST edge attaining the
+    minimum distance (ties broken identically in the twin because the
+    per-edge arithmetic is bit-identical), prefix length + in-edge
+    parameter over the total.  Pure HOF expressions; degenerate chains
+    (total length 0 / single vertex) return 0; null inputs null-propagate."""
+    n = F.size(xs)
+
+    def elen(i: Column) -> Column:
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    def edge_t(i: Column) -> Column:
+        x1, y1 = F.element_at(xs, i), F.element_at(ys, i)
+        x2, y2 = F.element_at(xs, i + 1), F.element_at(ys, i + 1)
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        t_raw = F.when(l2 > 0, ((px - x1) * dx + (py - y1) * dy) / l2).otherwise(
+            F.lit(0.0)
+        )
+        return F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+
+    def edge_d(i: Column) -> Column:
+        t = edge_t(i)
+        cx = F.element_at(xs, i) + t * (F.element_at(xs, i + 1) - F.element_at(xs, i))
+        cy = F.element_at(ys, i) + t * (F.element_at(ys, i + 1) - F.element_at(ys, i))
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    dmin = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(float("inf")),
+        lambda acc, i: F.least(acc, edge_d(i)),
+    )
+    idx = F.coalesce(
+        F.array_min(
+            F.filter(F.sequence(F.lit(1), n - 1), lambda i: edge_d(i) == dmin)
+        ),
+        F.lit(1),
+    )
+    prefix = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0.0),
+        lambda acc, i: acc + F.when(i < idx, elen(i)).otherwise(F.lit(0.0)),
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), n - 1), F.lit(0.0), lambda acc, i: acc + elen(i)
+    )
+    frac = (prefix + edge_t(idx) * elen(idx)) / total
+    return F.when((n >= 2) & (total > 0), frac).otherwise(
+        F.when(
+            xs.isNotNull() & ys.isNotNull() & px.isNotNull() & py.isNotNull()
+            & (n >= 1),
+            F.lit(0.0),
+        )
+    )
+
+
+def line_locate_point_sql(xs: str, ys: str, px: str, py: str) -> str:
+    """DuckDB twin of :func:`line_locate_point` — identical arithmetic, the
+    same first-minimum owning-edge rule.  Per-edge formulas are generated
+    as FUNCTIONS of the index expression (never textual replacement, which
+    would also rewrite the lambda indices inside a spliced sub-expression)."""
+
+    def parts(i: str) -> dict:
+        x1, y1 = f"{xs}[{i}]", f"{ys}[{i}]"
+        x2, y2 = f"{xs}[({i}) + 1]", f"{ys}[({i}) + 1]"
+        dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+        l2 = f"({dx} * {dx} + {dy} * {dy})"
+        t = (
+            f"least(greatest(CASE WHEN {l2} > 0 THEN "
+            f"((({px}) - {x1}) * {dx} + (({py}) - {y1}) * {dy}) / {l2} "
+            f"ELSE 0.0 END, 0.0), 1.0)"
+        )
+        cx = f"({x1} + {t} * {dx})"
+        cy = f"({y1} + {t} * {dy})"
+        d = (
+            f"sqrt((({px}) - {cx}) * (({px}) - {cx}) "
+            f"+ (({py}) - {cy}) * (({py}) - {cy}))"
+        )
+        elen = f"sqrt({dx} * {dx} + {dy} * {dy})"
+        return {"t": t, "d": d, "e": elen}
+
+    at_i = parts("i")
+    dmin = f"list_min(list_transform(range(1, len({xs})), i -> {at_i['d']}))"
+    idx = (
+        f"coalesce(list_min(list_filter(range(1, len({xs})), "
+        f"i -> {at_i['d']} = ({dmin}))), 1)"
+    )
+    prefix = (
+        f"coalesce(list_sum(list_transform(range(1, len({xs})), i -> "
+        f"CASE WHEN i < ({idx}) THEN {at_i['e']} ELSE 0.0 END)), 0.0)"
+    )
+    total = (
+        f"coalesce(list_sum(list_transform(range(1, len({xs})), "
+        f"i -> {at_i['e']})), 0.0)"
+    )
+    at_idx = parts(f"({idx})")
+    frac = f"((({prefix}) + ({at_idx['t']}) * ({at_idx['e']})) / ({total}))"
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL OR ({px}) IS NULL "
+        f"OR ({py}) IS NULL THEN NULL "
+        f"WHEN len({xs}) >= 2 AND ({total}) > 0 THEN {frac} "
+        f"WHEN len({xs}) >= 1 THEN 0.0 END)"
+    )
+
+
 def azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """PostGIS ``ST_Azimuth`` in a projected CRS: north-based clockwise
     angle in radians, [0, 2π).  Coincident points return 0 (PostGIS raises;
