@@ -1135,6 +1135,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_locate"] = line_locate
 
+    def user_trajectories(spark, sf_dir):
+        """GPS-track rollup over the event stream: per user, order events
+        by (ts, event_id), assemble the position chain with
+        sort_array(collect_list(struct)) (one partial-agg groupBy — the
+        distributed trajectory-assembly shape), and measure it with the
+        SAME line_length fold the planar measures use.  DuckDB re-orders
+        with list(... ORDER BY) and runs the identical fold."""
+        from tilekiln_spark.functions.geometry import line_length
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ordered = F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+        )
+        agg = ev.groupBy("user_id").agg(ordered.alias("o"))
+        xs = F.transform(F.col("o"), lambda s: s["mx"])
+        ys = F.transform(F.col("o"), lambda s: s["my"])
+        return agg.select(
+            "user_id",
+            F.size("o").alias("n_pts"),
+            F.round(line_length(xs, ys), 6).alias("track_len_m"),
+        )
+
+    q["user_trajectories"] = user_trajectories
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3996,6 +4020,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v) AS BIGINT) AS total_vowel_groups,
                round(avg(flesch), 6) + 0.0 AS avg_flesch
         FROM banded GROUP BY 1, 2
+    """
+
+    from tilekiln_spark.functions.geometry import line_length_sql as _llen_sql
+
+    _ev_mx = _MX_SQL.replace("doc_id", "event_id")
+    _ev_my = _MY_SQL.replace("doc_id", "event_id")
+    o["user_trajectories"] = f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracks AS (
+            SELECT user_id,
+                   list(mx ORDER BY ts, event_id) AS xs,
+                   list(my ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        )
+        SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
+               round({_llen_sql('xs', 'ys')}, 6) + 0.0 AS track_len_m
+        FROM tracks
     """
 
     from tilekiln_spark.functions.geometry import line_locate_point_sql

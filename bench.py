@@ -104,6 +104,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_bearings",
         "line_segmentize",
         "line_locate",
+        "user_trajectories",
         "dwithin_join",
         "dwithin_geography",
         "knn_geography",
