@@ -351,6 +351,12 @@ def test_segmentize(spark):
     assert got[3] == ([1.0, 1.0, 2.0], [5.0, 5.0, 5.0])
     assert got[4] == ([7.0], [9.0])
     assert got[5] == (None, None)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_len"):
+        segmentize(F.col("xs"), F.col("ys"), 0.0)
+    with _pt.raises(ValueError, match="max_len"):
+        segmentize_sql("xs", "ys", -1.0)
     sx2, sy2 = segmentize(F.col("xs"), F.col("ys"), 2.0)
     g2 = df.where("gid = 2").select(sx2.alias("sx"), sy2.alias("sy")).collect()[0]
     assert g2.sx == [0.0, 1.0, 2.0, 3.0]

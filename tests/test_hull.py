@@ -67,3 +67,15 @@ def test_hull_contains_all_and_partition_invariant(spark):
         assert set(hull) == set(zip(kx, ky))
     re = convex_hull(df.repartition(13), "gid", "x", "y").collect()
     assert {(r.gid, r.x, r.y) for r in re} == {(r.gid, r.x, r.y) for r in got}
+
+
+def test_hull_null_group_preserved(spark):
+    """A null group key is a group like any other (Spark groupBy keeps it;
+    the pandas partial stage must not drop it via groupby's default
+    dropna)."""
+    rows = [(0, 0.0, 0.0), (0, 1.0, 0.0), (0, 0.0, 1.0),
+            (None, 5.0, 5.0), (None, 6.0, 5.0)]
+    df = spark.createDataFrame(rows, "gid int, x double, y double")
+    got = {(r.gid, r.x, r.y) for r in convex_hull(df, "gid", "x", "y").collect()}
+    assert (None, 5.0, 5.0) in got and (None, 6.0, 5.0) in got
+    assert len([g for g, *_ in got if g is None]) == 2

@@ -276,6 +276,18 @@ def test_compiled_st_centroid_polygon(spark):
     ).build({"tables": {"t": {"frame": pt, "kind": "point"}}}, [2], 4096, 0).collect()
     assert [(r.zoom, r.mx, r.my, r.name) for r in out2] == [(2, 5.0, 7.0, "p")]
 
+    # line/polyline kinds are a NAMED error (PostGIS linestring centroids
+    # are length-weighted; the area kernel would be silently wrong)
+    import pytest as _pt
+
+    from tilekiln_spark.config.errors import DefinitionError
+
+    with _pt.raises(DefinitionError, match="length-weighted"):
+        CompiledTemplate(body).build(
+            {"tables": {"lakes": {"frame": tbl, "kind": "polyline"}}},
+            [3], 4096, 0,
+        )
+
 
 def test_case_like_between_constructs(spark):
     """Round-4 compiler tier: searched CASE, LIKE/ILIKE/NOT LIKE, BETWEEN,

@@ -2113,6 +2113,16 @@ class CompiledTemplate:
                         )
                     branch = _cluster_branch(df, s.group, having, items, extent)
                 elif mode == "centroid":
+                    if kind not in ("point", "polygon"):
+                        # PostGIS ST_Centroid(linestring) is LENGTH-weighted;
+                        # the ring kernel here is area-weighted — a silent
+                        # wrong label position, so name the mismatch instead
+                        raise DefinitionError(
+                            "template SQL: ST_Centroid(geometry) is only "
+                            "supported over point/polygon sources (a "
+                            "linestring centroid is length-weighted, which "
+                            "this engine does not implement)"
+                        )
                     props_cols = {
                         _item_alias(it): _to_col(it.expr, extent) for it in items
                     }

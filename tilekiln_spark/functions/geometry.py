@@ -175,6 +175,46 @@ def rings_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def _pt_seg(
+    px: Column, py: Column, x1: Column, y1: Column, x2: Column, y2: Column
+) -> tuple[Column, Column]:
+    """THE point-to-segment kernel (clamped parameter t, distance d) —
+    the single arithmetic definition every distance / linear-referencing
+    measure composes, Column form.  The degenerate-edge division sits
+    behind a lazily-evaluated CASE."""
+    dx, dy = x2 - x1, y2 - y1
+    l2 = dx * dx + dy * dy
+    t_raw = F.when(l2 > 0, ((px - x1) * dx + (py - y1) * dy) / l2).otherwise(
+        F.lit(0.0)
+    )
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    d = F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+    return t, d
+
+
+def _pt_seg_sql(
+    px: str, py: str, x1: str, y1: str, x2: str, y2: str
+) -> tuple[str, str]:
+    """SQL-fragment form of :func:`_pt_seg` — identical formula text, so
+    cross-engine bit-identity is structural, not by-convention."""
+    dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+    l2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (
+        f"least(greatest(CASE WHEN {l2} > 0 THEN "
+        f"((({px}) - {x1}) * {dx} + (({py}) - {y1}) * {dy}) / {l2} "
+        f"ELSE 0.0 END, 0.0), 1.0)"
+    )
+    cx = f"({x1} + {t} * {dx})"
+    cy = f"({y1} + {t} * {dy})"
+    d = (
+        f"sqrt((({px}) - {cx}) * (({px}) - {cx}) "
+        f"+ (({py}) - {cy}) * (({py}) - {cy}))"
+    )
+    return t, d
+
+
 def point_ring_distance(
     px: Column, py: Column, ring_xs: Column, ring_ys: Column
 ) -> Column:
@@ -190,17 +230,14 @@ def point_ring_distance(
 
     def edge_dist(i: Column) -> Column:
         j = F.pmod(i, n) + 1
-        x1, y1 = F.element_at(ring_xs, i), F.element_at(ring_ys, i)
-        x2, y2 = F.element_at(ring_xs, j), F.element_at(ring_ys, j)
-        dx, dy = x2 - x1, y2 - y1
-        l2 = dx * dx + dy * dy
-        t_raw = F.when(l2 > 0, ((px - x1) * dx + (py - y1) * dy) / l2).otherwise(
-            F.lit(0.0)
-        )
-        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-        cx = x1 + t * dx
-        cy = y1 + t * dy
-        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+        return _pt_seg(
+            px,
+            py,
+            F.element_at(ring_xs, i),
+            F.element_at(ring_ys, i),
+            F.element_at(ring_xs, j),
+            F.element_at(ring_ys, j),
+        )[1]
 
     d = F.aggregate(
         F.sequence(F.lit(1), n),
@@ -217,21 +254,8 @@ def point_ring_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
     arithmetic order, so each edge distance is bit-identical; min is
     order-independent exactly (list_min vs the Spark least-fold)."""
     j = f"(i % len({xs})) + 1"
-    x1, y1 = f"{xs}[i]", f"{ys}[i]"
-    x2, y2 = f"{xs}[{j}]", f"{ys}[{j}]"
-    dx = f"({x2} - {x1})"
-    dy = f"({y2} - {y1})"
-    l2 = f"({dx} * {dx} + {dy} * {dy})"
-    t = (
-        f"least(greatest(CASE WHEN {l2} > 0 THEN "
-        f"((({px}) - {x1}) * {dx} + (({py}) - {y1}) * {dy}) / {l2} "
-        f"ELSE 0.0 END, 0.0), 1.0)"
-    )
-    cx = f"({x1} + {t} * {dx})"
-    cy = f"({y1} + {t} * {dy})"
-    d = (
-        f"sqrt((({px}) - {cx}) * (({px}) - {cx}) "
-        f"+ (({py}) - {cy}) * (({py}) - {cy}))"
+    _, d = _pt_seg_sql(
+        px, py, f"{xs}[i]", f"{ys}[i]", f"{xs}[{j}]", f"{ys}[{j}]"
     )
     return (
         f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL ELSE "
@@ -475,6 +499,8 @@ def segmentize(
     so the O(output) expression work rides the scan.  Zero-length edges
     emit their start vertex once; single-vertex/empty inputs pass through;
     null arrays null-propagate."""
+    if not float(max_len) > 0:
+        raise ValueError("segmentize: max_len must be > 0")
     n = F.size(xs)
     m = F.lit(float(max_len))
 
@@ -512,6 +538,8 @@ def segmentize(
 def segmentize_sql(xs: str, ys: str, max_len: float) -> tuple[str, str]:
     """DuckDB twin of :func:`segmentize` — identical edge-length, ceil and
     interpolation arithmetic.  Returns (xs_sql, ys_sql)."""
+    if not float(max_len) > 0:
+        raise ValueError("segmentize_sql: max_len must be > 0")
     m = repr(float(max_len))
     dx = f"({xs}[i + 1] - {xs}[i])"
     dy = f"({ys}[i + 1] - {ys}[i])"
@@ -554,21 +582,21 @@ def line_locate_point(
         dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
         return F.sqrt(dx * dx + dy * dy)
 
-    def edge_t(i: Column) -> Column:
-        x1, y1 = F.element_at(xs, i), F.element_at(ys, i)
-        x2, y2 = F.element_at(xs, i + 1), F.element_at(ys, i + 1)
-        dx, dy = x2 - x1, y2 - y1
-        l2 = dx * dx + dy * dy
-        t_raw = F.when(l2 > 0, ((px - x1) * dx + (py - y1) * dy) / l2).otherwise(
-            F.lit(0.0)
+    def edge_seg(i: Column) -> tuple[Column, Column]:
+        return _pt_seg(
+            px,
+            py,
+            F.element_at(xs, i),
+            F.element_at(ys, i),
+            F.element_at(xs, i + 1),
+            F.element_at(ys, i + 1),
         )
-        return F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+
+    def edge_t(i: Column) -> Column:
+        return edge_seg(i)[0]
 
     def edge_d(i: Column) -> Column:
-        t = edge_t(i)
-        cx = F.element_at(xs, i) + t * (F.element_at(xs, i + 1) - F.element_at(xs, i))
-        cy = F.element_at(ys, i) + t * (F.element_at(ys, i + 1) - F.element_at(ys, i))
-        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+        return edge_seg(i)[1]
 
     dmin = F.aggregate(
         F.sequence(F.lit(1), n - 1),
@@ -609,18 +637,7 @@ def line_locate_point_sql(xs: str, ys: str, px: str, py: str) -> str:
         x1, y1 = f"{xs}[{i}]", f"{ys}[{i}]"
         x2, y2 = f"{xs}[({i}) + 1]", f"{ys}[({i}) + 1]"
         dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
-        l2 = f"({dx} * {dx} + {dy} * {dy})"
-        t = (
-            f"least(greatest(CASE WHEN {l2} > 0 THEN "
-            f"((({px}) - {x1}) * {dx} + (({py}) - {y1}) * {dy}) / {l2} "
-            f"ELSE 0.0 END, 0.0), 1.0)"
-        )
-        cx = f"({x1} + {t} * {dx})"
-        cy = f"({y1} + {t} * {dy})"
-        d = (
-            f"sqrt((({px}) - {cx}) * (({px}) - {cx}) "
-            f"+ (({py}) - {cy}) * (({py}) - {cy}))"
-        )
+        t, d = _pt_seg_sql(px, py, x1, y1, x2, y2)
         elen = f"sqrt({dx} * {dx} + {dy} * {dy})"
         return {"t": t, "d": d, "e": elen}
 

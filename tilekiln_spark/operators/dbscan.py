@@ -47,7 +47,9 @@ def dbscan(
     y_col: str = "my",
 ) -> DataFrame:
     """Label every input point: [key_col, is_core, cluster_id] —
-    cluster_id is the MIN member key of the cluster (NULL for noise)."""
+    cluster_id is the MIN CORE key of the cluster (borders never lower the
+    label — they can belong to several clusters' eps-halos, so only core
+    ids are stable canonical representatives); NULL for noise."""
     e = float(eps)
     pts = points.select(
         F.col(key_col).alias("pid"),
@@ -81,15 +83,19 @@ def dbscan(
     )
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
+    # pairs feeds three consumers (degrees, core edges, border attach) and
+    # labeled three more — materialize once, or the 9x-exploded candidate
+    # join re-executes per consumer
     pairs = (
         a.join(b, ["cx", "cy"])
         .where((F.col("a_id") != F.col("b_id")) & (dx * dx + dy * dy <= F.lit(e * e)))
         .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
     )
     deg = pairs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
     labeled = pts.join(deg, pts.pid == deg.a_id, "left").select(
         "pid", (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core")
-    )
+    ).localCheckpoint(eager=True)
     core = labeled.where("is_core").select(F.col("pid").alias("core_id"))
 
     # core-core edges -> components (min-id labels); singleton cores keep

@@ -67,7 +67,7 @@ def convex_hull(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for g, grp in pdf.groupby(group_col, sort=False):
+            for g, grp in pdf.groupby(group_col, sort=False, dropna=False):
                 hx, hy = hull_np(grp[x_col].values, grp[y_col].values)
                 outs.append(pd.DataFrame({group_col: g, x_col: hx, y_col: hy}))
             yield (
