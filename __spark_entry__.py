@@ -1159,6 +1159,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_trajectories"] = user_trajectories
 
+    def raster_hillshade(spark, sf_dir):
+        """GDAL hillshade parity over the doc-density raster (operators/
+        raster.py hillshade): the distributed 3x3 STENCIL — global cell
+        coords, 9-way tagged neighbor explode, ONE partial-agg groupBy per
+        target, Horn gradients + zenith/azimuth shade as pure trig
+        expressions.  The DuckDB twin re-runs the identical stencil from a
+        VALUES offset table."""
+        from tilekiln_spark.operators.raster import hillshade, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return hillshade(rasterize(d, zoom=2, res=16), res=16)
+
+    q["raster_hillshade"] = raster_hillshade
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3919,6 +3933,64 @@ def oracle_sql() -> dict[str, str]:
                round((-{HW} + x * {len2}) + (bin_x + 1) * ({len2} / 16), 3) + 0.0 AS xmax,
                round(({HW} - y * {len2}) - bin_y * ({len2} / 16), 3) + 0.0 AS ymax
         FROM counts WHERE n >= 2
+    """
+
+    import math as _math
+
+    _hs_zen = _math.radians(45.0)
+    _hs_c, _hs_s = repr(_math.cos(_hs_zen)), repr(_math.sin(_hs_zen))
+    _hs_azm = repr(_math.radians(135.0))
+    _hs_z = {i: f"z{i}" for i in range(9)}
+    _hs_dzdx = (
+        f"(({_hs_z[2]} + {_hs_z[5]} * 2.0 + {_hs_z[8]}) "
+        f"- ({_hs_z[0]} + {_hs_z[3]} * 2.0 + {_hs_z[6]})) / 8.0"
+    )
+    _hs_dzdy = (
+        f"(({_hs_z[6]} + {_hs_z[7]} * 2.0 + {_hs_z[8]}) "
+        f"- ({_hs_z[0]} + {_hs_z[1]} * 2.0 + {_hs_z[2]})) / 8.0"
+    )
+    _hs_slope = f"atan(1.0 * sqrt(({_hs_dzdx}) * ({_hs_dzdx}) + ({_hs_dzdy}) * ({_hs_dzdy})))"
+    _hs_aspect = f"atan2(({_hs_dzdy}), -({_hs_dzdx}))"
+    _hs_shade = (
+        f"255.0 * ({_hs_c} * cos({_hs_slope}) "
+        f"+ {_hs_s} * sin({_hs_slope}) * cos({_hs_azm} - ({_hs_aspect})))"
+    )
+    _hs_zcols = ", ".join(
+        f"coalesce(sum(CASE WHEN k = {i} THEN v END), 0.0) AS z{i}" for i in range(9)
+    )
+    _hs_offs = ", ".join(
+        f"({k}, {dx}, {dy})"
+        for k, (dy, dx) in enumerate(
+            (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+    )
+    o["raster_hillshade"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               greatest(round({_hs_shade}, 6), 0.0) + 0.0 AS shade
+        FROM agg WHERE present = 1
     """
 
     concave_parts = []

@@ -110,6 +110,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "knn_geography",
         "host_cap",
         "zonal_stats",
+        "raster_hillshade",
         "cell_codes",
         "cell_decode",
         "mvt_render_z4",

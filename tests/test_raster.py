@@ -93,3 +93,26 @@ def test_zonal_stats_matches_brute_force(spark):
     assert expected, "fixture must cover at least one zone"
     rr.unpersist()
     pts.unpersist()
+
+
+def test_hillshade_flat_interior(spark):
+    """A constant raster shades flat in the interior: slope 0 ->
+    shade = 255*cos(zenith); border cells see the implicit 0 plain and
+    slope away.  Present-cell restriction: output rows == input cells."""
+    import math
+
+    from tilekiln_spark.operators.raster import hillshade
+
+    rows = [(0, 0, 0, bx, by, 7) for bx in range(4) for by in range(4)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long"
+    )
+    out = {(r.gx, r.gy): r.shade for r in hillshade(cells, res=4).collect()}
+    assert len(out) == 16
+    flat = 255.0 * math.cos(math.radians(45.0))
+    for gx in (1, 2):
+        for gy in (1, 2):
+            assert abs(out[(gx, gy)] - flat) < 1e-6, (gx, gy)
+    # corners have a downhill gradient toward the missing neighbors
+    assert out[(0, 0)] != out[(1, 1)]
+    assert all(0.0 <= v <= 255.0 for v in out.values())

@@ -198,3 +198,83 @@ def zonal_stats(
         F.min(v).alias("min_val"),
         F.max(v).alias("max_val"),
     )
+
+
+def hillshade(
+    cells: DataFrame,
+    res: int = 256,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    cell_size: float = 1.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Horn-method hillshade over the sparse :func:`rasterize` cells
+    (PostGIS ``ST_HillShade`` / GDAL ``gdaldem hillshade`` parity on the
+    count raster).  The classic distributed STENCIL shape:
+
+    1. cells get GLOBAL coordinates (gx = x·res + bin_x) so the 3×3 window
+       crosses tile borders,
+    2. each source cell explodes to its 9 neighbor TARGETS tagged with the
+       window position — one map-side pass,
+    3. one partial-aggregated groupBy per target assembles the window
+       (each (target, position) receives at most one contribution; absent
+       neighbors are 0 — the sparse-raster contract), and
+    4. Horn gradients + the standard zenith/azimuth shade formula run as
+       pure trig expressions.
+
+    Output rows are restricted to cells PRESENT in the input (an absent
+    cell has no elevation sample; shading the infinite zero plain would be
+    noise).  Returns [gx, gy, shade] with shade in [0, 255].
+    At 100 TB: explode factor is exactly 9, the groupBy partial-aggregates
+    map-side, and no window function or self-join materializes the dense
+    raster."""
+    import math
+
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    structs = []
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            structs.append(
+                F.struct(
+                    (F.col("gx") - dx).alias("tgx"),
+                    (F.col("gy") - dy).alias("tgy"),
+                    F.lit(k).alias("k"),
+                )
+            )
+            k += 1
+    ex = src.select("v", F.explode(F.array(*structs)).alias("c")).select(
+        F.col("c.tgx").alias("tgx"),
+        F.col("c.tgy").alias("tgy"),
+        F.col("c.k").alias("k"),
+        "v",
+    )
+    zc = [
+        F.coalesce(F.sum(F.when(F.col("k") == i, F.col("v"))), F.lit(0.0)).alias(f"z{i}")
+        for i in range(9)
+    ]
+    present = F.max(F.when(F.col("k") == 4, F.lit(1)).otherwise(F.lit(0))).alias(
+        "present"
+    )
+    agg = ex.groupBy("tgx", "tgy").agg(*zc, present)
+    z = [F.col(f"z{i}") for i in range(9)]
+    c8 = F.lit(8.0 * float(cell_size))
+    dzdx = ((z[2] + z[5] * 2.0 + z[8]) - (z[0] + z[3] * 2.0 + z[6])) / c8
+    dzdy = ((z[6] + z[7] * 2.0 + z[8]) - (z[0] + z[1] * 2.0 + z[2])) / c8
+    slope = F.atan(F.lit(float(z_factor)) * F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    zen = math.radians(90.0 - float(altitude_deg))
+    azm = math.radians((360.0 - float(azimuth_deg) + 90.0) % 360.0)
+    shade = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope)
+        + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(azm) - aspect)
+    )
+    return agg.where(F.col("present") == 1).select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        (F.greatest(F.round(shade, 6), F.lit(0.0)) + F.lit(0.0)).alias("shade"),
+    )
