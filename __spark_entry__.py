@@ -1173,6 +1173,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_hillshade"] = raster_hillshade
 
+    def cluster_within(spark, sf_dir):
+        """PostGIS ST_ClusterWithin: connected components of the full
+        eps-graph — exactly DBSCAN with min_pts=1 (every point core), so
+        this is the same audited pipeline with deterministic min-id
+        labels; singletons are their own cluster."""
+        from tilekiln_spark.operators.dbscan import dbscan
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        out = dbscan(pts, eps=2.0e6, min_pts=1, key_col="doc_id")
+        return out.select("doc_id", "cluster_id")
+
+    q["cluster_within"] = cluster_within
+
+    def idw_interpolate(spark, sf_dir):
+        """Inverse-distance-weighted interpolation (the classic scattered-
+        points -> surface estimator): the doc n_chars field estimated at
+        the 16 grid seeds, weights 1/d², exact over all samples (the tiny
+        target dim broadcasts; one partial-agg groupBy).  Coincident
+        sample/target pairs take the sample value exactly (the standard
+        IDW rule), expressed as a max-flag + conditional aggregate."""
+        pts = _mx_my(_docs(spark, sf_dir)).select("doc_id", "n_chars", "mx", "my")
+        n = 4
+        cell = 2.0 * HW / n
+        cents = spark.range(n * n).select(
+            F.col("id").alias("cid"),
+            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+        )
+        j = pts.crossJoin(F.broadcast(cents))
+        d2 = (F.col("mx") - F.col("cx")) * (F.col("mx") - F.col("cx")) + (
+            F.col("my") - F.col("cy")
+        ) * (F.col("my") - F.col("cy"))
+        w = F.lit(1.0) / d2
+        v = F.col("n_chars").cast("double")
+        agg = j.groupBy("cid").agg(
+            F.sum(F.when(d2 > 0, w * v)).alias("num"),
+            F.sum(F.when(d2 > 0, w)).alias("den"),
+            F.max(F.when(d2 == 0, v)).alias("exact"),
+        )
+        est = F.coalesce(F.col("exact"), F.col("num") / F.col("den"))
+        return agg.select("cid", F.round(est, 6).alias("idw_n_chars"))
+
+    q["idw_interpolate"] = idw_interpolate
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3933,6 +3977,47 @@ def oracle_sql() -> dict[str, str]:
                round((-{HW} + x * {len2}) + (bin_x + 1) * ({len2} / 16), 3) + 0.0 AS xmax,
                round(({HW} - y * {len2}) - bin_y * ({len2} / 16), 3) + 0.0 AS ymax
         FROM counts WHERE n >= 2
+    """
+
+    _cw_eps2 = repr(2.0e6 * 2.0e6)
+    o["cluster_within"] = f"""
+        {_GEO_CTE.replace("WITH geo", "WITH RECURSIVE geo", 1)},
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM geo a JOIN geo b ON a.doc_id != b.doc_id
+             AND (a.mx - b.mx) * (a.mx - b.mx)
+               + (a.my - b.my) * (a.my - b.my) <= CAST({_cw_eps2} AS DOUBLE)
+        ),
+        walk(src, dst) AS (
+            SELECT doc_id, doc_id FROM geo
+            UNION
+            SELECT w.src, e.b_id FROM walk w JOIN pairs e ON e.a_id = w.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM walk GROUP BY 1
+    """
+
+    _idw_d2 = (
+        "(geo.mx - cents.cx) * (geo.mx - cents.cx) "
+        "+ (geo.my - cents.cy) * (geo.my - cents.cy)"
+    )
+    o["idw_interpolate"] = f"""
+        {_GEO_CTE}, cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
+            FROM range(16) t(id)
+        ), agg AS (
+            SELECT cid,
+                   sum(CASE WHEN ({_idw_d2}) > 0
+                       THEN (1.0 / ({_idw_d2})) * CAST(n_chars AS DOUBLE) END) AS num,
+                   sum(CASE WHEN ({_idw_d2}) > 0
+                       THEN 1.0 / ({_idw_d2}) END) AS den,
+                   max(CASE WHEN ({_idw_d2}) = 0
+                       THEN CAST(n_chars AS DOUBLE) END) AS exact
+            FROM geo CROSS JOIN cents GROUP BY 1
+        )
+        SELECT cid, round(coalesce(exact, num / den), 6) + 0.0 AS idw_n_chars
+        FROM agg
     """
 
     import math as _math

@@ -101,6 +101,8 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "line_interpolate",
         "knn_centroids",
         "cluster_dbscan",
+        "cluster_within",
+        "idw_interpolate",
         "knn_bearings",
         "line_segmentize",
         "line_locate",
