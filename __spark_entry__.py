@@ -1217,6 +1217,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["idw_interpolate"] = idw_interpolate
 
+    def cluster_kmeans(spark, sf_dir):
+        """ST_ClusterKMeans (operators/kmeans.py): 3 deterministic Lloyd
+        rounds — key-ordered seeds, min-cid tie-break, centroids rounded
+        to 3 decimals between rounds so distributed-mean ulp drift can
+        never flip an assignment cross-engine.  The twin unrolls the same
+        3 rounds as chained CTEs."""
+        from tilekiln_spark.operators.kmeans import kmeans_2d
+
+        pts = _mx_my(_docs(spark, sf_dir))
+        return kmeans_2d(pts, k=4, iters=3, key_col="doc_id")
+
+    q["cluster_kmeans"] = cluster_kmeans
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3977,6 +3990,42 @@ def oracle_sql() -> dict[str, str]:
                round((-{HW} + x * {len2}) + (bin_x + 1) * ({len2} / 16), 3) + 0.0 AS xmax,
                round(({HW} - y * {len2}) - bin_y * ({len2} / 16), 3) + 0.0 AS ymax
         FROM counts WHERE n >= 2
+    """
+
+    def _km_assign(src: str, cents: str) -> str:
+        return (
+            f"(SELECT doc_id, px, py, cid FROM ("
+            f"SELECT g.doc_id, g.px, g.py, c.cid, "
+            f"row_number() OVER (PARTITION BY g.doc_id ORDER BY "
+            f"(g.px - c.cx) * (g.px - c.cx) + (g.py - c.cy) * (g.py - c.cy) ASC, "
+            f"c.cid ASC) AS rn FROM {src} g CROSS JOIN {cents} c) WHERE rn = 1)"
+        )
+
+    def _km_update(assigned: str, prev: str) -> str:
+        return (
+            f"(SELECT p.cid, coalesce(u.ncx, p.cx) AS cx, coalesce(u.ncy, p.cy) AS cy "
+            f"FROM {prev} p LEFT JOIN ("
+            f"SELECT cid, round(avg(px), 3) AS ncx, round(avg(py), 3) AS ncy "
+            f"FROM {assigned} GROUP BY cid) u USING (cid))"
+        )
+
+    o["cluster_kmeans"] = f"""
+        {_GEO_CTE},
+        p AS (SELECT doc_id, mx AS px, my AS py FROM geo),
+        seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS cid,
+                   px AS cx, py AS cy
+            FROM (SELECT doc_id, px, py FROM p ORDER BY doc_id LIMIT 4)
+        ),
+        a1 AS {_km_assign('p', 'seeds')},
+        c1 AS {_km_update('a1', 'seeds')},
+        a2 AS {_km_assign('p', 'c1')},
+        c2 AS {_km_update('a2', 'c1')},
+        a3 AS {_km_assign('p', 'c2')}
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+               round(avg(px), 3) + 0.0 AS cx,
+               round(avg(py), 3) + 0.0 AS cy
+        FROM a3 GROUP BY cid
     """
 
     _cw_eps2 = repr(2.0e6 * 2.0e6)

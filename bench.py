@@ -103,6 +103,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "cluster_dbscan",
         "cluster_within",
         "idw_interpolate",
+        "cluster_kmeans",
         "knn_bearings",
         "line_segmentize",
         "line_locate",
