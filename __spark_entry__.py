@@ -1230,6 +1230,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_kmeans"] = cluster_kmeans
 
+    def point_buffers(spark, sf_dir):
+        """ST_Buffer(point, r) parity (quad_segs convention): 8-vertex
+        circle rings around the grid seeds from Python-hoisted cos/sin
+        constants (functions/geometry.py point_buffer — no engine trig in
+        the ring, so vertices are bit-identical cross-engine); every
+        vertex value-checked via posexplode."""
+        from tilekiln_spark.functions.geometry import point_buffer
+
+        n = 4
+        cell = 2.0 * HW / n
+        cents = spark.range(n * n).select(
+            F.col("id").alias("cid"),
+            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
+            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
+        )
+        xs, ys = point_buffer(F.col("cx"), F.col("cy"), 500_000.0, segments=2)
+        return cents.select(
+            "cid", F.posexplode(F.arrays_zip(xs.alias("x"), ys.alias("y")))
+        ).select(
+            "cid",
+            F.col("pos").cast("int").alias("seq"),
+            F.round(F.col("col.x"), 6).alias("px"),
+            F.round(F.col("col.y"), 6).alias("py"),
+        )
+
+    q["point_buffers"] = point_buffers
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -3990,6 +4017,23 @@ def oracle_sql() -> dict[str, str]:
                round((-{HW} + x * {len2}) + (bin_x + 1) * ({len2} / 16), 3) + 0.0 AS xmax,
                round(({HW} - y * {len2}) - bin_y * ({len2} / 16), 3) + 0.0 AS ymax
         FROM counts WHERE n >= 2
+    """
+
+    from tilekiln_spark.functions.geometry import point_buffer_sql
+
+    _pb_xs, _pb_ys = point_buffer_sql("cx", "cy", 500_000.0, segments=2)
+    o["point_buffers"] = f"""
+        WITH cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
+            FROM range(16) t(id)
+        ), rings AS (
+            SELECT cid, {_pb_xs} AS bx, {_pb_ys} AS by FROM cents
+        )
+        SELECT cid, CAST(i - 1 AS INTEGER) AS seq,
+               round(bx[i], 6) + 0.0 AS px, round(by[i], 6) + 0.0 AS py
+        FROM rings CROSS JOIN LATERAL unnest(range(1, len(bx) + 1)) AS u(i)
     """
 
     def _km_assign(src: str, cents: str) -> str:

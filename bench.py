@@ -104,6 +104,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "cluster_within",
         "idw_interpolate",
         "cluster_kmeans",
+        "point_buffers",
         "knn_bearings",
         "line_segmentize",
         "line_locate",

@@ -772,3 +772,26 @@ FROM water_polygons WHERE way && {{bbox}}
     )
     with pytest.raises(DefinitionError, match="ST_GEOHASH is only valid"):
         render_zooms(bad, [2], dict(sources))
+
+
+def test_point_buffer_ring_properties(spark):
+    """ST_Buffer(point): n-gon vertices at exact radius; shoelace area
+    equals the closed form (n/2)r^2 sin(2pi/n); composes with the ring
+    measures; radius guard raises."""
+    import math
+
+    from tilekiln_spark.functions.geometry import point_buffer, ring_area
+
+    r, segs = 10.0, 4
+    n = 4 * segs
+    xs, ys = point_buffer(F.lit(3.0), F.lit(-2.0), r, segments=segs)
+    row = spark.range(1).select(
+        xs.alias("xs"), ys.alias("ys"),
+        F.round(ring_area(xs, ys), 9).alias("area"),
+    ).collect()[0]
+    assert len(row.xs) == n
+    for vx, vy in zip(row.xs, row.ys):
+        assert abs(math.hypot(vx - 3.0, vy + 2.0) - r) < 1e-12
+    assert row.area == round(n / 2.0 * r * r * math.sin(2 * math.pi / n), 9)
+    with pytest.raises(ValueError, match="radius"):
+        point_buffer(F.lit(0.0), F.lit(0.0), 0.0)

@@ -665,6 +665,52 @@ def line_locate_point_sql(xs: str, ys: str, px: str, py: str) -> str:
     )
 
 
+def point_buffer(
+    x: Column, y: Column, radius: float, segments: int = 8
+) -> tuple[Column, Column]:
+    """PostGIS ``ST_Buffer(point, r)``: the circle approximated by
+    ``4·segments`` vertices (PostGIS ``quad_segs`` convention), CCW from
+    due east — pure transform expressions over a literal angle sequence
+    (the angles are Python-hoisted constants, so both engines take cos/sin
+    of IDENTICAL doubles).  Returns (ring_xs, ring_ys) unclosed arrays in
+    the engine's ring layout (composes with every ring operator here)."""
+    import math
+
+    if not float(radius) > 0:
+        raise ValueError("point_buffer: radius must be > 0")
+    n = 4 * int(segments)
+    angles = [2.0 * math.pi * j / n for j in range(n)]
+    xs = F.array(*[x + F.lit(float(radius)) * F.lit(math.cos(a)) for a in angles])
+    ys = F.array(*[y + F.lit(float(radius)) * F.lit(math.sin(a)) for a in angles])
+    return xs, ys
+
+
+def point_buffer_sql(
+    x: str, y: str, radius: float, segments: int = 8
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`point_buffer` — the SAME Python-hoisted
+    cos/sin constants are emitted as literals, so vertices are
+    bit-identical (no engine trig in the ring at all)."""
+    import math
+
+    if not float(radius) > 0:
+        raise ValueError("point_buffer_sql: radius must be > 0")
+    n = 4 * int(segments)
+    angles = [2.0 * math.pi * j / n for j in range(n)]
+    r = float(radius)
+    # explicit DOUBLE casts: DuckDB parses bare decimal literals as DECIMAL
+    # and overflows decimal multiplication at these magnitudes
+    xs = "[" + ", ".join(
+        f"({x}) + CAST({r!r} AS DOUBLE) * CAST({math.cos(a)!r} AS DOUBLE)"
+        for a in angles
+    ) + "]"
+    ys = "[" + ", ".join(
+        f"({y}) + CAST({r!r} AS DOUBLE) * CAST({math.sin(a)!r} AS DOUBLE)"
+        for a in angles
+    ) + "]"
+    return xs, ys
+
+
 def azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """PostGIS ``ST_Azimuth`` in a projected CRS: north-based clockwise
     angle in radians, [0, 2π).  Coincident points return 0 (PostGIS raises;
