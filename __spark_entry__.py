@@ -1257,6 +1257,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["point_buffers"] = point_buffers
 
+    def hits_links(spark, sf_dir):
+        """Kleinberg HITS hubs/authorities (operators/graph.py hits) over
+        the same deterministic synthetic link graph as pagerank_links;
+        8 rounds, max-normalized half-steps (order-independent given the
+        per-node sums, so round(6) absorbs the engines' sum-order ulp)."""
+        from tilekiln_spark.operators.graph import hits
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        out = hits(d.select(F.col("doc_id").alias("node")), e, iterations=8)
+        return out.select(
+            F.col("node").alias("doc_id"),
+            F.round(F.col("hub"), 6).alias("hub"),
+            F.round(F.col("authority"), 6).alias("authority"),
+        )
+
+    q["hits_links"] = hits_links
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -5478,6 +5505,52 @@ def oracle_sql() -> dict[str, str]:
     """
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
+
+    def _hits_sql(j: int = 8) -> str:
+        parts = [
+            """WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+            edges AS MATERIALIZED (
+                SELECT src, dst FROM (
+                    SELECT doc_id AS src,
+                           (doc_id * 7 + jj) % (SELECT count(*) FROM documents) AS dst
+                    FROM documents, (SELECT unnest([1, 2, 3]) AS jj)
+                    WHERE doc_id % 5 != 0)
+                WHERE src != dst
+            ), h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+        ]
+        for i in range(1, j + 1):
+            parts.append(
+                f""", ar{i} AS MATERIALIZED (
+                SELECT nd.node, coalesce(s.s, 0.0) AS s
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.dst AS node, sum(h.hub) AS s
+                    FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+                ) s USING (node)
+            ), a{i} AS MATERIALIZED (
+                SELECT node, s / (SELECT greatest(max(s), 1e-300) FROM ar{i}) AS auth
+                FROM ar{i}
+            ), hr{i} AS MATERIALIZED (
+                SELECT nd.node, coalesce(s.s, 0.0) AS s
+                FROM nodes nd LEFT JOIN (
+                    SELECT e.src AS node, sum(a.auth) AS s
+                    FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+                ) s USING (node)
+            ), h{i} AS MATERIALIZED (
+                SELECT node, s / (SELECT greatest(max(s), 1e-300) FROM hr{i}) AS hub
+                FROM hr{i}
+            )"""
+            )
+        parts.append(
+            f""" SELECT nd.node AS doc_id,
+                   round(coalesce(h.hub, 0.0), 6) + 0.0 AS hub,
+                   round(coalesce(a.auth, 0.0), 6) + 0.0 AS authority
+            FROM nodes nd
+            LEFT JOIN h{j} h USING (node)
+            LEFT JOIN a{j} a USING (node)"""
+        )
+        return "".join(parts)
+
+    o["hits_links"] = _hits_sql(8)
 
     o["bm25_search"] = r"""
         WITH base AS (

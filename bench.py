@@ -167,6 +167,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "c4_line_filter",
         "shard_rollup",
         "pagerank_links",
+        "hits_links",
         "bm25_search",
         "hybrid_search",
         "tfidf_keywords",

@@ -53,3 +53,16 @@ def test_pagerank_uniform_on_cycle(spark):
     got = [r.rank for r in pagerank(ndf, edf, iterations=4).collect()]
     for r in got:
         assert r == pytest.approx(0.2, abs=1e-12)
+
+
+def test_hits_star_graph(spark):
+    """Star: center links to all leaves -> center is THE hub (1.0), leaves
+    are the authorities (1.0), reversed scores ~0; max normalization."""
+    from tilekiln_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    out = {r.node: (r.hub, r.authority) for r in hits(nodes, edges, iterations=4).collect()}
+    assert out[0] == (1.0, 0.0)
+    for leaf in range(1, 5):
+        assert out[leaf] == (0.0, 1.0)

@@ -95,3 +95,58 @@ def pagerank(
     nds.unpersist()
     ed.unpersist()
     return ranks
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 8,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` HITS rounds
+    (Kleinberg 1999), MAX-normalized each half-step.
+
+    Max normalization (not the L2 of the original paper) keeps the
+    cross-engine contract clean: a max over per-node sums is
+    order-independent given its inputs, so the only engine divergence is
+    the per-node float-sum ulp — absorbed by the oracle's round(6), same
+    discipline as :func:`pagerank`.  Distributed shape per half-step: ONE
+    key join + partial-agg groupBy + a 1-row broadcast max; lineage
+    truncated per round."""
+    nds = nodes.select(F.col(node_col).alias("node")).persist()
+    nds.count()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
+    e.count()
+
+    def half(scores: DataFrame, col: str, join_on: str, emit: str, out: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[join_on] == scores["node"])
+            .select(e[emit].alias("node"), F.col(col).alias("w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("s"))
+        )
+        full = nds.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        )
+        mx = full.agg(F.greatest(F.max("s"), F.lit(1e-300)).alias("m"))
+        return (
+            full.crossJoin(F.broadcast(mx))
+            .select("node", (F.col("s") / F.col("m")).alias(out))
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nds.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        auth = half(hubs, "hub", "src", "dst", "auth")
+        hubs = half(auth, "auth", "dst", "src", "hub")
+    out = nds.join(hubs, "node", "left").join(auth, "node", "left").select(
+        "node",
+        F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+        F.coalesce(F.col("auth"), F.lit(0.0)).alias("authority"),
+    )
+    nds.unpersist()
+    e.unpersist()
+    return out
