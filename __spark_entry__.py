@@ -1284,6 +1284,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_links"] = hits_links
 
+    def layer_extents(spark, sf_dir):
+        """PostGIS ST_Extent aggregate: per-language bounding envelope of
+        the doc points + count (pure min/max partial aggregates — the
+        envelope is what a tile seeder uses to bound its zoom worklists)."""
+        pts = _mx_my(_docs(spark, sf_dir))
+        return pts.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("mx"), 6).alias("xmin"),
+            F.round(F.min("my"), 6).alias("ymin"),
+            F.round(F.max("mx"), 6).alias("xmax"),
+            F.round(F.max("my"), 6).alias("ymax"),
+        )
+
+    q["layer_extents"] = layer_extents
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -5551,6 +5566,16 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     o["hits_links"] = _hits_sql(8)
+
+    o["layer_extents"] = f"""
+        {_GEO_CTE}
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(mx), 6) + 0.0 AS xmin,
+               round(min(my), 6) + 0.0 AS ymin,
+               round(max(mx), 6) + 0.0 AS xmax,
+               round(max(my), 6) + 0.0 AS ymax
+        FROM geo GROUP BY lang
+    """
 
     o["bm25_search"] = r"""
         WITH base AS (

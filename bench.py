@@ -113,6 +113,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "dwithin_geography",
         "knn_geography",
         "host_cap",
+        "layer_extents",
         "zonal_stats",
         "raster_hillshade",
         "cell_codes",
