@@ -309,6 +309,29 @@ def _geog_ring_rows() -> list:
     return rows
 
 
+_CENT_CELL = 2.0 * HW / 4
+
+
+def _grid_cents(spark: SparkSession) -> DataFrame:
+    """The shared 16-seed grid-centroid dim (cid, cx, cy) — ONE definition
+    drives every query that ranks/joins against the seeds AND the matching
+    _CENTS_SQL twin fragment, so the two engines cannot drift."""
+    n = 4
+    return spark.range(n * n).select(
+        F.col("id").alias("cid"),
+        (F.lit(-HW) + (F.col("id") % n + 0.5) * _CENT_CELL).alias("cx"),
+        (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * _CENT_CELL).alias("cy"),
+    )
+
+
+_CENTS_SQL = f"""cents AS (
+            SELECT id AS cid,
+                   -{HW} + ((id % 4) + 0.5) * {_CENT_CELL} AS cx,
+                   -{HW} + (floor(id / 4) + 0.5) * {_CENT_CELL} AS cy
+            FROM range(16) t(id)
+        )"""
+
+
 def _raycast_sql(xs: list, ys: list) -> str:
     n = len(xs)
     terms = []
@@ -1077,13 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tilekiln_spark.functions.geometry import azimuth
 
         pts = _mx_my(_docs(spark, sf_dir))
-        n = 4
-        cell = 2.0 * HW / n
-        cents = spark.range(n * n).select(
-            F.col("id").alias("cid"),
-            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
-            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
-        )
+        cents = _grid_cents(spark)
         a = knn_assign(pts, cents, k=1, point_key="doc_id", search_zoom=2)
         az = F.degrees(
             azimuth(F.col("mx"), F.col("my"), F.col("cx"), F.col("cy"))
@@ -1194,13 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample/target pairs take the sample value exactly (the standard
         IDW rule), expressed as a max-flag + conditional aggregate."""
         pts = _mx_my(_docs(spark, sf_dir)).select("doc_id", "n_chars", "mx", "my")
-        n = 4
-        cell = 2.0 * HW / n
-        cents = spark.range(n * n).select(
-            F.col("id").alias("cid"),
-            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
-            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
-        )
+        cents = _grid_cents(spark)
         j = pts.crossJoin(F.broadcast(cents))
         d2 = (F.col("mx") - F.col("cx")) * (F.col("mx") - F.col("cx")) + (
             F.col("my") - F.col("cy")
@@ -1238,13 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vertex value-checked via posexplode."""
         from tilekiln_spark.functions.geometry import point_buffer
 
-        n = 4
-        cell = 2.0 * HW / n
-        cents = spark.range(n * n).select(
-            F.col("id").alias("cid"),
-            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
-            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
-        )
+        cents = _grid_cents(spark)
         xs, ys = point_buffer(F.col("cx"), F.col("cy"), 500_000.0, segments=2)
         return cents.select(
             "cid", F.posexplode(F.arrays_zip(xs.alias("x"), ys.alias("y")))
@@ -1302,13 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
-        n = 4
-        cell = 2.0 * HW / n
-        cents = spark.range(n * n).select(
-            F.col("id").alias("cid"),
-            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
-            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
-        )
+        cents = _grid_cents(spark)
         assigned = knn_assign(pts, cents, k=1, point_key="doc_id", search_zoom=2)
         return assigned.groupBy("cid").agg(F.count("*").alias("n_docs"))
 
@@ -1324,13 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tilekiln_spark.operators.spatial_join import dwithin_join
 
         pts = _mx_my(_docs(spark, sf_dir))
-        n = 4
-        cell = 2.0 * HW / n
-        seeds = spark.range(n * n).select(
-            F.col("id").alias("cid"),
-            (F.lit(-HW) + (F.col("id") % n + 0.5) * cell).alias("cx"),
-            (F.lit(-HW) + (F.floor(F.col("id") / n) + F.lit(0.5)) * cell).alias("cy"),
-        )
+        seeds = _grid_cents(spark)
         j = dwithin_join(pts, seeds, radius=1_500_000.0)
         return j.select(
             "cid", "doc_id", (F.round("dist", 6) + 0.0).alias("dist_m")
@@ -4065,12 +4058,7 @@ def oracle_sql() -> dict[str, str]:
 
     _pb_xs, _pb_ys = point_buffer_sql("cx", "cy", 500_000.0, segments=2)
     o["point_buffers"] = f"""
-        WITH cents AS (
-            SELECT id AS cid,
-                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
-                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
-            FROM range(16) t(id)
-        ), rings AS (
+        WITH {_CENTS_SQL}, rings AS (
             SELECT cid, {_pb_xs} AS bx, {_pb_ys} AS by FROM cents
         )
         SELECT cid, CAST(i - 1 AS INTEGER) AS seq,
@@ -4136,12 +4124,7 @@ def oracle_sql() -> dict[str, str]:
         "+ (geo.my - cents.cy) * (geo.my - cents.cy)"
     )
     o["idw_interpolate"] = f"""
-        {_GEO_CTE}, cents AS (
-            SELECT id AS cid,
-                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
-                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
-            FROM range(16) t(id)
-        ), agg AS (
+        {_GEO_CTE}, {_CENTS_SQL}, agg AS (
             SELECT cid,
                    sum(CASE WHEN ({_idw_d2}) > 0
                        THEN (1.0 / ({_idw_d2})) * CAST(n_chars AS DOUBLE) END) AS num,
@@ -4349,12 +4332,7 @@ def oracle_sql() -> dict[str, str]:
     from tilekiln_spark.functions.geometry import azimuth_sql
 
     o["knn_bearings"] = f"""
-        {_GEO_CTE}, cents AS (
-            SELECT id AS cid,
-                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
-                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
-            FROM range(16) t(id)
-        ), ranked AS (
+        {_GEO_CTE}, {_CENTS_SQL}, ranked AS (
             SELECT geo.doc_id, cents.cid, geo.mx, geo.my, cents.cx, cents.cy,
                    row_number() OVER (
                        PARTITION BY geo.doc_id
@@ -4500,12 +4478,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["knn_centroids"] = f"""
-        {_GEO_CTE}, cents AS (
-            SELECT id AS cid,
-                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
-                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
-            FROM range(16) t(id)
-        ), ranked AS (
+        {_GEO_CTE}, {_CENTS_SQL}, ranked AS (
             SELECT geo.doc_id, cents.cid,
                    row_number() OVER (
                        PARTITION BY geo.doc_id
@@ -4518,12 +4491,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["dwithin_join"] = f"""
-        {_GEO_CTE}, cents AS (
-            SELECT id AS cid,
-                   -{HW} + ((id % 4) + 0.5) * {cell} AS cx,
-                   -{HW} + (floor(id / 4) + 0.5) * {cell} AS cy
-            FROM range(16) t(id)
-        )
+        {_GEO_CTE}, {_CENTS_SQL}
         SELECT cid, doc_id,
                round(sqrt((geo.mx - cents.cx) * (geo.mx - cents.cx)
                         + (geo.my - cents.cy) * (geo.my - cents.cy)), 6) + 0.0 AS dist_m

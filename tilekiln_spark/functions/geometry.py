@@ -678,6 +678,8 @@ def point_buffer(
 
     if not float(radius) > 0:
         raise ValueError("point_buffer: radius must be > 0")
+    if int(segments) < 1:
+        raise ValueError("point_buffer: segments must be >= 1")
     n = 4 * int(segments)
     angles = [2.0 * math.pi * j / n for j in range(n)]
     xs = F.array(*[x + F.lit(float(radius)) * F.lit(math.cos(a)) for a in angles])
@@ -695,6 +697,8 @@ def point_buffer_sql(
 
     if not float(radius) > 0:
         raise ValueError("point_buffer_sql: radius must be > 0")
+    if int(segments) < 1:
+        raise ValueError("point_buffer_sql: segments must be >= 1")
     n = 4 * int(segments)
     angles = [2.0 * math.pi * j / n for j in range(n)]
     r = float(radius)

@@ -115,6 +115,8 @@ def hits(
     discipline as :func:`pagerank`.  Distributed shape per half-step: ONE
     key join + partial-agg groupBy + a 1-row broadcast max; lineage
     truncated per round."""
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
     nds = nodes.select(F.col(node_col).alias("node")).persist()
     nds.count()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
@@ -127,14 +129,17 @@ def hits(
             .groupBy("node")
             .agg(F.sum("w").alias("s"))
         )
-        full = nds.join(raw, "node", "left").select(
-            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+        # full feeds TWO consumers (the max aggregate and the normalizing
+        # select) — materialize once, which also truncates the per-round
+        # lineage; the normalized frame itself has a single consumer
+        full = (
+            nds.join(raw, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+            .localCheckpoint(eager=True)
         )
         mx = full.agg(F.greatest(F.max("s"), F.lit(1e-300)).alias("m"))
-        return (
-            full.crossJoin(F.broadcast(mx))
-            .select("node", (F.col("s") / F.col("m")).alias(out))
-            .localCheckpoint(eager=True)
+        return full.crossJoin(F.broadcast(mx)).select(
+            "node", (F.col("s") / F.col("m")).alias(out)
         )
 
     hubs = nds.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=True)
