@@ -1304,6 +1304,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["layer_extents"] = layer_extents
 
+    def template_compile_buffer(spark, sf_dir):
+        """Compiler tier: ST_AsMVTGeom(ST_Buffer(way, r), ...) over a POINT
+        source — each point becomes a quad_segs circle POLYGON feature
+        riding the shared polygon tile path (config/sqlt.py mode 'buffer'
+        -> point_buffer ring + _poly_tile_rows bbox explode).  The twin
+        recomputes the buffered envelopes and the clamped tile-range
+        explode in SQL; per-tile feature counts pin the assignment."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = (
+            _mx_my(_docs(spark, sf_dir))
+            .where(F.col("doc_id") % 7 == 0)
+            .select("mx", "my", "lang")
+        )
+        body = (
+            "SELECT ST_AsMVTGeom(ST_Buffer(way, 1200000), {{bbox}}, {{extent}}) "
+            "AS way, lang FROM pts WHERE way && {{bbox}}"
+        )
+        feats = CompiledTemplate(body).build(
+            {"tables": {"pts": {"frame": d, "kind": "point"}}}, [1, 2], 4096, 0
+        )
+        return feats.groupBy("zoom", "x", "y").agg(
+            F.count("*").alias("n_feat"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+
+    q["template_compile_buffer"] = template_compile_buffer
+
     def knn_centroids(spark, sf_dir):
         """kNN point->centroid assignment (window ranking)."""
         pts = _mx_my(_docs(spark, sf_dir))
@@ -5543,6 +5571,33 @@ def oracle_sql() -> dict[str, str]:
                round(max(mx), 6) + 0.0 AS xmax,
                round(max(my), 6) + 0.0 AS ymax
         FROM geo GROUP BY lang
+    """
+
+    _tb_r = repr(1200000.0)
+    _tb_parts = []
+    for _z in (1, 2):
+        _tx0, _ = _tile_xy_sql(_z, "bxmin", "bymin")
+        _tx1, _ = _tile_xy_sql(_z, "bxmax", "bymin")
+        _, _ty0 = _tile_xy_sql(_z, "bxmin", "bymax")
+        _, _ty1 = _tile_xy_sql(_z, "bxmin", "bymin")
+        _tb_parts.append(
+            f"SELECT {_z} AS zoom, CAST(ux.x AS INTEGER) AS x, "
+            f"CAST(uy.y AS INTEGER) AS y, lang FROM boxes "
+            f"CROSS JOIN LATERAL unnest(range({_tx0}, ({_tx1}) + 1)) AS ux(x) "
+            f"CROSS JOIN LATERAL unnest(range({_ty0}, ({_ty1}) + 1)) AS uy(y)"
+        )
+    o["template_compile_buffer"] = f"""
+        {_GEO_CTE}, boxes AS (
+            SELECT lang,
+                   mx - CAST({_tb_r} AS DOUBLE) AS bxmin,
+                   my - CAST({_tb_r} AS DOUBLE) AS bymin,
+                   mx + CAST({_tb_r} AS DOUBLE) AS bxmax,
+                   my + CAST({_tb_r} AS DOUBLE) AS bymax
+            FROM geo WHERE doc_id % 7 = 0
+        ), assigned AS ({' UNION ALL '.join(_tb_parts)})
+        SELECT zoom, x, y, CAST(count(*) AS BIGINT) AS n_feat,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM assigned GROUP BY 1, 2, 3
     """
 
     o["bm25_search"] = r"""

@@ -131,6 +131,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "template_compile_scalar",
         "template_compile_dwithin",
         "template_compile_centroid",
+        "template_compile_buffer",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",

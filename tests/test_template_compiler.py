@@ -1508,3 +1508,52 @@ ST_Y(1.5) AS y FROM pts WHERE way && {{bbox}}""")
 ST_X(way) AS x FROM water_polygons WHERE way && {{bbox}}""",
             _sources(spark),
         )
+
+
+def test_compiled_st_buffer_points(spark):
+    """ST_Buffer(way, r) over a point source: each point becomes a 32-gon
+    polygon feature; a buffer straddling a tile boundary lands in both
+    tiles; ring tables and DISTINCT are named errors."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    HW = 20037508.342789244
+    pt = spark.createDataFrame(
+        [(1, 5.0e6, 7.0e6, "en"), (2, -1.0e7, -5.0e6, "de")],
+        "doc_id long, mx double, my double, lang string",
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(ST_Buffer(way, 1200000), {{bbox}}, {{extent}}) "
+        "AS way, lang FROM pts WHERE way && {{bbox}}"
+    )
+    src = {"tables": {"pts": {"frame": pt, "kind": "point"}}}
+    tpl = CompiledTemplate(body)
+    out = tpl.build(src, [2], 4096, 0).collect()
+    # point 2 sits on the x=0/x=1 tile seam at z2 (mx=-1e7, boundary at
+    # -HW/2 ≈ -1.0019e7 is 1.9e4 away < r) -> two tiles; point 1 one tile
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append((r.x, r.y))
+    assert len(by_lang["en"]) == 1
+    assert sorted(by_lang["de"]) == [(0, 2), (1, 2)]
+    for r in out:
+        assert len(r.g_xs[0]) == 32 and r.g_hole == [False]
+
+    from tilekiln_spark.operators.mvt import GEOM_POLYGON
+
+    assert tpl.geom_type(src, [2], 4096, 0) == GEOM_POLYGON
+
+    ring_tbl = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0, 1.0, [0.0, 1.0, 1.0], [0.0, 0.0, 1.0], "a")],
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>, tag string",
+    )
+    with pytest.raises(DefinitionError, match="point sources"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Buffer(way, 10), {{bbox}}) AS way, tag FROM p "
+            "WHERE way && {{bbox}}"
+        ).build({"tables": {"p": {"frame": ring_tbl, "kind": "polygon"}}}, [1], 4096, 0)
+    with pytest.raises(DefinitionError):
+        CompiledTemplate(
+            "SELECT DISTINCT ST_AsMVTGeom(ST_Buffer(way, 10), {{bbox}}) AS way, "
+            "lang FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0)

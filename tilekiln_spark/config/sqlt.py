@@ -1189,8 +1189,9 @@ def _fold_pow_literals(ast):
 # ---------------------------------------------------------------------------
 
 def _geom_item(items: list[Item]):
-    """Find the ST_AsMVTGeom item; returns ('plain'|'label'|'cluster',
-    remaining items, simplify_tolerance).  'cluster' is the
+    """Find the ST_AsMVTGeom item; returns ('plain'|'label'|'cluster'|
+    'centroid'|'buffer', remaining items, simplify_tolerance,
+    buffer_radius).  'cluster' is the
     aggregate-geometry form ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)),
     ...)`` used with GROUP BY — the per-tile SQL run aggregates its rows,
     so the feature geometry is the group's centroid.
@@ -1201,6 +1202,7 @@ def _geom_item(items: list[Item]):
     mode = None
     rest = []
     simplify_tol = 0.0
+    buffer_radius = 0.0
     for it in items:
         e = it.expr
         if isinstance(e, Func) and e.name.lower() == "st_asmvtgeom":
@@ -1249,6 +1251,20 @@ def _geom_item(items: list[Item]):
                 # non-aggregate ST_Centroid(way): exact area-weighted
                 # centroid per feature (ring tables); identity on points
                 mode = "centroid"
+            elif (
+                isinstance(inner, Func)
+                and inner.name.lower() == "st_buffer"
+                and len(inner.args) == 2
+                and isinstance(inner.args[0], Ident)
+                and isinstance(inner.args[1], Lit)
+                and isinstance(inner.args[1].value, (int, float))
+                and not isinstance(inner.args[1].value, bool)
+                and float(inner.args[1].value) > 0
+            ):
+                # ST_Buffer(way, r) over a point source: each point becomes
+                # a quad_segs circle POLYGON feature (hoisted-trig ring)
+                mode = "buffer"
+                buffer_radius = float(inner.args[1].value)
             else:
                 raise DefinitionError(
                     "template SQL: ST_AsMVTGeom argument must be a geometry "
@@ -1260,7 +1276,7 @@ def _geom_item(items: list[Item]):
             rest.append(it)
     if mode is None:
         raise DefinitionError("template SQL: SELECT must include ST_AsMVTGeom(...)")
-    return mode, rest, simplify_tol
+    return mode, rest, simplify_tol, buffer_radius
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
@@ -2016,9 +2032,11 @@ class CompiledTemplate:
 
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
-                mode, _, _ = _geom_item(s.items)
+                mode, _, _, _ = _geom_item(s.items)
                 if mode in ("label", "cluster", "centroid"):
                     return GEOM_POINT
+                if mode == "buffer":
+                    return GEOM_POLYGON
                 _, kind = _resolve_table(sources, s.table)
                 return {
                     "point": GEOM_POINT,
@@ -2049,7 +2067,7 @@ class CompiledTemplate:
                     for it in items_all
                 ]
                 having = _resolve_scalars(having, sources, extent)
-                mode, items, simplify_tol = _geom_item(items_all)
+                mode, items, simplify_tol, buf_radius = _geom_item(items_all)
                 if kind != "point" and _contains_func(where, "st_dwithin"):
                     raise DefinitionError(
                         "template SQL: ST_DWithin is only supported over "
@@ -2100,7 +2118,7 @@ class CompiledTemplate:
                         "template SQL: GROUP BY requires the aggregate "
                         "geometry ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), ...)"
                     )
-                if s.distinct and (mode == "cluster" or kind != "point"):
+                if s.distinct and (mode in ("cluster", "buffer") or kind != "point"):
                     raise DefinitionError(
                         "template SQL: SELECT DISTINCT is only supported for "
                         "point features (plain or label geometry)"
@@ -2112,6 +2130,40 @@ class CompiledTemplate:
                             "clustering is only supported over point tables"
                         )
                     branch = _cluster_branch(df, s.group, having, items, extent)
+                elif mode == "buffer":
+                    if kind != "point":
+                        raise DefinitionError(
+                            "template SQL: ST_Buffer(geometry, r) is only "
+                            "supported over point sources (ring offsetting "
+                            "is not implemented)"
+                        )
+                    from tilekiln_spark.functions.geometry import point_buffer
+
+                    props_cols = {
+                        _item_alias(it): _to_col(it.expr, extent) for it in items
+                    }
+                    bxs, bys = point_buffer(
+                        F.col("mx"), F.col("my"), buf_radius, segments=8
+                    )
+                    r = F.lit(float(buf_radius))
+                    ring_df = df.select(
+                        "zoom",
+                        # feature key: coordinate hash (point tables carry
+                        # no universal id column)
+                        F.xxhash64(F.col("mx"), F.col("my")).alias("polygon_id"),
+                        (F.col("mx") - r).alias("xmin"),
+                        (F.col("my") - r).alias("ymin"),
+                        (F.col("mx") + r).alias("xmax"),
+                        (F.col("my") + r).alias("ymax"),
+                        bxs.alias("ring_xs"),
+                        bys.alias("ring_ys"),
+                        *[c.alias(k) for k, c in props_cols.items()],
+                    )
+                    branch = _poly_tile_rows(
+                        ring_df, zs, extent, buffer,
+                        props={k: F.col(k) for k in props_cols},
+                        pre_exploded=True,
+                    )
                 elif mode == "centroid":
                     if kind not in ("point", "polygon"):
                         # PostGIS ST_Centroid(linestring) is LENGTH-weighted;
