@@ -11,6 +11,7 @@ value hash are rounded on both sides with the same expression.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -516,6 +517,57 @@ def _measure_values_sql() -> str:
 
         parts.append(f"({gid}, '{kind}', {arr(xs)}, {arr(ys)})")
     return ", ".join(parts)
+
+
+def _arr_sql(a) -> str:
+    """DuckDB DOUBLE[] literal from a Python float list (repr-emitted so
+    both engines compute on the identical float64 constants)."""
+    if a is None:
+        return "CAST(NULL AS DOUBLE[])"
+    return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+
+
+# geography (lat, lon) degree chains for the geodesic length/perimeter
+# oracle: a parallel edge, a meridian+parallel L, a diagonal chain, a
+# high-latitude quad (ring perimeter exercises the wrap edge), and the
+# degenerate/null guard rows.  ONE Python constant drives both engines.
+_GEO_LINES = [
+    (0, [0.0, 0.0], [10.0, 11.0]),
+    (1, [10.0, 11.0, 11.0], [30.0, 30.0, 31.0]),
+    (2, [50.0, 51.0, 52.5], [-10.0, -8.0, -7.25]),
+    (3, [60.0, 60.0, 61.0, 61.0], [5.0, 7.0, 7.0, 5.0]),
+    (4, [5.0], [5.0]),
+    (5, None, None),
+]
+
+
+def _geo_lines_values_sql() -> str:
+    return ", ".join(
+        f"({gid}, {_arr_sql(lats)}, {_arr_sql(lons)})"
+        for gid, lats, lons in _GEO_LINES
+    )
+
+
+# (pid, lat, lon, d_m, az_rad) rows for the ST_Project oracle: the four
+# cardinal bearings, a mid-latitude diagonal, a high-latitude oblique and
+# a zero-distance identity; azimuths are exact multiples of pi/4 emitted
+# verbatim so both engines fold the identical float64 literal.
+_PROJECT_ROWS = [
+    (0, 0.0, 0.0, 111194.92664455873, 0.0),
+    (1, 0.0, 0.0, 200000.0, math.pi / 2.0),
+    (2, 45.0, 10.0, 500000.0, math.pi / 4.0),
+    (3, 70.0, -30.0, 300000.0, 3.0 * math.pi / 4.0),
+    (4, -33.0, 151.0, 250000.0, math.pi),
+    (5, 10.0, 10.0, 0.0, math.pi / 2.0),
+]
+
+
+def _project_values_sql() -> str:
+    return ", ".join(
+        f"({pid}, CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE), "
+        f"CAST({d!r} AS DOUBLE), CAST({az!r} AS DOUBLE))"
+        for pid, la, lo, d, az in _PROJECT_ROWS
+    )
 
 
 # near-dup corpus: documents plus a copy of docs (doc_id<60) with one word
@@ -1151,6 +1203,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pts.select("doc_id", F.round(fr, 6).alias("frac"))
 
     q["line_locate"] = line_locate
+
+    def geography_length(spark, sf_dir):
+        """Geography ST_Length / ST_Perimeter class: great-circle chain
+        length (open) and ring perimeter (closed wrap edge) over the
+        lat/lon degree fixtures — one haversine F.aggregate fold per
+        measure (functions/geodesic.py geography_line_length; codegen
+        trig, no UDF).  Twin SQL generated from the identical formula
+        text; km rounding absorbs libm sin/cos ulp drift."""
+        from tilekiln_spark.functions.geodesic import geography_line_length
+
+        df = spark.createDataFrame(
+            _GEO_LINES, "gid int, lats array<double>, lons array<double>"
+        )
+        return df.select(
+            "gid",
+            F.round(
+                geography_line_length(F.col("lats"), F.col("lons")) / 1000.0, 3
+            ).alias("len_km"),
+            F.round(
+                geography_line_length(F.col("lats"), F.col("lons"), closed=True)
+                / 1000.0,
+                3,
+            ).alias("perim_km"),
+        )
+
+    q["geography_length"] = geography_length
+
+    def st_project(spark, sf_dir):
+        """Geography ST_Project: spherical forward geodesic (destination
+        point from distance + azimuth-in-radians, the PostGIS signature)
+        over the cardinal/oblique fixture rows — pure expression tree
+        (functions/geodesic.py project_point), twin SQL from the same
+        formula text with the phi2 intermediate spliced, not re-derived."""
+        from tilekiln_spark.functions.geodesic import project_point
+
+        df = spark.createDataFrame(
+            _PROJECT_ROWS, "pid int, lat double, lon double, d double, az double"
+        )
+        la2, lo2 = project_point(
+            F.col("lat"), F.col("lon"), F.col("d"), F.col("az")
+        )
+        return df.select(
+            "pid",
+            F.round(la2, 6).alias("lat2"),
+            F.round(lo2, 6).alias("lon2"),
+        )
+
+    q["st_project"] = st_project
+
+    def closest_points(spark, sf_dir):
+        """PostGIS ST_ClosestPoint (the coordinate half of ST_ShortestLine)
+        over the shared planar-measure fixtures: per row, the point on the
+        ring boundary (closed) or chain (open) nearest a gid-derived query
+        point.  First-minimum owning-edge rule on the shared _pt_seg
+        kernel (functions/geometry.py closest_point_on_chain) — the twin
+        decides ties on bit-identical per-edge arithmetic."""
+        from tilekiln_spark.functions.geometry import closest_point_on_chain
+
+        df = spark.createDataFrame(
+            _measure_fixture_rows(),
+            "gid int, kind string, xs array<double>, ys array<double>",
+        )
+        px = ((F.col("gid") * 7) % 13 - 6) * 2.0e6
+        py = ((F.col("gid") * 11) % 17 - 8) * 1.5e6
+        rqx, rqy = closest_point_on_chain(
+            F.col("xs"), F.col("ys"), px, py, closed=True
+        )
+        cqx, cqy = closest_point_on_chain(
+            F.col("xs"), F.col("ys"), px, py, closed=False
+        )
+        ring = F.col("kind") == "ring"
+        return df.select(
+            "gid",
+            "kind",
+            F.round(F.when(ring, rqx).otherwise(cqx), 6).alias("qx"),
+            F.round(F.when(ring, rqy).otherwise(cqy), 6).alias("qy"),
+        )
+
+    q["closest_points"] = closest_points
 
     def user_trajectories(spark, sf_dir):
         """GPS-track rollup over the event stream: per user, order events
@@ -4373,6 +4504,50 @@ def oracle_sql() -> dict[str, str]:
                round(degrees({azimuth_sql('mx', 'my', 'cx', 'cy')}), 6) + 0.0
                    AS bearing_deg
         FROM ranked WHERE rn = 1
+    """
+
+    from tilekiln_spark.functions.geodesic import (
+        geography_line_length_sql,
+        project_point_sql,
+    )
+
+    _glen = geography_line_length_sql("lats", "lons")
+    _gperim = geography_line_length_sql("lats", "lons", closed=True)
+    o["geography_length"] = f"""
+        WITH g(gid, lats, lons) AS (VALUES {_geo_lines_values_sql()})
+        SELECT gid,
+               round(({_glen}) / 1000.0, 3) + 0.0 AS len_km,
+               round(({_gperim}) / 1000.0, 3) + 0.0 AS perim_km
+        FROM g
+    """
+
+    _pla2, _plo2 = project_point_sql("lat", "lon", "d", "az")
+    o["st_project"] = f"""
+        WITH p(pid, lat, lon, d, az) AS (VALUES {_project_values_sql()})
+        SELECT pid,
+               round({_pla2}, 6) + 0.0 AS lat2,
+               round({_plo2}, 6) + 0.0 AS lon2
+        FROM p
+    """
+
+    from tilekiln_spark.functions.geometry import closest_point_on_chain_sql
+
+    _cp_px = "(((gid * 7) % 13 - 6) * 2000000.0)"
+    _cp_py = "(((gid * 11) % 17 - 8) * 1500000.0)"
+    _cp_rqx, _cp_rqy = closest_point_on_chain_sql(
+        "xs", "ys", _cp_px, _cp_py, closed=True
+    )
+    _cp_cqx, _cp_cqy = closest_point_on_chain_sql(
+        "xs", "ys", _cp_px, _cp_py, closed=False
+    )
+    o["closest_points"] = f"""
+        WITH g(gid, kind, xs, ys) AS (VALUES {_measure_values_sql()})
+        SELECT gid, kind,
+               round(CASE WHEN kind = 'ring' THEN {_cp_rqx}
+                          ELSE {_cp_cqx} END, 6) + 0.0 AS qx,
+               round(CASE WHEN kind = 'ring' THEN {_cp_rqy}
+                          ELSE {_cp_cqy} END, 6) + 0.0 AS qy
+        FROM g
     """
 
     _db_eps2 = repr(2.5e6 * 2.5e6)

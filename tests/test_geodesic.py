@@ -223,3 +223,99 @@ def test_knn_geography_matches_bruteforce(spark):
         mine = [sid for _, sid, _ in sorted(got[r.pid])]
         assert mine == want, (r.pid, mine, want)
         assert len(got[r.pid]) == 2
+
+
+def test_geography_line_length_known_values(spark):
+    """Great-circle chain length: each edge must equal the haversine of its
+    endpoint pair (exact closed forms for equator/meridian edges); closed
+    adds the wrap edge; degenerate/null rows guard."""
+    from tilekiln_spark.functions.geodesic import geography_line_length
+
+    fixture = [
+        (0, [0.0, 0.0], [0.0, 90.0]),            # quarter equator
+        (1, [0.0, 90.0], [10.0, 10.0]),          # pole-reaching meridian
+        (2, [10.0, 11.0, 11.0], [30.0, 30.0, 31.0]),
+        (3, [5.0], [5.0]),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(
+        fixture, "gid int, lats array<double>, lons array<double>"
+    )
+    from tilekiln_spark.functions.geodesic import geography_line_length_sql
+
+    got = {
+        r.gid: (r.open_m, r.closed_m)
+        for r in df.select(
+            "gid",
+            geography_line_length(F.col("lats"), F.col("lons")).alias("open_m"),
+            geography_line_length(
+                F.col("lats"), F.col("lons"), closed=True
+            ).alias("closed_m"),
+        ).collect()
+    }
+    quarter = math.pi * EARTH_RADIUS_M / 2.0
+    assert got[0][0] == pytest.approx(quarter, rel=1e-12)
+    assert got[1][0] == pytest.approx(quarter, rel=1e-12)
+    # L-chain: 1 deg meridian + 1 deg parallel at 11N
+    deg = math.pi * EARTH_RADIUS_M / 180.0
+    assert got[2][0] == pytest.approx(
+        deg + _ref_haversine(11.0, 30.0, 11.0, 31.0), rel=1e-12
+    )
+    # wrap edge closes the chain
+    assert got[2][1] == pytest.approx(
+        got[2][0] + _ref_haversine(11.0, 31.0, 10.0, 30.0), rel=1e-12
+    )
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (None, None)
+
+    # DuckDB twin bit-agreement on the same literals
+    for gid, lats, lons in fixture[:3]:
+        arr = lambda a: "[" + ", ".join(repr(v) for v in a) + "]"
+        sql = geography_line_length_sql("lats", "lons")
+        (dd,) = duckdb.sql(
+            f"SELECT {sql} FROM (SELECT {arr(lats)}::DOUBLE[] lats, "
+            f"{arr(lons)}::DOUBLE[] lons)"
+        ).fetchone()
+        assert dd == got[gid][0]
+
+
+def test_project_point_roundtrip(spark):
+    """ST_Project: cardinal closed forms, inverse agreement (haversine of
+    (start, projected) == the requested distance), and the DuckDB twin on
+    identical literals."""
+    from tilekiln_spark.functions.geodesic import project_point, project_point_sql
+
+    rows = [
+        (0, 0.0, 0.0, math.pi * EARTH_RADIUS_M / 2.0, 0.0),     # to the pole
+        (1, 0.0, 0.0, 1.0e6, math.pi / 2.0),                    # due east
+        (2, 45.0, 10.0, 7.5e5, math.pi / 4.0),
+        (3, -33.0, 151.0, 2.5e5, math.pi),
+        (4, 10.0, 10.0, 0.0, 1.0),                              # identity
+    ]
+    df = spark.createDataFrame(
+        rows, "pid int, lat double, lon double, d double, az double"
+    )
+    la2, lo2 = project_point(F.col("lat"), F.col("lon"), F.col("d"), F.col("az"))
+    got = {
+        r.pid: (r.la, r.lo)
+        for r in df.select("pid", la2.alias("la"), lo2.alias("lo")).collect()
+    }
+    assert got[0][0] == pytest.approx(90.0, abs=1e-9)
+    assert got[1][0] == pytest.approx(0.0, abs=1e-9)
+    assert got[1][1] == pytest.approx(
+        math.degrees(1.0e6 / EARTH_RADIUS_M), rel=1e-12
+    )
+    assert got[4] == (pytest.approx(10.0, abs=1e-12), pytest.approx(10.0, abs=1e-12))
+    # inverse check: great-circle distance start -> projected == d
+    for pid, lat, lon, d, az in rows[1:4]:
+        la, lo = got[pid]
+        assert _ref_haversine(lat, lon, la, lo) == pytest.approx(d, rel=1e-9)
+    # twin agreement on identical literals
+    sla, slo = project_point_sql("lat", "lon", "d", "az")
+    for pid, lat, lon, d, az in rows:
+        dd = duckdb.sql(
+            f"SELECT {sla}, {slo} FROM (SELECT {lat!r}::DOUBLE lat, "
+            f"{lon!r}::DOUBLE lon, {d!r}::DOUBLE d, {az!r}::DOUBLE az)"
+        ).fetchone()
+        assert dd[0] == pytest.approx(got[pid][0], abs=1e-12)
+        assert dd[1] == pytest.approx(got[pid][1], abs=1e-12)

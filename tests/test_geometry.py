@@ -795,3 +795,63 @@ def test_point_buffer_ring_properties(spark):
     assert row.area == round(n / 2.0 * r * r * math.sin(2 * math.pi / n), 9)
     with pytest.raises(ValueError, match="radius"):
         point_buffer(F.lit(0.0), F.lit(0.0), 0.0)
+
+
+def test_closest_point_on_chain(spark):
+    """ST_ClosestPoint: edge-interior projection, endpoint clamp,
+    first-minimum tie edge, single-vertex and null guards; the DuckDB twin
+    must agree bitwise on identical literals."""
+    import duckdb
+
+    from tilekiln_spark.functions.geometry import (
+        closest_point_on_chain,
+        closest_point_on_chain_sql,
+    )
+
+    sq_xs, sq_ys = [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]
+    fixture = [
+        # interior point nearer the left edge
+        (0, sq_xs, sq_ys, 3.0, 4.0, True),
+        # outside, clamps to the corner (5? no: (-3,-4) -> corner (0,0))
+        (1, sq_xs, sq_ys, -3.0, -4.0, True),
+        # center: equidistant from all four edges -> FIRST edge (bottom)
+        (2, sq_xs, sq_ys, 5.0, 5.0, True),
+        # open chain: beyond the last vertex clamps to it
+        (3, [0.0, 5.0], [0.0, 0.0], 9.0, 2.0, False),
+        (4, [7.0], [8.0], 0.0, 0.0, False),
+        (5, None, None, 1.0, 1.0, True),
+    ]
+    rows = [(g, xs, ys, px, py) for g, xs, ys, px, py, _ in fixture]
+    df = spark.createDataFrame(
+        rows,
+        "gid int, xs array<double>, ys array<double>, px double, py double",
+    )
+    out = {}
+    for closed in (True, False):
+        qx, qy = closest_point_on_chain(
+            F.col("xs"), F.col("ys"), F.col("px"), F.col("py"), closed=closed
+        )
+        for r in df.select("gid", qx.alias("qx"), qy.alias("qy")).collect():
+            out[(r.gid, closed)] = (r.qx, r.qy)
+    assert out[(0, True)] == (0.0, 4.0)
+    assert out[(1, True)] == (0.0, 0.0)
+    assert out[(2, True)] == (5.0, 0.0)     # first-minimum edge rule
+    assert out[(3, False)] == (5.0, 0.0)
+    assert out[(4, False)] == (7.0, 8.0)
+    assert out[(5, True)] == (None, None)
+    # open square: wrap edge gone, (-3,-4) still clamps to (0,0)
+    assert out[(1, False)] == (0.0, 0.0)
+
+    for gid, xs, ys, px, py, closed in fixture:
+        sqlx, sqly = closest_point_on_chain_sql(
+            "xs", "ys", repr(px), repr(py), closed=closed
+        )
+        arr = (
+            lambda a: "CAST(NULL AS DOUBLE[])"
+            if a is None
+            else "[" + ", ".join(repr(v) for v in a) + "]::DOUBLE[]"
+        )
+        dd = duckdb.sql(
+            f"SELECT {sqlx}, {sqly} FROM (SELECT {arr(xs)} xs, {arr(ys)} ys)"
+        ).fetchone()
+        assert dd == out[(gid, closed)]

@@ -98,3 +98,106 @@ def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"cos(radians({lat2})) * sin({dlam}) * sin({dlam}))"
     )
     return f"({2.0 * EARTH_RADIUS_M!r} * asin(sqrt(least({a}, 1.0))))"
+
+
+def geography_line_length(
+    lats: Column, lons: Column, closed: bool = False
+) -> Column:
+    """Geography ``ST_Length``: sum of great-circle edge lengths (meters,
+    mean sphere) over an OPEN (lat, lon) degree polyline; ``closed=True``
+    adds the wrap-around edge (geography ring perimeter).  Same fold shape
+    as the planar :func:`~tilekiln_spark.functions.geometry.line_length`
+    — one ``F.aggregate`` over the edge index, every trig call codegen,
+    no UDF.  Null-propagates on null arrays; < 2 vertices has length 0.
+
+    Parity: PostGIS ``ST_Length(geography, use_spheroid := false)``
+    (liblwgeom measures great-circle edges on the same 6371008.8 m mean
+    sphere; the reference's templates run arbitrary PostGIS SQL —
+    reference tilekiln/definition.py:42-77)."""
+    n = F.size(lats)
+    last = n if closed else n - 1
+
+    def edge(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        return haversine_m(
+            F.element_at(lats, i),
+            F.element_at(lons, i),
+            F.element_at(lats, j),
+            F.element_at(lons, j),
+        )
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), last),
+        F.lit(0.0),
+        lambda acc, i: acc + edge(i),
+    )
+    # guard BEFORE the fold (sequence(1, 0) would step through index 0)
+    return F.when(n >= 2, s).otherwise(
+        F.when(lats.isNotNull() & lons.isNotNull(), F.lit(0.0))
+    )
+
+
+def geography_line_length_sql(lats: str, lons: str, closed: bool = False) -> str:
+    """DuckDB twin of :func:`geography_line_length` — identical per-edge
+    haversine formula text (libm drift confined to the trig calls,
+    absorbed by oracle rounding)."""
+    last = f"len({lats}) + 1" if closed else f"len({lats})"
+    j = f"(i % len({lats})) + 1"
+    edge = haversine_m_sql(
+        f"{lats}[i]", f"{lons}[i]", f"{lats}[{j}]", f"{lons}[{j}]"
+    )
+    return (
+        f"(CASE WHEN {lats} IS NULL OR {lons} IS NULL THEN NULL "
+        f"ELSE coalesce(list_sum(list_transform(range(1, {last}), i -> {edge})), "
+        f"0.0) END)"
+    )
+
+
+def project_point(
+    lat: Column, lon: Column, distance_m: Column, azimuth_rad: Column
+) -> tuple[Column, Column]:
+    """Geography ``ST_Project``: spherical forward geodesic — destination
+    (lat, lon) degrees from a start point, a distance in meters and an
+    azimuth in RADIANS clockwise from north (the PostGIS signature).
+
+        delta = d / R
+        phi2  = asin(sin phi1 cos delta + cos phi1 sin delta cos theta)
+        lam2  = lam1 + atan2(sin theta sin delta cos phi1,
+                             cos delta - sin phi1 sin phi2)
+
+    Pure expression tree (codegen trig, no UDF).  Longitudes are NOT
+    wrapped: fixtures stay off the antimeridian (PostGIS normalizes to
+    (-180, 180] — documented deviation, irrelevant away from the seam)."""
+    phi1 = F.radians(lat)
+    lam1 = F.radians(lon)
+    delta = distance_m / F.lit(EARTH_RADIUS_M)
+    sin_phi2 = F.sin(phi1) * F.cos(delta) + F.cos(phi1) * F.sin(delta) * F.cos(
+        azimuth_rad
+    )
+    # clamp: rounding can push the sine a ulp outside [-1, 1] near the poles
+    phi2 = F.asin(F.least(F.greatest(sin_phi2, F.lit(-1.0)), F.lit(1.0)))
+    lam2 = lam1 + F.atan2(
+        F.sin(azimuth_rad) * F.sin(delta) * F.cos(phi1),
+        F.cos(delta) - F.sin(phi1) * F.sin(phi2),
+    )
+    return F.degrees(phi2), F.degrees(lam2)
+
+
+def project_point_sql(
+    lat: str, lon: str, distance_m: str, azimuth_rad: str
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`project_point` — identical formula text;
+    the intermediate phi2 is spliced (not re-derived), so both engines
+    evaluate the same dependency chain."""
+    phi1 = f"radians({lat})"
+    delta = f"(({distance_m}) / {EARTH_RADIUS_M!r})"
+    sin_phi2 = (
+        f"(sin({phi1}) * cos({delta}) + cos({phi1}) * sin({delta}) "
+        f"* cos({azimuth_rad}))"
+    )
+    phi2 = f"asin(least(greatest({sin_phi2}, -1.0), 1.0))"
+    lam2 = (
+        f"(radians({lon}) + atan2(sin({azimuth_rad}) * sin({delta}) * cos({phi1}), "
+        f"cos({delta}) - sin({phi1}) * sin({phi2})))"
+    )
+    return f"degrees({phi2})", f"degrees({lam2})"

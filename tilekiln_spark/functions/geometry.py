@@ -855,3 +855,101 @@ def ring_is_simple_sql(xs: str, ys: str) -> str:
         f"CASE WHEN ({turn}) = 0 AND ({dot}) > 0 THEN 1 ELSE 0 END)), 0) = 1"
     )
     return f"({n} >= 3 AND NOT ({bad_pair}) AND NOT ({spike}))"
+
+
+def closest_point_on_chain(
+    xs: Column, ys: Column, px: Column, py: Column, closed: bool = False
+) -> tuple[Column, Column]:
+    """PostGIS ``ST_ClosestPoint(line/ring boundary, point)``: the (qx, qy)
+    on the chain's edges nearest to (px, py) — the coordinate half of
+    ``ST_ShortestLine`` (whose other endpoint is the query point itself).
+    ``closed=True`` treats the arrays as a ring (wrap-around edge).
+    Owning edge = FIRST edge attaining the minimum point-to-segment
+    distance — the same first-minimum rule as
+    :func:`line_locate_point`, realized here as ONE struct-min fold with
+    a STRICT-less update (equal distance keeps the earlier edge), so the
+    expression tree stays linear in the edge count instead of replicating
+    an argmin sub-tree per output coordinate.  Ties land on the same edge
+    as the twin because the per-edge arithmetic (:func:`_pt_seg`) is
+    bit-identical.  Pure HOF expressions; a single-vertex chain returns
+    that vertex; null inputs null-propagate."""
+    n = F.size(xs)
+    last = n if closed else n - 1
+
+    def jof(i: Column) -> Column:
+        return F.pmod(i, n) + 1 if closed else i + 1
+
+    def edge_struct(i: Column) -> Column:
+        x1, y1 = F.element_at(xs, i), F.element_at(ys, i)
+        x2, y2 = F.element_at(xs, jof(i)), F.element_at(ys, jof(i))
+        t, d = _pt_seg(px, py, x1, y1, x2, y2)
+        return F.struct(
+            d.alias("d"),
+            (x1 + t * (x2 - x1)).alias("qx"),
+            (y1 + t * (y2 - y1)).alias("qy"),
+        )
+
+    best = F.aggregate(
+        F.sequence(F.lit(1), last),
+        F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(0.0).alias("qx"),
+            F.lit(0.0).alias("qy"),
+        ),
+        lambda acc, i: F.when(edge_struct(i)["d"] < acc["d"], edge_struct(i))
+        .otherwise(acc),
+    )
+
+    def guarded(val: Column, vertex: Column) -> Column:
+        # n >= 2: real edges; n == 1: the lone vertex; else null-propagate
+        return F.when(n >= 2, val).otherwise(
+            F.when(
+                xs.isNotNull() & ys.isNotNull() & px.isNotNull()
+                & py.isNotNull() & (n >= 1),
+                vertex,
+            )
+        )
+
+    return (
+        guarded(best["qx"], F.element_at(xs, F.lit(1))),
+        guarded(best["qy"], F.element_at(ys, F.lit(1))),
+    )
+
+
+def closest_point_on_chain_sql(
+    xs: str, ys: str, px: str, py: str, closed: bool = False
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`closest_point_on_chain` — per-edge formulas
+    generated as FUNCTIONS of the index expression (the
+    :func:`line_locate_point_sql` discipline), same first-minimum rule."""
+    nlen = f"len({xs})"
+    last = f"{nlen} + 1" if closed else nlen
+
+    def jof(i: str) -> str:
+        return f"((({i}) % {nlen}) + 1)" if closed else f"(({i}) + 1)"
+
+    def parts(i: str) -> dict:
+        x1, y1 = f"{xs}[{i}]", f"{ys}[{i}]"
+        x2, y2 = f"{xs}[{jof(i)}]", f"{ys}[{jof(i)}]"
+        t, d = _pt_seg_sql(px, py, x1, y1, x2, y2)
+        return {"t": t, "d": d, "x1": x1, "y1": y1, "x2": x2, "y2": y2}
+
+    at_i = parts("i")
+    dmin = f"list_min(list_transform(range(1, {last}), i -> {at_i['d']}))"
+    idx = (
+        f"coalesce(list_min(list_filter(range(1, {last}), "
+        f"i -> {at_i['d']} = ({dmin}))), 1)"
+    )
+    at_idx = parts(f"({idx})")
+    qx = f"({at_idx['x1']} + ({at_idx['t']}) * ({at_idx['x2']} - {at_idx['x1']}))"
+    qy = f"({at_idx['y1']} + ({at_idx['t']}) * ({at_idx['y2']} - {at_idx['y1']}))"
+
+    def guarded(val: str, vertex: str) -> str:
+        return (
+            f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL OR ({px}) IS NULL "
+            f"OR ({py}) IS NULL THEN NULL "
+            f"WHEN {nlen} >= 2 THEN {val} "
+            f"WHEN {nlen} >= 1 THEN {vertex} END)"
+        )
+
+    return guarded(qx, f"{xs}[1]"), guarded(qy, f"{ys}[1]")
