@@ -387,6 +387,52 @@ def _line_fixture(spark: SparkSession) -> DataFrame:
     )
 
 
+_LINES_B_UV = [
+    (100, [(1.0, 1.0), (3.0, 3.0)]),          # diagonal: crosses line 0 only
+    (101, [(3.9, 3.9), (3.95, 3.95)]),        # tiny disjoint segment
+    (102, [(1.5, 1.0), (1.5, 1.6)]),          # vertical: crosses lines 0 and 1
+    (103, [(0.0, 0.0), (4.0, 4.0)]),          # full-extent WHALE diagonal
+    (104, [(2.75, 2.875), (3.5, 2.0)]),       # touches line 1's end, crosses 2
+]
+
+
+def _line_fixture_b(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    rows = []
+    for lid, uv in _LINES_B_UV:
+        pts = _line_merc(uv)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rows.append(
+            {
+                "polygon_id": lid,
+                "xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys),
+                "ring_xs": xs, "ring_ys": ys,
+            }
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+
+
+def _line_chain_values_sql(lines) -> str:
+    """VALUES rows (lid, xs, ys) — one per polyline, mercator vertex arrays
+    emitted verbatim (repr) so DuckDB computes on the identical float64
+    constants the Spark fixtures carry."""
+    vals = []
+    for lid, uv in lines:
+        pts = _line_merc(uv)
+        vals.append(
+            f"({lid}, {_arr_sql([p[0] for p in pts])}, "
+            f"{_arr_sql([p[1] for p in pts])})"
+        )
+    return ", ".join(vals)
+
+
 def _line_segs_sql() -> str:
     """VALUES rows (osm_id, seg, mx1, my1, mx2, my2) — one per polyline
     segment, mercator doubles emitted verbatim (repr) so DuckDB computes on
@@ -1282,6 +1328,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["closest_points"] = closest_points
+
+    def line_intersect_join(spark, sf_dir):
+        """Polyline x polyline ST_Intersects join (road/rail-crossing
+        class): the PBSM grid candidate stage shared with the polygon
+        join + the OPEN-chain edge-pair refine kernel
+        (operators/spatial_join.py lines_intersect_join).  Side A = the
+        zigzag render polylines (line 1 is a grid WHALE — bbox over the
+        64-cell cap — so both whale routes execute); side B includes a
+        full-extent whale diagonal, proper crossings, an endpoint-touch
+        and a disjoint segment.  Twin = cross join + the generated
+        chain-pair SQL kernel (bit-identical decision arithmetic)."""
+        from tilekiln_spark.operators.spatial_join import lines_intersect_join
+
+        a = _line_fixture(spark)
+        b = _line_fixture_b(spark)
+        out = lines_intersect_join(a, b, grid_zoom=4)
+        return (
+            out.select(
+                F.col("polygon_id").alias("a_id"),
+                F.col("b_polygon_id").alias("b_id"),
+            )
+            .orderBy("a_id", "b_id")
+        )
+
+    q["line_intersect_join"] = line_intersect_join
 
     def user_trajectories(spark, sf_dir):
         """GPS-track rollup over the event stream: per user, order events
@@ -4548,6 +4619,18 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN kind = 'ring' THEN {_cp_rqy}
                           ELSE {_cp_cqy} END, 6) + 0.0 AS qy
         FROM g
+    """
+
+    from tilekiln_spark.functions.geometry import chains_intersect_sql
+
+    _ci = chains_intersect_sql("a.xs", "a.ys", "b.xs", "b.ys")
+    o["line_intersect_join"] = f"""
+        WITH a(lid, xs, ys) AS (VALUES {_line_chain_values_sql(_LINES_UV)}),
+             b(lid, xs, ys) AS (VALUES {_line_chain_values_sql(_LINES_B_UV)})
+        SELECT a.lid AS a_id, b.lid AS b_id
+        FROM a CROSS JOIN b
+        WHERE {_ci}
+        ORDER BY a_id, b_id
     """
 
     _db_eps2 = repr(2.5e6 * 2.5e6)

@@ -346,3 +346,66 @@ def test_dwithin_join_derived_zoom_covers_radius(spark):
         z = max(0, min(15, int(np.floor(np.log2(world / radius)))))
         assert world / (2**z) >= min(radius, world), (radius, z)
         assert 0 <= z <= 15
+
+
+def test_lines_intersect_join_matches_brute_force(spark):
+    """Polyline x polyline PBSM join == brute-force chain-pair kernel over
+    all pairs, each hit exactly once (reporting-cell dedup), with whale
+    chains (bbox over the cell cap) routed through the broadcast side."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import (
+        _chains_intersect_np,
+        lines_intersect_join,
+    )
+
+    HW = 20037508.342789244
+    rng = np.random.default_rng(7)
+
+    def mk(lid, pts):
+        xs = [float(p[0]) for p in pts]
+        ys = [float(p[1]) for p in pts]
+        return {
+            "polygon_id": lid,
+            "xmin": min(xs), "ymin": min(ys),
+            "xmax": max(xs), "ymax": max(ys),
+            "ring_xs": xs, "ring_ys": ys,
+        }
+
+    rows_a, rows_b = [], []
+    # small random zigzags spread over the world; several cross cell borders
+    for lid in range(24):
+        cx, cy = rng.uniform(-0.8 * HW, 0.8 * HW, 2)
+        pts = [
+            (cx + dx, cy + dy)
+            for dx, dy in rng.uniform(-0.14 * HW, 0.14 * HW, (3, 2))
+        ]
+        (rows_a if lid % 2 == 0 else rows_b).append(mk(lid, pts))
+    # whales on both sides: full-extent diagonals (bbox >> 64 cells at z4)
+    rows_a.append(mk(100, [(-0.95 * HW, -0.95 * HW), (0.95 * HW, 0.95 * HW)]))
+    rows_b.append(mk(200, [(-0.95 * HW, 0.95 * HW), (0.95 * HW, -0.95 * HW)]))
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+    a = spark.createDataFrame(pd.DataFrame(rows_a), schema)
+    b = spark.createDataFrame(pd.DataFrame(rows_b), schema)
+    got = [
+        (r.polygon_id, r.b_polygon_id)
+        for r in lines_intersect_join(a, b, grid_zoom=4)
+        .select("polygon_id", "b_polygon_id")
+        .collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate candidate pairs leaked"
+    want = set()
+    for ra in rows_a:
+        for rb in rows_b:
+            if _chains_intersect_np(
+                np.array(ra["ring_xs"]), np.array(ra["ring_ys"]),
+                np.array(rb["ring_xs"]), np.array(rb["ring_ys"]),
+            ):
+                want.add((ra["polygon_id"], rb["polygon_id"]))
+    assert set(got) == want
+    # the two whales cross each other; whale routes must have executed
+    assert (100, 200) in want

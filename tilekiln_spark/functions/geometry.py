@@ -953,3 +953,47 @@ def closest_point_on_chain_sql(
         )
 
     return guarded(qx, f"{xs}[1]"), guarded(qy, f"{ys}[1]")
+
+
+def chains_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
+    """DuckDB twin of the OPEN-polyline ST_Intersects kernel
+    (operators/spatial_join.py _chains_intersect_np): any edge pair
+    (consecutive vertices, no wrap) properly crossing or touching.  Same
+    multiply/subtract/compare order as the numpy kernel and the ring twin
+    :func:`rings_intersect_sql`, minus its containment half."""
+    p1x, p1y = f"{axs}[i]", f"{ays}[i]"
+    p2x, p2y = f"{axs}[i + 1]", f"{ays}[i + 1]"
+    q1x, q1y = f"{bxs}[j]", f"{bys}[j]"
+    q2x, q2y = f"{bxs}[j + 1]", f"{bys}[j + 1]"
+
+    def orient(ox, oy, dx, dy, px, py) -> str:
+        return f"(({dx} - {ox}) * ({py} - {oy}) - ({dy} - {oy}) * ({px} - {ox}))"
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (
+        f"((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0)) "
+        f"AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))"
+    )
+
+    def onseg(ox, oy, dx, dy, px, py, o) -> str:
+        return (
+            f"(({o}) = 0 AND {px} >= least({ox}, {dx}) AND {px} <= greatest({ox}, {dx}) "
+            f"AND {py} >= least({oy}, {dy}) AND {py} <= greatest({oy}, {dy}))"
+        )
+
+    touch = " OR ".join(
+        [
+            onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1),
+            onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2),
+            onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3),
+            onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4),
+        ]
+    )
+    return (
+        f"(coalesce(list_max(flatten(list_transform(range(1, len({axs})), i -> "
+        f"list_transform(range(1, len({bxs})), j -> "
+        f"CASE WHEN ({proper}) OR ({touch}) THEN 1 ELSE 0 END)))), 0) = 1)"
+    )

@@ -647,6 +647,27 @@ def polygons_intersect_join(
       whale-B — partition the pair space, so no cross-path dedup is needed.
     - exact refine: the Arrow-batched ring-pair kernel (vertex containment
       either way + edge crossing/touching)."""
+    candidates = _pbsm_candidates(
+        polys_a, polys_b, grid_zoom, broadcast_b, max_cells_per_poly
+    )
+    hit = make_rings_intersect_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    return candidates.filter(hit)
+
+
+def _pbsm_candidates(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    grid_zoom: int,
+    broadcast_b: bool,
+    max_cells_per_poly: int,
+) -> DataFrame:
+    """THE candidate-pair stage shared by the polygon and polyline
+    intersect joins: grid explode + (gx, gy) equi-join + reporting-cell
+    dedup + whale bbox-overlap routing.  Emits every bbox-overlapping
+    (A row, B row) pair exactly once, B columns ``b_``-prefixed; the
+    caller applies its exact-geometry refine."""
     b = polys_b
     for c in b.columns:
         b = b.withColumnRenamed(c, f"b_{c}")
@@ -692,10 +713,7 @@ def polygons_intersect_join(
     # the build side (the other side streams at full scale)
     pairs = pairs.unionByName(b.join(F.broadcast(a_whale), overlap, "inner"))
     pairs = pairs.unionByName(a_small.join(F.broadcast(b_whale), overlap, "inner"))
-    hit = make_rings_intersect_udf()(
-        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
-    )
-    return pairs.filter(hit)
+    return pairs
 
 
 def knn_geography_assign(
@@ -810,3 +828,93 @@ def make_ring_is_simple_udf():
         return pd.Series(out)
 
     return simple
+
+
+def _chains_intersect_np(ax, ay, bx, by) -> bool:
+    """Exact OPEN-polyline ST_Intersects test: true iff any edge pair
+    (consecutive-vertex segments, no wrap edge) properly crosses or
+    touches (an endpoint on the other segment — PostGIS counts boundary
+    contact).  Same orient/onseg arithmetic order as
+    :func:`_rings_intersect_np`, so the generated SQL twin
+    (functions/geometry.py chains_intersect_sql) decides bit-identically.
+    No containment half: a line cannot contain another's interior."""
+    if len(ax) < 2 or len(bx) < 2:
+        return False
+    p1x, p1y = ax[:-1, None], ay[:-1, None]
+    p2x, p2y = ax[1:, None], ay[1:, None]
+    q1x, q1y = bx[None, :-1], by[None, :-1]
+    q2x, q2y = bx[None, 1:], by[None, 1:]
+
+    def orient(ox, oy, dx_, dy_, px_, py_):
+        return (dx_ - ox) * (py_ - oy) - (dy_ - oy) * (px_ - ox)
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    if proper.any():
+        return True
+
+    def onseg(ox, oy, dx_, dy_, px_, py_, o):
+        return (
+            (o == 0)
+            & (px_ >= np.minimum(ox, dx_))
+            & (px_ <= np.maximum(ox, dx_))
+            & (py_ >= np.minimum(oy, dy_))
+            & (py_ <= np.maximum(oy, dy_))
+        )
+
+    touch = (
+        onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1)
+        | onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2)
+        | onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3)
+        | onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4)
+    )
+    return bool(touch.any())
+
+
+def make_chains_intersect_udf():
+    """Arrow-batched boolean kernel over candidate (chain A, chain B) pairs."""
+
+    @F.pandas_udf("boolean")
+    def ci(axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series) -> pd.Series:
+        out = np.zeros(len(axs), dtype=bool)
+        for i in range(len(axs)):
+            out[i] = _chains_intersect_np(
+                np.asarray(axs.iloc[i], dtype=np.float64),
+                np.asarray(ays.iloc[i], dtype=np.float64),
+                np.asarray(bxs.iloc[i], dtype=np.float64),
+                np.asarray(bys.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return ci
+
+
+def lines_intersect_join(
+    lines_a: DataFrame,
+    lines_b: DataFrame,
+    grid_zoom: int = 4,
+    broadcast_b: bool = True,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """Polyline x polyline ST_Intersects/ST_Crosses-class join (PostGIS
+    ``ST_Intersects(a.way, b.way)`` over line tables — road/rail/river
+    crossings; the reference's templates run arbitrary PostGIS joins,
+    reference tilekiln/definition.py:42-77).
+
+    Same frames and distributed shape as :func:`polygons_intersect_join`
+    (PBSM cell explode, reporting-cell dedup, whale routing — the vertex
+    chains ride the same ``polygon_id/ring_xs/ring_ys`` columns with the
+    chain bbox precomputed), but the exact refine is the OPEN-chain
+    edge-pair kernel: no wrap edge, no containment raycast."""
+    candidates = _pbsm_candidates(
+        lines_a, lines_b, grid_zoom, broadcast_b, max_cells_per_poly
+    )
+    hit = make_chains_intersect_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    return candidates.filter(hit)
