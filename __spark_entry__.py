@@ -1354,6 +1354,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_intersect_join"] = line_intersect_join
 
+    def snap_grid_dissolve(spark, sf_dir):
+        """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
+        2500 km mercator grid node (floor(v/g + 0.5) — the same
+        round-half-convention-free form the hexbin uses) and collapse
+        coincident snapped points to one row with a count and the min
+        doc_id as the deterministic representative.  Map-only snap
+        expressions + ONE partial-aggregated groupBy — the grid-dedupe /
+        generalization shape at any scale."""
+        g = 2.5e6
+        pts = _mx_my(_docs(spark, sf_dir))
+        snapped = pts.select(
+            "doc_id",
+            (F.floor(F.col("mx") / F.lit(g) + F.lit(0.5)) * F.lit(g)).alias("sx"),
+            (F.floor(F.col("my") / F.lit(g) + F.lit(0.5)) * F.lit(g)).alias("sy"),
+        )
+        return snapped.groupBy("sx", "sy").agg(
+            F.count("*").alias("n_pts"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+
+    q["snap_grid_dissolve"] = snap_grid_dissolve
+
     def user_trajectories(spark, sf_dir):
         """GPS-track rollup over the event stream: per user, order events
         by (ts, event_id), assemble the position chain with
@@ -3198,6 +3220,36 @@ WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
 
     q["template_compile_case"] = template_compile_case
 
+    def template_compile_affine(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): affine geometry chains —
+        ST_AsMVTGeom(ST_Translate(ST_Rotate(ST_Scale(way, ...), ...), ...))
+        — peel outside-in into ONE composed 2x3 matrix applied as a
+        pre-explode expression pass; ST_Rotate's trig is hoisted in Python
+        so both engines fold identical float64 constants.  The twin applies
+        the SAME composed matrix (built by the compiler's own
+        _affine_compose) in plain SQL."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = (
+            "SELECT ST_AsMVTGeom(ST_Translate(ST_Rotate(ST_Scale("
+            "way, 0.5, 0.5), 0.25), 1000000, -500000), {{bbox}}, {{extent}}) "
+            "AS way, lang FROM docs_geo WHERE way && {{bbox}}"
+        )
+        feats = CompiledTemplate(body).build(
+            {"tables": {"docs_geo": {"frame": d, "kind": "point"}}},
+            [3],
+            4096,
+            0,
+        )
+        return feats.groupBy("zoom", "lang").agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum("mx") / 1e6, 3) + 0.0).alias("sum_mx_mm"),
+            (F.round(F.sum("my") / 1e6, 3) + 0.0).alias("sum_my_mm"),
+        )
+
+    q["template_compile_affine"] = template_compile_affine
+
     def template_compile_dwithin(spark, sf_dir):
         """Round-4 compiler tier (config/sqlt.py): PostGIS ST_DWithin
         proximity predicates — ST_SetSRID/ST_MakePoint/ST_Point forms, plain
@@ -4631,6 +4683,41 @@ def oracle_sql() -> dict[str, str]:
         FROM a CROSS JOIN b
         WHERE {_ci}
         ORDER BY a_id, b_id
+    """
+
+    import math as _m
+
+    from tilekiln_spark.config.sqlt import _affine_compose
+
+    # the EXACT constants the compiler hoists: Translate o Rotate o Scale
+    _af = _affine_compose(
+        _affine_compose(
+            (1.0, 0.0, 1000000.0, 0.0, 1.0, -500000.0),
+            (_m.cos(0.25), -_m.sin(0.25), 0.0, _m.sin(0.25), _m.cos(0.25), 0.0),
+        ),
+        (0.5, 0.0, 0.0, 0.0, 0.5, 0.0),
+    )
+    _aa, _ab, _ac, _ad, _ae, _af6 = (repr(v) for v in _af)
+    o["template_compile_affine"] = f"""
+        {_GEO_CTE}
+        SELECT 3 AS zoom, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum({_aa} * mx + {_ab} * my + {_ac}) / 1e6, 3) + 0.0
+                   AS sum_mx_mm,
+               round(sum({_ad} * mx + {_ae} * my + {_af6}) / 1e6, 3) + 0.0
+                   AS sum_my_mm
+        FROM geo
+        GROUP BY 1, 2
+    """
+
+    o["snap_grid_dissolve"] = f"""
+        {_GEO_CTE}
+        SELECT floor(mx / 2500000.0 + 0.5) * 2500000.0 AS sx,
+               floor(my / 2500000.0 + 0.5) * 2500000.0 AS sy,
+               count(*) AS n_pts,
+               min(doc_id) AS rep_doc
+        FROM geo
+        GROUP BY 1, 2
     """
 
     _db_eps2 = repr(2.5e6 * 2.5e6)

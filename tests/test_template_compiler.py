@@ -1557,3 +1557,72 @@ def test_compiled_st_buffer_points(spark):
             "SELECT DISTINCT ST_AsMVTGeom(ST_Buffer(way, 10), {{bbox}}) AS way, "
             "lang FROM pts WHERE way && {{bbox}}"
         ).build(src, [2], 4096, 0)
+
+
+def test_affine_tier_point_and_ring(spark):
+    """Affine chains compile to ONE composed pre-explode matrix: point
+    coordinates match the hand-applied innermost-first composition; ring
+    tables transform vertices AND recompute the bbox (a rotated ring must
+    land in the tiles of its rotated envelope, not the stored one)."""
+    import math
+
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.0e6, 2.0e6, "a"), (-3.0e6, 5.0e5, "b")],
+        "mx double, my double, lang string",
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(ST_Translate(ST_Rotate(way, 0.5), 1000000, "
+        "-500000), {{bbox}}, {{extent}}) AS way, lang FROM pts "
+        "WHERE way && {{bbox}}"
+    )
+    got = {
+        r.lang: (r.mx, r.my)
+        for r in CompiledTemplate(body)
+        .build({"tables": {"pts": {"frame": pts, "kind": "point"}}}, [2], 4096, 0)
+        .collect()
+    }
+    c, s = math.cos(0.5), math.sin(0.5)
+    for mx, my, lang in [(1.0e6, 2.0e6, "a"), (-3.0e6, 5.0e5, "b")]:
+        # compiler composes Translate o Rotate into one matrix; the two-step
+        # hand application agrees exactly here because the translate step
+        # adds whole constants to each composed term
+        assert got[lang] == (c * mx - s * my + 1.0e6, s * mx + c * my - 5.0e5)
+
+    # ring: rotate a thin bar by 90 degrees; its stored bbox is wide/flat,
+    # the rotated one tall/narrow -> tile rows must follow the NEW envelope
+    ring = spark.createDataFrame(
+        [(
+            1, 2.0e6, -1.0e5, 1.8e7, 1.0e5,
+            [2.0e6, 1.8e7, 1.8e7, 2.0e6],
+            [-1.0e5, -1.0e5, 1.0e5, 1.0e5],
+        )],
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+    rot = (
+        "SELECT ST_AsMVTGeom(ST_Rotate(way, 1.5707963267948966), {{bbox}}, "
+        "{{extent}}) AS way FROM rings WHERE way && {{bbox}}"
+    )
+    tiles = {
+        (r.x, r.y)
+        for r in CompiledTemplate(rot)
+        .build({"tables": {"rings": {"frame": ring, "kind": "polygon"}}}, [3], 4096, 0)
+        .select("x", "y")
+        .collect()
+    }
+    # rotated bar spans x ~ [-1e5, 1e5] (one x column at z3), y ~ [2e6, 1.8e7]
+    assert len({x for x, _ in tiles}) <= 2
+    assert len({y for _, y in tiles}) >= 3
+
+    with pytest.raises(DefinitionError, match="numeric literal"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Translate(way, mx, 0), {{bbox}}) AS way "
+            "FROM pts WHERE way && {{bbox}}"
+        ).build({"tables": {"pts": {"frame": pts, "kind": "point"}}}, [2], 4096, 0)
+    with pytest.raises(DefinitionError, match="directly to the geometry"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Rotate(ST_PointOnSurface(way), 0.5), "
+            "{{bbox}}) AS way FROM pts WHERE way && {{bbox}}"
+        ).build({"tables": {"pts": {"frame": pts, "kind": "point"}}}, [2], 4096, 0)

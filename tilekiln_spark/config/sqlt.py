@@ -1203,6 +1203,7 @@ def _geom_item(items: list[Item]):
     rest = []
     simplify_tol = 0.0
     buffer_radius = 0.0
+    affine = None
     for it in items:
         e = it.expr
         if isinstance(e, Func) and e.name.lower() == "st_asmvtgeom":
@@ -1230,6 +1231,48 @@ def _geom_item(items: list[Item]):
                     )
                 simplify_tol = float(inner.args[1].value)
                 inner = inner.args[0]
+            # affine wrapper chain: ST_Translate / ST_Scale / ST_Rotate with
+            # LITERAL parameters, peeled outside-in into ONE composed 2x3
+            # matrix (x' = a x + b y + c; y' = d x + e y + f) applied as a
+            # pre-explode expression pass.  ST_Rotate's trig is hoisted HERE
+            # in Python (math.cos/sin), so the engines fold identical float64
+            # constants — no engine trig in the compiled plan.
+            while isinstance(inner, Func) and inner.name.lower() in (
+                "st_translate",
+                "st_scale",
+                "st_rotate",
+            ):
+                fn = inner.name.lower()
+                nargs = 1 if fn == "st_rotate" else 2
+                params = inner.args[1:]
+                if len(params) != nargs or not all(
+                    isinstance(p, Lit)
+                    and isinstance(p.value, (int, float))
+                    and not isinstance(p.value, bool)
+                    for p in params
+                ):
+                    raise DefinitionError(
+                        f"template SQL: {fn.upper()} takes (geometry, "
+                        f"{nargs} numeric literal parameter"
+                        f"{'s' if nargs > 1 else ''})"
+                    )
+                vals = [float(p.value) for p in params]
+                if fn == "st_translate":
+                    step = (1.0, 0.0, vals[0], 0.0, 1.0, vals[1])
+                elif fn == "st_scale":
+                    step = (vals[0], 0.0, 0.0, 0.0, vals[1], 0.0)
+                else:  # st_rotate: CCW about the origin (PostGIS default)
+                    import math
+
+                    c_, s_ = math.cos(vals[0]), math.sin(vals[0])
+                    step = (c_, -s_, 0.0, s_, c_, 0.0)
+                affine = step if affine is None else _affine_compose(affine, step)
+                inner = inner.args[0]
+            if affine is not None and not isinstance(inner, Ident):
+                raise DefinitionError(
+                    "template SQL: ST_Translate/ST_Scale/ST_Rotate apply "
+                    "directly to the geometry column only"
+                )
             if isinstance(inner, Ident):
                 mode = "plain"
             elif isinstance(inner, Func) and inner.name.lower() == "st_pointonsurface":
@@ -1276,7 +1319,56 @@ def _geom_item(items: list[Item]):
             rest.append(it)
     if mode is None:
         raise DefinitionError("template SQL: SELECT must include ST_AsMVTGeom(...)")
-    return mode, rest, simplify_tol, buffer_radius
+    return mode, rest, simplify_tol, buffer_radius, affine
+
+
+def _affine_compose(outer: tuple, inner: tuple) -> tuple:
+    """Compose two 2x3 affine matrices: result applies ``inner`` FIRST
+    (matrix product outer @ inner on the homogeneous form)."""
+    a1, b1, c1, d1, e1, f1 = outer
+    a2, b2, c2, d2, e2, f2 = inner
+    return (
+        a1 * a2 + b1 * d2,
+        a1 * b2 + b1 * e2,
+        a1 * c2 + b1 * f2 + c1,
+        d1 * a2 + e1 * d2,
+        d1 * b2 + e1 * e2,
+        d1 * c2 + e1 * f2 + f1,
+    )
+
+
+def _apply_affine_cols(frame: DataFrame, kind: str, mat: tuple) -> DataFrame:
+    """Apply the composed affine matrix to a source's geometry columns as a
+    pre-explode expression pass (codegen, no UDF): point sources transform
+    mx/my; plain single-ring tables transform the vertex arrays and
+    RECOMPUTE the bbox (rotation invalidates the stored envelope)."""
+    a, b, c, d, e, f_ = (F.lit(v) for v in mat)
+    if kind == "point":
+        nx = a * F.col("mx") + b * F.col("my") + c
+        ny = d * F.col("mx") + e * F.col("my") + f_
+        return frame.withColumns({"mx": nx, "my": ny})
+    cols = set(frame.columns)
+    if "rings_xs" in cols or "holes_xs" in cols:
+        raise DefinitionError(
+            "template SQL: affine geometry functions are not supported over "
+            "multi-ring/hole layouts (single exterior rings only)"
+        )
+    xs, ys = F.col("ring_xs"), F.col("ring_ys")
+    nxs = F.transform(xs, lambda x, i: a * x + b * F.element_at(ys, i + 1) + c)
+    nys = F.transform(xs, lambda x, i: d * x + e * F.element_at(ys, i + 1) + f_)
+    return frame.withColumns(
+        {
+            "ring_xs": nxs,
+            "ring_ys": nys,
+        }
+    ).withColumns(
+        {
+            "xmin": F.array_min(F.col("ring_xs")),
+            "xmax": F.array_max(F.col("ring_xs")),
+            "ymin": F.array_min(F.col("ring_ys")),
+            "ymax": F.array_max(F.col("ring_ys")),
+        }
+    )
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
@@ -2032,7 +2124,7 @@ class CompiledTemplate:
 
         for zs, query in self._zoom_groups(zooms, extent, buffer):
             for s in query.selects:
-                mode, _, _, _ = _geom_item(s.items)
+                mode, _, _, _, _ = _geom_item(s.items)
                 if mode in ("label", "cluster", "centroid"):
                     return GEOM_POINT
                 if mode == "buffer":
@@ -2067,7 +2159,7 @@ class CompiledTemplate:
                     for it in items_all
                 ]
                 having = _resolve_scalars(having, sources, extent)
-                mode, items, simplify_tol, buf_radius = _geom_item(items_all)
+                mode, items, simplify_tol, buf_radius, affine = _geom_item(items_all)
                 if kind != "point" and _contains_func(where, "st_dwithin"):
                     raise DefinitionError(
                         "template SQL: ST_DWithin is only supported over "
@@ -2104,6 +2196,14 @@ class CompiledTemplate:
                     )
 
                     frame = simplify_ring_cols(frame, simplify_tol)
+                if affine is not None:
+                    if simplify_tol:
+                        raise DefinitionError(
+                            "template SQL: ST_Simplify cannot wrap affine "
+                            "geometry functions (apply ST_Simplify to the "
+                            "source before transforming)"
+                        )
+                    frame = _apply_affine_cols(frame, kind, affine)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)
                 if where is not None:
