@@ -1233,6 +1233,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_segmentize"] = line_segmentize
 
+    def line_substring(spark, sf_dir):
+        """PostGIS ST_LineSubstring over the zigzag polyline fixtures
+        (functions/geometry.py line_substring): the [0.2, 0.75] fraction
+        window of each line — cut points from the shared
+        line_interpolate_point machinery, interior vertices by the
+        strict-between cumulative-length filter; every output vertex
+        value-checked row-by-row via posexplode."""
+        from tilekiln_spark.functions.geometry import line_substring
+
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        df = spark.createDataFrame(
+            rows, "line_id int, xs array<double>, ys array<double>"
+        )
+        sx, sy = line_substring(F.col("xs"), F.col("ys"), 0.2, 0.75)
+        return (
+            df.select(
+                "line_id", F.posexplode(F.arrays_zip(sx.alias("x"), sy.alias("y")))
+            )
+            .select(
+                "line_id",
+                F.col("pos").cast("int").alias("seq"),
+                F.round(F.col("col.x"), 6).alias("px"),
+                F.round(F.col("col.y"), 6).alias("py"),
+            )
+        )
+
+    q["line_substring"] = line_substring
+
     def line_locate(spark, sf_dir):
         """PostGIS ST_LineLocatePoint (inverse linear referencing): the
         fraction along zigzag line 2 of each doc's closest point — the
@@ -3250,6 +3281,41 @@ WHERE way && {{bbox}} AND source NOT LIKE 'src1%' AND NOT (lang ILIKE 'ZH')
 
     q["template_compile_affine"] = template_compile_affine
 
+    def template_compile_snap(spark, sf_dir):
+        """Round-4 compiler tier (config/sqlt.py): ST_SnapToGrid +
+        ST_Affine (PostGIS 2D form) chained inside ST_AsMVTGeom — the
+        affine applies innermost, then the snap rounds to 250 km grid
+        nodes (floor(v/s + 0.5)*s, the round-half-convention-free form);
+        both compile to ONE pre-explode expression pass.  Checked per
+        (zoom, lang): feature count, exact snapped-coordinate sums, and
+        the distinct grid-node count."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = (
+            "SELECT ST_AsMVTGeom(ST_SnapToGrid(ST_Affine("
+            "way, 0.5, 0, 0, 0.5, 1000000, -500000), 250000), "
+            "{{bbox}}, {{extent}}) AS way, lang FROM docs_geo "
+            "WHERE way && {{bbox}}"
+        )
+        feats = CompiledTemplate(body).build(
+            {"tables": {"docs_geo": {"frame": d, "kind": "point"}}},
+            [3],
+            4096,
+            0,
+        )
+        node_key = (F.col("mx") / F.lit(250000.0)) * F.lit(1000.0) + (
+            F.col("my") / F.lit(250000.0)
+        )
+        return feats.groupBy("zoom", "lang").agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("mx") / F.lit(1e6) + 0.0).alias("sum_sx_mm"),
+            (F.sum("my") / F.lit(1e6) + 0.0).alias("sum_sy_mm"),
+            F.count_distinct(node_key).alias("n_nodes"),
+        )
+
+    q["template_compile_snap"] = template_compile_snap
+
     def template_compile_dwithin(spark, sf_dir):
         """Round-4 compiler tier (config/sqlt.py): PostGIS ST_DWithin
         proximity predicates — ST_SetSRID/ST_MakePoint/ST_Point forms, plain
@@ -4710,6 +4776,25 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    # the compiled chain: affine (0.5 scale + translate) innermost, then the
+    # 250 km snap — the SAME term shapes the compiler emits (incl. the 0.0*my
+    # cross term), so both engines fold identical float64 arithmetic
+    _sx = "(floor((0.5 * mx + 0.0 * my + 1000000.0) / 250000.0 + 0.5) * 250000.0)"
+    _sy = "(floor((0.0 * mx + 0.5 * my + (-500000.0)) / 250000.0 + 0.5) * 250000.0)"
+    o["template_compile_snap"] = f"""
+        {_GEO_CTE}, snapped AS (
+            SELECT lang, {_sx} AS sx, {_sy} AS sy FROM geo
+        )
+        SELECT 3 AS zoom, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(sx) / 1e6 + 0.0 AS sum_sx_mm,
+               sum(sy) / 1e6 + 0.0 AS sum_sy_mm,
+               CAST(count(DISTINCT (sx / 250000.0) * 1000.0 + (sy / 250000.0))
+                    AS BIGINT) AS n_nodes
+        FROM snapped
+        GROUP BY 1, 2
+    """
+
     o["snap_grid_dissolve"] = f"""
         {_GEO_CTE}
         SELECT floor(mx / 2500000.0 + 0.5) * 2500000.0 AS sx,
@@ -4822,6 +4907,18 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
         + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
         + "FROM segd CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
+    )
+
+    from tilekiln_spark.functions.geometry import line_substring_sql
+
+    sub_x, sub_y = line_substring_sql("xs", "ys", 0.2, 0.75)
+    o["line_substring"] = (
+        "WITH lines(line_id, xs, ys) AS (VALUES "
+        + ", ".join(li_rows)
+        + f"), subd AS (SELECT line_id, {sub_x} AS sx, {sub_y} AS sy FROM lines) "
+        + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
+        + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
+        + "FROM subd CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
     )
 
     # hull membership decided the set-theoretic way (no chain algorithm):

@@ -855,3 +855,64 @@ def test_closest_point_on_chain(spark):
             f"SELECT {sqlx}, {sqly} FROM (SELECT {arr(xs)} xs, {arr(ys)} ys)"
         ).fetchone()
         assert dd == out[(gid, closed)]
+
+
+_SUBSTR_FIXTURE = [
+    # (gid, f1, f2, xs, ys, want_xs, want_ys)
+    # L-chain len 8, exact quarter cuts: start mid-edge-1, keep the corner,
+    # end mid-edge-2
+    (0, 0.25, 0.75, [0.0, 4.0, 4.0], [0.0, 0.0, 4.0],
+     [2.0, 4.0, 4.0], [0.0, 0.0, 2.0]),
+    # cuts landing EXACTLY on vertices: strict interior filter never
+    # duplicates them
+    (1, 0.5, 1.0, [0.0, 2.0, 4.0], [0.0, 0.0, 0.0],
+     [2.0, 4.0], [0.0, 0.0]),
+    # whole line
+    (2, 0.0, 1.0, [0.0, 2.0, 4.0], [0.0, 0.0, 0.0],
+     [0.0, 2.0, 4.0], [0.0, 0.0, 0.0]),
+    # f1 == f2: deterministic degenerate [p, p]
+    (3, 0.5, 0.5, [0.0, 4.0], [0.0, 0.0], [2.0, 2.0], [0.0, 0.0]),
+    # single vertex passthrough
+    (4, 0.2, 0.8, [7.0], [9.0], [7.0], [9.0]),
+    # empty / null guards
+    (5, 0.2, 0.8, [], [], None, None),
+    (6, 0.2, 0.8, None, None, None, None),
+]
+
+
+def test_line_substring(spark):
+    """PostGIS ST_LineSubstring goldens on exact-float cuts, vertex-exact
+    cuts (no duplicate vertices), degenerate guards, and per-row DuckDB
+    twin bit-equality."""
+    from tilekiln_spark.functions.geometry import (
+        line_substring,
+        line_substring_sql,
+    )
+
+    got = {}
+    for g, f1, f2, xs, ys, _, _ in _SUBSTR_FIXTURE:
+        df = spark.createDataFrame(
+            [(g, xs, ys)], "gid int, xs array<double>, ys array<double>"
+        )
+        sx, sy = line_substring(F.col("xs"), F.col("ys"), f1, f2)
+        r = df.select(sx.alias("sx"), sy.alias("sy")).collect()[0]
+        got[g] = (r.sx, r.sy)
+    for g, f1, f2, xs, ys, wxs, wys in _SUBSTR_FIXTURE:
+        assert got[g] == (wxs, wys), g
+
+    con = duckdb.connect()
+    for g, f1, f2, xs, ys, _, _ in _SUBSTR_FIXTURE:
+        sx_sql, sy_sql = line_substring_sql("xs", "ys", f1, f2)
+        lit = (
+            "NULL::DOUBLE[], NULL::DOUBLE[]"
+            if xs is None
+            else f"{xs!r}::DOUBLE[], {ys!r}::DOUBLE[]"
+        )
+        want = con.execute(
+            f"WITH t(xs, ys) AS (VALUES ({lit})) "
+            f"SELECT {sx_sql}, {sy_sql} FROM t"
+        ).fetchone()
+        assert got[g] == tuple(want), g
+
+    with pytest.raises(ValueError, match="0 <= f1 <= f2 <= 1"):
+        line_substring(F.col("xs"), F.col("ys"), 0.8, 0.2)

@@ -1626,3 +1626,65 @@ def test_affine_tier_point_and_ring(spark):
             "SELECT ST_AsMVTGeom(ST_Rotate(ST_PointOnSurface(way), 0.5), "
             "{{bbox}}) AS way FROM pts WHERE way && {{bbox}}"
         ).build({"tables": {"pts": {"frame": pts, "kind": "point"}}}, [2], 4096, 0)
+
+
+def test_snap_and_st_affine_tier(spark):
+    """ST_SnapToGrid and ST_Affine (PostGIS 2D form) compile in the
+    geometry-op chain: snap rounds to grid nodes AFTER an inner affine
+    (chain order matters and is preserved); consecutive affines still
+    compose into one matrix; sizes must be positive literals."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.1e6, 2.6e6, "a"), (-3.4e6, 5.0e5, "b")],
+        "mx double, my double, lang string",
+    )
+    src = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+
+    # plain snap: nearest 1e6-node
+    got = {
+        r.lang: (r.mx, r.my)
+        for r in CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_SnapToGrid(way, 1000000), {{bbox}}, "
+            "{{extent}}) AS way, lang FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0).collect()
+    }
+    assert got["a"] == (1.0e6, 3.0e6)
+    assert got["b"] == (-3.0e6, 1.0e6)  # floor(0.5/1 + 0.5) = 1 (half up)
+
+    # chain order: ST_SnapToGrid(ST_Affine(way, 2,0,0,2, 100000, 0), 1e6)
+    # doubles first, then snaps — NOT the other way around
+    got = {
+        r.lang: (r.mx, r.my)
+        for r in CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_SnapToGrid(ST_Affine(way, 2, 0, 0, 2, "
+            "100000, 0), 1000000), {{bbox}}, {{extent}}) AS way, lang "
+            "FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0).collect()
+    }
+    # a: (1.1e6*2 + 1e5, 2.6e6*2) = (2.3e6, 5.2e6) -> (2e6, 5e6)
+    assert got["a"] == (2.0e6, 5.0e6)
+    # b: (-3.4e6*2 + 1e5, 5e5*2) = (-6.7e6, 1.0e6) -> snap x: floor(-6.7+0.5)
+    # = floor(-6.2) = -7
+    assert got["b"] == (-7.0e6, 1.0e6)
+
+    # anisotropic 2-size form
+    got = {
+        r.lang: (r.mx, r.my)
+        for r in CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_SnapToGrid(way, 1000000, 500000), "
+            "{{bbox}}, {{extent}}) AS way, lang FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0).collect()
+    }
+    assert got["a"] == (1.0e6, 2.5e6)
+
+    with pytest.raises(DefinitionError, match="must be positive"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_SnapToGrid(way, 0), {{bbox}}) AS way "
+            "FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0)
+    with pytest.raises(DefinitionError, match="numeric literal"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(ST_Affine(way, 1, 0, 0, 1, mx, 0), "
+            "{{bbox}}) AS way FROM pts WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0)

@@ -1203,7 +1203,7 @@ def _geom_item(items: list[Item]):
     rest = []
     simplify_tol = 0.0
     buffer_radius = 0.0
-    affine = None
+    geom_ops: list[tuple] = []
     for it in items:
         e = it.expr
         if isinstance(e, Func) and e.name.lower() == "st_asmvtgeom":
@@ -1231,48 +1231,82 @@ def _geom_item(items: list[Item]):
                     )
                 simplify_tol = float(inner.args[1].value)
                 inner = inner.args[0]
-            # affine wrapper chain: ST_Translate / ST_Scale / ST_Rotate with
-            # LITERAL parameters, peeled outside-in into ONE composed 2x3
-            # matrix (x' = a x + b y + c; y' = d x + e y + f) applied as a
-            # pre-explode expression pass.  ST_Rotate's trig is hoisted HERE
-            # in Python (math.cos/sin), so the engines fold identical float64
+            # geometry-op wrapper chain: ST_Translate / ST_Scale / ST_Rotate
+            # / ST_Affine (2D form) / ST_SnapToGrid with LITERAL parameters,
+            # peeled outside-in.  Consecutive affine steps compose into ONE
+            # 2x3 matrix (x' = a x + b y + c; y' = d x + e y + f); snap
+            # steps (round-to-grid, a floor — not affine) stay separate ops
+            # applied in chain order.  Everything compiles to a pre-explode
+            # expression pass.  ST_Rotate's trig is hoisted HERE in Python
+            # (math.cos/sin), so the engines fold identical float64
             # constants — no engine trig in the compiled plan.
-            while isinstance(inner, Func) and inner.name.lower() in (
-                "st_translate",
-                "st_scale",
-                "st_rotate",
-            ):
+            _GEOM_OP_FNS = {
+                "st_translate": 2,
+                "st_scale": 2,
+                "st_rotate": 1,
+                "st_affine": 6,
+                "st_snaptogrid": None,  # 1 or 2 params
+            }
+            while isinstance(inner, Func) and inner.name.lower() in _GEOM_OP_FNS:
                 fn = inner.name.lower()
-                nargs = 1 if fn == "st_rotate" else 2
+                nargs = _GEOM_OP_FNS[fn]
                 params = inner.args[1:]
-                if len(params) != nargs or not all(
+                ok_arity = (
+                    len(params) in (1, 2) if nargs is None else len(params) == nargs
+                )
+                if not ok_arity or not all(
                     isinstance(p, Lit)
                     and isinstance(p.value, (int, float))
                     and not isinstance(p.value, bool)
                     for p in params
                 ):
+                    want = "1 or 2" if nargs is None else str(nargs)
                     raise DefinitionError(
                         f"template SQL: {fn.upper()} takes (geometry, "
-                        f"{nargs} numeric literal parameter"
-                        f"{'s' if nargs > 1 else ''})"
+                        f"{want} numeric literal parameter"
+                        f"{'' if nargs == 1 else 's'})"
                     )
                 vals = [float(p.value) for p in params]
+                if fn == "st_snaptogrid":
+                    sx = vals[0]
+                    sy = vals[1] if len(vals) == 2 else vals[0]
+                    if sx <= 0 or sy <= 0:
+                        raise DefinitionError(
+                            "template SQL: ST_SnapToGrid sizes must be positive"
+                        )
+                    geom_ops.append(("snap", (sx, sy)))
+                    inner = inner.args[0]
+                    continue
                 if fn == "st_translate":
                     step = (1.0, 0.0, vals[0], 0.0, 1.0, vals[1])
                 elif fn == "st_scale":
                     step = (vals[0], 0.0, 0.0, 0.0, vals[1], 0.0)
+                elif fn == "st_affine":
+                    # PostGIS 2D form: ST_Affine(geom, a, b, d, e, xoff, yoff)
+                    a_, b_, d_, e_, xo, yo = vals
+                    step = (a_, b_, xo, d_, e_, yo)
                 else:  # st_rotate: CCW about the origin (PostGIS default)
                     import math
 
                     c_, s_ = math.cos(vals[0]), math.sin(vals[0])
                     step = (c_, -s_, 0.0, s_, c_, 0.0)
-                affine = step if affine is None else _affine_compose(affine, step)
+                # this step is INSIDE every op peeled so far: compose with a
+                # preceding affine, or start a new op cell
+                if geom_ops and geom_ops[-1][0] == "affine":
+                    geom_ops[-1] = (
+                        "affine",
+                        _affine_compose(geom_ops[-1][1], step),
+                    )
+                else:
+                    geom_ops.append(("affine", step))
                 inner = inner.args[0]
-            if affine is not None and not isinstance(inner, Ident):
+            if geom_ops and not isinstance(inner, Ident):
                 raise DefinitionError(
-                    "template SQL: ST_Translate/ST_Scale/ST_Rotate apply "
-                    "directly to the geometry column only"
+                    "template SQL: ST_Translate/ST_Scale/ST_Rotate/ST_Affine/"
+                    "ST_SnapToGrid apply directly to the geometry column only"
                 )
+            # peeled outside-in -> reverse to application (innermost-first)
+            geom_ops.reverse()
             if isinstance(inner, Ident):
                 mode = "plain"
             elif isinstance(inner, Func) and inner.name.lower() == "st_pointonsurface":
@@ -1319,7 +1353,7 @@ def _geom_item(items: list[Item]):
             rest.append(it)
     if mode is None:
         raise DefinitionError("template SQL: SELECT must include ST_AsMVTGeom(...)")
-    return mode, rest, simplify_tol, buffer_radius, affine
+    return mode, rest, simplify_tol, buffer_radius, geom_ops
 
 
 def _affine_compose(outer: tuple, inner: tuple) -> tuple:
@@ -1337,25 +1371,44 @@ def _affine_compose(outer: tuple, inner: tuple) -> tuple:
     )
 
 
-def _apply_affine_cols(frame: DataFrame, kind: str, mat: tuple) -> DataFrame:
-    """Apply the composed affine matrix to a source's geometry columns as a
-    pre-explode expression pass (codegen, no UDF): point sources transform
-    mx/my; plain single-ring tables transform the vertex arrays and
-    RECOMPUTE the bbox (rotation invalidates the stored envelope)."""
-    a, b, c, d, e, f_ = (F.lit(v) for v in mat)
+def _apply_geom_ops(frame: DataFrame, kind: str, ops: list[tuple]) -> DataFrame:
+    """Apply the peeled geometry-op chain (innermost first) to a source's
+    geometry columns as a pre-explode expression pass (codegen, no UDF):
+    point sources transform mx/my; plain single-ring tables transform the
+    vertex arrays and RECOMPUTE the bbox (rotation/snap invalidate the
+    stored envelope).  Ops: ("affine", 2x3 matrix) applies
+    x' = a x + b y + c, y' = d x + e y + f; ("snap", (sx, sy)) applies
+    PostGIS ST_SnapToGrid's round-to-nearest-node, spelled
+    floor(v/s + 0.5)*s so both engines fold the identical form (no
+    round-half-to-even dependence)."""
+
+    def chain(x: Column, y: Column) -> tuple[Column, Column]:
+        for op, p in ops:
+            if op == "affine":
+                a, b, c, d, e, f_ = (F.lit(v) for v in p)
+                x, y = a * x + b * y + c, d * x + e * y + f_
+            else:  # snap
+                sx, sy = (F.lit(v) for v in p)
+                x = F.floor(x / sx + F.lit(0.5)) * sx
+                y = F.floor(y / sy + F.lit(0.5)) * sy
+        return x, y
+
     if kind == "point":
-        nx = a * F.col("mx") + b * F.col("my") + c
-        ny = d * F.col("mx") + e * F.col("my") + f_
+        nx, ny = chain(F.col("mx"), F.col("my"))
         return frame.withColumns({"mx": nx, "my": ny})
     cols = set(frame.columns)
     if "rings_xs" in cols or "holes_xs" in cols:
         raise DefinitionError(
-            "template SQL: affine geometry functions are not supported over "
-            "multi-ring/hole layouts (single exterior rings only)"
+            "template SQL: affine/snap geometry functions are not supported "
+            "over multi-ring/hole layouts (single exterior rings only)"
         )
     xs, ys = F.col("ring_xs"), F.col("ring_ys")
-    nxs = F.transform(xs, lambda x, i: a * x + b * F.element_at(ys, i + 1) + c)
-    nys = F.transform(xs, lambda x, i: d * x + e * F.element_at(ys, i + 1) + f_)
+    nxs = F.transform(
+        xs, lambda x, i: chain(x, F.element_at(ys, i + 1))[0]
+    )
+    nys = F.transform(
+        xs, lambda x, i: chain(x, F.element_at(ys, i + 1))[1]
+    )
     return frame.withColumns(
         {
             "ring_xs": nxs,
@@ -2159,7 +2212,9 @@ class CompiledTemplate:
                     for it in items_all
                 ]
                 having = _resolve_scalars(having, sources, extent)
-                mode, items, simplify_tol, buf_radius, affine = _geom_item(items_all)
+                mode, items, simplify_tol, buf_radius, geom_ops = _geom_item(
+                    items_all
+                )
                 if kind != "point" and _contains_func(where, "st_dwithin"):
                     raise DefinitionError(
                         "template SQL: ST_DWithin is only supported over "
@@ -2196,14 +2251,14 @@ class CompiledTemplate:
                     )
 
                     frame = simplify_ring_cols(frame, simplify_tol)
-                if affine is not None:
+                if geom_ops:
                     if simplify_tol:
                         raise DefinitionError(
-                            "template SQL: ST_Simplify cannot wrap affine "
+                            "template SQL: ST_Simplify cannot wrap affine/snap "
                             "geometry functions (apply ST_Simplify to the "
                             "source before transforming)"
                         )
-                    frame = _apply_affine_cols(frame, kind, affine)
+                    frame = _apply_geom_ops(frame, kind, geom_ops)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)
                 if where is not None:

@@ -439,6 +439,96 @@ def line_interpolate_point_sql(xs: str, ys: str, frac: float) -> tuple[str, str]
     return out(xs), out(ys)
 
 
+def line_substring(
+    xs: Column, ys: Column, f1: float, f2: float
+) -> tuple[Column, Column]:
+    """PostGIS ``ST_LineSubstring``: the sub-polyline between fractions
+    ``f1`` and ``f2`` (0 <= f1 <= f2 <= 1) of the total length — pure
+    higher-order expressions (no UDF), the natural completion of the
+    linear-referencing family (:func:`line_interpolate_point` /
+    :func:`line_locate_point`; reference parity target: the PostGIS
+    function templates call, tilekiln executes via definition.py's
+    arbitrary-SQL contract).
+
+    Construction: the two cut points come from
+    :func:`line_interpolate_point` at f1/f2 (same cums machinery, bit-
+    identical across engines); interior vertices are the original vertices
+    whose cumulative length lies STRICTLY between the two targets (strict,
+    so a cut landing exactly on a vertex never duplicates it).  Returns
+    (sub_xs, sub_ys) arrays.
+
+    Degenerate inputs: a single vertex returns a 1-element array of
+    itself; null arrays null-propagate.  ``f1 == f2`` returns the 2-element
+    degenerate [p, p] (deterministic; PostGIS returns POINT there)."""
+    if not (0.0 <= f1 <= f2 <= 1.0):
+        raise ValueError("line_substring requires 0 <= f1 <= f2 <= 1")
+    n = F.size(xs)
+
+    def elen(i: Column) -> Column:
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    cums = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), i), F.lit(0.0), lambda acc, k: acc + elen(k)
+        ),
+    )
+    total = F.element_at(cums, -1)
+    t1 = F.lit(float(f1)) * total
+    t2 = F.lit(float(f2)) * total
+    p1x, p1y = line_interpolate_point(xs, ys, f1)
+    p2x, p2y = line_interpolate_point(xs, ys, f2)
+    interior = F.filter(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: (F.element_at(cums, i) > t1) & (F.element_at(cums, i) < t2),
+    )
+
+    def sub(arr: Column, p1: Column, p2: Column) -> Column:
+        mids = F.transform(interior, lambda i: F.element_at(arr, i + 1))
+        val = F.concat(F.array(p1), mids, F.array(p2))
+        return F.when(n >= 2, val).otherwise(
+            F.when(n == 1, F.array(F.element_at(arr, F.lit(1))))
+        )
+
+    return sub(xs, p1x, p2x), sub(ys, p1y, p2y)
+
+
+def line_substring_sql(xs: str, ys: str, f1: float, f2: float) -> tuple[str, str]:
+    """DuckDB twin of :func:`line_substring` — identical arithmetic: the
+    same cums expression, the same strict-interior filter, cut points from
+    :func:`line_interpolate_point_sql`.  Returns (sub_xs_sql, sub_ys_sql)."""
+    nn = f"len({xs})"
+    dx = f"({xs}[k + 1] - {xs}[k])"
+    dy = f"({ys}[k + 1] - {ys}[k])"
+    ek = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    cums = (
+        f"list_transform(range(1, {nn}), i -> "
+        f"list_sum(list_transform(range(1, i + 1), k -> {ek})))"
+    )
+    total = f"({cums})[{nn} - 1]"
+    t1 = f"({f1!r} * {total})"
+    t2 = f"({f2!r} * {total})"
+    p1x, p1y = line_interpolate_point_sql(xs, ys, f1)
+    p2x, p2y = line_interpolate_point_sql(xs, ys, f2)
+    interior = (
+        f"list_filter(range(1, {nn}), i -> "
+        f"({cums})[i] > {t1} AND ({cums})[i] < {t2})"
+    )
+
+    def sub(arr: str, p1: str, p2: str) -> str:
+        mids = f"list_transform({interior}, i -> {arr}[i + 1])"
+        val = f"list_concat(list_concat([{p1}], {mids}), [{p2}])"
+        return (
+            f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+            f"WHEN {nn} >= 2 THEN {val} "
+            f"WHEN {nn} = 1 THEN [{arr}[1]] END)"
+        )
+
+    return sub(xs, p1x, p2x), sub(ys, p1y, p2y)
+
+
 def ring_ring_distance(
     axs: Column, ays: Column, bxs: Column, bys: Column
 ) -> Column:
