@@ -396,6 +396,39 @@ _LINES_B_UV = [
 ]
 
 
+_CONTAIN_POLYS_UV = [
+    # (pid, [(u, v) ring vertices, no closing repeat])
+    (200, [(1.0, 1.0), (2.5, 1.0), (2.5, 2.0), (1.0, 2.0)]),   # contains line 0
+    (201, [(3.0, 0.25), (4.0, 0.25), (4.0, 2.0), (3.0, 2.0)]), # line 2 exits
+    (202, [(0.05, 0.05), (3.95, 0.05), (3.95, 3.95), (0.05, 3.95)]),  # WHALE: all
+    (203, [(0.5, 2.5), (1.5, 2.5), (1.5, 3.75), (0.5, 3.75)]), # line 3 bbox: touch
+    (204, [(0.1, 0.1), (0.2, 0.1), (0.2, 0.2), (0.1, 0.2)]),   # disjoint
+]
+
+
+def _contain_poly_fixture(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    rows = []
+    for pid, uv in _CONTAIN_POLYS_UV:
+        pts = _line_merc(uv)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rows.append(
+            {
+                "polygon_id": pid,
+                "xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys),
+                "ring_xs": xs, "ring_ys": ys,
+            }
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+
+
 def _line_fixture_b(spark: SparkSession) -> DataFrame:
     import pandas as pd
 
@@ -1384,6 +1417,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["line_intersect_join"] = line_intersect_join
+
+    def line_in_polygon_join(spark, sf_dir):
+        """Polyline-within-polygon join ("roads inside each admin area" —
+        PostGIS ST_Contains(poly, line) class, strict ST_ContainsProperly
+        contract): the SAME PBSM candidate stage as the intersect joins +
+        the chain-in-ring refine (edge-pair boundary test, then ONE
+        raycast — a boundary-free chain cannot change sides).  The fixture
+        exercises strict containment, an exiting line, a grid WHALE
+        polygon (both whale routes run: line 1 is an A-side whale, poly
+        202 a B-side whale), exact boundary touch (excluded), and a
+        disjoint polygon.  Twin = cross join + the generated
+        chain_in_ring_sql kernel (bit-identical decision arithmetic)."""
+        from tilekiln_spark.operators.spatial_join import lines_in_polygons_join
+
+        lines = _line_fixture(spark)
+        polys = _contain_poly_fixture(spark)
+        out = lines_in_polygons_join(lines, polys, grid_zoom=4)
+        return (
+            out.select(
+                F.col("polygon_id").alias("line_id"),
+                F.col("b_polygon_id").alias("poly_id"),
+            )
+            .orderBy("line_id", "poly_id")
+        )
+
+    q["line_in_polygon_join"] = line_in_polygon_join
 
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
@@ -4749,6 +4808,18 @@ def oracle_sql() -> dict[str, str]:
         FROM a CROSS JOIN b
         WHERE {_ci}
         ORDER BY a_id, b_id
+    """
+
+    from tilekiln_spark.functions.geometry import chain_in_ring_sql
+
+    _cir = chain_in_ring_sql("l.xs", "l.ys", "p.xs", "p.ys")
+    o["line_in_polygon_join"] = f"""
+        WITH l(lid, xs, ys) AS (VALUES {_line_chain_values_sql(_LINES_UV)}),
+             p(pid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)})
+        SELECT l.lid AS line_id, p.pid AS poly_id
+        FROM l CROSS JOIN p
+        WHERE {_cir}
+        ORDER BY line_id, poly_id
     """
 
     import math as _m

@@ -409,3 +409,83 @@ def test_lines_intersect_join_matches_brute_force(spark):
     assert set(got) == want
     # the two whales cross each other; whale routes must have executed
     assert (100, 200) in want
+
+
+def test_lines_in_polygons_join(spark):
+    """Chain-in-ring containment join: strict interior containment,
+    boundary touch excluded, crossing excluded, whale routes on both
+    sides, no duplicate pairs, and DuckDB-twin bit-equality per pair."""
+    import duckdb
+    import pandas as pd
+
+    from tilekiln_spark.functions.geometry import chain_in_ring_sql
+    from tilekiln_spark.operators.spatial_join import (
+        _chain_in_ring_np,
+        lines_in_polygons_join,
+    )
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+    W = 2.0037508342789244e7
+
+    def row(pid, xs, ys):
+        return {
+            "polygon_id": pid,
+            "xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys),
+            "ring_xs": xs, "ring_ys": ys,
+        }
+
+    lines = [
+        row(0, [1.0e6, 2.0e6, 3.0e6], [1.0e6, 2.5e6, 1.0e6]),   # inside P10
+        row(1, [1.0e6, 6.0e6], [1.0e6, 1.0e6]),                 # exits P10
+        row(2, [0.0, 4.0e6], [4.0e6, 4.0e6]),                   # touches P10 top
+        row(3, [-W * 0.9, W * 0.9], [-W * 0.9, W * 0.9]),       # A-side whale
+        row(4, [7.0e6, 8.0e6], [7.0e6, 8.0e6]),                 # outside P10
+    ]
+    polys = [
+        row(10, [0.0, 4.0e6, 4.0e6, 0.0], [0.0, 0.0, 4.0e6, 4.0e6]),
+        # B-side whale: near-world square, contains lines 0-2, 4 AND whale 3
+        row(11, [-W * 0.99, W * 0.99, W * 0.99, -W * 0.99],
+                [-W * 0.99, -W * 0.99, W * 0.99, W * 0.99]),
+        row(12, [9.0e6, 9.5e6, 9.5e6, 9.0e6], [9.0e6, 9.0e6, 9.5e6, 9.5e6]),
+    ]
+    a = spark.createDataFrame(pd.DataFrame(lines), schema)
+    b = spark.createDataFrame(pd.DataFrame(polys), schema)
+    got = [
+        (r.polygon_id, r.b_polygon_id)
+        for r in lines_in_polygons_join(a, b, grid_zoom=4)
+        .select("polygon_id", "b_polygon_id")
+        .collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate candidate pairs leaked"
+    want = set()
+    for ra in lines:
+        for rb in polys:
+            if _chain_in_ring_np(
+                np.array(ra["ring_xs"]), np.array(ra["ring_ys"]),
+                np.array(rb["ring_xs"]), np.array(rb["ring_ys"]),
+            ):
+                want.add((ra["polygon_id"], rb["polygon_id"]))
+    assert set(got) == want
+    assert (0, 10) in want and (1, 10) not in want and (2, 10) not in want
+    assert (3, 11) in want and (0, 11) in want and (4, 10) not in want
+
+    # twin bit-equality over the full cross product
+    con = duckdb.connect()
+    def arr(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+    for ra in lines:
+        for rb in polys:
+            sql = chain_in_ring_sql("lxs", "lys", "rxs", "rys")
+            dd = con.execute(
+                f"SELECT {sql} FROM (SELECT {arr(ra['ring_xs'])} lxs, "
+                f"{arr(ra['ring_ys'])} lys, {arr(rb['ring_xs'])} rxs, "
+                f"{arr(rb['ring_ys'])} rys)"
+            ).fetchone()[0]
+            np_hit = _chain_in_ring_np(
+                np.array(ra["ring_xs"]), np.array(ra["ring_ys"]),
+                np.array(rb["ring_xs"]), np.array(rb["ring_ys"]),
+            )
+            assert bool(dd) == np_hit, (ra["polygon_id"], rb["polygon_id"])

@@ -175,6 +175,70 @@ def rings_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def chain_in_ring_sql(lxs: str, lys: str, rxs: str, rys: str) -> str:
+    """DuckDB twin of the chain-in-ring ST_ContainsProperly kernel
+    (operators/spatial_join.py _chain_in_ring_np): NO chain edge crosses or
+    touches any ring edge (boundary contact excludes), AND the first chain
+    vertex raycasts inside.  Same multiply/subtract/compare order as the
+    numpy kernel — bit-identical decisions; the raycast division sits
+    behind the straddle CASE (never zero there)."""
+    # even-odd raycast for chain vertex 1 (SQL arrays are 1-based)
+    jr = f"(j % len({rxs})) + 1"
+    px, py = f"{lxs}[1]", f"{lys}[1]"
+    cross = (
+        f"CASE WHEN (({rys}[j] > {py}) != ({rys}[{jr}] > {py})) "
+        f"THEN CASE WHEN {px} < {rxs}[j] + ({py} - {rys}[j]) "
+        f"* ({rxs}[{jr}] - {rxs}[j]) / ({rys}[{jr}] - {rys}[j]) "
+        f"THEN 1 ELSE 0 END ELSE 0 END"
+    )
+    inside = (
+        f"(list_sum(list_transform(range(1, len({rxs}) + 1), j -> {cross})) % 2) = 1"
+    )
+
+    # chain edge i (no wrap: i in 1..len-1) vs ring edge j (wrap)
+    p1x, p1y = f"{lxs}[i]", f"{lys}[i]"
+    p2x, p2y = f"{lxs}[i + 1]", f"{lys}[i + 1]"
+    q1x, q1y = f"{rxs}[j]", f"{rys}[j]"
+    q2x, q2y = f"{rxs}[{jr}]", f"{rys}[{jr}]"
+
+    def orient(ox, oy, dx, dy, px_, py_) -> str:
+        return f"(({dx} - {ox}) * ({py_} - {oy}) - ({dy} - {oy}) * ({px_} - {ox}))"
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (
+        f"((({o1}) > 0 AND ({o2}) < 0) OR (({o1}) < 0 AND ({o2}) > 0)) "
+        f"AND ((({o3}) > 0 AND ({o4}) < 0) OR (({o3}) < 0 AND ({o4}) > 0))"
+    )
+
+    def onseg(ox, oy, dx, dy, px_, py_, o) -> str:
+        return (
+            f"(({o}) = 0 AND {px_} >= least({ox}, {dx}) AND {px_} <= greatest({ox}, {dx}) "
+            f"AND {py_} >= least({oy}, {dy}) AND {py_} <= greatest({oy}, {dy}))"
+        )
+
+    touch = " OR ".join(
+        [
+            onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1),
+            onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2),
+            onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3),
+            onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4),
+        ]
+    )
+    boundary = (
+        f"coalesce(list_max(flatten(list_transform(range(1, len({lxs})), i -> "
+        f"list_transform(range(1, len({rxs}) + 1), j -> "
+        f"CASE WHEN ({proper}) OR ({touch}) THEN 1 ELSE 0 END)))), 0) = 1"
+    )
+    return (
+        f"(CASE WHEN {lxs} IS NULL OR {lys} IS NULL OR {rxs} IS NULL "
+        f"OR {rys} IS NULL OR len({lxs}) < 2 OR len({rxs}) < 3 THEN FALSE "
+        f"ELSE (NOT ({boundary})) AND ({inside}) END)"
+    )
+
+
 def _pt_seg(
     px: Column, py: Column, x1: Column, y1: Column, x2: Column, y2: Column
 ) -> tuple[Column, Column]:

@@ -918,3 +918,108 @@ def lines_intersect_join(
         F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
     )
     return candidates.filter(hit)
+
+
+def _chain_in_ring_np(lx, ly, rx, ry) -> bool:
+    """Exact ``ST_ContainsProperly(polygon, line)`` test over a candidate
+    (open chain, simple exterior ring) pair: the chain lies entirely in the
+    ring's INTERIOR.  Decision: (1) no chain edge crosses OR touches any
+    ring edge (boundary contact excludes — the strict/proper variant, a
+    deterministic contract where PostGIS's ST_Contains admits boundary
+    touches); (2) given a boundary-free chain, the whole chain lies in one
+    component of the plane, so ONE even-odd raycast on the first vertex
+    decides.  Same multiply/subtract/compare order as the generated SQL
+    twin (functions/geometry.py chain_in_ring_sql) — bit-identical
+    decisions across engines."""
+    if len(lx) < 2 or len(rx) < 3:
+        return False
+    p1x, p1y = lx[:-1, None], ly[:-1, None]
+    p2x, p2y = lx[1:, None], ly[1:, None]
+    q1x, q1y = rx[None, :], ry[None, :]
+    q2x, q2y = np.roll(rx, -1)[None, :], np.roll(ry, -1)[None, :]
+
+    def orient(ox, oy, dx_, dy_, px_, py_):
+        return (dx_ - ox) * (py_ - oy) - (dy_ - oy) * (px_ - ox)
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    proper = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    if proper.any():
+        return False
+
+    def onseg(ox, oy, dx_, dy_, px_, py_, o):
+        return (
+            (o == 0)
+            & (px_ >= np.minimum(ox, dx_))
+            & (px_ <= np.maximum(ox, dx_))
+            & (py_ >= np.minimum(oy, dy_))
+            & (py_ <= np.maximum(oy, dy_))
+        )
+
+    touch = (
+        onseg(p1x, p1y, p2x, p2y, q1x, q1y, o1)
+        | onseg(p1x, p1y, p2x, p2y, q2x, q2y, o2)
+        | onseg(q1x, q1y, q2x, q2y, p1x, p1y, o3)
+        | onseg(q1x, q1y, q2x, q2y, p2x, p2y, o4)
+    )
+    if touch.any():
+        return False
+    # boundary-free: one raycast on vertex 0 decides containment
+    x1, y1 = rx, ry
+    x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+    straddle = (y1 > ly[0]) != (y2 > ly[0])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (ly[0] - y1) * (x2 - x1) / (y2 - y1)
+    return bool(((straddle & (lx[0] < xint)).sum() % 2) == 1)
+
+
+def make_chain_in_ring_udf():
+    """Arrow-batched boolean kernel over candidate (chain, ring) pairs."""
+
+    @F.pandas_udf("boolean")
+    def cr(lxs: pd.Series, lys: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
+        out = np.zeros(len(lxs), dtype=bool)
+        for i in range(len(lxs)):
+            out[i] = _chain_in_ring_np(
+                np.asarray(lxs.iloc[i], dtype=np.float64),
+                np.asarray(lys.iloc[i], dtype=np.float64),
+                np.asarray(rxs.iloc[i], dtype=np.float64),
+                np.asarray(rys.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return cr
+
+
+def lines_in_polygons_join(
+    lines: DataFrame,
+    polys: DataFrame,
+    grid_zoom: int = 4,
+    broadcast_polys: bool = True,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """Polyline-within-polygon join — the "roads inside each admin area"
+    overlay (PostGIS ``ST_Contains(p.way, l.way)`` class, here the strict
+    ST_ContainsProperly variant: boundary contact excludes; the reference's
+    templates run arbitrary PostGIS joins, reference
+    tilekiln/definition.py:42-77).
+
+    Lines ride the shared chain layout (``polygon_id/ring_xs/ring_ys`` +
+    precomputed bbox); polygons come back ``b_``-prefixed.  Distributed
+    shape: the SAME PBSM candidate stage as the intersect joins (grid
+    explode, (gx, gy) equi-join, reporting-cell dedup, whale bbox-overlap
+    routing — containment implies bbox overlap, so candidates are
+    complete); exact refine is the Arrow chain-in-ring kernel (edge-pair
+    boundary test + ONE raycast, since a boundary-free chain cannot change
+    sides)."""
+    candidates = _pbsm_candidates(
+        lines, polys, grid_zoom, broadcast_polys, max_cells_per_poly
+    )
+    hit = make_chain_in_ring_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    return candidates.filter(hit)
