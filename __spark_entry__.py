@@ -1444,6 +1444,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_in_polygon_join"] = line_in_polygon_join
 
+    def line_clip_length(spark, sf_dir):
+        """Clipped-length overlay ("km of road inside each admin area" —
+        PostGIS ST_Length(ST_Intersection(line, polygon))): the shared
+        PBSM candidate stage + the interval-cut kernel — per chain edge,
+        cut [0,1] at ring-edge intersection parameters, classify each
+        sub-interval by a midpoint raycast, sum inside lengths
+        (operators/spatial_join.py lines_clip_length_join).  Fixture
+        covers full containment, two partial crossings (enter/exit), the
+        whale polygon, and boundary-touching endpoints.  Twin = cross
+        join + the generated chain_ring_clip_len_sql (bit-identical cuts
+        and inside decisions; sums rounded to metres)."""
+        from tilekiln_spark.operators.spatial_join import lines_clip_length_join
+
+        lines = _line_fixture(spark)
+        polys = _contain_poly_fixture(spark)
+        out = lines_clip_length_join(lines, polys, grid_zoom=4)
+        return (
+            out.select(
+                F.col("polygon_id").alias("line_id"),
+                F.col("b_polygon_id").alias("poly_id"),
+                (F.round(F.col("inside_len") / F.lit(1e3), 3) + 0.0).alias(
+                    "km_inside"
+                ),
+            )
+            .orderBy("line_id", "poly_id")
+        )
+
+    q["line_clip_length"] = line_clip_length
+
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
         2500 km mercator grid node (floor(v/g + 0.5) — the same
@@ -4819,6 +4848,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.lid AS line_id, p.pid AS poly_id
         FROM l CROSS JOIN p
         WHERE {_cir}
+        ORDER BY line_id, poly_id
+    """
+
+    from tilekiln_spark.functions.geometry import chain_ring_clip_len_sql
+
+    _clp = chain_ring_clip_len_sql("l.xs", "l.ys", "p.xs", "p.ys")
+    o["line_clip_length"] = f"""
+        WITH l(lid, xs, ys) AS (VALUES {_line_chain_values_sql(_LINES_UV)}),
+             p(pid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)}),
+             pairs AS (
+                 SELECT l.lid AS line_id, p.pid AS poly_id, {_clp} AS il
+                 FROM l CROSS JOIN p
+             )
+        SELECT line_id, poly_id, round(il / 1e3, 3) + 0.0 AS km_inside
+        FROM pairs WHERE il > 0
         ORDER BY line_id, poly_id
     """
 

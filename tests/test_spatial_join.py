@@ -489,3 +489,73 @@ def test_lines_in_polygons_join(spark):
                 np.array(rb["ring_xs"]), np.array(rb["ring_ys"]),
             )
             assert bool(dd) == np_hit, (ra["polygon_id"], rb["polygon_id"])
+
+
+def test_chain_ring_clip_length(spark):
+    """Clipped-length kernel goldens on a 4x4 square: crossing chord,
+    fully-inside diagonal, disjoint segment, an enter-then-exit two-edge
+    chain — plus join-level equivalence and DuckDB-twin equality."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from tilekiln_spark.functions.geometry import chain_ring_clip_len_sql
+    from tilekiln_spark.operators.spatial_join import (
+        _chain_ring_clip_len_np,
+        lines_clip_length_join,
+    )
+
+    sq = ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])
+    cases = [
+        (0, [-2.0, 6.0], [2.0, 2.0], 4.0),                    # chord across
+        (1, [1.0, 3.0], [1.0, 3.0], 2.0 * 2.0 ** 0.5),        # fully inside
+        (2, [5.0, 6.0], [5.0, 6.0], 0.0),                      # disjoint
+        (3, [-2.0, 2.0, 2.0], [2.0, 2.0, 6.0], 4.0),           # enter + exit
+    ]
+    con = duckdb.connect()
+
+    def arr(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    for gid, lx, ly, want in cases:
+        got = _chain_ring_clip_len_np(
+            np.array(lx), np.array(ly), np.array(sq[0]), np.array(sq[1])
+        )
+        assert got == pytest.approx(want, abs=1e-12), gid
+        sql = chain_ring_clip_len_sql("lxs", "lys", "rxs", "rys")
+        dd = con.execute(
+            f"SELECT {sql} FROM (SELECT {arr(lx)} lxs, {arr(ly)} lys, "
+            f"{arr(sq[0])} rxs, {arr(sq[1])} rys)"
+        ).fetchone()[0]
+        assert dd == pytest.approx(got, abs=1e-9), gid
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+    lines = [
+        {
+            "polygon_id": g,
+            "xmin": min(lx), "ymin": min(ly), "xmax": max(lx), "ymax": max(ly),
+            "ring_xs": lx, "ring_ys": ly,
+        }
+        for g, lx, ly, _ in cases
+    ]
+    polys = [
+        {
+            "polygon_id": 10,
+            "xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 4.0,
+            "ring_xs": sq[0], "ring_ys": sq[1],
+        }
+    ]
+    out = {
+        (r.polygon_id, r.b_polygon_id): r.inside_len
+        for r in lines_clip_length_join(
+            spark.createDataFrame(pd.DataFrame(lines), schema),
+            spark.createDataFrame(pd.DataFrame(polys), schema),
+            grid_zoom=4,
+        ).collect()
+    }
+    assert set(out) == {(0, 10), (1, 10), (3, 10)}
+    assert out[(0, 10)] == pytest.approx(4.0, abs=1e-12)
+    assert out[(3, 10)] == pytest.approx(4.0, abs=1e-12)

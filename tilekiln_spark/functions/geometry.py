@@ -239,6 +239,78 @@ def chain_in_ring_sql(lxs: str, lys: str, rxs: str, rys: str) -> str:
     )
 
 
+def chain_ring_clip_len_sql(lxs: str, lys: str, rxs: str, rys: str) -> str:
+    """DuckDB twin of the clipped-length overlay kernel
+    (operators/spatial_join.py _chain_ring_clip_len_np): per chain edge,
+    cut [0, 1] at every proper ring-edge intersection parameter, classify
+    each sub-interval by an even-odd midpoint raycast, sum inside lengths.
+    Every builder is a FUNCTION of its index expression (distinct lambda
+    variables i / k / m / j at each nesting level — no shadowing), and
+    every division/compare matches the numpy kernel's form, so the cuts
+    and inside decisions are bit-identical; callers round the final sum."""
+    p1x, p1y = f"{lxs}[i]", f"{lys}[i]"
+    ex = f"({lxs}[i + 1] - {lxs}[i])"
+    ey = f"({lys}[i + 1] - {lys}[i])"
+
+    def ring(j: str) -> dict:
+        j2 = f"(({j}) % len({rxs})) + 1"
+        return {
+            "fx": f"({rxs}[{j2}] - {rxs}[{j}])",
+            "fy": f"({rys}[{j2}] - {rys}[{j}])",
+            "q1x": f"{rxs}[{j}]",
+            "q1y": f"{rys}[{j}]",
+        }
+
+    # cut parameters: lambda var m (inside the per-edge i scope)
+    r = ring("m")
+    wx = f"({r['q1x']} - {p1x})"
+    wy = f"({r['q1y']} - {p1y})"
+    d = f"({ex} * {r['fy']} - {ey} * {r['fx']})"
+    t = f"(({wx} * {r['fy']} - {wy} * {r['fx']}) / {d})"
+    u = f"(({wx} * {ey} - {wy} * {ex}) / {d})"
+    tj = (
+        f"CASE WHEN {d} != 0 AND {t} >= 0 AND {t} <= 1 "
+        f"AND {u} >= 0 AND {u} <= 1 THEN {t} ELSE NULL END"
+    )
+    ts = (
+        f"list_sort(list_concat([0.0, 1.0], list_filter("
+        f"list_transform(range(1, len({rxs}) + 1), m -> {tj}), "
+        f"x -> x IS NOT NULL)))"
+    )
+    a = f"({ts})[k]"
+    b = f"({ts})[k + 1]"
+    mid = f"(({a} + {b}) / 2)"
+    mx = f"({p1x} + {mid} * {ex})"
+    my = f"({p1y} + {mid} * {ey})"
+    # midpoint raycast: lambda var j (inside the k scope)
+    rj = ring("j")
+    cross = (
+        f"CASE WHEN (({rj['q1y']} > {my}) != ({rys}[((j) % len({rxs})) + 1] > {my})) "
+        f"THEN CASE WHEN {mx} < {rj['q1x']} + ({my} - {rj['q1y']}) "
+        f"* {rj['fx']} / {rj['fy']} THEN 1 ELSE 0 END ELSE 0 END"
+    )
+    inside = (
+        f"(list_sum(list_transform(range(1, len({rxs}) + 1), j -> {cross})) % 2) = 1"
+    )
+    el = f"sqrt({ex} * {ex} + {ey} * {ey})"
+    term = (
+        f"CASE WHEN {b} > {a} AND ({inside}) THEN ({b} - {a}) * {el} "
+        f"ELSE 0.0 END"
+    )
+    edge_sum = (
+        f"coalesce(list_sum(list_transform(range(1, len({ts})), k -> {term})), 0.0)"
+    )
+    total = (
+        f"coalesce(list_sum(list_transform(range(1, len({lxs})), i -> "
+        f"{edge_sum})), 0.0)"
+    )
+    return (
+        f"(CASE WHEN {lxs} IS NULL OR {lys} IS NULL OR {rxs} IS NULL "
+        f"OR {rys} IS NULL OR len({lxs}) < 2 OR len({rxs}) < 3 THEN 0.0 "
+        f"ELSE {total} END)"
+    )
+
+
 def _pt_seg(
     px: Column, py: Column, x1: Column, y1: Column, x2: Column, y2: Column
 ) -> tuple[Column, Column]:

@@ -1023,3 +1023,91 @@ def lines_in_polygons_join(
         F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
     )
     return candidates.filter(hit)
+
+
+def _chain_ring_clip_len_np(lx, ly, rx, ry) -> float:
+    """Exact ``ST_Length(ST_Intersection(line, polygon))`` over a candidate
+    (open chain, simple exterior ring) pair — the classic overlay measure
+    ("km of road inside each admin area").  Per chain edge: collect the
+    parameters t of every proper segment intersection with a ring edge,
+    cut [0, 1] at those ts, classify each sub-interval by an even-odd
+    raycast on its midpoint, and sum inside-interval lengths.  All
+    divisions/compares in the same form and order as the generated SQL
+    twin (functions/geometry.py chain_ring_clip_len_sql) — the interval
+    cuts and inside decisions are bit-identical across engines (the final
+    float sum is rounded by callers).  Contract caveat (documented, fixture
+    avoids it): chain spans COLLINEAR with a ring edge register no cut
+    (d == 0) and classify by their midpoint like any other span."""
+    if len(lx) < 2 or len(rx) < 3:
+        return 0.0
+    rx2, ry2 = np.roll(rx, -1), np.roll(ry, -1)
+    fx, fy = rx2 - rx, ry2 - ry
+    total = 0.0
+    for i in range(len(lx) - 1):
+        p1x, p1y = lx[i], ly[i]
+        ex, ey = lx[i + 1] - p1x, ly[i + 1] - p1y
+        wx, wy = rx - p1x, ry - p1y
+        d = ex * fy - ey * fx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (wx * fy - wy * fx) / d
+            u = (wx * ey - wy * ex) / d
+        ok = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        ts = np.sort(np.concatenate([[0.0, 1.0], t[ok]]))
+        el = np.sqrt(ex * ex + ey * ey)
+        for k in range(len(ts) - 1):
+            a, b = ts[k], ts[k + 1]
+            if b <= a:
+                continue
+            mid = (a + b) / 2
+            mx_, my_ = p1x + mid * ex, p1y + mid * ey
+            straddle = (ry > my_) != (ry2 > my_)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = rx + (my_ - ry) * fx / fy
+            if int((straddle & (mx_ < xint)).sum()) % 2 == 1:
+                total += (b - a) * el
+    return total
+
+
+def make_chain_ring_clip_len_udf():
+    """Arrow-batched double kernel over candidate (chain, ring) pairs."""
+
+    @F.pandas_udf("double")
+    def cl(lxs: pd.Series, lys: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
+        out = np.zeros(len(lxs), dtype=np.float64)
+        for i in range(len(lxs)):
+            out[i] = _chain_ring_clip_len_np(
+                np.asarray(lxs.iloc[i], dtype=np.float64),
+                np.asarray(lys.iloc[i], dtype=np.float64),
+                np.asarray(rxs.iloc[i], dtype=np.float64),
+                np.asarray(rys.iloc[i], dtype=np.float64),
+            )
+        return pd.Series(out)
+
+    return cl
+
+
+def lines_clip_length_join(
+    lines: DataFrame,
+    polys: DataFrame,
+    grid_zoom: int = 4,
+    broadcast_polys: bool = True,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """Polyline x polygon clipped-length overlay join: each surviving
+    (line, polygon) pair carries ``inside_len`` — the exact length of the
+    line's intersection with the polygon interior (PostGIS
+    ``ST_Length(ST_Intersection(l.way, p.way))``; the reference's templates
+    run arbitrary PostGIS overlays, reference tilekiln/definition.py:42-77).
+    Pairs with zero inside length are dropped.
+
+    Distributed shape: the SAME shared PBSM candidate stage (any positive
+    overlap implies bbox overlap); the refine is one Arrow kernel whose
+    cost is O(|chain| x |ring|) per candidate — the asymptotics any engine
+    pays for the exact overlay."""
+    candidates = _pbsm_candidates(
+        lines, polys, grid_zoom, broadcast_polys, max_cells_per_poly
+    )
+    ln = make_chain_ring_clip_len_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    return candidates.withColumn("inside_len", ln).filter(F.col("inside_len") > 0)
