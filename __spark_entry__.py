@@ -1519,6 +1519,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_trajectories"] = user_trajectories
 
+    def map_match(spark, sf_dir):
+        """GPS map-matching (the snap-trace-to-road primitive): every
+        sampled event point snaps to its nearest fixture polyline —
+        distance by the shared point-to-segment fold
+        (functions/geometry.py point_chain_distance), position by inverse
+        linear referencing (line_locate_point).  Distributed shape: the
+        tiny line dim broadcasts into a map-only cross join; the winner
+        is ONE partial-aggregated groupBy over a lexicographic struct-min
+        (d, line_id, frac) — deterministic ties, map-side combine, no
+        window shuffle.  The twin picks the same winner with a
+        row_number-over-(d, line_id) QUALIFY."""
+        from tilekiln_spark.functions.geometry import (
+            line_locate_point,
+            point_chain_distance,
+        )
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id").filter(
+            F.col("event_id") % 7 == 0
+        )
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        lines = spark.createDataFrame(
+            rows, "line_id int, lxs array<double>, lys array<double>"
+        )
+        d = point_chain_distance(
+            F.col("mx"), F.col("my"), F.col("lxs"), F.col("lys")
+        )
+        fr = line_locate_point(F.col("lxs"), F.col("lys"), F.col("mx"), F.col("my"))
+        pairs = ev.crossJoin(F.broadcast(lines)).select(
+            "event_id", F.struct(d.alias("d"), F.col("line_id"), fr.alias("fr")).alias("s")
+        )
+        best = pairs.groupBy("event_id").agg(F.min("s").alias("b"))
+        return best.select(
+            "event_id",
+            F.col("b.line_id").alias("line_id"),
+            (F.round(F.col("b.d") / 1e3, 3) + 0.0).alias("km_dist"),
+            (F.round(F.col("b.fr"), 6) + 0.0).alias("frac"),
+        )
+
+    q["map_match"] = map_match
+
     def raster_hillshade(spark, sf_dir):
         """GDAL hillshade parity over the doc-density raster (operators/
         raster.py hillshade): the distributed 3x3 STENCIL — global cell
@@ -4752,7 +4795,29 @@ def oracle_sql() -> dict[str, str]:
         FROM tracks
     """
 
-    from tilekiln_spark.functions.geometry import line_locate_point_sql
+    from tilekiln_spark.functions.geometry import (
+        line_locate_point_sql,
+        point_chain_distance_sql,
+    )
+
+    _mm_d = point_chain_distance_sql("e.mx", "e.my", "li.xs", "li.ys")
+    _mm_fr = line_locate_point_sql("li.xs", "li.ys", "e.mx", "e.my")
+    o["map_match"] = f"""
+        WITH ev AS (
+            SELECT event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events WHERE event_id % 7 = 0
+        ), li(lid, xs, ys) AS (VALUES {_line_chain_values_sql(_LINES_UV)}),
+        pairs AS (
+            SELECT e.event_id, li.lid AS line_id,
+                   {_mm_d} AS d, {_mm_fr} AS fr
+            FROM ev e CROSS JOIN li
+        )
+        SELECT event_id, line_id,
+               round(d / 1e3, 3) + 0.0 AS km_dist,
+               round(fr, 6) + 0.0 AS frac
+        FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY d, line_id) = 1
+    """
 
     _ll_merc = _line_merc(dict(_LINES_UV)[2])
     _ll_xs = "CAST([" + ", ".join(repr(p[0]) for p in _ll_merc) + "] AS DOUBLE[])"

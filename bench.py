@@ -281,6 +281,35 @@ vector_layers:
         lambda: polygons_intersect_join(pa, pb, grid_zoom=6).count(),
     )
 
+    # --- polyline x polygon clipped-length overlay at density: the same
+    # PBSM candidate stage + the interval-cut kernel over thousands of
+    # scattered zigzag chains vs the star rings above ---
+    from tilekiln_spark.operators.spatial_join import lines_clip_length_join
+
+    def chain_rows(n, mult, scale):
+        rows = []
+        for i in range(n):
+            cx = ((i * 7919 * mult) % 200 - 100) / 10.0 * scale
+            cy = ((i * 104729 * mult) % 200 - 100) / 10.0 * scale
+            m = 3 + (i * mult) % 4
+            xs = [cx + v * 0.3 * scale for v in range(m)]
+            ys = [
+                cy + ((i * 13 + v * 29 * mult) % 100) / 100.0 * scale
+                for v in range(m)
+            ]
+            rows.append((i, min(xs), min(ys), max(xs), max(ys), xs, ys))
+        return spark.createDataFrame(
+            rows,
+            "polygon_id int, xmin double, ymin double, xmax double, "
+            "ymax double, ring_xs array<double>, ring_ys array<double>",
+        )
+
+    lc = chain_rows(3000, 5, 4e5)
+    extra["clip_len_pairs"] = timed(
+        "line_clip_len_dense",
+        lambda: lines_clip_length_join(lc, pb, grid_zoom=6).count(),
+    )
+
     return {"timings": timings, "extra": extra}
 
 

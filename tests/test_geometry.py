@@ -916,3 +916,52 @@ def test_line_substring(spark):
 
     with pytest.raises(ValueError, match="0 <= f1 <= f2 <= 1"):
         line_substring(F.col("xs"), F.col("ys"), 0.8, 0.2)
+
+
+def test_point_chain_distance(spark):
+    """Open-chain point distance goldens (no wrap edge — the L-chain's
+    open gap must NOT contribute) + DuckDB twin bit-equality."""
+    from tilekiln_spark.functions.geometry import (
+        point_chain_distance,
+        point_chain_distance_sql,
+    )
+
+    # L-chain [(0,0),(4,0),(4,3)]: open — no edge from (4,3) back to (0,0)
+    chain = ([0.0, 4.0, 4.0], [0.0, 0.0, 3.0])
+    fixture = [
+        (0, 2.0, 1.0, 1.0),          # above first edge
+        (1, 5.0, 3.0, 1.0),          # right of second edge's end region
+        (2, 0.0, 3.0, 3.0),          # near the OPEN gap: dist to (0,0) edge
+        (3, 4.0, 0.0, 0.0),          # on the chain
+        (4, None, None, None),       # null point
+    ]
+    rows = [
+        (g, px, py, chain[0], chain[1]) for g, px, py, _ in fixture
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "gid int, px double, py double, xs array<double>, ys array<double>",
+    )
+    d = point_chain_distance(F.col("px"), F.col("py"), F.col("xs"), F.col("ys"))
+    got = {r.gid: r.d for r in df.select("gid", d.alias("d")).collect()}
+    for g, _, _, want in fixture:
+        assert got[g] == want, g
+
+    con = duckdb.connect()
+    sql = point_chain_distance_sql("px", "py", "xs", "ys")
+    for g, px, py, _ in fixture:
+        plit = "NULL::DOUBLE, NULL::DOUBLE" if px is None else f"{px!r}, {py!r}"
+        dd = con.execute(
+            f"SELECT {sql} FROM (SELECT {plit}, "
+            f"{chain[0]!r}::DOUBLE[], {chain[1]!r}::DOUBLE[]) t(px, py, xs, ys)"
+        ).fetchone()[0]
+        assert dd == got[g], g
+
+    # single-vertex degenerate
+    one = spark.createDataFrame(
+        [(3.0, 4.0, [0.0], [0.0])],
+        "px double, py double, xs array<double>, ys array<double>",
+    )
+    assert one.select(
+        point_chain_distance(F.col("px"), F.col("py"), F.col("xs"), F.col("ys"))
+    ).collect()[0][0] == 5.0

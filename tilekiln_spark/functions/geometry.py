@@ -400,6 +400,59 @@ def point_ring_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
     )
 
 
+def point_chain_distance(
+    px: Column, py: Column, xs: Column, ys: Column
+) -> Column:
+    """Euclidean distance from a point to an OPEN polyline (min over
+    consecutive-vertex edges of the point-to-segment distance — no wrap
+    edge; PostGIS ``ST_Distance(point, line)``).  Same shared
+    :func:`_pt_seg` kernel and fold shape as :func:`point_ring_distance`.
+    A single-vertex chain degenerates to point-to-vertex distance; null
+    arrays null-propagate."""
+    n = F.size(xs)
+
+    def edge_dist(i: Column) -> Column:
+        return _pt_seg(
+            px,
+            py,
+            F.element_at(xs, i),
+            F.element_at(ys, i),
+            F.element_at(xs, i + 1),
+            F.element_at(ys, i + 1),
+        )[1]
+
+    d = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(float("inf")),
+        lambda acc, i: F.least(acc, edge_dist(i)),
+    )
+    vx = px - F.element_at(xs, F.lit(1))
+    vy = py - F.element_at(ys, F.lit(1))
+    # least() skips nulls, so a null point would leak the fold's inf seed —
+    # null-propagate explicitly (matching the SQL twin's CASE guard)
+    return F.when(
+        px.isNotNull() & py.isNotNull(),
+        F.when(n >= 2, d).otherwise(F.when(n == 1, F.sqrt(vx * vx + vy * vy))),
+    )
+
+
+def point_chain_distance_sql(px: str, py: str, xs: str, ys: str) -> str:
+    """DuckDB twin of :func:`point_chain_distance` — identical per-edge
+    arithmetic (shared :func:`_pt_seg_sql`), order-independent min."""
+    _, d = _pt_seg_sql(
+        px, py, f"{xs}[i]", f"{ys}[i]", f"{xs}[i + 1]", f"{ys}[i + 1]"
+    )
+    vx = f"(({px}) - {xs}[1])"
+    vy = f"(({py}) - {ys}[1])"
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL OR ({px}) IS NULL "
+        f"OR ({py}) IS NULL THEN NULL "
+        f"WHEN len({xs}) >= 2 THEN "
+        f"list_min(list_transform(range(1, len({xs})), i -> {d})) "
+        f"WHEN len({xs}) = 1 THEN sqrt({vx} * {vx} + {vy} * {vy}) END)"
+    )
+
+
 def ring_centroid(ring_xs: Column, ring_ys: Column) -> tuple[Column, Column]:
     """Exact area-weighted polygon centroid (PostGIS ``ST_Centroid`` for a
     single-ring polygon): Cx = Σ(xᵢ+xⱼ)(xᵢyⱼ−xⱼyᵢ) / 6A_signed, same for
