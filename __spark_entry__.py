@@ -406,11 +406,24 @@ _CONTAIN_POLYS_UV = [
 ]
 
 
-def _contain_poly_fixture(spark: SparkSession) -> DataFrame:
+_AREA_POLYS_UV = [
+    # overlay side B for the intersection-area query: partial overlaps, a
+    # diamond, a concave L, a CW-wound ring (orientation normalization on
+    # the REAL path), and a rect SHARING 200's right border + 201's top
+    # border (the 1/2-weight shared-boundary convention on the real path)
+    (300, [(2.0, 0.5), (3.5, 0.5), (3.5, 1.5), (2.0, 1.5)]),
+    (301, [(1.75, 0.9), (2.35, 1.5), (1.75, 2.1), (1.15, 1.5)]),
+    (302, [(0.6, 2.6), (1.3, 2.6), (1.3, 3.0), (0.9, 3.0), (0.9, 3.5), (0.6, 3.5)]),
+    (303, [(1.2, 1.2), (1.2, 1.8), (2.2, 1.8), (2.2, 1.2)]),   # CW in uv
+    (304, [(2.5, 1.0), (3.2, 1.0), (3.2, 2.0), (2.5, 2.0)]),
+]
+
+
+def _contain_poly_fixture(spark: SparkSession, polys_uv=None) -> DataFrame:
     import pandas as pd
 
     rows = []
-    for pid, uv in _CONTAIN_POLYS_UV:
+    for pid, uv in (polys_uv or _CONTAIN_POLYS_UV):
         pts = _line_merc(uv)
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
@@ -1472,6 +1485,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["line_clip_length"] = line_clip_length
+
+    def poly_clip_area(spark, sf_dir):
+        """Intersection-area overlay (PostGIS
+        ST_Area(ST_Intersection(a, b)) — the areal-interpolation / zonal
+        primitive): Green's theorem over unordered boundary pieces with
+        the 1/2-weight shared-border convention, over the shared PBSM
+        candidate stage (operators/spatial_join.py
+        polygons_clip_area_join).  Side A includes the whale polygon;
+        side B exercises partial overlaps, a diamond, a concave L, a
+        CW-wound ring, and a rect SHARING two of A's borders.  Twin =
+        CCW-normalizing CTE + the generated ring_ring_clip_area_sql
+        (bit-identical cuts, on-boundary tests, raycasts); areas reported
+        in z2-tile^2 units rounded to 1e-6."""
+        from tilekiln_spark.operators.spatial_join import polygons_clip_area_join
+
+        a = _contain_poly_fixture(spark)
+        b = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        t2 = _LINE_TL * _LINE_TL
+        out = polygons_clip_area_join(a, b, grid_zoom=4)
+        return (
+            out.select(
+                F.col("polygon_id").alias("a_id"),
+                F.col("b_polygon_id").alias("b_id"),
+                (F.round(F.col("inter_area") / F.lit(t2), 6) + 0.0).alias(
+                    "tiles2"
+                ),
+            )
+            .orderBy("a_id", "b_id")
+        )
+
+    q["poly_clip_area"] = poly_clip_area
 
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
@@ -4929,6 +4973,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT line_id, poly_id, round(il / 1e3, 3) + 0.0 AS km_inside
         FROM pairs WHERE il > 0
         ORDER BY line_id, poly_id
+    """
+
+    from tilekiln_spark.functions.geometry import (
+        ring_ring_clip_area_sql,
+        ring_signed_area2_sql,
+    )
+
+    def _ccw_cols(xs: str, ys: str) -> tuple[str, str]:
+        sa = ring_signed_area2_sql(xs, ys)
+        return (
+            f"CASE WHEN ({sa}) < 0 THEN list_reverse({xs}) ELSE {xs} END",
+            f"CASE WHEN ({sa}) < 0 THEN list_reverse({ys}) ELSE {ys} END",
+        )
+
+    _ax_n, _ay_n = _ccw_cols("xs", "ys")
+    _t2 = _LINE_TL * _LINE_TL
+    _car = ring_ring_clip_area_sql("a.axs", "a.ays", "bb.bxs", "bb.bys")
+    o["poly_clip_area"] = f"""
+        WITH a0(aid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)}),
+             b0(bid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)}),
+             a AS (SELECT aid, {_ax_n} AS axs, {_ay_n} AS ays FROM a0),
+             bb AS (SELECT bid, {_ax_n} AS bxs, {_ay_n} AS bys FROM b0),
+             pairs AS (
+                 SELECT a.aid AS a_id, bb.bid AS b_id, {_car} AS ia
+                 FROM a CROSS JOIN bb
+             )
+        SELECT a_id, b_id, round(ia / {_t2!r}, 6) + 0.0 AS tiles2
+        FROM pairs WHERE ia > 0
+        ORDER BY a_id, b_id
     """
 
     import math as _m

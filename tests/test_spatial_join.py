@@ -559,3 +559,102 @@ def test_chain_ring_clip_length(spark):
     assert set(out) == {(0, 10), (1, 10), (3, 10)}
     assert out[(0, 10)] == pytest.approx(4.0, abs=1e-12)
     assert out[(3, 10)] == pytest.approx(4.0, abs=1e-12)
+
+
+def test_ring_ring_clip_area(spark):
+    """Intersection-area kernel goldens: offset squares, containment,
+    disjoint, a CW-wound input (orientation normalization), a concave L,
+    plus join-level pairs and DuckDB-twin equality (twin inputs
+    CCW-normalized in a CTE with the same sign test)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from tilekiln_spark.functions.geometry import (
+        ring_ring_clip_area_sql,
+        ring_signed_area2_sql,
+    )
+    from tilekiln_spark.operators.spatial_join import (
+        _ring_ring_clip_area_np,
+        polygons_clip_area_join,
+    )
+
+    sq = ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])          # CCW 4x4
+    cases = [
+        # (gid, bxs, bys, want_area)
+        (0, [2.0, 6.0, 6.0, 2.0], [0.0, 0.0, 4.0, 4.0], 8.0),  # half overlap
+        (1, [1.0, 2.0, 2.0, 1.0], [1.0, 1.0, 2.0, 2.0], 1.0),  # contained
+        (2, [5.0, 6.0, 6.0, 5.0], [5.0, 5.0, 6.0, 6.0], 0.0),  # disjoint
+        # CW-wound copy of case 0: normalization must give the same 8.0
+        (3, [2.0, 2.0, 6.0, 6.0], [0.0, 4.0, 4.0, 0.0], 8.0),
+        # concave L overlapping the square's right half
+        (4, [3.0, 7.0, 7.0, 5.0, 5.0, 3.0],
+            [1.0, 1.0, 3.0, 3.0, 5.0, 5.0], 3.0),
+        # diamond centered on the corner (4,4)
+        (5, [4.0, 5.0, 4.0, 3.0], [3.0, 4.0, 5.0, 4.0], 0.5),
+        # IDENTICAL rings: pure shared boundary; the 1/2-weight convention
+        # must return the ring's own area (1/2 from each traversal)
+        (6, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0], 16.0),
+    ]
+    con = duckdb.connect()
+
+    def arr(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    for gid, bxs, bys, want in cases:
+        got = _ring_ring_clip_area_np(
+            np.array(sq[0]), np.array(sq[1]), np.array(bxs), np.array(bys)
+        )
+        assert got == pytest.approx(want, abs=1e-9), gid
+        # symmetric
+        rev = _ring_ring_clip_area_np(
+            np.array(bxs), np.array(bys), np.array(sq[0]), np.array(sq[1])
+        )
+        assert rev == pytest.approx(want, abs=1e-9), gid
+        # twin on CCW-normalized inputs
+        norm = " ".join(
+            f"CASE WHEN ({ring_signed_area2_sql(c + 'xs0', c + 'ys0')}) < 0 "
+            f"THEN list_reverse({c}{ax}0) ELSE {c}{ax}0 END AS {c}{ax},"
+            for c in ("a", "b") for ax in ("xs", "ys")
+        ).rstrip(",")
+        dd = con.execute(
+            f"WITH raw AS (SELECT {arr(sq[0])} axs0, {arr(sq[1])} ays0, "
+            f"{arr(bxs)} bxs0, {arr(bys)} bys0), "
+            f"n AS (SELECT {norm} FROM raw) "
+            f"SELECT {ring_ring_clip_area_sql('axs', 'ays', 'bxs', 'bys')} FROM n"
+        ).fetchone()[0]
+        assert dd == pytest.approx(got, abs=1e-9), gid
+
+    # join-level: squares A vs the case polygons as B
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+    a = spark.createDataFrame(
+        pd.DataFrame([{
+            "polygon_id": 0,
+            "xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 4.0,
+            "ring_xs": sq[0], "ring_ys": sq[1],
+        }]),
+        schema,
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame([
+            {
+                "polygon_id": gid,
+                "xmin": min(bxs), "ymin": min(bys),
+                "xmax": max(bxs), "ymax": max(bys),
+                "ring_xs": bxs, "ring_ys": bys,
+            }
+            for gid, bxs, bys, _ in cases
+        ]),
+        schema,
+    )
+    got_join = {
+        r.b_polygon_id: r.inter_area
+        for r in polygons_clip_area_join(a, b, grid_zoom=4).collect()
+    }
+    assert set(got_join) == {0, 1, 3, 4, 5, 6}  # disjoint 2 dropped
+    for gid, _, _, want in cases:
+        if gid in got_join:
+            assert got_join[gid] == pytest.approx(want, abs=1e-9), gid

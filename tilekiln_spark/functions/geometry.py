@@ -311,6 +311,121 @@ def chain_ring_clip_len_sql(lxs: str, lys: str, rxs: str, rys: str) -> str:
     )
 
 
+def ring_signed_area2_sql(xs: str, ys: str) -> str:
+    """2x the signed shoelace area of a ring (positive = CCW) — the
+    orientation normalizer the clip-area twin's callers use:
+    ``CASE WHEN this < 0 THEN list_reverse(...) ...``."""
+    j = f"(i % len({xs})) + 1"
+    return (
+        f"coalesce(list_sum(list_transform(range(1, len({xs}) + 1), i -> "
+        f"{xs}[i] * {ys}[{j}] - {xs}[{j}] * {ys}[i])), 0.0)"
+    )
+
+
+def ring_ring_clip_area_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
+    """DuckDB twin of the intersection-area kernel
+    (operators/spatial_join.py _ring_ring_clip_area_np) — Green's theorem
+    over unordered boundary pieces: per edge of each ring, cut [0,1] at
+    the other ring's intersection parameters, weight each sub-interval by
+    its midpoint classification (inside 1, outside 0, exactly ON the
+    other boundary 1/2 — the shared-border convention), accumulate
+    weight·(x_a·y_b − y_a·x_b); half the two-sided sum is the area.
+    INPUTS MUST BE CCW-NORMALIZED (use
+    :func:`ring_signed_area2_sql` + list_reverse in a prior CTE — the
+    numpy kernel normalizes internally with the same sign test).  Every
+    division/compare matches the kernel's form, so cuts and inside
+    decisions are bit-identical; callers round the final sum."""
+
+    def one_side(pxs: str, pys: str, rxs: str, rys: str) -> str:
+        ip = f"(i % len({pxs})) + 1"
+        p1x, p1y = f"{pxs}[i]", f"{pys}[i]"
+        ex = f"({pxs}[{ip}] - {pxs}[i])"
+        ey = f"({pys}[{ip}] - {pys}[i])"
+
+        def ring(j: str) -> dict:
+            j2 = f"(({j}) % len({rxs})) + 1"
+            return {
+                "fx": f"({rxs}[{j2}] - {rxs}[{j}])",
+                "fy": f"({rys}[{j2}] - {rys}[{j}])",
+                "q1x": f"{rxs}[{j}]",
+                "q1y": f"{rys}[{j}]",
+            }
+
+        r = ring("m")
+        wx = f"({r['q1x']} - {p1x})"
+        wy = f"({r['q1y']} - {p1y})"
+        d = f"({ex} * {r['fy']} - {ey} * {r['fx']})"
+        t = f"(({wx} * {r['fy']} - {wy} * {r['fx']}) / {d})"
+        u = f"(({wx} * {ey} - {wy} * {ex}) / {d})"
+        tj = (
+            f"CASE WHEN {d} != 0 AND {t} >= 0 AND {t} <= 1 "
+            f"AND {u} >= 0 AND {u} <= 1 THEN {t} ELSE NULL END"
+        )
+        ts = (
+            f"list_sort(list_concat([0.0, 1.0], list_filter("
+            f"list_transform(range(1, len({rxs}) + 1), m -> {tj}), "
+            f"x -> x IS NOT NULL)))"
+        )
+        a = f"({ts})[k]"
+        b = f"({ts})[k + 1]"
+        mid = f"(({a} + {b}) / 2)"
+        mx = f"({p1x} + {mid} * {ex})"
+        my = f"({p1y} + {mid} * {ey})"
+        rj = ring("j")
+        jr2 = f"((j) % len({rxs})) + 1"
+        cross = (
+            f"CASE WHEN (({rj['q1y']} > {my}) != ({rys}[{jr2}] > {my})) "
+            f"THEN CASE WHEN {mx} < {rj['q1x']} + ({my} - {rj['q1y']}) "
+            f"* {rj['fx']} / {rj['fy']} THEN 1 ELSE 0 END ELSE 0 END"
+        )
+        inside = (
+            f"(list_sum(list_transform(range(1, len({rxs}) + 1), j -> {cross})) "
+            f"% 2) = 1"
+        )
+        rb = ring("g")
+        jb2 = f"((g) % len({rxs})) + 1"
+        onb_j = (
+            f"CASE WHEN ({rb['fx']}) * ({my} - {rb['q1y']}) "
+            f"- ({rb['fy']}) * ({mx} - {rb['q1x']}) = 0 "
+            f"AND {mx} >= least({rb['q1x']}, {rxs}[{jb2}]) "
+            f"AND {mx} <= greatest({rb['q1x']}, {rxs}[{jb2}]) "
+            f"AND {my} >= least({rb['q1y']}, {rys}[{jb2}]) "
+            f"AND {my} <= greatest({rb['q1y']}, {rys}[{jb2}]) "
+            f"THEN 1 ELSE 0 END"
+        )
+        onb = (
+            f"coalesce(list_max(list_transform(range(1, len({rxs}) + 1), "
+            f"g -> {onb_j})), 0) = 1"
+        )
+        weight = (
+            f"(CASE WHEN ({onb}) THEN 0.5 "
+            f"WHEN ({inside}) THEN 1.0 ELSE 0.0 END)"
+        )
+        xa = f"({p1x} + {a} * {ex})"
+        ya = f"({p1y} + {a} * {ey})"
+        xb = f"({p1x} + {b} * {ex})"
+        yb = f"({p1y} + {b} * {ey})"
+        term = (
+            f"CASE WHEN {b} > {a} "
+            f"THEN {weight} * ({xa} * {yb} - {ya} * {xb}) ELSE 0.0 END"
+        )
+        edge_sum = (
+            f"coalesce(list_sum(list_transform(range(1, len({ts})), "
+            f"k -> {term})), 0.0)"
+        )
+        return (
+            f"coalesce(list_sum(list_transform(range(1, len({pxs}) + 1), i -> "
+            f"{edge_sum})), 0.0)"
+        )
+
+    total = f"({one_side(axs, ays, bxs, bys)} + {one_side(bxs, bys, axs, ays)})"
+    return (
+        f"(CASE WHEN {axs} IS NULL OR {ays} IS NULL OR {bxs} IS NULL "
+        f"OR {bys} IS NULL OR len({axs}) < 3 OR len({bxs}) < 3 THEN 0.0 "
+        f"ELSE 0.5 * {total} END)"
+    )
+
+
 def _pt_seg(
     px: Column, py: Column, x1: Column, y1: Column, x2: Column, y2: Column
 ) -> tuple[Column, Column]:
