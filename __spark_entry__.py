@@ -1517,6 +1517,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_clip_area"] = poly_clip_area
 
+    def areal_interpolate(spark, sf_dir):
+        """Areal interpolation (the census-disaggregation workhorse):
+        each source polygon carries a deterministic population; every
+        target zone receives sum over sources of
+        pop * area(A∩B) / area(A) — exact intersection areas from the
+        overlay join, source areas from the shared shoelace fold.  ONE
+        partial-aggregated groupBy on the zone key on top of the
+        overlay.  The whale source (202) spans every zone, so its weight
+        uses the whale route's pairs too."""
+        from tilekiln_spark.functions.geometry import ring_area
+        from tilekiln_spark.operators.spatial_join import polygons_clip_area_join
+
+        a = (
+            _contain_poly_fixture(spark)
+            .withColumn(
+                "pop", (F.col("polygon_id") - 199).cast("double") * 1000.0
+            )
+            .withColumn("a_area", ring_area(F.col("ring_xs"), F.col("ring_ys")))
+        )
+        b = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        pairs = polygons_clip_area_join(a, b, grid_zoom=4)
+        return (
+            pairs.groupBy(F.col("b_polygon_id").alias("zone_id"))
+            .agg(
+                (
+                    F.round(
+                        F.sum(
+                            F.col("pop") * F.col("inter_area") / F.col("a_area")
+                        ),
+                        3,
+                    )
+                    + 0.0
+                ).alias("est_pop"),
+                F.count("*").alias("n_sources"),
+            )
+        )
+
+    q["areal_interpolate"] = areal_interpolate
+
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
         2500 km mercator grid node (floor(v/g + 0.5) — the same
@@ -5002,6 +5041,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT a_id, b_id, round(ia / {_t2!r}, 6) + 0.0 AS tiles2
         FROM pairs WHERE ia > 0
         ORDER BY a_id, b_id
+    """
+
+    from tilekiln_spark.functions.geometry import ring_area_sql
+
+    _a_area = ring_area_sql("a.axs", "a.ays")
+    o["areal_interpolate"] = f"""
+        WITH a0(aid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)}),
+             b0(bid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)}),
+             a AS (SELECT aid, {_ax_n} AS axs, {_ay_n} AS ays FROM a0),
+             bb AS (SELECT bid, {_ax_n} AS bxs, {_ay_n} AS bys FROM b0),
+             pairs AS (
+                 SELECT bb.bid AS zone_id,
+                        (a.aid - 199) * 1000.0 AS pop,
+                        {_car} AS ia,
+                        {_a_area} AS a_area
+                 FROM a CROSS JOIN bb
+             )
+        SELECT zone_id,
+               round(sum(pop * ia / a_area), 3) + 0.0 AS est_pop,
+               count(*) AS n_sources
+        FROM pairs WHERE ia > 0
+        GROUP BY 1
     """
 
     import math as _m
