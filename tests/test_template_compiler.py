@@ -1688,3 +1688,33 @@ def test_snap_and_st_affine_tier(spark):
             "SELECT ST_AsMVTGeom(ST_Affine(way, 1, 0, 0, 1, mx, 0), "
             "{{bbox}}) AS way FROM pts WHERE way && {{bbox}}"
         ).build(src, [2], 4096, 0)
+
+
+def test_geom_ops_reject_outside_geometry_reads(spark):
+    """A geometry-op chain rewrites the source mx/my, so any compiled
+    construct reading geometry OUTSIDE the ST_AsMVTGeom item (ST_X
+    property, ST_DWithin predicate, ...) must be rejected by name —
+    PostGIS reads the ORIGINAL geometry there, and compiling it would
+    silently return transformed coordinates."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.0e6, 2.0e6, "a")], "mx double, my double, lang string"
+    )
+    src = {"tables": {"pts": {"frame": pts, "kind": "point"}}}
+    for body in (
+        "SELECT ST_AsMVTGeom(ST_Translate(way, 1000, 0), {{bbox}}) AS way, "
+        "ST_X(way) AS lon FROM pts WHERE way && {{bbox}}",
+        "SELECT ST_AsMVTGeom(ST_SnapToGrid(way, 1000), {{bbox}}) AS way "
+        "FROM pts WHERE way && {{bbox}} "
+        "AND ST_DWithin(way, ST_MakePoint(0, 0), 1000000)",
+    ):
+        with pytest.raises(DefinitionError, match="transform only the"):
+            CompiledTemplate(body).build(src, [2], 4096, 0)
+
+    # untransformed queries with the same constructs still compile
+    ok = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, ST_X(way) AS lon "
+        "FROM pts WHERE way && {{bbox}}"
+    ).build(src, [2], 4096, 0)
+    assert ok.select("lon").collect()[0][0] == 1.0e6

@@ -62,6 +62,7 @@ names to ``{"frame": DataFrame | (sources -> DataFrame), "kind":
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field, fields, is_dataclass
 
@@ -1188,10 +1189,37 @@ def _fold_pow_literals(ast):
 # Compiled template
 # ---------------------------------------------------------------------------
 
+# geometry-op wrappers the _geom_item peel accepts (arity of the numeric
+# literal params; None = 1 or 2)
+_GEOM_OP_FNS = {
+    "st_translate": 2,
+    "st_scale": 2,
+    "st_rotate": 1,
+    "st_affine": 6,
+    "st_snaptogrid": None,
+}
+
+# compiled constructs that read the geometry OUTSIDE the ST_AsMVTGeom item —
+# incompatible with a geometry-op chain (PostGIS reads the ORIGINAL geometry
+# there; we transform the source columns, so allowing them would silently
+# change WHERE/property semantics)
+_GEOM_READ_FNS = (
+    "st_x",
+    "st_y",
+    "st_geohash",
+    "st_dwithin",
+    "st_area",
+    "st_length",
+    "st_perimeter",
+    "st_centroid",
+)
+
+
 def _geom_item(items: list[Item]):
     """Find the ST_AsMVTGeom item; returns ('plain'|'label'|'cluster'|
     'centroid'|'buffer', remaining items, simplify_tolerance,
-    buffer_radius).  'cluster' is the
+    buffer_radius, geom_ops) — geom_ops is the peeled affine/snap chain
+    (innermost first; see _apply_geom_ops).  'cluster' is the
     aggregate-geometry form ``ST_AsMVTGeom(ST_Centroid(ST_Collect(way)),
     ...)`` used with GROUP BY — the per-tile SQL run aggregates its rows,
     so the feature geometry is the group's centroid.
@@ -1240,13 +1268,6 @@ def _geom_item(items: list[Item]):
             # expression pass.  ST_Rotate's trig is hoisted HERE in Python
             # (math.cos/sin), so the engines fold identical float64
             # constants — no engine trig in the compiled plan.
-            _GEOM_OP_FNS = {
-                "st_translate": 2,
-                "st_scale": 2,
-                "st_rotate": 1,
-                "st_affine": 6,
-                "st_snaptogrid": None,  # 1 or 2 params
-            }
             while isinstance(inner, Func) and inner.name.lower() in _GEOM_OP_FNS:
                 fn = inner.name.lower()
                 nargs = _GEOM_OP_FNS[fn]
@@ -1286,8 +1307,6 @@ def _geom_item(items: list[Item]):
                     a_, b_, d_, e_, xo, yo = vals
                     step = (a_, b_, xo, d_, e_, yo)
                 else:  # st_rotate: CCW about the origin (PostGIS default)
-                    import math
-
                     c_, s_ = math.cos(vals[0]), math.sin(vals[0])
                     step = (c_, -s_, 0.0, s_, c_, 0.0)
                 # this step is INSIDE every op peeled so far: compose with a
@@ -2252,12 +2271,25 @@ class CompiledTemplate:
 
                     frame = simplify_ring_cols(frame, simplify_tol)
                 if geom_ops:
-                    if simplify_tol:
-                        raise DefinitionError(
-                            "template SQL: ST_Simplify cannot wrap affine/snap "
-                            "geometry functions (apply ST_Simplify to the "
-                            "source before transforming)"
-                        )
+                    # the op chain rewrites the SOURCE geometry columns; any
+                    # construct reading geometry outside the ST_AsMVTGeom
+                    # item would silently see the transformed coordinates
+                    # where PostGIS reads the originals — reject by name
+                    for gfn in _GEOM_READ_FNS:
+                        if (
+                            _contains_func(where, gfn)
+                            or _contains_func(having, gfn)
+                            or any(_contains_func(it.expr, gfn) for it in items)
+                        ):
+                            raise DefinitionError(
+                                "template SQL: ST_Translate/ST_Scale/"
+                                "ST_Rotate/ST_Affine/ST_SnapToGrid transform "
+                                f"only the ST_AsMVTGeom output; {gfn.upper()} "
+                                "elsewhere in the query would read the "
+                                "transformed geometry (PostGIS reads the "
+                                "original) — transform the source table "
+                                "instead"
+                            )
                     frame = _apply_geom_ops(frame, kind, geom_ops)
                 df = _explode_zooms(frame, zs)
                 where, semis = _split_semijoins(where)

@@ -763,7 +763,12 @@ def line_substring(
 
     Degenerate inputs: a single vertex returns a 1-element array of
     itself; null arrays null-propagate.  ``f1 == f2`` returns the 2-element
-    degenerate [p, p] (deterministic; PostGIS returns POINT there)."""
+    degenerate [p, p] (deterministic; PostGIS returns POINT there).
+
+    Plan-size note (accepted): the O(n²) cums machinery appears ~3x in the
+    expression tree (here + inside each interpolate endpoint) and the SQL
+    twin inlines it per reference — vertex counts on these paths are
+    tile-scale small, and sharing it would need a CTE-shaped twin."""
     if not (0.0 <= f1 <= f2 <= 1.0):
         raise ValueError("line_substring requires 0 <= f1 <= f2 <= 1")
     n = F.size(xs)

@@ -984,11 +984,14 @@ def make_chain_in_ring_udf():
     def cr(lxs: pd.Series, lys: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
         out = np.zeros(len(lxs), dtype=bool)
         for i in range(len(lxs)):
+            lx, ly, rx, ry = lxs.iloc[i], lys.iloc[i], rxs.iloc[i], rys.iloc[i]
+            if lx is None or ly is None or rx is None or ry is None:
+                continue  # stays False — matches the SQL twin's NULL guard
             out[i] = _chain_in_ring_np(
-                np.asarray(lxs.iloc[i], dtype=np.float64),
-                np.asarray(lys.iloc[i], dtype=np.float64),
-                np.asarray(rxs.iloc[i], dtype=np.float64),
-                np.asarray(rys.iloc[i], dtype=np.float64),
+                np.asarray(lx, dtype=np.float64),
+                np.asarray(ly, dtype=np.float64),
+                np.asarray(rx, dtype=np.float64),
+                np.asarray(ry, dtype=np.float64),
             )
         return pd.Series(out)
 
@@ -1159,11 +1162,14 @@ def make_ring_ring_clip_area_udf():
     def ca(axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series) -> pd.Series:
         out = np.zeros(len(axs), dtype=np.float64)
         for i in range(len(axs)):
+            ax, ay, bx, by = axs.iloc[i], ays.iloc[i], bxs.iloc[i], bys.iloc[i]
+            if ax is None or ay is None or bx is None or by is None:
+                continue  # stays 0.0 — matches the SQL twin's NULL guard
             out[i] = _ring_ring_clip_area_np(
-                np.asarray(axs.iloc[i], dtype=np.float64),
-                np.asarray(ays.iloc[i], dtype=np.float64),
-                np.asarray(bxs.iloc[i], dtype=np.float64),
-                np.asarray(bys.iloc[i], dtype=np.float64),
+                np.asarray(ax, dtype=np.float64),
+                np.asarray(ay, dtype=np.float64),
+                np.asarray(bx, dtype=np.float64),
+                np.asarray(by, dtype=np.float64),
             )
         return pd.Series(out)
 
@@ -1205,11 +1211,14 @@ def make_chain_ring_clip_len_udf():
     def cl(lxs: pd.Series, lys: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
         out = np.zeros(len(lxs), dtype=np.float64)
         for i in range(len(lxs)):
+            lx, ly, rx, ry = lxs.iloc[i], lys.iloc[i], rxs.iloc[i], rys.iloc[i]
+            if lx is None or ly is None or rx is None or ry is None:
+                continue  # stays 0.0 — matches the SQL twin's NULL guard
             out[i] = _chain_ring_clip_len_np(
-                np.asarray(lxs.iloc[i], dtype=np.float64),
-                np.asarray(lys.iloc[i], dtype=np.float64),
-                np.asarray(rxs.iloc[i], dtype=np.float64),
-                np.asarray(rys.iloc[i], dtype=np.float64),
+                np.asarray(lx, dtype=np.float64),
+                np.asarray(ly, dtype=np.float64),
+                np.asarray(rx, dtype=np.float64),
+                np.asarray(ry, dtype=np.float64),
             )
         return pd.Series(out)
 
