@@ -434,3 +434,90 @@ def test_stream_hexbin_windows_and_late_drop(spark, tmp_path):
     ])
     run()
     assert finalized() == want
+
+
+def test_stream_geofence_transitions_and_resume(spark, tmp_path):
+    """stream_geofence: enter/exit emitted exactly on flips (per-batch
+    (ts, event_id) replay order), concave fence containment via the
+    shared raycast, and checkpoint resume — a user already inside does
+    NOT re-enter after restart; the next outside event exits once."""
+    import json
+
+    from tilekiln_spark.streaming.geo import stream_geofence
+
+    src = tmp_path / "gf_events"
+    src.mkdir()
+    out = tmp_path / "gf_out"
+    ckpt = str(tmp_path / "gf_ckpt")
+    schema = "event_id long, user_id long, ts timestamp, mx double, my double"
+
+    # fence 0: unit-ish square; fence 1: concave L whose notch is OUTSIDE
+    fences = spark.createDataFrame(
+        [
+            (0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+            (1, [10.0, 14.0, 14.0, 12.0, 12.0, 10.0],
+                [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]),
+        ],
+        "fence_id long, ring_xs array<double>, ring_ys array<double>",
+    )
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for eid, uid, ts, mx, my in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "user_id": uid, "ts": ts,
+                     "mx": mx, "my": my}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream_geofence(stream, fences)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def got():
+        rows = spark.read.schema(
+            "user_id long, fence_id long, ts timestamp, transition string"
+        ).parquet(str(out)).collect()
+        return sorted(
+            (r.user_id, r.fence_id, str(r.ts), r.transition) for r in rows
+        )
+
+    # batch 1: user 1 walks outside -> in -> (stays in); user 2 sits in the
+    # L's concave NOTCH (13, 3) = outside, then its solid arm (11, 3) = in
+    write_batch("b1.jsonl", [
+        (1, 1, "2026-01-01T00:00:00", -1.0, -1.0),
+        (2, 1, "2026-01-01T00:10:00", 2.0, 2.0),
+        (3, 1, "2026-01-01T00:20:00", 3.0, 1.0),
+        (4, 2, "2026-01-01T00:05:00", 13.0, 3.0),
+        (5, 2, "2026-01-01T00:15:00", 11.0, 3.0),
+    ])
+    run()
+    assert got() == [
+        (1, 0, "2026-01-01 00:10:00", "enter"),
+        (2, 1, "2026-01-01 00:15:00", "enter"),
+    ]
+
+    # batch 2 AFTER RESTART: user 1 exits fence 0 (exactly once — the
+    # inside flag came from the checkpoint); user 2 moves to the notch
+    # (outside) -> exit; user 1 also dips into fence 1's arm -> enter
+    write_batch("b2.jsonl", [
+        (6, 1, "2026-01-01T01:00:00", 9.0, 9.0),
+        (7, 1, "2026-01-01T01:10:00", 11.0, 1.0),
+        (8, 2, "2026-01-01T01:05:00", 13.0, 3.0),
+    ])
+    run()
+    assert got() == [
+        (1, 0, "2026-01-01 00:10:00", "enter"),
+        (1, 0, "2026-01-01 01:00:00", "exit"),
+        (1, 1, "2026-01-01 01:10:00", "enter"),
+        (2, 1, "2026-01-01 00:15:00", "enter"),
+        (2, 1, "2026-01-01 01:05:00", "exit"),
+    ]
