@@ -1659,6 +1659,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_hillshade"] = raster_hillshade
 
+    def kde_density(spark, sf_dir):
+        """Kernel-density heatmap (operators/raster.py kde_density):
+        Epanechnikov kernel over a 2500 km grid, bandwidth 3750 km →
+        bounded 5x5 neighbor explode + ONE partial-aggregated groupBy —
+        the hexbin/hillshade scale shape, no dense raster, no exp().
+        DuckDB re-runs the identical offsets cross join and kernel
+        arithmetic."""
+        from tilekiln_spark.operators.raster import kde_density
+
+        d = _mx_my(_docs(spark, sf_dir))
+        out = kde_density(d, cell=2.5e6, bandwidth=3.75e6)
+        return out.select(
+            "ix", "iy", (F.round(F.col("density"), 6) + 0.0).alias("density")
+        )
+
+    q["kde_density"] = kde_density
+
     def cluster_within(spark, sf_dir):
         """PostGIS ST_ClusterWithin: connected components of the full
         eps-graph — exactly DBSCAN with min_pts=1 (every point core), so
@@ -5107,6 +5124,31 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_nodes
         FROM snapped
         GROUP BY 1, 2
+    """
+
+    _kde_cx = "(CAST(g.ix AS DOUBLE) + 0.5) * 2500000.0"
+    _kde_cy = "(CAST(g.iy AS DOUBLE) + 0.5) * 2500000.0"
+    _kde_u2 = (
+        f"(((g.mx - {_kde_cx}) / 3750000.0) * ((g.mx - {_kde_cx}) / 3750000.0) "
+        f"+ ((g.my - {_kde_cy}) / 3750000.0) * ((g.my - {_kde_cy}) / 3750000.0))"
+    )
+    o["kde_density"] = f"""
+        {_GEO_CTE}, offs(d) AS (VALUES (-2), (-1), (0), (1), (2)),
+        g AS (
+            SELECT CAST(floor(mx / 2500000.0) AS BIGINT) + ox.d AS ix,
+                   CAST(floor(my / 2500000.0) AS BIGINT) + oy.d AS iy,
+                   mx, my
+            FROM geo CROSS JOIN offs ox CROSS JOIN offs oy
+        )
+        SELECT ix, iy,
+               round(sum(CASE WHEN {_kde_u2} < 1.0
+                              THEN 0.75 * (1.0 - {_kde_u2})
+                              ELSE 0.0 END), 6) + 0.0 AS density
+        FROM g
+        GROUP BY 1, 2
+        HAVING sum(CASE WHEN {_kde_u2} < 1.0
+                        THEN 0.75 * (1.0 - {_kde_u2})
+                        ELSE 0.0 END) > 0
     """
 
     o["snap_grid_dissolve"] = f"""

@@ -116,3 +116,41 @@ def test_hillshade_flat_interior(spark):
     # corners have a downhill gradient toward the missing neighbors
     assert out[(0, 0)] != out[(1, 1)]
     assert all(0.0 <= v <= 255.0 for v in out.values())
+
+
+def test_kde_density_goldens(spark):
+    """Single point at a cell center: exact Epanechnikov weights at the
+    own cell (0.75), axis neighbor (5/12), diagonal neighbor (1/12);
+    bounded support drops cells past the bandwidth; two coincident points
+    double every weight."""
+    import pytest
+
+    from tilekiln_spark.operators.raster import kde_density
+
+    pt = spark.createDataFrame(
+        [(1.25e6, 1.25e6)], "mx double, my double"
+    )
+    got = {
+        (r.ix, r.iy): r.density
+        for r in kde_density(pt, cell=2.5e6, bandwidth=3.75e6).collect()
+    }
+    assert got[(0, 0)] == 0.75
+    assert got[(1, 0)] == pytest.approx(5.0 / 12.0, rel=1e-12)
+    assert got[(0, -1)] == pytest.approx(5.0 / 12.0, rel=1e-12)
+    assert got[(1, 1)] == pytest.approx(1.0 / 12.0, rel=1e-12)
+    assert (2, 0) not in got  # dist 5000 km > bandwidth 3750 km
+    assert set(got) == {
+        (ix, iy) for ix in (-1, 0, 1) for iy in (-1, 0, 1)
+    }
+
+    two = spark.createDataFrame(
+        [(1.25e6, 1.25e6), (1.25e6, 1.25e6)], "mx double, my double"
+    )
+    got2 = {
+        (r.ix, r.iy): r.density
+        for r in kde_density(two, cell=2.5e6, bandwidth=3.75e6).collect()
+    }
+    assert got2[(0, 0)] == 1.5
+
+    with pytest.raises(ValueError, match="positive"):
+        kde_density(pt, cell=0.0, bandwidth=1.0)
