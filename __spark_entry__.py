@@ -1556,6 +1556,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["areal_interpolate"] = areal_interpolate
 
+    def tile_cover(spark, sf_dir):
+        """EXACT polygon tile cover (operators/spatial_join.py
+        polygon_tile_cover): z4 cells whose RECTANGLE intersects the ring
+        — the diamond/concave-L fixtures prove it's tighter than the bbox
+        cover (corner cells drop).  The cell rect rides as a literal
+        4-vertex ring through the shared Arrow ring-pair kernel; the twin
+        scans ALL 256 z4 cells (intersect implies bbox overlap, so the
+        engine's bbox-pruned candidates lose nothing) with
+        rings_intersect_sql."""
+        from tilekiln_spark.operators.spatial_join import polygon_tile_cover
+
+        polys = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        return polygon_tile_cover(polys, zoom=4).orderBy(
+            "polygon_id", "gx", "gy"
+        )
+
+    q["tile_cover"] = tile_cover
+
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
         2500 km mercator grid node (floor(v/g + 0.5) — the same
@@ -5058,6 +5076,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT a_id, b_id, round(ia / {_t2!r}, 6) + 0.0 AS tiles2
         FROM pairs WHERE ia > 0
         ORDER BY a_id, b_id
+    """
+
+    from tilekiln_spark.functions.geometry import rings_intersect_sql as _ri_sql
+
+    _tc_len = 2.0 * HW / 16
+    _tc_x0 = f"((-{HW!r}) + CAST(c.gx AS DOUBLE) * {_tc_len!r})"
+    _tc_y1 = f"({HW!r} - CAST(c.gy AS DOUBLE) * {_tc_len!r})"
+    o["tile_cover"] = f"""
+        WITH p(pid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)}),
+             c AS (
+                 SELECT CAST(cx.r AS INTEGER) AS gx, CAST(cy.r AS INTEGER) AS gy
+                 FROM range(0, 16) cx(r) CROSS JOIN range(0, 16) cy(r)
+             ),
+             rects AS (
+                 SELECT gx, gy,
+                        [{_tc_x0}, {_tc_x0} + {_tc_len!r},
+                         {_tc_x0} + {_tc_len!r}, {_tc_x0}] AS rxs,
+                        [{_tc_y1} - {_tc_len!r}, {_tc_y1} - {_tc_len!r},
+                         {_tc_y1}, {_tc_y1}] AS rys
+                 FROM c
+             )
+        SELECT p.pid AS polygon_id, rects.gx, rects.gy
+        FROM p CROSS JOIN rects
+        WHERE {_ri_sql("p.xs", "p.ys", "rects.rxs", "rects.rys")}
+        ORDER BY polygon_id, gx, gy
     """
 
     from tilekiln_spark.functions.geometry import ring_area_sql

@@ -180,6 +180,9 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "fingerprints",
         "event_windows",
         "event_sessions",
+        "kde_density",
+        "map_match",
+        "snap_grid_dissolve",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python

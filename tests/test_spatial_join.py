@@ -658,3 +658,54 @@ def test_ring_ring_clip_area(spark):
     for gid, _, _, want in cases:
         if gid in got_join:
             assert got_join[gid] == pytest.approx(want, abs=1e-9), gid
+
+def test_polygon_tile_cover_exact_vs_bbox(spark):
+    """Exact tile cover vs bbox cover on a half-cell-inset concave L:
+    the notch-interior cell is in the bbox cover but NOT the exact cover;
+    solid-arm and boundary-crossing cells stay; every cover cell is
+    within the bbox-plus-margin candidate set."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import (
+        explode_poly_cells,
+        polygon_tile_cover,
+    )
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    z = 3
+    L = 2.0 * HALF_WORLD / (1 << z)
+
+    # L-shape inset half a cell from cell lines: region
+    # x in [0.5L, 4.5L], y in [-4.5L, -0.5L] minus the notch
+    # x > 2.5L, y > -2.5L
+    xs = [0.5 * L, 4.5 * L, 4.5 * L, 2.5 * L, 2.5 * L, 0.5 * L]
+    ys = [-4.5 * L, -4.5 * L, -2.5 * L, -2.5 * L, -0.5 * L, -0.5 * L]
+    polys = spark.createDataFrame(
+        pd.DataFrame([{
+            "polygon_id": 0,
+            "xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys),
+            "ring_xs": xs, "ring_ys": ys,
+        }]),
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>",
+    )
+    got = {
+        (r.gx, r.gy) for r in polygon_tile_cover(polys, zoom=z).collect()
+    }
+    bbox = {
+        (r.gx, r.gy)
+        for r in explode_poly_cells(polys, z).select("gx", "gy").collect()
+    }
+    # cell (7, 5) = rect [3L,4L] x [-2L,-L] sits strictly inside the notch:
+    # bbox cover has it, the exact cover must not
+    assert (7, 5) in bbox
+    assert (7, 5) not in got
+    # solid-arm interior cell (5, 6) = [L,2L] x [-3L,-2L] is strictly
+    # inside the L; corner-crossing cell (4, 4) intersects the ring
+    assert (5, 6) in got and (4, 4) in got
+    # the bbox cells the exact cover drops: the notch-interior cell and
+    # the cell above the notch shoulder (outside the inset L entirely)
+    assert bbox - got == {(7, 5), (7, 4)}
+    # no cover cell escapes the bbox+1 candidate margin
+    for gx, gy in got:
+        assert 4 - 1 <= gx <= 8 + 1 and 4 - 1 <= gy <= 8 + 1

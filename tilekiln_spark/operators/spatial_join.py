@@ -920,6 +920,48 @@ def lines_intersect_join(
     return candidates.filter(hit)
 
 
+def polygon_tile_cover(polys: DataFrame, zoom: int) -> DataFrame:
+    """EXACT tile cover of each polygon: the z-``zoom`` cells whose
+    RECTANGLE intersects the ring — not merely its bbox (PostGIS
+    ``ST_SquareGrid(...) JOIN ON ST_Intersects`` / tile-cover listing; a
+    concave polygon's bbox cover includes cells its interior never
+    touches).  Shape: the bbox cell explode prunes candidates, then the
+    cell rectangle rides as a literal 4-vertex ring through the SAME
+    Arrow ring-pair intersect kernel the polygon joins use — covers
+    cell-inside-polygon, polygon-inside-cell, and boundary-crossing cases
+    in one test.  Returns [polygon_id, gx, gy].
+
+    At 100 TB: explode factor = bbox cells (tunable via zoom), refine is
+    map-only, output partitions naturally by (gx, gy)."""
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    length = 2.0 * HALF_WORLD / (1 << zoom)
+    # candidate explode with a ONE-CELL margin beyond the bbox cover: a
+    # ring lying exactly ON a cell boundary TOUCHES the neighbor cell
+    # (ST_Intersects counts boundary contact) but floor() assigns the
+    # boundary to the far cell — the margin admits those neighbors and the
+    # exact refine keeps only true intersections
+    z = F.lit(zoom)
+    nmax = F.lit((1 << zoom) - 1)
+    gx0 = F.greatest(F.lit(0), tile_x(z, F.col("xmin")) - 1)
+    gx1 = F.least(nmax, tile_x(z, F.col("xmax")) + 1)
+    gy0 = F.greatest(F.lit(0), tile_y(z, F.col("ymax")) - 1)
+    gy1 = F.least(nmax, tile_y(z, F.col("ymin")) + 1)
+    cells = polys.withColumn("gx", F.explode(F.sequence(gx0, gx1))).withColumn(
+        "gy", F.explode(F.sequence(gy0, gy1))
+    )
+    x0 = F.lit(-HALF_WORLD) + F.col("gx").cast("double") * F.lit(length)
+    y1 = F.lit(HALF_WORLD) - F.col("gy").cast("double") * F.lit(length)
+    x1 = x0 + F.lit(length)
+    y0 = y1 - F.lit(length)
+    rect_xs = F.array(x0, x1, x1, x0)
+    rect_ys = F.array(y0, y0, y1, y1)
+    hit = make_rings_intersect_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), rect_xs, rect_ys
+    )
+    return cells.filter(hit).select("polygon_id", "gx", "gy")
+
+
 def _chain_in_ring_np(lx, ly, rx, ry) -> bool:
     """Exact ``ST_ContainsProperly(polygon, line)`` test over a candidate
     (open chain, simple exterior ring) pair: the chain lies entirely in the
