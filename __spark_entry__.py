@@ -1574,6 +1574,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_cover"] = tile_cover
 
+    def gen_points(spark, sf_dir):
+        """Deterministic ST_GeneratePoints (operators/spatial_join.py
+        generate_points): replayable integer-hash LCG candidates over the
+        bbox + raycast rejection + first-n-accepted by candidate index —
+        synthetic spatial sampling whose every coordinate the DuckDB twin
+        re-derives (no engine randomness).  The diamond/concave-L
+        fixtures make rejection real."""
+        from tilekiln_spark.operators.spatial_join import generate_points
+
+        polys = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        out = generate_points(polys, n=8, candidates_per_point=16, seed=7)
+        return out.select(
+            "polygon_id",
+            "pt_seq",
+            (F.round(F.col("px"), 4) + 0.0).alias("px"),
+            (F.round(F.col("py"), 4) + 0.0).alias("py"),
+        )
+
+    q["gen_points"] = gen_points
+
     def snap_grid_dissolve(spark, sf_dir):
         """PostGIS ST_SnapToGrid + dissolve: snap every doc point to a
         2500 km mercator grid node (floor(v/g + 0.5) — the same
@@ -5101,6 +5121,49 @@ def oracle_sql() -> dict[str, str]:
         FROM p CROSS JOIN rects
         WHERE {_ri_sql("p.xs", "p.ys", "rects.rxs", "rects.rys")}
         ORDER BY polygon_id, gx, gy
+    """
+
+    # gen_points twin: identical float64 hash/LCG arithmetic, the same
+    # single-point raycast, first-8-accepted by candidate index
+    _gp_K, _gp_seed, _gp_n = 16 * 8, 7, 8
+    _gp_base = (
+        f"((CAST(p.pid AS DOUBLE) * {float(_gp_K)!r} + CAST(c.k AS DOUBLE) "
+        f"+ {float(_gp_seed)!r}) * 2654435761.0)"
+    )
+    _gp_h1 = f"({_gp_base} - floor({_gp_base} / 4294967296.0) * 4294967296.0)"
+    _gp_step = f"({_gp_h1} * 48271.0)"
+    _gp_h2 = f"({_gp_step} - floor({_gp_step} / 2147483648.0) * 2147483648.0)"
+    _gp_px = (
+        f"(list_min(p.xs) + ({_gp_h1} / 4294967296.0) "
+        f"* (list_max(p.xs) - list_min(p.xs)))"
+    )
+    _gp_py = (
+        f"(list_min(p.ys) + ({_gp_h2} / 2147483648.0) "
+        f"* (list_max(p.ys) - list_min(p.ys)))"
+    )
+    o["gen_points"] = f"""
+        WITH p(pid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)}),
+             c AS (SELECT CAST(r AS INTEGER) AS k FROM range(1, {_gp_K} + 1) t(r)),
+             cand AS (
+                 SELECT p.pid AS polygon_id, c.k,
+                        {_gp_px} AS px, {_gp_py} AS py, p.xs, p.ys
+                 FROM p CROSS JOIN c
+             )
+        SELECT polygon_id,
+               CAST(row_number() OVER (PARTITION BY polygon_id ORDER BY k)
+                    AS INTEGER) AS pt_seq,
+               round(px, 4) + 0.0 AS px, round(py, 4) + 0.0 AS py
+        FROM (
+            SELECT cand.polygon_id, cand.k, cand.px, cand.py
+            FROM cand
+            WHERE (list_sum(list_transform(range(1, len(cand.xs) + 1), j ->
+                CASE WHEN ((cand.ys[j] > cand.py) != (cand.ys[(j % len(cand.xs)) + 1] > cand.py))
+                THEN CASE WHEN cand.px < cand.xs[j] + (cand.py - cand.ys[j])
+                * (cand.xs[(j % len(cand.xs)) + 1] - cand.xs[j])
+                / (cand.ys[(j % len(cand.xs)) + 1] - cand.ys[j])
+                THEN 1 ELSE 0 END ELSE 0 END)) % 2) = 1
+        )
+        QUALIFY pt_seq <= {_gp_n}
     """
 
     from tilekiln_spark.functions.geometry import ring_area_sql

@@ -709,3 +709,54 @@ def test_polygon_tile_cover_exact_vs_bbox(spark):
     # no cover cell escapes the bbox+1 candidate margin
     for gx, gy in got:
         assert 4 - 1 <= gx <= 8 + 1 and 4 - 1 <= gy <= 8 + 1
+
+
+def test_generate_points_deterministic_interior(spark):
+    """generate_points: every emitted point raycasts inside its polygon,
+    output is bit-identical across runs (replayable generator), rejection
+    is real on a thin diamond, and pt_seq is dense 1..n."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import generate_points
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+    polys_rows = [
+        # square: ~100% acceptance
+        {"polygon_id": 1, "xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 4.0,
+         "ring_xs": [0.0, 4.0, 4.0, 0.0], "ring_ys": [0.0, 0.0, 4.0, 4.0]},
+        # thin diamond: ~50% of the bbox -> rejection exercised
+        {"polygon_id": 2, "xmin": 0.0, "ymin": 0.0, "xmax": 8.0, "ymax": 2.0,
+         "ring_xs": [0.0, 4.0, 8.0, 4.0], "ring_ys": [1.0, 0.0, 1.0, 2.0]},
+    ]
+    polys = spark.createDataFrame(pd.DataFrame(polys_rows), schema)
+    out1 = generate_points(polys, n=6, candidates_per_point=16, seed=3)
+    rows1 = sorted(
+        (r.polygon_id, r.pt_seq, r.px, r.py) for r in out1.collect()
+    )
+    rows2 = sorted(
+        (r.polygon_id, r.pt_seq, r.px, r.py)
+        for r in generate_points(
+            polys, n=6, candidates_per_point=16, seed=3
+        ).collect()
+    )
+    assert rows1 == rows2  # replayable: bit-identical rerun
+    per = {}
+    by_pid = {p["polygon_id"]: p for p in polys_rows}
+    for pid, seq, px, py in rows1:
+        per.setdefault(pid, []).append(seq)
+        p = by_pid[pid]
+        assert _py_raycast(px, py, p["ring_xs"], p["ring_ys"]), (pid, px, py)
+    for pid, seqs in per.items():
+        assert seqs == list(range(1, len(seqs) + 1))
+        assert len(seqs) == 6  # budget sufficed for both shapes
+    # a different seed moves the points
+    alt = sorted(
+        (r.polygon_id, r.pt_seq, r.px, r.py)
+        for r in generate_points(
+            polys, n=6, candidates_per_point=16, seed=4
+        ).collect()
+    )
+    assert alt != rows1

@@ -962,6 +962,60 @@ def polygon_tile_cover(polys: DataFrame, zoom: int) -> DataFrame:
     return cells.filter(hit).select("polygon_id", "gx", "gy")
 
 
+def generate_points(
+    polys: DataFrame,
+    n: int,
+    candidates_per_point: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic ``ST_GeneratePoints(polygon, n)``: up to ``n`` points
+    inside each polygon by rejection sampling over its bbox — with a
+    REPLAYABLE generator instead of engine randomness, so a SQL twin can
+    re-derive every coordinate (PostGIS's seeded variant has the same
+    goal; the training-data use is synthetic spatial sampling).
+
+    Generator: candidate k of polygon p hashes (p·K + k)·2654435761 mod
+    2³², then one multiplicative LCG step (·48271 mod 2³¹⁻¹ style modulus
+    2³¹) for the second coordinate — all arithmetic stays on integers
+    < 2⁵³ represented in float64 (mod spelled v − floor(v/m)·m), so both
+    engines fold the identical doubles.  Candidates explode map-only
+    (K = ``candidates_per_point``·n per polygon, a compile-time constant),
+    the even-odd raycast keeps interior hits, and a row_number over the
+    candidate index takes the FIRST ``n`` accepted — deterministic and
+    engine-order-independent.  Polygons too thin for the budget yield
+    fewer points (documented; raise ``candidates_per_point``).
+
+    Returns [polygon_id, pt_seq, px, py]."""
+    K = candidates_per_point * n
+    two32, two31 = 4294967296.0, 2147483648.0
+    pid = F.col("polygon_id").cast("double")
+    k = F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
+    cand = polys.select(
+        "polygon_id", "xmin", "ymin", "xmax", "ymax", "ring_xs", "ring_ys", k
+    )
+    base = (pid * F.lit(float(K)) + F.col("k").cast("double") + F.lit(float(seed))) * F.lit(
+        2654435761.0
+    )
+    h1 = base - F.floor(base / F.lit(two32)) * F.lit(two32)
+    step = h1 * F.lit(48271.0)
+    h2 = step - F.floor(step / F.lit(two31)) * F.lit(two31)
+    u = h1 / F.lit(two32)
+    v = h2 / F.lit(two31)
+    px = F.col("xmin") + u * (F.col("xmax") - F.col("xmin"))
+    py = F.col("ymin") + v * (F.col("ymax") - F.col("ymin"))
+    hits = (
+        cand.withColumn("px", px)
+        .withColumn("py", py)
+        .filter(pip_raycast(F.col("px"), F.col("py"), F.col("ring_xs"), F.col("ring_ys")))
+    )
+    w = Window.partitionBy("polygon_id").orderBy("k")
+    return (
+        hits.withColumn("pt_seq", F.row_number().over(w))
+        .filter(F.col("pt_seq") <= n)
+        .select("polygon_id", "pt_seq", "px", "py")
+    )
+
+
 def _chain_in_ring_np(lx, ly, rx, ry) -> bool:
     """Exact ``ST_ContainsProperly(polygon, line)`` test over a candidate
     (open chain, simple exterior ring) pair: the chain lies entirely in the
