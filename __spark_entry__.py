@@ -1042,6 +1042,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["convex_hull_quadrants"] = convex_hull_quadrants
 
+    def oriented_envelope(spark, sf_dir):
+        """ST_OrientedEnvelope area per group (operators/hull.py
+        oriented_envelope_area): minimum-area oriented bounding box over
+        the same quadrant hulls as convex_hull_quadrants.  Rotating
+        calipers says the OBB aligns with a hull EDGE; min over all
+        hull-point PAIR directions (a superset) is therefore exactly the
+        OBB area while being invariant to vertex order and collinear
+        inclusions — so the DuckDB twin can brute-force pairs with SQL
+        joins and land on the identical minimum."""
+        from tilekiln_spark.operators.hull import (
+            convex_hull,
+            oriented_envelope_area,
+        )
+
+        pts = (
+            _mx_my(_docs(spark, sf_dir))
+            .where(F.col("doc_id") % 3 == 0)
+            .select(
+                (
+                    F.when(F.col("mx") >= 0, F.lit(2)).otherwise(F.lit(0))
+                    + F.when(F.col("my") >= 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("gid"),
+                "mx",
+                "my",
+            )
+        )
+        h = convex_hull(pts, "gid", "mx", "my")
+        obb = oriented_envelope_area(h, "gid", "mx", "my")
+        return obb.select(
+            "gid",
+            F.round(F.col("obb_area") / F.lit(1.0e6), 3).alias("obb_km2"),
+        )
+
+    q["oriented_envelope"] = oriented_envelope
+
     def geography_area(spark, sf_dir):
         """Geography ST_Area class: spherical ring area (sine-trapezoid
         rule, functions/geodesic.py geography_ring_area — one F.aggregate
@@ -5407,6 +5442,48 @@ def oracle_sql() -> dict[str, str]:
                        .replace("o2", "((c.mx - b.mx) * (p.my - b.my) - (c.my - b.my) * (p.mx - b.mx))")
                        .replace("o3", "((a.mx - c.mx) * (p.my - c.my) - (a.my - c.my) * (p.mx - c.mx))")}
         )
+    """
+
+    # OBB area: rotating calipers => the min-area rectangle aligns with a
+    # hull edge; min over ALL hull-point pair directions (a superset of the
+    # edges, order-invariant) is therefore exactly the same minimum the
+    # Spark HOF fold computes — brute-forced here with joins over the same
+    # set-theoretic hull CTE.
+    _hull_cte = f"""pts AS (
+            SELECT DISTINCT
+                   (CASE WHEN mx >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN my >= 0 THEN 1 ELSE 0 END) AS gid, mx, my
+            FROM geo WHERE doc_id % 3 = 0
+        ), hull AS (
+            SELECT p.gid, p.mx, p.my
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM pts a, pts b, pts c
+                WHERE a.gid = p.gid AND b.gid = p.gid AND c.gid = p.gid
+                  AND {_tri.replace("o1", "((b.mx - a.mx) * (p.my - a.my) - (b.my - a.my) * (p.mx - a.mx))")
+                           .replace("o2", "((c.mx - b.mx) * (p.my - b.my) - (c.my - b.my) * (p.mx - b.mx))")
+                           .replace("o3", "((a.mx - c.mx) * (p.my - c.my) - (a.my - c.my) * (p.mx - c.mx))")}
+            )
+        )"""
+    o["oriented_envelope"] = f"""
+        {_GEO_CTE}, {_hull_cte}, dirs AS (
+            SELECT DISTINCT a.gid, (b.mx - a.mx) AS dx, (b.my - a.my) AS dy
+            FROM hull a JOIN hull b ON a.gid = b.gid
+            WHERE (b.mx - a.mx) * (b.mx - a.mx)
+                + (b.my - a.my) * (b.my - a.my) > 0
+        ), areas AS (
+            SELECT d.gid,
+                   (max(d.dx * h.mx + d.dy * h.my)
+                    - min(d.dx * h.mx + d.dy * h.my))
+                 * (max(-d.dy * h.mx + d.dx * h.my)
+                    - min(-d.dy * h.mx + d.dx * h.my))
+                 / (d.dx * d.dx + d.dy * d.dy) AS area
+            FROM dirs d JOIN hull h ON h.gid = d.gid
+            GROUP BY d.gid, d.dx, d.dy
+        )
+        SELECT gid, round(min(area) / 1000000.0, 3) + 0.0 AS obb_km2
+        FROM areas GROUP BY gid
     """
 
     o["knn_centroids"] = f"""

@@ -6,9 +6,11 @@ Parity target: PostGIS ST_ConvexHull over grouped point sets (the
 reference executes arbitrary template SQL,
 /root/reference/tilekiln/definition.py:42-77)."""
 
+import math
+
 import numpy as np
 
-from tilekiln_spark.operators.hull import convex_hull, hull_np
+from tilekiln_spark.operators.hull import convex_hull, hull_np, oriented_envelope_area
 
 
 def test_hull_np_square_golden():
@@ -79,3 +81,37 @@ def test_hull_null_group_preserved(spark):
     got = {(r.gid, r.x, r.y) for r in convex_hull(df, "gid", "x", "y").collect()}
     assert (None, 5.0, 5.0) in got and (None, 6.0, 5.0) in got
     assert len([g for g, *_ in got if g is None]) == 2
+
+
+def test_oriented_envelope_rotated_rect(spark):
+    """A 10x4 rectangle of points rotated 30deg: the minimum-area oriented
+    box is the rectangle itself (area 40), strictly below the axis-aligned
+    bbox area.  Interior points must not change the answer."""
+    rng = np.random.default_rng(11)
+    base = np.column_stack(
+        [rng.uniform(0, 10, 200), rng.uniform(0, 4, 200)]
+    )
+    base = np.vstack([base, [[0, 0], [10, 0], [10, 4], [0, 4]]])
+    th = math.radians(30)
+    c, s = math.cos(th), math.sin(th)
+    rot = base @ np.array([[c, s], [-s, c]])
+    rows = [(7, float(x), float(y)) for x, y in rot]
+    df = spark.createDataFrame(rows, "gid int, x double, y double")
+    hull = convex_hull(df, "gid", "x", "y")
+    got = oriented_envelope_area(hull, "gid", "x", "y").collect()
+    assert len(got) == 1 and got[0].gid == 7
+    assert abs(got[0].obb_area - 40.0) < 1e-9
+    aabb = (rot[:, 0].max() - rot[:, 0].min()) * (rot[:, 1].max() - rot[:, 1].min())
+    assert got[0].obb_area < aabb
+
+
+def test_oriented_envelope_square_and_degenerate(spark):
+    rows = [
+        (0, 0.0, 0.0), (0, 4.0, 0.0), (0, 4.0, 4.0), (0, 0.0, 4.0), (0, 1.0, 2.0),
+        (1, 5.0, 5.0), (1, 9.0, 9.0),  # 2 hull vertices -> degenerate 0.0
+    ]
+    df = spark.createDataFrame(rows, "gid int, x double, y double")
+    hull = convex_hull(df, "gid", "x", "y")
+    got = {r.gid: r.obb_area for r in oriented_envelope_area(hull, "gid", "x", "y").collect()}
+    assert abs(got[0] - 16.0) < 1e-12
+    assert got[1] == 0.0

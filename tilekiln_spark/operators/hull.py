@@ -22,7 +22,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
@@ -82,3 +83,62 @@ def convex_hull(
 
     pre = df.select(group_col, x_col, y_col).mapInPandas(partial, schema=out_schema)
     return pre.groupBy(group_col).applyInPandas(final, schema=out_schema)
+
+
+def oriented_envelope_area(
+    hull_pts: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """PostGIS ``ST_OrientedEnvelope`` AREA per group (minimum-area
+    oriented bounding box) over hull-vertex rows (:func:`convex_hull`
+    output): by the rotating-calipers theorem the minimum-area enclosing
+    rectangle is aligned with a hull EDGE, and every direction yields a
+    valid enclosing rectangle — so min over all hull-point PAIR directions
+    (a superset of the edges) is exactly the OBB area, with no ordered
+    traversal.  That order-freedom is what makes it distribution- and
+    twin-friendly: the candidate areas are a SET (min/max projections are
+    invariant to vertex order and to extra collinear boundary points), so
+    engines can disagree on hull-vertex ordering or collinear inclusions
+    and still return the identical minimum.
+
+    Cost: O(h³) per group in pure HOF expressions with h = hull size
+    (O(log n)..O(n^{1/3}) for natural point clouds) — after the two-level
+    hull already collapsed each group to its hull vertices map-side.
+
+    Returns [group, obb_area] (0.0 for degenerate groups with < 3 hull
+    vertices)."""
+    agg = hull_pts.groupBy(group_col).agg(
+        F.collect_list(x_col).alias("_hx"),
+        F.collect_list(y_col).alias("_hy"),
+    )
+    xs, ys = F.col("_hx"), F.col("_hy")
+    h = F.size(xs)
+    idx = F.sequence(F.lit(1), h)
+    inf = F.lit(float("inf"))
+
+    def area_for(i: Column, j: Column) -> Column:
+        dx = F.element_at(xs, j) - F.element_at(xs, i)
+        dy = F.element_at(ys, j) - F.element_at(ys, i)
+        d2 = dx * dx + dy * dy
+        proj = F.transform(
+            idx, lambda k: dx * F.element_at(xs, k) + dy * F.element_at(ys, k)
+        )
+        perp = F.transform(
+            idx, lambda k: -dy * F.element_at(xs, k) + dx * F.element_at(ys, k)
+        )
+        span = (F.array_max(proj) - F.array_min(proj)) * (
+            F.array_max(perp) - F.array_min(perp)
+        )
+        return F.when(d2 > 0, span / d2).otherwise(inf)
+
+    best = F.aggregate(
+        idx,
+        inf,
+        lambda acc, i: F.least(
+            acc,
+            F.aggregate(idx, inf, lambda acc2, j: F.least(acc2, area_for(i, j))),
+        ),
+    )
+    return agg.select(
+        group_col,
+        F.when(h >= 3, best).otherwise(F.lit(0.0)).alias("obb_area"),
+    )
