@@ -1077,6 +1077,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["oriented_envelope"] = oriented_envelope
 
+    def min_bounding_radius(spark, sf_dir):
+        """ST_MinimumBoundingRadius per group (operators/hull.py
+        minimum_bounding_radius) over the same quadrant hulls: minimax
+        formulation — the MEC center is a hull-point pair midpoint or
+        triple circumcenter, and min over candidates of
+        max-distance-to-hull needs NO containment predicate, so
+        boundary-point roundoff can't flip a candidate in one engine
+        only.  Hull vertices are sorted so both engines enumerate
+        identical ordered triples (the circumcenter's term order follows
+        the role assignment; permutations differ by ulps)."""
+        from tilekiln_spark.operators.hull import (
+            convex_hull,
+            minimum_bounding_radius,
+        )
+
+        pts = (
+            _mx_my(_docs(spark, sf_dir))
+            .where(F.col("doc_id") % 3 == 0)
+            .select(
+                (
+                    F.when(F.col("mx") >= 0, F.lit(2)).otherwise(F.lit(0))
+                    + F.when(F.col("my") >= 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("gid"),
+                "mx",
+                "my",
+            )
+        )
+        h = convex_hull(pts, "gid", "mx", "my")
+        mec = minimum_bounding_radius(h, "gid", "mx", "my")
+        return mec.select(
+            "gid",
+            F.round(F.sqrt(F.col("mec_r2")) / F.lit(1.0e3), 3).alias("mec_km"),
+        )
+
+    q["min_bounding_radius"] = min_bounding_radius
+
     def geography_area(spark, sf_dir):
         """Geography ST_Area class: spherical ring area (sine-trapezoid
         rule, functions/geodesic.py geography_ring_area — one F.aggregate
@@ -5484,6 +5520,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT gid, round(min(area) / 1000000.0, 3) + 0.0 AS obb_km2
         FROM areas GROUP BY gid
+    """
+
+    # MEC radius, minimax over pair-midpoint + triple-circumcenter
+    # candidates: min over candidates of (max dist to hull points) is the
+    # exact MEC radius with no containment predicate.  The row-value
+    # (mx, my) ordering below mirrors the Spark side's sort_array so both
+    # engines enumerate the IDENTICAL ordered triples (the circumcenter's
+    # float term order follows the role assignment).
+    _mec_d = (
+        "2 * (a.mx * (b.my - c.my) + b.mx * (c.my - a.my)"
+        " + c.mx * (a.my - b.my))"
+    )
+    _mec_a2 = "(a.mx * a.mx + a.my * a.my)"
+    _mec_b2 = "(b.mx * b.mx + b.my * b.my)"
+    _mec_c2 = "(c.mx * c.mx + c.my * c.my)"
+    o["min_bounding_radius"] = f"""
+        {_GEO_CTE}, {_hull_cte}, cands AS (
+            SELECT a.gid, (a.mx + b.mx) / 2 AS cx, (a.my + b.my) / 2 AS cy
+            FROM hull a JOIN hull b ON a.gid = b.gid
+            WHERE (a.mx, a.my) < (b.mx, b.my)
+            UNION ALL
+            SELECT a.gid,
+                   ({_mec_a2} * (b.my - c.my) + {_mec_b2} * (c.my - a.my)
+                    + {_mec_c2} * (a.my - b.my)) / ({_mec_d}) AS cx,
+                   ({_mec_a2} * (c.mx - b.mx) + {_mec_b2} * (a.mx - c.mx)
+                    + {_mec_c2} * (b.mx - a.mx)) / ({_mec_d}) AS cy
+            FROM hull a
+            JOIN hull b ON a.gid = b.gid
+            JOIN hull c ON b.gid = c.gid
+            WHERE (a.mx, a.my) < (b.mx, b.my)
+              AND (b.mx, b.my) < (c.mx, c.my)
+              AND {_mec_d} <> 0
+        ), scored AS (
+            SELECT cd.gid, cd.cx, cd.cy,
+                   max((h.mx - cd.cx) * (h.mx - cd.cx)
+                     + (h.my - cd.cy) * (h.my - cd.cy)) AS maxd2
+            FROM cands cd JOIN hull h ON h.gid = cd.gid
+            GROUP BY cd.gid, cd.cx, cd.cy
+        )
+        SELECT gid, round(sqrt(min(maxd2)) / 1000.0, 3) + 0.0 AS mec_km
+        FROM scored GROUP BY gid
     """
 
     o["knn_centroids"] = f"""

@@ -10,7 +10,12 @@ import math
 
 import numpy as np
 
-from tilekiln_spark.operators.hull import convex_hull, hull_np, oriented_envelope_area
+from tilekiln_spark.operators.hull import (
+    convex_hull,
+    hull_np,
+    minimum_bounding_radius,
+    oriented_envelope_area,
+)
 
 
 def test_hull_np_square_golden():
@@ -115,3 +120,37 @@ def test_oriented_envelope_square_and_degenerate(spark):
     got = {r.gid: r.obb_area for r in oriented_envelope_area(hull, "gid", "x", "y").collect()}
     assert abs(got[0] - 16.0) < 1e-12
     assert got[1] == 0.0
+
+
+def test_min_bounding_radius_square_pair_triple(spark):
+    """Unit square: MEC is the circumcircle through opposite corners,
+    r^2 = 0.5 (a pair-diameter candidate).  Equilateral-ish triangle
+    group: the 3-point circumcircle (a triple candidate) beats every
+    pair circle.  Interior points never change the answer; a 2-point
+    group degrades to half the distance; a 1-point group to 0."""
+    tri = [(1, 0.0, 0.0), (1, 4.0, 0.0), (1, 2.0, 3.2)]
+    rows = (
+        [(0, 0.0, 0.0), (0, 1.0, 0.0), (0, 1.0, 1.0), (0, 0.0, 1.0), (0, 0.3, 0.7)]
+        + tri
+        + [(2, 5.0, 5.0), (2, 8.0, 9.0), (3, 7.0, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "gid int, x double, y double")
+    hull = convex_hull(df, "gid", "x", "y")
+    got = {
+        r.gid: r.mec_r2
+        for r in minimum_bounding_radius(hull, "gid", "x", "y").collect()
+    }
+    assert abs(got[0] - 0.5) < 1e-12
+    # triangle circumradius: R = abc / (4K)
+    import itertools
+
+    a, b, c = (
+        math.dist(p1[1:], p2[1:]) for p1, p2 in itertools.combinations(tri, 2)
+    )
+    k = abs(
+        (tri[1][1] - tri[0][1]) * (tri[2][2] - tri[0][2])
+        - (tri[2][1] - tri[0][1]) * (tri[1][2] - tri[0][2])
+    ) / 2
+    assert abs(got[1] - (a * b * c / (4 * k)) ** 2) < 1e-9
+    assert abs(got[2] - (3.0 ** 2 + 4.0 ** 2) / 4) < 1e-12
+    assert got[3] == 0.0

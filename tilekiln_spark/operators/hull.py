@@ -142,3 +142,117 @@ def oriented_envelope_area(
         group_col,
         F.when(h >= 3, best).otherwise(F.lit(0.0)).alias("obb_area"),
     )
+
+
+def minimum_bounding_radius(
+    hull_pts: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """PostGIS ``ST_MinimumBoundingRadius`` per group (radius of the
+    minimum enclosing circle) over hull-vertex rows (:func:`convex_hull`
+    output — MEC(points) == MEC(hull)).
+
+    Minimax formulation, chosen for cross-engine determinism: the MEC
+    center is either a point-pair midpoint or a point-triple circumcenter
+    (its support set has 2 or 3 points), and EVERY candidate center's
+    max-distance-to-points is a valid enclosing radius — so
+    ``min over candidates of (max over points of dist)`` is exactly the
+    MEC radius, with no circle-containment predicate whose boundary-point
+    roundoff could disagree between engines.
+
+    FP determinism requires both engines to enumerate the SAME ordered
+    triples (the circumcenter formula is symmetric in exact arithmetic
+    but its term-addition order follows the role assignment, so
+    permutations differ by ulps): hull vertices are sorted
+    lexicographically by (x, y) and combinations taken with i < j < k,
+    mirroring the twin's row-value ``(ax, ay) < (bx, by) < (cx, cy)``
+    join predicate.  Exactly-collinear triples (circumcenter denominator
+    0) are skipped on both engines.
+
+    Cost: O(h^4) pure HOF folds per group with h = hull size — after the
+    two-level hull collapsed each group map-side.  Returns
+    [group, mec_r2] (SQUARED radius; 0.0 for single-point groups) — the
+    caller takes sqrt, keeping this fold free of libm.
+    """
+    agg = hull_pts.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y")))
+        ).alias("_p")
+    )
+    p = F.col("_p")
+    xs = F.transform(p, lambda s: s["x"])
+    ys = F.transform(p, lambda s: s["y"])
+    h = F.size(p)
+    idx = F.sequence(F.lit(1), h)
+    inf = F.lit(float("inf"))
+
+    def X(i: Column) -> Column:
+        return F.element_at(xs, i)
+
+    def Y(i: Column) -> Column:
+        return F.element_at(ys, i)
+
+    def maxd2(cx: Column, cy: Column) -> Column:
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, k: F.greatest(
+                acc, (X(k) - cx) * (X(k) - cx) + (Y(k) - cy) * (Y(k) - cy)
+            ),
+        )
+
+    def pair_cand(i: Column, j: Column) -> Column:
+        return maxd2((X(i) + X(j)) / 2, (Y(i) + Y(j)) / 2)
+
+    def tri_cand(i: Column, j: Column, k: Column) -> Column:
+        ax, ay, bx, by, cx, cy = X(i), Y(i), X(j), Y(j), X(k), Y(k)
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx * cx + cy * cy
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        return F.when(d != 0, maxd2(ux, uy)).otherwise(inf)
+
+    pair_best = F.aggregate(
+        idx,
+        inf,
+        lambda acc, i: F.least(
+            acc,
+            F.aggregate(
+                idx,
+                inf,
+                lambda a2, j: F.least(
+                    a2, F.when(j > i, pair_cand(i, j)).otherwise(inf)
+                ),
+            ),
+        ),
+    )
+    tri_best = F.aggregate(
+        idx,
+        inf,
+        lambda acc, i: F.least(
+            acc,
+            F.aggregate(
+                idx,
+                inf,
+                lambda a2, j: F.least(
+                    a2,
+                    F.when(
+                        j > i,
+                        F.aggregate(
+                            idx,
+                            inf,
+                            lambda a3, k: F.least(
+                                a3,
+                                F.when(k > j, tri_cand(i, j, k)).otherwise(inf),
+                            ),
+                        ),
+                    ).otherwise(inf),
+                ),
+            ),
+        ),
+    )
+    return agg.select(
+        group_col,
+        F.when(h >= 2, F.least(pair_best, tri_best))
+        .otherwise(F.lit(0.0))
+        .alias("mec_r2"),
+    )
