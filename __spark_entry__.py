@@ -1588,6 +1588,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_clip_area"] = poly_clip_area
 
+    def poly_diff_area(spark, sf_dir):
+        """Difference / symmetric-difference AREA overlay (PostGIS
+        ST_Area(ST_Difference(a, b)) and ST_Area(ST_SymDifference(a, b))
+        for each intersecting pair): pure composition on top of the
+        Green's-integral intersection kernel —
+        area(A\\B) = area(A) - area(A∩B) and
+        area(AΔB) = area(A) + area(B) - 2·area(A∩B) — so the overlay
+        family completes with ZERO new geometry code: the shared shoelace
+        fold supplies area(A)/area(B) on the candidate row (the PBSM
+        stage carries both rings), inter_area comes from the proven
+        bit-identical clip kernel.  The twin folds areas over the
+        ORIGINAL ring order (the Spark side never reorders the input
+        arrays; only the clip kernel CCW-normalizes internally)."""
+        from tilekiln_spark.functions.geometry import ring_area
+        from tilekiln_spark.operators.spatial_join import polygons_clip_area_join
+
+        a = _contain_poly_fixture(spark)
+        b = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        t2 = _LINE_TL * _LINE_TL
+        out = polygons_clip_area_join(a, b, grid_zoom=4)
+        area_a = ring_area(F.col("ring_xs"), F.col("ring_ys"))
+        area_b = ring_area(F.col("b_ring_xs"), F.col("b_ring_ys"))
+        inter = F.col("inter_area")
+        return (
+            out.select(
+                F.col("polygon_id").alias("a_id"),
+                F.col("b_polygon_id").alias("b_id"),
+                (F.round((area_a - inter) / F.lit(t2), 6) + 0.0).alias(
+                    "diff_tiles2"
+                ),
+                (
+                    F.round(
+                        (area_a + area_b - 2 * inter) / F.lit(t2), 6
+                    )
+                    + 0.0
+                ).alias("symdiff_tiles2"),
+            )
+            .orderBy("a_id", "b_id")
+        )
+
+    q["poly_diff_area"] = poly_diff_area
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5165,6 +5207,33 @@ def oracle_sql() -> dict[str, str]:
                  FROM a CROSS JOIN bb
              )
         SELECT a_id, b_id, round(ia / {_t2!r}, 6) + 0.0 AS tiles2
+        FROM pairs WHERE ia > 0
+        ORDER BY a_id, b_id
+    """
+
+    # difference/symdifference areas: area folds run over the ORIGINAL
+    # ring order (oxs/oys — the Spark side folds the raw input arrays;
+    # only the clip kernel CCW-normalizes), intersection from the same
+    # ring_ring_clip_area kernel as poly_clip_area
+    from tilekiln_spark.functions.geometry import ring_area_sql as _ra_sql
+
+    o["poly_diff_area"] = f"""
+        WITH a0(aid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)}),
+             b0(bid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)}),
+             a AS (SELECT aid, xs AS oxs, ys AS oys,
+                          {_ax_n} AS axs, {_ay_n} AS ays FROM a0),
+             bb AS (SELECT bid, xs AS oxs, ys AS oys,
+                           {_ax_n} AS bxs, {_ay_n} AS bys FROM b0),
+             pairs AS (
+                 SELECT a.aid AS a_id, bb.bid AS b_id, {_car} AS ia,
+                        {_ra_sql("a.oxs", "a.oys")} AS a_area,
+                        {_ra_sql("bb.oxs", "bb.oys")} AS b_area
+                 FROM a CROSS JOIN bb
+             )
+        SELECT a_id, b_id,
+               round((a_area - ia) / {_t2!r}, 6) + 0.0 AS diff_tiles2,
+               round((a_area + b_area - 2 * ia) / {_t2!r}, 6) + 0.0
+                   AS symdiff_tiles2
         FROM pairs WHERE ia > 0
         ORDER BY a_id, b_id
     """
