@@ -419,6 +419,21 @@ _AREA_POLYS_UV = [
 ]
 
 
+_RELATE_POLYS_UV = [
+    # B side for the named-predicate relate join vs _CONTAIN_POLYS_UV:
+    # every class appears — equals(200,400), within(204,401),
+    # edge-touch(200,402)+(201,402), corner-touch(200,403),
+    # overlaps(201,404)+(202,404), contains(200,405) — plus the whale 202
+    # containing 400/401/402/403/405
+    (400, [(1.0, 1.0), (2.5, 1.0), (2.5, 2.0), (1.0, 2.0)]),   # == 200
+    (401, [(0.06, 0.06), (0.3, 0.06), (0.3, 0.3), (0.06, 0.3)]),  # ⊃ 204
+    (402, [(2.5, 1.2), (3.0, 1.2), (3.0, 1.8), (2.5, 1.8)]),   # edge-touch
+    (403, [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0)]),   # corner-touch
+    (404, [(3.5, 1.0), (4.2, 1.0), (4.2, 2.5), (3.5, 2.5)]),   # overlaps
+    (405, [(1.2, 1.2), (2.0, 1.2), (2.0, 1.8), (1.2, 1.8)]),   # ⊂ 200
+]
+
+
 def _contain_poly_fixture(spark: SparkSession, polys_uv=None) -> DataFrame:
     import pandas as pd
 
@@ -1629,6 +1644,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["poly_diff_area"] = poly_diff_area
+
+    def spatial_relate(spark, sf_dir):
+        """Named-predicate relate join (PostGIS ST_Equals / ST_Contains /
+        ST_Within / ST_Overlaps / ST_Touches for polygon pairs,
+        operators/spatial_join.py polygons_relate_join): every
+        ST_Intersects pair labeled by composing the ring-pair intersects
+        kernel + the Green's-integral clip kernel with pure column
+        arithmetic — inter_area / ring areas are bit-identical
+        cross-engine, so every threshold comparison decides the same way
+        on both engines (the Python-hoisted tolerance only absorbs the
+        clip integral's accumulation-order ulps vs the shoelace fold).
+        Fixture covers all five classes incl. edge-touch, corner-touch,
+        an exactly-equal ring pair, and whale-side containment."""
+        from tilekiln_spark.operators.spatial_join import polygons_relate_join
+
+        a = _contain_poly_fixture(spark)
+        b = _contain_poly_fixture(spark, _RELATE_POLYS_UV)
+        out = polygons_relate_join(a, b, grid_zoom=4)
+        return (
+            out.select(
+                F.col("polygon_id").alias("a_id"),
+                F.col("b_polygon_id").alias("b_id"),
+                "relation",
+            )
+            .orderBy("a_id", "b_id")
+        )
+
+    q["spatial_relate"] = spatial_relate
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5235,6 +5278,44 @@ def oracle_sql() -> dict[str, str]:
                round((a_area + b_area - 2 * ia) / {_t2!r}, 6) + 0.0
                    AS symdiff_tiles2
         FROM pairs WHERE ia > 0
+        ORDER BY a_id, b_id
+    """
+
+    # named-predicate relate: intersects kernel on the RAW ring arrays
+    # (the Spark candidates carry them verbatim), clip kernel on the
+    # CCW-normalized ones (mirroring the numpy kernel's internal
+    # normalization), thresholds from the same Python-hoisted constants
+    from tilekiln_spark.functions.geometry import (
+        rings_intersect_sql as _relate_ri,
+    )
+    from tilekiln_spark.operators.spatial_join import (
+        RELATE_TOL_HI as _REL_HI,
+        RELATE_TOL_LO as _REL_LO,
+    )
+
+    o["spatial_relate"] = f"""
+        WITH a0(aid, xs, ys) AS (VALUES {_line_chain_values_sql(_CONTAIN_POLYS_UV)}),
+             b0(bid, xs, ys) AS (VALUES {_line_chain_values_sql(_RELATE_POLYS_UV)}),
+             a AS (SELECT aid, xs AS oxs, ys AS oys,
+                          {_ax_n} AS axs, {_ay_n} AS ays FROM a0),
+             bb AS (SELECT bid, xs AS oxs, ys AS oys,
+                           {_ax_n} AS bxs, {_ay_n} AS bys FROM b0),
+             pairs AS (
+                 SELECT a.aid AS a_id, bb.bid AS b_id, {_car} AS ia,
+                        {_ra_sql("a.oxs", "a.oys")} AS a_area,
+                        {_ra_sql("bb.oxs", "bb.oys")} AS b_area
+                 FROM a CROSS JOIN bb
+                 WHERE {_relate_ri("a.oxs", "a.oys", "bb.oxs", "bb.oys")}
+             )
+        SELECT a_id, b_id,
+               CASE WHEN ia < {_REL_LO!r} * least(a_area, b_area)
+                        THEN 'touches'
+                    WHEN ia >= {_REL_HI!r} * a_area
+                         AND ia >= {_REL_HI!r} * b_area THEN 'equals'
+                    WHEN ia >= {_REL_HI!r} * b_area THEN 'contains'
+                    WHEN ia >= {_REL_HI!r} * a_area THEN 'within'
+                    ELSE 'overlaps' END AS relation
+        FROM pairs
         ORDER BY a_id, b_id
     """
 

@@ -760,3 +760,50 @@ def test_generate_points_deterministic_interior(spark):
         ).collect()
     )
     assert alt != rows1
+
+
+def test_polygons_relate_join_classes(spark):
+    """Named-predicate relate join: every class label plus the
+    disjoint-pairs-absent contract, and a pure-shared-boundary identical
+    pair classifying as equals (the clip integral returns the ring's own
+    area within the hoisted tolerance)."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import polygons_relate_join
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+
+    def row(pid, xs, ys):
+        return {
+            "polygon_id": pid,
+            "xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys),
+            "ring_xs": xs, "ring_ys": ys,
+        }
+
+    a = spark.createDataFrame(
+        pd.DataFrame([row(0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])]),
+        schema,
+    )
+    b_cases = [
+        (10, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0], "equals"),
+        (11, [1.0, 2.0, 2.0, 1.0], [1.0, 1.0, 2.0, 2.0], "contains"),
+        (12, [-1.0, 5.0, 5.0, -1.0], [-1.0, -1.0, 5.0, 5.0], "within"),
+        (13, [2.0, 6.0, 6.0, 2.0], [0.0, 0.0, 4.0, 4.0], "overlaps"),
+        (14, [4.0, 6.0, 6.0, 4.0], [1.0, 1.0, 3.0, 3.0], "touches"),   # edge
+        (15, [4.0, 5.0, 5.0, 4.0], [4.0, 4.0, 5.0, 5.0], "touches"),   # corner
+        (16, [6.0, 7.0, 7.0, 6.0], [6.0, 6.0, 7.0, 7.0], None),        # disjoint
+    ]
+    b = spark.createDataFrame(
+        pd.DataFrame([row(pid, xs, ys) for pid, xs, ys, _ in b_cases]), schema
+    )
+    got = {
+        r.b_polygon_id: r.relation
+        for r in polygons_relate_join(a, b, grid_zoom=4).collect()
+    }
+    assert 16 not in got
+    for pid, _, _, want in b_cases:
+        if want is not None:
+            assert got[pid] == want, pid

@@ -1346,3 +1346,63 @@ def lines_clip_length_join(
         F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
     )
     return candidates.withColumn("inside_len", ln).filter(F.col("inside_len") > 0)
+
+
+# classification thresholds, Python-hoisted so both engines fold the
+# IDENTICAL float64 constants: inter_area / ring areas are bit-identical
+# cross-engine, so every comparison below decides the same way on both —
+# the tolerance only absorbs the clip kernel's own accumulation-order ulps
+# against the shoelace fold (e.g. a fully-contained ring whose clip
+# integral sums pieces in a different order than the area fold).
+RELATE_TOL_HI = 1.0 - 1.0e-9
+RELATE_TOL_LO = 1.0e-9
+
+
+def polygons_relate_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    grid_zoom: int = 4,
+    broadcast_b: bool = True,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """Named-predicate spatial-relate join (PostGIS ST_Equals /
+    ST_Contains / ST_Within / ST_Overlaps / ST_Touches for polygon
+    pairs; the reference's templates run arbitrary PostGIS predicates,
+    reference tilekiln/definition.py:42-77): every ST_Intersects pair
+    (disjoint pairs are implicitly absent — the scalable contract) is
+    labeled by composing two proven kernels, with NO new geometry code:
+
+    - ``touches``  — intersects but interior overlap ~ 0
+    - ``equals``   — inter_area ~ area(A) ~ area(B)
+    - ``contains`` — inter_area ~ area(B)   (A covers B)
+    - ``within``   — inter_area ~ area(A)   (B covers A)
+    - ``overlaps`` — everything else (positive partial interior overlap)
+
+    Distributed shape: the SAME shared PBSM candidate stage; the refine
+    is the ring-pair ST_Intersects kernel + the Green's-integral clip
+    kernel per candidate, then pure column arithmetic — no extra
+    shuffle.  Emits candidates + ``inter_area`` + ``relation``."""
+    from tilekiln_spark.functions.geometry import ring_area
+
+    candidates = _pbsm_candidates(
+        polys_a, polys_b, grid_zoom, broadcast_b, max_cells_per_poly
+    )
+    hit = make_rings_intersect_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    inter = make_ring_ring_clip_area_udf()(
+        F.col("ring_xs"), F.col("ring_ys"), F.col("b_ring_xs"), F.col("b_ring_ys")
+    )
+    cand = candidates.filter(hit).withColumn("inter_area", inter)
+    ia = F.col("inter_area")
+    area_a = ring_area(F.col("ring_xs"), F.col("ring_ys"))
+    area_b = ring_area(F.col("b_ring_xs"), F.col("b_ring_ys"))
+    hi, lo = F.lit(RELATE_TOL_HI), F.lit(RELATE_TOL_LO)
+    rel = (
+        F.when(ia < lo * F.least(area_a, area_b), F.lit("touches"))
+        .when((ia >= hi * area_a) & (ia >= hi * area_b), F.lit("equals"))
+        .when(ia >= hi * area_b, F.lit("contains"))
+        .when(ia >= hi * area_a, F.lit("within"))
+        .otherwise(F.lit("overlaps"))
+    )
+    return cand.withColumn("relation", rel)
