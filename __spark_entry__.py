@@ -434,6 +434,29 @@ _RELATE_POLYS_UV = [
 ]
 
 
+_MERGE_SEG_ROWS = [
+    # ST_LineMerge fixture — every length float64-exact (axis-aligned or
+    # 3-4-5) so cross-engine sums are order-independent.
+    # chain A (seg 3 stored reversed)
+    (1, 0.0, 0.0, 1.0, 0.0),
+    (2, 1.0, 0.0, 2.0, 0.0),
+    (3, 3.0, 0.0, 2.0, 0.0),
+    (4, 3.0, 0.0, 3.0, 1.0),
+    # ring B: closed rectangle
+    (10, 5.0, 5.0, 7.0, 5.0),
+    (11, 7.0, 5.0, 7.0, 6.0),
+    (12, 7.0, 6.0, 5.0, 6.0),
+    (13, 5.0, 6.0, 5.0, 5.0),
+    # T junction at (10,0) — degree 3, merge stops; 20 continues to 23
+    (20, 10.0, 0.0, 10.0, 2.0),
+    (21, 10.0, 0.0, 12.0, 0.0),
+    (22, 10.0, 0.0, 8.0, 0.0),
+    (23, 10.0, 2.0, 10.0, 5.0),
+    # isolated 3-4-5 diagonal singleton
+    (30, 20.0, 20.0, 23.0, 24.0),
+]
+
+
 def _contain_poly_fixture(spark: SparkSession, polys_uv=None) -> DataFrame:
     import pandas as pd
 
@@ -1672,6 +1695,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["spatial_relate"] = spatial_relate
+
+    def line_merge(spark, sf_dir):
+        """ST_LineMerge (operators/topology.py merge_lines): segment soup
+        -> maximal merged lines via endpoint-degree pairing + the proven
+        large-star/small-star component contraction.  Fixture covers a
+        4-segment chain with one reversed member, a closed ring, a
+        degree-3 junction that STOPS the merge (with one arm continuing
+        through a degree-2 node), and an isolated 3-4-5 diagonal; every
+        segment length is float64-exact so the cross-engine length sums
+        are order-independent."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import merge_lines
+
+        seg = spark.createDataFrame(
+            pd.DataFrame(
+                _MERGE_SEG_ROWS, columns=["seg_id", "x1", "y1", "x2", "y2"]
+            ),
+            "seg_id long, x1 double, y1 double, x2 double, y2 double",
+        )
+        out = merge_lines(seg)
+        return out.select(
+            "line_id",
+            "n_segs",
+            (F.round("merged_len", 6) + F.lit(0.0)).alias("merged_len"),
+            "is_ring",
+        ).orderBy("line_id")
+
+    q["line_merge"] = line_merge
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5317,6 +5369,51 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'overlaps' END AS relation
         FROM pairs
         ORDER BY a_id, b_id
+    """
+
+    # ST_LineMerge twin: degree-2 nodes carry exactly two incidences, so
+    # min/max(seg_id) IS the sorted through-pair; components via the same
+    # recursive-CTE walk shape as the dbscan twin, seeded from EVERY
+    # segment so singletons label themselves
+    _lm_vals = ", ".join(
+        f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for sid, x1, y1, x2, y2 in _MERGE_SEG_ROWS
+    )
+    o["line_merge"] = f"""
+        WITH RECURSIVE seg(seg_id, x1, y1, x2, y2) AS (VALUES {_lm_vals}),
+        ends AS (
+            SELECT seg_id, x1 AS nx, y1 AS ny FROM seg
+            UNION ALL
+            SELECT seg_id, x2 AS nx, y2 AS ny FROM seg
+        ),
+        nodes AS (
+            SELECT nx, ny, count(*) AS degree,
+                   min(seg_id) AS sa, max(seg_id) AS sb
+            FROM ends GROUP BY 1, 2
+        ),
+        pairs AS (SELECT sa AS a, sb AS b FROM nodes
+                  WHERE degree = 2 AND sa != sb),
+        sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        walk(src, dst) AS (
+            SELECT seg_id, seg_id FROM seg
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS seg_id, MIN(dst) AS line_id FROM walk GROUP BY 1),
+        free AS (
+            SELECT e.seg_id, count(*) AS fe
+            FROM ends e JOIN nodes n ON n.nx = e.nx AND n.ny = e.ny
+            WHERE n.degree != 2 GROUP BY 1
+        )
+        SELECT c.line_id, count(*) AS n_segs,
+               round(sum(sqrt((s.x2 - s.x1) * (s.x2 - s.x1)
+                            + (s.y2 - s.y1) * (s.y2 - s.y1))), 6) + 0.0
+                   AS merged_len,
+               (sum(COALESCE(f.fe, 0)) = 0 AND count(*) > 1) AS is_ring
+        FROM comp c
+        JOIN seg s USING (seg_id)
+        LEFT JOIN free f USING (seg_id)
+        GROUP BY 1 ORDER BY 1
     """
 
     from tilekiln_spark.functions.geometry import rings_intersect_sql as _ri_sql

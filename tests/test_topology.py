@@ -1,0 +1,58 @@
+"""merge_lines (ST_LineMerge): chain assembly, junction stop, ring
+detection, direction invariance, and singleton passthrough."""
+
+import pandas as pd
+import pytest
+
+from tilekiln_spark.operators.topology import merge_lines
+
+SCHEMA = "seg_id long, x1 double, y1 double, x2 double, y2 double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seg_id", "x1", "y1", "x2", "y2"]), SCHEMA
+    )
+
+
+def test_merge_lines_chain_ring_junction(spark):
+    rows = [
+        # chain A: 4 collinear-ish segments; seg 3 stored REVERSED
+        (1, 0.0, 0.0, 1.0, 0.0),
+        (2, 1.0, 0.0, 2.0, 0.0),
+        (3, 3.0, 0.0, 2.0, 0.0),      # reversed direction must still merge
+        (4, 3.0, 0.0, 3.0, 1.0),
+        # ring B: closed rectangle
+        (10, 5.0, 5.0, 7.0, 5.0),
+        (11, 7.0, 5.0, 7.0, 6.0),
+        (12, 7.0, 6.0, 5.0, 6.0),
+        (13, 5.0, 6.0, 5.0, 5.0),
+        # T junction at (10,0): segs 20/21/22 meet (degree 3 — no merge),
+        # but 20 continues through a degree-2 node to 23
+        (20, 10.0, 0.0, 10.0, 2.0),
+        (21, 10.0, 0.0, 12.0, 0.0),
+        (22, 10.0, 0.0, 8.0, 0.0),
+        (23, 10.0, 2.0, 10.0, 5.0),
+        # isolated 3-4-5 diagonal singleton
+        (30, 20.0, 20.0, 23.0, 24.0),
+    ]
+    out = {
+        r.line_id: (r.n_segs, r.merged_len, r.is_ring)
+        for r in merge_lines(_df(spark, rows)).collect()
+    }
+    assert out == {
+        1: (4, 4.0, False),
+        10: (4, 6.0, True),
+        20: (2, 5.0, False),
+        21: (1, 2.0, False),
+        22: (1, 2.0, False),
+        30: (1, 5.0, False),
+    }
+
+
+def test_merge_lines_degenerate_zero_length_self_node(spark):
+    # a zero-length segment makes its node degree 2 with segs [s, s];
+    # it must NOT pair with itself and stays a singleton non-ring
+    rows = [(7, 1.0, 1.0, 1.0, 1.0)]
+    [r] = merge_lines(_df(spark, rows)).collect()
+    assert (r.line_id, r.n_segs, r.merged_len, r.is_ring) == (7, 1, 0.0, False)
