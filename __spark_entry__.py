@@ -457,6 +457,18 @@ _MERGE_SEG_ROWS = [
 ]
 
 
+_ROUTE_EDGES = [
+    # road-network fixture for shortest_paths — integer-valued double
+    # weights (exact sums, order-independent min cross-engine); covers a
+    # multi-hop route beating a direct edge (1-2-3 vs 1-3), an equal-dist
+    # fewest-hops tie (1-5 direct vs 1-2-5), a positive cycle (3-4-6),
+    # and a component disconnected from the source (99-100)
+    (1, 2, 1.0), (2, 3, 1.0), (1, 3, 3.0), (1, 5, 2.0), (2, 5, 1.0),
+    (3, 4, 2.0), (4, 6, 1.0), (6, 3, 1.0), (5, 7, 4.0), (7, 8, 1.0),
+    (4, 8, 2.0), (8, 9, 3.0), (99, 100, 1.0),
+]
+
+
 def _contain_poly_fixture(spark: SparkSession, polys_uv=None) -> DataFrame:
     import pandas as pd
 
@@ -1724,6 +1736,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("line_id")
 
     q["line_merge"] = line_merge
+
+    def route_shortest_paths(spark, sf_dir):
+        """Single-source shortest paths over the road-network fixture
+        (operators/graph.py shortest_paths — frontier Bellman–Ford, the
+        pgr_dijkstra face): undirected, source node 1, (dist, hops) with
+        the fewest-hops tiebreak on equal distance.  Integer-valued
+        double weights keep every candidate distance exact, so min() is
+        order-independent and the DuckDB bounded-walk twin lands on the
+        identical labels."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(_ROUTE_EDGES, columns=["src", "dst", "w"]),
+            "src long, dst long, w double",
+        )
+        out = shortest_paths(edges, source=1)
+        return out.select(
+            "node",
+            (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
+            "hops",
+        ).orderBy("node")
+
+    q["route_shortest_paths"] = route_shortest_paths
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5414,6 +5451,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN seg s USING (seg_id)
         LEFT JOIN free f USING (seg_id)
         GROUP BY 1 ORDER BY 1
+    """
+
+    # shortest-paths twin: enumerate every walk from the source up to a
+    # hop bound > graph diameter (positive weights -> any label-setting
+    # path is simple, so the bound only prunes the cycle enumeration),
+    # then pick the (dist, hops)-minimal label per node — the engine's
+    # exact tiebreak
+    _rt_vals = ", ".join(
+        f"({s}, {d}, {w!r})" for s, d, w in _ROUTE_EDGES
+    )
+    o["route_shortest_paths"] = f"""
+        WITH RECURSIVE e0(src, dst, w) AS (VALUES {_rt_vals}),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        walk(node, d, hops) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+            UNION
+            SELECT e.dst, w.d + e.w, w.hops + 1
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE w.hops < 12
+        )
+        SELECT node, round(d, 6) + 0.0 AS dist, hops
+        FROM walk
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY d, hops) = 1
+        ORDER BY node
     """
 
     from tilekiln_spark.functions.geometry import rings_intersect_sql as _ri_sql

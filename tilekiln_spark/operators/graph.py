@@ -155,3 +155,93 @@ def hits(
     nds.unpersist()
     e.unpersist()
     return out
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Single-source shortest paths (the pgRouting ``pgr_dijkstra`` face of
+    the reference's PostGIS world — road/waterway routing over the segment
+    graph ``merge_lines`` consumes; the reference executes arbitrary
+    template SQL over such tables, reference tilekiln/definition.py:42-77).
+
+    Input: ``(src, dst, w)`` with non-negative weights.  Returns
+    ``(node, dist, hops)`` for every REACHABLE node — dist = minimal total
+    weight, hops = edge count of that minimal-weight path (min-dist wins
+    first; among equal-dist paths the fewest-hops one is reported, a
+    deterministic tiebreak both engines resolve identically on exact
+    weights).
+
+    Distributed shape — frontier label-correction (Bellman–Ford with the
+    sparse-frontier optimization, the standard Pregel formulation):
+
+    - each round relaxes ONLY the frontier (nodes improved last round)
+      against the edge list: one src-keyed join + one groupBy(node) min —
+      2 shuffles over the frontier, not the full node set;
+    - improvements merge into the running label frame with a groupBy min;
+      ``localCheckpoint`` truncates lineage (labels feed two consumers
+      per round — the join and the merge);
+    - termination: the frontier empties (a tiny count per round is the
+      only driver-side value).  Rounds = shortest-path hop diameter;
+      for planet-scale road graphs swap in delta-stepping (bucketed
+      frontiers) — the per-round plan is unchanged, only the frontier
+      admission rule differs.
+
+    Determinism: with float64-exact weights (integer-valued doubles, the
+    fixture contract) every candidate distance is exact, so min() is
+    order-independent and cross-engine bit-identical.
+    """
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("w").cast("double"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    e = e.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0.0, 0)], "node long, dist double, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                e["dst"].alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            .groupBy("node")
+            .agg(
+                F.min(F.struct("dist", "hops")).alias("b")
+            )
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.hops").alias("hops"))
+        )
+        improved = (
+            cand.join(dist.select(F.col("node"), F.col("dist").alias("od"),
+                                  F.col("hops").alias("oh")), "node", "left")
+            .filter(
+                F.col("od").isNull()
+                | (F.col("dist") < F.col("od"))
+                | ((F.col("dist") == F.col("od")) & (F.col("hops") < F.col("oh")))
+            )
+            .select("node", "dist", "hops")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.union(improved)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "hops")).alias("b"))
+            .select("node", F.col("b.dist").alias("dist"), F.col("b.hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
