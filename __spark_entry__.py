@@ -1762,6 +1762,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["route_shortest_paths"] = route_shortest_paths
 
+    def geometric_median(spark, sf_dir):
+        """ST_GeometricMedian per lang over the shared geo points
+        (operators/hull.py geometric_median): 8 fixed Weiszfeld
+        iterations as ONE JVM-side nested higher-order fold (outer
+        aggregate walks the iteration sequence with a (mx,my) struct
+        accumulator; three inner folds per step), point arrays sorted by
+        doc_id so both engines replay the identical sequential fold.
+        Twin: 8 chained CTEs with the same clamped-distance arithmetic."""
+        from tilekiln_spark.operators.hull import geometric_median as gm
+
+        geo = _mx_my(_docs(spark, sf_dir))
+        out = gm(geo, "lang", "mx", "my", "doc_id", iterations=8)
+        return out.select(
+            "lang",
+            (F.round("gx", 6) + F.lit(0.0)).alias("gx"),
+            (F.round("gy", 6) + F.lit(0.0)).alias("gy"),
+            "n_pts",
+        ).orderBy("lang")
+
+    q["geometric_median"] = geometric_median
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5476,6 +5497,43 @@ def oracle_sql() -> dict[str, str]:
         FROM walk
         QUALIFY row_number() OVER (PARTITION BY node ORDER BY d, hops) = 1
         ORDER BY node
+    """
+
+    # geometric-median twin: the same 8 Weiszfeld iterations as chained
+    # CTEs (the pagerank/BPE replay pattern); every arithmetic op —
+    # clamped distance, 1.0/d and x/d folds, final sx/sw division —
+    # mirrors the engine's nested-HOF step exactly
+    def _gm_step_sql(k: int) -> str:
+        d = (
+            "greatest(sqrt((xs[i] - mx) * (xs[i] - mx) "
+            "+ (ys[i] - my) * (ys[i] - my)), 1e-12)"
+        )
+        rng = "range(1, len(xs) + 1)"
+        sw = f"list_sum(list_transform({rng}, i -> 1.0 / {d}))"
+        sx = f"list_sum(list_transform({rng}, i -> xs[i] / {d}))"
+        sy = f"list_sum(list_transform({rng}, i -> ys[i] / {d}))"
+        return (
+            f"m{k} AS (SELECT lang, xs, ys, "
+            f"({sx}) / ({sw}) AS mx, ({sy}) / ({sw}) AS my "
+            f"FROM m{k - 1})"
+        )
+
+    _gm_ctes = ",\n        ".join(_gm_step_sql(k) for k in range(1, 9))
+    o["geometric_median"] = f"""
+        {_GEO_CTE},
+        g AS (
+            SELECT lang,
+                   list(mx ORDER BY doc_id) AS xs,
+                   list(my ORDER BY doc_id) AS ys
+            FROM geo GROUP BY 1
+        ),
+        m0 AS (SELECT lang, xs, ys,
+                      list_sum(xs) / len(xs) AS mx,
+                      list_sum(ys) / len(ys) AS my FROM g),
+        {_gm_ctes}
+        SELECT lang, round(mx, 6) + 0.0 AS gx, round(my, 6) + 0.0 AS gy,
+               CAST(len(xs) AS INTEGER) AS n_pts
+        FROM m8 ORDER BY lang
     """
 
     from tilekiln_spark.functions.geometry import rings_intersect_sql as _ri_sql

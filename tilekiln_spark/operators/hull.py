@@ -256,3 +256,81 @@ def minimum_bounding_radius(
         .otherwise(F.lit(0.0))
         .alias("mec_r2"),
     )
+
+
+def geometric_median(
+    pts: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    iterations: int = 8,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """PostGIS ``ST_GeometricMedian`` per group: the point minimizing the
+    sum of Euclidean distances to the group's points (the robust center —
+    unlike the centroid, one far-flung outlier barely moves it), via a
+    FIXED number of Weiszfeld iterations (Weiszfeld 1937; PostGIS runs the
+    same scheme to a tolerance — a fixed count keeps the result
+    deterministic and cross-engine checkable, the repo's pagerank/BPE
+    pattern).
+
+    x_{k+1} = (sum_i p_i / d_i) / (sum_i 1 / d_i),  d_i = |x_k - p_i|
+    (clamped to ``eps`` so landing exactly on a sample point never
+    divides by zero — both engines clamp identically).
+
+    Execution: ONE partial-agg groupBy collects each group's points
+    sorted by ``id_col`` (the deterministic fold order both engines
+    replay), then the whole solver is a single JVM-side nested
+    higher-order fold — the OUTER ``aggregate`` walks the iteration
+    sequence with a (mx, my) struct accumulator, the three INNER
+    ``aggregate`` folds compute the weighted sums per iteration.  No
+    Python, no extra shuffle, expression size O(1) in the iteration
+    count (the accumulator is a bound lambda variable, not substituted
+    text).  Groups solve independently — embarrassingly parallel at any
+    scale; a group's points must fit one array (fine for per-key
+    medians; for a planet-wide single group, pre-aggregate to snapped
+    cells first — ``snap_grid_dissolve``).
+
+    Returns [group, gx, gy] (the median), plus ``n_pts``.
+    """
+    agg = pts.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col(x_col).alias("x"),
+                    F.col(y_col).alias("y"),
+                )
+            )
+        ).alias("_p")
+    )
+    p = F.col("_p")
+    n = F.size(p)
+
+    def fsum(val) -> Column:
+        return F.aggregate(p, F.lit(0.0), lambda a, s: a + val(s))
+
+    init = F.struct(
+        (fsum(lambda s: s["x"]) / n).alias("mx"),
+        (fsum(lambda s: s["y"]) / n).alias("my"),
+    )
+
+    def dist(s: Column, acc: Column) -> Column:
+        dx = s["x"] - acc["mx"]
+        dy = s["y"] - acc["my"]
+        return F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(eps))
+
+    def step(acc: Column, _i: Column) -> Column:
+        sw = fsum(lambda s: F.lit(1.0) / dist(s, acc))
+        sx = fsum(lambda s: s["x"] / dist(s, acc))
+        sy = fsum(lambda s: s["y"] / dist(s, acc))
+        return F.struct((sx / sw).alias("mx"), (sy / sw).alias("my"))
+
+    med = F.aggregate(F.sequence(F.lit(1), F.lit(int(iterations))), init, step)
+    return agg.select(
+        F.col(group_col),
+        med["mx"].alias("gx"),
+        med["my"].alias("gy"),
+        n.alias("n_pts"),
+    )
