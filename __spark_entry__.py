@@ -1783,6 +1783,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geometric_median"] = geometric_median
 
+    def cluster_intersecting(spark, sf_dir):
+        """ST_ClusterIntersecting (operators/spatial_join.py
+        polygons_cluster_intersecting): transitive intersection clusters
+        over the contain+relate fixture polygons MINUS the whale (which
+        would trivially glue everything into one cluster) — yields a
+        7-polygon chain cluster, a 2-polygon containment pair, and a
+        singleton.  Self PBSM intersects join + star-contraction
+        components + coalesce-to-self; twin = cross-join intersects
+        kernel + bounded recursive walk."""
+        from tilekiln_spark.operators.spatial_join import (
+            polygons_cluster_intersecting,
+        )
+
+        a = _contain_poly_fixture(spark).filter(F.col("polygon_id") != 202)
+        b = _contain_poly_fixture(spark, _RELATE_POLYS_UV)
+        out = polygons_cluster_intersecting(a.unionByName(b), grid_zoom=4)
+        return out.select("polygon_id", "cluster_id", "n_members").orderBy(
+            "polygon_id"
+        )
+
+    q["cluster_intersecting"] = cluster_intersecting
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5497,6 +5519,34 @@ def oracle_sql() -> dict[str, str]:
         FROM walk
         QUALIFY row_number() OVER (PARTITION BY node ORDER BY d, hops) = 1
         ORDER BY node
+    """
+
+    # cluster-intersecting twin: i<j cross-join pairs through the SAME
+    # ring-pair intersects kernel the Spark refine runs, components via
+    # the bounded recursive walk, singletons seeded from every pid
+    _ci_vals = _line_chain_values_sql(
+        [r for r in _CONTAIN_POLYS_UV if r[0] != 202] + _RELATE_POLYS_UV
+    )
+    o["cluster_intersecting"] = f"""
+        WITH RECURSIVE p(pid, xs, ys) AS (VALUES {_ci_vals}),
+        pairs AS (
+            SELECT a.pid AS a, b.pid AS b
+            FROM p a JOIN p b ON a.pid < b.pid
+             AND {_relate_ri("a.xs", "a.ys", "b.xs", "b.ys")}
+        ),
+        sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        walk(src, dst) AS (
+            SELECT pid, pid FROM p
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS polygon_id, MIN(dst) AS cluster_id
+                 FROM walk GROUP BY 1),
+        sizes AS (SELECT cluster_id, count(*) AS n_members
+                  FROM comp GROUP BY 1)
+        SELECT c.polygon_id, c.cluster_id, s.n_members
+        FROM comp c JOIN sizes s USING (cluster_id)
+        ORDER BY c.polygon_id
     """
 
     # geometric-median twin: the same 8 Weiszfeld iterations as chained

@@ -313,6 +313,31 @@ vector_layers:
         lambda: lines_clip_length_join(lc, pb, grid_zoom=6).count(),
     )
 
+    # --- ST_LineMerge at density: 120k-segment soup (3k chains x 40
+    # segments, every 10th chain broken by a degree-3 junction) prices
+    # the endpoint-degree aggregate + the star-contraction rounds ---
+    from tilekiln_spark.operators.topology import merge_lines
+
+    _C, _L = 3000, 40
+    _mbase = spark.range(_C * _L).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") % _L).cast("double").alias("x1"),
+        (F.col("id") / F.lit(_L)).cast("long").cast("double").alias("y1"),
+        ((F.col("id") % _L) + 1).cast("double").alias("x2"),
+        (F.col("id") / F.lit(_L)).cast("long").cast("double").alias("y2"),
+    )
+    _mbranch = spark.range(_C // 10).select(
+        (F.col("id") * 10 * _L + 10**9).alias("seg_id"),
+        F.lit(float(_L // 2)).alias("x1"),
+        (F.col("id") * 10).cast("double").alias("y1"),
+        F.lit(float(_L // 2)).alias("x2"),
+        ((F.col("id") * 10).cast("double") + 0.5).alias("y2"),
+    )
+    extra["merged_lines"] = timed(
+        "line_merge_dense",
+        lambda: merge_lines(_mbase.union(_mbranch)).count(),
+    )
+
     return {"timings": timings, "extra": extra}
 
 

@@ -807,3 +807,50 @@ def test_polygons_relate_join_classes(spark):
     for pid, _, _, want in b_cases:
         if want is not None:
             assert got[pid] == want, pid
+
+
+def test_polygons_cluster_intersecting(spark):
+    """ST_ClusterIntersecting: transitivity (A-B-C chain with A disjoint
+    from C clusters together), disjoint pairs split, singleton labeled
+    self with n_members 1."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import (
+        polygons_cluster_intersecting,
+    )
+
+    schema = (
+        "polygon_id long, xmin double, ymin double, xmax double, ymax double, "
+        "ring_xs array<double>, ring_ys array<double>"
+    )
+
+    def row(pid, xs, ys):
+        return {
+            "polygon_id": pid,
+            "xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys),
+            "ring_xs": xs, "ring_ys": ys,
+        }
+
+    def sq(pid, x0, y0, s=2.0):
+        return row(pid, [x0, x0 + s, x0 + s, x0], [y0, y0, y0 + s, y0 + s])
+
+    polys = spark.createDataFrame(
+        pd.DataFrame([
+            sq(1, 0.0, 0.0),      # chain: 1 meets 2, 2 meets 3, 1 misses 3
+            sq(2, 1.5, 0.0),
+            sq(3, 3.0, 0.0),
+            sq(7, 10.0, 10.0),    # pair
+            sq(8, 11.0, 11.0),
+            sq(9, 50.0, 50.0),    # singleton
+        ]),
+        schema,
+    )
+    got = {
+        r.polygon_id: (r.cluster_id, r.n_members)
+        for r in polygons_cluster_intersecting(polys, grid_zoom=3).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        7: (7, 2), 8: (7, 2),
+        9: (9, 1),
+    }

@@ -1406,3 +1406,49 @@ def polygons_relate_join(
         .otherwise(F.lit("overlaps"))
     )
     return cand.withColumn("relation", rel)
+
+
+def polygons_cluster_intersecting(
+    polys: DataFrame,
+    grid_zoom: int = 4,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """PostGIS ``ST_ClusterIntersecting``: partition a polygon set into
+    groups of TRANSITIVELY intersecting polygons (A meets B, B meets C =>
+    one cluster, even when A misses C) — the dissolve-prep / admin-region
+    grouping primitive.
+
+    Pure composition of proven stages, no new geometry code:
+
+    - self ST_Intersects join (``polygons_intersect_join`` — the shared
+      PBSM candidate stage + the Arrow ring-pair kernel), keeping each
+      unordered pair once (``polygon_id < b_polygon_id``);
+    - the large-star/small-star component contraction
+      (operators/dedup.py connected_components — O(log^2 n) rounds, so a
+      chain of thousands of touching parcels never pays diameter rounds);
+    - singletons (no intersecting partner) label themselves via the
+      coalesce-to-self left join.
+
+    Returns the input frame's ids with ``cluster_id`` = MIN polygon_id in
+    the cluster (deterministic canonical label) and ``n_members``."""
+    from tilekiln_spark.operators.dedup import connected_components
+
+    pairs = (
+        polygons_intersect_join(
+            polys, polys, grid_zoom, broadcast_b=True,
+            max_cells_per_poly=max_cells_per_poly,
+        )
+        .filter(F.col("polygon_id") < F.col("b_polygon_id"))
+        .select(
+            F.col("polygon_id").alias("key_a"),
+            F.col("b_polygon_id").alias("key_b"),
+        )
+    )
+    labels = connected_components(pairs)
+    lbl = (
+        polys.select("polygon_id")
+        .join(labels.withColumnRenamed("node", "polygon_id"), "polygon_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "polygon_id"))
+    )
+    sizes = lbl.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return lbl.select("polygon_id", "cluster_id").join(sizes, "cluster_id")
