@@ -457,6 +457,21 @@ _MERGE_SEG_ROWS = [
 ]
 
 
+_NODE_SEG_ROWS = [
+    # ST_Node fixture: a double-crossed long segment, an X pair, a
+    # T-touch (endpoint on interior), an exactly-collinear overlap (zero
+    # denominator — documented not-noded), and an isolated diagonal
+    (1, 0.0, 0.0, 10.0, 0.0),
+    (2, 2.0, -1.0, 2.0, 1.0),
+    (3, 7.0, -2.0, 7.0, 3.0),
+    (4, 0.0, 5.0, 4.0, 5.0),
+    (5, 2.0, 5.0, 2.0, 9.0),
+    (6, 20.0, 0.0, 24.0, 0.0),
+    (7, 22.0, 0.0, 26.0, 0.0),
+    (8, 30.0, 30.0, 33.0, 34.0),
+]
+
+
 _ROUTE_EDGES = [
     # road-network fixture for shortest_paths — integer-valued double
     # weights (exact sums, order-independent min cross-engine); covers a
@@ -1804,6 +1819,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cluster_intersecting"] = cluster_intersecting
+
+    def node_lines(spark, sf_dir):
+        """ST_Node at segment granularity (operators/topology.py
+        node_segments): every segment split at interior crossings and
+        T-touches via the parametric pair solve as pure column
+        arithmetic over PBSM candidates — the twin runs the identical
+        cross/divide formula, so part coordinates are bit-identical.
+        Fixture covers a double-crossed segment (3 parts), an X pair, a
+        T-touch splitting only the touched side, a collinear overlap
+        (zero denominator — untouched by contract) and an isolated
+        segment."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import node_segments
+
+        seg = spark.createDataFrame(
+            pd.DataFrame(
+                _NODE_SEG_ROWS, columns=["seg_id", "x1", "y1", "x2", "y2"]
+            ),
+            "seg_id long, x1 double, y1 double, x2 double, y2 double",
+        )
+        out = node_segments(seg, grid_zoom=3)
+        cols = [
+            (F.round(c, 6) + F.lit(0.0)).alias(c)
+            for c in ["px1", "py1", "px2", "py2"]
+        ]
+        return out.select("seg_id", "part", *cols).orderBy("seg_id", "part")
+
+    q["node_lines"] = node_lines
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5547,6 +5591,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.polygon_id, c.cluster_id, s.n_members
         FROM comp c JOIN sizes s USING (cluster_id)
         ORDER BY c.polygon_id
+    """
+
+    # ST_Node twin: the identical parametric solve per ordered pair,
+    # distinct sorted cut fractions per segment, parts via lateral unnest
+    _nd_vals = ", ".join(
+        f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for sid, x1, y1, x2, y2 in _NODE_SEG_ROWS
+    )
+    _nd_den = "((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1))"
+    _nd_s = f"(((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1)) / {_nd_den})"
+    _nd_t = f"(((b.x1 - a.x1) * (a.y2 - a.y1) - (b.y1 - a.y1) * (a.x2 - a.x1)) / {_nd_den})"
+    o["node_lines"] = f"""
+        WITH seg(seg_id, x1, y1, x2, y2) AS (VALUES {_nd_vals}),
+        hits AS (
+            SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
+            FROM seg a JOIN seg b ON a.seg_id != b.seg_id
+            WHERE {_nd_den} != 0
+        ),
+        cuts AS (
+            SELECT sid, list_sort(list_distinct(list(s))) AS fs
+            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
+            GROUP BY 1
+        ),
+        fr AS (
+            SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
+                   list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
+                       AS f
+            FROM seg g LEFT JOIN cuts c ON c.sid = g.seg_id
+        )
+        SELECT seg_id, CAST(u.i AS INTEGER) AS part,
+               round(x1 + f[u.i] * (x2 - x1), 6) + 0.0 AS px1,
+               round(y1 + f[u.i] * (y2 - y1), 6) + 0.0 AS py1,
+               round(x1 + f[u.i + 1] * (x2 - x1), 6) + 0.0 AS px2,
+               round(y1 + f[u.i + 1] * (y2 - y1), 6) + 0.0 AS py2
+        FROM fr, unnest(generate_series(1, len(f) - 1)) AS u(i)
+        ORDER BY seg_id, part
     """
 
     # geometric-median twin: the same 8 Weiszfeld iterations as chained

@@ -56,3 +56,41 @@ def test_merge_lines_degenerate_zero_length_self_node(spark):
     rows = [(7, 1.0, 1.0, 1.0, 1.0)]
     [r] = merge_lines(_df(spark, rows)).collect()
     assert (r.line_id, r.n_segs, r.merged_len, r.is_ring) == (7, 1, 0.0, False)
+
+
+def test_node_segments_cross_touch_collinear(spark):
+    """node_segments: X crossing splits both, double-crossed segment gets
+    3 parts, T-touch splits only the touched segment, collinear overlap
+    left alone, isolated passthrough."""
+    rows = [
+        (1, 0.0, 0.0, 10.0, 0.0),   # crossed by 2 (s=0.2) and 3 (s=0.7)
+        (2, 2.0, -1.0, 2.0, 1.0),
+        (3, 7.0, -2.0, 7.0, 3.0),
+        (4, 0.0, 5.0, 4.0, 5.0),    # T: 5's endpoint on 4's interior
+        (5, 2.0, 5.0, 2.0, 9.0),
+        (6, 20.0, 0.0, 24.0, 0.0),  # collinear overlap with 7: not noded
+        (7, 22.0, 0.0, 26.0, 0.0),
+        (8, 30.0, 30.0, 33.0, 34.0),  # isolated
+    ]
+    from tilekiln_spark.operators.topology import node_segments
+
+    out = node_segments(_df(spark, rows), grid_zoom=3).collect()
+    parts = {}
+    for r in out:
+        parts.setdefault(r.seg_id, []).append(
+            (r.part, r.px1, r.py1, r.px2, r.py2)
+        )
+    for v in parts.values():
+        v.sort()
+    assert parts[1] == [
+        (1, 0.0, 0.0, 2.0, 0.0),
+        (2, 2.0, 0.0, 7.0, 0.0),
+        (3, 7.0, 0.0, 10.0, 0.0),
+    ]
+    assert parts[2] == [(1, 2.0, -1.0, 2.0, 0.0), (2, 2.0, 0.0, 2.0, 1.0)]
+    assert parts[3] == [(1, 7.0, -2.0, 7.0, 0.0), (2, 7.0, 0.0, 7.0, 3.0)]
+    assert parts[4] == [(1, 0.0, 5.0, 2.0, 5.0), (2, 2.0, 5.0, 4.0, 5.0)]
+    assert parts[5] == [(1, 2.0, 5.0, 2.0, 9.0)]   # touch at its OWN endpoint
+    assert parts[6] == [(1, 20.0, 0.0, 24.0, 0.0)]
+    assert parts[7] == [(1, 22.0, 0.0, 26.0, 0.0)]
+    assert parts[8] == [(1, 30.0, 30.0, 33.0, 34.0)]
