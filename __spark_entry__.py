@@ -1849,6 +1849,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node_lines"] = node_lines
 
+    def wet_roundtrip(spark, sf_dir):
+        """WET-source roundtrip invariant (sources/wet.py): documents ->
+        WET-style shards (JVM-expression build, Content-Length in UTF-8
+        bytes, records doc_id-ordered per shard) -> Content-Length
+        byte-slicing parse (mapInPandas, one Python pass per SHARD) must
+        return every (uri, byte length) exactly — the oracle states the
+        invariant target straight off the documents table, so any build
+        OR parse defect (delimiter confusion, char-vs-byte lengths,
+        dropped records) breaks the match."""
+        from tilekiln_spark.sources.wet import build_wet_shards, parse_wet
+
+        docs = _docs(spark, sf_dir)
+        parsed = parse_wet(build_wet_shards(docs, n_shards=8))
+        return parsed.select(
+            "uri", F.octet_length("text").alias("n_bytes")
+        ).orderBy("uri")
+
+    q["wet_roundtrip"] = wet_roundtrip
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5591,6 +5610,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.polygon_id, c.cluster_id, s.n_members
         FROM comp c JOIN sizes s USING (cluster_id)
         ORDER BY c.polygon_id
+    """
+
+    # WET roundtrip twin: the invariant target straight off the table —
+    # parse(build(docs)) must reproduce every (uri, BYTE length)
+    o["wet_roundtrip"] = """
+        SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                   AS uri,
+               strlen(text) AS n_bytes
+        FROM documents ORDER BY uri
     """
 
     # ST_Node twin: the identical parametric solve per ordered pair,
