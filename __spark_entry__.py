@@ -1868,6 +1868,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wet_roundtrip"] = wet_roundtrip
 
+    def quadkey_tiles(spark, sf_dir):
+        """Quadkey addressing (functions/tileids.py quadkey): every z5
+        tile's Bing quadkey + a decode roundtrip assertion folded into
+        the result (rx/ry must re-derive x/y — a decode defect shows as
+        a value mismatch, not just a missing row).  Pure codegen: one
+        transform over the zoom sequence + array_join, bits via exact
+        floor-divides."""
+        from tilekiln_spark.functions.tileids import quadkey, quadkey_decode
+
+        tiles = spark.range(4 ** 5).select(
+            (F.col("id") % 32).cast("long").alias("x"),
+            (F.col("id") / 32).cast("long").alias("y"),
+        )
+        enc = tiles.withColumn("qk", quadkey(F.lit(5), F.col("x"), F.col("y")))
+        _, rx, ry = quadkey_decode(F.col("qk"))
+        return enc.select(
+            "x", "y", "qk", rx.alias("rx"), ry.alias("ry")
+        ).orderBy("x", "y")
+
+    q["quadkey_tiles"] = quadkey_tiles
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5619,6 +5640,27 @@ def oracle_sql() -> dict[str, str]:
                    AS uri,
                strlen(text) AS n_bytes
         FROM documents ORDER BY uri
+    """
+
+    # quadkey twin: identical floor-divide bit arithmetic; the decode
+    # twin re-derives x/y from the just-built digits with the same fold
+    from tilekiln_spark.functions.tileids import quadkey_sql as _qk_sql
+
+    _qk = _qk_sql(5, "x", "y")
+    o["quadkey_tiles"] = f"""
+        WITH t AS (
+            SELECT CAST(i % 32 AS BIGINT) AS x, CAST(i // 32 AS BIGINT) AS y
+            FROM range(1024) r(i)
+        ),
+        enc AS (SELECT x, y, {_qk} AS qk FROM t)
+        SELECT x, y, qk,
+               list_sum(list_transform(range(1, 6), i ->
+                   (CAST(qk[i] AS BIGINT) % 2) * CAST(power(2, 5 - i) AS BIGINT)
+               )) AS rx,
+               list_sum(list_transform(range(1, 6), i ->
+                   (CAST(qk[i] AS BIGINT) // 2) * CAST(power(2, 5 - i) AS BIGINT)
+               )) AS ry
+        FROM enc ORDER BY x, y
     """
 
     # ST_Node twin: the identical parametric solve per ordered pair,

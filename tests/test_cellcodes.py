@@ -194,3 +194,30 @@ def test_decode_sql_twins_match(spark):
         f"SELECT qk, CAST({x_sql} AS BIGINT) AS dx, CAST({y_sql} AS BIGINT) AS dy FROM t"
     ).fetchall()
     assert qgot == [tuple(r) for r in qwant]
+
+
+def test_quadkey_known_value_and_roundtrip(spark):
+    """Bing docs example: tile (x=3, y=5, z=3) -> '213'; full z<=5
+    roundtrip through quadkey_decode."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.tileids import quadkey, quadkey_decode
+
+    df = spark.range(1).select(
+        quadkey(F.lit(3), F.lit(3), F.lit(5)).alias("qk")
+    )
+    assert df.collect()[0].qk == "213"
+
+    tiles = spark.range(4 ** 5).select(
+        F.lit(5).alias("z"),
+        (F.col("id") % 32).cast("long").alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    enc = tiles.withColumn("qk", quadkey(F.col("z"), F.col("x"), F.col("y")))
+    z2, x2, y2 = quadkey_decode(F.col("qk"))
+    bad = enc.filter(
+        (z2 != F.col("z")) | (x2 != F.col("x")) | (y2 != F.col("y"))
+    )
+    assert bad.count() == 0
+    # distinct quadkeys == distinct tiles (no collisions)
+    assert enc.select("qk").distinct().count() == 4 ** 5

@@ -178,3 +178,49 @@ def tile_pyramid_rollup(
         .groupBy(zoom_col, x_col, y_col)
         .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
+
+
+def quadkey(zoom: Column, x: Column, y: Column) -> Column:
+    """Bing-maps quadkey string for tile (zoom, x, y) — the third tile
+    addressing the stack speaks beside z/x/y and the PMTiles Hilbert
+    tileid (tiles/core.py): digit i (1..zoom, coarsest first) is
+    ``bit(x, zoom-i) + 2*bit(y, zoom-i)``.  Pure codegen: bits via
+    floor-divide by power(2, zoom-i) (exact in float64 for zoom <= 30),
+    ONE transform over the zoom sequence + array_join — no UDF."""
+    i = F.sequence(F.lit(1), zoom)
+
+    def bit(v: Column, k: Column) -> Column:
+        return F.floor(v / F.pow(F.lit(2.0), k)).cast("long") % 2
+
+    digits = F.transform(
+        i,
+        lambda j: (bit(x, (zoom - j).cast("double"))
+                   + 2 * bit(y, (zoom - j).cast("double"))).cast("string"),
+    )
+    return F.array_join(digits, "")
+
+
+def quadkey_decode(qk: Column) -> tuple[Column, Column, Column]:
+    """Inverse of :func:`quadkey`: (zoom, x, y) from the digit string —
+    one fold over the characters (each digit shifts-in one x and one y
+    bit); zoom is the string length."""
+    chars = F.split(qk, "").cast("array<int>")
+    acc = F.aggregate(
+        chars,
+        F.struct(F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y")),
+        lambda a, d: F.struct(
+            (a["x"] * 2 + d % 2).alias("x"), (a["y"] * 2 + (d / 2).cast("long")).alias("y")
+        ),
+    )
+    return F.length(qk), acc["x"], acc["y"]
+
+
+def quadkey_sql(zoom: int, x: str, y: str) -> str:
+    """DuckDB twin of :func:`quadkey` for a LITERAL zoom — the identical
+    floor-divide bit arithmetic, digits joined coarsest-first."""
+    return (
+        f"array_to_string(list_transform(range(1, {zoom} + 1), i -> "
+        f"CAST(CAST(floor({x} / power(2, {zoom} - i)) AS BIGINT) % 2 "
+        f"+ 2 * (CAST(floor({y} / power(2, {zoom} - i)) AS BIGINT) % 2) "
+        f"AS VARCHAR)), '')"
+    )
