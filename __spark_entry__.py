@@ -472,6 +472,24 @@ _NODE_SEG_ROWS = [
 ]
 
 
+_POLYGONIZE_SEG_ROWS = [
+    # ST_Polygonize fixture: a 2x2 grid of unit squares (12 shared
+    # segments -> 4 faces), a dangle off the grid corner, an isolated
+    # 3-4-5 right triangle, and an isolated segment — all coordinates
+    # exact so the Green-area sums are order-independent
+    (0, 0.0, 0.0, 1.0, 0.0), (1, 1.0, 0.0, 2.0, 0.0),
+    (2, 0.0, 1.0, 1.0, 1.0), (3, 1.0, 1.0, 2.0, 1.0),
+    (4, 0.0, 2.0, 1.0, 2.0), (5, 1.0, 2.0, 2.0, 2.0),
+    (6, 0.0, 0.0, 0.0, 1.0), (7, 0.0, 1.0, 0.0, 2.0),
+    (8, 1.0, 0.0, 1.0, 1.0), (9, 1.0, 1.0, 1.0, 2.0),
+    (10, 2.0, 0.0, 2.0, 1.0), (11, 2.0, 1.0, 2.0, 2.0),
+    (12, 2.0, 2.0, 3.0, 3.0),
+    (13, 10.0, 0.0, 13.0, 0.0), (14, 13.0, 0.0, 10.0, 4.0),
+    (15, 10.0, 4.0, 10.0, 0.0),
+    (16, 20.0, 20.0, 21.0, 21.0),
+]
+
+
 _ROUTE_EDGES = [
     # road-network fixture for shortest_paths — integer-valued double
     # weights (exact sums, order-independent min cross-engine); covers a
@@ -1888,6 +1906,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("x", "y")
 
     q["quadkey_tiles"] = quadkey_tiles
+
+    def polygonize(spark, sf_dir):
+        """ST_Polygonize WITHOUT sequential ring tracing
+        (operators/topology.py polygonize_faces): half-edges -> per-node
+        diamond-pseudo-angle rotation (pure arithmetic, no libm) ->
+        DCEL successor permutation (one equi-join) -> cycles as
+        star-contraction components -> order-independent Green-theorem
+        face areas from ONE groupBy.  Fixture: 2x2 shared-wall grid (4
+        unit faces), a dangle, an isolated 3-4-5 triangle, an isolated
+        segment.  Twin replays every stage with window functions + the
+        bounded recursive walk."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import polygonize_faces
+
+        seg = spark.createDataFrame(
+            pd.DataFrame(
+                _POLYGONIZE_SEG_ROWS,
+                columns=["seg_id", "x1", "y1", "x2", "y2"],
+            ),
+            "seg_id long, x1 double, y1 double, x2 double, y2 double",
+        )
+        out = polygonize_faces(seg)
+        return out.select(
+            "face_id",
+            "n_edges",
+            (F.round("area", 6) + F.lit(0.0)).alias("area"),
+        ).orderBy("face_id")
+
+    q["polygonize"] = polygonize
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5661,6 +5709,57 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(qk[i] AS BIGINT) // 2) * CAST(power(2, 5 - i) AS BIGINT)
                )) AS ry
         FROM enc ORDER BY x, y
+    """
+
+    # ST_Polygonize twin: half-edges, diamond pseudo-angle, per-node
+    # window rank, rotational-predecessor successor join, cycle
+    # components via the bounded recursive walk, Green-area HAVING
+    _pg_vals = ", ".join(
+        f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for sid, x1, y1, x2, y2 in _POLYGONIZE_SEG_ROWS
+    )
+    _pg_ang = """CASE
+            WHEN (vx - ux) >= 0 AND (vy - uy) >= 0
+                THEN (vy - uy) / ((vx - ux) + (vy - uy))
+            WHEN (vx - ux) < 0 AND (vy - uy) >= 0
+                THEN 1 + (-(vx - ux)) / ((-(vx - ux)) + (vy - uy))
+            WHEN (vx - ux) < 0 AND (vy - uy) < 0
+                THEN 2 + (-(vy - uy)) / ((-(vx - ux)) + (-(vy - uy)))
+            ELSE 3 + (vx - ux) / ((vx - ux) - (vy - uy)) END"""
+    o["polygonize"] = f"""
+        WITH RECURSIVE seg(seg_id, x1, y1, x2, y2) AS (VALUES {_pg_vals}),
+        he AS (
+            SELECT seg_id * 2 AS he_id, x1 AS ux, y1 AS uy,
+                   x2 AS vx, y2 AS vy FROM seg
+            UNION ALL
+            SELECT seg_id * 2 + 1, x2, y2, x1, y1 FROM seg
+        ),
+        ang AS (SELECT he_id, ux, uy, {_pg_ang} AS pangle FROM he),
+        rk AS (
+            SELECT he_id, ux, uy,
+                   row_number() OVER (PARTITION BY ux, uy
+                                      ORDER BY pangle, he_id) AS r,
+                   count(*) OVER (PARTITION BY ux, uy) AS n
+            FROM ang
+        ),
+        succ AS (
+            SELECT a.he_id - (a.he_id % 2) * 2 + 1 AS a, b.he_id AS b
+            FROM rk a JOIN rk b ON a.ux = b.ux AND a.uy = b.uy
+             AND b.r = ((a.r - 2 + a.n) % a.n) + 1
+        ),
+        sym AS (SELECT a, b FROM succ UNION SELECT b AS a, a AS b FROM succ),
+        walk(src, dst) AS (
+            SELECT a, a FROM succ
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS he_id, MIN(dst) AS face_id FROM walk GROUP BY 1)
+        SELECT c.face_id, count(*) AS n_edges,
+               round(sum(h.ux * h.vy - h.vx * h.uy) / 2.0, 6) + 0.0 AS area
+        FROM comp c JOIN he h USING (he_id)
+        GROUP BY 1
+        HAVING sum(h.ux * h.vy - h.vx * h.uy) / 2.0 > 0
+        ORDER BY face_id
     """
 
     # ST_Node twin: the identical parametric solve per ordered pair,

@@ -94,3 +94,31 @@ def test_node_segments_cross_touch_collinear(spark):
     assert parts[6] == [(1, 20.0, 0.0, 24.0, 0.0)]
     assert parts[7] == [(1, 22.0, 0.0, 26.0, 0.0)]
     assert parts[8] == [(1, 30.0, 30.0, 33.0, 34.0)]
+
+
+def test_polygonize_grid_dangle_triangle(spark):
+    """polygonize_faces: a 2x2 grid of unit squares (12 shared segments ->
+    4 faces), a dangling edge hanging off the grid (ignored), an isolated
+    triangle, and an isolated segment (no face)."""
+    from tilekiln_spark.operators.topology import polygonize_faces
+
+    rows = []
+    sid = 0
+    # 2x2 grid: horizontal segments y=0,1,2 x in [0,1],[1,2]; vertical x=0,1,2
+    for y in (0.0, 1.0, 2.0):
+        for x0 in (0.0, 1.0):
+            rows.append((sid, x0, y, x0 + 1.0, y)); sid += 1
+    for x in (0.0, 1.0, 2.0):
+        for y0 in (0.0, 1.0):
+            rows.append((sid, x, y0, x, y0 + 1.0)); sid += 1
+    rows.append((sid, 2.0, 2.0, 3.0, 3.0)); sid += 1          # dangle off grid
+    rows.append((sid, 10.0, 0.0, 13.0, 0.0)); sid += 1        # triangle
+    rows.append((sid, 13.0, 0.0, 10.0, 4.0)); sid += 1        # 3-4-5
+    rows.append((sid, 10.0, 4.0, 10.0, 0.0)); sid += 1
+    rows.append((sid, 20.0, 20.0, 21.0, 21.0)); sid += 1      # isolated seg
+
+    out = polygonize_faces(_df(spark, rows)).collect()
+    areas = sorted(round(r.area, 9) for r in out)
+    assert areas == [1.0, 1.0, 1.0, 1.0, 6.0]
+    n_edges = sorted(r.n_edges for r in out)
+    assert n_edges == [3, 4, 4, 4, 4]

@@ -192,3 +192,106 @@ def node_segments(
         (F.col("x1") + fj * (F.col("x2") - F.col("x1"))).alias("px2"),
         (F.col("y1") + fj * (F.col("y2") - F.col("y1"))).alias("py2"),
     )
+
+
+def polygonize_faces(segments: DataFrame) -> DataFrame:
+    """PostGIS ``ST_Polygonize`` over fully-noded segment soup: find the
+    planar faces (the polygons the segments enclose) — WITHOUT any
+    sequential ring tracing, the step that makes polygonize look
+    inherently serial.  Requires noded, exactly-deduplicated input
+    (run :func:`node_segments` + exact dedup first); zero-length
+    segments and duplicate directed edges at a node are not supported.
+
+    The trick, stage by stage (every stage distributed):
+
+    1. **half-edges** — each segment becomes two directed half-edges
+       (ids ``2*seg_id`` / ``2*seg_id + 1``; the twin is ``id XOR 1``);
+    2. **rotation** — at every node, outgoing half-edges sort by the
+       DIAMOND pseudo-angle (a monotone piecewise-rational surrogate for
+       atan2 built from +,-,/ only, so both engines order identically —
+       no libm in the plan); one window rank per node;
+    3. **successor permutation** — the DCEL face-walk rule
+       ``next(u->v) = rotational successor of twin(u->v) at node v``:
+       ONE equi-join on (node, rank+1 mod degree).  Every half-edge has
+       exactly one successor and one predecessor, so the successor
+       relation is a PERMUTATION — its cycles ARE the faces;
+    4. **cycles without walking** — connected components of the
+       (half-edge, successor) pair list via the star contraction
+       (O(log^2) rounds); no driver-side tracing, no diameter rounds;
+    5. **face aggregates, order-independent** — Green's theorem over
+       DIRECTED half-edges: ``area = sum (ux*vy - vx*uy) / 2`` over the
+       cycle needs NO edge ordering, so one groupBy finishes the job.
+       Interior faces have positive area under this rotation convention;
+       the unbounded outer face comes out negative and dangling edges
+       cancel to ~0 — both filtered.
+
+    Returns one row per interior face: ``face_id`` (MIN half-edge id in
+    the cycle), ``n_edges``, ``area``."""
+    from tilekiln_spark.operators.dedup import connected_components
+    from pyspark.sql import Window
+
+    he = segments.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("seg_id") * 2).alias("he_id"),
+                    F.col("x1").alias("ux"), F.col("y1").alias("uy"),
+                    F.col("x2").alias("vx"), F.col("y2").alias("vy"),
+                ),
+                F.struct(
+                    (F.col("seg_id") * 2 + 1).alias("he_id"),
+                    F.col("x2").alias("ux"), F.col("y2").alias("uy"),
+                    F.col("x1").alias("vx"), F.col("y1").alias("vy"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+    dx = F.col("vx") - F.col("ux")
+    dy = F.col("vy") - F.col("uy")
+    # diamond pseudo-angle: monotone in atan2(dy, dx), range [0, 4),
+    # pure +-/ arithmetic (bit-identical cross-engine)
+    pangle = (
+        F.when((dx >= 0) & (dy >= 0), dy / (dx + dy))
+        .when((dx < 0) & (dy >= 0), 1 + (-dx) / ((-dx) + dy))
+        .when((dx < 0) & (dy < 0), 2 + (-dy) / ((-dx) + (-dy)))
+        .otherwise(3 + dx / (dx - dy))
+    )
+    out = he.withColumn("pangle", pangle)
+    w = Window.partitionBy("ux", "uy")
+    ranked = out.select(
+        "he_id", "ux", "uy",
+        F.row_number().over(w.orderBy("pangle", "he_id")).alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    # rotational PREDECESSOR at the node (the clockwise neighbor in the
+    # ascending-pseudo-angle ring): rank r -> ((r - 2 + n) % n) + 1.
+    # With next(e) = rot_pred(twin(e)) interior faces trace with the
+    # interior on the LEFT (positive Green area); the CCW-successor
+    # variant instead traces the hull at junction nodes (test-pinned:
+    # the 2x2 grid must yield 4 unit faces, not one 4.0 hull face)
+    nxt = ranked.alias("a").join(
+        ranked.alias("b"),
+        (F.col("a.ux") == F.col("b.ux")) & (F.col("a.uy") == F.col("b.uy"))
+        & (F.col("b.r")
+           == ((F.col("a.r") - 2 + F.col("a.n")) % F.col("a.n")) + 1),
+    ).select(
+        F.col("a.he_id").alias("out_he"), F.col("b.he_id").alias("rot_he")
+    )
+    # successor(e) = rot(twin(e)); twin id is e XOR 1 — pure arithmetic
+    succ = nxt.select(
+        (F.col("out_he") - (F.col("out_he") % 2) * 2 + 1).alias("key_a"),
+        F.col("rot_he").alias("key_b"),
+    )
+    labels = connected_components(succ)
+    faces = (
+        he.join(labels.withColumnRenamed("node", "he_id"), "he_id")
+        .groupBy(F.col("component").alias("face_id"))
+        .agg(
+            F.count("*").alias("n_edges"),
+            (F.sum(
+                F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
+            ) / 2.0).alias("area"),
+        )
+    )
+    return faces.filter(F.col("area") > 0)
