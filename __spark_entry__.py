@@ -490,6 +490,18 @@ _POLYGONIZE_SEG_ROWS = [
 ]
 
 
+_OVERLAP_SQ_SEGS = [
+    # two overlapping axis-aligned squares drawn as UN-noded segments:
+    # A = (0,0)-(4,4), B = (2,2)-(6,6); they cross at (4,2) and (2,4),
+    # so polygonize finds faces ONLY after noding — 3 faces:
+    # A∩B (4 edges, area 4), A∖B and B∖A (6 edges, area 12 each)
+    (0, 0.0, 0.0, 4.0, 0.0), (1, 4.0, 0.0, 4.0, 4.0),
+    (2, 4.0, 4.0, 0.0, 4.0), (3, 0.0, 4.0, 0.0, 0.0),
+    (4, 2.0, 2.0, 6.0, 2.0), (5, 6.0, 2.0, 6.0, 6.0),
+    (6, 6.0, 6.0, 2.0, 6.0), (7, 2.0, 6.0, 2.0, 2.0),
+]
+
+
 _ROUTE_EDGES = [
     # road-network fixture for shortest_paths — integer-valued double
     # weights (exact sums, order-independent min cross-engine); covers a
@@ -1936,6 +1948,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("face_id")
 
     q["polygonize"] = polygonize
+
+    def node_polygonize(spark, sf_dir):
+        """The full topology pipeline: UN-noded overlapping squares ->
+        node_segments (parametric cuts) -> renumber parts
+        (seg_id*100 + part, deterministic cross-engine) ->
+        polygonize_faces.  Faces exist ONLY because noding split the
+        crossing edges first — a defect in either stage breaks the 3
+        expected faces (A∩B: 4 edges/area 4; A∖B and B∖A: 6 edges/
+        area 12).  Twin chains the identical CTE pipelines unrounded
+        (cut coordinates are bit-identical, so node keys group the same
+        way on both engines)."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import (
+            node_segments,
+            polygonize_faces,
+        )
+
+        seg = spark.createDataFrame(
+            pd.DataFrame(
+                _OVERLAP_SQ_SEGS, columns=["seg_id", "x1", "y1", "x2", "y2"]
+            ),
+            "seg_id long, x1 double, y1 double, x2 double, y2 double",
+        )
+        parts = node_segments(seg, grid_zoom=3).select(
+            (F.col("seg_id") * 100 + F.col("part")).alias("seg_id"),
+            F.col("px1").alias("x1"), F.col("py1").alias("y1"),
+            F.col("px2").alias("x2"), F.col("py2").alias("y2"),
+        )
+        out = polygonize_faces(parts)
+        return out.select(
+            "face_id",
+            "n_edges",
+            (F.round("area", 6) + F.lit(0.0)).alias("area"),
+        ).orderBy("face_id")
+
+    q["node_polygonize"] = node_polygonize
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5797,6 +5846,73 @@ def oracle_sql() -> dict[str, str]:
         FROM fr, unnest(generate_series(1, len(f) - 1)) AS u(i)
         ORDER BY seg_id, part
     """
+
+    # node->polygonize pipeline twin: the node CTEs (unrounded) feed the
+    # polygonize CTEs; part ids renumbered seg_id*100+part on both engines
+    _np_vals = ", ".join(
+        f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for sid, x1, y1, x2, y2 in _OVERLAP_SQ_SEGS
+    )
+    o["node_polygonize"] = f"""
+        WITH RECURSIVE seg0(seg_id, x1, y1, x2, y2) AS (VALUES {_np_vals}),
+        hits AS (
+            SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
+            FROM seg0 a JOIN seg0 b ON a.seg_id != b.seg_id
+            WHERE {_nd_den} != 0
+        ),
+        cuts AS (
+            SELECT sid, list_sort(list_distinct(list(s))) AS fs
+            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
+            GROUP BY 1
+        ),
+        fr AS (
+            SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
+                   list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
+                       AS f
+            FROM seg0 g LEFT JOIN cuts c ON c.sid = g.seg_id
+        ),
+        parts AS (
+            SELECT seg_id * 100 + u.i AS pid,
+                   x1 + f[u.i] * (x2 - x1) AS ax,
+                   y1 + f[u.i] * (y2 - y1) AS ay,
+                   x1 + f[u.i + 1] * (x2 - x1) AS bx,
+                   y1 + f[u.i + 1] * (y2 - y1) AS by
+            FROM fr, unnest(generate_series(1, len(f) - 1)) AS u(i)
+        ),
+        he AS (
+            SELECT pid * 2 AS he_id, ax AS ux, ay AS uy,
+                   bx AS vx, by AS vy FROM parts
+            UNION ALL
+            SELECT pid * 2 + 1, bx, by, ax, ay FROM parts
+        ),
+        ang AS (SELECT he_id, ux, uy, {_pg_ang} AS pangle FROM he),
+        rk AS (
+            SELECT he_id, ux, uy,
+                   row_number() OVER (PARTITION BY ux, uy
+                                      ORDER BY pangle, he_id) AS r,
+                   count(*) OVER (PARTITION BY ux, uy) AS n
+            FROM ang
+        ),
+        succ AS (
+            SELECT a.he_id - (a.he_id % 2) * 2 + 1 AS a, b.he_id AS b
+            FROM rk a JOIN rk b ON a.ux = b.ux AND a.uy = b.uy
+             AND b.r = ((a.r - 2 + a.n) % a.n) + 1
+        ),
+        sym AS (SELECT a, b FROM succ UNION SELECT b AS a, a AS b FROM succ),
+        walk(src, dst) AS (
+            SELECT a, a FROM succ
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS he_id, MIN(dst) AS face_id FROM walk GROUP BY 1)
+        SELECT c.face_id, count(*) AS n_edges,
+               round(sum(h.ux * h.vy - h.vx * h.uy) / 2.0, 6) + 0.0 AS area
+        FROM comp c JOIN he h USING (he_id)
+        GROUP BY 1
+        HAVING sum(h.ux * h.vy - h.vx * h.uy) / 2.0 > 0
+        ORDER BY face_id
+    """
+
 
     # geometric-median twin: the same 8 Weiszfeld iterations as chained
     # CTEs (the pagerank/BPE replay pattern); every arithmetic op —
