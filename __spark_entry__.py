@@ -1986,6 +1986,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node_polygonize"] = node_polygonize
 
+    def raster_pyramid(spark, sf_dir):
+        """Raster overview pyramid (operators/raster.py pyramid) over
+        the doc-density raster: 3 levels from one explode + one groupBy
+        on halved global cell coords; SUM reduction (mass-conserving
+        for histogram rasters), n_cells = contributing level-0 cells.
+        Twin rebuilds the identical binned counts then the identical
+        floor-divide halving."""
+        from tilekiln_spark.operators.raster import pyramid, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        out = pyramid(rasterize(d, zoom=2, res=16), res=16, levels=3)
+        return out.orderBy("level", "cx", "cy")
+
+    q["raster_pyramid"] = raster_pyramid
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5253,6 +5268,29 @@ def oracle_sql() -> dict[str, str]:
             (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
         )
     )
+    o["raster_pyramid"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy,
+                   count(*) AS n
+            FROM binned GROUP BY 1, 2
+        )
+        SELECT l.lv AS level,
+               CAST(floor(gx / power(2, l.lv)) AS BIGINT) AS cx,
+               CAST(floor(gy / power(2, l.lv)) AS BIGINT) AS cy,
+               sum(n) AS total_n, count(*) AS n_cells
+        FROM counts, unnest(generate_series(1, 3)) AS l(lv)
+        GROUP BY 1, 2, 3
+        ORDER BY level, cx, cy
+    """
+
     o["raster_hillshade"] = f"""
         {_GEO_CTE}, t AS (
             SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo

@@ -154,3 +154,33 @@ def test_kde_density_goldens(spark):
 
     with pytest.raises(ValueError, match="positive"):
         kde_density(pt, cell=0.0, bandwidth=1.0)
+
+
+def test_pyramid_levels_sum_and_counts(spark):
+    """pyramid: 4x4 ones -> four 2x2 cells of 4 at level 1, one cell of
+    16 at level 2; mass conserved per level; n_cells counts level-0
+    contributors; cross-tile cells lift to global coords."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.raster import pyramid
+
+    rows = [(2, 0, 0, bx, by, 1) for bx in range(4) for by in range(4)]
+    rows.append((2, 1, 0, 0, 0, 7))  # adjacent tile: gx=4 -> level1 cx=2
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["zoom", "x", "y", "bin_x", "bin_y", "n"]),
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = pyramid(df, res=4, levels=2)
+    got = {
+        (r.level, r.cx, r.cy): (r.total_n, r.n_cells) for r in out.collect()
+    }
+    assert got[(1, 0, 0)] == (4, 4)
+    assert got[(1, 1, 1)] == (4, 4)
+    assert got[(1, 2, 0)] == (7, 1)
+    assert got[(2, 0, 0)] == (16, 16)
+    assert got[(2, 1, 0)] == (7, 1)
+    # mass conservation at every level
+    sums = {r.level: r.s for r in
+            out.groupBy("level").agg(F.sum("total_n").alias("s")).collect()}
+    assert sums == {1: 23, 2: 23}

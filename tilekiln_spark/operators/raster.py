@@ -335,3 +335,36 @@ def kde_density(
         .agg(F.sum("w").alias("density"))
         .filter(F.col("density") > 0)
     )
+
+
+def pyramid(
+    raster_rows: DataFrame, res: int = 256, levels: int = 4
+) -> DataFrame:
+    """Raster overview pyramid (the GDAL ``BuildOverviews`` face for
+    count/density rasters): every level ``l`` in 1..levels aggregates
+    2^l x 2^l level-0 cells into one coarser cell by SUM — the correct
+    reduction for histogram rasters (``rasterize`` output), where an
+    average would lose mass.
+
+    Shape: level-0 cells lift to GLOBAL cell coordinates
+    (gx = tile_x * res + bin_x), then ONE explode over the level
+    sequence + ONE partial-aggregated groupBy((level, gx >> l, gy >> l))
+    builds every level in a single shuffle — explode factor = levels,
+    cheaper at scale than chaining `levels` separate halving shuffles,
+    and each coarser level is strictly sparser.  Returns
+    ``(level, cx, cy, total_n, n_cells)`` with n_cells = contributing
+    LEVEL-0 cells (not intermediate nodes)."""
+    gx = (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx")
+    gy = (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy")
+    lifted = raster_rows.select(gx, gy, "n").withColumn(
+        "level", F.explode(F.sequence(F.lit(1), F.lit(int(levels))))
+    )
+    scale = F.pow(F.lit(2.0), F.col("level").cast("double"))
+    return (
+        lifted.groupBy(
+            "level",
+            F.floor(F.col("gx") / scale).cast("long").alias("cx"),
+            F.floor(F.col("gy") / scale).cast("long").alias("cy"),
+        )
+        .agg(F.sum("n").alias("total_n"), F.count("*").alias("n_cells"))
+    )
