@@ -490,6 +490,19 @@ _POLYGONIZE_SEG_ROWS = [
 ]
 
 
+_SHARED_SEG_ROWS = [
+    # ST_SharedPaths fixture: containment overlap, partial overlap,
+    # reversed-direction overlap, endpoint touch (zero — excluded),
+    # parallel non-collinear (excluded), 3-4-5 diagonal overlap
+    (1, 0.0, 0.0, 10.0, 0.0), (2, 4.0, 0.0, 6.0, 0.0),
+    (3, 8.0, 0.0, 14.0, 0.0), (4, 20.0, 0.0, 24.0, 0.0),
+    (5, 26.0, 0.0, 22.0, 0.0), (6, 0.0, 5.0, 4.0, 5.0),
+    (7, 4.0, 5.0, 8.0, 5.0), (8, 0.0, 10.0, 4.0, 10.0),
+    (9, 0.0, 11.0, 4.0, 11.0), (10, 0.0, 20.0, 6.0, 28.0),
+    (11, 3.0, 24.0, 9.0, 32.0),
+]
+
+
 _OVERLAP_SQ_SEGS = [
     # two overlapping axis-aligned squares drawn as UN-noded segments:
     # A = (0,0)-(4,4), B = (2,2)-(6,6); they cross at (4,2) and (2,4),
@@ -2000,6 +2013,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("level", "cx", "cy")
 
     q["raster_pyramid"] = raster_pyramid
+
+    def shared_paths(spark, sf_dir):
+        """ST_SharedPaths at segment granularity (operators/topology.py
+        shared_paths_join): exactly-collinear pairs with positive 1-D
+        overlap -> shared length + same/opposite direction, the
+        duplicate-way detector complementing ST_Node's documented
+        collinear gap.  Pure column arithmetic over PBSM candidates;
+        the twin runs the identical projection/clamp formulas."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import shared_paths_join
+
+        seg = spark.createDataFrame(
+            pd.DataFrame(
+                _SHARED_SEG_ROWS, columns=["seg_id", "x1", "y1", "x2", "y2"]
+            ),
+            "seg_id long, x1 double, y1 double, x2 double, y2 double",
+        )
+        out = shared_paths_join(seg, grid_zoom=3)
+        return out.select(
+            "a_id", "b_id",
+            (F.round("shared_len", 6) + F.lit(0.0)).alias("shared_len"),
+            "same_dir",
+        ).orderBy("a_id", "b_id")
+
+    q["shared_paths"] = shared_paths
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -5847,6 +5886,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         HAVING sum(h.ux * h.vy - h.vx * h.uy) / 2.0 > 0
         ORDER BY face_id
+    """
+
+    # ST_SharedPaths twin: identical collinearity tests + projection/
+    # clamp arithmetic per i<j pair
+    _sp_vals = ", ".join(
+        f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for sid, x1, y1, x2, y2 in _SHARED_SEG_ROWS
+    )
+    _sp_rx, _sp_ry = "(a.x2 - a.x1)", "(a.y2 - a.y1)"
+    _sp_sx, _sp_sy = "(b.x2 - b.x1)", "(b.y2 - b.y1)"
+    _sp_rr = f"({_sp_rx} * {_sp_rx} + {_sp_ry} * {_sp_ry})"
+    _sp_t1 = f"(((b.x1 - a.x1) * {_sp_rx} + (b.y1 - a.y1) * {_sp_ry}) / {_sp_rr})"
+    _sp_t2 = f"(((b.x2 - a.x1) * {_sp_rx} + (b.y2 - a.y1) * {_sp_ry}) / {_sp_rr})"
+    o["shared_paths"] = f"""
+        WITH seg(seg_id, x1, y1, x2, y2) AS (VALUES {_sp_vals}),
+        pairs AS (
+            SELECT a.seg_id AS a_id, b.seg_id AS b_id,
+                   (least(1.0, greatest({_sp_t1}, {_sp_t2}))
+                    - greatest(0.0, least({_sp_t1}, {_sp_t2})))
+                       * sqrt({_sp_rr}) AS shared_len,
+                   ({_sp_rx} * {_sp_sx} + {_sp_ry} * {_sp_sy}) > 0
+                       AS same_dir
+            FROM seg a JOIN seg b ON a.seg_id < b.seg_id
+            WHERE ({_sp_rx} * {_sp_sy} - {_sp_ry} * {_sp_sx}) = 0
+              AND ((b.x1 - a.x1) * {_sp_ry} - (b.y1 - a.y1) * {_sp_rx}) = 0
+              AND {_sp_rr} > 0
+        )
+        SELECT a_id, b_id, round(shared_len, 6) + 0.0 AS shared_len, same_dir
+        FROM pairs WHERE shared_len > 0
+        ORDER BY a_id, b_id
     """
 
     # ST_Node twin: the identical parametric solve per ordered pair,

@@ -122,3 +122,34 @@ def test_polygonize_grid_dangle_triangle(spark):
     assert areas == [1.0, 1.0, 1.0, 1.0, 6.0]
     n_edges = sorted(r.n_edges for r in out)
     assert n_edges == [3, 4, 4, 4, 4]
+
+
+def test_shared_paths_overlap_direction(spark):
+    """shared_paths_join: containment overlap, partial overlap, reversed
+    direction, endpoint-touch excluded (zero length), parallel
+    non-collinear excluded, diagonal 3-4-5 overlap measured exactly."""
+    from tilekiln_spark.operators.topology import shared_paths_join
+
+    rows = [
+        (1, 0.0, 0.0, 10.0, 0.0),
+        (2, 4.0, 0.0, 6.0, 0.0),      # contained in 1, same dir
+        (3, 8.0, 0.0, 14.0, 0.0),     # partial overlap with 1
+        (4, 20.0, 0.0, 24.0, 0.0),
+        (5, 26.0, 0.0, 22.0, 0.0),    # reversed: overlap (22,24)
+        (6, 0.0, 5.0, 4.0, 5.0),
+        (7, 4.0, 5.0, 8.0, 5.0),      # endpoint touch: zero overlap
+        (8, 0.0, 10.0, 4.0, 10.0),
+        (9, 0.0, 11.0, 4.0, 11.0),    # parallel, NOT collinear
+        (10, 0.0, 20.0, 6.0, 28.0),   # 3-4-5 direction (6,8)
+        (11, 3.0, 24.0, 9.0, 32.0),   # collinear, overlap half of 10
+    ]
+    got = {
+        (r.a_id, r.b_id): (round(r.shared_len, 9), r.same_dir)
+        for r in shared_paths_join(_df(spark, rows), grid_zoom=3).collect()
+    }
+    assert got == {
+        (1, 2): (2.0, True),
+        (1, 3): (2.0, True),
+        (4, 5): (2.0, False),
+        (10, 11): (5.0, True),
+    }

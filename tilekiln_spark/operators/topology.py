@@ -295,3 +295,67 @@ def polygonize_faces(segments: DataFrame) -> DataFrame:
         )
     )
     return faces.filter(F.col("area") > 0)
+
+
+def shared_paths_join(
+    segments: DataFrame,
+    grid_zoom: int = 4,
+    max_cells_per_poly: int = 64,
+) -> DataFrame:
+    """PostGIS ``ST_SharedPaths`` at segment granularity: for every pair
+    of EXACTLY-collinear segments with positive 1-D overlap, the shared
+    length and whether they run the same direction — the measurement
+    companion to :func:`node_segments`'s documented collinear gap
+    (duplicate/overlapping way geometry is the classic OSM data bug
+    this detects).
+
+    Pure column arithmetic over the shared PBSM candidate stage:
+    collinear iff ``cross(r_a, r_b) == 0`` and ``cross(b1-a1, r_a) == 0``
+    (exact float tests — quantize upstream for measured data); overlap
+    from projecting B's endpoints onto A's parameter and clamping to
+    [0, 1]; ``same_dir = dot(r_a, r_b) > 0``.  Each unordered pair once
+    (``seg_id < b_seg_id``); zero-length segments never emit (their
+    ``dot(r, r)`` is 0 — guarded).  Returns
+    ``(a_id, b_id, shared_len, same_dir)``."""
+    from tilekiln_spark.operators.spatial_join import _pbsm_candidates
+
+    shaped = segments.select(
+        F.col("seg_id").alias("polygon_id"),
+        F.least("x1", "x2").alias("xmin"),
+        F.least("y1", "y2").alias("ymin"),
+        F.greatest("x1", "x2").alias("xmax"),
+        F.greatest("y1", "y2").alias("ymax"),
+        F.array("x1", "x2").alias("ring_xs"),
+        F.array("y1", "y2").alias("ring_ys"),
+    )
+    cand = _pbsm_candidates(
+        shaped, shaped, grid_zoom, True, max_cells_per_poly
+    ).filter(F.col("polygon_id") < F.col("b_polygon_id"))
+
+    ax1, ay1 = F.element_at("ring_xs", 1), F.element_at("ring_ys", 1)
+    ax2, ay2 = F.element_at("ring_xs", 2), F.element_at("ring_ys", 2)
+    bx1, by1 = F.element_at("b_ring_xs", 1), F.element_at("b_ring_ys", 1)
+    bx2, by2 = F.element_at("b_ring_xs", 2), F.element_at("b_ring_ys", 2)
+    rx, ry = ax2 - ax1, ay2 - ay1
+    sx, sy = bx2 - bx1, by2 - by1
+    rr = rx * rx + ry * ry
+    collinear = (
+        (rx * sy - ry * sx == 0)
+        & ((bx1 - ax1) * ry - (by1 - ay1) * rx == 0)
+        & (rr > 0)
+    )
+    t1 = ((bx1 - ax1) * rx + (by1 - ay1) * ry) / rr
+    t2 = ((bx2 - ax1) * rx + (by2 - ay1) * ry) / rr
+    lo = F.greatest(F.lit(0.0), F.least(t1, t2))
+    hi = F.least(F.lit(1.0), F.greatest(t1, t2))
+    shared = (hi - lo) * F.sqrt(rr)
+    return (
+        cand.filter(collinear)
+        .select(
+            F.col("polygon_id").alias("a_id"),
+            F.col("b_polygon_id").alias("b_id"),
+            shared.alias("shared_len"),
+            (rx * sx + ry * sy > 0).alias("same_dir"),
+        )
+        .filter(F.col("shared_len") > 0)
+    )
