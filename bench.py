@@ -338,6 +338,31 @@ vector_layers:
         lambda: merge_lines(_mbase.union(_mbranch)).count(),
     )
 
+    # --- ST_Polygonize at density: a 100x100 shared-wall grid (20.2k
+    # segments -> 10k faces) prices the node-key window, the successor
+    # join, and the cycle contraction ---
+    from tilekiln_spark.operators.topology import polygonize_faces
+
+    _N = 100
+    _ph = spark.range((_N + 1) * _N).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") % _N).cast("double").alias("x1"),
+        (F.col("id") / F.lit(_N)).cast("long").cast("double").alias("y1"),
+        ((F.col("id") % _N) + 1).cast("double").alias("x2"),
+        (F.col("id") / F.lit(_N)).cast("long").cast("double").alias("y2"),
+    )
+    _pv = spark.range((_N + 1) * _N).select(
+        (F.col("id") + 10 ** 7).alias("seg_id"),
+        (F.col("id") / F.lit(_N)).cast("long").cast("double").alias("x1"),
+        (F.col("id") % _N).cast("double").alias("y1"),
+        (F.col("id") / F.lit(_N)).cast("long").cast("double").alias("x2"),
+        ((F.col("id") % _N) + 1).cast("double").alias("y2"),
+    )
+    extra["polygonized_faces"] = timed(
+        "polygonize_dense",
+        lambda: polygonize_faces(_ph.union(_pv)).count(),
+    )
+
     return {"timings": timings, "extra": extra}
 
 
