@@ -221,3 +221,18 @@ def test_quadkey_known_value_and_roundtrip(spark):
     assert bad.count() == 0
     # distinct quadkeys == distinct tiles (no collisions)
     assert enc.select("qk").distinct().count() == 4 ** 5
+
+
+def test_quadkey_zoom0_root_is_empty(spark):
+    """zoom-0 root tile: quadkey '' (not '00' — the F.sequence(1,0)
+    descending footgun), decoding back to (0, 0, 0)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.tileids import quadkey, quadkey_decode
+
+    df = spark.range(1).select(
+        quadkey(F.lit(0), F.lit(0), F.lit(0)).alias("qk")
+    )
+    z, x, y = quadkey_decode(F.col("qk"))
+    row = df.select("qk", z.alias("z"), x.alias("x"), y.alias("y")).collect()[0]
+    assert (row.qk, row.z, row.x, row.y) == ("", 0, 0, 0)

@@ -60,3 +60,13 @@ def test_eps_clamp_on_sample_point(spark):
         _df(spark, [(0, 0), (1, 0), (2, 0)]), "g", "x", "y", "i"
     ).collect()
     assert (r.gx, r.gy) == (1.0, 0.0)
+
+
+def test_zero_iterations_returns_centroid(spark):
+    # iterations=0 is the centroid init — NOT two spurious Weiszfeld
+    # steps from a descending sequence
+    [r] = geometric_median(
+        _df(spark, [(0, 0), (10, 0), (0, 10), (10, 10), (1000, 1000)]),
+        "g", "x", "y", "i", iterations=0,
+    ).collect()
+    assert (r.gx, r.gy) == (204.0, 204.0)

@@ -50,3 +50,13 @@ def test_shortest_paths_directed(spark):
     assert got[4] == (4.0, 3)  # 1->2->3 (2.0) + 3->4 (2.0)
     assert got[6] == (5.0, 4)  # + 4->6 (1.0); the 6->3 arc can't be used
     assert 99 not in got and 100 not in got
+
+
+def test_shortest_paths_nonconvergence_raises(spark):
+    # a 5-hop chain with max_iter=2 must fail loudly, not return
+    # truncated labels
+    import pytest
+
+    chain = [(i, i + 1, 1.0) for i in range(5)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        shortest_paths(_edges(spark, chain), source=0, max_iter=2)

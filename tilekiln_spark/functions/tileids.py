@@ -197,7 +197,9 @@ def quadkey(zoom: Column, x: Column, y: Column) -> Column:
         lambda j: (bit(x, (zoom - j).cast("double"))
                    + 2 * bit(y, (zoom - j).cast("double"))).cast("string"),
     )
-    return F.array_join(digits, "")
+    # F.sequence(1, 0) steps DOWN to [1, 0] (same footgun ring_area
+    # guards): the zoom-0 root tile's quadkey is the EMPTY string
+    return F.when(zoom > 0, F.array_join(digits, "")).otherwise(F.lit(""))
 
 
 def quadkey_decode(qk: Column) -> tuple[Column, Column, Column]:
@@ -212,7 +214,15 @@ def quadkey_decode(qk: Column) -> tuple[Column, Column, Column]:
             (a["x"] * 2 + d % 2).alias("x"), (a["y"] * 2 + (d / 2).cast("long")).alias("y")
         ),
     )
-    return F.length(qk), acc["x"], acc["y"]
+    # the empty root quadkey decodes to (0, 0, 0); F.split("", "")
+    # yields [""] whose int cast is null, so guard rather than fold
+    zero = F.lit(0).cast("long")
+    z = F.length(qk)
+    return (
+        z,
+        F.when(z > 0, acc["x"]).otherwise(zero),
+        F.when(z > 0, acc["y"]).otherwise(zero),
+    )
 
 
 def quadkey_sql(zoom: int, x: str, y: str) -> str:

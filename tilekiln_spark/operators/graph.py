@@ -209,6 +209,7 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     frontier = dist
 
+    converged = False
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -235,6 +236,7 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            converged = True
             break
         dist = (
             dist.union(improved)
@@ -244,4 +246,12 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    if not converged:
+        # silent truncation would return wrong (non-relaxed) labels for
+        # nodes beyond max_iter hops — fail loudly instead
+        raise RuntimeError(
+            f"shortest_paths did not converge within max_iter={max_iter} "
+            "rounds (the graph's shortest-path hop diameter exceeds it); "
+            "raise max_iter"
+        )
     return dist

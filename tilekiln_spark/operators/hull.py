@@ -322,12 +322,34 @@ def geometric_median(
         return F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(eps))
 
     def step(acc: Column, _i: Column) -> Column:
-        sw = fsum(lambda s: F.lit(1.0) / dist(s, acc))
-        sx = fsum(lambda s: s["x"] / dist(s, acc))
-        sy = fsum(lambda s: s["y"] / dist(s, acc))
-        return F.struct((sx / sw).alias("mx"), (sy / sw).alias("my"))
+        # ONE inner fold accumulating (sw, sx, sy) together: the clamped
+        # distance is computed once per point, not three times; each
+        # field's running sum is the same sequential fold as before, so
+        # the result is bit-identical to three separate passes
+        z = F.lit(0.0)
+        sums = F.aggregate(
+            p,
+            F.struct(z.alias("sw"), z.alias("sx"), z.alias("sy")),
+            lambda a, s: F.struct(
+                (a["sw"] + F.lit(1.0) / dist(s, acc)).alias("sw"),
+                (a["sx"] + s["x"] / dist(s, acc)).alias("sx"),
+                (a["sy"] + s["y"] / dist(s, acc)).alias("sy"),
+            ),
+        )
+        return F.struct(
+            (sums["sx"] / sums["sw"]).alias("mx"),
+            (sums["sy"] / sums["sw"]).alias("my"),
+        )
 
-    med = F.aggregate(F.sequence(F.lit(1), F.lit(int(iterations))), init, step)
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    # F.sequence(1, 0) steps DOWN to [1, 0] — 0 iterations means the
+    # centroid init, not two spurious steps
+    med = (
+        init
+        if iterations == 0
+        else F.aggregate(F.sequence(F.lit(1), F.lit(int(iterations))), init, step)
+    )
     return agg.select(
         F.col(group_col),
         med["mx"].alias("gx"),

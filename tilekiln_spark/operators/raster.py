@@ -354,6 +354,9 @@ def pyramid(
     and each coarser level is strictly sparser.  Returns
     ``(level, cx, cy, total_n, n_cells)`` with n_cells = contributing
     LEVEL-0 cells (not intermediate nodes)."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1 (F.sequence(1, 0) would "
+                         "emit a bogus descending [1, 0] level explode)")
     gx = (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx")
     gy = (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy")
     lifted = raster_rows.select(gx, gy, "n").withColumn(

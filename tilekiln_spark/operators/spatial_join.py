@@ -1411,6 +1411,7 @@ def polygons_relate_join(
 def polygons_cluster_intersecting(
     polys: DataFrame,
     grid_zoom: int = 4,
+    broadcast_b: bool = True,
     max_cells_per_poly: int = 64,
 ) -> DataFrame:
     """PostGIS ``ST_ClusterIntersecting``: partition a polygon set into
@@ -1430,12 +1431,15 @@ def polygons_cluster_intersecting(
       coalesce-to-self left join.
 
     Returns the input frame's ids with ``cluster_id`` = MIN polygon_id in
-    the cluster (deterministic canonical label) and ``n_members``."""
+    the cluster (deterministic canonical label) and ``n_members``.
+    ``broadcast_b=False`` keeps the self-join's exploded B side off the
+    executors' memory for large polygon tables (the same switch the
+    sibling joins expose)."""
     from tilekiln_spark.operators.dedup import connected_components
 
     pairs = (
         polygons_intersect_join(
-            polys, polys, grid_zoom, broadcast_b=True,
+            polys, polys, grid_zoom, broadcast_b=broadcast_b,
             max_cells_per_poly=max_cells_per_poly,
         )
         .filter(F.col("polygon_id") < F.col("b_polygon_id"))

@@ -108,6 +108,20 @@ def merge_lines(segments: DataFrame) -> DataFrame:
     )
 
 
+def _segments_as_pbsm_input(segments: DataFrame) -> DataFrame:
+    """Shape a segment table for the shared PBSM candidate stage: 2-vertex
+    chains riding the polygon_id/bbox/ring columns the stage expects."""
+    return segments.select(
+        F.col("seg_id").alias("polygon_id"),
+        F.least("x1", "x2").alias("xmin"),
+        F.least("y1", "y2").alias("ymin"),
+        F.greatest("x1", "x2").alias("xmax"),
+        F.greatest("y1", "y2").alias("ymax"),
+        F.array("x1", "x2").alias("ring_xs"),
+        F.array("y1", "y2").alias("ring_ys"),
+    )
+
+
 def node_segments(
     segments: DataFrame,
     grid_zoom: int = 4,
@@ -143,15 +157,7 @@ def node_segments(
     identical float64 arithmetic, so parts are bit-identical."""
     from tilekiln_spark.operators.spatial_join import _pbsm_candidates
 
-    shaped = segments.select(
-        F.col("seg_id").alias("polygon_id"),
-        F.least("x1", "x2").alias("xmin"),
-        F.least("y1", "y2").alias("ymin"),
-        F.greatest("x1", "x2").alias("xmax"),
-        F.greatest("y1", "y2").alias("ymax"),
-        F.array("x1", "x2").alias("ring_xs"),
-        F.array("y1", "y2").alias("ring_ys"),
-    )
+    shaped = _segments_as_pbsm_input(segments)
     cand = _pbsm_candidates(
         shaped, shaped, grid_zoom, True, max_cells_per_poly
     ).filter(F.col("polygon_id") != F.col("b_polygon_id"))
@@ -319,15 +325,7 @@ def shared_paths_join(
     ``(a_id, b_id, shared_len, same_dir)``."""
     from tilekiln_spark.operators.spatial_join import _pbsm_candidates
 
-    shaped = segments.select(
-        F.col("seg_id").alias("polygon_id"),
-        F.least("x1", "x2").alias("xmin"),
-        F.least("y1", "y2").alias("ymin"),
-        F.greatest("x1", "x2").alias("xmax"),
-        F.greatest("y1", "y2").alias("ymax"),
-        F.array("x1", "x2").alias("ring_xs"),
-        F.array("y1", "y2").alias("ring_ys"),
-    )
+    shaped = _segments_as_pbsm_input(segments)
     cand = _pbsm_candidates(
         shaped, shaped, grid_zoom, True, max_cells_per_poly
     ).filter(F.col("polygon_id") < F.col("b_polygon_id"))
