@@ -487,6 +487,13 @@ _POLYGONIZE_SEG_ROWS = [
     (13, 10.0, 0.0, 13.0, 0.0), (14, 13.0, 0.0, 10.0, 4.0),
     (15, 10.0, 4.0, 10.0, 0.0),
     (16, 20.0, 20.0, 21.0, 21.0),
+    # lake-with-island: a DISCONNECTED square nested inside another —
+    # the outer face must come back hole-subtracted (36-4=32, 8 edges)
+    # plus the island face (4)
+    (17, 40.0, 40.0, 46.0, 40.0), (18, 46.0, 40.0, 46.0, 46.0),
+    (19, 46.0, 46.0, 40.0, 46.0), (20, 40.0, 46.0, 40.0, 40.0),
+    (21, 42.0, 42.0, 44.0, 42.0), (22, 44.0, 42.0, 44.0, 44.0),
+    (23, 44.0, 44.0, 42.0, 44.0), (24, 42.0, 44.0, 42.0, 42.0),
 ]
 
 
@@ -5879,13 +5886,71 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
         ),
-        comp AS (SELECT src AS he_id, MIN(dst) AS face_id FROM walk GROUP BY 1)
-        SELECT c.face_id, count(*) AS n_edges,
-               round(sum(h.ux * h.vy - h.vx * h.uy) / 2.0, 6) + 0.0 AS area
-        FROM comp c JOIN he h USING (he_id)
-        GROUP BY 1
-        HAVING sum(h.ux * h.vy - h.vx * h.uy) / 2.0 > 0
-        ORDER BY face_id
+        comp AS (SELECT src AS he_id, MIN(dst) AS face_id FROM walk GROUP BY 1),
+        cyc AS (
+            SELECT c.face_id, count(*) AS n_edges,
+                   sum(h.ux * h.vy - h.vx * h.uy) / 2.0 AS area
+            FROM comp c JOIN he h USING (he_id) GROUP BY 1
+        ),
+        rep AS (
+            SELECT face_id, ux AS rx, uy AS ry FROM (
+                SELECT c.face_id, h.ux, h.uy,
+                       row_number() OVER (PARTITION BY c.face_id
+                                          ORDER BY h.ux, h.uy) AS rn
+                FROM comp c JOIN he h USING (he_id)
+            ) WHERE rn = 1
+        ),
+        pos AS (SELECT * FROM cyc WHERE area > 0),
+        neg AS (
+            SELECT cyc.face_id AS nid, n_edges AS h_edges, area AS h_area,
+                   r.rx, r.ry
+            FROM cyc JOIN rep r USING (face_id) WHERE area < 0
+        ),
+        verts AS (SELECT DISTINCT c.face_id, h.ux, h.uy
+                  FROM comp c JOIN he h USING (he_id)),
+        conflict AS (
+            SELECT DISTINCT a.face_id AS nid, b.face_id AS pid
+            FROM verts a JOIN verts b
+              ON a.ux = b.ux AND a.uy = b.uy AND a.face_id != b.face_id
+        ),
+        pedges AS (
+            SELECT c.face_id AS pid, h.ux, h.uy, h.vx, h.vy
+            FROM comp c JOIN he h USING (he_id)
+            JOIN pos p ON p.face_id = c.face_id
+        ),
+        hits AS (
+            SELECT n.nid, e.pid, count(*) AS k
+            FROM neg n JOIN pedges e
+              ON ((e.uy > n.ry) != (e.vy > n.ry))
+             AND n.rx < e.ux + (n.ry - e.uy) * (e.vx - e.ux)
+                                / (e.vy - e.uy)
+            GROUP BY 1, 2
+        ),
+        contained AS (
+            SELECT h.nid, h.pid FROM hits h
+            WHERE h.k % 2 = 1 AND NOT EXISTS (
+                SELECT 1 FROM conflict cf
+                WHERE cf.nid = h.nid AND cf.pid = h.pid)
+        ),
+        parent AS (
+            SELECT nid, pid FROM (
+                SELECT ct.nid, ct.pid,
+                       row_number() OVER (PARTITION BY ct.nid
+                                          ORDER BY p.area, ct.pid) AS rn
+                FROM contained ct JOIN pos p ON p.face_id = ct.pid
+            ) WHERE rn = 1
+        ),
+        holes AS (
+            SELECT pr.pid, sum(n.h_area) AS h_area,
+                   sum(n.h_edges) AS h_edges
+            FROM parent pr JOIN neg n ON n.nid = pr.nid GROUP BY 1
+        )
+        SELECT p.face_id,
+               p.n_edges + COALESCE(ho.h_edges, 0) AS n_edges,
+               round(p.area + COALESCE(ho.h_area, 0.0), 6) + 0.0 AS area
+        FROM pos p LEFT JOIN holes ho ON ho.pid = p.face_id
+        WHERE p.area + COALESCE(ho.h_area, 0.0) > 0
+        ORDER BY p.face_id
     """
 
     # ST_SharedPaths twin: identical collinearity tests + projection/

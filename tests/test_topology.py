@@ -153,3 +153,32 @@ def test_shared_paths_overlap_direction(spark):
         (4, 5): (2.0, False),
         (10, 11): (5.0, True),
     }
+
+
+def test_polygonize_lake_with_island(spark):
+    """polygonize_faces hole assignment: a nested disconnected square
+    yields the outer face WITH the hole subtracted (PostGIS contract)
+    plus the island face — and two-level nesting assigns each hole to
+    the SMALLEST containing face."""
+    from tilekiln_spark.operators.topology import polygonize_faces
+
+    def square(sid0, x0, y0, s):
+        return [
+            (sid0, x0, y0, x0 + s, y0),
+            (sid0 + 1, x0 + s, y0, x0 + s, y0 + s),
+            (sid0 + 2, x0 + s, y0 + s, x0, y0 + s),
+            (sid0 + 3, x0, y0 + s, x0, y0),
+        ]
+
+    rows = (
+        square(0, 0.0, 0.0, 8.0)      # outer: 64
+        + square(10, 2.0, 2.0, 4.0)   # middle: 16 (hole of outer)
+        + square(20, 3.0, 3.0, 1.0)   # inner: 1 (hole of middle)
+    )
+    out = sorted(
+        (round(r.area, 9), r.n_edges) for r in
+        polygonize_faces(_df(spark, rows)).collect()
+    )
+    # outer face 64-16=48 with 8 edges (its ring + hole ring),
+    # middle 16-1=15 with 8, island 1 with 4
+    assert out == [(1.0, 4), (15.0, 8), (48.0, 8)]

@@ -290,14 +290,82 @@ def polygonize_faces(segments: DataFrame) -> DataFrame:
         F.col("rot_he").alias("key_b"),
     )
     labels = connected_components(succ)
+    hej = he.join(labels.withColumnRenamed("node", "he_id"), "he_id")
+    cycles = hej.groupBy(F.col("component").alias("face_id")).agg(
+        F.count("*").alias("n_edges"),
+        (F.sum(
+            F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
+        ) / 2.0).alias("area"),
+        F.min(F.struct(F.col("ux").alias("rx"), F.col("uy").alias("ry")))
+        .alias("rep"),
+    )
+
+    # --- hole assignment (lake-with-island): a DISCONNECTED component
+    # nested inside a face contributes that face's hole as its own
+    # NEGATIVE cycle (each connected component has exactly one).  Assign
+    # every negative cycle to the SMALLEST vertex-disjoint positive
+    # cycle containing its representative vertex (even-odd raycast over
+    # the cycle's UNORDERED edge set — crossing counting needs no ring
+    # order, same strict convention as the PIP kernels) and add its
+    # signed area/edges there; an unassigned negative cycle bounds the
+    # unbounded face and drops.  Vertex-sharing pairs are excluded: a
+    # component's own outer cycle always shares its vertices, and a
+    # hole touching its shell pinches into one cycle at the noded
+    # junction, so disjointness is exactly the cross-component test.
+    pos = cycles.filter(F.col("area") > 0)
+    neg = cycles.filter(F.col("area") < 0).select(
+        F.col("face_id").alias("nid"),
+        F.col("n_edges").alias("h_edges"),
+        F.col("area").alias("h_area"),
+        F.col("rep.rx").alias("rx"), F.col("rep.ry").alias("ry"),
+    )
+
+    verts = hej.select("component", "ux", "uy").distinct()
+    conflict = (
+        verts.withColumnRenamed("component", "nid")
+        .join(verts.withColumnRenamed("component", "pid"), ["ux", "uy"])
+        .filter(F.col("nid") != F.col("pid"))
+        .select("nid", "pid")
+        .distinct()
+    )
+
+    pos_edges = hej.join(
+        pos.select(F.col("face_id").alias("pid")),
+        hej["component"] == F.col("pid"),
+    ).select("pid", "ux", "uy", "vx", "vy")
+    straddle = (F.col("uy") > F.col("ry")) != (F.col("vy") > F.col("ry"))
+    xint = F.col("ux") + (F.col("ry") - F.col("uy")) * (
+        F.col("vx") - F.col("ux")
+    ) / (F.col("vy") - F.col("uy"))
+    contained = (
+        F.broadcast(neg)
+        .crossJoin(pos_edges)
+        .filter(straddle & (F.col("rx") < xint))
+        .groupBy("nid", "pid")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") % 2 == 1)
+        .join(conflict, ["nid", "pid"], "left_anti")
+    )
+    parent = (
+        contained.join(
+            pos.select(F.col("face_id").alias("pid"), F.col("area").alias("p_area")),
+            "pid",
+        )
+        .groupBy("nid")
+        .agg(F.min(F.struct(F.col("p_area"), F.col("pid"))).alias("b"))
+        .select("nid", F.col("b.pid").alias("pid"))
+    )
+    holes = (
+        neg.join(parent, "nid")
+        .groupBy("pid")
+        .agg(F.sum("h_area").alias("h_area"), F.sum("h_edges").alias("h_edges"))
+    )
     faces = (
-        he.join(labels.withColumnRenamed("node", "he_id"), "he_id")
-        .groupBy(F.col("component").alias("face_id"))
-        .agg(
-            F.count("*").alias("n_edges"),
-            (F.sum(
-                F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
-            ) / 2.0).alias("area"),
+        pos.join(holes, pos["face_id"] == holes["pid"], "left")
+        .select(
+            "face_id",
+            (F.col("n_edges") + F.coalesce("h_edges", F.lit(0))).alias("n_edges"),
+            (F.col("area") + F.coalesce("h_area", F.lit(0.0))).alias("area"),
         )
     )
     return faces.filter(F.col("area") > 0)
