@@ -2047,6 +2047,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shared_paths"] = shared_paths
 
+    def trajectory_stops(spark, sf_dir):
+        """Stay-point detection (operators/events.py trajectory_stops):
+        spatial-jump segmentation (window lag + running flag sum — the
+        sessionize trick on distance instead of time) + per-segment
+        dwell/centroid rollup.  Synthetic 8-user track from range
+        arithmetic: per user 5 blocks of 5 points — blocks spaced 1 km,
+        in-block spacing 1 m except block 2's 100 m (every step over
+        eps=50, so its points are singletons and the min_pts=3 filter
+        drops them) -> exactly 4 stops per user, dwell 40 s each."""
+        from tilekiln_spark.operators.events import trajectory_stops as tstops
+
+        i = F.col("id")
+        u = F.floor(i / 25).cast("long")
+        k = (i % 25).cast("long")
+        b = F.floor(k / 5).cast("double")
+        j = (k % 5).cast("double")
+        pts = spark.range(200).select(
+            u.alias("user_id"),
+            (k * 10).alias("ts"),
+            (
+                u.cast("double") * 100000.0 + b * 1000.0
+                + j * F.when(b == 2.0, F.lit(100.0)).otherwise(F.lit(1.0))
+            ).alias("mx"),
+            (u.cast("double") * 7.0).alias("my"),
+        )
+        out = tstops(pts, eps=50.0, min_pts=3)
+        return out.select(
+            "user_id", "seg_id", "n_pts", "dwell_s",
+            (F.round("cx", 6) + F.lit(0.0)).alias("cx"),
+            (F.round("cy", 6) + F.lit(0.0)).alias("cy"),
+        ).orderBy("user_id", "seg_id")
+
+    q["trajectory_stops"] = trajectory_stops
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5951,6 +5985,48 @@ def oracle_sql() -> dict[str, str]:
         FROM pos p LEFT JOIN holes ho ON ho.pid = p.face_id
         WHERE p.area + COALESCE(ho.h_area, 0.0) > 0
         ORDER BY p.face_id
+    """
+
+    # trajectory-stops twin: identical range arithmetic, the same
+    # lag-flag running sum for segment ids, list-fold centroids
+    o["trajectory_stops"] = """
+        WITH pts AS (
+            SELECT CAST(i // 25 AS BIGINT) AS user_id,
+                   CAST((i % 25) * 10 AS BIGINT) AS ts,
+                   CAST(i // 25 AS DOUBLE) * 100000.0
+                     + CAST((i % 25) // 5 AS DOUBLE) * 1000.0
+                     + CAST(i % 5 AS DOUBLE)
+                       * (CASE WHEN (i % 25) // 5 = 2
+                               THEN 100.0 ELSE 1.0 END) AS mx,
+                   CAST(i // 25 AS DOUBLE) * 7.0 AS my
+            FROM range(200) r(i)
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN lag(mx) OVER w IS NULL
+                             OR sqrt((mx - lag(mx) OVER w)
+                                     * (mx - lag(mx) OVER w)
+                                   + (my - lag(my) OVER w)
+                                     * (my - lag(my) OVER w)) > 50.0
+                           THEN 1 ELSE 0 END AS jump
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        seg AS (
+            SELECT *, SUM(jump) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS seg_id
+            FROM flagged
+        ),
+        rolled AS (
+            SELECT user_id, seg_id, count(*) AS n_pts,
+                   max(ts) - min(ts) AS dwell_s,
+                   list_sum(list(mx ORDER BY ts)) / count(*) AS cx,
+                   list_sum(list(my ORDER BY ts)) / count(*) AS cy
+            FROM seg GROUP BY 1, 2
+        )
+        SELECT user_id, seg_id, n_pts, dwell_s,
+               round(cx, 6) + 0.0 AS cx, round(cy, 6) + 0.0 AS cy
+        FROM rolled WHERE n_pts >= 3
+        ORDER BY user_id, seg_id
     """
 
     # ST_SharedPaths twin: identical collinearity tests + projection/

@@ -271,3 +271,63 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_bk")
+
+
+def trajectory_stops(
+    points: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "mx",
+    y_col: str = "my",
+    eps: float = 50.0,
+    min_pts: int = 3,
+) -> DataFrame:
+    """Stay-point (stop) detection over ordered tracks — the
+    moving-object companion to :func:`sessionize` (which segments by
+    TIME gaps; this segments by SPACE jumps): consecutive points whose
+    step distance stays within ``eps`` form one candidate stop; a stop
+    is reported when it accumulates ``min_pts`` points.
+
+    Shape (all window functions over ONE (user, ts) exchange — no UDF,
+    no extra shuffle): lag the position, flag steps with
+    ``dist > eps`` (or the first row), and the running SUM of flags is
+    the segment id — the same cumulative-flag trick the time
+    sessionizer uses; then one partial-agg groupBy per (user, segment)
+    emits n_pts, dwell seconds, and the segment centroid via the
+    doc_id-ordered fold (deterministic cross-engine, the
+    user_trajectories pattern).
+
+    Returns ``(user, seg_id, n_pts, dwell_s, cx, cy)`` for segments
+    with at least ``min_pts`` points."""
+    u, ts = F.col(user_col), F.col(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    px = F.lag(x_col).over(w)
+    py = F.lag(y_col).over(w)
+    dx = F.col(x_col) - px
+    dy = F.col(y_col) - py
+    jump = F.when(
+        px.isNull() | (F.sqrt(dx * dx + dy * dy) > F.lit(float(eps))), 1
+    ).otherwise(0)
+    seg = points.withColumn(
+        "seg_id",
+        F.sum(jump).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct(ts_col, x_col, y_col))
+    )
+    agg = seg.groupBy(user_col, "seg_id").agg(ordered.alias("o"))
+    n = F.size("o")
+    csum = lambda field: F.aggregate(  # noqa: E731 - tight local fold
+        F.col("o"), F.lit(0.0), lambda a, s: a + s[field]
+    )
+    return agg.select(
+        u,
+        "seg_id",
+        n.alias("n_pts"),
+        (
+            F.element_at(F.col("o"), -1)[ts_col].cast("long")
+            - F.element_at(F.col("o"), 1)[ts_col].cast("long")
+        ).alias("dwell_s"),
+        (csum(x_col) / n).alias("cx"),
+        (csum(y_col) / n).alias("cy"),
+    ).filter(F.col("n_pts") >= int(min_pts))
