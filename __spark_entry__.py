@@ -2081,6 +2081,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trajectory_stops"] = trajectory_stops
 
+    def hausdorff_langs(spark, sf_dir):
+        """ST_HausdorffDistance between the per-lang point sets
+        (operators/spatial_join.py hausdorff_distance): every extreme is
+        picked on EXACT squared distances (no sqrt inside aggregates),
+        so both engines choose identical support points; one sqrt per
+        pair in the projection."""
+        from tilekiln_spark.operators.spatial_join import hausdorff_distance
+
+        geo = _mx_my(_docs(spark, sf_dir))
+        out = hausdorff_distance(geo, "lang")
+        return out.select(
+            "g_a", "g_b",
+            (F.round("hausdorff", 6) + F.lit(0.0)).alias("hausdorff"),
+        ).orderBy("g_a", "g_b")
+
+    q["hausdorff_langs"] = hausdorff_langs
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -5985,6 +6002,25 @@ def oracle_sql() -> dict[str, str]:
         FROM pos p LEFT JOIN holes ho ON ho.pid = p.face_id
         WHERE p.area + COALESCE(ho.h_area, 0.0) > 0
         ORDER BY p.face_id
+    """
+
+    # Hausdorff twin: identical exact-d2 min/max extremes, sqrt+round
+    # only in the projection
+    o["hausdorff_langs"] = f"""
+        {_GEO_CTE},
+        directed AS (
+            SELECT a.lang AS g_a, b.lang AS g_b, a.doc_id,
+                   min((a.mx - b.mx) * (a.mx - b.mx)
+                     + (a.my - b.my) * (a.my - b.my)) AS nn2
+            FROM geo a JOIN geo b ON a.lang != b.lang
+            GROUP BY 1, 2, 3
+        ),
+        dir2 AS (SELECT g_a, g_b, max(nn2) AS d2 FROM directed GROUP BY 1, 2)
+        SELECT f.g_a, f.g_b,
+               round(sqrt(greatest(f.d2, r.d2)), 6) + 0.0 AS hausdorff
+        FROM dir2 f JOIN dir2 r ON r.g_a = f.g_b AND r.g_b = f.g_a
+        WHERE f.g_a < f.g_b
+        ORDER BY f.g_a, f.g_b
     """
 
     # trajectory-stops twin: identical range arithmetic, the same

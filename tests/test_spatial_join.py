@@ -854,3 +854,32 @@ def test_polygons_cluster_intersecting(spark):
         7: (7, 2), 8: (7, 2),
         9: (9, 1),
     }
+
+
+def test_hausdorff_distance_asymmetric_sets(spark):
+    """ST_HausdorffDistance: known value on asymmetric sets — the
+    directed distances differ and the max wins; symmetric pair order."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.spatial_join import hausdorff_distance
+
+    # group 0: dense points on [0, 4] x {0}; group 1: {(2, 3)} — directed
+    # 0->1 max_a min_b = dist((0,0),(2,3)) = sqrt(13); 1->0: min over a
+    # of dist((2,3), a) = 3 (to (2,0)); hausdorff = sqrt(13)
+    rows = [(0, i, float(i), 0.0) for i in range(5)]
+    rows.append((1, 99, 2.0, 3.0))
+    # group 2: identical to group 1 -> hausdorff(1, 2) = 0
+    rows.append((2, 100, 2.0, 3.0))
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "doc_id", "mx", "my"]),
+        "g long, doc_id long, mx double, my double",
+    )
+    got = {
+        (r.g_a, r.g_b): round(r.hausdorff, 9)
+        for r in hausdorff_distance(pts, "g").collect()
+    }
+    import math
+    assert got[(0, 1)] == round(math.sqrt(13.0), 9)
+    assert got[(1, 2)] == 0.0
+    assert got[(0, 2)] == round(math.sqrt(13.0), 9)
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}

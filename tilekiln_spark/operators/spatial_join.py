@@ -1456,3 +1456,58 @@ def polygons_cluster_intersecting(
     )
     sizes = lbl.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     return lbl.select("polygon_id", "cluster_id").join(sizes, "cluster_id")
+
+
+def hausdorff_distance(
+    points: DataFrame,
+    group_col: str,
+    x_col: str = "mx",
+    y_col: str = "my",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PostGIS ``ST_HausdorffDistance`` between point groups (tracks,
+    footprint samples): the classic shape-similarity metric
+    ``max(directed(A->B), directed(B->A))`` where
+    ``directed(A->B) = max over a of min over b of dist(a, b)``.
+
+    Distributed shape: ONE group-pair cross product of points (the
+    candidate stage; for planet-scale groups pre-prune with the PBSM
+    grid — only cells near A's points can host A's nearest B point),
+    then two partial-aggregated groupBys: min over B per (pair, a
+    point), max over the pair.  All comparisons happen on EXACT squared
+    distances (sums/products of raw float64 coordinates — no sqrt
+    inside an aggregate), so both engines pick the identical extremes;
+    one sqrt per output row in the projection.
+
+    Returns ``(g_a, g_b, hausdorff)`` for each unordered pair
+    (``g_a < g_b``)."""
+    a = points.select(
+        F.col(group_col).alias("g_a"),
+        F.col(id_col).alias("a_id"),
+        F.col(x_col).alias("ax"),
+        F.col(y_col).alias("ay"),
+    )
+    b = points.select(
+        F.col(group_col).alias("g_b"),
+        F.col(x_col).alias("bx"),
+        F.col(y_col).alias("by"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    directed = (
+        a.join(b, F.col("g_a") != F.col("g_b"))
+        .groupBy("g_a", "g_b", "a_id")
+        .agg(F.min(d2).alias("nn2"))
+        .groupBy("g_a", "g_b")
+        .agg(F.max("nn2").alias("dir2"))
+    )
+    fwd = directed.filter(F.col("g_a") < F.col("g_b"))
+    rev = directed.filter(F.col("g_a") > F.col("g_b")).select(
+        F.col("g_b").alias("g_a"), F.col("g_a").alias("g_b"),
+        F.col("dir2").alias("rev2"),
+    )
+    return fwd.join(rev, ["g_a", "g_b"]).select(
+        "g_a", "g_b",
+        F.sqrt(F.greatest("dir2", "rev2")).alias("hausdorff"),
+    )
