@@ -759,6 +759,17 @@ def _geo_lines_values_sql() -> str:
 # cardinal bearings, a mid-latitude diagonal, a high-latitude oblique and
 # a zero-distance identity; azimuths are exact multiples of pi/4 emitted
 # verbatim so both engines fold the identical float64 literal.
+_SEGMENTIZE_GEO_ROWS = [
+    # (pid, lat1, lon1, lat2, lon2) — equatorial, meridional, oblique
+    # mid-latitude, and a long transcontinental arc; all far from the
+    # antimeridian (project_point does not wrap longitudes)
+    (0, 0.0, 0.0, 0.0, 10.0),
+    (1, 0.0, 0.0, 10.0, 0.0),
+    (2, 10.0, 20.0, -5.0, 31.0),
+    (3, 48.8, 2.3, 35.6, 139.7),
+]
+
+
 _PROJECT_ROWS = [
     (0, 0.0, 0.0, 111194.92664455873, 0.0),
     (1, 0.0, 0.0, 200000.0, math.pi / 2.0),
@@ -2097,6 +2108,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("g_a", "g_b")
 
     q["hausdorff_langs"] = hausdorff_langs
+
+    def geography_segmentize(spark, sf_dir):
+        """Geography ST_Segmentize: densify each fixture pair along the
+        GREAT CIRCLE — point k of 8 = project_point(p1, k/8 * haversine,
+        initial_bearing(p1, p2)) (functions/geodesic.py — composition of
+        the proven forward geodesic with the new spherical bearing).
+        The twin splices the identical formula text, so every trig
+        dependency chain matches; k=0 is p1 exactly and k=8 lands on p2
+        to ~1e-9 deg (round 6 pins it)."""
+        from tilekiln_spark.functions.geodesic import (
+            haversine_m,
+            initial_bearing,
+            project_point,
+        )
+
+        df = spark.createDataFrame(
+            _SEGMENTIZE_GEO_ROWS,
+            "pid int, lat1 double, lon1 double, lat2 double, lon2 double",
+        ).withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        br = initial_bearing(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        )
+        d = haversine_m(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        )
+        la, lo = project_point(
+            F.col("lat1"), F.col("lon1"),
+            F.col("k").cast("double") / F.lit(8.0) * d, br,
+        )
+        return df.select(
+            "pid", "k",
+            (F.round(la, 6) + F.lit(0.0)).alias("lat"),
+            (F.round(lo, 6) + F.lit(0.0)).alias("lon"),
+        ).orderBy("pid", "k")
+
+    q["geography_segmentize"] = geography_segmentize
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -6002,6 +6049,34 @@ def oracle_sql() -> dict[str, str]:
         FROM pos p LEFT JOIN holes ho ON ho.pid = p.face_id
         WHERE p.area + COALESCE(ho.h_area, 0.0) > 0
         ORDER BY p.face_id
+    """
+
+    # geography-segmentize twin: bearing + haversine + forward geodesic
+    # spliced from the same formula-text generators the engine uses
+    from tilekiln_spark.functions.geodesic import (
+        haversine_m_sql as _hv_sql,
+        initial_bearing_sql as _ib_sql,
+        project_point_sql as _pp_sql,
+    )
+
+    _sg_vals = ", ".join(
+        f"({p}, {a!r}, {b!r}, {c!r}, {d!r})"
+        for p, a, b, c, d in _SEGMENTIZE_GEO_ROWS
+    )
+    _sg_d = (
+        f"(CAST(u.k AS DOUBLE) / 8.0 * "
+        f"{_hv_sql('lat1', 'lon1', 'lat2', 'lon2')})"
+    )
+    _sg_la, _sg_lo = _pp_sql(
+        "lat1", "lon1", _sg_d, _ib_sql("lat1", "lon1", "lat2", "lon2")
+    )
+    o["geography_segmentize"] = f"""
+        WITH p(pid, lat1, lon1, lat2, lon2) AS (VALUES {_sg_vals})
+        SELECT pid, CAST(u.k AS INTEGER) AS k,
+               round({_sg_la}, 6) + 0.0 AS lat,
+               round({_sg_lo}, 6) + 0.0 AS lon
+        FROM p, unnest(generate_series(0, 8)) AS u(k)
+        ORDER BY pid, k
     """
 
     # Hausdorff twin: identical exact-d2 min/max extremes, sqrt+round

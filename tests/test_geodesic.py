@@ -319,3 +319,40 @@ def test_project_point_roundtrip(spark):
         ).fetchone()
         assert dd[0] == pytest.approx(got[pid][0], abs=1e-12)
         assert dd[1] == pytest.approx(got[pid][1], abs=1e-12)
+
+
+def test_initial_bearing_cardinals_and_segmentize_endpoint(spark):
+    """initial_bearing: cardinal directions from the equator origin; a
+    great-circle walk of the full haversine distance at that bearing
+    lands on the destination (the ST_Segmentize(geography) invariant)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.geodesic import (
+        haversine_m,
+        initial_bearing,
+        project_point,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0, 10.0),    # due east
+         (1, 0.0, 0.0, 10.0, 0.0),    # due north
+         (2, 10.0, 20.0, -5.0, 31.0)],  # oblique
+        "pid int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    br = initial_bearing(
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+    )
+    d = haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    la, lo = project_point(F.col("lat1"), F.col("lon1"), d, br)
+    rows = {r.pid: r for r in df.select(
+        "pid", br.alias("b"),
+        F.round(la, 6).alias("la"), F.round(lo, 6).alias("lo"),
+        "lat2", "lon2",
+    ).collect()}
+    assert abs(rows[0].b - math.pi / 2) < 1e-12   # east
+    assert abs(rows[1].b - 0.0) < 1e-12           # north
+    for pid in (0, 1, 2):
+        r = rows[pid]
+        assert abs(r.la - r.lat2) < 1e-5 and abs(r.lo - r.lon2) < 1e-5, pid

@@ -201,3 +201,32 @@ def project_point_sql(
         f"cos({delta}) - sin({phi1}) * sin({phi2})))"
     )
     return f"degrees({phi2})", f"degrees({lam2})"
+
+
+def initial_bearing(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Initial great-circle bearing (forward azimuth) from point 1 to
+    point 2, RADIANS clockwise from north — the azimuth ``ST_Project``
+    consumes, so ``project_point(p1, f * dist, initial_bearing(p1, p2))``
+    walks the great circle toward p2 (geography ST_Segmentize):
+
+        theta = atan2(sin dlam cos phi2,
+                      cos phi1 sin phi2 - sin phi1 cos phi2 cos dlam)
+    """
+    phi1, phi2 = F.radians(lat1), F.radians(lat2)
+    dlam = F.radians(lon2) - F.radians(lon1)
+    return F.atan2(
+        F.sin(dlam) * F.cos(phi2),
+        F.cos(phi1) * F.sin(phi2) - F.sin(phi1) * F.cos(phi2) * F.cos(dlam),
+    )
+
+
+def initial_bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB twin of :func:`initial_bearing` — identical formula text."""
+    phi1, phi2 = f"radians({lat1})", f"radians({lat2})"
+    dlam = f"(radians({lon2}) - radians({lon1}))"
+    return (
+        f"atan2(sin({dlam}) * cos({phi2}), "
+        f"cos({phi1}) * sin({phi2}) - sin({phi1}) * cos({phi2}) * cos({dlam}))"
+    )
