@@ -510,6 +510,18 @@ _SHARED_SEG_ROWS = [
 ]
 
 
+_UNION_RINGS = [
+    # n-way union fixture: a chain of three squares (0/1 SHARE a
+    # collinear border piece along y=0 — the duplicate-edge XOR path),
+    # a disjoint square, and a diamond crossing square 2 diagonally
+    (0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+    (1, [2.0, 6.0, 6.0, 2.0], [0.0, 0.0, 4.0, 4.0]),
+    (2, [5.0, 9.0, 9.0, 5.0], [0.0, 0.0, 4.0, 4.0]),
+    (3, [20.0, 22.0, 22.0, 20.0], [20.0, 20.0, 22.0, 22.0]),
+    (4, [8.0, 10.0, 8.0, 6.0], [2.0, 4.0, 6.0, 4.0]),
+]
+
+
 _OVERLAP_SQ_SEGS = [
     # two overlapping axis-aligned squares drawn as UN-noded segments:
     # A = (0,0)-(4,4), B = (2,2)-(6,6); they cross at (4,2) and (2,4),
@@ -2144,6 +2156,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("pid", "k")
 
     q["geography_segmentize"] = geography_segmentize
+
+    def union_area_rings(spark, sf_dir):
+        """EXACT n-way ST_Union area with NO union geometry materialized
+        (operators/topology.py union_area): ring edges node at every
+        crossing, the DCEL stage labels arrangement faces, and coverage
+        is COMBINATORIAL — crossing an edge toggles that ring's bit, so
+        masks propagate from the unbounded face by frontier BFS and the
+        union is the sum of nonzero-mask face areas.  Shared borders
+        dedupe into one edge whose toggle XORs both rings.  Fixture:
+        chained squares with a shared border piece, a disjoint square,
+        a diagonal diamond."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import union_area
+
+        rings = spark.createDataFrame(
+            pd.DataFrame(
+                _UNION_RINGS, columns=["ring_id", "ring_xs", "ring_ys"]
+            ),
+            "ring_id long, ring_xs array<double>, ring_ys array<double>",
+        )
+        out = union_area(rings, grid_zoom=3)
+        return out.select(
+            (F.round("union_area", 6) + F.lit(0.0)).alias("union_area"),
+            "n_faces",
+        )
+
+    q["union_area_rings"] = union_area_rings
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -6271,6 +6311,109 @@ def oracle_sql() -> dict[str, str]:
         HAVING sum(h.ux * h.vy - h.vx * h.uy) / 2.0 > 0
         ORDER BY face_id
     """
+
+    # union-area twin: node -> canonical dedupe + XOR toggles -> DCEL
+    # faces -> recursive coverage walk from the negative cycles
+    _ua_vals = ", ".join(
+        f"({rid}, {_arr_sql(xs)}, {_arr_sql(ys)})"
+        for rid, xs, ys in _UNION_RINGS
+    )
+    _ua_can = "(ax, ay) <= (bx, by)"
+    o["union_area_rings"] = f"""
+        WITH RECURSIVE r(ring_id, xs, ys) AS (VALUES {_ua_vals}),
+        seg0(seg_id, x1, y1, x2, y2) AS (
+            SELECT ring_id * 1048576 + u.k,
+                   xs[u.k], ys[u.k],
+                   xs[(u.k % len(xs)) + 1], ys[(u.k % len(ys)) + 1]
+            FROM r, unnest(generate_series(1, len(xs))) AS u(k)
+        ),
+        hits AS (
+            SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
+            FROM seg0 a JOIN seg0 b ON a.seg_id != b.seg_id
+            WHERE {_nd_den} != 0
+        ),
+        cuts AS (
+            SELECT sid, list_sort(list_distinct(list(s))) AS fs
+            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
+            GROUP BY 1
+        ),
+        fr AS (
+            SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
+                   list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
+                       AS f
+            FROM seg0 g LEFT JOIN cuts c ON c.sid = g.seg_id
+        ),
+        rawparts AS (
+            SELECT seg_id * 100 + u.i AS pid,
+                   x1 + f[u.i] * (x2 - x1) AS ax,
+                   y1 + f[u.i] * (y2 - y1) AS ay,
+                   x1 + f[u.i + 1] * (x2 - x1) AS bx,
+                   y1 + f[u.i + 1] * (y2 - y1) AS by
+            FROM fr, unnest(generate_series(1, len(f) - 1)) AS u(i)
+        ),
+        canon AS (
+            SELECT pid,
+                   CASE WHEN {_ua_can} THEN ax ELSE bx END AS x1,
+                   CASE WHEN {_ua_can} THEN ay ELSE by END AS y1,
+                   CASE WHEN {_ua_can} THEN bx ELSE ax END AS x2,
+                   CASE WHEN {_ua_can} THEN by ELSE ay END AS y2,
+                   CAST(power(2, pid // 100 // 1048576) AS BIGINT) AS bit
+            FROM rawparts
+        ),
+        parts AS (
+            SELECT min(pid) AS pid, x1, y1, x2, y2, bit_xor(bit) AS bit
+            FROM canon GROUP BY x1, y1, x2, y2
+        ),
+        he AS (
+            SELECT pid * 2 AS he_id, x1 AS ux, y1 AS uy,
+                   x2 AS vx, y2 AS vy FROM parts
+            UNION ALL
+            SELECT pid * 2 + 1, x2, y2, x1, y1 FROM parts
+        ),
+        ang AS (SELECT he_id, ux, uy, {_pg_ang} AS pangle FROM he),
+        rk AS (
+            SELECT he_id, ux, uy,
+                   row_number() OVER (PARTITION BY ux, uy
+                                      ORDER BY pangle, he_id) AS r,
+                   count(*) OVER (PARTITION BY ux, uy) AS n
+            FROM ang
+        ),
+        succ AS (
+            SELECT a.he_id - (a.he_id % 2) * 2 + 1 AS a, b.he_id AS b
+            FROM rk a JOIN rk b ON a.ux = b.ux AND a.uy = b.uy
+             AND b.r = ((a.r - 2 + a.n) % a.n) + 1
+        ),
+        sym AS (SELECT a, b FROM succ UNION SELECT b AS a, a AS b FROM succ),
+        walk(src, dst) AS (
+            SELECT a, a FROM succ
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN sym e ON e.a = w.dst
+        ),
+        comp AS (SELECT src AS he_id, MIN(dst) AS face_id FROM walk GROUP BY 1),
+        cyc AS (
+            SELECT c.face_id,
+                   sum(h.ux * h.vy - h.vx * h.uy) / 2.0 AS area
+            FROM comp c JOIN he h USING (he_id) GROUP BY 1
+        ),
+        adj AS (
+            SELECT DISTINCT ca.face_id AS face_a, cb.face_id AS face_b, p.bit
+            FROM comp ca
+            JOIN comp cb ON cb.he_id = ca.he_id - (ca.he_id % 2) * 2 + 1
+            JOIN parts p ON p.pid = ca.he_id // 2
+        ),
+        wk(face, mask) AS (
+            SELECT face_id, CAST(0 AS BIGINT) FROM cyc WHERE area < 0
+            UNION
+            SELECT a.face_b, xor(w.mask, a.bit)
+            FROM wk w JOIN adj a ON a.face_a = w.face
+        ),
+        lbl AS (SELECT DISTINCT face, mask FROM wk)
+        SELECT round(sum(c.area), 6) + 0.0 AS union_area,
+               count(*) AS n_faces
+        FROM cyc c JOIN lbl l ON l.face = c.face_id
+        WHERE l.mask != 0
+    """
+
 
 
     # geometric-median twin: the same 8 Weiszfeld iterations as chained

@@ -182,3 +182,36 @@ def test_polygonize_lake_with_island(spark):
     # outer face 64-16=48 with 8 edges (its ring + hole ring),
     # middle 16-1=15 with 8, island 1 with 4
     assert out == [(1.0, 4), (15.0, 8), (48.0, 8)]
+
+
+def test_union_area_chain_shared_borders(spark):
+    """union_area: three chained squares (A/B share a collinear border
+    piece along y=0 — the duplicate-edge dedupe + XOR toggle path) plus
+    a disjoint square: |A u B u C| + |D| = 48 - 8 - 4 + 4 = 40 over 6
+    arrangement faces; single ring sanity = its own area."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.topology import union_area
+
+    def sq(rid, x0, y0, s):
+        return (rid, [x0, x0 + s, x0 + s, x0], [y0, y0, y0 + s, y0 + s])
+
+    schema = "ring_id long, ring_xs array<double>, ring_ys array<double>"
+    rings = spark.createDataFrame(
+        pd.DataFrame(
+            [sq(0, 0.0, 0.0, 4.0), sq(1, 2.0, 0.0, 4.0),
+             sq(2, 5.0, 0.0, 4.0), sq(3, 20.0, 20.0, 2.0)],
+            columns=["ring_id", "ring_xs", "ring_ys"],
+        ),
+        schema,
+    )
+    [r] = union_area(rings, grid_zoom=3).collect()
+    assert (r.union_area, r.n_faces) == (40.0, 6)
+
+    one = spark.createDataFrame(
+        pd.DataFrame([sq(0, 0.0, 0.0, 3.0)],
+                     columns=["ring_id", "ring_xs", "ring_ys"]),
+        schema,
+    )
+    [r1] = union_area(one, grid_zoom=3).collect()
+    assert (r1.union_area, r1.n_faces) == (9.0, 1)

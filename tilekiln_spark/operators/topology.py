@@ -233,6 +233,21 @@ def polygonize_faces(segments: DataFrame) -> DataFrame:
 
     Returns one row per interior face: ``face_id`` (MIN half-edge id in
     the cycle), ``n_edges``, ``area``."""
+    hej = _halfedge_faces(segments)
+    cycles = hej.groupBy(F.col("component").alias("face_id")).agg(
+        F.count("*").alias("n_edges"),
+        (F.sum(
+            F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
+        ) / 2.0).alias("area"),
+        F.min(F.struct(F.col("ux").alias("rx"), F.col("uy").alias("ry")))
+        .alias("rep"),
+    )
+    return _assemble_faces(hej, cycles)
+
+
+def _halfedge_faces(segments: DataFrame) -> DataFrame:
+    """The shared DCEL stage (polygonize / union-area): half-edges with
+    their cycle label — (he_id, ux, uy, vx, vy, component)."""
     from tilekiln_spark.operators.dedup import connected_components
     from pyspark.sql import Window
 
@@ -290,16 +305,11 @@ def polygonize_faces(segments: DataFrame) -> DataFrame:
         F.col("rot_he").alias("key_b"),
     )
     labels = connected_components(succ)
-    hej = he.join(labels.withColumnRenamed("node", "he_id"), "he_id")
-    cycles = hej.groupBy(F.col("component").alias("face_id")).agg(
-        F.count("*").alias("n_edges"),
-        (F.sum(
-            F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
-        ) / 2.0).alias("area"),
-        F.min(F.struct(F.col("ux").alias("rx"), F.col("uy").alias("ry")))
-        .alias("rep"),
-    )
+    return he.join(labels.withColumnRenamed("node", "he_id"), "he_id")
 
+
+def _assemble_faces(hej: DataFrame, cycles: DataFrame) -> DataFrame:
+    """Hole assignment + positive-face projection (polygonize tail)."""
     # --- hole assignment (lake-with-island): a DISCONNECTED component
     # nested inside a face contributes that face's hole as its own
     # NEGATIVE cycle (each connected component has exactly one).  Assign
@@ -424,4 +434,138 @@ def shared_paths_join(
             (rx * sx + ry * sy > 0).alias("same_dir"),
         )
         .filter(F.col("shared_len") > 0)
+    )
+
+
+def union_area(rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64) -> DataFrame:
+    """EXACT n-way ``ST_Union`` area over simple rings — distributed,
+    with NO union geometry ever materialized (the step that makes exact
+    overlays hard to distribute is ordering the union boundary; this
+    never needs it):
+
+    1. ring edges become tagged segments (``seg_id`` encodes the ring)
+       and are NODED at every crossing (:func:`node_segments`);
+    2. the shared DCEL stage labels arrangement faces
+       (:func:`_halfedge_faces` — rotation, successor permutation,
+       cycle components);
+    3. **combinatorial coverage** — crossing an edge of ring R toggles
+       membership in R, so each face's membership BITMASK is the XOR of
+       ring bits along ANY path from the unbounded face (planarity
+       makes it path-independent).  Seeds: every component's negative
+       cycle (its outer face) starts at 0; labels propagate over the
+       face-adjacency graph (face(e) ~ face(twin e)) by frontier BFS —
+       the shortest_paths loop shape, rounds = face-graph diameter;
+    4. union area = sum of face areas whose mask is nonzero.  Also
+       returns ``n_faces`` (covered faces) for plan sanity.
+
+    Input: ``(ring_id, ring_xs, ring_ys)`` unclosed simple rings,
+    ``ring_id`` in [0, 63] (bitmask in one long).  Contract: rings may
+    overlap/touch arbitrarily but NOT fully contain another ring
+    without boundary contact (disjoint nesting seeds the inner
+    component's outer face at 0 instead of the host face's mask — the
+    polygonize hole-assignment pass shows the fix; documented bound).
+
+    Returns one row: ``(union_area, n_faces)``."""
+    n_rings = rings.select(F.max("ring_id")).collect()[0][0]
+    if n_rings is None:
+        raise ValueError("union_area: empty ring frame")
+    if n_rings > 63:
+        raise ValueError("union_area: ring_id must fit a 64-bit mask")
+
+    # ring edges -> tagged segments: seg_id = ring_id * 2^20 + k
+    k = F.col("k")
+    n = F.size("ring_xs")
+    seg = rings.select(
+        "ring_id", "ring_xs", "ring_ys",
+        F.explode(F.sequence(F.lit(1), n)).alias("k"),
+    ).select(
+        (F.col("ring_id") * F.lit(1 << 20) + k).alias("seg_id"),
+        F.element_at("ring_xs", k).alias("x1"),
+        F.element_at("ring_ys", k).alias("y1"),
+        F.element_at("ring_xs", (k % F.size("ring_xs")) + 1).alias("x2"),
+        F.element_at("ring_ys", (k % F.size("ring_ys")) + 1).alias("y2"),
+    )
+    raw_parts = node_segments(seg, grid_zoom=grid_zoom).select(
+        (F.col("seg_id") * 100 + F.col("part")).alias("seg_id"),
+        F.col("px1").alias("x1"), F.col("py1").alias("y1"),
+        F.col("px2").alias("x2"), F.col("py2").alias("y2"),
+    )
+    # SHARED BORDERS: two rings running the same boundary line produce
+    # duplicate undirected edges after noding — duplicate directions at a
+    # node corrupt the DCEL rotation, AND semantically a shared border
+    # toggles BOTH rings at once.  One dedupe groupBy fixes both: keep a
+    # canonically-oriented representative per undirected edge and XOR the
+    # carrier ring bits into its toggle (a ring never repeats its own
+    # edge, so bits never cancel to 0 here).
+    part_ring = (F.floor(F.col("seg_id") / 100 / F.lit(1 << 20))).cast("long")
+    part_bit = F.pow(F.lit(2.0), part_ring.cast("double")).cast("long")
+    fwd = F.struct("x1", "y1") <= F.struct("x2", "y2")
+    deduped = (
+        raw_parts.select(
+            "seg_id",
+            F.when(fwd, F.col("x1")).otherwise(F.col("x2")).alias("x1"),
+            F.when(fwd, F.col("y1")).otherwise(F.col("y2")).alias("y1"),
+            F.when(fwd, F.col("x2")).otherwise(F.col("x1")).alias("x2"),
+            F.when(fwd, F.col("y2")).otherwise(F.col("y1")).alias("y2"),
+            part_bit.alias("bit"),
+        )
+        .groupBy("x1", "y1", "x2", "y2")
+        .agg(F.min("seg_id").alias("seg_id"), F.bit_xor("bit").alias("bit"))
+    )
+    parts = deduped.select("seg_id", "x1", "y1", "x2", "y2")
+    bits = deduped.select(F.col("seg_id").alias("bit_seg"), "bit")
+    hej = _halfedge_faces(parts).localCheckpoint(eager=True)
+
+    cycles = hej.groupBy(F.col("component").alias("face_id")).agg(
+        (F.sum(
+            F.col("ux") * F.col("vy") - F.col("vx") * F.col("uy")
+        ) / 2.0).alias("area"),
+    ).localCheckpoint(eager=True)
+
+    # face adjacency across each edge, tagged with the toggled ring bit
+    twin = hej.select(
+        (F.col("he_id") - (F.col("he_id") % 2) * 2 + 1).alias("he_id"),
+        F.col("component").alias("nbr_face"),
+    )
+    adj = (
+        hej.join(twin, "he_id")
+        .join(bits, F.floor(F.col("he_id") / 2) == F.col("bit_seg"))
+        .select(
+            F.col("component").alias("face_a"),
+            F.col("nbr_face").alias("face_b"),
+            "bit",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    seeds = cycles.filter(F.col("area") < 0).select(
+        F.col("face_id").alias("face"), F.lit(0).cast("long").alias("mask")
+    )
+    known = seeds.localCheckpoint(eager=True)
+    frontier = known
+    for _ in range(max_iter):
+        step = (
+            frontier.join(adj, frontier["face"] == adj["face_a"])
+            .select(
+                F.col("face_b").alias("face"),
+                F.col("mask").bitwiseXOR(F.col("bit")).alias("mask"),
+            )
+            .join(known.select(F.col("face").alias("kf")),
+                  F.col("face") == F.col("kf"), "left_anti")
+            .groupBy("face")
+            .agg(F.min("mask").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+        if step.isEmpty():
+            break
+        known = known.union(step).localCheckpoint(eager=True)
+        frontier = step
+
+    covered = cycles.join(known, cycles["face_id"] == known["face"]).filter(
+        F.col("mask") != 0
+    )
+    return covered.agg(
+        F.sum("area").alias("union_area"),
+        F.count("*").alias("n_faces"),
     )
