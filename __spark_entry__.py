@@ -2185,6 +2185,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_area_rings"] = union_area_rings
 
+    def exclusive_areas(spark, sf_dir):
+        """Per-ring EXCLUSIVE area (the parcel-overlap audit: how much
+        of each ring no other ring covers) from the same coverage-face
+        machinery (operators/topology.py coverage_faces): a face
+        belongs exclusively to ring r iff its mask == 2^r; one explode
+        over ring ids + one groupBy sum on top of the arrangement —
+        the union/overlay family shares ONE physical plan."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import coverage_faces
+
+        rings = spark.createDataFrame(
+            pd.DataFrame(
+                _UNION_RINGS, columns=["ring_id", "ring_xs", "ring_ys"]
+            ),
+            "ring_id long, ring_xs array<double>, ring_ys array<double>",
+        )
+        faces = coverage_faces(rings, grid_zoom=3)
+        rid = F.explode(
+            F.sequence(F.lit(0), F.lit(len(_UNION_RINGS) - 1))
+        ).alias("ring_id")
+        bit = F.pow(F.lit(2.0), F.col("ring_id").cast("double")).cast("long")
+        return (
+            faces.select("area", "mask", rid)
+            .filter(F.col("mask") == bit)
+            .groupBy("ring_id")
+            .agg(
+                (F.round(F.sum("area"), 6) + F.lit(0.0)).alias("excl_area"),
+                F.count("*").alias("n_faces"),
+            )
+            .orderBy("ring_id")
+        )
+
+    q["exclusive_areas"] = exclusive_areas
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -6319,7 +6354,7 @@ def oracle_sql() -> dict[str, str]:
         for rid, xs, ys in _UNION_RINGS
     )
     _ua_can = "(ax, ay) <= (bx, by)"
-    o["union_area_rings"] = f"""
+    _ua_cte = f"""
         WITH RECURSIVE r(ring_id, xs, ys) AS (VALUES {_ua_vals}),
         seg0(seg_id, x1, y1, x2, y2) AS (
             SELECT ring_id * 1048576 + u.k,
@@ -6408,10 +6443,25 @@ def oracle_sql() -> dict[str, str]:
             FROM wk w JOIN adj a ON a.face_a = w.face
         ),
         lbl AS (SELECT DISTINCT face, mask FROM wk)
+    """
+    o["union_area_rings"] = f"""{_ua_cte}
         SELECT round(sum(c.area), 6) + 0.0 AS union_area,
                count(*) AS n_faces
         FROM cyc c JOIN lbl l ON l.face = c.face_id
         WHERE l.mask != 0
+    """
+    # exclusive areas: the SAME arrangement chain, a different tail —
+    # faces whose mask is exactly one ring's bit
+    o["exclusive_areas"] = f"""{_ua_cte},
+        rid(ring_id) AS (SELECT unnest(generate_series(0,
+            {len(_UNION_RINGS) - 1})))
+        SELECT r2.ring_id,
+               round(sum(c.area), 6) + 0.0 AS excl_area,
+               count(*) AS n_faces
+        FROM cyc c
+        JOIN lbl l ON l.face = c.face_id
+        JOIN rid r2 ON l.mask = CAST(power(2, r2.ring_id) AS BIGINT)
+        GROUP BY 1 ORDER BY 1
     """
 
 

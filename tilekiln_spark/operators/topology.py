@@ -438,6 +438,20 @@ def shared_paths_join(
 
 
 def union_area(rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64) -> DataFrame:
+    """See :func:`coverage_faces` — union area = sum of nonzero-mask
+    face areas; also returns the covered-face count."""
+    covered = coverage_faces(rings, grid_zoom, max_iter).filter(
+        F.col("mask") != 0
+    )
+    return covered.agg(
+        F.sum("area").alias("union_area"),
+        F.count("*").alias("n_faces"),
+    )
+
+
+def coverage_faces(
+    rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64
+) -> DataFrame:
     """EXACT n-way ``ST_Union`` area over simple rings — distributed,
     with NO union geometry ever materialized (the step that makes exact
     overlays hard to distribute is ordering the union boundary; this
@@ -465,7 +479,9 @@ def union_area(rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64) -> Data
     component's outer face at 0 instead of the host face's mask — the
     polygonize hole-assignment pass shows the fix; documented bound).
 
-    Returns one row: ``(union_area, n_faces)``."""
+    Returns every arrangement face with its signed area and coverage
+    bitmask: ``(face_id, area, mask)`` — union_area / exclusive-area
+    queries are one aggregate on top."""
     n_rings = rings.select(F.max("ring_id")).collect()[0][0]
     if n_rings is None:
         raise ValueError("union_area: empty ring frame")
@@ -562,10 +578,6 @@ def union_area(rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64) -> Data
         known = known.union(step).localCheckpoint(eager=True)
         frontier = step
 
-    covered = cycles.join(known, cycles["face_id"] == known["face"]).filter(
-        F.col("mask") != 0
-    )
-    return covered.agg(
-        F.sum("area").alias("union_area"),
-        F.count("*").alias("n_faces"),
+    return cycles.join(known, cycles["face_id"] == known["face"]).select(
+        "face_id", "area", "mask"
     )
