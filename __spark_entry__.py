@@ -2220,6 +2220,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exclusive_areas"] = exclusive_areas
 
+    def contested_area(spark, sf_dir):
+        """Contested (multiply-covered) area — the third overlay query
+        off the SAME coverage-face plan: faces with bit_count(mask) >= 2
+        are covered by at least two rings; grouping by the coverage
+        DEPTH gives the full overlap histogram (depth 1 = exclusive,
+        2 = pairwise overlaps, ...)."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import coverage_faces
+
+        rings = spark.createDataFrame(
+            pd.DataFrame(
+                _UNION_RINGS, columns=["ring_id", "ring_xs", "ring_ys"]
+            ),
+            "ring_id long, ring_xs array<double>, ring_ys array<double>",
+        )
+        faces = coverage_faces(rings, grid_zoom=3)
+        return (
+            faces.filter(F.col("mask") != 0)
+            .groupBy(F.bit_count("mask").alias("depth"))
+            .agg(
+                (F.round(F.sum("area"), 6) + F.lit(0.0)).alias("area"),
+                F.count("*").alias("n_faces"),
+            )
+            .orderBy("depth")
+        )
+
+    q["contested_area"] = contested_area
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -6461,6 +6490,15 @@ def oracle_sql() -> dict[str, str]:
         FROM cyc c
         JOIN lbl l ON l.face = c.face_id
         JOIN rid r2 ON l.mask = CAST(power(2, r2.ring_id) AS BIGINT)
+        GROUP BY 1 ORDER BY 1
+    """
+    # contested-area twin: coverage-depth histogram off the same chain
+    o["contested_area"] = f"""{_ua_cte}
+        SELECT CAST(bit_count(l.mask) AS INTEGER) AS depth,
+               round(sum(c.area), 6) + 0.0 AS area,
+               count(*) AS n_faces
+        FROM cyc c JOIN lbl l ON l.face = c.face_id
+        WHERE l.mask != 0
         GROUP BY 1 ORDER BY 1
     """
 
