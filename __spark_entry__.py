@@ -738,12 +738,24 @@ def _measure_values_sql() -> str:
     return ", ".join(parts)
 
 
+def _flit(v: float) -> str:
+    """DuckDB DOUBLE literal that round-trips EXACTLY: a bare decimal
+    literal parses as DECIMAL and an array of them unifies to a common
+    scale BEFORE any ::DOUBLE cast — silently off by an ulp for
+    long-mantissa values (caught by the MIC refinement twin, whose
+    argmax tiebreaks amplify one ulp into a different cell).  An
+    exponent suffix forces the DOUBLE parse path, which is correctly
+    rounded and bit-identical to Python's repr round-trip."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def _arr_sql(a) -> str:
-    """DuckDB DOUBLE[] literal from a Python float list (repr-emitted so
-    both engines compute on the identical float64 constants)."""
+    """DuckDB DOUBLE[] literal from a Python float list (exact float64
+    constants via :func:`_flit` — see its ulp warning)."""
     if a is None:
         return "CAST(NULL AS DOUBLE[])"
-    return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+    return "CAST([" + ", ".join(_flit(v) for v in a) + "] AS DOUBLE[])"
 
 
 # geography (lat, lon) degree chains for the geodesic length/perimeter
@@ -2248,6 +2260,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["contested_area"] = contested_area
+
+    def max_inscribed_circle(spark, sf_dir):
+        """ST_MaximumInscribedCircle, polylabel-style fixed refinement
+        (operators/hull.py maximum_inscribed_circle): 6 levels of 4x4
+        signed-clearance grids (even-odd raycast + boundary-distance
+        folds, no UDF) over the overlay fixture polygons — includes the
+        CONCAVE L (302) and a CW-wound ring (303, parity is
+        winding-blind).  Twin replays the identical levels as chained
+        CTEs with the same tiebreak (score DESC, px, py)."""
+        from tilekiln_spark.operators.hull import maximum_inscribed_circle
+
+        polys = _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        out = maximum_inscribed_circle(polys, levels=6)
+        return out.select(
+            "polygon_id",
+            (F.round("cx", 6) + F.lit(0.0)).alias("cx"),
+            (F.round("cy", 6) + F.lit(0.0)).alias("cy"),
+            (F.round("radius", 6) + F.lit(0.0)).alias("radius"),
+        ).orderBy("polygon_id")
+
+    q["max_inscribed_circle"] = max_inscribed_circle
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -6500,6 +6533,53 @@ def oracle_sql() -> dict[str, str]:
         FROM cyc c JOIN lbl l ON l.face = c.face_id
         WHERE l.mask != 0
         GROUP BY 1 ORDER BY 1
+    """
+
+    # MIC twin: the same 6 refinement levels as chained CTEs, identical
+    # signed-clearance arithmetic and (score DESC, px, py) tiebreak
+    from tilekiln_spark.functions.geometry import (
+        point_in_ring_sql as _mic_pir_sql,
+        point_ring_distance_sql as _mic_prd_sql,
+    )
+
+    _mic_pir = _mic_pir_sql("px", "py", "xs", "ys")
+    _mic_prd = _mic_prd_sql("px", "py", "xs", "ys")
+    _mic_ctes = [
+        f"p(pid, xs, ys) AS (VALUES {_line_chain_values_sql(_AREA_POLYS_UV)})",
+        "g(i) AS (SELECT CAST(unnest(generate_series(0, 3)) AS DOUBLE))",
+        "s0 AS (SELECT pid, xs, ys,"
+        " (list_min(xs) + list_max(xs)) / 2.0 AS cx,"
+        " (list_min(ys) + list_max(ys)) / 2.0 AS cy,"
+        " (list_max(xs) - list_min(xs)) / 4.0 AS cw,"
+        " (list_max(ys) - list_min(ys)) / 4.0 AS ch FROM p)",
+    ]
+    for _k in range(1, 7):
+        _mic_ctes.append(
+            f"cand{_k} AS (SELECT pid, xs, ys, cw, ch,"
+            f" cx + (gi.i - 1.5) * cw AS px, cy + (gj.i - 1.5) * ch AS py"
+            f" FROM s{_k - 1}, g gi, g gj)"
+        )
+        _mic_ctes.append(
+            f"scored{_k} AS (SELECT *, CASE WHEN {_mic_pir}"
+            f" THEN {_mic_prd} ELSE -({_mic_prd}) END AS score FROM cand{_k})"
+        )
+        _mic_ctes.append(
+            f"pick{_k} AS (SELECT *, row_number() OVER (PARTITION BY pid"
+            f" ORDER BY score DESC, px, py) AS rn FROM scored{_k})"
+        )
+        _mic_ctes.append(
+            f"s{_k} AS (SELECT pid, xs, ys, px AS cx, py AS cy,"
+            f" cw / 2.0 AS cw, ch / 2.0 AS ch, score AS radius"
+            f" FROM pick{_k} WHERE rn = 1)"
+        )
+    _mic_with = ",\n        ".join(_mic_ctes)
+    o["max_inscribed_circle"] = f"""
+        WITH {_mic_with}
+        SELECT pid AS polygon_id,
+               round(cx, 6) + 0.0 AS cx,
+               round(cy, 6) + 0.0 AS cy,
+               round(radius, 6) + 0.0 AS radius
+        FROM s6 ORDER BY pid
     """
 
 

@@ -154,3 +154,41 @@ def test_min_bounding_radius_square_pair_triple(spark):
     assert abs(got[1] - (a * b * c / (4 * k)) ** 2) < 1e-9
     assert abs(got[2] - (3.0 ** 2 + 4.0 ** 2) / 4) < 1e-12
     assert got[3] == 0.0
+
+
+def test_maximum_inscribed_circle_square_and_L(spark):
+    """MIC refinement: square converges to the center (within the
+    2^-levels grid pitch); the L-shape's best circle sits in the corner
+    pocket (radius > the 1.0 bar half-width, near the exact
+    2*sqrt(2)/(1+sqrt(2)) corner optimum); result point is inside."""
+    import math
+
+    import pandas as pd
+
+    from tilekiln_spark.operators.hull import maximum_inscribed_circle
+
+    def row(pid, xs, ys):
+        return (pid, min(xs), min(ys), max(xs), max(ys), xs, ys)
+
+    rows = [
+        row(0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+        row(1, [0.0, 10.0, 10.0, 2.0, 2.0, 0.0],
+               [0.0, 0.0, 2.0, 2.0, 8.0, 8.0]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "polygon_id", "xmin", "ymin", "xmax", "ymax",
+            "ring_xs", "ring_ys"]),
+        "polygon_id long, xmin double, ymin double, xmax double, "
+        "ymax double, ring_xs array<double>, ring_ys array<double>",
+    )
+    got = {r.polygon_id: r for r in
+           maximum_inscribed_circle(df, levels=8).collect()}
+    sq = got[0]
+    assert abs(sq.cx - 2.0) < 0.05 and abs(sq.cy - 2.0) < 0.05
+    assert abs(sq.radius - 2.0) < 0.05
+    ell = got[1]
+    exact = 2.0 * math.sqrt(2.0) / (1.0 + math.sqrt(2.0))
+    assert ell.radius > 1.0                    # beats any bar-center circle
+    assert abs(ell.radius - exact) < 0.08
+    assert abs(ell.cx - ell.cy) < 0.1          # corner-pocket symmetry

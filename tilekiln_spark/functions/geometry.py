@@ -1396,3 +1396,21 @@ def chains_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
         f"list_transform(range(1, len({bxs})), j -> "
         f"CASE WHEN ({proper}) OR ({touch}) THEN 1 ELSE 0 END)))), 0) = 1)"
     )
+
+
+def point_in_ring_sql(px: str, py: str, xs: str, ys: str) -> str:
+    """DuckDB twin of operators/spatial_join.py ``pip_raycast`` (even-odd
+    ray cast over a simple ring): identical straddle test and crossing
+    arithmetic, parity via a crossing count (commutative with the
+    expression form's XOR fold — same decisions on the same floats)."""
+    j = f"(i % len({xs})) + 1"
+    cross = (
+        f"CASE WHEN (({ys}[i] > {py}) != ({ys}[{j}] > {py})) THEN "
+        f"CASE WHEN {px} < {xs}[i] + ({py} - {ys}[i]) "
+        f"* ({xs}[{j}] - {xs}[i]) / ({ys}[{j}] - {ys}[i]) "
+        f"THEN 1 ELSE 0 END ELSE 0 END"
+    )
+    return (
+        f"(coalesce(list_sum(list_transform(range(1, len({xs}) + 1), "
+        f"i -> {cross})), 0) % 2) = 1"
+    )

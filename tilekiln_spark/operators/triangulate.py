@@ -1,0 +1,290 @@
+"""ST_DelaunayTriangles / alpha-shape / ST_VoronoiPolygons over point
+groups (PostGIS + SFCGAL parity — the reference executes arbitrary
+template SQL over the feature tables, reference
+tilekiln/definition.py:42-77, and osm label/cartogram pipelines call all
+three).
+
+Spark-first shape: the triangulation is PER GROUP (a tile, a quadrant, a
+cluster cell — the way a renderer builds per-tile TINs), so the engine's
+parallel axis is groups, never a global geometry.  Within a group the
+Delaunay condition is used DEFINITIONALLY instead of algorithmically:
+
+    a triangle (i, j, k) is Delaunay  <=>  orient(i, j, k) != 0 and no
+    other group point lies strictly inside its circumcircle,
+
+which makes the whole operator three chained explodes (ordered triples
+i < j < k over the group's lexicographically sorted distinct points)
+plus ONE higher-order ``forall`` per candidate — pure codegen
+expressions, no UDF, no sequential ring walking, and an arithmetic the
+DuckDB twin replays bit-identically (identical incircle determinant, in
+the identical term order, on identical float64 inputs).  Cost is
+O(n^4) flops per group run as O(n^3) rows x an O(n) fold — the right
+trade for the bounded per-group point counts this targets (label
+anchors, per-tile TINs of sampled points: n in the tens); a group with
+unbounded n should be pre-gridded first (``snap_grid_dissolve`` /
+``hexbin_qr`` are the repo's quantizers), exactly how the production
+pipeline bounds every other per-group geometry here.
+
+Downstream faces (both off the SAME triangle frame — the coverage-face
+reuse pattern):
+
+- alpha shape (SFCGAL ``ST_AlphaShape`` / CGAL alpha complex): keep the
+  triangles with circumradius^2 <= alpha^2; per-group triangle count,
+  area, and boundary-edge count (edges on exactly one kept triangle).
+- Voronoi cells (``ST_VoronoiPolygons``, bounded cells): the Voronoi
+  vertices of site s are the circumcenters of its incident Delaunay
+  triangles, and each interior Delaunay edge (s, t) contributes the
+  Voronoi edge joining its two flanking circumcenters.  Because every
+  Voronoi cell is CONVEX and CONTAINS its site, the cell area is
+  sum(|cross(c1 - s, c2 - s)|) / 2 over incident interior edges — no
+  angular sort, no atan2 (whose last-ulp behavior differs across
+  engines), pure aggregation.  Cells are emitted for INTERIOR sites
+  (sites touching no hull/boundary edge) — the bounded cells; hull
+  sites' cells are unbounded and PostGIS clips them to an envelope,
+  a presentation choice out of engine scope.
+
+General position is assumed the same way the hull family assumes it
+(testdata coordinates are md5/arithmetic-derived doubles: exactly
+cocircular quadruples and exactly collinear triples are measure-zero);
+exact duplicate points are deduped up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _incircle_det(ax, ay, bx, by, cx, cy, px, py) -> Column:
+    """Signed incircle determinant: positive when p is strictly inside
+    the circumcircle of CCW (a, b, c); the product with orient(a, b, c)
+    is orientation-free.  Term order is the twin contract — the DuckDB
+    side spells the identical expression."""
+    adx, ady = ax - px, ay - py
+    bdx, bdy = bx - px, by - py
+    cdx, cdy = cx - px, cy - py
+    al = adx * adx + ady * ady
+    bl = bdx * bdx + bdy * bdy
+    cl = cdx * cdx + cdy * cdy
+    return (
+        adx * (bdy * cl - cdy * bl)
+        - ady * (bdx * cl - cdx * bl)
+        + al * (bdx * cdy - cdx * bdy)
+    )
+
+
+def delaunay_triangles(
+    pts: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """One row per Delaunay triangle of each group's distinct points.
+
+    Returns ``[group_col, i, j, k, ax, ay, bx, by, cx, cy, tri_area,
+    ccx, ccy, r2]`` where (i, j, k) are 1-based ascending indices into
+    the group's lexicographically sorted distinct point list (a
+    deterministic, engine-independent labeling), (ccx, ccy) the
+    circumcenter and r2 its squared radius.  Groups with < 3 distinct
+    points (or all-collinear ones) emit no rows — same as PostGIS
+    returning an empty collection."""
+    g = (
+        pts.select(group_col, x_col, y_col)
+        .dropDuplicates([group_col, x_col, y_col])
+        .groupBy(group_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+                )
+            ).alias("p")
+        )
+        .select(
+            group_col,
+            F.transform("p", lambda s: s["x"]).alias("xs"),
+            F.transform("p", lambda s: s["y"]).alias("ys"),
+        )
+        .where(F.size("xs") >= 3)
+    )
+    n = F.size("xs")
+    # three chained explodes enumerate ordered triples i < j < k; the
+    # n >= 3 guard above keeps every sequence() ascending (the
+    # descending-sequence footgun is tested at tests/test_triangulate.py)
+    cand = (
+        g.withColumn("i", F.explode(F.sequence(F.lit(1), n - 2)))
+        .withColumn("j", F.explode(F.sequence(F.col("i") + 1, n - 1)))
+        .withColumn("k", F.explode(F.sequence(F.col("j") + 1, n)))
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    ax, ay = F.element_at(xs, F.col("i")), F.element_at(ys, F.col("i"))
+    bx, by = F.element_at(xs, F.col("j")), F.element_at(ys, F.col("j"))
+    cx, cy = F.element_at(xs, F.col("k")), F.element_at(ys, F.col("k"))
+    d_orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    cand = cand.withColumn("dor", d_orient)
+
+    def empty_for(m: Column) -> Column:
+        det = _incircle_det(
+            F.element_at(xs, F.col("i")),
+            F.element_at(ys, F.col("i")),
+            F.element_at(xs, F.col("j")),
+            F.element_at(ys, F.col("j")),
+            F.element_at(xs, F.col("k")),
+            F.element_at(ys, F.col("k")),
+            F.element_at(xs, m),
+            F.element_at(ys, m),
+        )
+        return (
+            (m == F.col("i"))
+            | (m == F.col("j"))
+            | (m == F.col("k"))
+            | (det * F.col("dor") <= 0.0)
+        )
+
+    kept = cand.where(
+        (F.col("dor") != 0.0)
+        & F.forall(F.sequence(F.lit(1), F.size("xs")), empty_for)
+    )
+    # circumcenter: the standard lifted form, identical term order in the twin
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    dd = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    ccx = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / dd
+    ccy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / dd
+    return kept.select(
+        group_col,
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("k").cast("int").alias("k"),
+        ax.alias("ax"), ay.alias("ay"),
+        bx.alias("bx"), by.alias("by"),
+        cx.alias("cx"), cy.alias("cy"),
+        (F.abs(F.col("dor")) / 2.0).alias("tri_area"),
+        ccx.alias("ccx"),
+        ccy.alias("ccy"),
+        ((ax - ccx) * (ax - ccx) + (ay - ccy) * (ay - ccy)).alias("r2"),
+    )
+
+
+def _tri_edges(tri: DataFrame, group_col: str) -> DataFrame:
+    """Explode each triangle into its 3 edges (endpoint indices kept
+    ascending — (i,j), (j,k), (i,k) are each already ordered given
+    i < j < k), carrying endpoint coordinates and the circumcenter."""
+    edge = F.explode(
+        F.array(
+            F.struct(
+                F.col("i").alias("e1"), F.col("j").alias("e2"),
+                F.col("ax").alias("x1"), F.col("ay").alias("y1"),
+                F.col("bx").alias("x2"), F.col("by").alias("y2"),
+            ),
+            F.struct(
+                F.col("j").alias("e1"), F.col("k").alias("e2"),
+                F.col("bx").alias("x1"), F.col("by").alias("y1"),
+                F.col("cx").alias("x2"), F.col("cy").alias("y2"),
+            ),
+            F.struct(
+                F.col("i").alias("e1"), F.col("k").alias("e2"),
+                F.col("ax").alias("x1"), F.col("ay").alias("y1"),
+                F.col("cx").alias("x2"), F.col("cy").alias("y2"),
+            ),
+        )
+    ).alias("e")
+    return tri.select(group_col, "ccx", "ccy", edge).select(
+        group_col, "ccx", "ccy",
+        F.col("e.e1").alias("e1"), F.col("e.e2").alias("e2"),
+        F.col("e.x1").alias("x1"), F.col("e.y1").alias("y1"),
+        F.col("e.x2").alias("x2"), F.col("e.y2").alias("y2"),
+    )
+
+
+def alpha_shape_stats(
+    tri: DataFrame, group_col: str, alpha_r2: float
+) -> DataFrame:
+    """Alpha-complex rollup per group over :func:`delaunay_triangles`
+    output: triangles with circumradius^2 <= ``alpha_r2`` are IN the
+    alpha shape; returns ``[group_col, n_tri, shape_area,
+    boundary_edges]`` where boundary_edges counts edges on exactly one
+    kept triangle (the alpha-shape boundary).  ONE filter + two
+    partial-agg groupBys — no geometry assembly."""
+    kept = tri.where(F.col("r2") <= F.lit(float(alpha_r2)))
+    stats = kept.groupBy(group_col).agg(
+        F.count("*").alias("n_tri"),
+        F.sum("tri_area").alias("shape_area"),
+    )
+    bedges = (
+        _tri_edges(kept, group_col)
+        .groupBy(group_col, "e1", "e2")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == 1)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("boundary_edges"))
+    )
+    return stats.join(bedges, group_col, "left").select(
+        group_col,
+        "n_tri",
+        "shape_area",
+        F.coalesce("boundary_edges", F.lit(0)).alias("boundary_edges"),
+    )
+
+
+def voronoi_cells(tri: DataFrame, group_col: str) -> DataFrame:
+    """Bounded Voronoi cells per group over :func:`delaunay_triangles`
+    output: ``[group_col, site, sx, sy, n_vertices, cell_area]`` for
+    every INTERIOR site (one that touches no hull edge).  See the
+    module docstring for why the area needs no angular sort: the cell
+    is convex and contains its site, so each interior Delaunay edge's
+    two flanking circumcenters contribute |cross(c1-s, c2-s)|/2."""
+    edges = _tri_edges(tri, group_col)
+    eagg = edges.groupBy(group_col, "e1", "e2").agg(
+        F.count("*").alias("cnt"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ccx").alias("cx"),
+                                    F.col("ccy").alias("cy")))
+        ).alias("cs"),
+        F.min("x1").alias("x1"), F.min("y1").alias("y1"),
+        F.min("x2").alias("x2"), F.min("y2").alias("y2"),
+    )
+    hull_sites = (
+        eagg.where(F.col("cnt") == 1)
+        .select(
+            group_col,
+            F.explode(F.array(F.col("e1"), F.col("e2"))).alias("site"),
+        )
+        .distinct()
+    )
+    inner = eagg.where(F.col("cnt") == 2)
+    c1x = F.col("cs")[0]["cx"]
+    c1y = F.col("cs")[0]["cy"]
+    c2x = F.col("cs")[1]["cx"]
+    c2y = F.col("cs")[1]["cy"]
+    contrib = inner.select(
+        group_col, "e1", "e2",
+        c1x.alias("c1x"), c1y.alias("c1y"),
+        c2x.alias("c2x"), c2y.alias("c2y"),
+        F.explode(
+            F.array(
+                F.struct(F.col("e1").alias("site"),
+                         F.col("x1").alias("sx"), F.col("y1").alias("sy")),
+                F.struct(F.col("e2").alias("site"),
+                         F.col("x2").alias("sx"), F.col("y2").alias("sy")),
+            )
+        ).alias("s"),
+    ).select(
+        group_col,
+        F.col("s.site").alias("site"),
+        F.col("s.sx").alias("sx"),
+        F.col("s.sy").alias("sy"),
+        (
+            F.abs(
+                (F.col("c1x") - F.col("s.sx")) * (F.col("c2y") - F.col("s.sy"))
+                - (F.col("c1y") - F.col("s.sy")) * (F.col("c2x") - F.col("s.sx"))
+            )
+            / 2.0
+        ).alias("part"),
+    )
+    cells = contrib.groupBy(group_col, "site").agg(
+        F.min("sx").alias("sx"),
+        F.min("sy").alias("sy"),
+        F.count("*").alias("n_vertices"),
+        F.sum("part").alias("cell_area"),
+    )
+    return cells.join(hull_sites, [group_col, "site"], "left_anti").select(
+        group_col, "site", "sx", "sy", "n_vertices", "cell_area"
+    )
