@@ -104,6 +104,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _quadrant_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hull-family point fixture: a deterministic doc sample
+    (doc_id % 3 == 0) bucketed into mercator quadrants — the bounded
+    per-group point sets the triangulation family is specified over."""
+    return _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0).select(
+        (
+            F.when(F.col("mx") >= 0, F.lit(2)).otherwise(F.lit(0))
+            + F.when(F.col("my") >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("gid"),
+        "mx",
+        "my",
+    )
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -2281,6 +2295,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("polygon_id")
 
     q["max_inscribed_circle"] = max_inscribed_circle
+
+    def delaunay_tin(spark, sf_dir):
+        """ST_DelaunayTriangles per quadrant group
+        (operators/triangulate.py delaunay_triangles): the Delaunay
+        condition used DEFINITIONALLY — ordered-triple explode over the
+        group's sorted distinct points + ONE incircle forall fold per
+        candidate, pure codegen, no UDF, no ring walking.  The twin
+        replays the identical triple enumeration and incircle
+        determinant (incircle_det_sql / circumcenter_sql — term-order
+        contract) as chained unnest CTEs."""
+        from tilekiln_spark.operators.triangulate import delaunay_triangles
+
+        tri = delaunay_triangles(_quadrant_pts(spark, sf_dir), "gid", "mx", "my")
+        return tri.select(
+            "gid", "i", "j", "k",
+            (F.round("ccx", 3) + F.lit(0.0)).alias("ccx"),
+            (F.round("ccy", 3) + F.lit(0.0)).alias("ccy"),
+            (F.round(F.col("tri_area") / 1e6, 3) + F.lit(0.0)).alias("tri_km2"),
+        )
+
+    q["delaunay_tin"] = delaunay_tin
+
+    def alpha_shape(spark, sf_dir):
+        """Alpha shape (SFCGAL ST_AlphaShape / CGAL alpha complex) per
+        quadrant off the SAME Delaunay frame: keep triangles with
+        circumradius^2 <= alpha^2 (alpha = 4,000 km — the measured
+        median spacing tier of this fixture), roll up kept count, area,
+        and the boundary-edge count (edges on exactly one kept
+        triangle).  One filter + two partial-agg groupBys."""
+        from tilekiln_spark.operators.triangulate import (
+            alpha_shape_stats,
+            delaunay_triangles,
+        )
+
+        tri = delaunay_triangles(_quadrant_pts(spark, sf_dir), "gid", "mx", "my")
+        s = alpha_shape_stats(tri, "gid", alpha_r2=1.6e13)
+        return s.select(
+            "gid", "n_tri", "boundary_edges",
+            (F.round(F.col("shape_area") / 1e6, 3) + F.lit(0.0)).alias("shape_km2"),
+        )
+
+    q["alpha_shape"] = alpha_shape
+
+    def voronoi_bounded_cells(spark, sf_dir):
+        """ST_VoronoiPolygons, bounded cells (operators/triangulate.py
+        voronoi_cells): Voronoi vertices = circumcenters of incident
+        Delaunay triangles; each interior Delaunay edge contributes the
+        Voronoi edge joining its two flanking circumcenters, and since
+        a cell is CONVEX and CONTAINS its site the area is
+        sum(|cross(c1-s, c2-s)|)/2 — no angular sort, no atan2 (whose
+        last-ulp behavior differs across engines), pure aggregation.
+        Interior sites only (hull cells are unbounded; PostGIS clips
+        them to an envelope — presentation, not engine semantics)."""
+        from tilekiln_spark.operators.triangulate import (
+            delaunay_triangles,
+            voronoi_cells,
+        )
+
+        tri = delaunay_triangles(_quadrant_pts(spark, sf_dir), "gid", "mx", "my")
+        v = voronoi_cells(tri, "gid")
+        return v.select(
+            "gid", "site",
+            (F.round("sx", 6) + F.lit(0.0)).alias("sx"),
+            (F.round("sy", 6) + F.lit(0.0)).alias("sy"),
+            "n_vertices",
+            (F.round(F.col("cell_area") / 1e6, 3) + F.lit(0.0)).alias("cell_km2"),
+        )
+
+    q["voronoi_bounded_cells"] = voronoi_bounded_cells
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -6580,6 +6663,117 @@ def oracle_sql() -> dict[str, str]:
                round(cy, 6) + 0.0 AS cy,
                round(radius, 6) + 0.0 AS radius
         FROM s6 ORDER BY pid
+    """
+
+    # Delaunay-family twins: the identical triple enumeration + incircle
+    # determinant (term-order contract in operators/triangulate.py
+    # incircle_det_sql / circumcenter_sql) as chained unnest CTEs over
+    # the same quadrant point sample.
+    from tilekiln_spark.operators.triangulate import (
+        circumcenter_sql as _tri_ccsql,
+        incircle_det_sql as _tri_detsql,
+    )
+
+    _tri_det = _tri_detsql(
+        "x_a", "y_a", "x_b", "y_b", "x_c", "y_c", "xs[m]", "ys[m]"
+    )
+    _tri_ccx, _tri_ccy = _tri_ccsql("x_a", "y_a", "x_b", "y_b", "x_c", "y_c")
+    _TRI_CTE = f"""pts AS (
+            SELECT DISTINCT (CASE WHEN mx >= 0 THEN 2 ELSE 0 END
+                             + CASE WHEN my >= 0 THEN 1 ELSE 0 END) AS gid,
+                   mx, my
+            FROM geo WHERE doc_id % 3 = 0
+        ), gl AS (
+            SELECT gid, list_transform(ps, s -> s.x) AS xs,
+                   list_transform(ps, s -> s.y) AS ys
+            FROM (SELECT gid, list_sort(list(struct_pack(x := mx, y := my))) AS ps
+                  FROM pts GROUP BY gid)
+            WHERE len(ps) >= 3
+        ), ci AS (SELECT gid, xs, ys,
+                         unnest(generate_series(1, len(xs) - 2)) AS i FROM gl),
+        cj AS (SELECT gid, xs, ys, i,
+                      unnest(generate_series(i + 1, len(xs) - 1)) AS j FROM ci),
+        ck AS (SELECT gid, xs, ys, i, j,
+                      unnest(generate_series(j + 1, len(xs))) AS k FROM cj),
+        tri0 AS (SELECT gid, xs, ys, i, j, k,
+            xs[i] AS x_a, ys[i] AS y_a, xs[j] AS x_b, ys[j] AS y_b,
+            xs[k] AS x_c, ys[k] AS y_c,
+            ((xs[j] - xs[i]) * (ys[k] - ys[i])
+             - (ys[j] - ys[i]) * (xs[k] - xs[i])) AS dor
+          FROM ck),
+        tri AS (SELECT gid, i, j, k, x_a, y_a, x_b, y_b, x_c, y_c,
+                abs(dor) / 2.0 AS tri_area,
+                {_tri_ccx} AS ccx, {_tri_ccy} AS ccy
+          FROM tri0
+          WHERE dor != 0.0 AND len(list_filter(generate_series(1, len(xs)),
+            m -> NOT (m = i OR m = j OR m = k OR ({_tri_det} * dor <= 0.0)))) = 0)"""
+
+    o["delaunay_tin"] = f"""
+        {_GEO_CTE}, {_TRI_CTE}
+        SELECT gid, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+               CAST(k AS INTEGER) AS k,
+               round(ccx, 3) + 0.0 AS ccx, round(ccy, 3) + 0.0 AS ccy,
+               round(tri_area / 1000000.0, 3) + 0.0 AS tri_km2
+        FROM tri ORDER BY gid, i, j, k
+    """
+
+    _TRI_EDGES = """edges AS (
+            SELECT gid, ccx, ccy, i AS e1, j AS e2,
+                   x_a AS x1, y_a AS y1, x_b AS x2, y_b AS y2 FROM {src}
+            UNION ALL
+            SELECT gid, ccx, ccy, j, k, x_b, y_b, x_c, y_c FROM {src}
+            UNION ALL
+            SELECT gid, ccx, ccy, i, k, x_a, y_a, x_c, y_c FROM {src})"""
+
+    o["alpha_shape"] = f"""
+        {_GEO_CTE}, {_TRI_CTE},
+        kept AS (SELECT * FROM (
+            SELECT *, ((x_a - ccx) * (x_a - ccx)
+                       + (y_a - ccy) * (y_a - ccy)) AS r2 FROM tri)
+            WHERE r2 <= 1.6e13),
+        {_TRI_EDGES.format(src="kept")},
+        stats AS (SELECT gid, count(*) AS n_tri, sum(tri_area) AS shape_area
+                  FROM kept GROUP BY gid),
+        be AS (SELECT gid, count(*) AS boundary_edges FROM (
+                   SELECT gid, e1, e2 FROM edges
+                   GROUP BY gid, e1, e2 HAVING count(*) = 1)
+               GROUP BY gid)
+        SELECT s.gid, s.n_tri, coalesce(be.boundary_edges, 0) AS boundary_edges,
+               round(s.shape_area / 1000000.0, 3) + 0.0 AS shape_km2
+        FROM stats s LEFT JOIN be USING (gid) ORDER BY s.gid
+    """
+
+    o["voronoi_bounded_cells"] = f"""
+        {_GEO_CTE}, {_TRI_CTE},
+        {_TRI_EDGES.format(src="tri")},
+        eagg AS (SELECT gid, e1, e2, count(*) AS cnt,
+                        list_sort(list(struct_pack(cx := ccx, cy := ccy))) AS cs,
+                        min(x1) AS x1, min(y1) AS y1,
+                        min(x2) AS x2, min(y2) AS y2
+                 FROM edges GROUP BY gid, e1, e2),
+        hs AS (SELECT DISTINCT gid, e1 AS site FROM eagg WHERE cnt = 1
+               UNION SELECT gid, e2 FROM eagg WHERE cnt = 1),
+        contrib AS (
+            SELECT gid, e1 AS site, x1 AS sx, y1 AS sy,
+                   abs((cs[1].cx - x1) * (cs[2].cy - y1)
+                       - (cs[1].cy - y1) * (cs[2].cx - x1)) / 2.0 AS part
+            FROM eagg WHERE cnt = 2
+            UNION ALL
+            SELECT gid, e2, x2, y2,
+                   abs((cs[1].cx - x2) * (cs[2].cy - y2)
+                       - (cs[1].cy - y2) * (cs[2].cx - x2)) / 2.0
+            FROM eagg WHERE cnt = 2),
+        cells AS (SELECT gid, site, min(sx) AS sx, min(sy) AS sy,
+                         count(*) AS n_vertices, sum(part) AS cell_area
+                  FROM contrib GROUP BY gid, site)
+        SELECT c.gid, CAST(c.site AS INTEGER) AS site,
+               round(c.sx, 6) + 0.0 AS sx, round(c.sy, 6) + 0.0 AS sy,
+               c.n_vertices,
+               round(c.cell_area / 1000000.0, 3) + 0.0 AS cell_km2
+        FROM cells c
+        WHERE NOT EXISTS (SELECT 1 FROM hs
+                          WHERE hs.gid = c.gid AND hs.site = c.site)
+        ORDER BY c.gid, c.site
     """
 
 

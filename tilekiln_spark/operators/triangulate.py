@@ -73,6 +73,48 @@ def _incircle_det(ax, ay, bx, by, cx, cy, px, py) -> Column:
     )
 
 
+def incircle_det_sql(
+    ax: str, ay: str, bx: str, by: str, cx: str, cy: str, px: str, py: str
+) -> str:
+    """DuckDB twin of :func:`_incircle_det` — the identical term order on
+    the identical float64 operands (expression duplication in SQL does
+    not change IEEE results; only term order would)."""
+    adx, ady = f"({ax} - {px})", f"({ay} - {py})"
+    bdx, bdy = f"({bx} - {px})", f"({by} - {py})"
+    cdx, cdy = f"({cx} - {px})", f"({cy} - {py})"
+    al = f"({adx} * {adx} + {ady} * {ady})"
+    bl = f"({bdx} * {bdx} + {bdy} * {bdy})"
+    cl = f"({cdx} * {cdx} + {cdy} * {cdy})"
+    return (
+        f"({adx} * ({bdy} * {cl} - {cdy} * {bl})"
+        f" - {ady} * ({bdx} * {cl} - {cdx} * {bl})"
+        f" + {al} * ({bdx} * {cdy} - {cdx} * {bdy}))"
+    )
+
+
+def circumcenter_sql(
+    ax: str, ay: str, bx: str, by: str, cx: str, cy: str
+) -> tuple[str, str]:
+    """DuckDB twin of the circumcenter in :func:`delaunay_triangles` —
+    returns (ccx, ccy) SQL in the Spark expression's exact term order."""
+    a2 = f"({ax} * {ax} + {ay} * {ay})"
+    b2 = f"({bx} * {bx} + {by} * {by})"
+    c2 = f"({cx} * {cx} + {cy} * {cy})"
+    dd = (
+        f"(2.0 * ({ax} * ({by} - {cy}) + {bx} * ({cy} - {ay})"
+        f" + {cx} * ({ay} - {by})))"
+    )
+    ccx = (
+        f"(({a2} * ({by} - {cy}) + {b2} * ({cy} - {ay})"
+        f" + {c2} * ({ay} - {by})) / {dd})"
+    )
+    ccy = (
+        f"(({a2} * ({cx} - {bx}) + {b2} * ({ax} - {cx})"
+        f" + {c2} * ({bx} - {ax})) / {dd})"
+    )
+    return ccx, ccy
+
+
 def delaunay_triangles(
     pts: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
