@@ -2365,6 +2365,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["voronoi_bounded_cells"] = voronoi_bounded_cells
 
+    def min_clearance(spark, sf_dir):
+        """GEOS/PostGIS ST_MinimumClearance over both polygon fixture
+        sets (functions/geometry.py min_clearance): min of every
+        vertex-pair distance and every vertex-to-non-incident-edge
+        distance (the shared _pt_seg kernel) — two nested transforms +
+        one null-skipping array_min, map-only.  The robustness metric a
+        coordinate-precision-reduction pipeline gates on."""
+        from tilekiln_spark.functions.geometry import min_clearance as mc
+
+        polys = _contain_poly_fixture(spark).unionByName(
+            _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        )
+        return polys.select(
+            "polygon_id",
+            (F.round(mc(F.col("ring_xs"), F.col("ring_ys")), 6) + F.lit(0.0)).alias(
+                "clearance"
+            ),
+        )
+
+    q["min_clearance"] = min_clearance
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -6774,6 +6795,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM hs
                           WHERE hs.gid = c.gid AND hs.site = c.site)
         ORDER BY c.gid, c.site
+    """
+
+    from tilekiln_spark.functions.geometry import (
+        min_clearance_sql as _mcl_sql,
+    )
+
+    o["min_clearance"] = f"""
+        WITH p(polygon_id, xs, ys) AS (VALUES
+            {_line_chain_values_sql(_CONTAIN_POLYS_UV)},
+            {_line_chain_values_sql(_AREA_POLYS_UV)})
+        SELECT polygon_id,
+               round({_mcl_sql("xs", "ys")}, 6) + 0.0 AS clearance
+        FROM p ORDER BY polygon_id
     """
 
 

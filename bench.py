@@ -363,6 +363,23 @@ vector_layers:
         lambda: polygonize_faces(_ph.union(_pv)).count(),
     )
 
+    # --- Delaunay at density: 3000 groups x 16 points (the per-tile TIN
+    # shape — the parallel axis is GROUPS) prices the triple explode +
+    # incircle forall fold; ~2n-h-2 triangles per group validates output ---
+    from tilekiln_spark.operators.triangulate import delaunay_triangles
+
+    _G, _P = 3000, 16
+    _frac = lambda c: c - F.floor(c)  # noqa: E731
+    _dpts = spark.range(_G * _P).select(
+        (F.col("id") / F.lit(_P)).cast("long").alias("gid"),
+        _frac(F.sin(F.col("id") * 12.9898) * 43758.5453).alias("x"),
+        _frac(F.sin(F.col("id") * 78.233) * 12543.8547).alias("y"),
+    )
+    extra["delaunay_triangles_n"] = timed(
+        "delaunay_dense",
+        lambda: delaunay_triangles(_dpts, "gid", "x", "y").count(),
+    )
+
     return {"timings": timings, "extra": extra}
 
 

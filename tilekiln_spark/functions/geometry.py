@@ -1398,6 +1398,81 @@ def chains_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def min_clearance(xs: Column, ys: Column) -> Column:
+    """GEOS/PostGIS ``ST_MinimumClearance`` of a simple (open) ring: the
+    smallest distance a single vertex could move to create invalidity —
+    min of (a) every distinct vertex-pair distance and (b) every
+    vertex-to-NON-INCIDENT-edge distance (shared :func:`_pt_seg`
+    kernel).  Two nested transforms + one null-skipping ``array_min``
+    per term — pure codegen, no UDF; the twin
+    (:func:`min_clearance_sql`) replays the identical kernel text.
+    Rings with < 3 vertices return NULL (PostGIS returns infinity on
+    degenerate input — surface that at the call site if needed)."""
+    n = F.size(xs)
+    idx = F.sequence(F.lit(1), n)
+
+    def vdist(u: Column, v: Column) -> Column:
+        dx = F.element_at(xs, v) - F.element_at(xs, u)
+        dy = F.element_at(ys, v) - F.element_at(ys, u)
+        return F.sqrt(dx * dx + dy * dy)
+
+    vv = F.array_min(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda u: F.transform(
+                    idx, lambda v: F.when(v > u, vdist(u, v))
+                ),
+            )
+        )
+    )
+
+    def sdist(v: Column, s: Column) -> Column:
+        j = F.pmod(s, n) + 1
+        d = _pt_seg(
+            F.element_at(xs, v),
+            F.element_at(ys, v),
+            F.element_at(xs, s),
+            F.element_at(ys, s),
+            F.element_at(xs, j),
+            F.element_at(ys, j),
+        )[1]
+        return F.when((v != s) & (v != j), d)
+
+    vs = F.array_min(
+        F.flatten(
+            F.transform(
+                idx, lambda v: F.transform(idx, lambda s: sdist(v, s))
+            )
+        )
+    )
+    return F.when(n >= 3, F.least(vv, vs))
+
+
+def min_clearance_sql(xs: str, ys: str) -> str:
+    """DuckDB twin of :func:`min_clearance` — identical vertex-pair and
+    vertex-segment arithmetic (shared :func:`_pt_seg_sql` kernel text),
+    null-skipping list_min, order-independent exactly."""
+    rng = f"range(1, len({xs}) + 1)"
+    vv_d = (
+        f"sqrt(({xs}[v] - {xs}[u]) * ({xs}[v] - {xs}[u])"
+        f" + ({ys}[v] - {ys}[u]) * ({ys}[v] - {ys}[u]))"
+    )
+    j = f"(s % len({xs})) + 1"
+    _, seg_d = _pt_seg_sql(
+        f"{xs}[v]", f"{ys}[v]", f"{xs}[s]", f"{ys}[s]", f"{xs}[{j}]", f"{ys}[{j}]"
+    )
+    return (
+        f"(CASE WHEN len({xs}) >= 3 THEN least("
+        f"list_min(flatten(list_transform({rng}, u -> "
+        f"list_transform({rng}, v -> CASE WHEN v > u THEN {vv_d} END)))), "
+        f"list_min(flatten(list_transform({rng}, v -> "
+        f"list_transform({rng}, s -> "
+        f"CASE WHEN s != v AND {j} != v THEN {seg_d} END))))"
+        f") END)"
+    )
+
+
 def point_in_ring_sql(px: str, py: str, xs: str, ys: str) -> str:
     """DuckDB twin of operators/spatial_join.py ``pip_raycast`` (even-odd
     ray cast over a simple ring): identical straddle test and crossing
