@@ -433,6 +433,16 @@ _AREA_POLYS_UV = [
 ]
 
 
+_SPLIT_BLADES = [
+    # ST_Split blade lines in MERCATOR coordinates: (label, nx, ny, c)
+    # names the half-plane nx*x + ny*y <= c.  A vertical blade at u=2
+    # (cuts 200/201/202/300/301/303/304) and the main diagonal u=v
+    # (x + y = 0 in mercator — cuts 202/301/302 and grazes corners).
+    ("v_u2", 1.0, 0.0, -HW + 2.0 * _LINE_TL),
+    ("diag", 1.0, 1.0, 0.0),
+]
+
+
 _RELATE_POLYS_UV = [
     # B side for the named-predicate relate join vs _CONTAIN_POLYS_UV:
     # every class appears — equals(200,400), within(204,401),
@@ -2385,6 +2395,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["min_clearance"] = min_clearance
+
+    def split_blade_areas(spark, sf_dir):
+        """PostGIS ST_Split(polygon, blade line) side areas
+        (functions/geometry.py halfplane_clip_area): both sides of each
+        infinite blade via ONE stateless Green's-theorem fold per side —
+        the blade is translated through the origin so every
+        Sutherland-Hodgman chord's shoelace term is exactly zero and no
+        clipped ring is ever materialized.  Map-only over both polygon
+        fixture sets x 2 blades; blade constants are module-level
+        Python floats shared verbatim with the oracle twin."""
+        from tilekiln_spark.functions.geometry import halfplane_clip_area
+
+        polys = _contain_poly_fixture(spark).unionByName(
+            _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        )
+        parts = []
+        for label, nx, ny, c in _SPLIT_BLADES:
+            parts.append(
+                polys.select(
+                    "polygon_id",
+                    F.lit(label).alias("blade"),
+                    (
+                        F.round(
+                            halfplane_clip_area(
+                                F.col("ring_xs"), F.col("ring_ys"), nx, ny, c
+                            )
+                            / 1e6,
+                            3,
+                        )
+                        + F.lit(0.0)
+                    ).alias("a_le_km2"),
+                    (
+                        F.round(
+                            halfplane_clip_area(
+                                F.col("ring_xs"), F.col("ring_ys"), -nx, -ny, -c
+                            )
+                            / 1e6,
+                            3,
+                        )
+                        + F.lit(0.0)
+                    ).alias("a_gt_km2"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q["split_blade_areas"] = split_blade_areas
 
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
@@ -6809,6 +6868,27 @@ def oracle_sql() -> dict[str, str]:
                round({_mcl_sql("xs", "ys")}, 6) + 0.0 AS clearance
         FROM p ORDER BY polygon_id
     """
+
+    from tilekiln_spark.functions.geometry import (
+        halfplane_clip_area_sql as _hpa_sql,
+    )
+
+    _split_selects = []
+    for _lbl, _nx, _ny, _c in _SPLIT_BLADES:
+        _split_selects.append(
+            f"SELECT polygon_id, '{_lbl}' AS blade, "
+            f"round(({_hpa_sql('xs', 'ys', _nx, _ny, _c)}) / 1000000.0, 3) "
+            f"+ 0.0 AS a_le_km2, "
+            f"round(({_hpa_sql('xs', 'ys', -_nx, -_ny, -_c)}) / 1000000.0, 3) "
+            f"+ 0.0 AS a_gt_km2 FROM p"
+        )
+    o["split_blade_areas"] = (
+        "WITH p(polygon_id, xs, ys) AS (VALUES "
+        f"{_line_chain_values_sql(_CONTAIN_POLYS_UV)}, "
+        f"{_line_chain_values_sql(_AREA_POLYS_UV)}) "
+        + " UNION ALL ".join(_split_selects)
+        + " ORDER BY blade, polygon_id"
+    )
 
 
 

@@ -1398,6 +1398,84 @@ def chains_intersect_sql(axs: str, ays: str, bxs: str, bys: str) -> str:
     )
 
 
+def halfplane_clip_area(
+    xs: Column, ys: Column, nx: float, ny: float, c: float
+) -> Column:
+    """Area of ``ring ∩ {nx·x + ny·y <= c}`` — the kernel under PostGIS
+    ``ST_Split(polygon, blade line)`` (each side's area; the other side
+    is ``ring_area − this``).  ONE stateless Green's-theorem fold, no
+    clipped ring ever materialized: translate coordinates so the blade
+    passes through the ORIGIN — then every Sutherland–Hodgman chord
+    (exit→entry hop) lies on a line through the origin and its shoelace
+    term ``x_a·y_b − y_a·x_b`` is exactly 0, so only the per-edge
+    inside/exit/entry cases contribute and the fold needs no pairing
+    state.  Orientation-free (|sum|/2).  Blade constants are Python
+    floats folded into literals; the twin
+    (:func:`halfplane_clip_area_sql`) emits the identical constants via
+    exact DOUBLE literals."""
+    if nx == 0.0 and ny == 0.0:
+        raise ValueError("blade normal must be nonzero")
+    px0, py0 = (0.0, c / ny) if ny != 0.0 else (c / nx, 0.0)
+    n = F.size(xs)
+
+    def contrib(i: Column) -> Column:
+        j = F.pmod(i, n) + 1
+        x1 = F.element_at(xs, i) - F.lit(px0)
+        y1 = F.element_at(ys, i) - F.lit(py0)
+        x2 = F.element_at(xs, j) - F.lit(px0)
+        y2 = F.element_at(ys, j) - F.lit(py0)
+        s1 = F.lit(nx) * x1 + F.lit(ny) * y1
+        s2 = F.lit(nx) * x2 + F.lit(ny) * y2
+        t = s1 / (s1 - s2)
+        xi = x1 + t * (x2 - x1)
+        yi = y1 + t * (y2 - y1)
+        return (
+            F.when((s1 <= 0) & (s2 <= 0), x1 * y2 - y1 * x2)
+            .when((s1 <= 0) & (s2 > 0), x1 * yi - y1 * xi)
+            .when((s1 > 0) & (s2 <= 0), xi * y2 - yi * x2)
+            .otherwise(F.lit(0.0))
+        )
+
+    return F.abs(
+        F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0.0), lambda acc, i: acc + contrib(i)
+        )
+    ) / 2.0
+
+
+def halfplane_clip_area_sql(
+    xs: str, ys: str, nx: float, ny: float, c: float
+) -> str:
+    """DuckDB twin of :func:`halfplane_clip_area` — identical per-edge
+    case arithmetic on identical exact-DOUBLE blade constants."""
+    if nx == 0.0 and ny == 0.0:
+        raise ValueError("blade normal must be nonzero")
+    px0, py0 = (0.0, c / ny) if ny != 0.0 else (c / nx, 0.0)
+
+    def flit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    jj = f"(i % len({xs})) + 1"
+    x1, y1 = f"({xs}[i] - {flit(px0)})", f"({ys}[i] - {flit(py0)})"
+    x2, y2 = f"({xs}[{jj}] - {flit(px0)})", f"({ys}[{jj}] - {flit(py0)})"
+    s1 = f"({flit(nx)} * {x1} + {flit(ny)} * {y1})"
+    s2 = f"({flit(nx)} * {x2} + {flit(ny)} * {y2})"
+    t = f"({s1} / ({s1} - {s2}))"
+    xi = f"({x1} + {t} * ({x2} - {x1}))"
+    yi = f"({y1} + {t} * ({y2} - {y1}))"
+    case = (
+        f"CASE WHEN {s1} <= 0 AND {s2} <= 0 THEN {x1} * {y2} - {y1} * {x2} "
+        f"WHEN {s1} <= 0 AND {s2} > 0 THEN {x1} * {yi} - {y1} * {xi} "
+        f"WHEN {s1} > 0 AND {s2} <= 0 THEN {xi} * {y2} - {yi} * {x2} "
+        f"ELSE 0.0 END"
+    )
+    return (
+        f"(abs(coalesce(list_sum(list_transform(range(1, len({xs}) + 1), "
+        f"i -> {case})), 0.0)) / 2.0)"
+    )
+
+
 def min_clearance(xs: Column, ys: Column) -> Column:
     """GEOS/PostGIS ``ST_MinimumClearance`` of a simple (open) ring: the
     smallest distance a single vertex could move to create invalidity —
