@@ -2625,6 +2625,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_hillshade"] = raster_hillshade
 
+    def raster_contours(spark, sf_dir):
+        """Marching-squares contour segments over the doc-density raster
+        (operators/raster.py contours — GDAL gdal_contour parity on the
+        count grid): 4-way corner explode, ONE partial-agg groupBy per 2x2
+        window, then the 16-case table + edge interpolation as pure JVM
+        expressions (fixed saddle convention).  Both iso levels are cut
+        from ONE window aggregation: the level-literal array explodes
+        after the groupBy, so the raster is scanned and the windows
+        shuffled exactly once.  The DuckDB twin re-runs the identical
+        window assembly and case table from an offsets VALUES table."""
+        from tilekiln_spark.operators.raster import contours, rasterize
+
+        cells = rasterize(_mx_my(_docs(spark, sf_dir)), zoom=2, res=16)
+        return contours(cells, level=(0.5, 2.5), res=16)
+
+    q["raster_contours"] = raster_contours
+
     def kde_density(spark, sf_dir):
         """Kernel-density heatmap (operators/raster.py kde_density):
         Epanechnikov kernel over a 2500 km grid, bandwidth 3750 km →
@@ -5762,6 +5779,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT tgx AS gx, tgy AS gy,
                greatest(round({_hs_shade}, 6), 0.0) + 0.0 AS shade
         FROM agg WHERE present = 1
+    """
+
+    # marching-squares twin: identical window assembly (4 corner offsets,
+    # k0=(0,0) k1=(1,0) k2=(1,1) k3=(0,1)), identical 16-case segment table and FIXED saddle
+    # convention as operators/raster.py contours
+    _ms_t = {
+        "B": "CASE WHEN z1 <> z0 THEN (lv.level - z0) / (z1 - z0) ELSE 0.0 END",
+        "R": "CASE WHEN z2 <> z1 THEN (lv.level - z1) / (z2 - z1) ELSE 0.0 END",
+        "T": "CASE WHEN z2 <> z3 THEN (lv.level - z3) / (z2 - z3) ELSE 0.0 END",
+        "L": "CASE WHEN z3 <> z0 THEN (lv.level - z0) / (z3 - z0) ELSE 0.0 END",
+    }
+    _ms_pt = {
+        "B": (f"(CAST(wx AS DOUBLE) + ({_ms_t['B']}))", "CAST(wy AS DOUBLE)"),
+        "R": ("(CAST(wx AS DOUBLE) + 1.0)", f"(CAST(wy AS DOUBLE) + ({_ms_t['R']}))"),
+        "T": (f"(CAST(wx AS DOUBLE) + ({_ms_t['T']}))", "(CAST(wy AS DOUBLE) + 1.0)"),
+        "L": ("CAST(wx AS DOUBLE)", f"(CAST(wy AS DOUBLE) + ({_ms_t['L']}))"),
+    }
+    _ms_seg0 = {
+        1: "LB", 2: "BR", 3: "LR", 4: "RT", 5: "LT", 6: "BT", 7: "LT",
+        8: "TL", 9: "BT", 10: "LB", 11: "RT", 12: "LR", 13: "BR", 14: "LB",
+    }
+    _ms_seg1 = {5: "RB", 10: "RT"}
+
+    def _ms_case(segmap: dict, endpoint: int, coord: int) -> str:
+        whens = " ".join(
+            f"WHEN idx = {i} THEN {_ms_pt[ab[endpoint]][coord]}"
+            for i, ab in segmap.items()
+        )
+        return f"CASE {whens} END"
+
+    def _ms_branch(segmap: dict, part: int) -> str:
+        in_list = ", ".join(str(i) for i in segmap)
+        return (
+            f"SELECT wx AS gx, wy AS gy, {part} AS part, "
+            f"round({_ms_case(segmap, 0, 0)}, 6) + 0.0 AS x1, "
+            f"round({_ms_case(segmap, 0, 1)}, 6) + 0.0 AS y1, "
+            f"round({_ms_case(segmap, 1, 0)}, 6) + 0.0 AS x2, "
+            f"round({_ms_case(segmap, 1, 1)}, 6) + 0.0 AS y2, "
+            f"lv.level AS level "
+            f"FROM agg CROSS JOIN (VALUES (0.5e0), (2.5e0)) AS lv(level) "
+            f"WHERE idx IN ({in_list})"
+        )
+
+    _ms_zcols = ", ".join(
+        f"coalesce(sum(CASE WHEN k = {i} THEN v END), 0.0) AS z{i}" for i in range(4)
+    )
+    _ms_idx = (
+        "CAST(z0 >= lv.level AS INT) + 2 * CAST(z1 >= lv.level AS INT) "
+        "+ 4 * CAST(z2 >= lv.level AS INT) + 8 * CAST(z3 >= lv.level AS INT)"
+    )
+    # idx depends on level, so fold it into each branch via a lateral-free
+    # rewrite: compute idx inline in the WHERE/CASE by textual substitution
+    _ms_b0 = _ms_branch(_ms_seg0, 0).replace("idx", f"({_ms_idx})")
+    _ms_b1 = _ms_branch(_ms_seg1, 1).replace("idx", f"({_ms_idx})")
+    o["raster_contours"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, cx, cy) AS (VALUES (0, 0, 0), (1, 1, 0), (2, 1, 1), (3, 0, 1)),
+        sh AS (
+            SELECT gx - cx AS wx, gy - cy AS wy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT wx, wy, {_ms_zcols}
+            FROM sh GROUP BY 1, 2
+        )
+        {_ms_b0} UNION ALL {_ms_b1}
     """
 
     concave_parts = []
