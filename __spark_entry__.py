@@ -2568,6 +2568,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_trajectories"] = user_trajectories
 
+    def frechet_trajectories(spark, sf_dir):
+        """PostGIS ST_FrechetDistance (discrete) between every user
+        trajectory and every fixture polyline (functions/geometry.py
+        frechet_distance): the dog-walk coupling DP as ONE nested JVM HOF
+        fold — outer over A's vertices, inner rebuilding the single live
+        DP row; max/min run on SQUARED distances so the lone sqrt at the
+        end is the only rounding-sensitive step.  Lines broadcast ->
+        map-only pair join.  The DuckDB twin unrolls the row into m plain
+        columns of a recursive CTE per fixture line (m is known per
+        line), with identical d-squared arithmetic on identical exact-
+        DOUBLE literals."""
+        from tilekiln_spark.functions.geometry import frechet_distance
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ordered = F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+        )
+        agg = ev.groupBy("user_id").agg(ordered.alias("o"))
+        tr = agg.select(
+            "user_id",
+            F.transform(F.col("o"), lambda s: s["mx"]).alias("axs"),
+            F.transform(F.col("o"), lambda s: s["my"]).alias("ays"),
+        )
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        lines = spark.createDataFrame(
+            rows, "line_id int, lxs array<double>, lys array<double>"
+        )
+        d = frechet_distance(
+            F.col("axs"), F.col("ays"), F.col("lxs"), F.col("lys")
+        )
+        return tr.crossJoin(F.broadcast(lines)).select(
+            "user_id",
+            "line_id",
+            (F.round(d / 1e3, 6) + F.lit(0.0)).alias("frechet_km"),
+        )
+
+    q["frechet_trajectories"] = frechet_trajectories
+
     def map_match(spark, sf_dir):
         """GPS map-matching (the snap-trace-to-road primitive): every
         sampled event point snaps to its nearest fixture polyline —
@@ -5977,6 +6018,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
                round({_llen_sql('xs', 'ys')}, 6) + 0.0 AS track_len_m
         FROM tracks
+    """
+
+    from tilekiln_spark.functions.geometry import frechet_recursive_cte_sql
+
+    _fr_ctes, _fr_sel = [], []
+    for _lid, _uv in _LINES_UV:
+        _pts = _line_merc(_uv)
+        _cte, _fin = frechet_recursive_cte_sql(
+            f"fdp{_lid}", "tracksf", "user_id", _pts
+        )
+        _fr_ctes.append(_cte)
+        _fr_sel.append(
+            f"SELECT user_id, {_lid} AS line_id, "
+            f"round({_fin} / 1000.0, 6) + 0.0 AS frechet_km "
+            f"FROM fdp{_lid} WHERE i = len(xs)"
+        )
+    o["frechet_trajectories"] = f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracksf AS (
+            SELECT user_id,
+                   list(mx ORDER BY ts, event_id) AS xs,
+                   list(my ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        ), {", ".join(_fr_ctes)}
+        {" UNION ALL ".join(_fr_sel)}
     """
 
     from tilekiln_spark.functions.geometry import (

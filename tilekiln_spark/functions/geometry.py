@@ -1567,3 +1567,136 @@ def point_in_ring_sql(px: str, py: str, xs: str, ys: str) -> str:
         f"(coalesce(list_sum(list_transform(range(1, len({xs}) + 1), "
         f"i -> {cross})), 0) % 2) = 1"
     )
+
+
+def frechet_distance(
+    axs: Column, ays: Column, bxs: Column, bys: Column
+) -> Column:
+    """PostGIS/GEOS ``ST_FrechetDistance`` — the DISCRETE Fréchet distance
+    between two vertex chains (the dog-walk coupling distance, the
+    standard trajectory-similarity measure ST_HausdorffDistance can
+    under-report because Hausdorff ignores ordering).
+
+    ONE nested JVM HOF fold, no UDF, and never more than a single DP ROW
+    alive: the outer ``aggregate`` walks A's vertices carrying the row
+    ``row[j] = dF(A[1..i], B[1..j])``; the inner ``aggregate`` rebuilds
+    the row left-to-right with the classic recurrence
+    ``new[j] = max(d(i,j), min(row[j], row[j-1], new[j-1]))``.
+    All comparisons run on SQUARED distances (max/min commute with the
+    monotone sqrt), so the only rounding-sensitive arithmetic is the
+    difference-products in d² and the single final sqrt — which is what
+    makes the unrolled DuckDB twin (:func:`frechet_recursive_cte_sql`)
+    bit-identical by construction.
+
+    At 100 TB: per-row cost O(n·m²) expression steps entirely inside
+    whole-stage codegen; the B side is a broadcast fixture dim, so the
+    pair join is map-only.  Reference scope: tilekiln executes arbitrary
+    PostGIS SQL per layer (tilekiln/definition.py:42-77), and
+    ST_FrechetDistance is in that surface."""
+    n, m = F.size(axs), F.size(bxs)
+
+    def d2(i: Column, j: Column) -> Column:
+        dx = F.element_at(axs, i) - F.element_at(bxs, j)
+        dy = F.element_at(ays, i) - F.element_at(bys, j)
+        return dx * dx + dy * dy
+
+    empty = F.array().cast("array<double>")
+    init = F.aggregate(
+        F.sequence(F.lit(1), m),
+        empty,
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, d2(F.lit(1), j)).otherwise(
+                    F.greatest(d2(F.lit(1), j), F.element_at(acc, -1))
+                )
+            ),
+        ),
+    )
+
+    def step(row: Column, i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            empty,
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        j == 1,
+                        F.greatest(F.element_at(row, 1), d2(i, F.lit(1))),
+                    ).otherwise(
+                        F.greatest(
+                            d2(i, j),
+                            F.least(
+                                F.element_at(row, j),
+                                F.element_at(row, j - 1),
+                                F.element_at(acc, -1),
+                            ),
+                        )
+                    )
+                ),
+            ),
+        )
+
+    # n == 1 guard keeps the outer sequence ascending (the descending
+    # F.sequence(2, 1) footgun); when() branches evaluate lazily
+    final = F.when(n == 1, init).otherwise(
+        F.aggregate(F.sequence(F.lit(2), n), init, step)
+    )
+    return F.sqrt(F.element_at(final, m))
+
+
+def frechet_recursive_cte_sql(
+    name: str,
+    src: str,
+    key: str,
+    bpts: list,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`frechet_distance` for ONE fixture chain B
+    given as literal points: returns ``(cte_text, final_select_expr)``.
+
+    The DP row is unrolled into m plain DOUBLE columns r1..rm of a
+    recursive CTE over i (m is known per fixture line, so the inner
+    sequential dependency new[j-1] -> new[j] is resolved by TEXTUAL
+    inlining — the generated expression for nr_j embeds nr_{j-1} once,
+    total text O(m²)).  Identical difference-product d² arithmetic and
+    identical exact-DOUBLE literals as the engine fold, so max/min/sqrt
+    parity is structural."""
+
+    def flit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    m = len(bpts)
+
+    def d2(iexpr: str, j: int) -> str:
+        bx, by = flit(bpts[j - 1][0]), flit(bpts[j - 1][1])
+        return (
+            f"(({xs}[{iexpr}] - {bx}) * ({xs}[{iexpr}] - {bx}) + "
+            f"({ys}[{iexpr}] - {by}) * ({ys}[{iexpr}] - {by}))"
+        )
+
+    inits = [d2("1", 1)]
+    for j in range(2, m + 1):
+        inits.append(f"greatest({d2('1', j)}, {inits[-1]})")
+    init_cols = ", ".join(f"{e} AS r{j + 1}" for j, e in enumerate(inits))
+
+    steps = [f"greatest(r1, {d2('(i + 1)', 1)})"]
+    for j in range(2, m + 1):
+        steps.append(
+            f"greatest({d2('(i + 1)', j)}, "
+            f"least(r{j}, r{j - 1}, {steps[-1]}))"
+        )
+    step_cols = ", ".join(f"{e} AS r{j + 1}" for j, e in enumerate(steps))
+
+    cte = (
+        f"{name} AS ("
+        f"SELECT {key}, {xs}, {ys}, 1 AS i, {init_cols} FROM {src} "
+        f"UNION ALL "
+        f"SELECT {key}, {xs}, {ys}, i + 1, {step_cols} "
+        f"FROM {name} WHERE i < len({xs}))"
+    )
+    final = f"sqrt(r{m})"
+    return cte, final
