@@ -2666,6 +2666,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_hillshade"] = raster_hillshade
 
+    def raster_slope_aspect(spark, sf_dir):
+        """gdaldem slope + aspect (operators/raster.py slope_aspect): the
+        other two Horn-gradient faces off the SAME shared 3x3 stencil as
+        hillshade (_stencil9/_horn_gradients — one explode, one
+        partial-agg groupBy, pure trig).  Aspect is compass degrees
+        [0,360) clockwise from grid north, flat cells -1.0.  The DuckDB
+        twin re-runs the identical stencil and formulas."""
+        from tilekiln_spark.operators.raster import rasterize, slope_aspect
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return slope_aspect(rasterize(d, zoom=2, res=16), res=16)
+
+    q["raster_slope_aspect"] = raster_slope_aspect
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -5819,6 +5833,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT tgx AS gx, tgy AS gy,
                greatest(round({_hs_shade}, 6), 0.0) + 0.0 AS shade
+        FROM agg WHERE present = 1
+    """
+
+    # slope/aspect twin: same stencil CTEs as hillshade, same Horn
+    # gradients (_hs_dzdx/_hs_dzdy), gdaldem formulas + the documented
+    # flat -> -1.0 convention
+    _sa_slope = f"degrees(atan(1.0 * sqrt(({_hs_dzdx}) * ({_hs_dzdx}) + ({_hs_dzdy}) * ({_hs_dzdy}))))"
+    _sa_aspect = (
+        f"CASE WHEN ({_hs_dzdx}) = 0.0 AND ({_hs_dzdy}) = 0.0 THEN -1.0 "
+        f"ELSE fmod(degrees(atan2(({_hs_dzdy}), -({_hs_dzdx}))) + 360.0, 360.0) END"
+    )
+    o["raster_slope_aspect"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               round({_sa_slope}, 6) + 0.0 AS slope_deg,
+               round({_sa_aspect}, 6) + 0.0 AS aspect_deg
         FROM agg WHERE present = 1
     """
 

@@ -184,3 +184,26 @@ def test_pyramid_levels_sum_and_counts(spark):
     sums = {r.level: r.s for r in
             out.groupBy("level").agg(F.sum("total_n").alias("s")).collect()}
     assert sums == {1: 23, 2: 23}
+
+
+def test_slope_aspect_ramp_and_flat(spark):
+    """A unit ramp in +x gives slope 45deg / aspect 180 (downslope = -x);
+    a flat plateau gives slope 0 / aspect -1 at the interior cell."""
+    from tilekiln_spark.operators.raster import slope_aspect
+
+    ramp = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, gx) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    r = {(row.gx, row.gy): row for row in slope_aspect(ramp, res=16).collect()}
+    center = r[(5, 5)]
+    assert center.slope_deg == 45.0
+    assert center.aspect_deg == 180.0
+
+    flat = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, 7) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    f = {(row.gx, row.gy): row for row in slope_aspect(flat, res=16).collect()}
+    assert f[(5, 5)].slope_deg == 0.0
+    assert f[(5, 5)].aspect_deg == -1.0

@@ -200,36 +200,12 @@ def zonal_stats(
     )
 
 
-def hillshade(
-    cells: DataFrame,
-    res: int = 256,
-    azimuth_deg: float = 315.0,
-    altitude_deg: float = 45.0,
-    cell_size: float = 1.0,
-    z_factor: float = 1.0,
-) -> DataFrame:
-    """Horn-method hillshade over the sparse :func:`rasterize` cells
-    (PostGIS ``ST_HillShade`` / GDAL ``gdaldem hillshade`` parity on the
-    count raster).  The classic distributed STENCIL shape:
-
-    1. cells get GLOBAL coordinates (gx = x·res + bin_x) so the 3×3 window
-       crosses tile borders,
-    2. each source cell explodes to its 9 neighbor TARGETS tagged with the
-       window position — one map-side pass,
-    3. one partial-aggregated groupBy per target assembles the window
-       (each (target, position) receives at most one contribution; absent
-       neighbors are 0 — the sparse-raster contract), and
-    4. Horn gradients + the standard zenith/azimuth shade formula run as
-       pure trig expressions.
-
-    Output rows are restricted to cells PRESENT in the input (an absent
-    cell has no elevation sample; shading the infinite zero plain would be
-    noise).  Returns [gx, gy, shade] with shade in [0, 255].
-    At 100 TB: explode factor is exactly 9, the groupBy partial-aggregates
-    map-side, and no window function or self-join materializes the dense
-    raster."""
-    import math
-
+def _stencil9(cells: DataFrame, res: int) -> DataFrame:
+    """Shared 3x3 window assembly for the Horn-gradient family
+    (:func:`hillshade`, :func:`slope_aspect`): global cell coords, 9-way
+    tagged neighbor explode, ONE partial-aggregated groupBy per target.
+    Returns [tgx, tgy, z0..z8, present] with absent neighbors 0 and
+    ``present`` marking targets that are real input cells."""
     src = cells.select(
         (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
         (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
@@ -260,11 +236,51 @@ def hillshade(
     present = F.max(F.when(F.col("k") == 4, F.lit(1)).otherwise(F.lit(0))).alias(
         "present"
     )
-    agg = ex.groupBy("tgx", "tgy").agg(*zc, present)
-    z = [F.col(f"z{i}") for i in range(9)]
+    return ex.groupBy("tgx", "tgy").agg(*zc, present)
+
+
+def _horn_gradients(z: list, cell_size: float):
+    """Horn 3x3 finite-difference gradients shared by hillshade and
+    slope/aspect (identical term order on both engines)."""
     c8 = F.lit(8.0 * float(cell_size))
     dzdx = ((z[2] + z[5] * 2.0 + z[8]) - (z[0] + z[3] * 2.0 + z[6])) / c8
     dzdy = ((z[6] + z[7] * 2.0 + z[8]) - (z[0] + z[1] * 2.0 + z[2])) / c8
+    return dzdx, dzdy
+
+
+def hillshade(
+    cells: DataFrame,
+    res: int = 256,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    cell_size: float = 1.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Horn-method hillshade over the sparse :func:`rasterize` cells
+    (PostGIS ``ST_HillShade`` / GDAL ``gdaldem hillshade`` parity on the
+    count raster).  The classic distributed STENCIL shape:
+
+    1. cells get GLOBAL coordinates (gx = x·res + bin_x) so the 3×3 window
+       crosses tile borders,
+    2. each source cell explodes to its 9 neighbor TARGETS tagged with the
+       window position — one map-side pass,
+    3. one partial-aggregated groupBy per target assembles the window
+       (each (target, position) receives at most one contribution; absent
+       neighbors are 0 — the sparse-raster contract), and
+    4. Horn gradients + the standard zenith/azimuth shade formula run as
+       pure trig expressions.
+
+    Output rows are restricted to cells PRESENT in the input (an absent
+    cell has no elevation sample; shading the infinite zero plain would be
+    noise).  Returns [gx, gy, shade] with shade in [0, 255].
+    At 100 TB: explode factor is exactly 9, the groupBy partial-aggregates
+    map-side, and no window function or self-join materializes the dense
+    raster."""
+    import math
+
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    dzdx, dzdy = _horn_gradients(z, cell_size)
     slope = F.atan(F.lit(float(z_factor)) * F.sqrt(dzdx * dzdx + dzdy * dzdy))
     aspect = F.atan2(dzdy, -dzdx)
     zen = math.radians(90.0 - float(altitude_deg))
@@ -277,6 +293,41 @@ def hillshade(
         F.col("tgx").alias("gx"),
         F.col("tgy").alias("gy"),
         (F.greatest(F.round(shade, 6), F.lit(0.0)) + F.lit(0.0)).alias("shade"),
+    )
+
+
+def slope_aspect(
+    cells: DataFrame,
+    res: int = 256,
+    cell_size: float = 1.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """GDAL ``gdaldem slope`` + ``gdaldem aspect`` over the sparse count
+    raster: the other two faces of the Horn-gradient family, off the SAME
+    shared 3x3 stencil as :func:`hillshade` (``_stencil9`` /
+    ``_horn_gradients`` — one explode, one partial-agg groupBy, pure trig
+    expressions, no dense raster).
+
+    Conventions (documented, twin-mirrored): slope in degrees
+    ``atan(z_factor * sqrt(p^2 + q^2))``; aspect in compass degrees
+    [0, 360) measured clockwise from grid north via
+    ``(degrees(atan2(dzdy, -dzdx)) + 360) % 360``, with FLAT cells (both
+    gradients exactly 0) emitting -1.0 instead of GDAL's -9999 nodata.
+    Output [gx, gy, slope_deg, aspect_deg] restricted to present cells."""
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    dzdx, dzdy = _horn_gradients(z, cell_size)
+    slope_deg = F.degrees(
+        F.atan(F.lit(float(z_factor)) * F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    )
+    aspect_deg = F.when(
+        (dzdx == 0.0) & (dzdy == 0.0), F.lit(-1.0)
+    ).otherwise(F.pmod(F.degrees(F.atan2(dzdy, -dzdx)) + 360.0, F.lit(360.0)))
+    return agg.where(F.col("present") == 1).select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        (F.round(slope_deg, 6) + F.lit(0.0)).alias("slope_deg"),
+        (F.round(aspect_deg, 6) + F.lit(0.0)).alias("aspect_deg"),
     )
 
 
