@@ -2697,6 +2697,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_contours"] = raster_contours
 
+    def raster_resample(spark, sf_dir):
+        """gdalwarp -r bilinear 2x upsample (operators/raster.py
+        resample_bilinear): the dual of raster_pyramid — each output
+        subpixel bilinearly interpolates its 4 surrounding input CELL
+        CENTERS.  Same shared 2x2 window assembly as contours
+        (_stencil4), then a 4-subpixel literal-weights posexplode; the
+        weights (0.5625/0.1875/0.0625) are exact binary fractions so
+        parity with the DuckDB twin's offsets VALUES table is exact."""
+        from tilekiln_spark.operators.raster import rasterize, resample_bilinear
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return resample_bilinear(rasterize(d, zoom=2, res=16), factor=2, res=16)
+
+    q["raster_resample"] = raster_resample
+
     def kde_density(spark, sf_dir):
         """Kernel-density heatmap (operators/raster.py kde_density):
         Epanechnikov kernel over a 2500 km grid, bandwidth 3750 km →
@@ -5950,6 +5965,46 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY 1, 2
         )
         {_ms_b0} UNION ALL {_ms_b1}
+    """
+
+    # bilinear-resample twin: same _stencil4 window CTEs, subpixel
+    # weights as exact-binary-fraction literals computed by the SAME
+    # Python arithmetic as the engine's literal fold
+    _rs_offs = []
+    for _sy in range(2):
+        for _sx in range(2):
+            _u = (_sx + 0.5) / 2
+            _v = (_sy + 0.5) / 2
+            _rs_offs.append(
+                f"({1 + _sx}, {1 + _sy}, {(1.0 - _u) * (1.0 - _v)!r}, "
+                f"{_u * (1.0 - _v)!r}, {_u * _v!r}, {(1.0 - _u) * _v!r})"
+            )
+    o["raster_resample"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, cx, cy) AS (VALUES (0, 0, 0), (1, 1, 0), (2, 1, 1), (3, 0, 1)),
+        sh AS (
+            SELECT gx - cx AS wx, gy - cy AS wy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT wx, wy, {_ms_zcols}
+            FROM sh GROUP BY 1, 2
+        ), subs(so_x, so_y, w0, w1, w2, w3) AS (VALUES {", ".join(_rs_offs)})
+        SELECT wx * 2 + so_x AS opx, wy * 2 + so_y AS opy,
+               round(z0 * w0 + z1 * w1 + z2 * w2 + z3 * w3, 6) + 0.0 AS value
+        FROM agg CROSS JOIN subs
     """
 
     concave_parts = []

@@ -207,3 +207,28 @@ def test_slope_aspect_ramp_and_flat(spark):
     f = {(row.gx, row.gy): row for row in slope_aspect(flat, res=16).collect()}
     assert f[(5, 5)].slope_deg == 0.0
     assert f[(5, 5)].aspect_deg == -1.0
+
+
+def test_resample_bilinear_single_cell(spark):
+    """2x bilinear upsample of one hot cell: 4 windows x 4 subpixels,
+    hand-verified weights, and mass conservation (sum == v * factor^2 / ...
+    each corner's weights sum to 1 per window, 4 windows -> total 4v)."""
+    from tilekiln_spark.operators.raster import resample_bilinear
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0, 5, 5, 4)], "zoom int, x int, y int, bin_x int, bin_y int, n long"
+    )
+    rows = resample_bilinear(cells, factor=2, res=16).collect()
+    assert len(rows) == 16
+    vals = {(r.opx, r.opy): r.value for r in rows}
+    # nearest subpixels to the hot center (cell center at 5.5 -> global
+    # 11 in 2x coords): weight 0.5625 * 4 = 2.25
+    assert vals[(11, 11)] == 2.25
+    assert vals[(10, 10)] == 2.25
+    assert vals[(12, 12)] == 0.25
+    assert vals[(9, 9)] == 0.25
+    # the 4 subpixels nearest the hot center all sit 0.25 grid units away
+    assert vals[(11, 10)] == 2.25
+    # edge ring: 0.25 away in one axis, 0.75 in the other
+    assert vals[(9, 10)] == 0.75
+    assert abs(sum(vals.values()) - 16.0) < 1e-9

@@ -424,6 +424,41 @@ def pyramid(
     )
 
 
+def _stencil4(cells: DataFrame, res: int) -> DataFrame:
+    """Shared 2x2 window assembly for the corner-sample family
+    (:func:`contours`, :func:`resample_bilinear`): global cell coords,
+    4-way corner explode — window origin (wx, wy) = (gx - cx, gy - cy)
+    for corner (cx, cy) in {0,1}^2, corner index in CCW case-table order
+    k0=(0,0) k1=(1,0) k2=(1,1) k3=(0,1), NOT cx + 2*cy — then ONE
+    partial-aggregated groupBy per window.  Returns [wx, wy, z0..z3]
+    with absent corners 0; only windows touching >= 1 present cell
+    exist."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    structs = [
+        F.struct(
+            (F.col("gx") - cx).alias("wx"),
+            (F.col("gy") - cy).alias("wy"),
+            F.lit(k).alias("k"),
+        )
+        for k, (cx, cy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])
+    ]
+    ex = src.select("v", F.explode(F.array(*structs)).alias("c")).select(
+        F.col("c.wx").alias("wx"), F.col("c.wy").alias("wy"),
+        F.col("c.k").alias("k"), "v",
+    )
+    zc = [
+        F.coalesce(F.sum(F.when(F.col("k") == i, F.col("v"))), F.lit(0.0)).alias(
+            f"z{i}"
+        )
+        for i in range(4)
+    ]
+    return ex.groupBy("wx", "wy").agg(*zc)
+
+
 def contours(cells: DataFrame, level, res: int = 256) -> DataFrame:
     """Marching-squares contour extraction over the sparse
     :func:`rasterize` cells (GDAL ``gdal_contour`` / PostGIS raster
@@ -472,32 +507,7 @@ def contours(cells: DataFrame, level, res: int = 256) -> DataFrame:
         float(v) for v in level
     ]
     lv = F.col("level")
-    src = cells.select(
-        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
-        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
-        F.col("n").cast("double").alias("v"),
-    )
-    # corner index follows the CCW case-table order, NOT cx + 2*cy:
-    # k0=(0,0) k1=(1,0) k2=(1,1) k3=(0,1)
-    structs = [
-        F.struct(
-            (F.col("gx") - cx).alias("wx"),
-            (F.col("gy") - cy).alias("wy"),
-            F.lit(k).alias("k"),
-        )
-        for k, (cx, cy) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])
-    ]
-    ex = src.select("v", F.explode(F.array(*structs)).alias("c")).select(
-        F.col("c.wx").alias("wx"), F.col("c.wy").alias("wy"),
-        F.col("c.k").alias("k"), "v",
-    )
-    zc = [
-        F.coalesce(F.sum(F.when(F.col("k") == i, F.col("v"))), F.lit(0.0)).alias(
-            f"z{i}"
-        )
-        for i in range(4)
-    ]
-    agg = ex.groupBy("wx", "wy").agg(*zc).select(
+    agg = _stencil4(cells, res).select(
         "*", F.explode(F.array(*[F.lit(v) for v in levels])).alias("level")
     )
     # corner values: z0=(wx,wy) z1=(wx+1,wy) z2=(wx+1,wy+1) z3=(wx,wy+1)
@@ -558,4 +568,60 @@ def contours(cells: DataFrame, level, res: int = 256) -> DataFrame:
         (F.round(F.col("s.x2"), 6) + F.lit(0.0)).alias("x2"),
         (F.round(F.col("s.y2"), 6) + F.lit(0.0)).alias("y2"),
         "level",
+    )
+
+
+def resample_bilinear(
+    cells: DataFrame, factor: int = 2, res: int = 256
+) -> DataFrame:
+    """GDAL ``gdalwarp -r bilinear`` UPSAMPLE of the sparse count raster
+    by integer ``factor`` — the dual of :func:`pyramid` (which goes
+    coarser): each output subpixel samples the surface defined by input
+    CELL-CENTER values with bilinear interpolation between its 4
+    surrounding centers.
+
+    Distributed shape: the SAME shared 2x2 window assembly as
+    :func:`contours` (``_stencil4`` — 4-way corner explode + ONE
+    partial-agg groupBy), then each window emits the factor x factor
+    output subpixels whose sample point lies between its corner centers,
+    via a literal offsets posexplode — explode factor exactly factor^2,
+    all expression-side, no dense raster.
+
+    An output subpixel (opx, opy) has center ((opx+0.5)/f, (opy+0.5)/f)
+    in global grid units; the window with origin (wx, wy) covers sample
+    points in [wx+0.5, wx+1.5) x [wy+0.5, wy+1.5) (centers at corner
+    cells' +0.5), so opx = f*wx + f/2 + sx for sx in 0..f-1.  Fractional
+    offsets u = (sx+0.5)/f, v = (sy+0.5)/f feed the standard weights
+    (1-u)(1-v)z0 + u(1-v)z1 + uv z2 + (1-u)v z3.  The absent-corner-is-0
+    sparse contract extrapolates the data boundary toward zero, exactly
+    like the other stencil operators.  Output [opx, opy, value], value
+    rounded to 6 dp."""
+    f = int(factor)
+    if f < 1:
+        raise ValueError("factor must be >= 1")
+    agg = _stencil4(cells, res)
+    z0, z1, z2, z3 = (F.col(f"z{i}") for i in range(4))
+    subs = []
+    for sy in range(f):
+        for sx in range(f):
+            u = (sx + 0.5) / f
+            v = (sy + 0.5) / f
+            val = (
+                z0 * ((1.0 - u) * (1.0 - v))
+                + z1 * (u * (1.0 - v))
+                + z2 * (u * v)
+                + z3 * ((1.0 - u) * v)
+            )
+            subs.append(
+                F.struct(
+                    (F.col("wx") * f + (f // 2 + sx)).alias("opx"),
+                    (F.col("wy") * f + (f // 2 + sy)).alias("opy"),
+                    val.alias("value"),
+                )
+            )
+    out = agg.select(F.explode(F.array(*subs)).alias("s"))
+    return out.select(
+        F.col("s.opx").alias("opx"),
+        F.col("s.opy").alias("opy"),
+        (F.round(F.col("s.value"), 6) + F.lit(0.0)).alias("value"),
     )
