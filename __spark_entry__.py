@@ -1524,6 +1524,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_segmentize"] = line_segmentize
 
+    def offset_curves(spark, sf_dir):
+        """PostGIS ST_OffsetCurve(line, d, 'join=mitre') over the zigzag
+        polyline fixtures (functions/geometry.py offset_curve): both
+        sides (+500 km left, -500 km right); endpoint vertices translate
+        along their edge's left normal, interior vertices are exact
+        offset-line intersections with an exact ==0 collinear fallback —
+        a parallel transform per vertex, NO sequential fold.  Every
+        output vertex value-checked row-by-row via posexplode; the
+        DuckDB twin runs the identical formulas in list_transform."""
+        from tilekiln_spark.functions.geometry import offset_curve
+
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        df = spark.createDataFrame(
+            rows, "line_id int, xs array<double>, ys array<double>"
+        )
+        parts = []
+        for side, dd in (("L", 5.0e5), ("R", -5.0e5)):
+            ox, oy = offset_curve(F.col("xs"), F.col("ys"), dd)
+            parts.append(
+                df.select(
+                    "line_id",
+                    F.lit(side).alias("side"),
+                    F.posexplode(F.arrays_zip(ox.alias("x"), oy.alias("y"))),
+                ).select(
+                    "line_id",
+                    "side",
+                    F.col("pos").cast("int").alias("seq"),
+                    (F.round(F.col("col.x"), 6) + 0.0).alias("px"),
+                    (F.round(F.col("col.y"), 6) + 0.0).alias("py"),
+                )
+            )
+        return parts[0].unionByName(parts[1])
+
+    q["offset_curves"] = offset_curves
+
     def line_substring(spark, sf_dir):
         """PostGIS ST_LineSubstring over the zigzag polyline fixtures
         (functions/geometry.py line_substring): the [0.2, 0.75] fraction
@@ -7470,6 +7508,24 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
         + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
         + "FROM segd CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
+    )
+
+    from tilekiln_spark.functions.geometry import offset_curve_sql
+
+    _oc_parts = []
+    for _side, _dd in (("L", 5.0e5), ("R", -5.0e5)):
+        _ocx, _ocy = offset_curve_sql("xs", "ys", _dd)
+        _oc_parts.append(
+            f"SELECT line_id, '{_side}' AS side, ox, oy FROM "
+            f"(SELECT line_id, {_ocx} AS ox, {_ocy} AS oy FROM lines)"
+        )
+    o["offset_curves"] = (
+        "WITH lines(line_id, xs, ys) AS (VALUES "
+        + ", ".join(li_rows)
+        + "), offd AS (" + " UNION ALL ".join(_oc_parts) + ") "
+        + "SELECT line_id, side, CAST(i - 1 AS INTEGER) AS seq, "
+        + "round(ox[i], 6) + 0.0 AS px, round(oy[i], 6) + 0.0 AS py "
+        + "FROM offd CROSS JOIN LATERAL unnest(range(1, len(ox) + 1)) AS u(i)"
     )
 
     from tilekiln_spark.functions.geometry import line_substring_sql

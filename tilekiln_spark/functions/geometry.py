@@ -1700,3 +1700,125 @@ def frechet_recursive_cte_sql(
     )
     final = f"sqrt(r{m})"
     return cte, final
+
+
+def offset_curve(xs: Column, ys: Column, dist: float) -> tuple:
+    """PostGIS ``ST_OffsetCurve(line, d, 'join=mitre')`` — the parallel
+    curve at signed distance ``dist`` (positive = LEFT of the direction
+    of travel), with MITRE joins and no mitre limit.
+
+    Pure parallel ``transform`` over vertex indices (each output vertex
+    depends only on its <= 2 incident edges, so unlike the Fréchet DP
+    there is no sequential fold): endpoint vertices translate along
+    their single edge's left normal; every interior vertex is the exact
+    line-line intersection of its two offset edges, falling back to the
+    simple normal translation when the edges are exactly collinear
+    (cross product == 0.0, compared EXACTLY so the DuckDB twin branches
+    identically).  Requires no repeated vertices (zero-length edges
+    would divide by zero — same contract as the other chain kernels).
+    Returns the (offset_xs, offset_ys) Column pair."""
+    d = F.lit(float(dist))
+    n = F.size(xs)
+
+    def X(i):
+        return F.element_at(xs, i)
+
+    def Y(i):
+        return F.element_at(ys, i)
+
+    def edge(i):
+        dx = X(i + 1) - X(i)
+        dy = Y(i + 1) - Y(i)
+        ln = F.sqrt(dx * dx + dy * dy)
+        return dx, dy, ln
+
+    def off_pt(px, py, e):
+        dx, dy, ln = edge(e)
+        return px - d * dy / ln, py + d * dx / ln
+
+    def vertex(j):
+        # endpoint cases
+        fx, fy = off_pt(X(F.lit(1)), Y(F.lit(1)), F.lit(1))
+        lx, ly = off_pt(X(n), Y(n), n - 1)
+        # interior: intersect offset edge (j-1) with offset edge j
+        dxl, dyl, lnl = edge(j - 1)
+        dxr, dyr, lnr = edge(j)
+        ax = X(j - 1) - d * dyl / lnl
+        ay = Y(j - 1) + d * dxl / lnl
+        bx = X(j) - d * dyr / lnr
+        by = Y(j) + d * dxr / lnr
+        denom = dxl * dyr - dyl * dxr
+        t = ((bx - ax) * dyr - (by - ay) * dxr) / F.when(
+            denom == 0.0, F.lit(1.0)
+        ).otherwise(denom)
+        mx = F.when(denom == 0.0, bx).otherwise(ax + t * dxl)
+        my = F.when(denom == 0.0, by).otherwise(ay + t * dyl)
+        return (
+            F.when(j == 1, fx).when(j == n, lx).otherwise(mx),
+            F.when(j == 1, fy).when(j == n, ly).otherwise(my),
+        )
+
+    seq = F.sequence(F.lit(1), n)
+    return (
+        F.transform(seq, lambda j: vertex(j)[0]),
+        F.transform(seq, lambda j: vertex(j)[1]),
+    )
+
+
+def offset_curve_sql(xs: str, ys: str, dist: float) -> tuple:
+    """DuckDB twin of :func:`offset_curve`: identical per-vertex formulas
+    (same subexpression text, same exact-DOUBLE distance literal, same
+    EXACT ``= 0.0`` collinear branch) inside ``list_transform``."""
+    r = repr(float(dist))
+    d = r if ("e" in r or "E" in r) else r + "e0"
+
+    def X(i):
+        return f"{xs}[{i}]"
+
+    def Y(i):
+        return f"{ys}[{i}]"
+
+    def edge(i):
+        dx = f"({X(f'({i}) + 1')} - {X(i)})"
+        dy = f"({Y(f'({i}) + 1')} - {Y(i)})"
+        ln = f"sqrt({dx} * {dx} + {dy} * {dy})"
+        return dx, dy, ln
+
+    def off_x(px, e):
+        dx, dy, ln = edge(e)
+        return f"({px} - {d} * {dy} / {ln})"
+
+    def off_y(py, e):
+        dx, dy, ln = edge(e)
+        return f"({py} + {d} * {dx} / {ln})"
+
+    n = f"len({xs})"
+    out = []
+    for coord in ("x", "y"):
+        fx = off_x(X("1"), "1") if coord == "x" else off_y(Y("1"), "1")
+        lx = (
+            off_x(X(n), f"{n} - 1")
+            if coord == "x"
+            else off_y(Y(n), f"{n} - 1")
+        )
+        dxl, dyl, lnl = edge("j - 1")
+        dxr, dyr, lnr = edge("j")
+        ax = f"({X('j - 1')} - {d} * {dyl} / {lnl})"
+        ay = f"({Y('j - 1')} + {d} * {dxl} / {lnl})"
+        bx = f"({X('j')} - {d} * {dyr} / {lnr})"
+        by = f"({Y('j')} + {d} * {dxr} / {lnr})"
+        denom = f"({dxl} * {dyr} - {dyl} * {dxr})"
+        t = (
+            f"((({bx} - {ax}) * {dyr} - ({by} - {ay}) * {dxr}) / "
+            f"(CASE WHEN {denom} = 0.0 THEN 1.0 ELSE {denom} END))"
+        )
+        if coord == "x":
+            mid = f"(CASE WHEN {denom} = 0.0 THEN {bx} ELSE {ax} + {t} * {dxl} END)"
+        else:
+            mid = f"(CASE WHEN {denom} = 0.0 THEN {by} ELSE {ay} + {t} * {dyl} END)"
+        out.append(
+            f"list_transform(range(1, {n} + 1), j -> "
+            f"CASE WHEN j = 1 THEN {fx} WHEN j = {n} THEN {lx} "
+            f"ELSE {mid} END)"
+        )
+    return out[0], out[1]
