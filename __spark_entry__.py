@@ -2483,6 +2483,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_blade_areas"] = split_blade_areas
 
+    def normalized_rings(spark, sf_dir):
+        """PostGIS/GEOS ST_Normalize over both polygon fixture sets
+        (functions/geometry.py ring_normalize): rotate each open ring to
+        start at its lexicographically smallest vertex and orient CCW —
+        the canonical form geometry equality compares.  One argmin
+        struct fold + slice/concat rotation + first-vertex-preserving
+        reverse, all JVM HOFs; every output vertex value-checked via
+        posexplode against the identical DuckDB folds."""
+        from tilekiln_spark.functions.geometry import ring_normalize
+
+        polys = _contain_poly_fixture(spark).unionByName(
+            _contain_poly_fixture(spark, _AREA_POLYS_UV)
+        )
+        nx, ny = ring_normalize(F.col("ring_xs"), F.col("ring_ys"))
+        return polys.select(
+            "polygon_id",
+            F.posexplode(F.arrays_zip(nx.alias("x"), ny.alias("y"))),
+        ).select(
+            "polygon_id",
+            F.col("pos").cast("int").alias("seq"),
+            (F.round(F.col("col.x"), 6) + 0.0).alias("px"),
+            (F.round(F.col("col.y"), 6) + 0.0).alias("py"),
+        )
+
+    q["normalized_rings"] = normalized_rings
+
     def areal_interpolate(spark, sf_dir):
         """Areal interpolation (the census-disaggregation workhorse):
         each source polygon carries a deterministic population; every
@@ -7196,6 +7222,19 @@ def oracle_sql() -> dict[str, str]:
         f"{_line_chain_values_sql(_AREA_POLYS_UV)}) "
         + " UNION ALL ".join(_split_selects)
         + " ORDER BY blade, polygon_id"
+    )
+
+    from tilekiln_spark.functions.geometry import ring_normalize_sql
+
+    _nr_x, _nr_y = ring_normalize_sql("xs", "ys")
+    o["normalized_rings"] = (
+        "WITH p(polygon_id, xs, ys) AS (VALUES "
+        f"{_line_chain_values_sql(_CONTAIN_POLYS_UV)}, "
+        f"{_line_chain_values_sql(_AREA_POLYS_UV)}), "
+        f"normd AS (SELECT polygon_id, {_nr_x} AS nx, {_nr_y} AS ny FROM p) "
+        "SELECT polygon_id, CAST(i - 1 AS INTEGER) AS seq, "
+        "round(nx[i], 6) + 0.0 AS px, round(ny[i], 6) + 0.0 AS py "
+        "FROM normd CROSS JOIN LATERAL unnest(range(1, len(nx) + 1)) AS u(i)"
     )
 
 

@@ -1822,3 +1822,83 @@ def offset_curve_sql(xs: str, ys: str, dist: float) -> tuple:
             f"ELSE {mid} END)"
         )
     return out[0], out[1]
+
+
+def ring_normalize(xs: Column, ys: Column) -> tuple:
+    """PostGIS/GEOS ``ST_Normalize``-style ring canonicalization — the
+    geometry-equality primitive (two rings describe the same polygon iff
+    their normal forms are identical): rotate the OPEN ring to start at
+    its lexicographically smallest vertex (x, then y, then lowest index
+    on exact duplicates) and orient it CCW (positive shoelace; the
+    zero-area degenerate falls to the reversed branch, deterministically
+    and twin-mirrored).
+
+    All HOF/array ops: ONE argmin fold over a vertex-struct (struct
+    comparison is lexicographic on both engines), slice+concat rotation,
+    and a first-vertex-preserving reverse for the CW case.  Returns the
+    (norm_xs, norm_ys) Column pair."""
+    n = F.size(xs)
+
+    def X(i):
+        return F.element_at(xs, i)
+
+    def Y(i):
+        return F.element_at(ys, i)
+
+    idxs = F.sequence(F.lit(1), n)
+    best = F.aggregate(
+        idxs,
+        F.struct(
+            X(F.lit(1)).alias("x"), Y(F.lit(1)).alias("y"), F.lit(1).alias("i")
+        ),
+        lambda acc, i: F.when(
+            (X(i) < acc["x"]) | ((X(i) == acc["x"]) & (Y(i) < acc["y"])),
+            F.struct(X(i).alias("x"), Y(i).alias("y"), i.alias("i")),
+        ).otherwise(acc),
+    )
+    k = best["i"]
+
+    def rot(a: Column) -> Column:
+        return F.concat(F.slice(a, k, n - k + 1), F.slice(a, F.lit(1), k - 1))
+
+    area2 = F.aggregate(
+        idxs,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + X(i) * Y(F.pmod(i, n) + 1)
+        - X(F.pmod(i, n) + 1) * Y(i),
+    )
+
+    def canon(a: Column) -> Column:
+        return F.when(area2 > 0.0, a).otherwise(
+            F.concat(F.slice(a, F.lit(1), F.lit(1)), F.reverse(F.slice(a, F.lit(2), n - 1)))
+        )
+
+    return canon(rot(xs)), canon(rot(ys))
+
+
+def ring_normalize_sql(xs: str, ys: str) -> tuple:
+    """DuckDB twin of :func:`ring_normalize`: identical argmin struct
+    fold (struct comparison is lexicographic), identical shoelace sign
+    test, slice/concat/reverse mirrored."""
+    n = f"len({xs})"
+    k = (
+        f"(list_aggregate(list_transform(range(1, {n} + 1), i -> "
+        f"{{'x': {xs}[i], 'y': {ys}[i], 'i': i}}), 'min')).i"
+    )
+    area2 = (
+        f"coalesce(list_sum(list_transform(range(1, {n} + 1), i -> "
+        f"{xs}[i] * {ys}[(i % {n}) + 1] - {xs}[(i % {n}) + 1] * {ys}[i])), 0.0)"
+    )
+
+    def rot(a: str) -> str:
+        return f"list_concat({a}[({k}):], {a}[1:({k}) - 1])"
+
+    def canon(a: str) -> str:
+        r = rot(a)
+        return (
+            f"(CASE WHEN ({area2}) > 0.0 THEN {r} "
+            f"ELSE list_concat(({r})[1:1], list_reverse(({r})[2:])) END)"
+        )
+
+    return canon(xs), canon(ys)
