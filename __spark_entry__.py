@@ -2744,6 +2744,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_slope_aspect"] = raster_slope_aspect
 
+    def terrain_measures(spark, sf_dir):
+        """gdaldem TRI (Riley + Wilson) / TPI / roughness (operators/
+        raster.py terrain_measures): the window-statistic faces of the
+        terrain family off the SAME shared 3x3 stencil as hillshade and
+        slope/aspect — one 9-way tagged explode, ONE partial-agg groupBy,
+        pure arithmetic (fixed neighbor-sum order so the twin is
+        bit-identical).  The DuckDB twin re-runs the identical stencil
+        and formulas from a VALUES offset table."""
+        from tilekiln_spark.operators.raster import rasterize
+        from tilekiln_spark.operators.raster import terrain_measures as _tm
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _tm(rasterize(d, zoom=2, res=16), res=16)
+
+    q["terrain_measures"] = terrain_measures
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -5950,6 +5966,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT tgx AS gx, tgy AS gy,
                round({_sa_slope}, 6) + 0.0 AS slope_deg,
                round({_sa_aspect}, 6) + 0.0 AS aspect_deg
+        FROM agg WHERE present = 1
+    """
+
+    # terrain-measures twin: same stencil CTEs, gdaldem TRI/TPI/roughness
+    # formulas with the SAME fixed neighbor-sum order (0,1,2,3,5,6,7,8,
+    # left-assoc) as operators/raster.py terrain_measures
+    _tm_nbrs = [0, 1, 2, 3, 5, 6, 7, 8]
+    _tm_sq = " + ".join(f"(z{i} - z4) * (z{i} - z4)" for i in _tm_nbrs)
+    _tm_ab = " + ".join(f"abs(z{i} - z4)" for i in _tm_nbrs)
+    _tm_sm = " + ".join(f"z{i}" for i in _tm_nbrs)
+    _tm_all = ", ".join(f"z{i}" for i in range(9))
+    o["terrain_measures"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               round(sqrt({_tm_sq}), 6) + 0.0 AS tri_riley,
+               round(({_tm_ab}) / 8.0, 6) + 0.0 AS tri_wilson,
+               round(z4 - ({_tm_sm}) / 8.0, 6) + 0.0 AS tpi,
+               round(greatest({_tm_all}) - least({_tm_all}), 6) + 0.0 AS roughness
         FROM agg WHERE present = 1
     """
 

@@ -209,6 +209,34 @@ def test_slope_aspect_ramp_and_flat(spark):
     assert f[(5, 5)].aspect_deg == -1.0
 
 
+def test_terrain_measures_ramp_and_flat(spark):
+    """Unit ramp in +x at the interior cell: the window is three columns
+    4/5/6, so diffs from center are (-1,0,1)x3 -> TRI Riley sqrt(6),
+    TRI Wilson 6/8, TPI 0, roughness 2.  A flat plateau zeroes all four."""
+    from tilekiln_spark.operators.raster import terrain_measures
+
+    ramp = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, gx) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    r = {(row.gx, row.gy): row for row in terrain_measures(ramp, res=16).collect()}
+    center = r[(5, 5)]
+    assert center.tri_riley == round(6.0**0.5, 6)
+    assert center.tri_wilson == 0.75
+    assert center.tpi == 0.0
+    assert center.roughness == 2.0
+
+    flat = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, 7) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    f = {(row.gx, row.gy): row for row in terrain_measures(flat, res=16).collect()}
+    assert f[(5, 5)].tri_riley == 0.0
+    assert f[(5, 5)].tri_wilson == 0.0
+    assert f[(5, 5)].tpi == 0.0
+    assert f[(5, 5)].roughness == 0.0
+
+
 def test_resample_bilinear_single_cell(spark):
     """2x bilinear upsample of one hot cell: 4 windows x 4 subpixels,
     hand-verified weights, and mass conservation (sum == v * factor^2 / ...

@@ -331,6 +331,55 @@ def slope_aspect(
     )
 
 
+def terrain_measures(cells: DataFrame, res: int = 256) -> DataFrame:
+    """GDAL ``gdaldem TRI`` (both algorithms), ``gdaldem TPI`` and
+    ``gdaldem roughness`` over the sparse count raster — the remaining
+    window-statistic faces of the terrain family, off the SAME shared 3x3
+    stencil as hillshade/slope (:func:`_stencil9`): one 9-way tagged
+    neighbor explode, ONE partial-aggregated groupBy per target, then pure
+    arithmetic expressions (no trig, no Python).
+
+    Definitions (gdaldem parity on the count grid; absent neighbors are 0
+    per the sparse-raster contract, like slope/aspect):
+
+    - ``tri_riley``  = sqrt(Σ_{i≠4} (z_i − z_4)²)          (Riley 1999,
+      gdaldem TRI default)
+    - ``tri_wilson`` = Σ_{i≠4} |z_i − z_4| / 8             (Wilson 2007,
+      ``-alg Wilson``)
+    - ``tpi``        = z_4 − Σ_{i≠4} z_i / 8               (topographic
+      position index)
+    - ``roughness``  = max(window) − min(window)            (all 9 cells)
+
+    Neighbor sums run in fixed index order 0,1,2,3,5,6,7,8 (left-assoc)
+    so the DuckDB twin is bit-identical.  Output
+    [gx, gy, tri_riley, tri_wilson, tpi, roughness] restricted to present
+    cells, rounded to 6.  At 100 TB: identical cost profile to hillshade —
+    explode factor exactly 9, map-side partial agg, no dense raster."""
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    nbrs = [0, 1, 2, 3, 5, 6, 7, 8]
+    sq = None
+    ab = None
+    sm = None
+    for i in nbrs:
+        d = z[i] - z[4]
+        sq = d * d if sq is None else sq + d * d
+        ab = F.abs(d) if ab is None else ab + F.abs(d)
+        sm = z[i] if sm is None else sm + z[i]
+    tri_riley = F.sqrt(sq)
+    tri_wilson = ab / F.lit(8.0)
+    tpi = z[4] - sm / F.lit(8.0)
+    rough = F.greatest(*z) - F.least(*z)
+    return agg.where(F.col("present") == 1).select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        (F.round(tri_riley, 6) + F.lit(0.0)).alias("tri_riley"),
+        (F.round(tri_wilson, 6) + F.lit(0.0)).alias("tri_wilson"),
+        (F.round(tpi, 6) + F.lit(0.0)).alias("tpi"),
+        (F.round(rough, 6) + F.lit(0.0)).alias("roughness"),
+    )
+
+
 def kde_density(
     points: DataFrame,
     cell: float,
