@@ -1562,6 +1562,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["offset_curves"] = offset_curves
 
+    def chaikin_smooth(spark, sf_dir):
+        """PostGIS ST_ChaikinSmoothing(line, 2) over the zigzag polyline
+        fixtures (functions/geometry.py chaikin_once): two corner-cutting
+        rounds, endpoints preserved, exact 1/4 / 3/4 binary-fraction
+        weights — a parallel transform per output vertex, each round
+        materialized as a column so expression depth stays linear.  Every
+        output vertex value-checked row-by-row via posexplode; the DuckDB
+        twin chains the identical list_transform through two CTEs."""
+        from tilekiln_spark.functions.geometry import chaikin_once
+
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        df = spark.createDataFrame(
+            rows, "line_id int, xs0 array<double>, ys0 array<double>"
+        )
+        # distinct per-round names: re-aliasing a HOF output onto its own
+        # input name miscompiles (self-referential projection + nested
+        # lambda), see tests/test_chaikin.py
+        for it in range(2):
+            sx, sy = chaikin_once(F.col(f"xs{it}"), F.col(f"ys{it}"))
+            df = df.select(
+                "line_id", sx.alias(f"xs{it + 1}"), sy.alias(f"ys{it + 1}")
+            )
+        return df.select(
+            "line_id",
+            F.posexplode(
+                F.arrays_zip(F.col("xs2").alias("x"), F.col("ys2").alias("y"))
+            ),
+        ).select(
+            "line_id",
+            F.col("pos").cast("int").alias("seq"),
+            (F.round(F.col("col.x"), 6) + 0.0).alias("px"),
+            (F.round(F.col("col.y"), 6) + 0.0).alias("py"),
+        )
+
+    q["chaikin_smooth"] = chaikin_smooth
+
     def line_substring(spark, sf_dir):
         """PostGIS ST_LineSubstring over the zigzag polyline fixtures
         (functions/geometry.py line_substring): the [0.2, 0.75] fraction
@@ -7621,6 +7660,20 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT line_id, side, CAST(i - 1 AS INTEGER) AS seq, "
         + "round(ox[i], 6) + 0.0 AS px, round(oy[i], 6) + 0.0 AS py "
         + "FROM offd CROSS JOIN LATERAL unnest(range(1, len(ox) + 1)) AS u(i)"
+    )
+
+    from tilekiln_spark.functions.geometry import chaikin_once_sql
+
+    _ck_x1, _ck_y1 = chaikin_once_sql("xs", "ys")
+    _ck_x2, _ck_y2 = chaikin_once_sql("sx1", "sy1")
+    o["chaikin_smooth"] = (
+        "WITH lines(line_id, xs, ys) AS (VALUES "
+        + ", ".join(li_rows)
+        + f"), it1 AS (SELECT line_id, {_ck_x1} AS sx1, {_ck_y1} AS sy1 FROM lines)"
+        + f", it2 AS (SELECT line_id, {_ck_x2} AS sx, {_ck_y2} AS sy FROM it1) "
+        + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
+        + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
+        + "FROM it2 CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
     )
 
     from tilekiln_spark.functions.geometry import line_substring_sql

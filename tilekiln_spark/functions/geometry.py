@@ -1824,6 +1824,71 @@ def offset_curve_sql(xs: str, ys: str, dist: float) -> tuple:
     return out[0], out[1]
 
 
+def chaikin_once(xs: Column, ys: Column) -> tuple:
+    """One PostGIS ``ST_ChaikinSmoothing`` corner-cutting iteration over an
+    open polyline (reference: tilekiln delegates smoothing to PostGIS; this
+    is the lwgeom line convention — endpoints preserved).  Each edge
+    (P_i, P_{i+1}) is cut at 1/4 and 3/4:
+
+        out = [P_1, Q_1, R_1, ..., Q_{n-1}, R_{n-1}, P_n],
+        Q_i = P_i·3/4 + P_{i+1}·1/4,  R_i = P_i·1/4 + P_{i+1}·3/4
+
+    so position 2i holds Q_i and position 2i+1 holds R_i (length 2n).
+    Weights are exact binary fractions — multiply/add only, bit-identical
+    on the DuckDB twin (:func:`chaikin_once_sql`).  A parallel ``transform``
+    per output vertex, NO sequential fold; iterations chain by reapplying
+    (the caller materializes each round as a column, so expression depth is
+    linear in the iteration count).  Returns the (sm_xs, sm_ys) pair."""
+    n = F.size(xs)
+
+    def step(a):
+        def v(j):
+            # indices are clamped into [1, n] so the NEVER-TAKEN branches
+            # (j = 1 / j = 2n fire first) still build in-range element_at
+            # operands: Spark's codegen subexpression elimination may
+            # evaluate branch subexpressions eagerly after projection
+            # collapse, and an out-of-range index hard-fails under ANSI.
+            # Clamps are inactive on every live branch (edge index is
+            # always in [1, n-1] there), so values are unchanged.
+            ie = F.least(F.floor(j / 2).cast("int"), n - 1)
+            io = F.greatest(
+                F.least(F.floor((j - 1) / 2).cast("int"), n - 1), F.lit(1)
+            )
+            q = F.element_at(a, ie) * 0.75 + F.element_at(a, ie + 1) * 0.25
+            r = F.element_at(a, io) * 0.25 + F.element_at(a, io + 1) * 0.75
+            return (
+                F.when(j == 1, F.element_at(a, 1))
+                .when(j == 2 * n, F.element_at(a, n))
+                .when(j % 2 == 0, q)
+                .otherwise(r)
+            )
+
+        return F.transform(F.sequence(F.lit(1), 2 * n), v)
+
+    return step(xs), step(ys)
+
+
+def chaikin_once_sql(xs: str, ys: str) -> tuple:
+    """DuckDB twin of :func:`chaikin_once`: identical per-vertex formulas
+    (same exact binary-fraction weights, same index arithmetic — the edge
+    index is floor(j/2) computed on DOUBLE then cast, mirroring Spark's
+    integer-safe floor) inside ``list_transform``."""
+    out = []
+    for a in (xs, ys):
+        n = f"len({a})"
+        ie = f"least(CAST(floor(j / 2.0) AS INTEGER), {n} - 1)"
+        io = f"greatest(least(CAST(floor((j - 1) / 2.0) AS INTEGER), {n} - 1), 1)"
+        q = f"({a}[{ie}] * 0.75 + {a}[{ie} + 1] * 0.25)"
+        r = f"({a}[{io}] * 0.25 + {a}[{io} + 1] * 0.75)"
+        out.append(
+            f"list_transform(range(1, 2 * {n} + 1), j -> "
+            f"CASE WHEN j = 1 THEN {a}[1] "
+            f"WHEN j = 2 * {n} THEN {a}[{n}] "
+            f"WHEN j % 2 = 0 THEN {q} ELSE {r} END)"
+        )
+    return out[0], out[1]
+
+
 def ring_normalize(xs: Column, ys: Column) -> tuple:
     """PostGIS/GEOS ``ST_Normalize``-style ring canonicalization — the
     geometry-equality primitive (two rings describe the same polygon iff
