@@ -3613,6 +3613,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_normalize"] = url_normalize_q
 
+    def cdx_index_q(spark, sf_dir):
+        """Common-Crawl CDX index build (functions/web.py surt_key): each
+        page's capture history keys by SURT (reversed host labels + ')' +
+        lowercased path + sorted surviving query params — the wayback /
+        CC-index sort convention), captures carry the 14-digit CDX
+        timestamp, and revisit records collapse per (surt, digest): one
+        groupBy emits the first capture time and the capture count.  The
+        capture fixture is deterministic (1 + doc_id%3 captures, digest
+        alternating by capture parity — a revisit every other fetch).
+        Map-only until ONE partial-aggregated groupBy on the (surt,
+        digest) key; at 10^12 rows the SURT key is the natural
+        range-partition sort key (domain-prefix locality), exactly how the
+        real CC index shards."""
+        from tilekiln_spark.functions.web import surt_key
+
+        docs = _messy_urls(_docs(spark, sf_dir))
+        caps = docs.select(
+            "doc_id",
+            "url",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(
+            days=F.col("k"), secs=(F.col("doc_id") * 13) % 86400
+        )
+        z = caps.select(
+            surt_key("url").alias("surt"),
+            F.md5(
+                F.concat(
+                    F.col("text"), F.lit("|"), (F.col("k") % 2).cast("string")
+                )
+            ).alias("digest"),
+            ts.alias("ts"),
+        )
+        return z.groupBy("surt", "digest").agg(
+            F.date_format(F.min("ts"), "yyyyMMddHHmmss").alias("first_ts"),
+            F.count("*").alias("n_captures"),
+        )
+
+    q["cdx_index"] = cdx_index_q
+
     def url_filter_funnel_q(spark, sf_dir):
         """C4-style URL admission gates (operators/webstats.py): scheme /
         host blocklist / path badwords / depth, first-match reason, funnel
@@ -8325,6 +8368,51 @@ def oracle_sql() -> dict[str, str]:
         WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL}
         SELECT doc_id, url_norm, scheme, host, domain, CAST(depth AS BIGINT) AS depth
         FROM web
+    """
+
+    # CDX/SURT twin: host/path/rest come from the shared norm CTE; the
+    # SURT assembly mirrors functions/web.py surt_key term-for-term (one
+    # leading www. label dropped, tracking strip + lowercase + byte sort
+    # on query params, empty path -> '/')
+    _surt_host = (
+        "CASE WHEN regexp_extract(pre, '://([^:/]*)', 1) LIKE 'www.%' "
+        "THEN substr(regexp_extract(pre, '://([^:/]*)', 1), 5) "
+        "ELSE regexp_extract(pre, '://([^:/]*)', 1) END"
+    )
+    _surt_qs = (
+        "array_to_string(list_sort(list_filter("
+        "string_split(lower(CASE WHEN contains(rest, '?') "
+        "THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END), '&'), "
+        "p -> p <> '' AND NOT regexp_matches(p, "
+        "'^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(=|$)'))), '&')"
+    )
+    _surt_path = (
+        "CASE WHEN regexp_extract(u1, '^[^:/?#]+://[^/?#]*(/[^?#]*)', 1) = '' "
+        "THEN '/' ELSE lower(regexp_extract(u1, '^[^:/?#]+://[^/?#]*(/[^?#]*)', 1)) END"
+    )
+    _surt_key = (
+        f"array_to_string(list_reverse(string_split({_surt_host}, '.')), ',') "
+        f"|| ')' || {_surt_path} || "
+        f"(CASE WHEN {_surt_qs} <> '' THEN '?' || {_surt_qs} ELSE '' END)"
+    )
+    o["cdx_index"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        caps AS (
+            SELECT doc_id, text, {_surt_key} AS surt, k
+            FROM norm CROSS JOIN LATERAL
+                 unnest(range(0, doc_id % 3 + 1)) AS c(k)
+        ), z AS (
+            SELECT surt,
+                   md5(text || '|' || CAST(k % 2 AS VARCHAR)) AS digest,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + INTERVAL (k) DAY
+                     + INTERVAL ((doc_id * 13) % 86400) SECOND AS ts
+            FROM caps
+        )
+        SELECT surt, digest,
+               strftime(min(ts), '%Y%m%d%H%M%S') AS first_ts,
+               count(*) AS n_captures
+        FROM z GROUP BY 1, 2
     """
 
     o["url_filter_funnel"] = f"""

@@ -112,3 +112,22 @@ def test_host_profile_dup_rate(spark):
     assert (u.n_pages, u.n_distinct_texts, u.n_langs) == (2, 2, 2)
     assert u.dup_rate == 0.0
     assert abs(u.avg_chars - 4.5) < 1e-12
+
+
+def test_surt_key_conventions(spark):
+    """SURT pins: reversed comma host, one leading www. dropped, userinfo/
+    default port gone, path lowercased ('' -> '/'), fragment dropped,
+    tracking params stripped, survivors lowercased AND byte-sorted."""
+    from tilekiln_spark.functions.web import surt_key
+
+    cases = [
+        ("http://www.Example.com/A/b?b=2&a=1", "com,example)/a/b?a=1&b=2"),
+        ("https://u:p@Sub.News.Example.com:443/P", "com,example,news,sub)/p"),
+        ("http://example.com:80", "com,example)/"),
+        ("https://example.com/x?utm_source=f&ref=1#frag", "com,example)/x"),
+        # only ONE leading www. label drops; an interior one survives
+        ("http://www.www.example.com/", "com,example,www)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(surt_key("url").alias("s")).collect()]
+    assert got == [want for _, want in cases]
