@@ -2712,6 +2712,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frechet_trajectories"] = frechet_trajectories
 
+    def dtw_trajectories(spark, sf_dir):
+        """Dynamic-time-warping distance between every user trajectory and
+        every fixture polyline (functions/geometry.py dtw_distance): the
+        sum+min DP twin of the Fréchet fold — ONE nested JVM HOF fold,
+        single live DP row, squared-Euclidean local cost, one final sqrt.
+        Lines broadcast -> map-only pair join.  The DuckDB twin unrolls
+        the DP row into m plain columns of a recursive CTE per fixture
+        line with identical d-squared arithmetic."""
+        from tilekiln_spark.functions.geometry import dtw_distance
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ordered = F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+        )
+        agg = ev.groupBy("user_id").agg(ordered.alias("o"))
+        tr = agg.select(
+            "user_id",
+            F.transform(F.col("o"), lambda s: s["mx"]).alias("axs"),
+            F.transform(F.col("o"), lambda s: s["my"]).alias("ays"),
+        )
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        lines = spark.createDataFrame(
+            rows, "line_id int, lxs array<double>, lys array<double>"
+        )
+        d = dtw_distance(
+            F.col("axs"), F.col("ays"), F.col("lxs"), F.col("lys")
+        )
+        return tr.crossJoin(F.broadcast(lines)).select(
+            "user_id",
+            "line_id",
+            (F.round(d / 1e3, 6) + F.lit(0.0)).alias("dtw_km"),
+        )
+
+    q["dtw_trajectories"] = dtw_trajectories
+
     def map_match(spark, sf_dir):
         """GPS map-matching (the snap-trace-to-road primitive): every
         sampled event point snaps to its nearest fixture polyline —
@@ -6354,6 +6392,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ev GROUP BY user_id
         ), {", ".join(_fr_ctes)}
         {" UNION ALL ".join(_fr_sel)}
+    """
+
+    from tilekiln_spark.functions.geometry import dtw_recursive_cte_sql
+
+    _dtw_ctes, _dtw_sel = [], []
+    for _lid, _uv in _LINES_UV:
+        _pts = _line_merc(_uv)
+        _cte, _fin = dtw_recursive_cte_sql(
+            f"dtwp{_lid}", "tracksf", "user_id", _pts
+        )
+        _dtw_ctes.append(_cte)
+        _dtw_sel.append(
+            f"SELECT user_id, {_lid} AS line_id, "
+            f"round({_fin} / 1000.0, 6) + 0.0 AS dtw_km "
+            f"FROM dtwp{_lid} WHERE i = len(xs)"
+        )
+    o["dtw_trajectories"] = f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracksf AS (
+            SELECT user_id,
+                   list(mx ORDER BY ts, event_id) AS xs,
+                   list(my ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        ), {", ".join(_dtw_ctes)}
+        {" UNION ALL ".join(_dtw_sel)}
     """
 
     from tilekiln_spark.functions.geometry import (

@@ -1646,6 +1646,128 @@ def frechet_distance(
     return F.sqrt(F.element_at(final, m))
 
 
+def dtw_distance(
+    axs: Column, ays: Column, bxs: Column, bys: Column
+) -> Column:
+    """Dynamic-time-warping distance between two vertex chains — the other
+    classic trajectory-similarity measure beside the discrete Fréchet
+    distance (same DP shape, ``sum``+``min`` in place of ``max``+``min``):
+
+        D[i][j] = d²(i,j) + min(D[i-1][j], D[i][j-1], D[i-1][j-1])
+
+    with SQUARED Euclidean local cost (exact difference-products — the
+    tslearn/fastdtw convention) and ``sqrt(D[n][m])`` returned, so the
+    single final sqrt is again the only rounding-sensitive step beyond the
+    fixed-order additions.  Same single-live-row execution as
+    :func:`frechet_distance`: ONE nested JVM HOF fold, no UDF, O(m) state.
+    The DuckDB twin (:func:`dtw_recursive_cte_sql`) unrolls the row into m
+    plain columns of a recursive CTE — bit-identical by construction.
+
+    At 100 TB: per-row cost O(n·m) codegen steps; the B side broadcasts, so
+    the pair join is map-only — identical scale profile to Fréchet."""
+    n, m = F.size(axs), F.size(bxs)
+
+    def d2(i: Column, j: Column) -> Column:
+        dx = F.element_at(axs, i) - F.element_at(bxs, j)
+        dy = F.element_at(ays, i) - F.element_at(bys, j)
+        return dx * dx + dy * dy
+
+    empty = F.array().cast("array<double>")
+    # first DP row: only horizontal moves — running prefix sum of d²(1, j)
+    init = F.aggregate(
+        F.sequence(F.lit(1), m),
+        empty,
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, d2(F.lit(1), j)).otherwise(
+                    d2(F.lit(1), j) + F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+
+    def step(row: Column, i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            empty,
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        j == 1,
+                        d2(i, F.lit(1)) + F.element_at(row, 1),
+                    ).otherwise(
+                        d2(i, j)
+                        + F.least(
+                            F.element_at(row, j),
+                            F.element_at(row, j - 1),
+                            F.element_at(acc, -1),
+                        )
+                    )
+                ),
+            ),
+        )
+
+    # n == 1 guard keeps the outer sequence ascending (the descending
+    # F.sequence(2, 1) footgun); when() branches evaluate lazily
+    final = F.when(n == 1, init).otherwise(
+        F.aggregate(F.sequence(F.lit(2), n), init, step)
+    )
+    return F.sqrt(F.element_at(final, m))
+
+
+def dtw_recursive_cte_sql(
+    name: str,
+    src: str,
+    key: str,
+    bpts: list,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`dtw_distance` for ONE fixture chain B given as
+    literal points — same unrolled-row recursive-CTE shape as
+    :func:`frechet_recursive_cte_sql`, with ``+``/``least`` replacing
+    ``greatest``/``least`` per the DTW recurrence.  Identical
+    difference-product d² arithmetic and exact-DOUBLE literals."""
+
+    def flit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    m = len(bpts)
+
+    def d2(iexpr: str, j: int) -> str:
+        bx, by = flit(bpts[j - 1][0]), flit(bpts[j - 1][1])
+        return (
+            f"(({xs}[{iexpr}] - {bx}) * ({xs}[{iexpr}] - {bx}) + "
+            f"({ys}[{iexpr}] - {by}) * ({ys}[{iexpr}] - {by}))"
+        )
+
+    inits = [d2("1", 1)]
+    for j in range(2, m + 1):
+        inits.append(f"{d2('1', j)} + ({inits[-1]})")
+    init_cols = ", ".join(f"{e} AS r{j + 1}" for j, e in enumerate(inits))
+
+    steps = [f"({d2('(i + 1)', 1)} + r1)"]
+    for j in range(2, m + 1):
+        steps.append(
+            f"({d2('(i + 1)', j)} + "
+            f"least(r{j}, r{j - 1}, {steps[-1]}))"
+        )
+    step_cols = ", ".join(f"{e} AS r{j + 1}" for j, e in enumerate(steps))
+
+    cte = (
+        f"{name} AS ("
+        f"SELECT {key}, {xs}, {ys}, 1 AS i, {init_cols} FROM {src} "
+        f"UNION ALL "
+        f"SELECT {key}, {xs}, {ys}, i + 1, {step_cols} "
+        f"FROM {name} WHERE i < len({xs}))"
+    )
+    final = f"sqrt(r{m})"
+    return cte, final
+
+
 def frechet_recursive_cte_sql(
     name: str,
     src: str,
