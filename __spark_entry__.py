@@ -2404,6 +2404,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delaunay_tin"] = delaunay_tin
 
+    def largest_empty_circle(spark, sf_dir):
+        """ST_LargestEmptyCircle per quadrant (operators/triangulate.py
+        largest_empty_circle): the exact vertex-candidate variant — by
+        the Delaunay empty-circumcircle property a circumcenter's
+        distance to its nearest site IS its circumradius, so the LEC is
+        the argmax of r2 over circumcenters inside the group bbox: one
+        tiny bbox broadcast + ONE argmax groupBy on the shared Delaunay
+        frame, no distance-to-sites join.  The twin replays the same
+        candidate filter with an identical (r2, ccx, ccy) tiebreak."""
+        from tilekiln_spark.operators.triangulate import (
+            largest_empty_circle as lec,
+        )
+
+        out = lec(_quadrant_pts(spark, sf_dir), "gid", "mx", "my")
+        return out.select(
+            "gid",
+            (F.round("lec_x", 3) + F.lit(0.0)).alias("lec_x"),
+            (F.round("lec_y", 3) + F.lit(0.0)).alias("lec_y"),
+            (F.round(F.col("lec_r") / 1e3, 6) + F.lit(0.0)).alias("lec_km"),
+        )
+
+    q["largest_empty_circle"] = largest_empty_circle
+
     def alpha_shape(spark, sf_dir):
         """Alpha shape (SFCGAL ST_AlphaShape / CGAL alpha complex) per
         quadrant off the SAME Delaunay frame: keep triangles with
@@ -7332,6 +7355,25 @@ def oracle_sql() -> dict[str, str]:
                round(ccx, 3) + 0.0 AS ccx, round(ccy, 3) + 0.0 AS ccy,
                round(tri_area / 1000000.0, 3) + 0.0 AS tri_km2
         FROM tri ORDER BY gid, i, j, k
+    """
+
+    o["largest_empty_circle"] = f"""
+        {_GEO_CTE}, {_TRI_CTE},
+        bbox AS (SELECT gid, min(mx) AS bx0, max(mx) AS bx1,
+                        min(my) AS by0, max(my) AS by1
+                 FROM pts GROUP BY gid),
+        cand AS (
+            SELECT t.gid, t.ccx, t.ccy,
+                   ((x_a - ccx) * (x_a - ccx)
+                    + (y_a - ccy) * (y_a - ccy)) AS r2
+            FROM tri t JOIN bbox b ON t.gid = b.gid
+            WHERE ccx >= bx0 AND ccx <= bx1 AND ccy >= by0 AND ccy <= by1)
+        SELECT gid, round(ccx, 3) + 0.0 AS lec_x,
+               round(ccy, 3) + 0.0 AS lec_y,
+               round(sqrt(r2) / 1000.0, 6) + 0.0 AS lec_km
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY gid ORDER BY r2 DESC, ccx DESC, ccy DESC) = 1
     """
 
     _TRI_EDGES = """edges AS (

@@ -118,3 +118,39 @@ def test_delaunay_is_a_triangulation_of_the_hull(spark):
     n = len(set((x, y) for _, x, y in rows))
     h = len(hull)
     assert tri.count() == 2 * n - h - 2
+
+
+def test_largest_empty_circle_unit_square_plus_center_offset(spark):
+    """5 sites: unit-square corners + an off-center interior point at
+    (0.25, 0.25).  The largest empty circle inside the bbox centers at a
+    Voronoi vertex in the emptier half; every candidate's radius is its
+    triangle's circumradius, and the winner must clear the naive
+    half-diagonal bound of the crowded corner (sqrt(2)/4 ~ 0.3536)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.triangulate import largest_empty_circle
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.0, 0.0), (1, 0.0, 1.0), (1, 1.0, 1.0),
+         (1, 0.25, 0.25)],
+        "gid int, x double, y double",
+    )
+    row = largest_empty_circle(pts, "gid", "x", "y").collect()[0]
+    # center inside the bbox, radius bigger than the crowded-corner bound
+    assert 0.0 <= row.lec_x <= 1.0 and 0.0 <= row.lec_y <= 1.0
+    assert row.lec_r > 0.3536
+    # the empty-circle invariant itself: no site strictly inside
+    d2 = [
+        (row.lec_x - x) ** 2 + (row.lec_y - y) ** 2
+        for x, y in [(0, 0), (1, 0), (0, 1), (1, 1), (0.25, 0.25)]
+    ]
+    assert min(d2) >= row.lec_r ** 2 - 1e-9
+
+
+def test_largest_empty_circle_too_few_points_empty(spark):
+    from tilekiln_spark.operators.triangulate import largest_empty_circle
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.0, 0.0)], "gid int, x double, y double"
+    )
+    assert largest_empty_circle(pts, "gid", "x", "y").count() == 0

@@ -205,6 +205,52 @@ def delaunay_triangles(
     )
 
 
+def largest_empty_circle(
+    pts: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """PostGIS ``ST_LargestEmptyCircle`` over each group's point sites,
+    candidates restricted to the sites' bounding box (PostGIS refines over
+    a grid; this is the EXACT vertex-candidate variant).
+
+    The classic computational-geometry fact does all the work: a largest
+    empty circle centered strictly inside the site set is centered on a
+    Voronoi vertex, i.e. a Delaunay circumcenter — and by the Delaunay
+    empty-circumcircle property, a circumcenter's distance to its NEAREST
+    site is exactly its triangle's circumradius.  So no distance-to-sites
+    join is needed at all: the LEC is the argmax of ``r2`` over triangles
+    whose circumcenter falls inside the group bbox (candidates on the
+    boundary of the region — Voronoi-edge/bbox intersections — are out of
+    scope, documented).
+
+    One tiny bbox aggregate broadcast back onto the Delaunay frame + ONE
+    argmax groupBy (struct max with (r2, ccx, ccy) tiebreak so the twin's
+    ORDER BY lands on the identical winner).  Groups with < 3 distinct
+    points, or whose circumcenters all fall outside the bbox, emit no row.
+    Returns ``[group_col, lec_x, lec_y, lec_r]``."""
+    tri = delaunay_triangles(pts, group_col, x_col, y_col)
+    bbox = pts.groupBy(group_col).agg(
+        F.min(x_col).alias("_bx0"),
+        F.max(x_col).alias("_bx1"),
+        F.min(y_col).alias("_by0"),
+        F.max(y_col).alias("_by1"),
+    )
+    inside = tri.join(F.broadcast(bbox), group_col).where(
+        (F.col("ccx") >= F.col("_bx0"))
+        & (F.col("ccx") <= F.col("_bx1"))
+        & (F.col("ccy") >= F.col("_by0"))
+        & (F.col("ccy") <= F.col("_by1"))
+    )
+    best = inside.groupBy(group_col).agg(
+        F.max(F.struct(F.col("r2"), F.col("ccx"), F.col("ccy"))).alias("b")
+    )
+    return best.select(
+        group_col,
+        F.col("b.ccx").alias("lec_x"),
+        F.col("b.ccy").alias("lec_y"),
+        F.sqrt(F.col("b.r2")).alias("lec_r"),
+    )
+
+
 def _tri_edges(tri: DataFrame, group_col: str) -> DataFrame:
     """Explode each triangle into its 3 edges (endpoint indices kept
     ascending — (i,j), (j,k), (i,k) are each already ordered given
