@@ -2860,6 +2860,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terrain_measures"] = terrain_measures
 
+    def hotspot_gistar(spark, sf_dir):
+        """Getis-Ord Gi* hotspot z-scores over the doc-density raster
+        (operators/raster.py hotspot_gistar): the GIS hotspot statistic
+        off the SAME shared 3x3 stencil — window sums from one explode +
+        partial-agg groupBy, study-region moments (present-cell bbox,
+        zero cells free) from ONE tiny global aggregate broadcast back,
+        then the Gi* formula as pure arithmetic.  The DuckDB twin re-runs
+        the identical stencil, moments, and formula."""
+        from tilekiln_spark.operators.raster import hotspot_gistar as _gi
+        from tilekiln_spark.operators.raster import rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _gi(rasterize(d, zoom=2, res=16), res=16)
+
+    q["hotspot_gistar"] = hotspot_gistar
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6150,6 +6166,47 @@ def oracle_sql() -> dict[str, str]:
                round(z4 - ({_tm_sm}) / 8.0, 6) + 0.0 AS tpi,
                round(greatest({_tm_all}) - least({_tm_all}), 6) + 0.0 AS roughness
         FROM agg WHERE present = 1
+    """
+
+    # Gi* twin: same stencil CTEs; study-region moments over the
+    # present-cell bbox (zero cells contribute nothing), identical
+    # term order in xbar / sdev / denom as operators/raster.py
+    _gi_si = " + ".join(f"z{i}" for i in range(9))
+    o["hotspot_gistar"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT sum(v) AS tot, sum(v * v) AS tot2,
+                   CAST((max(gx) - min(gx) + 1)
+                        * (max(gy) - min(gy) + 1) AS DOUBLE) AS nn
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               round((({_gi_si}) - (tot / nn) * 9.0)
+                     / nullif(sqrt(tot2 / nn - (tot / nn) * (tot / nn))
+                        * sqrt((nn * 9.0 - 9.0 * 9.0) / (nn - 1.0)), 0.0), 6)
+                   + 0.0 AS gi_z
+        FROM agg CROSS JOIN gmom WHERE present = 1
     """
 
     # marching-squares twin: identical window assembly (4 corner offsets,

@@ -260,3 +260,41 @@ def test_resample_bilinear_single_cell(spark):
     # edge ring: 0.25 away in one axis, 0.75 in the other
     assert vals[(9, 10)] == 0.75
     assert abs(sum(vals.values()) - 16.0) < 1e-9
+
+
+def test_hotspot_gistar_single_hot_cell(spark):
+    """One hot cell (v=9) in a sea of 1s over a 4x4 present bbox: the hot
+    cell's full window holds the most mass -> max z; the far corner's
+    window holds the least -> min z.  Hand-checked moments: N=16,
+    total=24, X-bar=1.5.  (N=9 would zero the denominator -- the nullif
+    degenerate-guard case, asserted separately.)"""
+    from tilekiln_spark.operators.raster import hotspot_gistar
+
+    rows = [(0, 0, 0, gx, gy, 9 if (gx, gy) == (5, 5) else 1)
+            for gx in (4, 5, 6, 7) for gy in (4, 5, 6, 7)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = {(r.gx, r.gy): r.gi_z for r in hotspot_gistar(cells, res=16).collect()}
+    n, tot, tot2, w = 16.0, 24.0, 15 * 1.0 + 81.0, 9.0
+    xbar = tot / n
+    sdev = (tot2 / n - xbar * xbar) ** 0.5
+    denom = sdev * ((n * w - w * w) / (n - 1.0)) ** 0.5
+    # hot center: window (4..6)x(4..6) fully present = 8 ones + 9 = 17
+    assert out[(5, 5)] == round((17.0 - xbar * w) / denom, 6)
+    # far corner (7,7): window (6..8)x(6..8) -> 4 present ones = 4
+    assert out[(7, 7)] == round((4.0 - xbar * w) / denom, 6)
+    assert out[(5, 5)] > 0.0 > out[(7, 7)]
+
+
+def test_hotspot_gistar_degenerate_region_nulls(spark):
+    """A 3x3 study region makes N*W - W^2 = 0: the nullif guard emits
+    NULL z instead of an ANSI divide-by-zero failure."""
+    from tilekiln_spark.operators.raster import hotspot_gistar
+
+    rows = [(0, 0, 0, gx, gy, gx) for gx in (4, 5, 6) for gy in (4, 5, 6)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = hotspot_gistar(cells, res=16).collect()
+    assert len(out) == 9 and all(r.gi_z is None for r in out)

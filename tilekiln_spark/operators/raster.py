@@ -380,6 +380,63 @@ def terrain_measures(cells: DataFrame, res: int = 256) -> DataFrame:
     )
 
 
+def hotspot_gistar(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the sparse count raster — the
+    classic GIS hotspot-analysis statistic (ArcGIS "Hot Spot Analysis",
+    PySAL ``esda.G_Local(star=True)``), off the SAME shared 3x3 stencil as
+    the terrain family:
+
+        Gi*(i) = (S_i − X̄·W) / (S · sqrt((N·W − W²) / (N − 1)))
+
+    with S_i the window sum (:func:`_stencil9` — absent neighbors are
+    0-valued cells per the sparse contract), binary 3x3 weights so W = 9
+    for every cell, and population moments over the STUDY REGION defined
+    as the present-cell bounding box (N = bbox cell count; zero cells
+    contribute 0 to Σx and Σx², so both reduce to present-cell sums —
+    ONE tiny global aggregate broadcast back).  X̄ = Σx/N and
+    S = sqrt(Σx²/N − X̄·X̄), identical term order in the twin.
+
+    Output [gx, gy, gi_z] restricted to present cells, rounded to 6.
+    At 100 TB: the stencil explode/groupBy is the only shuffle; the global
+    moment row broadcasts.  Degenerate all-equal rasters (S = 0) emit
+    NULL z (0/0), same on both engines."""
+    agg = _stencil9(cells, res)
+    s_i = None
+    for i in range(9):
+        s_i = F.col(f"z{i}") if s_i is None else s_i + F.col(f"z{i}")
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+        (
+            (F.max("gx") - F.min("gx") + 1) * (F.max("gy") - F.min("gy") + 1)
+        ).cast("double").alias("_nn"),
+    )
+    xbar = F.col("_tot") / F.col("_nn")
+    sdev = F.sqrt(F.col("_tot2") / F.col("_nn") - xbar * xbar)
+    w = F.lit(9.0)
+    denom = sdev * F.sqrt(
+        (F.col("_nn") * w - w * w) / (F.col("_nn") - 1.0)
+    )
+    # nullif guard: S = 0 (all-equal raster) or N = W = 9 (study region
+    # exactly one window) zero the denominator; ANSI division would throw,
+    # so both engines emit NULL z instead (twin uses the same nullif)
+    z = (s_i - xbar * w) / F.nullif(denom, F.lit(0.0))
+    return (
+        agg.where(F.col("present") == 1)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("tgx").alias("gx"),
+            F.col("tgy").alias("gy"),
+            (F.round(z, 6) + F.lit(0.0)).alias("gi_z"),
+        )
+    )
+
+
 def kde_density(
     points: DataFrame,
     cell: float,
