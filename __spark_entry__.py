@@ -2876,6 +2876,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hotspot_gistar"] = hotspot_gistar
 
+    def morans_i(spark, sf_dir):
+        """Global Moran's I over the doc-density raster (operators/
+        raster.py morans_i): PySAL esda.Moran with queen weights over the
+        bbox study region — cross-products off the shared stencil, degree
+        terms from bbox arithmetic, ΣW in closed form; every distributed
+        sum is an exact integer in a double so aggregation order is
+        immaterial.  The twin replays the identical sums and the one
+        final scalar assembly."""
+        from tilekiln_spark.operators.raster import morans_i as _mi
+        from tilekiln_spark.operators.raster import rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _mi(rasterize(d, zoom=2, res=16), res=16)
+
+    q["morans_i"] = morans_i
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6207,6 +6223,73 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt((nn * 9.0 - 9.0 * 9.0) / (nn - 1.0)), 0.0), 6)
                    + 0.0 AS gi_z
         FROM agg CROSS JOIN gmom WHERE present = 1
+    """
+
+    # Moran's I twin: same stencil + bbox-moment CTEs; exact integer sums
+    # (cross-products, degree terms) so aggregation order is immaterial,
+    # then the identical one-row scalar assembly
+    _mi_s8 = " + ".join(f"z{i}" for i in (0, 1, 2, 3, 5, 6, 7, 8))
+    o["morans_i"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT min(gx) AS bx0, max(gx) AS bx1,
+                   min(gy) AS by0, max(gy) AS by1,
+                   sum(v) AS tot, sum(v * v) AS tot2,
+                   count(*) AS npres
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), per AS (
+            SELECT z4 * ({_mi_s8}) AS c,
+                   z4 * CAST((1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                             * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                             - 1 AS DOUBLE) AS xd,
+                   bx0, bx1, by0, by1, tot, tot2, npres
+            FROM agg CROSS JOIN gmom WHERE present = 1
+        ), sums AS (
+            SELECT bx0, bx1, by0, by1, tot, tot2, npres,
+                   sum(c) AS crs, sum(xd) AS sxd
+            FROM per GROUP BY 1, 2, 3, 4, 5, 6, 7
+        )
+        SELECT npres AS n_present,
+               CAST(CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE) AS BIGINT) AS bbox_n,
+               CAST(2.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * CAST(by1 - by0 + 1 AS DOUBLE)
+                    + 2.0 * CAST(bx1 - bx0 + 1 AS DOUBLE) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0)
+                    + 4.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0) AS BIGINT) AS sw,
+               round((CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)
+                      / (2.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * CAST(by1 - by0 + 1 AS DOUBLE)
+                         + 2.0 * CAST(bx1 - bx0 + 1 AS DOUBLE) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0)
+                         + 4.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0)))
+                     * (crs - (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE))) * (2.0 * sxd)
+                        + (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))
+                          * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))
+                          * (2.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * CAST(by1 - by0 + 1 AS DOUBLE)
+                             + 2.0 * CAST(bx1 - bx0 + 1 AS DOUBLE) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0)
+                             + 4.0 * (CAST(bx1 - bx0 + 1 AS DOUBLE) - 1.0) * (CAST(by1 - by0 + 1 AS DOUBLE) - 1.0)))
+                     / nullif(tot2 - (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE))
+                              * ((tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))
+                                 * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
+                   + 0.0 AS moran_i
+        FROM sums
     """
 
     # marching-squares twin: identical window assembly (4 corner offsets,

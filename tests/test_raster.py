@@ -298,3 +298,34 @@ def test_hotspot_gistar_degenerate_region_nulls(spark):
     )
     out = hotspot_gistar(cells, res=16).collect()
     assert len(out) == 9 and all(r.gi_z is None for r in out)
+
+
+def test_morans_i_checkerboard_vs_block(spark):
+    """Perfect 4x4 checkerboard of 0/2 (encoded by presence: only the 2s
+    are present cells) is dispersed -> negative I
+    (queen weights include the SAME-color diagonals, so the checkerboard
+    lands at exactly -1/7, brute-force-verified, not at rook's -1); a
+    solid block split is clustered -> positive I.  Closed-form
+    pins: bbox_n = a*b, sw = 2(a-1)b + 2a(b-1) + 4(a-1)(b-1)."""
+    from tilekiln_spark.operators.raster import morans_i
+
+    checker = [(0, 0, 0, gx, gy, 2)
+               for gx in range(4) for gy in range(4) if (gx + gy) % 2 == 0]
+    c = spark.createDataFrame(
+        checker, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    rc = morans_i(c, res=16).collect()[0]
+    assert rc.bbox_n == 16 and rc.sw == 2 * 3 * 4 + 2 * 4 * 3 + 4 * 9
+    assert rc.n_present == 8
+    assert rc.moran_i == round(-1.0 / 7.0, 6)
+
+    block = [(0, 0, 0, gx, gy, 2)
+             for gx in range(2) for gy in range(4)]
+    # widen bbox to 4 columns with a lone far cell column marker
+    block += [(0, 0, 0, 3, 0, 2)]
+    b = spark.createDataFrame(
+        block, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    rb = morans_i(b, res=16).collect()[0]
+    assert rb.bbox_n == 16
+    assert rb.moran_i > 0.0

@@ -437,6 +437,86 @@ def hotspot_gistar(cells: DataFrame, res: int = 256) -> DataFrame:
     )
 
 
+def morans_i(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the sparse count
+    raster (PySAL ``esda.Moran`` with binary queen/8-neighbor weights) —
+    the companion scalar to :func:`hotspot_gistar`, same study-region
+    convention (the present-cell bounding box; absent cells are 0-valued).
+
+    Everything reduces to ORDER-INDEPENDENT exact sums, so distributed
+    aggregation order cannot perturb the result:
+
+    - cross   = Σ_i x_i · S8_i   (ordered present-present adjacent
+      products; pairs touching a zero cell vanish) — S8 from the shared
+      :func:`_stencil9` window,
+    - sxd     = Σ_i x_i · deg_i  with deg_i the cell's in-bbox neighbor
+      count (3/5/8 from its distance to the bbox edges),
+    - tot, tot2 = Σx, Σx² over present cells,
+    - N = a·b bbox cells; ΣW = 2(a−1)b + 2a(b−1) + 4(a−1)(b−1) ordered
+      adjacent pairs in an a×b grid (closed form).
+
+    Every product/sum is an exact small integer in a double; only the
+    final scalar assembly divides:
+
+        I = (N/ΣW) · (cross − x̄·2·sxd + x̄²·ΣW) / (tot2 − N·x̄²)
+
+    Returns ONE row [n_present, bbox_n, sw, moran_i] (moran_i NULL when
+    the variance denominator is 0 — the all-present-all-equal raster).
+    At 100 TB: one stencil shuffle + two tiny global aggregates."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.min("gx").alias("_bx0"),
+        F.max("gx").alias("_bx1"),
+        F.min("gy").alias("_by0"),
+        F.max("gy").alias("_by1"),
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+        F.count("*").alias("_npres"),
+    )
+    agg = _stencil9(cells, res).where(F.col("present") == 1)
+    s8 = None
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        s8 = F.col(f"z{i}") if s8 is None else s8 + F.col(f"z{i}")
+    j = agg.crossJoin(F.broadcast(glob))
+    cntx = (
+        F.lit(1)
+        + (F.col("tgx") > F.col("_bx0")).cast("int")
+        + (F.col("tgx") < F.col("_bx1")).cast("int")
+    )
+    cnty = (
+        F.lit(1)
+        + (F.col("tgy") > F.col("_by0")).cast("int")
+        + (F.col("tgy") < F.col("_by1")).cast("int")
+    )
+    deg = (cntx * cnty - 1).cast("double")
+    per = j.select(
+        (F.col("z4") * s8).alias("_c"),
+        (F.col("z4") * deg).alias("_xd"),
+        "_bx0", "_bx1", "_by0", "_by1", "_tot", "_tot2", "_npres",
+    )
+    out = per.groupBy(
+        "_bx0", "_bx1", "_by0", "_by1", "_tot", "_tot2", "_npres"
+    ).agg(F.sum("_c").alias("_cross"), F.sum("_xd").alias("_sxd"))
+    a = (F.col("_bx1") - F.col("_bx0") + 1).cast("double")
+    b = (F.col("_by1") - F.col("_by0") + 1).cast("double")
+    nn = a * b
+    sw = 2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0) + 4.0 * (a - 1.0) * (b - 1.0)
+    xbar = F.col("_tot") / nn
+    num = F.col("_cross") - xbar * (2.0 * F.col("_sxd")) + xbar * xbar * sw
+    den = F.col("_tot2") - nn * (xbar * xbar)
+    mi = (nn / sw) * num / F.nullif(den, F.lit(0.0))
+    return out.select(
+        F.col("_npres").alias("n_present"),
+        nn.cast("long").alias("bbox_n"),
+        sw.cast("long").alias("sw"),
+        (F.round(mi, 6) + F.lit(0.0)).alias("moran_i"),
+    )
+
+
 def kde_density(
     points: DataFrame,
     cell: float,
