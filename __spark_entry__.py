@@ -2892,6 +2892,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["morans_i"] = morans_i
 
+    def viewshed(spark, sf_dir):
+        """gdal_viewshed over the doc-density raster (operators/raster.py
+        viewshed): observer on the argmax cell, DDA parametric sampling
+        with floor(x+0.5) snapping, and the cross-multiplied tangent
+        predicate (vs-ov)*steps >= (vt-ov)*s — exact integer arithmetic,
+        no sqrt/division in the visibility test.  Bounded sample explode
+        + cell-key equi-join + ONE blocker groupBy.  The twin replays the
+        identical DDA and predicate from a range() lateral."""
+        from tilekiln_spark.operators.raster import rasterize
+        from tilekiln_spark.operators.raster import viewshed as _vs
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _vs(rasterize(d, zoom=2, res=16), res=16)
+
+    q["viewshed"] = viewshed
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6290,6 +6306,51 @@ def oracle_sql() -> dict[str, str]:
                                  * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
                    + 0.0 AS moran_i
         FROM sums
+    """
+
+    # viewshed twin: identical argmax observer, DDA snap, and integer
+    # cross-multiplied tangent predicate
+    o["viewshed"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), obs AS (
+            SELECT gx AS ox, gy AS oy, v AS ov FROM cellsg
+            QUALIFY row_number() OVER (ORDER BY v DESC, gx DESC, gy DESC) = 1
+        ), tg AS (
+            SELECT gx, gy, v, ox, oy, ov,
+                   greatest(abs(gx - ox), abs(gy - oy)) AS steps
+            FROM cellsg CROSS JOIN obs
+            WHERE gx <> ox OR gy <> oy
+        ), samp AS (
+            SELECT gx, gy, v, ov, steps, u.s,
+                   CAST(floor(ox + (gx - ox) * u.s / steps + 0.5) AS BIGINT) AS cx,
+                   CAST(floor(oy + (gy - oy) * u.s / steps + 0.5) AS BIGINT) AS cy
+            FROM tg CROSS JOIN LATERAL unnest(range(1, steps)) AS u(s)
+            WHERE steps > 1
+        ), jn AS (
+            SELECT samp.*, coalesce(sv.v, 0.0) AS vs
+            FROM samp LEFT JOIN cellsg sv ON sv.gx = samp.cx AND sv.gy = samp.cy
+        ), bl AS (
+            SELECT gx, gy,
+                   sum(CAST((vs - ov) * steps >= (v - ov) * s AS BIGINT)) AS n_blockers
+            FROM jn GROUP BY 1, 2
+        )
+        SELECT tg.gx, tg.gy,
+               coalesce(bl.n_blockers, 0) AS n_blockers,
+               coalesce(bl.n_blockers, 0) = 0 AS visible
+        FROM tg LEFT JOIN bl ON bl.gx = tg.gx AND bl.gy = tg.gy
     """
 
     # marching-squares twin: identical window assembly (4 corner offsets,

@@ -329,3 +329,33 @@ def test_morans_i_checkerboard_vs_block(spark):
     rb = morans_i(b, res=16).collect()[0]
     assert rb.bbox_n == 16
     assert rb.moran_i > 0.0
+
+
+def test_viewshed_wall_shadow(spark):
+    """Observer on the tallest cell (h=9 at gx=0); a wall of height 5 at
+    gx=2 shadows the low cells behind it on the same row: at gx=3..4
+    (h=1) the wall's tangent from the observer exceeds the target's, so
+    they are blocked; the wall itself is visible; cells in front are
+    visible.  A clear row (gy=1, all h=1) is fully visible."""
+    from tilekiln_spark.operators.raster import viewshed
+
+    rows = []
+    for gx in range(5):
+        h = {0: 9, 2: 5}.get(gx, 1)
+        rows.append((0, 0, 0, gx, 0, h))
+        rows.append((0, 0, 0, gx, 1, 9 if gx == 0 else 1))
+    # avoid a second 9 winning the argmax tiebreak: make (0,1) lower
+    rows = [(z, x, y, bx, by, 8 if (bx, by) == (0, 1) else n)
+            for (z, x, y, bx, by, n) in rows]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    got = {(r.gx, r.gy): r.visible for r in viewshed(cells, res=16).collect()}
+    assert got[(1, 0)] is True     # in front of the wall
+    assert got[(2, 0)] is True     # the wall itself
+    # behind the wall: target tangent (1-9)/3 = -2.67 vs wall (5-9)/2 = -2
+    assert got[(3, 0)] is False
+    assert got[(4, 0)] is False
+    assert all(got[(gx, 1)] for gx in range(1, 5))  # clear row visible
+    assert (0, 0) not in got          # the observer cell is excluded
+    assert got[(0, 1)] is True        # adjacent below the observer

@@ -517,6 +517,81 @@ def morans_i(cells: DataFrame, res: int = 256) -> DataFrame:
     )
 
 
+def viewshed(cells: DataFrame, res: int = 256) -> DataFrame:
+    """GDAL ``gdal_viewshed`` parity on the sparse count raster: which
+    cells are visible from the observer placed on the HIGHEST cell
+    (deterministic (v, gx, gy) argmax tiebreak), heights = cell values,
+    absent cells = the 0 plain.
+
+    Conventions (documented, twin-mirrored): the sight line O→T is
+    sampled at the DDA parameter s/steps, steps = max(|Δx|, |Δy|), each
+    sample snapped to its nearest cell by ``floor(x + 0.5)`` (identical
+    on both engines — no round-half mode dependence); the sample's
+    distance is the PARAMETRIC (s/steps)·d_T, so the tangent comparison
+    cross-multiplies to
+
+        blocked(s)  ⇔  (v_s − v_O)·steps ≥ (v_T − v_O)·s
+
+    — pure exact integer arithmetic, no sqrt, no division in the
+    predicate.  T is visible iff no strictly-interior sample blocks.
+
+    Plan shape: targets explode to their ≤ steps−1 interior samples
+    (bounded by the grid diameter), samples equi-join the cell table on
+    the snapped key for elevations (absent → 0), ONE partial-aggregated
+    groupBy per target counts blockers, and a final left join marks
+    adjacent targets (steps = 1, no samples) visible.  At 100 TB the
+    sample join is a key equi-join on the raster's natural cell key and
+    the observer row broadcasts.  Returns [gx, gy, n_blockers, visible]
+    over present non-observer cells."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    obs = src.agg(
+        F.max(F.struct(F.col("v"), F.col("gx"), F.col("gy"))).alias("b")
+    ).select(
+        F.col("b.gx").alias("ox"),
+        F.col("b.gy").alias("oy"),
+        F.col("b.v").alias("ov"),
+    )
+    t = src.crossJoin(F.broadcast(obs)).where(
+        (F.col("gx") != F.col("ox")) | (F.col("gy") != F.col("oy"))
+    )
+    steps = F.greatest(
+        F.abs(F.col("gx") - F.col("ox")), F.abs(F.col("gy") - F.col("oy"))
+    )
+    t = t.withColumn("steps", steps)
+    inner = t.where(F.col("steps") > 1).withColumn(
+        "s", F.explode(F.sequence(F.lit(1), F.col("steps") - 1))
+    )
+    sx = F.col("ox") + (F.col("gx") - F.col("ox")) * F.col("s") / F.col("steps")
+    sy = F.col("oy") + (F.col("gy") - F.col("oy")) * F.col("s") / F.col("steps")
+    samp = inner.select(
+        "gx", "gy", "ov", "v", "steps", "s",
+        F.floor(sx + 0.5).cast("long").alias("cx"),
+        F.floor(sy + 0.5).cast("long").alias("cy"),
+    )
+    sv = src.select(
+        F.col("gx").alias("cx"), F.col("gy").alias("cy"), F.col("v").alias("vs")
+    )
+    joined = samp.join(sv, ["cx", "cy"], "left").withColumn(
+        "vs", F.coalesce(F.col("vs"), F.lit(0.0))
+    )
+    blocked = (F.col("vs") - F.col("ov")) * F.col("steps") >= (
+        F.col("v") - F.col("ov")
+    ) * F.col("s")
+    bl = joined.groupBy("gx", "gy").agg(
+        F.sum(blocked.cast("long")).alias("n_blockers")
+    )
+    out = t.join(bl, ["gx", "gy"], "left").withColumn(
+        "n_blockers", F.coalesce(F.col("n_blockers"), F.lit(0))
+    )
+    return out.select(
+        "gx", "gy", "n_blockers", (F.col("n_blockers") == 0).alias("visible")
+    )
+
+
 def kde_density(
     points: DataFrame,
     cell: float,
