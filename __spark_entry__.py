@@ -3464,6 +3464,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_sessions"] = event_sessions
 
+    def emerging_hotspots(spark, sf_dir):
+        """Mann-Kendall trend per grid cell over daily event counts
+        (operators/events.py mann_kendall_cells) — the ArcGIS emerging-
+        hot-spot primitive: densified per-period counts (empty period =
+        0), S = sum of pairwise count-diff signs via ONE cell-keyed
+        self-join, tie-corrected variance, continuity-corrected z.
+        Every sum is an exact integer; the twin replays the identical
+        densify/pairs/ties plan."""
+        from tilekiln_spark.operators.events import mann_kendall_cells
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        return mann_kendall_cells(ev, cell=5e6, period_seconds=86400)
+
+    q["emerging_hotspots"] = emerging_hotspots
+
     def asof_join_views(spark, sf_dir):
         """Backward as-of join (operators/events.py asof_join — pandas
         merge_asof / kdb aj semantics): every click gains the most recent
@@ -6576,6 +6591,60 @@ def oracle_sql() -> dict[str, str]:
 
     _ev_mx = _MX_SQL.replace("doc_id", "event_id")
     _ev_my = _MY_SQL.replace("doc_id", "event_id")
+    # emerging-hotspots twin: identical densify / pairs / tie plan; every
+    # sum exact integer, sqrt twin-mirrored inside nullif
+    _mk_var = (
+        "(CAST(n_periods AS DOUBLE) * (CAST(n_periods AS DOUBLE) - 1.0)"
+        " * (2.0 * CAST(n_periods AS DOUBLE) + 5.0) - tie_term) / 18.0"
+    )
+    o["emerging_hotspots"] = f"""
+        WITH ev AS (
+            SELECT {_ev_mx} AS mx, {_ev_my} AS my, ts FROM events
+        ), src AS (
+            SELECT CAST(floor(mx / 5000000.0) AS BIGINT) AS cx,
+                   CAST(floor(my / 5000000.0) AS BIGINT) AS cy,
+                   CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS p
+            FROM ev
+        ), counts AS (
+            SELECT cx, cy, p, CAST(count(*) AS DOUBLE) AS x
+            FROM src GROUP BY 1, 2, 3
+        ), rng AS (SELECT min(p) AS pmin, max(p) AS pmax FROM counts),
+        cellsd AS (SELECT DISTINCT cx, cy FROM counts),
+        dense AS (
+            SELECT c.cx, c.cy, u.p, coalesce(k.x, 0.0) AS x
+            FROM cellsd c CROSS JOIN rng
+                 CROSS JOIN LATERAL unnest(range(pmin, pmax + 1)) AS u(p)
+            LEFT JOIN counts k ON k.cx = c.cx AND k.cy = c.cy AND k.p = u.p
+        ), s AS (
+            SELECT a.cx, a.cy,
+                   sum(CAST(sign(b.x - a.x) AS BIGINT)) AS s_stat,
+                   max(b.p) - min(a.p) + 1 AS n_periods
+            FROM dense a JOIN dense b
+              ON a.cx = b.cx AND a.cy = b.cy AND a.p < b.p
+            GROUP BY 1, 2
+        ), ties AS (
+            SELECT cx, cy,
+                   sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tie_term
+            FROM (SELECT cx, cy, x, CAST(count(*) AS DOUBLE) AS t
+                  FROM dense GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ), nev AS (
+            SELECT cx, cy, count(*) AS n_events FROM src GROUP BY 1, 2
+        )
+        SELECT s.cx, s.cy, nev.n_events, s.s_stat,
+               round(CASE
+                   WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                        / sqrt(nullif({_mk_var}, 0.0))
+                   WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                        / sqrt(nullif({_mk_var}, 0.0))
+                   ELSE 0.0 END, 6) + 0.0 AS mk_z,
+               CASE WHEN s_stat > 0 THEN 'increasing'
+                    WHEN s_stat < 0 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM s JOIN ties ON ties.cx = s.cx AND ties.cy = s.cy
+               JOIN nev ON nev.cx = s.cx AND nev.cy = s.cy
+    """
+
     o["user_trajectories"] = f"""
         WITH ev AS (
             SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my

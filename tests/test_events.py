@@ -291,3 +291,34 @@ def test_interval_join_stream_static(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.event_id, r.iv_id) for r in spark.sql("SELECT * FROM ivj_out").collect())
     assert got == [(1, 100)]
+
+
+def test_mann_kendall_cells_trends(spark):
+    """One cell with strictly increasing daily counts -> S = n(n-1)/2 and
+    'increasing'; one flat cell -> S = 0, z = 0, 'none'; densify pins an
+    absent middle day as a 0 count (S flips sign vs the skip-it answer)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tilekiln_spark.operators.events import mann_kendall_cells
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # cell A at (~0.5, 0.5)M: 1, 2, 3 events on days 0, 1, 2
+    for day, k in ((0, 1), (1, 2), (2, 3)):
+        for i in range(k):
+            rows.append((5e5, 5e5, base + dt.timedelta(days=day, hours=i)))
+    # cell B at (~-3.5M): 2 events day 0, 2 events day 2, NOTHING day 1
+    for day in (0, 2):
+        for i in range(2):
+            rows.append((-3.5e6, -3.5e6, base + dt.timedelta(days=day, hours=i)))
+    ev = spark.createDataFrame(rows, "mx double, my double, ts timestamp")
+    out = {(r.cx, r.cy): r for r in
+           mann_kendall_cells(ev, cell=5e6, period_seconds=86400).collect()}
+    a = out[(0, 0)]
+    assert (a.n_events, a.s_stat, a.trend) == (6, 3, "increasing")
+    b = out[(-1, -1)]
+    # dense series (2, 0, 2): pairs (2,0)->-1, (2,2)->0, (0,2)->+1 -> S=0
+    assert (b.n_events, b.s_stat, b.trend) == (4, 0, "none")
+    assert b.mk_z == 0.0

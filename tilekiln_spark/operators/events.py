@@ -331,3 +331,99 @@ def trajectory_stops(
         (csum(x_col) / n).alias("cx"),
         (csum(y_col) / n).alias("cy"),
     ).filter(F.col("n_pts") >= int(min_pts))
+
+
+def mann_kendall_cells(
+    ev: DataFrame,
+    cell: float,
+    period_seconds: int = 86400,
+    x_col: str = "mx",
+    y_col: str = "my",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall trend per grid cell over event-count time series — the
+    statistic under ArcGIS "Emerging Hot Spot Analysis" (space-time cube +
+    per-cell MK trend):
+
+        S = Σ_{i<j} sign(x_j − x_i)
+
+    over the cell's per-period counts, periods DENSIFIED over the global
+    [pmin, pmax] range (an empty period is a 0 count — skipping it would
+    bias S toward whatever happened to be recorded).  The variance uses
+    the standard tie correction
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    and the continuity-corrected z = (S∓1)/sqrt(Var) (0 when S = 0 or the
+    series is all-tied).  Every sum is an exact small integer, so
+    distributed aggregation order is immaterial; sqrt is the only
+    rounding-sensitive step (twin-mirrored).
+
+    Plan: ONE groupBy to (cell, period) counts, a bounded dense explode
+    (period count = time range / period_seconds, a compile-time-ish
+    constant), ONE self-equi-join on the cell key for the i<j pairs, and
+    two partial-aggregated groupBys (S; tie groups).  At 100 TB the pair
+    join is per-cell T² with T bounded (e.g. 30 days), all shuffles on
+    the cell key.  Returns [cx, cy, n_events, s_stat, mk_z, trend]."""
+    if cell <= 0 or period_seconds <= 0:
+        raise ValueError("mann_kendall_cells requires positive cell/period")
+    src = ev.select(
+        F.floor(F.col(x_col) / F.lit(float(cell))).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / F.lit(float(cell))).cast("long").alias("cy"),
+        # NTZ timestamps reject a direct double cast; hop through
+        # session-TZ timestamp (pinned UTC) so epoch seconds keep their
+        # microsecond fraction and match DuckDB's epoch()
+        F.floor(
+            F.col(ts_col).cast("timestamp").cast("double")
+            / F.lit(float(period_seconds))
+        ).cast("long").alias("p"),
+    )
+    counts = src.groupBy("cx", "cy", "p").agg(
+        F.count("*").cast("double").alias("x")
+    )
+    rng = counts.agg(F.min("p").alias("pmin"), F.max("p").alias("pmax"))
+    cells_ = counts.select("cx", "cy").distinct()
+    dense = (
+        cells_.crossJoin(F.broadcast(rng))
+        .withColumn("p", F.explode(F.sequence(F.col("pmin"), F.col("pmax"))))
+        .select("cx", "cy", "p")
+        .join(counts, ["cx", "cy", "p"], "left")
+        .withColumn("x", F.coalesce(F.col("x"), F.lit(0.0)))
+    )
+    a = dense.select("cx", "cy", F.col("p").alias("p1"), F.col("x").alias("x1"))
+    b = dense.select("cx", "cy", F.col("p").alias("p2"), F.col("x").alias("x2"))
+    pairs = a.join(b, ["cx", "cy"]).where(F.col("p1") < F.col("p2"))
+    s = pairs.groupBy("cx", "cy").agg(
+        F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias("s_stat"),
+        (F.max("p2") - F.min("p1") + 1).alias("n_periods"),
+    )
+    ties = (
+        dense.groupBy("cx", "cy", "x")
+        .agg(F.count("*").cast("double").alias("t"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1.0) * (2.0 * F.col("t") + 5.0)
+            ).alias("tie_term")
+        )
+    )
+    nev = src.groupBy("cx", "cy").agg(F.count("*").alias("n_events"))
+    out = s.join(ties, ["cx", "cy"]).join(nev, ["cx", "cy"])
+    n = F.col("n_periods").cast("double")
+    var = (n * (n - 1.0) * (2.0 * n + 5.0) - F.col("tie_term")) / 18.0
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(F.nullif(var, F.lit(0.0))))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(F.nullif(var, F.lit(0.0))))
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when(F.col("s_stat") > 0, F.lit("increasing"))
+        .when(F.col("s_stat") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    return out.select(
+        "cx", "cy", "n_events", "s_stat",
+        (F.round(z, 6) + F.lit(0.0)).alias("mk_z"),
+        trend.alias("trend"),
+    )
