@@ -3479,6 +3479,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emerging_hotspots"] = emerging_hotspots
 
+    def trajectory_cpa_q(spark, sf_dir):
+        """ST_ClosestPointOfApproach / ST_DistanceCPA between every user
+        pair (operators/events.py trajectory_cpa): time-interpolated
+        positions, per-segment-pair closed-form clamped-parabola minimum,
+        day-bucketed interval equi-join (duplicate candidates absorbed by
+        the final min), ONE (dist2, t) struct-argmin groupBy.  The twin
+        replays the identical windows, buckets, and quadratic solve."""
+        from tilekiln_spark.operators.events import trajectory_cpa
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        out = trajectory_cpa(ev, bucket_seconds=86400.0)
+        return out.select(
+            "u1",
+            "u2",
+            (F.round(F.col("cpa_dist") / 1e3, 6) + F.lit(0.0)).alias("cpa_km"),
+            (F.round(F.col("t_cpa") - 1704067200.0, 3) + F.lit(0.0)).alias(
+                "t_rel"
+            ),
+        )
+
+    q["trajectory_cpa"] = trajectory_cpa_q
+
     def asof_join_views(spark, sf_dir):
         """Backward as-of join (operators/events.py asof_join — pandas
         merge_asof / kdb aj semantics): every click gains the most recent
@@ -6643,6 +6665,65 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'none' END AS trend
         FROM s JOIN ties ON ties.cx = s.cx AND ties.cy = s.cy
                JOIN nev ON nev.cx = s.cx AND nev.cy = s.cy
+    """
+
+    # CPA twin: identical lead() segments, day buckets, and clamped
+    # quadratic solve; QUALIFY mirrors the (dist2, t) struct-argmin
+    o["trajectory_cpa"] = f"""
+        WITH ev AS (
+            SELECT user_id, event_id, ts, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), pt AS (
+            SELECT user_id AS u, epoch(ts) AS t, mx, my, event_id FROM ev
+        ), seg0 AS (
+            SELECT u, t AS t1, mx AS x1, my AS y1,
+                   lead(t) OVER w AS t2, lead(mx) OVER w AS x2,
+                   lead(my) OVER w AS y2
+            FROM pt WINDOW w AS (PARTITION BY u ORDER BY t, event_id)
+        ), seg AS (
+            SELECT * FROM seg0 WHERE t2 IS NOT NULL AND t2 > t1
+        ), segb AS (
+            SELECT *, unnest(range(CAST(floor(t1 / 86400.0) AS BIGINT),
+                                   CAST(floor(t2 / 86400.0) AS BIGINT) + 1)) AS bk
+            FROM seg
+        ), pr AS (
+            SELECT a.u AS u1, b.u AS u2,
+                   greatest(a.t1, b.t1) AS s, least(a.t2, b.t2) AS e,
+                   a.t1 AS at1, a.x1 AS ax1, a.y1 AS ay1,
+                   b.t1 AS bt1, b.x1 AS bx1, b.y1 AS by1,
+                   (a.x2 - a.x1) / (a.t2 - a.t1) AS vax,
+                   (a.y2 - a.y1) / (a.t2 - a.t1) AS vay,
+                   (b.x2 - b.x1) / (b.t2 - b.t1) AS vbx,
+                   (b.y2 - b.y1) / (b.t2 - b.t1) AS vby
+            FROM segb a JOIN segb b
+              ON a.bk = b.bk AND a.u < b.u
+             AND a.t1 <= b.t2 AND b.t1 <= a.t2
+        ), d0 AS (
+            SELECT u1, u2, s, e,
+                   (ax1 + vax * (s - at1)) - (bx1 + vbx * (s - bt1)) AS d0x,
+                   (ay1 + vay * (s - at1)) - (by1 + vby * (s - bt1)) AS d0y,
+                   vax - vbx AS vx, vay - vby AS vy
+            FROM pr
+        ), tc AS (
+            SELECT u1, u2, s, d0x, d0y, vx, vy,
+                   greatest(0.0, least(
+                       CASE WHEN vx * vx + vy * vy > 0.0
+                            THEN -(d0x * vx + d0y * vy) / (vx * vx + vy * vy)
+                            ELSE 0.0 END, e - s)) AS tauc
+            FROM d0
+        ), cand AS (
+            SELECT u1, u2,
+                   (d0x + vx * tauc) * (d0x + vx * tauc)
+                   + (d0y + vy * tauc) * (d0y + vy * tauc) AS dist2,
+                   s + tauc AS t_at
+            FROM tc
+        )
+        SELECT u1, u2,
+               round(sqrt(dist2) / 1e3, 6) + 0.0 AS cpa_km,
+               round(t_at - 1704067200.0, 3) + 0.0 AS t_rel
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY u1, u2 ORDER BY dist2, t_at) = 1
     """
 
     o["user_trajectories"] = f"""

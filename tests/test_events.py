@@ -322,3 +322,39 @@ def test_mann_kendall_cells_trends(spark):
     # dense series (2, 0, 2): pairs (2,0)->-1, (2,2)->0, (0,2)->+1 -> S=0
     assert (b.n_events, b.s_stat, b.trend) == (4, 0, "none")
     assert b.mk_z == 0.0
+
+
+def test_trajectory_cpa_crossing_and_parallel(spark):
+    """Two users crossing at the same place but NOT the same time: user 1
+    passes y=0 at t=100, user 2 runs the opposite way on the line y=3;
+    the x separation 2|t-105| vanishes at t=105, leaving the constant
+    3 m cross-track gap -> CPA distance 3 at t=105 (NOT the naive
+    closest-sample answer).  A parallel
+    co-moving pair (|V|=0) clamps tau to 0 -> constant 7 m gap at the
+    overlap start."""
+    import datetime as dt
+
+    from tilekiln_spark.operators.events import trajectory_cpa
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: moving +x through origin at t=100 (1 m/s)
+        (1, 1, ts(0), -100.0, 0.0), (1, 2, ts(200), 100.0, 0.0),
+        # user 2: moving -x through origin at t=110
+        (2, 3, ts(10), 100.0, 3.0), (2, 4, ts(210), -100.0, 3.0),
+        # users 3/4: parallel, same velocity, constant 7 m apart in y
+        (3, 5, ts(0), 0.0, 0.0), (3, 6, ts(100), 100.0, 0.0),
+        (4, 7, ts(0), 0.0, 7.0), (4, 8, ts(100), 100.0, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, mx double, my double"
+    )
+    out = {(r.u1, r.u2): r for r in trajectory_cpa(ev).collect()}
+    cpa12 = out[(1, 2)]
+    assert abs(cpa12.cpa_dist - 3.0) < 1e-9
+    t_rel = cpa12.t_cpa - dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert abs(t_rel - 105.0) < 1e-9
+    cpa34 = out[(3, 4)]
+    assert abs(cpa34.cpa_dist - 7.0) < 1e-9

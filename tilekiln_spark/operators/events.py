@@ -427,3 +427,101 @@ def mann_kendall_cells(
         (F.round(z, 6) + F.lit(0.0)).alias("mk_z"),
         trend.alias("trend"),
     )
+
+
+def trajectory_cpa(
+    ev: DataFrame,
+    bucket_seconds: float = 86400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """PostGIS ``ST_ClosestPointOfApproach`` / ``ST_DistanceCPA`` between
+    every pair of user trajectories: positions linearly interpolated in
+    TIME along each user's ordered samples, and the closest approach
+    minimized exactly — within one segment pair the squared separation is
+    a convex quadratic |D0 + V·tau|^2 over the time overlap, so its
+    minimum is the clamped parabola vertex
+
+        tau* = clamp(-(D0 . V) / |V|^2, 0, overlap),   V parallel -> tau 0
+
+    evaluated in closed form (no sampling).  The pair join is NOT a cross
+    join: segments explode to the ``bucket_seconds`` time buckets they
+    span and equi-join on the bucket key — a segment pair sharing several
+    buckets yields duplicate candidates, which the final min() absorbs,
+    so no dedup shuffle is needed.  That bucketed-interval-join shape is
+    the 100 TB contract: shuffles key on (bucket), the quadratic solve is
+    pure codegen, and the per-pair argmin is ONE partial-aggregated
+    groupBy on a (dist2, t) struct (tiebreak mirrored in the twin).
+
+    Zero-duration segments are dropped (no velocity); users with disjoint
+    time ranges simply emit no row.  Returns
+    ``[u1, u2, cpa_dist (same units as x/y), t_cpa (epoch seconds)]``."""
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    seg = (
+        ev.select(
+            F.col(user_col).alias("u"),
+            t.alias("t1"),
+            F.col(x_col).alias("x1"),
+            F.col(y_col).alias("y1"),
+            F.lead(t).over(w).alias("t2"),
+            F.lead(x_col).over(w).alias("x2"),
+            F.lead(y_col).over(w).alias("y2"),
+        )
+        .where(F.col("t2").isNotNull() & (F.col("t2") > F.col("t1")))
+    )
+    wsec = float(bucket_seconds)
+    segb = seg.withColumn(
+        "bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t1") / wsec).cast("long"),
+                F.floor(F.col("t2") / wsec).cast("long"),
+            )
+        ),
+    )
+    a, b = segb.alias("a"), segb.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.u") < F.col("b.u"))
+        & (F.col("a.t1") <= F.col("b.t2"))
+        & (F.col("b.t1") <= F.col("a.t2")),
+    )
+    s = F.greatest(F.col("a.t1"), F.col("b.t1"))
+    e = F.least(F.col("a.t2"), F.col("b.t2"))
+    vax = (F.col("a.x2") - F.col("a.x1")) / (F.col("a.t2") - F.col("a.t1"))
+    vay = (F.col("a.y2") - F.col("a.y1")) / (F.col("a.t2") - F.col("a.t1"))
+    vbx = (F.col("b.x2") - F.col("b.x1")) / (F.col("b.t2") - F.col("b.t1"))
+    vby = (F.col("b.y2") - F.col("b.y1")) / (F.col("b.t2") - F.col("b.t1"))
+    d0x = (F.col("a.x1") + vax * (s - F.col("a.t1"))) - (
+        F.col("b.x1") + vbx * (s - F.col("b.t1"))
+    )
+    d0y = (F.col("a.y1") + vay * (s - F.col("a.t1"))) - (
+        F.col("b.y1") + vby * (s - F.col("b.t1"))
+    )
+    vx = vax - vbx
+    vy = vay - vby
+    v2 = vx * vx + vy * vy
+    tau = F.when(v2 > 0.0, -(d0x * vx + d0y * vy) / v2).otherwise(F.lit(0.0))
+    tauc = F.greatest(F.lit(0.0), F.least(tau, e - s))
+    ddx = d0x + vx * tauc
+    ddy = d0y + vy * tauc
+    cand = j.select(
+        F.col("a.u").alias("u1"),
+        F.col("b.u").alias("u2"),
+        (ddx * ddx + ddy * ddy).alias("dist2"),
+        (s + tauc).alias("t_at"),
+    )
+    best = cand.groupBy("u1", "u2").agg(
+        F.min(F.struct(F.col("dist2"), F.col("t_at"))).alias("m")
+    )
+    return best.select(
+        "u1",
+        "u2",
+        F.sqrt(F.col("m.dist2")).alias("cpa_dist"),
+        F.col("m.t_at").alias("t_cpa"),
+    )
