@@ -3802,6 +3802,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdx_index"] = cdx_index_q
 
+    def crawl_diff_q(spark, sf_dir):
+        """Crawl-to-crawl diff over the CDX capture fixture: split the
+        deterministic capture history into crawl A (even capture index)
+        and crawl B (odd), take each side's LATEST digest per SURT key
+        via ONE (ts, digest) struct-argmax groupBy with conditional
+        aggregates (no pivot, no self-join), and classify every key as
+        added / removed / changed / unchanged — the snapshot-diff job an
+        incremental recrawl pipeline runs before fetch scheduling.  The
+        twin replays the identical split and max_by tiebreak."""
+        from tilekiln_spark.functions.web import surt_key
+
+        docs = _messy_urls(_docs(spark, sf_dir))
+        caps = docs.select(
+            "doc_id",
+            "url",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(
+            days=F.col("k"), secs=(F.col("doc_id") * 13) % 86400
+        )
+        # fixture reaches ALL four statuses: crawl A = even capture
+        # index EXCEPT doc_id%7==0 misses its k=0 capture (-> "added"
+        # keys), content rewrites only from the 3rd capture on (k>=2 ->
+        # "changed"; 2-capture docs stay "unchanged"; 1-capture docs
+        # with only an A capture are "removed")
+        z = caps.select(
+            surt_key("url").alias("surt"),
+            (
+                (F.col("k") % 2 == 0)
+                & ~((F.col("doc_id") % 7 == 0) & (F.col("k") == 0))
+            ).alias("in_a"),
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.when(F.col("k") >= 2, F.lit("|v2")).otherwise(F.lit("")),
+                )
+            ).alias("digest"),
+            ts.alias("ts"),
+        )
+        per = z.groupBy("surt").agg(
+            F.max(
+                F.when(F.col("in_a"), F.struct(F.col("ts"), F.col("digest")))
+            ).alias("a"),
+            F.max(
+                F.when(~F.col("in_a"), F.struct(F.col("ts"), F.col("digest")))
+            ).alias("b"),
+        )
+        status = (
+            F.when(F.col("a").isNull(), F.lit("added"))
+            .when(F.col("b").isNull(), F.lit("removed"))
+            .when(F.col("a.digest") != F.col("b.digest"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return per.select(status.alias("status")).groupBy("status").agg(
+            F.count("*").alias("n_keys")
+        )
+
+    q["crawl_diff"] = crawl_diff_q
+
     def url_filter_funnel_q(spark, sf_dir):
         """C4-style URL admission gates (operators/webstats.py): scheme /
         host blocklist / path badwords / depth, first-match reason, funnel
@@ -8871,6 +8933,36 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y%m%d%H%M%S') AS first_ts,
                count(*) AS n_captures
         FROM z GROUP BY 1, 2
+    """
+
+    o["crawl_diff"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        caps AS (
+            SELECT doc_id, text, {_surt_key} AS surt, k
+            FROM norm CROSS JOIN LATERAL
+                 unnest(range(0, doc_id % 3 + 1)) AS c(k)
+        ), z AS (
+            SELECT surt,
+                   (k % 2 = 0) AND NOT (doc_id % 7 = 0 AND k = 0) AS in_a,
+                   md5(text || CASE WHEN k >= 2 THEN '|v2' ELSE '' END) AS digest,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + INTERVAL (k) DAY
+                     + INTERVAL ((doc_id * 13) % 86400) SECOND AS ts
+            FROM caps
+        ), per AS (
+            SELECT surt,
+                   max(CASE WHEN in_a
+                       THEN struct_pack(ts := ts, digest := digest) END) AS a,
+                   max(CASE WHEN NOT in_a
+                       THEN struct_pack(ts := ts, digest := digest) END) AS b
+            FROM z GROUP BY surt
+        )
+        SELECT CASE WHEN a IS NULL THEN 'added'
+                    WHEN b IS NULL THEN 'removed'
+                    WHEN a.digest <> b.digest THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               count(*) AS n_keys
+        FROM per GROUP BY 1
     """
 
     o["url_filter_funnel"] = f"""
