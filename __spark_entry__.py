@@ -3501,6 +3501,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trajectory_cpa"] = trajectory_cpa_q
 
+    def trajectory_sinuosity(spark, sf_dir):
+        """Sinuosity + tortuosity per user trajectory: path length over
+        straight-line displacement (functions/geometry.py line_length)
+        and the mean absolute turning angle (turning_angle_sum — one
+        ascending fold per chain).  Same ordered-track assembly as the
+        Fréchet/DTW family; the twin replays identical folds."""
+        from tilekiln_spark.functions.geometry import (
+            line_length,
+            turning_angle_sum,
+        )
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ordered = F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+        )
+        agg = ev.groupBy("user_id").agg(ordered.alias("o"))
+        tr = agg.select(
+            "user_id",
+            F.transform(F.col("o"), lambda s: s["mx"]).alias("xs"),
+            F.transform(F.col("o"), lambda s: s["my"]).alias("ys"),
+        )
+        n = F.size("xs")
+        plen = line_length(F.col("xs"), F.col("ys"))
+        dx = F.element_at("xs", n) - F.element_at("xs", 1)
+        dy = F.element_at("ys", n) - F.element_at("ys", 1)
+        straight = F.sqrt(dx * dx + dy * dy)
+        turn = turning_angle_sum(F.col("xs"), F.col("ys"))
+        mean_turn = F.when(
+            n >= 3, F.degrees(turn / (n - 2).cast("double"))
+        ).otherwise(F.lit(0.0))
+        return tr.select(
+            "user_id",
+            n.cast("int").alias("n_pts"),
+            (F.round(plen / 1e3, 3) + F.lit(0.0)).alias("path_km"),
+            (
+                F.round(plen / F.nullif(straight, F.lit(0.0)), 6) + F.lit(0.0)
+            ).alias("sinuosity"),
+            (F.round(mean_turn, 6) + F.lit(0.0)).alias("mean_turn_deg"),
+        )
+
+    q["trajectory_sinuosity"] = trajectory_sinuosity
+
     def asof_join_views(spark, sf_dir):
         """Backward as-of join (operators/events.py asof_join — pandas
         merge_asof / kdb aj semantics): every click gains the most recent
@@ -6727,6 +6769,35 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'none' END AS trend
         FROM s JOIN ties ON ties.cx = s.cx AND ties.cy = s.cy
                JOIN nev ON nev.cx = s.cx AND nev.cy = s.cy
+    """
+
+    from tilekiln_spark.functions.geometry import turning_angle_sum_sql
+
+    _sin_len = _llen_sql("xs", "ys")
+    _sin_turn = turning_angle_sum_sql("xs", "ys")
+    _sin_straight = (
+        "sqrt((xs[len(xs)] - xs[1]) * (xs[len(xs)] - xs[1]) "
+        "+ (ys[len(ys)] - ys[1]) * (ys[len(ys)] - ys[1]))"
+    )
+    o["trajectory_sinuosity"] = f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracks AS (
+            SELECT user_id,
+                   list(mx ORDER BY ts, event_id) AS xs,
+                   list(my ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        )
+        SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
+               round({_sin_len} / 1e3, 3) + 0.0 AS path_km,
+               round({_sin_len} / nullif({_sin_straight}, 0.0), 6) + 0.0
+                   AS sinuosity,
+               round(CASE WHEN len(xs) >= 3
+                     THEN degrees({_sin_turn}
+                                  / CAST(len(xs) - 2 AS DOUBLE))
+                     ELSE 0.0 END, 6) + 0.0 AS mean_turn_deg
+        FROM tracks
     """
 
     # CPA twin: identical lead() segments, day buckets, and clamped

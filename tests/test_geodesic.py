@@ -356,3 +356,30 @@ def test_initial_bearing_cardinals_and_segmentize_endpoint(spark):
     for pid in (0, 1, 2):
         r = rows[pid]
         assert abs(r.la - r.lat2) < 1e-5 and abs(r.lo - r.lon2) < 1e-5, pid
+
+
+def test_turning_angle_sum_right_angles(spark):
+    """L-path (0,0)-(1,0)-(1,1): one 90-degree turn; straight path: 0;
+    a full switchback counts pi."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.geometry import turning_angle_sum
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]),
+            (2, [0.0, 1.0, 2.0], [0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]),
+            (4, [0.0, 1.0], [0.0, 0.0]),
+        ],
+        "i int, xs array<double>, ys array<double>",
+    )
+    got = {r.i: r.t for r in df.select(
+        "i", turning_angle_sum(F.col("xs"), F.col("ys")).alias("t")
+    ).collect()}
+    assert abs(got[1] - math.pi / 2) < 1e-12
+    assert got[2] == 0.0
+    assert abs(got[3] - math.pi) < 1e-12
+    assert got[4] == 0.0  # too short: guarded, no descending sequence

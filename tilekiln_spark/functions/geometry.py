@@ -97,6 +97,49 @@ def line_length_sql(xs: str, ys: str, closed: bool = False) -> str:
     )
 
 
+def turning_angle_sum(xs: Column, ys: Column) -> Column:
+    """Sum of absolute turning angles |atan2(cross, dot)| at each interior
+    vertex of an open chain — the building block of movement-analytics
+    sinuosity/tortuosity measures.  One ascending fold (guarded for
+    chains shorter than 3, like :func:`line_length`); requires no
+    repeated vertices (a zero-length edge has no direction)."""
+    n = F.size(xs)
+
+    def ang(j: Column) -> Column:
+        ux = F.element_at(xs, j) - F.element_at(xs, j - 1)
+        uy = F.element_at(ys, j) - F.element_at(ys, j - 1)
+        vx = F.element_at(xs, j + 1) - F.element_at(xs, j)
+        vy = F.element_at(ys, j + 1) - F.element_at(ys, j)
+        return F.abs(F.atan2(ux * vy - uy * vx, ux * vx + uy * vy))
+
+    s = F.aggregate(
+        F.sequence(F.lit(2), n - 1),
+        F.lit(0.0),
+        lambda acc, j: acc + ang(j),
+    )
+    return F.when(n >= 3, s).otherwise(
+        F.when(xs.isNotNull() & ys.isNotNull(), F.lit(0.0))
+    )
+
+
+def turning_angle_sum_sql(xs: str, ys: str) -> str:
+    """DuckDB twin of :func:`turning_angle_sum` (range(2, n) is exactly
+    the interior vertices; empty -> list_sum NULL -> coalesce 0)."""
+    ux = f"({xs}[j] - {xs}[j - 1])"
+    uy = f"({ys}[j] - {ys}[j - 1])"
+    vx = f"({xs}[j + 1] - {xs}[j])"
+    vy = f"({ys}[j + 1] - {ys}[j])"
+    body = (
+        f"coalesce(list_sum(list_transform(range(2, len({xs})), j -> "
+        f"abs(atan2({ux} * {vy} - {uy} * {vx}, "
+        f"{ux} * {vx} + {uy} * {vy})))), 0.0)"
+    )
+    return (
+        f"(CASE WHEN {xs} IS NULL OR {ys} IS NULL THEN NULL "
+        f"ELSE {body} END)"
+    )
+
+
 def ring_perimeter(ring_xs: Column, ring_ys: Column) -> Column:
     """Closed-ring perimeter (ST_Perimeter for a single exterior ring)."""
     return line_length(ring_xs, ring_ys, closed=True)
