@@ -2908,6 +2908,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["viewshed"] = viewshed
 
+    def raster_proximity(spark, sf_dir):
+        """gdal_proximity -maxdist 4 over the doc-density raster
+        (operators/raster.py proximity): bounded neighborhood scatter
+        with exact integer squared offsets + ONE min groupBy — the
+        kde_density shape with min instead of the kernel sum; cells
+        beyond maxdist emit nothing (gdal's nodata contract).  The twin
+        replays the identical offsets VALUES table."""
+        from tilekiln_spark.operators.raster import proximity, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return proximity(rasterize(d, zoom=2, res=16), res=16, maxdist=4)
+
+    q["raster_proximity"] = raster_proximity
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6339,6 +6353,32 @@ def oracle_sql() -> dict[str, str]:
                round(z4 - ({_tm_sm}) / 8.0, 6) + 0.0 AS tpi,
                round(greatest({_tm_all}) - least({_tm_all}), 6) + 0.0 AS roughness
         FROM agg WHERE present = 1
+    """
+
+    # proximity twin: identical bounded-offset VALUES table + min groupBy
+    _px_offs = ", ".join(
+        f"({dx}, {dy}, {dx * dx + dy * dy})"
+        for dx in range(-4, 5)
+        for dy in range(-4, 5)
+        if dx * dx + dy * dy <= 16
+    )
+    o["raster_proximity"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), cellsg AS (
+            SELECT DISTINCT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy
+            FROM binned
+        ), offs(dx, dy, d2) AS (VALUES {_px_offs})
+        SELECT gx + dx AS gx, gy + dy AS gy,
+               round(sqrt(CAST(min(d2) AS DOUBLE)), 6) + 0.0 AS dist
+        FROM cellsg CROSS JOIN offs
+        GROUP BY 1, 2
     """
 
     # Gi* twin: same stencil CTEs; study-region moments over the

@@ -359,3 +359,29 @@ def test_viewshed_wall_shadow(spark):
     assert all(got[(gx, 1)] for gx in range(1, 5))  # clear row visible
     assert (0, 0) not in got          # the observer cell is excluded
     assert got[(0, 1)] is True        # adjacent below the observer
+
+
+def test_proximity_single_source_rings(spark):
+    """One source cell: dist is the exact Euclidean offset norm out to
+    maxdist, nothing beyond (the knight cell sqrt(5) > 2 is already
+    outside the circle bound); the source is 0."""
+    import pytest
+
+    from tilekiln_spark.operators.raster import proximity
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0, 8, 8, 3)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    got = {(r.gx, r.gy): r.dist for r in proximity(cells, res=16, maxdist=2).collect()}
+    assert got[(8, 8)] == 0.0
+    assert got[(9, 8)] == 1.0
+    assert got[(9, 9)] == round(2.0 ** 0.5, 6)
+    assert (10, 9) not in got          # knight move: sqrt(5) > maxdist
+    assert got[(10, 8)] == 2.0
+    assert (11, 8) not in got          # beyond maxdist
+    assert (10, 10) not in got         # d2 = 8 > 4
+    assert len(got) == 13              # |{d2 <= 4}| = 13 cells
+
+    with pytest.raises(ValueError, match="maxdist"):
+        proximity(cells, res=16, maxdist=0)

@@ -592,6 +592,52 @@ def viewshed(cells: DataFrame, res: int = 256) -> DataFrame:
     )
 
 
+def proximity(cells: DataFrame, res: int = 256, maxdist: int = 4) -> DataFrame:
+    """GDAL ``gdal_proximity`` with ``-maxdist``: Euclidean distance (in
+    cell units) from every grid cell to the nearest PRESENT cell, bounded
+    at ``maxdist`` — beyond that a cell simply emits no row, exactly
+    gdal's nodata-beyond-maxdist contract.
+
+    Same bounded-explode + ONE partial-aggregated groupBy shape as
+    :func:`kde_density`, with ``min`` in place of the kernel sum: each
+    present cell scatters its (2k+1)² neighborhood tagged with the exact
+    squared offset; the min over contributions at a target is the true
+    squared distance to its nearest source, because any source farther
+    than ``maxdist`` could never beat one inside the window.  No dense
+    raster, no all-pairs: the explode factor is a compile-time constant
+    and the groupBy partial-aggregates map-side.  Distances compare on
+    exact INTEGER squares; the lone sqrt happens once at emit.
+
+    Returns [gx, gy, dist] for every cell within ``maxdist`` of a source
+    (sources themselves at 0.0)."""
+    if maxdist < 1:
+        raise ValueError("proximity requires maxdist >= 1")
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+    ).distinct()
+    offs = [
+        (dx, dy, dx * dx + dy * dy)
+        for dx in range(-maxdist, maxdist + 1)
+        for dy in range(-maxdist, maxdist + 1)
+        if dx * dx + dy * dy <= maxdist * maxdist
+    ]
+    structs = [
+        F.struct(
+            (F.col("gx") + dx).alias("tx"),
+            (F.col("gy") + dy).alias("ty"),
+            F.lit(d2).alias("d2"),
+        )
+        for dx, dy, d2 in offs
+    ]
+    ex = src.select(F.explode(F.array(*structs)).alias("c")).select(
+        F.col("c.tx").alias("gx"), F.col("c.ty").alias("gy"), F.col("c.d2").alias("d2")
+    )
+    return ex.groupBy("gx", "gy").agg(
+        (F.round(F.sqrt(F.min("d2").cast("double")), 6) + F.lit(0.0)).alias("dist")
+    )
+
+
 def kde_density(
     points: DataFrame,
     cell: float,
