@@ -1963,6 +1963,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["route_shortest_paths"] = route_shortest_paths
 
+    def closest_facility_q(spark, sf_dir):
+        """Closest-facility assignment over the road-network fixture
+        (operators/graph.py closest_facility): ONE multi-source frontier
+        Bellman–Ford labels every node with its nearest of facilities
+        {1, 7, 99} under the (dist, hops, facility) lexicographic label —
+        no per-facility re-run.  The DuckDB twin seeds the bounded walk
+        from all facilities and QUALIFYs the same tiebreak."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.graph import closest_facility
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(_ROUTE_EDGES, columns=["src", "dst", "w"]),
+            "src long, dst long, w double",
+        )
+        out = closest_facility(edges, facilities=[1, 7, 99])
+        return out.select(
+            "node",
+            "facility",
+            (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
+            "hops",
+        ).orderBy("node")
+
+    q["closest_facility"] = closest_facility_q
+
     def geometric_median(spark, sf_dir):
         """ST_GeometricMedian per lang over the shared geo points
         (operators/hull.py geometric_median): 8 fixed Weiszfeld
@@ -7265,6 +7290,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, round(d, 6) + 0.0 AS dist, hops
         FROM walk
         QUALIFY row_number() OVER (PARTITION BY node ORDER BY d, hops) = 1
+        ORDER BY node
+    """
+
+    o["closest_facility"] = f"""
+        WITH RECURSIVE e0(src, dst, w) AS (VALUES {_rt_vals}),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        walk(node, d, hops, fac) AS (
+            SELECT CAST(f.fac AS BIGINT), CAST(0.0 AS DOUBLE), 0,
+                   CAST(f.fac AS BIGINT)
+            FROM (VALUES (1), (7), (99)) AS f(fac)
+            UNION
+            SELECT e.dst, w.d + e.w, w.hops + 1, w.fac
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE w.hops < 12
+        )
+        SELECT node, fac AS facility, round(d, 6) + 0.0 AS dist, hops
+        FROM walk
+        QUALIFY row_number() OVER (
+            PARTITION BY node ORDER BY d, hops, fac) = 1
         ORDER BY node
     """
 

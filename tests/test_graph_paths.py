@@ -60,3 +60,42 @@ def test_shortest_paths_nonconvergence_raises(spark):
     chain = [(i, i + 1, 1.0) for i in range(5)]
     with pytest.raises(RuntimeError, match="did not converge"):
         shortest_paths(_edges(spark, chain), source=0, max_iter=2)
+
+
+def test_closest_facility_labels_and_tiebreaks(spark):
+    """Facilities {1, 7, 99} over the route fixture: node 2 is 1 hop from
+    facility 1 (dist 1) vs 2 hops from 7 (1+4? no: 2-5-7 = 1+4 = 5) ->
+    facility 1; node 8 belongs to 7 (w=1); the detached 99-100 component
+    is served only by 99; facilities label themselves at dist 0.  An
+    equal-dist equal-hops tie goes to the LOWEST facility id."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tilekiln_spark.operators.graph import closest_facility
+
+    edges = [
+        (1, 2, 1.0), (2, 3, 1.0), (1, 3, 3.0), (1, 5, 2.0), (2, 5, 1.0),
+        (3, 4, 2.0), (4, 6, 1.0), (6, 3, 1.0), (5, 7, 4.0), (7, 8, 1.0),
+        (4, 8, 2.0), (8, 9, 3.0), (99, 100, 1.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "w"]),
+        "src long, dst long, w double",
+    )
+    got = {r.node: (r.facility, r.dist, r.hops)
+           for r in closest_facility(df, [1, 7, 99]).collect()}
+    assert got[1] == (1, 0.0, 0) and got[7] == (7, 0.0, 0)
+    assert got[2] == (1, 1.0, 1)
+    assert got[8] == (7, 1.0, 1)
+    assert got[99] == (99, 0.0, 0) and got[100] == (99, 1.0, 1)
+    # node 5: dist 2 from 1 (direct) vs 4 from 7 -> facility 1
+    assert got[5] == (1, 2.0, 1)
+
+    # explicit equidistant tie: 1 - x - 7 with equal weights
+    tie = spark.createDataFrame(
+        pd.DataFrame([(1, 42, 2.0), (7, 42, 2.0)], columns=["src", "dst", "w"]),
+        "src long, dst long, w double",
+    )
+    t = {r.node: (r.facility, r.dist) for r in
+         closest_facility(tie, [1, 7]).collect()}
+    assert t[42] == (1, 2.0)  # lowest facility id wins the exact tie

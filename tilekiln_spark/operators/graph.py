@@ -255,3 +255,101 @@ def shortest_paths(
             "raise max_iter"
         )
     return dist
+
+
+def closest_facility(
+    edges: DataFrame,
+    facilities: list[int],
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Closest-facility assignment (the ArcGIS Network-Analyst face /
+    pgRouting ``pgr_dijkstraNear``): every reachable node labeled with its
+    nearest facility — MULTI-source shortest paths where the label is the
+    (dist, hops, facility) struct, so one frontier loop serves all
+    facilities simultaneously instead of |F| single-source runs.
+
+    Identical distributed shape to :func:`shortest_paths` (sparse-frontier
+    Bellman–Ford: per round ONE src-keyed join + ONE groupBy struct-min
+    over the frontier, lineage truncated); the only change is the seed
+    frame (one 0-distance row per facility) and the lexicographic label
+    (min dist, then fewest hops, then LOWEST facility id — a deterministic
+    cross-engine tiebreak on exact integer-valued weights).  Returns
+    ``(node, facility, dist, hops)`` for every node reachable from any
+    facility, facilities themselves included at dist 0."""
+    if not facilities:
+        raise ValueError("closest_facility requires at least one facility")
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("w").cast("double"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    e = e.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    lab = spark.createDataFrame(
+        [(int(f), 0.0, 0, int(f)) for f in facilities],
+        "node long, dist double, hops int, fac long",
+    ).localCheckpoint(eager=True)
+    frontier = lab
+
+    def _min_merge(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("node")
+            .agg(F.min(F.struct("dist", "hops", "fac")).alias("b"))
+            .select(
+                "node",
+                F.col("b.dist").alias("dist"),
+                F.col("b.hops").alias("hops"),
+                F.col("b.fac").alias("fac"),
+            )
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        cand = _min_merge(
+            frontier.join(e, frontier["node"] == e["src"]).select(
+                e["dst"].alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                (F.col("hops") + 1).alias("hops"),
+                "fac",
+            )
+        )
+        improved = (
+            cand.join(
+                lab.select(
+                    F.col("node"),
+                    F.col("dist").alias("od"),
+                    F.col("hops").alias("oh"),
+                    F.col("fac").alias("of"),
+                ),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("od").isNull()
+                | (
+                    F.struct("dist", "hops", "fac")
+                    < F.struct(
+                        F.col("od").alias("dist"),
+                        F.col("oh").alias("hops"),
+                        F.col("of").alias("fac"),
+                    )
+                )
+            )
+            .select("node", "dist", "hops", "fac")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            converged = True
+            break
+        lab = _min_merge(lab.union(improved)).localCheckpoint(eager=True)
+        frontier = improved
+    if not converged:
+        raise RuntimeError(
+            f"closest_facility did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter"
+        )
+    return lab.select("node", F.col("fac").alias("facility"), "dist", "hops")
