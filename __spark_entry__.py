@@ -2917,6 +2917,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["morans_i"] = morans_i
 
+    def local_morans(spark, sf_dir):
+        """Local Moran's I / LISA (operators/raster.py local_morans):
+        PySAL esda.Moran_Local with row-standardized queen weights over
+        the bbox study region — per-cell z·lag/m2 with Moran-scatterplot
+        quadrant labels (HH/LL/HL/LH), every factor the SAME float
+        expression cross-engine so sign comparisons cannot diverge.  One
+        stencil shuffle + a broadcast one-row moment aggregate.  The
+        DuckDB twin replays the identical stencil, moments, and formula."""
+        from tilekiln_spark.operators.raster import local_morans as _lm
+        from tilekiln_spark.operators.raster import rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _lm(rasterize(d, zoom=2, res=16), res=16)
+
+    q["local_morans"] = local_morans
+
     def viewshed(spark, sf_dir):
         """gdal_viewshed over the doc-density raster (operators/raster.py
         viewshed): observer on the argmax cell, DDA parametric sampling
@@ -6512,6 +6528,65 @@ def oracle_sql() -> dict[str, str]:
                                  * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
                    + 0.0 AS moran_i
         FROM sums
+    """
+
+    # local Moran's I (LISA) twin: same stencil + bbox-moment CTEs, then
+    # the identical per-cell z·lag/m2 assembly and quadrant CASE order
+    o["local_morans"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT min(gx) AS bx0, max(gx) AS bx1,
+                   min(gy) AS by0, max(gy) AS by1,
+                   sum(v) AS tot, sum(v * v) AS tot2
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), fac AS (
+            SELECT tgx, tgy,
+                   z4 - (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE))) AS zi,
+                   (({_mi_s8})
+                    - CAST((1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                           * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                           - 1 AS DOUBLE)
+                      * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE))))
+                   / CAST((1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                          * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                          - 1 AS DOUBLE) AS lag,
+                   (tot2 - (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE))
+                           * ((tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))
+                              * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))))
+                   / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)) AS m2
+            FROM agg CROSS JOIN gmom WHERE present = 1
+        ), lis AS (
+            SELECT tgx, tgy, zi, lag, zi * lag / nullif(m2, 0.0) AS li FROM fac
+        )
+        SELECT tgx AS gx, tgy AS gy, round(li, 6) + 0.0 AS local_i,
+               CASE WHEN li IS NULL THEN 'NA'
+                    WHEN zi > 0 AND lag > 0 THEN 'HH'
+                    WHEN zi < 0 AND lag < 0 THEN 'LL'
+                    WHEN zi > 0 AND lag < 0 THEN 'HL'
+                    WHEN zi < 0 AND lag > 0 THEN 'LH'
+                    ELSE 'NA' END AS quad
+        FROM lis
     """
 
     # viewshed twin: identical argmax observer, DDA snap, and integer

@@ -331,6 +331,63 @@ def test_morans_i_checkerboard_vs_block(spark):
     assert rb.moran_i > 0.0
 
 
+def test_local_morans_brute_force(spark):
+    """LISA on a 4x4 grid with a hot 2x2 corner: every cell's local_i and
+    quadrant match an independent brute-force PySAL-convention recompute
+    (row-standardized queen weights, m2 with the n denominator, bbox
+    study region with absent cells as 0-valued observations)."""
+    from tilekiln_spark.operators.raster import local_morans
+
+    vals = {(gx, gy): (9 if gx < 2 and gy < 2 else 1)
+            for gx in range(4) for gy in range(4)}
+    # knock one cell out entirely: absent => 0-valued observation in the
+    # study region, and it must NOT appear in the output
+    del vals[(3, 3)]
+    rows = [(0, 0, 0, gx, gy, v) for (gx, gy), v in vals.items()]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = {(r.gx, r.gy): (r.local_i, r.quad)
+           for r in local_morans(cells, res=16).collect()}
+    assert set(out) == set(vals)
+
+    n = 16.0
+    tot = float(sum(vals.values()))
+    xbar = tot / n
+    m2 = (sum(v * v for v in vals.values()) - n * xbar * xbar) / n
+    for (gx, gy), v in vals.items():
+        nbrs = [(gx + dx, gy + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                if not (dx == 0 and dy == 0)
+                and 0 <= gx + dx <= 3 and 0 <= gy + dy <= 3]
+        lag = sum(float(vals.get(p, 0)) - xbar for p in nbrs) / len(nbrs)
+        zi = v - xbar
+        li = zi * lag / m2
+        got_i, got_q = out[(gx, gy)]
+        assert abs(got_i - li) < 1e-6, (gx, gy)
+        exp_q = ("HH" if zi > 0 and lag > 0 else
+                 "LL" if zi < 0 and lag < 0 else
+                 "HL" if zi > 0 and lag < 0 else
+                 "LH" if zi < 0 and lag > 0 else "NA")
+        assert got_q == exp_q, (gx, gy)
+    # the hot corner interior is HH; the far all-1 region is LL
+    assert out[(0, 0)][1] == "HH"
+    assert out[(3, 0)][1] == "LL"
+
+
+def test_local_morans_degenerate_all_equal(spark):
+    """All-present all-equal raster: m2 = 0 -> NULL local_i, quad 'NA'
+    on every cell (the nullif guard, same contract as global Moran)."""
+    from tilekiln_spark.operators.raster import local_morans
+
+    rows = [(0, 0, 0, gx, gy, 3) for gx in range(3) for gy in range(3)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = local_morans(cells, res=16).collect()
+    assert len(out) == 9
+    assert all(r.local_i is None and r.quad == "NA" for r in out)
+
+
 def test_viewshed_wall_shadow(spark):
     """Observer on the tallest cell (h=9 at gx=0); a wall of height 5 at
     gx=2 shadows the low cells behind it on the same row: at gx=3..4

@@ -517,6 +517,82 @@ def morans_i(cells: DataFrame, res: int = 256) -> DataFrame:
     )
 
 
+def local_morans(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA; PySAL ``esda.Moran_Local`` with
+    row-standardized queen weights) over the sparse count raster — the
+    per-cell companion to :func:`morans_i`, same study-region convention
+    (present-cell bounding box; absent cells are 0-valued observations).
+
+    For present cell i with value x_i:
+
+        z_i   = x_i − x̄                       (x̄ = Σx / N over bbox)
+        lag_i = (S8_i − deg_i·x̄) / deg_i       (row-standardized queen lag;
+                S8 from the shared :func:`_stencil9` window, deg_i the
+                in-bbox neighbor count 3/5/8 from bbox-edge distances)
+        m2    = (Σx² − N·x̄²) / N               (PySAL's n-denominator)
+        I_i   = z_i · lag_i / m2
+
+    plus the Moran-scatterplot quadrant label: HH (z>0, lag>0), LL, HL,
+    LH, and 'NA' when either factor is exactly 0 (or m2 = 0).  Every
+    factor is the SAME float expression on both engines, so comparisons
+    and the final product are bit-identical.
+
+    Output [gx, gy, local_i, quad] restricted to present cells, local_i
+    rounded to 6.  At 100 TB: the stencil explode/groupBy is the only
+    shuffle; the one-row global moment aggregate broadcasts back."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.min("gx").alias("_bx0"),
+        F.max("gx").alias("_bx1"),
+        F.min("gy").alias("_by0"),
+        F.max("gy").alias("_by1"),
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+    )
+    agg = _stencil9(cells, res).where(F.col("present") == 1)
+    s8 = None
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        s8 = F.col(f"z{i}") if s8 is None else s8 + F.col(f"z{i}")
+    j = agg.crossJoin(F.broadcast(glob))
+    a = (F.col("_bx1") - F.col("_bx0") + 1).cast("double")
+    b = (F.col("_by1") - F.col("_by0") + 1).cast("double")
+    nn = a * b
+    xbar = F.col("_tot") / nn
+    cntx = (
+        F.lit(1)
+        + (F.col("tgx") > F.col("_bx0")).cast("int")
+        + (F.col("tgx") < F.col("_bx1")).cast("int")
+    )
+    cnty = (
+        F.lit(1)
+        + (F.col("tgy") > F.col("_by0")).cast("int")
+        + (F.col("tgy") < F.col("_by1")).cast("int")
+    )
+    deg = (cntx * cnty - 1).cast("double")
+    zi = F.col("z4") - xbar
+    lag = (s8 - deg * xbar) / deg
+    m2 = (F.col("_tot2") - nn * (xbar * xbar)) / nn
+    li = zi * lag / F.nullif(m2, F.lit(0.0))
+    quad = (
+        F.when(li.isNull(), F.lit("NA"))
+        .when((zi > 0) & (lag > 0), F.lit("HH"))
+        .when((zi < 0) & (lag < 0), F.lit("LL"))
+        .when((zi > 0) & (lag < 0), F.lit("HL"))
+        .when((zi < 0) & (lag > 0), F.lit("LH"))
+        .otherwise(F.lit("NA"))
+    )
+    return j.select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        (F.round(li, 6) + F.lit(0.0)).alias("local_i"),
+        quad.alias("quad"),
+    )
+
+
 def viewshed(cells: DataFrame, res: int = 256) -> DataFrame:
     """GDAL ``gdal_viewshed`` parity on the sparse count raster: which
     cells are visible from the observer placed on the HIGHEST cell
