@@ -2719,6 +2719,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_trajectories"] = user_trajectories
 
+    def od_flows(spark, sf_dir):
+        """Origin–destination flow matrix (operators/events.py od_flows):
+        per user, first/last track sample via struct min/max aggregates
+        (distributed argmin — no sort, no window), endpoints assigned to
+        z4 tile zones with the shared tile_x/tile_y codegen, flows
+        rolled up per zone pair with order-independent min/max
+        displacement stats.  Two compact-key shuffles.  The DuckDB twin
+        picks endpoints with first/last(ORDER BY ts, event_id) and runs
+        the identical zone and distance arithmetic."""
+        from tilekiln_spark.operators.events import od_flows as _od
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        return _od(ev, zoom=4)
+
+    q["od_flows"] = od_flows
+
     def frechet_trajectories(spark, sf_dir):
         """PostGIS ST_FrechetDistance (discrete) between every user
         trajectory and every fixture polyline (functions/geometry.py
@@ -7012,6 +7028,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
                round({_llen_sql('xs', 'ys')}, 6) + 0.0 AS track_len_m
         FROM tracks
+    """
+
+    _odx_o, _ody_o = _tile_xy_sql(4, "omx", "omy")
+    _odx_d, _ody_d = _tile_xy_sql(4, "dmx", "dmy")
+    o["od_flows"] = f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), od AS (
+            SELECT user_id,
+                   first(mx ORDER BY ts, event_id) AS omx,
+                   first(my ORDER BY ts, event_id) AS omy,
+                   last(mx ORDER BY ts, event_id) AS dmx,
+                   last(my ORDER BY ts, event_id) AS dmy
+            FROM ev GROUP BY user_id
+        ), per AS (
+            SELECT {_odx_o} AS o_x, {_ody_o} AS o_y,
+                   {_odx_d} AS d_x, {_ody_d} AS d_y,
+                   sqrt((dmx - omx) * (dmx - omx) + (dmy - omy) * (dmy - omy))
+                       / 1000.0 AS km
+            FROM od
+        )
+        SELECT o_x, o_y, d_x, d_y, count(*) AS n_users,
+               round(min(km), 6) + 0.0 AS min_km,
+               round(max(km), 6) + 0.0 AS max_km
+        FROM per GROUP BY 1, 2, 3, 4
     """
 
     from tilekiln_spark.functions.geometry import frechet_recursive_cte_sql

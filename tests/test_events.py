@@ -358,3 +358,58 @@ def test_trajectory_cpa_crossing_and_parallel(spark):
     assert abs(t_rel - 105.0) < 1e-9
     cpa34 = out[(3, 4)]
     assert abs(cpa34.cpa_dist - 7.0) < 1e-9
+
+
+def test_od_flows_endpoints_zones_and_stats(spark):
+    """Three users: two share the same west->east trip (same z1 zone
+    pair, different displacement lengths -> n_users=2 with distinct
+    min/max km), one stays in place (origin zone == dest zone, 0 km).
+    Endpoints are picked by (ts, event_id) order, NOT row order — user 1's
+    rows are supplied shuffled to pin that."""
+    import datetime as dt
+
+    from tilekiln_spark.operators.events import od_flows
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    q = HALF_WORLD / 2  # zone centers at zoom 1: +-q
+    rows = [
+        # user 1 (shuffled): starts west (-q, q), ends east (q, q)
+        (1, 12, ts(50), 0.0, q),
+        (1, 13, ts(90), q, q),          # last by ts
+        (1, 11, ts(10), -q, q),         # first by ts
+        # user 2: same zones, shorter displacement
+        (2, 21, ts(0), -q / 2, q), (2, 22, ts(60), q / 2, q),
+        # user 3: never leaves its zone
+        (3, 31, ts(0), q, -q), (3, 32, ts(30), q, -q),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, mx double, my double"
+    )
+    out = {(r.o_x, r.o_y, r.d_x, r.d_y): r for r in od_flows(ev, zoom=1).collect()}
+    assert set(out) == {(0, 0, 1, 0), (1, 1, 1, 1)}
+    flow = out[(0, 0, 1, 0)]
+    assert flow.n_users == 2
+    assert abs(flow.min_km - q / 1000.0) < 1e-6          # user 2: q total
+    assert abs(flow.max_km - 2 * q / 1000.0) < 1e-6      # user 1: 2q total
+    stay = out[(1, 1, 1, 1)]
+    assert stay.n_users == 1 and stay.min_km == 0.0 and stay.max_km == 0.0
+
+
+def test_od_flows_ts_tie_breaks_on_order_col(spark):
+    """Two samples with the SAME timestamp: the event_id tiebreak decides
+    first/last deterministically (struct min/max ordering)."""
+    import datetime as dt
+
+    from tilekiln_spark.operators.events import od_flows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 2, t0, 1000.0, 0.0), (1, 1, t0, -1000.0, 0.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, mx double, my double"
+    )
+    r = od_flows(ev, zoom=0).collect()[0]
+    # first = event_id 1 at x=-1000, last = event_id 2 at x=+1000 -> 2 km
+    assert abs(r.min_km - 2.0) < 1e-9 and abs(r.max_km - 2.0) < 1e-9

@@ -525,3 +525,52 @@ def trajectory_cpa(
         F.sqrt(F.col("m.dist2")).alias("cpa_dist"),
         F.col("m.t_at").alias("t_cpa"),
     )
+
+
+def od_flows(
+    points: DataFrame,
+    zoom: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """Origin–destination flow matrix over trajectories — the classic
+    movement-analytics rollup (flowmap / OD-cube): each user's track
+    contributes one trip from its FIRST to its LAST sample (by
+    ``(ts, order_col)``), both endpoints assigned to zoom-``zoom``
+    tile zones, flows aggregated per (origin zone, destination zone).
+
+    Shape: ONE groupBy(user) with struct min/max aggregates picks the
+    endpoints (no sort, no window — min/max over (ts, order, x, y)
+    structs is the distributed argmin/argmax), then zone assignment is
+    pure codegen (:func:`~tilekiln_spark.functions.tileids.tile_x`) and
+    the flow rollup is ONE partial-aggregated groupBy on the zone-pair
+    key.  Two shuffles total, both on compact keys; no driver collect.
+
+    Displacement stats per flow use min/max (order-independent exact
+    float comparisons — cross-engine safe where a distributed avg is
+    not).  Returns ``[o_x, o_y, d_x, d_y, n_users, min_km, max_km]``
+    with km rounded to 6."""
+    from tilekiln_spark.functions.tileids import tile_x, tile_y
+
+    ends = points.groupBy(user_col).agg(
+        F.min(F.struct(ts_col, order_col, x_col, y_col)).alias("o"),
+        F.max(F.struct(ts_col, order_col, x_col, y_col)).alias("d"),
+    )
+    z = F.lit(int(zoom))
+    ddx = F.col(f"d.{x_col}") - F.col(f"o.{x_col}")
+    ddy = F.col(f"d.{y_col}") - F.col(f"o.{y_col}")
+    per = ends.select(
+        tile_x(z, F.col(f"o.{x_col}")).alias("o_x"),
+        tile_y(z, F.col(f"o.{y_col}")).alias("o_y"),
+        tile_x(z, F.col(f"d.{x_col}")).alias("d_x"),
+        tile_y(z, F.col(f"d.{y_col}")).alias("d_y"),
+        (F.sqrt(ddx * ddx + ddy * ddy) / F.lit(1000.0)).alias("km"),
+    )
+    return per.groupBy("o_x", "o_y", "d_x", "d_y").agg(
+        F.count("*").alias("n_users"),
+        (F.round(F.min("km"), 6) + F.lit(0.0)).alias("min_km"),
+        (F.round(F.max("km"), 6) + F.lit(0.0)).alias("max_km"),
+    )
