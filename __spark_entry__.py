@@ -1988,6 +1988,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["closest_facility"] = closest_facility_q
 
+    def service_areas_q(spark, sf_dir):
+        """Service areas / isochrones over the road-network fixture
+        (operators/graph.py service_areas — pgr_drivingDistance): per
+        facility {1, 7}, every node within total cost 5, labels keyed
+        (node, facility) so overlapping areas report BOTH facilities;
+        candidates over budget pruned at generation so the frontier only
+        carries in-budget labels.  The DuckDB twin seeds the bounded
+        walk from both facilities with the same budget predicate and
+        QUALIFYs per (node, facility)."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.graph import service_areas
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(_ROUTE_EDGES, columns=["src", "dst", "w"]),
+            "src long, dst long, w double",
+        )
+        out = service_areas(edges, facilities=[1, 7], budget=5.0)
+        return out.select(
+            "facility",
+            "node",
+            (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
+            "hops",
+        ).orderBy("facility", "node")
+
+    q["service_areas"] = service_areas_q
+
     def geometric_median(spark, sf_dir):
         """ST_GeometricMedian per lang over the shared geo points
         (operators/hull.py geometric_median): 8 fixed Weiszfeld
@@ -7408,6 +7435,26 @@ def oracle_sql() -> dict[str, str]:
         FROM walk
         QUALIFY row_number() OVER (PARTITION BY node ORDER BY d, hops) = 1
         ORDER BY node
+    """
+
+    o["service_areas"] = f"""
+        WITH RECURSIVE e0(src, dst, w) AS (VALUES {_rt_vals}),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        walk(node, d, hops, fac) AS (
+            SELECT CAST(f.fac AS BIGINT), CAST(0.0 AS DOUBLE), 0,
+                   CAST(f.fac AS BIGINT)
+            FROM (VALUES (1), (7)) AS f(fac)
+            UNION
+            SELECT e.dst, w.d + e.w, w.hops + 1, w.fac
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE w.d + e.w <= 5.0 AND w.hops < 12
+        )
+        SELECT fac AS facility, node, round(d, 6) + 0.0 AS dist, hops
+        FROM walk
+        QUALIFY row_number() OVER (
+            PARTITION BY node, fac ORDER BY d, hops) = 1
+        ORDER BY facility, node
     """
 
     o["closest_facility"] = f"""

@@ -99,3 +99,56 @@ def test_closest_facility_labels_and_tiebreaks(spark):
     t = {r.node: (r.facility, r.dist) for r in
          closest_facility(tie, [1, 7]).collect()}
     assert t[42] == (1, 2.0)  # lowest facility id wins the exact tie
+
+
+def test_service_areas_overlap_budget_and_labels(spark):
+    """Budget-5 service areas from facilities {1, 7} on the route
+    fixture, hand-computed: node 4 sits in BOTH areas (multi-label, the
+    contract closest_facility deliberately lacks); node 5 keeps the
+    fewest-hops label among equal-dist paths; 8 is out of 1's budget but
+    inside 7's; the disconnected 99/100 component emits nothing."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.graph import service_areas
+
+    route = [
+        (1, 2, 1.0), (2, 3, 1.0), (1, 3, 3.0), (1, 5, 2.0), (2, 5, 1.0),
+        (3, 4, 2.0), (4, 6, 1.0), (6, 3, 1.0), (5, 7, 4.0), (7, 8, 1.0),
+        (4, 8, 2.0), (8, 9, 3.0), (99, 100, 1.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(route, columns=["src", "dst", "w"]),
+        "src long, dst long, w double",
+    )
+    got = {(r.facility, r.node): (r.dist, r.hops)
+           for r in service_areas(df, [1, 7], budget=5.0).collect()}
+    exp = {
+        (1, 1): (0.0, 0), (1, 2): (1.0, 1), (1, 3): (2.0, 2),
+        (1, 5): (2.0, 1), (1, 6): (3.0, 3), (1, 4): (4.0, 3),
+        (7, 7): (0.0, 0), (7, 8): (1.0, 1), (7, 4): (3.0, 2),
+        (7, 5): (4.0, 1), (7, 9): (4.0, 2), (7, 6): (4.0, 3),
+        (7, 3): (5.0, 3), (7, 2): (5.0, 2),
+    }
+    assert got == exp
+
+
+def test_service_areas_zero_budget_and_validation(spark):
+    """Budget 0 returns exactly the facilities themselves; negative
+    budget and empty facility list raise."""
+    import pandas as pd
+    import pytest
+
+    from tilekiln_spark.operators.graph import service_areas
+
+    df = spark.createDataFrame(
+        pd.DataFrame(EDGES, columns=["src", "dst", "w"]),
+        "src long, dst long, w double",
+    )
+    rows = service_areas(df, [1, 99], budget=0.0).collect()
+    assert {(r.facility, r.node, r.dist, r.hops) for r in rows} == {
+        (1, 1, 0.0, 0), (99, 99, 0.0, 0),
+    }
+    with pytest.raises(ValueError):
+        service_areas(df, [], budget=1.0)
+    with pytest.raises(ValueError):
+        service_areas(df, [1], budget=-1.0)

@@ -353,3 +353,105 @@ def closest_facility(
             "rounds; raise max_iter"
         )
     return lab.select("node", F.col("fac").alias("facility"), "dist", "hops")
+
+
+def service_areas(
+    edges: DataFrame,
+    facilities: list[int],
+    budget: float,
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Service areas / isochrone reachability (pgRouting
+    ``pgr_drivingDistance``, ArcGIS Network-Analyst "Service Area"): for
+    EACH facility, every node reachable within total cost ``budget`` —
+    the multi-LABEL counterpart to :func:`closest_facility` (which keeps
+    only the winning facility per node; here a node inside two budgets
+    appears once per facility, because overlapping service areas are the
+    point of the analysis).
+
+    Distributed shape: the same sparse-frontier Bellman–Ford loop, but
+    labels key on ``(node, facility)`` and candidates over ``budget``
+    are pruned AT GENERATION — the frontier only ever carries in-budget
+    labels, so per-round work is proportional to the service-area size,
+    not the graph.  With positive weights the pruned relaxation strictly
+    increases dist, so the loop terminates without a hop bound; rounds =
+    the deepest in-budget hop count.  Per round: ONE src-keyed join +
+    ONE groupBy((node, fac)) struct-min, lineage truncated.
+
+    Determinism: exact integer-valued double weights make every label
+    exact, so min(dist, hops) is order-independent cross-engine.
+    Returns ``(facility, node, dist, hops)``, facilities themselves at
+    dist 0 (a facility outside its own budget is impossible: 0 <= budget
+    is required)."""
+    if not facilities:
+        raise ValueError("service_areas requires at least one facility")
+    if budget < 0:
+        raise ValueError("service_areas requires a non-negative budget")
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("w").cast("double"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    e = e.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    lab = spark.createDataFrame(
+        [(int(f), int(f), 0.0, 0) for f in facilities],
+        "node long, fac long, dist double, hops int",
+    ).localCheckpoint(eager=True)
+    frontier = lab
+
+    def _min_merge(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("node", "fac")
+            .agg(F.min(F.struct("dist", "hops")).alias("b"))
+            .select(
+                "node", "fac",
+                F.col("b.dist").alias("dist"),
+                F.col("b.hops").alias("hops"),
+            )
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        cand = _min_merge(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                e["dst"].alias("node"),
+                "fac",
+                (F.col("dist") + F.col("w")).alias("dist"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            .filter(F.col("dist") <= F.lit(float(budget)))
+        )
+        improved = (
+            cand.join(
+                lab.select(
+                    F.col("node"), F.col("fac"),
+                    F.col("dist").alias("od"), F.col("hops").alias("oh"),
+                ),
+                ["node", "fac"],
+                "left",
+            )
+            .filter(
+                F.col("od").isNull()
+                | (F.col("dist") < F.col("od"))
+                | ((F.col("dist") == F.col("od")) & (F.col("hops") < F.col("oh")))
+            )
+            .select("node", "fac", "dist", "hops")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            converged = True
+            break
+        lab = _min_merge(lab.union(improved)).localCheckpoint(eager=True)
+        frontier = improved
+    if not converged:
+        raise RuntimeError(
+            f"service_areas did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter"
+        )
+    return lab.select(F.col("fac").alias("facility"), "node", "dist", "hops")
