@@ -2036,6 +2036,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geometric_median"] = geometric_median
 
+    def std_ellipse(spark, sf_dir):
+        """Standard deviational ellipse per lang (operators/hull.py
+        std_dev_ellipse — ArcGIS "Directional Distribution"): coordinates
+        snapped to a km grid so every moment term is an exact
+        integer-valued double (order-independent distributed sums,
+        cross-engine safe with no per-group collect), then mean center /
+        orientation / semi-axes assembled from the five exact sums as
+        per-group scalar arithmetic.  ONE partial-agg groupBy.  The
+        DuckDB twin runs the identical snap, sums, and assembly."""
+        from tilekiln_spark.operators.hull import std_dev_ellipse
+
+        geo = _mx_my(_docs(spark, sf_dir))
+        out = std_dev_ellipse(geo, "lang")
+        return out.select(
+            "lang",
+            "n_pts",
+            (F.round("cx", 6) + F.lit(0.0)).alias("cx"),
+            (F.round("cy", 6) + F.lit(0.0)).alias("cy"),
+            (F.round("angle_deg", 6) + F.lit(0.0)).alias("angle_deg"),
+            (F.round("major", 6) + F.lit(0.0)).alias("major_km"),
+            (F.round("minor", 6) + F.lit(0.0)).alias("minor_km"),
+        ).orderBy("lang")
+
+    q["std_ellipse"] = std_ellipse
+
     def cluster_intersecting(spark, sf_dir):
         """ST_ClusterIntersecting (operators/spatial_join.py
         polygons_cluster_intersecting): transitive intersection clusters
@@ -8237,6 +8262,46 @@ def oracle_sql() -> dict[str, str]:
         )
 
     _gm_ctes = ",\n        ".join(_gm_step_sql(k) for k in range(1, 9))
+    # standard deviational ellipse twin: identical km snap -> exact
+    # integer moment sums -> identical scalar assembly
+    o["std_ellipse"] = f"""
+        {_GEO_CTE}, sn AS (
+            SELECT lang, floor(mx / 1000.0) AS xi, floor(my / 1000.0) AS yi
+            FROM geo
+        ), m AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                   sum(xi) AS sx, sum(yi) AS sy,
+                   sum(xi * xi) AS sxx, sum(yi * yi) AS syy,
+                   sum(xi * yi) AS sxy
+            FROM sn GROUP BY lang
+        ), c AS (
+            SELECT lang, n, sx / n AS cx, sy / n AS cy,
+                   sxx, syy, sxy
+            FROM m
+        ), d AS (
+            SELECT lang, n, cx, cy,
+                   sxx / n - cx * cx AS dxx,
+                   syy / n - cy * cy AS dyy,
+                   sxy / n - cx * cy AS dxy
+            FROM c
+        ), e AS (
+            SELECT lang, n, cx, cy, dxx, dyy, dxy,
+                   sqrt(((dxx - dyy) / 2.0) * ((dxx - dyy) / 2.0)
+                        + dxy * dxy) AS com
+            FROM d
+        )
+        SELECT lang, CAST(n AS BIGINT) AS n_pts,
+               round(cx, 6) + 0.0 AS cx,
+               round(cy, 6) + 0.0 AS cy,
+               round(degrees(atan2(2.0 * dxy, dxx - dyy) / 2.0), 6) + 0.0
+                   AS angle_deg,
+               round(sqrt(2.0 * greatest((dxx + dyy) / 2.0 + com, 0.0)), 6)
+                   + 0.0 AS major_km,
+               round(sqrt(2.0 * greatest((dxx + dyy) / 2.0 - com, 0.0)), 6)
+                   + 0.0 AS minor_km
+        FROM e ORDER BY lang
+    """
+
     o["geometric_median"] = f"""
         {_GEO_CTE},
         g AS (

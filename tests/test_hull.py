@@ -192,3 +192,50 @@ def test_maximum_inscribed_circle_square_and_L(spark):
     assert ell.radius > 1.0                    # beats any bar-center circle
     assert abs(ell.radius - exact) < 0.08
     assert abs(ell.cx - ell.cy) < 0.1          # corner-pocket symmetry
+
+
+def test_std_dev_ellipse_known_geometries(spark):
+    """Hand-verified ellipses: a perfect 45-degree line (angle 45, minor
+    axis 0), an axis-aligned 4x2 rectangle (angle 0, axes sqrt(8)/sqrt(2)
+    in km), and sub-km jitter erased by the snap (identical moments to
+    the clean group)."""
+    from tilekiln_spark.operators.hull import std_dev_ellipse
+
+    km = 1000.0
+    rows = [("line", i * km, i * km) for i in range(4)]
+    rows += [("rect", x * km, y * km) for x in (0, 4) for y in (0, 2)]
+    # same rectangle with sub-snap jitter: floor() must erase it
+    rows += [("rectj", x * km + 400.0, y * km + 900.0)
+             for x in (0, 4) for y in (0, 2)]
+    df = spark.createDataFrame(rows, "g string, mx double, my double")
+    out = {r.g: r for r in std_dev_ellipse(df, "g").collect()}
+
+    line = out["line"]
+    assert line.n_pts == 4
+    assert abs(line.angle_deg - 45.0) < 1e-9
+    assert abs(line.major - 5.0 ** 0.5) < 1e-12
+    assert line.minor == 0.0
+    assert abs(line.cx - 1.5) < 1e-12 and abs(line.cy - 1.5) < 1e-12
+
+    rect = out["rect"]
+    assert rect.angle_deg == 0.0
+    assert abs(rect.major - 8.0 ** 0.5) < 1e-12
+    assert abs(rect.minor - 2.0 ** 0.5) < 1e-12
+
+    rj = out["rectj"]
+    assert (rj.cx, rj.cy, rj.angle_deg, rj.major, rj.minor) == (
+        rect.cx, rect.cy, rect.angle_deg, rect.major, rect.minor
+    )
+
+
+def test_std_dev_ellipse_singleton_degenerate(spark):
+    """A single point: zero moments, zero axes, angle 0 — no NaN, no
+    divide-by-zero on either engine."""
+    from tilekiln_spark.operators.hull import std_dev_ellipse
+
+    df = spark.createDataFrame(
+        [("solo", 5000.0, -3000.0)], "g string, mx double, my double"
+    )
+    r = std_dev_ellipse(df, "g").collect()[0]
+    assert (r.n_pts, r.cx, r.cy) == (1, 5.0, -3.0)
+    assert r.angle_deg == 0.0 and r.major == 0.0 and r.minor == 0.0
