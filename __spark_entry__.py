@@ -4477,6 +4477,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_links"] = pagerank_links
 
+    def anchor_texts(spark, sf_dir):
+        """Inlink anchor-text rollup (operators/webstats.py
+        anchor_text_rollup) over the same deterministic link graph
+        pagerank_links uses, with the j-th whitespace token of the
+        SOURCE page as the link's anchor (the shared split-parity
+        tokenizer): per target, inlink count, distinct-anchor count, and
+        the most common anchor with a (count desc, anchor asc) tiebreak
+        via struct-min argmax.  Two compact-key shuffles; anchors never
+        travel unaggregated past the first exchange.  The DuckDB twin
+        replays the link generator and picks the winner with the same
+        ordering."""
+        from tilekiln_spark.operators.webstats import anchor_text_rollup
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        n = d.count()
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                toks.alias("tk"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select(
+                "src",
+                ((F.col("src") * 7 + F.col("j")) % n).alias("dst"),
+                F.lower(F.element_at(F.col("tk"), F.col("j"))).alias("anchor"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return anchor_text_rollup(e).orderBy("dst")
+
+    q["anchor_texts"] = anchor_texts
+
     def bm25_search(spark, sf_dir):
         """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
         form): the per-doc token array is filtered to the query terms
@@ -9831,6 +9865,38 @@ def oracle_sql() -> dict[str, str]:
     """
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
+
+    # anchor-text rollup twin: identical link generator + split-parity
+    # anchors; the winner is picked with the same (cnt desc, anchor asc)
+    # ordering the Spark struct-min encodes
+    o["anchor_texts"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT d.doc_id AS src,
+                   (d.doc_id * 7 + j.j) % nn.n AS dst,
+                   lower(list_extract(
+                       regexp_split_to_array(trim(d.text), '\\s+'), j.j)) AS anchor
+            FROM documents d CROSS JOIN nn
+                 CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            WHERE d.doc_id % 5 <> 0
+        ), l2 AS (
+            SELECT dst, anchor FROM links
+            WHERE src <> dst AND anchor IS NOT NULL AND anchor <> ''
+        ), per AS (
+            SELECT dst, anchor, count(*) AS cnt FROM l2 GROUP BY 1, 2
+        ), ranked AS (
+            SELECT dst, anchor, cnt,
+                   sum(cnt) OVER (PARTITION BY dst) AS n_inlinks,
+                   count(*) OVER (PARTITION BY dst) AS n_anchors,
+                   row_number() OVER (
+                       PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn
+            FROM per
+        )
+        SELECT dst, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+               CAST(n_anchors AS BIGINT) AS n_anchors,
+               anchor AS top_anchor, CAST(cnt AS BIGINT) AS top_anchor_n
+        FROM ranked WHERE rn = 1 ORDER BY dst
+    """
 
     def _hits_sql(j: int = 8) -> str:
         parts = [

@@ -21,3 +21,40 @@ def test_host_cap_semantics(spark):
     assert a != list(range(10))
     # every row keeps its flags for funnel accounting
     assert out.count() == 200
+
+
+def test_anchor_text_rollup_counts_and_tiebreak(spark):
+    """Per-target rollup: counts are exact, the top anchor wins by count
+    with the ASCENDING-anchor tiebreak, and null/empty anchors (image
+    links) contribute nothing."""
+    from tilekiln_spark.operators.webstats import anchor_text_rollup
+
+    rows = [
+        (10, "home"), (10, "home"), (10, "start"),
+        # exact tie at target 20: 'alpha' beats 'beta' by string order
+        (20, "beta"), (20, "alpha"), (20, "beta"), (20, "alpha"),
+        (30, None), (30, ""), (30, "only"),
+    ]
+    df = spark.createDataFrame(rows, "dst long, anchor string")
+    out = {r.dst: r for r in anchor_text_rollup(df).collect()}
+    assert set(out) == {10, 20, 30}
+    r10 = out[10]
+    assert (r10.n_inlinks, r10.n_anchors, r10.top_anchor, r10.top_anchor_n) == (
+        3, 2, "home", 2
+    )
+    r20 = out[20]
+    assert (r20.top_anchor, r20.top_anchor_n, r20.n_inlinks) == ("alpha", 2, 4)
+    r30 = out[30]
+    assert (r30.n_inlinks, r30.n_anchors, r30.top_anchor) == (1, 1, "only")
+
+
+def test_anchor_text_rollup_all_null_target_absent(spark):
+    """A target whose every link lacks an anchor emits NO row (it has no
+    anchor evidence), rather than a zero row."""
+    from tilekiln_spark.operators.webstats import anchor_text_rollup
+
+    df = spark.createDataFrame(
+        [(1, None), (1, ""), (2, "x")], "dst long, anchor string"
+    )
+    out = anchor_text_rollup(df).collect()
+    assert [r.dst for r in out] == [2]

@@ -167,3 +167,45 @@ def host_cap(
         .withColumn("host_rank", F.row_number().over(w))
         .withColumn("keep", F.col("host_rank") <= F.lit(per_domain))
     )
+
+
+def anchor_text_rollup(links: DataFrame) -> DataFrame:
+    """Inlink anchor-text aggregation — the web-graph rollup every search
+    / corpus pipeline runs after link extraction (anchor text is a
+    first-class relevance and labeling signal; cf. the anchor corpora
+    built from Common Crawl): per TARGET page, how many inlinks it has,
+    how many distinct anchor phrases point at it, and the most common
+    anchor (ties broken by anchor string ascending, so the winner is
+    engine-independent).
+
+    Input: ``(dst, anchor)`` link rows (anchor may be null — e.g. image
+    links — such rows count toward nothing and are dropped first).
+
+    Shape: ONE partial-aggregated groupBy((dst, anchor)) collapses each
+    scan partition's duplicate anchors map-side, then ONE groupBy(dst)
+    assembles the rollup with exact integer sums and a struct-min
+    argmax ((-cnt, anchor) — count desc, anchor asc).  Two compact-key
+    shuffles, no window, no collect; anchors never travel unaggregated
+    past the first exchange.  Returns
+    ``[dst, n_inlinks, n_anchors, top_anchor, top_anchor_n]``."""
+    per = (
+        links.filter(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor").alias("a")))
+    return (
+        per.groupBy("dst")
+        .agg(
+            F.sum("cnt").alias("n_inlinks"),
+            F.count("*").alias("n_anchors"),
+            best.alias("b"),
+        )
+        .select(
+            "dst",
+            "n_inlinks",
+            "n_anchors",
+            F.col("b.a").alias("top_anchor"),
+            (-F.col("b.neg")).cast("long").alias("top_anchor_n"),
+        )
+    )
