@@ -3031,6 +3031,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["raster_proximity"] = raster_proximity
 
+    def focal_majority_q(spark, sf_dir):
+        """Focal MAJORITY filter (operators/raster.py focal_majority —
+        ArcGIS Focal Statistics majority): per present cell, the most
+        frequent value in its 3x3 window under the sparse 0-valued
+        contract, ties to the smallest value.  Long-form scatter (the
+        mode needs per-VALUE counts, not the 9-column pivot): one
+        (target, value) partial agg + one per-target argmax; the zero
+        bucket is bbox arithmetic off a broadcast 1-row aggregate, never
+        materialized rows.  The DuckDB twin replays the scatter and
+        decides with the same (count desc, value asc) order."""
+        from tilekiln_spark.operators.raster import focal_majority, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return focal_majority(rasterize(d, zoom=2, res=16), res=16)
+
+    q["focal_majority"] = focal_majority_q
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6630,6 +6647,56 @@ def oracle_sql() -> dict[str, str]:
                                  * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
                    + 0.0 AS moran_i
         FROM sums
+    """
+
+    # focal-majority twin: identical long-form scatter, per-value counts,
+    # bbox zero bucket, and (count desc, value asc) winner order
+    _fm_offs = ", ".join(
+        f"({1 if dx == 0 and dy == 0 else 0}, {dx}, {dy})"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    )
+    o["focal_majority"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, count(*) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, CAST(v AS BIGINT) AS v
+            FROM counts
+        ), gmom AS (
+            SELECT min(gx) AS bx0, max(gx) AS bx1,
+                   min(gy) AS by0, max(gy) AS by1
+            FROM cellsg
+        ), offs(ctr, dx, dy) AS (VALUES {_fm_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, ctr, v
+            FROM cellsg CROSS JOIN offs
+        ), perv AS (
+            SELECT tgx, tgy, v, count(*) AS cnt, max(ctr) AS anyctr
+            FROM sh GROUP BY 1, 2, 3
+        ), pert AS (
+            SELECT tgx, tgy, v, cnt,
+                   sum(cnt) OVER (PARTITION BY tgx, tgy) AS n_present,
+                   max(anyctr) OVER (PARTITION BY tgx, tgy) AS present,
+                   row_number() OVER (
+                       PARTITION BY tgx, tgy ORDER BY cnt DESC, v ASC) AS rn
+            FROM perv
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               CAST(CASE WHEN (1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                              * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                              - n_present >= cnt
+                         THEN 0 ELSE v END AS BIGINT) AS majority
+        FROM pert CROSS JOIN gmom
+        WHERE rn = 1 AND present = 1
     """
 
     # local Moran's I (LISA) twin: same stencil + bbox-moment CTEs, then

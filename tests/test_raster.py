@@ -442,3 +442,46 @@ def test_proximity_single_source_rings(spark):
 
     with pytest.raises(ValueError, match="maxdist"):
         proximity(cells, res=16, maxdist=0)
+
+
+def test_focal_majority_mode_ties_and_zero_bucket(spark):
+    """Hand-verified 3x3-bbox fixture with an absent bottom row: the
+    center's window ties 5/7/zeros 3-way -> 0 wins (smallest); an edge
+    cell ties 5 vs 7 with no zeros -> 5 (smallest value); corners and
+    edges use their clipped window sizes for the zero bucket; absent
+    cells emit no row."""
+    from tilekiln_spark.operators.raster import focal_majority
+
+    vals = {(0, 0): 5, (1, 0): 5, (2, 0): 7,
+            (0, 1): 5, (1, 1): 7, (2, 1): 7,
+            (2, 2): 1}  # widen bbox to 3 rows; bottom row mostly absent
+    rows = [(0, 0, 0, gx, gy, v) for (gx, gy), v in vals.items()]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = {(r.gx, r.gy): r.majority for r in focal_majority(cells, res=16).collect()}
+    assert set(out) == set(vals)
+    # corner (0,0): window {5,5,5,7}, no zeros -> 5
+    assert out[(0, 0)] == 5
+    # edge (1,0): window {5,5,7,5,7,7} -> 3-3 tie, no zeros -> 5
+    assert out[(1, 0)] == 5
+    # center (1,1): 9-cell window, present {5,5,7,5,7,7}+1@(2,2) ->
+    # v5x3, v7x3, v1x1, zeros=2 -> 5/7 tie at 3 beats zeros -> 5
+    assert out[(1, 1)] == 5
+    # (2,1): window {5,7,7,7,1} + 1 zero -> 7
+    assert out[(2, 1)] == 7
+    # (2,2): window {7,7,1} + 1 zero -> 7
+    assert out[(2, 2)] == 7
+
+
+def test_focal_majority_zeros_dominate_sparse_cell(spark):
+    """A lone present cell in a wide bbox: its window is 8 zeros + its
+    own value -> majority 0."""
+    from tilekiln_spark.operators.raster import focal_majority
+
+    rows = [(0, 0, 0, 1, 1, 9), (0, 0, 0, 4, 4, 9)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    out = {(r.gx, r.gy): r.majority for r in focal_majority(cells, res=16).collect()}
+    assert out == {(1, 1): 0, (4, 4): 0}

@@ -1008,3 +1008,89 @@ def resample_bilinear(
         F.col("s.opy").alias("opy"),
         (F.round(F.col("s.value"), 6) + F.lit(0.0)).alias("value"),
     )
+
+
+def focal_majority(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Focal MAJORITY filter (ArcGIS Focal Statistics majority / the
+    sieve-adjacent GDAL smoothing pass) over the sparse count raster:
+    each present cell's value is replaced by the most frequent value in
+    its 3x3 window, under the sparse contract (absent in-bbox neighbors
+    are 0-valued observations) and the bbox study region the stat family
+    shares.  Ties break to the SMALLEST value (deterministic, and 0 wins
+    any tie it is part of — the conservative smoothing choice).
+
+    Distributed shape (NOT the pivoted :func:`_stencil9` — mode needs
+    per-VALUE counts, so the scatter stays long-form):
+
+    - 9-way tagged neighbor explode, ONE partial-agg
+      groupBy((target, value)) — duplicate values in a window collapse
+      map-side;
+    - ONE groupBy(target): total present contributors, the best
+      (count desc, value asc) NON-ZERO candidate via struct-min, and the
+      center-present flag;
+    - the zero bucket is arithmetic, not data: in-bbox window size
+      (3/5/8+1 bbox-edge formula off a broadcast 1-row bbox aggregate)
+      minus present contributors = the count of 0-valued window cells;
+      the winner is decided by the same (count, value) order.
+
+    Two compact-key shuffles + a broadcast; per-window work is O(distinct
+    values), never a 9-column pivot.  Returns [gx, gy, majority] for
+    present cells."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("long").alias("v"),
+    )
+    glob = src.agg(
+        F.min("gx").alias("_bx0"),
+        F.max("gx").alias("_bx1"),
+        F.min("gy").alias("_by0"),
+        F.max("gy").alias("_by1"),
+    )
+    structs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            structs.append(
+                F.struct(
+                    (F.col("gx") - dx).alias("tgx"),
+                    (F.col("gy") - dy).alias("tgy"),
+                    F.lit(1 if dx == 0 and dy == 0 else 0).alias("ctr"),
+                )
+            )
+    ex = src.select("v", F.explode(F.array(*structs)).alias("c")).select(
+        F.col("c.tgx").alias("tgx"),
+        F.col("c.tgy").alias("tgy"),
+        F.col("c.ctr").alias("ctr"),
+        "v",
+    )
+    per_v = ex.groupBy("tgx", "tgy", "v").agg(
+        F.count("*").alias("cnt"), F.max("ctr").alias("anyctr")
+    )
+    per_t = per_v.groupBy("tgx", "tgy").agg(
+        F.sum("cnt").alias("n_present"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("bv"))).alias("b"),
+        F.max("anyctr").alias("present"),
+    )
+    j = per_t.where(F.col("present") == 1).crossJoin(F.broadcast(glob))
+    cntx = (
+        F.lit(1)
+        + (F.col("tgx") > F.col("_bx0")).cast("int")
+        + (F.col("tgx") < F.col("_bx1")).cast("int")
+    )
+    cnty = (
+        F.lit(1)
+        + (F.col("tgy") > F.col("_by0")).cast("int")
+        + (F.col("tgy") < F.col("_by1")).cast("int")
+    )
+    zeros = (cntx * cnty).cast("long") - F.col("n_present")
+    best_cnt = -F.col("b.neg")
+    best_v = F.col("b.bv")
+    # zero wins when its count is >= the best non-zero count (0 < any v)
+    majority = F.when(zeros >= best_cnt, F.lit(0).cast("long")).otherwise(
+        best_v
+    )
+    return j.select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        majority.alias("majority"),
+    )
