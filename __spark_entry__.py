@@ -3266,6 +3266,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dwithin_join"] = dwithin_join_q
 
+    def ripleys_k_q(spark, sf_dir):
+        """Ripley's K / Besag's L point-pattern statistic (operators/
+        spatial_join.py ripleys_k) over a deterministic doc sample
+        (doc_id % 7 == 0) in km coordinates: pair counting is ONE self
+        dwithin_join at max radius (bounded 3x3 cell-neighborhood
+        equi-join, no cross join), every radius cut from the same pair
+        pass with the exact squared-distance boundary test, K/L
+        assembled from exact integer counts + a 1-row bbox moment
+        aggregate.  The DuckDB twin brute-forces the pairs with the
+        identical boundary arithmetic."""
+        from tilekiln_spark.operators.spatial_join import ripleys_k
+
+        geo = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 7 == 0)
+        pts = geo.select("doc_id", "mx", "my")
+        # meters in (dwithin_join's grid derivation is mercator-meter
+        # based), km out — the unit conversion is exact scalar math
+        out = ripleys_k(pts, [1.0e6, 2.5e6, 5.0e6])
+        return out.select(
+            (F.col("r") / 1000.0).alias("r_km"),
+            "n_pairs",
+            (F.round(F.col("k_est") / 1.0e6, 6) + F.lit(0.0)).alias("k_km2"),
+            (F.round(F.col("l_est") / 1000.0, 6) + F.lit(0.0)).alias("l_km"),
+        ).orderBy("r_km")
+
+    q["ripleys_k"] = ripleys_k_q
+
     def zonal_stats_q(spark, sf_dir):
         """Zonal statistics (PostGIS ST_SummaryStats(ST_Clip(...)) parity):
         rasterize docs at z2 into 16x16 per-tile count cells, then aggregate
@@ -8857,6 +8883,34 @@ def oracle_sql() -> dict[str, str]:
             FROM geo CROSS JOIN cents
         )
         SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM ranked WHERE rn = 1 GROUP BY 1
+    """
+
+    # Ripley's K twin: brute-force ordered pairs with the identical exact
+    # squared-distance boundary test, identical K/L scalar assembly
+    o["ripleys_k"] = f"""
+        {_GEO_CTE}, s AS (
+            SELECT doc_id, mx AS x, my AS y
+            FROM geo WHERE doc_id % 7 = 0
+        ), mom AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   (max(x) - min(x)) * (max(y) - min(y)) AS area
+            FROM s
+        ), pairs AS (
+            SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        ), cn AS (
+            SELECT rr.r AS r,
+                   sum(CASE WHEN d2 <= rr.r * rr.r THEN 1 ELSE 0 END) AS cnt
+            FROM pairs CROSS JOIN (
+                VALUES (1000000.0), (2500000.0), (5000000.0)) rr(r)
+            GROUP BY rr.r
+        )
+        SELECT r / 1000.0 AS r_km, CAST(cnt AS BIGINT) AS n_pairs,
+               round(area * CAST(cnt AS DOUBLE) / (n * n) / 1000000.0, 6)
+                   + 0.0 AS k_km2,
+               round(sqrt(area * CAST(cnt AS DOUBLE) / (n * n)
+                          / 3.141592653589793) / 1000.0, 6) + 0.0 AS l_km
+        FROM cn CROSS JOIN mom ORDER BY r_km
     """
 
     o["dwithin_join"] = f"""

@@ -883,3 +883,44 @@ def test_hausdorff_distance_asymmetric_sets(spark):
     assert got[(1, 2)] == 0.0
     assert got[(0, 2)] == round(math.sqrt(13.0), 9)
     assert set(got) == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_ripleys_k_hand_counts(spark):
+    """4-point fixture with hand-enumerated pair distances: exact ordered
+    pair counts per radius (boundary-inclusive at exactly r), K = A*cnt/n^2
+    off the bbox area, L = sqrt(K/pi); a radius below every distance gives
+    the zero row, not an absent row."""
+    import math
+
+    from tilekiln_spark.operators.spatial_join import ripleys_k
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1000.0, 0.0), (3, 2000.0, 0.0), (4, 0.0, 3000.0)],
+        "doc_id long, mx double, my double",
+    )
+    out = {r.r: (r.n_pairs, r.k_est, r.l_est)
+           for r in ripleys_k(pts, [1000.0, 2500.0, 4000.0]).collect()}
+    area, n = 2000.0 * 3000.0, 4.0
+    # ordered pairs: r=1000 -> AB,BC (x2) = 4; r=2500 adds AC = 6;
+    # r=4000 adds AD(3000), BD(3162.3), CD(3605.6) = 12
+    for r, cnt in ((1000.0, 4), (2500.0, 6), (4000.0, 12)):
+        k = area * cnt / (n * n)
+        got = out[r]
+        assert got[0] == cnt, r
+        assert abs(got[1] - k) < 1e-9
+        assert abs(got[2] - math.sqrt(k / math.pi)) < 1e-12
+
+    zero = ripleys_k(pts, [10.0]).collect()[0]
+    assert (zero.n_pairs, zero.k_est, zero.l_est) == (0, 0.0, 0.0)
+
+
+def test_ripleys_k_validation(spark):
+    import pytest
+
+    from tilekiln_spark.operators.spatial_join import ripleys_k
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "doc_id long, mx double, my double")
+    with pytest.raises(ValueError):
+        ripleys_k(pts, [])
+    with pytest.raises(ValueError):
+        ripleys_k(pts, [-5.0, 100.0])

@@ -1511,3 +1511,96 @@ def hausdorff_distance(
         "g_a", "g_b",
         F.sqrt(F.greatest("dir2", "rev2")).alias("hausdorff"),
     )
+
+
+def ripleys_k(
+    pts: DataFrame,
+    radii: list[float],
+    id_col: str = "doc_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+    broadcast_seeds: bool = False,
+) -> DataFrame:
+    """Ripley's K function (the point-pattern clustering statistic; R
+    spatstat ``Kest`` with the ``"none"`` edge correction, documented —
+    edge-corrected variants divide per-pair weights in the same plan):
+
+        K(r) = A / n² · Σ_i Σ_{j≠i} 1[d_ij ≤ r]
+
+    with A the bbox area of the pattern.  K(r) ≈ πr² for complete
+    spatial randomness; above = clustered at that scale, below =
+    dispersed.  Also returns Besag's variance-stabilized
+    L(r) = sqrt(K/π) (CSR ⇒ L(r) = r).
+
+    Distributed shape: the pair counting is ONE self
+    :func:`dwithin_join` at max(radii) — the bounded 3x3
+    cell-neighborhood equi-join, never a cross join — followed by ONE
+    global aggregate summing a per-radius indicator column batch
+    (every radius is cut from the same pair pass; the squared-distance
+    boundary test is multiply/add-exact, so counts are exact integers
+    and cross-engine identical).  The bbox/n moments are a second tiny
+    aggregate; the K/L assembly is per-row scalar math.  Seeds shuffle
+    by default (the self-join side is not small); pass
+    ``broadcast_seeds=True`` only for small patterns.
+
+    Returns one row per radius: ``[r, n_pairs, k_est, l_est]`` — all
+    units those of x/y.  Self-pairs are excluded by ``id_col``;
+    coincident distinct points count (d = 0 ≤ r), per the statistic."""
+    if not radii:
+        raise ValueError("ripleys_k requires at least one radius")
+    radii = sorted(float(r) for r in radii)
+    if radii[0] <= 0:
+        raise ValueError("ripleys_k radii must be positive")
+    seeds = pts.select(
+        F.col(id_col).alias("_sid"),
+        F.col(x_col).alias("_sx"),
+        F.col(y_col).alias("_sy"),
+    )
+    pairs = dwithin_join(
+        pts.select(F.col(id_col), F.col(x_col), F.col(y_col)),
+        seeds,
+        radius=radii[-1],
+        mx=x_col,
+        my=y_col,
+        seed_mx="_sx",
+        seed_my="_sy",
+        broadcast_seeds=broadcast_seeds,
+    ).where(F.col(id_col) != F.col("_sid"))
+    # recompute the SQUARED distance from the coordinates for the
+    # per-radius boundary test: dist is a sqrt round-trip, d2 is exact
+    # multiply/add — the same boundary discipline dwithin_join itself uses
+    d2 = (F.col(x_col) - F.col("_sx")) * (F.col(x_col) - F.col("_sx")) + (
+        F.col(y_col) - F.col("_sy")
+    ) * (F.col(y_col) - F.col("_sy"))
+    cnts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((d2 <= F.lit(r * r)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"_c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    mom = pts.agg(
+        F.count("*").cast("double").alias("_n"),
+        (
+            (F.max(x_col) - F.min(x_col)) * (F.max(y_col) - F.min(y_col))
+        ).alias("_area"),
+    )
+    spark = pts.sparkSession
+    rdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(radii)], "i int, r double"
+    )
+    wide = cnts.crossJoin(F.broadcast(mom))
+    stacked = rdf.crossJoin(F.broadcast(wide))
+    cnt = None
+    for i in range(len(radii)):
+        c = F.when(F.col("i") == i, F.col(f"_c{i}"))
+        cnt = c if cnt is None else F.coalesce(cnt, c)
+    k = F.col("_area") * cnt.cast("double") / (F.col("_n") * F.col("_n"))
+    return stacked.select(
+        F.col("r"),
+        cnt.alias("n_pairs"),
+        k.alias("k_est"),
+        F.sqrt(k / F.lit(3.141592653589793)).alias("l_est"),
+    )
