@@ -546,6 +546,21 @@ _UNION_RINGS = [
 ]
 
 
+_MAKEVALID_RINGS = [
+    # ST_MakeValid fixture: a bowtie (edges cross at (2,2) -> two
+    # 4-area triangles), an already-valid square (repair = identity), a
+    # figure-8 self-touching at (20,4) (two 16-area lobes), and a valid
+    # square overlapping the bowtie (faces split, per-ring parity areas
+    # unchanged; its corners sit exactly ON the bowtie diagonals — the
+    # vertex-on-edge noding path)
+    (0, [0.0, 4.0, 0.0, 4.0], [0.0, 0.0, 4.0, 4.0]),
+    (1, [10.0, 14.0, 14.0, 10.0], [0.0, 0.0, 4.0, 4.0]),
+    (2, [20.0, 24.0, 24.0, 20.0, 16.0, 16.0, 20.0, 20.0],
+        [0.0, 0.0, 4.0, 4.0, 4.0, 8.0, 8.0, 4.0]),
+    (3, [1.0, 3.0, 3.0, 1.0], [1.0, 1.0, 3.0, 3.0]),
+]
+
+
 _OVERLAP_SQ_SEGS = [
     # two overlapping axis-aligned squares drawn as UN-noded segments:
     # A = (0,0)-(4,4), B = (2,2)-(6,6); they cross at (4,2) and (2,4),
@@ -2374,6 +2389,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["union_area_rings"] = union_area_rings
+
+    def make_valid(spark, sf_dir):
+        """ST_Area(ST_MakeValid(ring)) per ring (operators/topology.py
+        make_valid_areas): the coverage arrangement's XOR masks ARE
+        even-odd winding parity, so self-intersection repair is a bit
+        test over the SHARED faces — one arrangement serves the bowtie,
+        the self-touching figure-8, the valid square, and an overlapping
+        ring simultaneously, with each ring's parity untouched by the
+        others.  The DuckDB twin runs the same chain and the same bit
+        join."""
+        import pandas as pd
+
+        from tilekiln_spark.operators.topology import make_valid_areas
+
+        rings = spark.createDataFrame(
+            pd.DataFrame(
+                _MAKEVALID_RINGS, columns=["ring_id", "ring_xs", "ring_ys"]
+            ),
+            "ring_id long, ring_xs array<double>, ring_ys array<double>",
+        )
+        out = make_valid_areas(rings, grid_zoom=3)
+        return out.select(
+            "ring_id",
+            (F.round("valid_area", 6) + F.lit(0.0)).alias("valid_area"),
+            "n_faces",
+        ).orderBy("ring_id")
+
+    q["make_valid"] = make_valid
 
     def exclusive_areas(spark, sf_dir):
         """Per-ring EXCLUSIVE area (the parcel-overlap audit: how much
@@ -8024,8 +8067,14 @@ def oracle_sql() -> dict[str, str]:
         for rid, xs, ys in _UNION_RINGS
     )
     _ua_can = "(ax, ay) <= (bx, by)"
-    _ua_cte = f"""
-        WITH RECURSIVE r(ring_id, xs, ys) AS (VALUES {_ua_vals}),
+
+    def _ua_chain(vals: str) -> str:
+        """The full coverage-arrangement CTE chain (node -> canonical
+        dedupe + XOR toggles -> DCEL faces -> recursive coverage walk)
+        parameterized on the ring VALUES list, so make_valid can reuse
+        it over a different fixture."""
+        return f"""
+        WITH RECURSIVE r(ring_id, xs, ys) AS (VALUES {vals}),
         seg0(seg_id, x1, y1, x2, y2) AS (
             SELECT ring_id * 1048576 + u.k,
                    xs[u.k], ys[u.k],
@@ -8114,6 +8163,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         lbl AS (SELECT DISTINCT face, mask FROM wk)
     """
+
+    _ua_cte = _ua_chain(_ua_vals)
     o["union_area_rings"] = f"""{_ua_cte}
         SELECT round(sum(c.area), 6) + 0.0 AS union_area,
                count(*) AS n_faces
@@ -8133,6 +8184,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN rid r2 ON l.mask = CAST(power(2, r2.ring_id) AS BIGINT)
         GROUP BY 1 ORDER BY 1
     """
+    # make-valid twin: the SAME arrangement chain over the bowtie
+    # fixture, tail = per-ring parity-bit join
+    _mv_vals = ", ".join(
+        f"({rid}, {_arr_sql(xs)}, {_arr_sql(ys)})"
+        for rid, xs, ys in _MAKEVALID_RINGS
+    )
+    o["make_valid"] = f"""{_ua_chain(_mv_vals)},
+        rid(ring_id) AS (SELECT unnest(generate_series(0,
+            {len(_MAKEVALID_RINGS) - 1})))
+        SELECT r2.ring_id,
+               round(sum(c.area), 6) + 0.0 AS valid_area,
+               count(*) AS n_faces
+        FROM cyc c
+        JOIN lbl l ON l.face = c.face_id
+        JOIN rid r2 ON (l.mask & CAST(power(2, r2.ring_id) AS BIGINT)) != 0
+        GROUP BY 1 ORDER BY 1
+    """
+
     # contested-area twin: coverage-depth histogram off the same chain
     o["contested_area"] = f"""{_ua_cte}
         SELECT CAST(bit_count(l.mask) AS INTEGER) AS depth,

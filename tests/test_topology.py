@@ -215,3 +215,33 @@ def test_union_area_chain_shared_borders(spark):
     )
     [r1] = union_area(one, grid_zoom=3).collect()
     assert (r1.union_area, r1.n_faces) == (9.0, 1)
+
+
+def test_make_valid_areas_bowtie_figure8_and_overlap(spark):
+    """ST_MakeValid parity areas, all hand-verified: the bowtie repairs
+    to its two 4-area triangles (8 total); a valid square is the
+    identity (16, one face); the figure-8 self-touching at a vertex
+    yields its two 16-area lobes; a valid square overlapping the bowtie
+    keeps ITS exact area 4 even though the arrangement splits it into 4
+    diagonal-cut faces (per-ring parity is untouched by other rings)."""
+    import pandas as pd
+
+    from tilekiln_spark.operators.topology import make_valid_areas
+
+    rings = [
+        (0, [0.0, 4.0, 0.0, 4.0], [0.0, 0.0, 4.0, 4.0]),
+        (1, [10.0, 14.0, 14.0, 10.0], [0.0, 0.0, 4.0, 4.0]),
+        (2, [20.0, 24.0, 24.0, 20.0, 16.0, 16.0, 20.0, 20.0],
+            [0.0, 0.0, 4.0, 4.0, 4.0, 8.0, 8.0, 4.0]),
+        (3, [1.0, 3.0, 3.0, 1.0], [1.0, 1.0, 3.0, 3.0]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rings, columns=["ring_id", "ring_xs", "ring_ys"]),
+        "ring_id long, ring_xs array<double>, ring_ys array<double>",
+    )
+    got = {r.ring_id: (round(r.valid_area, 9), r.n_faces)
+           for r in make_valid_areas(df, grid_zoom=3).collect()}
+    assert got[0] == (8.0, 4)   # two triangles, each split by square 3
+    assert got[1] == (16.0, 1)
+    assert got[2] == (32.0, 2)
+    assert got[3] == (4.0, 4)   # diagonals cut the square into 4 faces

@@ -581,3 +581,38 @@ def coverage_faces(
     return cycles.join(known, cycles["face_id"] == known["face"]).select(
         "face_id", "area", "mask"
     )
+
+
+def make_valid_areas(
+    rings: DataFrame, grid_zoom: int = 4, max_iter: int = 64
+) -> DataFrame:
+    """``ST_Area(ST_MakeValid(ring))`` per ring — the self-intersection
+    repair face of the arrangement machinery: PostGIS's default
+    linework/structure repair keeps exactly the regions of ODD winding
+    parity (a bowtie becomes its two triangles, a self-touching figure-8
+    its two lobes), and :func:`coverage_faces`' XOR-toggle masks ARE
+    even-odd parity per ring — so the repaired area needs no new
+    geometry stage at all.
+
+    ONE shared arrangement serves every input ring simultaneously
+    (invalid or valid; a valid ring simply reports its plain area): face
+    f belongs to ring r's repaired polygon iff bit r of f's coverage
+    mask is set.  Overlapping rings split each other's faces in the
+    arrangement, but each ring's parity — and therefore its repaired
+    area — is untouched by the others (the split faces sum back).
+
+    Returns ``(ring_id, valid_area, n_faces)``; a fully degenerate ring
+    (zero-area linework) emits no row.  Same input contract as
+    :func:`coverage_faces` (ring_id in [0, 63]; no boundary-free full
+    containment between DIFFERENT rings)."""
+    faces = coverage_faces(rings, grid_zoom=grid_zoom, max_iter=max_iter)
+    ids = rings.select("ring_id").distinct()
+    rbit = F.pow(F.lit(2.0), F.col("ring_id").cast("double")).cast("long")
+    hit = faces.filter(F.col("mask") != 0).join(
+        F.broadcast(ids),
+        F.col("mask").bitwiseAND(rbit) != 0,
+    )
+    return hit.groupBy("ring_id").agg(
+        F.sum("area").alias("valid_area"),
+        F.count("*").alias("n_faces"),
+    )
