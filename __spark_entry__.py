@@ -2830,6 +2830,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["od_flows"] = od_flows
 
+    def knox_test_q(spark, sf_dir):
+        """Knox space-time interaction test (operators/events.py
+        knox_test) over a deterministic event sample (event_id % 5 == 0):
+        the space margin + the joint count come from ONE self
+        dwithin_join at 2,000 km, the time margin from a tau-bucketed
+        interval equi-join (3x bounded explode, no cross join); all
+        counts exact integers, the ratio one scalar division.  The
+        DuckDB twin brute-forces the pairs with identical boundary
+        arithmetic."""
+        from tilekiln_spark.operators.events import knox_test
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id").where(
+            F.col("event_id") % 5 == 0
+        )
+        out = knox_test(ev, delta=2_000_000.0, tau_seconds=21_600.0)
+        return out.select(
+            "n_events", "n_pairs", "n_space", "n_time", "n_both",
+            (F.round("knox_ratio", 6) + F.lit(0.0)).alias("knox_ratio"),
+        )
+
+    q["knox_test"] = knox_test_q
+
     def frechet_trajectories(spark, sf_dir):
         """PostGIS ST_FrechetDistance (discrete) between every user
         trajectory and every fixture polyline (functions/geometry.py
@@ -7250,6 +7272,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
                round({_llen_sql('xs', 'ys')}, 6) + 0.0 AS track_len_m
         FROM tracks
+    """
+
+    # Knox twin: brute-force ordered pairs over the sample with the
+    # identical squared-distance and epoch-difference boundary tests
+    o["knox_test"] = f"""
+        WITH ev AS (
+            SELECT event_id, epoch(ts) AS t, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events WHERE event_id % 5 = 0
+        ), mom AS (
+            SELECT count(*) AS n_events FROM ev
+        ), p AS (
+            SELECT (a.mx - b.mx) * (a.mx - b.mx)
+                       + (a.my - b.my) * (a.my - b.my) AS d2,
+                   abs(a.t - b.t) AS dt
+            FROM ev a JOIN ev b ON a.event_id <> b.event_id
+        ), agg AS (
+            SELECT
+                sum(CASE WHEN d2 <= 2000000.0 * 2000000.0 THEN 1 ELSE 0 END)
+                    AS n_space,
+                sum(CASE WHEN dt <= 21600.0 THEN 1 ELSE 0 END) AS n_time,
+                sum(CASE WHEN d2 <= 2000000.0 * 2000000.0
+                          AND dt <= 21600.0 THEN 1 ELSE 0 END) AS n_both
+            FROM p
+        )
+        SELECT n_events, CAST(n_events * (n_events - 1) AS BIGINT) AS n_pairs,
+               CAST(n_space AS BIGINT) AS n_space,
+               CAST(n_time AS BIGINT) AS n_time,
+               CAST(n_both AS BIGINT) AS n_both,
+               round(CAST(n_both AS DOUBLE)
+                         * CAST(n_events * (n_events - 1) AS DOUBLE)
+                     / nullif(CAST(n_space AS DOUBLE)
+                              * CAST(n_time AS DOUBLE), 0.0), 6)
+                   + 0.0 AS knox_ratio
+        FROM agg CROSS JOIN mom
     """
 
     _odx_o, _ody_o = _tile_xy_sql(4, "omx", "omy")

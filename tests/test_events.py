@@ -413,3 +413,51 @@ def test_od_flows_ts_tie_breaks_on_order_col(spark):
     r = od_flows(ev, zoom=0).collect()[0]
     # first = event_id 1 at x=-1000, last = event_id 2 at x=+1000 -> 2 km
     assert abs(r.min_km - 2.0) < 1e-9 and abs(r.max_km - 2.0) < 1e-9
+
+
+def test_knox_test_hand_counts(spark):
+    """4 events, margins hand-enumerated: A/B close in space AND time;
+    A/C close in space only; B/D close in time only; C/D far in both.
+    Ordered counts double the unordered ones; ratio =
+    n_both*n_pairs/(n_space*n_time)."""
+    import datetime as dt
+
+    from tilekiln_spark.operators.events import knox_test
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 0.0, 0.0),          # A
+        (2, ts(1), 500.0, 0.0),        # B: 500 m, 1 h from A
+        (3, ts(30), 800.0, 0.0),       # C: 800 m from A, 30 h
+        (4, ts(2), 1.0e6, 0.0),        # D: far away, 1 h from B
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, mx double, my double"
+    )
+    r = knox_test(ev, delta=1000.0, tau_seconds=2 * 3600.0).collect()[0]
+    assert (r.n_events, r.n_pairs) == (4, 12)
+    # space pairs (<=1000 m): AB, AC, BC -> 6 ordered
+    assert r.n_space == 6
+    # time pairs (<=2 h): AB, BD, AD(2 h exactly, boundary-inclusive) -> 6
+    assert r.n_time == 6
+    # both: AB only -> 2 ordered
+    assert r.n_both == 2
+    assert abs(r.knox_ratio - (2 * 12) / (6 * 6)) < 1e-12
+
+
+def test_knox_test_empty_margin_null_ratio(spark):
+    """No pair within delta: n_space = 0 -> NULL ratio, zero counts."""
+    import datetime as dt
+
+    from tilekiln_spark.operators.events import knox_test
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 0.0, 0.0), (2, t0, 9.9e6, 0.0)],
+        "event_id long, ts timestamp, mx double, my double",
+    )
+    r = knox_test(ev, delta=10.0, tau_seconds=60.0).collect()[0]
+    assert (r.n_space, r.n_both, r.n_time) == (0, 0, 2)
+    assert r.knox_ratio is None

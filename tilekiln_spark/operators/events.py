@@ -574,3 +574,105 @@ def od_flows(
         (F.round(F.min("km"), 6) + F.lit(0.0)).alias("min_km"),
         (F.round(F.max("km"), 6) + F.lit(0.0)).alias("max_km"),
     )
+
+
+def knox_test(
+    ev: DataFrame,
+    delta: float,
+    tau_seconds: float,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964; the epidemiology /
+    crime-analysis statistic for "do events cluster in space AND time
+    beyond what either margin explains"): over all ordered event pairs,
+
+        n_space = #{d_ij <= delta},   n_time = #{|t_i - t_j| <= tau},
+        n_both  = #{both},            ratio = n_both·n_pairs / (n_space·n_time)
+
+    (ratio > 1 = space-time interaction; the classical expected count
+    under independent margins is n_space·n_time / n_pairs).
+
+    Neither margin is a cross join:
+
+    - the SPACE margin (and n_both, cut from the same pass) is one self
+      :func:`~tilekiln_spark.operators.spatial_join.dwithin_join` at
+      ``delta`` — the bounded 3x3 cell-neighborhood equi-join;
+    - the TIME margin buckets t by ``tau`` and joins each event's bucket
+      to the other side's {b-1, b, b+1} explode (the trajectory_cpa
+      interval shape): |Δt| <= tau implies adjacent buckets, and exactly
+      one exploded copy matches, so the count is exact with a 3x
+      bounded explode.
+
+    Every count is an exact integer (squared-distance boundary test,
+    epoch-second differences); the ratio is one scalar division.
+    Returns ONE row ``[n_events, n_pairs, n_space, n_time, n_both,
+    knox_ratio]`` (ratio NULL when a margin is empty)."""
+    from tilekiln_spark.operators.spatial_join import dwithin_join
+
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    pts = ev.select(F.col(id_col), t.alias("_t"), F.col(x_col), F.col(y_col))
+    seeds = ev.select(
+        F.col(id_col).alias("_sid"),
+        t.alias("_st"),
+        F.col(x_col).alias("_sx"),
+        F.col(y_col).alias("_sy"),
+    )
+    spairs = dwithin_join(
+        pts, seeds, radius=float(delta),
+        mx=x_col, my=y_col, seed_mx="_sx", seed_my="_sy",
+        broadcast_seeds=False,
+    ).where(F.col(id_col) != F.col("_sid"))
+    sagg = spairs.agg(
+        F.count("*").alias("n_space"),
+        F.coalesce(
+            F.sum(
+                (F.abs(F.col("_t") - F.col("_st")) <= F.lit(float(tau_seconds)))
+                .cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_both"),
+    )
+
+    b = F.floor(F.col("_t") / F.lit(float(tau_seconds))).cast("long")
+    left = pts.select(F.col(id_col), "_t", b.alias("_b"))
+    right = seeds.select(
+        "_sid", "_st",
+        F.explode(
+            F.array(
+                F.floor(F.col("_st") / F.lit(float(tau_seconds))).cast("long") - 1,
+                F.floor(F.col("_st") / F.lit(float(tau_seconds))).cast("long"),
+                F.floor(F.col("_st") / F.lit(float(tau_seconds))).cast("long") + 1,
+            )
+        ).alias("_b"),
+    )
+    tagg = (
+        left.join(right, "_b")
+        .where(
+            (F.col(id_col) != F.col("_sid"))
+            & (F.abs(F.col("_t") - F.col("_st")) <= F.lit(float(tau_seconds)))
+        )
+        .agg(F.count("*").alias("n_time"))
+    )
+
+    mom = ev.agg(F.count("*").alias("n_events"))
+    out = (
+        mom.crossJoin(F.broadcast(sagg))
+        .crossJoin(F.broadcast(tagg))
+        .select(
+            "n_events",
+            (F.col("n_events") * (F.col("n_events") - 1)).alias("n_pairs"),
+            "n_space",
+            "n_time",
+            "n_both",
+        )
+    )
+    ratio = (
+        F.col("n_both").cast("double") * F.col("n_pairs").cast("double")
+    ) / F.nullif(
+        F.col("n_space").cast("double") * F.col("n_time").cast("double"),
+        F.lit(0.0),
+    )
+    return out.withColumn("knox_ratio", ratio)
