@@ -3113,6 +3113,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["focal_majority"] = focal_majority_q
 
+    def quadrat_test(spark, sf_dir):
+        """Quadrat-count dispersion (operators/raster.py
+        quadrat_dispersion — spatstat quadrat.test's VMR/chi-square):
+        every raster cell is a quadrat over the bbox study region, and
+        the whole statistic is ONE tiny global aggregate of exact
+        integer sums — no second shuffle at any scale.  The DuckDB twin
+        replays the identical sums and scalar assembly."""
+        from tilekiln_spark.operators.raster import quadrat_dispersion, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        out = quadrat_dispersion(rasterize(d, zoom=2, res=16), res=16)
+        return out.select(
+            "n_present", "bbox_n", "total_pts",
+            (F.round("vmr", 6) + F.lit(0.0)).alias("vmr"),
+            (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+        )
+
+    q["quadrat_test"] = quadrat_test
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6738,6 +6757,41 @@ def oracle_sql() -> dict[str, str]:
                                  * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
                    + 0.0 AS moran_i
         FROM sums
+    """
+
+    # quadrat-dispersion twin: identical binning + one-row exact-sum
+    # aggregate + identical scalar assembly
+    o["quadrat_test"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), g AS (
+            SELECT count(*) AS n_present, sum(v) AS tot, sum(v * v) AS tot2,
+                   CAST((max(gx) - min(gx) + 1)
+                        * (max(gy) - min(gy) + 1) AS DOUBLE) AS nn
+            FROM cellsg
+        )
+        SELECT n_present, CAST(nn AS BIGINT) AS bbox_n,
+               CAST(tot AS BIGINT) AS total_pts,
+               round((tot2 - nn * ((tot / nn) * (tot / nn)))
+                         / nullif(nn - 1.0, 0.0) / nullif(tot / nn, 0.0), 6)
+                   + 0.0 AS vmr,
+               round((nn - 1.0)
+                     * ((tot2 - nn * ((tot / nn) * (tot / nn)))
+                        / nullif(nn - 1.0, 0.0) / nullif(tot / nn, 0.0)), 6)
+                   + 0.0 AS chi2
+        FROM g
     """
 
     # focal-majority twin: identical long-form scatter, per-value counts,

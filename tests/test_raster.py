@@ -485,3 +485,34 @@ def test_focal_majority_zeros_dominate_sparse_cell(spark):
     )
     out = {(r.gx, r.gy): r.majority for r in focal_majority(cells, res=16).collect()}
     assert out == {(1, 1): 0, (4, 4): 0}
+
+
+def test_quadrat_dispersion_hand_moments(spark):
+    """2x2 bbox with counts {4, 2, absent(0), 2}: N=4, mean 2,
+    sample var = (16+4+4+0 - 4*4)/3 = 8/3 -> VMR 4/3, chi2 = 3*VMR = 4.
+    A uniform all-equal raster gives VMR 0; a single cell gives NULLs
+    (N-1 = 0)."""
+    from tilekiln_spark.operators.raster import quadrat_dispersion
+
+    rows = [(0, 0, 0, 0, 0, 4), (0, 0, 0, 1, 0, 2), (0, 0, 0, 1, 1, 2)]
+    cells = spark.createDataFrame(
+        rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    r = quadrat_dispersion(cells, res=16).collect()[0]
+    assert (r.n_present, r.bbox_n, r.total_pts) == (3, 4, 8)
+    assert abs(r.vmr - 4.0 / 3.0) < 1e-12
+    assert abs(r.chi2 - 4.0) < 1e-12
+
+    uni = spark.createDataFrame(
+        [(0, 0, 0, bx, by, 3) for bx in range(2) for by in range(2)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    ru = quadrat_dispersion(uni, res=16).collect()[0]
+    assert ru.vmr == 0.0 and ru.chi2 == 0.0
+
+    solo = spark.createDataFrame(
+        [(0, 0, 0, 5, 5, 7)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    rs = quadrat_dispersion(solo, res=16).collect()[0]
+    assert rs.bbox_n == 1 and rs.vmr is None and rs.chi2 is None

@@ -1094,3 +1094,47 @@ def focal_majority(cells: DataFrame, res: int = 256) -> DataFrame:
         F.col("tgy").alias("gy"),
         majority.alias("majority"),
     )
+
+
+def quadrat_dispersion(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Quadrat-count dispersion test (the classic CSR screen — R spatstat
+    ``quadrat.test``'s statistic): treat every raster cell as a quadrat
+    over the bbox study region (absent cells are 0-count quadrats, the
+    family's sparse contract) and report the variance-mean ratio
+
+        VMR = s² / x̄,   s² = (Σx² − N·x̄²) / (N − 1)   (sample variance)
+
+    with the chi-square statistic χ² = (N−1)·VMR (df = N−1).  VMR ≈ 1
+    under complete spatial randomness; > 1 clustered, < 1 uniform.
+
+    Everything reduces to ONE tiny global aggregate of exact integer
+    sums (Σx, Σx², bbox extremes) — order-independent, cross-engine
+    bit-identical, no second shuffle at any scale.  Returns one row
+    ``[n_present, bbox_n, total_pts, vmr, chi2]`` (NULL VMR/χ² for the
+    single-quadrat or empty-mean degenerate)."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.count("*").alias("n_present"),
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+        (
+            (F.max("gx") - F.min("gx") + 1) * (F.max("gy") - F.min("gy") + 1)
+        ).cast("double").alias("_nn"),
+    )
+    nn = F.col("_nn")
+    xbar = F.col("_tot") / nn
+    var = (F.col("_tot2") - nn * (xbar * xbar)) / F.nullif(
+        nn - 1.0, F.lit(0.0)
+    )
+    vmr = var / F.nullif(xbar, F.lit(0.0))
+    return glob.select(
+        "n_present",
+        nn.cast("long").alias("bbox_n"),
+        F.col("_tot").cast("long").alias("total_pts"),
+        vmr.alias("vmr"),
+        ((nn - 1.0) * vmr).alias("chi2"),
+    )
