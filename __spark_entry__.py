@@ -3132,6 +3132,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quadrat_test"] = quadrat_test
 
+    def general_g_q(spark, sf_dir):
+        """Getis-Ord General G (operators/raster.py general_g — ArcGIS
+        High/Low Clustering): global adjacency cross-products off the
+        SAME shared 3x3 stencil as Gi*/Moran, denominator (Σx)² − Σx²
+        from the one-row moment aggregate, expected value from the
+        closed-form ΣW.  Exact integer sums throughout.  The DuckDB twin
+        replays the identical stencil and assembly."""
+        from tilekiln_spark.operators.raster import general_g, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        out = general_g(rasterize(d, zoom=2, res=16), res=16)
+        return out.select(
+            "n_present", "bbox_n",
+            (F.round(F.col("g_obs") * 1.0e6, 6) + F.lit(0.0)).alias("g_obs_ppm"),
+            (F.round(F.col("g_exp") * 1.0e6, 6) + F.lit(0.0)).alias("g_exp_ppm"),
+        )
+
+    q["general_g"] = general_g_q
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6757,6 +6776,49 @@ def oracle_sql() -> dict[str, str]:
                                  * (tot / (CAST(bx1 - bx0 + 1 AS DOUBLE) * CAST(by1 - by0 + 1 AS DOUBLE)))), 0.0), 6)
                    + 0.0 AS moran_i
         FROM sums
+    """
+
+    # General G twin: shared stencil cross-products + one-row moments +
+    # identical scalar assembly (ppm scaling matches the Spark side)
+    o["general_g"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT count(*) AS n_present, sum(v) AS tot, sum(v * v) AS tot2,
+                   CAST(max(gx) - min(gx) + 1 AS DOUBLE) AS a,
+                   CAST(max(gy) - min(gy) + 1 AS DOUBLE) AS b
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), num AS (
+            SELECT sum(z4 * ({_mi_s8})) AS crs FROM agg WHERE present = 1
+        )
+        SELECT n_present, CAST(a * b AS BIGINT) AS bbox_n,
+               round(crs / nullif(tot * tot - tot2, 0.0) * 1000000.0, 6)
+                   + 0.0 AS g_obs_ppm,
+               round((2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0)
+                      + 4.0 * (a - 1.0) * (b - 1.0))
+                     / (a * b * (a * b - 1.0)) * 1000000.0, 6)
+                   + 0.0 AS g_exp_ppm
+        FROM gmom CROSS JOIN num
     """
 
     # quadrat-dispersion twin: identical binning + one-row exact-sum

@@ -516,3 +516,35 @@ def test_quadrat_dispersion_hand_moments(spark):
     )
     rs = quadrat_dispersion(solo, res=16).collect()[0]
     assert rs.bbox_n == 1 and rs.vmr is None and rs.chi2 is None
+
+
+def test_general_g_hot_corner_vs_dispersed(spark):
+    """General G brute-force check on a 3x3 grid: clustered mass (two
+    adjacent hot cells) gives G above E[G]; the same values placed at
+    opposite corners give G below E[G].  Exact sums verified by hand:
+    cross = sum x_i*S8_i over present cells, denom = tot^2 - tot2,
+    E[G] = SW/(N(N-1)) with SW = 2*2*3 + 2*3*2 + 4*4 = 40, N = 9."""
+    from tilekiln_spark.operators.raster import general_g
+
+    def run(cells):
+        rows = [(0, 0, 0, gx, gy, v) for gx, gy, v in cells]
+        df = spark.createDataFrame(
+            rows, "zoom int, x int, y int, bin_x int, bin_y int, n long",
+        )
+        return general_g(df, res=16).collect()[0]
+
+    # corners of a 3x3 bbox mark the region; hot pair adjacent at center
+    clustered = [(0, 0, 1), (2, 2, 1), (1, 1, 5), (1, 2, 5)]
+    rc = run(clustered)
+    assert rc.bbox_n == 9
+    # cross: (0,0):nbr(1,1)=5 ->5; (2,2):nbrs(1,1)+(1,2)=10 ->10;
+    # (1,1):nbrs 1+5+1=7 ->35; (1,2):nbrs 5+1=6 ->30; total 80
+    # denom: tot=12, tot2=52 -> 144-52=92
+    assert abs(rc.g_obs - 80.0 / 92.0) < 1e-12
+    assert abs(rc.g_exp - 40.0 / 72.0) < 1e-12
+    assert rc.g_obs > rc.g_exp
+
+    dispersed = [(0, 0, 5), (2, 2, 5), (0, 2, 1), (2, 0, 1)]
+    rd = run(dispersed)
+    # no two present cells adjacent -> cross = 0
+    assert rd.g_obs == 0.0 and rd.g_obs < rd.g_exp

@@ -1138,3 +1138,54 @@ def quadrat_dispersion(cells: DataFrame, res: int = 256) -> DataFrame:
         vmr.alias("vmr"),
         ((nn - 1.0) * vmr).alias("chi2"),
     )
+
+
+def general_g(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Getis-Ord General G (the GLOBAL companion to
+    :func:`hotspot_gistar`; ArcGIS "High/Low Clustering") over the
+    sparse count raster, binary queen weights, bbox study region:
+
+        G = Σ_i x_i · S8_i  /  (tot² − tot2)
+
+    — numerator: ordered adjacent cross-products (zero cells vanish, so
+    the present-cell Σ x·S8 off the shared :func:`_stencil9` window IS
+    the full double sum); denominator: Σ_{i≠j} x_i x_j = (Σx)² − Σx²
+    over the study region (absent cells contribute 0 to both).  The
+    expected value under CSR is E[G] = ΣW / (N(N−1)) with the same
+    closed-form ΣW as :func:`morans_i` — reported alongside so the
+    clustered/dispersed read is one comparison.
+
+    Every sum is an exact integer in a double; ONE stencil shuffle + one
+    tiny aggregate.  Returns one row ``[n_present, bbox_n, g_obs,
+    g_exp]`` (NULL G for the degenerate single-value denominator)."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.count("*").alias("n_present"),
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+        (F.max("gx") - F.min("gx") + 1).cast("double").alias("_a"),
+        (F.max("gy") - F.min("gy") + 1).cast("double").alias("_b"),
+    )
+    agg = _stencil9(cells, res).where(F.col("present") == 1)
+    s8 = None
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        s8 = F.col(f"z{i}") if s8 is None else s8 + F.col(f"z{i}")
+    num = agg.agg(F.sum(F.col("z4") * s8).alias("_cross"))
+    j = glob.crossJoin(F.broadcast(num))
+    a, b = F.col("_a"), F.col("_b")
+    nn = a * b
+    sw = 2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0) + 4.0 * (a - 1.0) * (b - 1.0)
+    g_obs = F.col("_cross") / F.nullif(
+        F.col("_tot") * F.col("_tot") - F.col("_tot2"), F.lit(0.0)
+    )
+    g_exp = sw / (nn * (nn - 1.0))
+    return j.select(
+        "n_present",
+        nn.cast("long").alias("bbox_n"),
+        g_obs.alias("g_obs"),
+        g_exp.alias("g_exp"),
+    )
