@@ -4657,6 +4657,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_texts"] = anchor_texts
 
+    def host_links(spark, sf_dir):
+        """Host-to-host linkage matrix (operators/webstats.py
+        host_link_matrix) over the shared deterministic link graph, with
+        each endpoint's host derived by the messy-URL fixture's host
+        rule (lowercased): one partial-agg groupBy on the host pair with
+        an exact distinct-source count; internal flags site-internal
+        cells.  The DuckDB twin replays the generator and rule."""
+        from tilekiln_spark.operators.webstats import host_link_matrix
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+
+        def host_of(c):
+            return F.lower(
+                F.concat(
+                    F.lit("Host"),
+                    (c % 7).cast("string"),
+                    F.when(c % 5 == 0, ".News").otherwise(""),
+                    F.lit(".Example.com"),
+                )
+            )
+
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                host_of(F.col("src")).alias("src_host"),
+                host_of(F.col("dst")).alias("dst_host"),
+            )
+        )
+        return host_link_matrix(e).orderBy("src_host", "dst_host")
+
+    q["host_links"] = host_links
+
     def bm25_search(spark, sf_dir):
         """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
         form): the per-doc token array is filtered to the query terms
@@ -10227,6 +10267,31 @@ def oracle_sql() -> dict[str, str]:
     """
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
+
+    # host-link matrix twin: identical link generator + host rule
+    o["host_links"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT d.doc_id AS src, (d.doc_id * 7 + j.j) % nn.n AS dst
+            FROM documents d CROSS JOIN nn
+                 CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            WHERE d.doc_id % 5 <> 0
+        ), hosted AS (
+            SELECT src,
+                   lower('Host' || CAST(src % 7 AS VARCHAR)
+                         || CASE WHEN src % 5 = 0 THEN '.News' ELSE '' END
+                         || '.Example.com') AS src_host,
+                   lower('Host' || CAST(dst % 7 AS VARCHAR)
+                         || CASE WHEN dst % 5 = 0 THEN '.News' ELSE '' END
+                         || '.Example.com') AS dst_host
+            FROM links WHERE src <> dst
+        )
+        SELECT src_host, dst_host,
+               count(*) AS n_links,
+               count(DISTINCT src) AS n_src_pages,
+               src_host = dst_host AS internal
+        FROM hosted GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
     # anchor-text rollup twin: identical link generator + split-parity
     # anchors; the winner is picked with the same (cnt desc, anchor asc)

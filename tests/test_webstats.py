@@ -58,3 +58,22 @@ def test_anchor_text_rollup_all_null_target_absent(spark):
     )
     out = anchor_text_rollup(df).collect()
     assert [r.dst for r in out] == [2]
+
+
+def test_host_link_matrix_rollup(spark):
+    """Exact counts per host pair: duplicate links collapse into
+    n_links, distinct sources counted separately, internal flags
+    same-host cells."""
+    from tilekiln_spark.operators.webstats import host_link_matrix
+
+    rows = [
+        (1, "a.com", "b.com"), (1, "a.com", "b.com"), (2, "a.com", "b.com"),
+        (3, "a.com", "a.com"),
+        (4, "b.com", "a.com"),
+    ]
+    df = spark.createDataFrame(rows, "src long, src_host string, dst_host string")
+    out = {(r.src_host, r.dst_host): (r.n_links, r.n_src_pages, r.internal)
+           for r in host_link_matrix(df).collect()}
+    assert out[("a.com", "b.com")] == (3, 2, False)
+    assert out[("a.com", "a.com")] == (1, 1, True)
+    assert out[("b.com", "a.com")] == (1, 1, False)

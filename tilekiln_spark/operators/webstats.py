@@ -209,3 +209,29 @@ def anchor_text_rollup(links: DataFrame) -> DataFrame:
             (-F.col("b.neg")).cast("long").alias("top_anchor_n"),
         )
     )
+
+
+def host_link_matrix(links: DataFrame) -> DataFrame:
+    """Host-to-host linkage matrix — the domain-level rollup of the page
+    link graph (the web-graph analytics face of the OD-matrix shape;
+    Common Crawl publishes exactly this as its host-level web graph):
+    per (source host, target host), how many links, from how many
+    distinct source pages, and whether the cell is site-internal.
+
+    Input: ``(src, src_host, dst_host)`` link rows.  Shape: ONE
+    partial-aggregated groupBy on the host pair — count is map-side
+    combinable; the distinct-source count rewrites to a two-level
+    aggregate under AQE but stays keyed on the same pair, so the matrix
+    never shuffles raw links twice.  Host cardinality is tiny relative
+    to pages (the 100 TB contract: ~10^8 hosts vs 10^12 pages), so the
+    output is the small side of any downstream join.
+
+    Returns ``[src_host, dst_host, n_links, n_src_pages, internal]``."""
+    return (
+        links.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src").alias("n_src_pages"),
+        )
+        .withColumn("internal", F.col("src_host") == F.col("dst_host"))
+    )
