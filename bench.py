@@ -183,6 +183,18 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "kde_density",
         "map_match",
         "snap_grid_dissolve",
+        # round-4 close-out additions: pair-count statistics (bounded
+        # dwithin self-joins), LISA off the shared stencil, and the
+        # trajectory / web-graph rollups.  service_areas and make_valid
+        # are deliberately NOT benched: their driver fixtures are tiny
+        # graphs/rings, so a bench cell would price per-round driver
+        # overhead of the iterative loops, not operator throughput.
+        "ripleys_k",
+        "knox_test",
+        "local_morans",
+        "od_flows",
+        "anchor_texts",
+        "host_links",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python
