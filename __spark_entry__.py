@@ -3151,6 +3151,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["general_g"] = general_g_q
 
+    def join_counts_q(spark, sf_dir):
+        """Join-count statistics (operators/raster.py join_counts —
+        PySAL esda.Join_Counts): BB/BW/WW adjacent pairs for the binary
+        Black = (count >= 2) classification, queen weights, with the
+        nonfree-sampling E[BB].  The SAME shared stencil runs over the
+        0/1 indicator, so every term is an exact small integer.  The
+        DuckDB twin replays the indicator stencil and assembly."""
+        from tilekiln_spark.operators.raster import join_counts, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        out = join_counts(rasterize(d, zoom=2, res=16), threshold=2, res=16)
+        return out.select(
+            "n_black", "bbox_n", "bb_obs", "bw_obs", "ww_obs",
+            (F.round("bb_exp", 6) + F.lit(0.0)).alias("bb_exp"),
+        )
+
+    q["join_counts"] = join_counts_q
+
     def raster_contours(spark, sf_dir):
         """Marching-squares contour segments over the doc-density raster
         (operators/raster.py contours — GDAL gdal_contour parity on the
@@ -6859,6 +6877,68 @@ def oracle_sql() -> dict[str, str]:
                      / (a * b * (a * b - 1.0)) * 1000000.0, 6)
                    + 0.0 AS g_exp_ppm
         FROM gmom CROSS JOIN num
+    """
+
+    # join-counts twin: the shared stencil over the 0/1 indicator +
+    # identical exact-integer assembly
+    o["join_counts"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y,
+                   CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT sum(v) AS nb,
+                   min(gx) AS bx0, max(gx) AS bx1,
+                   min(gy) AS by0, max(gy) AS by1
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), per AS (
+            SELECT z4 * ({_mi_s8}) AS bb2,
+                   z4 * (CAST((1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                              * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                              - 1 AS DOUBLE) - ({_mi_s8})) AS bw,
+                   nb, bx0, bx1, by0, by1
+            FROM agg CROSS JOIN gmom WHERE present = 1
+        ), sums AS (
+            SELECT nb, bx0, bx1, by0, by1,
+                   sum(bb2) AS sbb2, sum(bw) AS sbw
+            FROM per GROUP BY 1, 2, 3, 4, 5
+        ), dims AS (
+            SELECT nb, sbb2, sbw,
+                   CAST(bx1 - bx0 + 1 AS DOUBLE) AS a,
+                   CAST(by1 - by0 + 1 AS DOUBLE) AS b
+            FROM sums
+        )
+        SELECT CAST(nb AS BIGINT) AS n_black,
+               CAST(a * b AS BIGINT) AS bbox_n,
+               CAST(sbb2 / 2.0 AS BIGINT) AS bb_obs,
+               CAST(sbw AS BIGINT) AS bw_obs,
+               CAST((2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0)
+                     + 4.0 * (a - 1.0) * (b - 1.0)) / 2.0
+                    - sbb2 / 2.0 - sbw AS BIGINT) AS ww_obs,
+               round((2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0)
+                      + 4.0 * (a - 1.0) * (b - 1.0)) / 2.0
+                     * nb * (nb - 1.0) / (a * b * (a * b - 1.0)), 6)
+                   + 0.0 AS bb_exp
+        FROM dims
     """
 
     # quadrat-dispersion twin: identical binning + one-row exact-sum

@@ -1189,3 +1189,79 @@ def general_g(cells: DataFrame, res: int = 256) -> DataFrame:
         g_obs.alias("g_obs"),
         g_exp.alias("g_exp"),
     )
+
+
+def join_counts(cells: DataFrame, threshold: int = 2, res: int = 256) -> DataFrame:
+    """Join-count statistics (Cliff & Ord; PySAL ``esda.Join_Counts``) —
+    the categorical-autocorrelation companion to Moran's I, over the
+    binary classification Black = (count >= ``threshold``), queen
+    weights, bbox study region (absent cells are 0-count ⇒ White):
+
+        BB = unordered adjacent Black-Black pairs,
+        BW = adjacent Black-White pairs (counted once, from the Black
+             endpoint — a BW pair has exactly one),
+        WW = SW/2 − BB − BW   (SW/2 = total unordered adjacent pairs,
+             closed form in the bbox dims),
+        E[BB] = (SW/2) · nB(nB−1) / (N(N−1))   (nonfree sampling).
+
+    Shape: run the SAME shared :func:`_stencil9` over the 0/1 indicator
+    instead of the raw count — S8 is then the Black-neighbor count and
+    every term is an exact small integer; one stencil shuffle + one
+    broadcast moment row, identical to the rest of the family.  Returns
+    one row ``[n_black, bbox_n, bb_obs, bw_obs, ww_obs, bb_exp]``."""
+    ind = cells.withColumn(
+        "n", (F.col("n") >= int(threshold)).cast("long")
+    )
+    src = ind.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.sum("v").alias("_nb"),
+        F.min("gx").alias("_bx0"),
+        F.max("gx").alias("_bx1"),
+        F.min("gy").alias("_by0"),
+        F.max("gy").alias("_by1"),
+    )
+    agg = _stencil9(ind, res).where(F.col("present") == 1)
+    s8 = None
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        s8 = F.col(f"z{i}") if s8 is None else s8 + F.col(f"z{i}")
+    j = agg.crossJoin(F.broadcast(glob))
+    cntx = (
+        F.lit(1)
+        + (F.col("tgx") > F.col("_bx0")).cast("int")
+        + (F.col("tgx") < F.col("_bx1")).cast("int")
+    )
+    cnty = (
+        F.lit(1)
+        + (F.col("tgy") > F.col("_by0")).cast("int")
+        + (F.col("tgy") < F.col("_by1")).cast("int")
+    )
+    deg = (cntx * cnty - 1).cast("double")
+    per = j.select(
+        (F.col("z4") * s8).alias("_bb2"),
+        (F.col("z4") * (deg - s8)).alias("_bw"),
+        "_nb", "_bx0", "_bx1", "_by0", "_by1",
+    )
+    out = per.groupBy("_nb", "_bx0", "_bx1", "_by0", "_by1").agg(
+        F.sum("_bb2").alias("_sbb2"), F.sum("_bw").alias("_sbw")
+    )
+    a = (F.col("_bx1") - F.col("_bx0") + 1).cast("double")
+    b = (F.col("_by1") - F.col("_by0") + 1).cast("double")
+    nn = a * b
+    half_sw = (
+        2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0) + 4.0 * (a - 1.0) * (b - 1.0)
+    ) / 2.0
+    bb = F.col("_sbb2") / 2.0
+    nb = F.col("_nb")
+    bb_exp = half_sw * nb * (nb - 1.0) / (nn * (nn - 1.0))
+    return out.select(
+        nb.cast("long").alias("n_black"),
+        nn.cast("long").alias("bbox_n"),
+        bb.cast("long").alias("bb_obs"),
+        F.col("_sbw").cast("long").alias("bw_obs"),
+        (half_sw - bb - F.col("_sbw")).cast("long").alias("ww_obs"),
+        bb_exp.alias("bb_exp"),
+    )
