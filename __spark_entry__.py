@@ -4715,6 +4715,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_links"] = host_links
 
+    def host_diversity_q(spark, sf_dir):
+        """Per-host language-diversity rollup (operators/webstats.py
+        host_diversity): Simpson concentration from EXACT integer sums
+        (order-independent, no fold), Shannon entropy as a sequential
+        fold over the lang-sorted struct array so both engines add
+        identical terms in identical order.  One (host, lang) partial
+        agg + one groupBy(host).  Hosts from the messy-URL rule."""
+        from tilekiln_spark.operators.webstats import host_diversity
+
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        i = F.col("doc_id")
+        host = F.lower(
+            F.concat(
+                F.lit("Host"),
+                (i % 7).cast("string"),
+                F.when(i % 5 == 0, ".News").otherwise(""),
+                F.lit(".Example.com"),
+            )
+        )
+        out = host_diversity(d.withColumn("host", host))
+        return out.select(
+            "host", "n_pages", "n_cats",
+            (F.round("simpson", 6) + F.lit(0.0)).alias("simpson"),
+            (F.round("shannon", 6) + F.lit(0.0)).alias("shannon"),
+        ).orderBy("host")
+
+    q["host_diversity"] = host_diversity_q
+
     def bm25_search(spark, sf_dir):
         """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
         form): the per-doc token array is filtered to the query terms
@@ -10371,6 +10399,33 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT src) AS n_src_pages,
                src_host = dst_host AS internal
         FROM hosted GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # host-diversity twin: exact-integer Simpson + lang-ordered Shannon
+    # fold (list_sum over the same sorted terms)
+    o["host_diversity"] = """
+        WITH hosted AS (
+            SELECT lower('Host' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 0 THEN '.News' ELSE '' END
+                   || '.Example.com') AS host, lang
+            FROM documents
+        ), per AS (
+            SELECT host, lang, count(*) AS c FROM hosted GROUP BY 1, 2
+        ), agg AS (
+            SELECT host, sum(c) AS t, count(*) AS n_cats,
+                   sum(c * (c - 1)) AS s2,
+                   list(c ORDER BY lang) AS cs
+            FROM per GROUP BY 1
+        )
+        SELECT host, CAST(t AS BIGINT) AS n_pages, n_cats,
+               round(CAST(s2 AS DOUBLE)
+                     / nullif(CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) - 1.0),
+                              0.0), 6) + 0.0 AS simpson,
+               round(-(list_sum(list_transform(cs, c ->
+                   (CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))))), 6)
+                   + 0.0 AS shannon
+        FROM agg ORDER BY host
     """
 
     # anchor-text rollup twin: identical link generator + split-parity

@@ -77,3 +77,29 @@ def test_host_link_matrix_rollup(spark):
     assert out[("a.com", "b.com")] == (3, 2, False)
     assert out[("a.com", "a.com")] == (1, 1, True)
     assert out[("b.com", "a.com")] == (1, 1, False)
+
+
+def test_host_diversity_hand_entropy(spark):
+    """Hand-verified metrics: a 4-page host split 2/2 over two languages
+    (Simpson = (2+2)/(4*3) = 1/3, Shannon = ln 2), a monolingual host
+    (Simpson 1, Shannon 0), and a single-page host (Simpson NULL,
+    Shannon 0)."""
+    import math
+
+    from tilekiln_spark.operators.webstats import host_diversity
+
+    rows = [
+        ("a", "en"), ("a", "en"), ("a", "de"), ("a", "de"),
+        ("b", "en"), ("b", "en"), ("b", "en"),
+        ("c", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "host string, lang string")
+    out = {r.host: r for r in host_diversity(df).collect()}
+    a = out["a"]
+    assert (a.n_pages, a.n_cats) == (4, 2)
+    assert abs(a.simpson - 1.0 / 3.0) < 1e-12
+    assert abs(a.shannon - math.log(2.0)) < 1e-12
+    b = out["b"]
+    assert (b.n_pages, b.n_cats, b.simpson, b.shannon) == (3, 1, 1.0, -0.0)
+    c = out["c"]
+    assert c.simpson is None and c.shannon == -0.0 and c.n_pages == 1

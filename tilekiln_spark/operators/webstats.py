@@ -235,3 +235,49 @@ def host_link_matrix(links: DataFrame) -> DataFrame:
         )
         .withColumn("internal", F.col("src_host") == F.col("dst_host"))
     )
+
+
+def host_diversity(pages: DataFrame, key_col: str = "host", cat_col: str = "lang") -> DataFrame:
+    """Per-host content-diversity metrics — the corpus-balance rollup a
+    crawl curator runs before sampling (is a host monolingual spam or a
+    genuine multilingual hub?): for each host, the page count, distinct
+    category (language) count, Simpson concentration index, and Shannon
+    entropy of the category distribution.
+
+    Determinism split by construction:
+
+    - **Simpson** λ = Σ c_i(c_i−1) / (T(T−1)) is computed ENTIRELY from
+      exact integer sums — order-independent, bit-identical cross-engine
+      with no fold needed (NULL for single-page hosts);
+    - **Shannon** H = −Σ (c_i/T)·ln(c_i/T) mixes logs, so the sum runs
+      as a sequential fold over the category-sorted struct array (the
+      user_trajectories pattern) — both engines add the identical terms
+      in the identical order.
+
+    Shape: ONE (host, category) partial-agg groupBy collapses pages
+    map-side (shuffle volume = distinct pairs, not pages), then ONE
+    groupBy(host); the per-host array holds categories (≤ a few
+    hundred), never pages.  Returns
+    ``[host, n_pages, n_cats, simpson, shannon]``."""
+    per = pages.groupBy(key_col, cat_col).agg(F.count("*").alias("c"))
+    agg = per.groupBy(key_col).agg(
+        F.sum("c").alias("T"),
+        F.count("*").alias("n_cats"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("_s2"),
+        F.sort_array(F.collect_list(F.struct(cat_col, "c"))).alias("_o"),
+    )
+    t = F.col("T").cast("double")
+    frac = lambda s: s["c"].cast("double") / t  # noqa: E731
+    shannon = -F.aggregate(
+        F.col("_o"), F.lit(0.0), lambda a, s: a + frac(s) * F.log(frac(s))
+    )
+    simpson = F.col("_s2").cast("double") / F.nullif(
+        t * (t - 1.0), F.lit(0.0)
+    )
+    return agg.select(
+        F.col(key_col),
+        F.col("T").alias("n_pages"),
+        F.col("n_cats"),
+        simpson.alias("simpson"),
+        shannon.alias("shannon"),
+    )
