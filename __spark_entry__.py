@@ -4743,6 +4743,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_diversity"] = host_diversity_q
 
+    def host_gini(spark, sf_dir):
+        """Gini concentration of pages over hosts (operators/webstats.py
+        concentration_gini): exact integer rank formula over the HOST
+        dimension (one partial-agg rollup collapses pages first, so the
+        global sort touches hosts, not pages); ties in the count rank
+        provably commute in Σr·c, so the statistic is engine-independent.
+        The DuckDB twin replays the identical ranks and scalar."""
+        from tilekiln_spark.operators.webstats import concentration_gini
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        i = F.col("doc_id")
+        host = F.lower(
+            F.concat(
+                F.lit("Host"),
+                (i % 7).cast("string"),
+                F.when(i % 5 == 0, ".News").otherwise(""),
+                F.lit(".Example.com"),
+            )
+        )
+        per = d.select(host.alias("host")).groupBy("host").agg(
+            F.count("*").alias("n")
+        )
+        out = concentration_gini(per, "host")
+        return out.select(
+            "n_keys", "total",
+            (F.round("gini", 6) + F.lit(0.0)).alias("gini"),
+        )
+
+    q["host_gini"] = host_gini
+
     def bm25_search(spark, sf_dir):
         """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
         form): the per-doc token array is filtered to the query terms
@@ -10399,6 +10429,34 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT src) AS n_src_pages,
                src_host = dst_host AS internal
         FROM hosted GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # host-gini twin: identical host rollup, ranks, and scalar assembly
+    o["host_gini"] = """
+        WITH hosted AS (
+            SELECT lower('Host' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 0 THEN '.News' ELSE '' END
+                   || '.Example.com') AS host
+            FROM documents
+        ), per AS (
+            SELECT host, count(*) AS c FROM hosted GROUP BY 1
+        ), ranked AS (
+            SELECT CAST(c AS BIGINT) AS c,
+                   CAST(row_number() OVER (ORDER BY c ASC, host ASC)
+                        AS BIGINT) AS r
+            FROM per
+        ), agg AS (
+            SELECT count(*) AS n_keys, sum(c) AS total, sum(r * c) AS rc
+            FROM ranked
+        )
+        SELECT n_keys, CAST(total AS BIGINT) AS total,
+               CASE WHEN n_keys > 1 THEN
+                   round(2.0 * CAST(rc AS DOUBLE)
+                             / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+                         - (CAST(n_keys AS DOUBLE) + 1.0)
+                           / CAST(n_keys AS DOUBLE), 6) + 0.0
+               END AS gini
+        FROM agg
     """
 
     # host-diversity twin: exact-integer Simpson + lang-ordered Shannon

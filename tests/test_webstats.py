@@ -103,3 +103,27 @@ def test_host_diversity_hand_entropy(spark):
     assert (b.n_pages, b.n_cats, b.simpson, b.shannon) == (3, 1, 1.0, -0.0)
     c = out["c"]
     assert c.simpson is None and c.shannon == -0.0 and c.n_pages == 1
+
+
+def test_concentration_gini_known_values(spark):
+    """Hand-verified Gini: perfectly equal counts give 0; counts
+    {1,1,1,7} give G = 2*(1+2+3+28)/(4*10) - 5/4 = 0.45; a tie-heavy
+    set is invariant to which tied key gets which rank; a single key
+    gives NULL."""
+    from tilekiln_spark.operators.webstats import concentration_gini
+
+    eq = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "host string, n long"
+    )
+    r = concentration_gini(eq, "host").collect()[0]
+    assert (r.n_keys, r.total) == (3, 15) and r.gini == 0.0
+
+    skew = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 7)], "host string, n long"
+    )
+    rs = concentration_gini(skew, "host").collect()[0]
+    assert abs(rs.gini - 0.45) < 1e-12
+
+    solo = spark.createDataFrame([("a", 9)], "host string, n long")
+    r1 = concentration_gini(solo, "host").collect()[0]
+    assert r1.gini is None

@@ -281,3 +281,45 @@ def host_diversity(pages: DataFrame, key_col: str = "host", cat_col: str = "lang
         simpson.alias("simpson"),
         shannon.alias("shannon"),
     )
+
+
+def concentration_gini(counts: DataFrame, key_col: str, n_col: str = "n") -> DataFrame:
+    """Gini concentration index over a count dimension (pages per host,
+    links per domain — the "is this crawl dominated by a few megasites?"
+    audit number):
+
+        G = 2·Σ r_i·c_i / (n·Σc) − (n + 1)/n
+
+    over counts sorted ascending with rank r_i (ties broken by the key,
+    so ranks — and therefore the statistic — are engine-independent
+    even though tied orderings are arbitrary: equal counts commute in
+    Σ r·c... their rank sum is fixed, so ANY tie order gives the same
+    value; the key tiebreak just pins the plan).
+
+    Σ r·c and Σc are exact integer sums, so G is one exact scalar
+    division.  Shape: ONE global sort of the COUNT dimension (hosts,
+    not pages — ~10^8 rows at crawl scale, a real but bounded exchange;
+    at that size use rangepartitioned rank, which row_number already
+    compiles to).  Returns one row ``[n_keys, total, gini]`` (NULL for
+    a single key)."""
+    w = Window.orderBy(F.col(n_col).asc(), F.col(key_col).asc())
+    ranked = counts.select(
+        F.col(n_col).cast("long").alias("c"),
+        F.row_number().over(w).cast("long").alias("r"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("r") * F.col("c")).alias("_rc"),
+    )
+    n = F.col("n_keys").cast("double")
+    gini = (
+        2.0 * F.col("_rc").cast("double")
+        / (n * F.col("total").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "n_keys",
+        "total",
+        F.when(F.col("n_keys") > 1, gini).alias("gini"),
+    )
