@@ -3413,6 +3413,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ripleys_k"] = ripleys_k_q
 
+    def cross_k_q(spark, sf_dir):
+        """Bivariate Ripley's cross-K (operators/spatial_join.py
+        cross_k — spatstat Kcross, no edge correction): does the 'en'
+        pattern cluster around the 'de' pattern?  ONE dwithin join of A
+        against B at max radius, every radius cut from the same pass
+        with exact squared-distance boundary tests, bbox area over the
+        combined pattern.  The DuckDB twin brute-forces the A×B pairs
+        with identical arithmetic."""
+        from tilekiln_spark.operators.spatial_join import cross_k
+
+        geo = _mx_my(_docs(spark, sf_dir))
+        a = geo.where(F.col("lang") == "en").select("doc_id", "mx", "my")
+        b = geo.where(F.col("lang") == "de").select("doc_id", "mx", "my")
+        out = cross_k(a, b, [1.0e6, 2.5e6, 5.0e6])
+        return out.select(
+            (F.col("r") / 1000.0).alias("r_km"),
+            "n_pairs",
+            (F.round(F.col("k_est") / 1.0e6, 6) + F.lit(0.0)).alias("k_km2"),
+            (F.round(F.col("l_est") / 1000.0, 6) + F.lit(0.0)).alias("l_km"),
+        ).orderBy("r_km")
+
+    q["cross_k"] = cross_k_q
+
     def zonal_stats_q(spark, sf_dir):
         """Zonal statistics (PostGIS ST_SummaryStats(ST_Clip(...)) parity):
         rasterize docs at z2 into 16x16 per-tile count cells, then aggregate
@@ -9330,6 +9353,36 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(area * CAST(cnt AS DOUBLE) / (n * n)
                           / 3.141592653589793) / 1000.0, 6) + 0.0 AS l_km
         FROM cn CROSS JOIN mom ORDER BY r_km
+    """
+
+    # cross-K twin: brute-force A x B pairs, identical boundary tests,
+    # combined-pattern bbox area
+    o["cross_k"] = f"""
+        {_GEO_CTE}, a AS (
+            SELECT doc_id, mx AS x, my AS y FROM geo WHERE lang = 'en'
+        ), b AS (
+            SELECT doc_id, mx AS x, my AS y FROM geo WHERE lang = 'de'
+        ), na AS (SELECT CAST(count(*) AS DOUBLE) AS na FROM a),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM b),
+        mom AS (
+            SELECT (max(x) - min(x)) * (max(y) - min(y)) AS area
+            FROM (SELECT x, y FROM a UNION ALL SELECT x, y FROM b)
+        ), pairs AS (
+            SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM a CROSS JOIN b
+        ), cn AS (
+            SELECT rr.r AS r,
+                   sum(CASE WHEN d2 <= rr.r * rr.r THEN 1 ELSE 0 END) AS cnt
+            FROM pairs CROSS JOIN (
+                VALUES (1000000.0), (2500000.0), (5000000.0)) rr(r)
+            GROUP BY rr.r
+        )
+        SELECT r / 1000.0 AS r_km, CAST(cnt AS BIGINT) AS n_pairs,
+               round(area * CAST(cnt AS DOUBLE) / (na * nb) / 1000000.0, 6)
+                   + 0.0 AS k_km2,
+               round(sqrt(area * CAST(cnt AS DOUBLE) / (na * nb)
+                          / 3.141592653589793) / 1000.0, 6) + 0.0 AS l_km
+        FROM cn CROSS JOIN na CROSS JOIN nb CROSS JOIN mom ORDER BY r_km
     """
 
     o["dwithin_join"] = f"""

@@ -924,3 +924,32 @@ def test_ripleys_k_validation(spark):
         ripleys_k(pts, [])
     with pytest.raises(ValueError):
         ripleys_k(pts, [-5.0, 100.0])
+
+
+def test_cross_k_hand_counts_and_shared_point(spark):
+    """Cross-K pairs hand-enumerated between A = {(0,0),(2000,0)} and
+    B = {(1000,0),(5000,3000),(0,0)}: the shared point (0,0) is a
+    genuine zero-distance cross pair; Area uses the COMBINED bbox."""
+    import math
+
+    from tilekiln_spark.operators.spatial_join import cross_k
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 2000.0, 0.0)], "doc_id long, mx double, my double"
+    )
+    b = spark.createDataFrame(
+        [(10, 1000.0, 0.0), (11, 5000.0, 3000.0), (12, 0.0, 0.0)],
+        "doc_id long, mx double, my double",
+    )
+    out = {r.r: (r.n_pairs, r.k_est, r.l_est)
+           for r in cross_k(a, b, [1000.0, 4000.0]).collect()}
+    area = 5000.0 * 3000.0
+    # r=1000: (A1,B10)=1000 inclusive, (A1,B12)=0, (A2,B10)=1000 -> 3
+    # r=4000: + (A2,B12)=2000; B11 at sqrt(3000^2+3000^2)=4243 from A2
+    #   and sqrt(25+9)e3=5831 from A1 -> both out -> 4
+    for r, cnt in ((1000.0, 3), (4000.0, 4)):
+        k = area * cnt / (2.0 * 3.0)
+        got = out[r]
+        assert got[0] == cnt, r
+        assert abs(got[1] - k) < 1e-9
+        assert abs(got[2] - math.sqrt(k / math.pi)) < 1e-9

@@ -1604,3 +1604,92 @@ def ripleys_k(
         k.alias("k_est"),
         F.sqrt(k / F.lit(3.141592653589793)).alias("l_est"),
     )
+
+
+def cross_k(
+    pts_a: DataFrame,
+    pts_b: DataFrame,
+    radii: list[float],
+    id_col: str = "doc_id",
+    x_col: str = "mx",
+    y_col: str = "my",
+    broadcast_seeds: bool = False,
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K — spatstat ``Kcross``, edge
+    correction "none" like :func:`ripleys_k`: does pattern A cluster
+    AROUND pattern B beyond random labeling?
+
+        K_AB(r) = Area / (n_A · n_B) · Σ_{i∈A} Σ_{j∈B} 1[d_ij ≤ r]
+
+    with Area the bbox of the COMBINED pattern (the shared study
+    region).  CSR ⇒ K_AB(r) ≈ πr²; above = attraction between the
+    types, below = repulsion.  L_AB = sqrt(K_AB/π) reported alongside.
+
+    Same distributed discipline as the univariate statistic: ONE
+    :func:`dwithin_join` of A against B at max(radii) (bounded 3x3
+    cell-neighborhood equi-join), every radius cut from that single
+    pair pass with the exact SQUARED-distance boundary test (counts are
+    exact integers), moments from one tiny aggregate over the union.
+    A and B need no id disjointness — a shared point is a genuine
+    zero-distance cross pair.  Returns ``[r, n_pairs, k_est, l_est]``."""
+    if not radii:
+        raise ValueError("cross_k requires at least one radius")
+    radii = sorted(float(r) for r in radii)
+    if radii[0] <= 0:
+        raise ValueError("cross_k radii must be positive")
+    seeds = pts_b.select(
+        F.col(id_col).alias("_sid"),
+        F.col(x_col).alias("_sx"),
+        F.col(y_col).alias("_sy"),
+    )
+    pairs = dwithin_join(
+        pts_a.select(F.col(id_col), F.col(x_col), F.col(y_col)),
+        seeds,
+        radius=radii[-1],
+        mx=x_col,
+        my=y_col,
+        seed_mx="_sx",
+        seed_my="_sy",
+        broadcast_seeds=broadcast_seeds,
+    )
+    d2 = (F.col(x_col) - F.col("_sx")) * (F.col(x_col) - F.col("_sx")) + (
+        F.col(y_col) - F.col("_sy")
+    ) * (F.col(y_col) - F.col("_sy"))
+    cnts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((d2 <= F.lit(r * r)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"_c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    both = pts_a.select(x_col, y_col).unionAll(pts_b.select(x_col, y_col))
+    na = pts_a.agg(F.count("*").cast("double").alias("_na"))
+    nb = pts_b.agg(F.count("*").cast("double").alias("_nb"))
+    mom = both.agg(
+        (
+            (F.max(x_col) - F.min(x_col)) * (F.max(y_col) - F.min(y_col))
+        ).alias("_area")
+    )
+    spark = pts_a.sparkSession
+    rdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(radii)], "i int, r double"
+    )
+    wide = (
+        cnts.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    stacked = rdf.crossJoin(F.broadcast(wide))
+    cnt = None
+    for i in range(len(radii)):
+        c = F.when(F.col("i") == i, F.col(f"_c{i}"))
+        cnt = c if cnt is None else F.coalesce(cnt, c)
+    k = F.col("_area") * cnt.cast("double") / (F.col("_na") * F.col("_nb"))
+    return stacked.select(
+        F.col("r"),
+        cnt.alias("n_pairs"),
+        k.alias("k_est"),
+        F.sqrt(k / F.lit(3.141592653589793)).alias("l_est"),
+    )
