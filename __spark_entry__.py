@@ -4796,6 +4796,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_gini"] = host_gini
 
+    def lang_spatial_entropy(spark, sf_dir):
+        """Per-language spatial entropy (the geographic-spread audit: is
+        a language concentrated in one region or spread worldwide?):
+        docs rasterize to z2 cells PER LANG (one partial-agg groupBy
+        with lang in the key), then the same determinism split as
+        host_diversity — Simpson concentration from exact integer sums,
+        Shannon entropy as a fold over the cell-sorted struct array.
+        Reuses operators/webstats.py host_diversity verbatim with the
+        (lang, cell) roles swapped: the operator is already generic
+        over (key, category)."""
+        from tilekiln_spark.operators.webstats import host_diversity
+
+        d = _mx_my(_docs(spark, sf_dir))
+        cell = (
+            F.col("tx").cast("long") * 1000000 + F.col("ty").cast("long")
+        )
+        from tilekiln_spark.functions.tileids import tile_x, tile_y
+
+        z = F.lit(2)
+        binned = d.select(
+            "lang",
+            tile_x(z, F.col("mx")).alias("tx"),
+            tile_y(z, F.col("my")).alias("ty"),
+        ).select("lang", cell.alias("cell"))
+        out = host_diversity(binned, key_col="lang", cat_col="cell")
+        return out.select(
+            F.col("lang"),
+            F.col("n_pages").alias("n_docs"),
+            F.col("n_cats").alias("n_cells"),
+            (F.round("simpson", 6) + F.lit(0.0)).alias("simpson"),
+            (F.round("shannon", 6) + F.lit(0.0)).alias("shannon"),
+        ).orderBy("lang")
+
+    q["lang_spatial_entropy"] = lang_spatial_entropy
+
     def bm25_search(spark, sf_dir):
         """BM25 top-k lexical retrieval (operators/retrieval.py, Lucene IDF
         form): the per-doc token array is filtered to the query terms
@@ -10510,6 +10545,32 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(n_keys AS DOUBLE), 6) + 0.0
                END AS gini
         FROM agg
+    """
+
+    # lang spatial-entropy twin: same (key, category) machinery with the
+    # roles swapped — z2 cells as categories per lang
+    o["lang_spatial_entropy"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT lang, {tx2} AS tx, {ty2} AS ty FROM geo
+        ), binned AS (
+            SELECT lang, CAST(tx AS BIGINT) * 1000000 + ty AS cell FROM t
+        ), per AS (
+            SELECT lang, cell, count(*) AS c FROM binned GROUP BY 1, 2
+        ), agg AS (
+            SELECT lang, sum(c) AS tt, count(*) AS n_cells,
+                   sum(c * (c - 1)) AS s2,
+                   list(c ORDER BY cell) AS cs
+            FROM per GROUP BY 1
+        )
+        SELECT lang, CAST(tt AS BIGINT) AS n_docs, n_cells,
+               round(CAST(s2 AS DOUBLE)
+                     / nullif(CAST(tt AS DOUBLE) * (CAST(tt AS DOUBLE) - 1.0),
+                              0.0), 6) + 0.0 AS simpson,
+               round(-(list_sum(list_transform(cs, c ->
+                   (CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))))), 6)
+                   + 0.0 AS shannon
+        FROM agg ORDER BY lang
     """
 
     # host-diversity twin: exact-integer Simpson + lang-ordered Shannon
