@@ -6148,6 +6148,108 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["media_frame_sample"] = media_frame_sample
 
+    def hll_host_distinct(spark, sf_dir):
+        """HyperLogLog distinct-URL estimate per host (operators/
+        sketches.py hll_distinct — Flajolet et al. 2007): the at-scale
+        replacement for count(DISTINCT url) per host, which at 10^12 rows
+        shuffles every distinct key.  Registers are max(rho) per (host,
+        bucket) — commutative and idempotent, so partial sketches merge
+        exactly under any partitioning; the harmonic sum is a dyadic
+        rational (exact in doubles), so Spark and the DuckDB twin produce
+        the SAME estimate, not just statistically-close ones.  The exact
+        distinct count rides along for the error column."""
+        from tilekiln_spark.functions.web import url_host, url_normalize
+        from tilekiln_spark.operators.sketches import hll_distinct
+
+        urls = _messy_urls(_docs(spark, sf_dir)).select(
+            url_host("url").alias("host"), url_normalize("url").alias("url_norm")
+        )
+        sk = hll_distinct(urls, F.col("url_norm"), group_cols=["host"], p=6)
+        exact = urls.groupBy("host").agg(
+            F.countDistinct("url_norm").alias("n_exact")
+        )
+        return sk.join(exact, "host").select(
+            "host", "n_exact", "hll_est", "hll_registers_used"
+        )
+
+    q["hll_host_distinct"] = hll_host_distinct
+
+    def kmv_lang_distinct(spark, sf_dir):
+        """KMV / bottom-k distinct-text estimate per language (operators/
+        sketches.py kmv_distinct — Bar-Yossef et al. 2002): keep the k=16
+        smallest md5-derived hash values per group; estimate
+        (k-1)/(h_k/2^32).  The k-th minimum is a rank over exact integers
+        — no float state — and Catalyst's WindowGroupLimit prunes each map
+        partition to its local bottom-k before the shuffle.  Exact
+        distinct rides along; groups under k report exactly."""
+        from tilekiln_spark.operators.sketches import kmv_distinct
+
+        docs = _docs(spark, sf_dir).select("lang", F.md5("text").alias("sig"))
+        sk = kmv_distinct(docs, F.col("sig"), group_cols=["lang"], k=16)
+        exact = docs.groupBy("lang").agg(F.countDistinct("sig").alias("n_exact"))
+        return sk.join(exact, "lang").select(
+            "lang", "n_exact", "kmv_est", "kmv_exact_below_k"
+        )
+
+    q["kmv_lang_distinct"] = kmv_lang_distinct
+
+    def cms_heavy_hitters(spark, sf_dir):
+        """Count-min-sketch heavy hitters (operators/sketches.py
+        cms_counters + cms_point_estimate — Cormode & Muthukrishnan 2005):
+        depth-3 x width-32 integer counters over host page counts; the
+        point estimate min_d(counter) never underestimates.  Counters are
+        exact integer sums, so the merged sketch is identical under any
+        partitioning and engine.  Probes are the exact top-8 hosts (count
+        desc, host asc tie-break); the estimate column shows the one-sided
+        sketch error against the exact count."""
+        from tilekiln_spark.functions.web import url_host
+        from tilekiln_spark.operators.sketches import (
+            cms_counters, cms_point_estimate,
+        )
+
+        pages = _messy_urls(_docs(spark, sf_dir)).select(
+            url_host("url").alias("host")
+        )
+        counters = cms_counters(pages, F.col("host"), depth=3, width=32)
+        top = (
+            pages.groupBy("host")
+            .agg(F.count("*").alias("n_exact"))
+            .orderBy(F.col("n_exact").desc(), F.col("host"))
+            .limit(8)
+        )
+        est = cms_point_estimate(counters, top, "host", depth=3, width=32)
+        return top.join(est, "host").select(
+            "host", "n_exact", F.col("cms_est").cast("long").alias("cms_est")
+        )
+
+    q["cms_heavy_hitters"] = cms_heavy_hitters
+
+    def bloom_decontam(spark, sf_dir):
+        """Bloom-filter membership pre-filter (operators/sketches.py
+        bloom_bits + bloom_probe): the decontamination shape at 100 TB —
+        the eval-set bit set (m=1024, k=3, deterministic md5 positions) is
+        tiny and broadcast; the corpus probe is map-only + one per-key
+        count.  No false negatives by construction (every exact member
+        must report bloom_hit = true); false positives are the sized-in
+        cost that the exact-match join only pays on survivors.  Output is
+        one row per distinct text signature with the sketch verdict and
+        the exact membership bit so the driver hash pins both."""
+        from tilekiln_spark.operators.sketches import bloom_bits, bloom_probe
+
+        docs = _docs(spark, sf_dir)
+        evalset = docs.where(F.col("doc_id") % 7 == 0).select(
+            F.md5("text").alias("sig")
+        ).distinct()
+        probes = docs.select(F.md5("text").alias("sig")).distinct()
+        bits = bloom_bits(evalset, F.col("sig"), m_bits=1024, k_hashes=3)
+        hit = bloom_probe(bits, probes, "sig", m_bits=1024, k_hashes=3)
+        exact = probes.join(
+            evalset.withColumn("_in", F.lit(True)), ["sig"], "left"
+        ).select("sig", F.coalesce("_in", F.lit(False)).alias("exact_hit"))
+        return hit.join(exact, "sig").select("sig", "bloom_hit", "exact_hit")
+
+    q["bloom_decontam"] = bloom_decontam
+
     return q
 
 
@@ -11810,6 +11912,130 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus CROSS JOIN probes
         )
         SELECT probe_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 10
+    """
+
+    # ------------------------------------------------------------------
+    # sketch twins: every hash is md5-derived and every combine step is an
+    # order-independent algebra (max / integer sum / set union / rank), so
+    # the DuckDB replay is bit-identical to the distributed sketch.
+    # ------------------------------------------------------------------
+    _amm = repr(0.709 * 64.0 * 64.0)
+
+    o["hll_host_distinct"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        keys AS (SELECT host, url_norm FROM web),
+        hashed AS (
+            SELECT host,
+                   CAST('0x' || substr(md5('hll:' || url_norm), 1, 8) AS BIGINT) AS h
+            FROM keys
+        ),
+        hp AS (
+            SELECT host,
+                   CAST(floor(h / 67108864.0) AS INT) AS bkt,
+                   h % 67108864 AS rest
+            FROM hashed
+        ),
+        regs AS (
+            SELECT host, bkt,
+                   max(CASE WHEN rest = 0 THEN 27
+                            ELSE 27 - length(bin(rest)) END) AS m
+            FROM hp GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT host, sum(power(2.0, -m)) AS hsum, count(*) AS used
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT host, used,
+                   {_amm} / ((64.0 - CAST(used AS DOUBLE)) + hsum) AS raw
+            FROM per
+        ),
+        ex AS (SELECT host, count(DISTINCT url_norm) AS n_exact FROM keys GROUP BY 1)
+        SELECT est.host, CAST(n_exact AS BIGINT) AS n_exact,
+               round(CASE WHEN raw <= 160.0 AND (64.0 - CAST(used AS DOUBLE)) > 0.0
+                          THEN 64.0 * ln(64.0 / (64.0 - CAST(used AS DOUBLE)))
+                          ELSE raw END, 6) + 0.0 AS hll_est,
+               CAST(used AS BIGINT) AS hll_registers_used
+        FROM est JOIN ex ON est.host = ex.host
+    """
+
+    o["kmv_lang_distinct"] = """
+        WITH sigs AS (SELECT lang, md5(text) AS sig FROM documents),
+        hs AS (
+            SELECT DISTINCT lang,
+                   CAST('0x' || substr(md5('kmv:' || sig), 1, 8) AS BIGINT) AS h
+            FROM sigs
+        ),
+        ranked AS (
+            SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM hs
+        ),
+        nd AS (SELECT lang, count(*) AS nd FROM hs GROUP BY 1),
+        kth AS (
+            SELECT lang, max(CASE WHEN rn = 16 THEN h END) AS kth
+            FROM ranked WHERE rn <= 16 GROUP BY 1
+        ),
+        ex AS (SELECT lang, count(DISTINCT sig) AS n_exact FROM sigs GROUP BY 1)
+        SELECT k.lang, CAST(n_exact AS BIGINT) AS n_exact,
+               round(CASE WHEN nd >= 16
+                          THEN 15.0 * 4294967296.0 / CAST(kth AS DOUBLE)
+                          ELSE CAST(nd AS DOUBLE) END, 4) + 0.0 AS kmv_est,
+               nd < 16 AS kmv_exact_below_k
+        FROM kth k JOIN nd USING (lang) JOIN ex USING (lang)
+    """
+
+    o["cms_heavy_hitters"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        pages AS (SELECT host FROM web),
+        cnt AS (SELECT host, count(*) AS n_exact FROM pages GROUP BY 1),
+        top AS (SELECT host, n_exact FROM cnt ORDER BY n_exact DESC, host LIMIT 8),
+        ds(d) AS (VALUES (0), (1), (2)),
+        counters AS (
+            SELECT d,
+                   CAST(CAST('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+                        || ':' || host), 1, 8) AS BIGINT) % 32 AS INT) AS slot,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM pages CROSS JOIN ds GROUP BY 1, 2
+        ),
+        probe AS (
+            SELECT t.host, t.n_exact, ds.d,
+                   CAST(CAST('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR)
+                        || ':' || t.host), 1, 8) AS BIGINT) % 32 AS INT) AS slot
+            FROM top t CROSS JOIN ds
+        )
+        SELECT p.host, CAST(p.n_exact AS BIGINT) AS n_exact,
+               CAST(min(coalesce(c.c, 0.0)) AS BIGINT) AS cms_est
+        FROM probe p LEFT JOIN counters c ON p.d = c.d AND p.slot = c.slot
+        GROUP BY 1, 2
+    """
+
+    o["bloom_decontam"] = """
+        WITH evalset AS (
+            SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 7 = 0
+        ),
+        probes AS (SELECT DISTINCT md5(text) AS sig FROM documents),
+        js(j) AS (VALUES (0), (1), (2)),
+        bits AS (
+            SELECT DISTINCT
+                   CAST(CAST('0x' || substr(md5('b' || CAST(j AS VARCHAR)
+                        || ':' || sig), 1, 8) AS BIGINT) % 1024 AS INT) AS pos
+            FROM evalset CROSS JOIN js
+        ),
+        pp AS (
+            SELECT sig,
+                   CAST(CAST('0x' || substr(md5('b' || CAST(j AS VARCHAR)
+                        || ':' || sig), 1, 8) AS BIGINT) % 1024 AS INT) AS pos
+            FROM probes CROSS JOIN js
+        ),
+        hits AS (
+            SELECT pp.sig,
+                   sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 3 AS bloom_hit
+            FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+            GROUP BY 1
+        )
+        SELECT h.sig, h.bloom_hit, (e.sig IS NOT NULL) AS exact_hit
+        FROM hits h LEFT JOIN evalset e ON h.sig = e.sig
     """
 
     return o
