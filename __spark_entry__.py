@@ -6250,6 +6250,104 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["bloom_decontam"] = bloom_decontam
 
+    def geary_c_q(spark, sf_dir):
+        """Global Geary's C (operators/raster.py geary_c — PySAL
+        esda.Geary, queen weights, bbox study region): the difference-
+        based autocorrelation companion to morans_i.  The pair-difference
+        numerator folds into 2·Σdeg·x² − 2·Σx·S8 off the SAME shared 3x3
+        stencil — exact integer sums, one stencil shuffle + one tiny
+        global aggregate.  The DuckDB twin replays the identical sums and
+        the one final scalar assembly."""
+        from tilekiln_spark.operators.raster import geary_c as _gc
+        from tilekiln_spark.operators.raster import rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return _gc(rasterize(d, zoom=2, res=16), res=16)
+
+    q["geary_c"] = geary_c_q
+
+    def raster_curvature(spark, sf_dir):
+        """Zevenbergen–Thorne curvature (operators/raster.py curvature_zt
+        — ArcGIS Curvature parity on the count grid): general / profile /
+        plan curvature per present cell off the shared 3x3 stencil; flat
+        windows (G²+H²=0) emit NULL profile/plan.  Pure arithmetic, same
+        float expressions cross-engine."""
+        from tilekiln_spark.operators.raster import curvature_zt, rasterize
+
+        d = _mx_my(_docs(spark, sf_dir))
+        return curvature_zt(rasterize(d, zoom=2, res=16), res=16)
+
+    q["raster_curvature"] = raster_curvature
+
+    def graph_triangles(spark, sf_dir):
+        """Per-node triangle counts + local clustering coefficient
+        (operators/graph.py triangle_counts — the GraphX TriangleCount /
+        Watts-Strogatz canon) over the deterministic pagerank link graph,
+        canonicalized to the undirected simple edge set.  Triangles are
+        enumerated once each via the ordered u<v<w two-path join; per-node
+        counts scatter to the three corners.  Exact integers; local_cc is
+        the same float expression cross-engine."""
+        from tilekiln_spark.operators.graph import triangle_counts
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return triangle_counts(e).select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_tri").cast("long").alias("n_tri"),
+            "local_cc",
+        )
+
+    q["graph_triangles"] = graph_triangles
+
+    def k_core_q(spark, sf_dir):
+        """k-core decomposition membership (operators/graph.py k_core —
+        Seidman 1983) at k=4 over a designed core+periphery graph: a
+        40-node ring core where i links to (i+1..3) mod 40 (undirected
+        degree 6), a chain periphery i→i−1 (degree ≤ 3 with its every-
+        third attachment into the core), so the peel genuinely removes
+        the periphery and keeps exactly the ring.  Iterates to fixpoint
+        (raises rather than truncating); the DuckDB twin unrolls a FIXED
+        6 peel rounds — peeling is monotone, so any round count ≥ the
+        convergence round (measured 2-3 here) lands on the identical
+        fixpoint."""
+        from tilekiln_spark.operators.graph import k_core
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        core = (
+            d.filter(F.col("doc_id") < 40)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(F.lit(1), F.lit(2), F.lit(3))
+                ).alias("j"),
+            )
+            .select("src", ((F.col("src") + F.col("j")) % 40).alias("dst"))
+        )
+        chain = d.filter(F.col("doc_id") >= 40).select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+        )
+        attach = d.filter(
+            (F.col("doc_id") >= 40) & (F.col("doc_id") % 3 == 0)
+        ).select(F.col("doc_id").alias("src"), (F.col("doc_id") % 40).alias("dst"))
+        e = core.union(chain).union(attach)
+        out = k_core(e, k=4, max_iter=30)
+        return out.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+
+    q["k_core"] = k_core_q
+
     return q
 
 
@@ -12036,6 +12134,246 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT h.sig, h.bloom_hit, (e.sig IS NOT NULL) AS exact_hit
         FROM hits h LEFT JOIN evalset e ON h.sig = e.sig
+    """
+
+    # Geary's C twin: shared stencil, deg arithmetic, exact integer sums,
+    # identical final scalar assembly (same shape as the morans_i twin)
+    _a = "CAST(bx1 - bx0 + 1 AS DOUBLE)"
+    _b = "CAST(by1 - by0 + 1 AS DOUBLE)"
+    _nn = f"({_a} * {_b})"
+    _swx = (
+        f"(2.0 * ({_a} - 1.0) * {_b} + 2.0 * {_a} * ({_b} - 1.0)"
+        f" + 4.0 * ({_a} - 1.0) * ({_b} - 1.0))"
+    )
+
+    o["geary_c"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), gmom AS (
+            SELECT min(gx) AS bx0, max(gx) AS bx1,
+                   min(gy) AS by0, max(gy) AS by1,
+                   sum(v) AS tot, sum(v * v) AS tot2,
+                   count(*) AS npres
+            FROM cellsg
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), per AS (
+            SELECT z4 * z4 * CAST((1 + CAST(tgx > bx0 AS INT) + CAST(tgx < bx1 AS INT))
+                             * (1 + CAST(tgy > by0 AS INT) + CAST(tgy < by1 AS INT))
+                             - 1 AS DOUBLE) AS dq,
+                   z4 * ({_mi_s8}) AS c,
+                   bx0, bx1, by0, by1, tot, tot2, npres
+            FROM agg CROSS JOIN gmom WHERE present = 1
+        ), sums AS (
+            SELECT bx0, bx1, by0, by1, tot, tot2, npres,
+                   sum(dq) AS sdq, sum(c) AS crs
+            FROM per GROUP BY 1, 2, 3, 4, 5, 6, 7
+        )
+        SELECT npres AS n_present,
+               CAST({_nn} AS BIGINT) AS bbox_n,
+               CAST({_swx} AS BIGINT) AS sw,
+               round(({_nn} - 1.0) * (2.0 * sdq - 2.0 * crs)
+                     / (2.0 * {_swx}
+                        * nullif(tot2 - {_nn} * ((tot / {_nn}) * (tot / {_nn})), 0.0)), 6)
+                   + 0.0 AS geary
+        FROM sums
+    """
+
+    # Zevenbergen-Thorne curvature twin: shared stencil + the identical
+    # float expressions (L = 1), NULL profile/plan on flat windows
+    o["raster_curvature"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT mx, my, {tx2} AS x, {ty2} AS y FROM geo
+        ), binned AS (
+            SELECT x, y,
+                   greatest(least(CAST(floor((mx - (-{HW} + x * {len2})) / {len2} * 16) AS INT), 15), 0) AS bin_x,
+                   greatest(least(CAST(floor((({HW} - y * {len2}) - my) / {len2} * 16) AS INT), 15), 0) AS bin_y
+            FROM t
+        ), counts AS (
+            SELECT x, y, bin_x, bin_y, CAST(count(*) AS DOUBLE) AS v
+            FROM binned GROUP BY 1, 2, 3, 4
+        ), cellsg AS (
+            SELECT CAST(x AS BIGINT) * 16 + bin_x AS gx,
+                   CAST(y AS BIGINT) * 16 + bin_y AS gy, v
+            FROM counts
+        ), offs(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, v
+            FROM cellsg CROSS JOIN offs
+        ), agg AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ), zt AS (
+            SELECT tgx, tgy,
+                   ((z3 + z5) / 2.0 - z4) / 1.0 AS d,
+                   ((z1 + z7) / 2.0 - z4) / 1.0 AS e,
+                   (-z0 + z2 + z6 - z8) / 4.0 AS fc,
+                   (-z3 + z5) / 2.0 AS g,
+                   (z1 - z7) / 2.0 AS h
+            FROM agg WHERE present = 1
+        )
+        SELECT tgx AS gx, tgy AS gy,
+               round(-2.0 * (d + e) * 100.0, 6) + 0.0 AS curv_general,
+               round(-2.0 * (d * g * g + e * h * h + fc * g * h)
+                     / nullif(g * g + h * h, 0.0), 6) + 0.0 AS curv_profile,
+               round(2.0 * (d * h * h + e * g * g - fc * g * h)
+                     / nullif(g * g + h * h, 0.0), 6) + 0.0 AS curv_plan
+        FROM zt
+    """
+
+    # triangle-count twin: identical canonical edge set + the ordered
+    # u<v<w two-path join, corners scattered and rolled up
+    o["graph_triangles"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT d.doc_id AS src, (d.doc_id * 7 + j.j) % nn.n AS dst
+            FROM documents d CROSS JOIN nn
+                 CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            WHERE d.doc_id % 5 <> 0
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM links WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            ) GROUP BY 1
+        ),
+        tris AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT node, count(*) AS n_tri FROM (
+                SELECT a AS node FROM tris
+                UNION ALL SELECT b AS node FROM tris
+                UNION ALL SELECT c AS node FROM tris
+            ) GROUP BY 1
+        )
+        SELECT CAST(deg.node AS BIGINT) AS node,
+               CAST(degree AS BIGINT) AS degree,
+               CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+               round(CASE WHEN degree >= 2
+                          THEN 2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+                               / CAST(degree * (degree - 1) AS DOUBLE)
+                     END, 6) + 0.0 AS local_cc
+        FROM deg LEFT JOIN corners ON deg.node = corners.node
+    """
+
+    # k-core twin: 6 unrolled monotone peel rounds over the
+    # designed core+periphery fixture, each round MATERIALIZED so DuckDB
+    # does not inline the chain exponentially; extra rounds past the
+    # fixpoint are no-ops
+    o["k_core"] = """
+        WITH d AS (SELECT doc_id FROM documents),
+        core AS (
+            SELECT doc_id AS src, (doc_id + j.j) % 40 AS dst
+            FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            WHERE doc_id < 40
+        ),
+        chain AS (
+            SELECT doc_id AS src, doc_id - 1 AS dst FROM d WHERE doc_id >= 40
+        ),
+        attach AS (
+            SELECT doc_id AS src, doc_id % 40 AS dst
+            FROM d WHERE doc_id >= 40 AND doc_id % 3 = 0
+        ),
+        links AS (
+            SELECT * FROM core UNION ALL SELECT * FROM chain
+            UNION ALL SELECT * FROM attach
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM links WHERE src <> dst
+        ),
+        d1 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            ) GROUP BY 1
+        ),
+        er1 AS MATERIALIZED (
+            SELECT u, v FROM und
+            WHERE u IN (SELECT node FROM d1 WHERE d >= 4)
+              AND v IN (SELECT node FROM d1 WHERE d >= 4)
+        ),
+        d2 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM er1 UNION ALL SELECT v AS node FROM er1
+            ) GROUP BY 1
+        ),
+        er2 AS MATERIALIZED (
+            SELECT u, v FROM er1
+            WHERE u IN (SELECT node FROM d2 WHERE d >= 4)
+              AND v IN (SELECT node FROM d2 WHERE d >= 4)
+        ),
+        d3 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM er2 UNION ALL SELECT v AS node FROM er2
+            ) GROUP BY 1
+        ),
+        er3 AS MATERIALIZED (
+            SELECT u, v FROM er2
+            WHERE u IN (SELECT node FROM d3 WHERE d >= 4)
+              AND v IN (SELECT node FROM d3 WHERE d >= 4)
+        ),
+        d4 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM er3 UNION ALL SELECT v AS node FROM er3
+            ) GROUP BY 1
+        ),
+        er4 AS MATERIALIZED (
+            SELECT u, v FROM er3
+            WHERE u IN (SELECT node FROM d4 WHERE d >= 4)
+              AND v IN (SELECT node FROM d4 WHERE d >= 4)
+        ),
+        d5 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM er4 UNION ALL SELECT v AS node FROM er4
+            ) GROUP BY 1
+        ),
+        er5 AS MATERIALIZED (
+            SELECT u, v FROM er4
+            WHERE u IN (SELECT node FROM d5 WHERE d >= 4)
+              AND v IN (SELECT node FROM d5 WHERE d >= 4)
+        ),
+        d6 AS MATERIALIZED (
+            SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM er5 UNION ALL SELECT v AS node FROM er5
+            ) GROUP BY 1
+        ),
+        er6 AS MATERIALIZED (
+            SELECT u, v FROM er5
+            WHERE u IN (SELECT node FROM d6 WHERE d >= 4)
+              AND v IN (SELECT node FROM d6 WHERE d >= 4)
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT u AS node FROM er6
+            UNION ALL SELECT v AS node FROM er6
+        ) GROUP BY 1
     """
 
     return o

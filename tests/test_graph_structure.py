@@ -1,0 +1,85 @@
+"""Triangle counts and k-core: hand-verifiable goldens + peel contracts."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tilekiln_spark.operators.graph import k_core, triangle_counts
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_k4(spark):
+    # K4: every node has degree 3, sits in C(3,2)=3 triangles, local_cc=1
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = {r["node"]: r for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for n, r in out.items():
+        assert r["degree"] == 3 and r["n_tri"] == 3 and r["local_cc"] == 1.0
+
+
+def test_triangles_canonicalization(spark):
+    # duplicates, reverses, and self-loops must not inflate counts
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    out = {r["node"]: r for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert all(r["n_tri"] == 1 and r["degree"] == 2 for r in out.values())
+
+
+def test_triangles_path_has_none(spark):
+    out = triangle_counts(_edges(spark, [(0, 1), (1, 2), (2, 3)])).collect()
+    assert all(r["n_tri"] == 0 for r in out)
+    # degree-1 endpoints have NULL local_cc (undefined), middles 0.0
+    cc = {r["node"]: r["local_cc"] for r in out}
+    assert cc[0] is None and cc[3] is None
+    assert cc[1] == 0.0 and cc[2] == 0.0
+
+
+def test_k_core_peels_periphery(spark):
+    # 5-clique (degree 4) + a pendant chain hanging off node 0
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    out = {r["node"]: r["core_degree"]
+           for r in k_core(_edges(spark, clique + chain), k=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(v == 4 for v in out.values())
+
+
+def test_k_core_cascading_peel(spark):
+    # a chain peels completely at k=2 only via cascading rounds
+    chain = [(i, i + 1) for i in range(6)]
+    assert k_core(_edges(spark, chain), k=2).count() == 0
+    # a cycle is its own 2-core
+    cycle = chain + [(6, 0)]
+    out = k_core(_edges(spark, cycle), k=2).collect()
+    assert len(out) == 7 and all(r["core_degree"] == 2 for r in out)
+
+
+def test_k_core_raises_on_iteration_cap(spark):
+    chain = [(i, i + 1) for i in range(8)]
+    with pytest.raises(ValueError, match="no fixpoint"):
+        k_core(_edges(spark, chain), k=2, max_iter=2)
+
+
+def test_k_core_driver_fixture_converges_fast(spark):
+    # pins the oracle's 6-round unroll: the driver's core+periphery graph
+    # must fixpoint within 5 rounds (the twin runs 6)
+    d = spark.range(500).select(F.col("id").alias("doc_id"))
+    core = (
+        d.filter(F.col("doc_id") < 40)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select("src", ((F.col("src") + F.col("j")) % 40).alias("dst"))
+    )
+    chain = d.filter(F.col("doc_id") >= 40).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    attach = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") % 3 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 40).alias("dst")
+    )
+    out = k_core(core.union(chain).union(attach), k=4, max_iter=5)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["core_degree"] == 6 for r in rows)

@@ -583,3 +583,86 @@ def test_join_counts_checkerboard_and_block(spark):
     assert rc.bb_obs + rc.bw_obs + rc.ww_obs == 20
     # every corner has 3 in-bbox neighbors, all White -> BW = 12
     assert rc.bw_obs == 12
+
+
+def test_curvature_ramp_flat_and_peak(spark):
+    """A linear ramp has zero curvature everywhere (second derivatives
+    vanish, gradient nonzero so profile/plan are defined 0); a flat
+    plateau NULLs profile/plan (gradient 0); an isolated peak cell z=10
+    over a 7-ring gives D=E=-3, F=G=H=0 -> general=1200, NULL profile."""
+    from tilekiln_spark.operators.raster import curvature_zt
+
+    ramp = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, gx) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    r = {(row.gx, row.gy): row for row in curvature_zt(ramp, res=16).collect()}
+    c = r[(5, 5)]
+    assert c.curv_general == 0.0
+    assert c.curv_profile == 0.0
+    assert c.curv_plan == 0.0
+
+    flat = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, 7) for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    f = {(row.gx, row.gy): row for row in curvature_zt(flat, res=16).collect()}
+    assert f[(5, 5)].curv_general == 0.0
+    assert f[(5, 5)].curv_profile is None
+    assert f[(5, 5)].curv_plan is None
+
+    peak = spark.createDataFrame(
+        [(0, 0, 0, gx, gy, 10 if (gx, gy) == (5, 5) else 7)
+         for gx in (4, 5, 6) for gy in (4, 5, 6)],
+        "zoom int, x int, y int, bin_x int, bin_y int, n long",
+    )
+    p = {(row.gx, row.gy): row for row in curvature_zt(peak, res=16).collect()}
+    assert p[(5, 5)].curv_general == 1200.0
+    assert p[(5, 5)].curv_profile is None
+
+
+def test_geary_c_matches_brute_force_and_sign(spark):
+    """geary_c == a numpy brute force over the dense bbox grid (queen
+    weights, absent cells 0), and the sign convention holds: a smooth
+    ramp clusters (C < 1), a checkerboard anti-clusters (C > 1)."""
+    import numpy as np
+
+    from tilekiln_spark.operators.raster import geary_c
+
+    def brute(vals):  # vals: dict (gx,gy)->v
+        xs = [g[0] for g in vals]; ys = [g[1] for g in vals]
+        bx0, bx1, by0, by1 = min(xs), max(xs), min(ys), max(ys)
+        a, b = bx1 - bx0 + 1, by1 - by0 + 1
+        grid = np.zeros((a, b))
+        for (gx, gy), v in vals.items():
+            grid[gx - bx0, gy - by0] = v
+        num = 0.0; sw = 0
+        for i in range(a):
+            for j in range(b):
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        if di == dj == 0:
+                            continue
+                        ii, jj = i + di, j + dj
+                        if 0 <= ii < a and 0 <= jj < b:
+                            num += (grid[i, j] - grid[ii, jj]) ** 2
+                            sw += 1
+        n = a * b
+        den = ((grid - grid.mean()) ** 2).sum()
+        return (n - 1) * num / (2 * sw * den)
+
+    for name, vals in {
+        "ramp": {(gx, gy): gx for gx in range(4, 9) for gy in range(4, 9)},
+        "checker": {(gx, gy): 1 + ((gx + gy) % 2) * 8
+                    for gx in range(4, 9) for gy in range(4, 9)},
+    }.items():
+        cells = spark.createDataFrame(
+            [(0, 0, 0, gx, gy, v) for (gx, gy), v in vals.items()],
+            "zoom int, x int, y int, bin_x int, bin_y int, n long",
+        )
+        row = geary_c(cells, res=16).collect()[0]
+        assert row.geary == round(brute(vals), 6), name
+        if name == "ramp":
+            assert row.geary < 1.0
+        else:
+            assert row.geary > 1.0

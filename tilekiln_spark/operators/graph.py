@@ -455,3 +455,121 @@ def service_areas(
             "rounds; raise max_iter"
         )
     return lab.select(F.col("fac").alias("facility"), "node", "dist", "hops")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected simple graph (the GraphX ``TriangleCount`` /
+    Watts-Strogatz local-CC canon).
+
+    ``edges`` is any directed (src, dst) frame; it is canonicalized to
+    the undirected simple edge set {u < v} first (self-loops dropped,
+    duplicates/reverses deduped).  Triangles are enumerated ONCE each via
+    the ordered two-path join:
+
+        (u < v) JOIN (v < w) ON v  JOIN edge(u, w)  ⇒  u < v < w
+
+    so no triangle is double-counted and the join never builds the
+    quadratic unordered pair set.  Per-node counts scatter each triangle
+    to its three corners (explode + partial-agg groupBy).  Everything is
+    exact integers; local_cc = 2·tri / (deg·(deg−1)) is NULL for
+    degree < 2 (same expression cross-engine).
+
+    Returns [node, degree, n_tri, local_cc] for every endpoint of the
+    canonical edge set.  At scale: two shuffles keyed on node ids for the
+    two-path join (the standard triangle-join shape — worst case bounded
+    by Σ deg², mitigated by the u<v orientation which keys two-paths on
+    each edge's HIGHER-degree-tail only half the time), plus one
+    scatter groupBy.  A 100 TB deployment would pre-bucket the canonical
+    edges by u so both joins co-locate."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # ordered two-paths u < v < w sharing the middle vertex v
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    paths = e1.join(e2, "b")
+    tris = paths.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    ).groupBy("node").agg(F.count("*").alias("n_tri"))
+    out = deg.join(corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("n_tri", F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+        ).alias("local_cc"),
+    )
+    return out.select(
+        "node", "degree", "n_tri", (F.round("local_cc", 6) + F.lit(0.0)).alias("local_cc")
+    )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983): iteratively peel
+    nodes of degree < k from the undirected simple graph until fixpoint;
+    the survivors are the k-core.  Raises ``ValueError`` if the peel has
+    not converged within ``max_iter`` rounds (never silently truncates —
+    the shortest_paths contract).
+
+    Each round is ONE partial-aggregated degree groupBy over the
+    surviving edge set + two semi-joins filtering the edge list; frames
+    are ``localCheckpoint``-materialized per round (the pagerank lineage
+    pattern).  Peeling is monotone — once the fixpoint is reached extra
+    rounds are no-ops — which is exactly what makes the bounded-unroll
+    DuckDB twin equivalent: it runs a FIXED round count ≥ the convergence
+    round and lands on the same fixpoint.
+
+    Returns [node, core_degree] for k-core members (degree within the
+    core).  At scale each round shuffles the surviving edges once; rounds
+    needed is the graph's degeneracy ordering depth at k, typically small
+    for web graphs."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .union(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("u")), "u", "semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            core_deg = (
+                nxt.select(F.col("u").alias("node"))
+                .union(nxt.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("core_degree"))
+            )
+            return core_deg
+        cur = nxt
+    raise ValueError(f"k_core: no fixpoint within max_iter={max_iter} rounds")

@@ -1265,3 +1265,129 @@ def join_counts(cells: DataFrame, threshold: int = 2, res: int = 256) -> DataFra
         (half_sw - bb - F.col("_sbw")).cast("long").alias("ww_obs"),
         bb_exp.alias("bb_exp"),
     )
+
+
+def geary_c(cells: DataFrame, res: int = 256) -> DataFrame:
+    """Global Geary's C spatial autocorrelation (Geary 1954; PySAL
+    ``esda.Geary`` with binary queen weights) over the sparse count raster
+    — the difference-based companion to :func:`morans_i` (C ≈ 1 random,
+    C < 1 positive autocorrelation, C > 1 negative), same study-region
+    convention (present-cell bounding box; absent cells are 0-valued).
+
+    The numerator Σ w_ij (x_i − x_j)² over ordered bbox-adjacent pairs
+    expands to exact integer sums the shared :func:`_stencil9` already
+    yields::
+
+        Σ (x_i − x_j)² = 2·Σ_i deg_i·x_i²  −  2·Σ_i x_i·S8_i
+
+    (pairs with an absent endpoint contribute x_i² via deg_i, which counts
+    ALL in-bbox neighbors; the cross term vanishes there since x_j = 0).
+    deg_i is bbox-edge arithmetic (3/5/8), S8 the ordered neighbor sum.
+
+        C = (N − 1) · num / (2 · ΣW · (Σx² − N·x̄²))
+
+    with N = a·b bbox cells and ΣW the closed-form ordered adjacent-pair
+    count.  Every distributed sum is an exact integer in a double, so
+    aggregation order is immaterial and the DuckDB twin is bit-identical.
+    Returns ONE row [n_present, bbox_n, sw, geary] (geary NULL when the
+    variance denominator is 0).  At 100 TB: one stencil shuffle + one tiny
+    global aggregate — identical cost to Moran's I."""
+    src = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("double").alias("v"),
+    )
+    glob = src.agg(
+        F.min("gx").alias("_bx0"),
+        F.max("gx").alias("_bx1"),
+        F.min("gy").alias("_by0"),
+        F.max("gy").alias("_by1"),
+        F.sum("v").alias("_tot"),
+        F.sum(F.col("v") * F.col("v")).alias("_tot2"),
+        F.count("*").alias("_npres"),
+    )
+    agg = _stencil9(cells, res).where(F.col("present") == 1)
+    s8 = None
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        s8 = F.col(f"z{i}") if s8 is None else s8 + F.col(f"z{i}")
+    j = agg.crossJoin(F.broadcast(glob))
+    cntx = (
+        F.lit(1)
+        + (F.col("tgx") > F.col("_bx0")).cast("int")
+        + (F.col("tgx") < F.col("_bx1")).cast("int")
+    )
+    cnty = (
+        F.lit(1)
+        + (F.col("tgy") > F.col("_by0")).cast("int")
+        + (F.col("tgy") < F.col("_by1")).cast("int")
+    )
+    deg = (cntx * cnty - 1).cast("double")
+    per = j.select(
+        (F.col("z4") * F.col("z4") * deg).alias("_dq"),
+        (F.col("z4") * s8).alias("_c"),
+        "_bx0", "_bx1", "_by0", "_by1", "_tot", "_tot2", "_npres",
+    )
+    out = per.groupBy(
+        "_bx0", "_bx1", "_by0", "_by1", "_tot", "_tot2", "_npres"
+    ).agg(F.sum("_dq").alias("_sdq"), F.sum("_c").alias("_cross"))
+    a = (F.col("_bx1") - F.col("_bx0") + 1).cast("double")
+    b = (F.col("_by1") - F.col("_by0") + 1).cast("double")
+    nn = a * b
+    sw = 2.0 * (a - 1.0) * b + 2.0 * a * (b - 1.0) + 4.0 * (a - 1.0) * (b - 1.0)
+    xbar = F.col("_tot") / nn
+    num = 2.0 * F.col("_sdq") - 2.0 * F.col("_cross")
+    den = F.col("_tot2") - nn * (xbar * xbar)
+    c = (nn - 1.0) * num / (2.0 * sw * F.nullif(den, F.lit(0.0)))
+    return out.select(
+        F.col("_npres").alias("n_present"),
+        nn.cast("long").alias("bbox_n"),
+        sw.cast("long").alias("sw"),
+        (F.round(c, 6) + F.lit(0.0)).alias("geary"),
+    )
+
+
+def curvature_zt(
+    cells: DataFrame, res: int = 256, cell_size: float = 1.0
+) -> DataFrame:
+    """Zevenbergen–Thorne (1987) surface curvature over the sparse count
+    raster (ArcGIS ``Curvature`` / GDAL DEM-processing parity on the count
+    grid): fit the 9-term partial quartic to the 3x3 window off the SAME
+    shared :func:`_stencil9`, then
+
+        D = ((z3 + z5)/2 − z4) / L²          E = ((z1 + z7)/2 − z4) / L²
+        Fc = (−z0 + z2 + z6 − z8) / (4L²)
+        G = (−z3 + z5) / (2L)                H = (z1 − z7) / (2L)
+
+        general  = −2 (D + E) · 100                       (ArcGIS scaling)
+        profile  = −2 (D·G² + E·H² + Fc·G·H) / (G² + H²)
+        plan     =  2 (D·H² + E·G² − Fc·G·H) / (G² + H²)
+
+    profile/plan are NULL on flat windows (G² + H² = 0) — ArcGIS emits 0
+    there, but NULL keeps the div-by-zero explicit and the twin trivially
+    identical.  Every factor is the SAME float expression cross-engine.
+    Output [gx, gy, curv_general, curv_profile, curv_plan] restricted to
+    present cells, rounded to 6.  At 100 TB: identical cost profile to
+    hillshade — explode factor exactly 9, map-side partial agg."""
+    ll = float(cell_size)
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    d = ((z[3] + z[5]) / 2.0 - z[4]) / F.lit(ll * ll)
+    e = ((z[1] + z[7]) / 2.0 - z[4]) / F.lit(ll * ll)
+    fc = (-z[0] + z[2] + z[6] - z[8]) / F.lit(4.0 * ll * ll)
+    g = (-z[3] + z[5]) / F.lit(2.0 * ll)
+    h = (z[1] - z[7]) / F.lit(2.0 * ll)
+    g2h2 = g * g + h * h
+    general = -2.0 * (d + e) * 100.0
+    profile = -2.0 * (d * g * g + e * h * h + fc * g * h) / F.nullif(
+        g2h2, F.lit(0.0)
+    )
+    plan = 2.0 * (d * h * h + e * g * g - fc * g * h) / F.nullif(
+        g2h2, F.lit(0.0)
+    )
+    return agg.where(F.col("present") == 1).select(
+        F.col("tgx").alias("gx"),
+        F.col("tgy").alias("gy"),
+        (F.round(general, 6) + F.lit(0.0)).alias("curv_general"),
+        (F.round(profile, 6) + F.lit(0.0)).alias("curv_profile"),
+        (F.round(plan, 6) + F.lit(0.0)).alias("curv_plan"),
+    )
