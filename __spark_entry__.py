@@ -6348,6 +6348,53 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["k_core"] = k_core_q
 
+    def robots_filter(spark, sf_dir):
+        """robots.txt crawl admission (operators/webstats.py parse_robots
+        + robots_decisions — RFC 9309 longest-match semantics): per-host
+        robots bodies are synthesized deterministically (a language-
+        directory Disallow with a /p1 Allow carve-out; .news hosts add a
+        blanket Disallow: / with an /en/ Allow), parsed with pure codegen
+        splits, and applied via ONE broadcast rule join + a struct-max
+        argmax that encodes longest-wins / Allow-wins-ties exactly.
+        Parser robustness is in the fixture: comments, Crawl-delay,
+        Sitemap lines, mixed-case directives, never-matching rules."""
+        from tilekiln_spark.functions.web import url_host, url_path
+        from tilekiln_spark.operators.webstats import (
+            parse_robots, robots_decisions,
+        )
+
+        pages = _messy_urls(_docs(spark, sf_dir)).select(
+            "doc_id",
+            url_host("url").alias("host"),
+            url_path("url").alias("path"),
+        )
+        hosts = pages.select("host").distinct()
+        d = F.regexp_extract("host", "host([0-9])", 1).cast("int")
+        lang_d = (
+            F.when(d % 5 == 0, "en")
+            .when(d % 5 == 1, "fr")
+            .when(d % 5 == 2, "de")
+            .when(d % 5 == 3, "es")
+            .otherwise("zh")
+        )
+        is_news = F.col("host").contains(".news.")
+        txt = F.concat(
+            F.lit("User-Agent: *\n# crawl rules\nDisallow: /"),
+            lang_d,
+            F.lit("/\nALLOW: /"),
+            lang_d,
+            F.lit("/p1\nCrawl-delay: 10\nSitemap: https://x/s.xml\ndisallow: /cart\n"),
+            F.when(is_news, F.lit("Disallow: /\nAllow: /en/\n")).otherwise(
+                F.lit("")
+            ),
+        )
+        robots = hosts.select("host", txt.alias("robots_txt"))
+        rules = parse_robots(robots)
+        out = robots_decisions(pages, rules)
+        return out.select("doc_id", "host", "path", "allowed", "rule_prefix")
+
+    q["robots_filter"] = robots_filter
+
     return q
 
 
@@ -12374,6 +12421,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS node FROM er6
             UNION ALL SELECT v AS node FROM er6
         ) GROUP BY 1
+    """
+
+    # robots twin: identical synthesized bodies, the same line-split
+    # parse, and the same struct-max longest-wins/Allow-wins-ties argmax
+    o["robots_filter"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        pages AS (SELECT doc_id, host, path FROM web),
+        hosts AS (SELECT DISTINCT host FROM pages),
+        hcfg AS (
+            SELECT host,
+                   CASE CAST(regexp_extract(host, 'host([0-9])', 1) AS INT) % 5
+                        WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                        WHEN 3 THEN 'es' ELSE 'zh' END AS lang_d,
+                   contains(host, '.news.') AS is_news
+            FROM hosts
+        ),
+        robots AS (
+            SELECT host,
+                   'User-Agent: *' || chr(10) || '# crawl rules' || chr(10)
+                   || 'Disallow: /' || lang_d || '/' || chr(10)
+                   || 'ALLOW: /' || lang_d || '/p1' || chr(10)
+                   || 'Crawl-delay: 10' || chr(10)
+                   || 'Sitemap: https://x/s.xml' || chr(10)
+                   || 'disallow: /cart' || chr(10)
+                   || CASE WHEN is_news
+                           THEN 'Disallow: /' || chr(10) || 'Allow: /en/' || chr(10)
+                           ELSE '' END AS robots_txt
+            FROM hcfg
+        ),
+        lines AS (
+            SELECT host, unnest(string_split(robots_txt, chr(10))) AS line
+            FROM robots
+        ),
+        rules AS (
+            SELECT host,
+                   lower(regexp_extract(line, '^\\s*([A-Za-z-]+)\\s*:', 1)) = 'allow' AS allow,
+                   regexp_extract(line, '^\\s*[A-Za-z-]+\\s*:\\s*(\\S*)', 1) AS prefix
+            FROM lines
+            WHERE lower(regexp_extract(line, '^\\s*([A-Za-z-]+)\\s*:', 1))
+                      IN ('allow', 'disallow')
+              AND regexp_extract(line, '^\\s*[A-Za-z-]+\\s*:\\s*(\\S*)', 1) <> ''
+        ),
+        joined AS (
+            SELECT p.doc_id, p.host, p.path, r.allow, r.prefix,
+                   CASE WHEN r.prefix IS NOT NULL
+                             AND starts_with(p.path, r.prefix)
+                        THEN {{'rule_len': length(r.prefix),
+                              'allow': r.allow, 'prefix': r.prefix}}
+                   END AS cand
+            FROM pages p LEFT JOIN rules r ON p.host = r.host
+        ),
+        dec AS (
+            SELECT doc_id, host, path, max(cand) AS win
+            FROM joined GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, host, path,
+               coalesce(win.allow, TRUE) AS allowed,
+               win.prefix AS rule_prefix
+        FROM dec
     """
 
     return o

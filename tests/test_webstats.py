@@ -127,3 +127,45 @@ def test_concentration_gini_known_values(spark):
     solo = spark.createDataFrame([("a", 9)], "host string, n long")
     r1 = concentration_gini(solo, "host").collect()[0]
     assert r1.gini is None
+
+
+def test_parse_robots_directives_and_junk(spark):
+    from tilekiln_spark.operators.webstats import parse_robots
+
+    txt = (
+        "User-Agent: *\n# a comment\nDisallow: /private/\n"
+        "ALLOW: /private/pub\nCrawl-delay: 10\nSitemap: https://x/s.xml\n"
+        "Disallow:\n  disallow : /spaced\nDisallow: /tmp\n"
+    )
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    rules = {(r["prefix"], r["allow"]) for r in parse_robots(robots).collect()}
+    # empty-path Disallow dropped; comment/crawl-delay/sitemap skipped;
+    # mixed case + leading whitespace accepted
+    assert rules == {
+        ("/private/", False),
+        ("/private/pub", True),
+        ("/spaced", False),
+        ("/tmp", False),
+    }
+
+
+def test_robots_decisions_rfc_semantics(spark):
+    from tilekiln_spark.operators.webstats import parse_robots, robots_decisions
+
+    txt = "User-agent: *\nDisallow: /a/\nAllow: /a/b\nDisallow: /a/b\nAllow: /c\n"
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    rules = parse_robots(robots)
+    pages = spark.createDataFrame(
+        [(1, "h", "/a/x"), (2, "h", "/a/bq"), (3, "h", "/zzz"), (4, "h", "/c/d"),
+         (5, "other", "/a/x")],
+        "doc_id long, host string, path string",
+    )
+    out = {r["doc_id"]: r for r in robots_decisions(pages, rules).collect()}
+    assert out[1]["allowed"] is False and out[1]["rule_prefix"] == "/a/"
+    # /a/b: Allow and Disallow same length -> Allow wins (RFC tie-break)
+    assert out[2]["allowed"] is True and out[2]["rule_prefix"] == "/a/b"
+    # no matching rule -> allowed, NULL prefix
+    assert out[3]["allowed"] is True and out[3]["rule_prefix"] is None
+    assert out[4]["allowed"] is True
+    # host with no rules at all -> allowed
+    assert out[5]["allowed"] is True and out[5]["rule_prefix"] is None

@@ -323,3 +323,81 @@ def concentration_gini(counts: DataFrame, key_col: str, n_col: str = "n") -> Dat
         "total",
         F.when(F.col("n_keys") > 1, gini).alias("gini"),
     )
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into per-host rule rows (RFC 9309
+    subset: a single ``User-agent: *`` group with ``Allow`` /
+    ``Disallow`` path-prefix rules; no wildcards).
+
+    Pure codegen: split on newlines, explode, regexp-extract the
+    directive and its path, drop empty-path rules (an empty Disallow
+    means allow-everything per the RFC, i.e. no rule).  Directive names
+    match case-insensitively; paths are kept verbatim (the RFC matches
+    byte-wise prefixes).  Returns ``[host, allow:boolean, prefix,
+    rule_len]`` — rule_len precomputed because decisions rank on it.
+
+    Scale: robots bodies are one small row per host (~10^8), map-only to
+    parse; the rule table is the broadcast dim of every admission join."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"),
+    )
+    directive = F.lower(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1))
+    path = F.regexp_extract("line", r"^\s*[A-Za-z-]+\s*:\s*(\S*)", 1)
+    return (
+        lines.select(
+            "host", directive.alias("d"), path.alias("prefix")
+        )
+        .where(F.col("d").isin("allow", "disallow") & (F.col("prefix") != ""))
+        .select(
+            "host",
+            (F.col("d") == "allow").alias("allow"),
+            "prefix",
+            F.length("prefix").cast("int").alias("rule_len"),
+        )
+    )
+
+
+def robots_decisions(
+    pages: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Admission decision per page under RFC 9309 longest-match
+    semantics: among the page's host's rules whose prefix is a prefix of
+    the page path, the LONGEST wins; at equal length ``Allow`` wins; no
+    matching rule ⇒ allowed.
+
+    One broadcast join host→rules + a prefix filter, then ONE partial-agg
+    ``max(struct(rule_len, allow, prefix))`` per page — the struct-max
+    argmax encodes exactly the RFC tie-break (longer beats shorter;
+    true > false at equal length), is order-independent, and replays
+    verbatim in SQL.  Returns pages + [allowed, rule_prefix (NULL when
+    no rule matched)].
+
+    At 10^12 pages: the rule table broadcasts (hosts are the small dim);
+    the decision is map-only + one groupBy keyed on the page — no
+    shuffle of page text, just keys and the few matched rules."""
+    joined = pages.join(
+        F.broadcast(rules.withColumnRenamed("host", host_col)),
+        on=host_col,
+        how="left",
+    )
+    match = F.col("prefix").isNotNull() & F.col(path_col).startswith(
+        F.col("prefix")
+    )
+    win = F.max(
+        F.when(
+            match,
+            F.struct(F.col("rule_len"), F.col("allow"), F.col("prefix")),
+        )
+    ).alias("_win")
+    gcols = [c for c in pages.columns]
+    out = joined.groupBy(*gcols).agg(win)
+    return out.select(
+        *gcols,
+        F.coalesce(F.col("_win.allow"), F.lit(True)).alias("allowed"),
+        F.col("_win.prefix").alias("rule_prefix"),
+    )
