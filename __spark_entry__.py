@@ -6348,6 +6348,108 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["k_core"] = k_core_q
 
+    def graph_assortativity(spark, sf_dir):
+        """Degree assortativity coefficient (operators/graph.py
+        degree_assortativity — Newman 2002 eq. 4) over the deterministic
+        pagerank link graph canonicalized undirected.  Every sum before
+        the final division is an exact integer (the snapped-moment
+        determinism pattern), so the one-row result is order-independent
+        without folds; the DuckDB twin re-derives the identical degree
+        table and edge sums."""
+        from tilekiln_spark.operators.graph import degree_assortativity
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        out = degree_assortativity(e)
+        return out.select(
+            F.col("m_edges").cast("long").alias("m_edges"),
+            F.col("sum_jk").cast("long").alias("sum_jk"),
+            F.col("sum_j_plus_k").cast("long").alias("sum_j_plus_k"),
+            F.col("sum_j2_plus_k2").cast("long").alias("sum_j2_plus_k2"),
+            "assortativity",
+        )
+
+    q["graph_assortativity"] = graph_assortativity
+
+    def graph_reciprocity(spark, sf_dir):
+        """Per-node directed link reciprocity (operators/graph.py
+        reciprocity — Garlaschelli & Loffredo 2004 resolved per source):
+        a designed directed fixture over the doc ids — the one-way chain
+        i -> (i+1) % n, a deliberate back-edge (i+1) % n -> i on every
+        i % 3 == 0 (the mutual pairs), and one-way hub links
+        i -> (i*7) % n on i % 4 == 0 — so zero, partial, and full
+        reciprocity all occur.  mutual is ONE semi-join of the edge set
+        against its own swap; all counts exact integers."""
+        from tilekiln_spark.operators.graph import reciprocity
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        chain = d.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") + 1) % n).alias("dst")
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            ((F.col("doc_id") + 1) % n).alias("src"), F.col("doc_id").alias("dst")
+        )
+        hub = d.filter(F.col("doc_id") % 4 == 0).select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst")
+        )
+        e = chain.union(back).union(hub)
+        out = reciprocity(e)
+        return out.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("out_deg").cast("long").alias("out_deg"),
+            F.col("in_deg").cast("long").alias("in_deg"),
+            F.col("mutual").cast("long").alias("mutual"),
+            "reciprocity",
+        )
+
+    q["graph_reciprocity"] = graph_reciprocity
+
+    def label_propagation_q(spark, sf_dir):
+        """Synchronous label-propagation communities (operators/graph.py
+        label_propagation — Raghavan 2007 / GraphX convention, smallest-
+        label tie-break) over a designed two-community fixture: two
+        30-cliques (nodes 0..29 and 30..59) joined by the single bridge
+        edge 0 -- 30.  Round 1 floods the min label across the bridge
+        (the known min-tie-break leak); the clique mode wins it back by
+        round 2 — so the 4-round labels genuinely split into the two
+        communities {0} / {30}.  FOUR fixed rounds on both engines — the
+        bounded-unroll determinism argument, no convergence assumption —
+        and the twin unrolls the identical four argmax rounds with
+        (cnt DESC, label ASC) ordering."""
+        from tilekiln_spark.operators.graph import label_propagation
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+        g = d.select(
+            (F.col("doc_id") >= 30).cast("int").alias("grp"), F.col("doc_id")
+        )
+        cliq = (
+            g.select("grp", F.col("doc_id").alias("src"))
+            .join(g.select("grp", F.col("doc_id").alias("dst")), "grp")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        bridge = d.filter(F.col("doc_id") == 0).select(
+            F.col("doc_id").alias("src"), F.lit(30).alias("dst")
+        )
+        e = cliq.union(bridge)
+        out = label_propagation(e, rounds=4)
+        return out.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+        )
+
+    q["label_propagation"] = label_propagation_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -12421,6 +12523,158 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS node FROM er6
             UNION ALL SELECT v AS node FROM er6
         ) GROUP BY 1
+    """
+
+    # assortativity twin: same link generator + degree table; every sum
+    # an exact integer before the one final division (snapped-moment rule)
+    o["graph_assortativity"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT d.doc_id AS src, (d.doc_id * 7 + j.j) % nn.n AS dst
+            FROM documents d CROSS JOIN nn
+                 CROSS JOIN (VALUES (1), (2), (3)) j(j)
+            WHERE d.doc_id % 5 <> 0
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM links WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            ) GROUP BY 1
+        ),
+        paired AS (
+            SELECT du.degree AS ju, dv.degree AS jv
+            FROM und
+            JOIN deg du ON du.node = und.u
+            JOIN deg dv ON dv.node = und.v
+        ),
+        sums AS (
+            SELECT count(*) AS m_edges,
+                   sum(ju * jv) AS sum_jk,
+                   sum(ju + jv) AS sum_j_plus_k,
+                   sum(ju * ju + jv * jv) AS sum_j2_plus_k2
+            FROM paired
+        )
+        SELECT CAST(m_edges AS BIGINT) AS m_edges,
+               CAST(sum_jk AS BIGINT) AS sum_jk,
+               CAST(sum_j_plus_k AS BIGINT) AS sum_j_plus_k,
+               CAST(sum_j2_plus_k2 AS BIGINT) AS sum_j2_plus_k2,
+               round(
+                 (CAST(sum_jk AS DOUBLE) / CAST(m_edges AS DOUBLE)
+                  - pow(CAST(sum_j_plus_k AS DOUBLE)
+                        / (2.0 * CAST(m_edges AS DOUBLE)), 2))
+                 / nullif(
+                     CAST(sum_j2_plus_k2 AS DOUBLE)
+                     / (2.0 * CAST(m_edges AS DOUBLE))
+                     - pow(CAST(sum_j_plus_k AS DOUBLE)
+                           / (2.0 * CAST(m_edges AS DOUBLE)), 2),
+                     0.0), 6) + 0.0 AS assortativity
+        FROM sums
+    """
+
+    # reciprocity twin: identical chain/back/hub fixture; mutual via the
+    # same dedup-then-semi-join against the swapped edge set
+    o["graph_reciprocity"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+                FROM documents CROSS JOIN nn
+                UNION ALL
+                SELECT (doc_id + 1) % nn.n AS src, doc_id AS dst
+                FROM documents CROSS JOIN nn WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id AS src, (doc_id * 7) % nn.n AS dst
+                FROM documents CROSS JOIN nn WHERE doc_id % 4 = 0
+            ) WHERE src <> dst
+        ),
+        outd AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+        ind AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1),
+        mut AS (
+            SELECT e.src AS node, count(*) AS mutual
+            FROM e WHERE EXISTS (
+                SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+            ) GROUP BY 1
+        ),
+        nodes AS (
+            SELECT node FROM outd UNION SELECT node FROM ind
+        )
+        SELECT CAST(n.node AS BIGINT) AS node,
+               CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(coalesce(mutual, 0) AS BIGINT) AS mutual,
+               CASE WHEN coalesce(out_deg, 0) > 0
+                    THEN round(CAST(coalesce(mutual, 0) AS DOUBLE)
+                               / CAST(out_deg AS DOUBLE), 6) + 0.0
+               END AS reciprocity
+        FROM nodes n
+        LEFT JOIN outd ON outd.node = n.node
+        LEFT JOIN ind ON ind.node = n.node
+        LEFT JOIN mut ON mut.node = n.node
+    """
+
+    # LPA twin: the identical two-community fixture and FOUR unrolled
+    # synchronous rounds, argmax by (cnt DESC, label ASC) — the same
+    # ordering the Spark min(struct(-cnt, label)) encodes
+    o["label_propagation"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b
+              ON (a.doc_id // 30) = (b.doc_id // 30)
+             AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT 0 AS src, 30 AS dst FROM d WHERE doc_id = 0
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src <> dst
+        ),
+        nb AS MATERIALIZED (
+            SELECT u AS node, v AS nb FROM und
+            UNION ALL SELECT v AS node, u AS nb FROM und
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+        r1 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN l0 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r2 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r1 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r3 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r2 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r4 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r3 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM r4
     """
 
     # robots twin: identical synthesized bodies, the same line-split

@@ -83,3 +83,95 @@ def test_k_core_driver_fixture_converges_fast(spark):
     rows = out.collect()
     assert len(rows) == 40
     assert all(r["core_degree"] == 6 for r in rows)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # a star: the hub (degree n-1) always pairs with leaves (degree 1) —
+    # textbook r = -1
+    from tilekiln_spark.operators.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    row = degree_assortativity(_edges(spark, star)).collect()[0]
+    assert row["m_edges"] == 5
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # a cycle is 2-regular: zero degree variance -> denominator 0 -> NULL
+    from tilekiln_spark.operators.graph import degree_assortativity
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    row = degree_assortativity(_edges(spark, cyc)).collect()[0]
+    assert row["m_edges"] == 5
+    assert row["assortativity"] is None
+
+
+def test_assortativity_exact_sums(spark):
+    # path 0-1-2: degrees 1,2,1; edges pair (1,2) twice
+    from tilekiln_spark.operators.graph import degree_assortativity
+
+    row = degree_assortativity(_edges(spark, [(0, 1), (1, 2)])).collect()[0]
+    assert row["sum_jk"] == 4            # 1*2 + 2*1
+    assert row["sum_j_plus_k"] == 6      # 3 + 3
+    assert row["sum_j2_plus_k2"] == 10   # (1+4) + (4+1)
+    # r = (2 - 2.25) / (2.5 - 2.25) = -1
+    assert row["assortativity"] == -1.0
+
+
+def test_reciprocity_mixed(spark):
+    from tilekiln_spark.operators.graph import reciprocity
+
+    # 0<->1 mutual, 0->2 one-way, 3->0 one-way in
+    e = _edges(spark, [(0, 1), (1, 0), (0, 2), (3, 0)])
+    out = {r["node"]: r for r in reciprocity(e).collect()}
+    assert out[0]["out_deg"] == 2 and out[0]["mutual"] == 1
+    assert out[0]["reciprocity"] == 0.5
+    assert out[1]["out_deg"] == 1 and out[1]["mutual"] == 1
+    assert out[1]["reciprocity"] == 1.0
+    assert out[2]["out_deg"] == 0 and out[2]["in_deg"] == 1
+    assert out[2]["mutual"] == 0 and out[2]["reciprocity"] is None
+    assert out[3]["out_deg"] == 1 and out[3]["mutual"] == 0
+    assert out[3]["reciprocity"] == 0.0
+
+
+def test_reciprocity_dedupes_and_drops_self_loops(spark):
+    from tilekiln_spark.operators.graph import reciprocity
+
+    e = _edges(spark, [(0, 1), (0, 1), (1, 0), (0, 0)])
+    out = {r["node"]: r for r in reciprocity(e).collect()}
+    assert out[0]["out_deg"] == 1 and out[0]["mutual"] == 1
+
+
+def test_label_propagation_two_communities(spark):
+    from tilekiln_spark.operators.graph import label_propagation
+
+    # two K4 cliques joined by one bridge edge: round 1 floods the min
+    # label across the bridge (the classic min-tie-break leak), but the
+    # clique mode wins it back by round 2 and the split is stable — the
+    # smallest fixture where mode genuinely beats min-propagation
+    k4_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(0, 10)]
+    out = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, k4_a + k4_b + bridge),
+                                      rounds=4).collect()}
+    assert {out[n] for n in range(4)} == {0}
+    assert {out[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_tiebreak_smallest_label(spark):
+    from tilekiln_spark.operators.graph import label_propagation
+
+    # single edge: each node adopts the other's label; after round 1
+    # labels are swapped, round 2 swaps back — with 1 round, node 1
+    # takes label 0 and node 0 takes label 1 (mode of one neighbor)
+    out = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, [(0, 1)]), rounds=1).collect()}
+    assert out == {0: 1, 1: 0}
+
+
+def test_label_propagation_rounds_validation(spark):
+    from tilekiln_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError):
+        label_propagation(_edges(spark, [(0, 1)]), rounds=0)

@@ -573,3 +573,174 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
             return core_deg
         cur = nxt
     raise ValueError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, eq. 4) of the
+    undirected simple graph — the single number behind "do hubs link to
+    hubs?" in web-graph analysis (the reference's tile graph has no
+    notion of this; it is webtext-canon added for the crawl-graph tier).
+
+    Everything before the final division is an EXACT integer: degrees
+    are counts, and the three edge sums Σ j·k, Σ (j+k), Σ (j²+k²) are
+    integer-valued, so distributed aggregation order is immaterial (the
+    std_ellipse snapped-moment pattern — no fold, no rounding tricks
+    needed until the last expression).  With each undirected edge taken
+    once and both endpoint orders symmetrized by the half factors:
+
+        r = [ Σjk/M − (Σ(j+k)/2M)² ] / [ Σ(j²+k²)/2M − (Σ(j+k)/2M)² ]
+
+    Returns ONE row [m_edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2,
+    assortativity].  Distributed shape: one degree groupBy, two
+    degree-lookup joins keyed on the edge endpoints (broadcast when the
+    degree table is small, shuffle hash otherwise), one global agg —
+    the same two-join shape triangle counting uses, minus the two-path
+    explosion.  At 100 TB the degree table is ~nodes-sized; both joins
+    co-locate if edges are bucketed by endpoint."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    paired = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("ju")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("jv")), "v")
+    )
+    sums = paired.agg(
+        F.count("*").alias("m_edges"),
+        F.sum(F.col("ju") * F.col("jv")).alias("sum_jk"),
+        F.sum(F.col("ju") + F.col("jv")).alias("sum_j_plus_k"),
+        F.sum(F.col("ju") * F.col("ju") + F.col("jv") * F.col("jv")).alias(
+            "sum_j2_plus_k2"
+        ),
+    )
+    m = F.col("m_edges").cast("double")
+    mean_ends = F.col("sum_j_plus_k").cast("double") / (2.0 * m)
+    num = F.col("sum_jk").cast("double") / m - mean_ends * mean_ends
+    den = F.col("sum_j2_plus_k2").cast("double") / (2.0 * m) - mean_ends * mean_ends
+    return sums.select(
+        "m_edges",
+        "sum_jk",
+        "sum_j_plus_k",
+        "sum_j2_plus_k2",
+        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-node link reciprocity of the DIRECTED simple graph — for each
+    source, how many of its out-links are returned (Garlaschelli &
+    Loffredo 2004's edgewise reciprocity, resolved per node).  The
+    web-graph question: which hosts have mutual-linking relationships
+    vs pure one-way citation?
+
+    ``mutual`` counts out-neighbors that also link back, computed with
+    ONE left-semi join of the deduped directed edge set against its own
+    reverse — no pair materialization beyond the edge list itself.  All
+    counts exact integers; the ratio is the only float.
+
+    Returns [node, out_deg, in_deg, mutual, reciprocity] for every node
+    with at least one incident directed edge (out_deg/in_deg/mutual are
+    0 where absent; reciprocity NULL when out_deg = 0).  At scale: the
+    semi-join shuffles the edge list on (src, dst) against its swap —
+    a self-join a bucketed edge table co-locates; the three degree
+    groupBys are partial-aggregated."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
+    mutual = (
+        e.join(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "semi",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("mutual"))
+    )
+    return (
+        out_deg.join(in_deg, "node", "full")
+        .join(mutual, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("mutual", F.lit(0)).alias("mutual"),
+            F.when(
+                F.coalesce("out_deg", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("mutual", F.lit(0)).cast("double")
+                    / F.col("out_deg").cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007; the GraphX ``LabelPropagation`` convention) over the undirected
+    simple graph, run for a FIXED number of rounds with a fully
+    deterministic update: every node's next label is the mode of its
+    neighbors' current labels, ties broken by the SMALLEST label.
+
+    Synchronous LPA can oscillate on bipartite-ish structures, which is
+    precisely why the round count is fixed rather than "until stable":
+    both engines compute the identical round sequence, so the comparison
+    is exact whatever the dynamics (the k-core twin's bounded-unroll
+    argument, without needing monotonicity).  Initial label = node id.
+
+    Each round: ONE neighbor-label join (labels keyed on node, edge list
+    symmetrized) + ONE (node, label) count groupBy + ONE argmax groupBy
+    encoded as min(struct(-cnt, label)) — the anchor-text winner rule.
+    ``localCheckpoint`` truncates lineage per round.  At scale each round
+    shuffles the edge list once on the label key; bucketing edges by
+    node co-locates every round's join.
+
+    Returns [node, label] after ``rounds`` rounds."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        nb.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbl = nb.join(
+            labels.select(F.col("node").alias("nb"), F.col("label").alias("nb_label")),
+            "nb",
+        )
+        counted = nbl.groupBy("node", "nb_label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counted.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("nb_label").alias("lab"))).alias("w"))
+            .select("node", F.col("w.lab").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
