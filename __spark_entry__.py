@@ -6450,6 +6450,74 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["label_propagation"] = label_propagation_q
 
+    def nn_join(spark, sf_dir):
+        """Exact all-points nearest-neighbor join (operators/spatial_join.py
+        nearest_neighbors — spatstat nndist / PostGIS lateral <-> at k=1)
+        over the doc_id % 3 == 0 sample: a bounded self dwithin_join at
+        4,000 km proposes candidates, the per-point argmin recomputes
+        EXACT squared distance from coordinates with an nn_id tie-break,
+        and the no-candidate tail falls back to a brute-force pass — so
+        the result is exact whatever the radius.  The DuckDB twin
+        brute-forces all pairs with the identical d2 arithmetic and
+        (d2, nn_id) ordering."""
+        from tilekiln_spark.operators.spatial_join import nearest_neighbors
+
+        pts = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0)
+        out = nearest_neighbors(pts.select("doc_id", "mx", "my"), 4.0e6)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("nn_id").cast("long").alias("nn_id"),
+            (F.round(F.sqrt(F.col("nn_d2")), 3) + F.lit(0.0)).alias("nn_dist_m"),
+        )
+
+    q["nn_join"] = nn_join
+
+    def clark_evans_q(spark, sf_dir):
+        """Clark-Evans nearest-neighbor R index + z statistic (operators/
+        spatial_join.py clark_evans — Clark & Evans 1954, bbox study
+        area, no edge correction) over the same doc sample: the exact NN
+        join feeds a SORTED-fold mean (order-immaterial distributed sum),
+        the bbox moments are exact min/max selections, and the one
+        output row carries R and z rounded at 6dp on both engines."""
+        from tilekiln_spark.operators.spatial_join import clark_evans
+
+        pts = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0)
+        out = clark_evans(pts.select("doc_id", "mx", "my"), 4.0e6)
+        return out.select(
+            F.col("n_points").cast("long").alias("n_points"),
+            (F.round(F.col("area") / 1.0e12, 6) + F.lit(0.0)).alias("area_mkm2"),
+            (F.round(F.col("mean_nn") / 1.0e3, 6) + F.lit(0.0)).alias("mean_nn_km"),
+            (F.round(F.col("r_index"), 6) + F.lit(0.0)).alias("r_index"),
+            (F.round(F.col("z_score"), 6) + F.lit(0.0)).alias("z_score"),
+        )
+
+    q["clark_evans"] = clark_evans_q
+
+    def colocation_quotient_q(spark, sf_dir):
+        """Colocation quotient matrix (operators/spatial_join.py
+        colocation_quotient — Leslie & Kronenfeld 2011, k=1): which
+        language's pages sit next to which?  Ordered (lang_a, lang_b)
+        CLQ over the same exact NN join; every count an exact integer,
+        the quotient ONE division of exact integers (bit-identical
+        cross-engine), zero-pair rows emitted so the full |langs|^2 grid
+        compares."""
+        from tilekiln_spark.operators.spatial_join import colocation_quotient
+
+        pts = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0)
+        out = colocation_quotient(
+            pts.select("doc_id", "lang", "mx", "my"), 4.0e6, category="lang"
+        )
+        return out.select(
+            "cat_a",
+            "cat_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("nn_pairs").cast("long").alias("nn_pairs"),
+            (F.round("clq", 6) + F.lit(0.0)).alias("clq"),
+        )
+
+    q["colocation_quotient"] = colocation_quotient_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -12675,6 +12743,102 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM r4
+    """
+
+    # NN twin: brute-force all pairs with the identical exact d2
+    # arithmetic and (d2, nn_id) argmin ordering
+    o["nn_join"] = f"""
+        {_GEO_CTE},
+        pts AS (SELECT doc_id, mx, my FROM geo WHERE doc_id % 3 = 0),
+        pairs AS (
+            SELECT a.doc_id AS doc_id, b.doc_id AS nn_id,
+                   (a.mx - b.mx) * (a.mx - b.mx)
+                   + (a.my - b.my) * (a.my - b.my) AS d2
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, nn_id, d2,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY d2 ASC, nn_id ASC) AS rn
+            FROM pairs
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(nn_id AS BIGINT) AS nn_id,
+               round(sqrt(d2), 3) + 0.0 AS nn_dist_m
+        FROM ranked WHERE rn = 1
+    """
+
+    # Clark-Evans twin: same brute-force NN minima; the mean folds the
+    # SORTED distance list with list_reduce — the identical sequential
+    # fold Spark's sort_array + aggregate runs, so the sum is
+    # bit-deterministic before the shared 6dp rounding
+    o["clark_evans"] = f"""
+        {_GEO_CTE},
+        pts AS (SELECT doc_id, mx, my FROM geo WHERE doc_id % 3 = 0),
+        nnd AS (
+            SELECT a.doc_id,
+                   min((a.mx - b.mx) * (a.mx - b.mx)
+                       + (a.my - b.my) * (a.my - b.my)) AS d2
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+            GROUP BY 1
+        ),
+        folded AS (
+            SELECT list_reduce(list_sort(list(sqrt(d2))),
+                               (acc, v) -> acc + v) AS sum_nn
+            FROM nnd
+        ),
+        bbox AS (
+            SELECT count(*) AS n, min(mx) AS x0, max(mx) AS x1,
+                   min(my) AS y0, max(my) AS y1
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               round((x1 - x0) * (y1 - y0) / 1e12, 6) + 0.0 AS area_mkm2,
+               round(sum_nn / CAST(n AS DOUBLE) / 1e3, 6) + 0.0 AS mean_nn_km,
+               round((sum_nn / CAST(n AS DOUBLE))
+                     / (1.0 / (2.0 * sqrt(CAST(n AS DOUBLE)
+                                          / ((x1 - x0) * (y1 - y0))))),
+                     6) + 0.0 AS r_index,
+               round((sum_nn / CAST(n AS DOUBLE)
+                      - 1.0 / (2.0 * sqrt(CAST(n AS DOUBLE)
+                                          / ((x1 - x0) * (y1 - y0)))))
+                     / (0.26136 / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                       / ((x1 - x0) * (y1 - y0)))),
+                     6) + 0.0 AS z_score
+        FROM folded CROSS JOIN bbox
+    """
+
+    # CLQ twin: same brute-force NN argmin, category tagging, and the
+    # exact-integer quotient; zero rows kept via the sizes cross grid
+    o["colocation_quotient"] = f"""
+        {_GEO_CTE},
+        pts AS (SELECT doc_id, lang, mx, my FROM geo WHERE doc_id % 3 = 0),
+        ranked AS (
+            SELECT a.doc_id, a.lang AS cat_a, b.lang AS cat_b,
+                   row_number() OVER (PARTITION BY a.doc_id
+                       ORDER BY (a.mx - b.mx) * (a.mx - b.mx)
+                                + (a.my - b.my) * (a.my - b.my) ASC,
+                                b.doc_id ASC) AS rn
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+        ),
+        c AS (
+            SELECT cat_a, cat_b, count(*) AS nn_pairs
+            FROM ranked WHERE rn = 1 GROUP BY 1, 2
+        ),
+        sizes AS (SELECT lang, count(*) AS n_cat FROM pts GROUP BY 1),
+        total AS (SELECT count(*) AS n FROM pts)
+        SELECT sa.lang AS cat_a, sb.lang AS cat_b,
+               CAST(sa.n_cat AS BIGINT) AS n_a,
+               CAST(sb.n_cat AS BIGINT) AS n_b,
+               CAST(coalesce(nn_pairs, 0) AS BIGINT) AS nn_pairs,
+               round((CAST(coalesce(nn_pairs, 0) AS DOUBLE)
+                      / CAST(sa.n_cat AS DOUBLE))
+                     / (CAST(sb.n_cat
+                             - CASE WHEN sa.lang = sb.lang THEN 1 ELSE 0 END
+                             AS DOUBLE)
+                        / CAST(total.n - 1 AS DOUBLE)), 6) + 0.0 AS clq
+        FROM sizes sa CROSS JOIN sizes sb CROSS JOIN total
+        LEFT JOIN c ON c.cat_a = sa.lang AND c.cat_b = sb.lang
     """
 
     # robots twin: identical synthesized bodies, the same line-split

@@ -1693,3 +1693,174 @@ def cross_k(
         k.alias("k_est"),
         F.sqrt(k / F.lit(3.141592653589793)).alias("l_est"),
     )
+
+
+def nearest_neighbors(
+    points: DataFrame,
+    radius: float,
+    key: str = "doc_id",
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Exact all-points nearest-neighbor join over ONE point set — the
+    primitive under the Clark-Evans R index, the colocation quotient, and
+    every NN-distance point-pattern statistic (spatstat ``nndist`` /
+    PostGIS ``<->`` lateral-kNN at k=1).
+
+    Two-stage, exact regardless of ``radius``:
+
+    1. a self ``dwithin_join`` at ``radius`` (bounded 3x3 cell-neighborhood
+       equi-join — no cross join) proposes candidates; the per-point argmin
+       RECOMPUTES squared distance from coordinates (the ripleys_k sqrt-
+       round-trip rule) and tie-breaks on the neighbor key, so the winner
+       is bit-deterministic cross-engine.
+    2. points with NO neighbor inside ``radius`` (the sparse tail; an
+       anti-join finds them) fall back to a brute-force pass against the
+       full point set — bounded by |tail| x N.  At scale the tail is the
+       isolated-outlier fringe; a production variant would double the
+       radius per round instead, same exactness argument.
+
+    Returns [<key>, nn_id, nn_d2] — nn_d2 the EXACT squared distance
+    (multiply/add only; callers sqrt for display)."""
+    import numpy as _np  # noqa: F401  (parity with module convention)
+
+    right = points.select(
+        F.col(key).alias("nn_id"), F.col(mx).alias("cx"), F.col(my).alias("cy")
+    )
+    cand = dwithin_join(
+        points.select(key, mx, my), right, radius, mx=mx, my=my,
+        broadcast_seeds=False,
+    ).where(F.col(key) != F.col("nn_id"))
+    d2 = (F.col(mx) - F.col("cx")) * (F.col(mx) - F.col("cx")) + (
+        F.col(my) - F.col("cy")
+    ) * (F.col(my) - F.col("cy"))
+    best = (
+        cand.withColumn("d2", d2)
+        .groupBy(key)
+        .agg(F.min(F.struct(F.col("d2"), F.col("nn_id"))).alias("w"))
+        .select(key, F.col("w.nn_id").alias("nn_id"), F.col("w.d2").alias("nn_d2"))
+    )
+    missing = points.select(key, mx, my).join(best.select(key), key, "anti")
+    fallback = (
+        missing.crossJoin(right)
+        .where(F.col(key) != F.col("nn_id"))
+        .withColumn("d2", d2)
+        .groupBy(key)
+        .agg(F.min(F.struct(F.col("d2"), F.col("nn_id"))).alias("w"))
+        .select(key, F.col("w.nn_id").alias("nn_id"), F.col("w.d2").alias("nn_d2"))
+    )
+    return best.unionByName(fallback)
+
+
+def clark_evans(
+    points: DataFrame,
+    radius: float,
+    key: str = "doc_id",
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index (Clark & Evans 1954; spatstat
+    ``clarkevans.test``, no edge correction): R = observed mean NN
+    distance / expected under CSR on the bounding-box study area, with
+    the normal z statistic
+
+        D_exp = 1 / (2 sqrt(n / A)),   SE = 0.26136 / sqrt(n^2 / A),
+        z = (D_obs - D_exp) / SE.
+
+    R < 1 clustered, R > 1 dispersed.  NN distances come from the exact
+    two-stage ``nearest_neighbors`` join; the mean folds the SORTED
+    distance list (sort_array + aggregate — the ordered-fold pattern the
+    Shannon entropy uses) so distributed sum order is immaterial.  The
+    bbox moments are exact min/max selections.  Returns ONE row
+    [n_points, area, mean_nn, d_exp, r_index, z_score] un-rounded
+    (callers round for display).  At scale: the NN join dominates;
+    the final fold is one single-group aggregate over n doubles — fine
+    for statistics-sized samples, and the un-ordered F.sum is the drop-in
+    at corpus scale where 1e-13 relative drift is immaterial."""
+    nn = nearest_neighbors(points, radius, key=key, mx=mx, my=my)
+    bbox = points.agg(
+        F.count("*").alias("n"),
+        F.min(mx).alias("x0"),
+        F.max(mx).alias("x1"),
+        F.min(my).alias("y0"),
+        F.max(my).alias("y1"),
+    )
+    folded = nn.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.sqrt(F.col("nn_d2")))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sum_nn")
+    )
+    j = folded.crossJoin(bbox)
+    n = F.col("n").cast("double")
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    mean_nn = F.col("sum_nn") / n
+    d_exp = 1.0 / (2.0 * F.sqrt(n / area))
+    se = 0.26136 / F.sqrt(n * n / area)
+    return j.select(
+        F.col("n").alias("n_points"),
+        area.alias("area"),
+        mean_nn.alias("mean_nn"),
+        d_exp.alias("d_exp"),
+        (mean_nn / d_exp).alias("r_index"),
+        ((mean_nn - d_exp) / se).alias("z_score"),
+    )
+
+
+def colocation_quotient(
+    points: DataFrame,
+    radius: float,
+    category: str = "lang",
+    key: str = "doc_id",
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Colocation quotient matrix (Leslie & Kronenfeld 2011, k=1 form):
+    for every ordered category pair (a, b),
+
+        CLQ_{a->b} = (C_{a->b} / N_a) / (N_b' / (N - 1)),
+
+    where C_{a->b} counts a-points whose nearest neighbor is a b-point
+    and N_b' = N_b - [a = b] (a point cannot be its own neighbor).
+    CLQ > 1: a is attracted to b beyond global mixing.
+
+    Built entirely on the exact ``nearest_neighbors`` join + two tiny
+    joins tagging each end with its category; every count is an exact
+    integer, so the one float per row is a single division.  Pairs with
+    zero observed colocation are emitted too (the zero C matrix rows) so
+    the output is the full |cats|^2 grid.  Returns
+    [cat_a, cat_b, n_a, n_b, nn_pairs, clq]."""
+    nn = nearest_neighbors(points, radius, key=key, mx=mx, my=my)
+    cats = points.select(F.col(key), F.col(category))
+    tagged = (
+        nn.join(cats.select(F.col(key), F.col(category).alias("cat_a")), key)
+        .join(
+            cats.select(
+                F.col(key).alias("nn_id"), F.col(category).alias("cat_b")
+            ),
+            "nn_id",
+        )
+    )
+    c = tagged.groupBy("cat_a", "cat_b").agg(F.count("*").alias("nn_pairs"))
+    sizes = cats.groupBy(category).agg(F.count("*").alias("n_cat"))
+    total = points.count()
+    grid = (
+        sizes.select(F.col(category).alias("cat_a"), F.col("n_cat").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col(category).alias("cat_b"), F.col("n_cat").alias("n_b"))
+        )
+        .join(c, ["cat_a", "cat_b"], "left")
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_a",
+            "n_b",
+            F.coalesce("nn_pairs", F.lit(0)).alias("nn_pairs"),
+        )
+    )
+    nb_eff = F.col("n_b") - F.when(F.col("cat_a") == F.col("cat_b"), 1).otherwise(0)
+    clq = (
+        F.col("nn_pairs").cast("double") / F.col("n_a").cast("double")
+    ) / (nb_eff.cast("double") / F.lit(float(total - 1)))
+    return grid.withColumn("clq", clq)
