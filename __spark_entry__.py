@@ -6518,6 +6518,71 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["colocation_quotient"] = colocation_quotient_q
 
+    def _dem_cells(spark, sf_dir):
+        """The hydrology DEM fixture: doc_id < 256 -> a 16x16 integer
+        bowl with a deterministic bump, z = (gx-8)^2 + (gy-8)^2 +
+        ((gx*7 + gy*3) % 5) — one interior sink, D8 paths up to 8 long,
+        plateau ties that exercise the smallest-code tie-break.  Both
+        engines re-derive every elevation."""
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 256)
+        gx = (F.col("doc_id") % 16).cast("int")
+        gy = F.floor(F.col("doc_id") / F.lit(16)).cast("int")
+        z = (
+            (gx - 8) * (gx - 8)
+            + (gy - 8) * (gy - 8)
+            + ((gx * 7 + gy * 3) % 5)
+        ).cast("long")
+        return d.select(
+            F.lit(0).alias("x"),
+            F.lit(0).alias("y"),
+            gx.alias("bin_x"),
+            gy.alias("bin_y"),
+            z.alias("n"),
+        )
+
+    def flow_direction_d8(spark, sf_dir):
+        """D8 flow direction (operators/raster.py d8_flow — O'Callaghan &
+        Mark 1984, ESRI/GDAL codes) over the bowl-with-bump DEM: steepest
+        downhill of 8 neighbors with the diagonal √2 priced EXACTLY as
+        2·drop² vs drop² (integer squares — no irrational ever compared),
+        ties to the smallest code, sinks code 0, absent neighbors
+        elevation 0 (edge drains off-grid).  One shared 3x3 stencil + a
+        map-only HOF argmax; the DuckDB twin re-runs the identical
+        neighbor weights through a window argmax."""
+        from tilekiln_spark.operators.raster import d8_flow
+
+        out = d8_flow(_dem_cells(spark, sf_dir), res=16)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("d8").cast("long").alias("d8"),
+            F.col("drop").cast("long").alias("drop"),
+        )
+
+    q["flow_direction_d8"] = flow_direction_d8
+
+    def flow_accumulation_q(spark, sf_dir):
+        """D8 flow accumulation (operators/raster.py flow_accumulation):
+        upstream-cell counts over the D8 forest via the MONOTONE fixpoint
+        acc'(c) = Σ_{u→c}(1 + acc(u)) — Spark iterates to the detected
+        fixpoint (longest path 8 on this DEM, raises past max_iter), the
+        twin unrolls 10 fixed rounds ≥ convergence (the k-core bounded-
+        unroll argument).  All counts exact integers; the interior sink
+        collects 195 of the 255 other cells."""
+        from tilekiln_spark.operators.raster import flow_accumulation
+
+        out = flow_accumulation(_dem_cells(spark, sf_dir), res=16, max_iter=20)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("d8").cast("long").alias("d8"),
+            F.col("acc").cast("long").alias("acc"),
+        )
+
+    q["flow_accumulation"] = flow_accumulation_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -12743,6 +12808,88 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM r4
+    """
+
+    # D8 twins: the bowl-with-bump DEM re-derived per cell; neighbor
+    # weights 2*drop^2 (cardinal) vs drop^2 (diagonal) — integer squares,
+    # the same exact comparison the Spark HOF argmax runs — resolved by a
+    # (w DESC, code ASC) window argmax; sinks via LEFT JOIN
+    _dem_sql = """
+        dem AS (
+            SELECT doc_id % 16 AS gx, doc_id // 16 AS gy,
+                   (doc_id % 16 - 8) * (doc_id % 16 - 8)
+                   + (doc_id // 16 - 8) * (doc_id // 16 - 8)
+                   + (((doc_id % 16) * 7 + (doc_id // 16) * 3) % 5) AS z
+            FROM documents WHERE doc_id < 256
+        ),
+        offs(code, dx, dy, card) AS (VALUES
+            (32, -1, -1, 0), (64, 0, -1, 1), (128, 1, -1, 0),
+            (16, -1, 0, 1), (1, 1, 0, 1),
+            (8, -1, 1, 0), (4, 0, 1, 1), (2, 1, 1, 0)),
+        nb AS (
+            SELECT a.gx, a.gy, a.z, o.code, o.dx, o.dy,
+                   a.z - coalesce(b.z, 0) AS dz,
+                   (a.z - coalesce(b.z, 0)) * (a.z - coalesce(b.z, 0))
+                   * CASE WHEN o.card = 1 THEN 2 ELSE 1 END AS w
+            FROM dem a CROSS JOIN offs o
+            LEFT JOIN dem b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+        ),
+        ranked AS (
+            SELECT gx, gy, code, dx, dy, dz,
+                   row_number() OVER (PARTITION BY gx, gy
+                       ORDER BY w DESC, code ASC) AS rn
+            FROM nb WHERE dz > 0
+        ),
+        sel AS (
+            SELECT d.gx, d.gy, d.z,
+                   coalesce(r.code, 0) AS d8,
+                   coalesce(r.dz, 0) AS drop_,
+                   d.gx + r.dx AS tx, d.gy + r.dy AS ty
+            FROM dem d LEFT JOIN ranked r
+              ON r.gx = d.gx AND r.gy = d.gy AND r.rn = 1
+        )
+    """
+
+    o["flow_direction_d8"] = f"""
+        WITH {_dem_sql}
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(z AS BIGINT) AS z, CAST(d8 AS BIGINT) AS d8,
+               CAST(drop_ AS BIGINT) AS drop
+        FROM sel
+    """
+
+    # accumulation twin: 10 unrolled monotone rounds (longest flow path
+    # on this DEM is 8), each MATERIALIZED — any fixed unroll >= the
+    # convergence round lands on the Spark fixpoint
+    _fa_rounds = []
+    _fa_prev = "acc0"
+    for _i in range(1, 11):
+        _fa_rounds.append(f"""
+        acc{_i} AS MATERIALIZED (
+            SELECT n.gx, n.gy, coalesce(s.inacc, 0) AS acc
+            FROM dem n LEFT JOIN (
+                SELECT e.gx, e.gy, sum(1 + a.acc) AS inacc
+                FROM edges e JOIN {_fa_prev} a
+                  ON a.gx = e.ux AND a.gy = e.uy
+                GROUP BY 1, 2
+            ) s ON s.gx = n.gx AND s.gy = n.gy
+        )""")
+        _fa_prev = f"acc{_i}"
+    o["flow_accumulation"] = f"""
+        WITH {_dem_sql},
+        edges AS MATERIALIZED (
+            SELECT r.gx AS ux, r.gy AS uy, r.tx AS gx, r.ty AS gy
+            FROM sel r
+            WHERE r.d8 > 0 AND EXISTS (
+                SELECT 1 FROM dem t WHERE t.gx = r.tx AND t.gy = r.ty
+            )
+        ),
+        acc0 AS MATERIALIZED (SELECT gx, gy, 0 AS acc FROM dem),
+        {",".join(_fa_rounds)}
+        SELECT CAST(s.gx AS BIGINT) AS gx, CAST(s.gy AS BIGINT) AS gy,
+               CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
+               CAST(a.acc AS BIGINT) AS acc
+        FROM sel s JOIN {_fa_prev} a ON a.gx = s.gx AND a.gy = s.gy
     """
 
     # NN twin: brute-force all pairs with the identical exact d2

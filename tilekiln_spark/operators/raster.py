@@ -1391,3 +1391,132 @@ def curvature_zt(
         (F.round(profile, 6) + F.lit(0.0)).alias("curv_profile"),
         (F.round(plan, 6) + F.lit(0.0)).alias("curv_plan"),
     )
+
+
+# D8 neighbor table: stencil slot k -> (ESRI flow code, dx, dy, cardinal?)
+# k = (dy+1)*3 + (dx+1); gy grows southward so dy=+1 is S.
+_D8 = {
+    0: (32, -1, -1, False),   # NW
+    1: (64, 0, -1, True),     # N
+    2: (128, 1, -1, False),   # NE
+    3: (16, -1, 0, True),     # W
+    5: (1, 1, 0, True),       # E
+    6: (8, -1, 1, False),     # SW
+    7: (4, 0, 1, True),       # S
+    8: (2, 1, 1, False),      # SE
+}
+
+
+def d8_flow(cells: DataFrame, res: int = 256) -> DataFrame:
+    """D8 flow direction (O'Callaghan & Mark 1984; ESRI/GDAL
+    ``FlowDirection`` codes E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128)
+    over the integer-valued cell raster — steepest downhill of the 8
+    neighbors, diagonal distance √2 priced EXACTLY by comparing
+    2·drop² (cardinal) vs drop² (diagonal): squares of integer drops,
+    so the argmax never touches an irrational and is bit-deterministic
+    cross-engine.  Ties break on the smallest flow code; cells with no
+    positive drop are sinks (code 0).  Absent neighbors read elevation 0
+    (the _stencil9 convention — the raster edge drains off-grid).
+
+    One shared 3x3 stencil (9-way tagged explode + ONE partial-agg
+    groupBy — identical cost profile to hillshade) + a map-only HOF
+    argmax over the 8-slot struct array.  Returns
+    [gx, gy, z, d8, drop, tgt_gx, tgt_gy] for present cells (tgt_* NULL
+    for sinks)."""
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    entries = []
+    for k, (code, dx, dy, card) in _D8.items():
+        drop = z[4] - z[k]
+        w = drop * drop * F.lit(2.0 if card else 1.0)
+        entries.append(
+            F.when(
+                drop > 0,
+                F.struct(
+                    w.alias("w"),
+                    F.lit(-code).alias("negcode"),
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    drop.alias("drop"),
+                ),
+            )
+        )
+    best = F.array_max(F.filter(F.array(*entries), lambda s: s.isNotNull()))
+    out = (
+        agg.where(F.col("present") == 1)
+        .withColumn("best", best)
+        .select(
+            F.col("tgx").alias("gx"),
+            F.col("tgy").alias("gy"),
+            z[4].alias("z"),
+            F.coalesce(-F.col("best.negcode"), F.lit(0)).alias("d8"),
+            F.coalesce(F.col("best.drop"), F.lit(0.0)).alias("drop"),
+            (F.col("tgx") + F.col("best.dx")).alias("tgt_gx"),
+            (F.col("tgy") + F.col("best.dy")).alias("tgt_gy"),
+        )
+    )
+    return out
+
+
+def flow_accumulation(
+    cells: DataFrame, res: int = 256, max_iter: int = 30
+) -> DataFrame:
+    """D8 flow accumulation (ESRI/GDAL ``FlowAccumulation``): for every
+    cell, the number of upstream cells whose D8 flow path drains through
+    it.  The D8 forest is a DAG, so the fixpoint iteration
+
+        acc'(c) = Σ_{u → c} (1 + acc(u))
+
+    starting from 0 is MONOTONE nondecreasing and converges after
+    longest-flow-path rounds — the k-core bounded-unroll argument: the
+    Spark side iterates to the detected fixpoint (raising past
+    ``max_iter``, never silently truncating) while a twin may unroll any
+    fixed round count ≥ convergence and land on the identical result.
+
+    Each round is ONE join of the flow edges against the current
+    accumulation + ONE partial-agg groupBy, ``localCheckpoint`` per round
+    (the pagerank lineage rule).  Edges into absent cells drain off-grid
+    and are dropped.  At 100 TB rounds ≈ the longest flow path — the
+    known D8 scaling cost; production systems band the DEM into drainage
+    tiles to cap it, which this shape composes with.  Returns
+    [gx, gy, z, d8, acc]."""
+    d8 = d8_flow(cells, res).localCheckpoint(eager=True)
+    nodes = d8.select("gx", "gy")
+    edges = (
+        d8.where(F.col("d8") > 0)
+        .select(
+            F.col("gx").alias("ux"),
+            F.col("gy").alias("uy"),
+            F.col("tgt_gx").alias("gx"),
+            F.col("tgt_gy").alias("gy"),
+        )
+        .join(nodes, ["gx", "gy"], "semi")
+        .localCheckpoint(eager=True)
+    )
+    acc = nodes.withColumn("acc", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    prev_total = -1
+    for _ in range(max_iter):
+        inflow = (
+            edges.join(
+                acc.select(
+                    F.col("gx").alias("ux"), F.col("gy").alias("uy"), "acc"
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy("gx", "gy")
+            .agg(F.sum(F.col("acc") + 1).alias("inacc"))
+        )
+        acc = (
+            nodes.join(inflow, ["gx", "gy"], "left")
+            .select("gx", "gy", F.coalesce("inacc", F.lit(0)).alias("acc"))
+            .localCheckpoint(eager=True)
+        )
+        total = acc.agg(F.sum("acc")).collect()[0][0] or 0
+        if total == prev_total:
+            return d8.join(acc, ["gx", "gy"]).select(
+                "gx", "gy", "z", "d8", "acc"
+            )
+        prev_total = total
+    raise ValueError(
+        f"flow_accumulation: no fixpoint within max_iter={max_iter} rounds"
+    )
