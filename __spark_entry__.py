@@ -6583,6 +6583,51 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["flow_accumulation"] = flow_accumulation_q
 
+    def crawl_schedule_q(spark, sf_dir):
+        """Politeness-constrained crawl-frontier schedule (operators/
+        webstats.py crawl_schedule — the Heritrix/Nutch host-queue
+        model) over the messy-URL corpus: per-host Crawl-delay seconds
+        parsed from synthesized robots bodies (parse_crawl_delays; the
+        .news hosts omit the directive and take the 7 s default), URLs
+        sequenced per host with not_before_s = (seq-1)*delay, hosts
+        PINNED to workers by the replayable md5_u32 hash, and each
+        worker's queue ranked by (not_before_s, url).  The DuckDB twin
+        derives the delays arithmetically from the host digit — an
+        INDEPENDENT derivation that cross-checks the parser — and
+        replays the same windows and md5 pin."""
+        from tilekiln_spark.operators.webstats import (
+            crawl_schedule, parse_crawl_delays,
+        )
+        from tilekiln_spark.functions.web import url_host
+
+        pages = _messy_urls(_docs(spark, sf_dir)).select(
+            "url", url_host("url").alias("host")
+        )
+        hosts = pages.select("host").distinct()
+        d = F.regexp_extract("host", "host([0-9])", 1).cast("int")
+        is_news = F.col("host").contains(".news.")
+        txt = F.when(
+            is_news, F.lit("User-Agent: *\nDisallow: /tmp/\n")
+        ).otherwise(
+            F.concat(
+                F.lit("User-Agent: *\ncrawl-DELAY: "),
+                (F.lit(5) + (d % 3) * 5).cast("string"),
+                F.lit("\nDisallow: /cart\n"),
+            )
+        )
+        delays = parse_crawl_delays(hosts.select("host", txt.alias("robots_txt")))
+        out = crawl_schedule(pages, delays, workers=4, default_delay_s=7.0)
+        return out.select(
+            "url",
+            "host",
+            F.col("worker").cast("long").alias("worker"),
+            F.col("fetch_seq").cast("long").alias("fetch_seq"),
+            (F.round("not_before_s", 6) + F.lit(0.0)).alias("not_before_s"),
+            F.col("queue_pos").cast("long").alias("queue_pos"),
+        )
+
+    q["crawl_schedule"] = crawl_schedule_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -12808,6 +12853,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM r4
+    """
+
+    # crawl-schedule twin: delays derived ARITHMETICALLY from the host
+    # digit (independent cross-check of the robots Crawl-delay parser),
+    # same per-host sequence window, md5 worker pin, and queue ranking
+    o["crawl_schedule"] = f"""
+        WITH {_MESSY_URLS_SQL}, {_URL_PARTS_SQL},
+        pages AS (SELECT url, host FROM web),
+        hostd AS (
+            SELECT DISTINCT host,
+                   CAST(regexp_extract(host, 'host([0-9])', 1) AS INT) AS d,
+                   host LIKE '%.news.%' AS is_news
+            FROM pages
+        ),
+        delays AS (
+            SELECT host, CAST(5 + (d % 3) * 5 AS DOUBLE) AS crawl_delay_s
+            FROM hostd WHERE NOT is_news
+        ),
+        p AS (
+            SELECT pages.url, pages.host,
+                   coalesce(crawl_delay_s, 7.0) AS delay_s
+            FROM pages LEFT JOIN delays ON delays.host = pages.host
+        ),
+        seq AS (
+            SELECT url, host, delay_s,
+                   row_number() OVER (PARTITION BY host ORDER BY url ASC)
+                       AS fetch_seq
+            FROM p
+        ),
+        w AS (
+            SELECT url, host, fetch_seq,
+                   CAST(fetch_seq - 1 AS DOUBLE) * delay_s AS not_before_s,
+                   CAST(CAST('0x' || substr(md5(host), 1, 8) AS BIGINT) % 4
+                        AS INT) AS worker
+            FROM seq
+        )
+        SELECT url, host, CAST(worker AS BIGINT) AS worker,
+               CAST(fetch_seq AS BIGINT) AS fetch_seq,
+               round(not_before_s, 6) + 0.0 AS not_before_s,
+               CAST(row_number() OVER (PARTITION BY worker
+                    ORDER BY not_before_s ASC, url ASC) AS BIGINT)
+                   AS queue_pos
+        FROM w
     """
 
     # D8 twins: the bowl-with-bump DEM re-derived per cell; neighbor

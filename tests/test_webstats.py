@@ -169,3 +169,48 @@ def test_robots_decisions_rfc_semantics(spark):
     assert out[4]["allowed"] is True
     # host with no rules at all -> allowed
     assert out[5]["allowed"] is True and out[5]["rule_prefix"] is None
+
+
+def test_parse_crawl_delays(spark):
+    from tilekiln_spark.operators.webstats import parse_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-Agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+            ("b.com", "user-agent: *\ncrawl-DELAY:  2.5\n"),
+            # several delays -> MAX wins; junk lines ignored
+            ("c.com", "Crawl-delay: 3\n# note\nCrawl-delay: 8\nSitemap: s\n"),
+            ("d.com", "User-Agent: *\nDisallow: /\n"),   # none stated
+            ("e.com", "Crawl-delay: abc\n"),             # unparseable -> none
+        ],
+        "host string, robots_txt string",
+    )
+    out = {r["host"]: r["crawl_delay_s"] for r in parse_crawl_delays(robots).collect()}
+    assert out == {"a.com": 10.0, "b.com": 2.5, "c.com": 8.0}
+
+
+def test_crawl_schedule_politeness_and_pinning(spark):
+    from tilekiln_spark.operators.webstats import crawl_schedule
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 2}.com/p{j}", f"h{i % 2}.com")
+         for i in range(2) for j in range(3)],
+        "url string, host string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.com", 10.0)], "host string, crawl_delay_s double")
+    out = crawl_schedule(pages, delays, workers=4, default_delay_s=2.0).collect()
+    rows = {(r["host"], r["fetch_seq"]): r for r in out}
+    # politeness spacing: h0 at 0/10/20 s, h1 (default) at 0/2/4 s
+    assert [rows[("h0.com", s)]["not_before_s"] for s in (1, 2, 3)] == [0.0, 10.0, 20.0]
+    assert [rows[("h1.com", s)]["not_before_s"] for s in (1, 2, 3)] == [0.0, 2.0, 4.0]
+    # host pinning: every row of a host lands on ONE worker
+    for h in ("h0.com", "h1.com"):
+        assert len({r["worker"] for r in out if r["host"] == h}) == 1
+    # queue positions are a permutation 1..n within each worker
+    from collections import defaultdict
+    byw = defaultdict(list)
+    for r in out:
+        byw[r["worker"]].append(r["queue_pos"])
+    for w, qs in byw.items():
+        assert sorted(qs) == list(range(1, len(qs) + 1))

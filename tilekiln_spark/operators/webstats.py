@@ -401,3 +401,85 @@ def robots_decisions(
         F.coalesce(F.col("_win.allow"), F.lit(True)).alias("allowed"),
         F.col("_win.prefix").alias("rule_prefix"),
     )
+
+
+def parse_crawl_delays(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract per-host ``Crawl-delay`` seconds from robots.txt bodies
+    (the de-facto extension Google ignores but Bing/Yandex honor; same
+    single ``User-agent: *`` group subset as :func:`parse_robots`).
+
+    Pure codegen split + regexp; directive name matches case-
+    insensitively; a host stating several delays keeps the MAX (the
+    conservative politeness reading, and an order-independent aggregate).
+    Returns [host, crawl_delay_s:double] for hosts that state one."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("line"),
+    )
+    d = F.lower(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1))
+    val = F.regexp_extract("line", r"^\s*[A-Za-z-]+\s*:\s*([0-9.]+)", 1)
+    return (
+        lines.where((d == "crawl-delay") & (val != ""))
+        .groupBy("host")
+        .agg(F.max(val.cast("double")).alias("crawl_delay_s"))
+    )
+
+
+def crawl_schedule(
+    pages: DataFrame,
+    delays: DataFrame,
+    workers: int = 4,
+    default_delay_s: float = 5.0,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-constrained crawl-frontier schedule (the Heritrix /
+    Nutch host-queue model): every URL gets a deterministic fetch slot
+    such that same-host fetches are at least the host's Crawl-delay
+    apart, and each host is PINNED to one worker so the delay contract
+    survives parallel fetching.
+
+    - per host, URLs order by url ascending; ``fetch_seq`` is the 1-based
+      position and ``not_before_s = (fetch_seq - 1) * delay`` the
+      politeness lower bound on the fetch time;
+    - ``worker = md5_u32(host) % workers`` — the replayable hash pin
+      (operators/sampling.py md5 convention), NOT round-robin, so adding
+      pages never reshuffles existing host→worker assignments;
+    - ``queue_pos`` ranks the worker's whole queue by
+      (not_before_s, url) — the dispatch order a fetcher drains.
+
+    Two window shuffles (host, then worker) + one broadcast-able delay
+    join; no driver state, no iteration.  At 10^12 URLs the host window
+    is the skew risk (giant hosts) — exactly where AQE skew-join /
+    salted sub-queues slot in; the worker window is bounded by
+    ``workers`` partitions by construction.  Returns
+    [url, host, worker, fetch_seq, not_before_s, queue_pos]."""
+    from tilekiln_spark.operators.sampling import md5_u32
+
+    p = pages.join(
+        F.broadcast(delays.withColumnRenamed("host", host_col)),
+        host_col,
+        "left",
+    ).withColumn(
+        "delay_s", F.coalesce("crawl_delay_s", F.lit(float(default_delay_s)))
+    )
+    host_w = Window.partitionBy(host_col).orderBy(F.col(url_col).asc())
+    p = p.withColumn("fetch_seq", F.row_number().over(host_w)).withColumn(
+        "not_before_s", (F.col("fetch_seq") - 1).cast("double") * F.col("delay_s")
+    )
+    p = p.withColumn(
+        "worker", (md5_u32(F.col(host_col)) % F.lit(int(workers))).cast("int")
+    )
+    worker_w = Window.partitionBy("worker").orderBy(
+        F.col("not_before_s").asc(), F.col(url_col).asc()
+    )
+    return p.select(
+        url_col,
+        host_col,
+        "worker",
+        "fetch_seq",
+        "not_before_s",
+        F.row_number().over(worker_w).alias("queue_pos"),
+    )
