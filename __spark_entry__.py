@@ -6628,6 +6628,31 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["crawl_schedule"] = crawl_schedule_q
 
+    def watershed_basins_q(spark, sf_dir):
+        """Watershed basin labeling (operators/raster.py watershed_basins
+        — ESRI Watershed / GRASS r.watershed basins) over the bowl DEM by
+        POINTER DOUBLING: each round one self-join squares the pointer,
+        so the longest-path-8 forest converges in 3 doublings (log
+        rounds, not path rounds — the technique that keeps basin labeling
+        feasible on 100 TB DEMs).  Roots are the interior sink + every
+        edge cell draining off-grid (61 on this DEM; the sink's basin
+        holds 196 cells).  The twin unrolls 5 fixed doublings ≥
+        convergence — past the fixpoint they are no-ops."""
+        from tilekiln_spark.operators.raster import watershed_basins
+
+        out = watershed_basins(_dem_cells(spark, sf_dir), res=16, max_iter=10)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("d8").cast("long").alias("d8"),
+            F.col("basin_gx").cast("long").alias("basin_gx"),
+            F.col("basin_gy").cast("long").alias("basin_gy"),
+            "is_root",
+        )
+
+    q["watershed_basins"] = watershed_basins_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -12978,6 +13003,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
                CAST(a.acc AS BIGINT) AS acc
         FROM sel s JOIN {_fa_prev} a ON a.gx = s.gx AND a.gy = s.gy
+    """
+
+    # watershed twin: the same sel CTE (D8 pointers; off-grid/sink ->
+    # self), then 5 unrolled pointer DOUBLINGS — convergence is 3 on the
+    # longest-path-8 forest, extra doublings are no-ops
+    _ws_rounds = []
+    _ws_prev = "p0"
+    for _i in range(1, 6):
+        _ws_rounds.append(f"""
+        p{_i} AS MATERIALIZED (
+            SELECT a.gx, a.gy, b.px, b.py
+            FROM {_ws_prev} a JOIN {_ws_prev} b
+              ON b.gx = a.px AND b.gy = a.py
+        )""")
+        _ws_prev = f"p{_i}"
+    o["watershed_basins"] = f"""
+        WITH {_dem_sql},
+        p0 AS MATERIALIZED (
+            SELECT s.gx, s.gy,
+                   CASE WHEN s.d8 > 0 AND t.gx IS NOT NULL
+                        THEN s.tx ELSE s.gx END AS px,
+                   CASE WHEN s.d8 > 0 AND t.gx IS NOT NULL
+                        THEN s.ty ELSE s.gy END AS py
+            FROM sel s LEFT JOIN dem t ON t.gx = s.tx AND t.gy = s.ty
+        ),
+        {",".join(_ws_rounds)}
+        SELECT CAST(s.gx AS BIGINT) AS gx, CAST(s.gy AS BIGINT) AS gy,
+               CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
+               CAST(p.px AS BIGINT) AS basin_gx,
+               CAST(p.py AS BIGINT) AS basin_gy,
+               (p.px = s.gx AND p.py = s.gy) AS is_root
+        FROM sel s JOIN {_ws_prev} p ON p.gx = s.gx AND p.gy = s.gy
     """
 
     # NN twin: brute-force all pairs with the identical exact d2

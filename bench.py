@@ -392,6 +392,81 @@ vector_layers:
         lambda: delaunay_triangles(_dpts, "gid", "x", "y").count(),
     )
 
+    # --- D8 flow accumulation at density: a 256x256 DEM tiled into
+    # 32x32 bowls (65.5k cells, longest flow path ~16 within a tile)
+    # prices the stencil + the per-round edge join/groupBy fixpoint ---
+    from tilekiln_spark.operators.raster import flow_accumulation
+
+    _dem = spark.range(256 * 256).select(
+        F.lit(0).alias("x"),
+        F.lit(0).alias("y"),
+        (F.col("id") % 256).cast("int").alias("bin_x"),
+        (F.col("id") / F.lit(256)).cast("long").cast("int").alias("bin_y"),
+    ).select(
+        "x", "y", "bin_x", "bin_y",
+        (
+            ((F.col("bin_x") % 32) - 16) * ((F.col("bin_x") % 32) - 16)
+            + ((F.col("bin_y") % 32) - 16) * ((F.col("bin_y") % 32) - 16)
+            + ((F.col("bin_x") * 7 + F.col("bin_y") * 3) % 5)
+        ).cast("long").alias("n"),
+    )
+    extra["flow_acc_cells"] = timed(
+        "flow_accumulation_dense",
+        lambda: flow_accumulation(_dem, res=256, max_iter=40).count(),
+    )
+
+    # --- exact NN join at density: 100k pseudo-random points, 300 km
+    # candidate radius — prices the bounded self dwithin join + argmin
+    # and the brute-force straggler tail ---
+    from tilekiln_spark.operators.spatial_join import nearest_neighbors
+
+    _npts = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        ((_frac(F.sin(F.col("id") * 12.9898) * 43758.5453) - 0.5) * 3.8e7).alias("mx"),
+        ((_frac(F.sin(F.col("id") * 78.233) * 12543.8547) - 0.5) * 3.8e7).alias("my"),
+    )
+    extra["nn_join_rows"] = timed(
+        "nn_join_dense",
+        lambda: nearest_neighbors(_npts, radius=3.0e5).count(),
+    )
+
+    # --- label propagation at density: 50k nodes / 150k directed edges
+    # (the pagerank generator shape), 4 synchronous rounds ---
+    from tilekiln_spark.operators.graph import label_propagation
+
+    _ln = 50_000
+    _ledges = spark.range(_ln).select(F.col("id").alias("src")).join(
+        spark.range(3).select((F.col("id") + 1).alias("j")),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("j")) % _ln).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    extra["lpa_nodes"] = timed(
+        "label_propagation_dense",
+        lambda: label_propagation(_ledges, rounds=4).count(),
+    )
+
+    # --- crawl schedule at density: 200k URLs over 20k hosts — prices
+    # the host-sequence and worker-queue windows ---
+    from tilekiln_spark.operators.webstats import crawl_schedule
+
+    _urls = spark.range(200_000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 20_000).cast("string"),
+            F.lit(".com/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("id") % 20_000).cast("string"), F.lit(".com")
+        ).alias("host"),
+    )
+    _delays = spark.range(5_000).select(
+        F.concat(F.lit("h"), (F.col("id") * 4).cast("string"), F.lit(".com")).alias("host"),
+        (5.0 + (F.col("id") % 3).cast("double") * 5.0).alias("crawl_delay_s"),
+    )
+    extra["crawl_sched_rows"] = timed(
+        "crawl_schedule_dense",
+        lambda: crawl_schedule(_urls, _delays, workers=32).count(),
+    )
+
     return {"timings": timings, "extra": extra}
 
 

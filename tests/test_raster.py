@@ -755,3 +755,28 @@ def test_flow_accumulation_raises_past_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         flow_accumulation(_bowl_cells(spark), res=16, max_iter=2)
+
+
+def test_watershed_bowl_goldens(spark):
+    from tilekiln_spark.operators.raster import watershed_basins
+
+    out = watershed_basins(_bowl_cells(spark), res=16, max_iter=10).collect()
+    by = {(r["gx"], r["gy"]): r for r in out}
+    # python-replica goldens: 61 roots (1 interior sink + 60 off-grid
+    # drains), the sink's basin holds 196 cells including itself
+    assert sum(1 for r in out if r["is_root"]) == 61
+    assert by[(8, 8)]["is_root"] and by[(8, 8)]["d8"] == 0
+    center = sum(1 for r in out
+                 if (r["basin_gx"], r["basin_gy"]) == (8, 8))
+    assert center == 196
+    # every basin label is itself a root
+    roots = {(r["gx"], r["gy"]) for r in out if r["is_root"]}
+    assert {(r["basin_gx"], r["basin_gy"]) for r in out} <= roots
+
+
+def test_watershed_raises_past_cap(spark):
+    from tilekiln_spark.operators.raster import watershed_basins
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        watershed_basins(_bowl_cells(spark), res=16, max_iter=1)

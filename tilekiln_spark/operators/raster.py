@@ -1520,3 +1520,88 @@ def flow_accumulation(
     raise ValueError(
         f"flow_accumulation: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def watershed_basins(
+    cells: DataFrame, res: int = 256, max_iter: int = 20
+) -> DataFrame:
+    """Watershed (drainage-basin) labeling over the D8 flow forest —
+    every cell labeled by the basin root its flow path reaches (ESRI
+    ``Watershed`` / GRASS ``r.watershed`` basins).  Roots are sinks and
+    cells draining off-grid.
+
+    The label spreads by POINTER DOUBLING (ptr' = ptr∘ptr), the classic
+    parallel technique: each round one self-join halves every remaining
+    path, so convergence takes ⌈log2(longest path)⌉ rounds instead of
+    longest-path rounds — the log-round trick that makes basin labeling
+    feasible when flow paths run thousands of cells at 100 TB DEM scale
+    (flow_accumulation's linear rounds are the contrast case).  The
+    doubling sequence from the same start is identical on any engine, and
+    past the fixpoint extra rounds are no-ops, so a twin may unroll any
+    fixed round count ≥ convergence (k-core argument).  Spark iterates to
+    the detected fixpoint and raises past ``max_iter``.
+
+    Each round: ONE self-join of the pointer table keyed on the pointee +
+    a localCheckpoint.  Returns [gx, gy, z, d8, basin_gx, basin_gy,
+    is_root]."""
+    d8 = d8_flow(cells, res).localCheckpoint(eager=True)
+    nodes = d8.select("gx", "gy")
+    # pointer: follow d8 when the target is a real cell, else self (root)
+    tgt = d8.join(
+        nodes.select(
+            F.col("gx").alias("tgt_gx"), F.col("gy").alias("tgt_gy")
+        ).withColumn("tgt_ok", F.lit(1)),
+        ["tgt_gx", "tgt_gy"],
+        "left",
+    )
+    ptr = tgt.select(
+        "gx",
+        "gy",
+        F.when((F.col("d8") > 0) & F.col("tgt_ok").isNotNull(), F.col("tgt_gx"))
+        .otherwise(F.col("gx"))
+        .alias("px"),
+        F.when((F.col("d8") > 0) & F.col("tgt_ok").isNotNull(), F.col("tgt_gy"))
+        .otherwise(F.col("gy"))
+        .alias("py"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = (
+            ptr.alias("a")
+            .join(
+                ptr.select(
+                    F.col("gx").alias("px"),
+                    F.col("gy").alias("py"),
+                    F.col("px").alias("ppx"),
+                    F.col("py").alias("ppy"),
+                ),
+                ["px", "py"],
+            )
+            .select(
+                "gx", "gy", F.col("ppx").alias("px"), F.col("ppy").alias("py")
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            nxt.alias("n")
+            .join(ptr.alias("p"), ["gx", "gy"])
+            .where(
+                (F.col("n.px") != F.col("p.px")) | (F.col("n.py") != F.col("p.py"))
+            )
+            .count()
+        )
+        ptr = nxt
+        if moved == 0:
+            return d8.join(ptr, ["gx", "gy"]).select(
+                "gx",
+                "gy",
+                "z",
+                "d8",
+                F.col("px").alias("basin_gx"),
+                F.col("py").alias("basin_gy"),
+                ((F.col("px") == F.col("gx")) & (F.col("py") == F.col("gy"))).alias(
+                    "is_root"
+                ),
+            )
+    raise ValueError(
+        f"watershed_basins: no fixpoint within max_iter={max_iter} rounds"
+    )
