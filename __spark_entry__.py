@@ -6653,6 +6653,65 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["watershed_basins"] = watershed_basins_q
 
+    def g_function_q(spark, sf_dir):
+        """NN-distance distribution G(r) (operators/spatial_join.py
+        g_function — spatstat Gest, uncorrected) over the doc_id % 3
+        sample at 1,000 / 2,500 / 5,000 km: one exact nearest_neighbors
+        pass, every radius an EXACT squared-distance cut of the same
+        result (the ripleys_k boundary rule) — counts exact integers,
+        G one division each.  The twin brute-forces the NN minima and
+        applies the identical cuts."""
+        from tilekiln_spark.operators.spatial_join import g_function
+
+        pts = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0)
+        out = g_function(
+            pts.select("doc_id", "mx", "my"), 4.0e6, [1.0e6, 2.5e6, 5.0e6]
+        )
+        return out.select(
+            (F.col("r") / 1000.0).alias("r_km"),
+            F.col("n_le").cast("long").alias("n_le"),
+            (F.round("g_hat", 6) + F.lit(0.0)).alias("g_hat"),
+        )
+
+    q["g_function"] = g_function_q
+
+    def community_modularity_q(spark, sf_dir):
+        """Per-community Newman modularity (operators/graph.py
+        community_modularity) of the label_propagation communities on
+        the two-clique fixture: every formula input an exact integer
+        (internal edge counts, degree sums — the snapped-moment rule),
+        so Q_c is a single expression over exact values.  The twin
+        recomputes the 4 LPA rounds AND the modularity rollup."""
+        from tilekiln_spark.operators.graph import (
+            community_modularity, label_propagation,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+        g = d.select(
+            (F.col("doc_id") >= 30).cast("int").alias("grp"), F.col("doc_id")
+        )
+        cliq = (
+            g.select("grp", F.col("doc_id").alias("src"))
+            .join(g.select("grp", F.col("doc_id").alias("dst")), "grp")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        bridge = d.filter(F.col("doc_id") == 0).select(
+            F.col("doc_id").alias("src"), F.lit(30).alias("dst")
+        )
+        e = cliq.union(bridge)
+        labels = label_propagation(e, rounds=4)
+        out = community_modularity(e, labels)
+        return out.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("internal_edges").cast("long").alias("internal_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (F.round("q_contrib", 6) + F.lit(0.0)).alias("q_contrib"),
+        )
+
+    q["community_modularity"] = community_modularity_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -13035,6 +13094,123 @@ def oracle_sql() -> dict[str, str]:
                CAST(p.py AS BIGINT) AS basin_gy,
                (p.px = s.gx AND p.py = s.gy) AS is_root
         FROM sel s JOIN {_ws_prev} p ON p.gx = s.gx AND p.gy = s.gy
+    """
+
+    # G-function twin: brute-force NN minima + identical exact d2 cuts
+    o["g_function"] = f"""
+        {_GEO_CTE},
+        pts AS (SELECT doc_id, mx, my FROM geo WHERE doc_id % 3 = 0),
+        nnd AS (
+            SELECT a.doc_id,
+                   min((a.mx - b.mx) * (a.mx - b.mx)
+                       + (a.my - b.my) * (a.my - b.my)) AS d2
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+            GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n FROM pts),
+        rs(r) AS (VALUES (1000000.0), (2500000.0), (5000000.0))
+        SELECT r / 1000.0 AS r_km,
+               CAST((SELECT count(*) FROM nnd WHERE d2 <= r * r) AS BIGINT)
+                   AS n_le,
+               round(CAST((SELECT count(*) FROM nnd WHERE d2 <= r * r)
+                          AS DOUBLE) / CAST(n.n AS DOUBLE), 6) + 0.0 AS g_hat
+        FROM rs CROSS JOIN n
+        ORDER BY r_km
+    """
+
+    # modularity twin: re-runs the 4 unrolled LPA rounds (same CTE body
+    # as the label_propagation twin) then the exact-integer rollup
+    _lpa_rounds_sql = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b
+              ON (a.doc_id // 30) = (b.doc_id // 30)
+             AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT 0 AS src, 30 AS dst FROM d WHERE doc_id = 0
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src <> dst
+        ),
+        nb AS MATERIALIZED (
+            SELECT u AS node, v AS nb FROM und
+            UNION ALL SELECT v AS node, u AS nb FROM und
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+        r1 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN l0 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r2 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r1 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r3 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r2 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        ),
+        r4 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT nb.node, l.label,
+                       row_number() OVER (PARTITION BY nb.node
+                           ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM nb JOIN r3 l ON l.node = nb.nb
+                GROUP BY nb.node, l.label
+            ) WHERE rn = 1
+        )
+    """
+    o["community_modularity"] = _lpa_rounds_sql + """,
+        m AS (SELECT count(*) AS m FROM und),
+        tagged AS (
+            SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+            FROM und
+            JOIN r4 lu ON lu.node = und.u
+            JOIN r4 lv ON lv.node = und.v
+        ),
+        internal AS (
+            SELECT lu AS label, count(*) AS internal_edges
+            FROM tagged WHERE lu = lv GROUP BY 1
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            ) GROUP BY 1
+        ),
+        comm AS (
+            SELECT r4.label, count(*) AS n_nodes,
+                   sum(coalesce(deg.degree, 0)) AS degree_sum
+            FROM r4 LEFT JOIN deg ON deg.node = r4.node
+            GROUP BY 1
+        )
+        SELECT CAST(comm.label AS BIGINT) AS label,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(coalesce(internal_edges, 0) AS BIGINT) AS internal_edges,
+               CAST(degree_sum AS BIGINT) AS degree_sum,
+               round(CAST(coalesce(internal_edges, 0) AS DOUBLE)
+                     / CAST(m.m AS DOUBLE)
+                     - (CAST(degree_sum AS DOUBLE)
+                        / (2.0 * CAST(m.m AS DOUBLE)))
+                     * (CAST(degree_sum AS DOUBLE)
+                        / (2.0 * CAST(m.m AS DOUBLE))), 6) + 0.0 AS q_contrib
+        FROM comm CROSS JOIN m LEFT JOIN internal
+          ON internal.label = comm.label
     """
 
     # NN twin: brute-force all pairs with the identical exact d2

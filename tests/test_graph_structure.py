@@ -175,3 +175,33 @@ def test_label_propagation_rounds_validation(spark):
 
     with pytest.raises(ValueError):
         label_propagation(_edges(spark, [(0, 1)]), rounds=0)
+
+
+def test_modularity_two_cliques(spark):
+    from tilekiln_spark.operators.graph import community_modularity
+
+    # two K4s + bridge, perfect labels: m=13, each community
+    # internal=6, degree_sum: K4 degrees 3*4 +1 bridge end = 13
+    k4_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e = _edges(spark, k4_a + k4_b + [(0, 10)])
+    labels = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 1) for n in range(10, 14)],
+        "node long, label long",
+    )
+    out = {r["label"]: r for r in community_modularity(e, labels).collect()}
+    for lab in (0, 1):
+        assert out[lab]["internal_edges"] == 6
+        assert out[lab]["degree_sum"] == 13
+        # q = 6/13 - (13/26)^2 = 6/13 - 1/4
+        assert abs(out[lab]["q_contrib"] - (6.0 / 13.0 - 0.25)) < 1e-12
+
+
+def test_modularity_empty_edges_raises(spark):
+    from tilekiln_spark.operators.graph import community_modularity
+
+    import pytest as _pytest
+    e = _edges(spark, [(0, 0)])  # only a self-loop -> empty canonical set
+    labels = spark.createDataFrame([(0, 0)], "node long, label long")
+    with _pytest.raises(ValueError):
+        community_modularity(e, labels)

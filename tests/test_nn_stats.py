@@ -71,3 +71,16 @@ def test_colocation_quotient_segregated_line(spark):
     assert out[("a", "b")]["nn_pairs"] == 0
     assert out[("a", "b")]["clq"] == 0.0
     assert out[("b", "b")]["nn_pairs"] == 2
+
+
+def test_g_function_grid_step(spark):
+    from tilekiln_spark.operators.spatial_join import g_function
+
+    # 5x5 unit grid: ALL NN distances are exactly 1 -> G jumps 0 -> 1 at r=1
+    rows = [(5 * i + j, float(i), float(j)) for i in range(5) for j in range(5)]
+    out = {r["r"]: (r["n_le"], r["g_hat"])
+           for r in g_function(_pts(spark, rows), radius=3.0,
+                               rs=[0.5, 1.0, 2.0]).collect()}
+    assert out[0.5] == (0, 0.0)
+    assert out[1.0] == (25, 1.0)   # boundary r = d included (<=, exact d2)
+    assert out[2.0] == (25, 1.0)

@@ -744,3 +744,67 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions (Newman & Girvan
+    2004) for a given node->label assignment (e.g. label_propagation's
+    output): with m undirected edges, community internal-edge count e_c
+    and total member degree d_c,
+
+        Q_c = e_c / m  -  (d_c / 2m)^2,      Q = Σ_c Q_c.
+
+    Every input to the formula is an EXACT integer (edge counts,
+    degrees), aggregated with partial-agg groupBys — the snapped-moment
+    determinism rule — so the two floats per row are single expressions
+    over exact values.  Two label-lookup joins on the canonical edge set
+    + one degree groupBy; at scale both joins co-locate if edges are
+    bucketed by endpoint.  Returns [label, n_nodes, internal_edges,
+    degree_sum, q_contrib]."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    if m == 0:
+        raise ValueError("community_modularity: empty edge set")
+    lab = labels.select(F.col("node"), F.col("label"))
+    tagged = und.join(
+        lab.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u"
+    ).join(lab.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v")
+    internal = (
+        tagged.where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    comm = (
+        lab.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce("degree", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    md = float(m)
+    out = comm.join(internal, "label", "left").select(
+        "label",
+        "n_nodes",
+        F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+        "degree_sum",
+        (
+            F.coalesce("internal_edges", F.lit(0)).cast("double") / F.lit(md)
+            - (F.col("degree_sum").cast("double") / F.lit(2.0 * md))
+            * (F.col("degree_sum").cast("double") / F.lit(2.0 * md))
+        ).alias("q_contrib"),
+    )
+    return out

@@ -1864,3 +1864,50 @@ def colocation_quotient(
         F.col("nn_pairs").cast("double") / F.col("n_a").cast("double")
     ) / (nb_eff.cast("double") / F.lit(float(total - 1)))
     return grid.withColumn("clq", clq)
+
+
+def g_function(
+    points: DataFrame,
+    radius: float,
+    rs: list[float],
+    key: str = "doc_id",
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Nearest-neighbor distance distribution function G(r) (spatstat
+    ``Gest``, raw/uncorrected): the empirical CDF of NN distances at the
+    requested radii — the third leg of the point-pattern triad beside
+    Ripley's K (pair counts) and Clark-Evans (mean NN).
+
+    ONE exact ``nearest_neighbors`` pass; every radius is a cut of the
+    same result by comparing nn_d2 <= r^2 — EXACT squared-distance
+    boundary decisions (the ripleys_k rule), so counts are exact
+    integers and G is one division each.  Returns [r, n_le, g_hat]
+    ordered by r."""
+    nn = nearest_neighbors(points, radius, key=key, mx=mx, my=my)
+    n = points.count()
+    cuts = [
+        F.sum(
+            F.when(F.col("nn_d2") <= F.lit(float(r) * float(r)), 1).otherwise(0)
+        ).alias(f"c{i}")
+        for i, r in enumerate(rs)
+    ]
+    row = nn.agg(*cuts)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(r)).alias("r"),
+                F.col(f"c{i}").alias("n_le"),
+            )
+            for i, r in enumerate(rs)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("e"))
+        .select(
+            F.col("e.r").alias("r"),
+            F.col("e.n_le").alias("n_le"),
+            (F.col("e.n_le").cast("double") / F.lit(float(n))).alias("g_hat"),
+        )
+        .orderBy("r")
+    )
