@@ -6712,6 +6712,28 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["community_modularity"] = community_modularity_q
 
+    def strahler_order_q(spark, sf_dir):
+        """Strahler stream order (operators/raster.py strahler_order —
+        Strahler 1957 / GRASS r.stream.order) over the bowl DEM's D8
+        forest: leaves order 1, order bumps only where two equal-order
+        streams meet.  MONOTONE fixpoint from all-1 (orders only rise),
+        detected on Spark, unrolled 7 fixed rounds in the twin (measured
+        convergence 6 incl. detection; extra rounds no-ops).  The sink
+        reaches order 5; every update is exact-integer (max + tie
+        count)."""
+        from tilekiln_spark.operators.raster import strahler_order
+
+        out = strahler_order(_dem_cells(spark, sf_dir), res=16, max_iter=20)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("d8").cast("long").alias("d8"),
+            F.col("strahler").cast("long").alias("strahler"),
+        )
+
+    q["strahler_order"] = strahler_order_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -13094,6 +13116,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(p.py AS BIGINT) AS basin_gy,
                (p.px = s.gx AND p.py = s.gy) AS is_root
         FROM sel s JOIN {_ws_prev} p ON p.gx = s.gx AND p.gy = s.gy
+    """
+
+    # strahler twin: same sel/edges CTEs, 7 unrolled monotone rounds;
+    # count-at-max via a window partitioned per target cell
+    _st_rounds = []
+    _st_prev = "s0"
+    for _i in range(1, 8):
+        _st_rounds.append(f"""
+        s{_i} AS MATERIALIZED (
+            SELECT n.gx, n.gy,
+                   coalesce(u.mx + CASE WHEN u.n_at_mx >= 2
+                                        THEN 1 ELSE 0 END, 1) AS ord
+            FROM dem n LEFT JOIN (
+                SELECT gx, gy, mx, count(*) AS n_at_mx FROM (
+                    SELECT e.gx, e.gy, a.ord,
+                           max(a.ord) OVER (PARTITION BY e.gx, e.gy) AS mx
+                    FROM edges e JOIN {_st_prev} a
+                      ON a.gx = e.ux AND a.gy = e.uy
+                ) WHERE ord = mx GROUP BY 1, 2, 3
+            ) u ON u.gx = n.gx AND u.gy = n.gy
+        )""")
+        _st_prev = f"s{_i}"
+    o["strahler_order"] = f"""
+        WITH {_dem_sql},
+        edges AS MATERIALIZED (
+            SELECT r.gx AS ux, r.gy AS uy, r.tx AS gx, r.ty AS gy
+            FROM sel r
+            WHERE r.d8 > 0 AND EXISTS (
+                SELECT 1 FROM dem t WHERE t.gx = r.tx AND t.gy = r.ty
+            )
+        ),
+        s0 AS MATERIALIZED (SELECT gx, gy, 1 AS ord FROM dem),
+        {",".join(_st_rounds)}
+        SELECT CAST(s.gx AS BIGINT) AS gx, CAST(s.gy AS BIGINT) AS gy,
+               CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
+               CAST(a.ord AS BIGINT) AS strahler
+        FROM sel s JOIN {_st_prev} a ON a.gx = s.gx AND a.gy = s.gy
     """
 
     # G-function twin: brute-force NN minima + identical exact d2 cuts

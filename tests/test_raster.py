@@ -780,3 +780,34 @@ def test_watershed_raises_past_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         watershed_basins(_bowl_cells(spark), res=16, max_iter=1)
+
+
+def test_strahler_bowl_goldens(spark):
+    from collections import Counter
+
+    from tilekiln_spark.operators.raster import strahler_order
+
+    out = strahler_order(_bowl_cells(spark), res=16, max_iter=20).collect()
+    hist = Counter(r["strahler"] for r in out)
+    # python-replica goldens: 180 leaves, the sink is the single order-5
+    assert hist == {1: 180, 2: 54, 3: 17, 4: 4, 5: 1}
+    by = {(r["gx"], r["gy"]): r["strahler"] for r in out}
+    assert by[(8, 8)] == 5
+
+
+def test_strahler_confluence_rule(spark):
+    from tilekiln_spark.operators.raster import strahler_order
+
+    # a FILLED 5x5 plateau (90) with an interior V channel: two order-1
+    # sources (1,1)/(3,1) both drain diagonally into the confluence
+    # (2,2)=40 -> order 2; the continuation (2,3)=30 has ONE child so it
+    # stays 2 (no bump); plateau/boundary cells drain off-grid at 1
+    z = {(1, 1): 60, (3, 1): 60, (2, 2): 40, (2, 3): 30}
+    rows = [(0, 0, x, y, z.get((x, y), 90)) for x in range(5) for y in range(5)]
+    cells = spark.createDataFrame(rows, "x int, y int, bin_x int, bin_y int, n long")
+    out = {(r["gx"], r["gy"]): r["strahler"]
+           for r in strahler_order(cells, res=16).collect()}
+    assert out[(1, 1)] == 1 and out[(3, 1)] == 1
+    assert out[(2, 2)] == 2     # two equal-order streams meet
+    assert out[(2, 3)] == 2     # single continuation: no bump
+    assert max(out.values()) == 2

@@ -1605,3 +1605,75 @@ def watershed_basins(
     raise ValueError(
         f"watershed_basins: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def strahler_order(
+    cells: DataFrame, res: int = 256, max_iter: int = 30
+) -> DataFrame:
+    """Strahler stream order (Strahler 1957; GRASS ``r.stream.order``)
+    over the D8 flow forest: leaves are order 1; a cell's order is the
+    max of its inflowing children's orders, +1 when two or more children
+    attain that max — the classic stream-network hierarchy.
+
+    Fixpoint iteration from all-1: orders only ever rise as children's
+    orders rise (MONOTONE), so convergence takes tree-depth rounds and a
+    twin may unroll any fixed round count ≥ convergence (the k-core /
+    flow_accumulation argument).  Each round: ONE join of the inflow
+    edges against current orders + ONE groupBy computing
+    (max child order, count at that max) — both exact integers, so the
+    update is order-independent.  Spark iterates to the detected
+    fixpoint, raising past ``max_iter``.  Returns [gx, gy, z, d8,
+    strahler]."""
+    d8 = d8_flow(cells, res).localCheckpoint(eager=True)
+    nodes = d8.select("gx", "gy")
+    edges = (
+        d8.where(F.col("d8") > 0)
+        .select(
+            F.col("gx").alias("ux"),
+            F.col("gy").alias("uy"),
+            F.col("tgt_gx").alias("gx"),
+            F.col("tgt_gy").alias("gy"),
+        )
+        .join(nodes, ["gx", "gy"], "semi")
+        .localCheckpoint(eager=True)
+    )
+    order = nodes.withColumn("ord", F.lit(1)).localCheckpoint(eager=True)
+    prev_sum = -1
+    for _ in range(max_iter):
+        child = edges.join(
+            order.select(
+                F.col("gx").alias("ux"), F.col("gy").alias("uy"), "ord"
+            ),
+            ["ux", "uy"],
+        )
+        # (max, count-at-max): the max aggregates in one pass; the tie
+        # count needs the max joined back (still partial-aggregated)
+        upd = child.groupBy("gx", "gy").agg(F.max("ord").alias("mx"))
+        cnt = (
+            child.join(upd, ["gx", "gy"])
+            .where(F.col("ord") == F.col("mx"))
+            .groupBy("gx", "gy")
+            .agg(F.count("*").alias("n_at_mx"), F.max("mx").alias("mx"))
+        )
+        order = (
+            nodes.join(cnt, ["gx", "gy"], "left")
+            .select(
+                "gx",
+                "gy",
+                F.coalesce(
+                    F.col("mx")
+                    + F.when(F.col("n_at_mx") >= 2, 1).otherwise(0),
+                    F.lit(1),
+                ).alias("ord"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = order.agg(F.sum("ord")).collect()[0][0] or 0
+        if total == prev_sum:
+            return d8.join(order, ["gx", "gy"]).select(
+                "gx", "gy", "z", "d8", F.col("ord").alias("strahler")
+            )
+        prev_sum = total
+    raise ValueError(
+        f"strahler_order: no fixpoint within max_iter={max_iter} rounds"
+    )
