@@ -6734,6 +6734,73 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["strahler_order"] = strahler_order_q
 
+    def shape_compactness(spark, sf_dir):
+        """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
+        (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
+        for a circle), and bbox elongation — over the full mixed ring
+        fixture (rects, diamond, concave L, CW-wound ring).  Area and
+        perimeter are the SAME shared folds the planar measures use
+        (functions/geometry.py ring_area / ring_perimeter — one JVM HOF
+        each, map-only); the twin is GENERATED by the same *_sql
+        builders, so the arithmetic has one definition."""
+        from tilekiln_spark.functions.geometry import ring_area, ring_perimeter
+
+        polys = _contain_poly_fixture(
+            spark, list(_CONTAIN_POLYS_UV) + list(_AREA_POLYS_UV)
+        )
+        xs, ys = F.col("ring_xs"), F.col("ring_ys")
+        a = F.abs(ring_area(xs, ys))
+        p = ring_perimeter(xs, ys)
+        w = F.col("xmax") - F.col("xmin")
+        h = F.col("ymax") - F.col("ymin")
+        pi = float(math.pi)
+        return polys.select(
+            "polygon_id",
+            (F.round(a / 1.0e12, 6) + F.lit(0.0)).alias("area_mkm2"),
+            (F.round(p / 1.0e3, 6) + F.lit(0.0)).alias("perimeter_km"),
+            (F.round(F.lit(4.0 * pi) * a / (p * p), 6) + F.lit(0.0)).alias(
+                "polsby_popper"
+            ),
+            (F.round(F.lit(2.0) * F.sqrt(F.lit(pi) * a) / p, 6) + F.lit(0.0)).alias(
+                "schwartzberg"
+            ),
+            (F.round(F.least(w, h) / F.greatest(w, h), 6) + F.lit(0.0)).alias(
+                "elongation"
+            ),
+        )
+
+    q["shape_compactness"] = shape_compactness
+
+    def personalized_pagerank_q(spark, sf_dir):
+        """Personalized PageRank (operators/graph.py personalized_pagerank
+        — Haveliwala 2002) over the deterministic link graph with seeds
+        doc_id % 50 == 0: all teleport AND dangling mass restarts at the
+        10 seeds, so rank localizes around them.  8 power iterations;
+        the twin unrolls the identical rounds (the pagerank_links
+        pattern) with the seed-indicator teleport."""
+        from tilekiln_spark.operators.graph import personalized_pagerank
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        nodes = d.select(F.col("doc_id").alias("node"))
+        seeds = nodes.filter(F.col("node") % 50 == 0)
+        out = personalized_pagerank(nodes, e, seeds, iterations=8)
+        return out.select(
+            F.col("node").cast("long").alias("doc_id"),
+            (F.round(F.col("rank") * float(n), 6) + F.lit(0.0)).alias("norm_rank"),
+        )
+
+    q["personalized_pagerank"] = personalized_pagerank_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -7048,6 +7115,62 @@ def _pagerank_sql(j: int = 8, damping: float = 0.85) -> str:
         f"""
         SELECT node AS doc_id,
                round(rank * (SELECT n FROM nn), 6) AS norm_rank
+        FROM r{j}"""
+    )
+    return "".join(parts)
+
+
+def _ppr_sql(j: int = 8, damping: float = 0.85) -> str:
+    """DuckDB replay of operators/graph.personalized_pagerank over the
+    same synthetic link graph with seeds node % 50 == 0: j unrolled
+    rounds, teleport AND dangling mass to the seed set only (the
+    _pagerank_sql pattern with the seed-indicator vector)."""
+    parts = [
+        """WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        sflag AS MATERIALIZED (
+            SELECT node, CASE WHEN node % 50 = 0 THEN 1.0 ELSE 0.0 END AS s
+            FROM nodes
+        ),
+        ns AS MATERIALIZED (SELECT sum(s) AS k FROM sflag),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + j) % (SELECT count(*) FROM documents) AS dst
+                FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+                WHERE doc_id % 5 != 0)
+            WHERE src != dst
+        ), deg AS MATERIALIZED (
+            SELECT src, count(*) AS d FROM edges GROUP BY src
+        ), r0 AS MATERIALIZED (
+            SELECT node, s / (SELECT k FROM ns) AS rank FROM sflag
+        )"""
+    ]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank / deg.d) AS contrib
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), g{i} AS MATERIALIZED (
+            SELECT coalesce(sum(r.rank), 0.0) AS dm
+            FROM r{i - 1} r LEFT JOIN deg ON deg.src = r.node
+            WHERE deg.src IS NULL
+        ), r{i} AS MATERIALIZED (
+            SELECT sf.node,
+                   (1 - {damping}) * sf.s / (SELECT k FROM ns)
+                   + {damping} * (coalesce(c.contrib, 0.0)
+                                  + (SELECT dm FROM g{i}) * sf.s
+                                    / (SELECT k FROM ns)) AS rank
+            FROM sflag sf LEFT JOIN c{i} c USING (node)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS doc_id,
+               round(rank * (SELECT n FROM nn), 6) + 0.0 AS norm_rank
         FROM r{j}"""
     )
     return "".join(parts)
@@ -11127,6 +11250,10 @@ def oracle_sql() -> dict[str, str]:
     o["lm3_score"] = "SELECT * FROM " + _lm3_scores_sql("documents", 30, 120, 200)
     o["pagerank_links"] = _pagerank_sql(8, 0.85)
 
+    # personalized-PR twin: same unrolled rounds, teleport/dangling mass
+    # restricted to the node % 50 == 0 seed set
+    o["personalized_pagerank"] = _ppr_sql(8, 0.85)
+
     # host-link matrix twin: identical link generator + host rule
     o["host_links"] = """
         WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -13153,6 +13280,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
                CAST(a.ord AS BIGINT) AS strahler
         FROM sel s JOIN {_st_prev} a ON a.gx = s.gx AND a.gy = s.gy
+    """
+
+    # compactness twin: the same generated area/perimeter folds over the
+    # identical float64 ring constants
+    from tilekiln_spark.functions.geometry import (
+        line_length_sql as _cll_sql,
+        ring_area_sql as _cra_sql,
+    )
+
+    _cp_a = f"abs({_cra_sql('xs', 'ys')})"
+    _cp_p = _cll_sql("xs", "ys", closed=True)
+    o["shape_compactness"] = f"""
+        WITH r(polygon_id, xs, ys) AS (VALUES
+            {_line_chain_values_sql(list(_CONTAIN_POLYS_UV) + list(_AREA_POLYS_UV))}),
+        m AS (
+            SELECT polygon_id, {_cp_a} AS a, {_cp_p} AS p,
+                   list_max(xs) - list_min(xs) AS w,
+                   list_max(ys) - list_min(ys) AS h
+            FROM r
+        )
+        SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+               round(a / 1e12, 6) + 0.0 AS area_mkm2,
+               round(p / 1e3, 6) + 0.0 AS perimeter_km,
+               round(4.0 * pi() * a / (p * p), 6) + 0.0 AS polsby_popper,
+               round(2.0 * sqrt(pi() * a) / p, 6) + 0.0 AS schwartzberg,
+               round(least(w, h) / greatest(w, h), 6) + 0.0 AS elongation
+        FROM m
     """
 
     # G-function twin: brute-force NN minima + identical exact d2 cuts

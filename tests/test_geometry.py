@@ -965,3 +965,32 @@ def test_point_chain_distance(spark):
     assert one.select(
         point_chain_distance(F.col("px"), F.col("py"), F.col("xs"), F.col("ys"))
     ).collect()[0][0] == 5.0
+
+
+def test_compactness_square_vs_thin(spark):
+    # a unit square: PP = 4*pi*1/16 = pi/4; Schwartzberg = sqrt(pi)/2;
+    # a 10x0.1 sliver is far less compact on both
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.functions.geometry import ring_area, ring_perimeter
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+            (2, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 0.1, 0.1]),
+        ],
+        "gid int, xs array<double>, ys array<double>",
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    a = F.abs(ring_area(xs, ys))
+    p = ring_perimeter(xs, ys)
+    out = {r["gid"]: (r["pp"], r["sw"]) for r in df.select(
+        "gid",
+        (F.lit(4.0 * math.pi) * a / (p * p)).alias("pp"),
+        (F.lit(2.0) * F.sqrt(F.lit(math.pi) * a) / p).alias("sw"),
+    ).collect()}
+    assert abs(out[1][0] - math.pi / 4.0) < 1e-12
+    assert abs(out[1][1] - math.sqrt(math.pi) / 2.0) < 1e-12
+    assert out[2][0] < 0.1 and out[2][1] < out[1][1]

@@ -205,3 +205,34 @@ def test_modularity_empty_edges_raises(spark):
     labels = spark.createDataFrame([(0, 0)], "node long, label long")
     with _pytest.raises(ValueError):
         community_modularity(e, labels)
+
+
+def test_personalized_pagerank_localizes(spark):
+    from tilekiln_spark.operators.graph import pagerank, personalized_pagerank
+
+    # star out of seed 0 into 1..4, plus a far chain 10->11->12 that the
+    # seed never reaches: PPR mass on the chain is exactly 0
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12]],
+                                  "node long")
+    e = _edges(spark, [(0, i) for i in (1, 2, 3, 4)] + [(10, 11), (11, 12)])
+    out = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               nodes, e, nodes.filter(F.col("node") == 0),
+               iterations=6).collect()}
+    assert out[10] == 0.0 and out[11] == 0.0 and out[12] == 0.0
+    assert out[0] > 0.0 and all(out[i] > 0.0 for i in (1, 2, 3, 4))
+    # mass conserved
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    # symmetric leaves tie exactly
+    assert out[1] == out[2] == out[3] == out[4]
+
+
+def test_personalized_pagerank_validations(spark):
+    from tilekiln_spark.operators.graph import personalized_pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(nodes, e, nodes.filter(F.col("node") > 99))
+    with pytest.raises(ValueError, match="iterations"):
+        personalized_pagerank(nodes, e, nodes, iterations=0)
