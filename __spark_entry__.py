@@ -6801,6 +6801,45 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["personalized_pagerank"] = personalized_pagerank_q
 
+    def edr_trajectories(spark, sf_dir):
+        """Edit Distance on Real sequences (functions/geometry.py
+        edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
+        and every fixture polyline at eps = 500 km: the INTEGER-valued
+        DP (match iff d² <= eps², the exact dwithin boundary rule), so —
+        unlike the DTW/Fréchet floats — the result needs no rounding at
+        all.  Same single-live-row nested HOF fold, lines broadcast,
+        map-only pair join; the twin unrolls the identical integer
+        recurrence per fixture line."""
+        from tilekiln_spark.functions.geometry import edr_distance
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ordered = F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+        )
+        agg = ev.groupBy("user_id").agg(ordered.alias("o"))
+        tr = agg.select(
+            "user_id",
+            F.transform(F.col("o"), lambda s: s["mx"]).alias("axs"),
+            F.transform(F.col("o"), lambda s: s["my"]).alias("ays"),
+        )
+        rows = []
+        for lid, uv in _LINES_UV:
+            pts = _line_merc(uv)
+            rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        lines = spark.createDataFrame(
+            rows, "line_id int, lxs array<double>, lys array<double>"
+        )
+        d = edr_distance(
+            F.col("axs"), F.col("ays"), F.col("lxs"), F.col("lys"), 5.0e5
+        )
+        return tr.crossJoin(F.broadcast(lines)).select(
+            "user_id",
+            "line_id",
+            d.cast("long").alias("edr"),
+        )
+
+    q["edr_trajectories"] = edr_trajectories
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -8494,6 +8533,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ev GROUP BY user_id
         ), {", ".join(_dtw_ctes)}
         {" UNION ALL ".join(_dtw_sel)}
+    """
+
+    # EDR twin: same tracksf CTE, one unrolled integer recurrence per
+    # fixture line (exact eps^2 match test — no rounding anywhere)
+    from tilekiln_spark.functions.geometry import edr_recursive_cte_sql
+
+    _edr_ctes, _edr_sel = [], []
+    for _lid, _uv in _LINES_UV:
+        _pts = _line_merc(_uv)
+        _cte, _fin = edr_recursive_cte_sql(
+            f"edrp{_lid}", "tracksf", "user_id", _pts, 5.0e5
+        )
+        _edr_ctes.append(_cte)
+        _edr_sel.append(
+            f"SELECT user_id, {_lid} AS line_id, "
+            f"CAST({_fin} AS BIGINT) AS edr "
+            f"FROM edrp{_lid} WHERE i = len(xs)"
+        )
+    o["edr_trajectories"] = f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracksf AS (
+            SELECT user_id,
+                   list(mx ORDER BY ts, event_id) AS xs,
+                   list(my ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        ), {", ".join(_edr_ctes)}
+        {" UNION ALL ".join(_edr_sel)}
     """
 
     from tilekiln_spark.functions.geometry import (

@@ -46,3 +46,44 @@ def test_dtw_single_vertex_guard(spark):
     first-row prefix sum alone gives sum of squared distances 1+1 = 2."""
     assert _d(spark, [(0.0, 0.0)],
               [(1.0, 0.0), (0.0, 1.0)]) == 2.0 ** 0.5
+
+
+def test_edr_goldens(spark):
+    import pyspark.sql.functions as F
+
+    from tilekiln_spark.functions.geometry import edr_distance
+
+    df = spark.createDataFrame(
+        [
+            # identical chains -> 0
+            (1, [0.0, 1.0, 2.0], [0.0, 0.0, 0.0]),
+            # one far point -> one substitution
+            (2, [0.0, 9.0, 2.0], [0.0, 9.0, 0.0]),
+            # longer chain -> inserts for the extra points
+            (3, [0.0, 0.4, 1.0, 2.0, 7.0], [0.0, 0.0, 0.0, 0.0, 0.0]),
+        ],
+        "k int, xs array<double>, ys array<double>",
+    )
+    b_xs = F.array(F.lit(0.0), F.lit(1.0), F.lit(2.0))
+    b_ys = F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    out = {r["k"]: r["edr"] for r in df.select(
+        "k", edr_distance(F.col("xs"), F.col("ys"), b_xs, b_ys, 0.5).alias("edr")
+    ).collect()}
+    assert out[1] == 0
+    assert out[2] == 1
+    assert out[3] == 2
+
+
+def test_edr_eps_boundary_exact(spark):
+    import pyspark.sql.functions as F
+
+    from tilekiln_spark.functions.geometry import edr_distance
+
+    # d == eps exactly -> MATCH (<=, squared both sides)
+    df = spark.createDataFrame([(1, [3.0], [4.0])],
+                               "k int, xs array<double>, ys array<double>")
+    b_xs, b_ys = F.array(F.lit(0.0)), F.array(F.lit(0.0))
+    on = df.select(edr_distance(F.col("xs"), F.col("ys"), b_xs, b_ys, 5.0).alias("e"))
+    off = df.select(edr_distance(F.col("xs"), F.col("ys"), b_xs, b_ys, 4.999999).alias("e"))
+    assert on.collect()[0]["e"] == 0
+    assert off.collect()[0]["e"] == 1

@@ -2132,3 +2132,102 @@ def ring_normalize_sql(xs: str, ys: str) -> tuple:
         )
 
     return canon(xs), canon(ys)
+
+
+def edr_distance(
+    axs: Column, ays: Column, bxs: Column, bys: Column, eps: float
+) -> Column:
+    """Edit Distance on Real sequences (Chen, Özsu & Oria 2005) between
+    two vertex chains — the robust-to-outliers trajectory similarity
+    beside DTW and Fréchet: points match (cost 0) when within ``eps``,
+    else the best of substitute/insert/delete, each cost 1.
+
+        D[i][j] = min(D[i-1][j-1] + [d(i,j) > eps],
+                      D[i-1][j] + 1, D[i][j-1] + 1)
+
+    The match test compares SQUARED distance against eps² (exact
+    multiply/add boundary — the dwithin rule), and the whole DP is
+    INTEGER-valued: unlike DTW/Fréchet there is no float accumulation at
+    all, so cross-engine equality is exact without a final rounding.
+
+    Same single-live-row execution as :func:`dtw_distance`: ONE nested
+    JVM HOF fold over rows of length m+1 (the j=0 boundary column rides
+    along), no UDF, O(m) state.  Returns the integer edit distance.  At
+    100 TB: O(n·m) codegen steps per pair; B broadcasts, map-only join."""
+    m = F.size(bxs)
+    eps2 = F.lit(float(eps) * float(eps))
+
+    def sub(i: Column, j: Column) -> Column:
+        dx = F.element_at(axs, i) - F.element_at(bxs, j)
+        dy = F.element_at(ays, i) - F.element_at(bys, j)
+        return F.when(dx * dx + dy * dy <= eps2, F.lit(0)).otherwise(F.lit(1))
+
+    init = F.sequence(F.lit(0), m)  # D[0][j] = j, index j+1 <-> column j
+
+    def step(row: Column, i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.array(i),  # D[i][0] = i
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.least(
+                        F.element_at(row, j) + sub(i, j),
+                        F.element_at(row, j + 1) + F.lit(1),
+                        F.element_at(acc, -1) + F.lit(1),
+                    )
+                ),
+            ),
+        )
+
+    final = F.aggregate(F.sequence(F.lit(1), F.size(axs)), init, step)
+    return F.element_at(final, m + 1)
+
+
+def edr_recursive_cte_sql(
+    name: str,
+    src: str,
+    key: str,
+    bpts: list,
+    eps: float,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`edr_distance` for ONE fixture chain B given
+    as literal points — the dtw_recursive_cte_sql unrolled-row shape with
+    the integer EDR recurrence (boundary column r0 = i rides along) and
+    the exact eps² squared-distance match test."""
+
+    def flit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    m = len(bpts)
+    eps2 = flit(float(eps) * float(eps))
+
+    def sub(iexpr: str, j: int) -> str:
+        bx, by = flit(bpts[j - 1][0]), flit(bpts[j - 1][1])
+        d2 = (
+            f"(({xs}[{iexpr}] - {bx}) * ({xs}[{iexpr}] - {bx}) + "
+            f"({ys}[{iexpr}] - {by}) * ({ys}[{iexpr}] - {by}))"
+        )
+        return f"(CASE WHEN {d2} <= {eps2} THEN 0 ELSE 1 END)"
+
+    init_cols = ", ".join(f"{j} AS r{j}" for j in range(0, m + 1))
+    steps = ["(i + 1)"]
+    for j in range(1, m + 1):
+        steps.append(
+            f"least(r{j - 1} + {sub('(i + 1)', j)}, "
+            f"r{j} + 1, ({steps[-1]}) + 1)"
+        )
+    step_cols = ", ".join(f"{e} AS r{j}" for j, e in enumerate(steps))
+
+    cte = (
+        f"{name} AS ("
+        f"SELECT {key}, {xs}, {ys}, 0 AS i, {init_cols} FROM {src} "
+        f"UNION ALL "
+        f"SELECT {key}, {xs}, {ys}, i + 1, {step_cols} "
+        f"FROM {name} WHERE i < len({xs}))"
+    )
+    final = f"r{m}"
+    return cte, final
