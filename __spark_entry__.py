@@ -6840,6 +6840,33 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["edr_trajectories"] = edr_trajectories
 
+    def moran_correlogram_q(spark, sf_dir):
+        """Moran's I correlogram over distance bands (operators/
+        spatial_join.py moran_correlogram — the PySAL/spdep correlogram)
+        on doc n_chars at bands (0,1000] / (1000,2500] / (2500,5000] km:
+        binary band weights from ONE bounded self dwithin_join at the
+        max radius, centered cross-products expanded into RAW INTEGER
+        MOMENTS (the raster morans_i rule) so no order-dependent float
+        sum exists; the twin brute-forces the pairs with the identical
+        band cuts and moment algebra."""
+        from tilekiln_spark.operators.spatial_join import moran_correlogram
+
+        pts = _mx_my(_docs(spark, sf_dir)).where(F.col("doc_id") % 3 == 0)
+        out = moran_correlogram(
+            pts.select("doc_id", "mx", "my", "n_chars"),
+            "n_chars",
+            [1.0e6, 2.5e6, 5.0e6],
+        )
+        return out.select(
+            F.col("band").cast("long").alias("band"),
+            (F.col("r_lo") / 1000.0).alias("r_lo_km"),
+            (F.col("r_hi") / 1000.0).alias("r_hi_km"),
+            F.col("s0_pairs").cast("long").alias("s0_pairs"),
+            (F.round("moran_i", 6) + F.lit(0.0)).alias("moran_i"),
+        )
+
+    q["moran_correlogram"] = moran_correlogram_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -13375,6 +13402,56 @@ def oracle_sql() -> dict[str, str]:
                round(2.0 * sqrt(pi() * a) / p, 6) + 0.0 AS schwartzberg,
                round(least(w, h) / greatest(w, h), 6) + 0.0 AS elongation
         FROM m
+    """
+
+    # correlogram twin: brute-force band pairs + the same raw-integer
+    # moment algebra (num/den expression order mirrored exactly)
+    o["moran_correlogram"] = f"""
+        {_GEO_CTE},
+        pts AS (SELECT doc_id, mx, my, n_chars FROM geo WHERE doc_id % 3 = 0),
+        pairs AS (
+            SELECT a.n_chars AS xi, b.n_chars AS xj,
+                   (a.mx - b.mx) * (a.mx - b.mx)
+                   + (a.my - b.my) * (a.my - b.my) AS d2
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+        ),
+        banded AS (
+            SELECT CASE WHEN d2 <= 1e6 * 1e6 THEN 0
+                        WHEN d2 <= 2.5e6 * 2.5e6 THEN 1
+                        WHEN d2 <= 5e6 * 5e6 THEN 2 END AS band,
+                   xi, xj
+            FROM pairs
+        ),
+        per AS (
+            SELECT band, count(*) AS s0,
+                   sum(CAST(xi AS BIGINT) * CAST(xj AS BIGINT)) AS sxx,
+                   sum(CAST(xi AS BIGINT) + CAST(xj AS BIGINT)) AS sxpx
+            FROM banded WHERE band IS NOT NULL GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(n_chars AS BIGINT)) AS sx,
+                   sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                       AS sx2
+            FROM pts
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(CASE band WHEN 0 THEN 0.0 WHEN 1 THEN 1000.0
+                         ELSE 2500.0 END AS DOUBLE) AS r_lo_km,
+               CAST(CASE band WHEN 0 THEN 1000.0 WHEN 1 THEN 2500.0
+                         ELSE 5000.0 END AS DOUBLE) AS r_hi_km,
+               CAST(s0 AS BIGINT) AS s0_pairs,
+               round(
+                 (n / CAST(s0 AS DOUBLE))
+                 * ((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) / n * CAST(sxpx AS DOUBLE)
+                     + CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)
+                       * CAST(s0 AS DOUBLE))
+                    / (CAST(sx2 AS DOUBLE)
+                       - n * (CAST(sx AS DOUBLE) / n)
+                         * (CAST(sx AS DOUBLE) / n))), 6) + 0.0 AS moran_i
+        FROM per CROSS JOIN g
+        ORDER BY band
     """
 
     # G-function twin: brute-force NN minima + identical exact d2 cuts

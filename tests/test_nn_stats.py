@@ -84,3 +84,34 @@ def test_g_function_grid_step(spark):
     assert out[0.5] == (0, 0.0)
     assert out[1.0] == (25, 1.0)   # boundary r = d included (<=, exact d2)
     assert out[2.0] == (25, 1.0)
+
+
+def test_moran_correlogram_checkerboard(spark):
+    from tilekiln_spark.operators.spatial_join import moran_correlogram
+
+    # 4x4 checkerboard of 0/100 at unit spacing: the (0,1.05] band holds
+    # the rook neighbors (perfect anti-correlation, I < 0); the
+    # (1.05,1.5] band holds the diagonal neighbors (perfect agreement,
+    # I > 0)
+    rows = [(4 * i + j, float(i), float(j), 100 * ((i + j) % 2))
+            for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, mx double, my double, v long")
+    out = {r["band"]: r for r in
+           moran_correlogram(df, "v", [1.05, 1.5]).collect()}
+    assert out[0]["s0_pairs"] == 48      # 2*24 rook adjacencies, directed
+    assert out[0]["moran_i"] < -0.9
+    assert out[1]["s0_pairs"] == 36      # 2*18 diagonal adjacencies
+    assert out[1]["moran_i"] > 0.9
+
+
+def test_moran_correlogram_validates_radii(spark):
+    import pytest as _pytest
+
+    from tilekiln_spark.operators.spatial_join import moran_correlogram
+
+    df = spark.createDataFrame([(0, 0.0, 0.0, 1)],
+                               "doc_id long, mx double, my double, v long")
+    with _pytest.raises(ValueError):
+        moran_correlogram(df, "v", [2.0, 1.0])
+    with _pytest.raises(ValueError):
+        moran_correlogram(df, "v", [])

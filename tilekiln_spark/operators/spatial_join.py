@@ -1911,3 +1911,100 @@ def g_function(
         )
         .orderBy("r")
     )
+
+
+def moran_correlogram(
+    points: DataFrame,
+    value_col: str,
+    radii: list[float],
+    key: str = "doc_id",
+    mx: str = "mx",
+    my: str = "my",
+) -> DataFrame:
+    """Moran's I correlogram over distance bands (the PySAL/spdep
+    ``correlogram`` shape): global Moran's I with BINARY weights
+    w_ij = 1 iff r_{b-1} < d(i,j) <= r_b, one value per band — how far
+    does spatial autocorrelation reach?
+
+    Exactness: with integer values x, every distributed sum is an EXACT
+    integer by expanding the centered cross-products into raw moments
+    (the raster morans_i rule):
+
+        Σ z_i z_j = Σ x_i x_j − x̄ Σ(x_i + x_j) + x̄² S0
+        Σ z_i²    = Σ x² − n x̄²
+
+    so each band's I is a closed-form expression over seven exact
+    integers + x̄ — no order-dependent float accumulation anywhere.
+
+    Distributed shape: ONE self dwithin_join at max(radii) (bounded 3x3
+    cell-neighborhood equi-join — never a cross join), band assignment
+    recomputes the SQUARED distance from coordinates (the ripleys_k
+    sqrt-round-trip rule), one partial-agg groupBy on the band, one
+    1-row global moment aggregate broadcast back.  Returns
+    [band, r_lo, r_hi, s0_pairs, moran_i] ordered by band."""
+    if not radii or any(
+        radii[i] >= radii[i + 1] for i in range(len(radii) - 1)
+    ) or radii[0] <= 0:
+        raise ValueError(f"moran_correlogram: radii must be increasing positive, got {radii}")
+    pts = points.select(key, mx, my, value_col)
+    right = pts.select(
+        F.col(key).alias("nn_id"),
+        F.col(mx).alias("cx"),
+        F.col(my).alias("cy"),
+        F.col(value_col).alias("xv_j"),
+    )
+    pairs = dwithin_join(
+        pts, right, radii[-1], mx=mx, my=my, broadcast_seeds=False
+    ).where(F.col(key) != F.col("nn_id"))
+    d2 = (F.col(mx) - F.col("cx")) * (F.col(mx) - F.col("cx")) + (
+        F.col(my) - F.col("cy")
+    ) * (F.col(my) - F.col("cy"))
+    band = None
+    for i, r in enumerate(radii):
+        cond = d2 <= F.lit(float(r) * float(r))
+        band = F.when(cond, F.lit(i)) if band is None else band.when(cond, F.lit(i))
+    # nested when: FIRST matching radius wins = the smallest enclosing band
+    banded = pairs.withColumn("band", band)
+    xi = F.col(value_col).cast("long")
+    xj = F.col("xv_j").cast("long")
+    per_band = banded.groupBy("band").agg(
+        F.count("*").alias("s0"),
+        F.sum(xi * xj).alias("sxx"),
+        F.sum(xi + xj).alias("sxpx"),
+    )
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("sx"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias(
+            "sx2"
+        ),
+    )
+    j = per_band.crossJoin(F.broadcast(g))
+    n = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / n
+    num = (
+        F.col("sxx").cast("double")
+        - xbar * F.col("sxpx").cast("double")
+        + xbar * xbar * F.col("s0").cast("double")
+    )
+    den = F.col("sx2").cast("double") - n * xbar * xbar
+    moran = (n / F.col("s0").cast("double")) * (num / den)
+    lows = [0.0] + [float(r) for r in radii[:-1]]
+    lo = None
+    for i, v in enumerate(lows):
+        c = F.col("band") == i
+        lo = F.when(c, F.lit(v)) if lo is None else lo.when(c, F.lit(v))
+    hi = None
+    for i, r in enumerate(radii):
+        c = F.col("band") == i
+        hi = F.when(c, F.lit(float(r))) if hi is None else hi.when(c, F.lit(float(r)))
+    return (
+        j.select(
+            F.col("band"),
+            lo.alias("r_lo"),
+            hi.alias("r_hi"),
+            F.col("s0").alias("s0_pairs"),
+            moran.alias("moran_i"),
+        )
+        .orderBy("band")
+    )
