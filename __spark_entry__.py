@@ -6867,6 +6867,24 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["moran_correlogram"] = moran_correlogram_q
 
+    def zipf_fit_q(spark, sf_dir):
+        """Zipf-law fit (functions/text.py zipf_fit): OLS of ln(freq) on
+        ln(rank) over the top-60 corpus tokens — the corpus-health
+        diagnostic of tokenizer training.  Heavy stage = the vocab_topk
+        TakeOrderedAndProject; the fit folds k=60 rows with ONE
+        sequential struct accumulator in rank order, replayed in DuckDB
+        as four list_reduce folds over the same rank-ordered lists."""
+        from tilekiln_spark.functions.text import zipf_fit
+
+        out = zipf_fit(_docs(spark, sf_dir), k=60)
+        return out.select(
+            F.col("n_terms").cast("long").alias("n_terms"),
+            (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+            (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+        )
+
+    q["zipf_fit"] = zipf_fit_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -11320,6 +11338,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(n AS BIGINT) AS n,
                CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
         FROM c ORDER BY n DESC, token LIMIT 100
+    """
+
+    # zipf twin: same top-60 vocab cut; four list_reduce folds over
+    # rank-ordered lists replay the Spark struct-accumulator fold
+    o["zipf_fit"] = r"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                AS token
+            FROM documents WHERE trim(text) != ''
+        ), c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        top AS (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM c ORDER BY n DESC, token LIMIT 60
+        ),
+        lists AS (
+            SELECT count(*) AS n_terms,
+                   list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+                   list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+                   list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                        ORDER BY rank) AS xys,
+                   list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                        ORDER BY rank) AS xxs
+            FROM top
+        ),
+        sums AS (
+            SELECT CAST(n_terms AS DOUBLE) AS n, n_terms,
+                   list_reduce(xs, (a, b) -> a + b) AS sx,
+                   list_reduce(ys, (a, b) -> a + b) AS sy,
+                   list_reduce(xys, (a, b) -> a + b) AS sxy,
+                   list_reduce(xxs, (a, b) -> a + b) AS sxx
+            FROM lists
+        )
+        SELECT CAST(n_terms AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+                   AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) + 0.0 AS intercept
+        FROM sums
     """
 
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)

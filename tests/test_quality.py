@@ -128,3 +128,21 @@ def test_c4_line_filter_map_only(spark):
     plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_exact_power_law(spark):
+    # a corpus engineered so token frequencies are EXACTLY f = 64/rank
+    # for ranks 1,2,4,8,...: the log-log fit recovers slope -1
+    from tilekiln_spark.functions.text import zipf_fit
+
+    words = []
+    # token t{r} appears 420/r times for ranks r = 1..7 (420 = lcm):
+    # ln f = ln 420 - ln rank exactly, so OLS recovers slope -1
+    for r in range(1, 8):
+        words += [f"t{r:03d}"] * (420 // r)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(docs, k=7).collect()[0]
+    assert row["n_terms"] == 7
+    assert abs(row["slope"] - (-1.0)) < 1e-9
+    import math
+    assert abs(row["intercept"] - math.log(420.0)) < 1e-9

@@ -291,3 +291,56 @@ def vocab_topk(df, k: int = 1000, text_col: str = "text"):
     top = counts.orderBy(*order).limit(k)
     return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
+
+
+def zipf_fit(df, k: int = 60, text_col: str = "text"):
+    """Zipf-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) for the top-k terms — the classic corpus
+    diagnostic (natural language ≈ slope -1; templated/spam corpora
+    deviate), run as a training-data health check.
+
+    The heavy stage is :func:`vocab_topk` (partial-agg token counts +
+    TakeOrderedAndProject — never a global sort); the fit then touches
+    only k rows: ONE sort_array(collect_list(...)) into a single row and
+    ONE sequential struct-accumulator fold computing Σx, Σy, Σxy, Σx² in
+    rank order — bit-deterministic, and replayable in DuckDB as four
+    list_reduce folds over the same rank-ordered lists.  Returns ONE row
+    [n_terms, slope, intercept] un-rounded."""
+    top = vocab_topk(df, k=k, text_col=text_col)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("rank"),
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("n").cast("double")).alias("y"),
+            )
+        )
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+    folded = top.agg(
+        F.aggregate(
+            arr,
+            zero,
+            lambda a, s: F.struct(
+                (a["sx"] + s["x"]).alias("sx"),
+                (a["sy"] + s["y"]).alias("sy"),
+                (a["sxy"] + s["x"] * s["y"]).alias("sxy"),
+                (a["sxx"] + s["x"] * s["x"]).alias("sxx"),
+            ),
+        ).alias("s"),
+        F.count("*").alias("n_terms"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("s.sx"), F.col("s.sy")
+    sxy, sxx = F.col("s.sxy"), F.col("s.sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return folded.select(
+        F.col("n_terms"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
