@@ -6885,6 +6885,45 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["zipf_fit"] = zipf_fit_q
 
+    def heaps_law_q(spark, sf_dir):
+        """Heaps'-law vocabulary-growth curve + exponent (functions/
+        text.py heaps_law) at checkpoints 100..500 docs: V and N at
+        every checkpoint are conditional-sum cuts of TWO tiny
+        post-aggregate tables (token first-occurrence doc, per-doc token
+        count) — ONE pass each, no prefix re-scans; β is the zipf_fit
+        4-sum sequential fold on ln V vs ln N, replayed with
+        list_reduce."""
+        from tilekiln_spark.functions.text import heaps_law
+
+        out = heaps_law(_docs(spark, sf_dir), [100, 200, 300, 400, 500])
+        return out.select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        )
+
+    q["heaps_law"] = heaps_law_q
+
+    def term_dispersion_q(spark, sf_dir):
+        """Term dispersion / burstiness (functions/text.py
+        term_dispersion — Church & Gale 1995) for the top-40 corpus
+        terms: cf and df from ONE (doc, token) partial-agg groupBy, the
+        TakeOrdered cut, all exact integers + two divisions — the
+        boilerplate-token detector a dedup pass weights with."""
+        from tilekiln_spark.functions.text import term_dispersion
+
+        out = term_dispersion(_docs(spark, sf_dir), k=40)
+        return out.select(
+            "token",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            (F.round("doc_frac", 6) + F.lit(0.0)).alias("doc_frac"),
+            (F.round("burstiness", 6) + F.lit(0.0)).alias("burstiness"),
+        )
+
+    q["term_dispersion"] = term_dispersion_q
+
     def robots_filter(spark, sf_dir):
         """robots.txt crawl admission (operators/webstats.py parse_robots
         + robots_decisions — RFC 9309 longest-match semantics): per-host
@@ -11377,6 +11416,75 @@ def oracle_sql() -> dict[str, str]:
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                      / n, 6) + 0.0 AS intercept
         FROM sums
+    """
+
+    # heaps twin: same first-occurrence/per-doc-count cuts + the same
+    # rank-ordered list_reduce folds for beta
+    o["heaps_law"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS token
+            FROM documents WHERE trim(text) != ''
+        ),
+        firsts AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1),
+        dt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+        cps(n_docs) AS (VALUES (100), (200), (300), (400), (500)),
+        pts AS (
+            SELECT c.n_docs,
+                   (SELECT coalesce(sum(n_tok), 0) FROM dt
+                    WHERE doc_id < c.n_docs) AS n_tokens,
+                   (SELECT count(*) FROM firsts
+                    WHERE fd < c.n_docs) AS vocab
+            FROM cps c
+        ),
+        lists AS (
+            SELECT count(*) AS np,
+                   list(ln(CAST(n_tokens AS DOUBLE)) ORDER BY n_docs) AS xs,
+                   list(ln(CAST(vocab AS DOUBLE)) ORDER BY n_docs) AS ys,
+                   list(ln(CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(vocab AS DOUBLE)) ORDER BY n_docs) AS xys,
+                   list(ln(CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(n_tokens AS DOUBLE)) ORDER BY n_docs) AS xxs
+            FROM pts
+        ),
+        fit AS (
+            SELECT (CAST(np AS DOUBLE) * list_reduce(xys, (a, b) -> a + b)
+                    - list_reduce(xs, (a, b) -> a + b)
+                      * list_reduce(ys, (a, b) -> a + b))
+                   / (CAST(np AS DOUBLE) * list_reduce(xxs, (a, b) -> a + b)
+                      - list_reduce(xs, (a, b) -> a + b)
+                        * list_reduce(xs, (a, b) -> a + b)) AS beta
+            FROM lists
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(vocab AS BIGINT) AS vocab,
+               round(beta, 6) + 0.0 AS beta
+        FROM pts CROSS JOIN fit
+    """
+
+    # dispersion twin: the same (doc, token) double rollup + top-40 cut
+    o["term_dispersion"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS token
+            FROM documents WHERE trim(text) != ''
+        ),
+        per AS (
+            SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT token, sum(c) AS cf, count(*) AS df FROM per GROUP BY 1
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+               round(CAST(df AS DOUBLE) / nd.n, 6) + 0.0 AS doc_frac,
+               round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) + 0.0
+                   AS burstiness
+        FROM agg CROSS JOIN nd
+        ORDER BY cf DESC, token LIMIT 40
     """
 
     o["lm_score"] = "SELECT * FROM " + _lm_scores_sql("documents", 30, 120)

@@ -146,3 +146,35 @@ def test_zipf_fit_exact_power_law(spark):
     assert abs(row["slope"] - (-1.0)) < 1e-9
     import math
     assert abs(row["intercept"] - math.log(420.0)) < 1e-9
+
+
+def test_heaps_law_checkpoints_exact(spark):
+    from tilekiln_spark.functions.text import heaps_law
+
+    # 4 docs: doc i introduces exactly one NEW token and repeats 'the'
+    docs = spark.createDataFrame(
+        [(i, f"the w{i} the") for i in range(4)], "doc_id long, text string")
+    out = {r["n_docs"]: r for r in heaps_law(docs, [1, 2, 4]).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["vocab"] == 2   # the, w0
+    assert out[2]["n_tokens"] == 6 and out[2]["vocab"] == 3
+    assert out[4]["n_tokens"] == 12 and out[4]["vocab"] == 5
+    # beta constant across rows
+    assert len({r["beta"] for r in out.values()}) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heaps_law(docs, [4, 2])
+
+
+def test_term_dispersion_burstiness(spark):
+    from tilekiln_spark.functions.text import term_dispersion
+
+    # 'the' in all 3 docs once (burstiness 1); 'xx' bursty in one doc
+    docs = spark.createDataFrame(
+        [(0, "the xx xx xx xx"), (1, "the a"), (2, "the b")],
+        "doc_id long, text string")
+    out = {r["token"]: r for r in term_dispersion(docs, k=10).collect()}
+    assert out["the"]["cf"] == 3 and out["the"]["df"] == 3
+    assert out["the"]["burstiness"] == 1.0 and out["the"]["doc_frac"] == 1.0
+    assert out["xx"]["cf"] == 4 and out["xx"]["df"] == 1
+    assert out["xx"]["burstiness"] == 4.0

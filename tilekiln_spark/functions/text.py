@@ -344,3 +344,135 @@ def zipf_fit(df, k: int = 60, text_col: str = "text"):
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+def heaps_law(df, checkpoints: list[int], text_col: str = "text", id_col: str = "doc_id"):
+    """Heaps'-law curve + exponent over the corpus: vocabulary size V as
+    a function of tokens seen N along the doc_id order, V ≈ K·N^β — the
+    other classic corpus diagnostic beside :func:`zipf_fit` (β ≈ 0.5-0.7
+    for natural text; templated corpora saturate early).
+
+    No prefix re-scans: each token's FIRST-occurrence doc (one min-agg
+    groupBy) and each doc's token count (map-only) give every
+    checkpoint's V and N as exact-integer cuts of the same two tiny
+    aggregates.  The β fit is the same rank-ordered sequential
+    4-sum fold as zipf_fit (ln V on ln N), replayable with list_reduce.
+    Returns one row per checkpoint [n_docs, n_tokens, vocab, beta] with
+    the fitted β broadcast onto every row (un-rounded)."""
+    if not checkpoints or any(
+        checkpoints[i] >= checkpoints[i + 1] for i in range(len(checkpoints) - 1)
+    ):
+        raise ValueError(f"heaps_law: checkpoints must be increasing, got {checkpoints}")
+    from tilekiln_spark.operators.dedup import _tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    first = toks.groupBy("token").agg(F.min(id_col).alias("first_doc"))
+    doc_tok = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    # ONE pass per tiny post-aggregate table: every checkpoint is a
+    # conditional sum column (no per-checkpoint re-scan of the token
+    # explode), then one bounded explode into checkpoint rows
+    vstats = first.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") < c, 1).otherwise(0)).alias(f"v{i}")
+            for i, c in enumerate(checkpoints)
+        ]
+    )
+    tstats = doc_tok.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(id_col) < c, F.col("n_tok"))), F.lit(0)
+            ).alias(f"t{i}")
+            for i, c in enumerate(checkpoints)
+        ]
+    )
+    pts = (
+        vstats.crossJoin(tstats)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(c)).alias("n_docs"),
+                            F.col(f"t{i}").alias("n_tokens"),
+                            F.col(f"v{i}").alias("vocab"),
+                        )
+                        for i, c in enumerate(checkpoints)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.n_docs", "e.n_tokens", "e.vocab")
+    )
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("n_docs"),
+                F.log(F.col("n_tokens").cast("double")).alias("x"),
+                F.log(F.col("vocab").cast("double")).alias("y"),
+            )
+        )
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+    fit = pts.agg(
+        F.aggregate(
+            arr,
+            zero,
+            lambda a, s: F.struct(
+                (a["sx"] + s["x"]).alias("sx"),
+                (a["sy"] + s["y"]).alias("sy"),
+                (a["sxy"] + s["x"] * s["y"]).alias("sxy"),
+                (a["sxx"] + s["x"] * s["x"]).alias("sxx"),
+            ),
+        ).alias("s"),
+        F.count("*").alias("np"),
+    )
+    n = F.col("np").cast("double")
+    beta = (n * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")) / (
+        n * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")
+    )
+    return pts.crossJoin(F.broadcast(fit.select(beta.alias("beta")))).select(
+        "n_docs", "n_tokens", "vocab", "beta"
+    )
+
+
+def term_dispersion(df, k: int = 40, text_col: str = "text", id_col: str = "doc_id"):
+    """Document-frequency vs collection-frequency dispersion for the
+    top-k corpus terms: cf (total occurrences), df (docs containing),
+    idf-style spread df/|D|, and burstiness cf/df (Church & Gale 1995's
+    burstiness signal — high for topical terms, ~1 for function words).
+    Flags the template/boilerplate tokens a dedup pass should weight
+    down.
+
+    One (doc, token) partial-agg groupBy feeds BOTH counts (cf = Σ
+    per-doc counts, df = row count), then the same TakeOrdered top-k cut
+    as vocab_topk.  All exact integers; two divisions per row.  Returns
+    [token, cf, df, doc_frac, burstiness] for the top-k by (cf desc,
+    token)."""
+    from tilekiln_spark.operators.dedup import _tokens
+
+    n_docs = df.count()
+    per = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("token").agg(
+        F.sum("c").alias("cf"), F.count("*").alias("df")
+    )
+    top = agg.orderBy(F.col("cf").desc(), F.col("token").asc()).limit(k)
+    return top.select(
+        "token",
+        "cf",
+        "df",
+        (F.col("df").cast("double") / F.lit(float(n_docs))).alias("doc_frac"),
+        (F.col("cf").cast("double") / F.col("df").cast("double")).alias(
+            "burstiness"
+        ),
+    )
