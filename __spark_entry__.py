@@ -6734,6 +6734,56 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["strahler_order"] = strahler_order_q
 
+    def _crater_cells(spark, sf_dir):
+        """The depression-fill fixture: doc_id < 256 -> a 16x16 crater
+        on Chebyshev rings d = max(|gx-8|,|gy-8|): basin z=d for d<=2,
+        rim z=20 at d=3 with ONE notch cell (11,8) z=5, outside slope
+        z=12-d.  The spill level is 8 — set by the d=4 ring OUTSIDE the
+        notch, not the notch itself — the classic fill subtlety.  Both
+        engines re-derive every elevation."""
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 256)
+        gx = (F.col("doc_id") % 16).cast("int")
+        gy = F.floor(F.col("doc_id") / F.lit(16)).cast("int")
+        cd = F.greatest(F.abs(gx - 8), F.abs(gy - 8))
+        z = (
+            F.when(cd <= 2, cd)
+            .when(
+                cd == 3,
+                F.when((gx == 11) & (gy == 8), F.lit(5)).otherwise(F.lit(20)),
+            )
+            .otherwise(F.lit(12) - cd)
+        ).cast("long")
+        return d.select(
+            F.lit(0).alias("x"),
+            F.lit(0).alias("y"),
+            gx.alias("bin_x"),
+            gy.alias("bin_y"),
+            z.alias("n"),
+        )
+
+    def fill_sinks_q(spark, sf_dir):
+        """Depression filling (operators/raster.py fill_sinks — Planchon
+        & Darboux 2001 eps=0, ESRI Fill / GRASS r.fill.dir) over the
+        notched-crater DEM: the monotone fixpoint W' = max(z, min_8 W)
+        from W0=+BIG, absent neighbors elevation 0 (edge drains
+        off-grid).  26 cells fill to the spill level 8 — set by the d=4
+        ring outside the notch, the escape-path-max semantics.  Spark
+        iterates to the detected fixpoint (round 11 here, raises past
+        max_iter); the twin unrolls 14 fixed rounds >= convergence (the
+        k-core bounded-unroll argument).  All-integer arithmetic."""
+        from tilekiln_spark.operators.raster import fill_sinks
+
+        out = fill_sinks(_crater_cells(spark, sf_dir), res=16, max_iter=20)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("filled").cast("long").alias("filled"),
+            F.col("fill_depth").cast("long").alias("fill_depth"),
+        )
+
+    q["fill_sinks"] = fill_sinks_q
+
     def shape_compactness(spark, sf_dir):
         """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
         (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
@@ -13540,6 +13590,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
                CAST(a.ord AS BIGINT) AS strahler
         FROM sel s JOIN {_st_prev} a ON a.gx = s.gx AND a.gy = s.gy
+    """
+
+    # fill_sinks twin: the notched-crater DEM re-derived per cell, then
+    # 14 unrolled Planchon-Darboux rounds W' = max(z, min_8 W) from
+    # W0 = +BIG (Spark fixpoint is round 11; extra rounds are no-ops —
+    # the k-core bounded-unroll argument).  Absent neighbors read 0 via
+    # CASE WHEN count(joined) < 8, the off-grid-drain convention.
+    _fs_rounds = []
+    _fs_prev = "w0"
+    for _i in range(1, 15):
+        _fs_rounds.append(f"""
+        w{_i} AS MATERIALIZED (
+            SELECT c.gx, c.gy, c.z,
+                   greatest(c.z,
+                            CASE WHEN count(p.w) < 8
+                                 THEN least(coalesce(min(p.w), 0), 0)
+                                 ELSE min(p.w) END) AS w
+            FROM crater c CROSS JOIN offs8 o
+            LEFT JOIN {_fs_prev} p
+              ON p.gx = c.gx + o.dx AND p.gy = c.gy + o.dy
+            GROUP BY c.gx, c.gy, c.z
+        )""")
+        _fs_prev = f"w{_i}"
+    o["fill_sinks"] = f"""
+        WITH crater AS (
+            SELECT gx, gy,
+                   CASE WHEN greatest(abs(gx - 8), abs(gy - 8)) <= 2
+                            THEN greatest(abs(gx - 8), abs(gy - 8))
+                        WHEN greatest(abs(gx - 8), abs(gy - 8)) = 3
+                            THEN CASE WHEN gx = 11 AND gy = 8
+                                      THEN 5 ELSE 20 END
+                        ELSE 12 - greatest(abs(gx - 8), abs(gy - 8))
+                   END AS z
+            FROM (SELECT doc_id % 16 AS gx, doc_id // 16 AS gy
+                  FROM documents WHERE doc_id < 256)
+        ),
+        offs8(dx, dy) AS (VALUES
+            (-1, -1), (0, -1), (1, -1), (-1, 0),
+            (1, 0), (-1, 1), (0, 1), (1, 1)),
+        w0 AS MATERIALIZED (
+            SELECT gx, gy, z, CAST(1099511627776 AS BIGINT) AS w
+            FROM crater),
+        {",".join(_fs_rounds)}
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(z AS BIGINT) AS z, CAST(w AS BIGINT) AS filled,
+               CAST(w - z AS BIGINT) AS fill_depth
+        FROM {_fs_prev}
     """
 
     # compactness twin: the same generated area/perimeter folds over the

@@ -811,3 +811,72 @@ def test_strahler_confluence_rule(spark):
     assert out[(2, 2)] == 2     # two equal-order streams meet
     assert out[(2, 3)] == 2     # single continuation: no bump
     assert max(out.values()) == 2
+
+
+def _crater_cells(spark):
+    # crater fixture: Chebyshev-ring DEM — basin z=d for d<=2, rim z=20
+    # at d=3 with one notch cell (11,8) z=5, outside z=12-d decreasing to
+    # the edge.  Spill level is 8: the notch (z=5) exits into the d=4
+    # ring (z=8), so the escape-path max is set OUTSIDE the notch —
+    # goldens verified by a pure-python Planchon-Darboux replica
+    # (fixpoint round 11: 26 cells filled, volume 163, all to level 8).
+    def zf(gx, gy):
+        d = max(abs(gx - 8), abs(gy - 8))
+        if d <= 2:
+            return d
+        if d == 3:
+            return 5 if (gx, gy) == (11, 8) else 20
+        return 12 - d
+
+    rows = [(0, 0, gx, gy, zf(gx, gy)) for gx in range(16) for gy in range(16)]
+    return spark.createDataFrame(
+        rows, "x int, y int, bin_x int, bin_y int, n long")
+
+
+def test_fill_sinks_crater_goldens(spark):
+    from tilekiln_spark.operators.raster import fill_sinks
+
+    out = fill_sinks(_crater_cells(spark), res=16, max_iter=20).collect()
+    by = {(r["gx"], r["gy"]): r for r in out}
+    filled = [r for r in out if r["fill_depth"] > 0]
+    # replica goldens: 26 cells raised, every one to the spill level 8
+    assert len(filled) == 26
+    assert {r["filled"] for r in filled} == {8}
+    assert sum(r["fill_depth"] for r in out) == 163
+    # the notch itself sits below spill and is raised 5 -> 8
+    assert by[(11, 8)]["z"] == 5 and by[(11, 8)]["filled"] == 8
+    # basin floor 0 -> 8; rim cells untouched; outside slope untouched
+    assert by[(8, 8)]["z"] == 0 and by[(8, 8)]["filled"] == 8
+    assert by[(8, 5)]["z"] == 20 and by[(8, 5)]["filled"] == 20
+    assert by[(8, 4)]["z"] == 8 and by[(8, 4)]["fill_depth"] == 0
+    # filled DEM has no interior sink: rerun D8 over filled -> the only
+    # d8=0 cells are flats at the spill level (documented eps=0 flats)
+    from tilekiln_spark.operators.raster import d8_flow
+    refilled = spark.createDataFrame(
+        [(0, 0, r["gx"], r["gy"], r["filled"]) for r in out],
+        "x int, y int, bin_x int, bin_y int, n long")
+    sinks = [r for r in d8_flow(refilled, res=16).collect() if r["d8"] == 0]
+    assert all(r["z"] == 8 for r in sinks)  # only the eps=0 flat remains
+
+
+def test_fill_sinks_no_depression_is_identity(spark):
+    from tilekiln_spark.operators.raster import fill_sinks
+
+    # a hill draining outward everywhere (z = 8 - d, peak at center,
+    # every cell strictly above some neighbor toward the edge) has no
+    # pit anywhere, so fill must be the identity
+    rows = [(0, 0, gx, gy, 8 - max(abs(gx - 8), abs(gy - 8)))
+            for gx in range(16) for gy in range(16)]
+    cone = spark.createDataFrame(
+        rows, "x int, y int, bin_x int, bin_y int, n long")
+    out = fill_sinks(cone, res=16, max_iter=20).collect()
+    assert all(r["fill_depth"] == 0 for r in out)
+    assert all(r["filled"] == r["z"] for r in out)
+
+
+def test_fill_sinks_raises_past_cap(spark):
+    from tilekiln_spark.operators.raster import fill_sinks
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fill_sinks(_crater_cells(spark), res=16, max_iter=2)

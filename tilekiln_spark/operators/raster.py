@@ -1677,3 +1677,95 @@ def strahler_order(
     raise ValueError(
         f"strahler_order: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def fill_sinks(
+    cells: DataFrame, res: int = 256, max_iter: int = 60
+) -> DataFrame:
+    """Depression filling (Planchon & Darboux 2001, eps=0 "fill to
+    flat" — ESRI ``Fill`` / GRASS ``r.fill.dir`` semantics): the
+    hydrological DEM preprocessing step before D8, raising every sink
+    to its SPILL level so downstream flow routing never stalls in a
+    pit.  The filled surface is
+
+        W(c) = max(z(c), min over escape paths c -> off-grid of the
+                   max elevation along the path)
+
+    computed by the monotone fixpoint
+
+        W0(c)  = +BIG
+        W'(c)  = max(z(c), min over the 8 neighbors n of W(n))
+
+    with absent neighbors reading elevation 0 — the raster edge drains
+    off-grid, the same _stencil9 convention d8_flow uses.  From the
+    +BIG start the iteration is MONOTONE NONINCREASING, so it converges
+    in O(longest drain path) rounds and a twin may unroll any fixed
+    round count >= convergence onto the identical result (the
+    flow_accumulation k-core argument).  Integer elevations stay
+    integer throughout — the fixpoint is bit-deterministic cross-engine.
+
+    Each round is ONE 8-way neighbor explode + ONE partial-aggregated
+    groupBy (min + count) + a broadcast-free equi-join back on the cell
+    key, ``localCheckpoint`` per round (the pagerank lineage rule).  At
+    100 TB the round count is the DEM's longest drain path — the same
+    banding-into-drainage-tiles mitigation flow_accumulation documents
+    composes here.  Spark iterates to the detected fixpoint and raises
+    past ``max_iter``.  Returns [gx, gy, z, filled, fill_depth].
+
+    Reference parity: tilekiln delegates terrain prep to PostGIS/GDAL
+    (``ST_``/gdal fill pipelines upstream of its tile SQL,
+    /root/reference/tilekiln/definition.py:42-77 runs arbitrary layer
+    SQL over whatever raster-derived tables exist); this is the
+    from-scratch Spark expression of that preprocessing stage.
+    """
+    BIG = 1 << 40
+    z = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("long").alias("z"),
+    ).localCheckpoint(eager=True)
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    w = z.select("gx", "gy", "z", F.lit(BIG).alias("w")).localCheckpoint(
+        eager=True
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        # scatter each cell's current W onto its 8 neighbor targets
+        targets = [
+            F.struct(
+                (F.col("gx") + dx).alias("tgx"), (F.col("gy") + dy).alias("tgy")
+            )
+            for dx, dy in offs
+        ]
+        nb = (
+            w.select("w", F.explode(F.array(*targets)).alias("t"))
+            .groupBy(F.col("t.tgx").alias("gx"), F.col("t.tgy").alias("gy"))
+            .agg(F.min("w").alias("mn"), F.count("*").alias("nn"))
+        )
+        w = (
+            z.join(nb, ["gx", "gy"], "left")
+            .select(
+                "gx",
+                "gy",
+                "z",
+                F.greatest(
+                    F.col("z"),
+                    F.when(
+                        F.coalesce(F.col("nn"), F.lit(0)) < 8,
+                        F.least(F.coalesce(F.col("mn"), F.lit(BIG)), F.lit(0)),
+                    ).otherwise(F.col("mn")),
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = w.agg(F.sum("w")).collect()[0][0] or 0
+        if total == prev_total:
+            return w.select(
+                "gx",
+                "gy",
+                "z",
+                F.col("w").alias("filled"),
+                (F.col("w") - F.col("z")).alias("fill_depth"),
+            )
+        prev_total = total
+    raise ValueError(f"fill_sinks: no fixpoint within max_iter={max_iter} rounds")
