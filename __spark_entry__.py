@@ -6784,6 +6784,64 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["fill_sinks"] = fill_sinks_q
 
+    def cost_distance_q(spark, sf_dir):
+        """Accumulated-cost surface (operators/raster.py cost_distance —
+        ESRI CostDistance / GRASS r.cost) priced by the Borgefors
+        chamfer 2-3 integer metric: price(a->b) = (cost_a + cost_b) x
+        (2 cardinal | 3 diagonal), every accumulated cost an EXACT
+        integer.  Friction fixture: unit cost with a cost-50 wall at
+        gx=8 and one unit gap at (8,12); source (2,8) — the optimal
+        route east detours through the gap (cell (8,8): 122 across vs
+        neighbors ~50 around).  Bellman-Ford relaxation from +BIG is
+        MONOTONE NONINCREASING (fixpoint round 19 here; Spark iterates
+        to detection, the twin unrolls 22 fixed rounds — the k-core
+        bounded-unroll argument)."""
+        from tilekiln_spark.operators.raster import cost_distance
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 256)
+        gx = (F.col("doc_id") % 16).cast("int")
+        gy = F.floor(F.col("doc_id") / F.lit(16)).cast("int")
+        cost = F.when((gx == 8) & (gy != 12), F.lit(50)).otherwise(F.lit(1))
+        cells = d.select(
+            F.lit(0).alias("x"),
+            F.lit(0).alias("y"),
+            gx.alias("bin_x"),
+            gy.alias("bin_y"),
+            cost.cast("long").alias("n"),
+        )
+        out = cost_distance(cells, [(2, 8)], res=16, max_iter=40)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("cost").cast("long").alias("cost"),
+            F.col("acc").cast("long").alias("acc"),
+        )
+
+    q["cost_distance"] = cost_distance_q
+
+    def flow_length_q(spark, sf_dir):
+        """D8 flow length both directions (operators/raster.py
+        flow_length — ESRI FlowLength) over the bowl DEM, steps priced
+        in half-cell integer units (cardinal 2 / diagonal 3, the chamfer
+        2-3 integerization): down = distance to sink/off-grid outlet,
+        up = longest upstream drainage path (time-of-concentration
+        pair).  Both MONOTONE NONDECREASING fixpoints from 0 (Spark
+        iterates to detection; the twin unrolls 12 fixed rounds >= the
+        longest-path-8 convergence).  All-integer arithmetic."""
+        from tilekiln_spark.operators.raster import flow_length
+
+        out = flow_length(_dem_cells(spark, sf_dir), res=16, max_iter=30)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("d8").cast("long").alias("d8"),
+            F.col("down_len").cast("long").alias("down_len"),
+            F.col("up_len").cast("long").alias("up_len"),
+        )
+
+    q["flow_length"] = flow_length_q
+
     def shape_compactness(spark, sf_dir):
         """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
         (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
@@ -13637,6 +13695,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(z AS BIGINT) AS z, CAST(w AS BIGINT) AS filled,
                CAST(w - z AS BIGINT) AS fill_depth
         FROM {_fs_prev}
+    """
+
+    # cost_distance twin: the walled friction surface re-derived per
+    # cell, 22 unrolled Bellman-Ford relaxations with the chamfer 2-3
+    # integer pricing (Spark fixpoint is round 19; extra rounds no-ops —
+    # the k-core bounded-unroll argument).  All-integer arithmetic.
+    _cd_rounds = []
+    _cd_prev = "d0"
+    for _i in range(1, 23):
+        _cd_rounds.append(f"""
+        d{_i} AS MATERIALIZED (
+            SELECT c.gx, c.gy, c.cost,
+                   least(c.acc,
+                         coalesce(min(p.acc + o.w * (p.cost + c.cost)),
+                                  c.acc)) AS acc
+            FROM {_cd_prev} c CROSS JOIN offs8w o
+            LEFT JOIN {_cd_prev} p
+              ON p.gx = c.gx + o.dx AND p.gy = c.gy + o.dy
+            GROUP BY c.gx, c.gy, c.cost, c.acc
+        )""")
+        _cd_prev = f"d{_i}"
+    o["cost_distance"] = f"""
+        WITH fric AS (
+            SELECT gx, gy,
+                   CASE WHEN gx = 8 AND gy <> 12 THEN 50 ELSE 1 END AS cost
+            FROM (SELECT doc_id % 16 AS gx, doc_id // 16 AS gy
+                  FROM documents WHERE doc_id < 256)
+        ),
+        offs8w(dx, dy, w) AS (VALUES
+            (-1, -1, 3), (0, -1, 2), (1, -1, 3), (-1, 0, 2),
+            (1, 0, 2), (-1, 1, 3), (0, 1, 2), (1, 1, 3)),
+        d0 AS MATERIALIZED (
+            SELECT gx, gy, cost,
+                   CASE WHEN gx = 2 AND gy = 8 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1099511627776 AS BIGINT) END AS acc
+            FROM fric),
+        {",".join(_cd_rounds)}
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(cost AS BIGINT) AS cost,
+               CASE WHEN acc < 1099511627776
+                    THEN CAST(acc AS BIGINT) END AS acc
+        FROM {_cd_prev}
+    """
+
+    # flow_length twin: the bowl D8 sel CTE + 12 unrolled monotone
+    # rounds each direction (longest flow path 8), steps priced
+    # 2 cardinal / 3 diagonal — the same integer half-cell units
+    _fl_w = "CASE WHEN s.d8 IN (2, 8, 32, 128) THEN 3 ELSE 2 END"
+    _fl_dn_rounds, _fl_up_rounds = [], []
+    _fl_dnp, _fl_upp = "dn0", "up0"
+    for _i in range(1, 13):
+        _fl_dn_rounds.append(f"""
+        dn{_i} AS MATERIALIZED (
+            SELECT s.gx, s.gy,
+                   CASE WHEN s.d8 = 0 THEN 0
+                        ELSE {_fl_w} + coalesce(p.dn, 0) END AS dn
+            FROM sel s LEFT JOIN {_fl_dnp} p
+              ON p.gx = s.tx AND p.gy = s.ty
+        )""")
+        _fl_up_rounds.append(f"""
+        up{_i} AS MATERIALIZED (
+            SELECT n.gx, n.gy, coalesce(m.mx, 0) AS up
+            FROM dem n LEFT JOIN (
+                SELECT s.tx AS gx, s.ty AS gy,
+                       max({_fl_w} + u.up) AS mx
+                FROM sel s JOIN {_fl_upp} u
+                  ON u.gx = s.gx AND u.gy = s.gy
+                WHERE s.d8 > 0 AND EXISTS (
+                    SELECT 1 FROM dem t WHERE t.gx = s.tx AND t.gy = s.ty)
+                GROUP BY 1, 2
+            ) m ON m.gx = n.gx AND m.gy = n.gy
+        )""")
+        _fl_dnp, _fl_upp = f"dn{_i}", f"up{_i}"
+    o["flow_length"] = f"""
+        WITH {_dem_sql},
+        dn0 AS MATERIALIZED (SELECT gx, gy, 0 AS dn FROM dem),
+        up0 AS MATERIALIZED (SELECT gx, gy, 0 AS up FROM dem),
+        {",".join(_fl_dn_rounds)},
+        {",".join(_fl_up_rounds)}
+        SELECT CAST(s.gx AS BIGINT) AS gx, CAST(s.gy AS BIGINT) AS gy,
+               CAST(s.z AS BIGINT) AS z, CAST(s.d8 AS BIGINT) AS d8,
+               CAST(d.dn AS BIGINT) AS down_len,
+               CAST(u.up AS BIGINT) AS up_len
+        FROM sel s
+        JOIN {_fl_dnp} d ON d.gx = s.gx AND d.gy = s.gy
+        JOIN {_fl_upp} u ON u.gx = s.gx AND u.gy = s.gy
     """
 
     # compactness twin: the same generated area/perimeter folds over the

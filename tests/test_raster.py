@@ -880,3 +880,67 @@ def test_fill_sinks_raises_past_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fill_sinks(_crater_cells(spark), res=16, max_iter=2)
+
+
+def _friction_cells(spark):
+    # cost-surface fixture: unit friction with a cost-50 vertical wall at
+    # gx=8 and ONE unit-cost gap at (8,12); source at (2,8).  The optimal
+    # route to the east half detours through the gap (e.g. cell (8,8)
+    # costs 122 straight across vs 32 via the gap) — goldens verified by
+    # a pure-python Bellman-Ford replica (fixpoint round 19, sum 11836).
+    rows = [(0, 0, gx, gy, 50 if (gx == 8 and gy != 12) else 1)
+            for gx in range(16) for gy in range(16)]
+    return spark.createDataFrame(
+        rows, "x int, y int, bin_x int, bin_y int, n long")
+
+
+def test_cost_distance_wall_goldens(spark):
+    from tilekiln_spark.operators.raster import cost_distance
+
+    out = cost_distance(
+        _friction_cells(spark), [(2, 8)], res=16, max_iter=40).collect()
+    by = {(r["gx"], r["gy"]): r["acc"] for r in out}
+    assert by[(2, 8)] == 0                      # the source
+    assert by[(8, 8)] == 122                    # onto the wall itself
+    assert by[(12, 8)] == 56                    # east half via the gap
+    assert by[(9, 12)] == 36                    # just past the gap
+    assert by[(15, 0)] == 94 and by[(15, 15)] == 66
+    assert sum(r["acc"] for r in out) == 11836
+    assert all(r["acc"] is not None for r in out)  # all reachable
+
+
+def test_cost_distance_unreachable_is_null(spark):
+    from tilekiln_spark.operators.raster import cost_distance
+
+    # two disjoint 1-D strips; source on the left strip only — the right
+    # strip has no 8-adjacent path and must stay NULL
+    rows = [(0, 0, gx, 0, 1) for gx in range(4)] + \
+           [(0, 0, gx, 0, 1) for gx in range(8, 12)]
+    cells = spark.createDataFrame(
+        rows, "x int, y int, bin_x int, bin_y int, n long")
+    out = cost_distance(cells, [(0, 0)], res=16, max_iter=20).collect()
+    by = {(r["gx"], r["gy"]): r["acc"] for r in out}
+    assert by[(3, 0)] == 12          # 3 cardinal unit steps: 3 * 2*(1+1)
+    assert all(by[(gx, 0)] is None for gx in range(8, 12))
+
+
+def test_flow_length_bowl_goldens(spark):
+    from tilekiln_spark.operators.raster import flow_length
+
+    out = flow_length(_bowl_cells(spark), res=16, max_iter=30).collect()
+    by = {(r["gx"], r["gy"]): r for r in out}
+    # replica goldens (half-cell units: cardinal 2, diagonal 3)
+    assert by[(8, 8)]["down_len"] == 0 and by[(8, 8)]["up_len"] == 21
+    assert sum(r["down_len"] for r in out) == 2605
+    assert sum(r["up_len"] for r in out) == 725
+    assert max(r["down_len"] for r in out) == 21
+    # leaves have up_len 0; every non-sink cell has down_len >= 2
+    assert all(r["down_len"] >= 2 for r in out if r["d8"] > 0)
+
+
+def test_flow_length_raises_past_cap(spark):
+    from tilekiln_spark.operators.raster import flow_length
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        flow_length(_bowl_cells(spark), res=16, max_iter=2)

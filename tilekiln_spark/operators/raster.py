@@ -1769,3 +1769,232 @@ def fill_sinks(
             )
         prev_total = total
     raise ValueError(f"fill_sinks: no fixpoint within max_iter={max_iter} rounds")
+
+
+def cost_distance(
+    cells: DataFrame,
+    sources: list[tuple[int, int]],
+    res: int = 256,
+    max_iter: int = 80,
+) -> DataFrame:
+    """Accumulated-cost surface over a friction raster (ESRI
+    ``CostDistance`` / GRASS ``r.cost``), with moves priced by the
+    Borgefors (1986) chamfer 2-3 metric so every accumulated cost is an
+    EXACT integer:
+
+        price(a -> b) = (cost(a) + cost(b)) * (2 cardinal | 3 diagonal)
+
+    — the integer-exact stand-in for the usual avg-cost x {1, sqrt2}
+    pricing (scale by 1/4 to recover average-cost units).  The surface
+    is the grid shortest path from the nearest source:
+
+        D(src) = 0;  D(c) = min over 8 neighbors n of D(n) + price(n,c)
+
+    computed as Bellman-Ford relaxation from D0 = +BIG — MONOTONE
+    NONINCREASING, so it converges in O(longest optimal path hops)
+    rounds and a twin may unroll any fixed round count >= convergence
+    (the flow_accumulation k-core argument).  Each round is ONE 8-way
+    scatter of D(n) + price onto neighbor targets + ONE partial-agg
+    min groupBy + a join back to the cell frame, ``localCheckpoint``
+    per round.  At 100 TB the round count is the optimal-path hop bound
+    — production cost surfaces band into tiles with halo exchange
+    (Δ-stepping flavored); this shape composes with that banding.
+    Unreached cells (disconnected from every source) keep acc = NULL.
+    Returns [gx, gy, cost, acc].
+
+    Reference parity: tilekiln runs arbitrary PostGIS layer SQL
+    (/root/reference/tilekiln/definition.py:42-77) over whatever
+    raster-derived tables upstream GDAL/GRASS jobs produce; this is the
+    from-scratch Spark expression of that cost-surface stage.
+    """
+    BIG = 1 << 40
+    base = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("long").alias("cost"),
+    ).localCheckpoint(eager=True)
+    src_set = sorted({(int(a), int(b)) for a, b in sources})
+    is_src = F.lit(False)
+    for a, b in src_set:
+        is_src = is_src | ((F.col("gx") == a) & (F.col("gy") == b))
+    d = base.select(
+        "gx",
+        "gy",
+        "cost",
+        F.when(is_src, F.lit(0).cast("long")).otherwise(F.lit(BIG)).alias("acc"),
+    ).localCheckpoint(eager=True)
+    offs = [
+        (dx, dy, 3 if dx * dy != 0 else 2)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    ]
+    prev_total = None
+    for _ in range(max_iter):
+        # scatter each cell's candidate onto its 8 neighbor targets;
+        # price needs BOTH endpoint costs, so carry the source cost and
+        # add the target's after the join back
+        targets = [
+            F.struct(
+                (F.col("gx") + dx).alias("tgx"),
+                (F.col("gy") + dy).alias("tgy"),
+                (F.col("acc") + F.lit(w) * F.col("cost")).alias("part"),
+                F.lit(w).alias("w"),
+            )
+            for dx, dy, w in offs
+        ]
+        nb = (
+            d.where(F.col("acc") < BIG)
+            .select(F.explode(F.array(*targets)).alias("t"))
+            .select(
+                F.col("t.tgx").alias("gx"),
+                F.col("t.tgy").alias("gy"),
+                F.col("t.part").alias("part"),
+                F.col("t.w").alias("w"),
+            )
+        )
+        # min over candidates of part + w*cost(target): cost(target) is a
+        # per-target constant, so min(part + w*cost) = min over (part, w)
+        # pairs — fold both via min(part + w*cost) AFTER the join; keep
+        # the agg partial by pre-grouping on (gx, gy, w) then finishing
+        relax = (
+            nb.groupBy("gx", "gy", "w")
+            .agg(F.min("part").alias("mp"))
+            .join(base, ["gx", "gy"])
+            .select(
+                "gx", "gy", (F.col("mp") + F.col("w") * F.col("cost")).alias("cand")
+            )
+            .groupBy("gx", "gy")
+            .agg(F.min("cand").alias("cand"))
+        )
+        d = (
+            d.join(relax, ["gx", "gy"], "left")
+            .select(
+                "gx",
+                "gy",
+                "cost",
+                F.least(
+                    F.col("acc"), F.coalesce(F.col("cand"), F.lit(BIG))
+                ).alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = d.agg(F.sum("acc")).collect()[0][0] or 0
+        if total == prev_total:
+            return d.select(
+                "gx",
+                "gy",
+                "cost",
+                F.when(F.col("acc") < BIG, F.col("acc")).alias("acc"),
+            )
+        prev_total = total
+    raise ValueError(
+        f"cost_distance: no fixpoint within max_iter={max_iter} rounds"
+    )
+
+
+def flow_length(
+    cells: DataFrame, res: int = 256, max_iter: int = 60
+) -> DataFrame:
+    """D8 flow length (ESRI ``FlowLength``, both directions) over the
+    flow forest, with steps priced in HALF-CELL integer units (cardinal
+    2, diagonal 3 — the same chamfer 2-3 integerization cost_distance
+    uses; divide by 2 for cell-size units):
+
+        down(c) = 0 at sinks;  down(c) = price(c -> next) + down(next)
+        up(c)   = max over inflowing children u of (price(u -> c) + up(u))
+
+    — downstream distance-to-outlet and upstream longest-drainage-path,
+    the pair hydrologists use for time-of-concentration.  Both are
+    MONOTONE NONDECREASING fixpoints from 0 (the flow_accumulation
+    k-core argument: a twin may unroll any fixed round count >=
+    convergence).  Each round: ONE join of the D8 edge list against the
+    current lengths + ONE partial-agg groupBy (max), both directions
+    advanced in the same loop, ``localCheckpoint`` per round; rounds =
+    longest flow path, the documented D8 scaling bound.  Edges draining
+    off-grid price their final step too (the edge cell's exit hop).
+    Returns [gx, gy, z, d8, down_len, up_len]."""
+    d8 = d8_flow(cells, res).localCheckpoint(eager=True)
+    w_price = F.when(
+        F.col("d8").isin(2, 8, 32, 128), F.lit(3)
+    ).otherwise(F.lit(2))
+    nodes = d8.select(
+        "gx", "gy", F.when(F.col("d8") > 0, w_price).otherwise(F.lit(0)).alias("w")
+    ).localCheckpoint(eager=True)
+    in_grid = d8.select(F.col("gx").alias("tgt_gx"), F.col("gy").alias("tgt_gy"))
+    edges = (
+        d8.where(F.col("d8") > 0)
+        .join(in_grid, ["tgt_gx", "tgt_gy"], "semi")
+        .select(
+            F.col("gx").alias("ux"),
+            F.col("gy").alias("uy"),
+            F.col("tgt_gx").alias("gx"),
+            F.col("tgt_gy").alias("gy"),
+            w_price.alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    down = nodes.select("gx", "gy", F.lit(0).cast("long").alias("dn"))
+    up = nodes.select("gx", "gy", F.lit(0).cast("long").alias("up"))
+    down = down.localCheckpoint(eager=True)
+    up = up.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        # down'(c) = w(c) + down(next(c)) when next is in-grid, else w(c)
+        # — edges has columns ux,uy,gx,gy,w; join down on target (gx,gy)
+        down_next = (
+            edges.join(down, ["gx", "gy"])
+            .select(
+                F.col("ux").alias("gx"),
+                F.col("uy").alias("gy"),
+                (F.col("w") + F.col("dn")).alias("cand"),
+            )
+        )
+        down = (
+            nodes.join(down_next, ["gx", "gy"], "left")
+            .select(
+                "gx",
+                "gy",
+                F.coalesce(F.col("cand"), F.col("w").cast("long")).alias("dn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # up'(c) = max over children (w(child) + up(child)), 0 if none
+        up_in = (
+            edges.join(
+                up.select(
+                    F.col("gx").alias("ux"), F.col("gy").alias("uy"), "up"
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy("gx", "gy")
+            .agg(F.max(F.col("w") + F.col("up")).alias("mx"))
+        )
+        up = (
+            nodes.join(up_in, ["gx", "gy"], "left")
+            .select(
+                "gx", "gy", F.coalesce("mx", F.lit(0)).cast("long").alias("up")
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = (
+            down.agg(F.sum("dn")).collect()[0][0] or 0,
+            up.agg(F.sum("up")).collect()[0][0] or 0,
+        )
+        if tot == prev:
+            return (
+                d8.join(down, ["gx", "gy"])
+                .join(up, ["gx", "gy"])
+                .select(
+                    "gx",
+                    "gy",
+                    "z",
+                    "d8",
+                    F.col("dn").alias("down_len"),
+                    F.col("up").alias("up_len"),
+                )
+            )
+        prev = tot
+    raise ValueError(
+        f"flow_length: no fixpoint within max_iter={max_iter} rounds"
+    )
