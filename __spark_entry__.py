@@ -6842,6 +6842,44 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["flow_length"] = flow_length_q
 
+    def region_group_q(spark, sf_dir):
+        """Raster region grouping (operators/raster.py region_group —
+        ESRI RegionGroup / GDAL sieve labeling) under 8-connectivity
+        over the 4x4-block value raster v = (gx//4 + gy//4) % 3: no two
+        4-adjacent blocks share a value, but same-value blocks touch at
+        corners, so 8-conn merges the anti-diagonal chains into 7
+        regions (4-conn would give 16 — the pytest-covered contrast).
+        Min-label propagation with a per-round pointer SHORTCUT
+        (label-of-label, Shiloach-Vishkin style) — O(log diameter)
+        rounds; the fixpoint (lexicographic-min cell per component) is
+        schedule-independent, Spark iterates to detection (round 7
+        here), the twin unrolls 9 identical rounds.  Labels are exact
+        integer coordinate PAIRS — no packed-id overflow at z30 grids."""
+        from tilekiln_spark.operators.raster import region_group
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 256)
+        gx = (F.col("doc_id") % 16).cast("int")
+        gy = F.floor(F.col("doc_id") / F.lit(16)).cast("int")
+        v = ((F.floor(gx / F.lit(4)) + F.floor(gy / F.lit(4))) % 3).cast("long")
+        cells = d.select(
+            F.lit(0).alias("x"),
+            F.lit(0).alias("y"),
+            gx.alias("bin_x"),
+            gy.alias("bin_y"),
+            v.alias("n"),
+        )
+        out = region_group(cells, res=16, connectivity=8, max_iter=15)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("v").cast("long").alias("v"),
+            F.col("region_gx").cast("long").alias("region_gx"),
+            F.col("region_gy").cast("long").alias("region_gy"),
+            F.col("region_size").cast("long").alias("region_size"),
+        )
+
+    q["region_group"] = region_group_q
+
     def shape_compactness(spark, sf_dir):
         """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
         (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
@@ -13781,6 +13819,55 @@ def oracle_sql() -> dict[str, str]:
         FROM sel s
         JOIN {_fl_dnp} d ON d.gx = s.gx AND d.gy = s.gy
         JOIN {_fl_upp} u ON u.gx = s.gx AND u.gy = s.gy
+    """
+
+    # region_group twin: scalar labels l = gy*16 + gx (fixture-local —
+    # monotone in the (gy, gx) lexicographic order the Spark pair labels
+    # use), 9 unrolled rounds of the IDENTICAL Spark schedule: every
+    # round reads the previous labels for all three min terms (own,
+    # same-value 8-neighbor min, label-of-label shortcut); Spark
+    # fixpoint is round 7, extra rounds are no-ops
+    _rg_rounds = []
+    _rg_prev = "l0"
+    for _i in range(1, 10):
+        _rg_rounds.append(f"""
+        l{_i} AS MATERIALIZED (
+            SELECT c.gx, c.gy, c.v,
+                   least(least(c.l, coalesce(min(p.l), c.l)),
+                         min(s.l)) AS l
+            FROM {_rg_prev} c
+            JOIN {_rg_prev} s
+              ON s.gx = c.l % 16 AND s.gy = c.l // 16
+            CROSS JOIN offs8 o
+            LEFT JOIN {_rg_prev} p
+              ON p.gx = c.gx + o.dx AND p.gy = c.gy + o.dy
+             AND p.v = c.v
+            GROUP BY c.gx, c.gy, c.v, c.l
+        )""")
+        _rg_prev = f"l{_i}"
+    o["region_group"] = f"""
+        WITH vals AS (
+            SELECT doc_id % 16 AS gx, doc_id // 16 AS gy,
+                   (doc_id % 16 // 4 + doc_id // 16 // 4) % 3 AS v
+            FROM documents WHERE doc_id < 256
+        ),
+        offs8(dx, dy) AS (VALUES
+            (-1, -1), (0, -1), (1, -1), (-1, 0),
+            (1, 0), (-1, 1), (0, 1), (1, 1)),
+        l0 AS MATERIALIZED (
+            SELECT gx, gy, v, gy * 16 + gx AS l FROM vals),
+        {",".join(_rg_rounds)},
+        sized AS (
+            SELECT gx, gy, v, l,
+                   count(*) OVER (PARTITION BY l) AS region_size
+            FROM {_rg_prev}
+        )
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(v AS BIGINT) AS v,
+               CAST(l % 16 AS BIGINT) AS region_gx,
+               CAST(l // 16 AS BIGINT) AS region_gy,
+               CAST(region_size AS BIGINT) AS region_size
+        FROM sized
     """
 
     # compactness twin: the same generated area/perimeter folds over the

@@ -944,3 +944,59 @@ def test_flow_length_raises_past_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         flow_length(_bowl_cells(spark), res=16, max_iter=2)
+
+
+def _block_value_cells(spark):
+    # value raster: 4x4 blocks v = (gx//4 + gy//4) % 3 — no two
+    # 4-adjacent blocks share a value, but same-value blocks touch at
+    # corners along anti-diagonals (the 4-vs-8 connectivity showcase).
+    rows = [(0, 0, gx, gy, (gx // 4 + gy // 4) % 3)
+            for gx in range(16) for gy in range(16)]
+    return spark.createDataFrame(
+        rows, "x int, y int, bin_x int, bin_y int, n long")
+
+
+def test_region_group_4conn_blocks(spark):
+    from tilekiln_spark.operators.raster import region_group
+
+    out = region_group(
+        _block_value_cells(spark), res=16, connectivity=4, max_iter=10
+    ).collect()
+    # replica goldens: every 4x4 block is its own region (16 x 16 cells)
+    regions = {(r["region_gx"], r["region_gy"]) for r in out}
+    assert len(regions) == 16
+    assert all(r["region_size"] == 16 for r in out)
+    # canonical root = lexicographic-min (gy, gx) cell = block corner
+    assert regions == {(bx * 4, by * 4) for bx in range(4) for by in range(4)}
+    # label sum golden from the replica (cid = gy*16+gx encoding)
+    assert sum(r["region_gy"] * 16 + r["region_gx"] for r in out) == 26112
+
+
+def test_region_group_8conn_merges_diagonals(spark):
+    from collections import Counter
+
+    from tilekiln_spark.operators.raster import region_group
+
+    out = region_group(
+        _block_value_cells(spark), res=16, connectivity=8, max_iter=12
+    ).collect()
+    regions = {(r["region_gx"], r["region_gy"]) for r in out}
+    # replica goldens: anti-diagonal same-value chains merge -> 7 regions
+    assert len(regions) == 7
+    sizes = Counter(
+        next(r["region_size"] for r in out
+             if (r["region_gx"], r["region_gy"]) == reg)
+        for reg in regions)
+    assert sizes == {16: 2, 32: 2, 48: 2, 64: 1}
+    assert sum(r["region_gy"] * 16 + r["region_gx"] for r in out) == 12672
+    # every cell's region root carries the cell's own value
+    v_at = {(r["gx"], r["gy"]): r["v"] for r in out}
+    assert all(v_at[(r["region_gx"], r["region_gy"])] == r["v"] for r in out)
+
+
+def test_region_group_bad_connectivity(spark):
+    from tilekiln_spark.operators.raster import region_group
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="connectivity"):
+        region_group(_block_value_cells(spark), connectivity=6)

@@ -1998,3 +1998,131 @@ def flow_length(
     raise ValueError(
         f"flow_length: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def region_group(
+    cells: DataFrame,
+    res: int = 256,
+    connectivity: int = 4,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Raster region grouping (ESRI ``RegionGroup`` / GDAL sieve's
+    labeling stage): connected components of equal-VALUE cells under 4-
+    or 8-connectivity, every cell labeled by its region's minimum cell
+    (lexicographic (gy, gx) — the deterministic canonical root).
+
+    Labels spread by min-label propagation with a POINTER SHORTCUT each
+    round (label'(c) = min(own, neighbor-min, label(label(c))) — the
+    Shiloach-Vishkin shortcutting idea), so convergence is
+    O(log diameter) rounds instead of diameter rounds: the replica
+    measures 3 rounds (4-conn) / 6 rounds (8-conn) on the 16x16 block
+    fixture where plain propagation needs 7 / 16.  The fixpoint (min
+    cell per component) is schedule-independent, so a twin may unroll
+    the identical round schedule any fixed count >= convergence (the
+    k-core bounded-unroll argument).  All labels are exact integer
+    coordinate pairs — bit-deterministic cross-engine, and pair labels
+    (not packed scalars) keep the op correct at z30-scale global grids
+    where gy*width+gx packing would overflow.
+
+    Each round: ONE scatter of (label, value) onto the 4/8 neighbor
+    targets + ONE partial-agg min groupBy keyed (gx, gy, v) — the
+    same-value constraint rides the group key, so no post-join filter —
+    plus ONE shortcut self-join on the label coordinates,
+    ``localCheckpoint`` per round.  At 100 TB: log-round CC is the
+    standard connected-components-in-MapReduce shape (Rastogi et al.'s
+    hash-to-min family); the alternating large-star/small-star variant
+    drops in if skewed mega-regions ever dominate a round.
+    Returns [gx, gy, v, region_gx, region_gy, region_size]."""
+    if connectivity == 4:
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    elif connectivity == 8:
+        offs = [
+            (dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)
+        ]
+    else:
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    lab = cells.select(
+        (F.col("x").cast("long") * res + F.col("bin_x")).alias("gx"),
+        (F.col("y").cast("long") * res + F.col("bin_y")).alias("gy"),
+        F.col("n").cast("long").alias("v"),
+    ).select(
+        "gx",
+        "gy",
+        "v",
+        F.col("gx").alias("lx"),
+        F.col("gy").alias("ly"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        targets = [
+            F.struct(
+                (F.col("gx") + dx).alias("tgx"), (F.col("gy") + dy).alias("tgy")
+            )
+            for dx, dy in offs
+        ]
+        nb = (
+            lab.select(
+                "v",
+                F.struct(F.col("ly"), F.col("lx")).alias("l"),
+                F.explode(F.array(*targets)).alias("t"),
+            )
+            .groupBy(
+                F.col("t.tgx").alias("gx"), F.col("t.tgy").alias("gy"), "v"
+            )
+            .agg(F.min("l").alias("nbl"))
+        )
+        # shortcut: the label currently assigned to my label's cell
+        short = lab.select(
+            F.col("gx").alias("lx"),
+            F.col("gy").alias("ly"),
+            F.struct(F.col("ly").alias("sly"), F.col("lx").alias("slx")).alias(
+                "sl"
+            ),
+        )
+        nxt = (
+            lab.join(nb, ["gx", "gy", "v"], "left")
+            .join(short, ["lx", "ly"], "left")
+            .select(
+                "gx",
+                "gy",
+                "v",
+                F.least(
+                    F.struct(F.col("ly"), F.col("lx")),
+                    F.coalesce(
+                        F.col("nbl"), F.struct(F.col("ly"), F.col("lx"))
+                    ),
+                    F.coalesce(
+                        F.struct(
+                            F.col("sl.sly").alias("ly"),
+                            F.col("sl.slx").alias("lx"),
+                        ),
+                        F.struct(F.col("ly"), F.col("lx")),
+                    ),
+                ).alias("m"),
+            )
+            .select(
+                "gx", "gy", "v", F.col("m.lx").alias("lx"), F.col("m.ly").alias("ly")
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            nxt.join(
+                lab.select("gx", "gy", F.col("lx").alias("plx"), F.col("ly").alias("ply")),
+                ["gx", "gy"],
+            )
+            .where((F.col("lx") != F.col("plx")) | (F.col("ly") != F.col("ply")))
+            .count()
+        )
+        lab = nxt
+        if moved == 0:
+            sizes = lab.groupBy("lx", "ly").agg(F.count("*").alias("region_size"))
+            return lab.join(sizes, ["lx", "ly"]).select(
+                "gx",
+                "gy",
+                "v",
+                F.col("lx").alias("region_gx"),
+                F.col("ly").alias("region_gy"),
+                "region_size",
+            )
+    raise ValueError(
+        f"region_group: no fixpoint within max_iter={max_iter} rounds"
+    )
