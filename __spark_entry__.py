@@ -6880,6 +6880,30 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["region_group"] = region_group_q
 
+    def wetness_index_q(spark, sf_dir):
+        """Topographic wetness index (operators/raster.py wetness_index
+        — Beven & Kirkby 1979, GRASS r.topidx): TWI = ln((acc+1) /
+        max(tan beta, 1e-3)) over the bowl DEM — the composition
+        showcase of flow_accumulation (exact-integer upstream counts,
+        twin unrolls 10 monotone rounds) and the Horn 3x3 slope stencil
+        (identical term order both engines).  One equi-join + map-only
+        math; floats rounded to 6 decimals at the boundary (the
+        libm-ulp rule).  The interior sink (acc=195, near-flat) is the
+        wettest cell."""
+        from tilekiln_spark.operators.raster import wetness_index
+
+        out = wetness_index(_dem_cells(spark, sf_dir), res=16, max_iter=20)
+        return out.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("z").cast("long").alias("z"),
+            F.col("acc").cast("long").alias("acc"),
+            (F.col("tan_slope") + F.lit(0.0)).alias("tan_slope"),
+            (F.col("twi") + F.lit(0.0)).alias("twi"),
+        )
+
+    q["wetness_index"] = wetness_index_q
+
     def shape_compactness(spark, sf_dir):
         """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
         (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
@@ -13868,6 +13892,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(l // 16 AS BIGINT) AS region_gy,
                CAST(region_size AS BIGINT) AS region_size
         FROM sized
+    """
+
+    # wetness_index twin: the flow_accumulation unroll (10 monotone
+    # rounds) + the Horn slope stencil over the bowl DEM (the same
+    # _hs_dzdx/_hs_dzdy expression text the slope twin uses, cell_size
+    # 1), composed by one join; ln/sqrt rounded to 6 decimals (DuckDB
+    # ln() is natural log — its log() is log10)
+    _tw_rounds = []
+    _tw_prev = "acc0"
+    for _i in range(1, 11):
+        _tw_rounds.append(f"""
+        acc{_i} AS MATERIALIZED (
+            SELECT n.gx, n.gy, coalesce(s.inacc, 0) AS acc
+            FROM dem n LEFT JOIN (
+                SELECT e.gx, e.gy, sum(1 + a.acc) AS inacc
+                FROM edges e JOIN {_tw_prev} a
+                  ON a.gx = e.ux AND a.gy = e.uy
+                GROUP BY 1, 2
+            ) s ON s.gx = n.gx AND s.gy = n.gy
+        )""")
+        _tw_prev = f"acc{_i}"
+    o["wetness_index"] = f"""
+        WITH {_dem_sql},
+        edges AS MATERIALIZED (
+            SELECT r.gx AS ux, r.gy AS uy, r.tx AS gx, r.ty AS gy
+            FROM sel r
+            WHERE r.d8 > 0 AND EXISTS (
+                SELECT 1 FROM dem t WHERE t.gx = r.tx AND t.gy = r.ty
+            )
+        ),
+        acc0 AS MATERIALIZED (SELECT gx, gy, 0 AS acc FROM dem),
+        {",".join(_tw_rounds)},
+        offs9(k, dx, dy) AS (VALUES {_hs_offs}),
+        sh AS (
+            SELECT gx - dx AS tgx, gy - dy AS tgy, k, CAST(z AS DOUBLE) AS v
+            FROM dem CROSS JOIN offs9
+        ),
+        agg9 AS (
+            SELECT tgx, tgy, {_hs_zcols},
+                   max(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS present
+            FROM sh GROUP BY 1, 2
+        ),
+        tb AS (
+            SELECT tgx AS gx, tgy AS gy,
+                   sqrt(({_hs_dzdx}) * ({_hs_dzdx})
+                        + ({_hs_dzdy}) * ({_hs_dzdy})) AS tanb
+            FROM agg9 WHERE present = 1
+        )
+        SELECT CAST(d.gx AS BIGINT) AS gx, CAST(d.gy AS BIGINT) AS gy,
+               CAST(d.z AS BIGINT) AS z, CAST(a.acc AS BIGINT) AS acc,
+               round(t.tanb, 6) + 0.0 AS tan_slope,
+               round(ln((a.acc + 1) / greatest(t.tanb, 0.001)), 6) + 0.0
+                   AS twi
+        FROM dem d
+        JOIN {_tw_prev} a ON a.gx = d.gx AND a.gy = d.gy
+        JOIN tb t ON t.gx = d.gx AND t.gy = d.gy
     """
 
     # compactness twin: the same generated area/perimeter folds over the

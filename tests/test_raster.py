@@ -1000,3 +1000,27 @@ def test_region_group_bad_connectivity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="connectivity"):
         region_group(_block_value_cells(spark), connectivity=6)
+
+
+def test_wetness_index_bowl(spark):
+    import math
+
+    from tilekiln_spark.operators.raster import wetness_index
+
+    out = wetness_index(_bowl_cells(spark), res=16, max_iter=20).collect()
+    assert len(out) == 256
+    by = {(r["gx"], r["gy"]): r for r in out}
+    # the interior sink collects acc=195 and its Horn gradient there is
+    # small -> highest wetness on the DEM
+    sink = by[(8, 8)]
+    assert sink["acc"] == 195
+    assert sink["twi"] == max(r["twi"] for r in out)
+    # hand-check one cell end-to-end: (4, 8) on the west slope
+    r = by[(4, 8)]
+    zq = lambda gx, gy: (gx - 8) ** 2 + (gy - 8) ** 2 + ((gx * 7 + gy * 3) % 5)
+    zs = [zq(4 + dx, 8 + dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    p = ((zs[2] + zs[5] * 2.0 + zs[8]) - (zs[0] + zs[3] * 2.0 + zs[6])) / 8.0
+    q = ((zs[6] + zs[7] * 2.0 + zs[8]) - (zs[0] + zs[1] * 2.0 + zs[2])) / 8.0
+    tanb = math.sqrt(p * p + q * q)
+    assert r["tan_slope"] == round(tanb, 6)
+    assert r["twi"] == round(math.log((r["acc"] + 1) / max(tanb, 1e-3)), 6)

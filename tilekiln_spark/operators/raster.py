@@ -2126,3 +2126,49 @@ def region_group(
     raise ValueError(
         f"region_group: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def wetness_index(
+    cells: DataFrame,
+    res: int = 256,
+    cell_size: float = 1.0,
+    max_iter: int = 30,
+    min_tan: float = 1e-3,
+) -> DataFrame:
+    """Topographic wetness index (Beven & Kirkby 1979; SAGA/GRASS
+    ``r.topidx``):
+
+        TWI = ln( a / tan beta ),
+        a   = (acc + 1) * cell_size   (specific catchment area),
+        tan beta = sqrt(p^2 + q^2)    (Horn 3x3 gradient magnitude)
+
+    — the saturation-propensity composite hydrologists derive from
+    every DEM, and the showcase COMPOSITION of two already-verified
+    operators: :func:`flow_accumulation` (exact-integer upstream
+    counts) and the shared :func:`_stencil9` / :func:`_horn_gradients`
+    slope stencil.  Flat cells (gradient exactly 0) clamp tan beta to
+    ``min_tan`` (the standard r.topidx guard) instead of emitting inf.
+
+    The only new work beyond the two inputs is ONE equi-join on the
+    cell key + a map-only expression; every float is a deterministic
+    elementary function of exact integers, rounded to 6 decimals at the
+    boundary (the cross-engine libm-ulp rule).  Returns
+    [gx, gy, z, acc, tan_slope, twi]."""
+    acc = flow_accumulation(cells, res, max_iter=max_iter)
+    agg = _stencil9(cells, res)
+    z = [F.col(f"z{i}") for i in range(9)]
+    dzdx, dzdy = _horn_gradients(z, cell_size)
+    tanb = F.sqrt(dzdx * dzdx + dzdy * dzdy)
+    slope = agg.where(F.col("present") == 1).select(
+        F.col("tgx").alias("gx"), F.col("tgy").alias("gy"), tanb.alias("tanb")
+    )
+    sca = (F.col("acc") + 1).cast("double") * F.lit(float(cell_size))
+    twi = F.log(sca / F.greatest(F.col("tanb"), F.lit(float(min_tan))))
+    return acc.join(slope, ["gx", "gy"]).select(
+        "gx",
+        "gy",
+        "z",
+        "acc",
+        (F.round(F.col("tanb"), 6) + F.lit(0.0)).alias("tan_slope"),
+        (F.round(twi, 6) + F.lit(0.0)).alias("twi"),
+    )
