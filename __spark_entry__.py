@@ -6904,6 +6904,73 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["wetness_index"] = wetness_index_q
 
+    def sitemap_parse_q(spark, sf_dir):
+        """Sitemap protocol parsing (operators/webstats.py
+        parse_sitemaps — sitemaps.org): per-host XML synthesized
+        deterministically (7 urlset hosts x 3 entries with
+        parity-varying optional lastmod/changefreq/priority and
+        embedded newlines/whitespace; 1 sitemapindex host whose nested
+        <sitemap> locs come back as kind='index' recursion frontier).
+        Pure codegen: ONE DOTALL lazy regexp_extract_all + posexplode,
+        ''-to-NULL aligned across engines.  Map-only — the parsed rows
+        feed crawl_schedule at 10^8-host scale with no shuffle."""
+        from tilekiln_spark.operators.webstats import parse_sitemaps
+
+        hosts = (
+            _docs(spark, sf_dir)
+            .select((F.col("doc_id") % 8).cast("int").alias("k"))
+            .distinct()
+        )
+        host = F.concat(F.lit("host"), F.col("k").cast("string"),
+                        F.lit(".example.com"))
+
+        def entry(i):
+            loc = F.concat(
+                F.lit("\n  <url>\n    <loc> https://host"),
+                F.col("k").cast("string"),
+                F.lit(f".example.com/p{i} </loc>"),
+            )
+            lastmod = F.when(
+                (F.col("k") + i) % 2 == 0,
+                F.concat(
+                    F.lit("\n    <lastmod>2024-01-0"),
+                    (((F.col("k") + i) % 9) + 1).cast("string"),
+                    F.lit("</lastmod>"),
+                ),
+            ).otherwise(F.lit(""))
+            extra = F.lit(
+                "\n    <changefreq>daily</changefreq>" if i == 1
+                else ("\n    <priority>0.2</priority>" if i == 2 else "")
+            )
+            return F.concat(loc, lastmod, extra, F.lit("\n  </url>"))
+
+        urlset = F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>'),
+            entry(1), entry(2), entry(3),
+            F.lit("\n</urlset>"),
+        )
+        index = F.lit(
+            "<sitemapindex><sitemap><loc>https://host7.example.com/s1.xml"
+            "</loc></sitemap><sitemap>\n<loc>https://host7.example.com/"
+            "s2.xml</loc>\n<lastmod>2024-03-01</lastmod></sitemap>"
+            "</sitemapindex>"
+        )
+        maps = hosts.select(
+            host.alias("host"),
+            F.when(F.col("k") == 7, index).otherwise(urlset).alias(
+                "sitemap_xml"
+            ),
+        )
+        out = parse_sitemaps(maps)
+        return out.select(
+            "host", "kind",
+            F.col("pos").cast("long").alias("pos"),
+            "loc", "lastmod", "changefreq",
+            (F.col("priority") + 0.0).alias("priority"),
+        )
+
+    q["sitemap_parse"] = sitemap_parse_q
+
     def shape_compactness(spark, sf_dir):
         """Shape-compactness metrics per polygon — Polsby-Popper 4πA/P²
         (the districting-law standard), Schwartzberg 2√(πA)/P (both 1.0
@@ -13948,6 +14015,67 @@ def oracle_sql() -> dict[str, str]:
         FROM dem d
         JOIN {_tw_prev} a ON a.gx = d.gx AND a.gy = d.gy
         JOIN tb t ON t.gx = d.gx AND t.gy = d.gy
+    """
+
+    # sitemap_parse twin: rebuild the identical per-host XML, then the
+    # same DOTALL lazy block extraction; DuckDB zips parallel unnests
+    # for the 1-based entry order; ''-to-NULL via nullif matches the
+    # Spark when(raw != '') rule
+    def _sm_entry(i):
+        extra = (
+            "'\n    <changefreq>daily</changefreq>'" if i == 1
+            else ("'\n    <priority>0.2</priority>'" if i == 2 else "''")
+        )
+        return f"""
+        '\n  <url>\n    <loc> https://host' || k || '.example.com/p{i} </loc>'
+        || CASE WHEN (k + {i}) % 2 = 0
+                THEN '\n    <lastmod>2024-01-0' || ((k + {i}) % 9) + 1
+                     || '</lastmod>' ELSE '' END
+        || {extra}
+        || '\n  </url>'
+    """
+    _sm_ws = "\\s*"
+    _sm_field = lambda tag: (
+        f"nullif(regexp_extract(block, '(?s)<{tag}>{_sm_ws}(.*?){_sm_ws}</{tag}>', 1), '')"
+    )
+    o["sitemap_parse"] = f"""
+        WITH ks AS (
+            SELECT DISTINCT CAST(doc_id % 8 AS INT) AS k FROM documents
+        ),
+        maps AS (
+            SELECT 'host' || k || '.example.com' AS host,
+                   CASE WHEN k = 7 THEN
+                       '<sitemapindex><sitemap><loc>https://host7.example.com/s1.xml'
+                       || '</loc></sitemap><sitemap>' || chr(10)
+                       || '<loc>https://host7.example.com/s2.xml</loc>' || chr(10)
+                       || '<lastmod>2024-03-01</lastmod></sitemap></sitemapindex>'
+                   ELSE
+                       '<?xml version="1.0"?>' || chr(10) || '<urlset>'
+                       || {_sm_entry(1)} || {_sm_entry(2)} || {_sm_entry(3)}
+                       || chr(10) || '</urlset>'
+                   END AS xml
+            FROM ks
+        ),
+        b AS (
+            SELECT host, kind,
+                   regexp_extract_all(
+                       xml, '(?s)<' || tag || '>.*?</' || tag || '>', 0
+                   ) AS blocks
+            FROM maps CROSS JOIN (VALUES ('urlset', 'url'),
+                                         ('index', 'sitemap')) t(kind, tag)
+        ),
+        e AS (
+            SELECT host, kind, unnest(blocks) AS block,
+                   unnest(generate_series(1, len(blocks))) AS pos
+            FROM b
+        )
+        SELECT host, kind, CAST(pos AS BIGINT) AS pos,
+               {_sm_field('loc')} AS loc,
+               {_sm_field('lastmod')} AS lastmod,
+               {_sm_field('changefreq')} AS changefreq,
+               CAST({_sm_field('priority')} AS DOUBLE) AS priority
+        FROM e
+        WHERE {_sm_field('loc')} IS NOT NULL
     """
 
     # compactness twin: the same generated area/perimeter folds over the

@@ -214,3 +214,39 @@ def test_crawl_schedule_politeness_and_pinning(spark):
         byw[r["worker"]].append(r["queue_pos"])
     for w, qs in byw.items():
         assert sorted(qs) == list(range(1, len(qs) + 1))
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    from tilekiln_spark.operators.webstats import parse_sitemaps
+
+    urlset = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        "  <url>\n    <loc> https://a.com/p1 </loc>\n"
+        "    <lastmod>2024-01-03</lastmod>\n"
+        "    <changefreq>daily</changefreq>\n  </url>\n"
+        "  <url><loc>https://a.com/p2</loc><priority>0.8</priority></url>\n"
+        "  <url><lastmod>2024-02-02</lastmod></url>\n"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://b.com/s1.xml</loc>"
+        "<lastmod>2024-03-01</lastmod></sitemap>"
+        "<sitemap>\n<loc>https://b.com/s2.xml</loc>\n</sitemap>"
+        "</sitemapindex>"
+    )
+    maps = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)], "host string, sitemap_xml string"
+    )
+    rows = {(r["host"], r["kind"], r["pos"]): r
+            for r in parse_sitemaps(maps).collect()}
+    assert len(rows) == 4
+    r1 = rows[("a.com", "urlset", 1)]
+    assert r1["loc"] == "https://a.com/p1"          # whitespace trimmed
+    assert r1["lastmod"] == "2024-01-03"
+    assert r1["changefreq"] == "daily" and r1["priority"] is None
+    r2 = rows[("a.com", "urlset", 2)]
+    assert r2["priority"] == 0.8 and r2["lastmod"] is None
+    assert ("a.com", "urlset", 3) not in rows        # loc-less entry dropped
+    assert rows[("b.com", "index", 1)]["loc"] == "https://b.com/s1.xml"
+    assert rows[("b.com", "index", 2)]["lastmod"] is None

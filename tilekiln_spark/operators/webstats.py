@@ -483,3 +483,51 @@ def crawl_schedule(
         "not_before_s",
         F.row_number().over(worker_w).alias("queue_pos"),
     )
+
+
+def parse_sitemaps(
+    maps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Parse sitemap XML bodies (sitemaps.org protocol) into entry rows:
+    ``<urlset>`` documents yield one row per ``<url>`` block with its
+    ``<loc>`` (required), optional ``<lastmod>`` / ``<changefreq>`` /
+    ``<priority>``; ``<sitemapindex>`` documents yield one row per
+    nested ``<sitemap>``'s ``<loc>`` (kind='index') — the recursion
+    frontier a crawler feeds back into fetch.
+
+    Pure codegen, map-only: ONE ``regexp_extract_all`` with a DOTALL
+    lazy-block pattern (``(?s)<url>.*?</url>`` — identical semantics in
+    Java regex and RE2) + ``posexplode`` for 1-based document order +
+    per-field lazy extracts with whitespace trim; absent optional
+    fields are NULL via the ''-to-NULL rule (Spark's regexp_extract
+    returns '' on no-match, DuckDB NULL — nullif aligns them).  No
+    shuffle at all: at 10^8 hosts the sitemap table is a map-side
+    explode whose output feeds the crawl_schedule frontier.
+
+    Returns [host, kind, pos, loc, lastmod, changefreq, priority]."""
+
+    def _field(block, tag):
+        raw = F.regexp_extract(block, rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1)
+        return F.when(raw != "", raw)
+
+    def _entries(kind, block_tag):
+        blocks = F.expr(
+            f"regexp_extract_all({xml_col}, '(?s)<{block_tag}>.*?</{block_tag}>', 0)"
+        )
+        ex = maps.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(blocks).alias("p", "block"),
+        )
+        return ex.select(
+            "host",
+            F.lit(kind).alias("kind"),
+            (F.col("p") + 1).cast("int").alias("pos"),
+            _field(F.col("block"), "loc").alias("loc"),
+            _field(F.col("block"), "lastmod").alias("lastmod"),
+            _field(F.col("block"), "changefreq").alias("changefreq"),
+            _field(F.col("block"), "priority").cast("double").alias("priority"),
+        )
+
+    return _entries("urlset", "url").unionAll(
+        _entries("index", "sitemap")
+    ).where(F.col("loc").isNotNull())
