@@ -7038,6 +7038,39 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["personalized_pagerank"] = personalized_pagerank_q
 
+    def harmonic_centrality_q(spark, sf_dir):
+        """Harmonic centrality (operators/graph.py harmonic_centrality —
+        Boldi & Vigna 2014) over a 200-node slice of the deterministic
+        link graph (dst = (src*7 + j) % 200, j in 1..3, sinks at
+        src % 5 == 0): all-pairs directed BFS by min-plus rounds to a
+        detected fixpoint (diameter 11 on this fixture), then the
+        per-node ordered (distance, count) fold sum(cnt/d).  The twin
+        is a depth-bounded recursive CTE (d < 16 >= diameter) whose
+        min(d) per pair IS the BFS distance, folding the identical
+        ascending-distance list."""
+        from tilekiln_spark.operators.graph import harmonic_centrality
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 200)
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % 200).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        nodes = d.select(F.col("doc_id").alias("node"))
+        out = harmonic_centrality(nodes, e)
+        return out.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("eccentricity").cast("long").alias("eccentricity"),
+            F.col("harmonic"),
+        )
+
+    q["harmonic_centrality"] = harmonic_centrality_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -11750,6 +11783,49 @@ def oracle_sql() -> dict[str, str]:
     # personalized-PR twin: same unrolled rounds, teleport/dangling mass
     # restricted to the node % 50 == 0 seed set
     o["personalized_pagerank"] = _ppr_sql(8, 0.85)
+
+    # harmonic-centrality twin: depth-bounded recursive BFS (UNION
+    # dedups (src, node, d) tuples; d < 16 >= diameter 11, so min(d)
+    # per pair is the BFS distance), then the identical ascending-
+    # distance cnt/d fold — (0.0 + x1) + x2 ... == list_reduce order
+    o["harmonic_centrality"] = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 200 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        reach(src, node, dd) AS (
+            SELECT doc_id, doc_id, 0 FROM d
+            UNION
+            SELECT r.src, e.dst, r.dd + 1
+            FROM reach r JOIN e ON e.src = r.node
+            WHERE r.dd < 16
+        ),
+        dist AS (
+            SELECT src, node, min(dd) AS dd FROM reach GROUP BY src, node
+        ),
+        per_d AS (
+            SELECT node, dd, count(*) AS cnt
+            FROM dist WHERE src <> node GROUP BY node, dd
+        ),
+        agg AS (
+            SELECT node,
+                   sum(cnt) AS n_reached,
+                   max(dd) AS eccentricity,
+                   list_reduce(list(CAST(cnt AS DOUBLE) / dd ORDER BY dd),
+                               (a, b) -> a + b) AS h
+            FROM per_d GROUP BY node
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS node,
+               CAST(coalesce(a.n_reached, 0) AS BIGINT) AS n_reached,
+               CAST(coalesce(a.eccentricity, 0) AS BIGINT) AS eccentricity,
+               round(coalesce(a.h, 0.0), 6) + 0.0 AS harmonic
+        FROM d LEFT JOIN agg a ON a.node = d.doc_id
+    """
 
     # host-link matrix twin: identical link generator + host rule
     o["host_links"] = """

@@ -66,3 +66,37 @@ def test_hits_star_graph(spark):
     assert out[0] == (1.0, 0.0)
     for leaf in range(1, 5):
         assert out[leaf] == (0.0, 1.0)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Directed path 0 -> 1 -> 2 -> 3: H(t) is the harmonic number of
+    its in-ancestor distances; eccentricity is the max in-distance;
+    node 0 (nobody reaches it) reads all-zero."""
+    from tilekiln_spark.operators.graph import harmonic_centrality
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = {
+        r.node: (r.n_reached, r.eccentricity, r.harmonic)
+        for r in harmonic_centrality(nodes, edges).collect()
+    }
+    assert out[0] == (0, 0, 0.0)
+    assert out[1] == (1, 1, 1.0)
+    assert out[2] == (2, 2, 1.5)
+    assert out[3] == (3, 3, pytest.approx(1.0 + 0.5 + 1 / 3, abs=1e-6))
+
+
+def test_harmonic_centrality_cycle_symmetric(spark):
+    """5-cycle: every node reaches every other, all scores equal, and
+    eccentricity is the cycle length minus one."""
+    from tilekiln_spark.operators.graph import harmonic_centrality
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    rows = harmonic_centrality(nodes, edges).collect()
+    exp = round(1.0 + 0.5 + 1 / 3 + 0.25, 6)
+    for r in rows:
+        assert (r.n_reached, r.eccentricity) == (4, 4)
+        assert r.harmonic == pytest.approx(exp, abs=1e-6)

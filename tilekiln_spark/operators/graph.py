@@ -885,3 +885,85 @@ def personalized_pagerank(
     flagged.unpersist()
     ed.unpersist()
     return ranks
+
+
+def harmonic_centrality(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, the centrality they
+    recommend over closeness for disconnected digraphs): for node t,
+
+        H(t) = sum over s != t reaching t of 1 / d(s, t)
+
+    — unreachable pairs contribute 0 naturally, no closeness
+    divide-by-disconnected pathology.  Distances are ALL-PAIRS directed
+    BFS by min-plus relaxation: dist0 = {(s, s, 0)}, then each round
+    ONE join of the current table against the edge list (+1) + ONE
+    partial-agg min groupBy(src, node), ``localCheckpoint`` per round
+    (the pagerank lineage rule).  New pairs only ever appear with their
+    FINAL BFS distance (layer property), and existing pairs never
+    change, so the iteration is MONOTONE and a twin may unroll any
+    fixed round count >= the diameter (the k-core argument).
+
+    The per-node sum folds EXACT integer (distance, count) pairs in
+    sorted distance order — sum(count_d / d) over <= diameter terms —
+    so the float accumulation order is fixed cross-engine (the Shannon
+    ordered-fold pattern).  Eccentricity (max in-distance) rides along
+    as an exact integer.
+
+    At 100 TB this all-pairs shape is for STATISTICS-SIZED subgraphs
+    (the per-host graph, a crawl frontier sample); web-scale harmonic
+    centrality uses HyperBall (Boldi-Vigna HLL sketches over the same
+    round structure — the hll_host_distinct machinery composes here).
+    Returns [node, n_reached, eccentricity, harmonic]."""
+    dist = nodes.select(
+        F.col("node").alias("src"), F.col("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    prev = (-1, -1)
+    for _ in range(max_iter):
+        grown = dist.join(
+            edges.select(F.col("src").alias("node"), F.col("dst")), "node"
+        ).select("src", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionAll(grown)
+            .groupBy("src", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            dist.count(),
+            (dist.agg(F.sum("d")).collect()[0][0] or 0),
+        )
+        if cur == prev:
+            reached = dist.where(F.col("src") != F.col("node"))
+            per_d = reached.groupBy("node", "d").agg(
+                F.count("*").alias("cnt")
+            )
+            return (
+                per_d.groupBy("node")
+                .agg(
+                    F.sum("cnt").alias("n_reached"),
+                    F.max("d").alias("eccentricity"),
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(F.struct("d", "cnt"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc
+                        + s["cnt"].cast("double") / s["d"].cast("double"),
+                    ).alias("h"),
+                )
+                .join(nodes, "node", "right")
+                .select(
+                    "node",
+                    F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+                    F.coalesce("eccentricity", F.lit(0)).alias("eccentricity"),
+                    (F.round(F.coalesce("h", F.lit(0.0)), 6) + F.lit(0.0)).alias(
+                        "harmonic"
+                    ),
+                )
+            )
+        prev = cur
+    raise ValueError(
+        f"harmonic_centrality: no fixpoint within max_iter={max_iter} rounds"
+    )
