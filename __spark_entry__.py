@@ -7071,6 +7071,65 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["harmonic_centrality"] = harmonic_centrality_q
 
+    def betweenness_centrality_q(spark, sf_dir):
+        """Exact directed betweenness (operators/graph.py
+        betweenness_centrality — Freeman 1977 via the Brandes 2001
+        pair-counting identity) over the same 200-node link-graph slice
+        as harmonic_centrality: frontier BFS builds the all-pairs
+        (distance, exact-integer path count) table, BC(v) folds
+        sigma_sv * sigma_vt / sigma_st over sorted (s, t) per v.  The
+        twin unrolls 12 frontier rounds (>= diameter 11) as chained
+        CTEs and folds the identical ordered list."""
+        from tilekiln_spark.operators.graph import betweenness_centrality
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 200)
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % 200).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        nodes = d.select(F.col("doc_id").alias("node"))
+        out = betweenness_centrality(nodes, e)
+        return out.select(
+            F.col("node").cast("long").alias("node"), F.col("betweenness")
+        )
+
+    q["betweenness_centrality"] = betweenness_centrality_q
+
+    def cocitation_q(spark, sf_dir):
+        """Co-citation + bibliographic coupling pair counts
+        (operators/graph.py cocitation_counts — Small 1973 / Kessler
+        1963) over the full deterministic link graph, keeping pairs
+        with either count >= 2 so the result pins the genuinely-shared
+        link structure.  Exact integers; the twin is the same two
+        self-joins in SQL."""
+        from tilekiln_spark.operators.graph import cocitation_counts
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        out = cocitation_counts(e, min_count=2)
+        return out.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("cocite").cast("long").alias("cocite"),
+            F.col("coupling").cast("long").alias("coupling"),
+        )
+
+    q["cocitation"] = cocitation_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -7509,6 +7568,72 @@ def _pagerank_sql(j: int = 8, damping: float = 0.85) -> str:
         SELECT node AS doc_id,
                round(rank * (SELECT n FROM nn), 6) AS norm_rank
         FROM r{j}"""
+    )
+    return "".join(parts)
+
+
+def _betweenness_sql(rounds: int = 12) -> str:
+    """DuckDB replay of operators/graph.betweenness_centrality over the
+    200-node link-graph slice: ``rounds`` unrolled frontier-BFS rounds
+    (each = edge join + sigma sum + anti-join vs reached, the layer
+    property makes any rounds >= diameter exact), then the Brandes
+    pair-counting triple join folding sigma_sv*sigma_vt/sigma_st in
+    sorted (s, t) order per v."""
+    parts = [
+        """WITH d AS MATERIALIZED (
+            SELECT doc_id FROM documents WHERE doc_id < 200
+        ),
+        e AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 200 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        f0 AS MATERIALIZED (
+            SELECT doc_id AS src, doc_id AS node, 0 AS dd,
+                   CAST(1 AS BIGINT) AS sigma
+            FROM d
+        ),
+        r0 AS MATERIALIZED (SELECT * FROM f0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", f{i} AS MATERIALIZED (
+            SELECT src, node, {i} AS dd, sigma FROM (
+                SELECT f.src, e.dst AS node, sum(f.sigma) AS sigma
+                FROM f{i - 1} f JOIN e ON e.src = f.node
+                GROUP BY f.src, e.dst
+            ) g
+            WHERE NOT EXISTS (
+                SELECT 1 FROM r{i - 1} r
+                WHERE r.src = g.src AND r.node = g.node
+            )
+        ), r{i} AS MATERIALIZED (
+            SELECT * FROM r{i - 1} UNION ALL SELECT * FROM f{i}
+        )"""
+        )
+    parts.append(
+        f""", reach AS MATERIALIZED (SELECT * FROM r{rounds}),
+        contrib AS (
+            SELECT vt.src AS v, sv.src AS s, vt.node AS t,
+                   CAST(sv.sigma * vt.sigma AS DOUBLE)
+                   / CAST(st.sigma AS DOUBLE) AS c
+            FROM reach sv
+            JOIN reach vt ON vt.src = sv.node
+            JOIN reach st ON st.src = sv.src AND st.node = vt.node
+            WHERE sv.src <> sv.node AND vt.src <> vt.node
+              AND sv.src <> vt.node
+              AND sv.dd + vt.dd = st.dd
+        ),
+        per_v AS (
+            SELECT v,
+                   list_reduce(list(c ORDER BY s, t), (a, b) -> a + b) AS bc
+            FROM contrib GROUP BY v
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS node,
+               round(coalesce(p.bc, 0.0), 6) + 0.0 AS betweenness
+        FROM d LEFT JOIN per_v p ON p.v = d.doc_id"""
     )
     return "".join(parts)
 
@@ -11825,6 +11950,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(a.eccentricity, 0) AS BIGINT) AS eccentricity,
                round(coalesce(a.h, 0.0), 6) + 0.0 AS harmonic
         FROM d LEFT JOIN agg a ON a.node = d.doc_id
+    """
+
+    # betweenness twin: 12 unrolled frontier-BFS rounds + the Brandes
+    # pair-counting triple join (see _betweenness_sql)
+    o["betweenness_centrality"] = _betweenness_sql(12)
+
+    # co-citation / coupling twin: the same two canonical-pair
+    # self-joins, exact integers, full-outer zero-fill
+    o["cocitation"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + j.j) % (SELECT n FROM nn) AS dst
+                FROM documents CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        co AS (
+            SELECT x.dst AS a, y.dst AS b, count(*) AS cocite
+            FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+            GROUP BY x.dst, y.dst
+        ),
+        bc AS (
+            SELECT x.src AS a, y.src AS b, count(*) AS coupling
+            FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+            GROUP BY x.src, y.src
+        )
+        SELECT CAST(coalesce(co.a, bc.a) AS BIGINT) AS a,
+               CAST(coalesce(co.b, bc.b) AS BIGINT) AS b,
+               CAST(coalesce(cocite, 0) AS BIGINT) AS cocite,
+               CAST(coalesce(coupling, 0) AS BIGINT) AS coupling
+        FROM co FULL OUTER JOIN bc ON co.a = bc.a AND co.b = bc.b
+        WHERE coalesce(cocite, 0) >= 2 OR coalesce(coupling, 0) >= 2
     """
 
     # host-link matrix twin: identical link generator + host rule

@@ -100,3 +100,43 @@ def test_harmonic_centrality_cycle_symmetric(spark):
     for r in rows:
         assert (r.n_reached, r.eccentricity) == (4, 4)
         assert r.harmonic == pytest.approx(exp, abs=1e-6)
+
+
+def test_betweenness_path_and_diamond(spark):
+    """Path 0->1->2->3: the interior nodes each carry 2 full pairs.
+    Diamond 0->{1,2}->3: sigma(0,3)=2 so each middle node gets 0.5."""
+    from tilekiln_spark.operators.graph import betweenness_centrality
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.betweenness for r in betweenness_centrality(nodes, path).collect()}
+    assert out == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+    diamond = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {
+        r.node: r.betweenness
+        for r in betweenness_centrality(nodes, diamond).collect()
+    }
+    assert out == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_cocitation_counts(spark):
+    """s0 and s1 both cite {a, b}: cocite(a,b)=2; a and b share the
+    targets they point at; min_count filters singletons out."""
+    from tilekiln_spark.operators.graph import cocitation_counts
+
+    #  0 -> 10, 0 -> 11, 1 -> 10, 1 -> 11, 2 -> 10   (citers 0,1,2)
+    # 10 -> 20, 10 -> 21, 11 -> 20, 11 -> 21          (coupled 10,11)
+    e = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10),
+         (10, 20), (10, 21), (11, 20), (11, 21)],
+        "src long, dst long",
+    )
+    rows = {
+        (r.a, r.b): (r.cocite, r.coupling)
+        for r in cocitation_counts(e, min_count=2).collect()
+    }
+    assert rows[(10, 11)] == (2, 2)
+    assert (20, 21) in rows and rows[(20, 21)][0] == 2

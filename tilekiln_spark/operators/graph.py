@@ -967,3 +967,149 @@ def harmonic_centrality(
     raise ValueError(
         f"harmonic_centrality: no fixpoint within max_iter={max_iter} rounds"
     )
+
+
+def betweenness_centrality(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Exact directed betweenness centrality (Freeman 1977) by the
+    pair-counting identity Brandes 2001 §3 starts from:
+
+        BC(v) = sum over s != v != t of sigma_st(v) / sigma_st
+        sigma_st(v) = sigma_sv * sigma_vt   iff d(s,v) + d(v,t) = d(s,t)
+
+    — so all that's needed is the all-pairs (distance, path-count)
+    table, and sigma is an EXACT integer (shortest-path counts sum over
+    equal-distance predecessors; bounded by out_deg^diameter, well
+    inside long).  The table is built by FRONTIER BFS: round d joins
+    the distance-(d-1) frontier against the edge list, partial-agg sums
+    sigma per (src, node), and anti-joins the already-reached set —
+    new pairs appear exactly once, at their true distance, with their
+    final count (layer property), so a twin may unroll any fixed round
+    count >= the diameter.
+
+    The centrality sum divides exact integers (IEEE division is
+    deterministic) and folds contributions in sorted (s, t) order per v
+    — the Shannon ordered-fold pattern — so the float is bit-identical
+    cross-engine before the display rounding.
+
+    At 100 TB this exact all-pairs shape is for STATISTICS-SIZED
+    subgraphs (a host graph, a frontier sample); web-scale betweenness
+    uses sampled sources (Brandes-Pich 2007) over the same frontier-BFS
+    rounds — the machinery here IS the per-source pass.
+    Returns [node, betweenness]."""
+    frontier = nodes.select(
+        F.col("node").alias("src"),
+        F.col("node"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    reached = frontier
+    e = edges.select(F.col("src").alias("node"), F.col("dst"))
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e, "node")
+            .groupBy("src", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(reached.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(d).alias("d"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        frontier = nxt
+        reached = reached.unionAll(frontier).localCheckpoint(eager=True)
+    else:
+        raise ValueError(
+            f"betweenness_centrality: BFS not exhausted in max_iter={max_iter}"
+        )
+    sv = reached.select(
+        F.col("src").alias("s"), F.col("node").alias("v"),
+        F.col("d").alias("d1"), F.col("sigma").alias("sig1"),
+    ).where(F.col("s") != F.col("v"))
+    vt = reached.select(
+        F.col("src").alias("v"), F.col("node").alias("t"),
+        F.col("d").alias("d2"), F.col("sigma").alias("sig2"),
+    ).where(F.col("v") != F.col("t"))
+    st = reached.select(
+        F.col("src").alias("s"), F.col("node").alias("t"),
+        F.col("d").alias("d"), F.col("sigma").alias("sig"),
+    )
+    contribs = (
+        sv.join(vt, "v")
+        .where(F.col("s") != F.col("t"))
+        .join(st, ["s", "t"])
+        .where(F.col("d1") + F.col("d2") == F.col("d"))
+        .select(
+            "v", "s", "t",
+            (
+                (F.col("sig1") * F.col("sig2")).cast("double")
+                / F.col("sig").cast("double")
+            ).alias("c"),
+        )
+    )
+    per_v = contribs.groupBy("v").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("s", "t", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("bc")
+    )
+    return nodes.join(per_v, nodes["node"] == per_v["v"], "left").select(
+        "node",
+        (F.round(F.coalesce("bc", F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "betweenness"
+        ),
+    )
+
+
+def cocitation_counts(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """Co-citation (Small 1973) and bibliographic coupling (Kessler
+    1963) pair counts over a directed link graph:
+
+        cocite(a, b)   = |{ s : s -> a AND s -> b }|   (shared citers)
+        coupling(a, b) = |{ t : a -> t AND b -> t }|   (shared targets)
+
+    Each is ONE self-equi-join on the shared endpoint + a partial-agg
+    count — the classical link-based similarity signals web IR built
+    before PageRank, and still the cheapest related-page candidates.
+    Pairs are canonical (a < b); the two tables full-outer-merge with
+    zero fill, keeping pairs where either count >= min_count.  Exact
+    integers throughout — no float order anywhere.
+
+    Scale: both joins key on a single node id (the citing page for
+    co-citation, the cited page for coupling); hub pages with huge
+    degree quadratically explode their bucket, so production runs cap
+    or sample per-key degree first (the host_cap pattern).  No
+    all-pairs stage ever materializes.
+    Returns [a, b, cocite, coupling]."""
+    ded = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    co = (
+        ded.alias("x")
+        .join(ded.alias("y"), F.col("x.src") == F.col("y.src"))
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(
+            F.col("x.dst").alias("a"), F.col("y.dst").alias("b")
+        )
+        .agg(F.count("*").alias("cocite"))
+    )
+    bc = (
+        ded.alias("x")
+        .join(ded.alias("y"), F.col("x.dst") == F.col("y.dst"))
+        .where(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("a"), F.col("y.src").alias("b")
+        )
+        .agg(F.count("*").alias("coupling"))
+    )
+    return (
+        co.join(bc, ["a", "b"], "full_outer")
+        .select(
+            "a", "b",
+            F.coalesce("cocite", F.lit(0)).alias("cocite"),
+            F.coalesce("coupling", F.lit(0)).alias("coupling"),
+        )
+        .where(
+            (F.col("cocite") >= min_count) | (F.col("coupling") >= min_count)
+        )
+    )
