@@ -7130,6 +7130,20 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["cocitation"] = cocitation_q
 
+    def collocations_q(spark, sf_dir):
+        """PMI + t-score bigram collocations (functions/text.py
+        collocations — Church & Hanks 1990) over the documents corpus
+        at min_count=5: exact integer count tables, one closed-form
+        float expression per statistic written identically in the
+        twin."""
+        from tilekiln_spark.functions.text import collocations
+
+        return collocations(_docs(spark, sf_dir), min_count=5).select(
+            "w1", "w2", F.col("c12").cast("long").alias("c12"), "pmi", "t_score"
+        )
+
+    q["collocations"] = collocations_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -11955,6 +11969,43 @@ def oracle_sql() -> dict[str, str]:
     # betweenness twin: 12 unrolled frontier-BFS rounds + the Brandes
     # pair-counting triple join (see _betweenness_sql)
     o["betweenness_centrality"] = _betweenness_sql(12)
+
+    # collocations twin: shared regexp tokenizer, pos+1 self-join
+    # bigrams, the identical closed-form PMI / t-score expressions
+    o["collocations"] = r"""
+        WITH da AS MATERIALIZED (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM documents WHERE trim(text) != ''
+        ),
+        tok AS MATERIALIZED (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+            FROM da
+        ),
+        uni AS MATERIALIZED (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        bi AS MATERIALIZED (
+            SELECT t1.w AS w1, t2.w AS w2
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ),
+        nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi),
+        c12t AS (
+            SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+            HAVING count(*) >= 5
+        )
+        SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS c12,
+               round(log2((CAST(c.c12 AS DOUBLE) * tt.t * tt.t)
+                          / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                             * nbt.nb)), 6) + 0.0 AS pmi,
+               round((CAST(c.c12 AS DOUBLE)
+                      - nbt.nb * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)
+                        / (tt.t * tt.t))
+                     / sqrt(CAST(c.c12 AS DOUBLE)), 6) + 0.0 AS t_score
+        FROM c12t c
+        JOIN uni u1 ON u1.w = c.w1
+        JOIN uni u2 ON u2.w = c.w2
+        CROSS JOIN tt CROSS JOIN nbt
+    """
 
     # co-citation / coupling twin: the same two canonical-pair
     # self-joins, exact integers, full-outer zero-fill

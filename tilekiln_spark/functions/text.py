@@ -476,3 +476,64 @@ def term_dispersion(df, k: int = 40, text_col: str = "text", id_col: str = "doc_
             "burstiness"
         ),
     )
+
+
+def collocations(df, min_count: int = 5, text_col: str = "text"):
+    """PMI + t-score collocation extraction (Church & Hanks 1990;
+    Manning & Schütze ch. 5) over adjacent token bigrams:
+
+        PMI(w1, w2) = log2( p(w1 w2) / (p(w1) p(w2)) )
+                    = log2( (c12 * T * T) / (c1 * c2 * Nb) )
+        t(w1, w2)   = (c12 - E) / sqrt(c12),  E = Nb * c1 * c2 / T^2
+
+    with c(w) over the T-token unigram stream and c12 over the
+    Nb-bigram stream (tokenization = operators/dedup._tokens, the
+    shared lower+whitespace stream the LM and MinHash see).  Both
+    statistics are ONE closed-form expression over exact integer
+    counts — written identically in the DuckDB twin so the only float
+    ops are the same-ordered multiply/divide/log2/sqrt — and the
+    min_count floor makes the returned SET purely structural.
+
+    Scale: two partial-agg groupBys (token, bigram) + two joins keyed
+    on a single word — the vocab_topk/LM-training shape; nothing
+    all-pairs, no driver data.  Returns [w1, w2, c12, pmi, t_score]
+    for bigrams with c12 >= min_count."""
+    from tilekiln_spark.functions.lm import _bigram_pairs
+    from tilekiln_spark.operators.dedup import _tokens
+
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    t_total = toks.count()
+    bi = (
+        df.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    n_bi = bi.count()
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).where(
+        F.col("c12") >= min_count
+    )
+    j = (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    T = F.lit(float(t_total))
+    Nb = F.lit(float(n_bi))
+    e = Nb * F.col("c1").cast("double") * F.col("c2").cast("double") / (T * T)
+    pmi = F.log2(
+        (F.col("c12").cast("double") * T * T)
+        / (F.col("c1").cast("double") * F.col("c2").cast("double") * Nb)
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "c12",
+        (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
+        (
+            F.round(
+                (F.col("c12").cast("double") - e)
+                / F.sqrt(F.col("c12").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("t_score"),
+    )
