@@ -7144,6 +7144,34 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["collocations"] = collocations_q
 
+    def simrank_q(spark, sf_dir):
+        """SimRank (operators/graph.py simrank — Jeh & Widom 2002, c=0.8,
+        5 iterations) over a 60-node slice of the deterministic link
+        graph: sparse pair-table iteration, sorted (i, j) contribution
+        fold, identity diagonal.  The twin unrolls the identical five
+        rounds as chained CTEs."""
+        from tilekiln_spark.operators.graph import simrank
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % 60).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        nodes = d.select(F.col("doc_id").alias("node"))
+        out = simrank(nodes, e, c=0.8, iterations=5)
+        return out.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("s"),
+        )
+
+    q["simrank"] = simrank_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -7648,6 +7676,61 @@ def _betweenness_sql(rounds: int = 12) -> str:
         SELECT CAST(d.doc_id AS BIGINT) AS node,
                round(coalesce(p.bc, 0.0), 6) + 0.0 AS betweenness
         FROM d LEFT JOIN per_v p ON p.v = d.doc_id"""
+    )
+    return "".join(parts)
+
+
+def _simrank_sql(iters: int = 5, c: float = 0.8) -> str:
+    """DuckDB replay of operators/graph.simrank over the 60-node
+    link-graph slice: ``iters`` unrolled rounds, each the same
+    in-edge double join + sorted (i, j) list_reduce fold + the
+    identically-written c/(da*db) scale, diagonal re-unioned per
+    round."""
+    parts = [
+        """WITH d AS MATERIALIZED (
+            SELECT doc_id FROM documents WHERE doc_id < 60
+        ),
+        e AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 60 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        rev AS MATERIALIZED (
+            SELECT DISTINCT dst AS a, src AS i FROM e WHERE dst <> src
+        ),
+        deg AS MATERIALIZED (SELECT a, count(*) AS dg FROM rev GROUP BY a),
+        s0 AS MATERIALIZED (
+            SELECT doc_id AS i, doc_id AS j, 1.0 AS s FROM d
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", c{k} AS MATERIALIZED (
+            SELECT ra.a AS a, rb.a AS b,
+                   list_reduce(list(p.s ORDER BY p.i, p.j),
+                               (x, y) -> x + y) AS ssum
+            FROM s{k - 1} p
+            JOIN rev ra ON ra.i = p.i
+            JOIN rev rb ON rb.i = p.j
+            WHERE ra.a <> rb.a
+            GROUP BY ra.a, rb.a
+        ), s{k} AS MATERIALIZED (
+            SELECT doc_id AS i, doc_id AS j, 1.0 AS s FROM d
+            UNION ALL
+            SELECT cc.a, cc.b,
+                   {c} / CAST(da.dg * db.dg AS DOUBLE) * cc.ssum
+            FROM c{k} cc
+            JOIN deg da ON da.a = cc.a
+            JOIN deg db ON db.a = cc.b
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(i AS BIGINT) AS a, CAST(j AS BIGINT) AS b,
+               round(s, 6) + 0.0 AS s
+        FROM s{iters} WHERE i < j"""
     )
     return "".join(parts)
 
@@ -12006,6 +12089,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni u2 ON u2.w = c.w2
         CROSS JOIN tt CROSS JOIN nbt
     """
+
+    # simrank twin: five unrolled sparse-pair rounds (see _simrank_sql)
+    o["simrank"] = _simrank_sql(5, 0.8)
 
     # co-citation / coupling twin: the same two canonical-pair
     # self-joins, exact integers, full-outer zero-fill

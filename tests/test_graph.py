@@ -140,3 +140,20 @@ def test_cocitation_counts(spark):
     }
     assert rows[(10, 11)] == (2, 2)
     assert (20, 21) in rows and rows[(20, 21)][0] == 2
+
+
+def test_simrank_shared_citer_chain(spark):
+    """s -> {a, b} gives s(a,b) = c = 0.8 from round 1 on; a -> c,
+    b -> d propagates s(c,d) = c * s(a,b) = 0.64 from round 2 on;
+    pairs with no in-neighbor overlap structure never appear."""
+    from tilekiln_spark.operators.graph import simrank
+
+    #  0 -> 1, 0 -> 2 (shared citer), 1 -> 3, 2 -> 4 (chain)
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 4)], "src long, dst long"
+    )
+    out = {(r.a, r.b): r.s for r in simrank(nodes, edges, iterations=5).collect()}
+    assert out[(1, 2)] == 0.8
+    assert out[(3, 4)] == pytest.approx(0.64, abs=1e-9)
+    assert (1, 3) not in out and (0, 1) not in out
