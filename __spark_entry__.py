@@ -7172,6 +7172,53 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["simrank"] = simrank_q
 
+    def minimum_spanning_forest(spark, sf_dir):
+        """Distributed Borůvka MSF (operators/graph.py boruvka_msf)
+        over a 120-node undirected slice of the link graph with unique
+        integer weights w = ((u*13 + v*29) % 211)*100000 + u*300 + v.
+        Unique weights make the forest UNIQUE, so the twin verifies by
+        the CUT PROPERTY — an edge is in the forest iff its endpoints
+        are disconnected under strictly lighter edges (a recursive-CTE
+        reachability per edge) — an independent algorithm agreeing on
+        the same exact-integer edge set."""
+        from tilekiln_spark.operators.graph import boruvka_msf
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+        raw = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % 120).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        e = (
+            raw.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+            .select(
+                "u",
+                "v",
+                (
+                    ((F.col("u") * 13 + F.col("v") * 29) % 211) * 100000
+                    + F.col("u") * 300
+                    + F.col("v")
+                ).alias("w"),
+            )
+        )
+        nodes = d.select(F.col("doc_id").alias("node"))
+        out = boruvka_msf(nodes, e)
+        return out.select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+
+    q["minimum_spanning_forest"] = minimum_spanning_forest
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12092,6 +12139,48 @@ def oracle_sql() -> dict[str, str]:
 
     # simrank twin: five unrolled sparse-pair rounds (see _simrank_sql)
     o["simrank"] = _simrank_sql(5, 0.8)
+
+    # MSF twin: the CUT PROPERTY on unique weights — edge in forest iff
+    # endpoints disconnected under strictly lighter edges (per-edge
+    # recursive reachability); independent of the Borůvka rounds
+    o["minimum_spanning_forest"] = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        raw AS (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 120 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        e AS MATERIALIZED (
+            SELECT u, v,
+                   ((u * 13 + v * 29) % 211) * 100000 + u * 300 + v AS w
+            FROM (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw
+            )
+        ),
+        und AS MATERIALIZED (
+            SELECT u AS a, v AS b, w FROM e
+            UNION ALL SELECT v AS a, u AS b, w FROM e
+        ),
+        eid AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY w) AS id, u, v, w FROM e
+        ),
+        reach(id, wcap, node) AS (
+            SELECT id, w, u FROM eid
+            UNION
+            SELECT r.id, r.wcap, l.b
+            FROM reach r JOIN und l ON l.a = r.node AND l.w < r.wcap
+        )
+        SELECT CAST(x.u AS BIGINT) AS u, CAST(x.v AS BIGINT) AS v,
+               CAST(x.w AS BIGINT) AS w
+        FROM eid x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM reach r WHERE r.id = x.id AND r.node = x.v
+        )
+    """
 
     # co-citation / coupling twin: the same two canonical-pair
     # self-joins, exact integers, full-outer zero-fill

@@ -157,3 +157,24 @@ def test_simrank_shared_citer_chain(spark):
     assert out[(1, 2)] == 0.8
     assert out[(3, 4)] == pytest.approx(0.64, abs=1e-9)
     assert (1, 3) not in out and (0, 1) not in out
+
+
+def test_boruvka_msf_known_tree_and_forest(spark):
+    """Square + diagonal: the three lightest acyclic edges win; a
+    disconnected pair yields a forest with one edge per component."""
+    from tilekiln_spark.operators.graph import boruvka_msf
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (2, 3, 3), (0, 3, 10), (0, 2, 4)],
+        "u long, v long, w long",
+    )
+    got = sorted((r.u, r.v, r.w) for r in boruvka_msf(nodes, edges).collect())
+    assert got == [(0, 1, 1), (1, 2, 2), (2, 3, 3)]
+
+    nodes2 = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    forest = spark.createDataFrame(
+        [(0, 1, 5), (2, 3, 7)], "u long, v long, w long"
+    )
+    got2 = sorted((r.u, r.v, r.w) for r in boruvka_msf(nodes2, forest).collect())
+    assert got2 == [(0, 1, 5), (2, 3, 7)]

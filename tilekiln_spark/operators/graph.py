@@ -1192,3 +1192,93 @@ def simrank(
             (F.round("s", 6) + F.lit(0.0)).alias("s"),
         )
     )
+
+
+def boruvka_msf(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka (1926; the
+    MapReduce MST of Lattanzi et al. 2011): every round each component
+    picks its minimum incident cross-edge (min over the exact
+    ``struct(w, u, v)`` — lexicographic, so ties break on the edge ids
+    and the chosen set is deterministic), the chosen edges join the
+    forest, and components contract by connected-components over the
+    chosen component-graph (the dedup large-star/small-star operator —
+    O(log^2) rounds, diameter-proof).  Component count at least halves
+    per round, so <= log2(V) rounds total.
+
+    With DISTINCT weights the MSF is UNIQUE, which is what makes an
+    independent twin possible: the cut property says (u, v, w) is in
+    the forest iff u cannot reach v using strictly lighter edges — the
+    DuckDB oracle checks exactly that, a genuinely different algorithm
+    agreeing on the same edge set.  All-integer weights: no float
+    anywhere.
+
+    Scale shape per round: one edge×labels double join (keyed on the
+    edge endpoints), one partial-agg struct-min groupBy(component),
+    then the contraction on the CHOSEN edges only (<= one per
+    component, a vanishing fraction of E).  Edges: (u, v, w) canonical
+    u < v with unique w (pre-encode ties as w*K + id if needed).
+    Returns the forest edge list [u, v, w]."""
+    e = edges.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        F.col("w").cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    comp = nodes.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("node").cast("long").alias("comp"),
+    ).localCheckpoint(eager=True)
+    msf = nodes.sparkSession.createDataFrame([], "u long, v long, w long")
+    from tilekiln_spark.operators.dedup import connected_components
+
+    for _ in range(max_rounds):
+        ec = (
+            e.join(
+                comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")),
+                "v",
+            )
+            .where(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if not ec.take(1):
+            return msf
+        cand = ec.select(F.col("cu").alias("c"), F.struct("w", "u", "v").alias("e")).unionAll(
+            ec.select(F.col("cv").alias("c"), F.struct("w", "u", "v").alias("e"))
+        )
+        chosen = (
+            cand.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.u", "e.v", "e.w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        msf = msf.unionAll(chosen).localCheckpoint(eager=True)
+        ce = (
+            chosen.join(
+                comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")),
+                "v",
+            )
+            .select("cu", "cv")
+        )
+        labels = connected_components(ce, "cu", "cv")
+        comp = (
+            comp.join(
+                labels.select(
+                    F.col("node").alias("comp"), F.col("component").alias("nc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("nc", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    raise ValueError(f"boruvka_msf: not converged in max_rounds={max_rounds}")
