@@ -7219,6 +7219,46 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["minimum_spanning_forest"] = minimum_spanning_forest
 
+    def phrase_search_q(spark, sf_dir):
+        """Positional phrase search (operators/retrieval.py
+        phrase_search — IIR §2.4.2) for 'query big part' over the
+        documents corpus: pre-explode term filter, (doc, pos) postings
+        intersection, exact integer counts."""
+        from tilekiln_spark.operators.retrieval import phrase_search
+
+        out = phrase_search(
+            _docs(spark, sf_dir), ["query", "big", "part"]
+        )
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+
+    q["phrase_search"] = phrase_search_q
+
+    def fuzzy_url_pairs(spark, sf_dir):
+        """SymSpell deletion-neighborhood fuzzy join (operators/dedup.py
+        ed1_pairs — Garbe 2012 / FastSS) over lang-slug strings
+        ('<lang>-p<doc_id>', the URL path segments of the messy fixture):
+        candidates from ONE equi-join on single-deletion variants,
+        verified by exact levenshtein <= 1 — digit substitutions and
+        insertions pair up within a language, cross-language slugs stay
+        distance 2.  Exact integers; the twin builds the identical
+        variant sets in SQL."""
+        from tilekiln_spark.operators.dedup import ed1_pairs
+
+        slugs = _docs(spark, sf_dir).select(
+            F.concat(
+                F.col("lang"), F.lit("-p"), F.col("doc_id").cast("string")
+            ).alias("slug")
+        )
+        return ed1_pairs(slugs, "slug").select(
+            "s1", "s2", F.col("dist").cast("long").alias("dist")
+        )
+
+    q["fuzzy_url_pairs"] = fuzzy_url_pairs
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12139,6 +12179,53 @@ def oracle_sql() -> dict[str, str]:
 
     # simrank twin: five unrolled sparse-pair rounds (see _simrank_sql)
     o["simrank"] = _simrank_sql(5, 0.8)
+
+    # phrase-search twin: shared tokenizer, 1-based positions, the same
+    # (doc, pos) postings intersection
+    o["phrase_search"] = r"""
+        WITH da AS MATERIALIZED (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+            FROM documents WHERE trim(text) != ''
+        ),
+        tok AS MATERIALIZED (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+            FROM da
+        ),
+        hits AS (
+            SELECT t1.doc_id, t1.pos
+            FROM tok t1
+            JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+            JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+            WHERE t1.w = 'query' AND t2.w = 'big' AND t3.w = 'part'
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id
+    """
+
+    # fuzzy-join twin: identical deletion-variant construction + the
+    # same levenshtein verify
+    o["fuzzy_url_pairs"] = """
+        WITH base AS MATERIALIZED (
+            SELECT DISTINCT lang || '-p' || CAST(doc_id AS VARCHAR) AS s
+            FROM documents
+        ),
+        var AS MATERIALIZED (
+            SELECT DISTINCT s,
+                   CASE WHEN t.i = 0 THEN s
+                        ELSE substr(s, 1, t.i - 1) || substr(s, t.i + 1)
+                   END AS v
+            FROM base, unnest(range(0, length(s) + 1)) AS t(i)
+        ),
+        cand AS (
+            SELECT DISTINCT x.s AS s1, y.s AS s2
+            FROM var x JOIN var y ON x.v = y.v
+            WHERE x.s < y.s
+        )
+        SELECT s1, s2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(s1, s2) <= 1
+    """
 
     # MSF twin: the CUT PROPERTY on unique weights — edge in forest iff
     # endpoints disconnected under strictly lighter edges (per-edge

@@ -14,3 +14,40 @@ def test_collocations_hand_values(spark):
     assert ab.pmi == round(math.log2(32 / 12), 6)
     assert ab.t_score == round((2 - 0.75) / math.sqrt(2), 6)
     assert rows[("b", "a")].c12 == 1
+
+
+def test_phrase_search_positions_and_counts(spark):
+    """Phrase at start, repeated, overlapping-adjacent; absent term
+    sequences match nothing."""
+    from tilekiln_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data rocks big data rocks"),
+            (2, "data big rocks"),
+            (3, "x big data y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["big", "data"]).collect()
+    }
+    assert out == {1: (2, 1), 3: (1, 2)}
+
+
+def test_ed1_pairs_classes(spark):
+    """Substitution, deletion, and insertion pairs found; distance-2
+    pairs (incl. transpositions sharing a variant) filtered out."""
+    from tilekiln_spark.operators.dedup import ed1_pairs
+
+    df = spark.createDataFrame(
+        [("cat",), ("cut",), ("cats",), ("at",), ("act",), ("dog",)],
+        "s string",
+    )
+    got = sorted((r.s1, r.s2, r.dist) for r in ed1_pairs(df, "s").collect())
+    assert ("cat", "cut", 1) in got          # substitution
+    assert ("at", "cat", 1) in got           # insertion
+    assert ("cat", "cats", 1) in got         # deletion
+    assert not any({a, b} == {"act", "cat"} for a, b, _ in got)  # transposition = 2
+    assert not any("dog" in (a, b) for a, b, _ in got)

@@ -803,3 +803,51 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def ed1_pairs(df: DataFrame, col: str = "s") -> DataFrame:
+    """Edit-distance-<=1 string pairs by the SymSpell deletion-
+    neighborhood join (Garbe 2012; the delete-only variant of the
+    FastSS k-deletion index, Bocek et al. 2007): every distinct string
+    emits itself plus its |s| single-character-deletion variants, pairs
+    sharing ANY variant become candidates via one equi-join on the
+    variant string, and one exact ``levenshtein`` call verifies — a
+    substitution pair shares the deletion at the substituted position,
+    an insertion/deletion pair shares the shorter string itself, so
+    recall is total; transposition-style distance-2 pairs that sneak in
+    through a shared variant are killed by the verify.
+
+    This is the fuzzy-matching analogue of the MinHash band join:
+    candidates come from an EQUI-join on a derived key (shuffle keyed
+    on the variant, never all-pairs N^2 levenshtein), and the exact
+    metric runs only on the candidate set.  Variant blowup is |s| + 1
+    rows per string — bounded, map-only, codegen (substring concat over
+    a posexploded index).  Exact integers; no floats.
+    Returns [s1, s2, dist] with s1 < s2 and dist <= 1."""
+    base = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    var = base.select(
+        "s",
+        F.explode(F.sequence(F.lit(0), F.length("s"))).alias("i"),
+    ).select(
+        "s",
+        F.when(F.col("i") == 0, F.col("s"))
+        .otherwise(
+            F.concat(
+                F.col("s").substr(F.lit(1), F.col("i") - F.lit(1)),
+                F.col("s").substr(
+                    F.col("i") + F.lit(1), F.length("s") - F.col("i")
+                ),
+            )
+        )
+        .alias("v"),
+    ).distinct()
+    cand = (
+        var.alias("x")
+        .join(var.alias("y"), F.col("x.v") == F.col("y.v"))
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("s1"), F.col("y.s").alias("s2"))
+        .distinct()
+    )
+    return cand.select(
+        "s1", "s2", F.levenshtein("s1", "s2").alias("dist")
+    ).where(F.col("dist") <= 1)

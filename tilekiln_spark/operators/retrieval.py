@@ -148,3 +148,50 @@ def tfidf_keywords(
         .filter(F.col("pos") <= F.lit(int(n_keywords)))
         .select(id_col, "term", "score", F.col("pos").cast("int").alias("pos"))
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over positional postings — the inverted-
+    index primitive BM25 can't express (term adjacency, 'slow hash
+    batch' as one unit, Manning/Raghavan/Schütze IIR §2.4.2).
+
+    Positions are 1-based token offsets in the shared dedup._tokens
+    stream.  The plan is the classical positional-postings
+    intersection: posexplode the token array once, keep ONLY rows whose
+    term is in the phrase (the BM25 pre-explode filter trick bounds the
+    explode), then one equi-join per subsequent term on
+    (doc, start_pos) — term k must sit at start + k, so each join is
+    keyed on the composite (doc, pos) and Catalyst plans |phrase| - 1
+    hash joins whose build sides shrink monotonically (the rarest-first
+    optimization is a column-stat reorder away).  Exact integers only.
+
+    At 100 TB the postings frame is the thing you persist bucketed by
+    term (the bm25 inverted index); each phrase query then touches
+    |phrase| posting buckets, never the corpus.
+    Returns [doc_id, n_matches, first_pos] for docs containing the
+    phrase."""
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    from tilekiln_spark.operators.dedup import _tokens
+
+    terms = [t.lower() for t in phrase]
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("p0", "w"),
+    ).where(F.col("w").isin(terms)).select(
+        id_col, (F.col("p0") + 1).alias("pos"), "w"
+    )
+    hits = tok.where(F.col("w") == terms[0]).select(id_col, "pos")
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = tok.where(F.col("w") == t).select(
+            id_col, (F.col("pos") - k).alias("pos")
+        )
+        hits = hits.join(nxt, [id_col, "pos"])
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_matches"), F.min("pos").alias("first_pos")
+    )
