@@ -7259,6 +7259,43 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["fuzzy_url_pairs"] = fuzzy_url_pairs
 
+    def cluster_st_dbscan(spark, sf_dir):
+        """ST-DBSCAN (operators/dbscan.py st_dbscan — Birant & Kut 2007)
+        over a designed space-time fixture: three 20-point chains — two
+        sharing LOCATIONS but 1000 s apart (time separates), one
+        co-temporal but 500 m away (space separates) — plus 10 isolated
+        noise points.  eps=15, eps_t=20, min_pts=3: chain interiors are
+        cores, chain ends are borders, noise is NULL.  The twin
+        recomputes the cylinder graph by brute cross join + recursive
+        min-reachability — different algorithm, one answer."""
+        from tilekiln_spark.operators.dbscan import st_dbscan
+
+        i = F.col("id")
+        grp = F.floor(i / 20).cast("long")
+        j = (i % 20).cast("double")
+        pts = spark.range(70).select(
+            i.alias("pid"),
+            F.when(grp == 3, F.lit(100000.0) + j * 5000.0)
+            .otherwise(j * 10.0)
+            .alias("mx"),
+            F.when(grp == 2, F.lit(500.0))
+            .when(grp == 3, F.lit(-800.0))
+            .otherwise(F.lit(0.0))
+            .alias("my"),
+            F.when(grp == 1, F.lit(1000.0) + j * 5.0)
+            .when(grp == 3, j * 37.0)
+            .otherwise(j * 5.0)
+            .alias("t"),
+        )
+        out = st_dbscan(pts, eps=15.0, eps_t=20.0, min_pts=3, key_col="pid")
+        return out.select(
+            F.col("pid").cast("long").alias("pid"),
+            "is_core",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+
+    q["cluster_st_dbscan"] = cluster_st_dbscan
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12179,6 +12216,61 @@ def oracle_sql() -> dict[str, str]:
 
     # simrank twin: five unrolled sparse-pair rounds (see _simrank_sql)
     o["simrank"] = _simrank_sql(5, 0.8)
+
+    # ST-DBSCAN twin: brute-force cylinder graph + recursive min-
+    # reachability components (the cluster_dbscan twin pattern with the
+    # |dt| <= eps_t conjunct)
+    o["cluster_st_dbscan"] = """
+        WITH RECURSIVE pts AS (
+            SELECT i AS pid,
+                   CASE WHEN i // 20 = 3 THEN 100000.0 + (i % 20) * 5000.0
+                        ELSE (i % 20) * 10.0 END AS mx,
+                   CASE WHEN i // 20 = 2 THEN 500.0
+                        WHEN i // 20 = 3 THEN -800.0 ELSE 0.0 END AS my,
+                   CASE WHEN i // 20 = 1 THEN 1000.0 + (i % 20) * 5.0
+                        WHEN i // 20 = 3 THEN (i % 20) * 37.0
+                        ELSE (i % 20) * 5.0 END AS t
+            FROM range(70) r(i)
+        ),
+        pairs AS (
+            SELECT a.pid AS a_id, b.pid AS b_id
+            FROM pts a JOIN pts b ON a.pid != b.pid
+             AND (a.mx - b.mx) * (a.mx - b.mx)
+               + (a.my - b.my) * (a.my - b.my) <= 225.0
+             AND abs(a.t - b.t) <= 20.0
+        ),
+        deg AS (SELECT a_id, count(*) AS n FROM pairs GROUP BY 1),
+        lbl AS (
+            SELECT p.pid, COALESCE(d.n, 0) + 1 >= 3 AS is_core
+            FROM pts p LEFT JOIN deg d ON d.a_id = p.pid
+        ),
+        cedges AS (
+            SELECT p.a_id AS a, p.b_id AS b FROM pairs p
+            JOIN lbl la ON la.pid = p.a_id AND la.is_core
+            JOIN lbl lb ON lb.pid = p.b_id AND lb.is_core
+        ),
+        walk(src, dst) AS (
+            SELECT pid, pid FROM lbl WHERE is_core
+            UNION
+            SELECT w.src, e.b FROM walk w JOIN cedges e ON e.a = w.dst
+        ),
+        core_lbl AS (
+            SELECT src AS pid, MIN(dst) AS cluster_id FROM walk GROUP BY 1
+        ),
+        border AS (
+            SELECT p.a_id AS pid, MIN(c.cluster_id) AS cluster_id
+            FROM pairs p
+            JOIN lbl la ON la.pid = p.a_id AND NOT la.is_core
+            JOIN core_lbl c ON c.pid = p.b_id
+            GROUP BY 1
+        )
+        SELECT CAST(l.pid AS BIGINT) AS pid, l.is_core,
+               CAST(COALESCE(cl.cluster_id, bl.cluster_id) AS BIGINT)
+                   AS cluster_id
+        FROM lbl l
+        LEFT JOIN core_lbl cl ON cl.pid = l.pid
+        LEFT JOIN border bl ON bl.pid = l.pid
+    """
 
     # phrase-search twin: shared tokenizer, 1-based positions, the same
     # (doc, pos) postings intersection

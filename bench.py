@@ -195,6 +195,16 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "od_flows",
         "anchor_texts",
         "host_links",
+        # corpus-scale round-4 additions: collocation statistics (full
+        # token + bigram count tables), positional phrase intersection,
+        # the SymSpell deletion-variant fuzzy join, and the co-citation
+        # pair rollup.  The bounded-fixture iterative graph ops
+        # (harmonic/betweenness/simrank/MSF) are deliberately NOT
+        # benched — same driver-overhead rationale as service_areas.
+        "collocations",
+        "phrase_search",
+        "fuzzy_url_pairs",
+        "cocitation",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python

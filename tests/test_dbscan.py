@@ -62,3 +62,32 @@ def test_dbscan_eps_boundary_inclusive(spark):
     # cluster label = min CORE id (1 is the only core)
     assert out[1] == (True, 1)          # sees both ends at exactly eps
     assert out[0] == (False, 1) and out[2] == (False, 1)  # borders
+
+
+def test_st_dbscan_time_and_space_separation(spark):
+    """Two bursts at identical coordinates 1000 s apart form TWO
+    clusters (plain DBSCAN would merge them); a co-temporal chain 500 m
+    away is its own cluster; isolated points are noise."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.dbscan import st_dbscan
+
+    i = F.col("id")
+    grp = F.floor(i / 20).cast("long")
+    j = (i % 20).cast("double")
+    pts = spark.range(70).select(
+        i.alias("pid"),
+        F.when(grp == 3, F.lit(100000.0) + j * 5000.0).otherwise(j * 10.0).alias("mx"),
+        F.when(grp == 2, F.lit(500.0)).when(grp == 3, F.lit(-800.0))
+        .otherwise(F.lit(0.0)).alias("my"),
+        F.when(grp == 1, F.lit(1000.0) + j * 5.0).when(grp == 3, j * 37.0)
+        .otherwise(j * 5.0).alias("t"),
+    )
+    out = {r.pid: (r.is_core, r.cluster_id)
+           for r in st_dbscan(pts, 15.0, 20.0, 3, key_col="pid").collect()}
+    # chain interiors are cores labeled by the min core id; ends are borders
+    assert out[0] == (False, 1) and out[1] == (True, 1) and out[19] == (False, 1)
+    assert out[21] == (True, 21) and out[20] == (False, 21)
+    assert out[41] == (True, 41)
+    assert {out[k][1] for k in range(60, 70)} == {None}
+    assert {v[1] for k, v in out.items() if k < 20} == {1}
