@@ -7296,6 +7296,37 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["cluster_st_dbscan"] = cluster_st_dbscan
 
+    def containment_snippets(spark, sf_dir):
+        """Asymmetric shingle containment (operators/dedup.py
+        containment_pairs — Broder 1997) over documents plus derived
+        40-token snippets (doc_id + 100000 for doc_id % 10 == 0): a
+        snippet is CONTAINED in its source (cont_a ~ 1.0) while the
+        Jaccard stays low — the pair resemblance dedup misses.
+        Inverted-index candidates with the df <= 50 boilerplate cut,
+        min_shared = 3."""
+        from tilekiln_spark.operators.dedup import _tokens, containment_pairs
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        snip = d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(_tokens(F.col("text")), 1, 40), " ").alias(
+                "text"
+            ),
+        )
+        out = containment_pairs(
+            d.unionByName(snip), k=3, min_shared=3, max_df=50
+        )
+        return out.select(
+            F.col("key_a").cast("long").alias("key_a"),
+            F.col("key_b").cast("long").alias("key_b"),
+            F.col("shared").cast("long").alias("shared"),
+            "cont_a",
+            "cont_b",
+            "jaccard",
+        )
+
+    q["containment_snippets"] = containment_snippets
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12270,6 +12301,57 @@ def oracle_sql() -> dict[str, str]:
         FROM lbl l
         LEFT JOIN core_lbl cl ON cl.pid = l.pid
         LEFT JOIN border bl ON bl.pid = l.pid
+    """
+
+    # containment twin: identical snippet construction + shingle
+    # inverted index with the same df cut and exact-integer counts
+    o["containment_snippets"] = r"""
+        WITH corpus2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   array_to_string(
+                       regexp_split_to_array(lower(trim(text)), '\s+')[1:40],
+                       ' ')
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        shingled AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS sh
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM corpus2
+            ) WHERE len(toks) >= 3
+        ),
+        post AS MATERIALIZED (
+            SELECT doc_id AS doc, unnest(sh) AS s FROM shingled
+        ),
+        sizes AS (SELECT doc, count(*) AS sz FROM post GROUP BY doc),
+        rare AS MATERIALIZED (
+            SELECT doc, s FROM post
+            WHERE s IN (SELECT s FROM post GROUP BY s HAVING count(*) <= 50)
+        ),
+        pairs AS (
+            SELECT x.doc AS key_a, y.doc AS key_b, count(*) AS shared
+            FROM rare x JOIN rare y ON x.s = y.s AND x.doc < y.doc
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT CAST(p.key_a AS BIGINT) AS key_a,
+               CAST(p.key_b AS BIGINT) AS key_b,
+               CAST(p.shared AS BIGINT) AS shared,
+               round(CAST(p.shared AS DOUBLE) / CAST(a.sz AS DOUBLE), 6)
+                   + 0.0 AS cont_a,
+               round(CAST(p.shared AS DOUBLE) / CAST(b.sz AS DOUBLE), 6)
+                   + 0.0 AS cont_b,
+               round(CAST(p.shared AS DOUBLE)
+                     / CAST(a.sz + b.sz - p.shared AS DOUBLE), 6)
+                   + 0.0 AS jaccard
+        FROM pairs p
+        JOIN sizes a ON a.doc = p.key_a
+        JOIN sizes b ON b.doc = p.key_b
     """
 
     # phrase-search twin: shared tokenizer, 1-based positions, the same

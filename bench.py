@@ -205,6 +205,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "phrase_search",
         "fuzzy_url_pairs",
         "cocitation",
+        "containment_snippets",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python

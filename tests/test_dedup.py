@@ -78,3 +78,24 @@ def test_cluster_safe_split_never_straddles(spark):
     # determinism: rerun is identical
     again = cluster_safe_split(df, holdout_fraction=0.5, seed=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_containment_pairs_snippet_vs_jaccard(spark):
+    """A 5-token snippet of a 50-token doc: containment(snippet) = 1.0
+    while Jaccard stays small; unrelated docs produce no pair."""
+    from tilekiln_spark.operators.dedup import containment_pairs
+
+    base = " ".join(f"w{i}" for i in range(50))
+    snip = " ".join(f"w{i}" for i in range(5))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, snip), (3, other)], "doc_id long, text string"
+    )
+    rows = {(r.key_a, r.key_b): r for r in
+            containment_pairs(df, k=3, min_shared=2, max_df=10).collect()}
+    p = rows[(1, 2)]
+    assert p.shared == 3            # snippet has 3 trigram shingles
+    assert p.cont_b == 1.0          # all of the snippet is inside the doc
+    assert p.cont_a == round(3 / 48, 6)
+    assert p.jaccard == round(3 / 48, 6)
+    assert not any(3 in k for k in rows)

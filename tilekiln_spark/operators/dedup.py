@@ -851,3 +851,87 @@ def ed1_pairs(df: DataFrame, col: str = "s") -> DataFrame:
     return cand.select(
         "s1", "s2", F.levenshtein("s1", "s2").alias("dist")
     ).where(F.col("dist") <= 1)
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    min_shared: int = 2,
+    max_df: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997 §2: c(A, B) =
+    |S(A) ∩ S(B)| / |S(A)|) — the signal Jaccard dedup misses: a
+    snippet quoted inside a longer page scores near-1 containment but
+    low Jaccard, so resemblance-only dedup keeps both.
+
+    Candidates come from the INVERTED INDEX, not MinHash: distinct
+    k-shingles per doc, shingles with document frequency > ``max_df``
+    dropped (boilerplate shingles are the hub keys of this join — the
+    standard stopword-shingle cut, and the twin applies the identical
+    cut so the shared counts agree exactly), then one self-equi-join on
+    the shingle keyed shuffle and a partial-agg pair count.  Pairs with
+    shared < ``min_shared`` never materialize past the aggregate.
+    Denominators |S(A)| are the UNCUT distinct-shingle sizes, so a
+    containment of 1.0 means full inclusion regardless of the df cut.
+    Floats are single divisions of exact integers, rounded at 6.
+
+    Returns [key_a, key_b, shared, cont_a, cont_b, jaccard] with
+    key_a < key_b; cont_a = shared / |S(A)|."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df_")).where(
+            F.col("df_") <= max_df
+        ).select("sh"),
+        "sh",
+    )
+    pairs = (
+        rare.alias("x")
+        .join(rare.alias("y"), "sh")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(
+            F.col("x.doc").alias("key_a"), F.col("y.doc").alias("key_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc").alias("key_a"), F.col("sz").alias("sza")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("key_b"), F.col("sz").alias("szb")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "shared",
+            (
+                F.round(
+                    F.col("shared").cast("double") / F.col("sza").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cont_a"),
+            (
+                F.round(
+                    F.col("shared").cast("double") / F.col("szb").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("cont_b"),
+            (
+                F.round(
+                    F.col("shared").cast("double")
+                    / (F.col("sza") + F.col("szb") - F.col("shared")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
