@@ -1024,3 +1024,28 @@ def test_wetness_index_bowl(spark):
     tanb = math.sqrt(p * p + q * q)
     assert r["tan_slope"] == round(tanb, 6)
     assert r["twi"] == round(math.log((r["acc"] + 1) / max(tanb, 1e-3)), 6)
+
+
+def test_least_cost_path_detours_through_gap(spark):
+    """On the walled friction surface both east-side targets route
+    through the unit gap at (8, 12); accs strictly decrease to 0 at
+    the source; step indices are the contiguous chain."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.raster import cost_distance, least_cost_path
+
+    d = spark.range(256)
+    gx = (F.col("id") % 16).cast("int")
+    gy = F.floor(F.col("id") / F.lit(16)).cast("int")
+    cost = F.when((gx == 8) & (gy != 12), F.lit(50)).otherwise(F.lit(1))
+    cells = d.select(
+        F.lit(0).alias("x"), F.lit(0).alias("y"),
+        gx.alias("bin_x"), gy.alias("bin_y"), cost.cast("long").alias("n"),
+    )
+    surf = cost_distance(cells, [(2, 8)], res=16, max_iter=40)
+    rows = least_cost_path(surf, [(15, 8)]).collect()
+    path = sorted((r.step, r.gx, r.gy, r.acc) for r in rows)
+    assert [s for s, *_ in path] == list(range(len(path)))
+    assert (8, 12) in {(g, h) for _, g, h, _ in path}
+    assert all(path[i][3] > path[i + 1][3] for i in range(len(path) - 1))
+    assert path[-1][1:] == (2, 8, 0)

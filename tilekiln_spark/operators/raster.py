@@ -2172,3 +2172,107 @@ def wetness_index(
         (F.round(F.col("tanb"), 6) + F.lit(0.0)).alias("tan_slope"),
         (F.round(twi, 6) + F.lit(0.0)).alias("twi"),
     )
+
+
+def least_cost_path(
+    surface: DataFrame,
+    targets: list[tuple[int, int]],
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Least-cost path extraction over a :func:`cost_distance` surface
+    (ESRI ``CostPath`` / GRASS ``r.path``): walk each target back to
+    its nearest source along the optimality condition
+
+        pred(c) = argmin over neighbors p with
+                  acc(p) + w * (cost(p) + cost(c)) == acc(c)
+
+    (chamfer 2-3 weights, EXACT integer equality — the backlink is a
+    property of the converged surface, no state carried from the
+    Bellman-Ford rounds), ties broken on the smallest (gx, gy), so the
+    backlink raster is a deterministic FUNCTION and each path unique.
+
+    The chain is enumerated by POINTER DOUBLING (the watershed_basins
+    machinery pointed at path listing): round k extends every known
+    ancestor row through a jump table of span 2^k and then squares the
+    jump table, so a path of L hops lists in ceil(log2 L) + 1 rounds of
+    two keyed joins — never a per-step driver loop.  Cells store exact
+    integer acc, so the emitted (step, acc) sequence is strictly
+    decreasing to 0 at the source.
+
+    Returns [tx, ty, step, gx, gy, acc]: step 0 is the target itself;
+    an unreached target emits only its own row."""
+    offs = [
+        (dx, dy, 3 if dx * dy != 0 else 2)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    ]
+    s = surface.select("gx", "gy", "cost", "acc").where(
+        F.col("acc").isNotNull()
+    ).localCheckpoint(eager=True)
+    cand = None
+    for dx, dy, w in offs:
+        p = s.select(
+            (F.col("gx") + F.lit(dx)).alias("gx"),
+            (F.col("gy") + F.lit(dy)).alias("gy"),
+            F.col("gx").alias("pgx"),
+            F.col("gy").alias("pgy"),
+            F.col("cost").alias("pcost"),
+            F.col("acc").alias("pacc"),
+        )
+        c = s.join(p, ["gx", "gy"]).where(
+            (F.col("acc") > 0)
+            & (F.col("pacc") + F.lit(w) * (F.col("pcost") + F.col("cost"))
+               == F.col("acc"))
+        ).select("gx", "gy", "pgx", "pgy")
+        cand = c if cand is None else cand.unionAll(c)
+    pred = (
+        cand.groupBy("gx", "gy")
+        .agg(F.min(F.struct("pgx", "pgy")).alias("p"))
+        .select("gx", "gy", F.col("p.pgx").alias("jgx"), F.col("p.pgy").alias("jgy"))
+        .localCheckpoint(eager=True)
+    )
+    tgt = sorted({(int(a), int(b)) for a, b in targets})
+    spark = surface.sparkSession
+    anc = spark.createDataFrame(
+        [(a, b, 0, a, b) for a, b in tgt],
+        "tx long, ty long, step long, gx long, gy long",
+    ).localCheckpoint(eager=True)
+    jump = pred.select(
+        "gx", "gy", "jgx", "jgy", F.lit(1).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        ext = (
+            anc.join(jump, ["gx", "gy"])
+            .select(
+                "tx", "ty", (F.col("step") + F.col("d")).alias("step"),
+                F.col("jgx").alias("gx"), F.col("jgy").alias("gy"),
+            )
+        )
+        if not ext.take(1):
+            break
+        anc = anc.unionAll(ext).localCheckpoint(eager=True)
+        jump = (
+            jump.alias("a")
+            .join(
+                jump.select(
+                    F.col("gx").alias("jgx"), F.col("gy").alias("jgy"),
+                    F.col("jgx").alias("kgx"), F.col("jgy").alias("kgy"),
+                    F.col("d").alias("d2"),
+                ),
+                ["jgx", "jgy"],
+            )
+            .select(
+                "gx", "gy",
+                F.col("kgx").alias("jgx"), F.col("kgy").alias("jgy"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(
+            f"least_cost_path: path longer than 2^{max_rounds} hops"
+        )
+    return anc.join(s.select("gx", "gy", "acc"), ["gx", "gy"]).select(
+        "tx", "ty", "step", "gx", "gy", "acc"
+    )
