@@ -7327,6 +7327,74 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["containment_snippets"] = containment_snippets
 
+    def least_cost_paths(spark, sf_dir):
+        """Least-cost path extraction (operators/raster.py
+        least_cost_path — ESRI CostPath / GRASS r.path) over the
+        cost_distance walled-friction surface: backlink raster from the
+        exact-integer optimality condition (min-(gx, gy) tie-break),
+        chains enumerated by pointer doubling.  Targets (15, 8) and
+        (15, 0) east of the wall — both paths must detour through the
+        unit gap at (8, 12).  The twin walks the identical pred
+        function one step at a time with a recursive CTE — different
+        enumeration, same unique path."""
+        from tilekiln_spark.operators.raster import cost_distance, least_cost_path
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 256)
+        gx = (F.col("doc_id") % 16).cast("int")
+        gy = F.floor(F.col("doc_id") / F.lit(16)).cast("int")
+        cost = F.when((gx == 8) & (gy != 12), F.lit(50)).otherwise(F.lit(1))
+        cells = d.select(
+            F.lit(0).alias("x"),
+            F.lit(0).alias("y"),
+            gx.alias("bin_x"),
+            gy.alias("bin_y"),
+            cost.cast("long").alias("n"),
+        )
+        surf = cost_distance(cells, [(2, 8)], res=16, max_iter=40)
+        out = least_cost_path(surf, [(15, 8), (15, 0)])
+        return out.select(
+            F.col("tx").cast("long").alias("tx"),
+            F.col("ty").cast("long").alias("ty"),
+            F.col("step").cast("long").alias("step"),
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            F.col("acc").cast("long").alias("acc"),
+        )
+
+    q["least_cost_paths"] = least_cost_paths
+
+    def link_prediction_q(spark, sf_dir):
+        """Neighborhood link-prediction scores (operators/graph.py
+        link_prediction — Liben-Nowell & Kleinberg 2003: common
+        neighbors, Adamic-Adar, resource allocation, preferential
+        attachment, neighborhood Jaccard) over the undirected 120-node
+        link-graph slice, pairs with >= 2 common neighbors.  cn/pa are
+        exact integers; aa/ra fold per-z terms in sorted z order."""
+        from tilekiln_spark.operators.graph import link_prediction
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % 120).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        out = link_prediction(e, min_common=2)
+        return out.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("cn").cast("long").alias("cn"),
+            "aa",
+            "ra",
+            F.col("pa").cast("long").alias("pa"),
+            "jacc",
+        )
+
+    q["link_prediction"] = link_prediction_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12443,6 +12511,56 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # link-prediction twin: same undirected neighbor lists, shared-z
+    # self-join, sorted-z list_reduce folds for aa/ra
+    o["link_prediction"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 120 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e
+        ),
+        nbr AS MATERIALIZED (
+            SELECT u AS node, v AS z FROM und
+            UNION ALL SELECT v AS node, u AS z FROM und
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, count(*) AS deg FROM nbr GROUP BY node
+        ),
+        nz AS MATERIALIZED (
+            SELECT n.node, n.z, dz.deg AS degz
+            FROM nbr n JOIN deg dz ON dz.node = n.z
+        ),
+        pairs AS (
+            SELECT x.node AS a, y.node AS b, count(*) AS cn,
+                   list_reduce(
+                       list(1.0 / ln(CAST(x.degz AS DOUBLE)) ORDER BY x.z),
+                       (p, q) -> p + q) AS aa,
+                   list_reduce(
+                       list(1.0 / CAST(x.degz AS DOUBLE) ORDER BY x.z),
+                       (p, q) -> p + q) AS ra
+            FROM nz x JOIN nz y ON x.z = y.z AND x.node < y.node
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+               CAST(p.cn AS BIGINT) AS cn,
+               round(p.aa, 6) + 0.0 AS aa,
+               round(p.ra, 6) + 0.0 AS ra,
+               CAST(da.deg * db.deg AS BIGINT) AS pa,
+               round(CAST(p.cn AS DOUBLE)
+                     / CAST(da.deg + db.deg - p.cn AS DOUBLE), 6)
+                   + 0.0 AS jacc
+        FROM pairs p
+        JOIN deg da ON da.node = p.a
+        JOIN deg db ON db.node = p.b
+    """
+
     # co-citation / coupling twin: the same two canonical-pair
     # self-joins, exact integers, full-outer zero-fill
     o["cocitation"] = """
@@ -14588,6 +14706,55 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN acc < 1099511627776
                     THEN CAST(acc AS BIGINT) END AS acc
         FROM {_cd_prev}
+    """
+
+    # least-cost-path twin: the SAME converged surface (identical
+    # unrolled rounds), the identical argmin backlink (min (gx, gy)
+    # tie-break), then a SEQUENTIAL recursive walk — vs Spark's
+    # pointer-doubling enumeration
+    o["least_cost_paths"] = f"""
+        WITH RECURSIVE fric AS (
+            SELECT gx, gy,
+                   CASE WHEN gx = 8 AND gy <> 12 THEN 50 ELSE 1 END AS cost
+            FROM (SELECT doc_id % 16 AS gx, doc_id // 16 AS gy
+                  FROM documents WHERE doc_id < 256)
+        ),
+        offs8w(dx, dy, w) AS (VALUES
+            (-1, -1, 3), (0, -1, 2), (1, -1, 3), (-1, 0, 2),
+            (1, 0, 2), (-1, 1, 3), (0, 1, 2), (1, 1, 3)),
+        d0 AS MATERIALIZED (
+            SELECT gx, gy, cost,
+                   CASE WHEN gx = 2 AND gy = 8 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1099511627776 AS BIGINT) END AS acc
+            FROM fric),
+        {",".join(_cd_rounds)},
+        surf AS MATERIALIZED (
+            SELECT gx, gy, cost, acc FROM {_cd_prev}
+            WHERE acc < 1099511627776
+        ),
+        pred AS MATERIALIZED (
+            SELECT gx, gy, pgx, pgy FROM (
+                SELECT c.gx, c.gy, p.gx AS pgx, p.gy AS pgy,
+                       row_number() OVER (PARTITION BY c.gx, c.gy
+                                          ORDER BY p.gx, p.gy) AS rn
+                FROM surf c
+                CROSS JOIN offs8w o
+                JOIN surf p ON p.gx = c.gx + o.dx AND p.gy = c.gy + o.dy
+                WHERE c.acc > 0
+                  AND p.acc + o.w * (p.cost + c.cost) = c.acc
+            ) WHERE rn = 1
+        ),
+        walk(tx, ty, step, gx, gy) AS (
+            SELECT tx, ty, 0, tx, ty FROM (VALUES (15, 8), (15, 0)) t(tx, ty)
+            UNION ALL
+            SELECT w.tx, w.ty, w.step + 1, p.pgx, p.pgy
+            FROM walk w JOIN pred p ON p.gx = w.gx AND p.gy = w.gy
+        )
+        SELECT CAST(w.tx AS BIGINT) AS tx, CAST(w.ty AS BIGINT) AS ty,
+               CAST(w.step AS BIGINT) AS step,
+               CAST(w.gx AS BIGINT) AS gx, CAST(w.gy AS BIGINT) AS gy,
+               CAST(s.acc AS BIGINT) AS acc
+        FROM walk w JOIN surf s ON s.gx = w.gx AND s.gy = w.gy
     """
 
     # flow_length twin: the bowl D8 sel CTE + 12 unrolled monotone

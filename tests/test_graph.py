@@ -178,3 +178,23 @@ def test_boruvka_msf_known_tree_and_forest(spark):
     )
     got2 = sorted((r.u, r.v, r.w) for r in boruvka_msf(nodes2, forest).collect())
     assert got2 == [(0, 1, 5), (2, 3, 7)]
+
+
+def test_link_prediction_square(spark):
+    """4-cycle 0-1-2-3: opposite corners share both side nodes
+    (cn=2, aa = 2/ln 2, ra = 1, pa = 4, jacc = 1); adjacent corners
+    share nothing and don't appear at min_common=1."""
+    import math
+
+    from tilekiln_spark.operators.graph import link_prediction
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = {(r.a, r.b): r for r in link_prediction(e, min_common=1).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    r = rows[(0, 2)]
+    assert (r.cn, r.pa) == (2, 4)
+    assert r.aa == round(2 / math.log(2), 6)
+    assert r.ra == 1.0
+    assert r.jacc == 1.0

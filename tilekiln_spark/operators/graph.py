@@ -1282,3 +1282,78 @@ def boruvka_msf(
             .localCheckpoint(eager=True)
         )
     raise ValueError(f"boruvka_msf: not converged in max_rounds={max_rounds}")
+
+
+def link_prediction(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """Classical neighborhood link-prediction scores (Liben-Nowell &
+    Kleinberg 2003) for every non-adjacent-or-adjacent pair with at
+    least ``min_common`` common neighbors in the UNDIRECTED graph:
+
+        cn(a, b) = |N(a) ∩ N(b)|                      common neighbors
+        aa(a, b) = sum over z in N(a) ∩ N(b) of 1/ln(deg z)   Adamic-Adar
+        ra(a, b) = sum over z of 1/deg z        resource allocation (Zhou)
+        pa(a, b) = deg a * deg b                preferential attachment
+        jacc     = cn / |N(a) ∪ N(b)|
+
+    One self-join of the neighbor list keyed on the SHARED neighbor z
+    produces every scored pair (the cocitation shape — never |V|^2),
+    then one partial-agg groupBy(a, b).  cn/pa/union sizes are exact
+    integers; aa and ra fold their per-z terms in sorted z order (the
+    Shannon discipline), and a common neighbor has deg >= 2 by
+    construction so ln(deg z) never hits ln(1) = 0.  Hub neighbors
+    explode their bucket quadratically — production runs cap per-z
+    degree first (the host_cap pattern), same caveat as co-citation.
+    Returns [a, b, cn, aa, ra, pa, jacc] with a < b."""
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    nbr = und.select(F.col("u").alias("node"), F.col("v").alias("z")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("z"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("deg"))
+    nz = nbr.join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("degz")), "z"
+    )
+    pairs = (
+        nz.select(F.col("node").alias("a"), "z", "degz")
+        .join(nz.select(F.col("node").alias("b"), "z"), "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("z", "degz"))),
+                F.lit(0.0),
+                lambda acc, s: acc + F.lit(1.0) / F.log(s["degz"].cast("double")),
+            ).alias("aa"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("z", "degz"))),
+                F.lit(0.0),
+                lambda acc, s: acc + F.lit(1.0) / s["degz"].cast("double"),
+            ).alias("ra"),
+        )
+        .where(F.col("cn") >= min_common)
+    )
+    return (
+        pairs.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.round("aa", 6) + F.lit(0.0)).alias("aa"),
+            (F.round("ra", 6) + F.lit(0.0)).alias("ra"),
+            (F.col("da") * F.col("db")).alias("pa"),
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jacc"),
+        )
+    )
