@@ -7395,6 +7395,26 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["link_prediction"] = link_prediction_q
 
+    def cusum_alarms_q(spark, sf_dir):
+        """CUSUM change detection (operators/events.py cusum_alarms —
+        Page 1954) per event_type at hourly buckets, allowance k=3,
+        threshold h=8: the max(0, S+y) recurrence computed as the
+        EXACT-INTEGER running-minimum identity (two ordered window
+        aggregates — no fold, no float), gap hours generated so they
+        drain the statistic."""
+        from tilekiln_spark.operators.events import cusum_alarms
+
+        out = cusum_alarms(_events(spark, sf_dir), k=3, h=8)
+        return out.select(
+            F.col("key"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("s").cast("long").alias("s"),
+            "alarm",
+        )
+
+    q["cusum_alarms"] = cusum_alarms_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12509,6 +12529,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM reach r WHERE r.id = x.id AND r.node = x.v
         )
+    """
+
+    # CUSUM twin: identical bucket grid + the same two ordered window
+    # aggregates — all exact integers
+    o["cusum_alarms"] = """
+        WITH counts AS (
+            SELECT event_type AS key,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM counts),
+        grid AS (
+            SELECT k.key, r.b AS bucket
+            FROM (SELECT DISTINCT key FROM counts) k
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL unnest(range(b0, b1 + 1)) r(b)
+        ),
+        full_g AS (
+            SELECT g.key, g.bucket, coalesce(c.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN counts c
+              ON c.key = g.key AND c.bucket = g.bucket
+        ),
+        p AS (
+            SELECT key, bucket, cnt,
+                   sum(cnt - 3) OVER (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+            FROM full_g
+        )
+        SELECT key, CAST(bucket AS BIGINT) AS bucket,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(p - least(CAST(0 AS BIGINT),
+                              min(p) OVER (PARTITION BY key ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)) AS BIGINT) AS s,
+               (p - least(CAST(0 AS BIGINT),
+                          min(p) OVER (PARTITION BY key ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW))) >= 8 AS alarm
+        FROM p
     """
 
     # link-prediction twin: same undirected neighbor lists, shared-z

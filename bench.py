@@ -206,6 +206,7 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "fuzzy_url_pairs",
         "cocitation",
         "containment_snippets",
+        "cusum_alarms",
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python

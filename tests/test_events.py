@@ -461,3 +461,22 @@ def test_knox_test_empty_margin_null_ratio(spark):
     r = knox_test(ev, delta=10.0, tau_seconds=60.0).collect()[0]
     assert (r.n_space, r.n_both, r.n_time) == (0, 0, 2)
     assert r.knox_ratio is None
+
+
+def test_cusum_alarms_hand_sequence(spark):
+    """Hourly counts [5, 0, 12] with k=3: y = [2, -3, 9] -> S = [2, 0, 9],
+    alarm fires only when S >= 8; the empty middle hour is generated and
+    drains the statistic."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import cusum_alarms
+
+    secs = [0] * 5 + [2 * 3600] * 12
+    df = spark.createDataFrame(
+        [("a", s + 7) for s in secs], "event_type string, sec long"
+    ).select("event_type", F.col("sec").cast("timestamp").alias("ts"))
+    out = sorted(
+        (r.bucket, r.cnt, r.s, r.alarm)
+        for r in cusum_alarms(df, k=3, h=8).collect()
+    )
+    assert out == [(0, 5, 2, False), (1, 0, 0, False), (2, 12, 9, True)]

@@ -676,3 +676,66 @@ def knox_test(
         F.lit(0.0),
     )
     return out.withColumn("knox_ratio", ratio)
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str = "event_type",
+    t_col: str = "ts",
+    k: int = 3,
+    h: int = 8,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) over per-key event
+    streams, bucketed at ``bucket_s``:
+
+        S_0 = 0;  S_t = max(0, S_{t-1} + (count_t - k));  alarm: S_t >= h
+
+    k is the integer allowance (drift tolerated per bucket), h the
+    decision threshold.  The recurrence LOOKS sequential but is exactly
+    the running-minimum identity
+
+        S_t = P_t - min(0, min_{j<=t} P_j),   P = prefix sum of (count - k)
+
+    so the whole statistic is TWO ordered window aggregates per key —
+    no fold, no recursion, and because counts and k are integers every
+    value is an EXACT integer: zero float anywhere, the first
+    sequential-looking operator in the repo that needed neither a
+    sorted fold nor rounding.  Empty buckets matter (they drain S at
+    rate k), so the key×bucket grid is completed from one tiny global
+    bounds aggregate broadcast against the distinct keys — gap buckets
+    are generated, not read.
+
+    Scale: one partial-agg groupBy(key, bucket) over the event stream,
+    then windows partitioned BY KEY — each key's timeline sorts
+    independently (the sessionize exchange); the grid explode is
+    #keys × #buckets, tiny relative to events.
+    Returns [key, bucket, cnt, s, alarm]."""
+    b = F.floor(F.unix_timestamp(F.col(t_col)) / F.lit(bucket_s)).cast("long")
+    counts = df.select(F.col(key_col).alias("key"), b.alias("bucket")).groupBy(
+        "key", "bucket"
+    ).agg(F.count("*").alias("cnt"))
+    bounds = counts.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = (
+        counts.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("key", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    full = grid.join(counts, ["key", "bucket"], "left").select(
+        "key", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = full.withColumn("p", F.sum(F.col("cnt") - F.lit(k)).over(w))
+    s = p.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return s.select(
+        "key", "bucket", "cnt", "s", (F.col("s") >= h).alias("alarm")
+    )
