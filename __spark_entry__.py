@@ -7415,6 +7415,31 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["cusum_alarms"] = cusum_alarms_q
 
+    def keyness_en(spark, sf_dir):
+        """Corpus-comparison keyness (functions/text.py keyness —
+        Dunning 1993 G² in the Rayson-Garside form): en documents vs
+        all other languages, combined count >= 5.  Exact integer count
+        tables; G² is one closed-form two-ln expression written
+        identically in the twin; the overuse direction is exact
+        cross-multiplied integers."""
+        from tilekiln_spark.functions.text import keyness
+
+        d = _docs(spark, sf_dir)
+        out = keyness(
+            d.where(F.col("lang") == "en"),
+            d.where(F.col("lang") != "en"),
+            min_count=5,
+        )
+        return out.select(
+            "token",
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            "g2",
+            "overused",
+        )
+
+    q["keyness_en"] = keyness_en
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12529,6 +12554,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM reach r WHERE r.id = x.id AND r.node = x.v
         )
+    """
+
+    # keyness twin: shared tokenizer counts per corpus, full-outer
+    # zero-fill, the identical closed-form two-ln G² expression
+    o["keyness_en"] = r"""
+        WITH ca AS MATERIALIZED (
+            SELECT w, count(*) AS a FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE lang = 'en' AND trim(text) != ''
+            ) GROUP BY w
+        ),
+        cb AS MATERIALIZED (
+            SELECT w, count(*) AS b FROM (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE lang != 'en' AND trim(text) != ''
+            ) GROUP BY w
+        ),
+        na AS (SELECT sum(a) AS na FROM ca),
+        nb AS (SELECT sum(b) AS nb FROM cb),
+        j AS (
+            SELECT coalesce(ca.w, cb.w) AS w,
+                   coalesce(a, 0) AS a, coalesce(b, 0) AS b
+            FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+        )
+        SELECT w AS token,
+               CAST(a AS BIGINT) AS cnt_a, CAST(b AS BIGINT) AS cnt_b,
+               round(2.0 * (
+                   (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(
+                        CAST(a AS DOUBLE)
+                        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                        / (CAST(na AS DOUBLE)
+                           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))))
+                    ELSE 0.0 END)
+                 + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(
+                        CAST(b AS DOUBLE)
+                        * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                        / (CAST(nb AS DOUBLE)
+                           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))))
+                    ELSE 0.0 END)), 6) + 0.0 AS g2,
+               a * nb > b * na AS overused
+        FROM j CROSS JOIN na CROSS JOIN nb
+        WHERE a + b >= 5
     """
 
     # CUSUM twin: identical bucket grid + the same two ordered window

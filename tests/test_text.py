@@ -51,3 +51,21 @@ def test_ed1_pairs_classes(spark):
     assert ("cat", "cats", 1) in got         # deletion
     assert not any({a, b} == {"act", "cat"} for a, b, _ in got)  # transposition = 2
     assert not any("dog" in (a, b) for a, b, _ in got)
+
+
+def test_keyness_hand_values(spark):
+    """A = 'x x x y', B = 'y y y y x': G2 for x from the closed form;
+    direction flags exact; singleton tokens filtered by min_count."""
+    import math
+
+    from tilekiln_spark.functions.text import keyness
+
+    a = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y y y y x")], "doc_id long, text string")
+    rows = {r.token: r for r in keyness(a, b, min_count=2).collect()}
+    x = rows["x"]
+    assert (x.cnt_a, x.cnt_b, x.overused) == (3, 1, True)
+    exp = 2 * (3 * math.log(3 * 9 / (4 * 4)) + 1 * math.log(1 * 9 / (5 * 4)))
+    assert x.g2 == round(exp, 6)
+    y = rows["y"]
+    assert (y.cnt_a, y.cnt_b, y.overused) == (1, 4, False)

@@ -537,3 +537,69 @@ def collocations(df, min_count: int = 5, text_col: str = "text"):
             + F.lit(0.0)
         ).alias("t_score"),
     )
+
+
+def keyness(df_a, df_b, min_count: int = 5, text_col: str = "text"):
+    """Log-likelihood keyness (Dunning 1993 G², the Rayson & Garside
+    corpus-comparison form): for each token with combined count >=
+    ``min_count``,
+
+        G² = 2 * [ a·ln(a·N / (NA·c)) + b·ln(b·N / (NB·c)) ]
+
+    with a/b the token counts in corpus A/B, NA/NB the corpus token
+    totals, N = NA + NB, c = a + b, and zero-count terms contributing
+    0 — the statistic behind every "keywords of corpus A vs reference
+    corpus B" table.  ``overused`` is the exact cross-multiplied
+    direction a·NB > b·NA (no float in the sign).  G² itself is ONE
+    closed-form expression over exact integer counts, written
+    identically in the twin (two ln calls in fixed order), rounded at
+    6 — the collocations discipline.
+
+    Scale: one partial-agg groupBy(token) per corpus, one full-outer
+    join keyed on the token, two 1-row total aggregates broadcast in —
+    the vocab_topk shape twice.  Returns [token, cnt_a, cnt_b, g2,
+    overused]."""
+    from tilekiln_spark.operators.dedup import _tokens
+
+    ca = (
+        df_a.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("a"))
+    )
+    cb = (
+        df_b.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("b"))
+    )
+    na = ca.agg(F.sum("a").alias("na"))
+    nb = cb.agg(F.sum("b").alias("nb"))
+    j = (
+        ca.join(cb, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .where(F.col("a") + F.col("b") >= min_count)
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    n_a = F.col("na").cast("double")
+    n_b = F.col("nb").cast("double")
+    n = n_a + n_b
+    c = a + b
+    term_a = F.when(
+        F.col("a") > 0, a * F.log(a * n / (n_a * c))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0, b * F.log(b * n / (n_b * c))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("w").alias("token"),
+        F.col("a").alias("cnt_a"),
+        F.col("b").alias("cnt_b"),
+        (F.round(F.lit(2.0) * (term_a + term_b), 6) + F.lit(0.0)).alias("g2"),
+        (F.col("a") * F.col("nb") > F.col("b") * F.col("na")).alias("overused"),
+    )
