@@ -7440,6 +7440,27 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["keyness_en"] = keyness_en
 
+    def burst_detection(spark, sf_dir):
+        """Two-state burst detection (operators/events.py burst_states
+        — the Kleinberg 2002 automaton with integerized linear costs,
+        the chamfer/EDR discipline) per event_type over the events
+        stream: microsecond gaps, base gap g0 = span div m, burst slope
+        2 with boundary at x = g0, transition penalty 2*g0.  ALL-integer
+        Viterbi — one forward fold + one backpointer fold per stream;
+        the twin replays the identical recurrence as step-indexed
+        recursive CTEs (forward + backward)."""
+        from tilekiln_spark.operators.events import burst_states
+
+        out = burst_states(_events(spark, sf_dir))
+        return out.select(
+            "key",
+            F.col("idx").cast("long").alias("idx"),
+            F.col("gap_us").cast("long").alias("gap_us"),
+            "burst",
+        )
+
+    q["burst_detection"] = burst_detection
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12554,6 +12575,65 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
             SELECT 1 FROM reach r WHERE r.id = x.id AND r.node = x.v
         )
+    """
+
+    # burst twin: the identical integer Viterbi recurrence as step-
+    # indexed recursive CTEs — forward (costs + backpointers), then
+    # backward state reconstruction
+    o["burst_detection"] = """
+        WITH RECURSIVE ev AS (
+            SELECT event_type AS key, CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events
+        ),
+        ord_t AS (
+            SELECT key, t,
+                   row_number() OVER (PARTITION BY key ORDER BY t) AS rn,
+                   count(*) OVER (PARTITION BY key) AS n
+            FROM ev
+        ),
+        gaps AS MATERIALIZED (
+            SELECT a.key, a.rn AS i, b.t - a.t AS x
+            FROM ord_t a JOIN ord_t b
+              ON b.key = a.key AND b.rn = a.rn + 1
+        ),
+        g0t AS MATERIALIZED (
+            SELECT key,
+                   CAST(floor(CAST(max(t) - min(t) AS DOUBLE) / (count(*) - 1))
+                        AS BIGINT) AS g0,
+                   count(*) - 1 AS m
+            FROM ev GROUP BY key HAVING count(*) >= 2
+        ),
+        fwd(key, i, c0, c1, p0, p1) AS (
+            SELECT key, 0, CAST(0 AS BIGINT),
+                   CAST(1125899906842624 AS BIGINT), false, false
+            FROM g0t
+            UNION ALL
+            SELECT g.key, f.i + 1,
+                   least(f.c0, f.c1) + g.x,
+                   least(f.c0 + 2 * gg.g0, f.c1) + 2 * g.x - gg.g0,
+                   f.c0 <= f.c1,
+                   f.c0 + 2 * gg.g0 < f.c1
+            FROM fwd f
+            JOIN gaps g ON g.key = f.key AND g.i = f.i + 1
+            JOIN g0t gg ON gg.key = f.key
+        ),
+        fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+        bwd(key, i, st) AS (
+            SELECT f.key, f.i,
+                   CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END
+            FROM fwd_m f JOIN g0t gg ON gg.key = f.key AND f.i = gg.m
+            UNION ALL
+            SELECT b.key, b.i - 1,
+                   CASE WHEN b.st = 1
+                        THEN (CASE WHEN f.p1 THEN 0 ELSE 1 END)
+                        ELSE (CASE WHEN f.p0 THEN 0 ELSE 1 END) END
+            FROM bwd b JOIN fwd_m f ON f.key = b.key AND f.i = b.i
+            WHERE b.i > 1
+        )
+        SELECT b.key, CAST(b.i AS BIGINT) AS idx,
+               CAST(g.x AS BIGINT) AS gap_us,
+               b.st = 1 AS burst
+        FROM bwd b JOIN gaps g ON g.key = b.key AND g.i = b.i
     """
 
     # keyness twin: shared tokenizer counts per corpus, full-outer

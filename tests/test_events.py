@@ -480,3 +480,35 @@ def test_cusum_alarms_hand_sequence(spark):
         for r in cusum_alarms(df, k=3, h=8).collect()
     )
     assert out == [(0, 5, 2, False), (1, 0, 0, False), (2, 12, 9, True)]
+
+
+def test_burst_states_detects_designed_burst(spark):
+    """Gaps [100s x5, 5s x6, 100s x5]: base gap ~41s, so the 5s run is
+    a burst and the 100s flanks are not — boundaries exact."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import burst_states
+
+    ts, t = [0], 0
+    for g in [100] * 5 + [5] * 6 + [100] * 5:
+        t += g
+        ts.append(t)
+    df = spark.createDataFrame(
+        [("a", x * 1_000_000) for x in ts], "event_type string, us long"
+    ).select("event_type", F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.idx: r.burst for r in burst_states(df).collect()}
+    assert [out[i] for i in range(1, 17)] == [False] * 5 + [True] * 6 + [False] * 5
+
+
+def test_burst_states_uniform_stream_no_burst(spark):
+    """Uniform gaps never enter the burst state (the 2*g0 transition
+    penalty is never repaid)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import burst_states
+
+    df = spark.createDataFrame(
+        [("u", i * 60_000_000) for i in range(30)], "event_type string, us long"
+    ).select("event_type", F.timestamp_micros(F.col("us")).alias("ts"))
+    rows = burst_states(df).collect()
+    assert len(rows) == 29 and not any(r.burst for r in rows)

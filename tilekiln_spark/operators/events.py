@@ -739,3 +739,117 @@ def cusum_alarms(
     return s.select(
         "key", "bucket", "cnt", "s", (F.col("s") >= h).alias("alarm")
     )
+
+
+def burst_states(
+    df: DataFrame,
+    key_col: str = "event_type",
+    t_col: str = "ts",
+    big: int = 1 << 50,
+) -> DataFrame:
+    """Two-state burst detection over per-key event streams — the
+    Kleinberg 2002 automaton with its costs INTEGERIZED (the chamfer
+    2-3 / EDR discipline: the exponential-family emission cost is
+    exactly linear in the gap, alpha_j * x - ln(alpha_j); this keeps
+    the linear structure and replaces the transcendental offsets with
+    the stream's integer base gap):
+
+        gap units:  microseconds, x_i = t_{i+1} - t_i   (exact ints)
+        base gap:   g0 = (t_last - t_first) div m        (m = #gaps)
+        cost in q0: x                       (slope 1, offset 0)
+        cost in q1: 2*x - g0                (burst rate 2x; boundary at
+                                             x = g0 — shorter gaps favor
+                                             the burst state)
+        transition: q0 -> q1 costs 2*g0;  q1 -> q0 free
+
+    Viterbi over the 2-state chain is ONE forward fold per stream
+    (struct accumulator (c0, c1, backpointers), all-integer, ties
+    resolved q0-first into q0 and q1-first into q1) and ONE backward
+    fold over the reversed backpointers — both JVM higher-order
+    functions over the per-key sorted gap array (the user_trajectories
+    assembly), zero Python, zero float.  A twin replays the identical
+    recurrence as a step-indexed recursive CTE.
+
+    Scale: per-key arrays bound the fold (a stream lives in one task —
+    the per-key-timeline shape every sessionize op shares); streams
+    too long for one array chunk into windows with boundary overlap,
+    the standard stream-segmentation move.
+    Returns [key, idx, gap_us, burst] — idx is the 1-based gap index;
+    streams with < 2 events emit nothing."""
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the cast binds them to
+    # the session zone (pin UTC) so unix_micros matches DuckDB epoch_us
+    t_us = F.unix_micros(F.col(t_col).cast("timestamp"))
+    seq = (
+        df.select(F.col(key_col).alias("key"), t_us.alias("t"))
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .where(F.size("ts") >= 2)
+    )
+    n = F.size(F.col("ts"))
+    m = n - 1
+    xs = F.zip_with(
+        F.slice(F.col("ts"), 2, m),
+        F.slice(F.col("ts"), 1, m),
+        lambda a, b: a - b,
+    )
+    g0 = F.floor(
+        (F.element_at(F.col("ts"), -1) - F.element_at(F.col("ts"), 1)) / m
+    ).cast("long")
+    prepped = seq.select("key", xs.alias("xs"), g0.alias("g0"))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("c0"),
+        F.lit(big).cast("long").alias("c1"),
+        F.array().cast("array<struct<p0:boolean,p1:boolean>>").alias("bps"),
+    )
+    fwd = F.aggregate(
+        F.col("xs"),
+        acc0,
+        lambda acc, x: F.struct(
+            (F.least(acc["c0"], acc["c1"]) + x).alias("c0"),
+            (
+                F.least(acc["c0"] + 2 * F.col("g0"), acc["c1"])
+                + 2 * x
+                - F.col("g0")
+            ).alias("c1"),
+            F.concat(
+                acc["bps"],
+                F.array(
+                    F.struct(
+                        (acc["c0"] <= acc["c1"]).alias("p0"),
+                        (acc["c0"] + 2 * F.col("g0") < acc["c1"]).alias("p1"),
+                    )
+                ),
+            ).alias("bps"),
+        ),
+    )
+    withf = prepped.select("key", "xs", "g0", fwd.alias("f"))
+    end_state = F.when(
+        F.col("f.c0") <= F.col("f.c1"), F.lit(0)
+    ).otherwise(F.lit(1))
+    back = F.aggregate(
+        F.reverse(F.col("f.bps")),
+        F.struct(
+            end_state.alias("cur"),
+            F.array().cast("array<int>").alias("seq"),
+        ),
+        lambda acc, bp: F.struct(
+            F.when(
+                acc["cur"] == 1,
+                F.when(bp["p1"], F.lit(0)).otherwise(F.lit(1)),
+            )
+            .otherwise(F.when(bp["p0"], F.lit(0)).otherwise(F.lit(1)))
+            .alias("cur"),
+            F.concat(acc["seq"], F.array(acc["cur"])).alias("seq"),
+        ),
+        lambda acc: F.reverse(acc["seq"]),
+    )
+    states = withf.select("key", "xs", back.alias("st"))
+    return states.select(
+        "key",
+        F.posexplode(F.arrays_zip(F.col("xs"), F.col("st"))).alias("i", "z"),
+    ).select(
+        "key",
+        (F.col("i") + 1).alias("idx"),
+        F.col("z.xs").alias("gap_us"),
+        (F.col("z.st") == 1).alias("burst"),
+    )
