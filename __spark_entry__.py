@@ -7461,6 +7461,51 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["burst_detection"] = burst_detection
 
+    def _link_graph(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        n = d.count()
+        e = (
+            d.filter((F.col("doc_id") % 5) != 0)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            )
+            .select("src", ((F.col("src") * 7 + F.col("j")) % n).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return d.select(F.col("doc_id").alias("node")), e
+
+    def eigenvector_links(spark, sf_dir):
+        """Eigenvector centrality (operators/graph.py
+        eigenvector_centrality — Bonacich 1972, max-normalized power
+        iteration, 8 rounds) over the full deterministic link graph;
+        twin unrolls the identical rounds."""
+        from tilekiln_spark.operators.graph import eigenvector_centrality
+
+        nodes, e = _link_graph(spark, sf_dir)
+        out = eigenvector_centrality(nodes, e, iterations=8)
+        return out.select(
+            F.col("node").cast("long").alias("doc_id"),
+            (F.round("centrality", 6) + F.lit(0.0)).alias("centrality"),
+        )
+
+    q["eigenvector_links"] = eigenvector_links
+
+    def katz_links(spark, sf_dir):
+        """Katz centrality (operators/graph.py katz_centrality — Katz
+        1953, alpha=0.2 beta=1, 8 truncated rounds) over the full
+        deterministic link graph; twin unrolls the identical rounds."""
+        from tilekiln_spark.operators.graph import katz_centrality
+
+        nodes, e = _link_graph(spark, sf_dir)
+        out = katz_centrality(nodes, e, alpha=0.2, beta=1.0, iterations=8)
+        return out.select(
+            F.col("node").cast("long").alias("doc_id"),
+            (F.round("katz", 6) + F.lit(0.0)).alias("katz"),
+        )
+
+    q["katz_links"] = katz_links
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -7965,6 +8010,69 @@ def _betweenness_sql(rounds: int = 12) -> str:
         SELECT CAST(d.doc_id AS BIGINT) AS node,
                round(coalesce(p.bc, 0.0), 6) + 0.0 AS betweenness
         FROM d LEFT JOIN per_v p ON p.v = d.doc_id"""
+    )
+    return "".join(parts)
+
+
+_LINKS_CTE = """nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + j) % (SELECT count(*) FROM documents) AS dst
+                FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+                WHERE doc_id % 5 != 0)
+            WHERE src != dst
+        )"""
+
+
+def _eigen_sql(j: int = 8) -> str:
+    """DuckDB replay of operators/graph.eigenvector_centrality: j
+    unrolled max-normalized power rounds over the link graph."""
+    parts = [f"WITH {_LINKS_CTE}, x0 AS MATERIALIZED (SELECT node, 1.0 AS x FROM nodes)"]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(sum(x.x), 0.0) AS s
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN x{i - 1} x ON x.node = e.src
+            GROUP BY n.node
+        ), x{i} AS MATERIALIZED (
+            SELECT node, s / greatest((SELECT max(s) FROM s{i}), 1e-300) AS x
+            FROM s{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(node AS BIGINT) AS doc_id, round(x, 6) + 0.0 AS centrality
+        FROM x{j}"""
+    )
+    return "".join(parts)
+
+
+def _katz_sql(j: int = 8, alpha: float = 0.2, beta: float = 1.0) -> str:
+    """DuckDB replay of operators/graph.katz_centrality: j unrolled
+    attenuated rounds x_{k+1} = alpha * A^T x_k + beta."""
+    a = f"CAST({alpha} AS DOUBLE)"
+    b = f"CAST({beta} AS DOUBLE)"
+    parts = [
+        f"WITH {_LINKS_CTE}, x0 AS MATERIALIZED (SELECT node, {b} AS x FROM nodes)"
+    ]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", x{i} AS MATERIALIZED (
+            SELECT n.node,
+                   {a} * coalesce(sum(x.x), 0.0) + {b} AS x
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN x{i - 1} x ON x.node = e.src
+            GROUP BY n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(node AS BIGINT) AS doc_id, round(x, 6) + 0.0 AS katz
+        FROM x{j}"""
     )
     return "".join(parts)
 
@@ -12381,6 +12489,10 @@ def oracle_sql() -> dict[str, str]:
 
     # simrank twin: five unrolled sparse-pair rounds (see _simrank_sql)
     o["simrank"] = _simrank_sql(5, 0.8)
+
+    # eigenvector / Katz twins: unrolled power rounds (see generators)
+    o["eigenvector_links"] = _eigen_sql(8)
+    o["katz_links"] = _katz_sql(8, 0.2, 1.0)
 
     # ST-DBSCAN twin: brute-force cylinder graph + recursive min-
     # reachability components (the cluster_dbscan twin pattern with the

@@ -198,3 +198,25 @@ def test_link_prediction_square(spark):
     assert r.aa == round(2 / math.log(2), 6)
     assert r.ra == 1.0
     assert r.jacc == 1.0
+
+
+def test_eigenvector_and_katz_known_graphs(spark):
+    """Cycle: eigenvector uniform at 1.0 (max-normalized).  Star
+    0 -> {1..4}: Katz for a leaf = 1 + alpha (one in-walk), center = 1."""
+    from tilekiln_spark.operators.graph import (
+        eigenvector_centrality,
+        katz_centrality,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    for r in eigenvector_centrality(nodes, cyc, iterations=6).collect():
+        assert r.centrality == 1.0
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    out = {r.node: r.katz for r in katz_centrality(nodes, star, alpha=0.2).collect()}
+    assert out[0] == 1.0
+    for leaf in range(1, 5):
+        assert abs(out[leaf] - 1.2) < 1e-12

@@ -1357,3 +1357,80 @@ def link_prediction(edges: DataFrame, min_common: int = 1) -> DataFrame:
             ).alias("jacc"),
         )
     )
+
+
+def eigenvector_centrality(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 8
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1972) by MAX-normalized power
+    iteration on in-edges: x_{k+1} = A^T x_k / ||A^T x_k||_inf from the
+    all-ones start — the :func:`hits` normalization discipline (a max
+    over per-node sums is order-independent given its inputs; the only
+    engine divergence is the per-node float-sum ulp, absorbed by the
+    oracle's round(6)).  Same per-round shape as pagerank: ONE src-
+    keyed join + partial-agg groupBy(dst) + a 1-row broadcast max,
+    lineage truncated per round.  Nodes with no in-path decay to 0.
+    Returns [node, centrality]."""
+    if iterations < 1:
+        raise ValueError("eigenvector_centrality: iterations must be >= 1")
+    nds = nodes.select("node").persist()
+    nds.count()
+    e = edges.select("src", "dst")
+    x = nds.withColumn("x", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        raw = (
+            e.join(x, e["src"] == x["node"])
+            .select(e["dst"].alias("node"), F.col("x").alias("w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("s"))
+        )
+        full = (
+            nds.join(raw, "node", "left")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        mx = full.agg(F.greatest(F.max("s"), F.lit(1e-300)).alias("m"))
+        x = full.crossJoin(F.broadcast(mx)).select(
+            "node", (F.col("s") / F.col("m")).alias("x")
+        ).localCheckpoint(eager=True)
+    return x.select("node", F.col("x").alias("centrality"))
+
+
+def katz_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    alpha: float = 0.2,
+    beta: float = 1.0,
+    iterations: int = 8,
+) -> DataFrame:
+    """Katz centrality (Katz 1953): x = sum over k >= 1 of alpha^k
+    (A^T)^k * beta*1 — attenuated counts of in-walks of every length —
+    iterated as x_{k+1} = alpha * A^T x_k + beta from x_0 = beta*1
+    (requires alpha < 1/lambda_max for convergence; a FIXED iteration
+    count makes the truncated sum deterministic, the pagerank
+    discipline).  Per round: one src-keyed join + partial-agg
+    groupBy(dst) + the nodes left-join (no-in-edge nodes keep the beta
+    floor), lineage truncated.  Returns [node, katz]."""
+    nds = nodes.select("node").persist()
+    nds.count()
+    e = edges.select("src", "dst")
+    x = nds.withColumn("x", F.lit(float(beta))).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        raw = (
+            e.join(x, e["src"] == x["node"])
+            .select(e["dst"].alias("node"), F.col("x").alias("w"))
+            .groupBy("node")
+            .agg(F.sum("w").alias("s"))
+        )
+        x = (
+            nds.join(raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(float(alpha)) * F.coalesce("s", F.lit(0.0))
+                    + F.lit(float(beta))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("node", F.col("x").alias("katz"))
