@@ -7050,17 +7050,7 @@ FROM docs_geo WHERE way && {{bbox}}
         ascending-distance list."""
         from tilekiln_spark.operators.graph import harmonic_centrality
 
-        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 200)
-        e = (
-            d.filter((F.col("doc_id") % 5) != 0)
-            .select(
-                F.col("doc_id").alias("src"),
-                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-            )
-            .select("src", ((F.col("src") * 7 + F.col("j")) % 200).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        nodes = d.select(F.col("doc_id").alias("node"))
+        nodes, e = _link_graph(spark, sf_dir, 200)
         out = harmonic_centrality(nodes, e)
         return out.select(
             F.col("node").cast("long").alias("node"),
@@ -7082,17 +7072,7 @@ FROM docs_geo WHERE way && {{bbox}}
         CTEs and folds the identical ordered list."""
         from tilekiln_spark.operators.graph import betweenness_centrality
 
-        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 200)
-        e = (
-            d.filter((F.col("doc_id") % 5) != 0)
-            .select(
-                F.col("doc_id").alias("src"),
-                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-            )
-            .select("src", ((F.col("src") * 7 + F.col("j")) % 200).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        nodes = d.select(F.col("doc_id").alias("node"))
+        nodes, e = _link_graph(spark, sf_dir, 200)
         out = betweenness_centrality(nodes, e)
         return out.select(
             F.col("node").cast("long").alias("node"), F.col("betweenness")
@@ -7152,17 +7132,7 @@ FROM docs_geo WHERE way && {{bbox}}
         rounds as chained CTEs."""
         from tilekiln_spark.operators.graph import simrank
 
-        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
-        e = (
-            d.filter((F.col("doc_id") % 5) != 0)
-            .select(
-                F.col("doc_id").alias("src"),
-                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-            )
-            .select("src", ((F.col("src") * 7 + F.col("j")) % 60).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        nodes = d.select(F.col("doc_id").alias("node"))
+        nodes, e = _link_graph(spark, sf_dir, 60)
         out = simrank(nodes, e, c=0.8, iterations=5)
         return out.select(
             F.col("a").cast("long").alias("a"),
@@ -7183,16 +7153,7 @@ FROM docs_geo WHERE way && {{bbox}}
         the same exact-integer edge set."""
         from tilekiln_spark.operators.graph import boruvka_msf
 
-        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
-        raw = (
-            d.filter((F.col("doc_id") % 5) != 0)
-            .select(
-                F.col("doc_id").alias("src"),
-                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-            )
-            .select("src", ((F.col("src") * 7 + F.col("j")) % 120).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
+        nodes, raw = _link_graph(spark, sf_dir, 120)
         e = (
             raw.select(
                 F.least("src", "dst").alias("u"),
@@ -7209,7 +7170,6 @@ FROM docs_geo WHERE way && {{bbox}}
                 ).alias("w"),
             )
         )
-        nodes = d.select(F.col("doc_id").alias("node"))
         out = boruvka_msf(nodes, e)
         return out.select(
             F.col("u").cast("long").alias("u"),
@@ -7372,16 +7332,7 @@ FROM docs_geo WHERE way && {{bbox}}
         exact integers; aa/ra fold per-z terms in sorted z order."""
         from tilekiln_spark.operators.graph import link_prediction
 
-        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 120)
-        e = (
-            d.filter((F.col("doc_id") % 5) != 0)
-            .select(
-                F.col("doc_id").alias("src"),
-                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
-            )
-            .select("src", ((F.col("src") * 7 + F.col("j")) % 120).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
+        _nodes, e = _link_graph(spark, sf_dir, 120)
         out = link_prediction(e, min_common=2)
         return out.select(
             F.col("a").cast("long").alias("a"),
@@ -7461,9 +7412,18 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["burst_detection"] = burst_detection
 
-    def _link_graph(spark, sf_dir):
+    def _link_graph(spark, sf_dir, slice_n=None):
+        """(nodes, edges) of the deterministic link graph dst =
+        (src*7 + j) % N, j in 1..3, sinks at src % 5 == 0 — over the
+        full documents table (N = row count) or, with ``slice_n``, the
+        doc_id < slice_n slice with modulus slice_n (the bounded
+        fixtures the all-pairs graph operators use)."""
         d = _docs(spark, sf_dir).select("doc_id")
-        n = d.count()
+        if slice_n is None:
+            n = d.count()
+        else:
+            n = slice_n
+            d = d.filter(F.col("doc_id") < slice_n)
         e = (
             d.filter((F.col("doc_id") % 5) != 0)
             .select(

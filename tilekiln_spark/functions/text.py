@@ -501,23 +501,27 @@ def collocations(df, min_count: int = 5, text_col: str = "text"):
     from tilekiln_spark.functions.lm import _bigram_pairs
     from tilekiln_spark.operators.dedup import _tokens
 
+    # totals come from the count tables themselves (sum of counts), as
+    # lazy 1-row broadcast aggregates — no eager driver action, and the
+    # corpus is tokenized exactly twice (once per count table)
     toks = df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
-    t_total = toks.count()
     bi = (
         df.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    n_bi = bi.count()
-    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")).where(
-        F.col("c12") >= min_count
-    )
+    c12_all = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = c12_all.where(F.col("c12") >= min_count)
+    tt = uni.agg(F.sum("c").cast("double").alias("tt"))
+    nbt = c12_all.agg(F.sum("c12").cast("double").alias("nbt"))
     j = (
         c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(nbt))
     )
-    T = F.lit(float(t_total))
-    Nb = F.lit(float(n_bi))
+    T = F.col("tt")
+    Nb = F.col("nbt")
     e = Nb * F.col("c1").cast("double") * F.col("c2").cast("double") / (T * T)
     pmi = F.log2(
         (F.col("c12").cast("double") * T * T)

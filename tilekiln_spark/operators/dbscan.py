@@ -38,6 +38,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _label_clusters(pts, pairs, min_pts: int, key_col: str):
+    """Shared DBSCAN labeling tail (spatial and space-time variants):
+    degree rollup -> core flags -> core-core connected components
+    (large/small-star) -> deterministic min-id border attach.
+    ``pts`` needs a ``pid`` column; ``pairs`` is the symmetric
+    candidate-pair list (a_id, b_id)."""
+    deg = pairs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
+    labeled = pts.join(deg, pts.pid == deg.a_id, "left").select(
+        "pid", (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core")
+    ).localCheckpoint(eager=True)
+    core = labeled.where("is_core").select(F.col("pid").alias("core_id"))
+
+    # core-core edges -> components (min-id labels); singleton cores keep
+    # their own id via the coalesce below
+    from tilekiln_spark.operators.dedup import connected_components
+
+    cedges = (
+        pairs.join(core, pairs.a_id == core.core_id).drop("core_id")
+        .join(core, pairs.b_id == F.col("core_id")).drop("core_id")
+    )
+    comp = connected_components(cedges, "a_id", "b_id")
+
+    core_lbl = (
+        core.join(comp, core.core_id == comp.node, "left")
+        .select(
+            F.col("core_id").alias("pid"),
+            F.coalesce(F.col("component"), F.col("core_id")).alias("cluster_id"),
+        )
+    )
+
+    # border: non-core -> MIN neighboring core component (deterministic)
+    border_lbl = (
+        pairs.join(labeled.where(~F.col("is_core")).select("pid"),
+                   pairs.a_id == F.col("pid"))
+        .join(core_lbl.select(F.col("pid").alias("b_pid"),
+                              F.col("cluster_id").alias("b_cluster")),
+              F.col("b_id") == F.col("b_pid"))
+        .groupBy("a_id")
+        .agg(F.min("b_cluster").alias("cluster_id"))
+        .select(F.col("a_id").alias("pid"), "cluster_id")
+    )
+
+    lbl = core_lbl.unionByName(border_lbl)
+    return (
+        labeled.join(lbl, "pid", "left")
+        .select(
+            F.col("pid").alias(key_col),
+            "is_core",
+            "cluster_id",
+        )
+    )
+
+
 def dbscan(
     points: DataFrame,
     eps: float,
@@ -92,51 +145,7 @@ def dbscan(
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    deg = pairs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
-    labeled = pts.join(deg, pts.pid == deg.a_id, "left").select(
-        "pid", (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core")
-    ).localCheckpoint(eager=True)
-    core = labeled.where("is_core").select(F.col("pid").alias("core_id"))
-
-    # core-core edges -> components (min-id labels); singleton cores keep
-    # their own id via the coalesce below
-    from tilekiln_spark.operators.dedup import connected_components
-
-    cedges = (
-        pairs.join(core, pairs.a_id == core.core_id).drop("core_id")
-        .join(core, pairs.b_id == F.col("core_id")).drop("core_id")
-    )
-    comp = connected_components(cedges, "a_id", "b_id")
-
-    core_lbl = (
-        core.join(comp, core.core_id == comp.node, "left")
-        .select(
-            F.col("core_id").alias("pid"),
-            F.coalesce(F.col("component"), F.col("core_id")).alias("cluster_id"),
-        )
-    )
-
-    # border: non-core -> MIN neighboring core component (deterministic)
-    border_lbl = (
-        pairs.join(labeled.where(~F.col("is_core")).select("pid"),
-                   pairs.a_id == F.col("pid"))
-        .join(core_lbl.select(F.col("pid").alias("b_pid"),
-                              F.col("cluster_id").alias("b_cluster")),
-              F.col("b_id") == F.col("b_pid"))
-        .groupBy("a_id")
-        .agg(F.min("b_cluster").alias("cluster_id"))
-        .select(F.col("a_id").alias("pid"), "cluster_id")
-    )
-
-    lbl = core_lbl.unionByName(border_lbl)
-    return (
-        labeled.join(lbl, "pid", "left")
-        .select(
-            F.col("pid").alias(key_col),
-            "is_core",
-            "cluster_id",
-        )
-    )
+    return _label_clusters(pts, pairs, min_pts, key_col)
 
 
 def st_dbscan(
@@ -219,40 +228,4 @@ def st_dbscan(
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    deg = pairs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
-    labeled = pts.join(deg, pts.pid == deg.a_id, "left").select(
-        "pid",
-        (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core"),
-    ).localCheckpoint(eager=True)
-    core = labeled.where("is_core").select(F.col("pid").alias("core_id"))
-
-    from tilekiln_spark.operators.dedup import connected_components
-
-    cedges = (
-        pairs.join(core, pairs.a_id == core.core_id).drop("core_id")
-        .join(core, pairs.b_id == F.col("core_id")).drop("core_id")
-    )
-    comp = connected_components(cedges, "a_id", "b_id")
-    core_lbl = core.join(comp, core.core_id == comp.node, "left").select(
-        F.col("core_id").alias("pid"),
-        F.coalesce(F.col("component"), F.col("core_id")).alias("cluster_id"),
-    )
-    border_lbl = (
-        pairs.join(
-            labeled.where(~F.col("is_core")).select("pid"),
-            pairs.a_id == F.col("pid"),
-        )
-        .join(
-            core_lbl.select(
-                F.col("pid").alias("b_pid"), F.col("cluster_id").alias("b_cluster")
-            ),
-            F.col("b_id") == F.col("b_pid"),
-        )
-        .groupBy("a_id")
-        .agg(F.min("b_cluster").alias("cluster_id"))
-        .select(F.col("a_id").alias("pid"), "cluster_id")
-    )
-    lbl = core_lbl.unionByName(border_lbl)
-    return labeled.join(lbl, "pid", "left").select(
-        F.col("pid").alias(key_col), "is_core", "cluster_id"
-    )
+    return _label_clusters(pts, pairs, min_pts, key_col)

@@ -930,10 +930,10 @@ def harmonic_centrality(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
-        cur = (
-            dist.count(),
-            (dist.agg(F.sum("d")).collect()[0][0] or 0),
-        )
+        row = dist.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("d"), F.lit(0)).alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
         if cur == prev:
             reached = dist.where(F.col("src") != F.col("node"))
             per_d = reached.groupBy("node", "d").agg(
@@ -1393,6 +1393,7 @@ def eigenvector_centrality(
         x = full.crossJoin(F.broadcast(mx)).select(
             "node", (F.col("s") / F.col("m")).alias("x")
         ).localCheckpoint(eager=True)
+    nds.unpersist()
     return x.select("node", F.col("x").alias("centrality"))
 
 
@@ -1433,4 +1434,5 @@ def katz_centrality(
             )
             .localCheckpoint(eager=True)
         )
+    nds.unpersist()
     return x.select("node", F.col("x").alias("katz"))

@@ -2273,6 +2273,8 @@ def least_cost_path(
         raise ValueError(
             f"least_cost_path: path longer than 2^{max_rounds} hops"
         )
-    return anc.join(s.select("gx", "gy", "acc"), ["gx", "gy"]).select(
+    # LEFT join: an unreached target (NULL acc, filtered out of `s`)
+    # keeps its step-0 seed row with acc NULL — the documented sentinel
+    return anc.join(s.select("gx", "gy", "acc"), ["gx", "gy"], "left").select(
         "tx", "ty", "step", "gx", "gy", "acc"
     )
