@@ -7466,6 +7466,53 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["katz_links"] = katz_links
 
+    _CT_MARKERS = {
+        "en": "the and is of to",
+        "de": "der die und ist nicht",
+        "fr": "le la les est une",
+        "es": "el los es una que",
+        "zh": "shi de le ma ne",
+    }
+
+    def langid_ngram_rank(spark, sf_dir):
+        """Cavnar-Trenkle rank-order char-trigram classification
+        (functions/text.py cavnar_trenkle — the textcat algorithm,
+        k=40 profiles, out-of-place distance): documents carry
+        deterministic per-language stopword markers (prepended 3x) so
+        the trigram profiles genuinely separate; train on even doc_ids,
+        classify odd.  EVERY rank, cut, and distance is an exact
+        integer with (count desc, gram asc) tie-breaks — no float in
+        the whole classifier."""
+        from tilekiln_spark.functions.text import cavnar_trenkle
+
+        d = _docs(spark, sf_dir)
+        marker = F.coalesce(
+            *[
+                F.when(F.col("lang") == lg, F.lit(m))
+                for lg, m in sorted(_CT_MARKERS.items())
+            ]
+        )
+        marked = d.select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", marker, marker, marker, F.col("text")).alias(
+                "text"
+            ),
+        )
+        out = cavnar_trenkle(
+            marked.where(F.col("doc_id") % 2 == 0),
+            marked.where(F.col("doc_id") % 2 == 1),
+            k=40,
+        )
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "true_class",
+            "pred_class",
+            F.col("dist").cast("long").alias("dist"),
+        )
+
+    q["langid_ngram_rank"] = langid_ngram_rank
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12706,6 +12753,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(g.x AS BIGINT) AS gap_us,
                b.st = 1 AS burst
         FROM bwd b JOIN gaps g ON g.key = b.key AND g.i = b.i
+    """
+
+    # Cavnar-Trenkle twin: identical marker injection, trigram
+    # extraction, (count desc, gram asc) rank cuts, and integer
+    # out-of-place distance
+    o["langid_ngram_rank"] = r"""
+        WITH marked AS (
+            SELECT doc_id, lang,
+                   mk || ' ' || mk || ' ' || mk || ' ' || text AS text
+            FROM (
+                SELECT *, CASE lang
+                    WHEN 'en' THEN 'the and is of to'
+                    WHEN 'de' THEN 'der die und ist nicht'
+                    WHEN 'fr' THEN 'le la les est une'
+                    WHEN 'es' THEN 'el los es una que'
+                    WHEN 'zh' THEN 'shi de le ma ne' END AS mk
+                FROM documents
+            )
+        ),
+        normed AS (
+            SELECT doc_id, lang,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+            FROM marked
+        ),
+        tg AS MATERIALIZED (
+            SELECT doc_id, lang, unnest(
+                CASE WHEN len(s) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(s) - 1),
+                                         i -> substr(s, CAST(i AS INT), 3))
+                END) AS gram
+            FROM normed
+        ),
+        prof AS (
+            SELECT lang AS cls, gram, count(*) AS c
+            FROM tg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        ),
+        prof_k AS MATERIALIZED (
+            SELECT cls, gram, rc FROM (
+                SELECT cls, gram,
+                       row_number() OVER (PARTITION BY cls
+                           ORDER BY c DESC, gram ASC) AS rc
+                FROM prof
+            ) WHERE rc <= 40
+        ),
+        dgc AS (
+            SELECT doc_id AS doc, lang AS truth, gram, count(*) AS c
+            FROM tg WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+        ),
+        doc_k AS MATERIALIZED (
+            SELECT doc, truth, gram, rd FROM (
+                SELECT doc, truth, gram,
+                       row_number() OVER (PARTITION BY doc
+                           ORDER BY c DESC, gram ASC) AS rd
+                FROM dgc WHERE c >= 2
+            ) WHERE rd <= 40
+        ),
+        scored AS (
+            SELECT d.doc, d.truth, cl.cls,
+                   sum(coalesce(abs(d.rd - p.rc), 40)) AS dist
+            FROM doc_k d
+            CROSS JOIN (SELECT DISTINCT cls FROM prof_k) cl
+            LEFT JOIN prof_k p ON p.cls = cl.cls AND p.gram = d.gram
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(doc AS BIGINT) AS doc_id, truth AS true_class,
+               cls AS pred_class, CAST(dist AS BIGINT) AS dist
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc
+                       ORDER BY dist ASC, cls ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
     """
 
     # keyness twin: shared tokenizer counts per corpus, full-outer

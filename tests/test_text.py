@@ -69,3 +69,22 @@ def test_keyness_hand_values(spark):
     assert x.g2 == round(exp, 6)
     y = rows["y"]
     assert (y.cnt_a, y.cnt_b, y.overused) == (1, 4, False)
+
+
+def test_cavnar_trenkle_classifies_distinct_char_profiles(spark):
+    """Two classes with disjoint character inventories classify
+    perfectly; the out-of-place distance to the true class is lower."""
+    from tilekiln_spark.functions.text import cavnar_trenkle
+
+    rows = []
+    for i in range(8):
+        rows.append((i * 2, "aaa", "alpha banana cabana salad " * 3))
+        rows.append((i * 2 + 1, "zzz", "zigzag puzzle fuzzy buzz " * 3))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = cavnar_trenkle(
+        df.where("doc_id % 2 = 0 or lang = 'zzz'").where("doc_id < 8"),
+        df.where("doc_id >= 8"),
+        k=20, min_count=1,
+    ).collect()
+    assert len(out) == 8
+    assert all(r.true_class == r.pred_class for r in out)

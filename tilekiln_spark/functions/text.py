@@ -8,7 +8,7 @@ __spark_entry__.py, so these are value-checked end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -606,4 +606,87 @@ def keyness(df_a, df_b, min_count: int = 5, text_col: str = "text"):
         F.col("b").alias("cnt_b"),
         (F.round(F.lit(2.0) * (term_a + term_b), 6) + F.lit(0.0)).alias("g2"),
         (F.col("a") * F.col("nb") > F.col("b") * F.col("na")).alias("overused"),
+    )
+
+
+def cavnar_trenkle(
+    train, test, k: int = 40, min_count: int = 2,
+    class_col: str = "lang", text_col: str = "text", id_col: str = "doc_id",
+):
+    """Cavnar & Trenkle 1994 rank-order n-gram classification (the
+    textcat algorithm): each class gets a profile of its top-``k`` char
+    trigrams ranked by (count desc, gram asc); a document's trigram
+    ranks compare against every class profile by the OUT-OF-PLACE
+    measure — sum of |rank_doc - rank_class|, with a flat ``k`` penalty
+    for grams absent from the class profile — and the smallest total
+    wins (class-ascending tie-break).  EVERY quantity is an exact
+    integer and every rank cut a deterministic (count, gram) order, so
+    the classification is bit-identical cross-engine with no float
+    anywhere.
+
+    Trigrams come from the lowercased text with word boundaries kept
+    (the whitespace itself is signal — C&T's padded-token behavior).
+    Grams below ``min_count`` per document are dropped before ranking
+    (C&T's noise floor).
+
+    Scale: profile training is one (class, gram) partial-agg groupBy +
+    a per-class top-k window (k rows per class — broadcastable by
+    construction); scoring explodes each test doc to <= k grams, joins
+    the broadcast profile, and partial-aggregates per (doc, class).
+    Returns [doc_id, true_class, pred_class, dist]."""
+    def grams(df, keys, names):
+        t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — texts
+        # shorter than one trigram must produce an empty gram array
+        g = F.when(
+            F.length(t) < 3, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        )
+        return df.select(*keys, F.explode(g).alias("gram")).groupBy(
+            *names, "gram"
+        ).agg(F.count("*").alias("c"))
+    prof = grams(train, [F.col(class_col).alias("cls")], ["cls"])
+    wp = Window.partitionBy("cls").orderBy(F.col("c").desc(), F.col("gram").asc())
+    prof_k = (
+        prof.withColumn("rc", F.row_number().over(wp))
+        .where(F.col("rc") <= k)
+        .select("cls", "gram", "rc")
+    )
+    dg = grams(
+        test,
+        [F.col(id_col).alias("doc"), F.col(class_col).alias("truth")],
+        ["doc", "truth"],
+    )
+    wd = Window.partitionBy("doc").orderBy(F.col("c").desc(), F.col("gram").asc())
+    doc_k = (
+        dg.where(F.col("c") >= min_count)
+        .withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= k)
+        .select("doc", "truth", "gram", "rd")
+    )
+    classes = prof_k.select("cls").distinct()
+    scored = (
+        doc_k.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(prof_k), ["cls", "gram"], "left")
+        .groupBy("doc", "truth", "cls")
+        .agg(
+            F.sum(
+                F.coalesce(F.abs(F.col("rd") - F.col("rc")), F.lit(k))
+            ).alias("dist")
+        )
+    )
+    wbest = Window.partitionBy("doc").orderBy(F.col("dist").asc(), F.col("cls").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("truth").alias("true_class"),
+            F.col("cls").alias("pred_class"),
+            F.col("dist"),
+        )
     )
