@@ -7513,6 +7513,23 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["langid_ngram_rank"] = langid_ngram_rank
 
+    def rich_club_q(spark, sf_dir):
+        """Rich-club coefficients (operators/graph.py rich_club — Zhou
+        & Mondragón 2004) at k in {2, 3, 4, 5} over the undirected
+        120-node link-graph slice: exact integer N_k / E_k off one
+        degree-annotated edge list, one division per threshold."""
+        from tilekiln_spark.operators.graph import rich_club
+
+        _nodes, e = _link_graph(spark, sf_dir, 120)
+        return rich_club(e, [2, 3, 4, 5]).select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "phi",
+        )
+
+    q["rich_club"] = rich_club_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12906,6 +12923,50 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # rich-club twin: same undirected degree-annotated edge list, one
+    # threshold scan per k — exact integers, one division
+    o["rich_club"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        e AS (
+            SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + j.j) % 120 AS dst
+                FROM d CROSS JOIN (VALUES (1), (2), (3)) j(j)
+                WHERE doc_id % 5 <> 0
+            ) WHERE src <> dst
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e
+        ),
+        deg AS MATERIALIZED (
+            SELECT n, count(*) AS dg FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+            ) GROUP BY n
+        ),
+        ed AS MATERIALIZED (
+            SELECT und.u, und.v, du.dg AS du, dv.dg AS dv
+            FROM und
+            JOIN deg du ON du.n = und.u
+            JOIN deg dv ON dv.n = und.v
+        ),
+        ks(k) AS (VALUES (2), (3), (4), (5))
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+               CAST(ek.n_edges AS BIGINT) AS n_edges,
+               round(CASE WHEN nk.n_nodes >= 2
+                          THEN 2.0 * CAST(ek.n_edges AS DOUBLE)
+                               / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE)
+                          ELSE 0.0 END, 6) + 0.0 AS phi
+        FROM ks
+        CROSS JOIN LATERAL (
+            SELECT count(*) AS n_nodes FROM deg WHERE dg > ks.k
+        ) nk
+        CROSS JOIN LATERAL (
+            SELECT count(*) AS n_edges FROM ed
+            WHERE du > ks.k AND dv > ks.k
+        ) ek
     """
 
     # link-prediction twin: same undirected neighbor lists, shared-z

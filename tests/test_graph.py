@@ -220,3 +220,17 @@ def test_eigenvector_and_katz_known_graphs(spark):
     assert out[0] == 1.0
     for leaf in range(1, 5):
         assert abs(out[leaf] - 1.2) < 1e-12
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    """4-clique with a pendant on each clique node: at k=1 only clique
+    nodes (deg 4 > 1... pendants deg 1) survive -> phi = 1.0; at k=4
+    nobody survives -> phi = 0."""
+    from tilekiln_spark.operators.graph import rich_club
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pend = [(i, 10 + i) for i in range(4)]
+    e = spark.createDataFrame(clique + pend, "src long, dst long")
+    out = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club(e, [1, 4]).collect()}
+    assert out[1] == (4, 6, 1.0)
+    assert out[4] == (0, 0, 0.0)

@@ -1436,3 +1436,63 @@ def katz_centrality(
         )
     nds.unpersist()
     return x.select("node", F.col("x").alias("katz"))
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004; Colizza 2006
+    normalization left to the caller): for each degree threshold k,
+
+        phi(k) = 2 * E_k / (N_k * (N_k - 1))
+
+    over the UNDIRECTED simple graph, where N_k = nodes with degree
+    > k and E_k = edges between two such nodes — do well-connected
+    pages link to each other more than degree alone predicts?  N_k and
+    E_k are exact integers from one degree groupBy + one edge
+    semi-join per threshold (thresholds share the degree-annotated
+    edge list, so adding thresholds adds no shuffle); phi is a single
+    division rounded at 6.  Returns [k, n_nodes, n_edges, phi]."""
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    deg = und.select(F.col("u").alias("n")).unionAll(
+        und.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count("*").alias("d"))
+    ed = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in sorted(set(int(x) for x in ks)):
+        nk = deg.where(F.col("d") > k).agg(F.count("*").alias("n_nodes"))
+        ek = ed.where((F.col("du") > k) & (F.col("dv") > k)).agg(
+            F.count("*").alias("n_edges")
+        )
+        row = (
+            nk.crossJoin(ek)
+            .select(
+                F.lit(k).alias("k"),
+                "n_nodes",
+                "n_edges",
+                (
+                    F.round(
+                        F.when(
+                            F.col("n_nodes") >= 2,
+                            F.lit(2.0)
+                            * F.col("n_edges").cast("double")
+                            / (
+                                F.col("n_nodes")
+                                * (F.col("n_nodes") - 1)
+                            ).cast("double"),
+                        ).otherwise(F.lit(0.0)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("phi"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
