@@ -501,24 +501,32 @@ def collocations(df, min_count: int = 5, text_col: str = "text"):
     from tilekiln_spark.functions.lm import _bigram_pairs
     from tilekiln_spark.operators.dedup import _tokens
 
-    # totals come from the count tables themselves (sum of counts), as
-    # lazy 1-row broadcast aggregates — no eager driver action, and the
-    # corpus is tokenized exactly twice (once per count table)
+    # totals ride ON the count tables as whole-frame window sums (the
+    # count tables are vocab-sized, so the single-partition window
+    # exchange is cheap) — no eager driver action, no second consumer
+    # per aggregate, so the corpus is tokenized exactly three times
+    # (bigrams once, unigrams once per join side) instead of ~10x when
+    # separate total-aggregates defeat exchange reuse
+    wall = Window.partitionBy()
     toks = df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    uni_t = uni.withColumn("tt", F.sum("c").over(wall).cast("double"))
     bi = (
         df.select(F.explode(_bigram_pairs(F.col(text_col))).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    c12_all = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c12 = c12_all.where(F.col("c12") >= min_count)
-    tt = uni.agg(F.sum("c").cast("double").alias("tt"))
-    nbt = c12_all.agg(F.sum("c12").cast("double").alias("nbt"))
+    c12 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("nbt", F.sum("c12").over(wall).cast("double"))
+        .where(F.col("c12") >= min_count)
+    )
     j = (
-        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        c12.join(
+            uni_t.select(F.col("w").alias("w1"), F.col("c").alias("c1"), "tt"),
+            "w1",
+        )
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(nbt))
     )
     T = F.col("tt")
     Nb = F.col("nbt")
