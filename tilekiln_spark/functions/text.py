@@ -573,28 +573,34 @@ def keyness(df_a, df_b, min_count: int = 5, text_col: str = "text"):
     overused]."""
     from tilekiln_spark.operators.dedup import _tokens
 
+    # corpus totals ride ON the count tables as whole-frame window sums
+    # (the collocations lesson: a second aggregate consumer of the same
+    # subtree defeats exchange reuse and re-tokenizes the corpus)
+    wall = Window.partitionBy()
     ca = (
         df_a.select(F.explode(_tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("a"))
+        .withColumn("na", F.sum("a").over(wall))
     )
     cb = (
         df_b.select(F.explode(_tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("b"))
+        .withColumn("nb", F.sum("b").over(wall))
     )
-    na = ca.agg(F.sum("a").alias("na"))
-    nb = cb.agg(F.sum("b").alias("nb"))
     j = (
         ca.join(cb, "w", "full_outer")
         .select(
             "w",
             F.coalesce("a", F.lit(0)).alias("a"),
             F.coalesce("b", F.lit(0)).alias("b"),
+            # full-outer rows may miss one side's total — each total is
+            # constant on its side, so take the max over the frame
+            F.max("na").over(wall).alias("na"),
+            F.max("nb").over(wall).alias("nb"),
         )
         .where(F.col("a") + F.col("b") >= min_count)
-        .crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
     )
     a = F.col("a").cast("double")
     b = F.col("b").cast("double")
