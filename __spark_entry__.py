@@ -7530,6 +7530,38 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["rich_club"] = rich_club_q
 
+    def k_truss_q(spark, sf_dir):
+        """4-truss peeling (operators/graph.py k_truss — Cohen 2008)
+        over two 8-cliques bridged by edges (0,8), (1,9), (0,9): the
+        bridge support CASCADES — (0,8) dies round 1, which starves
+        (0,9), which starves (1,9) — so the fixpoint genuinely
+        iterates (depth 3); the surviving edges are exactly the two
+        cliques at support 6.  The twin unrolls 5 identical monotone
+        rounds."""
+        from tilekiln_spark.operators.graph import k_truss
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 16)
+        g = d.select(
+            F.floor(F.col("doc_id") / 8).alias("grp"), F.col("doc_id")
+        )
+        cliq = (
+            g.select("grp", F.col("doc_id").alias("src"))
+            .join(g.select("grp", F.col("doc_id").alias("dst")), "grp")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        bridges = spark.createDataFrame(
+            [(0, 8), (1, 9), (0, 9)], "src long, dst long"
+        )
+        out = k_truss(cliq.unionByName(bridges), k=4)
+        return out.select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("support").cast("long").alias("support"),
+        )
+
+    q["k_truss"] = k_truss_q
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12923,6 +12955,39 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # k-truss twin: 5 unrolled monotone peeling rounds (cascade depth 3
+    # on the fixture; extra rounds no-ops — the k-core argument)
+    _kt_rounds = []
+    _kt_prev = "e0"
+    for _i in range(1, 6):
+        _kt_rounds.append(f"""
+        s{_i} AS MATERIALIZED (
+            SELECT a AS n, b AS w FROM {_kt_prev}
+            UNION ALL SELECT b AS n, a AS w FROM {_kt_prev}
+        ),
+        e{_i} AS MATERIALIZED (
+            SELECT e.a, e.b, count(y.w) AS support
+            FROM {_kt_prev} e
+            LEFT JOIN s{_i} x ON x.n = e.a
+            LEFT JOIN s{_i} y ON y.n = e.b AND y.w = x.w
+            GROUP BY e.a, e.b
+            HAVING count(y.w) >= 2
+        )""")
+        _kt_prev = f"e{_i}"
+    o["k_truss"] = f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 16),
+        e0 AS MATERIALIZED (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM d x JOIN d y
+              ON (x.doc_id // 8) = (y.doc_id // 8) AND x.doc_id < y.doc_id
+            UNION ALL SELECT 0, 8 UNION ALL SELECT 1, 9 UNION ALL SELECT 0, 9
+        ),
+        {",".join(_kt_rounds)}
+        SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v,
+               CAST(support AS BIGINT) AS support
+        FROM {_kt_prev}
     """
 
     # rich-club twin: same undirected degree-annotated edge list, one

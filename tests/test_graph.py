@@ -234,3 +234,21 @@ def test_rich_club_clique_plus_pendants(spark):
     out = {r.k: (r.n_nodes, r.n_edges, r.phi) for r in rich_club(e, [1, 4]).collect()}
     assert out[1] == (4, 6, 1.0)
     assert out[4] == (0, 0, 0.0)
+
+
+def test_k_truss_bridge_cascade(spark):
+    """Two 5-cliques + bridges (0,5), (1,6), (0,6): at k=4 the bridge
+    supports cascade to extinction and exactly the 20 clique edges
+    survive with support 3; at k=6 everything dies."""
+    from tilekiln_spark.operators.graph import k_truss
+
+    cliq = [(a, b) for a in range(5) for b in range(5) if a < b]
+    cliq += [(a + 5, b + 5) for a, b in cliq]
+    e = spark.createDataFrame(
+        cliq + [(0, 5), (1, 6), (0, 6)], "src long, dst long"
+    )
+    out = k_truss(e, k=4).collect()
+    assert len(out) == 20
+    assert all(r.support == 3 for r in out)
+    assert not any(r.u < 5 <= r.v for r in out)
+    assert k_truss(e, k=6).count() == 0

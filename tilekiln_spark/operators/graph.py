@@ -1496,3 +1496,57 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """k-truss decomposition for a fixed k (Cohen 2008; the edge
+    analogue of k-core): the maximal subgraph in which EVERY edge
+    closes at least k-2 triangles.  Iterative peeling: count each
+    edge's support (triangles through it) within the CURRENT edge set
+    — one symmetric-adjacency double join keyed on the endpoints +
+    one partial-agg pair count, the graph_triangles shape — drop edges
+    with support < k-2, repeat until no edge drops.  The edge set
+    shrinks MONOTONICALLY, so a twin may unroll any fixed round count
+    >= the cascade depth (extra rounds are no-ops — the k-core
+    argument), and all quantities are exact integers.
+
+    Scale per round: support counting shuffles on single node keys
+    (wedge endpoints); the classic optimization of ordering wedges by
+    degree applies unchanged.  Rounds = peeling cascade depth, small
+    in practice (the fixture cascades in 3).
+    Returns the surviving [u, v, support] with u < v."""
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = und.count()
+    for _ in range(max_iter):
+        sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        tri = (
+            und.join(
+                sym.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+            )
+            .join(
+                sym.select(F.col("a").alias("v"), F.col("b").alias("w")),
+                ["v", "w"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("support"))
+        )
+        scored = und.join(tri, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        kept = scored.where(F.col("support") >= k - 2).localCheckpoint(
+            eager=True
+        )
+        n = kept.count()
+        if n == n_prev:
+            return kept
+        und = kept.select("u", "v").localCheckpoint(eager=True)
+        n_prev = n
+    raise ValueError(f"k_truss: peeling not converged in max_iter={max_iter}")
