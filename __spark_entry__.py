@@ -7562,6 +7562,26 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["k_truss"] = k_truss_q
 
+    def length_drift_langs(spark, sf_dir):
+        """Exact 1-D Wasserstein-1 + KS distance (functions/text.py
+        dist_compare) between the en document-length (n_chars)
+        distribution and every other language — the classical
+        distribution-drift pair in the CROSS-MULTIPLIED integer form:
+        every accumulated quantity is an exact int64; one division per
+        statistic at the end."""
+        from tilekiln_spark.functions.text import dist_compare
+
+        out = dist_compare(_docs(spark, sf_dir), baseline="en")
+        return out.select(
+            "cls",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cls").cast("long").alias("n_cls"),
+            "w1",
+            "ks",
+        )
+
+    q["length_drift_langs"] = length_drift_langs
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12955,6 +12975,48 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # W1/KS twin: identical merged support, integer cumulative counts,
+    # cross-multiplied |CA*m - CB*n| sums, one final division
+    o["length_drift_langs"] = """
+        WITH base AS (
+            SELECT n_chars AS v, count(*) AS ca FROM documents
+            WHERE lang = 'en' GROUP BY 1
+        ),
+        other AS (
+            SELECT lang AS cls, n_chars AS v, count(*) AS cb FROM documents
+            WHERE lang != 'en' GROUP BY 1, 2
+        ),
+        support AS (
+            SELECT cls, v, sum(ca) AS ca, sum(cb) AS cb FROM (
+                SELECT c.cls, b.v, b.ca, 0 AS cb
+                FROM base b CROSS JOIN (SELECT DISTINCT cls FROM other) c
+                UNION ALL
+                SELECT cls, v, 0 AS ca, cb FROM other
+            ) GROUP BY cls, v
+        ),
+        cum AS (
+            SELECT cls, v,
+                   sum(ca) OVER (PARTITION BY cls ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS CA,
+                   sum(cb) OVER (PARTITION BY cls ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS CB,
+                   sum(ca) OVER (PARTITION BY cls) AS n,
+                   sum(cb) OVER (PARTITION BY cls) AS m,
+                   lead(v) OVER (PARTITION BY cls ORDER BY v) AS nxt
+            FROM support
+        )
+        SELECT cls,
+               CAST(max(n) AS BIGINT) AS n_base,
+               CAST(max(m) AS BIGINT) AS n_cls,
+               round(CAST(sum(CASE WHEN nxt IS NOT NULL
+                                   THEN abs(CA * m - CB * n) * (nxt - v)
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(max(n) * max(m) AS DOUBLE), 6) + 0.0 AS w1,
+               round(CAST(max(abs(CA * m - CB * n)) AS DOUBLE)
+                     / CAST(max(n) * max(m) AS DOUBLE), 6) + 0.0 AS ks
+        FROM cum GROUP BY cls
     """
 
     # k-truss twin: 5 unrolled monotone peeling rounds (cascade depth 3

@@ -88,3 +88,15 @@ def test_cavnar_trenkle_classifies_distinct_char_profiles(spark):
     ).collect()
     assert len(out) == 8
     assert all(r.true_class == r.pred_class for r in out)
+
+
+def test_dist_compare_hand_values(spark):
+    """Base {0, 10} vs class b shifted {5, 15}: W1 = 5 (shift distance),
+    KS = 0.5; identical class c scores 0/0."""
+    from tilekiln_spark.functions.text import dist_compare
+
+    rows = [("en", 0), ("en", 10), ("bb", 5), ("bb", 15), ("cc", 0), ("cc", 10)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.cls: (r.w1, r.ks) for r in dist_compare(df, "en").collect()}
+    assert out["bb"] == (5.0, 0.5)
+    assert out["cc"] == (0.0, 0.0)

@@ -704,3 +704,98 @@ def cavnar_trenkle(
             F.col("dist"),
         )
     )
+
+
+def dist_compare(
+    df,
+    baseline: str,
+    class_col: str = "lang",
+    value_col: str = "n_chars",
+):
+    """Exact 1-D Wasserstein-1 (earth mover) + Kolmogorov-Smirnov
+    distance between the ``value_col`` distribution of the
+    ``baseline`` class and every other class — the classical
+    distribution-drift pair (W1 = integral |F_a - F_b|; KS = sup):
+
+        W1 = sum over support gaps of |CA*m - CB*n| * gap / (n*m)
+        KS = max over support of |CA*m - CB*n| / (n*m)
+
+    with CA/CB the integer cumulative counts and n/m the class sizes —
+    the CROSS-MULTIPLIED form keeps every accumulated quantity an
+    EXACT integer (|CA*m - CB*n| * gap sums in int64), so the only
+    float is one final division per statistic, rounded at 6.  Empirical
+    CDFs are right-continuous step functions; the last support point
+    contributes nothing (both CDFs are 1 there).
+
+    Scale: one (class, value) partial-agg groupBy, then windows
+    partitioned BY CLASS PAIR over the merged support — the
+    per-key-timeline exchange; support size is the distinct-value
+    count, not the row count.  Returns [cls, n_base, n_cls, w1, ks]."""
+    vals = df.select(F.col(class_col).alias("cls"), F.col(value_col).alias("v"))
+    base = vals.where(F.col("cls") == baseline).groupBy("v").agg(
+        F.count("*").alias("ca")
+    )
+    other = (
+        vals.where(F.col("cls") != baseline)
+        .groupBy("cls", "v")
+        .agg(F.count("*").alias("cb"))
+    )
+    classes = other.select("cls").distinct()
+    support = (
+        base.crossJoin(F.broadcast(classes))
+        .select("cls", "v", "ca", F.lit(0).alias("cb"))
+        .unionByName(other.select("cls", "v", F.lit(0).alias("ca"), "cb"))
+        .groupBy("cls", "v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = (
+        Window.partitionBy("cls")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("cls")
+    wlead = Window.partitionBy("cls").orderBy("v")
+    cum = support.select(
+        "cls",
+        "v",
+        F.sum("ca").over(w).alias("CA"),
+        F.sum("cb").over(w).alias("CB"),
+        F.sum("ca").over(wall).alias("n"),
+        F.sum("cb").over(wall).alias("m"),
+        F.lead("v").over(wlead).alias("nxt"),
+    )
+    diff = F.abs(F.col("CA") * F.col("m") - F.col("CB") * F.col("n"))
+    return (
+        cum.groupBy("cls")
+        .agg(
+            F.max("n").alias("n_base"),
+            F.max("m").alias("n_cls"),
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull(), diff * (F.col("nxt") - F.col("v"))
+                ).otherwise(F.lit(0))
+            ).alias("wnum"),
+            F.max(diff).alias("ksnum"),
+        )
+        .select(
+            "cls",
+            "n_base",
+            "n_cls",
+            (
+                F.round(
+                    F.col("wnum").cast("double")
+                    / (F.col("n_base") * F.col("n_cls")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("w1"),
+            (
+                F.round(
+                    F.col("ksnum").cast("double")
+                    / (F.col("n_base") * F.col("n_cls")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks"),
+        )
+    )
