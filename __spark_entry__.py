@@ -7582,6 +7582,17 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["length_drift_langs"] = length_drift_langs
 
+    def lang_source_chi2(spark, sf_dir):
+        """Pearson chi-square + Cramér's V (functions/text.py
+        contingency_chi2) for the lang x source contingency table:
+        cross-multiplied exact-integer cell terms folded in sorted
+        (a, b) order, zero cells generated from the margins."""
+        from tilekiln_spark.functions.text import contingency_chi2
+
+        return contingency_chi2(_docs(spark, sf_dir), "lang", "source")
+
+    q["lang_source_chi2"] = lang_source_chi2
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12975,6 +12986,46 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # chi2 twin: identical margins/grid, cross-multiplied integer cell
+    # terms, sorted-(a, b) list_reduce fold
+    o["lang_source_chi2"] = """
+        WITH cells AS (
+            SELECT lang AS a, source AS b, count(*) AS o
+            FROM documents GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+        cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+        grid AS (
+            SELECT ra.a, cb.b, ra.r, cb.c, coalesce(cells.o, 0) AS o
+            FROM ra CROSS JOIN cb
+            LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        ),
+        tot AS (SELECT sum(o) AS n FROM grid),
+        terms AS (
+            SELECT g.a, g.b,
+                   CAST((g.o * t.n - g.r * g.c) * (g.o * t.n - g.r * g.c)
+                        AS DOUBLE)
+                   / CAST(t.n * g.r * g.c AS DOUBLE) AS t
+            FROM grid g CROSS JOIN tot t
+        ),
+        agg AS (
+            SELECT (SELECT n FROM tot) AS n,
+                   (SELECT count(*) FROM ra) AS r_levels,
+                   (SELECT count(*) FROM cb) AS c_levels,
+                   list_reduce(list(t ORDER BY a, b), (x, y) -> x + y)
+                       AS chi2
+            FROM terms
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(r_levels AS BIGINT) AS r_levels,
+               CAST(c_levels AS BIGINT) AS c_levels,
+               CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+               round(chi2, 6) + 0.0 AS chi2,
+               round(sqrt(chi2 / CAST(n * (least(r_levels, c_levels) - 1)
+                                      AS DOUBLE)), 6) + 0.0 AS cramers_v
+        FROM agg
     """
 
     # W1/KS twin: identical merged support, integer cumulative counts,

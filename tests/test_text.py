@@ -100,3 +100,20 @@ def test_dist_compare_hand_values(spark):
     out = {r.cls: (r.w1, r.ks) for r in dist_compare(df, "en").collect()}
     assert out["bb"] == (5.0, 0.5)
     assert out["cc"] == (0.0, 0.0)
+
+
+def test_contingency_chi2_hand_table(spark):
+    """2x2 table [[10, 0], [0, 10]] (perfect association): chi2 = N,
+    V = 1; a uniform independent table scores 0."""
+    from tilekiln_spark.functions.text import contingency_chi2
+
+    assoc = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(assoc, "a string, b string")
+    r = contingency_chi2(df, "a", "b").collect()[0]
+    assert (r.n, r.dof, r.chi2, r.cramers_v) == (20, 1, 20.0, 1.0)
+
+    indep = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5
+    r2 = contingency_chi2(
+        spark.createDataFrame(indep, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (r2.chi2, r2.cramers_v) == (0.0, 0.0)

@@ -799,3 +799,73 @@ def dist_compare(
             ).alias("ks"),
         )
     )
+
+
+def contingency_chi2(df, a_col: str, b_col: str):
+    """Pearson chi-square independence test + Cramér's V for two
+    categorical columns (the corpus-metadata association check — is
+    language independent of source?):
+
+        chi2 = sum over cells of (O*N - r*c)^2 / (N * r * c)
+        V    = sqrt(chi2 / (N * (min(R, C) - 1)))
+
+    in the cross-multiplied form: every numerator and denominator is
+    an EXACT int64 (O <= N, so (O*N - r*c)^2 <= N^4 terms stay well in
+    range at statistics-scale level counts), each cell contributes one
+    exact-input division, and the cell terms fold in sorted (a, b)
+    order (the Shannon discipline) so the float sum is bit-identical
+    cross-engine.  ZERO cells are generated (R x C grid from the two
+    margins) — they contribute r*c/N like the textbook says.
+
+    Scale: one (a, b) partial-agg groupBy + two margin rollups joined
+    back by single keys; the grid is R*C rows — level-count sized, not
+    corpus sized.  Returns ONE row [n, r_levels, c_levels, dof, chi2,
+    cramers_v]."""
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .select(
+            "a", "b", "r", "c", F.coalesce("o", F.lit(0)).alias("o"),
+            F.sum(F.coalesce("o", F.lit(0))).over(Window.partitionBy()).alias("n"),
+        )
+    )
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = (num * num).cast("double") / (
+        F.col("n") * F.col("r") * F.col("c")
+    ).cast("double")
+    agg = grid.groupBy().agg(
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("r_levels"),
+        F.count_distinct("b").alias("c_levels"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("a", "b", term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("chi2"),
+    )
+    dof = (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        dof.cast("long").alias("dof"),
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * (F.least("r_levels", "c_levels") - 1)
+                    ).cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
