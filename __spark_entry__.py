@@ -7593,6 +7593,24 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["lang_source_chi2"] = lang_source_chi2
 
+    def event_acf(spark, sf_dir):
+        """Autocorrelation of hourly event-count series per event_type
+        at lags {1, 2, 3, 6, 12, 24} (operators/events.py series_acf —
+        Box-Jenkins seasonality screening): gap-completed grid, lag
+        pairs from a bucket self-join, exact-integer moments with one
+        final sqrt/divide."""
+        from tilekiln_spark.operators.events import series_acf
+
+        out = series_acf(_events(spark, sf_dir), [1, 2, 3, 6, 12, 24])
+        return out.select(
+            "key",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "r",
+        )
+
+    q["event_acf"] = event_acf
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -12986,6 +13004,49 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # ACF twin: same generated grid + lag self-join + exact-integer
+    # moment formula
+    o["event_acf"] = """
+        WITH counts AS (
+            SELECT event_type AS key,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM counts),
+        grid AS MATERIALIZED (
+            SELECT g.key, g.bucket, coalesce(c.cnt, 0) AS cnt
+            FROM (
+                SELECT k.key, r.b AS bucket
+                FROM (SELECT DISTINCT key FROM counts) k
+                CROSS JOIN bounds
+                CROSS JOIN LATERAL unnest(range(b0, b1 + 1)) r(b)
+            ) g LEFT JOIN counts c
+              ON c.key = g.key AND c.bucket = g.bucket
+        ),
+        lags(lag) AS (VALUES (1), (2), (3), (6), (12), (24)),
+        pairs AS (
+            SELECT x.key, l.lag, x.cnt AS x, y.cnt AS y
+            FROM grid x
+            CROSS JOIN lags l
+            JOIN grid y ON y.key = x.key AND y.bucket = x.bucket + l.lag
+        ),
+        m AS (
+            SELECT key, lag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)),
+                               6) + 0.0
+               END AS r
+        FROM m
     """
 
     # chi2 twin: identical margins/grid, cross-multiplied integer cell

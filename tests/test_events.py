@@ -512,3 +512,24 @@ def test_burst_states_uniform_stream_no_burst(spark):
     ).select("event_type", F.timestamp_micros(F.col("us")).alias("ts"))
     rows = burst_states(df).collect()
     assert len(rows) == 29 and not any(r.burst for r in rows)
+
+
+def test_series_acf_periodic_and_flat(spark):
+    """A period-2 alternating series has r(1) = -1, r(2) = +1; a
+    constant series has zero variance -> NULL r."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import series_acf
+
+    rows = []
+    for h in range(40):
+        n = 3 if h % 2 == 0 else 1
+        rows += [("alt", h * 3600 + 5)] * n
+        rows += [("flat", h * 3600 + 5)] * 2
+    df = spark.createDataFrame(rows, "event_type string, sec long").select(
+        "event_type", F.col("sec").cast("timestamp").alias("ts")
+    )
+    out = {(r.key, r.lag): r.r for r in series_acf(df, [1, 2]).collect()}
+    assert out[("alt", 1)] == -1.0
+    assert out[("alt", 2)] == 1.0
+    assert out[("flat", 1)] is None and out[("flat", 2)] is None

@@ -853,3 +853,80 @@ def burst_states(
         F.col("z.xs").alias("gap_us"),
         (F.col("z.st") == 1).alias("burst"),
     )
+
+
+def series_acf(
+    df: DataFrame,
+    lags: list[int],
+    key_col: str = "event_type",
+    t_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Autocorrelation function of per-key event-count series at the
+    given lags (Box-Jenkins seasonality screening: a daily cycle shows
+    up as a peak at lag 24 h):
+
+        r_k = (n*Sxy - Sx*Sy)
+              / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    over the (x_t, x_{t+k}) pairs of the gap-completed bucket series —
+    the same generated grid as :func:`cusum_alarms`, because missing
+    buckets are zeros, not holes.  Every moment is a sum of int64
+    products (counts), so the five S-terms are EXACT integers and the
+    only float ops are the final subtract/multiply/sqrt/divide —
+    deterministic cross-engine with no fold.  Lag pairs come from a
+    bucket self-join keyed on (key, bucket + k) — identical shape in
+    the SQL twin (window lead() needs a constant offset; the join form
+    parameterizes k as data).  Degenerate series (zero variance on
+    either side) return NULL r.
+
+    Returns [key, lag, n_pairs, r]."""
+    b = F.floor(F.unix_timestamp(F.col(t_col).cast("timestamp")) / F.lit(bucket_s)).cast("long")
+    counts = df.select(F.col(key_col).alias("key"), b.alias("bucket")).groupBy(
+        "key", "bucket"
+    ).agg(F.count("*").alias("cnt"))
+    bounds = counts.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    grid = (
+        counts.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("key", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+        .join(counts, ["key", "bucket"], "left")
+        .select("key", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ldf = grid.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(lags))], "lag long"
+    )
+    pairs = (
+        grid.crossJoin(F.broadcast(ldf))
+        .alias("x")
+        .join(
+            grid.select(
+                F.col("key"), F.col("bucket").alias("b2"), F.col("cnt").alias("y")
+            ).alias("yy"),
+            (F.col("x.key") == F.col("yy.key"))
+            & (F.col("b2") == F.col("bucket") + F.col("lag")),
+        )
+        .select(F.col("x.key").alias("key"), "lag", F.col("cnt").alias("x"), "y")
+    )
+    m = pairs.groupBy("key", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "key",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0),
+        ).alias("r"),
+    )
