@@ -207,6 +207,14 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "cocitation",
         "containment_snippets",
         "cusum_alarms",
+        "keyness_en",
+        "langid_ngram_rank",
+        "length_drift_langs",
+        "event_acf",
+        "lang_source_chi2",
+        # burst_detection deliberately NOT benched: its per-stream fold
+        # is O(gaps^2) in backpointer append — fine at the oracle scale,
+        # priced honestly in the docstring (window segmentation at size)
     ):
         fn = qs[name]
         # queries whose value-check decodes blobs through a pure-Python
