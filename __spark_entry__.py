@@ -7611,6 +7611,36 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["event_acf"] = event_acf
 
+    def mann_whitney_langs(spark, sf_dir):
+        """Mann-Whitney U + rank-biserial effect size (functions/text.py
+        mann_whitney) between the en document-length distribution and
+        every other language: exact int64 double-ranks, one final
+        halving — the nonparametric companion to length_drift_langs."""
+        from tilekiln_spark.functions.text import mann_whitney
+
+        return mann_whitney(_docs(spark, sf_dir), baseline="en").select(
+            "cls",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cls").cast("long").alias("n_cls"),
+            "u",
+            "rank_biserial",
+        )
+
+    q["mann_whitney_langs"] = mann_whitney_langs
+
+    def spearman_len_tokens(spark, sf_dir):
+        """Spearman rank correlation (functions/text.py spearman_rho)
+        between n_chars and whitespace token count over all documents:
+        exact int64 double-rank moments, one final sqrt/divide."""
+        from tilekiln_spark.functions.text import spearman_rho, token_count
+
+        d = _docs(spark, sf_dir).select(
+            F.col("n_chars"), token_count(F.col("text")).alias("n_tok")
+        )
+        return spearman_rho(d, "n_chars", "n_tok")
+
+    q["spearman_len_tokens"] = spearman_len_tokens
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13004,6 +13034,69 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW))) >= 8 AS alarm
         FROM p
+    """
+
+    # Mann-Whitney twin: identical tagged union, double-rank windows,
+    # exact 2U arithmetic
+    o["mann_whitney_langs"] = """
+        WITH other AS (
+            SELECT lang AS cls, n_chars AS v FROM documents WHERE lang != 'en'
+        ),
+        tagged AS (
+            SELECT c.cls, b.n_chars AS v, 1 AS is_base
+            FROM documents b
+            CROSS JOIN (SELECT DISTINCT cls FROM other) c
+            WHERE b.lang = 'en'
+            UNION ALL
+            SELECT cls, v, 0 AS is_base FROM other
+        ),
+        ranked AS (
+            SELECT cls, is_base,
+                   2 * rank() OVER (PARTITION BY cls ORDER BY v)
+                   + count(*) OVER (PARTITION BY cls, v) - 1 AS dr
+            FROM tagged
+        ),
+        agg AS (
+            SELECT cls, sum(is_base) AS n1, sum(1 - is_base) AS n2,
+                   sum(CASE WHEN is_base = 1 THEN dr ELSE 0 END) AS r2x
+            FROM ranked GROUP BY cls
+        )
+        SELECT cls, CAST(n1 AS BIGINT) AS n_base, CAST(n2 AS BIGINT) AS n_cls,
+               CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+               round(CAST(r2x - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
+                   AS rank_biserial
+        FROM agg
+    """
+
+    # Spearman twin: identical double-rank windows + moment formula
+    o["spearman_len_tokens"] = r"""
+        WITH d AS (
+            SELECT n_chars AS x,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS y
+            FROM documents
+        ),
+        r AS (
+            SELECT 2 * rank() OVER (ORDER BY x)
+                   + count(*) OVER (PARTITION BY x) - 1 AS rx,
+                   2 * rank() OVER (ORDER BY y)
+                   + count(*) OVER (PARTITION BY y) - 1 AS ry
+            FROM d
+        ),
+        m AS (
+            SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+                   sum(ry * ry) AS syy
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+                   AS rho
+        FROM m
     """
 
     # ACF twin: same generated grid + lag self-join + exact-integer

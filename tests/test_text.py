@@ -117,3 +117,31 @@ def test_contingency_chi2_hand_table(spark):
         spark.createDataFrame(indep, "a string, b string"), "a", "b"
     ).collect()[0]
     assert (r2.chi2, r2.cramers_v) == (0.0, 0.0)
+
+
+def test_mann_whitney_hand_values(spark):
+    """en = {1, 2}, bb = {3, 4}: complete separation -> U = 0,
+    rank-biserial = -1; cc = {1, 2} identical -> U = n1*n2/2, rb = 0."""
+    from tilekiln_spark.functions.text import mann_whitney
+
+    rows = [("en", 1), ("en", 2), ("bb", 3), ("bb", 4), ("cc", 1), ("cc", 2)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.cls: (r.u, r.rank_biserial) for r in
+           mann_whitney(df, "en").collect()}
+    assert out["bb"] == (0.0, -1.0)
+    assert out["cc"] == (2.0, 0.0)
+
+
+def test_spearman_rho_monotone_and_ties(spark):
+    """A strictly increasing relation scores rho = 1 regardless of
+    scale; reversing one column flips the sign."""
+    from tilekiln_spark.functions.text import spearman_rho
+
+    up = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 9)], "x long, y long"
+    )
+    assert spearman_rho(up, "x", "y").collect()[0].rho == 1.0
+    dn = spark.createDataFrame(
+        [(i, -i * i) for i in range(1, 9)], "x long, y long"
+    )
+    assert spearman_rho(dn, "x", "y").collect()[0].rho == -1.0

@@ -869,3 +869,104 @@ def contingency_chi2(df, a_col: str, b_col: str):
             + F.lit(0.0)
         ).alias("cramers_v"),
     )
+
+
+def mann_whitney(
+    df,
+    baseline: str,
+    class_col: str = "lang",
+    value_col: str = "n_chars",
+):
+    """Mann-Whitney U rank-sum test between the ``baseline`` class and
+    every other class (the nonparametric companion to
+    :func:`dist_compare`), exact via the DOUBLE-RANK trick: with
+    midranks needed only to the half, 2*midrank = 2*min_rank + ties - 1
+    is an exact INTEGER, so the rank sum 2*R1, 2*U1 = 2*n1*n2 +
+    n1*(n1+1) - 2*R1, and the rank-biserial effect size numerator all
+    stay int64 — the only float is the final halving/division.
+
+        U1            = R1 - n1(n1+1)/2      (scipy convention: counts
+                                              base > other pairs + ties/2)
+        rank_biserial = 2*U1 / (n1*n2) - 1   (Cureton 1956)
+
+    Scale: one tagged union per class pair + ONE window pass per pair
+    partition (rank + tie counts) — the as-of-join exchange shape;
+    nothing all-pairs.  Returns [cls, n_base, n_cls, u, rank_biserial]."""
+    vals = df.select(F.col(class_col).alias("cls"), F.col(value_col).alias("v"))
+    base = vals.where(F.col("cls") == baseline).select("v")
+    other = vals.where(F.col("cls") != baseline)
+    classes = other.select("cls").distinct()
+    tagged = (
+        base.crossJoin(F.broadcast(classes))
+        .select("cls", "v", F.lit(1).alias("is_base"))
+        .unionByName(other.select("cls", "v", F.lit(0).alias("is_base")))
+    )
+    wr = Window.partitionBy("cls").orderBy("v")
+    wt = Window.partitionBy("cls", "v")
+    ranked = tagged.select(
+        "cls",
+        "is_base",
+        (F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("dr"),
+    )
+    agg = ranked.groupBy("cls").agg(
+        F.sum("is_base").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("n2"),
+        F.sum(F.when(F.col("is_base") == 1, F.col("dr")).otherwise(0)).alias(
+            "r2x"
+        ),
+    )
+    # scipy convention: U1 counts (base > other) pairs (+ half-ties);
+    # 2*U1 = 2*R1 - n1*(n1+1) stays exact integer via the double-ranks
+    two_u1 = F.col("r2x") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "cls",
+        F.col("n1").cast("long").alias("n_base"),
+        F.col("n2").cast("long").alias("n_cls"),
+        (two_u1.cast("double") / F.lit(2.0)).alias("u"),
+        (
+            F.round(
+                two_u1.cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+                - F.lit(1.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rank_biserial"),
+    )
+
+
+def spearman_rho(df, x_col: str, y_col: str):
+    """Spearman rank correlation between two numeric columns, exact
+    via double-ranks (2*midrank is an integer, see
+    :func:`mann_whitney`): Pearson over the double-ranks has all five
+    moments as exact int64 sums, so the only float ops are the final
+    subtract/multiply/sqrt/divide — no fold, no rounding tricks
+    beyond the display round(6).  Two window passes (one per column)
+    + one aggregate.  Returns ONE row [n, rho]."""
+    pts = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    dx = (
+        F.lit(2) * F.rank().over(Window.orderBy("x"))
+        + F.count("*").over(Window.partitionBy("x"))
+        - 1
+    )
+    dy = (
+        F.lit(2) * F.rank().over(Window.orderBy("y"))
+        + F.count("*").over(Window.partitionBy("y"))
+        - 1
+    )
+    r = pts.select(dx.alias("rx"), dy.alias("ry"))
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0)).alias("rho"),
+    )
