@@ -7641,6 +7641,20 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["spearman_len_tokens"] = spearman_len_tokens
 
+    def kendall_len_tokens(spark, sf_dir):
+        """Kendall tau-b (functions/text.py kendall_tau) between
+        n_chars and token count over all documents: exact integer
+        concordant/discordant/tie pair counts off the canonical i < j
+        self-join, one final sqrt/divide."""
+        from tilekiln_spark.functions.text import kendall_tau, token_count
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "n_chars", token_count(F.col("text")).alias("n_tok")
+        )
+        return kendall_tau(d, "n_chars", "n_tok")
+
+    q["kendall_len_tokens"] = kendall_len_tokens
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13066,6 +13080,38 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(r2x - n1 * (n1 + 1) AS DOUBLE)
                      / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
                    AS rank_biserial
+        FROM agg
+    """
+
+    # Kendall twin: identical i < j pair set + exact pair-class counts
+    o["kendall_len_tokens"] = r"""
+        WITH d AS (
+            SELECT doc_id AS i, n_chars AS x,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS y
+            FROM documents
+        ),
+        p AS (
+            SELECT a.x - b.x AS dx, a.y - b.y AS dy
+            FROM d a JOIN d b ON a.i < b.i
+        ),
+        agg AS (
+            SELECT count(*) AS n0,
+                   sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                            THEN 1 ELSE 0 END) AS c,
+                   sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                            THEN 1 ELSE 0 END) AS dd,
+                   sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+                   sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+            FROM p
+        )
+        SELECT CAST(round((1.0 + sqrt(1.0 + 8.0 * n0)) / 2.0) AS BIGINT) AS n,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               round(CAST(c - dd AS DOUBLE)
+                     / sqrt(CAST(n0 - tx AS DOUBLE)
+                            * CAST(n0 - ty AS DOUBLE)), 6) + 0.0 AS tau_b
         FROM agg
     """
 

@@ -145,3 +145,23 @@ def test_spearman_rho_monotone_and_ties(spark):
         [(i, -i * i) for i in range(1, 9)], "x long, y long"
     )
     assert spearman_rho(dn, "x", "y").collect()[0].rho == -1.0
+
+
+def test_kendall_tau_hand_values(spark):
+    """Strictly monotone -> tau = 1; one swapped pair among 4 points
+    gives (C - D)/n0 = (5 - 1)/6; ties corrected via tau-b."""
+    from tilekiln_spark.functions.text import kendall_tau
+
+    up = spark.createDataFrame(
+        [(i, i, i * 2) for i in range(5)], "doc_id long, x long, y long"
+    )
+    r = kendall_tau(up, "x", "y").collect()[0]
+    assert (r.n, r.tau_b) == (5, 1.0)
+
+    sw = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 3), (2, 3, 2), (3, 4, 4)],
+        "doc_id long, x long, y long",
+    )
+    r2 = kendall_tau(sw, "x", "y").collect()[0]
+    assert (r2.concordant, r2.discordant) == (5, 1)
+    assert r2.tau_b == round(4 / 6, 6)

@@ -970,3 +970,61 @@ def spearman_rho(df, x_col: str, y_col: str):
         F.col("n").cast("long").alias("n"),
         (F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0)).alias("rho"),
     )
+
+
+def kendall_tau(df, x_col: str, y_col: str, id_col: str = "doc_id"):
+    """Kendall tau-b between two numeric columns (completing the
+    rank-association trio with :func:`spearman_rho`):
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n-1)/2,
+    and n1/n2 the tie-pair counts per column — ALL exact integers
+    (the canonical i < j pair set comes from an id-ordered self-join),
+    so the only float ops are the final sqrt and division.
+
+    Scale: the pair join is O(n^2) — this is the STATISTICS-SIZED
+    operator (sampled columns, rollup tables); at corpus scale use
+    :func:`spearman_rho` (rank windows, O(n log n)) whose value
+    converges to the same association signal.  Returns ONE row
+    [n, concordant, discordant, tau_b]."""
+    pts = df.select(
+        F.col(id_col).alias("i"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    p = (
+        pts.alias("a")
+        .join(pts.alias("b"), F.col("a.i") < F.col("b.i"))
+        .select(
+            (F.col("a.x") - F.col("b.x")).alias("dx"),
+            (F.col("a.y") - F.col("b.y")).alias("dy"),
+        )
+    )
+    agg = p.agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") > 0)
+             | (F.col("dx") < 0) & (F.col("dy") < 0)).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") < 0)
+             | (F.col("dx") < 0) & (F.col("dy") > 0)).cast("long")
+        ).alias("d"),
+        F.sum((F.col("dx") == 0).cast("long")).alias("tx"),
+        F.sum((F.col("dy") == 0).cast("long")).alias("ty"),
+    )
+    # n recovered exactly from n0 = n(n-1)/2 — no eager count(), no
+    # second consumer of the points frame (the collocations lesson)
+    n = F.round((F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * F.col("n0"))) / 2.0)
+    denom = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        (
+            F.round((F.col("c") - F.col("d")).cast("double") / denom, 6)
+            + F.lit(0.0)
+        ).alias("tau_b"),
+    )
