@@ -12910,7 +12910,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'de' THEN 'der die und ist nicht'
                     WHEN 'fr' THEN 'le la les est une'
                     WHEN 'es' THEN 'el los es una que'
-                    WHEN 'zh' THEN 'shi de le ma ne' END AS mk
+                    WHEN 'zh' THEN 'shi de le ma ne' ELSE '' END AS mk
                 FROM documents
             )
         ),

@@ -856,18 +856,50 @@ def contingency_chi2(df, a_col: str, b_col: str):
         dof.cast("long").alias("dof"),
         (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
         (
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (
-                        F.col("n")
-                        * (F.least("r_levels", "c_levels") - 1)
-                    ).cast("double")
-                ),
-                6,
-            )
-            + F.lit(0.0)
+            F.when(
+                F.least("r_levels", "c_levels") >= 2,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n")
+                            * (F.least("r_levels", "c_levels") - 1)
+                        ).cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0),
+            ).otherwise(F.lit(0.0))
         ).alias("cramers_v"),
+    )
+
+
+def _double_rank(order_col: str, part_cols: list[str] | None = None) -> Column:
+    """2*midrank as an exact INTEGER: 2*min_rank + ties - 1 (midranks
+    are only ever halves, so doubling them stays integral).  The one
+    definition shared by every rank statistic in this module — the
+    cross-engine contract depends on the expression being identical
+    everywhere."""
+    parts = list(part_cols or [])
+    wr = Window.partitionBy(*parts).orderBy(order_col)
+    wt = Window.partitionBy(*parts, order_col)
+    return F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1
+
+
+def _pearson_from_moments(n, sx, sy, sxy, sxx, syy) -> Column:
+    """r from five integer moment sums, with the linear combinations
+    n*Sxy - Sx*Sy etc. formed in DECIMAL(38,0) — exact far past int64
+    (DuckDB's sums are already hugeint, so both engines agree on the
+    exact integers before the one double sqrt/divide).  NULL when
+    either variance term is non-positive."""
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    num = (d(n) * d(sxy) - d(sx) * d(sy)).cast("double")
+    vx = (d(n) * d(sxx) - d(sx) * d(sx)).cast("double")
+    vy = (d(n) * d(syy) - d(sy) * d(sy)).cast("double")
+    return F.when(
+        (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0)
     )
 
 
@@ -881,8 +913,8 @@ def mann_whitney(
     every other class (the nonparametric companion to
     :func:`dist_compare`), exact via the DOUBLE-RANK trick: with
     midranks needed only to the half, 2*midrank = 2*min_rank + ties - 1
-    is an exact INTEGER, so the rank sum 2*R1, 2*U1 = 2*n1*n2 +
-    n1*(n1+1) - 2*R1, and the rank-biserial effect size numerator all
+    is an exact INTEGER, so the rank sum 2*R1, 2*U1 = 2*R1 -
+    n1*(n1+1), and the rank-biserial effect size numerator all
     stay int64 — the only float is the final halving/division.
 
         U1            = R1 - n1(n1+1)/2      (scipy convention: counts
@@ -901,12 +933,10 @@ def mann_whitney(
         .select("cls", "v", F.lit(1).alias("is_base"))
         .unionByName(other.select("cls", "v", F.lit(0).alias("is_base")))
     )
-    wr = Window.partitionBy("cls").orderBy("v")
-    wt = Window.partitionBy("cls", "v")
     ranked = tagged.select(
         "cls",
         "is_base",
-        (F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("dr"),
+        _double_rank("v", ["cls"]).alias("dr"),
     )
     agg = ranked.groupBy("cls").agg(
         F.sum("is_base").alias("n1"),
@@ -944,17 +974,9 @@ def spearman_rho(df, x_col: str, y_col: str):
     beyond the display round(6).  Two window passes (one per column)
     + one aggregate.  Returns ONE row [n, rho]."""
     pts = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
-    dx = (
-        F.lit(2) * F.rank().over(Window.orderBy("x"))
-        + F.count("*").over(Window.partitionBy("x"))
-        - 1
+    r = pts.select(
+        _double_rank("x").alias("rx"), _double_rank("y").alias("ry")
     )
-    dy = (
-        F.lit(2) * F.rank().over(Window.orderBy("y"))
-        + F.count("*").over(Window.partitionBy("y"))
-        - 1
-    )
-    r = pts.select(dx.alias("rx"), dy.alias("ry"))
     m = r.agg(
         F.count("*").alias("n"),
         F.sum("rx").alias("sx"),
@@ -963,13 +985,11 @@ def spearman_rho(df, x_col: str, y_col: str):
         F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
     )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    return m.select(
-        F.col("n").cast("long").alias("n"),
-        (F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0)).alias("rho"),
+    rho = _pearson_from_moments(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
     )
+    return m.select(F.col("n").cast("long").alias("n"), rho.alias("rho"))
 
 
 def kendall_tau(df, x_col: str, y_col: str, id_col: str = "doc_id"):

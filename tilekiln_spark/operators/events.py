@@ -918,15 +918,10 @@ def series_acf(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    return m.select(
-        "key",
-        "lag",
-        F.col("n").alias("n_pairs"),
-        F.when(
-            (vx > 0) & (vy > 0),
-            F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0),
-        ).alias("r"),
+    from tilekiln_spark.functions.text import _pearson_from_moments
+
+    r = _pearson_from_moments(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
     )
+    return m.select("key", "lag", F.col("n").alias("n_pairs"), r.alias("r"))

@@ -1459,12 +1459,14 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     )
     deg = und.select(F.col("u").alias("n")).unionAll(
         und.select(F.col("v").alias("n"))
-    ).groupBy("n").agg(F.count("*").alias("d"))
+    ).groupBy("n").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     ed = (
         und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .localCheckpoint(eager=True)
     )
+    if not ks:
+        raise ValueError("rich_club: ks must be non-empty")
     out = None
     for k in sorted(set(int(x) for x in ks)):
         nk = deg.where(F.col("d") > k).agg(F.count("*").alias("n_nodes"))
@@ -1547,6 +1549,8 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         n = kept.count()
         if n == n_prev:
             return kept
-        und = kept.select("u", "v").localCheckpoint(eager=True)
+        # lazy projection off the already-checkpointed kept — one
+        # materialization per round, not two
+        und = kept.select("u", "v")
         n_prev = n
     raise ValueError(f"k_truss: peeling not converged in max_iter={max_iter}")
