@@ -13138,10 +13138,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         )
         SELECT CAST(n AS BIGINT) AS n,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
-                   AS rho
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)),
+                               6) + 0.0
+               END AS rho
         FROM m
     """
 
