@@ -521,3 +521,68 @@ def test_stream_geofence_transitions_and_resume(spark, tmp_path):
         (2, 1, "2026-01-01 00:15:00", "enter"),
         (2, 1, "2026-01-01 01:05:00", "exit"),
     ]
+
+
+def test_cusum_stream_parity_and_resume(spark, tmp_path):
+    """Streaming CUSUM: gap buckets drain state (not output), alarms
+    fire at the same (bucket, s) the batch operator computes on the
+    observed buckets, and a restarted query resumes S from the
+    checkpointed GroupState."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import cusum_alarms
+    from tilekiln_spark.streaming.stateful import cusum_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_type string, ts double"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            cusum_stream(stream, k=3, h=8)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = [("a", 7.0)] * 5 + [("a", 2 * 3600 + 7.0)] * 12
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"event_type": k, "ts": t}) for k, t in rows1)
+    )
+    run()
+    got = {
+        r.bucket: (r.cnt, r.s, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour 1 is a GAP: state drains (2 - 3 -> 0) but no row is emitted
+    assert got == {0: (5, 2, False), 2: (12, 9, True)}
+
+    # resume: one more hour of light traffic decays S from the checkpoint
+    (src / "b2.json").write_text(json.dumps({"event_type": "a", "ts": 3 * 3600 + 7.0}))
+    run()
+    got2 = {
+        r.bucket: (r.cnt, r.s, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2[3] == (1, 7, False)
+
+    # batch parity on the observed buckets
+    batch = spark.createDataFrame(
+        rows1 + [("a", 3 * 3600 + 7.0)], schema
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    exp = {
+        r.bucket: (r.cnt, r.s, r.alarm)
+        for r in cusum_alarms(batch, k=3, h=8).collect()
+        if r.bucket in got2
+    }
+    assert exp == got2

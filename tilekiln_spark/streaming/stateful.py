@@ -92,3 +92,80 @@ def latest_expiry_counts(spark, out_dir: str) -> DataFrame:
     """Latest running total per tile (totals are monotone, so max == last)."""
     df = spark.read.parquet(out_dir)
     return df.groupBy("zoom", "x", "y").agg(F.max("n_expiries").alias("n_expiries"))
+
+
+CUSUM_OUT_SCHEMA = "key string, bucket long, cnt long, s long, alarm boolean"
+CUSUM_STATE_SCHEMA = "last_bucket long, s long"
+
+
+def make_cusum_update(k: int, h: int, bucket_s: int):
+    """GroupState update fn for :func:`cusum_stream` — the streaming
+    face of operators/events.cusum_alarms: state carries
+    (last_bucket, s); each micro-batch buckets its rows, drains the
+    statistic by ``k`` through unobserved gap buckets (state-only — a
+    stream can't emit rows for buckets nothing arrived in), applies
+    S = max(0, S + cnt - k) per observed bucket in bucket order, and
+    emits (bucket, cnt, s, alarm).  Rows at or before last_bucket are
+    LATE and dropped (the watermark contract); given in-order arrival
+    the emitted (s, alarm) per observed bucket equal the batch
+    operator's exactly — the parity pytest pins it."""
+
+    def _upd(key, pdfs, state: GroupState):
+        import numpy as np
+
+        bs = []
+        for pdf in pdfs:
+            b = (pdf["us"].to_numpy() // (bucket_s * 1_000_000)).astype("int64")
+            bs.append(b)
+        if not bs:
+            return
+        allb = np.concatenate(bs)
+        last_b, s = state.get if state.exists else (None, 0)
+        uniq, cnts = np.unique(allb, return_counts=True)
+        out_b, out_c, out_s, out_a = [], [], [], []
+        for bucket, cnt in zip(uniq.tolist(), cnts.tolist()):
+            if last_b is not None:
+                if bucket <= last_b:
+                    continue  # late data: behind the state frontier
+                gap = bucket - last_b - 1
+                s = max(0, s - k * gap)
+            s = max(0, s + cnt - k)
+            out_b.append(bucket)
+            out_c.append(cnt)
+            out_s.append(s)
+            out_a.append(s >= h)
+            last_b = bucket
+        state.update((last_b if last_b is not None else -1, s))
+        if out_b:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(out_b),
+                    "bucket": out_b,
+                    "cnt": out_c,
+                    "s": out_s,
+                    "alarm": out_a,
+                }
+            )
+
+    return _upd
+
+
+def cusum_stream(
+    events: DataFrame, k: int = 3, h: int = 8, bucket_s: int = 3600
+) -> DataFrame:
+    """Streaming CUSUM change detection (update mode): per-key
+    GroupState carries (frontier bucket, running S), so a restarted
+    query RESUMES the statistic from the checkpoint — the monitoring
+    face of the batch operator.  State is one row per key regardless
+    of stream volume; shuffle keys match the batch groupBy."""
+    src = events.select(
+        F.col("event_type").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        make_cusum_update(k, h, bucket_s),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
