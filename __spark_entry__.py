@@ -7655,6 +7655,17 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["kendall_len_tokens"] = kendall_len_tokens
 
+    def robust_length_stats(spark, sf_dir):
+        """Exact median / MAD / 3-MAD outlier counts of n_chars per
+        language (functions/text.py robust_center): position-formula
+        medians over sorted multisets — halves and quarters, exactly
+        representable, identical formula both engines."""
+        from tilekiln_spark.functions.text import robust_center
+
+        return robust_center(_docs(spark, sf_dir))
+
+    q["robust_length_stats"] = robust_length_stats
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13081,6 +13092,49 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
                    AS rank_biserial
         FROM agg
+    """
+
+    # robust-stats twin: identical position-formula medians (NOT
+    # DuckDB's builtin median), exact halves/quarters
+    o["robust_length_stats"] = """
+        WITH vals AS (SELECT lang AS cls, n_chars AS v FROM documents),
+        r1 AS (
+            SELECT cls, v,
+                   row_number() OVER (PARTITION BY cls ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY cls) AS n
+            FROM vals
+        ),
+        med AS (
+            SELECT cls, sum(v) / count(*) AS med, max(n) AS n
+            FROM r1
+            WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+            GROUP BY cls
+        ),
+        dev AS (
+            SELECT vals.cls, vals.v, abs(vals.v - med.med) AS d
+            FROM vals JOIN med ON med.cls = vals.cls
+        ),
+        r2 AS (
+            SELECT cls, d,
+                   row_number() OVER (PARTITION BY cls ORDER BY d) AS rn,
+                   count(*) OVER (PARTITION BY cls) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT cls, sum(d) / count(*) AS mad
+            FROM r2
+            WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+            GROUP BY cls
+        )
+        SELECT dev.cls, CAST(count(*) AS BIGINT) AS n,
+               max(med.med) + 0.0 AS median,
+               max(mad.mad) + 0.0 AS mad,
+               CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev
+        JOIN mad ON mad.cls = dev.cls
+        JOIN med ON med.cls = dev.cls
+        GROUP BY dev.cls
     """
 
     # Kendall twin: identical i < j pair set + exact pair-class counts

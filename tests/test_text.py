@@ -165,3 +165,18 @@ def test_kendall_tau_hand_values(spark):
     r2 = kendall_tau(sw, "x", "y").collect()[0]
     assert (r2.concordant, r2.discordant) == (5, 1)
     assert r2.tau_b == round(4 / 6, 6)
+
+
+def test_robust_center_hand_values(spark):
+    """{1,2,3,4,100}: median 3, deviations {2,1,0,1,97} -> MAD 1,
+    outlier = the single 97 > 3; even-n medians interpolate to halves."""
+    from tilekiln_spark.functions.text import robust_center
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4, 100)] + [("b", v) for v in (1, 2, 3, 4)],
+        "lang string, n_chars long",
+    )
+    out = {r.cls: (r.n, r.median, r.mad, r.n_outliers)
+           for r in robust_center(df).collect()}
+    assert out["a"] == (5, 3.0, 1.0, 1)
+    assert out["b"] == (4, 2.5, 1.0, 0)

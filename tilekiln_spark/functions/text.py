@@ -1048,3 +1048,73 @@ def kendall_tau(df, x_col: str, y_col: str, id_col: str = "doc_id"):
             + F.lit(0.0)
         ).alias("tau_b"),
     )
+
+
+def robust_center(df, class_col: str = "lang", value_col: str = "n_chars"):
+    """Robust per-class center/spread: exact MEDIAN, MAD (median
+    absolute deviation), and the |x - med| > 3*MAD outlier count — the
+    robust outlier screen corpus QA uses where mean/std would chase
+    the outliers themselves.
+
+    Exactness: medians are computed by POSITION over the sorted
+    multiset (lower = element (n+1)//2, upper = element n//2 + 1,
+    median = their mean) — integer inputs make the median an exact
+    half, deviations exact halves, and the MAD an exact quarter; every
+    comparison then happens between exactly-representable doubles
+    computed by the same formula in both engines, so no rounding trick
+    is needed anywhere.  (DuckDB's builtin median() is deliberately
+    NOT used — the explicit position formula is the cross-engine
+    contract.)
+
+    Scale: two ordered window passes per class partition + two joins
+    keyed on the class — the per-key-timeline exchange twice.
+    Returns [cls, n, median, mad, n_outliers]."""
+    vals = df.select(F.col(class_col).alias("cls"), F.col(value_col).alias("v"))
+
+    def median_of(frame, col):
+        w = Window.partitionBy("cls").orderBy(col)
+        wc = Window.partitionBy("cls")
+        r = frame.select(
+            "cls",
+            F.col(col).alias("x"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        return (
+            r.where(
+                (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+            )
+            .groupBy("cls")
+            .agg(
+                (F.sum("x") / F.count("*")).alias("med"),
+                F.max("n").alias("n"),
+            )
+        )
+
+    med = median_of(vals, "v")
+    dev = vals.join(med.select("cls", "med"), "cls").select(
+        "cls", "v", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = median_of(dev, "d").select(
+        "cls", F.col("med").alias("mad")
+    )
+    joined = dev.join(mad, "cls")
+    return (
+        joined.groupBy("cls")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mad").alias("mad_"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .join(med.select("cls", "med"), "cls")
+        .select(
+            "cls",
+            F.col("n").cast("long").alias("n"),
+            (F.col("med") + F.lit(0.0)).alias("median"),
+            (F.col("mad_") + F.lit(0.0)).alias("mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
