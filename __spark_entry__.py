@@ -7666,6 +7666,16 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["robust_length_stats"] = robust_length_stats
 
+    def benford_lengths(spark, sf_dir):
+        """Benford first-digit screen (functions/text.py benford_digits)
+        over n_chars: exact digit counts, closed-form log10
+        expectations, digit-ordered chi fold."""
+        from tilekiln_spark.functions.text import benford_digits
+
+        return benford_digits(_docs(spark, sf_dir))
+
+    q["benford_lengths"] = benford_lengths
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13092,6 +13102,50 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
                    AS rank_biserial
         FROM agg
+    """
+
+    # Benford twin: same digit extraction, log10 expectations, ordered
+    # chi fold
+    o["benford_lengths"] = """
+        WITH pos AS (
+            SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE n_chars > 0
+        ),
+        counts AS (
+            SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+                   count(*) AS observed
+            FROM pos GROUP BY 1
+        ),
+        full_d AS (
+            SELECT d.digit, coalesce(c.observed, 0) AS observed,
+                   sum(coalesce(c.observed, 0)) OVER () AS n
+            FROM (SELECT unnest(range(1, 10)) AS digit) d
+            LEFT JOIN counts c ON c.digit = d.digit
+        ),
+        terms AS (
+            SELECT digit, observed,
+                   CAST(n AS DOUBLE)
+                   * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS e,
+                   (CAST(observed AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   * (CAST(observed AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   / (CAST(n AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS t
+            FROM full_d
+        ),
+        chi AS (
+            SELECT list_reduce(list(t ORDER BY digit), (x, y) -> x + y)
+                   AS chi2
+            FROM terms
+        )
+        SELECT CAST(digit AS BIGINT) AS digit,
+               CAST(observed AS BIGINT) AS observed,
+               round(e, 6) + 0.0 AS expected,
+               round((SELECT chi2 FROM chi), 6) + 0.0 AS chi2
+        FROM terms
     """
 
     # robust-stats twin: identical position-formula medians (NOT

@@ -180,3 +180,15 @@ def test_robust_center_hand_values(spark):
            for r in robust_center(df).collect()}
     assert out["a"] == (5, 3.0, 1.0, 1)
     assert out["b"] == (4, 2.5, 1.0, 0)
+
+
+def test_benford_digits_extraction_and_grid(spark):
+    """First digits of {1, 19, 150, 2000, 90}: counts land on 1 (x3),
+    2, 9; absent digits appear with observed 0; zero values excluded."""
+    from tilekiln_spark.functions.text import benford_digits
+
+    df = spark.createDataFrame(
+        [(v,) for v in (1, 19, 150, 2000, 90, 0)], "n_chars long"
+    )
+    out = {r.digit: r.observed for r in benford_digits(df).collect()}
+    assert out == {1: 3, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}

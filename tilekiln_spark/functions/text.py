@@ -1118,3 +1118,65 @@ def robust_center(df, class_col: str = "lang", value_col: str = "n_chars"):
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
+
+
+def benford_digits(df, value_col: str = "n_chars"):
+    """Benford's-law first-significant-digit screen (Newcomb 1881 /
+    Benford 1938; the classic fabricated-data QA test): observed
+    first-digit counts vs the log10(1 + 1/d) expectation, with the
+    chi-square statistic folded in digit order.
+
+    The first digit is EXACT string arithmetic (leading character of
+    the non-negative integer value); expected probabilities and the
+    per-digit chi terms are single closed-form float expressions
+    written identically in the twin, folded 1..9 (the Shannon
+    discipline).  Zero/negative values are excluded (no first
+    significant digit).  Returns [digit, observed, expected, chi2]
+    where chi2 repeats the TOTAL on every row (the statistic is one
+    number; the per-digit rows carry the distribution)."""
+    pos = df.select(F.col(value_col).cast("long").alias("v")).where(
+        F.col("v") > 0
+    )
+    dig = pos.select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = dig.groupBy("digit").agg(F.count("*").alias("observed"))
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = (
+        digits.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            F.sum(F.coalesce("observed", F.lit(0)))
+            .over(Window.partitionBy())
+            .alias("n"),
+        )
+    )
+    expected = F.col("n").cast("double") * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    terms = full.select(
+        "digit",
+        "observed",
+        (F.round(expected, 6) + F.lit(0.0)).alias("expected"),
+        (
+            (F.col("observed").cast("double") - expected)
+            * (F.col("observed").cast("double") - expected)
+            / expected
+        ).alias("t"),
+    )
+    chi = terms.groupBy().agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("digit", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("chi2")
+    )
+    return terms.crossJoin(F.broadcast(chi)).select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("observed").cast("long").alias("observed"),
+        "expected",
+        (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
+    )
