@@ -7676,6 +7676,20 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["benford_lengths"] = benford_lengths
 
+    def theil_sen_len_tokens(spark, sf_dir):
+        """Theil-Sen robust slope/intercept (functions/text.py
+        theil_sen) of token count vs n_chars: median of exact pairwise
+        slope divisions by position, residual-median intercept off the
+        rounded slope."""
+        from tilekiln_spark.functions.text import theil_sen, token_count
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "n_chars", token_count(F.col("text")).alias("n_tok")
+        )
+        return theil_sen(d, "n_chars", "n_tok")
+
+    q["theil_sen_len_tokens"] = theil_sen_len_tokens
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13102,6 +13116,51 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
                    AS rank_biserial
         FROM agg
+    """
+
+    # Theil-Sen twin: identical pair slopes, position medians, rounded-
+    # slope residuals
+    o["theil_sen_len_tokens"] = r"""
+        WITH d AS (
+            SELECT doc_id AS i, n_chars AS x,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS y
+            FROM documents
+        ),
+        slopes AS (
+            SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+            FROM d a JOIN d b ON a.i < b.i
+            WHERE a.x != b.x
+        ),
+        r1 AS (
+            SELECT s, row_number() OVER (ORDER BY s) AS rn,
+                   count(*) OVER () AS m
+            FROM slopes
+        ),
+        ms AS (
+            SELECT round(sum(s) / count(*), 6) + 0.0 AS slope,
+                   max(m) AS n_slopes
+            FROM r1
+            WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+        ),
+        resid AS (
+            SELECT ms.slope, ms.n_slopes,
+                   CAST(d.y AS DOUBLE) - ms.slope * CAST(d.x AS DOUBLE) AS res
+            FROM d CROSS JOIN ms
+        ),
+        r2 AS (
+            SELECT slope, n_slopes, res,
+                   row_number() OVER (ORDER BY res) AS rn,
+                   count(*) OVER () AS n
+            FROM resid
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_points,
+               CAST(max(n_slopes) AS BIGINT) AS n_slopes,
+               max(slope) AS slope,
+               round(sum(res) / count(*), 6) + 0.0 AS intercept
+        FROM r2
+        WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
     """
 
     # Benford twin: same digit extraction, log10 expectations, ordered

@@ -192,3 +192,15 @@ def test_benford_digits_extraction_and_grid(spark):
     )
     out = {r.digit: r.observed for r in benford_digits(df).collect()}
     assert out == {1: 3, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Points on y = 2x + 1 with one wild outlier: the median slope
+    stays 2 and the intercept stays 1 (OLS would not)."""
+    from tilekiln_spark.functions.text import theil_sen
+
+    rows = [(i, i, 2 * i + 1) for i in range(9)] + [(9, 9, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    r = theil_sen(df, "x", "y").collect()[0]
+    assert (r.slope, r.intercept) == (2.0, 1.0)
+    assert r.n_points == 10 and r.n_slopes == 45

@@ -1180,3 +1180,82 @@ def benford_digits(df, value_col: str = "n_chars"):
         "expected",
         (F.round("chi2", 6) + F.lit(0.0)).alias("chi2"),
     )
+
+
+def theil_sen(df, x_col: str, y_col: str, id_col: str = "doc_id"):
+    """Theil-Sen robust slope (Theil 1950 / Sen 1968): the median of
+    all pairwise slopes (y_j - y_i)/(x_j - x_i) over i < j with
+    x_i != x_j, plus the median-residual intercept — the 29%-breakdown
+    robust line corpus QA fits where OLS would chase outliers.
+
+    Determinism: each slope is ONE IEEE division of exact integer
+    differences (identical value both engines); the median picks by
+    POSITION over the sorted multiset (ties between equal doubles
+    cannot change the selected VALUE), and the intercept medians the
+    residuals y - slope*x computed with the already-rounded slope so
+    both engines feed identical doubles in.  Same O(n^2)
+    statistics-sized caveat as :func:`kendall_tau`.
+    Returns ONE row [n_points, n_slopes, slope, intercept]."""
+    pts = df.select(
+        F.col(id_col).alias("i"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).localCheckpoint(eager=True)
+    slopes = (
+        pts.alias("a")
+        .join(pts.alias("b"), F.col("a.i") < F.col("b.i"))
+        .where(F.col("a.x") != F.col("b.x"))
+        .select(
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("s")
+        )
+    )
+    w = Window.orderBy("s")
+    wc = Window.partitionBy()
+    r = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("m"),
+    )
+    med_slope = (
+        r.where(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy()
+        .agg(
+            (F.round(F.sum("s") / F.count("*"), 6) + F.lit(0.0)).alias("slope"),
+            F.max("m").alias("n_slopes"),
+        )
+    )
+    resid = pts.crossJoin(F.broadcast(med_slope)).select(
+        "slope",
+        "n_slopes",
+        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
+            "res"
+        ),
+    )
+    wr = Window.orderBy("res")
+    rr = resid.select(
+        "slope",
+        "n_slopes",
+        "res",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return (
+        rr.where(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n_points"),
+            F.max("n_slopes").cast("long").alias("n_slopes"),
+            F.max("slope").alias("slope"),
+            (F.round(F.sum("res") / F.count("*"), 6) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+        )
+        .select("n_points", "n_slopes", "slope", "intercept")
+    )
