@@ -7690,6 +7690,41 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["theil_sen_len_tokens"] = theil_sen_len_tokens
 
+    def retention_cohorts(spark, sf_dir):
+        """Daily cohort retention triangle (operators/events.py
+        retention_matrix): exact distinct-activity counts, one division
+        per cell."""
+        from tilekiln_spark.operators.events import retention_matrix
+
+        out = retention_matrix(_events(spark, sf_dir))
+        return out.select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.col("n_active").cast("long").alias("n_active"),
+            "rate",
+        )
+
+    q["retention_cohorts"] = retention_cohorts
+
+    def event_funnel(spark, sf_dir):
+        """Ordered view -> click -> purchase funnel (operators/events.py
+        funnel_steps, earliest-first semantics): one conditional-min
+        pivot per user, CASE-cascade depth, exact counts."""
+        from tilekiln_spark.operators.events import funnel_steps
+
+        out = funnel_steps(
+            _events(spark, sf_dir), ["view", "click", "purchase"]
+        )
+        return out.select(
+            F.col("step_idx").cast("long").alias("step_idx"),
+            "step",
+            F.col("n_users").cast("long").alias("n_users"),
+            "rate",
+        )
+
+    q["event_funnel"] = event_funnel
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13116,6 +13151,65 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n1 * n2 AS DOUBLE) - 1.0, 6) + 0.0
                    AS rank_biserial
         FROM agg
+    """
+
+    # retention twin: same distinct-day activity + first-day cohorts
+    o["retention_cohorts"] = """
+        WITH act AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+            FROM events
+        ),
+        first_d AS (SELECT u, min(d) AS d0 FROM act GROUP BY u),
+        cohort AS (SELECT d0, count(*) AS n_cohort FROM first_d GROUP BY d0),
+        cells AS (
+            SELECT f.d0 AS cohort_day, a.d - f.d0 AS offset,
+                   count(*) AS n_active
+            FROM act a JOIN first_d f ON f.u = a.u
+            GROUP BY 1, 2
+        )
+        SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+               CAST(c.offset AS BIGINT) AS offset,
+               CAST(k.n_cohort AS BIGINT) AS n_cohort,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               round(CAST(c.n_active AS DOUBLE)
+                     / CAST(k.n_cohort AS DOUBLE), 6) + 0.0 AS rate
+        FROM cells c JOIN cohort k ON k.d0 = c.cohort_day
+    """
+
+    # funnel twin: identical conditional-min pivot + ordered-chain CASE
+    o["event_funnel"] = """
+        WITH mins AS (
+            SELECT user_id AS u,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+            FROM events GROUP BY user_id
+        ),
+        depth AS (
+            SELECT CASE
+                WHEN t0 IS NULL THEN 0
+                WHEN NOT (t1 IS NOT NULL AND t0 <= t1) THEN 1
+                WHEN NOT (t1 IS NOT NULL AND t0 <= t1 AND t2 IS NOT NULL
+                          AND t0 <= t2 AND t1 <= t2) THEN 2
+                ELSE 3 END AS dep
+            FROM mins
+        ),
+        counts AS (
+            SELECT sum(CASE WHEN dep >= 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN dep >= 2 THEN 1 ELSE 0 END) AS n2,
+                   sum(CASE WHEN dep >= 3 THEN 1 ELSE 0 END) AS n3
+            FROM depth
+        )
+        SELECT CAST(s.step_idx AS BIGINT) AS step_idx, s.step,
+               CAST(CASE s.step_idx WHEN 1 THEN n1 WHEN 2 THEN n2
+                    ELSE n3 END AS BIGINT) AS n_users,
+               round(CAST(CASE s.step_idx WHEN 1 THEN n1 WHEN 2 THEN n2
+                          ELSE n3 END AS DOUBLE)
+                     / CAST(greatest(n1, 1) AS DOUBLE), 6) + 0.0 AS rate
+        FROM counts
+        CROSS JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+            s(step_idx, step)
     """
 
     # Theil-Sen twin: identical pair slopes, position medians, rounded-

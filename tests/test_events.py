@@ -533,3 +533,44 @@ def test_series_acf_periodic_and_flat(spark):
     assert out[("alt", 1)] == -1.0
     assert out[("alt", 2)] == 1.0
     assert out[("flat", 1)] is None and out[("flat", 2)] is None
+
+
+def test_retention_matrix_hand_cohorts(spark):
+    """User A active days {0, 1, 3}, user B {0}, user C {1}: cohort 0
+    has 2 users with day-1 retention 0.5; cohort 1 has 1 user."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import retention_matrix
+
+    day = 86400
+    rows = [(1, 10), (1, day + 10), (1, 3 * day + 10),
+            (2, 20), (3, day + 20)]
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    out = {(r.cohort_day, r.offset): (r.n_cohort, r.n_active, r.rate)
+           for r in retention_matrix(df).collect()}
+    assert out[(0, 0)] == (2, 2, 1.0)
+    assert out[(0, 1)] == (2, 1, 0.5)
+    assert out[(0, 3)] == (2, 1, 0.5)
+    assert out[(1, 0)] == (1, 1, 1.0)
+
+
+def test_funnel_steps_ordering_matters(spark):
+    """User 1 converts in order; user 2 clicked BEFORE viewing (first
+    click < first view) so stops at step 1; user 3 never clicks."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import funnel_steps
+
+    rows = [(1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            (2, "click", 5), (2, "view", 8), (2, "purchase", 9),
+            (3, "view", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec long"
+    ).select("user_id", "event_type", F.col("sec").cast("timestamp").alias("ts"))
+    out = {r.step_idx: (r.n_users, r.rate) for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out[1] == (3, 1.0)
+    assert out[2] == (1, round(1 / 3, 6))
+    assert out[3] == (1, round(1 / 3, 6))

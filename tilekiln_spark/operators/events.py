@@ -925,3 +925,117 @@ def series_acf(
         F.col("sxy"), F.col("sxx"), F.col("syy"),
     )
     return m.select("key", "lag", F.col("n").alias("n_pairs"), r.alias("r"))
+
+
+def retention_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "ts",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Cohort retention triangle (classic product analytics): users
+    cohort by their FIRST active day; cell (cohort_day, offset) counts
+    cohort members active exactly offset days after their first day.
+
+        rate = n_active / n_cohort     (offset 0 row is the cohort size)
+
+    Every count is exact (distinct users per (day, user) activity,
+    first day via one min-aggregate); the single division is the only
+    float.  Shape: one (user, day) distinct rollup, one min groupBy
+    per user (both keyed by user), one join back on the user, one
+    partial-agg count per (cohort_day, offset) — shuffle keys are the
+    user id then the small cohort key; nothing all-pairs.
+    Returns [cohort_day, offset, n_cohort, n_active, rate]."""
+    day = F.floor(
+        F.unix_timestamp(F.col(t_col).cast("timestamp")) / F.lit(bucket_s)
+    ).cast("long")
+    act = df.select(F.col(key_col).alias("u"), day.alias("d")).distinct()
+    first = act.groupBy("u").agg(F.min("d").alias("d0"))
+    cohort = first.groupBy("d0").agg(F.count("*").alias("n_cohort"))
+    cells = (
+        act.join(first, "u")
+        .groupBy(F.col("d0").alias("cohort_day"), (F.col("d") - F.col("d0")).alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        cells.join(
+            cohort.select(F.col("d0").alias("cohort_day"), "n_cohort"),
+            "cohort_day",
+        )
+        .select(
+            "cohort_day",
+            "offset",
+            "n_cohort",
+            "n_active",
+            (
+                F.round(
+                    F.col("n_active").cast("double")
+                    / F.col("n_cohort").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rate"),
+        )
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    t_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel conversion (the classic product query): a
+    user converts through step k when their EARLIEST occurrence of
+    each step 1..k is in non-decreasing time order — earliest-first
+    semantics, the deterministic convention (ties count as ordered,
+    matching "same-timestamp batch" event loggers).
+
+    One pivot-style conditional-min aggregate per user (single
+    user-keyed shuffle, min() partial-aggregates map-side), then a
+    pure CASE cascade counts the deepest ordered step — exact
+    integers; the conversion rates divide by the step-1 population.
+    Returns [step_idx, step, n_users, rate] for k = 1..len(steps)."""
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    mins = df.groupBy(F.col(key_col).alias("u")).agg(
+        *[
+            F.min(
+                F.when(F.col(type_col) == s, F.col(t_col))
+            ).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reached = F.when(F.col("t0").isNull(), F.lit(0))
+    cond = F.col("t0").isNotNull()
+    for i in range(1, len(steps)):
+        cond = cond & F.col(f"t{i}").isNotNull()
+        for j in range(i):
+            cond = cond & (F.col(f"t{j}") <= F.col(f"t{i}"))
+        reached = reached.when(~cond, F.lit(i))
+    depth = reached.otherwise(F.lit(len(steps)))
+    per_user = mins.select(depth.alias("depth"))
+    counts = per_user.groupBy().agg(
+        *[
+            F.sum((F.col("depth") >= k).cast("long")).alias(f"n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for k, s in enumerate(steps, start=1):
+        row = counts.select(
+            F.lit(k).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"n{k}").alias("n_users"),
+            (
+                F.round(
+                    F.col(f"n{k}").cast("double")
+                    / F.greatest(F.col("n1"), F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rate"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
