@@ -212,6 +212,14 @@ def run_bench(spark, sf_dir: str, pages_n: int) -> dict:
         "length_drift_langs",
         "event_acf",
         "lang_source_chi2",
+        "mann_whitney_langs",
+        "spearman_len_tokens",
+        "kendall_len_tokens",
+        "theil_sen_len_tokens",
+        "robust_length_stats",
+        "benford_lengths",
+        "retention_cohorts",
+        "event_funnel",
         # burst_detection deliberately NOT benched: its per-stream fold
         # is O(gaps^2) in backpointer append — fine at the oracle scale,
         # priced honestly in the docstring (window segmentation at size)
