@@ -7725,6 +7725,26 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["event_funnel"] = event_funnel
 
+    def event_markov(spark, sf_dir):
+        """Clickstream Markov model (operators/events.py
+        markov_transitions): per-user adjacent transitions via ONE
+        lead() window with (ts, event_id) tie-break, exact counts,
+        row-normalized probabilities, stationary distribution by 12
+        power rounds with sorted-source folds; twin unrolls the
+        identical rounds."""
+        from tilekiln_spark.operators.events import markov_transitions
+
+        out = markov_transitions(_events(spark, sf_dir), iterations=12)
+        return out.select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            "p",
+            "stationary_from",
+        )
+
+    q["event_markov"] = event_markov
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -8347,6 +8367,65 @@ def _simrank_sql(iters: int = 5, c: float = 0.8) -> str:
         SELECT CAST(i AS BIGINT) AS a, CAST(j AS BIGINT) AS b,
                round(s, 6) + 0.0 AS s
         FROM s{iters} WHERE i < j"""
+    )
+    return "".join(parts)
+
+
+def _markov_sql(j: int = 12) -> str:
+    """DuckDB replay of operators/events.markov_transitions: the same
+    lead() pair extraction, then ``j`` unrolled power rounds with
+    sorted-source list_reduce folds and the absorbing-state hold."""
+    parts = [
+        """WITH pairs AS MATERIALIZED (
+            SELECT a, b, count(*) AS n FROM (
+                SELECT event_type AS a,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS b
+                FROM events
+            ) WHERE b IS NOT NULL GROUP BY a, b
+        ),
+        totals AS (SELECT a, sum(n) AS tot FROM pairs GROUP BY a),
+        probs AS MATERIALIZED (
+            SELECT p.a, p.b, p.n,
+                   CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+            FROM pairs p JOIN totals t ON t.a = p.a
+        ),
+        states AS MATERIALIZED (
+            SELECT DISTINCT s FROM (
+                SELECT a AS s FROM probs UNION ALL SELECT b AS s FROM probs
+            )
+        ),
+        ns AS (SELECT count(*) AS n FROM states),
+        x0 AS MATERIALIZED (
+            SELECT s, 1.0 / (SELECT n FROM ns) AS x FROM states
+        )"""
+    ]
+    for i in range(1, j + 1):
+        parts.append(
+            f""", x{i} AS MATERIALIZED (
+            SELECT st.s,
+                   coalesce(mv.inflow, 0.0) + coalesce(hd.x, 0.0) AS x
+            FROM states st
+            LEFT JOIN (
+                SELECT p.b AS s2,
+                       list_reduce(list(x.x * p.p ORDER BY p.a),
+                                   (u, v) -> u + v) AS inflow
+                FROM x{i - 1} x JOIN probs p ON p.a = x.s
+                GROUP BY p.b
+            ) mv ON mv.s2 = st.s
+            LEFT JOIN (
+                SELECT x.s, x.x FROM x{i - 1} x
+                WHERE NOT EXISTS (SELECT 1 FROM probs p WHERE p.a = x.s)
+            ) hd ON hd.s = st.s
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT pr.a AS from_type, pr.b AS to_type,
+               CAST(pr.n AS BIGINT) AS n,
+               round(pr.p, 6) + 0.0 AS p,
+               round(x.x, 6) + 0.0 AS stationary_from
+        FROM probs pr JOIN x{j} x ON x.s = pr.a"""
     )
     return "".join(parts)
 
@@ -13152,6 +13231,9 @@ def oracle_sql() -> dict[str, str]:
                    AS rank_biserial
         FROM agg
     """
+
+    # Markov twin: 12 unrolled power rounds (see _markov_sql)
+    o["event_markov"] = _markov_sql(12)
 
     # retention twin: same distinct-day activity + first-day cohorts
     o["retention_cohorts"] = """

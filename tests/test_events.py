@@ -574,3 +574,23 @@ def test_funnel_steps_ordering_matters(spark):
     assert out[1] == (3, 1.0)
     assert out[2] == (1, round(1 / 3, 6))
     assert out[3] == (1, round(1 / 3, 6))
+
+
+def test_markov_transitions_two_state_chain(spark):
+    """Deterministic alternation a->b->a...: transition probs are 1.0
+    and the stationary distribution is uniform (0.5 / 0.5)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import markov_transitions
+
+    rows = [(1, i, "a" if i % 2 == 0 else "b", i * 10) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("sec").cast("timestamp").alias("ts"),
+    )
+    out = {(r.from_type, r.to_type): (r.p, r.stationary_from)
+           for r in markov_transitions(df).collect()}
+    assert out[("a", "b")] == (1.0, 0.5)
+    assert out[("b", "a")] == (1.0, 0.5)

@@ -1039,3 +1039,98 @@ def funnel_steps(
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    t_col: str = "ts",
+    id_col: str = "event_id",
+    iterations: int = 12,
+) -> DataFrame:
+    """First-order Markov model of per-user event sequences (the
+    clickstream transition analysis of classic web analytics): adjacent
+    (state -> next) pairs via ONE lead() window ordered by
+    (ts, event_id) — the id tie-break makes same-timestamp batches
+    deterministic — then exact transition counts, row-normalized
+    probabilities, and the STATIONARY distribution by ``iterations``
+    power rounds from uniform (states with no outgoing transitions
+    hold their mass — the absorbing convention).
+
+    Floats: p = n/row_total is one exact-input division; each power
+    round folds x_i * p_ij per target state in SORTED source order
+    (the Shannon discipline — the state space is the distinct type
+    set, so folds are tiny), and the twin unrolls the identical
+    rounds.  Scale: the window pass is the sessionize exchange; the
+    chain solve runs on the STATE-COUNT-sized matrix, not the events.
+    Returns [from_type, to_type, n, p, stationary_from]."""
+    w = Window.partitionBy(key_col).orderBy(F.col(t_col), F.col(id_col))
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(type_col).alias("a"),
+            F.lead(type_col).over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("a").agg(F.sum("n").alias("tot"))
+    probs = pairs.join(totals, "a").select(
+        "a",
+        "b",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    ).localCheckpoint(eager=True)
+    states = (
+        probs.select(F.col("a").alias("s"))
+        .unionAll(probs.select(F.col("b").alias("s")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_states = states.count()
+    x = states.select("s", F.lit(1.0 / n_states).alias("x")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        moved = (
+            x.join(probs, x["s"] == probs["a"])
+            .groupBy(F.col("b").alias("s2"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("a"), (F.col("x") * F.col("p")).alias("m")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["m"],
+                ).alias("inflow")
+            )
+        )
+        # absorbing states (no outgoing row in probs) keep their mass
+        held = x.join(probs.select("a").distinct(), x["s"] == F.col("a"), "left_anti")
+        x = (
+            states.join(
+                moved.select(F.col("s2").alias("s"), "inflow"), "s", "left"
+            )
+            .join(held.select(F.col("s").alias("hs"), F.col("x").alias("hx")),
+                  F.col("s") == F.col("hs"), "left")
+            .select(
+                "s",
+                (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.coalesce("hx", F.lit(0.0))
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        probs.join(x.select(F.col("s").alias("a"), F.col("x").alias("st")), "a")
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            F.col("n"),
+            (F.round("p", 6) + F.lit(0.0)).alias("p"),
+            (F.round("st", 6) + F.lit(0.0)).alias("stationary_from"),
+        )
+    )
