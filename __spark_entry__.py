@@ -7745,6 +7745,24 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["event_markov"] = event_markov
 
+    def user_regularity(spark, sf_dir):
+        """Inter-event regularity screen (operators/events.py
+        regularity_flags — the timer-vs-bursty bot signal): per-user
+        microsecond gap moments in DECIMAL(38,0), the CV < 0.25 flag
+        decided by exact cross-multiplied comparison."""
+        from tilekiln_spark.operators.events import regularity_flags
+
+        out = regularity_flags(_events(spark, sf_dir))
+        return out.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "mean_gap_s",
+            "cv",
+            "is_regular",
+        )
+
+    q["user_regularity"] = user_regularity
+
     def edr_trajectories(spark, sf_dir):
         """Edit Distance on Real sequences (functions/geometry.py
         edr_distance — Chen/Özsu/Oria 2005) between every user trajectory
@@ -13234,6 +13252,40 @@ def oracle_sql() -> dict[str, str]:
 
     # Markov twin: 12 unrolled power rounds (see _markov_sql)
     o["event_markov"] = _markov_sql(12)
+
+    # regularity twin: identical lag gaps, hugeint moments (DuckDB sums
+    # promote to int128 — matching the Spark DECIMAL(38,0) path), the
+    # same cross-multiplied flag
+    o["user_regularity"] = """
+        WITH gaps AS (
+            SELECT key, d FROM (
+                SELECT user_id AS key,
+                       CAST(epoch_us(ts) AS BIGINT)
+                       - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                             PARTITION BY user_id ORDER BY
+                             CAST(epoch_us(ts) AS BIGINT)) AS d
+                FROM events
+            ) WHERE d IS NOT NULL
+        ),
+        m AS (
+            SELECT key, count(*) AS n, sum(d) AS sd,
+                   sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+            FROM gaps GROUP BY key HAVING count(*) >= 5
+        )
+        SELECT CAST(key AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS n_gaps,
+               round(CAST(sd AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+                   + 0.0 AS mean_gap_s,
+               round(sqrt(CAST(CAST(n AS HUGEINT) * sdd
+                               - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)
+                               AS DOUBLE)) / CAST(sd AS DOUBLE), 6) + 0.0
+                   AS cv,
+               10000 * (CAST(n AS HUGEINT) * sdd
+                        - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT))
+               < 625 * CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)
+                   AS is_regular
+        FROM m
+    """
 
     # retention twin: same distinct-day activity + first-day cohorts
     o["retention_cohorts"] = """

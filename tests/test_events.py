@@ -594,3 +594,27 @@ def test_markov_transitions_two_state_chain(spark):
            for r in markov_transitions(df).collect()}
     assert out[("a", "b")] == (1.0, 0.5)
     assert out[("b", "a")] == (1.0, 0.5)
+
+
+def test_regularity_flags_bot_vs_bursty(spark):
+    """A perfect timer (CV = 0) flags regular; an alternating
+    short/long gap pattern (CV ~ 0.82) does not; below min_gaps no
+    row."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.events import regularity_flags
+
+    rows = [(1, i * 60) for i in range(10)]
+    t = 0
+    for i in range(10):
+        t += 10 if i % 2 == 0 else 110
+        rows.append((2, t))
+    rows += [(3, 0), (3, 60)]
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.col("sec").cast("timestamp").alias("ts")
+    )
+    out = {r.user_id: (r.cv, r.is_regular)
+           for r in regularity_flags(df).collect()}
+    assert out[1] == (0.0, True)
+    assert out[2][1] is False and out[2][0] > 0.8
+    assert 3 not in out

@@ -1134,3 +1134,67 @@ def markov_transitions(
             (F.round("st", 6) + F.lit(0.0)).alias("stationary_from"),
         )
     )
+
+
+def regularity_flags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "ts",
+    cv_threshold_pct: int = 25,
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Inter-event regularity screen (the classic bot/crawler signal:
+    machines fire on timers, humans are bursty — Poisson gaps have
+    CV ~ 1, cron-like traffic CV ~ 0):
+
+        CV^2 = (n * Sdd - Sd^2) / Sd^2       (population, over the
+                                              microsecond gap series)
+        is_regular  iff  CV < threshold
+
+    The FLAG is decided exactly: CV < c/100 iff 100^2 * (n*Sdd - Sd^2)
+    < c^2 * Sd^2, all formed in DECIMAL(38,0) (microsecond gap squares
+    overflow int64 — the spearman lesson), so the boundary can never
+    disagree cross-engine; the reported cv itself is one sqrt/divide
+    rounded at 6.  Gaps come from one lag() window per user (ts order;
+    ties contribute zero-gaps, which count toward regularity — repeated
+    identical timestamps ARE machine-like).
+
+    Returns [key, n_gaps, mean_gap_s, cv, is_regular] for keys with at
+    least ``min_gaps`` gaps."""
+    us = F.unix_micros(F.col(t_col).cast("timestamp"))
+    gaps = (
+        df.select(F.col(key_col).alias("key"), us.alias("t"))
+        .select("key", (F.col("t") - F.lag("t").over(
+            Window.partitionBy("key").orderBy("t")
+        )).alias("d"))
+        .where(F.col("d").isNotNull())
+    )
+    m = gaps.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d").cast("decimal(38,0)")).alias("sdd"),
+    ).where(F.col("n") >= min_gaps)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    var_num = dec(F.col("n")) * F.col("sdd") - dec(F.col("sd")) * dec(F.col("sd"))
+    c = int(cv_threshold_pct)
+    flag = (F.lit(10000).cast("decimal(38,0)") * var_num) < (
+        F.lit(c * c).cast("decimal(38,0)") * dec(F.col("sd")) * dec(F.col("sd"))
+    )
+    cv = F.sqrt(var_num.cast("double")) / F.col("sd").cast("double")
+    return m.select(
+        "key",
+        F.col("n").cast("long").alias("n_gaps"),
+        (
+            F.round(
+                F.col("sd").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_gap_s"),
+        (F.round(cv, 6) + F.lit(0.0)).alias("cv"),
+        flag.alias("is_regular"),
+    )
