@@ -598,8 +598,8 @@ def test_markov_transitions_two_state_chain(spark):
 
 def test_regularity_flags_bot_vs_bursty(spark):
     """A perfect timer (CV = 0) flags regular; an alternating
-    short/long gap pattern (CV ~ 0.82) does not; below min_gaps no
-    row."""
+    short/long gap pattern (CV ~ 0.76 over its 9 gaps) does not;
+    below min_gaps no row."""
     from pyspark.sql import functions as F
 
     from tilekiln_spark.operators.events import regularity_flags
@@ -613,8 +613,8 @@ def test_regularity_flags_bot_vs_bursty(spark):
     df = spark.createDataFrame(rows, "user_id long, sec long").select(
         "user_id", F.col("sec").cast("timestamp").alias("ts")
     )
-    out = {r.user_id: (r.cv, r.is_regular)
+    out = {r.key: (r.cv, r.is_regular)
            for r in regularity_flags(df).collect()}
     assert out[1] == (0.0, True)
-    assert out[2][1] is False and out[2][0] > 0.8
+    assert out[2][1] is False and out[2][0] > 0.7
     assert 3 not in out
