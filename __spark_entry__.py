@@ -721,8 +721,8 @@ def _intersect_fixture() -> tuple[list, list]:
 def _intersect_values_sql(rings: list) -> str:
     parts = []
     for gid, xs, ys in rings:
-        xs_s = "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[])"
-        ys_s = "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[])"
+        xs_s = "CAST([" + ", ".join(_flit(v) for v in xs) + "] AS DOUBLE[])"
+        ys_s = "CAST([" + ", ".join(_flit(v) for v in ys) + "] AS DOUBLE[])"
         parts.append(f"({gid}, {xs_s}, {ys_s})")
     return ", ".join(parts)
 
@@ -757,7 +757,7 @@ def _validity_values_sql() -> str:
         def arr(a):
             if a is None:
                 return "CAST(NULL AS DOUBLE[])"
-            return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+            return "CAST([" + ", ".join(_flit(v) for v in a) + "] AS DOUBLE[])"
 
         parts.append(f"({gid}, {arr(xs)}, {arr(ys)})")
     return ", ".join(parts)
@@ -771,7 +771,7 @@ def _measure_values_sql() -> str:
         def arr(a):
             if a is None:
                 return "CAST(NULL AS DOUBLE[])"
-            return "CAST([" + ", ".join(repr(float(v)) for v in a) + "] AS DOUBLE[])"
+            return "CAST([" + ", ".join(_flit(v) for v in a) + "] AS DOUBLE[])"
 
         parts.append(f"({gid}, '{kind}', {arr(xs)}, {arr(ys)})")
     return ", ".join(parts)
@@ -1610,8 +1610,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "line_id",
             F.col("pos").cast("int").alias("seq"),
-            (F.round(F.col("col.x"), 6) + 0.0).alias("px"),
-            (F.round(F.col("col.y"), 6) + 0.0).alias("py"),
+            # NO round: now that _flit forces the DuckDB DOUBLE literal
+            # parse, both engines fold identical doubles through identical
+            # exact-dyadic-weight expressions — and round(...,6) would
+            # REINTRODUCE drift on exact decimal ties (-8453323.8309375
+            # rounds HALF_UP on Spark, half-even on DuckDB).
+            (F.col("col.x") + 0.0).alias("px"),
+            (F.col("col.y") + 0.0).alias("py"),
         )
 
     q["chaikin_smooth"] = chaikin_smooth
@@ -2245,7 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _mx_my(_docs(spark, sf_dir))
         out = pyramid(rasterize(d, zoom=2, res=16), res=16, levels=3)
-        return out.orderBy("level", "cx", "cy")
+        return out.select(
+            F.col("level").cast("long").alias("level"),
+            "cx", "cy", "total_n", "n_cells",
+        ).orderBy("level", "cx", "cy")
 
     q["raster_pyramid"] = raster_pyramid
 
@@ -2302,7 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = tstops(pts, eps=50.0, min_pts=3)
         return out.select(
-            "user_id", "seg_id", "n_pts", "dwell_s",
+            "user_id", "seg_id",
+            F.col("n_pts").cast("long").alias("n_pts"), "dwell_s",
             (F.round("cx", 6) + F.lit(0.0)).alias("cx"),
             (F.round("cy", 6) + F.lit(0.0)).alias("cy"),
         ).orderBy("user_id", "seg_id")
@@ -8789,7 +8798,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.lv AS level,
                CAST(floor(gx / power(2, l.lv)) AS BIGINT) AS cx,
                CAST(floor(gy / power(2, l.lv)) AS BIGINT) AS cy,
-               sum(n) AS total_n, count(*) AS n_cells
+               CAST(sum(n) AS BIGINT) AS total_n, count(*) AS n_cells
         FROM counts, unnest(generate_series(1, 3)) AS l(lv)
         GROUP BY 1, 2, 3
         ORDER BY level, cx, cy
@@ -9325,7 +9334,7 @@ def oracle_sql() -> dict[str, str]:
             FROM jn GROUP BY 1, 2
         )
         SELECT tg.gx, tg.gy,
-               coalesce(bl.n_blockers, 0) AS n_blockers,
+               CAST(coalesce(bl.n_blockers, 0) AS BIGINT) AS n_blockers,
                coalesce(bl.n_blockers, 0) = 0 AS visible
         FROM tg LEFT JOIN bl ON bl.gx = tg.gx AND bl.gy = tg.gy
     """
@@ -9593,7 +9602,8 @@ def oracle_sql() -> dict[str, str]:
         ), nev AS (
             SELECT cx, cy, count(*) AS n_events FROM src GROUP BY 1, 2
         )
-        SELECT s.cx, s.cy, nev.n_events, s.s_stat,
+        SELECT s.cx, s.cy, nev.n_events,
+               CAST(s.s_stat AS BIGINT) AS s_stat,
                round(CASE
                    WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
                         / sqrt(nullif({_mk_var}, 0.0))
@@ -9878,8 +9888,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _ll_merc = _line_merc(dict(_LINES_UV)[2])
-    _ll_xs = "CAST([" + ", ".join(repr(p[0]) for p in _ll_merc) + "] AS DOUBLE[])"
-    _ll_ys = "CAST([" + ", ".join(repr(p[1]) for p in _ll_merc) + "] AS DOUBLE[])"
+    _ll_xs = "CAST([" + ", ".join(_flit(p[0]) for p in _ll_merc) + "] AS DOUBLE[])"
+    _ll_ys = "CAST([" + ", ".join(_flit(p[1]) for p in _ll_merc) + "] AS DOUBLE[])"
     o["line_locate"] = f"""
         {_GEO_CTE}
         SELECT doc_id,
@@ -10242,12 +10252,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         enc AS (SELECT x, y, {_qk} AS qk FROM t)
         SELECT x, y, qk,
-               list_sum(list_transform(range(1, 6), i ->
+               CAST(list_sum(list_transform(range(1, 6), i ->
                    (CAST(qk[i] AS BIGINT) % 2) * CAST(power(2, 5 - i) AS BIGINT)
-               )) AS rx,
-               list_sum(list_transform(range(1, 6), i ->
+               )) AS BIGINT) AS rx,
+               CAST(list_sum(list_transform(range(1, 6), i ->
                    (CAST(qk[i] AS BIGINT) // 2) * CAST(power(2, 5 - i) AS BIGINT)
-               )) AS ry
+               )) AS BIGINT) AS ry
         FROM enc ORDER BY x, y
     """
 
@@ -10352,8 +10362,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(n.h_edges) AS h_edges
             FROM parent pr JOIN neg n ON n.nid = pr.nid GROUP BY 1
         )
-        SELECT p.face_id,
-               p.n_edges + COALESCE(ho.h_edges, 0) AS n_edges,
+        SELECT CAST(p.face_id AS BIGINT) AS face_id,
+               CAST(p.n_edges + COALESCE(ho.h_edges, 0) AS BIGINT) AS n_edges,
                round(p.area + COALESCE(ho.h_area, 0.0), 6) + 0.0 AS area
         FROM pos p LEFT JOIN holes ho ON ho.pid = p.face_id
         WHERE p.area + COALESCE(ho.h_area, 0.0) > 0
@@ -10443,7 +10453,7 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list(my ORDER BY ts)) / count(*) AS cy
             FROM seg GROUP BY 1, 2
         )
-        SELECT user_id, seg_id, n_pts, dwell_s,
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, n_pts, dwell_s,
                round(cx, 6) + 0.0 AS cx, round(cy, 6) + 0.0 AS cy
         FROM rolled WHERE n_pts >= 3
         ORDER BY user_id, seg_id
@@ -11248,8 +11258,8 @@ def oracle_sql() -> dict[str, str]:
 
     rr_vals = ", ".join(
         f"({g}, "
-        + "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[]), "
-        + "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[]))"
+        + "CAST([" + ", ".join(_flit(v) for v in xs) + "] AS DOUBLE[]), "
+        + "CAST([" + ", ".join(_flit(v) for v in ys) + "] AS DOUBLE[]))"
         for g, kind, xs, ys in _measure_fixture_rows()
         if kind == "ring" and xs
     )
@@ -11263,8 +11273,8 @@ def oracle_sql() -> dict[str, str]:
 
     ring_vals = ", ".join(
         f"({g}, 'ring{g}', "
-        + "CAST([" + ", ".join(repr(float(v)) for v in xs) + "] AS DOUBLE[]), "
-        + "CAST([" + ", ".join(repr(float(v)) for v in ys) + "] AS DOUBLE[]))"
+        + "CAST([" + ", ".join(_flit(v) for v in xs) + "] AS DOUBLE[]), "
+        + "CAST([" + ", ".join(_flit(v) for v in ys) + "] AS DOUBLE[]))"
         for g, kind, xs, ys in _measure_fixture_rows()
         if kind == "ring" and xs
     )
@@ -11280,8 +11290,8 @@ def oracle_sql() -> dict[str, str]:
     li_rows = []
     for lid, uv in _LINES_UV:
         pts = _line_merc(uv)
-        xs_l = "CAST([" + ", ".join(repr(p[0]) for p in pts) + "] AS DOUBLE[])"
-        ys_l = "CAST([" + ", ".join(repr(p[1]) for p in pts) + "] AS DOUBLE[])"
+        xs_l = "CAST([" + ", ".join(_flit(p[0]) for p in pts) + "] AS DOUBLE[])"
+        ys_l = "CAST([" + ", ".join(_flit(p[1]) for p in pts) + "] AS DOUBLE[])"
         li_rows.append(f"({lid}, {xs_l}, {ys_l})")
     li_parts = []
     for fr in (0.25, 0.5, 0.75):
@@ -11337,7 +11347,7 @@ def oracle_sql() -> dict[str, str]:
         + f"), it1 AS (SELECT line_id, {_ck_x1} AS sx1, {_ck_y1} AS sy1 FROM lines)"
         + f", it2 AS (SELECT line_id, {_ck_x2} AS sx, {_ck_y2} AS sy FROM it1) "
         + "SELECT line_id, CAST(i - 1 AS INTEGER) AS seq, "
-        + "round(sx[i], 6) + 0.0 AS px, round(sy[i], 6) + 0.0 AS py "
+        + "sx[i] + 0.0 AS px, sy[i] + 0.0 AS py "
         + "FROM it2 CROSS JOIN LATERAL unnest(range(1, len(sx) + 1)) AS u(i)"
     )
 
@@ -14568,7 +14578,7 @@ def oracle_sql() -> dict[str, str]:
         planes = _hyperplanes(dim, nbits, seed)
         terms = []
         for i, row in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            lit = "[" + ", ".join(_flit(v) for v in row) + "]"
             terms.append(
                 f"(CASE WHEN list_inner_product({vec_expr}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
             )

@@ -2,11 +2,23 @@
 on Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
 compare row count + column names + order-insensitive values.
 
+Strict mode (the default, r5+): floats are compared at FULL precision
+(repr), not 9 significant digits, and column TYPES are compared
+type-faithfully between the Spark schema and the DuckDB relation types —
+a DuckDB HUGEINT/DECIMAL column against a Spark BIGINT is a FAIL even when
+the Python values are equal, because the driver's hash serializes through
+Arrow where int128/decimal128 != int64.  This closes the r4 process gap
+where the builder's %.9g sweep was green while the driver hash was red
+(VERDICT r4 "What's wrong" #3).
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+       python tools/check_oracles.py --out CORRECTNESS_local.json [sf_dir]
+       python tools/check_oracles.py --loose [sf_dir]   # old %.9g compare
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -17,30 +29,88 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Spark simpleString -> the DuckDB type a type-faithful twin must produce.
+_SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "binary": "BLOB",
+    "date": "DATE",
+    # Spark TimestampType is session-tz-aware; the parquet fixtures carry
+    # TIMESTAMP_NTZ and both engines fetch naive datetimes, so either
+    # DuckDB flavor is faithful (values compare via isoformat).
+    "timestamp": ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+    "timestamp_ntz": ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+}
 
-def normalize(rows, cols):
+
+def expected_duck(spark_type: str):
+    """Expected DuckDB type string(s) for a Spark simpleString type."""
+    if spark_type.startswith("array<"):
+        inner = expected_duck(spark_type[6:-1])
+        if inner is None:
+            return None
+        if isinstance(inner, tuple):
+            return tuple(i + "[]" for i in inner)
+        return inner + "[]"
+    return _SPARK_TO_DUCK.get(spark_type)
+
+
+def type_mismatches(sdf, ddf):
+    """Columns whose DuckDB type is not faithful to the Spark type."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out = []
+    for col, dtype in zip(ddf.columns, [str(t) for t in ddf.types]):
+        exp = expected_duck(stypes.get(col, ""))
+        if exp is None:
+            continue  # unmapped Spark type: values-only compare
+        ok = dtype in exp if isinstance(exp, tuple) else dtype == exp
+        if not ok:
+            out.append((col, stypes[col], dtype))
+    return out
+
+
+def _norm_val(v, strict: bool):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if strict:
+            return repr(v + 0.0)  # +0.0 folds -0.0; full precision
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_val(x, strict) for x in v) + "]"
+    return str(v)
+
+
+def normalize(rows, cols, strict=True):
     out = []
     for row in rows:
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = f"{v:.9g}"
-            elif hasattr(v, "isoformat"):
-                v = v.isoformat().replace("+00:00", "")
-            elif isinstance(v, (bytes, bytearray)):
-                v = v.hex()
-            vals.append(str(v))
-        out.append(tuple(vals))
+        out.append(tuple(_norm_val(row[c], strict) for c in cols))
     return sorted(out)
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    strict = True
+    out_path = None
+    if "--loose" in args:
+        strict = False
+        args.remove("--loose")
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -64,6 +134,13 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     fails = []
+    results = {}
+
+    def record(name, status, detail=""):
+        results[name] = {"status": status, "detail": detail}
+        if status != "OK" and status != "rows-only":
+            fails.append(name)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,37 +149,65 @@ def main():
             srows = [r.asDict() for r in sdf.collect()]
             scols = sorted(sdf.columns)
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
-            fails.append(name)
+            msg = f"spark error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL  {name}: {msg}")
+            record(name, "spark-error", msg)
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            record(name, "rows-only", f"{len(srows)} rows")
             continue
         try:
             ddf = con.sql(oracles[name])
             dcols = sorted(ddf.columns)
             drows = [dict(zip(ddf.columns, row)) for row in ddf.fetchall()]
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            fails.append(name)
+            msg = f"duckdb error: {type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL  {name}: {msg}")
+            record(name, "duckdb-error", msg)
             continue
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} vs {dcols}")
-            fails.append(name)
+            record(name, "columns", f"{scols} vs {dcols}")
             continue
+        if strict:
+            tmis = type_mismatches(sdf, ddf)
+            if tmis:
+                msg = "; ".join(
+                    f"{c}: spark={s} duck={d}" for c, s, d in tmis
+                )
+                print(f"FAIL  {name}: type mismatch {msg}")
+                record(name, "types", msg)
+                continue
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
-            fails.append(name)
+            record(name, "rowcount", f"{len(srows)} vs {len(drows)}")
             continue
-        a = normalize(srows, scols)
-        b = normalize(drows, scols)
+        a = normalize(srows, scols, strict)
+        b = normalize(drows, scols, strict)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch, e.g. {diff}")
-            fails.append(name)
+            record(name, "values", str(diff)[:500])
             continue
         print(f"OK    {name}: {len(srows)} rows")
+        record(name, "OK", f"{len(srows)} rows")
     print()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "mode": "strict" if strict else "loose",
+                    "n_checked": len(results),
+                    "n_fail": len(fails),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}")
     if fails:
         print("FAILED:", ", ".join(fails))
         sys.exit(1)
