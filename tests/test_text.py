@@ -204,3 +204,42 @@ def test_theil_sen_robust_to_outlier(spark):
     r = theil_sen(df, "x", "y").collect()[0]
     assert (r.slope, r.intercept) == (2.0, 1.0)
     assert r.n_points == 10 and r.n_slopes == 45
+
+
+def test_theil_sen_no_global_window(spark):
+    """The O(n^2) slope multiset must never funnel through a
+    SinglePartition window sort: every window in the executed plan is
+    partitioned by the range-partition id (the packing.py two-pass
+    median), so the only SinglePartition exchanges left are the 1-row
+    final aggregates."""
+    from tilekiln_spark.functions.text import theil_sen
+
+    rows = [(i, i, 2 * i + 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    out = theil_sen(df, "x", "y")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_positional_median_matches_sorted(spark):
+    """_positional_median == the exact position-formula median for odd
+    and even counts, including duplicate values straddling partition
+    boundaries."""
+    from tilekiln_spark.functions.text import _positional_median
+
+    for vals in (
+        [5.0, 1.0, 9.0],                      # odd
+        [4.0, 1.0, 3.0, 2.0],                 # even -> mean of middles
+        [2.0] * 10 + [1.0, 3.0],              # heavy ties
+        [7.5],                                # single row
+    ):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        med, m = _positional_median(df, "v")
+        got = med.collect()[0]["__med"]
+        s = sorted(vals)
+        exp = (s[(len(s) + 1) // 2 - 1] + s[len(s) // 2]) / 2.0
+        assert m == len(vals)
+        assert got == exp, (vals, got, exp)

@@ -1182,6 +1182,56 @@ def benford_digits(df, value_col: str = "n_chars"):
     )
 
 
+def _positional_median(df, col: str):
+    """Exact position-formula median of ``df[col]`` — the mean of the
+    values at ranks floor((m+1)/2) and floor(m/2)+1 of the sorted
+    multiset — WITHOUT a global single-reducer sort: the two-pass
+    range-partition + broadcast-offset selection pattern from
+    operators/packing.py.  Pass 1 range-partitions the values and
+    collects P partition counts (P longs on the driver); pass 2
+    row_numbers WITHIN each partition (window keyed on the partition id,
+    so no SinglePartition exchange anywhere) and keeps the <=2 rows whose
+    global rank = partition offset + local rank is a target rank.
+
+    Ties: row_number among equal doubles is arbitrary, but the value at
+    a multiset POSITION is unique, so the selected VALUE is
+    deterministic and engine-independent.  Returns ``(median_df, m)``:
+    a 1-row DataFrame ``[__med]`` and the total count."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(col).alias("__v"))
+        .repartitionByRange(n_parts, F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in d.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    m = sum(counts.values())
+    lo, hi = (m + 1) // 2, m // 2 + 1
+    targets, acc = set(), 0
+    for pid in sorted(counts):
+        for g in (lo, hi):
+            if acc < g <= acc + counts[pid]:
+                targets.add((pid, g - acc))
+        acc += counts[pid]
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(targets) or [(0, 1)], "__pid int, __lrn int"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy("__v")
+    med = (
+        d.withColumn("__lrn", F.row_number().over(w))
+        .join(tdf, ["__pid", "__lrn"])
+        .groupBy()
+        .agg((F.sum("__v") / F.count("*")).alias("__med"))
+    )
+    return med, m
+
+
 def theil_sen(df, x_col: str, y_col: str, id_col: str = "doc_id"):
     """Theil-Sen robust slope (Theil 1950 / Sen 1968): the median of
     all pairwise slopes (y_j - y_i)/(x_j - x_i) over i < j with
@@ -1194,7 +1244,10 @@ def theil_sen(df, x_col: str, y_col: str, id_col: str = "doc_id"):
     cannot change the selected VALUE), and the intercept medians the
     residuals y - slope*x computed with the already-rounded slope so
     both engines feed identical doubles in.  Same O(n^2)
-    statistics-sized caveat as :func:`kendall_tau`.
+    statistics-sized caveat as :func:`kendall_tau` for the pair join —
+    but both medians run through :func:`_positional_median`'s two-pass
+    range-partition selection, so even the n^2/2-row slope multiset
+    never funnels through a SinglePartition sort.
     Returns ONE row [n_points, n_slopes, slope, intercept]."""
     pts = df.select(
         F.col(id_col).alias("i"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
@@ -1210,52 +1263,20 @@ def theil_sen(df, x_col: str, y_col: str, id_col: str = "doc_id"):
             ).alias("s")
         )
     )
-    w = Window.orderBy("s")
-    wc = Window.partitionBy()
-    r = slopes.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("m"),
-    )
-    med_slope = (
-        r.where(
-            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
-        )
-        .groupBy()
-        .agg(
-            (F.round(F.sum("s") / F.count("*"), 6) + F.lit(0.0)).alias("slope"),
-            F.max("m").alias("n_slopes"),
-        )
+    med_s, m = _positional_median(slopes, "s")
+    med_slope = med_s.select(
+        (F.round(F.col("__med"), 6) + F.lit(0.0)).alias("slope"),
+        F.lit(m).cast("long").alias("n_slopes"),
     )
     resid = pts.crossJoin(F.broadcast(med_slope)).select(
-        "slope",
-        "n_slopes",
         (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
             "res"
         ),
     )
-    wr = Window.orderBy("res")
-    rr = resid.select(
+    med_r, n = _positional_median(resid, "res")
+    return med_r.crossJoin(F.broadcast(med_slope)).select(
+        F.lit(n).cast("long").alias("n_points"),
+        F.col("n_slopes"),
         "slope",
-        "n_slopes",
-        "res",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wc).alias("n"),
-    )
-    return (
-        rr.where(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
-        )
-        .groupBy()
-        .agg(
-            F.max("n").cast("long").alias("n_points"),
-            F.max("n_slopes").cast("long").alias("n_slopes"),
-            F.max("slope").alias("slope"),
-            (F.round(F.sum("res") / F.count("*"), 6) + F.lit(0.0)).alias(
-                "intercept"
-            ),
-        )
-        .select("n_points", "n_slopes", "slope", "intercept")
+        (F.round(F.col("__med"), 6) + F.lit(0.0)).alias("intercept"),
     )

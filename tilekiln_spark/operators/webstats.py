@@ -298,9 +298,12 @@ def concentration_gini(counts: DataFrame, key_col: str, n_col: str = "n") -> Dat
 
     Σ r·c and Σc are exact integer sums, so G is one exact scalar
     division.  Shape: ONE global sort of the COUNT dimension (hosts,
-    not pages — ~10^8 rows at crawl scale, a real but bounded exchange;
-    at that size use rangepartitioned rank, which row_number already
-    compiles to).  Returns one row ``[n_keys, total, gini]`` (NULL for
+    not pages — ~10^8 rows at crawl scale).  NB: a global
+    ``Window.orderBy`` compiles to a SinglePartition exchange — fine
+    for the rolled-up host dimension, NOT for page-sized inputs; at
+    the 10^8-host end switch to the two-pass range-partition + offset
+    rank (functions/text.py ``_positional_median`` / packing.py show
+    the shape).  Returns one row ``[n_keys, total, gini]`` (NULL for
     a single key)."""
     w = Window.orderBy(F.col(n_col).asc(), F.col(key_col).asc())
     ranked = counts.select(
