@@ -519,7 +519,30 @@ def main():
         "pages_n": pages_n,
         **res["extra"],
     }
+    # Full per-query map first (archival; ~200 timings blows past the
+    # driver's 2000-char tail capture), then ONE compact line LAST so the
+    # tail always contains a complete parseable JSON record (r4 verdict:
+    # BENCH_r04 parsed null because the tail began mid-line).
     print(json.dumps(out))
+    headline = [
+        "pages_geocode", "tiles_z0_8", "spatial_join",
+        "corpus_pipeline_buckets", "corpus_pipeline_ccnet",
+    ]
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": cpus,
+        "pages_n": pages_n,
+        **res["extra"],
+        "n_queries": len(res["timings"]),
+        "queries_total_sec": round(sum(res["timings"].values()), 3),
+        "queries": {
+            k: res["timings"][k] for k in headline if k in res["timings"]
+        },
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
