@@ -6150,6 +6150,27 @@ FROM docs_geo WHERE way && {{bbox}}
 
     q["media_decode_real"] = media_decode_real
 
+    def media_decode_jpeg(spark, sf_dir):
+        """REAL baseline-JPEG codec path, hash-checked (closes the r4
+        "What's missing" #1 — JPEG is the dominant crawl image format):
+        executor-built solid-color baseline JPEGs (multimodal.
+        synth_jpeg_media) decode through decode_image(strict=True) = the
+        pure-numpy huffman+dequant+IDCT+YCbCr codec (functions/jpeg.py).
+        JPEG is lossy, but a solid color collapses the whole chain to a
+        closed form over (r, g, b) — every rounding is the codec's
+        floor(x + 0.5 + 1e-9) contract — which the DuckDB twin replays
+        arithmetically (validated against the real codec for all 200 ids
+        in tests/test_jpeg.py)."""
+        from tilekiln_spark.operators.multimodal import decode_image, synth_jpeg_media
+
+        out = decode_image(synth_jpeg_media(spark, 200), strict=True)
+        return out.select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            F.round("std", 4).alias("std4"),
+        )
+
+    q["media_decode_jpeg"] = media_decode_jpeg
+
     def media_frame_sample(spark, sf_dir):
         from tilekiln_spark.operators.multimodal import frame_sample, synth_media
 
@@ -15120,6 +15141,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(media_id % 5 * 4 + 4 AS INT) AS height,
                r AS mean_r, g AS mean_g, b AS mean_b,
                round(sqrt((pow(r - m3, 2) + pow(g - m3, 2) + pow(b - m3, 2)) / 3.0), 4) AS std4
+        FROM mu
+    """
+
+    # media_decode_jpeg twin: the solid-color closed form of the baseline
+    # JPEG chain — RGB->YCbCr, DC quantize/dequantize by the Annex K [0]
+    # entries (16 luma / 17 chroma), DC-only IDCT is constant, plane
+    # uint8, YCbCr->RGB — with the codec's single rounding op
+    # floor(x + 0.5 + 1e-9) replayed verbatim at every step.
+    o["media_decode_jpeg"] = """
+        WITH m AS (
+            SELECT id AS media_id,
+                   CAST(37 * id % 256 AS DOUBLE) AS r,
+                   CAST(59 * id % 256 AS DOUBLE) AS g,
+                   CAST(83 * id % 256 AS DOUBLE) AS b
+            FROM range(200) t(id)
+        ), p AS (
+            SELECT media_id,
+                   0.299 * r + 0.587 * g + 0.114 * b AS y,
+                   -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0 AS cb,
+                   0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0 AS cr
+            FROM m
+        ), d AS (
+            SELECT media_id,
+                   floor(8.0 * (y - 128.0) / 16.0 + 0.5 + 1e-9) AS dy,
+                   floor(8.0 * (cb - 128.0) / 17.0 + 0.5 + 1e-9) AS dcb,
+                   floor(8.0 * (cr - 128.0) / 17.0 + 0.5 + 1e-9) AS dcr
+            FROM p
+        ), pl AS (
+            SELECT media_id,
+                   least(greatest(floor(dy * 16.0 / 8.0 + 128.0 + 0.5 + 1e-9), 0.0), 255.0) AS py,
+                   least(greatest(floor(dcb * 17.0 / 8.0 + 128.0 + 0.5 + 1e-9), 0.0), 255.0) AS pcb,
+                   least(greatest(floor(dcr * 17.0 / 8.0 + 128.0 + 0.5 + 1e-9), 0.0), 255.0) AS pcr
+            FROM d
+        ), rgb AS (
+            SELECT media_id,
+                   least(greatest(floor(py + 1.402 * (pcr - 128.0) + 0.5 + 1e-9), 0.0), 255.0) AS mr,
+                   least(greatest(floor(py - 0.344136286 * (pcb - 128.0)
+                                           - 0.714136286 * (pcr - 128.0) + 0.5 + 1e-9), 0.0), 255.0) AS mg,
+                   least(greatest(floor(py + 1.772 * (pcb - 128.0) + 0.5 + 1e-9), 0.0), 255.0) AS mb
+            FROM pl
+        ), mu AS (SELECT *, (mr + mg + mb) / 3.0 AS m3 FROM rgb)
+        SELECT media_id,
+               CAST(media_id % 6 * 8 + 8 AS INT) AS width,
+               CAST(media_id % 4 * 8 + 8 AS INT) AS height,
+               mr AS mean_r, mg AS mean_g, mb AS mean_b,
+               round(sqrt((pow(mr - m3, 2) + pow(mg - m3, 2)
+                           + pow(mb - m3, 2)) / 3.0), 4) AS std4
         FROM mu
     """
 

@@ -87,6 +87,46 @@ def synth_png_media(spark, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(spark, n: int) -> DataFrame:
+    """REAL media table #2: deterministic solid-color baseline JPEG
+    payloads built EXECUTOR-side (mapInPandas + functions/jpeg.encode_jpeg
+    — the engine's pure-numpy baseline codec) from media_id alone:
+
+        w = id % 6 * 8 + 8,  h = id % 4 * 8 + 8,
+        (r, g, b) = (37*id, 59*id, 83*id) % 256
+
+    JPEG is lossy, but for a SOLID color the whole encode+decode chain
+    collapses to a closed form over (r, g, b): RGB -> YCbCr floats, DC =
+    8*(v-128), quantize/dequantize by the Annex K table's [0] entry
+    (floor(x+0.5) everywhere — the codec's single rounding op), IDCT of a
+    DC-only block is constant, plane -> uint8, YCbCr -> RGB.  Every pixel
+    of the decoded image is that one deterministic value, which is what
+    lets the driver's DuckDB twin hash-check the REAL jpeg codec path
+    end-to-end (media_decode_jpeg)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tilekiln_spark.functions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = mid % 6 * 8 + 8
+                h = mid % 4 * 8 + 8
+                rgb = np.array(
+                    [37 * mid % 256, 59 * mid % 256, 83 * mid % 256], dtype=np.uint8
+                )
+                rows.append(
+                    (
+                        mid, "image", encode_jpeg(np.tile(rgb, (h, w, 1))),
+                        {"width": w, "height": h, "sample_rate": 16000,
+                         "duration_ms": 0, "codec": "jpeg"},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """STUB: deterministic fake decoder. Real impl: PIL.Image.open(BytesIO)."""
     seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
@@ -134,6 +174,18 @@ def _pil_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, f
     )
 
 
+def _numpy_jpeg_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, float]:
+    """REAL codec path #3: the engine's pure-numpy baseline JPEG decoder
+    (functions/jpeg.py — public ITU-T T.81 spec), closing the r4 gap where
+    the dominant crawl image format raised NotImplementedError."""
+    from tilekiln_spark.functions.jpeg import decode_jpeg
+
+    arr = decode_jpeg(payload).astype(np.float64)
+    means = arr.reshape(-1, 3).mean(axis=0)
+    h, w = arr.shape[0], arr.shape[1]
+    return (int(w), int(h), float(means[0]), float(means[1]), float(means[2]), float(arr.std()))
+
+
 def _numpy_png_channel_stats(payload: bytes) -> tuple[int, int, float, float, float, float]:
     """REAL codec path #2: the engine's pure-numpy PNG decoder
     (functions/png.py — public PNG spec; zlib is stdlib), so the real
@@ -160,6 +212,7 @@ def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_pil = strict and _have_pil()
+        from tilekiln_spark.functions.jpeg import is_jpeg
         from tilekiln_spark.functions.png import is_png
 
         for pdf in batches:
@@ -171,11 +224,13 @@ def decode_image(df: DataFrame, strict: bool = False) -> DataFrame:
                         w, h, mean_r, mean_g, mean_b, std = _pil_channel_stats(pb)
                     elif is_png(pb):
                         w, h, mean_r, mean_g, mean_b, std = _numpy_png_channel_stats(pb)
+                    elif is_jpeg(pb):
+                        w, h, mean_r, mean_g, mean_b, std = _numpy_jpeg_channel_stats(pb)
                     else:
                         raise NotImplementedError(
                             "image codec not available for this payload format; "
-                            "plug PIL/torchvision here (built-in real codec "
-                            "covers PNG only)"
+                            "plug PIL/torchvision here (built-in real codecs "
+                            "cover PNG and baseline JPEG)"
                         )
                 else:
                     w, h = int(meta["width"]), int(meta["height"])

@@ -29,48 +29,50 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-# Spark simpleString -> the DuckDB type a type-faithful twin must produce.
-_SPARK_TO_DUCK = {
-    "bigint": "BIGINT",
-    "int": "INTEGER",
-    "smallint": "SMALLINT",
-    "tinyint": "TINYINT",
-    "double": "DOUBLE",
-    "float": "FLOAT",
-    "string": "VARCHAR",
-    "boolean": "BOOLEAN",
-    "binary": "BLOB",
-    "date": "DATE",
-    # Spark TimestampType is session-tz-aware; the parquet fixtures carry
-    # TIMESTAMP_NTZ and both engines fetch naive datetimes, so either
-    # DuckDB flavor is faithful (values compare via isoformat).
-    "timestamp": ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
-    "timestamp_ntz": ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+# Both engines' types collapse to a serialization KIND: the driver hash
+# serializes fetched Python values, so INTEGER vs BIGINT (both -> Python
+# int) hash identically — r3/r4 driver-green rows prove it — while
+# HUGEINT/DECIMAL (-> Decimal / float via Arrow int128) and any
+# cross-kind slip (int vs double) change the serialized value and were
+# exactly the r4 red cells.
+_SPARK_KIND = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "string": "str", "boolean": "bool", "binary": "bytes",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+_DUCK_KIND = {
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+    "UBIGINT": "int", "UINTEGER": "int", "USMALLINT": "int", "UTINYINT": "int",
+    "HUGEINT": "int128", "UHUGEINT": "int128",
+    "DOUBLE": "float", "FLOAT": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
 }
 
 
-def expected_duck(spark_type: str):
-    """Expected DuckDB type string(s) for a Spark simpleString type."""
-    if spark_type.startswith("array<"):
-        inner = expected_duck(spark_type[6:-1])
-        if inner is None:
-            return None
-        if isinstance(inner, tuple):
-            return tuple(i + "[]" for i in inner)
-        return inner + "[]"
-    return _SPARK_TO_DUCK.get(spark_type)
+def _kind(t: str, table) -> str | None:
+    if t.startswith("array<"):
+        inner = _kind(t[6:-1], table)
+        return None if inner is None else f"list<{inner}>"
+    if t.endswith("[]"):
+        inner = _kind(t[:-2], table)
+        return None if inner is None else f"list<{inner}>"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return table.get(t)
 
 
 def type_mismatches(sdf, ddf):
-    """Columns whose DuckDB type is not faithful to the Spark type."""
+    """Columns whose DuckDB serialization KIND differs from Spark's."""
     stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     out = []
     for col, dtype in zip(ddf.columns, [str(t) for t in ddf.types]):
-        exp = expected_duck(stypes.get(col, ""))
-        if exp is None:
-            continue  # unmapped Spark type: values-only compare
-        ok = dtype in exp if isinstance(exp, tuple) else dtype == exp
-        if not ok:
+        sk = _kind(stypes.get(col, ""), _SPARK_KIND)
+        dk = _kind(dtype, _DUCK_KIND)
+        if sk is None or dk is None:
+            continue  # unmapped type: values-only compare
+        if sk != dk:
             out.append((col, stypes[col], dtype))
     return out
 
