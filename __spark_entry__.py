@@ -483,8 +483,9 @@ _MERGE_SEG_ROWS = [
 
 _NODE_SEG_ROWS = [
     # ST_Node fixture: a double-crossed long segment, an X pair, a
-    # T-touch (endpoint on interior), an exactly-collinear overlap (zero
-    # denominator — documented not-noded), and an isolated diagonal
+    # T-touch (endpoint on interior), an exactly-collinear partial
+    # overlap (zero denominator — split at the projected overlap
+    # endpoints since r5), and an isolated diagonal
     (1, 0.0, 0.0, 10.0, 0.0),
     (2, 2.0, -1.0, 2.0, 1.0),
     (3, 7.0, -2.0, 7.0, 3.0),
@@ -537,12 +538,16 @@ _SHARED_SEG_ROWS = [
 _UNION_RINGS = [
     # n-way union fixture: a chain of three squares (0/1 SHARE a
     # collinear border piece along y=0 — the duplicate-edge XOR path),
-    # a disjoint square, and a diamond crossing square 2 diagonally
+    # a disjoint square, a diamond crossing square 2 diagonally, and
+    # (r5) a fully-nested DISJOINT island inside square 3 — the
+    # raycast seed-mask path: its faces carry the host's bit, its
+    # negative outer cycle cancels its interior, union area unchanged
     (0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
     (1, [2.0, 6.0, 6.0, 2.0], [0.0, 0.0, 4.0, 4.0]),
     (2, [5.0, 9.0, 9.0, 5.0], [0.0, 0.0, 4.0, 4.0]),
     (3, [20.0, 22.0, 22.0, 20.0], [20.0, 20.0, 22.0, 22.0]),
     (4, [8.0, 10.0, 8.0, 6.0], [2.0, 4.0, 6.0, 4.0]),
+    (5, [20.5, 21.5, 21.5, 20.5], [20.5, 20.5, 21.5, 21.5]),
 ]
 
 
@@ -10519,18 +10524,43 @@ def oracle_sql() -> dict[str, str]:
     _nd_den = "((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1))"
     _nd_s = f"(((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1)) / {_nd_den})"
     _nd_t = f"(((b.x1 - a.x1) * (a.y2 - a.y1) - (b.y1 - a.y1) * (a.x2 - a.x1)) / {_nd_den})"
-    o["node_lines"] = f"""
-        WITH seg(seg_id, x1, y1, x2, y2) AS (VALUES {_nd_vals}),
+    # collinear-overlap branch (node_segments r5): project B's endpoints
+    # onto A's parameter line when den = 0 and the offset is collinear
+    _nd_rr = "((a.x2 - a.x1) * (a.x2 - a.x1) + (a.y2 - a.y1) * (a.y2 - a.y1))"
+    _nd_oc = "((b.x1 - a.x1) * (a.y2 - a.y1) - (b.y1 - a.y1) * (a.x2 - a.x1))"
+    _nd_f1 = f"(((b.x1 - a.x1) * (a.x2 - a.x1) + (b.y1 - a.y1) * (a.y2 - a.y1)) / {_nd_rr})"
+    _nd_f2 = f"(((b.x2 - a.x1) * (a.x2 - a.x1) + (b.y2 - a.y1) * (a.y2 - a.y1)) / {_nd_rr})"
+
+    def _nd_cut_ctes(seg: str) -> str:
+        """hits/chits/cuts CTE block of the ST_Node twin over table
+        ``seg`` — the crossing/T-touch parametric solve PLUS the r5
+        collinear-overlap endpoint projections, exactly node_segments."""
+        return f"""
         hits AS (
             SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
-            FROM seg a JOIN seg b ON a.seg_id != b.seg_id
+            FROM {seg} a JOIN {seg} b ON a.seg_id != b.seg_id
             WHERE {_nd_den} != 0
+        ),
+        chits AS (
+            SELECT a.seg_id AS sid, u.f AS s
+            FROM {seg} a JOIN {seg} b ON a.seg_id != b.seg_id
+            CROSS JOIN LATERAL unnest([{_nd_f1}, {_nd_f2}]) AS u(f)
+            WHERE {_nd_den} = 0 AND {_nd_oc} = 0 AND {_nd_rr} != 0
+        ),
+        allcuts AS (
+            SELECT sid, s FROM hits
+            WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
+            UNION ALL
+            SELECT sid, s FROM chits WHERE s > 0 AND s < 1
         ),
         cuts AS (
             SELECT sid, list_sort(list_distinct(list(s))) AS fs
-            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
-            GROUP BY 1
-        ),
+            FROM allcuts GROUP BY 1
+        )"""
+
+    o["node_lines"] = f"""
+        WITH seg(seg_id, x1, y1, x2, y2) AS (VALUES {_nd_vals}),
+        {_nd_cut_ctes("seg")},
         fr AS (
             SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
                    list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
@@ -10554,16 +10584,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["node_polygonize"] = f"""
         WITH RECURSIVE seg0(seg_id, x1, y1, x2, y2) AS (VALUES {_np_vals}),
-        hits AS (
-            SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
-            FROM seg0 a JOIN seg0 b ON a.seg_id != b.seg_id
-            WHERE {_nd_den} != 0
-        ),
-        cuts AS (
-            SELECT sid, list_sort(list_distinct(list(s))) AS fs
-            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
-            GROUP BY 1
-        ),
+        {_nd_cut_ctes("seg0")},
         fr AS (
             SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
                    list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
@@ -10633,16 +10654,7 @@ def oracle_sql() -> dict[str, str]:
                    xs[(u.k % len(xs)) + 1], ys[(u.k % len(ys)) + 1]
             FROM r, unnest(generate_series(1, len(xs))) AS u(k)
         ),
-        hits AS (
-            SELECT a.seg_id AS sid, {_nd_s} AS s, {_nd_t} AS t
-            FROM seg0 a JOIN seg0 b ON a.seg_id != b.seg_id
-            WHERE {_nd_den} != 0
-        ),
-        cuts AS (
-            SELECT sid, list_sort(list_distinct(list(s))) AS fs
-            FROM hits WHERE s > 0 AND s < 1 AND t >= 0 AND t <= 1
-            GROUP BY 1
-        ),
+        {_nd_cut_ctes("seg0")},
         fr AS (
             SELECT g.seg_id, g.x1, g.y1, g.x2, g.y2,
                    list_concat(list_concat([0.0], COALESCE(c.fs, [])), [1.0])
@@ -10707,13 +10719,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN comp cb ON cb.he_id = ca.he_id - (ca.he_id % 2) * 2 + 1
             JOIN parts p ON p.pid = ca.he_id // 2
         ),
-        wk(face, mask) AS (
-            SELECT face_id, CAST(0 AS BIGINT) FROM cyc WHERE area < 0
+        wk(face, mask, root) AS (
+            SELECT face_id, CAST(0 AS BIGINT), face_id FROM cyc WHERE area < 0
             UNION
-            SELECT a.face_b, xor(w.mask, a.bit)
+            SELECT a.face_b, xor(w.mask, a.bit), w.root
             FROM wk w JOIN adj a ON a.face_a = w.face
         ),
-        lbl AS (SELECT DISTINCT face, mask FROM wk)
+        lbl0 AS (SELECT DISTINCT face, mask, root FROM wk),
+        -- r5 disjoint-nesting correction (mirrors coverage_faces): a
+        -- component's outer face seeds at the host face's mask =
+        -- XOR of bits of other-component rings strictly containing the
+        -- component's lexicographically-min outer-cycle vertex
+        fring AS (
+            SELECT DISTINCT p.pid // 100 // 1048576 AS ring_id, l.root
+            FROM comp c
+            JOIN parts p ON p.pid = c.he_id // 2
+            JOIN lbl0 l ON l.face = c.face_id
+        ),
+        reps AS (
+            SELECT face_id AS root, ux AS vx, uy AS vy FROM (
+                SELECT c2.face_id, h.ux, h.uy,
+                       row_number() OVER (PARTITION BY c2.face_id
+                                          ORDER BY h.ux, h.uy) AS rn
+                FROM comp c2 JOIN he h USING (he_id)
+                JOIN cyc ON cyc.face_id = c2.face_id AND cyc.area < 0
+            ) WHERE rn = 1
+        ),
+        seedm AS (
+            SELECT reps.root,
+                   CAST(sum(CAST(power(2, r.ring_id) AS BIGINT)) AS BIGINT)
+                       AS seed_mask
+            FROM reps
+            JOIN r ON TRUE
+            JOIN fring fr ON fr.ring_id = r.ring_id
+             AND fr.root != reps.root
+            WHERE list_sum(list_transform(
+                      range(1, len(r.xs) + 1),
+                      k -> CASE WHEN (r.ys[k] > reps.vy)
+                                     != (r.ys[(k % len(r.ys)) + 1] > reps.vy)
+                           THEN CASE WHEN reps.vx < r.xs[k]
+                                          + (reps.vy - r.ys[k])
+                                          * (r.xs[(k % len(r.xs)) + 1] - r.xs[k])
+                                          / (r.ys[(k % len(r.ys)) + 1] - r.ys[k])
+                                THEN 1 ELSE 0 END ELSE 0 END)) % 2 = 1
+            GROUP BY 1
+        ),
+        lbl AS (
+            SELECT l.face, xor(l.mask, COALESCE(s.seed_mask, 0)) AS mask
+            FROM lbl0 l LEFT JOIN seedm s ON s.root = l.root
+        )
     """
 
     _ua_cte = _ua_chain(_ua_vals)

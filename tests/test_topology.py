@@ -68,8 +68,8 @@ def test_node_segments_cross_touch_collinear(spark):
         (3, 7.0, -2.0, 7.0, 3.0),
         (4, 0.0, 5.0, 4.0, 5.0),    # T: 5's endpoint on 4's interior
         (5, 2.0, 5.0, 2.0, 9.0),
-        (6, 20.0, 0.0, 24.0, 0.0),  # collinear overlap with 7: not noded
-        (7, 22.0, 0.0, 26.0, 0.0),
+        (6, 20.0, 0.0, 24.0, 0.0),  # collinear overlap with 7: split at 22
+        (7, 22.0, 0.0, 26.0, 0.0),  # ...and 7 split at 24 (r5)
         (8, 30.0, 30.0, 33.0, 34.0),  # isolated
     ]
     from tilekiln_spark.operators.topology import node_segments
@@ -91,9 +91,40 @@ def test_node_segments_cross_touch_collinear(spark):
     assert parts[3] == [(1, 7.0, -2.0, 7.0, 0.0), (2, 7.0, 0.0, 7.0, 3.0)]
     assert parts[4] == [(1, 0.0, 5.0, 2.0, 5.0), (2, 2.0, 5.0, 4.0, 5.0)]
     assert parts[5] == [(1, 2.0, 5.0, 2.0, 9.0)]   # touch at its OWN endpoint
-    assert parts[6] == [(1, 20.0, 0.0, 24.0, 0.0)]
-    assert parts[7] == [(1, 22.0, 0.0, 26.0, 0.0)]
+    assert parts[6] == [(1, 20.0, 0.0, 22.0, 0.0), (2, 22.0, 0.0, 24.0, 0.0)]
+    assert parts[7] == [(1, 22.0, 0.0, 24.0, 0.0), (2, 24.0, 0.0, 26.0, 0.0)]
     assert parts[8] == [(1, 30.0, 30.0, 33.0, 34.0)]
+
+
+def test_union_area_disjoint_nested_island(spark):
+    """The r5 seed-mask correction: an island fully inside a host ring
+    with NO boundary contact no longer double-counts — its outer face
+    seeds at the host's mask, and deeper nesting telescopes."""
+    from tilekiln_spark.operators.topology import union_area
+
+    # host + island + separate disjoint square
+    rows = [
+        (0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),
+        (1, [4.0, 6.0, 6.0, 4.0], [4.0, 4.0, 6.0, 6.0]),
+        (2, [20.0, 23.0, 23.0, 20.0], [0.0, 0.0, 3.0, 3.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "ring_id long, ring_xs array<double>, ring_ys array<double>"
+    )
+    r = union_area(df, grid_zoom=3).collect()[0]
+    assert r.union_area == 109.0  # 100 + 9; the island adds nothing
+
+    # three-deep nesting A > B > C
+    rows = [
+        (0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),
+        (1, [2.0, 8.0, 8.0, 2.0], [2.0, 2.0, 8.0, 8.0]),
+        (2, [4.0, 6.0, 6.0, 4.0], [4.0, 4.0, 6.0, 6.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "ring_id long, ring_xs array<double>, ring_ys array<double>"
+    )
+    r = union_area(df, grid_zoom=3).collect()[0]
+    assert r.union_area == 100.0
 
 
 def test_polygonize_grid_dangle_triangle(spark):

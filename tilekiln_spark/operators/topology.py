@@ -148,9 +148,14 @@ def node_segments(
       fractions, then the parts explode is map-only; uncut segments pass
       through as their own single part via the left join.
 
-    Exactly-collinear overlapping pairs have a zero denominator and are
-    NOT noded (PostGIS dissolves those); handle collinear duplicates
-    upstream with ``snap_grid_dissolve``/exact dedup.
+    EXACTLY-collinear overlapping pairs (zero denominator AND collinear
+    offset) are noded too (closes the r4 documented gap): the other
+    segment's endpoints project into this one's interior as cut
+    fractions ``f = dot(bp - a1, r_a) / dot(r_a, r_a)``, so a partial
+    overlap splits both carriers at the overlap ends — after which
+    byte-identical duplicate parts remain per input segment (ST_Node
+    DISSOLVES those; do it downstream — ``coverage_faces``' canonical
+    dedupe-XOR stage and ``snap_grid_dissolve`` both do).
 
     Returns ``(seg_id, part, px1, py1, px2, py2)`` with part coordinates
     interpolated as ``p1 + f * (p2 - p1)`` — both engines fold the
@@ -169,11 +174,28 @@ def node_segments(
     den = (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)
     s = ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / den
     t = ((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / den
-    cuts = (
+    cross_cuts = (
         cand.filter(den != 0)
         .select(F.col("polygon_id").alias("seg_id"), s.alias("f"), t.alias("t"))
         .filter((F.col("f") > 0) & (F.col("f") < 1)
                 & (F.col("t") >= 0) & (F.col("t") <= 1))
+        .select("seg_id", "f")
+    )
+    # collinear overlaps: project B's endpoints onto A's parameter line
+    rr = (ax2 - ax1) * (ax2 - ax1) + (ay2 - ay1) * (ay2 - ay1)
+    off_cross = (bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)
+    f1 = ((bx1 - ax1) * (ax2 - ax1) + (by1 - ay1) * (ay2 - ay1)) / rr
+    f2 = ((bx2 - ax1) * (ax2 - ax1) + (by2 - ay1) * (ay2 - ay1)) / rr
+    col_cuts = (
+        cand.filter((den == 0) & (off_cross == 0) & (rr != 0))
+        .select(
+            F.col("polygon_id").alias("seg_id"),
+            F.explode(F.array(f1, f2)).alias("f"),
+        )
+        .filter((F.col("f") > 0) & (F.col("f") < 1))
+    )
+    cuts = (
+        cross_cuts.unionByName(col_cuts)
         .groupBy("seg_id")
         .agg(F.array_sort(F.collect_set("f")).alias("fs"))
     )
@@ -473,11 +495,12 @@ def coverage_faces(
        returns ``n_faces`` (covered faces) for plan sanity.
 
     Input: ``(ring_id, ring_xs, ring_ys)`` unclosed simple rings,
-    ``ring_id`` in [0, 63] (bitmask in one long).  Contract: rings may
-    overlap/touch arbitrarily but NOT fully contain another ring
-    without boundary contact (disjoint nesting seeds the inner
-    component's outer face at 0 instead of the host face's mask — the
-    polygonize hole-assignment pass shows the fix; documented bound).
+    ``ring_id`` in [0, 63] (bitmask in one long).  Rings may overlap,
+    touch, OR fully contain one another without boundary contact: a
+    disjoint-nested component's outer face seeds at the host face's
+    mask via the raycast seed-mask correction below (the r4 documented
+    bound, closed r5).  Only EXACT duplicate whole rings (every edge
+    cancelling in the dedupe-XOR) remain out of contract.
 
     Returns every arrangement face with its signed area and coverage
     bitmask: ``(face_id, area, mask)`` — union_area / exclusive-area
@@ -555,8 +578,13 @@ def coverage_faces(
         .localCheckpoint(eager=True)
     )
 
+    # BFS carries the originating negative cycle as `root` (components
+    # are disjoint, so each face has exactly one root): masks computed
+    # here are RELATIVE to the component's own outer face being 0.
     seeds = cycles.filter(F.col("area") < 0).select(
-        F.col("face_id").alias("face"), F.lit(0).cast("long").alias("mask")
+        F.col("face_id").alias("face"),
+        F.lit(0).cast("long").alias("mask"),
+        F.col("face_id").alias("root"),
     )
     known = seeds.localCheckpoint(eager=True)
     frontier = known
@@ -566,11 +594,12 @@ def coverage_faces(
             .select(
                 F.col("face_b").alias("face"),
                 F.col("mask").bitwiseXOR(F.col("bit")).alias("mask"),
+                "root",
             )
             .join(known.select(F.col("face").alias("kf")),
                   F.col("face") == F.col("kf"), "left_anti")
             .groupBy("face")
-            .agg(F.min("mask").alias("mask"))
+            .agg(F.min("mask").alias("mask"), F.min("root").alias("root"))
             .localCheckpoint(eager=True)
         )
         if step.isEmpty():
@@ -578,7 +607,63 @@ def coverage_faces(
         known = known.union(step).localCheckpoint(eager=True)
         frontier = step
 
-    return cycles.join(known, cycles["face_id"] == known["face"]).select(
+    # DISJOINT NESTING (the r4 documented gap): a component fully inside
+    # another component's face must seed its outer face at THAT face's
+    # mask, not 0.  XOR path-independence means no re-walk is needed:
+    # absolute mask = relative mask XOR seed_mask(root), where
+    # seed_mask(root) = XOR of the bits of every ring of a DIFFERENT
+    # component that strictly contains the component's representative
+    # vertex (even-odd raycast over the ORIGINAL rings; contact would
+    # have merged the components, so the test is never degenerate).
+    from tilekiln_spark.operators.spatial_join import pip_raycast
+
+    ring_of_face = (
+        hej.select("component", (F.floor(F.col("he_id") / 2)).alias("p_seg"))
+        .join(bits.select(F.col("bit_seg").alias("p_seg")), "p_seg")
+        .select(
+            F.col("component").alias("face"),
+            (F.floor(F.col("p_seg") / 100 / F.lit(1 << 20)))
+            .cast("long").alias("ring_id"),
+        )
+        .distinct()
+    )
+    ring_root = (
+        ring_of_face.join(known, "face")
+        .select("ring_id", "root")
+        .distinct()
+    )
+    reps = (
+        hej.join(
+            cycles.filter(F.col("area") < 0).select("face_id"),
+            hej["component"] == F.col("face_id"),
+        )
+        .groupBy(F.col("component").alias("root"))
+        .agg(F.min(F.struct("ux", "uy")).alias("v"))
+        .select("root", F.col("v.ux").alias("vx"), F.col("v.uy").alias("vy"))
+    )
+    others = (
+        reps.crossJoin(F.broadcast(rings.select("ring_id", "ring_xs", "ring_ys")))
+        .join(ring_root.withColumnRenamed("root", "r_root"), "ring_id")
+        .filter(F.col("r_root") != F.col("root"))
+        .filter(pip_raycast(F.col("vx"), F.col("vy"),
+                            F.col("ring_xs"), F.col("ring_ys")))
+        .groupBy("root")
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("ring_id").cast("double")).cast("long")
+            ).alias("seed_mask")
+        )
+    )
+    corrected = (
+        known.join(others, "root", "left")
+        .select(
+            "face",
+            F.col("mask")
+            .bitwiseXOR(F.coalesce("seed_mask", F.lit(0)).cast("long"))
+            .alias("mask"),
+        )
+    )
+    return cycles.join(corrected, cycles["face_id"] == corrected["face"]).select(
         "face_id", "area", "mask"
     )
 
