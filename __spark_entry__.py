@@ -2809,11 +2809,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         by (ts, event_id), assemble the position chain with
         sort_array(collect_list(struct)) (one partial-agg groupBy — the
         distributed trajectory-assembly shape), and measure it with the
-        SAME line_length fold the planar measures use.  DuckDB re-orders
-        with list(... ORDER BY) and runs the identical fold."""
+        SAME line_length fold the planar measures use.  Coordinates are
+        floor-snapped to a 1 m grid first (the std_ellipse km-snap
+        discipline at meter resolution): every edge term is then an
+        exact integer-valued double, so ulp-level libm drift of the
+        mercator ln(tan(...)) between the JVM and DuckDB cannot
+        accumulate across ~100 summed edges (the r5 strict-sweep
+        finding); and the length reports as floor() integer meters,
+        because round(x, 6) at 1e9 magnitude asks for 16 significant
+        digits — beyond double decimal precision, where the two
+        engines' round implementations legitimately disagree by one
+        ulp.  DuckDB re-orders with list(... ORDER BY) and runs the
+        identical snap + fold + floor."""
         from tilekiln_spark.functions.geometry import line_length
 
-        ev = _mx_my(_events(spark, sf_dir), id_col="event_id")
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id").withColumn(
+            "mx", F.floor("mx").cast("double")
+        ).withColumn("my", F.floor("my").cast("double"))
         ordered = F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "mx", "my"))
         )
@@ -2823,7 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return agg.select(
             "user_id",
             F.size("o").alias("n_pts"),
-            F.round(line_length(xs, ys), 6).alias("track_len_m"),
+            F.floor(line_length(xs, ys)).cast("long").alias("track_len_m"),
         )
 
     q["user_trajectories"] = user_trajectories
@@ -9737,12 +9749,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         ), tracks AS (
             SELECT user_id,
-                   list(mx ORDER BY ts, event_id) AS xs,
-                   list(my ORDER BY ts, event_id) AS ys
+                   list(floor(mx) ORDER BY ts, event_id) AS xs,
+                   list(floor(my) ORDER BY ts, event_id) AS ys
             FROM ev GROUP BY user_id
         )
         SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
-               round({_llen_sql('xs', 'ys')}, 6) + 0.0 AS track_len_m
+               CAST(floor({_llen_sql('xs', 'ys')}) AS BIGINT) AS track_len_m
         FROM tracks
     """
 
