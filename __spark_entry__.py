@@ -5421,6 +5421,69 @@ WHERE way && {{bbox}} AND lang = 'fr'
 
     q["template_compile_union"] = template_compile_union
 
+    def template_compile_recursive(spark, sf_dir):
+        """r5 compiler tier (config/sqlt.py _recursive_query): WITH
+        RECURSIVE compiles by BOUNDED UNROLL — level_0 = base, level_i =
+        step with the CTE reference inlined as level_{i-1}, outer select
+        distributed over the levels as UNION ALL branches (depth cap 16;
+        a recursion that terminates within the cap compiles EXACTLY).
+        Fixture: a doc-id doubling walk seeded at ids 1..9 — terminates
+        in ~9 levels at sf0.01 — counted per reachable doc as UNION ALL
+        path multiplicity.  The DuckDB twin runs the TRUE recursive CTE,
+        so the unroll is checked against real recursion semantics."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+WITH RECURSIVE walk AS (
+    SELECT way, doc_id, doc_id * 2 AS next_id
+    FROM docs_geo WHERE doc_id >= 1 AND doc_id < 10
+  UNION ALL
+    SELECT d.way, d.doc_id, d.doc_id * 2 AS next_id
+    FROM docs_geo d JOIN walk w ON d.doc_id = w.next_id
+)
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, doc_id
+FROM walk
+WHERE way && {{bbox}}
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
+        return feats.groupBy("doc_id").agg(
+            F.count("*").alias("n_paths")
+        ).orderBy("doc_id")
+
+    q["template_compile_recursive"] = template_compile_recursive
+
+    def template_compile_union_agg(spark, sf_dir):
+        """r5 compiler tier (config/sqlt.py _dissolve_branch): the
+        osm-carto dissolve idiom ST_AsMVTGeom(ST_Union(ST_SnapToGrid(
+        way, g)), ...) GROUP BY keys compiles to ONE partial-agg shuffle
+        per (zoom, tile, keys) collecting the DISTINCT snapped points +
+        group aggregates, exploded to one point feature per union part
+        (documented per-part feature-row deviation — identical pixels).
+        Twin re-derives tiles, snapped parts and group counts in SQL."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        body = """
+SELECT ST_AsMVTGeom(ST_Union(ST_SnapToGrid(way, 2500000)), {{bbox}}, {{extent}}) AS way,
+       lang, count(*) AS n_docs
+FROM docs_geo
+WHERE way && {{bbox}} AND n_chars > 50
+GROUP BY lang
+"""
+        sources = {"tables": {"docs_geo": {"frame": d, "kind": "point"}}}
+        feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
+        return feats.select(
+            F.col("zoom").cast("int").alias("zoom"),
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("mx") + 0.0).alias("mx"),
+            (F.col("my") + 0.0).alias("my"),
+        )
+
+    q["template_compile_union_agg"] = template_compile_union_agg
+
     def template_compile_case(spark, sf_dir):
         """Round-4 compiler tier (config/sqlt.py): searched CASE, LIKE /
         ILIKE / NOT LIKE, BETWEEN / NOT BETWEEN and the round/concat/nullif
@@ -14587,6 +14650,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT zoom, lang, flag, CAST(count(*) AS BIGINT) AS n_docs,
                round(sum(mx) / 1e6, 3) + 0.0 AS sum_mx_mm
         FROM u GROUP BY 1, 2, 3
+    """
+
+    # recursive-compile twin: DuckDB runs the TRUE recursive CTE against
+    # the engine's bounded unroll (UNION ALL path multiplicity per doc)
+    o["template_compile_recursive"] = f"""
+        {_GEO_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+        walk AS (
+            SELECT doc_id FROM geo WHERE doc_id >= 1 AND doc_id < 10
+            UNION ALL
+            SELECT g.doc_id FROM geo g JOIN walk w ON g.doc_id = w.doc_id * 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paths
+        FROM walk GROUP BY 1 ORDER BY 1
+    """
+
+    # dissolve-compile twin: identical tile keys, snap expression,
+    # per-group counts, DISTINCT union parts
+    _da_tx, _da_ty = _tile_xy_sql(2)
+    o["template_compile_union_agg"] = f"""
+        {_GEO_CTE}, t AS (
+            SELECT lang, mx, my, {_da_tx} AS tx, {_da_ty} AS ty
+            FROM geo WHERE n_chars > 50
+        ), grp AS (
+            SELECT tx, ty, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM t GROUP BY 1, 2, 3
+        ), parts AS (
+            SELECT DISTINCT tx, ty, lang,
+                   floor(mx / 2500000.0 + 0.5) * 2500000.0 AS mx,
+                   floor(my / 2500000.0 + 0.5) * 2500000.0 AS my
+            FROM t
+        )
+        SELECT CAST(2 AS INTEGER) AS zoom, p.lang, g.n_docs,
+               p.mx + 0.0 AS mx, p.my + 0.0 AS my
+        FROM parts p JOIN grp g
+          ON g.tx = p.tx AND g.ty = p.ty AND g.lang = p.lang
     """
 
     o["template_compile_case"] = f"""

@@ -1116,18 +1116,35 @@ WHERE way && {{bbox}} AND n2 BETWEEN 20 AND 1000
 
 
 def test_cte_errors(spark):
-    """WITH RECURSIVE, duplicate CTE names, and CTEs inside IN-subqueries
-    are named errors."""
+    """Recursive-CTE named errors (non-UNION-ALL / aggregate outer /
+    non-referencing step), duplicate CTE names, and CTEs inside
+    IN-subqueries."""
     import pytest as _pytest
 
     from tilekiln_spark.config.errors import DefinitionError
     from tilekiln_spark.config.sqlt import CompiledTemplate
 
     tbl_src = {"tables": {"t": {"frame": None, "kind": "point"}}}
-    with _pytest.raises(DefinitionError, match="RECURSIVE"):
+    # r5: WITH RECURSIVE compiles via bounded unroll; the residual named
+    # errors are the semantic boundaries of the unroll
+    with _pytest.raises(DefinitionError, match="UNION ALL"):
         CompiledTemplate(
-            "WITH RECURSIVE r AS (SELECT way FROM t) "
+            "WITH RECURSIVE r AS (SELECT way, pid FROM t UNION "
+            "SELECT way, pid FROM t JOIN r rr ON t.pid = rr.pid) "
             "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM r"
+        ).build(tbl_src, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="must reference the"):
+        CompiledTemplate(
+            "WITH RECURSIVE r AS (SELECT way, pid FROM t UNION ALL "
+            "SELECT way, pid FROM t) "
+            "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way FROM r"
+        ).build(tbl_src, [3], 4096, 0)
+    with _pytest.raises(DefinitionError, match="do not commute"):
+        CompiledTemplate(
+            "WITH RECURSIVE r AS (SELECT way, pid FROM t UNION ALL "
+            "SELECT w.way, w.pid FROM r w) "
+            "SELECT ST_AsMVTGeom(ST_Centroid(ST_Collect(way)), {{bbox}}, "
+            "{{extent}}) AS way, pid FROM r GROUP BY pid"
         ).build(tbl_src, [3], 4096, 0)
     with _pytest.raises(DefinitionError, match="duplicate CTE"):
         CompiledTemplate(
@@ -1718,3 +1735,64 @@ def test_geom_ops_reject_outside_geometry_reads(spark):
         "FROM pts WHERE way && {{bbox}}"
     ).build(src, [2], 4096, 0)
     assert ok.select("lon").collect()[0][0] == 1.0e6
+
+
+def test_recursive_cte_bounded_unroll(spark):
+    """r5 tier: WITH RECURSIVE t AS (base UNION ALL step) compiles by
+    bounded unroll — UNION ALL path-multiplicity semantics match true
+    recursion for recursions that terminate within the depth cap."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [(i, float(i), float(i)) for i in range(1, 20)]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double")
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    body = (
+        "WITH RECURSIVE walk AS ("
+        "  SELECT way, pid, pid * 2 AS nxt FROM t WHERE pid < 3"
+        "  UNION ALL"
+        "  SELECT d.way, d.pid, d.pid * 2 AS nxt"
+        "  FROM t d JOIN walk w ON d.pid = w.nxt"
+        ") "
+        "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, pid "
+        "FROM walk WHERE way && {{bbox}}"
+    )
+    feats = CompiledTemplate(body).build(src, [2], 4096, 0)
+    counts = {
+        r["pid"]: r["n"]
+        for r in feats.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    # seeds 1,2; chains 1->2->4->8->16 and 2->4->8->16:
+    # path multiplicities: 1:1, 2:2 (seed + from 1), 4:2, 8:2, 16:2
+    assert counts == {1: 1, 2: 2, 4: 2, 8: 2, 16: 2}
+
+
+def test_union_dissolve_tier(spark):
+    """r5 tier: ST_AsMVTGeom(ST_Union(ST_SnapToGrid(way, g)), ...)
+    GROUP BY keys -> one feature per DISTINCT snapped point per group,
+    each carrying the group's aggregates."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        # lang a: three points, two share a snap cell (g=1000)
+        (1.0e6 + 10, 1.0e6 + 10, "a"),
+        (1.0e6 + 20, 1.0e6 + 20, "a"),
+        (2.0e6, 2.0e6, "a"),
+        # lang b: one point
+        (3.0e6, 3.0e6, "b"),
+    ]
+    tbl = spark.createDataFrame(rows, "mx double, my double, lang string")
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    body = (
+        "SELECT ST_AsMVTGeom(ST_Union(ST_SnapToGrid(way, 1000)), {{bbox}}, "
+        "{{extent}}) AS way, lang, count(*) AS n FROM t "
+        "WHERE way && {{bbox}} GROUP BY lang"
+    )
+    feats = CompiledTemplate(body).build(src, [0], 4096, 0)
+    got = {
+        (r["lang"], r["mx"], r["my"], r["n"]) for r in feats.collect()
+    }
+    assert got == {
+        ("a", 1.0e6, 1.0e6, 3),
+        ("a", 2.0e6, 2.0e6, 3),
+        ("b", 3.0e6, 3.0e6, 1),
+    }
