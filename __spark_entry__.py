@@ -5484,6 +5484,34 @@ GROUP BY lang
 
     q["template_compile_union_agg"] = template_compile_union_agg
 
+    def template_compile_not_in(spark, sf_dir):
+        """r5 compiler tier (config/sqlt.py _apply_in_subquery): NOT IN
+        (SELECT ...) compiles to the null-faithful anti join — a
+        build-time null probe on the subquery side (any NULL empties the
+        result, SQL three-valued logic), an IS NOT NULL probe filter,
+        then a left-anti join.  Fixture excludes the two most common
+        langs; the DuckDB twin runs the identical NOT IN natively."""
+        from tilekiln_spark.config.sqlt import CompiledTemplate
+
+        d = _mx_my(_docs(spark, sf_dir))
+        big = (
+            d.groupBy("lang").count().orderBy(F.desc("count"), "lang")
+            .limit(2).select("lang")
+        )
+        body = """
+SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, lang
+FROM docs_geo
+WHERE way && {{bbox}} AND lang NOT IN (SELECT lang FROM big_langs)
+"""
+        sources = {"tables": {
+            "docs_geo": {"frame": d, "kind": "point"},
+            "big_langs": {"frame": big, "kind": "point", "broadcast": True},
+        }}
+        feats = CompiledTemplate(body).build(sources, [2], 4096, 0)
+        return feats.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+    q["template_compile_not_in"] = template_compile_not_in
+
     def template_compile_case(spark, sf_dir):
         """Round-4 compiler tier (config/sqlt.py): searched CASE, LIKE /
         ILIKE / NOT LIKE, BETWEEN / NOT BETWEEN and the round/concat/nullif
@@ -14685,6 +14713,19 @@ def oracle_sql() -> dict[str, str]:
                p.mx + 0.0 AS mx, p.my + 0.0 AS my
         FROM parts p JOIN grp g
           ON g.tx = p.tx AND g.ty = p.ty AND g.lang = p.lang
+    """
+
+    # NOT IN twin: DuckDB evaluates the identical NOT IN natively (the
+    # fixture subquery is null-free, so anti-join == NOT IN here; the
+    # null cases are pinned by tests/test_template_compiler.py)
+    o["template_compile_not_in"] = f"""
+        {_GEO_CTE}, big AS (
+            SELECT lang FROM geo GROUP BY lang
+            ORDER BY count(*) DESC, lang LIMIT 2
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM geo WHERE lang NOT IN (SELECT lang FROM big)
+        GROUP BY lang ORDER BY lang
     """
 
     o["template_compile_case"] = f"""

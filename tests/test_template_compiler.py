@@ -1074,9 +1074,8 @@ def test_in_subquery_named_rejections(spark):
     tables = {"t": {"frame": pts, "kind": "point"},
               "allowed": {"frame": allowed, "kind": "point"}}
     sel = "select osm_id, ST_AsMVTGeom(way, {{bbox}}, {{extent}}) as way from t where "
-    with pytest.raises(DefinitionError, match="NOT IN .SELECT"):
-        CompiledTemplate(sel + "place not in (select place from allowed)").build(
-            {"tables": tables}, [3], 4096, 0)
+    # r5: NOT IN (SELECT ...) now compiles (null-faithful anti join) —
+    # see test_not_in_subquery_null_faithful
     with pytest.raises(DefinitionError, match="top-level AND conjunct"):
         CompiledTemplate(
             sel + "osm_id = 1 or place in (select place from allowed)").build(
@@ -1796,3 +1795,36 @@ def test_union_dissolve_tier(spark):
         ("a", 2.0e6, 2.0e6, 3),
         ("b", 3.0e6, 3.0e6, 1),
     }
+
+
+def test_not_in_subquery_null_faithful(spark):
+    """r5: NOT IN (SELECT ...) compiles to a null-faithful anti join —
+    exact SQL three-valued semantics: a NULL in the subquery empties the
+    result; NULL probe values are excluded; otherwise a left-anti."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.0, 1.0, "en"), (2.0, 2.0, "de"), (3.0, 3.0, None)],
+        "mx double, my double, lang string",
+    )
+    dim_clean = spark.createDataFrame([("de",), ("fr",)], "dlang string")
+    dim_null = spark.createDataFrame(
+        [("de",), (None,)], "dlang string"
+    )
+    body = (
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang FROM pts "
+        "WHERE way && {{bbox}} AND lang NOT IN (SELECT dlang FROM dim)"
+    )
+    out = CompiledTemplate(body).build(
+        {"tables": {"pts": {"frame": pts, "kind": "point"},
+                    "dim": {"frame": dim_clean, "kind": "point"}}},
+        [2], 4096, 0,
+    )
+    # 'en' survives; 'de' is in the set; the NULL-lang row is UNKNOWN
+    assert [r["lang"] for r in out.collect()] == ["en"]
+    out2 = CompiledTemplate(body).build(
+        {"tables": {"pts": {"frame": pts, "kind": "point"},
+                    "dim": {"frame": dim_null, "kind": "point"}}},
+        [2], 4096, 0,
+    )
+    assert out2.count() == 0  # NULL in the subquery: never TRUE

@@ -211,12 +211,14 @@ class InList:
 
 @dataclass
 class InSubquery:
-    """`expr IN (SELECT col FROM table [WHERE ...])` — uncorrelated
-    membership subquery, compiled to a left-semi join (see build)."""
+    """`expr [NOT] IN (SELECT col FROM table [WHERE ...])` — uncorrelated
+    membership subquery, compiled to a left-semi (or, r5, null-faithful
+    left-anti) join — see _apply_in_subquery."""
     expr: object
     column: object
     table: str
     where: object | None
+    neg: bool = False
 
 
 @dataclass
@@ -761,14 +763,6 @@ class _Parser:
         if self.accept("kw", "in"):
             self.expect("op", "(")
             if self.peek() == ("kw", "select"):
-                if neg:
-                    raise DefinitionError(
-                        "template SQL: NOT IN (SELECT ...) is not supported — "
-                        "its SQL null semantics (any NULL in the subquery "
-                        "empties the result) silently differ from an "
-                        "anti-join; filter nulls and use a LEFT JOIN ... "
-                        "IS NULL instead"
-                    )
                 self.next()
                 col = self.additive()
                 self.expect("kw", "from")
@@ -780,7 +774,7 @@ class _Parser:
                     )
                 sub_where = self.or_expr() if self.accept("kw", "where") else None
                 self.expect("op", ")")
-                return InSubquery(e, col, tv, sub_where)
+                return InSubquery(e, col, tv, sub_where, neg)
             vals = [self.additive()]
             while self.accept("op", ","):
                 vals.append(self.additive())
@@ -1939,7 +1933,8 @@ def _rewrite_idents(ast, fn):
         )
     if isinstance(ast, InSubquery):
         return InSubquery(
-            _rewrite_idents(ast.expr, fn), ast.column, ast.table, ast.where
+            _rewrite_idents(ast.expr, fn), ast.column, ast.table, ast.where,
+            ast.neg,
         )
     if isinstance(ast, ScalarSub):
         return ast  # uncorrelated: inner refs only, nothing to rewrite
@@ -2060,7 +2055,24 @@ def _apply_in_subquery(df: DataFrame, sub: InSubquery, sources: dict, extent: in
     spec = (sources.get("tables") or {}).get(sub.table) or {}
     if spec.get("broadcast"):
         keys = F.broadcast(keys)
-    return df.join(keys, on=_to_col(sub.expr, extent) == F.col("__in_k"), how="left_semi")
+    if not sub.neg:
+        return df.join(
+            keys, on=_to_col(sub.expr, extent) == F.col("__in_k"),
+            how="left_semi",
+        )
+    # NOT IN (r5, previously a named error): SQL-null-faithful anti join.
+    # SQL three-valued logic: if the subquery yields ANY NULL, `x NOT IN S`
+    # is never TRUE (FALSE for x in S, UNKNOWN otherwise) -> empty result;
+    # a NULL probe value is likewise UNKNOWN -> excluded.  A plain
+    # left-anti join KEEPS null-probe rows and ignores build nulls, so it
+    # is preceded by a build-time one-row null probe (driver-side plan
+    # decision, like _eval_scalar) and an IS NOT NULL filter on the probe.
+    if keys.filter(F.col("__in_k").isNull()).limit(1).count() > 0:
+        return df.filter(F.lit(False))
+    probe = _to_col(sub.expr, extent)
+    return df.filter(probe.isNotNull()).join(
+        keys, on=probe == F.col("__in_k"), how="left_anti"
+    )
 
 
 def _and_conjuncts(ast) -> list:
