@@ -1828,3 +1828,30 @@ def test_not_in_subquery_null_faithful(spark):
         [2], 4096, 0,
     )
     assert out2.count() == 0  # NULL in the subquery: never TRUE
+
+
+def test_non_literal_like_and_in_list(spark):
+    """r5: LIKE with a column/expression pattern and IN lists with
+    non-literal members compile (previously named errors)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    rows = [
+        (1.0, 1.0, "en-GB", "en%", "en-GB", "de"),
+        (2.0, 2.0, "fr-FR", "en%", "it", "pt"),
+        (3.0, 3.0, "de-DE", "%-DE", "xx", "de-DE"),
+    ]
+    tbl = spark.createDataFrame(
+        rows, "mx double, my double, lang string, pat string, "
+              "alt1 string, alt2 string"
+    )
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang FROM t "
+        "WHERE way && {{bbox}} AND lang LIKE pat"
+    ).build(src, [2], 4096, 0)
+    assert sorted(r["lang"] for r in out.collect()) == ["de-DE", "en-GB"]
+    out2 = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang FROM t "
+        "WHERE way && {{bbox}} AND lang IN (alt1, alt2, 'fr-FR')"
+    ).build(src, [2], 4096, 0)
+    assert sorted(r["lang"] for r in out2.collect()) == ["de-DE", "en-GB", "fr-FR"]

@@ -954,10 +954,17 @@ def _to_col(ast, extent: int) -> Column:
         e = (c >= _to_col(ast.lo, extent)) & (c <= _to_col(ast.hi, extent))
         return ~e if ast.negated else e
     if isinstance(ast, Like):
-        if not isinstance(ast.pattern, Lit) or not isinstance(ast.pattern.value, str):
-            raise DefinitionError("template SQL: LIKE pattern must be a string literal")
         c = _to_col(ast.expr, extent)
-        e = c.ilike(ast.pattern.value) if ast.ci else c.like(ast.pattern.value)
+        if isinstance(ast.pattern, Lit) and isinstance(ast.pattern.value, str):
+            e = (
+                c.ilike(ast.pattern.value) if ast.ci
+                else c.like(ast.pattern.value)
+            )
+        else:
+            # r5: non-literal pattern (column / expression) — the
+            # function form takes a Column pattern (pyspark >= 3.5)
+            p = _to_col(ast.pattern, extent)
+            e = F.ilike(c, p) if ast.ci else F.like(c, p)
         return ~e if ast.negated else e
     if isinstance(ast, Case):
         col = None
@@ -980,12 +987,15 @@ def _to_col(ast, extent: int) -> Column:
         )
     if isinstance(ast, InList):
         c = _to_col(ast.expr, extent)
-        vals = []
-        for v in ast.values:
-            if not isinstance(v, Lit):
-                raise DefinitionError("template SQL: IN list must be literals")
-            vals.append(v.value)
-        e = c.isin(vals)
+        if all(isinstance(v, Lit) for v in ast.values):
+            e = c.isin([v.value for v in ast.values])
+        else:
+            # r5: non-literal IN-list members — the OR-of-equalities form,
+            # which IS SQL IN's semantics (null members propagate UNKNOWN
+            # exactly like the engine's three-valued OR)
+            e = _to_col(ast.values[0], extent) == c
+            for v in ast.values[1:]:
+                e = e | (_to_col(v, extent) == c)
         return ~e if ast.negated else e
     if isinstance(ast, Bin):
         if ast.op == "&&":
