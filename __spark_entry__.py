@@ -1057,6 +1057,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hilbert_tileid"] = hilbert_tileid
 
+    def hilbert_shards(spark, sf_dir):
+        """Locality-preserving balanced sharding (operators/sampling.py
+        hilbert_balanced_shards): shard = floor(rank * S / N) over rows
+        ordered by (z6 Hilbert tileid, doc_id) — contiguous curve ranges
+        with exactly floor/ceil(N/S) rows each, computed with the
+        two-pass range-partition rank (no SinglePartition).  Twin
+        re-derives the Hilbert ids with the recursive bit-walk CTE and
+        ranks with a plain window."""
+        from tilekiln_spark.operators.sampling import hilbert_balanced_shards
+
+        d = _mx_my(_docs(spark, sf_dir)).select("doc_id", "mx", "my")
+        out = hilbert_balanced_shards(d, n_shards=8, zoom=6)
+        return out.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.min("tileid").alias("min_tid"),
+            F.max("tileid").alias("max_tid"),
+        ).orderBy("shard")
+
+    q["hilbert_shards"] = hilbert_shards
+
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
         e = _events(spark, sf_dir)
@@ -8751,6 +8771,51 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT zoom, x, y, CAST((power(4, zoom) - 1) / 3 AS BIGINT) + d AS tid
         FROM steps WHERE bit = -1
+    """
+
+    # hilbert-shards twin: same z6 tile keys, the recursive Hilbert
+    # bit-walk over DISTINCT occupied tiles, positional shard formula
+    _hs_tx, _hs_ty = _tile_xy_sql(6)
+    o["hilbert_shards"] = f"""
+        {_GEO_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+        txy AS (
+            SELECT doc_id, CAST({_hs_tx} AS BIGINT) AS x,
+                   CAST({_hs_ty} AS BIGINT) AS y
+            FROM geo
+        ),
+        hx AS (SELECT DISTINCT x, y FROM txy),
+        steps AS (
+            SELECT x, y, CAST(5 AS INT) AS bit, x AS cx, y AS cy,
+                   CAST(0 AS BIGINT) AS d
+            FROM hx
+            UNION ALL
+            SELECT x, y, bit - 1,
+                CASE WHEN ((cy >> bit) & 1) = 0
+                     THEN CASE WHEN ((cx >> bit) & 1) = 1
+                          THEN (1 << bit) - 1 - cy ELSE cy END
+                     ELSE cx END AS cx,
+                CASE WHEN ((cy >> bit) & 1) = 0
+                     THEN CASE WHEN ((cx >> bit) & 1) = 1
+                          THEN (1 << bit) - 1 - cx ELSE cx END
+                     ELSE cy END AS cy,
+                d + (CAST(1 AS BIGINT) << bit) * (CAST(1 AS BIGINT) << bit)
+                  * xor(3 * ((cx >> bit) & 1), (cy >> bit) & 1) AS d
+            FROM steps WHERE bit >= 0
+        ),
+        hid AS (
+            SELECT x, y, CAST((power(4, 6) - 1) / 3 AS BIGINT) + d AS tid
+            FROM steps WHERE bit = -1
+        ),
+        ranked AS (
+            SELECT t.doc_id, h.tid,
+                   row_number() OVER (ORDER BY h.tid, t.doc_id) AS rn,
+                   count(*) OVER () AS total
+            FROM txy t JOIN hid h ON h.x = t.x AND h.y = t.y
+        )
+        SELECT CAST(floor((rn - 1) * 8.0 / total) AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(tid) AS min_tid, max(tid) AS max_tid
+        FROM ranked GROUP BY 1 ORDER BY 1
     """
 
     o["worklist_parse"] = """

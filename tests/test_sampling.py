@@ -184,3 +184,36 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         for f in glob.glob(f"{path}/shard={s}/*.parquet"):
             keys = [r.sort_key for r in spark.read.parquet(f).collect()]
             assert keys == sorted(keys)
+
+
+def test_hilbert_balanced_shards(spark):
+    """Shards are exactly balanced (floor/ceil(N/S)) AND contiguous on
+    the Hilbert curve (non-overlapping tileid ranges in shard order)."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.sampling import hilbert_balanced_shards
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 100).cast("double") * 4.0e5 - 2.0e7).alias("mx"),
+        ((F.col("id") * 59 % 100).cast("double") * 4.0e5 - 2.0e7).alias("my"),
+    )
+    out = hilbert_balanced_shards(df, n_shards=7, zoom=6)
+    rows = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("tileid").alias("lo"),
+             F.max("tileid").alias("hi"))
+        .orderBy("shard")
+        .collect()
+    )
+    assert [r["shard"] for r in rows] == list(range(7))
+    sizes = [r["n"] for r in rows]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1  # exact positional balance
+    for a, b in zip(rows, rows[1:]):     # contiguous, non-overlapping
+        assert a["hi"] <= b["lo"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
