@@ -1077,6 +1077,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hilbert_shards"] = hilbert_shards
 
+    def gazetteer_geoparse(spark, sf_dir):
+        """Gazetteer geoparsing (operators/geoparse.py): the corpus's
+        top-20 frequent alpha tokens (len >= 4) become a deterministic
+        fixture gazetteer (rank-geocoded via the shared arithmetic
+        geocode), the token stream explodes map-side and matches the
+        BROADCAST gazetteer, mentions roll up per (doc, place) — the
+        webtext -> geometry bridge step.  Twin replays the identical
+        tokenization, ranking, geocode, and rollup in SQL."""
+        from tilekiln_spark.operators.geoparse import (
+            build_gazetteer,
+            gazetteer_geoparse as _gp,
+        )
+
+        d = _docs(spark, sf_dir)
+        gaz = build_gazetteer(d, top_k=20, min_len=4)
+        m = _gp(d, gaz)
+        return m.groupBy("place", "place_rank", "lat", "lon").agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_mentions").alias("n_mentions"),
+        ).select(
+            "place", "place_rank",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+            (F.col("lat") + 0.0).alias("lat"),
+            (F.col("lon") + 0.0).alias("lon"),
+        ).orderBy("place_rank")
+
+    q["gazetteer_geoparse"] = gazetteer_geoparse
+
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
         e = _events(spark, sf_dir)
@@ -8816,6 +8845,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                min(tid) AS min_tid, max(tid) AS max_tid
         FROM ranked GROUP BY 1 ORDER BY 1
+    """
+
+    # geoparse twin: identical tokenization, (count DESC, token) ranking,
+    # rank-arithmetic geocode, broadcast-dim semantics as a plain join
+    _gp_lat = GEOCODE_ARITH_LAT_SQL.format(id="(CAST(place_rank AS BIGINT) * 7919)")
+    _gp_lon = GEOCODE_ARITH_LON_SQL.format(id="(CAST(place_rank AS BIGINT) * 7919)")
+    o["gazetteer_geoparse"] = f"""
+        WITH toks AS (
+            SELECT doc_id, u.t AS place
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x != '')) AS u(t)
+        ),
+        counts AS (
+            SELECT place, count(*) AS n FROM toks
+            WHERE len(place) >= 4 GROUP BY 1
+        ),
+        gaz AS (
+            SELECT place,
+                   CAST(row_number() OVER (ORDER BY n DESC, place) AS INT)
+                       AS place_rank
+            FROM counts ORDER BY n DESC, place LIMIT 20
+        ),
+        g2 AS (
+            SELECT place, place_rank, {_gp_lat} AS lat, {_gp_lon} AS lon
+            FROM gaz
+        ),
+        m AS (SELECT t.doc_id, g2.* FROM toks t JOIN g2 USING (place))
+        SELECT place, place_rank,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               lat + 0.0 AS lat, lon + 0.0 AS lon
+        FROM m GROUP BY place, place_rank, lat, lon
+        ORDER BY place_rank
     """
 
     o["worklist_parse"] = """
