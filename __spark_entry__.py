@@ -5056,6 +5056,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similarity_bruteforce"] = similarity_bruteforce
 
+    def ann_matryoshka_topk(spark, sf_dir):
+        """Matryoshka truncation retrieval (operators/similarity.py
+        matryoshka_truncate): exact top-10 cosine over the FIRST-32-DIM
+        prefix of corpus and probes — the MRL low-dim search tier that
+        halves shuffle width ahead of int8 quantization.  Twin slices
+        and ranks with list_cosine_similarity on the same prefix."""
+        from tilekiln_spark.operators.similarity import matryoshka_truncate
+
+        emb = matryoshka_truncate(_embeddings(spark, sf_dir), dims=32)
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        topk = brute_force_topk(corpus, probes, k=10)
+        return topk.select("probe_id", "vec_id", "rank")
+
+    q["ann_matryoshka_topk"] = ann_matryoshka_topk
+
     # ---- formerly rows-only; now value-checked end-to-end ----
 
     def mvt_encode_z4(spark, sf_dir):
@@ -15535,6 +15553,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
                CAST(frame_idx * 1000 AS INT) AS ts_ms
         FROM v
+    """
+
+    o["ann_matryoshka_topk"] = """
+        WITH sliced AS (
+            SELECT vec_id, embedding[1:32] AS e32 FROM embeddings
+        ), probes AS (
+            SELECT vec_id AS probe_id, e32 AS pvec FROM sliced WHERE vec_id < 5
+        ), corpus AS (
+            SELECT vec_id, e32 FROM sliced WHERE vec_id >= 5
+        ), scored AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY list_cosine_similarity(e32, pvec) DESC, vec_id ASC
+                   ) AS rank
+            FROM corpus CROSS JOIN probes
+        )
+        SELECT probe_id, vec_id, CAST(rank AS INT) AS rank
+        FROM scored WHERE rank <= 10
     """
 
     o["similarity_bruteforce"] = """

@@ -128,6 +128,21 @@ def brute_force_topk(
     )
 
 
+def matryoshka_truncate(
+    df: DataFrame, dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first ``dims``
+    components of the embedding column (MRL-trained models order
+    information by prefix, so the prefix IS a usable lower-dim
+    embedding).  Pure ``slice`` — map-only, and the practical lever it
+    buys at corpus scale is shuffle/storage WIDTH: a dims/D cut on the
+    pipeline's dominant column, ahead of int8 quantization's further 4x
+    (:func:`quantize_embeddings`).  Cosine ranking downstream needs no
+    renormalization (cosine is scale-invariant; rankings change only by
+    the information the truncation discards)."""
+    return df.withColumn(vec_col, F.slice(F.col(vec_col), 1, int(dims)))
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim))
