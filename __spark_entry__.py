@@ -1106,6 +1106,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gazetteer_geoparse"] = gazetteer_geoparse
 
+    def place_cooccurrence(spark, sf_dir):
+        """Toponym co-mention graph (operators/geoparse.py
+        place_cooccurrence): ordered place pairs sharing a document,
+        weighted by doc count — one doc-keyed self-join over the
+        geoparse mentions (fanout bounded by gazetteer hits per doc).
+        Keeps pairs with >= 2 supporting docs."""
+        from tilekiln_spark.operators.geoparse import (
+            build_gazetteer,
+            gazetteer_geoparse as _gp,
+            place_cooccurrence as _pc,
+        )
+
+        d = _docs(spark, sf_dir)
+        m = _gp(d, build_gazetteer(d, top_k=20, min_len=4))
+        return (
+            _pc(m)
+            .filter(F.col("n_docs") >= 2)
+            .select(
+                "place_a", "place_b", F.col("n_docs").cast("long").alias("n_docs")
+            )
+            .orderBy("place_a", "place_b")
+        )
+
+    q["place_cooccurrence"] = place_cooccurrence
+
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
         e = _events(spark, sf_dir)
@@ -8897,6 +8922,34 @@ def oracle_sql() -> dict[str, str]:
                lat + 0.0 AS lat, lon + 0.0 AS lon
         FROM m GROUP BY place, place_rank, lat, lon
         ORDER BY place_rank
+    """
+
+    # co-mention twin: same gazetteer CTEs, distinct doc-place pairs,
+    # ordered self-join, >= 2 doc support
+    o["place_cooccurrence"] = f"""
+        WITH toks AS (
+            SELECT doc_id, u.t AS place
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x != '')) AS u(t)
+        ),
+        counts AS (
+            SELECT place, count(*) AS n FROM toks
+            WHERE len(place) >= 4 GROUP BY 1
+        ),
+        gaz AS (
+            SELECT place FROM counts ORDER BY n DESC, place LIMIT 20
+        ),
+        m AS (
+            SELECT DISTINCT t.doc_id, t.place
+            FROM toks t JOIN gaz USING (place)
+        )
+        SELECT a.place AS place_a, b.place AS place_b,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM m a JOIN m b
+          ON a.doc_id = b.doc_id AND a.place < b.place
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY 1, 2
     """
 
     o["worklist_parse"] = """

@@ -67,6 +67,36 @@ def build_gazetteer(
     )
 
 
+def place_cooccurrence(
+    mentions: DataFrame,
+    id_col: str = "doc_id",
+    place_col: str = "place",
+) -> DataFrame:
+    """Co-mention edges from :func:`gazetteer_geoparse` output: ordered
+    place pairs appearing in the same document, weighted by document
+    count — the toponym-association graph (feeds pagerank/community
+    detection over places).
+
+    Scale shape: ONE self-join keyed on the document id; per-doc fanout
+    is bounded by the gazetteer hit count (<= K places -> <= K^2/2 pairs
+    per doc), so the exchange carries mention rows, never text.  Returns
+    [place_a, place_b, n_docs] with place_a < place_b."""
+    m = mentions.select(id_col, place_col).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col(f"a.{place_col}") < F.col(f"b.{place_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{place_col}").alias("place_a"),
+            F.col(f"b.{place_col}").alias("place_b"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def gazetteer_geoparse(
     docs: DataFrame,
     gazetteer: DataFrame,
