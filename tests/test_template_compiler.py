@@ -1855,3 +1855,40 @@ def test_non_literal_like_and_in_list(spark):
         "WHERE way && {{bbox}} AND lang IN (alt1, alt2, 'fr-FR')"
     ).build(src, [2], 4096, 0)
     assert sorted(r["lang"] for r in out2.collect()) == ["de-DE", "en-GB", "fr-FR"]
+
+
+def test_r5_function_whitelist(spark):
+    """r5 whitelist widening: numeric/string scalars with exact
+    Postgres->Spark semantics (log is base-10; mod keeps the dividend
+    sign; regexp_replace requires the 'g' flag)."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    tbl = spark.createDataFrame(
+        [(1.0, 1.0, "abc def", -7, 16.0)],
+        "mx double, my double, s string, i long, v double",
+    )
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
+        "sqrt(v) AS sq, power(2, 5) AS pw, log(100.0) AS lg, ln(v) AS lnv, "
+        "sign(i) AS sg, mod(i, 3) AS md, strpos(s, 'def') AS sp, "
+        "initcap(s) AS ic, translate(s, 'abc', 'xyz') AS tr, "
+        "regexp_replace(s, '[aeiou]', '_', 'g') AS rr "
+        "FROM t WHERE way && {{bbox}}"
+    ).build(src, [2], 4096, 0)
+    r = out.collect()[0]
+    assert r["sq"] == 4.0 and r["pw"] == 32.0 and r["lg"] == 2.0
+    assert abs(r["lnv"] - 2.772588722239781) < 1e-12
+    assert r["sg"] == -1.0 and r["md"] == -1
+    assert r["sp"] == 5 and r["ic"] == "Abc Def"
+    assert r["tr"] == "xyz def" and r["rr"] == "_bc d_f"
+
+    import pytest as _pytest
+
+    from tilekiln_spark.config.errors import DefinitionError
+
+    with _pytest.raises(DefinitionError, match="'g' flag"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
+            "regexp_replace(s, 'a', 'b') AS rr FROM t WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0)

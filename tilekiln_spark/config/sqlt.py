@@ -1221,6 +1221,63 @@ def _to_col(ast, extent: int) -> Column:
             return F.right(*args)
         if fn == "starts_with":
             return args[0].startswith(args[1])
+        # r5 whitelist widening: numeric + string scalars with exact
+        # Postgres->Spark 1:1 semantics (note log: Postgres log(x) is
+        # BASE-10, Spark log is natural — mapped accordingly)
+        if fn == "sqrt":
+            return F.sqrt(*args)
+        if fn in ("power", "pow"):
+            return F.pow(*args)
+        if fn == "exp":
+            return F.exp(*args)
+        if fn == "ln":
+            return F.log(*args)
+        if fn in ("log", "log10") and len(args) == 1:
+            return F.log10(*args)
+        if fn == "sign":
+            return F.signum(*args)
+        if fn == "mod":
+            # Postgres mod() takes the dividend's sign — identical to %
+            return args[0] % args[1]
+        if fn in ("strpos", "position", "lpad", "rpad", "translate"):
+            # these PySpark builtins take PLAIN-PYTHON pattern/pad args,
+            # so the non-first arguments must be literals
+            lits = ast.args[1:]
+            if not all(isinstance(a, Lit) for a in lits):
+                raise DefinitionError(
+                    f"template SQL: {ast.name} arguments after the first "
+                    "must be literals"
+                )
+            vals = [a.value for a in lits]
+            if fn in ("strpos", "position"):
+                # Postgres strpos(s, sub): 1-based, 0 when absent
+                return F.instr(args[0], vals[0])
+            if fn == "lpad":
+                return F.lpad(args[0], int(vals[0]), vals[1])
+            if fn == "rpad":
+                return F.rpad(args[0], int(vals[0]), vals[1])
+            return F.translate(args[0], vals[0], vals[1])
+        if fn == "initcap":
+            return F.initcap(*args)
+        if fn == "reverse":
+            return F.reverse(*args)
+        if fn == "md5":
+            return F.md5(*args)
+        if fn == "regexp_replace":
+            # Postgres default replaces the FIRST match; Spark replaces
+            # ALL.  Only the 'g'-flagged form has identical semantics.
+            if (
+                len(ast.args) == 4
+                and isinstance(ast.args[3], Lit)
+                and ast.args[3].value == "g"
+            ):
+                return F.regexp_replace(args[0], args[1], args[2])
+            raise DefinitionError(
+                "template SQL: regexp_replace requires the 'g' flag "
+                "(regexp_replace(s, pat, rep, 'g')) — the unflagged "
+                "Postgres form replaces only the FIRST match, which "
+                "Spark's replace-all would silently change"
+            )
         raise DefinitionError(
             f"template SQL: unsupported function {ast.name} "
             "(geometry functions only valid in the ST_AsMVTGeom item)"
