@@ -497,6 +497,16 @@ _NODE_SEG_ROWS = [
 ]
 
 
+# DP fixture chains: (line_id, n, multiplier, range, scale) — x = i*1000,
+# y = ((i*m) % r - r//2) * s; exact integer doubles both engines
+_DP_CHAINS = [
+    (0, 24, 37, 16, 250),
+    (1, 24, 53, 32, 125),
+    (2, 20, 11, 8, 500),
+    (3, 22, 29, 24, 200),
+]
+
+
 _POLYGONIZE_SEG_ROWS = [
     # ST_Polygonize fixture: a 2x2 grid of unit squares (12 shared
     # segments -> 4 faces), a dangle off the grid corner, an isolated
@@ -1130,6 +1140,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["place_cooccurrence"] = place_cooccurrence
+
+    def simplify_dp(spark, sf_dir):
+        """Exact Douglas-Peucker ST_Simplify (operators/simplify.py
+        douglas_peucker_cols — GEOS distance-to-SEGMENT rule, closing
+        the documented VW deviation for open chains): endpoints kept,
+        spans split at the max-distance interior vertex while the
+        squared distance exceeds tol^2, ties to the lowest index.  All
+        coordinates are exact integer doubles, so every distance /
+        comparison is the identical IEEE expression in the DuckDB twin,
+        which replays DP as a recursive span walk over precomputed
+        per-span argmax stats."""
+        from tilekiln_spark.operators.simplify import douglas_peucker_cols
+
+        rows = [
+            (lid, [float(i * 1000) for i in range(n)],
+             [float(((i * m) % r - r // 2) * s) for i in range(n)])
+            for lid, n, m, r, s in _DP_CHAINS
+        ]
+        df = spark.createDataFrame(
+            rows, "line_id long, xs array<double>, ys array<double>"
+        )
+        out = douglas_peucker_cols(df, 600.0)
+        return out.select(
+            "line_id",
+            F.posexplode(F.arrays_zip(F.col("xs").alias("x"),
+                                      F.col("ys").alias("y"))),
+        ).select(
+            "line_id",
+            F.col("pos").cast("int").alias("seq"),
+            (F.col("col.x") + 0.0).alias("px"),
+            (F.col("col.y") + 0.0).alias("py"),
+        ).orderBy("line_id", "seq")
+
+    q["simplify_dp"] = simplify_dp
 
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
@@ -8950,6 +8994,81 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id = b.doc_id AND a.place < b.place
         GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY 1, 2
+    """
+
+    # Douglas-Peucker twin: DP as a recursive span walk.  All per-span
+    # interior argmax stats are precomputed non-recursively (aggregates
+    # are not allowed in a recursive term), then the walk is a pure join:
+    # every span with max d2 > tol^2 splits at its argmax vertex; the
+    # kept set is exactly the endpoints appearing in the walk.
+    _dp_verts = ", ".join(
+        f"({lid}, {i}, {_flit(i * 1000)}, "
+        f"{_flit(((i * m) % r - r // 2) * s)})"
+        for lid, n, m, r, s in _DP_CHAINS
+        for i in range(n)
+    )
+    _dp_last = ", ".join(f"({lid}, {n - 1})" for lid, n, m, r, s in _DP_CHAINS)
+    o["simplify_dp"] = f"""
+        WITH RECURSIVE verts(lid, i, x, y) AS (VALUES {_dp_verts}),
+        lasts(lid, last_i) AS (VALUES {_dp_last}),
+        raw AS (
+            SELECT lo.lid, lo.i AS lo, hi.i AS hi, v.i AS vi,
+                   CASE WHEN seg2 = 0 THEN 0.0 ELSE
+                        ((v.x - lo.x) * (hi.x - lo.x)
+                         + (v.y - lo.y) * (hi.y - lo.y)) / seg2 END AS tt,
+                   seg2
+                 , v.x AS vx, v.y AS vy, lo.x AS lox, lo.y AS loy,
+                   hi.x AS hix, hi.y AS hiy
+            FROM verts lo
+            JOIN verts hi ON hi.lid = lo.lid AND hi.i > lo.i + 1
+            JOIN verts v ON v.lid = lo.lid AND v.i > lo.i AND v.i < hi.i
+            CROSS JOIN LATERAL (SELECT (hi.x - lo.x) * (hi.x - lo.x)
+                                     + (hi.y - lo.y) * (hi.y - lo.y) AS seg2) s
+        ),
+        d2s AS (
+            SELECT lid, lo, hi, vi,
+                   CASE
+                       WHEN seg2 = 0 OR tt < 0
+                           THEN (vx - lox) * (vx - lox) + (vy - loy) * (vy - loy)
+                       WHEN tt > 1
+                           THEN (vx - hix) * (vx - hix) + (vy - hiy) * (vy - hiy)
+                       ELSE ((vx - lox) * (hiy - loy) - (vy - loy) * (hix - lox))
+                          * ((vx - lox) * (hiy - loy) - (vy - loy) * (hix - lox))
+                          / seg2 END AS d2
+            FROM raw
+        ),
+        spanmax AS (
+            SELECT lid, lo, hi, max(d2) AS md FROM d2s GROUP BY 1, 2, 3
+        ),
+        spanarg AS (
+            SELECT m.lid, m.lo, m.hi, m.md, min(d.vi) AS k
+            FROM spanmax m JOIN d2s d
+              ON d.lid = m.lid AND d.lo = m.lo AND d.hi = m.hi AND d.d2 = m.md
+            GROUP BY 1, 2, 3, 4
+        ),
+        walk(lid, lo, hi) AS (
+            SELECT lid, 0, last_i FROM lasts
+            UNION ALL
+            SELECT w.lid,
+                   CASE WHEN c.s = 0 THEN w.lo ELSE p.k END,
+                   CASE WHEN c.s = 0 THEN p.k ELSE w.hi END
+            FROM walk w
+            JOIN spanarg p ON p.lid = w.lid AND p.lo = w.lo AND p.hi = w.hi
+            CROSS JOIN (VALUES (0), (1)) c(s)
+            WHERE p.md > 360000.0
+        ),
+        kept AS (
+            SELECT lid, i FROM (
+                SELECT lid, lo AS i FROM walk
+                UNION ALL SELECT lid, hi AS i FROM walk
+            ) GROUP BY 1, 2
+        )
+        SELECT v.lid AS line_id,
+               CAST(row_number() OVER (PARTITION BY v.lid ORDER BY v.i) - 1
+                    AS INTEGER) AS seq,
+               v.x + 0.0 AS px, v.y + 0.0 AS py
+        FROM kept k JOIN verts v ON v.lid = k.lid AND v.i = k.i
+        ORDER BY line_id, seq
     """
 
     o["worklist_parse"] = """

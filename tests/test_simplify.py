@@ -103,3 +103,47 @@ def test_simplify_ring_cols_is_map_only(spark):
     plan = simplify_ring_cols(df, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_douglas_peucker_exact():
+    """DP keep-mask against hand-checkable shapes: straight line
+    collapses to endpoints; a single spike above tol is kept; segment
+    (not infinite-line) distance governs."""
+    import numpy as np
+
+    from tilekiln_spark.operators.simplify import douglas_peucker_mask_np
+
+    # straight line -> endpoints only
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    ys = np.zeros(5)
+    assert douglas_peucker_mask_np(xs, ys, 0.5).tolist() == [
+        True, False, False, False, True,
+    ]
+    # one spike above tol is kept, sub-tol wiggle dropped
+    ys2 = np.array([0.0, 0.1, 5.0, 0.1, 0.0])
+    m = douglas_peucker_mask_np(xs, ys2, 1.0)
+    assert m.tolist() == [True, False, True, False, True]
+    # degenerate closed chord (first == last): distance to the POINT
+    xs3 = np.array([0.0, 3.0, 0.0])
+    ys3 = np.array([0.0, 0.0, 0.0])
+    assert douglas_peucker_mask_np(xs3, ys3, 1.0).tolist() == [
+        True, True, True,
+    ]
+
+
+def test_douglas_peucker_cols_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.simplify import douglas_peucker_cols
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0, 2.0, 3.0], [0.0, 0.01, -0.01, 0.0]),
+            (1, None, None),
+        ],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    out = {r["line_id"]: (r["xs"], r["ys"])
+           for r in douglas_peucker_cols(df, 0.5).collect()}
+    assert out[0] == ([0.0, 3.0], [0.0, 0.0])
+    assert out[1] == (None, None)

@@ -188,3 +188,106 @@ def simplify_ring_cols(df: DataFrame, tolerance: float) -> DataFrame:
         F.col("_simp.rings_ys").alias("rings_ys"),
         F.col("_simp.rings_hole").alias("rings_hole"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Douglas-Peucker (r5): GEOS/PostGIS ST_Simplify ALGORITHM parity
+# for open polylines — closes the documented VW deviation for the chain
+# case.  (Ring batches keep the vectorized VW above: DP's divide-and-
+# conquer is per-chain; for tile-scale chains that cost is fine, and the
+# per-chain work is still numpy inside one Arrow batch.)
+# --------------------------------------------------------------------------
+
+def douglas_peucker_mask_np(
+    xs: np.ndarray, ys: np.ndarray, tol: float
+) -> np.ndarray:
+    """Keep-mask for ONE open chain under Douglas-Peucker with
+    distance-to-SEGMENT (the GEOS DouglasPeuckerLineSimplifier rule):
+    endpoints always kept; a span (lo, hi) splits at the interior
+    vertex with the largest squared segment-distance (ties -> lowest
+    index, numpy argmax first-occurrence) when that distance exceeds
+    tol^2.  All float comparisons are IEEE expressions a SQL twin can
+    replay verbatim."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    tol2 = float(tol) * float(tol)
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        i = np.arange(lo + 1, hi)
+        px, py = xs[i], ys[i]
+        if seg2 == 0.0:
+            d2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+        else:
+            t = ((px - ax) * dx + (py - ay) * dy) / seg2
+            cross = (px - ax) * dy - (py - ay) * dx
+            d2 = np.where(
+                t < 0.0,
+                (px - ax) * (px - ax) + (py - ay) * (py - ay),
+                np.where(
+                    t > 1.0,
+                    (px - bx) * (px - bx) + (py - by) * (py - by),
+                    cross * cross / seg2,
+                ),
+            )
+        j = int(np.argmax(d2))
+        if d2[j] > tol2:
+            k = lo + 1 + j
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return keep
+
+
+def douglas_peucker_cols(
+    df: DataFrame,
+    tolerance: float,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """ST_Simplify (exact DP) over per-row chain arrays: replaces
+    ``xs_col``/``ys_col`` with the simplified chains.  ONE Arrow-batched
+    pandas UDF, map-only."""
+    tol = float(tolerance)
+
+    schema = StructType(
+        [
+            StructField("xs", ArrayType(DoubleType())),
+            StructField("ys", ArrayType(DoubleType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _dp(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        ox, oy = [], []
+        for cx, cy in zip(xs, ys):
+            if cx is None or cy is None:
+                ox.append(None)
+                oy.append(None)
+                continue
+            ax = np.asarray(cx, dtype=np.float64)
+            ay = np.asarray(cy, dtype=np.float64)
+            m = douglas_peucker_mask_np(ax, ay, tol)
+            ox.append(ax[m].tolist())
+            oy.append(ay[m].tolist())
+        return pd.DataFrame({"xs": ox, "ys": oy})
+
+    # ONE projection: chaining two withColumn calls would re-evaluate the
+    # UDF for ys against the ALREADY-replaced xs (the self-referential
+    # projection trap the chaikin query documents)
+    others = [c for c in df.columns if c not in (xs_col, ys_col)]
+    return df.withColumn("__dp", _dp(F.col(xs_col), F.col(ys_col))).select(
+        *others,
+        F.col("__dp.xs").alias(xs_col),
+        F.col("__dp.ys").alias(ys_col),
+    )
