@@ -1175,6 +1175,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simplify_dp"] = simplify_dp
 
+    def html_outlinks(spark, sf_dir):
+        """Link-graph extraction (functions/web.py extract_outlinks):
+        deterministic anchor html is synthesized per document, hrefs are
+        pulled with the regexp_extract_all primitive, and host->host
+        edge counts roll up — the crawl-pipeline step that feeds
+        pagerank/HITS/frontier ops.  The twin derives the SAME edges
+        arithmetically (no regex), so the driver hash checks the real
+        extraction end-to-end against an independent derivation."""
+        from tilekiln_spark.functions.web import extract_outlinks, url_host
+
+        d = _docs(spark, sf_dir)
+        i = F.col("doc_id")
+        n_links = (i % 3 + 1).cast("int")
+        anchor = lambda j: F.concat(  # noqa: E731
+            F.lit('<a href="https://host'),
+            ((i * 7 + j * 13) % 20).cast("string"),
+            F.lit(".example/p"), i.cast("string"), F.lit('">x</a>'),
+        )
+        html = F.concat(
+            F.lit("<html><body>"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), n_links), anchor), ""
+            ),
+            F.lit("</body></html>"),
+        )
+        links = d.select(
+            F.concat(
+                F.lit("host"), (i % 20).cast("string"), F.lit(".example")
+            ).alias("src"),
+            F.explode(extract_outlinks(html)).alias("link"),
+        )
+        return (
+            links.select("src", url_host("link").alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_links"))
+            .orderBy("src", "dst")
+        )
+
+    q["html_outlinks"] = html_outlinks
+
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
         e = _events(spark, sf_dir)
@@ -9069,6 +9109,20 @@ def oracle_sql() -> dict[str, str]:
                v.x + 0.0 AS px, v.y + 0.0 AS py
         FROM kept k JOIN verts v ON v.lid = k.lid AND v.i = k.i
         ORDER BY line_id, seq
+    """
+
+    # outlinks twin: the same edges derived ARITHMETICALLY — an
+    # independent check of the regex extraction path
+    o["html_outlinks"] = """
+        WITH e AS (
+            SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src,
+                   'host' || CAST((doc_id * 7 + j.j * 13) % 20 AS VARCHAR)
+                          || '.example' AS dst
+            FROM documents,
+                 unnest(generate_series(1, doc_id % 3 + 1)) AS j(j)
+        )
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n_links
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     o["worklist_parse"] = """

@@ -136,3 +136,18 @@ def surt_key(url) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def extract_outlinks(html) -> Column:
+    """All href targets from an html string/binary column — the link-graph
+    extraction primitive of a crawl pipeline (outlink edges feed
+    pagerank/HITS/crawl frontier ops downstream).  One
+    ``regexp_extract_all`` over double- or single-quoted href attributes;
+    map-only codegen, no parser state (real html parsers plug in at the
+    same boundary for malformed markup)."""
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.when(h.isNull(), F.lit("")).otherwise(h.cast("string"))
+    return F.concat(
+        F.regexp_extract_all(h, F.lit('href="([^"]+)"'), F.lit(1)),
+        F.regexp_extract_all(h, F.lit("href='([^']+)'"), F.lit(1)),
+    )
