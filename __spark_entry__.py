@@ -1215,6 +1215,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_outlinks"] = html_outlinks
 
+    def trajectory_bearings(spark, sf_dir):
+        """Circular bearing statistics per GPS track (functions/
+        geometry.py unit_displacement_sums): each edge contributes its
+        UNIT displacement vector, so mean bearing = atan2(Sux, Suy)
+        (ST_Azimuth convention: clockwise from north) and resultant
+        length R = |S|/n with NO libm inside the fold — the single
+        atan2 happens once per user on the rounded tail.  Coordinates
+        floor-snap to 1 m first (the user_trajectories discipline)."""
+        from tilekiln_spark.functions.geometry import unit_displacement_sums
+
+        ev = _mx_my(_events(spark, sf_dir), id_col="event_id").withColumn(
+            "mx", F.floor("mx").cast("double")
+        ).withColumn("my", F.floor("my").cast("double"))
+        agg = ev.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "mx", "my"))
+            ).alias("o")
+        )
+        xs = F.transform(F.col("o"), lambda s: s["mx"])
+        ys = F.transform(F.col("o"), lambda s: s["my"])
+        sux, suy, ne = unit_displacement_sums(xs, ys)
+        d = agg.select("user_id", sux.alias("sux"), suy.alias("suy"),
+                       ne.alias("n_edges"))
+        return d.where(F.col("n_edges") > 0).select(
+            "user_id",
+            "n_edges",
+            (F.round(F.atan2(F.col("sux"), F.col("suy")), 6) + 0.0)
+            .alias("mean_bearing"),
+            (F.round(
+                F.sqrt(F.col("sux") * F.col("sux")
+                       + F.col("suy") * F.col("suy"))
+                / F.col("n_edges"), 6) + 0.0).alias("resultant_r"),
+        )
+
+    q["trajectory_bearings"] = trajectory_bearings
+
     def worklist_parse(spark, sf_dir):
         """A2/A3: parse 'z/x/y,layer' lines -> dedup -> layers per tile."""
         e = _events(spark, sf_dir)
@@ -10219,6 +10255,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(len(xs) AS INTEGER) AS n_pts,
                CAST(floor({_llen_sql('xs', 'ys')}) AS BIGINT) AS track_len_m
         FROM tracks
+    """
+
+    # bearings twin: identical snap + ordered arrays + trig-free unit
+    # folds; one atan2 each side on identical doubles
+    from tilekiln_spark.functions.geometry import (
+        unit_displacement_sums_sql as _uds_sql,
+    )
+
+    _ub_sux, _ub_suy, _ub_ne = _uds_sql("xs", "ys")
+    o["trajectory_bearings"] = f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, {_ev_mx} AS mx, {_ev_my} AS my
+            FROM events
+        ), tracks AS (
+            SELECT user_id,
+                   list(floor(mx) ORDER BY ts, event_id) AS xs,
+                   list(floor(my) ORDER BY ts, event_id) AS ys
+            FROM ev GROUP BY user_id
+        ), s AS (
+            SELECT user_id, {_ub_sux} AS sux, {_ub_suy} AS suy,
+                   {_ub_ne} AS n_edges
+            FROM tracks
+        )
+        SELECT user_id, n_edges,
+               round(atan2(sux, suy), 6) + 0.0 AS mean_bearing,
+               round(sqrt(sux * sux + suy * suy) / n_edges, 6) + 0.0
+                   AS resultant_r
+        FROM s WHERE n_edges > 0
     """
 
     # Knox twin: brute-force ordered pairs over the sample with the

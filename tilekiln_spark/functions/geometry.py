@@ -97,6 +97,66 @@ def line_length_sql(xs: str, ys: str, closed: bool = False) -> str:
     )
 
 
+def unit_displacement_sums(xs: Column, ys: Column) -> tuple:
+    """Per-chain unit-displacement vector sums (Sux, Suy, n_edges) — the
+    trig-free circular-statistics primitive: each edge contributes its
+    UNIT vector (dx/len, dy/len), so the mean bearing is one final
+    atan2(Sux, Suy) and the resultant length R = |S|/n, with NO libm in
+    the fold (sqrt/divide only — identical IEEE expressions on the
+    DuckDB twin, :func:`unit_displacement_sums_sql`).  Zero-length edges
+    are skipped (contribute nothing, not counted).  Sequential ascending
+    folds, same shape as :func:`line_length`."""
+    n = F.size(xs)
+
+    def edge_len(i: Column) -> Column:
+        dx = F.element_at(xs, i + 1) - F.element_at(xs, i)
+        dy = F.element_at(ys, i + 1) - F.element_at(ys, i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    def fold(num) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(edge_len(i) > 0.0, num(i) / edge_len(i)).otherwise(0.0),
+        )
+
+    sux = fold(lambda i: F.element_at(xs, i + 1) - F.element_at(xs, i))
+    suy = fold(lambda i: F.element_at(ys, i + 1) - F.element_at(ys, i))
+    n_edges = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.when(edge_len(i) > 0.0, 1).otherwise(0).cast("long"),
+    )
+    guard = lambda c: F.when(n >= 2, c)  # noqa: E731
+    return guard(sux), guard(suy), guard(n_edges)
+
+
+def unit_displacement_sums_sql(xs: str, ys: str) -> tuple:
+    """DuckDB twin of :func:`unit_displacement_sums`."""
+    j = "(i + 1)"
+    dx = f"({xs}[{j}] - {xs}[i])"
+    dy = f"({ys}[{j}] - {ys}[i])"
+    ln = f"sqrt({dx} * {dx} + {dy} * {dy})"
+
+    def fold(num: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform(range(1, len({xs})), i -> "
+            f"CASE WHEN {ln} > 0.0 THEN {num} / {ln} ELSE 0.0 END)), 0.0)"
+        )
+
+    ne = (
+        f"coalesce(list_sum(list_transform(range(1, len({xs})), i -> "
+        f"CASE WHEN {ln} > 0.0 THEN 1 ELSE 0 END)), 0)"
+    )
+    g = f"CASE WHEN len({xs}) >= 2 THEN {{v}} END"
+    return (
+        g.format(v=fold(dx)),
+        g.format(v=fold(dy)),
+        g.format(v=f"CAST({ne} AS BIGINT)"),
+    )
+
+
 def turning_angle_sum(xs: Column, ys: Column) -> Column:
     """Sum of absolute turning angles |atan2(cross, dot)| at each interior
     vertex of an open chain — the building block of movement-analytics
