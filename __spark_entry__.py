@@ -11214,7 +11214,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_ua_can} THEN ay ELSE by END AS y1,
                    CASE WHEN {_ua_can} THEN bx ELSE ax END AS x2,
                    CASE WHEN {_ua_can} THEN by ELSE ay END AS y2,
-                   CAST(power(2, pid // 100 // 1048576) AS BIGINT) AS bit
+                   (CAST(1 AS BIGINT) << CAST(pid // 100 // 1048576 AS INTEGER)) AS bit
             FROM rawparts
         ),
         parts AS (
@@ -11286,7 +11286,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         seedm AS (
             SELECT reps.root,
-                   CAST(sum(CAST(power(2, r.ring_id) AS BIGINT)) AS BIGINT)
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(r.ring_id AS INTEGER)) AS BIGINT)
                        AS seed_mask
             FROM reps
             JOIN r ON TRUE
@@ -11326,7 +11326,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_faces
         FROM cyc c
         JOIN lbl l ON l.face = c.face_id
-        JOIN rid r2 ON l.mask = CAST(power(2, r2.ring_id) AS BIGINT)
+        JOIN rid r2 ON l.mask = (CAST(1 AS BIGINT) << CAST(r2.ring_id AS INTEGER))
         GROUP BY 1 ORDER BY 1
     """
     # make-valid twin: the SAME arrangement chain over the bowtie
@@ -11343,7 +11343,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_faces
         FROM cyc c
         JOIN lbl l ON l.face = c.face_id
-        JOIN rid r2 ON (l.mask & CAST(power(2, r2.ring_id) AS BIGINT)) != 0
+        JOIN rid r2 ON (l.mask & (CAST(1 AS BIGINT) << CAST(r2.ring_id AS INTEGER))) != 0
         GROUP BY 1 ORDER BY 1
     """
 
@@ -15129,21 +15129,24 @@ def oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY 1 ORDER BY 1
     """
 
-    # dissolve-compile twin: identical tile keys, snap expression,
-    # per-group counts, DISTINCT union parts
-    _da_tx, _da_ty = _tile_xy_sql(2)
+    # dissolve-compile twin: snap FIRST, tile keys from the SNAPPED
+    # position (the branch's documented membership rule), per-group
+    # counts, DISTINCT union parts
+    _da_tx, _da_ty = _tile_xy_sql(2, mx="sx", my="sy")
     o["template_compile_union_agg"] = f"""
-        {_GEO_CTE}, t AS (
-            SELECT lang, mx, my, {_da_tx} AS tx, {_da_ty} AS ty
+        {_GEO_CTE}, s0 AS (
+            SELECT lang,
+                   floor(mx / 2500000.0 + 0.5) * 2500000.0 AS sx,
+                   floor(my / 2500000.0 + 0.5) * 2500000.0 AS sy
             FROM geo WHERE n_chars > 50
+        ), t AS (
+            SELECT lang, sx AS mx, sy AS my, {_da_tx} AS tx, {_da_ty} AS ty
+            FROM s0
         ), grp AS (
             SELECT tx, ty, lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM t GROUP BY 1, 2, 3
         ), parts AS (
-            SELECT DISTINCT tx, ty, lang,
-                   floor(mx / 2500000.0 + 0.5) * 2500000.0 AS mx,
-                   floor(my / 2500000.0 + 0.5) * 2500000.0 AS my
-            FROM t
+            SELECT DISTINCT tx, ty, lang, mx, my FROM t
         )
         SELECT CAST(2 AS INTEGER) AS zoom, p.lang, g.n_docs,
                p.mx + 0.0 AS mx, p.my + 0.0 AS my

@@ -128,3 +128,14 @@ def test_decode_image_strict_jpeg_branch(spark):
         exp = _closed_form(mid)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == exp
         assert (r["width"], r["height"]) == (mid % 6 * 8 + 8, mid % 4 * 8 + 8)
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker."""
+    img = np.tile(np.array([10, 200, 30], dtype=np.uint8), (8, 8, 1))
+    payload = encode_jpeg(img)
+    # inject two fill bytes before the DQT marker (first FF DB)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff" + payload[i:]
+    out = decode_jpeg(padded)
+    assert (out == decode_jpeg(payload)).all()

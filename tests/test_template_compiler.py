@@ -1892,3 +1892,74 @@ def test_r5_function_whitelist(spark):
             "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
             "regexp_replace(s, 'a', 'b') AS rr FROM t WHERE way && {{bbox}}"
         ).build(src, [2], 4096, 0)
+
+
+def test_not_in_empty_subquery_keeps_all_rows(spark):
+    """r5 review: x NOT IN (empty set) is TRUE for every x — including
+    NULL probes, which the IS NOT NULL filter must not drop."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+
+    pts = spark.createDataFrame(
+        [(1.0, 1.0, "en"), (2.0, 2.0, None)],
+        "mx double, my double, lang string",
+    )
+    dim = spark.createDataFrame([("zz",)], "dlang string").filter("1 = 0")
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lang FROM pts "
+        "WHERE way && {{bbox}} AND lang NOT IN (SELECT dlang FROM dim)"
+    ).build(
+        {"tables": {"pts": {"frame": pts, "kind": "point"},
+                    "dim": {"frame": dim, "kind": "point"}}},
+        [2], 4096, 0,
+    )
+    assert sorted(r["lang"] or "" for r in out.collect()) == ["", "en"]
+
+
+def test_lpad_two_arg_and_regexp_replace_backref_rejection(spark):
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.config.errors import DefinitionError
+
+    tbl = spark.createDataFrame([(1.0, 1.0, "ab")], "mx double, my double, s string")
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    out = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, lpad(s, 4) AS p "
+        "FROM t WHERE way && {{bbox}}"
+    ).build(src, [2], 4096, 0)
+    assert out.collect()[0]["p"] == "  ab"
+    with pytest.raises(DefinitionError, match="backreferences"):
+        CompiledTemplate(
+            "SELECT ST_AsMVTGeom(way, {{bbox}}) AS way, "
+            "regexp_replace(s, '(a)', '\\\\1x', 'g') AS r "
+            "FROM t WHERE way && {{bbox}}"
+        ).build(src, [2], 4096, 0)
+
+
+def test_union_dissolve_snapped_tile_membership(spark):
+    """r5 review: a point whose snap crosses a tile edge dissolves into
+    the neighbour tile's cell — one consistent feature, no duplicate in
+    the origin tile, counts conserved."""
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.config.sqlt import CompiledTemplate
+    from tilekiln_spark.tiles.core import HALF_WORLD
+
+    # z1 tile edge at mx = 0; g = 1000: a point at mx = -200 snaps to 0
+    # (the eastern tile), plus one interior point per side
+    rows = [
+        (-200.0, 100.0, "a"),      # snaps to (0, 0) -> east tile
+        (-5.0e6, 100.0, "a"),      # stays west
+        (5.0e6, 100.0, "a"),       # stays east
+    ]
+    tbl = spark.createDataFrame(rows, "mx double, my double, lang string")
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    feats = CompiledTemplate(
+        "SELECT ST_AsMVTGeom(ST_Union(ST_SnapToGrid(way, 1000)), {{bbox}}, "
+        "{{extent}}) AS way, lang, count(*) AS n FROM t "
+        "WHERE way && {{bbox}} GROUP BY lang"
+    ).build(src, [1], 4096, 0)
+    rows = feats.select("mx", "my", "n").collect()
+    got = sorted((r["mx"], r["n"]) for r in rows)
+    # three distinct snapped parts; group counts split by SNAPPED tile:
+    # west tile holds 1 point, east tile 2 (the edge point migrated)
+    assert got == [(-5.0e6, 1), (0.0, 2), (5.0e6, 2)]
+    assert sum(n for _, n in {(mx, n) for mx, n in got}) == 5  # per-part dup of group counts

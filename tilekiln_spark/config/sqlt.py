@@ -1248,14 +1248,24 @@ def _to_col(ast, extent: int) -> Column:
                     f"template SQL: {ast.name} arguments after the first "
                     "must be literals"
                 )
+            _arity = {"strpos": (1,), "position": (1,),
+                      "lpad": (1, 2), "rpad": (1, 2), "translate": (2,)}
+            if len(lits) not in _arity[fn]:
+                raise DefinitionError(
+                    f"template SQL: {ast.name} takes "
+                    f"{' or '.join(str(x + 1) for x in _arity[fn])} arguments"
+                )
             vals = [a.value for a in lits]
             if fn in ("strpos", "position"):
                 # Postgres strpos(s, sub): 1-based, 0 when absent
                 return F.instr(args[0], vals[0])
             if fn == "lpad":
-                return F.lpad(args[0], int(vals[0]), vals[1])
+                # Postgres 2-arg form pads with spaces
+                return F.lpad(args[0], int(vals[0]),
+                              vals[1] if len(vals) > 1 else " ")
             if fn == "rpad":
-                return F.rpad(args[0], int(vals[0]), vals[1])
+                return F.rpad(args[0], int(vals[0]),
+                              vals[1] if len(vals) > 1 else " ")
             return F.translate(args[0], vals[0], vals[1])
         if fn == "initcap":
             return F.initcap(*args)
@@ -1265,19 +1275,32 @@ def _to_col(ast, extent: int) -> Column:
             return F.md5(*args)
         if fn == "regexp_replace":
             # Postgres default replaces the FIRST match; Spark replaces
-            # ALL.  Only the 'g'-flagged form has identical semantics.
-            if (
+            # ALL.  Only the 'g'-flagged form has identical semantics —
+            # and only for replacement strings free of backreference
+            # syntax, which the dialects spell differently (Postgres \\1
+            # vs Java $1; a literal '$'/'\\' silently changes meaning).
+            if not (
                 len(ast.args) == 4
                 and isinstance(ast.args[3], Lit)
                 and ast.args[3].value == "g"
             ):
-                return F.regexp_replace(args[0], args[1], args[2])
-            raise DefinitionError(
-                "template SQL: regexp_replace requires the 'g' flag "
-                "(regexp_replace(s, pat, rep, 'g')) — the unflagged "
-                "Postgres form replaces only the FIRST match, which "
-                "Spark's replace-all would silently change"
-            )
+                raise DefinitionError(
+                    "template SQL: regexp_replace requires the 'g' flag "
+                    "(regexp_replace(s, pat, rep, 'g')) — the unflagged "
+                    "Postgres form replaces only the FIRST match, which "
+                    "Spark's replace-all would silently change"
+                )
+            rep = ast.args[2]
+            if isinstance(rep, Lit) and isinstance(rep.value, str) and (
+                "\\" in rep.value or "$" in rep.value
+            ):
+                raise DefinitionError(
+                    "template SQL: regexp_replace replacement must not "
+                    "contain '\\' or '$' — Postgres backreferences are "
+                    "\\1 while Spark's are $1, so such replacements "
+                    "silently diverge between engines"
+                )
+            return F.regexp_replace(args[0], args[1], args[2])
         raise DefinitionError(
             f"template SQL: unsupported function {ast.name} "
             "(geometry functions only valid in the ST_AsMVTGeom item)"
@@ -1802,6 +1825,16 @@ def _dissolve_branch(
     cluster-label ST_PointOnSurface one: identical rendered pixels,
     k point features instead of one k-point multipoint).
 
+    Tile membership is decided by the SNAPPED position (a point within
+    g/2 of a tile edge may dissolve into the neighbour tile's cell) —
+    the second documented deviation: the reference's per-tile run keys
+    membership on the ORIGINAL position, but re-deriving the tile from
+    the emitted snapped coordinate downstream would then migrate the
+    feature anyway (duplicating it in one tile and losing it in the
+    other — the r5 review finding).  Snapped-tile membership keeps
+    grouping, coordinates, and downstream tile assignment consistent:
+    lossless, duplicate-free, and dissolve cells stay atomic.
+
     Scale shape: ONE partial-aggregated shuffle on (zoom, x, y, keys);
     the collect_set holds DISTINCT snapped points only, bounded by
     (tile_span/g)^2 per group at any corpus size (unsnapped ST_Union
@@ -1840,11 +1873,12 @@ def _dissolve_branch(
         sy = F.floor(F.col("my") / g + F.lit(0.5)) * g
     else:
         sx, sy = F.col("mx"), F.col("my")
+    # tile keys from the SNAPPED position (see docstring)
     keyed = (
-        df.withColumn("__tx", tile_x(z, F.col("mx")))
-        .withColumn("__ty", tile_y(z, F.col("my")))
-        .withColumn("__sx", sx)
+        df.withColumn("__sx", sx)
         .withColumn("__sy", sy)
+        .withColumn("__tx", tile_x(z, F.col("__sx")))
+        .withColumn("__ty", tile_y(z, F.col("__sy")))
     )
     agged = keyed.groupBy(
         z, F.col("__tx"), F.col("__ty"),
@@ -2136,6 +2170,10 @@ def _apply_in_subquery(df: DataFrame, sub: InSubquery, sources: dict, extent: in
     # decision, like _eval_scalar) and an IS NOT NULL filter on the probe.
     if keys.filter(F.col("__in_k").isNull()).limit(1).count() > 0:
         return df.filter(F.lit(False))
+    # empty subquery: x NOT IN () is TRUE for EVERY x — including NULL
+    # probes, so the IS NOT NULL filter must not apply here
+    if keys.limit(1).count() == 0:
+        return df
     probe = _to_col(sub.expr, extent)
     return df.filter(probe.isNotNull()).join(
         keys, on=probe == F.col("__in_k"), how="left_anti"

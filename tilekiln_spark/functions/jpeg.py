@@ -383,6 +383,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — back up one so the real marker byte is re-read
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI

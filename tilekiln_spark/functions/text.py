@@ -1197,35 +1197,14 @@ def _positional_median(df, col: str):
     a multiset POSITION is unique, so the selected VALUE is
     deterministic and engine-independent.  Returns ``(median_df, m)``:
     a 1-row DataFrame ``[__med]`` and the total count."""
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    d = (
-        df.select(F.col(col).alias("__v"))
-        .repartitionByRange(n_parts, F.col("__v").asc())
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    from tilekiln_spark.operators.ranking import two_pass_global_rank
+
+    ranked, m = two_pass_global_rank(
+        df.select(F.col(col).alias("__v")), ["__v"]
     )
-    counts = {
-        r["__pid"]: r["c"]
-        for r in d.groupBy("__pid").agg(F.count("*").alias("c")).collect()
-    }
-    m = sum(counts.values())
-    lo, hi = (m + 1) // 2, m // 2 + 1
-    targets, acc = set(), 0
-    for pid in sorted(counts):
-        for g in (lo, hi):
-            if acc < g <= acc + counts[pid]:
-                targets.add((pid, g - acc))
-        acc += counts[pid]
-    tdf = F.broadcast(
-        spark.createDataFrame(
-            sorted(targets) or [(0, 1)], "__pid int, __lrn int"
-        )
-    )
-    w = Window.partitionBy("__pid").orderBy("__v")
+    lo, hi = (m + 1) // 2, m // 2 + 1  # 1-based target positions
     med = (
-        d.withColumn("__lrn", F.row_number().over(w))
-        .join(tdf, ["__pid", "__lrn"])
+        ranked.where(F.col("__rank").isin(lo - 1, hi - 1))
         .groupBy()
         .agg((F.sum("__v") / F.count("*")).alias("__med"))
     )

@@ -213,58 +213,31 @@ def hilbert_balanced_shards(
     the EXACT positional split (every shard has floor/ceil(N/S) rows, a
     determinism contract a quantile approximation cannot give).
 
-    Scale shape: the global rank is the two-pass range-partition +
-    broadcast-offset pattern (packing.py / _positional_median): ONE
-    range exchange on (tileid, key), per-partition row_number windows
+    Scale shape: the global rank is the shared two-pass range-partition +
+    broadcast-offset pattern (operators/ranking.py two_pass_global_rank):
+    ONE range exchange on (tileid, key), per-partition row_number windows
     (no SinglePartition anywhere), P partition counts on the driver.
 
     Returns df + ``tileid`` and ``shard`` columns."""
-    from pyspark.sql import Window
-
     from tilekiln_spark.functions.tileids import tile_x, tile_y, tileid
+    from tilekiln_spark.operators.ranking import two_pass_global_rank
 
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
     z = F.lit(int(zoom))
-    d = (
-        df.withColumn(
-            "tileid",
-            tileid(
-                z.cast("long"),
-                tile_x(z, F.col(mx_col)).cast("long"),
-                tile_y(z, F.col(my_col)).cast("long"),
-            ),
-        )
-        .repartitionByRange(
-            n_parts, F.col("tileid").asc(), F.col(key_col).asc()
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    withtid = df.withColumn(
+        "tileid",
+        tileid(
+            z.cast("long"),
+            tile_x(z, F.col(mx_col)).cast("long"),
+            tile_y(z, F.col(my_col)).cast("long"),
+        ),
     )
-    counts = {
-        r["__pid"]: r["c"]
-        for r in d.groupBy("__pid").agg(F.count("*").alias("c")).collect()
-    }
-    total = sum(counts.values())
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    )
-    w = Window.partitionBy("__pid").orderBy(
-        F.col("tileid").asc(), F.col(key_col).asc()
-    )
-    rank = F.col("__off") + F.row_number().over(w) - 1  # 0-based
-    return (
-        d.join(off, "__pid")
-        .withColumn(
-            "shard",
-            F.floor(rank * int(n_shards) / F.lit(max(total, 1))).cast("int"),
-        )
-        .drop("__pid", "__off")
-    )
+    ranked, total = two_pass_global_rank(withtid, ["tileid", key_col])
+    return ranked.withColumn(
+        "shard",
+        F.floor(
+            F.col("__rank") * int(n_shards) / F.lit(max(total, 1))
+        ).cast("int"),
+    ).drop("__rank")
 
 
 def temperature_mix(

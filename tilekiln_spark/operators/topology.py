@@ -495,7 +495,7 @@ def coverage_faces(
        returns ``n_faces`` (covered faces) for plan sanity.
 
     Input: ``(ring_id, ring_xs, ring_ys)`` unclosed simple rings,
-    ``ring_id`` in [0, 63] (bitmask in one long).  Rings may overlap,
+    ``ring_id`` in [0, 62] (bitmask in one long).  Rings may overlap,
     touch, OR fully contain one another without boundary contact: a
     disjoint-nested component's outer face seeds at the host face's
     mask via the raycast seed-mask correction below (the r4 documented
@@ -508,8 +508,11 @@ def coverage_faces(
     n_rings = rings.select(F.max("ring_id")).collect()[0][0]
     if n_rings is None:
         raise ValueError("union_area: empty ring frame")
-    if n_rings > 63:
-        raise ValueError("union_area: ring_id must fit a 64-bit mask")
+    if n_rings > 62:
+        raise ValueError(
+            "union_area: ring_id must be in [0, 62] (one long bitmask; bit"
+            " 63 is unreachable for the DuckDB-twin BIGINT shift)"
+        )
 
     # ring edges -> tagged segments: seg_id = ring_id * 2^20 + k
     k = F.col("k")
@@ -537,7 +540,9 @@ def coverage_faces(
     # carrier ring bits into its toggle (a ring never repeats its own
     # edge, so bits never cancel to 0 here).
     part_ring = (F.floor(F.col("seg_id") / 100 / F.lit(1 << 20))).cast("long")
-    part_bit = F.pow(F.lit(2.0), part_ring.cast("double")).cast("long")
+    part_bit = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), part_ring.cast("int")
+    )
     fwd = F.struct("x1", "y1") <= F.struct("x2", "y2")
     deduped = (
         raw_parts.select(
@@ -650,7 +655,8 @@ def coverage_faces(
         .groupBy("root")
         .agg(
             F.sum(
-                F.pow(F.lit(2.0), F.col("ring_id").cast("double")).cast("long")
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                F.col("ring_id").cast("int"))
             ).alias("seed_mask")
         )
     )
@@ -688,11 +694,12 @@ def make_valid_areas(
 
     Returns ``(ring_id, valid_area, n_faces)``; a fully degenerate ring
     (zero-area linework) emits no row.  Same input contract as
-    :func:`coverage_faces` (ring_id in [0, 63]; no boundary-free full
+    :func:`coverage_faces` (ring_id in [0, 62]; no boundary-free full
     containment between DIFFERENT rings)."""
     faces = coverage_faces(rings, grid_zoom=grid_zoom, max_iter=max_iter)
     ids = rings.select("ring_id").distinct()
-    rbit = F.pow(F.lit(2.0), F.col("ring_id").cast("double")).cast("long")
+    rbit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                                F.col("ring_id").cast("int"))
     hit = faces.filter(F.col("mask") != 0).join(
         F.broadcast(ids),
         F.col("mask").bitwiseAND(rbit) != 0,

@@ -58,8 +58,8 @@ def _kind(t: str, table) -> str | None:
     if t.endswith("[]"):
         inner = _kind(t[:-2], table)
         return None if inner is None else f"list<{inner}>"
-    if t.startswith("DECIMAL"):
-        return "decimal"
+    if t.startswith("DECIMAL") or t.startswith("decimal"):
+        return "decimal"  # either engine: Arrow decimal128 != int64/float64
     return table.get(t)
 
 
