@@ -486,15 +486,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
     min-over-neighborhood is a whole-partition window aggregate (NO
     groupBy+join: one exchange on src computes the min AND carries the rows
-    it annotates), then the emit is a projection and the dedup one more
-    exchange — 2 shuffles per star, both over the edge list only."""
+    it annotates), then the emit is a pure projection — ONE shuffle per
+    large star.  No dedup here (round 6): duplicate (dst, m) rows do not
+    change the following small star's min-over-neighborhood, and the small
+    star ends with the round's single distinct — dropping this exchange
+    removes one of four shuffles per contraction round at identical
+    fixpoints (guide §2.4, remove shuffles outright)."""
     sym = _symmetrize(edges)
     m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return (
         sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -550,24 +553,48 @@ def connected_components(
     Nodes that appear in `pairs` only: singletons never enter the edge list,
     so join the result back to the corpus with a coalesce-to-self (see
     dedup_clusters).
+
+    Size-adaptive execution (round 6): when the DISTINCT edge list is small
+    (<= ``spark.tilekiln.cc.localEdges`` rows, default 4M — ~64 MB of Arrow
+    longs, the same bounded-collect budget class as the broadcast-PIP ring
+    closure), the component solve runs as one vectorized numpy min-label /
+    pointer-jumping pass on the driver and the labels re-enter the plan as a
+    (small) local relation — the contraction loop's ~R rounds x 3 shuffles
+    collapse into one collect.  Labels are IDENTICAL (component = min node
+    id, a property of the graph, not the algorithm).  Above the threshold
+    the proven distributed star contraction runs unchanged — the 100 TB
+    path; the threshold mirrors Spark's own broadcast-join size adaption
+    (guide §3.1): pick the strategy by the data's actual size, never ship
+    an unbounded set to the driver.
     """
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(key_a).cast("long").alias("src"), F.col(key_b).cast("long").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    edges = edges.localCheckpoint(eager=True)
+    # lazy checkpoint: the sizing count below is the materializing job, so
+    # sizing + lineage-cut cost ONE job, not two
+    edges = edges.localCheckpoint(eager=False)
+    n_edges = edges.count()
+    local_cap = int(spark.conf.get("spark.tilekiln.cc.localEdges", "4000000"))
+    if n_edges <= local_cap:
+        return _cc_local(spark, edges, n_edges)
 
     def _fingerprint(e: DataFrame) -> tuple:
+        # fingerprint of the round's canonical (distinct) edge set — no
+        # symmetrize needed for fixpoint detection, the star output's
+        # orientation is deterministic
         row = (
-            _symmetrize(e)
-            .select(F.count("*").alias("n"),
-                    F.bit_xor(F.xxhash64("src", "dst")).alias("h"))
+            e.select(F.count("*").alias("n"),
+                     F.bit_xor(F.xxhash64("src", "dst")).alias("h"))
             .collect()[0]
         )
         return (row["n"], row["h"])
 
     prev = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint + the fingerprint agg as its materializing job:
+        # one job per round instead of checkpoint-job + fingerprint-job
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             break
@@ -579,6 +606,56 @@ def connected_components(
     )
     roots = members.select(F.col("component").alias("node"), "component").distinct()
     return members.union(roots).distinct()
+
+
+def _cc_local(spark, edges: DataFrame, n_edges: int) -> DataFrame:
+    """Bounded-size component solve: numpy min-label relaxation with
+    pointer jumping over a collected edge array (O(E log n) vectorized
+    work, ~ms at the 10^5-10^6-edge scale this path admits).  Returns the
+    same (node, component=min id) frame as the distributed contraction."""
+    import numpy as np
+
+    if n_edges == 0:
+        return spark.createDataFrame([], "node long, component long")
+    try:
+        tbl = edges.toArrow()
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    except Exception:
+        rows = edges.collect()
+        src = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        dst = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    # alternate edge relaxation and full pointer jumping; each outer round
+    # at least halves the remaining tree heights, so rounds ~ O(log n)
+    for _ in range(200):
+        m = np.minimum(lab[si], lab[di])
+        np.minimum.at(lab, si, m)
+        np.minimum.at(lab, di, m)
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab[si], lab[di]):
+            break
+    else:  # pragma: no cover - 200 rounds covers graphs far past the cap
+        raise RuntimeError("connected_components: local solve did not converge")
+    comp = nodes[lab]  # nodes is ascending, so min index == min node id
+    import pandas as pd
+
+    out = pd.DataFrame({"node": nodes, "component": comp})
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return spark.createDataFrame(out, "node long, component long")
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev_arrow)
 
 
 def dedup_clusters(
