@@ -1196,18 +1196,27 @@ def _positional_median(df, col: str):
     Ties: row_number among equal doubles is arbitrary, but the value at
     a multiset POSITION is unique, so the selected VALUE is
     deterministic and engine-independent.  Returns ``(median_df, m)``:
-    a 1-row DataFrame ``[__med]`` and the total count."""
-    from tilekiln_spark.operators.ranking import two_pass_global_rank
+    a 1-row DataFrame ``[__med]`` and the total count.
 
-    ranked, m = two_pass_global_rank(
-        df.select(F.col(col).alias("__v")), ["__v"]
+    r6: the selection runs through operators/ranking.positional_values
+    (histogram bisection — aggregate-only, no range exchange, no
+    per-partition sort of the multiset; guide §2.4) instead of ranking
+    every row with the two-pass rank.  The selected values are the same
+    exact multiset positions, summed in the same low-then-high order, so
+    the median double is bit-identical to the ranked form."""
+    from tilekiln_spark.operators.ranking import positional_values
+
+    vals, m = positional_values(
+        df, col, lambda n: [(n + 1) // 2 - 1, n // 2 + 1 - 1]
     )
-    lo, hi = (m + 1) // 2, m // 2 + 1  # 1-based target positions
-    med = (
-        ranked.where(F.col("__rank").isin(lo - 1, hi - 1))
-        .groupBy()
-        .agg((F.sum("__v") / F.count("*")).alias("__med"))
-    )
+    spark = df.sparkSession
+    if m == 0:
+        med_val = None
+    else:
+        # mean of the two selected positions, added low + high like the
+        # previous F.sum over the ascending pair (identical IEEE result)
+        med_val = (vals[0] + vals[1]) / 2.0
+    med = spark.createDataFrame([(med_val,)], "__med double")
     return med, m
 
 

@@ -38,10 +38,15 @@ def two_pass_global_rank(
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # localCheckpoint, not persist (r6, ADVICE leak fix): the blocks back
+    # both passes exactly like a persist, but they are reclaimed by the
+    # ContextCleaner as soon as the caller drops the returned frame —
+    # repeated invocations no longer accumulate pinned cache entries for
+    # the life of the session (the packing.py pattern).
     d = (
         df.repartitionByRange(n_parts, *[c.asc() for c in cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__pid"]: r["c"]
@@ -62,3 +67,133 @@ def two_pass_global_rank(
         .drop("__pid", "__off"),
         total,
     )
+
+
+
+def positional_values(df: DataFrame, col: str, rank_fn, buckets: int = 4096,
+                      collect_cap: int = 200_000, max_levels: int = 16):
+    """EXACT values at given 0-based positions of the sorted multiset
+    ``df[col]`` — with NO exchange of the multiset at all (r6; guide §2.4
+    "remove shuffles outright"): where the two-pass rank pays a full range
+    shuffle plus a per-partition sort to rank EVERY row, a positional
+    SELECTION only needs the k-th values, so histogram bisection finds
+    them with map-side-combinable aggregates alone:
+
+    1. one (count, min, max) aggregate sizes the multiset;
+    2. per level, one histogram aggregate (``buckets`` fixed-width bins —
+       the groupBy key has <= ``buckets`` distinct values, so the exchange
+       carries <= buckets*P tiny rows and partial aggregation collapses
+       everything map-side) locates the bin holding each target rank;
+       bins refine recursively until a target bin holds <= ``collect_cap``
+       values (one level almost always suffices: ~m/buckets rows land in
+       a uniform bin);
+    3. the target bin's values collect (bounded by construction) and one
+       local numpy sort reads the exact positions.
+
+    Bin membership at every level is decided by the SAME floor expression
+    used to build that level's histogram (conjunction of bucket-equality
+    predicates), so refinement filters are exact — no float-boundary
+    drift.  Equal-value mass that cannot shrink short-circuits via the
+    bin's own min == max (the per-bucket min/max ride the histogram
+    aggregate for free).  ``rank_fn(m)`` maps the total count to the list
+    of 0-based target ranks, so callers can ask for median positions
+    without a separate count job.
+
+    Returns ``(values, m)`` — values in rank_fn(m) order.  The multiset
+    frame is persisted for the (few) aggregate passes and unpersisted
+    before returning."""
+    import numpy as np
+
+    v = F.col("__v")
+    d = df.select(F.col(col).alias("__v")).filter(v.isNotNull()).persist()
+    try:
+        row = d.agg(
+            F.count("*").alias("m"), F.min("__v").alias("lo"), F.max("__v").alias("hi")
+        ).collect()[0]
+        m = int(row["m"])
+        if m == 0:
+            return [], 0
+        ranks = [int(r) for r in rank_fn(m)]
+        if not ranks:
+            return [], m
+
+        def _collect_sorted(pred) -> np.ndarray:
+            return np.sort(np.array(
+                [x["__v"] for x in d.filter(pred).select("__v").collect()],
+                dtype=np.float64,
+            ))
+
+        def _solve(pred, offset: int, count: int, lo: float, hi: float,
+                   targets: list[int]) -> dict[int, float]:
+            """Resolve ``targets`` (ascending global ranks, all inside the
+            multiset selected by ``pred`` = [offset, offset+count))."""
+            out: dict[int, float] = {}
+            for _ in range(max_levels):
+                if not targets:
+                    return out
+                if lo == hi:
+                    for r in targets:
+                        out[r] = lo
+                    return out
+                if count <= collect_cap:
+                    vals = _collect_sorted(pred)
+                    for r in targets:
+                        out[r] = float(vals[r - offset])
+                    return out
+                width = hi - lo
+                bexpr = F.greatest(F.lit(0), F.least(
+                    F.lit(buckets - 1),
+                    F.floor((v - F.lit(lo)) / F.lit(width) * F.lit(buckets))
+                    .cast("int"),
+                ))
+                hist = {
+                    h["__b"]: (h["c"], h["bmin"], h["bmax"])
+                    for h in d.filter(pred)
+                    .groupBy(bexpr.alias("__b"))
+                    .agg(F.count("*").alias("c"), F.min("__v").alias("bmin"),
+                         F.max("__v").alias("bmax"))
+                    .collect()
+                }
+                # walk bins in order; peel off every target as its bin is found
+                acc = offset
+                remaining = list(targets)
+                hold: list[int] = []  # targets of the bin we recurse into
+                chosen = None  # (b, count, bmin, bmax, acc_before)
+                for b in range(buckets):
+                    c, bmin, bmax = hist.get(b, (0, None, None))
+                    if c == 0:
+                        continue
+                    in_b = [r for r in remaining if acc <= r < acc + c]
+                    if in_b:
+                        if bmin == bmax:
+                            for r in in_b:
+                                out[r] = bmin
+                        elif chosen is None:
+                            chosen = (b, c, bmin, bmax, acc)
+                            hold = in_b
+                        else:
+                            # a further bin also holds targets: resolve it
+                            # with its own descent (depth bounded by the
+                            # target count — <= 2 for medians)
+                            out.update(_solve(
+                                pred & (bexpr == F.lit(int(b))),
+                                acc, c, bmin, bmax, in_b,
+                            ))
+                        remaining = [r for r in remaining if r not in in_b]
+                    acc += c
+                    if not remaining:
+                        break
+                if chosen is None:
+                    return out
+                b, count, lo, hi, offset = (
+                    chosen[0], chosen[1], chosen[2], chosen[3], chosen[4]
+                )
+                pred = pred & (bexpr == F.lit(int(b)))
+                targets = hold
+            raise RuntimeError("positional_values: refinement did not converge")
+
+        lo, hi = float(row["lo"]), float(row["hi"])
+        solved = _solve(F.lit(True), 0, m, lo, hi, sorted(set(ranks)))
+        return [solved[r] for r in ranks], m
+    finally:
+        d.unpersist()
