@@ -64,32 +64,37 @@ def pagerank(
     ed = e.join(deg, "src").persist()
     ed.count()
     teleport = (1.0 - damping) / n_nodes
-    ranks = nds.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+    # r6: rank frames checkpoint LAZILY and each round's dangling-mass
+    # aggregate doubles as the materializing job, entering the update as a
+    # scalar literal — one job per round, no broadcast-exchange subtree,
+    # no separate eager-checkpoint job (same double arithmetic: the
+    # crossJoin'd 1-row dm column becomes F.lit(dm)).
+    ranks = nds.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=False)
     for _ in range(iterations):
+        dm = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(ed["dst"].alias("node"), (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("node")
             .agg(F.sum("w").alias("contrib"))
         )
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
         nxt = (
             nds.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm) / n_nodes)
                 ).alias("rank"),
             )
             # truncate lineage: the rank frame feeds TWO subtrees next
             # iteration, so any plan-preserving cache doubles per round
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ranks = nxt
     nds.unpersist()
@@ -131,16 +136,20 @@ def hits(
         )
         # full feeds TWO consumers (the max aggregate and the normalizing
         # select) — materialize once, which also truncates the per-round
-        # lineage; the normalized frame itself has a single consumer
+        # lineage.  r6: the checkpoint is lazy and the max aggregate IS its
+        # materializing job, returning the normalizer as a scalar — one job
+        # per half-step with no broadcast-exchange subtree in the plan (the
+        # 1-row max is bounded driver data; division by a literal is the
+        # same double arithmetic as the broadcast column it replaces).
         full = (
             nds.join(raw, "node", "left")
             .select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        mx = full.agg(F.greatest(F.max("s"), F.lit(1e-300)).alias("m"))
-        return full.crossJoin(F.broadcast(mx)).select(
-            "node", (F.col("s") / F.col("m")).alias(out)
-        )
+        m = full.agg(
+            F.greatest(F.max("s"), F.lit(1e-300)).alias("m")
+        ).collect()[0]["m"]
+        return full.select("node", (F.col("s") / F.lit(m)).alias(out))
 
     hubs = nds.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=True)
     auth = None
@@ -714,6 +723,13 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     shuffles the edge list once on the label key; bucketing edges by
     node co-locates every round's join.
 
+    r6: the round count is FIXED (no mid-loop convergence action), so
+    every checkpoint is lazy and the caller's single action executes all
+    rounds as ONE job — shared subtrees (the symmetrized neighbor list)
+    compute once within the job's stage DAG, and the per-round eager-
+    checkpoint jobs disappear.  The lazy checkpoints still truncate each
+    round's logical plan, so plan size stays constant in `rounds`.
+
     Returns [node, label] after ``rounds`` rounds."""
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
@@ -723,14 +739,14 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nb = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
         und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = (
         nb.select("node").distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         nbl = nb.join(
             labels.select(F.col("node").alias("nb"), F.col("label").alias("nb_label")),
@@ -741,7 +757,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             counted.groupBy("node")
             .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("nb_label").alias("lab"))).alias("w"))
             .select("node", F.col("w.lab").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -1493,7 +1493,11 @@ def flow_accumulation(
         .join(nodes, ["gx", "gy"], "semi")
         .localCheckpoint(eager=True)
     )
-    acc = nodes.withColumn("acc", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    # r6: per-round checkpoints are lazy and the convergence aggregate is
+    # the materializing job — one job per round instead of an eager
+    # checkpoint job plus a separate total-sum job (same fixpoint, same
+    # integer results; the pagerank/CC job-fusion pattern)
+    acc = nodes.withColumn("acc", F.lit(0).cast("long")).localCheckpoint(eager=False)
     prev_total = -1
     for _ in range(max_iter):
         inflow = (
@@ -1509,7 +1513,7 @@ def flow_accumulation(
         acc = (
             nodes.join(inflow, ["gx", "gy"], "left")
             .select("gx", "gy", F.coalesce("inacc", F.lit(0)).alias("acc"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         total = acc.agg(F.sum("acc")).collect()[0][0] or 0
         if total == prev_total:
