@@ -986,6 +986,11 @@ def encode_geom_layer_segments(
     props: dict[str, np.ndarray],
     cap: int | None,
     geom_type: int,
+    pid: np.ndarray | None = None,
+    ring_store: dict | None = None,
+    seg_txmin: np.ndarray | None = None,
+    seg_tymax: np.ndarray | None = None,
+    seg_tlen: np.ndarray | None = None,
 ) -> tuple[list[bytes], np.ndarray]:
     """Batch encoder for line/polygon layers: MANY (tile, layer) segments
     clip + command-encode in one numpy pass (the geometry twin of
@@ -1033,6 +1038,47 @@ def encode_geom_layer_segments(
     ring_feat_l: list[int] = []
     ring_hole_l: list[bool] = []
     ring_len_l: list[int] = []
+    if ring_store is not None:
+        # r6 closure path: rows carry only a polygon key; rings live in the
+        # task-shared store in WORLD coordinates and get the identical
+        # tile-local affine here — (v - txmin) / tlen * extent per vertex,
+        # the same float64 ops the row-borne SQL transform applies, so the
+        # resulting command streams are bit-for-bit unchanged.  One
+        # vectorized transform per ROW (its whole flattened vertex run),
+        # cheaper than the per-ring list materialization it replaces.
+        hole_l2: list[np.ndarray] = []
+        len_l2: list[np.ndarray] = []
+        for fi, ri in enumerate(order_idx):
+            fx0, fy0, lens_p, holes_p = ring_store[int(pid[ri])]
+            s = seg_of_row[fi]
+            ext = extent_per_seg[s]
+            xs_chunks.append((fx0 - seg_txmin[s]) / seg_tlen[s] * ext)
+            ys_chunks.append((seg_tymax[s] - fy0) / seg_tlen[s] * ext)
+            nr = len(lens_p)
+            ring_feat_l.append(np.full(nr, fi, dtype=np.int64))
+            hole_l2.append(holes_p)
+            len_l2.append(lens_p)
+        if not xs_chunks:
+            return blobs, nfeat
+        vx = np.concatenate(xs_chunks)
+        vy = np.concatenate(ys_chunks)
+        ring_feat = (
+            np.concatenate(ring_feat_l) if ring_feat_l
+            else np.empty(0, dtype=np.int64)
+        )
+        ring_hole = (
+            np.concatenate(hole_l2) if hole_l2 else np.empty(0, dtype=bool)
+        )
+        lens = (
+            np.concatenate(len_l2) if len_l2 else np.empty(0, dtype=np.int64)
+        )
+        if len(vx) == 0:
+            return blobs, nfeat
+        return _encode_geom_flat(
+            name, blobs, nfeat, extent_per_seg, lo_per_seg, hi_per_seg,
+            seg_of_row, vx, vy, ring_feat, ring_hole, lens, order_idx,
+            props, geom_type,
+        )
     for fi, ri in enumerate(order_idx):
         rxs, rys = rings_xs[ri], rings_ys[ri]
         holes = rings_hole[ri] if rings_hole is not None else None
@@ -1050,6 +1096,33 @@ def encode_geom_layer_segments(
     ring_feat = np.asarray(ring_feat_l, dtype=np.int64)
     ring_hole = np.asarray(ring_hole_l, dtype=bool)
     lens = np.asarray(ring_len_l, dtype=np.int64)
+    return _encode_geom_flat(
+        name, blobs, nfeat, extent_per_seg, lo_per_seg, hi_per_seg,
+        seg_of_row, vx, vy, ring_feat, ring_hole, lens, order_idx,
+        props, geom_type,
+    )
+
+
+def _encode_geom_flat(
+    name: str,
+    blobs: list[bytes],
+    nfeat: np.ndarray,
+    extent_per_seg: np.ndarray,
+    lo_per_seg: np.ndarray,
+    hi_per_seg: np.ndarray,
+    seg_of_row: np.ndarray,
+    vx: np.ndarray,
+    vy: np.ndarray,
+    ring_feat: np.ndarray,
+    ring_hole: np.ndarray,
+    lens: np.ndarray,
+    order_idx: np.ndarray,
+    props: dict[str, np.ndarray],
+    geom_type: int,
+) -> tuple[list[bytes], np.ndarray]:
+    """Clip + encode over the kernel's flattened ring representation — the
+    shared tail of encode_geom_layer_segments' row-borne and closure-store
+    flatten paths (r6 split; byte-identical logic, just factored)."""
     seg_of_ring = seg_of_row[ring_feat]
     r_lo = np.asarray(lo_per_seg, dtype=np.float64)[seg_of_ring]
     r_hi = np.asarray(hi_per_seg, dtype=np.float64)[seg_of_ring]

@@ -328,6 +328,65 @@ def ring_col_exprs(cols: set) -> tuple:
     )
 
 
+def _closure_ring_store(
+    sources: dict,
+    polys: DataFrame,
+    cache_key: str,
+    close: bool,
+) -> dict | None:
+    """Collect a bounded {polygon_id: (flat_xs, flat_ys, ring_lens, holes)}
+    ring store for kernel-side tile transformation (r6; guide §8: when a
+    pipeline shuffles heavy payloads, move lightweight proxies through the
+    exchange and re-attach the bytes once).  The polygon dim of a render is
+    the same broadcastable class the PIP join already collects rings for
+    (spatial_join.make_pip_raycast_closure_udf) and gets the same budget
+    guard: one tiny aggregate sizes the payload, and anything over
+    ``spark.tilekiln.rings.closureBudgetBytes`` (default 64 MB) returns
+    None so the caller keeps the distributed row-borne ring path — a
+    million-polygon layer must not OOM the driver or bloat task closures.
+
+    The rings collected are the NORMALIZED nested layout (ring_col_exprs),
+    with ``close`` applied SQL-side at collect time, so the store holds
+    exactly the per-ring vertex sequences the row-borne path would carry.
+    Cached in ``sources`` under ``cache_key`` (None cached too)."""
+    import numpy as np
+
+    if cache_key in sources:
+        return sources[cache_key]
+    spark = polys.sparkSession
+    budget = int(spark.conf.get(
+        "spark.tilekiln.rings.closureBudgetBytes", str(64 << 20)
+    ))
+    rxs, rys, hole = ring_col_exprs(set(polys.columns))
+    if close:
+        rxs = F.transform(rxs, lambda r: F.concat(r, F.slice(r, 1, 1)))
+        rys = F.transform(rys, lambda r: F.concat(r, F.slice(r, 1, 1)))
+    mx_sum, n_polys = polys.agg(
+        F.sum(F.size(F.flatten(rxs))), F.count(F.lit(1))
+    ).collect()[0]
+    payload = 16 * (mx_sum or 0) + 96 * (n_polys or 0)
+    if payload > budget:
+        sources[cache_key] = None
+        return None
+    rows = polys.select(
+        F.col("polygon_id").alias("__p"), rxs.alias("__rx"),
+        rys.alias("__ry"), hole.alias("__rh"),
+    ).collect()
+    store = {}
+    for r in rows:
+        fx = np.concatenate(
+            [np.asarray(v, dtype=np.float64) for v in r["__rx"]]
+        ) if r["__rx"] else np.empty(0, dtype=np.float64)
+        fy = np.concatenate(
+            [np.asarray(v, dtype=np.float64) for v in r["__ry"]]
+        ) if r["__ry"] else np.empty(0, dtype=np.float64)
+        lens = np.asarray([len(v) for v in r["__rx"]], dtype=np.int64)
+        holes = np.asarray(list(r["__rh"]), dtype=bool)
+        store[r["__p"]] = (fx, fy, lens, holes)
+    sources[cache_key] = store
+    return store
+
+
 def _poly_tile_rows(
     polys: DataFrame,
     zooms: list[int],
@@ -337,6 +396,7 @@ def _poly_tile_rows(
     close: bool = False,
     pre_exploded: bool = False,
     simplify_tolerance: float = 0.0,
+    closure_store: dict | None = None,
 ) -> DataFrame:
     """Geometry-layer rows: one (polygon, zoom, tile) row carrying the
     feature's RINGS in tile-local FLOAT coordinates as nested arrays
@@ -358,7 +418,20 @@ def _poly_tile_rows(
     (the compiled ST_Simplify path pre-applies the kernel before its zoom
     explode and passes no tolerance here); the bbox columns keep the
     unsimplified extent (a superset — spurious tiles clip to empty and
-    drop)."""
+    drop).
+
+    ``closure_store`` (r6): a bounded {polygon_id: rings} store from
+    :func:`_closure_ring_store`.  When given, the emitted rows carry ONLY
+    ``__pid`` (8 bytes) instead of the g_xs/g_ys/g_hole nested ring
+    arrays — the tile exchange moves keys, not vertices, and the encode
+    kernel re-attaches the rings from the store and applies the identical
+    tile-local affine there (bit-for-bit: same (v - txmin) / tlen *
+    extent float64 ops).  px/py stay SQL-side, computed from the FIRST
+    vertex with the same expression the ring transform would produce.
+    Requires simplify_tolerance == 0 (the compiled simplify path keeps
+    row-borne rings)."""
+    if closure_store is not None and simplify_tolerance > 0:
+        raise ValueError("closure_store requires simplify_tolerance == 0")
     if simplify_tolerance > 0:
         from tilekiln_spark.operators.simplify import simplify_ring_cols
 
@@ -378,10 +451,23 @@ def _poly_tile_rows(
     if close:
         rxs = F.transform(rxs, lambda r: F.concat(r, F.slice(r, 1, 1)))
         rys = F.transform(rys, lambda r: F.concat(r, F.slice(r, 1, 1)))
-    gxs = F.transform(rxs, lambda r: F.transform(r, lambda v: (v - txmin) / tlen * extent))
-    gys = F.transform(rys, lambda r: F.transform(r, lambda v: (tymax - v) / tlen * extent))
     prop_cols = [c.alias(k) for k, c in props.items()]
     fh = F.xxhash64(F.col("polygon_id"))
+    if closure_store is not None:
+        # keys-only emit: px/py from the first vertex via the SAME affine
+        # the ring transform applies (closing never changes vertex 1)
+        fx1 = F.element_at(F.element_at(rxs, 1), 1)
+        fy1 = F.element_at(F.element_at(rys, 1), 1)
+        return pf.select(
+            "zoom", "x", "y",
+            F.round((fx1 - txmin) / tlen * extent).cast("long").alias("px"),
+            F.round((tymax - fy1) / tlen * extent).cast("long").alias("py"),
+            fh.alias("__fh"),
+            F.col("polygon_id").cast("long").alias("__pid"),
+            *prop_cols,
+        )
+    gxs = F.transform(rxs, lambda r: F.transform(r, lambda v: (v - txmin) / tlen * extent))
+    gys = F.transform(rys, lambda r: F.transform(r, lambda v: (tymax - v) / tlen * extent))
     return pf.select(
         "zoom", "x", "y",
         F.round(F.element_at(F.element_at(gxs, 1), 1)).cast("long").alias("px"),
@@ -476,12 +562,20 @@ def water_poly_builder(sources: dict, zooms: list[int], extent: int, buffer: int
     each (polygon, tile) feature is clipped to the buffered tile box and
     encoded as a POLYGON command stream."""
     polys = sources["layer_polygons"].filter(F.col("layer") == "water")
+    store = (
+        _closure_ring_store(sources, polys, "_ring_cache:water:0", close=False)
+        if sources.get("_closure_rings_ok")
+        else None
+    )
+    if store is not None:
+        sources["_ring_store_pending"] = store
     return _poly_tile_rows(
         polys, zooms, extent, buffer,
         props={
             "osm_id": F.col("polygon_id"),
             "water": F.coalesce(F.col("name"), F.lit("ocean")),
         },
+        closure_store=store,
     )
 
 
@@ -494,9 +588,17 @@ def polyline_builder(sources: dict, zooms: list[int], extent: int, buffer: int) 
     Liang–Barsky part splits (a line that exits and re-enters a tile emits
     multiple MoveTo parts — mvt.py clip_lines_batch)."""
     lines = sources["layer_lines"]
+    store = (
+        _closure_ring_store(sources, lines, "_ring_cache:lines:0", close=False)
+        if sources.get("_closure_rings_ok")
+        else None
+    )
+    if store is not None:
+        sources["_ring_store_pending"] = store
     return _poly_tile_rows(
         lines, zooms, extent, buffer, close=False,
         props={"osm_id": F.col("polygon_id")},
+        closure_store=store,
     )
 
 
@@ -506,9 +608,17 @@ def admin_line_builder(sources: dict, zooms: list[int], extent: int, buffer: int
     LINESTRINGs (sample/admin.sql.jinja2 over planet_osm_roads/line); the
     polygon outline (closed ring as a line) stands in, clipped per tile."""
     polys = sources["layer_polygons"].filter(F.col("layer") == "admin")
+    store = (
+        _closure_ring_store(sources, polys, "_ring_cache:admin:1", close=True)
+        if sources.get("_closure_rings_ok")
+        else None
+    )
+    if store is not None:
+        sources["_ring_store_pending"] = store
     return _poly_tile_rows(
         polys, zooms, extent, buffer, close=True,
         props={"admin_level": F.col("admin_level").cast("int")},
+        closure_store=store,
     )
 
 
@@ -658,6 +768,12 @@ def _layer_band_features(
     if d is None:
         return None
     feats = _run_builder(d, sources, zooms)
+    # a builder that opted into keys-only geometry rows (closure ring
+    # store) leaves the store at a temp key; file it under the config
+    # layer's name so the render's encoder can find it (r6)
+    pending = sources.pop("_ring_store_pending", None)
+    if pending is not None:
+        sources[f"_ring_store:{layer}"] = pending
     ol = (
         d.compiled.order_limit_for(zooms, d.extent, d.buffer)
         if d.builder == "__sql__"
@@ -834,6 +950,10 @@ def render_zooms(
     # underlying sources change between calls.
     caller_sources = sources
     sources = {**sources, "materialize": materialize_features}
+    # geometry builders may opt into keys-only ring rows (bounded closure
+    # ring store — see _closure_ring_store); only this fused render path
+    # has the store-aware encoder, so the flag is set here, not globally
+    sources["_closure_rings_ok"] = True
     layer_names = layers or config.layer_names()
     branches: list[DataFrame] = []
     layer_props: dict[str, list[str]] = {}
@@ -851,7 +971,8 @@ def render_zooms(
             got = True
             props = [
                 c for c in f.columns
-                if c not in ("zoom", "x", "y", "px", "py", "__fh") and c not in _GEOM_COLS
+                if c not in ("zoom", "x", "y", "px", "py", "__fh", "__pid")
+                and c not in _GEOM_COLS
             ]
             layer_props.setdefault(name, [])
             for p in props:
@@ -923,10 +1044,23 @@ def render_zooms(
         F.array(*[F.lit(n) for n in rendered_layers]), F.col("__layer")
     ).cast("int")
     feats = feats.withColumn("__lc", code_expr)
+    # r6: geometry layers whose builder collected a closure ring store
+    # ship ONLY __pid through the tile exchange; row-borne g_* columns are
+    # needed just for the geometry layers WITHOUT a store
+    ring_stores = {
+        n: sources[f"_ring_store:{n}"]
+        for n in rendered_layers
+        if sources.get(f"_ring_store:{n}") is not None
+    }
+    rowborne_geom = any(
+        geom_types[n] != GEOM_POINT and n not in ring_stores
+        for n in rendered_layers
+    )
     needed_cols = set(
         ["zoom", "x", "y", "px", "py", "__fh", "__ntrue", "__lc"]
         + [c for n in rendered_layers for c in layer_props[n]]
-        + (["g_xs", "g_ys", "g_hole"] if any(geom_types[n] != GEOM_POINT for n in rendered_layers) else [])
+        + (["g_xs", "g_ys", "g_hole"] if rowborne_geom else [])
+        + (["__pid"] if ring_stores else [])
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1006,14 +1140,37 @@ def render_zooms(
                 )
                 rel_ends = np.concatenate([seg_b[1:], [len(rows)]])
                 props = {c: arrs[c][rows] for c in layer_props[name]}
-                hole_col = arrs.get("g_hole")
-                blobs, n_tot = encode_geom_layer_segments(
-                    name, extent_seg, lo_seg, hi_seg, seg_b, rel_ends,
-                    arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
-                    arrs["g_xs"][rows], arrs["g_ys"][rows],
-                    hole_col[rows] if hole_col is not None else None,
-                    props, cap, gt,
-                )
+                if name in ring_stores:
+                    # r6 closure path: rebuild each segment's tile affine
+                    # with the exact envelope_cols float64 op sequence
+                    # (lit(2H)/2^z; -H + x*L; H - y*L; m = 0.0*L;
+                    # txmin = xmin - m; txmax = (xmin + L) + m)
+                    zs_i = zs.astype(np.int64)
+                    L = np.float64(2.0 * HALF_WORLD) / (np.int64(1) << zs_i)
+                    xmin = -HALF_WORLD + x_t[seg_tile] * L
+                    tymax0 = HALF_WORLD - y_t[seg_tile] * L
+                    m0 = 0.0 * L
+                    s_txmin = xmin - m0
+                    s_tymax = tymax0 + m0
+                    s_tlen = ((xmin + L) + m0) - s_txmin
+                    blobs, n_tot = encode_geom_layer_segments(
+                        name, extent_seg, lo_seg, hi_seg, seg_b, rel_ends,
+                        arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
+                        None, None, None,
+                        props, cap, gt,
+                        pid=arrs["__pid"][rows].astype(np.int64),
+                        ring_store=ring_stores[name],
+                        seg_txmin=s_txmin, seg_tymax=s_tymax, seg_tlen=s_tlen,
+                    )
+                else:
+                    hole_col = arrs.get("g_hole")
+                    blobs, n_tot = encode_geom_layer_segments(
+                        name, extent_seg, lo_seg, hi_seg, seg_b, rel_ends,
+                        arrs["px"][rows], arrs["py"][rows], arrs["__fh"][rows],
+                        arrs["g_xs"][rows], arrs["g_ys"][rows],
+                        hole_col[rows] if hole_col is not None else None,
+                        props, cap, gt,
+                    )
                 blobs = [
                     b if b else blanks[name][int(zs[i])]
                     for i, b in enumerate(blobs)
