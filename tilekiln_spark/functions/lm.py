@@ -74,9 +74,10 @@ def _bigram_pairs(text: Column) -> Column:
 class BigramLM:
     """Pruned count tables + corpus size.  `uni`/`bi` are bounded at
     k_vocab/m_bigrams rows — small enough to broadcast by construction —
-    and arrive PERSISTED + materialized from train_bigram_lm, so scoring
-    (which references `uni` twice, for the w1 and w2 lookups) never
-    re-scans the training corpus."""
+    and arrive as driver-local relations from train_bigram_lm (r6), so
+    scoring (which references `uni` twice, for the w1 and w2 lookups)
+    never re-scans the training corpus and never re-reads cached cluster
+    partitions to build its broadcast sides."""
 
     uni: DataFrame  # token, c
     bi: DataFrame  # w1, w2, c
@@ -107,27 +108,40 @@ def train_bigram_lm(
     """
     from tilekiln_spark.operators.dedup import _tokens
 
+    spark = df.sparkSession
     tok = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("c")).persist()
     total = counts.agg(F.sum("c").alias("n")).collect()[0]["n"]
-    uni = (
+    # r6: the pruned tables are bounded at K/M rows BY CONTRACT (that is
+    # what makes every scoring join a broadcast) — so the TakeOrdered rows
+    # come back to the driver and re-enter the plan as local relations:
+    # one job instead of materialize-count jobs per table, and scoring
+    # plans build their broadcast sides from in-memory rows instead of
+    # re-reading cached cluster partitions.  Row content is the identical
+    # deterministic (count desc, key asc) cut.
+    uni_rows = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
         .limit(k_vocab)
-        .persist()
+        .collect()
     )
-    uni.count()  # materialize before dropping the full count table
     counts.unpersist()
+    uni = spark.createDataFrame(
+        [(r["token"], r["c"]) for r in uni_rows], "token string, c bigint"
+    )
     bg = df.select(F.explode(_bigram_pairs(F.col(text_col))).alias("bg")).select(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
-    bi = (
+    bi_rows = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(m_bigrams)
-        .persist()
+        .collect()
     )
-    bi.count()
+    bi = spark.createDataFrame(
+        [(r["w1"], r["w2"], r["c"]) for r in bi_rows],
+        "w1 string, w2 string, c bigint",
+    )
     return BigramLM(uni=uni, bi=bi, total_tokens=int(total or 0))
 
 
@@ -376,7 +390,7 @@ def train_trigram_lm(
         F.col("t.w2").alias("w2"),
         F.col("t.w3").alias("w3"),
     )
-    tri = (
+    tri_rows = (
         tg.groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c"))
         .orderBy(
@@ -384,9 +398,12 @@ def train_trigram_lm(
             F.col("w1").asc(), F.col("w2").asc(), F.col("w3").asc(),
         )
         .limit(p_trigrams)
-        .persist()
+        .collect()
     )
-    tri.count()
+    tri = df.sparkSession.createDataFrame(
+        [(r["w1"], r["w2"], r["w3"], r["c"]) for r in tri_rows],
+        "w1 string, w2 string, w3 string, c bigint",
+    )
     return TrigramLM(base=base, tri=tri)
 
 

@@ -33,7 +33,6 @@ from tilekiln_spark.functions.text import (
     dup_line_fraction,
     dup_ngram_fraction,
     ellipsis_line_fraction,
-    token_count,
 )
 
 
@@ -72,8 +71,16 @@ def doc_quality_flags(
     from tilekiln_spark.operators.dedup import _tokens
 
     t = F.col(text_col)
-    toks = _tokens(t)
-    n = token_count(t)
+    # r6: tokenize ONCE into a projected column — the gate expressions
+    # reference the token array ~6 times (count, mean length, alpha
+    # fraction, stopword intersect), and each direct _tokens(t) reference
+    # re-runs trim+lower+split per row.  Multiple references to a
+    # non-cheap projected expression block CollapseProject, so the single
+    # split survives optimization.  F.size(__toks) equals token_count(t)
+    # for every input (both split the same trimmed text; empty -> 0).
+    base = df.withColumn("__toks", _tokens(t))
+    toks = F.col("__toks")
+    n = F.size(toks)
     mean_len = _mean_token_len(toks, n)
     reason = (
         F.when(n < min_words, F.lit("too_few_words"))
@@ -89,7 +96,11 @@ def doc_quality_flags(
         .when(_alpha_word_fraction(toks, n) < min_alpha_frac, F.lit("low_alpha_words"))
         .when(_distinct_stopwords(toks) < min_stopwords, F.lit("few_stopwords"))
     )
-    return df.withColumn("drop_reason", reason).withColumn("keep", reason.isNull())
+    return (
+        base.withColumn("drop_reason", reason)
+        .withColumn("keep", reason.isNull())
+        .drop("__toks")
+    )
 
 
 def c4_line_filter(
