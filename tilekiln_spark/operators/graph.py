@@ -59,10 +59,19 @@ def pagerank(
     nds = nodes.select(F.col(node_col).alias("node")).persist()
     n_nodes = nds.count()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
     # edges carry their out-degree once, not per iteration
     ed = e.join(deg, "src").persist()
     ed.count()
+    # r6: rank frames are checkpointed (no stats), so hint the planner
+    # into broadcast joins when the per-node frames are provably small —
+    # n_nodes is already counted; big graphs keep shuffle joins (§3.1)
+    bcast = n_nodes <= int(
+        nodes.sparkSession.conf.get("spark.tilekiln.graph.broadcastNodes", "4000000")
+    )
+
+    def _h(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
     teleport = (1.0 - damping) / n_nodes
     # r6: rank frames checkpoint LAZILY and each round's dangling-mass
     # aggregate doubles as the materializing job, entering the update as a
@@ -72,18 +81,18 @@ def pagerank(
     ranks = nds.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=False)
     for _ in range(iterations):
         dm = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.join(_h(deg), ranks["node"] == deg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             .collect()[0]["dm"]
         )
         contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(_h(ranks), ed["src"] == ranks["node"])
             .select(ed["dst"].alias("node"), (F.col("rank") / F.col("out_deg")).alias("w"))
             .groupBy("node")
             .agg(F.sum("w").alias("contrib"))
         )
         nxt = (
-            nds.join(contrib, "node", "left")
+            nds.join(_h(contrib), "node", "left")
             .select(
                 "node",
                 (
@@ -99,6 +108,7 @@ def pagerank(
         ranks = nxt
     nds.unpersist()
     ed.unpersist()
+    deg.unpersist()
     return ranks
 
 
@@ -123,13 +133,25 @@ def hits(
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
     nds = nodes.select(F.col(node_col).alias("node")).persist()
-    nds.count()
+    n_nodes = nds.count()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
     e.count()
+    # r6: checkpointed per-round frames carry no size statistics, so the
+    # planner sort-merge-joins every score lookup.  The score frame is
+    # exactly n_nodes 16-byte rows — counted once here — so below the
+    # broadcast budget the hint picks the strategy the stats would have
+    # (guide §3.1: pick the join strategy deliberately); big graphs keep
+    # the shuffle joins.
+    bcast_scores = n_nodes <= int(
+        nodes.sparkSession.conf.get("spark.tilekiln.graph.broadcastNodes", "4000000")
+    )
+
+    def _h(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_scores else df
 
     def half(scores: DataFrame, col: str, join_on: str, emit: str, out: str) -> DataFrame:
         raw = (
-            e.join(scores, e[join_on] == scores["node"])
+            e.join(_h(scores), e[join_on] == scores["node"])
             .select(e[emit].alias("node"), F.col(col).alias("w"))
             .groupBy("node")
             .agg(F.sum("w").alias("s"))
@@ -142,7 +164,7 @@ def hits(
         # 1-row max is bounded driver data; division by a literal is the
         # same double arithmetic as the broadcast column it replaces).
         full = (
-            nds.join(raw, "node", "left")
+            nds.join(_h(raw), "node", "left")
             .select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
             .localCheckpoint(eager=False)
         )

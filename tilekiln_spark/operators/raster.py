@@ -1496,22 +1496,34 @@ def flow_accumulation(
     # r6: per-round checkpoints are lazy and the convergence aggregate is
     # the materializing job — one job per round instead of an eager
     # checkpoint job plus a separate total-sum job (same fixpoint, same
-    # integer results; the pagerank/CC job-fusion pattern)
+    # integer results; the pagerank/CC job-fusion pattern).  Checkpointed
+    # per-round frames carry no stats, so when the grid is provably small
+    # (res^2 cells counted by construction) the per-cell frames get
+    # explicit broadcast hints — the strategy the stats would have picked
+    # (guide §3.1); big DEMs keep the shuffle joins.
+    spark = cells.sparkSession
+    bcast = (res * res) <= int(
+        spark.conf.get("spark.tilekiln.graph.broadcastNodes", "4000000")
+    )
+
+    def _h(df):
+        return F.broadcast(df) if bcast else df
+
     acc = nodes.withColumn("acc", F.lit(0).cast("long")).localCheckpoint(eager=False)
     prev_total = -1
     for _ in range(max_iter):
         inflow = (
             edges.join(
-                acc.select(
+                _h(acc.select(
                     F.col("gx").alias("ux"), F.col("gy").alias("uy"), "acc"
-                ),
+                )),
                 ["ux", "uy"],
             )
             .groupBy("gx", "gy")
             .agg(F.sum(F.col("acc") + 1).alias("inacc"))
         )
         acc = (
-            nodes.join(inflow, ["gx", "gy"], "left")
+            nodes.join(_h(inflow), ["gx", "gy"], "left")
             .select("gx", "gy", F.coalesce("inacc", F.lit(0)).alias("acc"))
             .localCheckpoint(eager=False)
         )
