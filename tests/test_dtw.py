@@ -87,3 +87,24 @@ def test_edr_eps_boundary_exact(spark):
     off = df.select(edr_distance(F.col("xs"), F.col("ys"), b_xs, b_ys, 4.999999).alias("e"))
     assert on.collect()[0]["e"] == 0
     assert off.collect()[0]["e"] == 1
+
+
+def test_edr_empty_chain_guard(spark):
+    """r6 ADVICE fix: an empty trajectory must yield EDR = |B| (delete
+    every B point), not a runtime error from the descending sequence(1, 0)
+    feeding element_at(..., 0)."""
+    import pyspark.sql.functions as F
+
+    from tilekiln_spark.functions.geometry import edr_distance
+
+    df = spark.createDataFrame(
+        [(1, [], []), (2, [0.0, 1.0, 2.0], [0.0, 0.0, 0.0])],
+        "k int, xs array<double>, ys array<double>",
+    )
+    b_xs = F.array(F.lit(0.0), F.lit(1.0), F.lit(2.0))
+    b_ys = F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    out = {r["k"]: r["edr"] for r in df.select(
+        "k", edr_distance(F.col("xs"), F.col("ys"), b_xs, b_ys, 0.5).alias("edr")
+    ).collect()}
+    assert out[1] == 3  # empty A: delete all 3 B points
+    assert out[2] == 0

@@ -1963,3 +1963,35 @@ def test_union_dissolve_snapped_tile_membership(spark):
     # west tile holds 1 point, east tile 2 (the edge point migrated)
     assert got == [(-5.0e6, 1), (0.0, 2), (5.0e6, 2)]
     assert sum(n for _, n in {(mx, n) for mx, n in got}) == 5  # per-part dup of group counts
+
+
+def test_recursive_cte_truncation_boundary(spark):
+    """r6 ADVICE pin: a recursion that does NOT terminate within
+    RECURSIVE_UNROLL_DEPTH is silently truncated at the cap - the
+    documented boundary of the bounded-unroll tier (no named error
+    exists; the compiler cannot check runtime convergence statically).
+    This test makes the truncation loud in the suite: a chain needing 20
+    steps yields exactly DEPTH+1 levels of rows (seed + 16 steps), not
+    the true fixpoint."""
+    from tilekiln_spark.config.sqlt import CompiledTemplate, _Parser
+
+    depth = _Parser.RECURSIVE_UNROLL_DEPTH
+    rows = [(i, float(i), float(i)) for i in range(1, 41)]
+    tbl = spark.createDataFrame(rows, "pid long, mx double, my double")
+    src = {"tables": {"t": {"frame": tbl, "kind": "point"}}}
+    body = (
+        "WITH RECURSIVE walk AS ("
+        "  SELECT way, pid, pid + 1 AS nxt FROM t WHERE pid = 1"
+        "  UNION ALL"
+        "  SELECT d.way, d.pid, d.pid + 1 AS nxt"
+        "  FROM t d JOIN walk w ON d.pid = w.nxt"
+        ") "
+        "SELECT ST_AsMVTGeom(way, {{bbox}}, {{extent}}) AS way, pid "
+        "FROM walk WHERE way && {{bbox}}"
+    )
+    feats = CompiledTemplate(body).build(src, [2], 4096, 0)
+    got = sorted(r["pid"] for r in feats.select("pid").collect())
+    # the true fixpoint walks 1..40; the unroll stops at the cap: levels
+    # 0..depth-1 exist (seed + depth-1 steps), so pids 1..depth only -
+    # rows past level depth-1 are silently absent by design
+    assert got == list(range(1, depth + 1))

@@ -436,10 +436,14 @@ class _Parser:
         return q
 
     # fixed unroll budget for WITH RECURSIVE (see _recursive_query): a
-    # recursion that terminates within this many steps compiles EXACTLY;
-    # deeper recursions are a named error at the semantic boundary the
-    # engine can check (it cannot check runtime convergence statically,
-    # which the docstring spells out).
+    # recursion that terminates within this many steps compiles EXACTLY.
+    # A recursion that needs MORE depth is NOT detected (the engine
+    # cannot check runtime convergence statically): rows past the last
+    # unrolled level are silently absent, exactly as the _recursive_query
+    # docstring spells out — the documented truncation boundary of this
+    # tier, pinned by test_template_compiler's truncation-boundary test
+    # (r6 ADVICE fix: this comment previously claimed a named error that
+    # did not exist).
     RECURSIVE_UNROLL_DEPTH = 16
 
     def _recursive_query(self) -> Query:

@@ -2240,7 +2240,15 @@ def edr_distance(
             ),
         )
 
-    final = F.aggregate(F.sequence(F.lit(1), F.size(axs)), init, step)
+    # r6 (ADVICE/VERDICT carry-over): an EMPTY chain A makes
+    # F.sequence(1, 0) yield the DESCENDING [1, 0] and the fold then
+    # evaluates element_at(..., 0) — a runtime error, not a degenerate
+    # distance.  Short-circuit like cavnar_trenkle: EDR(∅, B) = |B|,
+    # which is exactly init's last element (the DuckDB twin's anchor row
+    # already returns r_m = m for an empty chain, so the engines agree).
+    final = F.when(
+        F.size(axs) == 0, init
+    ).otherwise(F.aggregate(F.sequence(F.lit(1), F.size(axs)), init, step))
     return F.element_at(final, m + 1)
 
 
