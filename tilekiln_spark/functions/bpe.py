@@ -72,7 +72,24 @@ def bpe_train(
     one row, and round i+1's plan depends on it (sequential data
     dependency) — num_merges rows total, not a data collect.  Stops early
     if no pair is left to merge (single-symbol words only).
+
+    r6: the working set is the top-V word-type table — bounded at
+    ``v_words`` rows BY THE FUNCTION'S OWN CONTRACT (that bound is what
+    makes every round's state broadcast-sized; module docstring).  At or
+    below ``spark.tilekiln.bpe.localWords`` (default 262144) the counting
+    pass's rows come back once and the merge loop runs locally with the
+    IDENTICAL pair-count / (n desc, x asc, y asc) tie-break /
+    non-overlapping left-to-right replace semantics — one job instead of
+    two jobs per merge round.  A larger v_words keeps the distributed
+    loop.
     """
+    spark = df.sparkSession
+    local_cap = int(spark.conf.get("spark.tilekiln.bpe.localWords", "262144"))
+    if v_words <= local_cap:
+        rows = word_counts(df, text_col, v_words).collect()
+        return _bpe_train_local(
+            [(r["w"], int(r["c"])) for r in rows], num_merges
+        )
     state = word_counts(df, text_col, v_words).withColumn(
         "s", _spaced_symbols(F.col("w"))
     ).persist()
@@ -103,6 +120,38 @@ def bpe_train(
         state.unpersist()
         state = nxt
     state.unpersist()
+    return merges
+
+
+def _bpe_train_local(
+    wc: list[tuple[str, int]], num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over the bounded word-count table — the
+    exact distributed semantics: spaced-symbol state (' c h a r s </w> '),
+    pair counts summed over word frequencies, best pair by
+    (count desc, x asc, y asc), merge applied as the non-overlapping
+    left-to-right ' x y ' -> ' xy ' replace (str.replace == Java
+    String.replace == the BPE greedy rule on words like 'aaa')."""
+    from collections import Counter
+
+    state = [
+        (" " + "".join(ch + " " for ch in w) + END + " ", c) for w, c in wc
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, num_merges + 1):
+        counts: Counter = Counter()
+        for s, c in state:
+            syms = s.strip(" ").split(" ")
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += c
+        if not counts:
+            break
+        (x, y), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, x, y, int(n)))
+        old, new = f" {x} {y} ", f" {x}{y} "
+        state = [(s.replace(old, new), c) for s, c in state]
     return merges
 
 
