@@ -194,39 +194,43 @@ def _lines(text: Column | str) -> Column:
     )
 
 
-def dup_line_fraction(text: Column | str) -> Column:
+def dup_line_fraction(text: Column | str, lines: Column | None = None) -> Column:
     """Fraction of lines that are duplicates of an earlier line (0 when the
-    document has <2 lines).  High values flag boilerplate/navigation pages."""
-    ls = _lines(text)
+    document has <2 lines).  High values flag boilerplate/navigation pages.
+    ``lines``: a pre-projected _lines(text) column (r6, shared split)."""
+    ls = _lines(text) if lines is None else lines
     n = F.size(ls)
     return F.when(
         n > 1, 1.0 - F.size(F.array_distinct(ls)).cast("double") / n
     ).otherwise(F.lit(0.0))
 
 
-def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+def dup_ngram_fraction(
+    text: Column | str, n: int = 2, toks: Column | None = None
+) -> Column:
     """Fraction of duplicate token n-grams (MassiveText's duplicate-n-gram
-    family).  Shares the tokenizer with the dedup shingles."""
+    family).  Shares the tokenizer with the dedup shingles.  ``toks``: a
+    pre-projected token array (r6, shared tokenization)."""
     from tilekiln_spark.operators.dedup import shingles
 
-    sh = shingles(_c(text), n)
+    sh = shingles(_c(text), n, toks=toks)
     cnt = F.size(sh)
     return F.when(
         cnt > 1, 1.0 - F.size(F.array_distinct(sh)).cast("double") / cnt
     ).otherwise(F.lit(0.0))
 
 
-def bullet_line_fraction(text: Column | str) -> Column:
+def bullet_line_fraction(text: Column | str, lines: Column | None = None) -> Column:
     """Fraction of lines starting with a bullet marker (-, *, or digit.)."""
-    ls = _lines(text)
+    ls = _lines(text) if lines is None else lines
     n = F.size(ls)
     hits = F.size(F.filter(ls, lambda x: x.rlike(r"^(-|\*|\d+\.)\s")))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def ellipsis_line_fraction(text: Column | str) -> Column:
+def ellipsis_line_fraction(text: Column | str, lines: Column | None = None) -> Column:
     """Fraction of lines ending in an ellipsis (truncated snippets)."""
-    ls = _lines(text)
+    ls = _lines(text) if lines is None else lines
     n = F.size(ls)
     hits = F.size(F.filter(ls, lambda x: x.rlike(r"\.\.\.$")))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))

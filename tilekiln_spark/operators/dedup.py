@@ -41,15 +41,18 @@ def _tokens(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def shingles(text: Column, k: int = 3, toks: Column | None = None) -> Column:
     """k-token shingles as strings (empty array when fewer than k tokens).
 
     Built with arrays_zip over k shifted slices instead of per-index
     element_at lambdas: a lambda that re-references the tokens expression
     re-evaluates the full split() per element per reference in interpreted
     HOF mode (measured ~750 tokenizations/row for k=3) — the zip form
-    evaluates it k+1 times total."""
-    toks = _tokens(text)
+    evaluates it k+1 times total.  ``toks``: a pre-projected _tokens(text)
+    column to share one tokenization across several consumers (r6;
+    doc_quality_flags)."""
+    if toks is None:
+        toks = _tokens(text)
     n = F.size(toks)
     m = n - (k - 1)  # number of shingles
     shifted = [F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(k)]

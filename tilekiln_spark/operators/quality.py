@@ -78,8 +78,11 @@ def doc_quality_flags(
     # non-cheap projected expression block CollapseProject, so the single
     # split survives optimization.  F.size(__toks) equals token_count(t)
     # for every input (both split the same trimmed text; empty -> 0).
-    base = df.withColumn("__toks", _tokens(t))
+    from tilekiln_spark.functions.text import _lines
+
+    base = df.withColumn("__toks", _tokens(t)).withColumn("__lines", _lines(t))
     toks = F.col("__toks")
+    lines = F.col("__lines")
     n = F.size(toks)
     mean_len = _mean_token_len(toks, n)
     reason = (
@@ -89,17 +92,29 @@ def doc_quality_flags(
             (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
             F.lit("word_length"),
         )
-        .when(bullet_line_fraction(t) > max_bullet_frac, F.lit("bullet_lines"))
-        .when(ellipsis_line_fraction(t) > max_ellipsis_frac, F.lit("ellipsis_lines"))
-        .when(dup_line_fraction(t) > max_dup_line_frac, F.lit("dup_lines"))
-        .when(dup_ngram_fraction(t, 2) > max_dup_ngram_frac, F.lit("dup_ngrams"))
+        .when(
+            bullet_line_fraction(t, lines=lines) > max_bullet_frac,
+            F.lit("bullet_lines"),
+        )
+        .when(
+            ellipsis_line_fraction(t, lines=lines) > max_ellipsis_frac,
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            dup_line_fraction(t, lines=lines) > max_dup_line_frac,
+            F.lit("dup_lines"),
+        )
+        .when(
+            dup_ngram_fraction(t, 2, toks=toks) > max_dup_ngram_frac,
+            F.lit("dup_ngrams"),
+        )
         .when(_alpha_word_fraction(toks, n) < min_alpha_frac, F.lit("low_alpha_words"))
         .when(_distinct_stopwords(toks) < min_stopwords, F.lit("few_stopwords"))
     )
     return (
         base.withColumn("drop_reason", reason)
         .withColumn("keep", reason.isNull())
-        .drop("__toks")
+        .drop("__toks", "__lines")
     )
 
 
