@@ -49,7 +49,8 @@ def main():
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
