@@ -177,6 +177,34 @@ def test_label_propagation_rounds_validation(spark):
         label_propagation(_edges(spark, [(0, 1)]), rounds=0)
 
 
+def test_label_propagation_local_equals_distributed(spark):
+    # r6 size-adaptive path: the driver-local numpy rounds must be
+    # round-by-round identical to the distributed join/groupBy loop
+    # (mode of neighbor labels, smallest-label tie-break — all integers)
+    from tilekiln_spark.operators.graph import label_propagation
+
+    n = 500
+    e = _edges(
+        spark,
+        [(s, (s * 7 + j) % n) for s in range(n) for j in (1, 2, 3)
+         if s != (s * 7 + j) % n],
+    )
+    for rounds in (1, 2, 4):
+        local = {r["node"]: r["label"]
+                 for r in label_propagation(e, rounds=rounds).collect()}
+        prev = spark.conf.get("spark.tilekiln.lpa.localEdges", None)
+        spark.conf.set("spark.tilekiln.lpa.localEdges", "0")
+        try:
+            dist = {r["node"]: r["label"]
+                    for r in label_propagation(e, rounds=rounds).collect()}
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.tilekiln.lpa.localEdges")
+            else:
+                spark.conf.set("spark.tilekiln.lpa.localEdges", prev)
+        assert local == dist
+
+
 def test_modularity_two_cliques(spark):
     from tilekiln_spark.operators.graph import community_modularity
 

@@ -757,6 +757,48 @@ def test_flow_accumulation_raises_past_cap(spark):
         flow_accumulation(_bowl_cells(spark), res=16, max_iter=2)
 
 
+def _force_flow_distributed(spark):
+    prev = spark.conf.get("spark.tilekiln.flow.localCells", None)
+    spark.conf.set("spark.tilekiln.flow.localCells", "0")
+
+    def restore():
+        if prev is None:
+            spark.conf.unset("spark.tilekiln.flow.localCells")
+        else:
+            spark.conf.set("spark.tilekiln.flow.localCells", prev)
+
+    return restore
+
+
+def test_flow_accumulation_local_equals_distributed(spark):
+    # r6 size-adaptive path: the driver-local Kahn solve must be
+    # bit-identical to the distributed fixpoint (exact integer counts)
+    from tilekiln_spark.operators.raster import flow_accumulation
+
+    cells = _bowl_cells(spark)
+    local = {(r["gx"], r["gy"]): (r["z"], r["d8"], r["acc"])
+             for r in flow_accumulation(cells, res=16).collect()}
+    restore = _force_flow_distributed(spark)
+    try:
+        dist = {(r["gx"], r["gy"]): (r["z"], r["d8"], r["acc"])
+                for r in flow_accumulation(cells, res=16).collect()}
+    finally:
+        restore()
+    assert local == dist
+
+
+def test_flow_accumulation_max_iter_parity(spark):
+    # the local pass must raise exactly when the distributed loop would:
+    # the bowl's longest path is 8, the fixpoint is detected at round 9
+    from tilekiln_spark.operators.raster import flow_accumulation
+
+    import pytest as _pytest
+    cells = _bowl_cells(spark)
+    with _pytest.raises(ValueError):
+        flow_accumulation(cells, res=16, max_iter=8).count()
+    assert flow_accumulation(cells, res=16, max_iter=9).count() == 256
+
+
 def test_watershed_bowl_goldens(spark):
     from tilekiln_spark.operators.raster import watershed_basins
 

@@ -752,9 +752,21 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     checkpoint jobs disappear.  The lazy checkpoints still truncate each
     round's logical plan, so plan size stays constant in `rounds`.
 
+    Size-adaptive execution (round 6, the connected_components pattern):
+    when the canonical undirected edge list is small (<=
+    ``spark.tilekiln.lpa.localEdges`` rows, default 4M — the
+    cc.localEdges bounded-collect budget class), the ``rounds``
+    synchronous updates run as vectorized numpy group-by passes on the
+    driver and the labels re-enter the plan as a local relation.  The
+    update (mode of neighbor labels, smallest-label tie-break over
+    integer ids) is fully deterministic, so the local sequence is
+    BIT-IDENTICAL to the distributed one round by round.  Above the cap
+    the per-round join/groupBy loop runs unchanged — the 100 TB path.
+
     Returns [node, label] after ``rounds`` rounds."""
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -763,6 +775,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = und.count()
+    local_cap = int(spark.conf.get("spark.tilekiln.lpa.localEdges", "4000000"))
+    if n_edges <= local_cap:
+        return _lpa_local(spark, und, rounds)
     nb = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).union(
         und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     ).localCheckpoint(eager=False)
@@ -782,6 +798,70 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def _lpa_local(spark, und: DataFrame, rounds: int) -> DataFrame:
+    """Bounded-size label-propagation solve: ``rounds`` vectorized
+    mode-of-neighbor-labels updates (argmax by count, smallest-label
+    tie-break) over the collected canonical edge list.  Deterministic
+    integer semantics — round-by-round identical to the distributed
+    join/groupBy loop."""
+    import numpy as np
+
+    try:
+        tbl = und.toArrow()
+        u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    except Exception:
+        rows = und.collect()
+        u = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        v = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    if len(u) == 0:
+        return spark.createDataFrame([], "node long, label long")
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    node_idx = np.concatenate([ui, vi])
+    nb_idx = np.concatenate([vi, ui])
+    # pre-sort the adjacency by node once; per round only the label
+    # column re-sorts within each node's slice
+    adj_order = np.lexsort((nb_idx, node_idx))
+    node_s = node_idx[adj_order]
+    nb_s = nb_idx[adj_order]
+    lab = nodes.copy()  # initial label = node id (values, not indices)
+    for _ in range(rounds):
+        nl = lab[nb_s]
+        order = np.lexsort((nl, node_s))
+        sn, sl = node_s[order], nl[order]
+        new_grp = np.empty(len(sn), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (sn[1:] != sn[:-1]) | (sl[1:] != sl[:-1])
+        starts = np.nonzero(new_grp)[0]
+        cnt = np.diff(np.append(starts, len(sn)))
+        gnode, glab = sn[starts], sl[starts]
+        # winner per node = min over (-cnt, label); groups are already
+        # (node asc, label asc) so a stable sort on -cnt keeps the
+        # smallest label first among equal counts
+        w_order = np.lexsort((glab, -cnt, gnode))
+        first = np.empty(len(w_order), dtype=bool)
+        wn = gnode[w_order]
+        first[0] = True
+        first[1:] = wn[1:] != wn[:-1]
+        lab = lab.copy()
+        lab[wn[first]] = glab[w_order][first]
+    import pandas as pd
+
+    out = pd.DataFrame({"node": nodes, "label": lab})
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return spark.createDataFrame(out, "node long, label long")
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", prev_arrow
+            )
 
 
 def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:

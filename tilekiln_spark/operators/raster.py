@@ -1479,7 +1479,21 @@ def flow_accumulation(
     and are dropped.  At 100 TB rounds ≈ the longest flow path — the
     known D8 scaling cost; production systems band the DEM into drainage
     tiles to cap it, which this shape composes with.  Returns
-    [gx, gy, z, d8, acc]."""
+    [gx, gy, z, d8, acc].
+
+    Size-adaptive execution (round 6, the connected_components pattern):
+    the grid size res² is known by construction, so at or below
+    ``spark.tilekiln.flow.localCells`` (default 4M — the bounded-collect
+    budget class of cc.localEdges) the accumulation solves as ONE
+    vectorized Kahn topological pass on the driver over the collected
+    flow edges and re-enters the plan as a local relation joined back to
+    the d8 frame.  The counts are EXACT integers (Σ upstream cells), a
+    property of the flow forest, not the algorithm — bit-identical to the
+    fixpoint — and the ``max_iter`` contract is preserved exactly: the
+    local pass measures the longest flow path L and raises the same
+    named error whenever the distributed loop would (it detects the
+    fixpoint at round max(L,1)+1).  Above the cap the proven per-round
+    fixpoint runs unchanged — the 100 TB path."""
     d8 = d8_flow(cells, res).localCheckpoint(eager=True)
     nodes = d8.select("gx", "gy")
     edges = (
@@ -1493,6 +1507,10 @@ def flow_accumulation(
         .join(nodes, ["gx", "gy"], "semi")
         .localCheckpoint(eager=True)
     )
+    spark = cells.sparkSession
+    local_cap = int(spark.conf.get("spark.tilekiln.flow.localCells", "4000000"))
+    if res * res <= local_cap:
+        return _flow_acc_local(spark, d8, nodes, edges, max_iter)
     # r6: per-round checkpoints are lazy and the convergence aggregate is
     # the materializing job — one job per round instead of an eager
     # checkpoint job plus a separate total-sum job (same fixpoint, same
@@ -1501,7 +1519,6 @@ def flow_accumulation(
     # (res^2 cells counted by construction) the per-cell frames get
     # explicit broadcast hints — the strategy the stats would have picked
     # (guide §3.1); big DEMs keep the shuffle joins.
-    spark = cells.sparkSession
     bcast = (res * res) <= int(
         spark.conf.get("spark.tilekiln.graph.broadcastNodes", "4000000")
     )
@@ -1535,6 +1552,93 @@ def flow_accumulation(
         prev_total = total
     raise ValueError(
         f"flow_accumulation: no fixpoint within max_iter={max_iter} rounds"
+    )
+
+
+def _collect_long_cols(df: DataFrame, cols: list):
+    """Collect named columns of a bounded frame as int64 numpy arrays
+    (Arrow fast path, row-collect fallback — the _cc_local contract)."""
+    import numpy as np
+
+    try:
+        tbl = df.toArrow()
+        return [
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in cols
+        ]
+    except Exception:
+        rows = df.select(*cols).collect()
+        n = len(rows)
+        return [
+            np.fromiter((r[i] for r in rows), dtype=np.int64, count=n)
+            for i in range(len(cols))
+        ]
+
+
+def _flow_acc_local(spark, d8, nodes, edges, max_iter: int):
+    """Bounded-grid accumulation solve: one vectorized Kahn topological
+    pass over the collected flow edges (O(V+E) work, rounds = longest
+    path, all numpy).  Exact integer upstream counts — identical to the
+    distributed fixpoint — with the same max_iter named error: the
+    distributed loop detects the fixpoint at round max(L,1)+1 for longest
+    flow path L, so the local pass raises iff max(L,1)+1 > max_iter."""
+    import numpy as np
+
+    (ngx, ngy) = _collect_long_cols(nodes, ["gx", "gy"])
+    (ux, uy, egx, egy) = _collect_long_cols(edges, ["ux", "uy", "gx", "gy"])
+    # injective (gx, gy) -> int64 key; grid coords are << 2^31 under the
+    # local-cells cap
+    nkey = ngx * np.int64(2**32) + ngy
+    order = np.argsort(nkey, kind="stable")
+    skey = nkey[order]
+
+    def _idx(kx, ky):
+        pos = np.searchsorted(skey, kx * np.int64(2**32) + ky)
+        return order[pos]
+
+    n = len(nkey)
+    ui = _idx(ux, uy)
+    ci = _idx(egx, egy)
+    ptr = np.full(n, -1, dtype=np.int64)
+    ptr[ui] = ci  # D8: at most one downstream target per cell
+    indeg = np.bincount(ci, minlength=n)
+    acc = np.zeros(n, dtype=np.int64)
+    frontier = np.nonzero(indeg == 0)[0]
+    rounds = 0
+    processed = 0
+    while len(frontier):
+        rounds += 1
+        processed += len(frontier)
+        t = ptr[frontier]
+        valid = t >= 0
+        t, f = t[valid], frontier[valid]
+        np.add.at(acc, t, acc[f] + 1)
+        np.subtract.at(indeg, t, 1)
+        nxt = np.unique(t)
+        frontier = nxt[indeg[nxt] == 0]
+    longest = max(rounds - 1, 0)
+    if processed < n or max(longest, 1) + 1 > max_iter:
+        # cycle (never converges) or a fixpoint the distributed loop
+        # would not reach within max_iter: the identical named error
+        raise ValueError(
+            f"flow_accumulation: no fixpoint within max_iter={max_iter} rounds"
+        )
+    import pandas as pd
+
+    out = pd.DataFrame({"gx": ngx, "gy": ngy, "acc": acc})
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        accdf = spark.createDataFrame(out, "gx long, gy long, acc long")
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", prev_arrow
+            )
+    return d8.join(F.broadcast(accdf), ["gx", "gy"]).select(
+        "gx", "gy", "z", "d8", "acc"
     )
 
 
