@@ -210,8 +210,17 @@ def bpe_token_ids(
     Encoding is the bpe_encode_expr replace chain (codegen, map-only); the
     vocabulary is data-derived (bpe_vocab — distinct symbols, sorted) and
     rides back as a literal map, so the lookup is one JVM map probe per
-    symbol: no join, no shuffle anywhere in this pass.  Empty/whitespace
-    docs encode to an empty id array (n_tokens 0)."""
+    symbol: no join, no shuffle anywhere in this pass at corpus scale.
+    Empty/whitespace docs encode to an empty id array (n_tokens 0).
+
+    Partitioning is scale-adaptive (r6, guide §2): the encode chain is
+    CPU-bound, so when the source layout offers fewer partitions than the
+    session has cores (a small parquet scans as ONE task and the whole
+    replace chain runs serially), the input spreads by key first; at
+    corpus scale partitions >= cores and no exchange is added."""
+    from tilekiln_spark.operators.dedup import spread_cpu
+
+    df = spread_cpu(df, key_col)
     s = F.trim(bpe_encode_expr(F.col(text_col), merges))
     # null text -> null s: fold into the empty-doc branch so token_ids is
     # [] / n_tokens 0 (never a null array, whose F.size is -1 and would

@@ -660,7 +660,12 @@ def cavnar_trenkle(
         # regexp_replace+lower+trim PER ELEMENT in interpreted HOF mode
         # (O(len^2) per row; measured 13.3 s -> 2.0 s on the sf0.1 gram
         # rollup).  Same trap the shingles() docstring documents.
-        base = df.select(*keys, t.alias("__t"))
+        # spread the per-character gram kernel across cores when the
+        # source layout is narrower than the session (scale-adaptive:
+        # no-op above core count)
+        from tilekiln_spark.operators.dedup import spread_cpu
+
+        base = spread_cpu(df.select(*keys, t.alias("__t")))
         tc = F.col("__t")
         # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — texts
         # shorter than one trigram must produce an empty gram array
@@ -1249,8 +1254,16 @@ def theil_sen(df, x_col: str, y_col: str, id_col: str = "doc_id"):
     range-partition selection, so even the n^2/2-row slope multiset
     never funnels through a SinglePartition sort.
     Returns ONE row [n_points, n_slopes, slope, intercept]."""
-    pts = df.select(
-        F.col(id_col).alias("i"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    from tilekiln_spark.operators.dedup import spread_cpu
+
+    # spread: the a x b pair generation below is a non-equi join whose
+    # stream side inherits this frame's partitioning — a 1-partition
+    # source would generate and aggregate all n^2/2 slopes on one core
+    pts = spread_cpu(
+        df.select(
+            F.col(id_col).alias("i"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+        ),
+        "i",
     ).localCheckpoint(eager=True)
     slopes = (
         pts.alias("a")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tilekiln_spark.operators.dedup import shingles
+from tilekiln_spark.operators.dedup import shingles, spread_cpu
 
 
 def contamination_hits(
@@ -40,7 +40,9 @@ def contamination_hits(
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    doc_grams = corpus.select(
+    # the corpus-side shingle pass is the CPU-bound kernel — spread it
+    # across cores when the source layout is narrower than the session
+    doc_grams = spread_cpu(corpus, key_col).select(
         F.col(key_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
     ).select(key_col, F.xxhash64("g").alias("gh"))

@@ -41,6 +41,24 @@ def _tokens(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def spread_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive spread for CPU-bound map kernels (r6, guide §2:
+    partitioning derived from the data, not a constant): when the source
+    layout offers FEWER partitions than the session has cores — a small
+    parquet scans as one task and a tokenize/encode kernel runs serially —
+    redistribute across the cores first (hash on ``key_cols`` when given,
+    else round-robin).  At corpus scale partitions >= cores already and
+    the frame returns unchanged: no exchange on the 100 TB path.
+    ``spark.tilekiln.spreadCpu.enabled=false`` disables the spread."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.tilekiln.spreadCpu.enabled", "true") != "true":
+        return df
+    n_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
+    return df.repartition(n_parts, *key_cols) if key_cols else df.repartition(n_parts)
+
+
 def shingles(text: Column, k: int = 3, toks: Column | None = None) -> Column:
     """k-token shingles as strings (empty array when fewer than k tokens).
 
@@ -721,7 +739,7 @@ def duplicate_spans(
     for xxhash64 over token ids (half the CPU, same plan); md5 keeps the
     DuckDB oracle twin byte-identical."""
     wins = shingles(F.col(text_col), k=window)
-    base = df.select(
+    base = spread_cpu(df, key_col).select(
         F.col(key_col).alias("__key"),
         F.transform(wins, lambda s: F.md5(F.encode(s, "utf-8"))).alias("__ws"),
     )
@@ -851,7 +869,9 @@ def remove_duplicate_spans(
     arm."""
     toks = _tokens(F.col(text_col))
     wins = shingles(F.col(text_col), k=window)
-    base = df.select(
+    # spread: both the window-hash pass and the per-token rewrite lambda
+    # below are CPU-bound map kernels over the doc frame
+    base = spread_cpu(df, key_col).select(
         F.col(key_col).alias("__key"),
         F.col(text_col).alias("__text"),
         F.transform(wins, lambda s: F.md5(F.encode(s, "utf-8"))).alias("__ws"),
@@ -959,7 +979,9 @@ def containment_pairs(
 
     Returns [key_a, key_b, shared, cont_a, cont_b, jaccard] with
     key_a < key_b; cont_a = shared / |S(A)|."""
-    sh = df.select(
+    # spread: the shingle explode is the CPU-bound kernel before the
+    # shingle-keyed shuffles
+    sh = spread_cpu(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )

@@ -88,6 +88,10 @@ def training_corpus_pipeline(
     # the upstream chain: at corpus scale, re-running exact dedup three
     # times to print three numbers is the difference between one pass and
     # four.  Frames are unpersisted once their consumer materialized.
+    # (r6 note: a corpus spread at pipeline entry was measured and
+    # REJECTED — the funnel's many small downstream stages pay more in
+    # 32-task scheduling than the gate stage gains; the CPU-bound
+    # operators the stages call spread themselves where it wins.)
     n_raw = docs.count()
     n_admitted: int | None = None
     gated: DataFrame | None = None

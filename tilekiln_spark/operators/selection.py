@@ -68,6 +68,11 @@ def hashed_gram_buckets(text: Column, buckets: int = 8192) -> Column:
 
 
 def _feats(df: DataFrame, text_col: str, key_col: str | None, buckets: int):
+    from tilekiln_spark.operators.dedup import spread_cpu
+
+    # spread: the hashed-gram explode is the CPU-bound kernel before the
+    # bucket-keyed rollups (no-op when the layout already spans the cores)
+    df = spread_cpu(df, key_col) if key_col else spread_cpu(df)
     cols = ([F.col(key_col).alias("__key")] if key_col else []) + [
         F.explode(hashed_gram_buckets(F.col(text_col), buckets)).alias("__b")
     ]
