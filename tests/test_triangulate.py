@@ -154,3 +154,35 @@ def test_largest_empty_circle_too_few_points_empty(spark):
         [(1, 0.0, 0.0), (1, 1.0, 0.0)], "gid int, x double, y double"
     )
     assert largest_empty_circle(pts, "gid", "x", "y").count() == 0
+
+
+def test_delaunay_kernel_equals_expression_path(spark):
+    # r6: the Arrow triple kernel must select EXACTLY the triangles the
+    # pure-expression path does (bit-identical incircle arithmetic),
+    # including degenerate-heavy groups (grid with collinear triples)
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.triangulate import delaunay_triangles
+
+    frac = lambda c: c - F.floor(c)  # noqa: E731
+    pts = spark.range(40 * 12).select(
+        (F.col("id") / F.lit(12)).cast("long").alias("gid"),
+        frac(F.sin(F.col("id") * 12.9898) * 43758.5453).alias("x"),
+        frac(F.sin(F.col("id") * 78.233) * 12543.8547).alias("y"),
+    )
+    grid = spark.createDataFrame(
+        [(999, float(i % 4), float(i // 4)) for i in range(16)],
+        "gid long, x double, y double",
+    )
+    both = pts.unionByName(grid)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    kernel = rows(delaunay_triangles(both, "gid", "x", "y"))
+    spark.conf.set("spark.tilekiln.delaunay.kernel", "expr")
+    try:
+        expr = rows(delaunay_triangles(both, "gid", "x", "y"))
+    finally:
+        spark.conf.unset("spark.tilekiln.delaunay.kernel")
+    assert kernel == expr and len(kernel) > 0

@@ -51,6 +51,7 @@ exact duplicate points are deduped up front.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +116,105 @@ def circumcenter_sql(
     return ccx, ccy
 
 
+def make_delaunay_triples_udf():
+    """Vectorized kept-triple kernel: (xs, ys) sorted distinct group
+    points -> array<struct<i,j,k>> of 1-based Delaunay triple indices.
+
+    The r6 execution strategy for the O(n^3) candidates x O(n) incircle
+    fold: the definitional test is unchanged, but runs as numpy batch
+    arithmetic instead of ~n^4 interpreted HOF node evaluations per
+    group (the make_minhash_sig_udf precedent — the legitimately-hot
+    Arrow-UDF path).  Bit-identity contract: every operation below is
+    the SAME IEEE float64 op in the SAME term order as the expression
+    path (_incircle_det / d_orient) — numpy elementwise ops are exactly
+    rounded per element, so dor, det and the <= 0 comparisons are
+    bit-identical to the interpreted evaluation, pinned by the
+    kernel-vs-expression equality test.  Candidate triples are chunked
+    so peak memory stays bounded for large groups."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+    import numpy as np
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("i", IntegerType()),
+                StructField("j", IntegerType()),
+                StructField("k", IntegerType()),
+            ]
+        )
+    )
+
+    def solve(xs, ys):
+        n = len(xs)
+        # candidate triples per det-matrix chunk: keep each (CHUNK, n)
+        # intermediate ~16 MB so the ~10 temporaries stay cache/RAM-friendly
+        CHUNK = max(1024, (1 << 21) // max(n, 1))
+        if n <= 256:
+            idx = np.arange(n)
+            ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+            mask = (ii < jj) & (jj < kk)
+            ii, jj, kk = ii[mask], jj[mask], kk[mask]
+        else:
+            # large group: O(n^2) memory per step instead of the n^3 mask
+            pj, pk = np.triu_indices(n, k=1)
+            parts = [(np.full(int((pj > i).sum()), i), pj[pj > i], pk[pj > i])
+                     for i in range(n - 2)]
+            ii = np.concatenate([p[0] for p in parts])
+            jj = np.concatenate([p[1] for p in parts])
+            kk = np.concatenate([p[2] for p in parts])
+        keep_i, keep_j, keep_k = [], [], []
+        for s in range(0, len(ii), CHUNK):
+            ci, cj, ck = ii[s:s + CHUNK], jj[s:s + CHUNK], kk[s:s + CHUNK]
+            ax, ay = xs[ci], ys[ci]
+            bx, by = xs[cj], ys[cj]
+            cx, cy = xs[ck], ys[ck]
+            dor = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            # incircle determinant over every group point, identical
+            # term order to _incircle_det
+            px, py = xs[None, :], ys[None, :]
+            adx, ady = ax[:, None] - px, ay[:, None] - py
+            bdx, bdy = bx[:, None] - px, by[:, None] - py
+            cdx, cdy = cx[:, None] - px, cy[:, None] - py
+            al = adx * adx + ady * ady
+            bl = bdx * bdx + bdy * bdy
+            cl = cdx * cdx + cdy * cdy
+            det = (
+                adx * (bdy * cl - cdy * bl)
+                - ady * (bdx * cl - cdx * bl)
+                + al * (bdx * cdy - cdx * bdy)
+            )
+            cond = det * dor[:, None] <= 0.0
+            m = np.arange(n)[None, :]
+            cond |= (m == ci[:, None]) | (m == cj[:, None]) | (m == ck[:, None])
+            ok = (dor != 0.0) & cond.all(axis=1)
+            keep_i.append(ci[ok])
+            keep_j.append(cj[ok])
+            keep_k.append(ck[ok])
+        ki = np.concatenate(keep_i) + 1
+        kj = np.concatenate(keep_j) + 1
+        kk_ = np.concatenate(keep_k) + 1
+        return [
+            {"i": int(a), "j": int(b), "k": int(c)}
+            for a, b, c in zip(ki, kj, kk_)
+        ]
+
+    @F.pandas_udf(out_t)
+    def triples(xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        out = []
+        for xs, ys in zip(xs_s, ys_s):
+            out.append(
+                solve(
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                )
+            )
+        return pd.Series(out)
+
+    return triples
+
+
 def delaunay_triangles(
     pts: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
@@ -126,7 +226,15 @@ def delaunay_triangles(
     deterministic, engine-independent labeling), (ccx, ccy) the
     circumcenter and r2 its squared radius.  Groups with < 3 distinct
     points (or all-collinear ones) emit no rows — same as PostGIS
-    returning an empty collection."""
+    returning an empty collection.
+
+    Execution strategy (r6): the kept-triple selection — all of the
+    O(n^4) work — runs in the vectorized Arrow kernel
+    (:func:`make_delaunay_triples_udf`, bit-identical arithmetic) by
+    default; ``spark.tilekiln.delaunay.kernel=expr`` keeps the original
+    pure-expression path (the documented cross-engine contract both
+    strategies implement).  The output columns are computed by the SAME
+    expressions off (i, j, k) either way."""
     g = (
         pts.select(group_col, x_col, y_col)
         .dropDuplicates([group_col, x_col, y_col])
@@ -146,43 +254,68 @@ def delaunay_triangles(
         .where(F.size("xs") >= 3)
     )
     n = F.size("xs")
-    # three chained explodes enumerate ordered triples i < j < k; the
-    # n >= 3 guard above keeps every sequence() ascending (the
-    # descending-sequence footgun is tested at tests/test_triangulate.py)
-    cand = (
-        g.withColumn("i", F.explode(F.sequence(F.lit(1), n - 2)))
-        .withColumn("j", F.explode(F.sequence(F.col("i") + 1, n - 1)))
-        .withColumn("k", F.explode(F.sequence(F.col("j") + 1, n)))
+    use_kernel = (
+        pts.sparkSession.conf.get("spark.tilekiln.delaunay.kernel", "arrow")
+        != "expr"
     )
     xs, ys = F.col("xs"), F.col("ys")
-    ax, ay = F.element_at(xs, F.col("i")), F.element_at(ys, F.col("i"))
-    bx, by = F.element_at(xs, F.col("j")), F.element_at(ys, F.col("j"))
-    cx, cy = F.element_at(xs, F.col("k")), F.element_at(ys, F.col("k"))
-    d_orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    cand = cand.withColumn("dor", d_orient)
-
-    def empty_for(m: Column) -> Column:
-        det = _incircle_det(
-            F.element_at(xs, F.col("i")),
-            F.element_at(ys, F.col("i")),
-            F.element_at(xs, F.col("j")),
-            F.element_at(ys, F.col("j")),
-            F.element_at(xs, F.col("k")),
-            F.element_at(ys, F.col("k")),
-            F.element_at(xs, m),
-            F.element_at(ys, m),
+    if use_kernel:
+        tri_udf = make_delaunay_triples_udf()
+        kept = (
+            g.select(
+                group_col, "xs", "ys",
+                F.explode(tri_udf(F.col("xs"), F.col("ys"))).alias("t"),
+            )
+            .select(
+                group_col, "xs", "ys",
+                F.col("t.i").alias("i"),
+                F.col("t.j").alias("j"),
+                F.col("t.k").alias("k"),
+            )
         )
-        return (
-            (m == F.col("i"))
-            | (m == F.col("j"))
-            | (m == F.col("k"))
-            | (det * F.col("dor") <= 0.0)
+        ax, ay = F.element_at(xs, F.col("i")), F.element_at(ys, F.col("i"))
+        bx, by = F.element_at(xs, F.col("j")), F.element_at(ys, F.col("j"))
+        cx, cy = F.element_at(xs, F.col("k")), F.element_at(ys, F.col("k"))
+        kept = kept.withColumn(
+            "dor", (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
         )
+    else:
+        # three chained explodes enumerate ordered triples i < j < k; the
+        # n >= 3 guard above keeps every sequence() ascending (the
+        # descending-sequence footgun is tested at tests/test_triangulate.py)
+        cand = (
+            g.withColumn("i", F.explode(F.sequence(F.lit(1), n - 2)))
+            .withColumn("j", F.explode(F.sequence(F.col("i") + 1, n - 1)))
+            .withColumn("k", F.explode(F.sequence(F.col("j") + 1, n)))
+        )
+        ax, ay = F.element_at(xs, F.col("i")), F.element_at(ys, F.col("i"))
+        bx, by = F.element_at(xs, F.col("j")), F.element_at(ys, F.col("j"))
+        cx, cy = F.element_at(xs, F.col("k")), F.element_at(ys, F.col("k"))
+        d_orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        cand = cand.withColumn("dor", d_orient)
 
-    kept = cand.where(
-        (F.col("dor") != 0.0)
-        & F.forall(F.sequence(F.lit(1), F.size("xs")), empty_for)
-    )
+        def empty_for(m: Column) -> Column:
+            det = _incircle_det(
+                F.element_at(xs, F.col("i")),
+                F.element_at(ys, F.col("i")),
+                F.element_at(xs, F.col("j")),
+                F.element_at(ys, F.col("j")),
+                F.element_at(xs, F.col("k")),
+                F.element_at(ys, F.col("k")),
+                F.element_at(xs, m),
+                F.element_at(ys, m),
+            )
+            return (
+                (m == F.col("i"))
+                | (m == F.col("j"))
+                | (m == F.col("k"))
+                | (det * F.col("dor") <= 0.0)
+            )
+
+        kept = cand.where(
+            (F.col("dor") != 0.0)
+            & F.forall(F.sequence(F.lit(1), F.size("xs")), empty_for)
+        )
     # circumcenter: the standard lifted form, identical term order in the twin
     a2 = ax * ax + ay * ay
     b2 = bx * bx + by * by
