@@ -636,7 +636,13 @@ def semantic_dedup(
         F.col(key_col).cast("long").alias("k"), F.col(vec_col).alias("v")
     )
     assigned = base.withColumn("cluster", a1(F.col("v"))[0])
-    slim = assigned.select("cluster", "k")
+    # r6: the slim (cluster, key) frame is referenced by the pair build
+    # (twice), the size rollup and the final label attach — without a
+    # lineage cut each reference re-runs the scan + assign matmul.  A lazy
+    # localCheckpoint (16 bytes/row, GC-reclaimed — the two_pass_global_rank
+    # pattern) runs the matmul exactly ONCE; vectors re-attach by key from
+    # the plain scan, never through the UDF again.
+    slim = assigned.select("cluster", "k").localCheckpoint(eager=False)
     sizes = slim.groupBy("cluster").agg(F.count("*").alias("__csz"))
     paired = slim.join(
         sizes.filter(F.col("__csz") <= max_cluster).select("cluster"), "cluster"
@@ -657,8 +663,10 @@ def semantic_dedup(
         .select("key_a", "key_b")
     )
     labels = connected_components(pairs)
-    out = assigned.select(F.col("k").alias("node"), "v", "cluster").join(
-        labels, "node", "left"
+    out = (
+        base.select(F.col("k").alias("node"), "v")
+        .join(slim.select(F.col("k").alias("node"), "cluster"), "node")
+        .join(labels, "node", "left")
     )
     labeled = out.select(
         F.col("node").alias(key_col),
