@@ -50,6 +50,8 @@ def spread_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
     else round-robin).  At corpus scale partitions >= cores already and
     the frame returns unchanged: no exchange on the 100 TB path.
     ``spark.tilekiln.spreadCpu.enabled=false`` disables the spread."""
+    if df.isStreaming:  # no .rdd on streaming frames; micro-batches are small
+        return df
     spark = df.sparkSession
     if spark.conf.get("spark.tilekiln.spreadCpu.enabled", "true") != "true":
         return df

@@ -1593,7 +1593,11 @@ def _flow_acc_local(spark, d8, nodes, edges, max_iter: int):
     skey = nkey[order]
 
     def _idx(kx, ky):
-        pos = np.searchsorted(skey, kx * np.int64(2**32) + ky)
+        k = kx * np.int64(2**32) + ky
+        pos = np.searchsorted(skey, k)
+        pos = np.minimum(pos, len(skey) - 1)
+        if not np.array_equal(skey[pos], k):  # edges reference only present cells
+            raise AssertionError("flow_accumulation: edge endpoint not in node set")
         return order[pos]
 
     n = len(nkey)

@@ -151,7 +151,7 @@ def make_delaunay_triples_udf():
         # candidate triples per det-matrix chunk: keep each (CHUNK, n)
         # intermediate ~16 MB so the ~10 temporaries stay cache/RAM-friendly
         CHUNK = max(1024, (1 << 21) // max(n, 1))
-        if n <= 256:
+        if n <= 128:  # n^3 meshgrid stays <= ~50 MB
             idx = np.arange(n)
             ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
             mask = (ii < jj) & (jj < kk)
