@@ -39,13 +39,21 @@ def test_pack_partition_layout_independent(spark):
 
 
 def test_pack_no_global_single_reducer(spark):
-    # the plan must range-partition, never funnel through one reducer via
-    # a global Window.orderBy
+    # the DISTRIBUTED path (above the r6 local-docs cap) must
+    # range-partition, never funnel through one reducer via a global
+    # Window.orderBy; the local path is a LocalTableScan by construction
     d = _docs(spark, [3] * 100)
-    plan = pack_sequences(d, 8, "n_tokens", num_partitions=4)._jdf \
-        .queryExecution().executedPlan().toString()
+    spark.conf.set("spark.tilekiln.pack.localDocs", "0")
+    try:
+        plan = pack_sequences(d, 8, "n_tokens", num_partitions=4)._jdf \
+            .queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.tilekiln.pack.localDocs")
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+    local_plan = pack_sequences(d, 8, "n_tokens")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in local_plan
 
 
 def test_pack_token_sequences_materializes_exact_chunks(spark):
@@ -113,3 +121,32 @@ def test_pack_token_sequences_null_ids_are_zero_length(spark):
     df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
     got = {r.seq: r.token_ids for r in pack_token_sequences(df, 8).collect()}
     assert got == {0: list(range(5)) + [100, 101, 102], 1: [103, 104]}
+
+
+def test_pack_local_equals_two_pass(spark):
+    # r6 size-adaptive path: the driver-local prefix sum must be
+    # bit-identical to the two-pass range-partition form, including the
+    # RANGE-frame tie semantics for duplicate keys and zero-length docs
+    from pyspark.sql import functions as F
+
+    from tilekiln_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 0), (3, 7), (3, 7), (4, 4096), (5, 1)],
+        "doc_id long, n long",
+    )
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n")
+    )
+    for frame in (df, big):
+        local = sorted(tuple(r) for r in pack_sequences(frame, 8, "n").collect())
+        prev = spark.conf.get("spark.tilekiln.pack.localDocs", None)
+        spark.conf.set("spark.tilekiln.pack.localDocs", "0")
+        try:
+            dist = sorted(tuple(r) for r in pack_sequences(frame, 8, "n").collect())
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.tilekiln.pack.localDocs")
+            else:
+                spark.conf.set("spark.tilekiln.pack.localDocs", prev)
+        assert local == dist

@@ -38,12 +38,36 @@ def pack_sequences(
     key_col: str = "doc_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Concat-and-chunk packing over key order (see module docstring)."""
+    """Concat-and-chunk packing over key order (see module docstring).
+
+    Size-adaptive execution (r6, the connected_components pattern): the
+    narrow (key, len) frame is sized by its lazy checkpoint's
+    materializing count; at or below ``spark.tilekiln.pack.localDocs``
+    (default 4M rows ~ 64 MB — the bounded-collect budget class) the
+    prefix sum runs as one numpy pass on the driver and the assignment
+    re-enters as a local relation.  The arithmetic replicates the
+    distributed path EXACTLY — int64 cumsum with the window's
+    RANGE-frame tie semantics (equal keys share the cumulative value)
+    and the same float64 floor-divisions — so the output is
+    bit-identical; integer keys only (string key ordering is
+    engine-collation territory — those keep the two-pass path).  Above
+    the cap the proven range-partition two-pass runs unchanged from the
+    same checkpoint (its lineage cut rides the sizing count)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    d0 = df.select(key_col, F.col(len_col).cast("long").alias("__len"))
+    key_is_int = isinstance(
+        df.schema[key_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    local_cap = int(spark.conf.get("spark.tilekiln.pack.localDocs", "4000000"))
+    if key_is_int and local_cap > 0:
+        d0 = d0.localCheckpoint(eager=False)
+        if d0.count() <= local_cap:
+            return _pack_local(spark, d0, seq_len, len_col, key_col)
     d = (
-        df.select(key_col, F.col(len_col).cast("long").alias("__len"))
-        .repartitionByRange(n_parts, F.col(key_col).asc())
+        d0.repartitionByRange(n_parts, F.col(key_col).asc())
         .withColumn("__pid", F.spark_partition_id())
     )
     w = Window.partitionBy("__pid").orderBy(F.col(key_col).asc())
@@ -76,6 +100,61 @@ def pack_sequences(
             (start % seq_len).cast("int").alias("seq_offset"),
         )
     )
+
+
+def _pack_local(spark, nar: DataFrame, seq_len: int, len_col: str, key_col: str):
+    """Bounded-size packing assignment: numpy prefix sum over the collected
+    (key, len) rows, bit-identical to the two-pass distributed form
+    (int64 sums; RANGE-frame ties; float64 floor divisions)."""
+    import numpy as np
+    import pandas as pd
+
+    try:
+        tbl = nar.toArrow()
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = tbl.column("__len").to_numpy(zero_copy_only=False).astype(np.int64)
+    except Exception:
+        rows = nar.collect()
+        keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        lens = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    kt = nar.schema[key_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {kt}, {len_col} long, first_seq int, last_seq int, "
+        "seq_offset int"
+    )
+    if len(keys) == 0:
+        return spark.createDataFrame([], schema)
+    order = np.argsort(keys, kind="stable")
+    sk, sl = keys[order], lens[order]
+    cum = np.cumsum(sl)
+    # RANGE-frame tie semantics: every row of an equal-key group reads the
+    # group's LAST cumulative value (peers included in the frame)
+    if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
+        last_of_group = np.concatenate([sk[1:] != sk[:-1], [True]])
+        grp = np.cumsum(np.concatenate([[True], sk[1:] != sk[:-1]])) - 1
+        cum = cum[np.flatnonzero(last_of_group)][grp]
+    start = cum - sl
+    end = start + np.maximum(sl, 1) - 1
+    first_seq = np.floor(start.astype(np.float64) / seq_len).astype(np.int32)
+    last_seq = np.floor(end.astype(np.float64) / seq_len).astype(np.int32)
+    seq_offset = (start % seq_len).astype(np.int32)
+    out = pd.DataFrame(
+        {
+            key_col: sk, len_col: sl, "first_seq": first_seq,
+            "last_seq": last_seq, "seq_offset": seq_offset,
+        }
+    )
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return spark.createDataFrame(out, schema)
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", prev_arrow
+            )
 
 
 def pack_token_sequences(
